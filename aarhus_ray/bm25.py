@@ -1,0 +1,85 @@
+"""Okapi BM25 (k1=1.2, b=0.75 per BASELINE.json:6) — frozen formula.
+
+idf variant frozen to the non-negative Lucene form (SURVEY.md §1.3):
+    idf(t)      = ln(1 + (N - df + 0.5) / (df + 0.5))
+    score(t, d) = idf · tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl))
+float64 throughout. Per-doc scores accumulate over query terms in SORTED
+term order (ties in float addition order would otherwise break the
+rank-identity goldens across implementations).
+
+``brute_force_topk`` is the oracle scorer: exhaustive scoring over decoded
+posting lists, vectorized with NumPy. Block-Max WAND (wand.py) must produce
+identical results — property-tested in tests/test_wand.py.
+"""
+
+from __future__ import annotations
+
+import heapq
+import math
+
+import numpy as np
+
+from . import K1, B
+
+
+def idf(df: int | np.ndarray, n_docs: int):
+    df = np.asarray(df, dtype=np.float64)
+    out = np.log1p((n_docs - df + 0.5) / (df + 0.5))
+    return float(out) if out.ndim == 0 else out
+
+
+def score_tf(tf: np.ndarray, dl: np.ndarray, avgdl: float, idf_val: float) -> np.ndarray:
+    tf = np.asarray(tf, dtype=np.float64)
+    dl = np.asarray(dl, dtype=np.float64)
+    denom = tf + K1 * (1.0 - B + B * dl / avgdl)
+    return idf_val * tf * (K1 + 1.0) / denom
+
+
+def topk_select(doc_ids: np.ndarray, scores: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Top-k with the frozen total order (score DESC, doc_id ASC)."""
+    n = len(doc_ids)
+    if n == 0:
+        return doc_ids[:0], scores[:0]
+    if n > k:
+        # Exact under ties: every doc scoring >= the kth-highest score is a
+        # candidate; the lexsort below applies the frozen tie-break.
+        kth = scores[np.argpartition(-scores, k - 1)[k - 1]]
+        cand = np.flatnonzero(scores >= kth)
+    else:
+        cand = np.arange(n)
+    order = np.lexsort((doc_ids[cand], -scores[cand]))
+    sel = cand[order][:k]
+    return doc_ids[sel], scores[sel]
+
+
+def brute_force_topk(
+    query_terms: list[str],
+    postings: dict[str, tuple[np.ndarray, np.ndarray]],
+    dfs: dict[str, int],
+    doclen_lookup,
+    n_docs: int,
+    avgdl: float,
+    k: int = 10,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Exhaustive BM25 top-k. ``postings[term] = (doc_ids, tfs)`` (decoded,
+    sorted); ``doclen_lookup(doc_ids) -> dl array``. Duplicate query terms
+    count once (frozen: a query is a term SET, sorted)."""
+    terms = sorted(set(t for t in query_terms if t in postings))
+    if not terms:
+        return np.empty(0, np.uint64), np.empty(0, np.float64)
+    acc: dict[int, float] = {}
+    all_ids = np.unique(np.concatenate([postings[t][0] for t in terms]))
+    scores = np.zeros(len(all_ids), dtype=np.float64)
+    dls = doclen_lookup(all_ids).astype(np.float64)
+    for t in terms:
+        d_ids, tfs = postings[t]
+        pos = np.searchsorted(all_ids, d_ids)
+        scores[pos] += score_tf(tfs, dls[pos], avgdl, idf(dfs[t], n_docs))
+    return topk_select(all_ids, scores, k)
+
+
+def merge_topk(partials: list[tuple[np.ndarray, np.ndarray]], k: int = 10) -> tuple[np.ndarray, np.ndarray]:
+    """Merge per-segment partial top-ks into a global top-k (frozen order)."""
+    ids = np.concatenate([p[0] for p in partials]) if partials else np.empty(0, np.uint64)
+    sc = np.concatenate([p[1] for p in partials]) if partials else np.empty(0, np.float64)
+    return topk_select(ids.astype(np.uint64), sc.astype(np.float64), k)

@@ -1,0 +1,205 @@
+"""build_index — the end-to-end index build (SURVEY.md §3.1).
+
+    read_parquet(pages)                      # pruned columns, many blocks
+      → map_batches(prep)                    # url normalize, lang filter, pid tag
+      → map_batches(ExtractUDF, actor pool)  # html→text, html DROPPED pre-shuffle
+      → groupby(pid).map_groups(DedupAssignWriter)   # all-to-all #1 (url hash)
+           writes docs/pid=NNNN.parquet (checkpoint) + manifest rows
+    stats: aggregate(Count, Sum(doclen)) over docs/          (tiny)
+    plan:  term boundaries + heavy set from a deterministic doc sample
+    read_parquet(docs)                       # doc_id + text only
+      → map_batches(PostingsEncoder, actor pool)     # encoded partials
+      → groupby(bucket).map_groups(MergeShard)       # all-to-all #2 (salted)
+      → groupby(seg_id).map_groups(AssembleSegment)  # term-range segments
+           writes segments/seg=SSSS/ (checkpoint) + manifest rows
+
+Resume (BASELINE.json:6 "resumable from checkpoint"): each phase skips units
+with valid manifest entries; phase markers short-circuit whole phases; a
+config/code-version hash in stats.json refuses to resume across drift.
+
+Library code never calls ray.init()/ray.shutdown().
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+from ..sources.pages import read_pages
+from ..stages.extract_stage import ExtractUDF, prep_batch_fn
+from ..stages.dedup_stage import DedupAssignWriter
+from ..stages.postings_stage import AssembleSegment, MergeShard, PostingsEncoder
+from ..state import manifest as mf
+from ..textnorm import tokenize_batch
+
+PHASE_A_MARKER = "_DOCS_DONE"
+INDEX_MARKER = "_INDEX_DONE"
+
+
+def _cpus() -> int:
+    try:
+        return max(2, int(ray.cluster_resources().get("CPU", 8)))
+    except Exception:
+        return 8
+
+
+def _plan_terms(out_dir: str, num_segments: int, sample_docs: int, heavy_df_frac: float):
+    """Deterministic segment boundaries + heavy-term set from a corpus
+    sample (first `sample_docs` docs in pid/file order — stable for a given
+    corpus + P). Boundaries are occurrence-weighted quantiles so segments
+    balance posting BYTES, not term counts (SURVEY.md §4.2)."""
+    files = sorted(glob.glob(os.path.join(out_dir, "docs", "pid=*.parquet")))
+    texts: list[str] = []
+    for f in files:
+        if len(texts) >= sample_docs:
+            break
+        texts.extend(pq.read_table(f, columns=["text"])["text"].to_pylist())
+    texts = texts[:sample_docs]
+    toks = tokenize_batch(texts)
+    n_sample = max(1, len(texts))
+    df_counts: dict[str, int] = {}
+    all_occ: list[str] = []
+    for ts in toks:
+        all_occ.extend(ts)
+        for t in set(ts):
+            df_counts[t] = df_counts.get(t, 0) + 1
+    heavy = sorted(t for t, c in df_counts.items() if c / n_sample >= heavy_df_frac)
+    occ = np.sort(np.asarray(all_occ, dtype=object)) if all_occ else np.empty(0, object)
+    bounds: list[str] = []
+    for i in range(1, num_segments):
+        if len(occ) == 0:
+            break
+        b = str(occ[min(len(occ) - 1, i * len(occ) // num_segments)])
+        if not bounds or b > bounds[-1]:
+            bounds.append(b)
+    return bounds, heavy
+
+
+def build_index(
+    input_path: str,
+    out_dir: str,
+    *,
+    num_partitions: int = 8,
+    num_segments: int = 2,
+    n_salts: int = 4,
+    n_shards: int | None = None,
+    langs: tuple[str, ...] | None = None,
+    resume: bool = False,
+    sample_docs: int = 2000,
+    heavy_df_frac: float = 0.05,
+    extract_batch_size: int = 256,
+    postings_batch_size: int = 1024,
+    concurrency: int | None = None,
+    k_check: None = None,
+) -> dict:
+    """Build the inverted index; returns the stats dict."""
+    cpus = concurrency or _cpus()
+    cfg = {
+        "P": num_partitions,
+        "S": num_segments,
+        "n_salts": n_salts,
+        "langs": sorted(langs) if langs else None,
+    }
+    if os.path.isdir(out_dir):
+        if resume:
+            if os.path.exists(os.path.join(out_dir, "stats.json")) and not mf.check_resume_compatible(out_dir, cfg):
+                raise ValueError(
+                    "resume=True but existing index config/code-version differs; "
+                    "rebuild with resume=False"
+                )
+        else:
+            shutil.rmtree(out_dir)
+    os.makedirs(os.path.join(out_dir, "docs"), exist_ok=True)
+    os.makedirs(os.path.join(out_dir, "segments"), exist_ok=True)
+
+    if resume and os.path.exists(os.path.join(out_dir, INDEX_MARKER)):
+        return mf.read_stats(out_dir)
+
+    # ---- Phase A: extract → url-hash shuffle → dedup/doc_id → docs/ ----
+    if not (resume and os.path.exists(os.path.join(out_dir, PHASE_A_MARKER))):
+        done_pids = mf.completed_units(out_dir, "docs") if resume else set()
+        ds = read_pages(input_path)
+        prep = prep_batch_fn(langs, num_partitions)
+        if done_pids:
+            skip = pa.array(sorted(done_pids), pa.uint32())
+
+            def prep_skip(batch: pa.Table, _prep=prep, _skip=skip) -> pa.Table:
+                import pyarrow.compute as pc
+
+                out = _prep(batch)
+                return out.filter(pc.invert(pc.is_in(out["pid"], value_set=_skip)))
+
+            ds = ds.map_batches(prep_skip, batch_format="pyarrow")
+        else:
+            ds = ds.map_batches(prep, batch_format="pyarrow")
+        ds = ds.map_batches(
+            ExtractUDF,
+            batch_format="pyarrow",
+            batch_size=extract_batch_size,
+            concurrency=(1, cpus),
+        )
+        manifest_rows = ds.groupby("pid").map_groups(
+            DedupAssignWriter(out_dir), batch_format="pyarrow"
+        )
+        manifest_rows.count()  # execute; rows are tiny and land in manifest.jsonl
+        with open(os.path.join(out_dir, PHASE_A_MARKER), "w") as f:
+            f.write("done\n")
+
+    docs_glob = sorted(glob.glob(os.path.join(out_dir, "docs", "pid=*.parquet")))
+    if not docs_glob:
+        raise ValueError(f"no documents survived the build from {input_path}")
+
+    # ---- Phase B: global stats (partial+final via Ray aggregate) ----
+    doclen_ds = ray.data.read_parquet(docs_glob, columns=["doclen"])
+    agg = doclen_ds.aggregate(Count(), Sum("doclen"))
+    n_docs = int(agg["count()"])
+    total_len = int(agg["sum(doclen)"] or 0)
+    avgdl = (total_len / n_docs) if n_docs else 0.0
+
+    # ---- Phase C: segment/skew plan + stats.json ----
+    boundaries, heavy = _plan_terms(out_dir, num_segments, sample_docs, heavy_df_frac)
+    stats = {
+        "n_docs": n_docs,
+        "total_len": total_len,
+        "avgdl": avgdl,
+        "num_partitions": num_partitions,
+        "num_segments": len(boundaries) + 1,
+        "n_salts": n_salts,
+        "boundaries": boundaries,
+        "heavy_terms": heavy,
+        **cfg,
+    }
+    mf.write_stats(out_dir, stats)
+
+    # ---- Phase D: partials → salted merge → segment assembly ----
+    shards = n_shards or cpus * 4
+    done_segs = tuple(mf.completed_units(out_dir, "segment")) if resume else ()
+    docs_ds = ray.data.read_parquet(docs_glob, columns=["doc_id", "text"])
+    partials = docs_ds.map_batches(
+        PostingsEncoder,
+        fn_constructor_args=(boundaries, heavy, num_partitions, n_salts, shards),
+        batch_format="pyarrow",
+        batch_size=postings_batch_size,
+        concurrency=(1, cpus),
+    )
+    merged = partials.groupby("bucket").map_groups(MergeShard(), batch_format="pyarrow")
+    seg_manifest = merged.groupby("seg_id").map_groups(
+        AssembleSegment(out_dir, n_docs, done_segs), batch_format="pyarrow"
+    )
+    rows = seg_manifest.take_all()
+
+    # ---- finalize: metrics mirror + marker ----
+    man = mf.read_manifest(out_dir)
+    if man:
+        pq.write_table(pa.Table.from_pylist(man), os.path.join(out_dir, "metrics.parquet"))
+    with open(os.path.join(out_dir, INDEX_MARKER), "w") as f:
+        f.write(f"segments={len(rows)}\n")
+    return stats

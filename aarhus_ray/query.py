@@ -1,0 +1,48 @@
+"""CLI: ``python -m aarhus_ray.query --index ... --queries ...`` — top-k
+BM25 via Block-Max WAND. Owns its Ray session (library code does not)."""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description="Query a built index")
+    p.add_argument("--index", required=True)
+    p.add_argument("--queries", required=True, help="parquet with (query_id, text)")
+    p.add_argument("--k", type=int, default=10)
+    p.add_argument("--method", choices=("wand", "brute"), default="wand")
+    p.add_argument("--out", default=None, help="write results parquet here instead of stdout")
+    p.add_argument("--num-cpus", type=int, default=None)
+    args = p.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=args.num_cpus or os.cpu_count(),
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from .pipelines.query import query_index
+
+    res = query_index(args.index, args.queries, k=args.k, method=args.method)
+    if args.out:
+        res.write_parquet(args.out)
+        print(f"wrote {args.out}")
+    else:
+        df = res.to_pandas().sort_values(["query_id", "rank"])
+        print(df.to_string(index=False, max_rows=50))
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

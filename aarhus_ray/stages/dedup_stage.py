@@ -1,0 +1,106 @@
+"""Per-partition dedup + doc_id assignment + docs checkpoint writer.
+
+Runs as ``groupby("pid").map_groups(DedupAssignWriter(out_dir))`` — the only
+all-to-all before the term shuffle. Within one corpus partition (all rows of
+a url hash-collide here by construction):
+
+- exact url dedup, winner = max warc_ts, tie → larger blake2b64(text)
+  (frozen; SURVEY.md §2.7)
+- rows sorted by url, then ``doc_id = (pid << 40) | row`` (SURVEY.md §1.3)
+- doclen computed here (tokens are NOT stored; postings re-tokenize text —
+  storage beats recompute for a cheap regex)
+- writes ``docs/pid=NNNN.parquet`` atomically and returns its manifest row;
+  the docs file doubles as the doclens table via column projection.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..partition import DOC_ID_PARTITION_SHIFT, hash64_column
+from ..textnorm import tokenize_batch
+from ..state import manifest as mf
+
+DOCS_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.uint64()),
+        ("url", pa.string()),
+        ("doclen", pa.uint32()),
+        ("text", pa.string()),
+    ]
+)
+
+
+def docs_path(out_dir: str, pid: int) -> str:
+    return os.path.join(out_dir, "docs", f"pid={pid:04d}.parquet")
+
+
+class DedupAssignWriter:
+    def __init__(self, out_dir: str):
+        self.out_dir = out_dir
+        self.__name__ = "DedupAssignWriter"  # map_groups wraps plain callables
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        timer = mf.StageTimer()
+        pid = int(group["pid"][0].as_py())
+        urls = np.asarray(group["url"].to_pylist(), dtype=object)
+        ts_col = group.column("warc_ts")
+        if isinstance(ts_col, pa.ChunkedArray):
+            ts_col = ts_col.combine_chunks()
+        ts = ts_col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        texts = group["text"].to_pylist()
+        tie = hash64_column(texts)
+        # ascending (url, ts, tie): the LAST row of each url run is the winner
+        order = np.lexsort((tie, ts, urls))
+        urls_s = urls[order]
+        is_last = np.ones(len(urls_s), dtype=bool)
+        if len(urls_s) > 1:
+            is_last[:-1] = urls_s[:-1] != urls_s[1:]
+        winners = order[is_last]  # already in ascending-url order
+        n = len(winners)
+        doc_ids = (np.uint64(pid) << np.uint64(DOC_ID_PARTITION_SHIFT)) + np.arange(
+            n, dtype=np.uint64
+        )
+        kept_texts = [texts[i] for i in winners]
+        doclens = np.fromiter(
+            (len(t) for t in tokenize_batch(kept_texts)), dtype=np.uint32, count=n
+        )
+        out = pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.uint64()),
+                "url": pa.array(urls_s[is_last], pa.string()),
+                "doclen": pa.array(doclens, pa.uint32()),
+                "text": pa.array(kept_texts, pa.string()),
+            }
+        )
+        path = docs_path(self.out_dir, pid)
+        tmp = path + ".tmp"
+        pq.write_table(out, tmp)
+        os.replace(tmp, path)
+        row = mf.ManifestRow(
+            stage="docs",
+            partition_id=pid,
+            input_rows=len(group),
+            output_rows=n,
+            bytes_out=os.path.getsize(path),
+            wall_s=timer.elapsed(),
+            checksum=mf.file_checksum(path),
+            status="done",
+        )
+        mf.append_manifest(self.out_dir, row)
+        return pa.table(
+            {
+                "stage": ["docs"],
+                "partition_id": pa.array([pid], pa.uint32()),
+                "input_rows": pa.array([len(group)], pa.uint64()),
+                "output_rows": pa.array([n], pa.uint64()),
+                "bytes_out": pa.array([row.bytes_out], pa.uint64()),
+                "wall_s": pa.array([row.wall_s], pa.float64()),
+                "checksum": [row.checksum],
+                "status": ["done"],
+            }
+        )

@@ -1,0 +1,197 @@
+"""Query-side actor stages (SURVEY.md §3.2).
+
+``QueryScorer`` is an actor-pool map_batches stage: one segment's dictionary,
+postings and skip lists plus the global doclen sidecar load ONCE in
+``__init__``; each __call__ scores a batch of queries with Block-Max WAND
+(or exhaustive BM25 with method="brute" — the in-test oracle) and emits
+<= k (query_id, doc_id, score) rows per query.
+
+``UrlResolver`` resolves doc_id → url on the tiny final top-k table by
+lazily loading only the docs/pid files its doc_ids actually touch (doc_id
+encodes the partition, SURVEY.md §1.3) — a broadcast-free lookup that stays
+cheap at cluster scale.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .. import codecs
+from ..bm25 import brute_force_topk, topk_select
+from ..partition import DOC_ID_PARTITION_SHIFT
+from ..state import manifest as mf
+from ..textnorm import tokenize
+from ..wand import TermCursor, wand_topk
+from .postings_stage import seg_dir
+
+
+class DoclenTable:
+    """Sorted (doc_id → doclen) arrays loaded from docs/ parquet."""
+
+    def __init__(self, out_dir: str):
+        files = sorted(glob.glob(os.path.join(out_dir, "docs", "pid=*.parquet")))
+        tables = [pq.read_table(f, columns=["doc_id", "doclen"]) for f in files]
+        tbl = pa.concat_tables(tables)
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        dls = tbl["doclen"].to_numpy(zero_copy_only=False).astype(np.uint32)
+        order = np.argsort(ids, kind="stable")
+        self.doc_ids = ids[order]
+        self.doclens = dls[order]
+
+    def lookup(self, doc_ids: np.ndarray) -> np.ndarray:
+        pos = np.searchsorted(self.doc_ids, doc_ids)
+        return self.doclens[pos]
+
+    def lookup_one(self, doc_id: int) -> int:
+        return int(self.doclens[int(np.searchsorted(self.doc_ids, doc_id))])
+
+
+class Segment:
+    """One on-disk segment mapped into memory."""
+
+    def __init__(self, out_dir: str, seg_id: int):
+        sdir = seg_dir(out_dir, seg_id)
+        d = pq.read_table(os.path.join(sdir, "dict.parquet"))
+        self.postings = np.memmap(os.path.join(sdir, "postings.bin"), dtype=np.uint8, mode="r")
+        self.skips_raw = np.memmap(os.path.join(sdir, "skips.bin"), dtype=np.uint8, mode="r")
+        self.dict: dict[str, tuple] = {}
+        terms = d["term"].to_pylist()
+        cols = {
+            name: d[name].to_numpy(zero_copy_only=False)
+            for name in ("df", "offset", "length", "skip_offset", "skip_length", "max_tf", "max_score")
+        }
+        for i, t in enumerate(terms):
+            self.dict[t] = (
+                int(cols["df"][i]),
+                int(cols["offset"][i]),
+                int(cols["length"][i]),
+                int(cols["skip_offset"][i]),
+                int(cols["skip_length"][i]),
+                int(cols["max_tf"][i]),
+                float(cols["max_score"][i]),
+            )
+
+    def term_entry(self, term: str):
+        return self.dict.get(term)
+
+    def term_postings(self, term: str) -> tuple[np.ndarray, np.ndarray] | None:
+        e = self.dict.get(term)
+        if e is None:
+            return None
+        _, off, length, s_off, s_len, _, _ = e
+        blob = bytes(self.postings[off : off + length])
+        skips = bytes(self.skips_raw[s_off : s_off + s_len])
+        return codecs.decode_postings(blob, skips)
+
+    def cursor(self, term: str, idf_val: float) -> TermCursor | None:
+        e = self.dict.get(term)
+        if e is None:
+            return None
+        _, off, length, s_off, s_len, _, max_score = e
+        skips = np.frombuffer(
+            self.skips_raw[s_off : s_off + s_len].tobytes(), dtype=codecs.SKIP_DTYPE
+        )
+        postings = self.postings[off : off + length]
+        return TermCursor(term, idf_val, max_score, postings, skips)
+
+
+class QueryScorer:
+    def __init__(self, out_dir: str, seg_id: int, k: int = 10, method: str = "wand"):
+        stats = mf.read_stats(out_dir)
+        self.n_docs = int(stats["n_docs"])
+        self.avgdl = float(stats["avgdl"])
+        self.k = k
+        self.method = method
+        self.segment = Segment(out_dir, seg_id)
+        self.doclens = DoclenTable(out_dir)
+
+    def _score_query(self, text: str) -> tuple[np.ndarray, np.ndarray]:
+        from ..bm25 import idf as idf_fn
+
+        terms = sorted({t for t in tokenize(text) if t in self.segment.dict})
+        if not terms:
+            return np.empty(0, np.uint64), np.empty(0, np.float64)
+        if self.method == "brute":
+            postings = {t: self.segment.term_postings(t) for t in terms}
+            dfs = {t: self.segment.dict[t][0] for t in terms}
+            return brute_force_topk(
+                terms, postings, dfs, self.doclens.lookup, self.n_docs, self.avgdl, self.k
+            )
+        cursors = []
+        for t in terms:
+            df = self.segment.dict[t][0]
+            cursors.append(self.segment.cursor(t, idf_fn(df, self.n_docs)))
+        return wand_topk(cursors, self.doclens.lookup_one, self.avgdl, self.k)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids_out, docs_out, scores_out = [], [], []
+        qids = batch["query_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        for qid, text in zip(qids, texts):
+            d, s = self._score_query(text)
+            qids_out.extend([qid] * len(d))
+            docs_out.append(d)
+            scores_out.append(s)
+        docs = np.concatenate(docs_out) if docs_out else np.empty(0, np.uint64)
+        scores = np.concatenate(scores_out) if scores_out else np.empty(0, np.float64)
+        return pa.table(
+            {
+                "query_id": pa.array(qids_out, pa.int64()),
+                "doc_id": pa.array(docs, pa.uint64()),
+                "score": pa.array(scores, pa.float64()),
+            }
+        )
+
+
+def merge_query_partials(k: int = 10):
+    """groupby("query_id").map_groups fn: merge per-segment partial top-ks
+    into the global top-k with ranks (frozen order)."""
+
+    def merge(group: pa.Table) -> pa.Table:
+        qid = group["query_id"][0].as_py()
+        ids = group["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        sc = group["score"].to_numpy(zero_copy_only=False).astype(np.float64)
+        d, s = topk_select(ids, sc, k)
+        return pa.table(
+            {
+                "query_id": pa.array([qid] * len(d), pa.int64()),
+                "rank": pa.array(np.arange(1, len(d) + 1, dtype=np.int32), pa.int32()),
+                "doc_id": pa.array(d, pa.uint64()),
+                "score": pa.array(s, pa.float64()),
+            }
+        )
+
+    return merge
+
+
+class UrlResolver:
+    """map_batches actor: doc_id → url by reading only the touched docs/pid
+    files (partition pruning via the docID scheme)."""
+
+    def __init__(self, out_dir: str):
+        self.out_dir = out_dir
+        self.cache: dict[int, tuple[np.ndarray, list[str]]] = {}
+
+    def _load(self, pid: int):
+        if pid not in self.cache:
+            tbl = pq.read_table(
+                os.path.join(self.out_dir, "docs", f"pid={pid:04d}.parquet"),
+                columns=["doc_id", "url"],
+            )
+            ids = tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            self.cache[pid] = (ids, tbl["url"].to_pylist())
+        return self.cache[pid]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        urls: list[str] = []
+        for d in doc_ids:
+            pid = int(d >> np.uint64(DOC_ID_PARTITION_SHIFT))
+            ids, us = self._load(pid)
+            urls.append(us[int(np.searchsorted(ids, d))])
+        return batch.append_column("url", pa.array(urls, pa.string()))

@@ -1,0 +1,200 @@
+"""End-to-end pipeline conformance (SURVEY.md §5.1/§5.3/§5.5):
+byte-identity vs goldens, top-k rank-identity + exact score equality,
+WAND == brute force over the real index, dedup invariants, resume."""
+
+import glob
+import json
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from aarhus_ray import fixtures
+from aarhus_ray.pipelines.build import build_index
+from aarhus_ray.pipelines.query import query_index
+
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
+
+
+def _docs_table(index_dir, columns):
+    return pa.concat_tables(
+        pq.read_table(f, columns=columns)
+        for f in sorted(glob.glob(os.path.join(index_dir, "docs", "pid=*.parquet")))
+    )
+
+
+def test_stats_golden(golden_index):
+    with open(os.path.join(GOLDEN_DIR, "stats.json")) as f:
+        want = json.load(f)
+    got = golden_index["stats"]
+    assert got["n_docs"] == want["n_docs"]
+    assert got["total_len"] == want["total_len"]
+    assert got["avgdl"] == want["avgdl"]
+
+
+def test_extracted_golden_byte_identity(golden_index):
+    """Pipeline-extracted text must be byte-identical per url to the
+    committed golden (BASELINE.json:15)."""
+    golden = pq.read_table(os.path.join(GOLDEN_DIR, "extracted.parquet"))
+    docs = _docs_table(golden_index["index"], ["url", "text"]).sort_by("url")
+    assert docs.num_rows == golden.num_rows
+    assert docs["url"].to_pylist() == golden["url"].to_pylist()
+    g_texts = golden["text"].to_pylist()
+    for i, (got, want) in enumerate(zip(docs["text"].to_pylist(), g_texts)):
+        assert got == want, f"byte drift at url {golden['url'][i]}"
+
+
+def test_extracted_matches_fixture_text_column(golden_index):
+    """The fixture's `text` column is the canonical extraction of its html;
+    the pipeline must reproduce it for every dedup winner."""
+    pages = fixtures.gen_pages(1000, seed=42)
+    from aarhus_ray.partition import hash64_column, normalize_url
+
+    urls = np.asarray([normalize_url(u) for u in pages["url"].to_pylist()], dtype=object)
+    ts = pages["warc_ts"].cast("int64").to_numpy(zero_copy_only=False)
+    texts = pages["text"].to_pylist()
+    order = np.lexsort((hash64_column(texts), ts, urls))
+    winner = {}
+    for i in order:
+        winner[urls[i]] = texts[i]
+    docs = _docs_table(golden_index["index"], ["url", "text"])
+    for url, text in zip(docs["url"].to_pylist(), docs["text"].to_pylist()):
+        assert text == winner[url]
+
+
+def test_topk_golden_rank_identity(golden_index):
+    """Rank-identity AND exact float64 score equality vs the committed
+    golden (BASELINE.json:6; frozen order score DESC, doc_id ASC)."""
+    golden = pq.read_table(os.path.join(GOLDEN_DIR, "topk.parquet"))
+    q = fixtures.gen_queries(50, seed=42)
+    res = query_index(golden_index["index"], q, k=10, resolve_urls=False)
+    got = res.to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    want = golden.to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert len(got) == len(want)
+    assert (got["query_id"].to_numpy() == want["query_id"].to_numpy()).all()
+    assert (got["rank"].to_numpy() == want["rank"].to_numpy()).all()
+    assert (got["doc_id"].to_numpy() == want["doc_id"].to_numpy()).all()
+    assert (got["score"].to_numpy() == want["score"].to_numpy()).all(), "scores not exact"
+
+
+def test_wand_equals_brute_on_real_index(golden_index):
+    q = fixtures.gen_queries(30, seed=7)
+    wand = (
+        query_index(golden_index["index"], q, k=10, method="wand", resolve_urls=False)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    brute = (
+        query_index(golden_index["index"], q, k=10, method="brute", resolve_urls=False)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert len(wand) == len(brute)
+    assert (wand["doc_id"].to_numpy() == brute["doc_id"].to_numpy()).all()
+    assert (wand["score"].to_numpy() == brute["score"].to_numpy()).all()
+
+
+def test_dedup_and_doc_id_invariants(golden_index):
+    docs = _docs_table(golden_index["index"], ["doc_id", "url", "doclen"])
+    urls = docs["url"].to_pylist()
+    assert len(urls) == len(set(urls)), "dedup must leave exactly one row per url"
+    ids = docs["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    assert len(np.unique(ids)) == len(ids)
+    # per-partition: doc ids contiguous from (pid<<40) and sorted by url
+    for f in glob.glob(os.path.join(golden_index["index"], "docs", "pid=*.parquet")):
+        t = pq.read_table(f, columns=["doc_id", "url"])
+        pid = int(os.path.basename(f)[4:8])
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        assert (d == (np.uint64(pid << 40) + np.arange(len(d), dtype=np.uint64))).all()
+        u = t["url"].to_pylist()
+        assert u == sorted(u)
+
+
+def test_all_oov_query_absent_from_results(golden_index):
+    q = pa.table({"query_id": pa.array([0, 1], pa.int64()),
+                  "text": pa.array(["zzznotinvocab qqqalsomissing", "the"], pa.string())})
+    res = query_index(golden_index["index"], q, k=10, resolve_urls=False).to_pandas()
+    assert 0 not in set(res["query_id"])
+    assert 1 in set(res["query_id"])
+
+
+def test_results_resolve_urls(golden_index):
+    q = pa.table({"query_id": pa.array([0], pa.int64()), "text": pa.array(["the"], pa.string())})
+    res = query_index(golden_index["index"], q, k=5).to_pandas()
+    assert set(res.columns) >= {"query_id", "rank", "doc_id", "url", "score"}
+    docs = _docs_table(golden_index["index"], ["doc_id", "url"])
+    lookup = dict(zip(docs["doc_id"].to_pylist(), docs["url"].to_pylist()))
+    for _, r in res.iterrows():
+        assert lookup[int(r["doc_id"])] == r["url"]
+
+
+def test_build_resume_is_noop_and_identical(golden_index, tmp_path):
+    """Resume after completion: nothing recomputed, stats identical.
+    Also: a fresh build at the same config reproduces identical segments
+    (determinism across runs)."""
+    stats2 = build_index(
+        golden_index["pages"],
+        golden_index["index"],
+        num_partitions=8,
+        num_segments=2,
+        n_salts=4,
+        resume=True,
+    )
+    assert stats2["n_docs"] == golden_index["stats"]["n_docs"]
+
+    out2 = str(tmp_path / "index2")
+    build_index(golden_index["pages"], out2, num_partitions=8, num_segments=2, n_salts=4)
+    for seg in sorted(os.listdir(os.path.join(golden_index["index"], "segments"))):
+        a = os.path.join(golden_index["index"], "segments", seg, "postings.bin")
+        b = os.path.join(out2, "segments", seg, "postings.bin")
+        with open(a, "rb") as fa, open(b, "rb") as fb:
+            assert fa.read() == fb.read(), f"nondeterministic segment {seg}"
+    shutil.rmtree(out2, ignore_errors=True)
+
+
+def test_resume_rejects_config_drift(golden_index):
+    with pytest.raises(ValueError):
+        build_index(
+            golden_index["pages"],
+            golden_index["index"],
+            num_partitions=16,  # drift
+            num_segments=2,
+            n_salts=4,
+            resume=True,
+        )
+
+
+def test_partial_resume_completes_missing_partitions(tmp_path):
+    """Kill-and-resume: delete one docs partition + phase markers; resume
+    must rebuild only what's missing and converge to the same index."""
+    pages = str(tmp_path / "pages")
+    fixtures.write_pages_dir(pages, 200, seed=11, rows_per_file=100)
+    out = str(tmp_path / "idx")
+    build_index(pages, out, num_partitions=4, num_segments=2, n_salts=2)
+    docs = sorted(glob.glob(os.path.join(out, "docs", "pid=*.parquet")))
+    ref = {f: open(f, "rb").read() for f in docs}
+    # simulate a crash: lose one partition and the phase markers
+    victim = docs[1]
+    os.remove(victim)
+    # drop its manifest row (as if the write never committed)
+    man = os.path.join(out, "manifest.jsonl")
+    keep = [
+        line
+        for line in open(man)
+        if not (
+            '"stage": "docs"' in line and f'"partition_id": {int(os.path.basename(victim)[4:8])}' in line
+        )
+    ]
+    with open(man, "w") as f:
+        f.writelines(keep)
+    os.remove(os.path.join(out, "_DOCS_DONE"))
+    os.remove(os.path.join(out, "_INDEX_DONE"))
+    build_index(pages, out, num_partitions=4, num_segments=2, n_salts=2, resume=True)
+    for f, want in ref.items():
+        with open(f, "rb") as fh:
+            assert fh.read() == want, f"resume produced different {f}"

@@ -1,0 +1,99 @@
+"""WAND == brute-force exhaustive BM25 — the key correctness property
+(SURVEY.md §5.2): block-max WAND is exact top-k; any divergence is a bug."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from aarhus_ray import codecs
+from aarhus_ray.bm25 import brute_force_topk, idf as idf_fn
+from aarhus_ray.wand import TermCursor, wand_topk
+
+
+def _mini_corpus(rng, n_docs, n_terms, density):
+    """Random postings: term t → sorted doc_ids + tfs."""
+    doclens = rng.randint(5, 500, size=n_docs).astype(np.uint32)
+    postings = {}
+    for t in range(n_terms):
+        mask = rng.random_sample(n_docs) < density * (1.0 / (t + 1) ** 0.5)
+        ids = np.flatnonzero(mask).astype(np.uint64)
+        if len(ids) == 0:
+            continue
+        tfs = rng.randint(1, 20, size=len(ids)).astype(np.uint64)
+        postings[f"t{t:03d}"] = (ids, tfs)
+    return doclens, postings
+
+
+def _run_both(doclens, postings, query_terms, k):
+    n_docs = len(doclens)
+    avgdl = float(doclens.mean())
+    dfs = {t: len(p[0]) for t, p in postings.items()}
+
+    def lookup(ids):
+        return doclens[ids.astype(np.int64)]
+
+    bf_ids, bf_scores = brute_force_topk(
+        query_terms, postings, dfs, lookup, n_docs, avgdl, k
+    )
+    cursors = []
+    for t in sorted(set(query_terms)):
+        if t not in postings:
+            continue
+        ids, tfs = postings[t]
+        iv = idf_fn(dfs[t], n_docs)
+        blob, skips_b = codecs.encode_postings(ids, tfs, iv)
+        skips = np.frombuffer(skips_b, dtype=codecs.SKIP_DTYPE)
+        ms = float(codecs.tf_upper_bound(int(tfs.max()), iv))
+        cursors.append(TermCursor(t, iv, ms, np.frombuffer(blob, np.uint8), skips))
+    w_ids, w_scores = wand_topk(
+        cursors, lambda d: int(doclens[int(d)]), avgdl, k
+    )
+    return (bf_ids, bf_scores), (w_ids, w_scores)
+
+
+@given(st.integers(0, 10_000))
+@settings(max_examples=50, deadline=None)
+def test_wand_equals_bruteforce_random(seed):
+    rng = np.random.RandomState(seed)
+    n_docs = int(rng.randint(20, 400))
+    doclens, postings = _mini_corpus(rng, n_docs, n_terms=12, density=0.4)
+    if not postings:
+        return
+    terms = list(postings)
+    q = [terms[rng.randint(len(terms))] for _ in range(int(rng.randint(1, 5)))]
+    k = int(rng.randint(1, 15))
+    (bi, bs), (wi, ws) = _run_both(doclens, postings, q, k)
+    assert np.array_equal(bi, wi), f"doc_ids differ: {bi} vs {wi} (q={q}, k={k})"
+    assert np.array_equal(bs, ws), "scores not bit-identical"
+
+
+def test_wand_oov_and_empty():
+    rng = np.random.RandomState(1)
+    doclens, postings = _mini_corpus(rng, 50, 5, 0.5)
+    (bi, bs), (wi, ws) = _run_both(doclens, postings, ["zzz_oov"], 10)
+    assert len(bi) == 0 and len(wi) == 0
+
+
+def test_wand_duplicate_query_terms_count_once():
+    rng = np.random.RandomState(2)
+    doclens, postings = _mini_corpus(rng, 100, 6, 0.5)
+    t = next(iter(postings))
+    (bi, bs), (wi, ws) = _run_both(doclens, postings, [t, t, t], 5)
+    (bi1, bs1), _ = _run_both(doclens, postings, [t], 5)
+    assert np.array_equal(bi, bi1) and np.array_equal(bs, bs1)
+    assert np.array_equal(bi, wi) and np.array_equal(bs, ws)
+
+
+def test_wand_skewed_heavy_term():
+    """Zipf-head shape: one term in ~every doc + a rare term."""
+    rng = np.random.RandomState(3)
+    n = 2000
+    doclens = rng.randint(10, 300, size=n).astype(np.uint32)
+    heavy_ids = np.arange(n, dtype=np.uint64)
+    heavy_tfs = rng.randint(1, 30, size=n).astype(np.uint64)
+    rare_ids = np.sort(rng.choice(n, size=7, replace=False).astype(np.uint64))
+    rare_tfs = rng.randint(1, 5, size=7).astype(np.uint64)
+    postings = {"the": (heavy_ids, heavy_tfs), "rareterm": (rare_ids, rare_tfs)}
+    (bi, bs), (wi, ws) = _run_both(doclens, postings, ["the", "rareterm"], 10)
+    assert np.array_equal(bi, wi) and np.array_equal(bs, ws)
