@@ -1,16 +1,15 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship fulltext pipeline (documents-as-pages → full
+index build → Block-Max WAND top-k) on /root/testdata/sf0.001.
+``queries()`` exposes one callable per implemented operator/pipeline from
+SURVEY.md §2 plus the training-data-pipeline extensions (dedup family, ANN,
+text analysis, windows, multimodal plumbing); ``oracle_sql()`` gives the
+DuckDB replay for every SQL-expressible one (column names match exactly;
+money in integer cents so float reduction order can't break the hash).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in aarhus_ray library code) calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
@@ -18,27 +17,231 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+CLONE_OFFSET = 1_000_000  # keep in sync with aarhus_ray.functions.dedup
+
+_JACCARD_PAIRS_SQL = """
+    WITH t AS (SELECT doc_id,
+                      list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                  x -> x <> '') AS toks
+               FROM documents),
+    sh AS (SELECT doc_id,
+                  list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+           FROM t WHERE len(toks) >= 3)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.s, b.s))) >= 0.9
+    ORDER BY doc_a, doc_b
+"""
+
 
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    from aarhus_ray.functions import fulltext
+
+    return fulltext.bm25_topk("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from aarhus_ray.functions import ann, dedup, fulltext, multimodal, relational, textstats, windows
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- relational / aggregation / joins / top-n (SURVEY §2.4-2.6) ---
+        "q1_pricing_summary": relational.q1_pricing_summary,
+        "top_customers_revenue": relational.top_customers_by_revenue,
+        "order_priority_counts": relational.order_priority_counts,
+        "customers_per_region": relational.customers_per_region,
+        "lineitem_top_revenue": relational.lineitem_top_revenue,
+        "supplier_nation_acctbal": relational.supplier_nation_acctbal,
+        # --- stream-shaped ops over events (SURVEY §2.10) ---
+        "events_hourly_tumbling": windows.events_hourly_tumbling,
+        "events_dedup_keep_latest": windows.events_dedup_keep_latest,
+        "events_sessionize": windows.events_sessionize,
+        "events_asof_click_view": windows.events_asof_click_view,
+        # --- text analysis over documents ---
+        "docs_term_counts_top50": textstats.term_counts_top50,
+        "docs_token_counts": textstats.token_counts,
+        "docs_lang_id": textstats.lang_id,
+        "docs_quality": textstats.quality_scores,
+        "docs_fingerprints": textstats.fingerprints,
+        "docs_lang_counts": textstats.lang_counts,
+        # --- dedup family (SURVEY §2.7 + extensions) ---
+        "docs_dedup_exact": dedup.exact_dedup_min_id,
+        "docs_minhash_lsh_pairs": dedup.minhash_lsh_pairs,
+        "docs_ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+        "docs_simhash_pairs": dedup.simhash_dup_pairs,
+        "embedding_near_dup_pairs": dedup.embedding_near_dup_pairs,
+        # --- similarity search over embeddings ---
+        "knn_cosine_bruteforce": ann.knn_cosine_bruteforce,
+        "knn_cosine_lsh": ann.knn_cosine_lsh,          # approximate → rows-only
+        "knn_ivf": ann.ivf_search,                     # approximate → rows-only
+        # --- multimodal binary-column plumbing (stub decode) ---
+        "multimodal_decode": multimodal.decode_features,
+        # --- the flagship: full index build + BM25/WAND over documents ---
+        "fulltext_bm25_topk": fulltext.bm25_topk,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from aarhus_ray.functions import fulltext
+
+    tok = "regexp_split_to_array(lower(text), '[^a-z0-9]+')"
+    toks_nonempty = f"list_filter({tok}, x -> x <> '')"
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+                   SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS sum_base_price_cents,
+                   SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+                       * CAST(round((1-l_discount)*100) AS BIGINT)) AS sum_disc_price_e4,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "top_customers_revenue": """
+            SELECT c.c_custkey, c.c_name,
+                   SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS revenue_cents
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY 1, 2
+            ORDER BY revenue_cents DESC, c_custkey LIMIT 10
+        """,
+        "order_priority_counts": """
+            SELECT o_orderpriority, COUNT(*) AS order_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1994-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY 1 ORDER BY 1
+        """,
+        "customers_per_region": """
+            SELECT r.r_name, COUNT(*) AS customer_count
+            FROM customer c
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY 1 ORDER BY 1
+        """,
+        "lineitem_top_revenue": """
+            SELECT l_orderkey, l_linenumber,
+                   CAST(round(l_extendedprice*100) AS BIGINT)
+                   * CAST(round((1-l_discount)*100) AS BIGINT) AS revenue_e4
+            FROM lineitem
+            ORDER BY revenue_e4 DESC, l_orderkey, l_linenumber LIMIT 20
+        """,
+        "supplier_nation_acctbal": """
+            SELECT s_nationkey, COUNT(*) AS n_suppliers,
+                   MIN(CAST(round(s_acctbal*100) AS BIGINT)) AS min_acctbal_cents,
+                   MAX(CAST(round(s_acctbal*100) AS BIGINT)) AS max_acctbal_cents
+            FROM supplier GROUP BY 1 ORDER BY 1
+        """,
+        "events_hourly_tumbling": """
+            SELECT date_trunc('hour', ts) AS window_start, event_type,
+                   COUNT(*) AS n_events,
+                   SUM(CAST(floor(value*100) AS BIGINT)) AS sum_value_floor_cents
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "events_dedup_keep_latest": """
+            SELECT user_id, event_type, event_id
+            FROM events
+            QUALIFY row_number() OVER (
+                PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) = 1
+            ORDER BY user_id, event_type
+        """,
+        "events_sessionize": """
+            SELECT user_id,
+                   CAST(SUM(CASE WHEN prev_ts IS NULL
+                                 OR ts - prev_ts > INTERVAL 30 MINUTE THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_sessions,
+                   COUNT(*) AS n_events
+            FROM (SELECT user_id, ts, event_id,
+                         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+                  FROM events)
+            GROUP BY 1 ORDER BY 1
+        """,
+        "events_asof_click_view": """
+            SELECT c.event_id AS click_id,
+                   coalesce(v.event_id, -1) AS view_id,
+                   c.user_id
+            FROM (SELECT * FROM events WHERE event_type = 'click') c
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+                 ON c.user_id = v.user_id AND v.ts <= c.ts
+            ORDER BY click_id
+        """,
+        "docs_term_counts_top50": f"""
+            SELECT tok AS term, COUNT(*) AS n
+            FROM (SELECT unnest({tok}) AS tok FROM documents)
+            WHERE tok <> ''
+            GROUP BY 1 ORDER BY n DESC, term LIMIT 50
+        """,
+        "docs_token_counts": f"""
+            SELECT doc_id, CAST(len({toks_nonempty}) AS BIGINT) AS n_tokens
+            FROM documents ORDER BY doc_id
+        """,
+        "docs_lang_id": f"""
+            SELECT doc_id,
+                   CASE
+                     WHEN list_contains({toks_nonempty}, 'the')
+                       OR list_contains({toks_nonempty}, 'and') THEN 'en'
+                     WHEN list_contains({toks_nonempty}, 'und')
+                       OR list_contains({toks_nonempty}, 'der')
+                       OR list_contains({toks_nonempty}, 'das') THEN 'de'
+                     WHEN list_contains({toks_nonempty}, 'el')
+                       OR list_contains({toks_nonempty}, 'los')
+                       OR list_contains({toks_nonempty}, 'que') THEN 'es'
+                     WHEN list_contains({toks_nonempty}, 'le')
+                       OR list_contains({toks_nonempty}, 'et')
+                       OR list_contains({toks_nonempty}, 'les') THEN 'fr'
+                     ELSE 'unk'
+                   END AS pred_lang
+            FROM documents ORDER BY doc_id
+        """,
+        "docs_quality": f"""
+            SELECT doc_id,
+                   CAST(len({toks_nonempty}) AS BIGINT) AS n_tokens,
+                   CAST(len(list_filter({toks_nonempty},
+                        x -> x IN ('the','a','and','of','to','in','is'))) AS BIGINT) AS n_stopwords,
+                   CAST(len(list_distinct({toks_nonempty})) AS BIGINT) AS n_distinct,
+                   n_chars
+            FROM documents ORDER BY doc_id
+        """,
+        "docs_fingerprints": """
+            SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id
+        """,
+        "docs_lang_counts": """
+            SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1 ORDER BY 1
+        """,
+        "docs_dedup_exact": f"""
+            SELECT min(doc_id) AS doc_id
+            FROM (SELECT doc_id, text FROM documents
+                  UNION ALL SELECT doc_id + {CLONE_OFFSET}, text FROM documents)
+            GROUP BY text ORDER BY doc_id
+        """,
+        # exact all-pairs 3-gram-shingle Jaccard >= 0.9 (the true answer the
+        # LSH plan must reproduce; docs with < 3 tokens have no shingles)
+        "docs_minhash_lsh_pairs": _JACCARD_PAIRS_SQL,
+        "docs_ngram_jaccard_pairs": _JACCARD_PAIRS_SQL,
+        # docs_simhash_pairs: hamming<=3 on 64-bit simhash is approximate by
+        # design (no closed-form SQL answer) → rows-only check.
+        "embedding_near_dup_pairs": f"""
+            SELECT vec_id AS vec_a, vec_id + {CLONE_OFFSET} AS vec_b
+            FROM embeddings ORDER BY vec_a
+        """,
+        "knn_cosine_bruteforce": """
+            SELECT e.vec_id,
+                   round(CAST(list_cosine_similarity(e.embedding, q.embedding) AS DOUBLE), 3) AS cos
+            FROM embeddings e
+            CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+            ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC, e.vec_id
+            LIMIT 10
+        """,
+        "multimodal_decode": """
+            SELECT doc_id,
+                   CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+                   CAST(octet_length(CAST(text AS BLOB)) % 256 AS BIGINT) AS fake_width,
+                   CAST((octet_length(CAST(text AS BLOB)) // 256) % 256 AS BIGINT) AS fake_height,
+                   md5(text) AS checksum
+            FROM documents ORDER BY doc_id
+        """,
+        "fulltext_bm25_topk": fulltext.bm25_oracle_sql(),
+        # knn_cosine_lsh / knn_ivf: approximate by design → no oracle
+        # (driver records the weaker rows-only check).
+    }

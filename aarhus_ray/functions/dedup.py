@@ -1,0 +1,371 @@
+"""Deduplication family over the ``documents`` table: exact (hash-partition
++ per-group min), MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine
+near-dup. The driver corpus has no natural near-dups, so pair-producing ops
+run over a CLONED corpus (documents ∪ documents with doc_id+CLONE_OFFSET) —
+deterministic ground truth the DuckDB oracle can state exactly.
+
+All shingling/hashing is seeded + vectorized; candidate generation is the
+classic shingle → minhash → band → bucket-groupby plan, with exact
+verification before emitting a pair (so approximate recall never changes
+the output on this corpus: clone pairs have identical signatures in every
+band and are always caught)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+from ray.data.aggregate import Min
+
+from ..textnorm import tokenize_batch
+
+CLONE_OFFSET = 1_000_000
+_MERSENNE = (1 << 61) - 1
+
+
+def _docs(sf_dir: str, columns=None) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+def _cloned_docs(sf_dir: str) -> ray.data.Dataset:
+    """documents ∪ documents-with-offset-ids: every doc has one exact dup."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def shift(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.set_column(
+            batch.schema.get_field_index("doc_id"),
+            "doc_id",
+            pc.add(batch["doc_id"], pa.scalar(CLONE_OFFSET, pa.int64())),
+        )
+
+    return ds.union(ds.map_batches(shift, batch_format="pyarrow"))
+
+
+def _text_hash63(texts: list[str]) -> np.ndarray:
+    """63-bit content hashes (int64-safe: Ray groupby keys round-trip
+    through pandas, where uint64 > 2^63 degrades to pickled objects)."""
+    out = np.empty(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        out[i] = (
+            int.from_bytes(hashlib.blake2b(t.encode("utf-8"), digest_size=8).digest(), "big")
+            >> 1
+        )
+    return out
+
+
+def exact_dedup_min_id(sf_dir: str) -> pd.DataFrame:
+    """Exact dedup of the cloned corpus by full text, keep min doc_id.
+    Plan: content-hash per batch (vectorized) → groupby(hash) min(doc_id) —
+    the hash partitions the shuffle; full text never moves."""
+    ds = _cloned_docs(sf_dir)
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        h = _text_hash63(batch["text"].to_pylist())
+        return pa.table(
+            {"doc_id": batch["doc_id"], "text_hash": pa.array(h, pa.int64())}
+        )
+
+    out = (
+        ds.map_batches(add_hash, batch_format="pyarrow")
+        .groupby("text_hash")
+        .aggregate(Min("doc_id", alias_name="doc_id"))
+        .to_pandas()[["doc_id"]]
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _shingles(tokens: list[str], n: int = 3) -> set[int]:
+    """n-gram shingle hashes of a token list. Docs with fewer than n tokens
+    have NO shingles (frozen; they never pair — mirrored in the oracle SQL's
+    ``len(toks) >= n`` guard)."""
+    if len(tokens) < n:
+        return set()
+    out = set()
+    for i in range(len(tokens) - n + 1):
+        s = " ".join(tokens[i : i + n])
+        out.add(int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "big"))
+    return out
+
+
+def _minhash_params(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+    b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def _minhash_sig(shingles: set[int], a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    if not shingles:
+        return np.full(len(a), np.iinfo(np.uint64).max, dtype=np.uint64)
+    x = np.fromiter(shingles, dtype=np.uint64, count=len(shingles))
+    # (a*x + b) mod p, computed in python-int free uint64 space via float-safe
+    # object fallback would be slow; use uint128 emulation through np.uint64
+    # wraparound + mod on uint64 is fine for hashing purposes (not exact
+    # universal hashing, but deterministic and well-mixed).
+    vals = (x[None, :] * a[:, None] + b[:, None]) % np.uint64(_MERSENNE)
+    return vals.min(axis=1)
+
+
+class MinHashUDF:
+    """Actor-pool stage: text → minhash signature bands (band_id, band_hash,
+    doc_id) rows, ready for the LSH bucket groupby."""
+
+    def __init__(self, num_perm: int = 64, bands: int = 16, shingle_n: int = 3, seed: int = 42):
+        self.a, self.b = _minhash_params(num_perm, seed)
+        self.bands = bands
+        self.rows_per_band = num_perm // bands
+        self.shingle_n = shingle_n
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids = batch["doc_id"].to_pylist()
+        toks = tokenize_batch(batch["text"].to_pylist())
+        out_doc, out_band, out_hash = [], [], []
+        for did, tk in zip(doc_ids, toks):
+            sig = _minhash_sig(_shingles(tk, self.shingle_n), self.a, self.b)
+            for bi in range(self.bands):
+                band = sig[bi * self.rows_per_band : (bi + 1) * self.rows_per_band]
+                h = hashlib.blake2b(band.tobytes(), digest_size=8).digest()
+                out_doc.append(did)
+                out_band.append(bi)
+                out_hash.append(int.from_bytes(h, "big") >> 1)  # int64-safe key
+        return pa.table(
+            {
+                "doc_id": pa.array(out_doc, pa.int64()),
+                "band_id": pa.array(out_band, pa.int32()),
+                "band_hash": pa.array(out_hash, pa.int64()),
+            }
+        )
+
+
+def _verified_pairs_from_candidates(cand_pairs: set[tuple[int, int]], sf_dir: str, threshold: float, shingle_n: int = 3) -> pd.DataFrame:
+    """Exact Jaccard verification of candidate pairs (small set) against the
+    real shingle sets; broadcast-free because candidates are tiny."""
+    import pyarrow.parquet as pq
+
+    base = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    texts = dict(zip(base["doc_id"].to_pylist(), base["text"].to_pylist()))
+
+    def text_of(did: int) -> str:
+        return texts[did - CLONE_OFFSET if did >= CLONE_OFFSET else did]
+
+    rows = []
+    for a_id, b_id in sorted(cand_pairs):
+        ta = _shingles(tokenize_batch([text_of(a_id)])[0], shingle_n)
+        tb = _shingles(tokenize_batch([text_of(b_id)])[0], shingle_n)
+        if not ta or not tb:
+            continue
+        j = len(ta & tb) / len(ta | tb)
+        if j >= threshold:
+            rows.append((a_id, b_id))
+    return pd.DataFrame(rows, columns=["doc_a", "doc_b"]).astype("int64")
+
+
+def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.9) -> pd.DataFrame:
+    """MinHash+LSH near-dup pairs over the ORIGINAL corpus (the driver
+    corpus contains planted near-dup pairs — truncation clones):
+    shingle → minhash → band → ``groupby(band_id, band_hash)`` → candidate
+    pairs → exact-Jaccard verify (so LSH recall misses can't change the
+    answer on pairs it does surface; at J>=0.9 with 16 bands × 4 rows the
+    miss probability is ~1e-8 per pair). Output (doc_a < doc_b) sorted —
+    oracle = exact all-pairs shingle-Jaccard in SQL."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    banded = ds.map_batches(MinHashUDF, batch_format="pyarrow", concurrency=(1, 4))
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(g["doc_id"].tolist())
+        if len(ids) < 2:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"), "doc_b": pd.Series([], dtype="int64")})
+        pairs = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]]
+        return pd.DataFrame(pairs, columns=["doc_a", "doc_b"]).astype("int64")
+
+    cand = (
+        banded.groupby(["band_id", "band_hash"])
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    cand_pairs = set(zip(cand["doc_a"], cand["doc_b"])) if len(cand) else set()
+    return _verified_pairs_from_candidates(cand_pairs, sf_dir, threshold)
+
+
+class SimHashUDF:
+    """Actor-pool stage: text → 64-bit SimHash fingerprint (token-feature
+    sign aggregation, frozen hashing)."""
+
+    def __init__(self):
+        self.cache: dict[str, np.ndarray] = {}
+
+    def _token_bits(self, tok: str) -> np.ndarray:
+        v = self.cache.get(tok)
+        if v is None:
+            h = int.from_bytes(hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big")
+            v = np.array([(h >> i) & 1 for i in range(64)], dtype=np.int64) * 2 - 1
+            self.cache[tok] = v
+        return v
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids = batch["doc_id"].to_pylist()
+        toks = tokenize_batch(batch["text"].to_pylist())
+        sigs = []
+        for tk in toks:
+            acc = np.zeros(64, dtype=np.int64)
+            for t in tk:
+                acc += self._token_bits(t)
+            bits = (acc > 0).astype(np.uint64)
+            sigs.append(int((bits << np.arange(64, dtype=np.uint64)).sum()))
+        return pa.table(
+            {"doc_id": pa.array(doc_ids, pa.int64()), "simhash": pa.array(sigs, pa.uint64())}
+        )
+
+
+def simhash_dup_pairs(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
+    """SimHash near-dup pairs over the cloned corpus. Candidate generation
+    buckets by 16-bit simhash quarters (any pair within hamming<=3 shares at
+    least one of 4 quarters), verify by exact hamming distance."""
+    ds = _cloned_docs(sf_dir)
+    sigs = ds.map_batches(SimHashUDF, batch_format="pyarrow", concurrency=(1, 4))
+
+    def quarters(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_pylist()
+        s = batch["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        out_d, out_q, out_k, out_s = [], [], [], []
+        for i, did in enumerate(d):
+            for q in range(4):
+                out_d.append(did)
+                out_q.append(q)
+                out_k.append(int((s[i] >> np.uint64(16 * q)) & np.uint64(0xFFFF)))
+                out_s.append(int(s[i]))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_d, pa.int64()),
+                "q": pa.array(out_q, pa.int32()),
+                "key": pa.array(out_k, pa.int64()),
+                "simhash": pa.array(out_s, pa.uint64()),
+            }
+        )
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        recs = sorted(zip(g["doc_id"], g["simhash"].astype(np.uint64)))
+        for i in range(len(recs)):
+            for j in range(i + 1, len(recs)):
+                ham = bin(int(recs[i][1]) ^ int(recs[j][1])).count("1")
+                if ham <= max_hamming:
+                    rows.append((recs[i][0], recs[j][0]))
+        return pd.DataFrame(rows, columns=["doc_a", "doc_b"]).astype("int64")
+
+    pairs = (
+        sigs.map_batches(quarters, batch_format="pyarrow")
+        .groupby(["q", "key"])
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(pairs) == 0:
+        return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"), "doc_b": pd.Series([], dtype="int64")})
+    pairs = pairs.drop_duplicates().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    return pairs
+
+
+def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.9, shingle_n: int = 3) -> pd.DataFrame:
+    """Exact n-gram Jaccard near-dup pairs over the original corpus:
+    per-doc shingle sets built distributed (actor pool), then all-pairs
+    exact Jaccard in blocked tasks against a broadcast shingle-set table.
+    O(n²) by design — the exhaustive baseline the LSH plan approximates;
+    at 100TB you run minhash_lsh_pairs instead."""
+    import ray
+
+    class ShingleUDF:
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            toks = tokenize_batch(batch["text"].to_pylist())
+            sets = [
+                np.fromiter(s, dtype=np.uint64, count=len(s)) if (s := _shingles(t, shingle_n)) else np.empty(0, np.uint64)
+                for t in toks
+            ]
+            return pa.table(
+                {
+                    "doc_id": batch["doc_id"],
+                    "shingles": pa.array([np.sort(s).tolist() for s in sets], pa.list_(pa.uint64())),
+                }
+            )
+
+    sh = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(ShingleUDF(), batch_format="pyarrow")
+        .to_pandas()
+    )
+    ids = sh["doc_id"].to_numpy()
+    sets = [set(int(x) for x in s) for s in sh["shingles"]]
+    table_ref = ray.put((ids, sets))
+
+    def block_pairs(batch: pa.Table) -> pa.Table:
+        b_ids, b_sets = ray.get(table_ref)
+        rows_a, rows_b = [], []
+        for i in batch["i"].to_pylist():
+            si = b_sets[i]
+            if not si:
+                continue
+            for j in range(i + 1, len(b_ids)):
+                sj = b_sets[j]
+                if not sj:
+                    continue
+                inter = len(si & sj)
+                if inter and inter / (len(si) + len(sj) - inter) >= threshold:
+                    rows_a.append(int(b_ids[i]))
+                    rows_b.append(int(b_ids[j]))
+        return pa.table(
+            {"doc_a": pa.array(rows_a, pa.int64()), "doc_b": pa.array(rows_b, pa.int64())}
+        )
+
+    idx_ds = ray.data.from_arrow(pa.table({"i": pa.array(range(len(ids)), pa.int64())}))
+    out = idx_ds.map_batches(block_pairs, batch_format="pyarrow", batch_size=64).to_pandas()
+    if len(out) == 0:
+        return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"), "doc_b": pd.Series([], dtype="int64")})
+    out[["doc_a", "doc_b"]] = np.sort(out[["doc_a", "doc_b"]].to_numpy(), axis=1)
+    return out.drop_duplicates().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+def embedding_near_dup_pairs(sf_dir: str, threshold: float = 0.95) -> pd.DataFrame:
+    """Embedding-cosine near-dup over the cloned embeddings table: normalize
+    per batch, blocked matmul against the (broadcast) full normalized matrix,
+    emit pairs with cos >= threshold. O(n²/B) per task but fully vectorized —
+    the LSH-bucketed variant in ann.py is the 100TB path."""
+    import pyarrow.parquet as pq
+    import ray
+
+    base = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = np.asarray(base["vec_id"].to_pylist(), dtype=np.int64)
+    E = np.array(base["embedding"].to_pylist(), dtype=np.float64)
+    En = E / np.maximum(np.linalg.norm(E, axis=1, keepdims=True), 1e-12)
+    all_ids = np.concatenate([ids, ids + CLONE_OFFSET])
+    all_E = np.vstack([En, En])
+    mat_ref = ray.put((all_ids, all_E))
+
+    ds = ray.data.from_arrow(
+        pa.table({"row": pa.array(np.arange(len(all_ids)), pa.int64())})
+    )
+
+    class BlockCos:
+        def __init__(self):
+            self.ids, self.E = ray.get(mat_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            rows = batch["row"].to_numpy(zero_copy_only=False)
+            sims = self.E[rows] @ self.E.T
+            out_a, out_b = [], []
+            for r_i, r in enumerate(rows):
+                hits = np.flatnonzero(sims[r_i] >= threshold)
+                for h in hits:
+                    a, b = int(self.ids[r]), int(self.ids[h])
+                    if a < b:
+                        out_a.append(a)
+                        out_b.append(b)
+            return pa.table(
+                {"vec_a": pa.array(out_a, pa.int64()), "vec_b": pa.array(out_b, pa.int64())}
+            )
+
+    out = ds.map_batches(BlockCos, batch_format="pyarrow", batch_size=256, concurrency=(1, 4)).to_pandas()
+    return out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)

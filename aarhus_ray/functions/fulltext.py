@@ -1,0 +1,142 @@
+"""Flagship fulltext pipeline over the driver's ``documents`` table: wrap
+each doc as a Common-Crawl-style page, run the REAL index build (extract →
+dedup → postings → salted merge → segments) and answer a frozen query set
+with Block-Max WAND — end-to-end through the same code paths as the
+contract corpus. The DuckDB oracle replays BM25 exactly (same frozen
+formula) in SQL, so this is the engine's strongest oracle-checked query.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..pipelines.build import build_index
+from ..pipelines.query import query_index
+
+# Frozen query set (query_id = position). Duplicate terms count once (frozen
+# engine semantics — mirrored with DISTINCT in the oracle SQL).
+FT_QUERIES = (
+    "table spark",
+    "query group the",
+    "vector",
+    "customer stream batch",
+    "zzznotinvocab",
+    "slow slow merge",
+)
+BASE_TS_US = 1_700_000_000_000_000
+
+
+def doc_url(doc_id: int) -> str:
+    return f"doc://{doc_id:08d}"
+
+
+def url_doc_id(url: str) -> int:
+    return int(url[len("doc://") :])
+
+
+def docs_as_pages(sf_dir: str, out_path: str) -> str:
+    """documents → pages-schema parquet (url, warc_ts, html, text, lang)."""
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
+    ids = t["doc_id"].to_pylist()
+    texts = t["text"].to_pylist()
+    htmls = [f"<html><body><p>{x}</p></body></html>".encode() for x in texts]
+    pages = pa.table(
+        {
+            "url": pa.array([doc_url(i) for i in ids], pa.string()),
+            "warc_ts": pa.array([BASE_TS_US + i for i in ids], pa.timestamp("us")),
+            "html": pa.array(htmls, pa.binary()),
+            "text": pa.array(texts, pa.string()),
+            "lang": t["lang"],
+        }
+    )
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    pq.write_table(pages, out_path)
+    return out_path
+
+
+def _work_dir(sf_dir: str) -> str:
+    key = hashlib.blake2b(sf_dir.encode(), digest_size=6).hexdigest()
+    return f"/tmp/aarhus_fulltext_{key}"
+
+
+def bm25_topk(sf_dir: str, k: int = 10, fresh: bool = True) -> pd.DataFrame:
+    """Build the index over documents-as-pages and answer FT_QUERIES.
+    Returns (query_id, rank, doc_id) — integer-only so the oracle compare is
+    exact (scores are float and engine-order-sensitive in the last ulp)."""
+    work = _work_dir(sf_dir)
+    if fresh:
+        shutil.rmtree(work, ignore_errors=True)
+    pages = os.path.join(work, "pages", "part-0000.parquet")
+    if not os.path.exists(pages):
+        docs_as_pages(sf_dir, pages)
+    index = os.path.join(work, "index")
+    if not os.path.exists(os.path.join(index, "_INDEX_DONE")):
+        build_index(
+            os.path.dirname(pages),
+            index,
+            num_partitions=8,
+            num_segments=2,
+            n_salts=2,
+        )
+    queries = pa.table(
+        {
+            "query_id": pa.array(range(len(FT_QUERIES)), pa.int64()),
+            "text": pa.array(list(FT_QUERIES), pa.string()),
+        }
+    )
+    res = query_index(index, queries, k=k, resolve_urls=True).to_pandas()
+    res["doc_id"] = res["url"].map(url_doc_id).astype("int64")
+    out = res[["query_id", "rank", "doc_id"]].sort_values(["query_id", "rank"])
+    out["rank"] = out["rank"].astype("int32")
+    return out.reset_index(drop=True)
+
+
+def bm25_oracle_sql(k: int = 10) -> str:
+    """DuckDB SQL replaying the frozen engine semantics over `documents`:
+    [a-z0-9]+ tokens of lower(text), Lucene idf ln(1+(N-df+.5)/(df+.5)),
+    k1=1.2 b=0.75, query terms deduped, order (score DESC, doc_id ASC)."""
+    values = ",".join(
+        f"({qid}, '{term}')"
+        for qid, q in enumerate(FT_QUERIES)
+        for term in q.split()
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok
+    FROM documents) WHERE tok <> ''
+),
+dl AS (SELECT d.doc_id, CAST(coalesce(t.c, 0) AS DOUBLE) AS dl
+       FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS c FROM toks GROUP BY 1) t USING (doc_id)),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+q(query_id, tok) AS (VALUES {values}),
+qd AS (SELECT DISTINCT query_id, tok FROM q),
+scored AS (
+  SELECT qd.query_id, tf.doc_id,
+         sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * (1.2 + 1.0)
+              / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score
+  FROM qd
+  JOIN tf USING (tok)
+  JOIN df USING (tok)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+  FROM scored
+)
+SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id
+FROM ranked WHERE rank <= {k}
+ORDER BY query_id, rank
+"""

@@ -1,0 +1,201 @@
+"""Relational pipelines over the TPC-H-ish driver tables (TESTDATA.md).
+
+Money is aggregated in integer cents (``round(x*100)`` as int64) — double
+addition of integer-valued floats < 2^53 is exact and order-independent, so
+Ray and DuckDB agree bit-for-bit regardless of reduction order. The matching
+oracle SQL lives in __ray_entry__.oracle_sql.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Min, Sum
+
+
+def _read(sf_dir: str, table: str, columns=None) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _cents(arr: pa.ChunkedArray | pa.Array) -> pa.Array:
+    return pc.cast(pc.round(pc.multiply(arr, pa.scalar(100.0))), pa.int64())
+
+
+def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q1 shape: per (returnflag, linestatus) sums/counts with a
+    shipdate filter. Partial aggregation inside map_batches (one row per key
+    per batch) shrinks the groupby shuffle to O(keys × blocks)."""
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    cutoff = pa.scalar(np.datetime64("1998-09-02", "us"), pa.timestamp("us"))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.less_equal(batch["l_shipdate"], cutoff))
+        price_c = _cents(batch["l_extendedprice"])
+        disc_c = _cents(pc.subtract(pa.scalar(1.0), batch["l_discount"]))
+        disc_price_e4 = pc.multiply(price_c, disc_c)
+        df = pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "qty": pc.cast(batch["l_quantity"], pa.int64()),
+                "price_c": price_c,
+                "disc_price_e4": disc_price_e4,
+            }
+        ).to_pandas()
+        g = (
+            df.groupby(["l_returnflag", "l_linestatus"], sort=False)
+            .agg(
+                sum_qty=("qty", "sum"),
+                sum_base_price_cents=("price_c", "sum"),
+                sum_disc_price_e4=("disc_price_e4", "sum"),
+                count_order=("qty", "size"),
+            )
+            .reset_index()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    out = (
+        partials.groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("sum_base_price_cents", alias_name="sum_base_price_cents"),
+            Sum("sum_disc_price_e4", alias_name="sum_disc_price_e4"),
+            Sum("count_order", alias_name="count_order"),
+        )
+        .to_pandas()
+    )
+    return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+def top_customers_by_revenue(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Revenue per customer from orders, top-k, names joined by BROADCAST
+    (the customer table is the small side — ray.put once, dict lookup per
+    batch; no shuffle join)."""
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"])
+    name_ref = ray.put(dict(zip(cust["c_custkey"].to_pylist(), cust["c_name"].to_pylist())))
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pa.table(
+            {"o_custkey": batch["o_custkey"], "cents": _cents(batch["o_totalprice"])}
+        ).to_pandas()
+        g = df.groupby("o_custkey", sort=False)["cents"].sum().reset_index(name="revenue_cents")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
+        .to_pandas()
+    )
+    agg = agg.sort_values(["revenue_cents", "o_custkey"], ascending=[False, True]).head(k)
+    names = ray.get(name_ref)
+    agg["c_name"] = agg["o_custkey"].map(names)
+    return agg.rename(columns={"o_custkey": "c_custkey"})[
+        ["c_custkey", "c_name", "revenue_cents"]
+    ].reset_index(drop=True)
+
+
+def order_priority_counts(sf_dir: str) -> pd.DataFrame:
+    """Order counts per priority in a date window (TPC-H Q4 shape)."""
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_orderdate"])
+    lo = pa.scalar(np.datetime64("1994-01-01", "us"), pa.timestamp("us"))
+    hi = pa.scalar(np.datetime64("1997-01-01", "us"), pa.timestamp("us"))
+    ds = ds.map_batches(
+        lambda t: t.filter(
+            pc.and_(pc.greater_equal(t["o_orderdate"], lo), pc.less(t["o_orderdate"], hi))
+        ),
+        batch_format="pyarrow",
+    )
+    out = ds.groupby("o_orderpriority").aggregate(Count(alias_name="order_count")).to_pandas()
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+def customers_per_region(sf_dir: str) -> pd.DataFrame:
+    """customer → nation → region via two broadcast lookups (dimension
+    tables), then a small groupby — the partitioned-join-free plan for a
+    star schema."""
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"])
+    region = pq.read_table(f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"])
+    n2r = dict(zip(nation["n_nationkey"].to_pylist(), nation["n_regionkey"].to_pylist()))
+    r2name = dict(zip(region["r_regionkey"].to_pylist(), region["r_name"].to_pylist()))
+    lookup_ref = ray.put({k: r2name[v] for k, v in n2r.items()})
+    cust = _read(sf_dir, "customer", ["c_nationkey"])
+
+    class RegionTag:
+        def __init__(self):
+            self.lookup = ray.get(lookup_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            keys = batch["c_nationkey"].to_pylist()
+            names = [self.lookup[k] for k in keys]
+            return pa.table({"r_name": pa.array(names, pa.string())})
+
+    out = (
+        cust.map_batches(RegionTag, batch_format="pyarrow", concurrency=(1, 2))
+        .groupby("r_name")
+        .aggregate(Count(alias_name="customer_count"))
+        .to_pandas()
+    )
+    return out.sort_values("r_name").reset_index(drop=True)
+
+
+def lineitem_top_revenue(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """Top-k line items by discounted revenue with a frozen tie order —
+    per-batch top-k partials, then a tiny global merge (no full sort)."""
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"])
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        price_c = _cents(batch["l_extendedprice"])
+        disc_c = _cents(pc.subtract(pa.scalar(1.0), batch["l_discount"]))
+        rev = pc.multiply(price_c, disc_c).to_numpy(zero_copy_only=False)
+        ok = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+        ln = batch["l_linenumber"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ln, ok, -rev))[:k]
+        return pa.table(
+            {
+                "l_orderkey": pa.array(ok[order], pa.int64()),
+                "l_linenumber": pa.array(ln[order], pa.int32()),
+                "revenue_e4": pa.array(rev[order], pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(partial_topk, batch_format="pyarrow").to_pandas()
+    parts = parts.sort_values(
+        ["revenue_e4", "l_orderkey", "l_linenumber"], ascending=[False, True, True]
+    ).head(k)
+    return parts.reset_index(drop=True)
+
+
+def supplier_nation_acctbal(sf_dir: str) -> pd.DataFrame:
+    """Per-nation supplier account stats (min/max/count, cents-exact)."""
+    ds = _read(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])
+    ds = ds.map_batches(
+        lambda t: pa.table(
+            {"s_nationkey": t["s_nationkey"], "acctbal_cents": _cents(t["s_acctbal"])}
+        ),
+        batch_format="pyarrow",
+    )
+    out = (
+        ds.groupby("s_nationkey")
+        .aggregate(
+            Count(alias_name="n_suppliers"),
+            Min("acctbal_cents", alias_name="min_acctbal_cents"),
+            Max("acctbal_cents", alias_name="max_acctbal_cents"),
+        )
+        .to_pandas()
+    )
+    return out.sort_values("s_nationkey").reset_index(drop=True)

@@ -1,0 +1,141 @@
+"""Text-analysis operators over ``documents``: term counts, token counts,
+language-ID heuristic, quality scoring, document fingerprinting. Each has a
+frozen, SQL-mirrorable definition so the DuckDB oracle can replay it
+exactly (documents.text is plain lowercase ASCII in the driver corpus)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+from ..textnorm import tokenize_batch
+
+STOPWORDS_EN = ("the", "a", "and", "of", "to", "in", "is")
+LANG_MARKERS = (
+    ("en", ("the", "and")),
+    ("de", ("und", "der", "das")),
+    ("es", ("el", "los", "que")),
+    ("fr", ("le", "et", "les")),
+)
+
+
+def _docs(sf_dir: str, columns=None) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+def term_counts_top50(sf_dir: str) -> pd.DataFrame:
+    """Global term frequencies, top 50 by (count DESC, term ASC). Partial
+    counts per batch (vectorized np.unique) → small groupby(term) shuffle —
+    the pre-aggregated plan; raw (term) rows never shuffle."""
+    ds = _docs(sf_dir, ["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = tokenize_batch(batch["text"].to_pylist())
+        flat = np.concatenate([np.asarray(t, dtype=object) for t in toks if t]) if any(toks) else np.empty(0, object)
+        if len(flat) == 0:
+            return pa.table({"term": pa.array([], pa.string()), "n": pa.array([], pa.int64())})
+        terms, counts = np.unique(flat, return_counts=True)
+        return pa.table(
+            {"term": pa.array(list(terms), pa.string()), "n": pa.array(counts, pa.int64())}
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    return (
+        agg.sort_values(["n", "term"], ascending=[False, True]).head(50).reset_index(drop=True)
+    )
+
+
+def token_counts(sf_dir: str) -> pd.DataFrame:
+    """Per-document token count under the frozen tokenizer."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def count(batch: pa.Table) -> pa.Table:
+        toks = tokenize_batch(batch["text"].to_pylist())
+        n = np.fromiter((len(t) for t in toks), dtype=np.int64, count=len(toks))
+        return pa.table({"doc_id": batch["doc_id"], "n_tokens": pa.array(n, pa.int64())})
+
+    out = ds.map_batches(count, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def lang_id(sf_dir: str) -> pd.DataFrame:
+    """Heuristic language ID with a FROZEN marker-token rule (first match in
+    LANG_MARKERS order wins; else 'unk'). Deliberately simple so the oracle
+    can replicate it with list_contains — the point is the Ray plumbing, not
+    linguistic accuracy."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def classify(batch: pa.Table) -> pa.Table:
+        toks = tokenize_batch(batch["text"].to_pylist())
+        preds = []
+        for tk in toks:
+            s = set(tk)
+            pred = "unk"
+            for lang, markers in LANG_MARKERS:
+                if any(m in s for m in markers):
+                    pred = lang
+                    break
+            preds.append(pred)
+        return pa.table({"doc_id": batch["doc_id"], "pred_lang": pa.array(preds, pa.string())})
+
+    out = ds.map_batches(classify, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def quality_scores(sf_dir: str) -> pd.DataFrame:
+    """Per-doc quality features: token count, char count, stopword count
+    (frozen EN stopword set), distinct-token count. All integers → exact
+    oracle comparison."""
+    ds = _docs(sf_dir, ["doc_id", "text", "n_chars"])
+    stop = frozenset(STOPWORDS_EN)
+
+    def score(batch: pa.Table) -> pa.Table:
+        toks = tokenize_batch(batch["text"].to_pylist())
+        n_tok = np.fromiter((len(t) for t in toks), dtype=np.int64, count=len(toks))
+        n_stop = np.fromiter(
+            (sum(1 for w in t if w in stop) for t in toks), dtype=np.int64, count=len(toks)
+        )
+        n_distinct = np.fromiter((len(set(t)) for t in toks), dtype=np.int64, count=len(toks))
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": pa.array(n_tok, pa.int64()),
+                "n_stopwords": pa.array(n_stop, pa.int64()),
+                "n_distinct": pa.array(n_distinct, pa.int64()),
+                "n_chars": batch["n_chars"],
+            }
+        )
+
+    out = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def fingerprints(sf_dir: str) -> pd.DataFrame:
+    """Per-doc content fingerprint = md5 hex of the raw text bytes (md5 so
+    the DuckDB oracle can compute the identical value)."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def fp(batch: pa.Table) -> pa.Table:
+        hs = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in batch["text"].to_pylist()]
+        return pa.table({"doc_id": batch["doc_id"], "fp": pa.array(hs, pa.string())})
+
+    out = ds.map_batches(fp, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def lang_counts(sf_dir: str) -> pd.DataFrame:
+    """Row counts per declared lang (simple groupby sanity op)."""
+    out = (
+        _docs(sf_dir, ["lang"]).groupby("lang").aggregate(Count(alias_name="n")).to_pandas()
+    )
+    return out.sort_values("lang").reset_index(drop=True)

@@ -1,13 +1,17 @@
 """query_index — top-k BM25 over a built index (SURVEY.md §3.2).
 
-    queries → [per segment] map_batches(QueryScorer actor pool)  # ≤k rows/query/segment
-            → union → groupby(query_id).map_groups(merge top-k)  # tiny all-to-all
-            → map_batches(UrlResolver)                           # partition-pruned lookup
+    queries → map_batches(QueryScorer actor pool)   # replicas; each query
+                                                    # scored once, completely
+            → map_batches(UrlResolver)              # partition-pruned lookup
 
-Each QueryScorer actor loads one segment + the doclen sidecar once in
-__init__; queries stream through every segment pool and only ≤ k·S rows per
-query cross back. Results carry the frozen order (score DESC, doc_id ASC)
-with 1-based ranks.
+The index is TERM-sharded (segments = disjoint term ranges), so each scorer
+actor maps ALL segments (mmap — replicas on a node share page cache) and
+gathers a query's term cursors from their owning segments before running a
+single Block-Max WAND. Per-segment top-k + merge would be WRONG here: it
+splits a document's score across segments whenever a query's terms straddle
+a term-range boundary (caught by the DuckDB oracle; see QueryScorer
+docstring). Results carry the frozen order (score DESC, doc_id ASC) with
+1-based ranks.
 """
 
 from __future__ import annotations
@@ -20,7 +24,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from ..stages.query_stage import QueryScorer, UrlResolver, merge_query_partials
+from ..stages.query_stage import QueryScorer, UrlResolver
 from ..state import manifest as mf
 
 
@@ -54,19 +58,13 @@ def query_index(
     segs = list_segments(out_dir)
     if not segs:
         raise ValueError(f"no segments under {out_dir}")
-    conc = concurrency or max(1, _cpus() // max(1, len(segs)))
-    partials = None
-    for sid in segs:
-        part = qds.map_batches(
-            QueryScorer,
-            fn_constructor_args=(out_dir, sid, k, method),
-            batch_format="pyarrow",
-            batch_size=batch_size,
-            concurrency=(1, conc),
-        )
-        partials = part if partials is None else partials.union(part)
-    merged = partials.groupby("query_id").map_groups(
-        merge_query_partials(k), batch_format="pyarrow"
+    conc = concurrency or max(1, _cpus())
+    merged = qds.map_batches(
+        QueryScorer,
+        fn_constructor_args=(out_dir, segs, k, method),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, conc),
     )
     if resolve_urls:
         merged = merged.map_batches(

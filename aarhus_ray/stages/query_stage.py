@@ -101,40 +101,69 @@ class Segment:
 
 
 class QueryScorer:
-    def __init__(self, out_dir: str, seg_id: int, k: int = 10, method: str = "wand"):
+    """Scores whole queries against the TERM-SHARDED index: segments hold
+    disjoint term ranges (BASELINE.json:6 "globally sorted segments"), so a
+    query's terms may live in different segments and per-segment top-k would
+    split a document's score — the scorer therefore GATHERS each term's
+    cursor from the segment that owns it and runs one WAND over the full doc
+    space. Actors here are replicas (throughput), not shards (each query is
+    scored exactly once, completely).
+
+    Segment files are memory-mapped, so replica actors on one node share
+    page cache. At cluster scale the gather becomes a routed postings fetch
+    from the segment holders; the per-query cost is O(query terms), which is
+    the standard term-sharded trade-off."""
+
+    def __init__(self, out_dir: str, seg_ids: list[int] | None = None, k: int = 10, method: str = "wand"):
         stats = mf.read_stats(out_dir)
         self.n_docs = int(stats["n_docs"])
         self.avgdl = float(stats["avgdl"])
         self.k = k
         self.method = method
-        self.segment = Segment(out_dir, seg_id)
+        if seg_ids is None:
+            from ..pipelines.query import list_segments
+
+            seg_ids = list_segments(out_dir)
+        self.segments = [Segment(out_dir, sid) for sid in seg_ids]
         self.doclens = DoclenTable(out_dir)
+
+    def _owner(self, term: str) -> Segment | None:
+        for seg in self.segments:
+            if term in seg.dict:
+                return seg
+        return None
 
     def _score_query(self, text: str) -> tuple[np.ndarray, np.ndarray]:
         from ..bm25 import idf as idf_fn
 
-        terms = sorted({t for t in tokenize(text) if t in self.segment.dict})
+        owners = {}
+        for t in set(tokenize(text)):
+            seg = self._owner(t)
+            if seg is not None:
+                owners[t] = seg
+        terms = sorted(owners)
         if not terms:
             return np.empty(0, np.uint64), np.empty(0, np.float64)
         if self.method == "brute":
-            postings = {t: self.segment.term_postings(t) for t in terms}
-            dfs = {t: self.segment.dict[t][0] for t in terms}
+            postings = {t: owners[t].term_postings(t) for t in terms}
+            dfs = {t: owners[t].dict[t][0] for t in terms}
             return brute_force_topk(
                 terms, postings, dfs, self.doclens.lookup, self.n_docs, self.avgdl, self.k
             )
         cursors = []
         for t in terms:
-            df = self.segment.dict[t][0]
-            cursors.append(self.segment.cursor(t, idf_fn(df, self.n_docs)))
+            df = owners[t].dict[t][0]
+            cursors.append(owners[t].cursor(t, idf_fn(df, self.n_docs)))
         return wand_topk(cursors, self.doclens.lookup_one, self.avgdl, self.k)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        qids_out, docs_out, scores_out = [], [], []
+        qids_out, ranks_out, docs_out, scores_out = [], [], [], []
         qids = batch["query_id"].to_pylist()
         texts = batch["text"].to_pylist()
         for qid, text in zip(qids, texts):
             d, s = self._score_query(text)
             qids_out.extend([qid] * len(d))
+            ranks_out.extend(range(1, len(d) + 1))
             docs_out.append(d)
             scores_out.append(s)
         docs = np.concatenate(docs_out) if docs_out else np.empty(0, np.uint64)
@@ -142,6 +171,7 @@ class QueryScorer:
         return pa.table(
             {
                 "query_id": pa.array(qids_out, pa.int64()),
+                "rank": pa.array(np.asarray(ranks_out, dtype=np.int32), pa.int32()),
                 "doc_id": pa.array(docs, pa.uint64()),
                 "score": pa.array(scores, pa.float64()),
             }
