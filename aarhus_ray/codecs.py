@@ -10,19 +10,25 @@ value occupies 2**c bytes), because docIDs here are uint64
 (``(partition_id << 40) | row``, SURVEY.md §1.3) and gaps across partition
 boundaries exceed 32 bits. tf runs use classic LEB128 varint.
 
-Posting-list blob format (frozen; per term):
-    repeat per block of <=SKIP_BLOCK postings:
-        u32  docs_nbytes
-        svb  gaps of doc_ids   (gap 0 of block k = doc_id - last_doc_id of
-                                block k-1; for block 0, the absolute doc_id)
-        leb  tfs               (one varint per posting in the block)
-Blocks decode independently given the previous block's last doc_id, which is
-exactly what the skip list stores — so Block-Max WAND can jump.
+Posting-list blob format (frozen; per term) — three contiguous regions:
+    [ svb control bytes for ALL gaps ][ svb data bytes ][ leb128 tfs ]
+Gaps are plain deltas over the whole sorted docID list (the gap at a block
+start is vs the previous block's LAST docID — identical to the whole-list
+delta), so encode is one vectorized pass. Because SKIP_BLOCK (128) is a
+multiple of 4, every full block owns exactly SKIP_BLOCK/4 control bytes and
+block boundaries stay control-byte-aligned — blocks still decode
+independently given the previous block's last doc_id from the skip list, so
+Block-Max WAND can jump, while full-list decode is a single vectorized call.
 
 Skip-list blob format (frozen; per term): n_blocks records of
-    (last_doc_id: <u8, byte_offset: <u8, count: <u4, block_max_score: <f8)
-where byte_offset points at the block's u32 length prefix in the postings
-blob and count is the number of postings in the block.
+    (last_doc_id: <u8, data_off: <u8, tf_off: <u8, count: <u4, max_tf: <u4)
+data_off/tf_off are absolute offsets into the term's blob; a block's region
+ends where the next block's begins (the first block's tf_off ends the data
+region; the blob length ends the tf region). Skips store the block MAX TF,
+not a score: BM25 block upper bounds need the GLOBAL idf, and with salted
+(term × docID-range) shards a shard only knows its local df — the query
+scorer sums df across a term's shards and derives
+``tf_upper_bound(max_tf, idf)`` at load time (cheap, once per term).
 """
 
 from __future__ import annotations
@@ -37,7 +43,13 @@ assert sys.byteorder == "little", "codecs assume a little-endian host"
 
 _U8 = np.uint64
 SKIP_DTYPE = np.dtype(
-    [("last_doc_id", "<u8"), ("offset", "<u8"), ("count", "<u4"), ("max_score", "<f8")]
+    [
+        ("last_doc_id", "<u8"),
+        ("data_off", "<u8"),
+        ("tf_off", "<u8"),
+        ("count", "<u4"),
+        ("max_tf", "<u4"),
+    ]
 )
 
 
@@ -63,12 +75,12 @@ def delta_decode(gaps: np.ndarray, base: int = 0) -> np.ndarray:
 _SVB_LEN = np.array([1, 2, 4, 8], dtype=np.int64)
 
 
-def svb_encode(values: np.ndarray) -> bytes:
-    """Encode uint64 values → control stream || data stream."""
+def svb_encode_streams(values: np.ndarray) -> tuple[bytes, bytes, np.ndarray]:
+    """Encode uint64 values → (control_bytes, data_bytes, per-value lens)."""
     v = np.ascontiguousarray(values, dtype="<u8")
     n = len(v)
     if n == 0:
-        return b""
+        return b"", b"", np.empty(0, dtype=np.int64)
     codes = np.zeros(n, dtype=np.uint8)
     codes[v > 0xFF] = 1
     codes[v > 0xFFFF] = 2
@@ -81,7 +93,13 @@ def svb_encode(values: np.ndarray) -> bytes:
     control = (q[:, 0] | (q[:, 1] << 2) | (q[:, 2] << 4) | (q[:, 3] << 6)).astype(np.uint8)
     bytes8 = v.view(np.uint8).reshape(n, 8)
     mask = np.arange(8)[None, :] < lens[:, None]
-    return control.tobytes() + bytes8[mask].tobytes()
+    return control.tobytes(), bytes8[mask].tobytes(), lens
+
+
+def svb_encode(values: np.ndarray) -> bytes:
+    """Encode uint64 values → control stream || data stream."""
+    control, data, _ = svb_encode_streams(values)
+    return control + data
 
 
 def svb_decode(buf: bytes | np.ndarray, n: int) -> np.ndarray:
@@ -90,8 +108,18 @@ def svb_decode(buf: bytes | np.ndarray, n: int) -> np.ndarray:
         return np.empty(0, dtype=np.uint64)
     raw = np.frombuffer(buf, dtype=np.uint8) if not isinstance(buf, np.ndarray) else buf
     nc = (n + 3) // 4
-    control = raw[:nc]
-    data = raw[nc:]
+    return svb_decode_streams(raw[:nc], raw[nc:], n)
+
+
+def svb_decode_streams(control: np.ndarray, data: np.ndarray, n: int) -> np.ndarray:
+    """Decode n uint64 values from separate control/data streams."""
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    if not isinstance(control, np.ndarray):
+        control = np.frombuffer(control, dtype=np.uint8)
+    if not isinstance(data, np.ndarray):
+        data = np.frombuffer(data, dtype=np.uint8)
+    nc = (n + 3) // 4
     codes = np.empty(nc * 4, dtype=np.uint8)
     codes[0::4] = control & 3
     codes[1::4] = (control >> 2) & 3
@@ -115,10 +143,14 @@ _MAX_VARINT_BYTES = 10
 
 
 def varint_encode(values: np.ndarray) -> bytes:
+    return varint_encode_with_lens(values)[0]
+
+
+def varint_encode_with_lens(values: np.ndarray) -> tuple[bytes, np.ndarray]:
     v = np.ascontiguousarray(values, dtype=np.uint64)
     n = len(v)
     if n == 0:
-        return b""
+        return b"", np.empty(0, dtype=np.int64)
     nb = np.ones(n, dtype=np.int64)
     for k in range(1, _MAX_VARINT_BYTES):
         nb += v >= _U8(1 << (7 * k))
@@ -128,7 +160,7 @@ def varint_encode(values: np.ndarray) -> bytes:
     cont = np.arange(_MAX_VARINT_BYTES)[None, :] < (nb - 1)[:, None]
     out |= cont.astype(np.uint8) << 7
     sel = np.arange(_MAX_VARINT_BYTES)[None, :] < nb[:, None]
-    return out[sel].tobytes()
+    return out[sel].tobytes(), nb
 
 
 def varint_decode(buf: bytes | np.ndarray) -> np.ndarray:
@@ -157,70 +189,69 @@ def tf_upper_bound(tf, idf: float) -> float | np.ndarray:
     return idf * tf * (K1 + 1.0) / (tf + K1 * (1.0 - B))
 
 
-def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray, idf: float) -> tuple[bytes, bytes]:
-    """(sorted doc_ids, tfs, global idf) → (postings_blob, skips_blob)."""
+def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray) -> tuple[bytes, bytes]:
+    """(sorted doc_ids, tfs) → (postings_blob, skips_blob).
+    Single vectorized pass: whole-list delta + Stream-VByte + varint, with
+    per-block offsets and block maxes computed by reduceat (no Python loop
+    over blocks — this runs once per term in segment assembly)."""
     n = len(doc_ids)
+    if n == 0:
+        return b"", b""
     doc_ids = np.asarray(doc_ids, dtype=np.uint64)
     tfs = np.asarray(tfs, dtype=np.uint64)
+    gaps = delta_encode(doc_ids)
+    control, data, lens = svb_encode_streams(gaps)
+    tf_blob, tf_lens = varint_encode_with_lens(tfs)
+
     n_blocks = (n + SKIP_BLOCK - 1) // SKIP_BLOCK
+    starts = np.arange(n_blocks, dtype=np.int64) * SKIP_BLOCK
+    ends = np.minimum(starts + SKIP_BLOCK, n)
+    data_cum = np.concatenate([[0], np.cumsum(lens)])
+    tf_cum = np.concatenate([[0], np.cumsum(tf_lens)])
+    data_start = len(control)
+    tf_start = data_start + len(data)
+
     skips = np.zeros(n_blocks, dtype=SKIP_DTYPE)
-    parts: list[bytes] = []
-    offset = 0
-    prev_last = 0
-    for bi in range(n_blocks):
-        lo, hi = bi * SKIP_BLOCK, min(n, (bi + 1) * SKIP_BLOCK)
-        gaps = delta_encode(doc_ids[lo:hi], base=prev_last)
-        docs_blob = svb_encode(gaps)
-        tf_blob = varint_encode(tfs[lo:hi])
-        parts.append(np.uint32(len(docs_blob)).tobytes())
-        parts.append(docs_blob)
-        parts.append(tf_blob)
-        skips[bi]["last_doc_id"] = doc_ids[hi - 1]
-        skips[bi]["offset"] = offset
-        skips[bi]["count"] = hi - lo
-        skips[bi]["max_score"] = tf_upper_bound(int(tfs[lo:hi].max()), idf)
-        offset += 4 + len(docs_blob) + len(tf_blob)
-        prev_last = int(doc_ids[hi - 1])
-    return b"".join(parts), skips.tobytes()
+    skips["last_doc_id"] = doc_ids[ends - 1]
+    skips["data_off"] = data_start + data_cum[starts]
+    skips["tf_off"] = tf_start + tf_cum[starts]
+    skips["count"] = (ends - starts).astype(np.uint32)
+    skips["max_tf"] = np.maximum.reduceat(tfs, starts).astype(np.uint32)
+    return control + data + tf_blob, skips.tobytes()
 
 
-def decode_block(postings: memoryview | bytes, skip_entry, prev_last: int) -> tuple[np.ndarray, np.ndarray]:
-    """Decode one block given its skip entry and the previous block's last
-    doc_id. Returns (doc_ids, tfs)."""
-    off = int(skip_entry["offset"])
-    cnt = int(skip_entry["count"])
-    raw = np.frombuffer(postings, dtype=np.uint8)
-    docs_nbytes = int.from_bytes(raw[off : off + 4].tobytes(), "little")
-    gaps = svb_decode(raw[off + 4 : off + 4 + docs_nbytes], cnt)
+def decode_block(
+    postings: np.ndarray | bytes, skips: np.ndarray, bi: int, prev_last: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Decode one block given the full skip array and the previous block's
+    last doc_id. Returns (doc_ids, tfs)."""
+    raw = np.frombuffer(postings, dtype=np.uint8) if not isinstance(postings, np.ndarray) else postings
+    cnt = int(skips[bi]["count"])
+    ctl_start = bi * (SKIP_BLOCK // 4)
+    control = raw[ctl_start : ctl_start + (cnt + 3) // 4]
+    data_end = int(skips[bi + 1]["data_off"]) if bi + 1 < len(skips) else int(skips[0]["tf_off"])
+    data = raw[int(skips[bi]["data_off"]) : data_end]
+    gaps = svb_decode_streams(control, data, cnt)
     doc_ids = delta_decode(gaps, base=prev_last)
-    # tf varints self-delimit: decode from after the docs blob up to the
-    # block end; varint_decode stops exactly at cnt values because the tf
-    # stream is the remainder of the block.
-    tf_start = off + 4 + docs_nbytes
-    tfs = _decode_tfs(raw, tf_start, cnt)
+    tf_end = int(skips[bi + 1]["tf_off"]) if bi + 1 < len(skips) else len(raw)
+    tfs = varint_decode(raw[int(skips[bi]["tf_off"]) : tf_end])
     return doc_ids, tfs
 
 
-def _decode_tfs(raw: np.ndarray, start: int, cnt: int) -> np.ndarray:
-    # Scan continuation bits to find the end of cnt varints; bound the scan
-    # to cnt * max-varint-width so per-block decode stays O(block), not O(list).
-    seg = raw[start : start + cnt * _MAX_VARINT_BYTES]
-    last_flags = (seg & 0x80) == 0
-    ends = np.flatnonzero(last_flags)
-    stop = ends[cnt - 1] + 1
-    return varint_decode(seg[:stop])
-
-
-def decode_postings(postings: bytes, skips_blob: bytes) -> tuple[np.ndarray, np.ndarray]:
-    """Full-list decode (used by merges and the brute-force scorer)."""
-    skips = np.frombuffer(skips_blob, dtype=SKIP_DTYPE)
-    all_docs, all_tfs = [], []
-    prev_last = 0
-    for entry in skips:
-        d, t = decode_block(postings, entry, prev_last)
-        all_docs.append(d)
-        all_tfs.append(t)
-        prev_last = int(entry["last_doc_id"])
-    if not all_docs:
+def decode_postings(postings: bytes | np.ndarray, skips_blob: bytes | np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Full-list decode — one vectorized call per region (used by merges,
+    the brute-force scorer and the scorer's term cache)."""
+    skips = (
+        np.frombuffer(skips_blob, dtype=SKIP_DTYPE)
+        if not isinstance(skips_blob, np.ndarray) or skips_blob.dtype != SKIP_DTYPE
+        else skips_blob
+    )
+    if len(skips) == 0:
         return np.empty(0, np.uint64), np.empty(0, np.uint64)
-    return np.concatenate(all_docs), np.concatenate(all_tfs)
+    raw = np.frombuffer(postings, dtype=np.uint8) if not isinstance(postings, np.ndarray) else postings
+    n = int(skips["count"].sum())
+    tf_start = int(skips[0]["tf_off"])
+    gaps = svb_decode(raw[:tf_start], n)
+    doc_ids = delta_decode(gaps)
+    tfs = varint_decode(raw[tf_start:])
+    return doc_ids, tfs

@@ -36,12 +36,21 @@ from ray.data.aggregate import Count, Sum
 from ..sources.pages import read_pages
 from ..stages.extract_stage import ExtractUDF, prep_batch_fn
 from ..stages.dedup_stage import DedupAssignWriter
-from ..stages.postings_stage import AssembleSegment, MergeShard, PostingsEncoder
+from ..stages.postings_stage import AssembleSegment, PostingsEncoder
 from ..state import manifest as mf
 from ..textnorm import tokenize_batch
 
 PHASE_A_MARKER = "_DOCS_DONE"
 INDEX_MARKER = "_INDEX_DONE"
+
+
+def _phase_log(msg: str) -> None:
+    """Phase timing to stderr when AARHUS_BUILD_TIMING=1 (debug/bench aid)."""
+    if os.environ.get("AARHUS_BUILD_TIMING"):
+        import sys
+        import time
+
+        print(f"[build {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
 
 
 def _cpus() -> int:
@@ -123,6 +132,9 @@ def build_index(
     if resume and os.path.exists(os.path.join(out_dir, INDEX_MARKER)):
         return mf.read_stats(out_dir)
 
+    import time as _time
+
+    _t0 = _time.perf_counter()
     # ---- Phase A: extract → url-hash shuffle → dedup/doc_id → docs/ ----
     if not (resume and os.path.exists(os.path.join(out_dir, PHASE_A_MARKER))):
         done_pids = mf.completed_units(out_dir, "docs") if resume else set()
@@ -144,7 +156,8 @@ def build_index(
             ExtractUDF,
             batch_format="pyarrow",
             batch_size=extract_batch_size,
-            concurrency=(1, cpus),
+            # pre-warm half the pool: autoscaling from 1 costs seconds of ramp
+            concurrency=(max(1, cpus // 2), cpus),
         )
         manifest_rows = ds.groupby("pid").map_groups(
             DedupAssignWriter(out_dir), batch_format="pyarrow"
@@ -152,20 +165,40 @@ def build_index(
         manifest_rows.count()  # execute; rows are tiny and land in manifest.jsonl
         with open(os.path.join(out_dir, PHASE_A_MARKER), "w") as f:
             f.write("done\n")
+    _phase_log(f"phase A (extract+dedup) {_time.perf_counter() - _t0:.1f}s")
+    _t0 = _time.perf_counter()
 
     docs_glob = sorted(glob.glob(os.path.join(out_dir, "docs", "pid=*.parquet")))
     if not docs_glob:
         raise ValueError(f"no documents survived the build from {input_path}")
 
-    # ---- Phase B: global stats (partial+final via Ray aggregate) ----
-    doclen_ds = ray.data.read_parquet(docs_glob, columns=["doclen"])
-    agg = doclen_ds.aggregate(Count(), Sum("doclen"))
-    n_docs = int(agg["count()"])
-    total_len = int(agg["sum(doclen)"] or 0)
+    # ---- Phase B: global stats. The dedup stage already recorded per-pid
+    # row counts and doclen sums in its manifest rows (partial aggregation
+    # at the source), so stats are a manifest fold — no extra Ray job.
+    # Fallback to a Ray aggregate if resuming an index whose manifest
+    # predates doclen_sum.
+    docs_rows = [r for r in mf.read_manifest(out_dir) if r["stage"] == "docs" and r["status"] == "done"]
+    seen_pids = set()
+    n_docs = total_len = 0
+    for r in docs_rows:
+        if r["partition_id"] in seen_pids:
+            continue
+        seen_pids.add(r["partition_id"])
+        n_docs += int(r["output_rows"])
+        total_len += int(r.get("doclen_sum", -1))
+    if not docs_rows or any("doclen_sum" not in r for r in docs_rows):
+        doclen_ds = ray.data.read_parquet(docs_glob, columns=["doclen"])
+        agg = doclen_ds.aggregate(Count(), Sum("doclen"))
+        n_docs = int(agg["count()"])
+        total_len = int(agg["sum(doclen)"] or 0)
     avgdl = (total_len / n_docs) if n_docs else 0.0
 
+    _phase_log(f"phase B (stats) {_time.perf_counter() - _t0:.1f}s")
+    _t0 = _time.perf_counter()
     # ---- Phase C: segment/skew plan + stats.json ----
     boundaries, heavy = _plan_terms(out_dir, num_segments, sample_docs, heavy_df_frac)
+    _phase_log(f"phase C (plan) {_time.perf_counter() - _t0:.1f}s")
+    _t0 = _time.perf_counter()
     stats = {
         "n_docs": n_docs,
         "total_len": total_len,
@@ -179,22 +212,24 @@ def build_index(
     }
     mf.write_stats(out_dir, stats)
 
-    # ---- Phase D: partials → salted merge → segment assembly ----
-    shards = n_shards or cpus * 4
+    # ---- Phase D: partials → ONE salted (term-range × docID-range) shuffle.
+    # The reducer unit is the (seg_id, salt) shard, so the heaviest term's
+    # merge work spreads over n_salts tasks and no separate premerge
+    # stage/shuffle is needed (SURVEY.md §4.2, evolved).
     done_segs = tuple(mf.completed_units(out_dir, "segment")) if resume else ()
     docs_ds = ray.data.read_parquet(docs_glob, columns=["doc_id", "text"])
     partials = docs_ds.map_batches(
         PostingsEncoder,
-        fn_constructor_args=(boundaries, heavy, num_partitions, n_salts, shards),
+        fn_constructor_args=(boundaries, heavy, num_partitions, n_salts),
         batch_format="pyarrow",
         batch_size=postings_batch_size,
-        concurrency=(1, cpus),
+        concurrency=(max(1, cpus // 2), cpus),
     )
-    merged = partials.groupby("bucket").map_groups(MergeShard(), batch_format="pyarrow")
-    seg_manifest = merged.groupby("seg_id").map_groups(
+    seg_manifest = partials.groupby("bucket").map_groups(
         AssembleSegment(out_dir, n_docs, done_segs), batch_format="pyarrow"
     )
     rows = seg_manifest.take_all()
+    _phase_log(f"phase D (postings+merge+segments) {_time.perf_counter() - _t0:.1f}s")
 
     # ---- finalize: metrics mirror + marker ----
     man = mf.read_manifest(out_dir)

@@ -46,7 +46,8 @@ POSTINGS_PARTIAL = pa.schema(
     ]
 )
 
-# T5 — segment dictionary (one row per term within a segment).
+# T5 — segment-shard dictionary (one row per term within a shard). df is
+# the SHARD-local df; global df = sum over a term's shards (query side).
 SEGMENT_DICT = pa.schema(
     [
         ("term", pa.string()),
@@ -56,7 +57,6 @@ SEGMENT_DICT = pa.schema(
         ("skip_offset", pa.uint64()),  # byte offset into skips.bin
         ("skip_length", pa.uint64()),
         ("max_tf", pa.uint32()),
-        ("max_score", pa.float64()),   # dl-independent BM25 upper bound
     ]
 )
 

@@ -90,6 +90,7 @@ class DedupAssignWriter:
             wall_s=timer.elapsed(),
             checksum=mf.file_checksum(path),
             status="done",
+            doclen_sum=int(doclens.sum()),
         )
         mf.append_manifest(self.out_dir, row)
         return pa.table(

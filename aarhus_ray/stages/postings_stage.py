@@ -4,7 +4,7 @@ varint (Stream-VByte) compressed docID gaps and block-max skip lists; a
 groupby(term)-aggregate shuffle with salted-key skew splitting merges
 partial postings into globally sorted segments").
 
-Three Ray stages:
+Two Ray stages (ONE all-to-all):
 
 1. ``PostingsEncoder`` (actor pool, map_batches): docs batch → one encoded
    partial row per (term, salt) present in the batch. Partials are
@@ -12,19 +12,26 @@ Three Ray stages:
    all-to-all moves ~10× less than raw (term, doc, tf) triples.
    Heavy (Zipf-head) terms get ``salt = pid * n_salts // P`` — a function of
    the doc partition, NOT random — so each salt shard owns a contiguous,
-   already-sorted docID subrange and the final assembly is pure
-   concatenation (SURVEY.md §4.2). Light terms use salt 0. The shuffle key
-   is ``bucket = blake2b64(term || salt) % n_shards`` so each heavy term's
-   shards land on different reducers.
+   already-sorted docID subrange and shard concatenation at query time is
+   docID-ordered with no re-sort (SURVEY.md §4.2). Light terms get
+   ``salt = blake2b64(term) % n_salts`` (their whole list stays in one
+   shard; hashing balances the reducers). Shuffle key:
+   ``bucket = seg_id * n_salts + salt``.
 
-2. ``MergeShard`` (groupby("bucket").map_groups): merge all partials of each
-   (term, salt) into one superpartial. Python loops only over distinct terms
-   in the bucket; decode/concat/encode are NumPy.
-
-3. ``AssembleSegment`` (groupby("seg_id").map_groups): per term-range
-   segment, concatenate superpartials in (salt, min_doc_id) order, compute
-   global df → idf → block-max skips, write ``dict.parquet`` /
-   ``postings.bin`` / ``skips.bin`` atomically, emit a manifest row.
+2. ``AssembleSegment`` (groupby("bucket").map_groups): one task per
+   (term-range × salt) shard — the salted-key skew split IS the reducer
+   granularity, so the heaviest term's merge work spreads over n_salts
+   tasks and one whole shuffle (a separate premerge stage) disappears.
+   Merges each term's partials (vectorized segmented decode), computes
+   df_shard → encodes with block-max skips, writes
+   ``segments/seg=BBBB/{dict.parquet,postings.bin,skips.bin}`` atomically,
+   emits a manifest row. Segments stay globally term-sorted (seg_id is the
+   major key); a heavy term's full list is the salt-ordered concatenation
+   of its shards, performed zero-cost on decoded arrays by the query
+   scorer. Because a shard only knows its LOCAL df, the dict stores
+   df_shard and skips store block max_tf; the scorer sums df across a
+   term's shards and derives idf / block bounds at load time (the standard
+   distributed-index split of local vs global statistics).
 """
 
 from __future__ import annotations
@@ -37,7 +44,6 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from .. import codecs
-from ..bm25 import idf as idf_fn
 from ..partition import DOC_ID_PARTITION_SHIFT, hash64
 from ..textnorm import tokenize_batch
 from ..state import manifest as mf
@@ -61,13 +67,11 @@ class PostingsEncoder:
         heavy_terms: list[str],
         num_partitions: int,
         n_salts: int,
-        n_shards: int,
     ):
         self.boundaries = np.array(boundaries, dtype=object)
         self.heavy = frozenset(heavy_terms)
         self.P = num_partitions
         self.n_salts = max(1, n_salts)
-        self.n_shards = max(1, n_shards)
 
     def _salt_of_pid(self, pids: np.ndarray) -> np.ndarray:
         return (pids.astype(np.uint64) * np.uint64(self.n_salts) // np.uint64(self.P)).astype(
@@ -92,10 +96,24 @@ class PostingsEncoder:
         docs = tf["doc"].to_numpy().astype(np.uint64)
         tfs = tf["tf"].to_numpy().astype(np.uint64)
         pids = (docs >> np.uint64(DOC_ID_PARTITION_SHIFT)).astype(np.uint32)
+        heavy_mask = np.fromiter(
+            (t in self.heavy for t in terms), dtype=bool, count=len(terms)
+        )
+        # heavy: docID-range salt (shards stay sorted + concatenable);
+        # light: term-hash salt (whole list in one shard, reducers balanced)
+        light_salt_cache: dict[str, int] = {}
+
+        def _light_salt(t: str) -> int:
+            v = light_salt_cache.get(t)
+            if v is None:
+                v = hash64(t) % self.n_salts
+                light_salt_cache[t] = v
+            return v
+
         salts = np.where(
-            np.fromiter((t in self.heavy for t in terms), dtype=bool, count=len(terms)),
+            heavy_mask,
             self._salt_of_pid(pids),
-            np.uint32(0),
+            np.fromiter((_light_salt(t) for t in terms), dtype=np.uint32, count=len(terms)),
         ).astype(np.uint32)
         # contiguous (term, salt) runs: `terms` is sorted; within a term,
         # docs ascend and salt is monotone in pid=doc>>40, so salt runs are
@@ -104,20 +122,34 @@ class PostingsEncoder:
         key_change[1:] = (terms[1:] != terms[:-1]) | (salts[1:] != salts[:-1])
         starts = np.flatnonzero(key_change)
         ends = np.append(starts[1:], len(terms))
+        # Whole-batch vectorized encode, then per-run byte slicing: partials
+        # use self-delimiting LEB128 varints (byte-sliceable at any value
+        # boundary) so ONE encode pass serves every run; Stream-VByte is
+        # applied at final segment assembly where lists are whole
+        # (SURVEY.md §2.9 anticipated exactly this split).
+        gaps = np.empty_like(docs)
+        gaps[0] = docs[0]
+        np.subtract(docs[1:], docs[:-1], out=gaps[1:])
+        gaps[starts] = docs[starts]  # run-start gap = absolute docID
+        doc_blob, doc_lens = codecs.varint_encode_with_lens(gaps)
+        tf_blob, tf_lens = codecs.varint_encode_with_lens(tfs)
+        doc_off = np.concatenate([[0], np.cumsum(doc_lens)])
+        tf_off = np.concatenate([[0], np.cumsum(tf_lens)])
+        run_max_tf = np.maximum.reduceat(tfs, starts)
+        seg_ids = np.searchsorted(self.boundaries, terms, side="right") if len(self.boundaries) else np.zeros(len(terms), np.int64)
         rows = {k: [] for k in PARTIAL_COLUMNS}
-        for s, e in zip(starts, ends):
+        for ri, (s, e) in enumerate(zip(starts, ends)):
             term = terms[s]
             salt = int(salts[s])
-            d = docs[s:e]
             rows["term"].append(term)
-            rows["seg_id"].append(int(np.searchsorted(self.boundaries, term, side="right")))
+            rows["seg_id"].append(int(seg_ids[s]))
             rows["salt"].append(salt)
-            rows["bucket"].append(hash64(f"{term}#{salt}") % self.n_shards)
-            rows["min_doc_id"].append(int(d[0]))
-            rows["doc_ids"].append(codecs.svb_encode(codecs.delta_encode(d)))
-            rows["tfs"].append(codecs.varint_encode(tfs[s:e]))
+            rows["bucket"].append(int(seg_ids[s]) * self.n_salts + salt)
+            rows["min_doc_id"].append(int(docs[s]))
+            rows["doc_ids"].append(doc_blob[doc_off[s] : doc_off[e]])
+            rows["tfs"].append(tf_blob[tf_off[s] : tf_off[e]])
             rows["df_partial"].append(e - s)
-            rows["max_tf"].append(int(tfs[s:e].max()))
+            rows["max_tf"].append(int(run_max_tf[ri]))
         return pa.table(
             {
                 "term": pa.array(rows["term"], pa.string()),
@@ -150,79 +182,74 @@ class PostingsEncoder:
 
 
 def _decode_partial(doc_blob, tf_blob, n: int) -> tuple[np.ndarray, np.ndarray]:
-    gaps = codecs.svb_decode(doc_blob, n)
+    gaps = codecs.varint_decode(doc_blob)
     return codecs.delta_decode(gaps), codecs.varint_decode(tf_blob)
 
 
-def _merge_rows(doc_blobs, tf_blobs, dfs, mins) -> tuple[np.ndarray, np.ndarray]:
-    """Decode partials, concatenate in min_doc_id order; partials own
-    disjoint docID ranges (each doc lives in exactly one batch/shard), so
-    ordered concat is already sorted — verified, with argsort fallback."""
-    order = np.argsort(np.asarray(mins, dtype=np.uint64), kind="stable")
-    d_parts, t_parts = [], []
-    for i in order:
-        d, t = _decode_partial(doc_blobs[i], tf_blobs[i], int(dfs[i]))
-        d_parts.append(d)
-        t_parts.append(t)
-    docs = np.concatenate(d_parts)
-    tfs = np.concatenate(t_parts)
-    if len(docs) > 1 and not np.all(docs[1:] > docs[:-1]):
-        o = np.argsort(docs, kind="stable")
-        docs, tfs = docs[o], tfs[o]
-    return docs, tfs
+def _decode_partials_segmented(
+    doc_blobs: list[bytes], tf_blobs: list[bytes], dfs: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode MANY partial blobs in two vectorized passes.
+
+    Concatenates all gap blobs → one varint_decode → segmented cumsum
+    (each partial's first gap is its absolute min docID, so the running sum
+    is corrected at every partial boundary). Returns (docs, tfs, starts)
+    where starts[i] is the row offset of partial i in the flat arrays.
+    """
+    gaps = codecs.varint_decode(b"".join(doc_blobs))
+    tfs = codecs.varint_decode(b"".join(tf_blobs))
+    counts = np.asarray(dfs, dtype=np.int64)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    run_cum = np.cumsum(gaps, dtype=np.uint64)
+    # subtract, within each partial, the cumulative total of all previous
+    # partials (run_cum[start-1]) so each partial restarts at its absolute
+    # first docID
+    corrections = np.zeros(len(counts), dtype=np.uint64)
+    nz = starts > 0
+    corrections[nz] = run_cum[starts[nz] - 1]
+    docs = run_cum - np.repeat(corrections, counts)
+    return docs, tfs, starts
 
 
-class MergeShard:
-    """groupby("bucket").map_groups — merge partials per (term, salt)."""
-
-    __name__ = "MergeShard"  # map_groups wraps plain callables
-
-    def __call__(self, group: pa.Table) -> pa.Table:
-        tbl = group
-        terms = np.asarray(tbl["term"].to_pylist(), dtype=object)
-        salts = tbl["salt"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((salts, terms))
-        doc_blobs = tbl["doc_ids"].to_pylist()
-        tf_blobs = tbl["tfs"].to_pylist()
-        dfs = tbl["df_partial"].to_numpy(zero_copy_only=False)
-        mins = tbl["min_doc_id"].to_numpy(zero_copy_only=False)
-        seg_ids = tbl["seg_id"].to_numpy(zero_copy_only=False)
-        t_s, s_s = terms[order], salts[order]
-        change = np.ones(len(order), dtype=bool)
+def _sorted_runs(group: pa.Table, by_salt: bool):
+    """Common prep for the merge stages: rows sorted by (term[, salt],
+    min_doc_id), all partials decoded segmented, run boundaries computed,
+    within-run docID order verified (argsort fallback — partials own
+    disjoint docID ranges, so ordered concat is already sorted in the
+    normal case). Returns (t_s, s_s, seg_s, docs, tfs, run_row_starts,
+    flat_starts, flat_ends)."""
+    n_rows = len(group)
+    terms = np.asarray(group["term"].to_pylist(), dtype=object)
+    salts = group["salt"].to_numpy(zero_copy_only=False)
+    mins = group["min_doc_id"].to_numpy(zero_copy_only=False)
+    dfs = group["df_partial"].to_numpy(zero_copy_only=False).astype(np.int64)
+    seg_ids = group["seg_id"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((mins, salts, terms) if by_salt else (mins, salts, terms))
+    doc_blobs = group["doc_ids"].to_pylist()
+    tf_blobs = group["tfs"].to_pylist()
+    doc_blobs = [doc_blobs[i] for i in order]
+    tf_blobs = [tf_blobs[i] for i in order]
+    t_s, s_s, dfs_s, seg_s = terms[order], salts[order], dfs[order], seg_ids[order]
+    docs, tfs, row_flat_starts = _decode_partials_segmented(doc_blobs, tf_blobs, dfs_s)
+    change = np.ones(n_rows, dtype=bool)
+    if by_salt:
         change[1:] = (t_s[1:] != t_s[:-1]) | (s_s[1:] != s_s[:-1])
-        starts = np.flatnonzero(change)
-        ends = np.append(starts[1:], len(order))
-        out = {k: [] for k in PARTIAL_COLUMNS}
-        for s, e in zip(starts, ends):
-            idx = order[s:e]
-            docs, tfs = _merge_rows(
-                [doc_blobs[i] for i in idx],
-                [tf_blobs[i] for i in idx],
-                dfs[idx],
-                mins[idx],
-            )
-            out["term"].append(t_s[s])
-            out["seg_id"].append(int(seg_ids[idx[0]]))
-            out["salt"].append(int(s_s[s]))
-            out["bucket"].append(0)
-            out["min_doc_id"].append(int(docs[0]))
-            out["doc_ids"].append(codecs.svb_encode(codecs.delta_encode(docs)))
-            out["tfs"].append(codecs.varint_encode(tfs))
-            out["df_partial"].append(len(docs))
-            out["max_tf"].append(int(tfs.max()))
-        return pa.table(
-            {
-                "term": pa.array(out["term"], pa.string()),
-                "seg_id": pa.array(out["seg_id"], pa.uint32()),
-                "salt": pa.array(out["salt"], pa.uint32()),
-                "bucket": pa.array(out["bucket"], pa.uint32()),
-                "min_doc_id": pa.array(out["min_doc_id"], pa.uint64()),
-                "doc_ids": pa.array(out["doc_ids"], pa.binary()),
-                "tfs": pa.array(out["tfs"], pa.binary()),
-                "df_partial": pa.array(out["df_partial"], pa.uint32()),
-                "max_tf": pa.array(out["max_tf"], pa.uint32()),
-            }
-        )
+    else:
+        change[1:] = t_s[1:] != t_s[:-1]
+    run_row_starts = np.flatnonzero(change)
+    flat_starts = row_flat_starts[run_row_starts]
+    flat_ends = np.append(flat_starts[1:], len(docs))
+    if len(docs) > 1:
+        ok = docs[1:] > docs[:-1]
+        ok[flat_starts[1:] - 1] = True  # run boundaries exempt
+        if not ok.all():
+            for rs, re_ in zip(flat_starts, flat_ends):
+                seg = docs[rs:re_]
+                if len(seg) > 1 and not np.all(seg[1:] > seg[:-1]):
+                    o = np.argsort(seg, kind="stable")
+                    docs[rs:re_] = seg[o]
+                    tfs[rs:re_] = tfs[rs:re_][o]
+    return t_s, s_s, seg_s, docs, tfs, run_row_starts, flat_starts, flat_ends
 
 
 class AssembleSegment:
@@ -241,50 +268,32 @@ class AssembleSegment:
 
     def __call__(self, group: pa.Table) -> pa.Table:
         timer = mf.StageTimer()
-        sid = int(group["seg_id"][0].as_py())
+        sid = int(group["bucket"][0].as_py())  # shard id = seg_id*n_salts+salt
         sdir = seg_dir(self.out_dir, sid)
         if sid in self.skip_segs and os.path.isdir(sdir):
             return self._manifest_table(sid, len(group), 0, 0, 0.0, "cached")
-        terms = np.asarray(group["term"].to_pylist(), dtype=object)
-        salts = group["salt"].to_numpy(zero_copy_only=False)
-        mins = group["min_doc_id"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((mins, salts, terms))
-        doc_blobs = group["doc_ids"].to_pylist()
-        tf_blobs = group["tfs"].to_pylist()
-        dfs = group["df_partial"].to_numpy(zero_copy_only=False)
-        t_s = terms[order]
-        change = np.ones(len(order), dtype=bool)
-        change[1:] = t_s[1:] != t_s[:-1]
-        starts = np.flatnonzero(change)
-        ends = np.append(starts[1:], len(order))
+        t_s, _, _, all_docs, all_tfs, run_rows, flat_starts, flat_ends = _sorted_runs(
+            group, by_salt=False
+        )
         dict_rows = {
             "term": [], "df": [], "offset": [], "length": [],
-            "skip_offset": [], "skip_length": [], "max_tf": [], "max_score": [],
+            "skip_offset": [], "skip_length": [], "max_tf": [],
         }
         postings_parts: list[bytes] = []
         skips_parts: list[bytes] = []
         p_off = 0
         s_off = 0
-        for s, e in zip(starts, ends):
-            idx = order[s:e]
-            docs, tfs = _merge_rows(
-                [doc_blobs[i] for i in idx],
-                [tf_blobs[i] for i in idx],
-                dfs[idx],
-                mins[idx],
-            )
-            df = len(docs)
-            term_idf = idf_fn(df, self.n_docs)
-            blob, skips = codecs.encode_postings(docs, tfs, term_idf)
-            max_tf = int(tfs.max())
-            dict_rows["term"].append(t_s[s])
-            dict_rows["df"].append(df)
+        for r, (fs, fe) in enumerate(zip(flat_starts, flat_ends)):
+            docs = all_docs[fs:fe]
+            tfs = all_tfs[fs:fe]
+            blob, skips = codecs.encode_postings(docs, tfs)
+            dict_rows["term"].append(t_s[run_rows[r]])
+            dict_rows["df"].append(len(docs))
             dict_rows["offset"].append(p_off)
             dict_rows["length"].append(len(blob))
             dict_rows["skip_offset"].append(s_off)
             dict_rows["skip_length"].append(len(skips))
-            dict_rows["max_tf"].append(max_tf)
-            dict_rows["max_score"].append(float(codecs.tf_upper_bound(max_tf, term_idf)))
+            dict_rows["max_tf"].append(int(tfs.max()))
             postings_parts.append(blob)
             skips_parts.append(skips)
             p_off += len(blob)
@@ -300,7 +309,6 @@ class AssembleSegment:
                 "skip_offset": pa.array(dict_rows["skip_offset"], pa.uint64()),
                 "skip_length": pa.array(dict_rows["skip_length"], pa.uint64()),
                 "max_tf": pa.array(dict_rows["max_tf"], pa.uint32()),
-                "max_score": pa.array(dict_rows["max_score"], pa.float64()),
             }
         )
         pq.write_table(dict_tbl, os.path.join(tmp, "dict.parquet"))
@@ -322,14 +330,14 @@ class AssembleSegment:
             stage="segment",
             partition_id=sid,
             input_rows=len(group),
-            output_rows=len(starts),
+            output_rows=len(flat_starts),
             bytes_out=bytes_out,
             wall_s=timer.elapsed(),
             checksum=checksum,
             status="done",
         )
         mf.append_manifest(self.out_dir, row)
-        return self._manifest_table(sid, len(group), len(starts), bytes_out, row.wall_s, "done", checksum)
+        return self._manifest_table(sid, len(group), len(flat_starts), bytes_out, row.wall_s, "done", checksum)
 
     @staticmethod
     def _manifest_table(sid, in_rows, out_rows, bytes_out, wall_s, status, checksum=""):

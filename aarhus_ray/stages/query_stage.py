@@ -26,7 +26,7 @@ from ..bm25 import brute_force_topk, topk_select
 from ..partition import DOC_ID_PARTITION_SHIFT
 from ..state import manifest as mf
 from ..textnorm import tokenize
-from ..wand import TermCursor, wand_topk
+from ..wand import TermCursor, block_max_topk, wand_topk
 from .postings_stage import seg_dir
 
 
@@ -63,7 +63,7 @@ class Segment:
         terms = d["term"].to_pylist()
         cols = {
             name: d[name].to_numpy(zero_copy_only=False)
-            for name in ("df", "offset", "length", "skip_offset", "skip_length", "max_tf", "max_score")
+            for name in ("df", "offset", "length", "skip_offset", "skip_length", "max_tf")
         }
         for i, t in enumerate(terms):
             self.dict[t] = (
@@ -73,7 +73,6 @@ class Segment:
                 int(cols["skip_offset"][i]),
                 int(cols["skip_length"][i]),
                 int(cols["max_tf"][i]),
-                float(cols["max_score"][i]),
             )
 
     def term_entry(self, term: str):
@@ -83,21 +82,28 @@ class Segment:
         e = self.dict.get(term)
         if e is None:
             return None
-        _, off, length, s_off, s_len, _, _ = e
+        _, off, length, s_off, s_len, _ = e
         blob = bytes(self.postings[off : off + length])
         skips = bytes(self.skips_raw[s_off : s_off + s_len])
         return codecs.decode_postings(blob, skips)
 
+    def term_skips(self, term: str) -> np.ndarray:
+        _, _, _, s_off, s_len, _ = self.dict[term]
+        return np.frombuffer(
+            self.skips_raw[s_off : s_off + s_len].tobytes(), dtype=codecs.SKIP_DTYPE
+        )
+
     def cursor(self, term: str, idf_val: float) -> TermCursor | None:
+        """Cursor over THIS shard's postings; block bounds derived from the
+        caller-supplied global idf (skips store max_tf, not scores)."""
         e = self.dict.get(term)
         if e is None:
             return None
-        _, off, length, s_off, s_len, _, max_score = e
-        skips = np.frombuffer(
-            self.skips_raw[s_off : s_off + s_len].tobytes(), dtype=codecs.SKIP_DTYPE
-        )
+        _, off, length, s_off, s_len, _ = e
+        skips = self.term_skips(term)
+        bounds = codecs.tf_upper_bound(skips["max_tf"], idf_val)
         postings = self.postings[off : off + length]
-        return TermCursor(term, idf_val, max_score, postings, skips)
+        return TermCursor(term, idf_val, float(bounds.max()), postings, skips, bounds)
 
 
 class QueryScorer:
@@ -114,7 +120,14 @@ class QueryScorer:
     from the segment holders; the per-query cost is O(query terms), which is
     the standard term-sharded trade-off."""
 
-    def __init__(self, out_dir: str, seg_ids: list[int] | None = None, k: int = 10, method: str = "wand"):
+    def __init__(
+        self,
+        out_dir: str,
+        seg_ids: list[int] | None = None,
+        k: int = 10,
+        method: str = "wand",
+        shared_ref=None,
+    ):
         stats = mf.read_stats(out_dir)
         self.n_docs = int(stats["n_docs"])
         self.avgdl = float(stats["avgdl"])
@@ -125,36 +138,108 @@ class QueryScorer:
 
             seg_ids = list_segments(out_dir)
         self.segments = [Segment(out_dir, sid) for sid in seg_ids]
-        self.doclens = DoclenTable(out_dir)
+        self._shared_impacts: dict[str, tuple] = {}
+        if shared_ref is not None:
+            import ray as _ray
 
-    def _owner(self, term: str) -> Segment | None:
-        for seg in self.segments:
-            if term in seg.dict:
-                return seg
-        return None
+            # zero-copy read-only views over the shared object-store copy
+            dl_ids, dl_lens, impacts = _ray.get(shared_ref)
+            self.doclens = DoclenTable.__new__(DoclenTable)
+            self.doclens.doc_ids = dl_ids
+            self.doclens.doclens = dl_lens
+            self._shared_impacts = impacts
+        else:
+            self.doclens = DoclenTable(out_dir)
+        # actor-lifetime term cache: term → (doc_ids, contribs, skips) with
+        # contribs = the per-posting BM25 contribution score_tf(tf, dl,
+        # avgdl, idf) — query-INDEPENDENT, so it is computed once. Zipf-head
+        # terms appear in most queries; caching their decode + doclen align
+        # + scoring per actor dominates QPS. Bounded by total cached
+        # postings (evict-all beyond the cap keeps it dumb + deterministic).
+        self._term_cache: dict[str, tuple] = {}
+        self._cached_postings = 0
+        self._cache_cap = 32_000_000
+
+    def _term_arrays(self, term: str, owners: list["Segment"]):
+        from ..bm25 import idf as idf_fn
+        from ..bm25 import score_tf
+
+        got = self._shared_impacts.get(term)
+        if got is not None:
+            return got
+        got = self._term_cache.get(term)
+        if got is None:
+            doc_ids, tfs = self._gather_postings(term, owners)
+            dls = self.doclens.lookup(doc_ids)
+            idf_val = idf_fn(self._global_df(term, owners), self.n_docs)
+            contribs = score_tf(tfs, dls.astype(np.float64), self.avgdl, idf_val)
+            skips_cat = np.concatenate([seg.term_skips(term) for seg in owners])
+            lasts = skips_cat["last_doc_id"].copy()
+            bmax = codecs.tf_upper_bound(skips_cat["max_tf"], idf_val)
+            if len(lasts) > 1 and not np.all(lasts[1:] >= lasts[:-1]):
+                o = np.argsort(lasts, kind="stable")  # shards out of order
+                lasts, bmax = lasts[o], bmax[o]
+            got = (doc_ids, contribs, lasts, bmax)
+            if self._cached_postings + len(doc_ids) > self._cache_cap:
+                self._term_cache.clear()
+                self._cached_postings = 0
+            self._term_cache[term] = got
+            self._cached_postings += len(doc_ids)
+        return got
+
+    def _owners(self, term: str) -> list[Segment]:
+        """All shards holding postings of this term. Heavy terms are salted
+        into several (term-range × docID-range) shards; shard order in
+        self.segments is bucket order = (seg_id, salt) ascending, and salt
+        ascends with docID range, so concatenation in this order is already
+        docID-sorted."""
+        return [seg for seg in self.segments if term in seg.dict]
+
+    def _global_df(self, term: str, owners: list[Segment]) -> int:
+        return sum(seg.dict[term][0] for seg in owners)
+
+    def _gather_postings(self, term: str, owners: list[Segment]):
+        parts = [seg.term_postings(term) for seg in owners]
+        doc_ids = np.concatenate([p[0] for p in parts])
+        tfs = np.concatenate([p[1] for p in parts])
+        if len(doc_ids) > 1 and not np.all(doc_ids[1:] > doc_ids[:-1]):
+            o = np.argsort(doc_ids, kind="stable")
+            doc_ids, tfs = doc_ids[o], tfs[o]
+        return doc_ids, tfs
 
     def _score_query(self, text: str) -> tuple[np.ndarray, np.ndarray]:
         from ..bm25 import idf as idf_fn
 
         owners = {}
         for t in set(tokenize(text)):
-            seg = self._owner(t)
-            if seg is not None:
-                owners[t] = seg
+            segs = self._owners(t)
+            if segs:
+                owners[t] = segs
         terms = sorted(owners)
         if not terms:
             return np.empty(0, np.uint64), np.empty(0, np.float64)
         if self.method == "brute":
-            postings = {t: owners[t].term_postings(t) for t in terms}
-            dfs = {t: owners[t].dict[t][0] for t in terms}
+            postings = {t: self._gather_postings(t, owners[t]) for t in terms}
+            dfs = {t: self._global_df(t, owners[t]) for t in terms}
             return brute_force_topk(
                 terms, postings, dfs, self.doclens.lookup, self.n_docs, self.avgdl, self.k
             )
-        cursors = []
+        if self.method == "wand_daat":  # reference doc-at-a-time cursor WAND
+            # one cursor per (term, shard): shards are docID-disjoint, so a
+            # pivot doc matches at most one cursor per term — WAND treats
+            # them like independent terms with the shared global idf
+            cursors = []
+            for t in terms:
+                gdf = self._global_df(t, owners[t])
+                for seg in owners[t]:
+                    cursors.append(seg.cursor(t, idf_fn(gdf, self.n_docs)))
+            return wand_topk(cursors, self.doclens.lookup_one, self.avgdl, self.k)
+        # default "wand": vectorized Block-Max WAND over cached full arrays
+        tbs = []
         for t in terms:
-            df = owners[t].dict[t][0]
-            cursors.append(owners[t].cursor(t, idf_fn(df, self.n_docs)))
-        return wand_topk(cursors, self.doclens.lookup_one, self.avgdl, self.k)
+            doc_ids, contribs, lasts, bmax = self._term_arrays(t, owners[t])
+            tbs.append((t, doc_ids, contribs, lasts, bmax))
+        return block_max_topk(tbs, self.avgdl, self.k)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         qids_out, ranks_out, docs_out, scores_out = [], [], [], []

@@ -53,6 +53,8 @@ class ManifestRow:
     wall_s: float
     checksum: str
     status: str  # "done" | "failed"
+    doclen_sum: int = 0  # docs stage only: Σ doclen of the partition, so
+    # global stats (N, avgdl) come from the manifest — no extra Ray job
 
 
 def atomic_write_bytes(path: str, data: bytes) -> None:

@@ -27,16 +27,23 @@ _EXHAUSTED = 1 << 62
 
 class TermCursor:
     __slots__ = (
-        "term", "idf", "max_score", "postings", "skips",
+        "term", "idf", "max_score", "postings", "skips", "bounds",
         "bi", "block_docs", "block_tfs", "pos", "exhausted",
     )
 
-    def __init__(self, term: str, idf: float, max_score: float, postings, skips: np.ndarray):
+    def __init__(self, term: str, idf: float, max_score: float, postings, skips: np.ndarray, bounds: np.ndarray | None = None):
         self.term = term
         self.idf = idf
         self.max_score = max_score
         self.postings = postings
         self.skips = skips
+        # per-block score upper bounds; skips only carry max_tf (global idf
+        # is a query-side statistic with sharded segments)
+        self.bounds = (
+            bounds
+            if bounds is not None
+            else codecs.tf_upper_bound(skips["max_tf"], idf) if len(skips) else np.empty(0)
+        )
         self.bi = 0
         self.pos = 0
         self.exhausted = len(skips) == 0
@@ -46,7 +53,7 @@ class TermCursor:
     def _decode(self, bi: int) -> None:
         prev_last = int(self.skips[bi - 1]["last_doc_id"]) if bi > 0 else 0
         self.block_docs, self.block_tfs = codecs.decode_block(
-            self.postings, self.skips[bi], prev_last
+            self.postings, self.skips, bi, prev_last
         )
         self.bi = bi
         self.pos = 0
@@ -67,7 +74,7 @@ class TermCursor:
         nbi = self.bi + int(np.searchsorted(lasts[self.bi :], target, side="left"))
         if nbi >= len(self.skips):
             return 0.0, _EXHAUSTED
-        return float(self.skips[nbi]["max_score"]), int(lasts[nbi])
+        return float(self.bounds[nbi]), int(lasts[nbi])
 
     def advance(self, target: int) -> None:
         """Move to the first posting with doc_id >= target."""
@@ -152,3 +159,122 @@ def wand_topk(cursors: list[TermCursor], doclen_of, avgdl: float, k: int = 10):
     doc_ids = np.array([-d for _, d in out], dtype=np.uint64)
     scores = np.array([s for s, _ in out], dtype=np.float64)
     return doc_ids, scores
+
+
+def _multi_slice(starts: np.ndarray, ends: np.ndarray) -> np.ndarray:
+    """Concatenated index ranges [starts[i], ends[i]) — vectorized."""
+    lens = ends - starts
+    keep = lens > 0
+    starts, lens = starts[keep], lens[keep]
+    if len(starts) == 0:
+        return np.empty(0, dtype=np.int64)
+    total = int(lens.sum())
+    out = np.repeat(starts - np.concatenate([[0], np.cumsum(lens)[:-1]]), lens)
+    return out + np.arange(total, dtype=np.int64)
+
+
+def block_max_topk(
+    term_entries: list[tuple[str, np.ndarray, np.ndarray, np.ndarray, np.ndarray]],
+    avgdl: float,
+    k: int = 10,
+):
+    """Vectorized Block-Max WAND: identical skip-list pruning decision to
+    cursor WAND (sum of block-max upper bounds vs the running top-k
+    threshold), but the docID axis is processed block-at-a-time with NumPy
+    instead of doc-at-a-time in Python — orders of magnitude faster in
+    CPython, still EXACT.
+
+    The docID space is partitioned into intervals at every block boundary of
+    every query term; each interval's upper bound is the sum of the covering
+    blocks' max scores. Intervals are visited best-first (in chunks, to
+    amortize Python overhead) and scoring stops once the next-best
+    interval's bound cannot beat the kth score. Lossless: per-doc BM25 is
+    strictly below its dl→0 upper bound (dl >= 1), so `ub <= threshold`
+    candidates can never tie, and topk_select applies the frozen
+    (score DESC, doc_id ASC) order to fully-scored candidates only.
+
+    term_entries: [(term, doc_ids, contribs, lasts, bmax)] sorted by term
+    (per-doc float accumulation happens in that order → bit-identical to
+    the brute-force scorer). doc_ids are the FULL decoded arrays (a sharded
+    term's shards concatenated in docID order) and contribs the precomputed
+    per-posting BM25 contributions ``score_tf(tf, dl, avgdl, idf)`` —
+    query-independent, so the caller caches both per actor: heavy Zipf-head
+    terms recur in almost every query and their decode + doclen lookup +
+    scoring dominates QPS otherwise. lasts/bmax are the per-block
+    last_doc_id and derived score upper bounds (from skips max_tf × global
+    idf).
+
+    Chunks grow geometrically: when pruning bites, only the first small
+    chunks run; when block maxes are flat (pruning can't bite), total
+    vectorized passes stay O(log n_blocks) instead of O(n_blocks).
+    """
+    from .bm25 import topk_select
+
+    term_entries = [te for te in term_entries if len(te[3])]
+    if not term_entries:
+        return np.empty(0, np.uint64), np.empty(0, np.float64)
+
+    # interval edges = union of block last_doc_ids across terms
+    edges = np.unique(np.concatenate([te[3] for te in term_entries]))
+    n_int = len(edges)
+    diff = np.zeros(n_int + 1, dtype=np.float64)
+    for _, _, _, lasts, bmax in term_entries:
+        # block b covers interval span [lo_b, hi_b] (difference-array add)
+        hi = np.searchsorted(edges, lasts, side="left")
+        lo = np.empty_like(hi)
+        lo[0] = 0
+        lo[1:] = hi[:-1] + 1
+        np.add.at(diff, lo, bmax)
+        np.subtract.at(diff, hi + 1, bmax)
+    ub = np.cumsum(diff[:-1])
+
+    order = np.argsort(-ub, kind="stable")
+    cand_ids = np.empty(0, np.uint64)
+    cand_scores = np.empty(0, np.float64)
+    threshold = -1.0
+    chunk = 64
+    pos0 = 0
+    while pos0 < len(order):
+        sel = order[pos0 : pos0 + chunk]
+        pos0 += chunk
+        chunk *= 2
+        if len(cand_ids) >= k:
+            if float(ub[sel[0]]) <= threshold:
+                break
+            sel = sel[ub[sel] > threshold]
+            if len(sel) == 0:
+                continue
+        lo_edges = np.zeros(len(sel), dtype=np.int64)
+        nz = sel > 0
+        lo_edges[nz] = edges[sel[nz] - 1].astype(np.int64)
+        lo_edges[~nz] = -1
+        hi_edges = edges[sel].astype(np.int64)
+        parts = []
+        for term, doc_ids, contribs, lasts, bmax in term_entries:
+            s = np.searchsorted(doc_ids, lo_edges, side="right")
+            e = np.searchsorted(doc_ids, hi_edges, side="right")
+            idx = _multi_slice(s, e)
+            if len(idx):
+                parts.append((doc_ids[idx], contribs[idx]))
+        if not parts:
+            continue
+        if len(parts) == 1:
+            # single term: scores align 1:1 with its postings (0.0 + x == x,
+            # so skipping the zeros-accumulator is still bit-identical)
+            d, c = parts[0]
+            order_d = np.argsort(d, kind="stable")
+            union = d[order_d]
+            scores = c[order_d]
+        else:
+            union = np.unique(np.concatenate([p[0] for p in parts]))
+            scores = np.zeros(len(union), dtype=np.float64)
+            for d, c in parts:  # term-sorted order → float determinism
+                pos = np.searchsorted(union, d)
+                scores[pos] += c
+        cand_ids = np.concatenate([cand_ids, union])
+        cand_scores = np.concatenate([cand_scores, scores])
+        if len(cand_ids) > k:
+            cand_ids, cand_scores = topk_select(cand_ids, cand_scores, k)
+        if len(cand_ids) >= k:
+            threshold = float(cand_scores[-1])
+    return topk_select(cand_ids, cand_scores, k)

@@ -1,0 +1,172 @@
+"""Benchmark harness (driver contract + SURVEY.md §4.5).
+
+    python bench.py              # one run; prints ONE JSON line
+    python bench.py --scaling    # 8 vs 32 CPUs in fresh processes + efficiency
+
+Headline: full inverted-index build over a deterministic 100k-page corpus
+(cached under /tmp) + batched top-10 BM25/WAND queries — the contract metric
+(build docs/sec, query QPS). Side queries: representative pipelines over
+$GRAFT_SF_DIR (default /root/testdata/sf0.1).
+
+Env: RAY_GRAFT_CPUS (default 32), GRAFT_SF_DIR, BENCH_PAGES (default 100000).
+This script OWNS its Ray session (library code never does).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+BENCH_PAGES = int(os.environ.get("BENCH_PAGES", "100000"))
+N_BENCH_QUERIES = int(os.environ.get("BENCH_QUERIES", "10000"))
+
+
+def run_once() -> dict:
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from aarhus_ray import fixtures
+    from aarhus_ray.pipelines.build import build_index
+    from aarhus_ray.pipelines.query import query_index
+
+    pages_dir = f"/tmp/aarhus_bench_pages_{BENCH_PAGES}"
+    fixtures.write_pages_dir(pages_dir, BENCH_PAGES, seed=42, rows_per_file=12_500)
+    # warm the page cache so both scaling runs measure compute, not first read
+    for f in sorted(os.listdir(pages_dir)):
+        if f.endswith(".parquet"):
+            with open(os.path.join(pages_dir, f), "rb") as fh:
+                while fh.read(1 << 22):
+                    pass
+
+    out_dir = f"/tmp/aarhus_bench_index_{num_cpus}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    stats = build_index(
+        pages_dir,
+        out_dir,
+        # P pinned regardless of CPU count: the scaling pair must share the
+        # same logical partitioning (and doc_ids are a function of P)
+        num_partitions=64,
+        # 8 term-ranges × 4 docID salts = 32 reduce shards: both runs of the
+        # scaling pair share this logical partitioning (SURVEY.md §4.5)
+        num_segments=8,
+        n_salts=4,
+    )
+    build_s = time.perf_counter() - t0
+    n_docs = stats["n_docs"]
+
+    queries_tbl = fixtures.gen_queries(N_BENCH_QUERIES, seed=42)
+    # warm: load shared scorer state + spin the actor pool on a small batch,
+    # then measure steady-state serving throughput (the contract metric is
+    # query QPS, not cold-start latency)
+    from aarhus_ray.pipelines.query import warm_index
+
+    warm_index(out_dir)
+    query_index(out_dir, fixtures.gen_queries(64, seed=7), k=10, resolve_urls=False).count()
+    t0 = time.perf_counter()
+    res = query_index(out_dir, queries_tbl, k=10, resolve_urls=False)
+    n_res = res.count()
+    query_s = time.perf_counter() - t0
+    qps = N_BENCH_QUERIES / query_s
+
+    timings: dict[str, float] = {
+        "index_build": round(build_s, 3),
+        "query_topk": round(query_s, 3),
+    }
+
+    # representative sf-dir pipelines (skipped if the dir is absent)
+    if os.path.isdir(sf_dir):
+        import __ray_entry__ as E
+
+        qs = E.queries()
+        for name in (
+            "q1_pricing_summary",
+            "events_hourly_tumbling",
+            "docs_term_counts_top50",
+            "docs_minhash_lsh_pairs",
+            "knn_cosine_bruteforce",
+            "fulltext_bm25_topk",
+        ):
+            t0 = time.perf_counter()
+            qs[name](sf_dir)
+            timings[name] = round(time.perf_counter() - t0, 3)
+
+    ray.shutdown()
+    headline = timings["index_build"] + timings["query_topk"]
+    return {
+        "metric": "index_build_plus_query_seconds",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": os.path.basename(sf_dir.rstrip("/")),
+        "num_cpus": num_cpus,
+        "bench_pages": BENCH_PAGES,
+        "n_docs": n_docs,
+        "build_docs_per_s": round(n_docs / build_s, 1),
+        "query_qps": round(qps, 1),
+        "n_results": int(n_res),
+    }
+
+
+def run_scaling() -> dict:
+    """Same job, same (cached, warmed) input, fresh processes at 8 and 32
+    CPUs — the sandbox stand-in for N vs 4N nodes (SURVEY.md §4.5)."""
+    results = {}
+    for ncpu in (8, 32):
+        best = None
+        for _trial in range(2):  # best-of-2: single-node wall times vary ±20%
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR="/nonexistent")
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env,
+                capture_output=True,
+                text=True,
+                check=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            ).stdout
+            r = json.loads(out.strip().splitlines()[-1])
+            if best is None or r["build_docs_per_s"] > best["build_docs_per_s"]:
+                best = r
+        results[ncpu] = best
+    tput8 = results[8]["build_docs_per_s"]
+    tput32 = results[32]["build_docs_per_s"]
+    eff = (tput32 / tput8) / (32 / 8)
+    qeff = (results[32]["query_qps"] / results[8]["query_qps"]) / (32 / 8)
+    return {
+        "metric": "scaling_efficiency_8_to_32_cpus",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "build_docs_per_s_8": tput8,
+        "build_docs_per_s_32": tput32,
+        "build_seconds_8": results[8]["queries"]["index_build"],
+        "build_seconds_32": results[32]["queries"]["index_build"],
+        "query_qps_8": results[8]["query_qps"],
+        "query_qps_32": results[32]["query_qps"],
+        "query_scaling_efficiency": round(qeff, 3),
+        "bench_pages": BENCH_PAGES,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_once()))

@@ -43,7 +43,7 @@ def test_delta_roundtrip(xs, base):
 def test_postings_roundtrip(ids, tfs):
     doc_ids = np.unique(np.array(ids, dtype=np.uint64))
     tf = np.array(tfs[: len(doc_ids)], dtype=np.uint64)
-    blob, skips = codecs.encode_postings(doc_ids, tf, idf=1.7)
+    blob, skips = codecs.encode_postings(doc_ids, tf)
     d, t = codecs.decode_postings(blob, skips)
     assert np.array_equal(d, doc_ids)
     assert np.array_equal(t, tf)
@@ -55,7 +55,7 @@ def test_skip_entries_shape_and_bounds():
     doc_ids = np.cumsum(rng.randint(1, 50, size=n).astype(np.uint64))
     tfs = rng.randint(1, 30, size=n).astype(np.uint64)
     idf = 2.0
-    blob, skips_b = codecs.encode_postings(doc_ids, tfs, idf)
+    blob, skips_b = codecs.encode_postings(doc_ids, tfs)
     skips = np.frombuffer(skips_b, dtype=codecs.SKIP_DTYPE)
     assert len(skips) == (n + codecs.SKIP_BLOCK - 1) // codecs.SKIP_BLOCK
     assert int(skips[-1]["last_doc_id"]) == int(doc_ids[-1])
@@ -63,12 +63,14 @@ def test_skip_entries_shape_and_bounds():
     # every block decodes independently given the previous block's last id
     prev = 0
     pos = 0
-    for e in skips:
-        d, t = codecs.decode_block(blob, e, prev)
+    for bi, e in enumerate(skips):
+        d, t = codecs.decode_block(blob, skips, bi, prev)
         assert np.array_equal(d, doc_ids[pos : pos + int(e["count"])])
-        # block max score bounds every real upper bound in the block
+        assert np.array_equal(t, tfs[pos : pos + int(e["count"])])
+        # block max_tf bounds every tf; derived score bound is monotone in tf
+        assert int(e["max_tf"]) == int(np.max(t))
         ub = codecs.tf_upper_bound(t, idf)
-        assert float(e["max_score"]) >= float(np.max(ub)) - 1e-12
+        assert float(codecs.tf_upper_bound(int(e["max_tf"]), idf)) >= float(np.max(ub)) - 1e-12
         prev = int(e["last_doc_id"])
         pos += int(e["count"])
 

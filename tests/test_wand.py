@@ -42,7 +42,7 @@ def _run_both(doclens, postings, query_terms, k):
             continue
         ids, tfs = postings[t]
         iv = idf_fn(dfs[t], n_docs)
-        blob, skips_b = codecs.encode_postings(ids, tfs, iv)
+        blob, skips_b = codecs.encode_postings(ids, tfs)
         skips = np.frombuffer(skips_b, dtype=codecs.SKIP_DTYPE)
         ms = float(codecs.tf_upper_bound(int(tfs.max()), iv))
         cursors.append(TermCursor(t, iv, ms, np.frombuffer(blob, np.uint8), skips))
