@@ -44,7 +44,9 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from aarhus_ray.functions import ann, dedup, fulltext, multimodal, relational, textstats, windows
+    from aarhus_ray.functions import (
+        ann, dedup, fulltext, multimodal, relational, sketches, textstats, windows,
+    )
 
     return {
         # --- relational / aggregation / joins / top-n (SURVEY §2.4-2.6) ---
@@ -78,6 +80,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": ann.ivf_search,                     # approximate → rows-only
         # --- multimodal binary-column plumbing (stub decode) ---
         "multimodal_decode": multimodal.decode_features,
+        # --- mergeable sketches (approximate → rows-only) ---
+        "events_distinct_props_hll": sketches.distinct_count_hll,
         # --- the flagship: full index build + BM25/WAND over documents ---
         "fulltext_bm25_topk": fulltext.bm25_topk,
     }

@@ -80,13 +80,18 @@ def _doc_html(rng: np.random.RandomState, tokens: list[str], doc_idx: int) -> tu
     return html, latin1
 
 
-def gen_pages(n: int, seed: int = 42) -> pa.Table:
+def gen_pages(n: int, seed: int = 42, avg_tokens: int = 80) -> pa.Table:
     """Deterministic pages table (schema PAGES). ~3% duplicate urls with a
-    later warc_ts and different html (dedup winner = max warc_ts)."""
+    later warc_ts and different html (dedup winner = max warc_ts).
+    ``avg_tokens`` scales page size: goldens/tests use the default 80;
+    benchmarks use ~400 to approximate real Common-Crawl page weight so the
+    build is extraction-compute-bound, not coordination-bound."""
     rng = np.random.RandomState(seed)
     vocab = _vocab()
     n_sites = max(4, n // 50)
-    doclens = np.clip(np.exp(rng.normal(np.log(80.0), 1.0, size=n)), 20, 2000).astype(np.int64)
+    doclens = np.clip(
+        np.exp(rng.normal(np.log(float(avg_tokens)), 1.0, size=n)), 20, 25 * avg_tokens
+    ).astype(np.int64)
     all_tokens = _zipf_tokens(rng, int(doclens.sum()), vocab)
     offsets = np.concatenate([[0], np.cumsum(doclens)])
     ts = BASE_TS_US + rng.randint(0, YEAR_US, size=n).astype(np.int64)
@@ -169,18 +174,26 @@ def gen_queries(n: int, seed: int = 42) -> pa.Table:
     )
 
 
-def write_pages_dir(out_dir: str, n: int, seed: int = 42, rows_per_file: int = 25_000) -> str:
+def write_pages_dir(
+    out_dir: str, n: int, seed: int = 42, rows_per_file: int = 25_000, avg_tokens: int = 80
+) -> str:
     """Write the pages fixture as a directory of parquet shards (multiple
     files → multiple read blocks for Ray). Idempotent: skips if complete."""
     done = os.path.join(out_dir, "_DONE")
     if os.path.exists(done):
         return out_dir
     os.makedirs(out_dir, exist_ok=True)
-    table = gen_pages(n, seed)
+    table = gen_pages(n, seed, avg_tokens=avg_tokens)
     nf = max(1, (len(table) + rows_per_file - 1) // rows_per_file)
     per = (len(table) + nf - 1) // nf
     for i in range(nf):
-        pq.write_table(table.slice(i * per, per), os.path.join(out_dir, f"part-{i:04d}.parquet"))
+        # small row groups so read_parquet(override_num_blocks=...) can split
+        # files into many blocks → map-stage parallelism isn't capped at nf
+        pq.write_table(
+            table.slice(i * per, per),
+            os.path.join(out_dir, f"part-{i:04d}.parquet"),
+            row_group_size=1024,
+        )
     with open(done, "w") as f:
         f.write(f"n={n} seed={seed}\n")
     return out_dir

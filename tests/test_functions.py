@@ -1,0 +1,222 @@
+"""Unit tests for the generic operator library (functions/) against tiny
+driver tables at sf0.001 — the pytest layer of what tools/check_oracle.py
+verifies against DuckDB at sf0.01."""
+
+import hashlib
+import json
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_exact_dedup_returns_original_ids():
+    from aarhus_ray.functions.dedup import exact_dedup_min_id
+
+    out = exact_dedup_min_id(SF)
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id"])
+    assert out["doc_id"].tolist() == sorted(docs["doc_id"].to_pylist())
+
+
+def test_minhash_lsh_finds_planted_near_dups():
+    from aarhus_ray.functions.dedup import minhash_lsh_pairs, ngram_jaccard_pairs, _shingles
+    from aarhus_ray.textnorm import tokenize
+
+    lsh = minhash_lsh_pairs(SF)
+    exact = ngram_jaccard_pairs(SF)
+    # LSH+verify must agree with the exhaustive exact computation
+    assert lsh.values.tolist() == exact.values.tolist()
+    # and both must equal a direct all-pairs check
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    sh = {i: _shingles(tokenize(t)) for i, t in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist())}
+    want = []
+    ids = sorted(sh)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            A, B = sh[a], sh[b]
+            if A and B and len(A & B) / len(A | B) >= 0.9:
+                want.append([a, b])
+    assert exact.values.tolist() == want
+
+
+def test_simhash_catches_exact_clones():
+    from aarhus_ray.functions.dedup import CLONE_OFFSET, simhash_dup_pairs
+
+    pairs = simhash_dup_pairs(SF)
+    clone_pairs = set(
+        (i, i + CLONE_OFFSET)
+        for i in pq.read_table(f"{SF}/documents.parquet", columns=["doc_id"])["doc_id"].to_pylist()
+    )
+    got = set(map(tuple, pairs.values.tolist()))
+    assert clone_pairs <= got, "every exact clone pair has hamming distance 0"
+
+
+def test_embedding_near_dup_clone_pairs_only():
+    from aarhus_ray.functions.dedup import CLONE_OFFSET, embedding_near_dup_pairs
+
+    pairs = embedding_near_dup_pairs(SF)
+    ids = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id"])["vec_id"].to_pylist()
+    assert pairs.values.tolist() == [[i, i + CLONE_OFFSET] for i in sorted(ids)]
+
+
+def test_knn_bruteforce_matches_numpy():
+    from aarhus_ray.functions.ann import knn_cosine_bruteforce
+
+    out = knn_cosine_bruteforce(SF, k=5)
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    ids = np.asarray(t["vec_id"].to_pylist())
+    E = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    En = E / np.linalg.norm(E, axis=1, keepdims=True)
+    q = En[list(ids).index(0)]
+    cos = En @ q
+    order = np.lexsort((ids, -cos))[:5]
+    assert out["vec_id"].tolist() == ids[order].tolist()
+
+
+def test_ann_lsh_and_ivf_report_recall():
+    from aarhus_ray.functions.ann import ivf_search, knn_cosine_lsh
+
+    lsh = knn_cosine_lsh(SF, k=5)
+    ivf = ivf_search(SF, k=5)
+    assert 0.0 <= lsh["recall_at_k"].iloc[0] <= 1.0
+    assert 0.0 <= ivf["recall_at_k"].iloc[0] <= 1.0
+    assert len(lsh) <= 5 and len(ivf) <= 5
+
+
+def test_tumbling_window_matches_pandas():
+    from aarhus_ray.functions.windows import events_hourly_tumbling
+
+    out = events_hourly_tumbling(SF)
+    df = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    df["window_start"] = df["ts"].dt.floor("h")
+    df["cents"] = np.floor(df["value"] * 100).astype("int64")
+    want = (
+        df.groupby(["window_start", "event_type"])
+        .agg(n_events=("cents", "size"), sum_value_floor_cents=("cents", "sum"))
+        .reset_index()
+        .sort_values(["window_start", "event_type"])
+        .reset_index(drop=True)
+    )
+    assert (out["n_events"].to_numpy() == want["n_events"].to_numpy()).all()
+    assert (out["sum_value_floor_cents"].to_numpy() == want["sum_value_floor_cents"].to_numpy()).all()
+
+
+def test_asof_join_matches_pandas_global():
+    from aarhus_ray.functions.windows import events_asof_click_view
+
+    out = events_asof_click_view(SF)
+    df = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    clicks = df[df.event_type == "click"]
+    views = df[df.event_type == "view"]
+    for _, row in out.head(25).iterrows():
+        c = clicks[clicks.event_id == row["click_id"]].iloc[0]
+        prior = views[(views.user_id == c.user_id) & (views.ts <= c.ts)]
+        want = int(prior.sort_values(["ts", "event_id"]).event_id.iloc[-1]) if len(prior) else -1
+        assert int(row["view_id"]) == want
+
+
+def test_fingerprints_are_md5():
+    from aarhus_ray.functions.textstats import fingerprints
+
+    out = fingerprints(SF)
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    texts = dict(zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()))
+    for _, row in out.head(20).iterrows():
+        assert row["fp"] == hashlib.md5(texts[row["doc_id"]].encode()).hexdigest()
+
+
+def test_multimodal_decode_features():
+    from aarhus_ray.functions.multimodal import decode_features
+
+    out = decode_features(SF)
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    texts = dict(zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()))
+    assert set(out.columns) == {"doc_id", "n_bytes", "fake_width", "fake_height", "checksum"}
+    for _, row in out.head(20).iterrows():
+        raw = texts[row["doc_id"]].encode()
+        assert row["n_bytes"] == len(raw)
+        assert row["fake_width"] == len(raw) % 256
+        assert row["checksum"] == hashlib.md5(raw).hexdigest()
+
+
+def test_lang_id_rule_frozen():
+    from aarhus_ray.functions.textstats import lang_id
+    from aarhus_ray.textnorm import tokenize
+
+    out = lang_id(SF)
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    texts = dict(zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()))
+    for _, row in out.head(30).iterrows():
+        toks = set(tokenize(texts[row["doc_id"]]))
+        if "the" in toks or "and" in toks:
+            assert row["pred_lang"] == "en"
+
+
+def test_q1_matches_duckdb():
+    import duckdb
+
+    from aarhus_ray.functions.relational import q1_pricing_summary
+
+    out = q1_pricing_summary(SF)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM '{SF}/lineitem.parquet'")
+    want = con.execute(
+        """SELECT l_returnflag, l_linestatus, SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+                  COUNT(*) AS count_order
+           FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+           GROUP BY 1,2 ORDER BY 1,2"""
+    ).fetchdf()
+    assert (out["sum_qty"].to_numpy() == want["sum_qty"].to_numpy()).all()
+    assert (out["count_order"].to_numpy() == want["count_order"].to_numpy()).all()
+
+
+def test_pipeline_step_api():
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from aarhus_ray.pipelines.steps import Step, build_pipeline
+
+    ds = ray.data.from_arrow(
+        pa.table({"x": pa.array([1, 2, 3, 4], pa.int64()), "lang": ["en", "es", "en", "de"]})
+    )
+    steps = [
+        Step("double", lambda t: t.set_column(0, "x", pc.multiply(t["x"], pa.scalar(2))), kind="map"),
+        Step("only_en", lambda t: pc.equal(t["lang"], pa.scalar("en")), kind="filter"),
+    ]
+    out = build_pipeline(ds, steps).to_pandas()
+    assert out["x"].tolist() == [2, 6]
+
+
+def test_hll_distinct_count_accuracy():
+    import pyarrow as pa
+
+    from aarhus_ray.functions.sketches import HLL_P, hll_estimate, hll_merge, hll_update
+
+    # pure-kernel accuracy: 10k distinct strings → estimate within ~5%
+    regs = np.zeros(1 << HLL_P, dtype=np.uint8)
+    hll_update(regs, [f"value-{i}" for i in range(10_000)])
+    est = hll_estimate(regs)
+    assert abs(est - 10_000) / 10_000 < 0.05
+    # mergeability: two halves merged == whole (identical registers)
+    a = np.zeros(1 << HLL_P, dtype=np.uint8)
+    b = np.zeros(1 << HLL_P, dtype=np.uint8)
+    hll_update(a, [f"value-{i}" for i in range(5_000)])
+    hll_update(b, [f"value-{i}" for i in range(5_000, 10_000)])
+    assert (hll_merge([a, b]) == regs).all()
+
+
+def test_hll_over_events_table():
+    import duckdb
+
+    from aarhus_ray.functions.sketches import distinct_count_hll
+
+    out = distinct_count_hll(SF, "events", "props")
+    con = duckdb.connect()
+    exact = con.execute(
+        f"SELECT count(DISTINCT props) FROM '{SF}/events.parquet'"
+    ).fetchone()[0]
+    approx = int(out["approx_distinct"].iloc[0])
+    assert abs(approx - exact) / max(1, exact) < 0.1

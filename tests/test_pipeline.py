@@ -99,6 +99,23 @@ def test_wand_equals_brute_on_real_index(golden_index):
     assert (wand["score"].to_numpy() == brute["score"].to_numpy()).all()
 
 
+def test_wand_daat_cursor_equals_brute_on_sharded_index(golden_index):
+    """The reference doc-at-a-time cursor WAND must also be exact on the
+    real index, including heavy terms salted across multiple shards (one
+    cursor per (term, shard))."""
+    q = fixtures.gen_queries(12, seed=3)
+    daat = (
+        query_index(golden_index["index"], q, k=10, method="wand_daat", resolve_urls=False)
+        .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    brute = (
+        query_index(golden_index["index"], q, k=10, method="brute", resolve_urls=False)
+        .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    assert (daat["doc_id"].to_numpy() == brute["doc_id"].to_numpy()).all()
+    assert (daat["score"].to_numpy() == brute["score"].to_numpy()).all()
+
+
 def test_dedup_and_doc_id_invariants(golden_index):
     docs = _docs_table(golden_index["index"], ["doc_id", "url", "doclen"])
     urls = docs["url"].to_pylist()
