@@ -5,13 +5,13 @@
       → map_batches(ExtractUDF, actor pool)  # html→text, html DROPPED pre-shuffle
       → groupby(pid).map_groups(DedupAssignWriter)   # all-to-all #1 (url hash)
            writes docs/pid=NNNN.parquet (checkpoint) + manifest rows
-    stats: aggregate(Count, Sum(doclen)) over docs/          (tiny)
+    stats: folded from dedup manifest rows (no extra Ray job)
     plan:  term boundaries + heavy set from a deterministic doc sample
     read_parquet(docs)                       # doc_id + text only
       → map_batches(PostingsEncoder, actor pool)     # encoded partials
-      → groupby(bucket).map_groups(MergeShard)       # all-to-all #2 (salted)
-      → groupby(seg_id).map_groups(AssembleSegment)  # term-range segments
-           writes segments/seg=SSSS/ (checkpoint) + manifest rows
+      → groupby(bucket).map_groups(AssembleSegment)  # all-to-all #2: ONE
+           salted (term-range × docID-salt) shuffle; writes
+           segments/seg=BBBB/ shard (checkpoint) + manifest rows
 
 Resume (BASELINE.json:6 "resumable from checkpoint"): each phase skips units
 with valid manifest entries; phase markers short-circuit whole phases; a
@@ -35,7 +35,7 @@ from ray.data.aggregate import Count, Sum
 
 from ..sources.pages import read_pages
 from ..stages.extract_stage import ExtractUDF, prep_batch_fn
-from ..stages.dedup_stage import DedupAssignWriter
+from ..stages.dedup_stage import DedupAssignWriter, docs_path
 from ..stages.postings_stage import AssembleSegment, PostingsEncoder
 from ..state import manifest as mf
 from ..textnorm import tokenize_batch
@@ -137,7 +137,18 @@ def build_index(
     _t0 = _time.perf_counter()
     # ---- Phase A: extract → url-hash shuffle → dedup/doc_id → docs/ ----
     if not (resume and os.path.exists(os.path.join(out_dir, PHASE_A_MARKER))):
-        done_pids = mf.completed_units(out_dir, "docs") if resume else set()
+        # resume trusts a docs partition only if its artifact still matches
+        # the manifest checksum (lineage integrity, BASELINE.json:6)
+        done_pids = (
+            mf.completed_units(
+                out_dir,
+                "docs",
+                verify=True,
+                paths={p: docs_path(out_dir, p) for p in range(num_partitions)},
+            )
+            if resume
+            else set()
+        )
         ds = read_pages(input_path)
         prep = prep_batch_fn(langs, num_partitions)
         if done_pids:

@@ -215,3 +215,21 @@ def test_partial_resume_completes_missing_partitions(tmp_path):
     for f, want in ref.items():
         with open(f, "rb") as fh:
             assert fh.read() == want, f"resume produced different {f}"
+
+
+def test_resume_detects_corrupted_partition(tmp_path):
+    """A docs partition whose bytes no longer match its manifest checksum
+    must be rebuilt on resume, not trusted (lineage integrity)."""
+    pages = str(tmp_path / "pages")
+    fixtures.write_pages_dir(pages, 150, seed=13, rows_per_file=75)
+    out = str(tmp_path / "idx")
+    build_index(pages, out, num_partitions=4, num_segments=2, n_salts=2)
+    victim = sorted(glob.glob(os.path.join(out, "docs", "pid=*.parquet")))[0]
+    good = open(victim, "rb").read()
+    with open(victim, "ab") as f:  # corrupt: append junk (checksum mismatch)
+        f.write(b"CORRUPTION")
+    os.remove(os.path.join(out, "_DOCS_DONE"))
+    os.remove(os.path.join(out, "_INDEX_DONE"))
+    build_index(pages, out, num_partitions=4, num_segments=2, n_salts=2, resume=True)
+    with open(victim, "rb") as f:
+        assert f.read() == good, "corrupted partition must be rebuilt bit-identically"
