@@ -14,9 +14,6 @@ identical results — property-tested in tests/test_wand.py.
 
 from __future__ import annotations
 
-import heapq
-import math
-
 import numpy as np
 
 from . import K1, B
@@ -67,7 +64,6 @@ def brute_force_topk(
     terms = sorted(set(t for t in query_terms if t in postings))
     if not terms:
         return np.empty(0, np.uint64), np.empty(0, np.float64)
-    acc: dict[int, float] = {}
     all_ids = np.unique(np.concatenate([postings[t][0] for t in terms]))
     scores = np.zeros(len(all_ids), dtype=np.float64)
     dls = doclen_lookup(all_ids).astype(np.float64)
@@ -76,10 +72,3 @@ def brute_force_topk(
         pos = np.searchsorted(all_ids, d_ids)
         scores[pos] += score_tf(tfs, dls[pos], avgdl, idf(dfs[t], n_docs))
     return topk_select(all_ids, scores, k)
-
-
-def merge_topk(partials: list[tuple[np.ndarray, np.ndarray]], k: int = 10) -> tuple[np.ndarray, np.ndarray]:
-    """Merge per-segment partial top-ks into a global top-k (frozen order)."""
-    ids = np.concatenate([p[0] for p in partials]) if partials else np.empty(0, np.uint64)
-    sc = np.concatenate([p[1] for p in partials]) if partials else np.empty(0, np.float64)
-    return topk_select(ids.astype(np.uint64), sc.astype(np.float64), k)

@@ -133,10 +133,6 @@ def svb_decode_streams(control: np.ndarray, data: np.ndarray, n: int) -> np.ndar
     return out.view("<u8").ravel().astype(np.uint64, copy=False)
 
 
-def svb_encoded_size(buf_or_lens) -> int:
-    return len(buf_or_lens)
-
-
 # ---------------------------------------------------------------- LEB128 varint
 
 _MAX_VARINT_BYTES = 10

@@ -96,16 +96,23 @@ class _TextParser(HTMLParser):
             self.parts.append(data)
 
 
-def extract_text(html: bytes) -> str:
-    """bytes → canonical extracted text. Pure and deterministic."""
+def extract_text(html: bytes | None) -> str:
+    """bytes → canonical extracted text. Pure and deterministic; a null or
+    non-bytes value yields "" (the pipeline never loses a row)."""
+    if not html:
+        return ""
     parser = _TextParser()
     try:
-        parser.feed(decode_html(html))
+        decoded = decode_html(html)
+    except Exception:
+        decoded = bytes(html).decode("latin-1", errors="replace")
+    try:
+        parser.feed(decoded)
         parser.close()
     except Exception:
         # HTMLParser almost never raises; if it does, fall back to a
         # deterministic tag-strip so the pipeline never loses a row.
-        raw = re.sub(r"(?is)<(script|style|template)\b.*?</\1\s*>", " ", decode_html(html))
+        raw = re.sub(r"(?is)<(script|style|template)\b.*?</\1\s*>", " ", decoded)
         parser.parts = [re.sub(r"<[^>]*>", "\n", raw)]
     text = "".join(parser.parts)
     text = _WS_WITH_NL.sub("\n", text)

@@ -37,6 +37,7 @@ from ..sources.pages import read_pages
 from ..stages.extract_stage import ExtractUDF, prep_batch_fn
 from ..stages.dedup_stage import DedupAssignWriter, docs_path
 from ..stages.postings_stage import AssembleSegment, PostingsEncoder
+from ..stages.postings_stage import seg_dir as seg_dir_path
 from ..state import manifest as mf
 from ..textnorm import tokenize_batch
 
@@ -107,7 +108,6 @@ def build_index(
     extract_batch_size: int = 256,
     postings_batch_size: int = 1024,
     concurrency: int | None = None,
-    k_check: None = None,
 ) -> dict:
     """Build the inverted index; returns the stats dict."""
     cpus = concurrency or _cpus()
@@ -191,7 +191,9 @@ def build_index(
     docs_rows = [r for r in mf.read_manifest(out_dir) if r["stage"] == "docs" and r["status"] == "done"]
     seen_pids = set()
     n_docs = total_len = 0
-    for r in docs_rows:
+    # manifest.jsonl is append-only: the LAST row per partition is
+    # authoritative (a rebuilt partition appends a fresh row)
+    for r in reversed(docs_rows):
         if r["partition_id"] in seen_pids:
             continue
         seen_pids.add(r["partition_id"])
@@ -227,7 +229,22 @@ def build_index(
     # The reducer unit is the (seg_id, salt) shard, so the heaviest term's
     # merge work spreads over n_salts tasks and no separate premerge
     # stage/shuffle is needed (SURVEY.md §4.2, evolved).
-    done_segs = tuple(mf.completed_units(out_dir, "segment")) if resume else ()
+    n_buckets = (len(boundaries) + 1) * max(1, n_salts)
+    done_segs = (
+        tuple(
+            mf.completed_units(
+                out_dir,
+                "segment",
+                verify=True,
+                paths={
+                    b: os.path.join(seg_dir_path(out_dir, b), "postings.bin")
+                    for b in range(n_buckets)
+                },
+            )
+        )
+        if resume
+        else ()
+    )
     docs_ds = ray.data.read_parquet(docs_glob, columns=["doc_id", "text"])
     partials = docs_ds.map_batches(
         PostingsEncoder,

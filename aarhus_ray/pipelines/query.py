@@ -56,7 +56,13 @@ def _shared_scorer_state(out_dir: str, segs: list[int]):
     from ..stages.query_stage import DoclenTable, Segment
     from ..state import manifest as mf
 
-    key = os.path.abspath(out_dir)
+    # key includes stats.json mtime: rebuilding an index at the same path in
+    # one driver process must invalidate the cached doclens/impacts
+    try:
+        version = os.stat(os.path.join(out_dir, "stats.json")).st_mtime_ns
+    except OSError:
+        version = 0
+    key = (os.path.abspath(out_dir), version)
     if key in _SHARED_STATE_CACHE:
         return _SHARED_STATE_CACHE[key]
     stats = mf.read_stats(out_dir)
@@ -116,24 +122,25 @@ def query_index(
     """queries: parquet path | ray Dataset | pyarrow Table with
     (query_id:int64, text:string). Returns a Dataset
     (query_id, rank, doc_id[, url], score)."""
+    n_q = None
     if isinstance(queries, str):
         qds = ray.data.read_parquet(queries)
+        n_q = qds.count()  # parquet metadata only — no execution
     elif isinstance(queries, pa.Table):
+        n_q = queries.num_rows
         qds = ray.data.from_arrow(queries)
     else:
-        qds = queries
+        qds = queries  # caller-built Dataset: don't count() (it would
+        # execute the upstream pipeline once just to pick a split factor)
     segs = list_segments(out_dir)
     if not segs:
         raise ValueError(f"no segments under {out_dir}")
     conc = concurrency or max(1, _cpus())
-    # one map task per block: split the (often single-block) query table so
-    # the actor pool actually fans out; ~4 batches per actor keeps each
-    # actor's term cache warm across several batches
-    try:
-        n_q = qds.count()
+    if n_q is not None:
+        # one map task per block: split the (often single-block) query table
+        # so the actor pool actually fans out; ~4 batches per actor keeps
+        # each actor's term cache warm across several batches
         qds = qds.repartition(max(1, min(conc * 4, n_q // max(1, batch_size) + 1)))
-    except Exception:
-        pass
     shared_ref = _shared_scorer_state(out_dir, segs)
     merged = qds.map_batches(
         QueryScorer,

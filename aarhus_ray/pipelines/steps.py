@@ -77,3 +77,7 @@ REGISTRY: dict[str, Step] = {}
 def register(step: Step) -> Step:
     REGISTRY[step.name] = step
     return step
+
+
+# built-ins are available immediately (REGISTRY["extract"], ...)
+REGISTRY.update(default_registry())

@@ -181,11 +181,6 @@ class PostingsEncoder:
         )
 
 
-def _decode_partial(doc_blob, tf_blob, n: int) -> tuple[np.ndarray, np.ndarray]:
-    gaps = codecs.varint_decode(doc_blob)
-    return codecs.delta_decode(gaps), codecs.varint_decode(tf_blob)
-
-
 def _decode_partials_segmented(
     doc_blobs: list[bytes], tf_blobs: list[bytes], dfs: np.ndarray
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -224,7 +219,7 @@ def _sorted_runs(group: pa.Table, by_salt: bool):
     mins = group["min_doc_id"].to_numpy(zero_copy_only=False)
     dfs = group["df_partial"].to_numpy(zero_copy_only=False).astype(np.int64)
     seg_ids = group["seg_id"].to_numpy(zero_copy_only=False)
-    order = np.lexsort((mins, salts, terms) if by_salt else (mins, salts, terms))
+    order = np.lexsort((mins, salts, terms))
     doc_blobs = group["doc_ids"].to_pylist()
     tf_blobs = group["tfs"].to_pylist()
     doc_blobs = [doc_blobs[i] for i in order]

@@ -22,7 +22,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from .. import codecs
-from ..bm25 import brute_force_topk, topk_select
+from ..bm25 import brute_force_topk
 from ..partition import DOC_ID_PARTITION_SHIFT
 from ..state import manifest as mf
 from ..textnorm import tokenize
@@ -261,27 +261,6 @@ class QueryScorer:
                 "score": pa.array(scores, pa.float64()),
             }
         )
-
-
-def merge_query_partials(k: int = 10):
-    """groupby("query_id").map_groups fn: merge per-segment partial top-ks
-    into the global top-k with ranks (frozen order)."""
-
-    def merge(group: pa.Table) -> pa.Table:
-        qid = group["query_id"][0].as_py()
-        ids = group["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        sc = group["score"].to_numpy(zero_copy_only=False).astype(np.float64)
-        d, s = topk_select(ids, sc, k)
-        return pa.table(
-            {
-                "query_id": pa.array([qid] * len(d), pa.int64()),
-                "rank": pa.array(np.arange(1, len(d) + 1, dtype=np.int32), pa.int32()),
-                "doc_id": pa.array(d, pa.uint64()),
-                "score": pa.array(s, pa.float64()),
-            }
-        )
-
-    return merge
 
 
 class UrlResolver:

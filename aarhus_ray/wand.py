@@ -22,7 +22,9 @@ import numpy as np
 from . import codecs
 from .bm25 import score_tf
 
-_EXHAUSTED = 1 << 62
+# Sentinel above every legal docID: the (pid<<40)|row scheme caps pid below
+# 2^24, so real doc_ids stay < 2^64 - 2^40 < 2^64-1.
+_EXHAUSTED = (1 << 64) - 1
 
 
 class TermCursor:
@@ -244,14 +246,17 @@ def block_max_topk(
             sel = sel[ub[sel] > threshold]
             if len(sel) == 0:
                 continue
-        lo_edges = np.zeros(len(sel), dtype=np.int64)
+        # keep edges in uint64: mixing uint64 doc_ids with int64 needles makes
+        # numpy promote BOTH to float64, which corrupts comparisons for
+        # doc_ids >= 2^53 (i.e. partition_id >= 8192)
         nz = sel > 0
-        lo_edges[nz] = edges[sel[nz] - 1].astype(np.int64)
-        lo_edges[~nz] = -1
-        hi_edges = edges[sel].astype(np.int64)
+        lo_edges = np.zeros(len(sel), dtype=np.uint64)
+        lo_edges[nz] = edges[sel[nz] - 1]
+        hi_edges = edges[sel]
         parts = []
         for term, doc_ids, contribs, lasts, bmax in term_entries:
             s = np.searchsorted(doc_ids, lo_edges, side="right")
+            s[~nz] = 0  # first interval starts at the beginning of the list
             e = np.searchsorted(doc_ids, hi_edges, side="right")
             idx = _multi_slice(s, e)
             if len(idx):
@@ -273,8 +278,9 @@ def block_max_topk(
                 scores[pos] += c
         cand_ids = np.concatenate([cand_ids, union])
         cand_scores = np.concatenate([cand_scores, scores])
-        if len(cand_ids) > k:
-            cand_ids, cand_scores = topk_select(cand_ids, cand_scores, k)
         if len(cand_ids) >= k:
+            # >= not >: with exactly k candidates the arrays are still in
+            # union order, and threshold must be the kth-BEST score
+            cand_ids, cand_scores = topk_select(cand_ids, cand_scores, k)
             threshold = float(cand_scores[-1])
     return topk_select(cand_ids, cand_scores, k)

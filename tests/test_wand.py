@@ -97,3 +97,86 @@ def test_wand_skewed_heavy_term():
     postings = {"the": (heavy_ids, heavy_tfs), "rareterm": (rare_ids, rare_tfs)}
     (bi, bs), (wi, ws) = _run_both(doclens, postings, ["the", "rareterm"], 10)
     assert np.array_equal(bi, wi) and np.array_equal(bs, ws)
+
+
+def _run_blockmax(doclens, postings, query_terms, k):
+    """Run the vectorized block-max scorer the way QueryScorer feeds it."""
+    from aarhus_ray.bm25 import idf as idf_fn, score_tf
+    from aarhus_ray.wand import block_max_topk
+
+    n_docs = len(doclens)
+    avgdl = float(doclens.mean())
+    entries = []
+    for t in sorted(set(query_terms)):
+        if t not in postings:
+            continue
+        ids, tfs = postings[t]
+        iv = idf_fn(len(ids), n_docs)
+        _, skips_b = codecs.encode_postings(ids, tfs)
+        skips = np.frombuffer(skips_b, dtype=codecs.SKIP_DTYPE)
+        contribs = score_tf(tfs, doclens[ids.astype(np.int64)].astype(np.float64), avgdl, iv)
+        entries.append(
+            (t, ids, contribs, skips["last_doc_id"].copy(), codecs.tf_upper_bound(skips["max_tf"], iv))
+        )
+    return block_max_topk(entries, avgdl, k)
+
+
+@given(st.integers(0, 5000))
+@settings(max_examples=15, deadline=None)
+def test_blockmax_large_k_exceeds_chunk(seed):
+    """Regression: with k >= the first interval chunk (64), the vectorized
+    block-max threshold must come from the kth-BEST score, not from
+    unsorted candidates."""
+    rng = np.random.RandomState(seed)
+    n_docs = int(rng.randint(300, 900))
+    doclens, postings = _mini_corpus(rng, n_docs, n_terms=6, density=0.6)
+    if not postings:
+        return
+    terms = list(postings)
+    q = [terms[rng.randint(len(terms))] for _ in range(int(rng.randint(1, 4)))]
+    k = int(rng.randint(64, 200))
+    (bi, bs), _ = _run_both(doclens, postings, q, k)
+    wi, ws = _run_blockmax(doclens, postings, q, k)
+    assert np.array_equal(bi, wi) and np.array_equal(bs, ws)
+
+
+def test_blockmax_large_docids_no_float_promotion():
+    """Regression: doc_ids >= 2^53 must not be corrupted by float64
+    promotion in interval slicing (partition_id >= 8192 in the docID
+    scheme)."""
+    from aarhus_ray.bm25 import idf as _idf, score_tf
+    from aarhus_ray.wand import block_max_topk
+
+    rng = np.random.RandomState(5)
+    base = np.uint64(1 << 55)
+    # adjacent doc_ids around the 2^53 precision cliff
+    ids_a = base + np.arange(0, 600, 2, dtype=np.uint64)
+    ids_b = base + np.arange(1, 601, 2, dtype=np.uint64)
+    tf_a = rng.randint(1, 9, size=len(ids_a)).astype(np.uint64)
+    tf_b = rng.randint(1, 9, size=len(ids_b)).astype(np.uint64)
+    n_docs, avgdl = 1200, 50.0
+    dls = rng.randint(10, 100, size=1200).astype(np.float64)
+
+    def entry(term, ids, tfs, df_other):
+        iv = _idf(len(ids), n_docs)
+        blob, skips_b = codecs.encode_postings(ids, tfs)
+        skips = np.frombuffer(skips_b, dtype=codecs.SKIP_DTYPE)
+        dl = dls[(ids - base).astype(np.int64) % 1200]
+        contribs = score_tf(tfs, dl, avgdl, iv)
+        bmax = codecs.tf_upper_bound(skips["max_tf"], iv)
+        return (term, ids, contribs, skips["last_doc_id"].copy(), bmax), iv, dl
+
+    ea, iva, dla = entry("aa", ids_a, tf_a, len(ids_b))
+    eb, ivb, dlb = entry("bb", ids_b, tf_b, len(ids_a))
+    got_ids, got_scores = block_max_topk([ea, eb], avgdl, 10)
+    # brute force over the union
+    union = np.concatenate([ids_a, ids_b])
+    scores = np.concatenate(
+        [score_tf(tf_a, dla, avgdl, iva), score_tf(tf_b, dlb, avgdl, ivb)]
+    )
+    from aarhus_ray.bm25 import topk_select
+
+    want_ids, want_scores = topk_select(union, scores, 10)
+    assert len(np.unique(got_ids)) == len(got_ids), "duplicate doc in top-k"
+    assert np.array_equal(got_ids, want_ids)
+    assert np.array_equal(got_scores, want_scores)
