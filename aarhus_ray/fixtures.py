@@ -80,7 +80,7 @@ def _doc_html(rng: np.random.RandomState, tokens: list[str], doc_idx: int) -> tu
     return html, latin1
 
 
-def gen_pages(n: int, seed: int = 42, avg_tokens: int = 80) -> pa.Table:
+def gen_pages(n: int, seed: int = 42, avg_tokens: int = 80, url_offset: int = 0) -> pa.Table:
     """Deterministic pages table (schema PAGES). ~3% duplicate urls with a
     later warc_ts and different html (dedup winner = max warc_ts).
     ``avg_tokens`` scales page size: goldens/tests use the default 80;
@@ -104,7 +104,7 @@ def gen_pages(n: int, seed: int = 42, avg_tokens: int = 80) -> pa.Table:
             toks = []
         html, latin1 = _doc_html(rng, toks, i)
         raw = html.encode("iso-8859-1" if latin1 else "utf-8", errors="replace")
-        urls.append(f"https://site{i % n_sites}.example/p/{i}")
+        urls.append(f"https://site{(i + url_offset) % n_sites}.example/p/{i + url_offset}")
         tss.append(int(ts[i]))
         htmls.append(raw)
         texts.append(extract_text(raw))
@@ -174,26 +174,56 @@ def gen_queries(n: int, seed: int = 42) -> pa.Table:
     )
 
 
+_PARALLEL_GEN_THRESHOLD = 50_000
+
+
+def _gen_shard(args) -> str:
+    out_dir, i, n_shard, shard_seed, avg_tokens, url_offset = args
+    # url_offset keeps urls globally unique across shards (shard-local
+    # indices would collide and dedup would silently shrink the corpus)
+    table = gen_pages(n_shard, shard_seed, avg_tokens=avg_tokens, url_offset=url_offset)
+    path = os.path.join(out_dir, f"part-{i:04d}.parquet")
+    pq.write_table(table, path, row_group_size=1024)
+    return path
+
+
 def write_pages_dir(
     out_dir: str, n: int, seed: int = 42, rows_per_file: int = 25_000, avg_tokens: int = 80
 ) -> str:
     """Write the pages fixture as a directory of parquet shards (multiple
-    files → multiple read blocks for Ray). Idempotent: skips if complete."""
+    files → multiple read blocks for Ray; small row groups so
+    override_num_blocks can split further). Idempotent: skips if complete.
+
+    Corpora >= 50k pages generate shards in PARALLEL with per-shard derived
+    seeds (still fully deterministic for a given (n, seed, avg_tokens) —
+    but a different byte stream than the single-pass generator, so
+    golden/test corpora below the threshold are unaffected)."""
     done = os.path.join(out_dir, "_DONE")
     if os.path.exists(done):
         return out_dir
     os.makedirs(out_dir, exist_ok=True)
-    table = gen_pages(n, seed, avg_tokens=avg_tokens)
-    nf = max(1, (len(table) + rows_per_file - 1) // rows_per_file)
-    per = (len(table) + nf - 1) // nf
-    for i in range(nf):
-        # small row groups so read_parquet(override_num_blocks=...) can split
-        # files into many blocks → map-stage parallelism isn't capped at nf
-        pq.write_table(
-            table.slice(i * per, per),
-            os.path.join(out_dir, f"part-{i:04d}.parquet"),
-            row_group_size=1024,
-        )
+    if n >= _PARALLEL_GEN_THRESHOLD:
+        import multiprocessing as mp
+
+        nf = max(1, (n + rows_per_file - 1) // rows_per_file)
+        per = (n + nf - 1) // nf
+        jobs = [
+            (out_dir, i, min(per, n - i * per), seed + 7919 * (i + 1), avg_tokens, i * per)
+            for i in range(nf)
+            if min(per, n - i * per) > 0
+        ]
+        with mp.Pool(min(16, len(jobs))) as pool:
+            pool.map(_gen_shard, jobs)
+    else:
+        table = gen_pages(n, seed, avg_tokens=avg_tokens)
+        nf = max(1, (len(table) + rows_per_file - 1) // rows_per_file)
+        per = (len(table) + nf - 1) // nf
+        for i in range(nf):
+            pq.write_table(
+                table.slice(i * per, per),
+                os.path.join(out_dir, f"part-{i:04d}.parquet"),
+                row_group_size=1024,
+            )
     with open(done, "w") as f:
-        f.write(f"n={n} seed={seed}\n")
+        f.write(f"n={n} seed={seed} avg_tokens={avg_tokens}\n")
     return out_dir

@@ -1,13 +1,17 @@
 """query_index — top-k BM25 over a built index (SURVEY.md §3.2).
 
-    queries → map_batches(QueryScorer actor pool)   # replicas; each query
-                                                    # scored once, completely
-            → map_batches(UrlResolver)              # partition-pruned lookup
+    queries → map_batches(scorer task fn)   # replicas; each query scored
+                                            # once, completely; scorer state
+                                            # cached per worker process
+            → map_batches(UrlResolver)      # partition-pruned lookup
 
 The index is TERM-sharded (segments = disjoint term ranges), so each scorer
-actor maps ALL segments (mmap — replicas on a node share page cache) and
+replica maps ALL segments (mmap — replicas on a node share page cache) and
 gathers a query's term cursors from their owning segments before running a
-single Block-Max WAND. Per-segment top-k + merge would be WRONG here: it
+single Block-Max WAND. Scorers ride Ray's long-lived default workers via
+make_scorer_task_fn (state cached per process — same amortization as an
+actor pool without per-run actor spawn); heavy-term impact arrays and
+doclens come from ONE shared object-store copy (ray.put, zero-copy reads). Per-segment top-k + merge would be WRONG here: it
 splits a document's score across segments whenever a query's terms straddle
 a term-range boundary (caught by the DuckDB oracle; see QueryScorer
 docstring). Results carry the frozen order (score DESC, doc_id ASC) with
@@ -25,7 +29,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from ..stages.query_stage import QueryScorer, UrlResolver
+from ..stages.query_stage import QueryScorer, UrlResolver, make_scorer_task_fn
 from ..state import manifest as mf
 
 
@@ -122,35 +126,39 @@ def query_index(
     """queries: parquet path | ray Dataset | pyarrow Table with
     (query_id:int64, text:string). Returns a Dataset
     (query_id, rank, doc_id[, url], score)."""
-    n_q = None
-    if isinstance(queries, str):
-        qds = ray.data.read_parquet(queries)
-        n_q = qds.count()  # parquet metadata only — no execution
-    elif isinstance(queries, pa.Table):
-        n_q = queries.num_rows
-        qds = ray.data.from_arrow(queries)
-    else:
-        qds = queries  # caller-built Dataset: don't count() (it would
-        # execute the upstream pipeline once just to pick a split factor)
     segs = list_segments(out_dir)
     if not segs:
         raise ValueError(f"no segments under {out_dir}")
     conc = concurrency or max(1, _cpus())
-    if n_q is not None:
-        # one map task per block: split the (often single-block) query table
-        # so the actor pool actually fans out; ~4 batches per actor keeps
-        # each actor's term cache warm across several batches
+    if isinstance(queries, str):
+        qds = ray.data.read_parquet(queries)
+        n_q = qds.count()  # parquet metadata only — no execution
+        # split so the actor pool can fan out (see Table branch below)
         qds = qds.repartition(max(1, min(conc * 4, n_q // max(1, batch_size) + 1)))
+    elif isinstance(queries, pa.Table):
+        # one map task per block: slice the table into one block per batch
+        # up-front (from_arrow with a list) — a single-block table would
+        # feed the whole pool exactly ONE task, and repartition() output
+        # can get re-coalesced by size before the actor operator
+        n_blocks = max(1, min(conc * 4, queries.num_rows // max(1, batch_size) + 1))
+        per = (queries.num_rows + n_blocks - 1) // n_blocks
+        slices = [queries.slice(i * per, per) for i in range(n_blocks) if i * per < queries.num_rows]
+        qds = ray.data.from_arrow(slices)
+    else:
+        qds = queries  # caller-built Dataset: trust its block layout (a
+        # count() here would execute the upstream pipeline twice)
     shared_ref = _shared_scorer_state(out_dir, segs)
+    try:
+        version = os.stat(os.path.join(out_dir, "stats.json")).st_mtime_ns
+    except OSError:
+        version = 0
+    # stateless tasks + per-worker-process scorer cache: Ray's default
+    # workers are long-lived, so repeated query runs reuse warm scorers
+    # instead of paying a fresh actor-pool spawn (~2s/actor) per run
     merged = qds.map_batches(
-        QueryScorer,
-        fn_constructor_args=(out_dir, segs, k, method, shared_ref),
+        make_scorer_task_fn(out_dir, segs, k, method, shared_ref, version),
         batch_format="pyarrow",
         batch_size=batch_size,
-        # floor = conc/4: pure autoscaling from 1 never ramps before a
-        # moderate query stream drains; a fixed pool sized to every CPU can
-        # starve the upstream read/split operators and stall the executor
-        concurrency=(max(1, conc // 4), conc),
     )
     if resolve_urls:
         merged = merged.map_batches(

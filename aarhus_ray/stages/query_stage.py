@@ -263,6 +263,33 @@ class QueryScorer:
         )
 
 
+_WORKER_SCORER_CACHE: dict[tuple, "QueryScorer"] = {}
+
+
+def make_scorer_task_fn(out_dir: str, seg_ids: list[int], k: int, method: str, shared_ref, version: int):
+    """Stateless-TASK form of the scorer stage: a plain map_batches function
+    whose QueryScorer instance is cached per WORKER PROCESS (module global).
+
+    Why this exists alongside the actor-pool form: an actor pool spawns
+    fresh Python processes per query run (~2s each — far more than the
+    scoring itself for a few thousand queries), while plain tasks reuse
+    Ray's long-lived default workers, whose module cache keeps the scorer
+    warm across query runs. Same state-amortization pattern, better process
+    reuse for a serving-shaped stage. ``version`` (stats.json mtime) keys
+    the cache so a rebuilt index is never served stale."""
+
+    def score_batch(batch: pa.Table) -> pa.Table:
+        key = (out_dir, version, k, method)
+        scorer = _WORKER_SCORER_CACHE.get(key)
+        if scorer is None:
+            scorer = QueryScorer(out_dir, seg_ids, k, method, shared_ref)
+            _WORKER_SCORER_CACHE.clear()  # old index versions are dead weight
+            _WORKER_SCORER_CACHE[key] = scorer
+        return scorer(batch)
+
+    return score_batch
+
+
 class UrlResolver:
     """map_batches actor: doc_id → url by reading only the touched docs/pid
     files (partition pruning via the docID scheme)."""
