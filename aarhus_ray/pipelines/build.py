@@ -1,21 +1,26 @@
-"""build_index — the end-to-end index build (SURVEY.md §3.1).
+"""build_index — the end-to-end index build (SURVEY.md §3.1, §8).
+
+Fresh build = ONE streaming DAG with exactly two all-to-alls:
 
     read_parquet(pages)                      # pruned columns, many blocks
       → map_batches(prep)                    # url normalize, lang filter, pid tag
       → map_batches(ExtractUDF, actor pool)  # html→text, html DROPPED pre-shuffle
-      → groupby(pid).map_groups(DedupAssignWriter)   # all-to-all #1 (url hash)
-           writes docs/pid=NNNN.parquet (checkpoint) + manifest rows
-    stats: folded from dedup manifest rows (no extra Ray job)
-    plan:  term boundaries + heavy set from a deterministic doc sample
-    read_parquet(docs)                       # doc_id + text only
-      → map_batches(PostingsEncoder, actor pool)     # encoded partials
-      → groupby(bucket).map_groups(AssembleSegment)  # all-to-all #2: ONE
-           salted (term-range × docID-salt) shuffle; writes
-           segments/seg=BBBB/ shard (checkpoint) + manifest rows
+      → groupby(pid).map_groups(DedupAssignWriter+PostingsEncoder)
+           # all-to-all #1 (url hash): dedup, doc_ids, docs/pid=NNNN.parquet
+           # checkpoint written as a side effect, encoded partials emitted
+      → groupby(bucket).map_groups(AssembleSegment)
+           # all-to-all #2: ONE salted (term-range × docID-salt) shuffle;
+           # writes segments/seg=BBBB/ shards (checkpoint) + manifest rows
 
-Resume (BASELINE.json:6 "resumable from checkpoint"): each phase skips units
-with valid manifest entries; phase markers short-circuit whole phases; a
-config/code-version hash in stats.json refuses to resume across drift.
+Global stats (N, avgdl) fold from the dedup manifest rows; the segment/skew
+plan (term boundaries + heavy set) comes from a deterministic driver-side
+sample of the INPUT and is persisted to plan.json so resumes reuse it.
+
+Resume from a partially built index switches to the two-phase path (finish
+docs/ for missing pids, then re-derive partials by reading docs/ back) —
+checkpoint artifacts are trusted only when they match their manifest
+checksums; stats.json's config + code-version hash refuses to resume across
+drift.
 
 Library code never calls ray.init()/ray.shutdown().
 """
@@ -23,6 +28,7 @@ Library code never calls ray.init()/ray.shutdown().
 from __future__ import annotations
 
 import glob
+import json
 import os
 import shutil
 
@@ -33,6 +39,7 @@ import ray
 import ray.data
 from ray.data.aggregate import Count, Sum
 
+from ..extract import extract_text
 from ..sources.pages import read_pages
 from ..stages.extract_stage import ExtractUDF, prep_batch_fn
 from ..stages.dedup_stage import DedupAssignWriter, docs_path
@@ -61,20 +68,10 @@ def _cpus() -> int:
         return 8
 
 
-def _plan_terms(out_dir: str, num_segments: int, sample_docs: int, heavy_df_frac: float):
-    """Deterministic segment boundaries + heavy-term set from a corpus
-    sample (first `sample_docs` docs in pid/file order — stable for a given
-    corpus + P). Boundaries are occurrence-weighted quantiles so segments
-    balance posting BYTES, not term counts (SURVEY.md §4.2)."""
-    files = sorted(glob.glob(os.path.join(out_dir, "docs", "pid=*.parquet")))
-    texts: list[str] = []
-    for f in files:
-        if len(texts) >= sample_docs:
-            break
-        texts.extend(pq.read_table(f, columns=["text"])["text"].to_pylist())
-    texts = texts[:sample_docs]
-    toks = tokenize_batch(texts)
-    n_sample = max(1, len(texts))
+def _plan_from_tokens(toks: list[list[str]], num_segments: int, heavy_df_frac: float):
+    """Boundaries (occurrence-weighted term quantiles → segments balance
+    posting BYTES, not term counts) + heavy set from tokenized sample docs."""
+    n_sample = max(1, len(toks))
     df_counts: dict[str, int] = {}
     all_occ: list[str] = []
     for ts in toks:
@@ -90,6 +87,51 @@ def _plan_terms(out_dir: str, num_segments: int, sample_docs: int, heavy_df_frac
         b = str(occ[min(len(occ) - 1, i * len(occ) // num_segments)])
         if not bounds or b > bounds[-1]:
             bounds.append(b)
+    return bounds, heavy
+
+
+def _plan_terms_from_pages(input_path: str, num_segments: int, sample_docs: int, heavy_df_frac: float):
+    """Deterministic plan from the INPUT corpus: first `sample_docs` rows in
+    file order, extracted + tokenized driver-side. At cluster scale this
+    becomes a distributed per-partition reservoir sample (SCALE.md §2)."""
+    paths = [input_path]
+    if os.path.isdir(input_path):
+        paths = sorted(glob.glob(os.path.join(input_path, "*.parquet")))
+    texts: list[str] = []
+    for p in paths:
+        if len(texts) >= sample_docs:
+            break
+        t = pq.read_table(p, columns=["html"])
+        texts.extend(extract_text(h) for h in t["html"].to_pylist()[: sample_docs - len(texts)])
+    return _plan_from_tokens(tokenize_batch(texts), num_segments, heavy_df_frac)
+
+
+def _plan_terms_from_docs(out_dir: str, num_segments: int, sample_docs: int, heavy_df_frac: float):
+    """Legacy resume fallback: plan from the docs/ checkpoint."""
+    files = sorted(glob.glob(os.path.join(out_dir, "docs", "pid=*.parquet")))
+    texts: list[str] = []
+    for f in files:
+        if len(texts) >= sample_docs:
+            break
+        texts.extend(pq.read_table(f, columns=["text"])["text"].to_pylist())
+    return _plan_from_tokens(tokenize_batch(texts[:sample_docs]), num_segments, heavy_df_frac)
+
+
+def _load_or_make_plan(out_dir, input_path, num_segments, sample_docs, heavy_df_frac, from_docs):
+    """The plan defines the segment layout, so a resume MUST reuse the
+    original one — it is persisted to plan.json the first time."""
+    plan_path = os.path.join(out_dir, "plan.json")
+    if os.path.exists(plan_path):
+        with open(plan_path) as f:
+            plan = json.load(f)
+        return plan["boundaries"], plan["heavy_terms"]
+    if from_docs:
+        bounds, heavy = _plan_terms_from_docs(out_dir, num_segments, sample_docs, heavy_df_frac)
+    else:
+        bounds, heavy = _plan_terms_from_pages(input_path, num_segments, sample_docs, heavy_df_frac)
+    mf.atomic_write_bytes(
+        plan_path, json.dumps({"boundaries": bounds, "heavy_terms": heavy}).encode()
+    )
     return bounds, heavy
 
 
@@ -135,20 +177,26 @@ def build_index(
     import time as _time
 
     _t0 = _time.perf_counter()
-    # ---- Phase A: extract → url-hash shuffle → dedup/doc_id → docs/ ----
-    if not (resume and os.path.exists(os.path.join(out_dir, PHASE_A_MARKER))):
-        # resume trusts a docs partition only if its artifact still matches
-        # the manifest checksum (lineage integrity, BASELINE.json:6)
-        done_pids = (
-            mf.completed_units(
-                out_dir,
-                "docs",
-                verify=True,
-                paths={p: docs_path(out_dir, p) for p in range(num_partitions)},
-            )
-            if resume
-            else set()
+    phase_a_done = resume and os.path.exists(os.path.join(out_dir, PHASE_A_MARKER))
+    # resume trusts a docs partition only if its artifact still matches the
+    # manifest checksum (lineage integrity, BASELINE.json:6)
+    done_pids = (
+        mf.completed_units(
+            out_dir,
+            "docs",
+            verify=True,
+            paths={p: docs_path(out_dir, p) for p in range(num_partitions)},
         )
+        if resume
+        else set()
+    )
+    # the fused single-DAG path requires the docs checkpoint to be absent:
+    # previously finished pids are filtered out upstream and would be
+    # missing from the emitted partials
+    fused = not phase_a_done and not done_pids
+    n_buckets = None
+
+    def _pages_pipeline():
         ds = read_pages(input_path)
         prep = prep_batch_fn(langs, num_partitions)
         if done_pids:
@@ -163,36 +211,88 @@ def build_index(
             ds = ds.map_batches(prep_skip, batch_format="pyarrow")
         else:
             ds = ds.map_batches(prep, batch_format="pyarrow")
-        ds = ds.map_batches(
+        return ds.map_batches(
             ExtractUDF,
             batch_format="pyarrow",
             batch_size=extract_batch_size,
             # pre-warm half the pool: autoscaling from 1 costs seconds of ramp
             concurrency=(max(1, cpus // 2), cpus),
         )
-        manifest_rows = ds.groupby("pid").map_groups(
-            DedupAssignWriter(out_dir), batch_format="pyarrow"
+
+    if fused:
+        boundaries, heavy = _load_or_make_plan(
+            out_dir, input_path, num_segments, sample_docs, heavy_df_frac, from_docs=False
         )
-        manifest_rows.count()  # execute; rows are tiny and land in manifest.jsonl
+        _phase_log(f"plan (from input sample) {_time.perf_counter() - _t0:.1f}s")
+        _t0 = _time.perf_counter()
+        n_buckets = (len(boundaries) + 1) * max(1, n_salts)
+        encoder = PostingsEncoder(boundaries, heavy, num_partitions, n_salts)
+        partials = _pages_pipeline().groupby("pid").map_groups(
+            DedupAssignWriter(out_dir, encoder=encoder), batch_format="pyarrow"
+        )
+        seg_manifest = partials.groupby("bucket").map_groups(
+            AssembleSegment(out_dir), batch_format="pyarrow"
+        )
+        rows = seg_manifest.take_all()
         with open(os.path.join(out_dir, PHASE_A_MARKER), "w") as f:
             f.write("done\n")
-    _phase_log(f"phase A (extract+dedup) {_time.perf_counter() - _t0:.1f}s")
-    _t0 = _time.perf_counter()
+        _phase_log(f"fused build DAG {_time.perf_counter() - _t0:.1f}s")
+        _t0 = _time.perf_counter()
+    else:
+        # ---- two-phase resume path: finish docs/, then rebuild partials
+        # from the checkpoint ----
+        if not phase_a_done:
+            _pages_pipeline().groupby("pid").map_groups(
+                DedupAssignWriter(out_dir), batch_format="pyarrow"
+            ).count()
+            with open(os.path.join(out_dir, PHASE_A_MARKER), "w") as f:
+                f.write("done\n")
+        _phase_log(f"phase A (extract+dedup) {_time.perf_counter() - _t0:.1f}s")
+        _t0 = _time.perf_counter()
+        docs_glob = sorted(glob.glob(os.path.join(out_dir, "docs", "pid=*.parquet")))
+        if not docs_glob:
+            raise ValueError(f"no documents survived the build from {input_path}")
+        boundaries, heavy = _load_or_make_plan(
+            out_dir, input_path, num_segments, sample_docs, heavy_df_frac, from_docs=True
+        )
+        n_buckets = (len(boundaries) + 1) * max(1, n_salts)
+        done_segs = tuple(
+            mf.completed_units(
+                out_dir,
+                "segment",
+                verify=True,
+                paths={
+                    b: os.path.join(seg_dir_path(out_dir, b), "postings.bin")
+                    for b in range(n_buckets)
+                },
+            )
+        )
+        docs_ds = ray.data.read_parquet(docs_glob, columns=["doc_id", "text"])
+        partials = docs_ds.map_batches(
+            PostingsEncoder,
+            fn_constructor_args=(boundaries, heavy, num_partitions, n_salts),
+            batch_format="pyarrow",
+            batch_size=postings_batch_size,
+            concurrency=(max(1, cpus // 2), cpus),
+        )
+        seg_manifest = partials.groupby("bucket").map_groups(
+            AssembleSegment(out_dir, done_segs), batch_format="pyarrow"
+        )
+        rows = seg_manifest.take_all()
+        _phase_log(f"phase D (postings+segments) {_time.perf_counter() - _t0:.1f}s")
+        _t0 = _time.perf_counter()
 
-    docs_glob = sorted(glob.glob(os.path.join(out_dir, "docs", "pid=*.parquet")))
-    if not docs_glob:
+    if not glob.glob(os.path.join(out_dir, "docs", "pid=*.parquet")):
         raise ValueError(f"no documents survived the build from {input_path}")
 
-    # ---- Phase B: global stats. The dedup stage already recorded per-pid
-    # row counts and doclen sums in its manifest rows (partial aggregation
-    # at the source), so stats are a manifest fold — no extra Ray job.
-    # Fallback to a Ray aggregate if resuming an index whose manifest
-    # predates doclen_sum.
-    docs_rows = [r for r in mf.read_manifest(out_dir) if r["stage"] == "docs" and r["status"] == "done"]
+    # ---- global stats: fold the dedup manifest rows (partial aggregation
+    # at the source — no extra Ray job). manifest.jsonl is append-only, so
+    # the LAST row per partition is authoritative.
+    docs_rows = [
+        r for r in mf.read_manifest(out_dir) if r["stage"] == "docs" and r["status"] == "done"
+    ]
     seen_pids = set()
     n_docs = total_len = 0
-    # manifest.jsonl is append-only: the LAST row per partition is
-    # authoritative (a rebuilt partition appends a fresh row)
     for r in reversed(docs_rows):
         if r["partition_id"] in seen_pids:
             continue
@@ -200,18 +300,13 @@ def build_index(
         n_docs += int(r["output_rows"])
         total_len += int(r.get("doclen_sum", -1))
     if not docs_rows or any("doclen_sum" not in r for r in docs_rows):
+        docs_glob = sorted(glob.glob(os.path.join(out_dir, "docs", "pid=*.parquet")))
         doclen_ds = ray.data.read_parquet(docs_glob, columns=["doclen"])
         agg = doclen_ds.aggregate(Count(), Sum("doclen"))
         n_docs = int(agg["count()"])
         total_len = int(agg["sum(doclen)"] or 0)
     avgdl = (total_len / n_docs) if n_docs else 0.0
 
-    _phase_log(f"phase B (stats) {_time.perf_counter() - _t0:.1f}s")
-    _t0 = _time.perf_counter()
-    # ---- Phase C: segment/skew plan + stats.json ----
-    boundaries, heavy = _plan_terms(out_dir, num_segments, sample_docs, heavy_df_frac)
-    _phase_log(f"phase C (plan) {_time.perf_counter() - _t0:.1f}s")
-    _t0 = _time.perf_counter()
     stats = {
         "n_docs": n_docs,
         "total_len": total_len,
@@ -225,44 +320,11 @@ def build_index(
     }
     mf.write_stats(out_dir, stats)
 
-    # ---- Phase D: partials → ONE salted (term-range × docID-range) shuffle.
-    # The reducer unit is the (seg_id, salt) shard, so the heaviest term's
-    # merge work spreads over n_salts tasks and no separate premerge
-    # stage/shuffle is needed (SURVEY.md §4.2, evolved).
-    n_buckets = (len(boundaries) + 1) * max(1, n_salts)
-    done_segs = (
-        tuple(
-            mf.completed_units(
-                out_dir,
-                "segment",
-                verify=True,
-                paths={
-                    b: os.path.join(seg_dir_path(out_dir, b), "postings.bin")
-                    for b in range(n_buckets)
-                },
-            )
-        )
-        if resume
-        else ()
-    )
-    docs_ds = ray.data.read_parquet(docs_glob, columns=["doc_id", "text"])
-    partials = docs_ds.map_batches(
-        PostingsEncoder,
-        fn_constructor_args=(boundaries, heavy, num_partitions, n_salts),
-        batch_format="pyarrow",
-        batch_size=postings_batch_size,
-        concurrency=(max(1, cpus // 2), cpus),
-    )
-    seg_manifest = partials.groupby("bucket").map_groups(
-        AssembleSegment(out_dir, n_docs, done_segs), batch_format="pyarrow"
-    )
-    rows = seg_manifest.take_all()
-    _phase_log(f"phase D (postings+merge+segments) {_time.perf_counter() - _t0:.1f}s")
-
     # ---- finalize: metrics mirror + marker ----
     man = mf.read_manifest(out_dir)
     if man:
         pq.write_table(pa.Table.from_pylist(man), os.path.join(out_dir, "metrics.parquet"))
     with open(os.path.join(out_dir, INDEX_MARKER), "w") as f:
         f.write(f"segments={len(rows)}\n")
+    _phase_log(f"stats+finalize {_time.perf_counter() - _t0:.1f}s")
     return stats

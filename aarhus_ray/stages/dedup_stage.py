@@ -40,8 +40,20 @@ def docs_path(out_dir: str, pid: int) -> str:
 
 
 class DedupAssignWriter:
-    def __init__(self, out_dir: str):
+    """Dedup + doc_id assignment + docs checkpoint writer.
+
+    With ``encoder`` set (the fresh-build fused path), the stage ALSO emits
+    the partition's encoded partial postings as its output — the whole
+    build then runs as ONE streaming DAG (pages → extract → pid shuffle →
+    [docs written here] → bucket shuffle → segments), with no docs re-read
+    and no second tokenization pass. Without ``encoder`` (the resume path,
+    which must pick up from an existing docs/ checkpoint), it returns its
+    manifest row as before.
+    """
+
+    def __init__(self, out_dir: str, encoder=None):
         self.out_dir = out_dir
+        self.encoder = encoder  # PostingsEncoder for the fused path
         self.__name__ = "DedupAssignWriter"  # map_groups wraps plain callables
 
     def __call__(self, group: pa.Table) -> pa.Table:
@@ -66,9 +78,8 @@ class DedupAssignWriter:
             n, dtype=np.uint64
         )
         kept_texts = [texts[i] for i in winners]
-        doclens = np.fromiter(
-            (len(t) for t in tokenize_batch(kept_texts)), dtype=np.uint32, count=n
-        )
+        kept_tokens = tokenize_batch(kept_texts)
+        doclens = np.fromiter((len(t) for t in kept_tokens), dtype=np.uint32, count=n)
         out = pa.table(
             {
                 "doc_id": pa.array(doc_ids, pa.uint64()),
@@ -93,6 +104,9 @@ class DedupAssignWriter:
             doclen_sum=int(doclens.sum()),
         )
         mf.append_manifest(self.out_dir, row)
+        if self.encoder is not None:
+            # tokens already computed for doclens — no second tokenize pass
+            return self.encoder(out.select(["doc_id", "text"]), token_lists=kept_tokens)
         return pa.table(
             {
                 "stage": ["docs"],

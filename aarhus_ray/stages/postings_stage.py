@@ -78,9 +78,10 @@ class PostingsEncoder:
             np.uint32
         )
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def __call__(self, batch: pa.Table, token_lists: list | None = None) -> pa.Table:
         doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        token_lists = tokenize_batch(batch["text"].to_pylist())
+        if token_lists is None:
+            token_lists = tokenize_batch(batch["text"].to_pylist())
         counts = np.fromiter((len(t) for t in token_lists), dtype=np.int64, count=len(token_lists))
         flat_terms = np.concatenate([np.asarray(t, dtype=object) for t in token_lists if t]) if counts.sum() else np.empty(0, object)
         flat_docs = np.repeat(doc_ids, counts)
@@ -256,9 +257,8 @@ class AssembleSegment:
 
     __name__ = "AssembleSegment"  # map_groups wraps plain callables
 
-    def __init__(self, out_dir: str, n_docs: int, skip_segs: tuple[int, ...] = ()):  # noqa: D401
+    def __init__(self, out_dir: str, skip_segs: tuple[int, ...] = ()):  # noqa: D401
         self.out_dir = out_dir
-        self.n_docs = n_docs
         self.skip_segs = frozenset(skip_segs)
 
     def __call__(self, group: pa.Table) -> pa.Table:
