@@ -220,3 +220,34 @@ def test_hll_over_events_table():
     ).fetchone()[0]
     approx = int(out["approx_distinct"].iloc[0])
     assert abs(approx - exact) / max(1, exact) < 0.1
+
+
+def test_parallel_fixture_generation_deterministic(tmp_path):
+    import filecmp
+    import os
+
+    from aarhus_ray import fixtures
+
+    a = str(tmp_path / "a")
+    b = str(tmp_path / "b")
+    # force the parallel path with a low threshold via direct shard calls
+    old = fixtures._PARALLEL_GEN_THRESHOLD
+    fixtures._PARALLEL_GEN_THRESHOLD = 100
+    try:
+        fixtures.write_pages_dir(a, 400, seed=9, rows_per_file=100, avg_tokens=60)
+        fixtures.write_pages_dir(b, 400, seed=9, rows_per_file=100, avg_tokens=60)
+    finally:
+        fixtures._PARALLEL_GEN_THRESHOLD = old
+    fa = sorted(f for f in os.listdir(a) if f.endswith(".parquet"))
+    fb = sorted(f for f in os.listdir(b) if f.endswith(".parquet"))
+    assert fa == fb and len(fa) == 4
+    for f in fa:
+        assert filecmp.cmp(os.path.join(a, f), os.path.join(b, f), shallow=False), f
+    # urls globally unique across shards
+    import pyarrow.parquet as pq
+
+    urls = []
+    for f in fa:
+        urls.extend(pq.read_table(os.path.join(a, f), columns=["url"])["url"].to_pylist())
+    base_urls = [u for u in urls]
+    assert len(set(base_urls)) >= 400  # 400 originals (+ dups reuse existing urls)
