@@ -56,6 +56,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_per_region": relational.customers_per_region,
         "lineitem_top_revenue": relational.lineitem_top_revenue,
         "supplier_nation_acctbal": relational.supplier_nation_acctbal,
+        "customers_without_orders": relational.customers_without_orders,   # anti-join
+        "parts_in_lineitem": relational.parts_in_lineitem,                 # semi-join
         # --- stream-shaped ops over events (SURVEY §2.10) ---
         "events_hourly_tumbling": windows.events_hourly_tumbling,
         "events_dedup_keep_latest": windows.events_dedup_keep_latest,
@@ -136,6 +138,16 @@ def oracle_sql() -> dict[str, str]:
                    MIN(CAST(round(s_acctbal*100) AS BIGINT)) AS min_acctbal_cents,
                    MAX(CAST(round(s_acctbal*100) AS BIGINT)) AS max_acctbal_cents
             FROM supplier GROUP BY 1 ORDER BY 1
+        """,
+        "customers_without_orders": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+            ORDER BY c_custkey
+        """,
+        "parts_in_lineitem": """
+            SELECT p_partkey, p_name, p_size FROM part
+            WHERE p_partkey IN (SELECT l_partkey FROM lineitem)
+            ORDER BY p_partkey
         """,
         "events_hourly_tumbling": """
             SELECT date_trunc('hour', ts) AS window_start, event_type,

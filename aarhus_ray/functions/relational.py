@@ -199,3 +199,49 @@ def supplier_nation_acctbal(sf_dir: str) -> pd.DataFrame:
         .to_pandas()
     )
     return out.sort_values("s_nationkey").reset_index(drop=True)
+
+
+def customers_without_orders(sf_dir: str) -> pd.DataFrame:
+    """ANTI-join via broadcast key set (SURVEY.md §2.4): customers with no
+    orders. The orders keyset is collected once (distinct custkeys — small
+    side), ray.put, and applied as a vectorized not-in mask per batch; at
+    100TB the same shape works with a Bloom filter in place of the set."""
+    keys = (
+        _read(sf_dir, "orders", ["o_custkey"])
+        .unique("o_custkey")
+    )
+    key_arr = pa.array(sorted(keys), pa.int64())
+    key_ref = ray.put(key_arr)
+
+    def anti(batch: pa.Table) -> pa.Table:
+        ks = ray.get(key_ref)
+        mask = pc.invert(pc.is_in(batch["c_custkey"], value_set=ks))
+        return batch.filter(mask).select(["c_custkey", "c_name"])
+
+    out = _read(sf_dir, "customer", ["c_custkey", "c_name"]).map_batches(
+        anti, batch_format="pyarrow"
+    ).to_pandas()
+    if out.empty:  # every customer has orders → typed empty result
+        out = pd.DataFrame({"c_custkey": pd.Series([], dtype="int64"),
+                            "c_name": pd.Series([], dtype=object)})
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+def parts_in_lineitem(sf_dir: str) -> pd.DataFrame:
+    """SEMI-join via broadcast key set: parts that appear in at least one
+    lineitem, with their size (no row multiplication — membership only)."""
+    keys = (
+        _read(sf_dir, "lineitem", ["l_partkey"])
+        .unique("l_partkey")
+    )
+    key_arr = pa.array(sorted(keys), pa.int64())
+    key_ref = ray.put(key_arr)
+
+    def semi(batch: pa.Table) -> pa.Table:
+        ks = ray.get(key_ref)
+        return batch.filter(pc.is_in(batch["p_partkey"], value_set=ks))
+
+    out = _read(sf_dir, "part", ["p_partkey", "p_name", "p_size"]).map_batches(
+        semi, batch_format="pyarrow"
+    ).to_pandas()
+    return out.sort_values("p_partkey").reset_index(drop=True)
