@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_nation_acctbal": relational.supplier_nation_acctbal,
         "customers_without_orders": relational.customers_without_orders,   # anti-join
         "parts_in_lineitem": relational.parts_in_lineitem,                 # semi-join
+        "q3_shipping_priority": relational.q3_shipping_priority,           # 3-way join
         # --- stream-shaped ops over events (SURVEY §2.10) ---
         "events_hourly_tumbling": windows.events_hourly_tumbling,
         "events_dedup_keep_latest": windows.events_dedup_keep_latest,
@@ -148,6 +149,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT p_partkey, p_name, p_size FROM part
             WHERE p_partkey IN (SELECT l_partkey FROM lineitem)
             ORDER BY p_partkey
+        """,
+        "q3_shipping_priority": """
+            SELECT l.l_orderkey,
+                   SUM(CAST(round(l.l_extendedprice*100) AS BIGINT)
+                       * CAST(round((1-l.l_discount)*100) AS BIGINT)) AS revenue_e4,
+                   o.o_orderdate
+            FROM customer c
+            JOIN orders o ON c.c_custkey = o.o_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND o.o_orderdate < TIMESTAMP '1995-03-15'
+              AND l.l_shipdate > TIMESTAMP '1995-03-15'
+            GROUP BY 1, 3
+            ORDER BY revenue_e4 DESC, l_orderkey LIMIT 10
         """,
         "events_hourly_tumbling": """
             SELECT date_trunc('hour', ts) AS window_start, event_type,

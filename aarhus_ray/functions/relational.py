@@ -245,3 +245,58 @@ def parts_in_lineitem(sf_dir: str) -> pd.DataFrame:
         semi, batch_format="pyarrow"
     ).to_pandas()
     return out.sort_values("p_partkey").reset_index(drop=True)
+
+
+def q3_shipping_priority(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """TPC-H Q3 shape: customer(seg='BUILDING'-ish) ⋈ orders(date<) ⋈
+    lineitem(date>) → revenue per order, top-k. Composed as two BROADCAST
+    semi-join filters (small keysets travel, fact rows never shuffle) + a
+    partial-aggregated groupby on the fact table — the star-schema plan
+    that scales to 100TB fact tables."""
+    import pyarrow.parquet as pq
+
+    seg_customers = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    seg = seg_customers["c_mktsegment"].to_pylist()
+    keys = [k_ for k_, s in zip(seg_customers["c_custkey"].to_pylist(), seg) if s == "BUILDING"]
+    cust_ref = ray.put(pa.array(sorted(keys), pa.int64()))
+    cutoff = pa.scalar(np.datetime64("1995-03-15", "us"), pa.timestamp("us"))
+
+    def orders_filter(batch: pa.Table) -> pa.Table:
+        ks = ray.get(cust_ref)
+        m = pc.and_(pc.is_in(batch["o_custkey"], value_set=ks),
+                    pc.less(batch["o_orderdate"], cutoff))
+        return batch.filter(m).select(["o_orderkey", "o_orderdate"])
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        orders_filter, batch_format="pyarrow"
+    ).to_pandas()
+    odate = dict(zip(orders["o_orderkey"], orders["o_orderdate"]))
+    okeys_ref = ray.put(pa.array(sorted(odate), pa.int64()))
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        ks = ray.get(okeys_ref)
+        m = pc.and_(pc.is_in(batch["l_orderkey"], value_set=ks),
+                    pc.greater(batch["l_shipdate"], cutoff))
+        b = batch.filter(m)
+        rev = pc.multiply(_cents(b["l_extendedprice"]),
+                          _cents(pc.subtract(pa.scalar(1.0), b["l_discount"])))
+        df = pa.table({"l_orderkey": b["l_orderkey"], "revenue_e4": rev}).to_pandas()
+        g = df.groupby("l_orderkey", sort=False)["revenue_e4"].sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"])
+        .map_batches(li_partial, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("revenue_e4", alias_name="revenue_e4"))
+        .to_pandas()
+    )
+    if agg.empty:
+        return pd.DataFrame({"l_orderkey": pd.Series([], dtype="int64"),
+                             "revenue_e4": pd.Series([], dtype="int64"),
+                             "o_orderdate": pd.Series([], dtype="datetime64[us]")})
+    agg = agg.sort_values(["revenue_e4", "l_orderkey"], ascending=[False, True]).head(k)
+    agg["o_orderdate"] = agg["l_orderkey"].map(odate)
+    return agg[["l_orderkey", "revenue_e4", "o_orderdate"]].reset_index(drop=True)
