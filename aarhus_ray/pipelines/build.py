@@ -101,8 +101,15 @@ def _plan_terms_from_pages(input_path: str, num_segments: int, sample_docs: int,
     for p in paths:
         if len(texts) >= sample_docs:
             break
-        t = pq.read_table(p, columns=["html"])
-        texts.extend(extract_text(h) for h in t["html"].to_pylist()[: sample_docs - len(texts)])
+        # read row group by row group — sampling must not scan whole files
+        pf = pq.ParquetFile(p)
+        for rg in range(pf.num_row_groups):
+            if len(texts) >= sample_docs:
+                break
+            col = pf.read_row_group(rg, columns=["html"])["html"]
+            texts.extend(
+                extract_text(h) for h in col.to_pylist()[: sample_docs - len(texts)]
+            )
     return _plan_from_tokens(tokenize_batch(texts), num_segments, heavy_df_frac)
 
 
