@@ -198,13 +198,23 @@ def write_pages_dir(
     seeds (still fully deterministic for a given (n, seed, avg_tokens) —
     but a different byte stream than the single-pass generator, so
     golden/test corpora below the threshold are unaffected)."""
+    marker = f"n={n} seed={seed} avg_tokens={avg_tokens}\n"
     done = os.path.join(out_dir, "_DONE")
     if os.path.exists(done):
-        return out_dir
+        with open(done) as f:
+            if f.read() == marker:
+                return out_dir
+        # parameters changed → regenerate from scratch
+        import shutil
+
+        shutil.rmtree(out_dir)
     os.makedirs(out_dir, exist_ok=True)
     if n >= _PARALLEL_GEN_THRESHOLD:
+        # spawn (not fork): callers may hold a live Ray session whose
+        # gRPC/background threads make fork-inherited locks deadlock-prone
         import multiprocessing as mp
 
+        ctx = mp.get_context("spawn")
         nf = max(1, (n + rows_per_file - 1) // rows_per_file)
         per = (n + nf - 1) // nf
         jobs = [
@@ -212,7 +222,7 @@ def write_pages_dir(
             for i in range(nf)
             if min(per, n - i * per) > 0
         ]
-        with mp.Pool(min(16, len(jobs))) as pool:
+        with ctx.Pool(min(16, len(jobs))) as pool:
             pool.map(_gen_shard, jobs)
     else:
         table = gen_pages(n, seed, avg_tokens=avg_tokens)
@@ -225,5 +235,5 @@ def write_pages_dir(
                 row_group_size=1024,
             )
     with open(done, "w") as f:
-        f.write(f"n={n} seed={seed} avg_tokens={avg_tokens}\n")
+        f.write(marker)
     return out_dir

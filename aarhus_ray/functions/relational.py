@@ -244,6 +244,10 @@ def parts_in_lineitem(sf_dir: str) -> pd.DataFrame:
     out = _read(sf_dir, "part", ["p_partkey", "p_name", "p_size"]).map_batches(
         semi, batch_format="pyarrow"
     ).to_pandas()
+    if out.empty:  # all-empty map output loses its columns in to_pandas()
+        out = pd.DataFrame({"p_partkey": pd.Series([], dtype="int64"),
+                            "p_name": pd.Series([], dtype=object),
+                            "p_size": pd.Series([], dtype="int32")})
     return out.sort_values("p_partkey").reset_index(drop=True)
 
 
@@ -272,6 +276,9 @@ def q3_shipping_priority(sf_dir: str, k: int = 10) -> pd.DataFrame:
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
         orders_filter, batch_format="pyarrow"
     ).to_pandas()
+    if orders.empty:  # all-empty map output loses its columns in to_pandas()
+        orders = pd.DataFrame({"o_orderkey": pd.Series([], dtype="int64"),
+                               "o_orderdate": pd.Series([], dtype="datetime64[us]")})
     odate = dict(zip(orders["o_orderkey"], orders["o_orderdate"]))
     okeys_ref = ray.put(pa.array(sorted(odate), pa.int64()))
 

@@ -168,7 +168,18 @@ def build_index(
     }
     if os.path.isdir(out_dir):
         if resume:
-            if os.path.exists(os.path.join(out_dir, "stats.json")) and not mf.check_resume_compatible(out_dir, cfg):
+            # cfg.json is written at BUILD START (stats.json only lands at
+            # the end), so a crash mid-build still leaves the drift guard
+            cfg_path = os.path.join(out_dir, "cfg.json")
+            if os.path.exists(cfg_path):
+                with open(cfg_path) as f:
+                    old = json.load(f)
+                if old != {**cfg, "code_version": mf.code_version_hash()}:
+                    raise ValueError(
+                        "resume=True but existing index config/code-version "
+                        "differs; rebuild with resume=False"
+                    )
+            elif os.path.exists(os.path.join(out_dir, "stats.json")) and not mf.check_resume_compatible(out_dir, cfg):
                 raise ValueError(
                     "resume=True but existing index config/code-version differs; "
                     "rebuild with resume=False"
@@ -177,6 +188,10 @@ def build_index(
             shutil.rmtree(out_dir)
     os.makedirs(os.path.join(out_dir, "docs"), exist_ok=True)
     os.makedirs(os.path.join(out_dir, "segments"), exist_ok=True)
+    mf.atomic_write_bytes(
+        os.path.join(out_dir, "cfg.json"),
+        json.dumps({**cfg, "code_version": mf.code_version_hash()}).encode(),
+    )
 
     if resume and os.path.exists(os.path.join(out_dir, INDEX_MARKER)):
         return mf.read_stats(out_dir)
@@ -201,7 +216,6 @@ def build_index(
     # previously finished pids are filtered out upstream and would be
     # missing from the emitted partials
     fused = not phase_a_done and not done_pids
-    n_buckets = None
 
     def _pages_pipeline():
         ds = read_pages(input_path)
@@ -232,7 +246,6 @@ def build_index(
         )
         _phase_log(f"plan (from input sample) {_time.perf_counter() - _t0:.1f}s")
         _t0 = _time.perf_counter()
-        n_buckets = (len(boundaries) + 1) * max(1, n_salts)
         encoder = PostingsEncoder(boundaries, heavy, num_partitions, n_salts)
         partials = _pages_pipeline().groupby("pid").map_groups(
             DedupAssignWriter(out_dir, encoder=encoder), batch_format="pyarrow"

@@ -62,11 +62,7 @@ def _shared_scorer_state(out_dir: str, segs: list[int]):
 
     # key includes stats.json mtime: rebuilding an index at the same path in
     # one driver process must invalidate the cached doclens/impacts
-    try:
-        version = os.stat(os.path.join(out_dir, "stats.json")).st_mtime_ns
-    except OSError:
-        version = 0
-    key = (os.path.abspath(out_dir), version)
+    key = (os.path.abspath(out_dir), index_version(out_dir))
     if key in _SHARED_STATE_CACHE:
         return _SHARED_STATE_CACHE[key]
     stats = mf.read_stats(out_dir)
@@ -107,6 +103,14 @@ def _shared_scorer_state(out_dir: str, segs: list[int]):
     return ref
 
 
+def index_version(out_dir: str) -> int:
+    """Cache-invalidation token: stats.json mtime (rewritten on rebuild)."""
+    try:
+        return os.stat(os.path.join(out_dir, "stats.json")).st_mtime_ns
+    except OSError:
+        return 0
+
+
 def warm_index(out_dir: str) -> None:
     """Build + cache the shared scorer state (doclens + Zipf-head impact
     arrays) in the object store ahead of serving, so the first query batch
@@ -131,11 +135,13 @@ def query_index(
         raise ValueError(f"no segments under {out_dir}")
     conc = concurrency or max(1, _cpus())
     if isinstance(queries, str):
-        qds = ray.data.read_parquet(queries)
-        n_q = qds.count()  # parquet metadata only — no execution
-        # split so the actor pool can fan out (see Table branch below)
-        qds = qds.repartition(max(1, min(conc * 4, n_q // max(1, batch_size) + 1)))
-    elif isinstance(queries, pa.Table):
+        # query sets are small: read driver-side and take the Table branch
+        # (repartition output can be re-coalesced by size before the map
+        # operator, collapsing the stage to one task)
+        import pyarrow.parquet as _pq
+
+        queries = _pq.read_table(queries)
+    if isinstance(queries, pa.Table):
         # one map task per block: slice the table into one block per batch
         # up-front (from_arrow with a list) — a single-block table would
         # feed the whole pool exactly ONE task, and repartition() output
@@ -148,10 +154,7 @@ def query_index(
         qds = queries  # caller-built Dataset: trust its block layout (a
         # count() here would execute the upstream pipeline twice)
     shared_ref = _shared_scorer_state(out_dir, segs)
-    try:
-        version = os.stat(os.path.join(out_dir, "stats.json")).st_mtime_ns
-    except OSError:
-        version = 0
+    version = index_version(out_dir)
     # stateless tasks + per-worker-process scorer cache: Ray's default
     # workers are long-lived, so repeated query runs reuse warm scorers
     # instead of paying a fresh actor-pool spawn (~2s/actor) per run

@@ -266,28 +266,40 @@ class QueryScorer:
 _WORKER_SCORER_CACHE: dict[tuple, "QueryScorer"] = {}
 
 
-def make_scorer_task_fn(out_dir: str, seg_ids: list[int], k: int, method: str, shared_ref, version: int):
-    """Stateless-TASK form of the scorer stage: a plain map_batches function
-    whose QueryScorer instance is cached per WORKER PROCESS (module global).
+class ScorerTaskFn:
+    """Stateless-TASK form of the scorer stage: a plain-callable map_batches
+    fn whose QueryScorer instance is cached per WORKER PROCESS in the module
+    global above.
 
-    Why this exists alongside the actor-pool form: an actor pool spawns
-    fresh Python processes per query run (~2s each — far more than the
-    scoring itself for a few thousand queries), while plain tasks reuse
-    Ray's long-lived default workers, whose module cache keeps the scorer
-    warm across query runs. Same state-amortization pattern, better process
-    reuse for a serving-shaped stage. ``version`` (stats.json mtime) keys
-    the cache so a rebuilt index is never served stale."""
+    Why this exists alongside the actor form: an actor pool spawns fresh
+    Python processes per query run (~2s each — far more than the scoring
+    itself for a few thousand queries), while plain tasks reuse Ray's
+    long-lived default workers. The cache MUST be reached through this
+    importable top-level class: cloudpickle serializes a nested closure BY
+    VALUE together with a private copy of its captured globals, so a
+    closure-based version silently rebuilt the scorer per task; methods of
+    a by-reference class resolve the real module (and its global dict) in
+    the worker. ``version`` (stats.json mtime) keys the cache so a rebuilt
+    index is never served stale."""
 
-    def score_batch(batch: pa.Table) -> pa.Table:
+    __name__ = "ScorerTaskFn"
+
+    def __init__(self, out_dir: str, seg_ids: list[int], k: int, method: str, shared_ref, version: int):
+        self.args = (out_dir, tuple(seg_ids), k, method, shared_ref, version)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_dir, seg_ids, k, method, shared_ref, version = self.args
         key = (out_dir, version, k, method)
         scorer = _WORKER_SCORER_CACHE.get(key)
         if scorer is None:
-            scorer = QueryScorer(out_dir, seg_ids, k, method, shared_ref)
+            scorer = QueryScorer(out_dir, list(seg_ids), k, method, shared_ref)
             _WORKER_SCORER_CACHE.clear()  # old index versions are dead weight
             _WORKER_SCORER_CACHE[key] = scorer
         return scorer(batch)
 
-    return score_batch
+
+def make_scorer_task_fn(out_dir: str, seg_ids: list[int], k: int, method: str, shared_ref, version: int):
+    return ScorerTaskFn(out_dir, seg_ids, k, method, shared_ref, version)
 
 
 class UrlResolver:
