@@ -96,12 +96,15 @@ def oracle_sql() -> dict[str, str]:
     tok = "regexp_split_to_array(lower(text), '[^a-z0-9]+')"
     toks_nonempty = f"list_filter({tok}, x -> x <> '')"
     return {
+        # NOTE: every SUM is wrapped CAST(SUM(...) AS BIGINT) — DuckDB's
+        # SUM(BIGINT) yields HUGEINT, which fetchdf() maps to float64 and
+        # breaks the driver's dtype-sensitive value hash (engine emits int64).
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
-                   SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS sum_base_price_cents,
-                   SUM(CAST(round(l_extendedprice*100) AS BIGINT)
-                       * CAST(round((1-l_discount)*100) AS BIGINT)) AS sum_disc_price_e4,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_price_cents,
+                   CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+                       * CAST(round((1-l_discount)*100) AS BIGINT)) AS BIGINT) AS sum_disc_price_e4,
                    COUNT(*) AS count_order
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -109,7 +112,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "top_customers_revenue": """
             SELECT c.c_custkey, c.c_name,
-                   SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS revenue_cents
+                   CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_cents
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
             GROUP BY 1, 2
             ORDER BY revenue_cents DESC, c_custkey LIMIT 10
@@ -152,8 +155,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q3_shipping_priority": """
             SELECT l.l_orderkey,
-                   SUM(CAST(round(l.l_extendedprice*100) AS BIGINT)
-                       * CAST(round((1-l.l_discount)*100) AS BIGINT)) AS revenue_e4,
+                   CAST(SUM(CAST(round(l.l_extendedprice*100) AS BIGINT)
+                       * CAST(round((1-l.l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_e4,
                    o.o_orderdate
             FROM customer c
             JOIN orders o ON c.c_custkey = o.o_custkey
@@ -167,7 +170,7 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly_tumbling": """
             SELECT date_trunc('hour', ts) AS window_start, event_type,
                    COUNT(*) AS n_events,
-                   SUM(CAST(floor(value*100) AS BIGINT)) AS sum_value_floor_cents
+                   CAST(SUM(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS sum_value_floor_cents
             FROM events GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "events_dedup_keep_latest": """
@@ -193,7 +196,13 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(v.event_id, -1) AS view_id,
                    c.user_id
             FROM (SELECT * FROM events WHERE event_type = 'click') c
-            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+            -- views collapsed to one row per (user_id, ts) keeping max
+            -- event_id: DuckDB's ASOF JOIN picks an ARBITRARY row among ts
+            -- ties, the engine's merge_asof picks the last sorted one — the
+            -- explicit collapse freezes the tie-break on both sides.
+            ASOF LEFT JOIN (SELECT user_id, ts, max(event_id) AS event_id
+                            FROM events WHERE event_type = 'view'
+                            GROUP BY 1, 2) v
                  ON c.user_id = v.user_id AND v.ts <= c.ts
             ORDER BY click_id
         """,

@@ -271,16 +271,19 @@ def q3_shipping_priority(sf_dir: str, k: int = 10) -> pd.DataFrame:
         ks = ray.get(cust_ref)
         m = pc.and_(pc.is_in(batch["o_custkey"], value_set=ks),
                     pc.less(batch["o_orderdate"], cutoff))
-        return batch.filter(m).select(["o_orderkey", "o_orderdate"])
+        return batch.filter(m).select(["o_orderkey"])
 
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
-        orders_filter, batch_format="pyarrow"
-    ).to_pandas()
-    if orders.empty:  # all-empty map output loses its columns in to_pandas()
-        orders = pd.DataFrame({"o_orderkey": pd.Series([], dtype="int64"),
-                               "o_orderdate": pd.Series([], dtype="datetime64[us]")})
-    odate = dict(zip(orders["o_orderkey"], orders["o_orderdate"]))
-    okeys_ref = ray.put(pa.array(sorted(odate), pa.int64()))
+    # only the KEYSET of qualifying orders comes back to the driver (int64s,
+    # no dates) — at real Q3 scale ~10% of orders qualify, so the filtered
+    # rows themselves must never materialize driver-side; o_orderdate is
+    # resolved later for just the final top-k rows via a pruned re-read.
+    okeys = (
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+        .map_batches(orders_filter, batch_format="pyarrow")
+        .to_pandas()
+    )
+    okey_list = sorted(okeys["o_orderkey"].tolist()) if len(okeys) else []
+    okeys_ref = ray.put(pa.array(okey_list, pa.int64()))
 
     def li_partial(batch: pa.Table) -> pa.Table:
         ks = ray.get(okeys_ref)
@@ -305,5 +308,16 @@ def q3_shipping_priority(sf_dir: str, k: int = 10) -> pd.DataFrame:
                              "revenue_e4": pd.Series([], dtype="int64"),
                              "o_orderdate": pd.Series([], dtype="datetime64[us]")})
     agg = agg.sort_values(["revenue_e4", "l_orderkey"], ascending=[False, True]).head(k)
-    agg["o_orderdate"] = agg["l_orderkey"].map(odate)
+    # second pruned read: o_orderdate for ONLY the final k orderkeys
+    final_keys = pa.array(sorted(agg["l_orderkey"].tolist()), pa.int64())
+    dates = (
+        pq.read_table(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_orderdate"],
+            filters=[("o_orderkey", "in", final_keys.to_pylist())],
+        )
+        .to_pandas()
+    )
+    odate = dict(zip(dates["o_orderkey"], dates["o_orderdate"]))
+    agg["o_orderdate"] = agg["l_orderkey"].map(odate).astype("datetime64[us]")
     return agg[["l_orderkey", "revenue_e4", "o_orderdate"]].reset_index(drop=True)

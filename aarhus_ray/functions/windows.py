@@ -47,6 +47,9 @@ def events_hourly_tumbling(sf_dir: str) -> pd.DataFrame:
         )
         .to_pandas()
     )
+    # pin to [us]: the pandas round-trip inside the partial can demote to
+    # [s], and the driver's value hash is dtype-sensitive (oracle is [us])
+    out["window_start"] = out["window_start"].astype("datetime64[us]")
     return out.sort_values(["window_start", "event_type"]).reset_index(drop=True)
 
 
@@ -95,7 +98,14 @@ def events_asof_click_view(sf_dir: str) -> pd.DataFrame:
 
     def per_user(g: pd.DataFrame) -> pd.DataFrame:
         clicks = g[g["event_type"] == "click"].sort_values(["ts", "event_id"])
-        views = g[g["event_type"] == "view"].sort_values(["ts", "event_id"])
+        # collapse view ts-ties to max event_id (frozen tie-break, mirrored
+        # in the oracle SQL — merge_asof alone would pick the last sorted
+        # row, which agrees, but DuckDB ASOF JOIN picks an arbitrary tie)
+        views = (
+            g[g["event_type"] == "view"]
+            .groupby("ts", as_index=False)["event_id"].max()
+            .sort_values("ts")
+        )
         if len(clicks) == 0:
             return pd.DataFrame(
                 {"click_id": pd.Series([], dtype="int64"), "view_id": pd.Series([], dtype="int64"),

@@ -52,6 +52,16 @@ def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> str:
         return f"SCHEMA MISMATCH ray={sorted(ray_df.columns)} sql={sorted(sql_df.columns)}"
     if len(ray_df) != len(sql_df):
         return f"ROWCOUNT MISMATCH ray={len(ray_df)} sql={len(sql_df)}"
+    # the driver's value hash is dtype-sensitive (int64 vs float64 SUMs,
+    # datetime64 unit drift) — flag any raw-dtype divergence, not just
+    # canonicalized-value divergence
+    dmm = [
+        (c, str(ray_df[c].dtype), str(sql_df[c].dtype))
+        for c in sorted(ray_df.columns)
+        if str(ray_df[c].dtype) != str(sql_df[c].dtype)
+    ]
+    if dmm:
+        return f"DTYPE MISMATCH {dmm}"
     a, b = canon(ray_df), canon(sql_df)
     for c in a.columns:
         av, bv = a[c].to_numpy(), b[c].to_numpy()
