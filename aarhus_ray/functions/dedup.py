@@ -79,17 +79,50 @@ def exact_dedup_min_id(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
-def _shingles(tokens: list[str], n: int = 3) -> set[int]:
-    """n-gram shingle hashes of a token list. Docs with fewer than n tokens
-    have NO shingles (frozen; they never pair — mirrored in the oracle SQL's
-    ``len(toks) >= n`` guard)."""
-    if len(tokens) < n:
-        return set()
-    out = set()
-    for i in range(len(tokens) - n + 1):
-        s = " ".join(tokens[i : i + n])
-        out.add(int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "big"))
+_SH_A = np.uint64(0x9E3779B97F4A7C15)  # golden-ratio odd constant (frozen)
+_SH_B = np.uint64(0xC2B2AE3D27D4EB4F)
+_TOKEN_HASH_CACHE: dict[str, int] = {}  # per-process; web tokens are Zipf-reused
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer, vectorized over uint64 (frozen)."""
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+def _token_hashes(tokens: list[str]) -> np.ndarray:
+    """64-bit hash per token, cached per process (blake2b once per DISTINCT
+    token ever seen by this worker — the Zipf head hits the cache)."""
+    cache = _TOKEN_HASH_CACHE
+    out = np.empty(len(tokens), dtype=np.uint64)
+    for i, t in enumerate(tokens):
+        v = cache.get(t)
+        if v is None:
+            v = int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "big")
+            cache[t] = v
+        out[i] = v
     return out
+
+
+def _shingle_hash_array(th: np.ndarray, n: int = 3) -> np.ndarray:
+    """Unique sorted uint64 hash per n-token shingle, fully vectorized:
+    polynomial fold of the token hashes + splitmix64 finalize. Docs with
+    fewer than n tokens have NO shingles (frozen; they never pair —
+    mirrored in the oracle SQL's ``len(toks) >= n`` guard). Jaccard over
+    these hash sets equals Jaccard over string shingles modulo 64-bit
+    collisions (~1e-13 for this corpus)."""
+    if len(th) < n:
+        return np.empty(0, np.uint64)
+    acc = th[: len(th) - n + 1].copy()
+    for j in range(1, n):
+        acc = acc * _SH_A + th[j : len(th) - n + 1 + j]
+    return np.unique(_mix64(acc))
+
+
+def _shingles(tokens: list[str], n: int = 3) -> set[int]:
+    """Set form of ``_shingle_hash_array`` (tests + verification use this)."""
+    return set(_shingle_hash_array(_token_hashes(tokens), n).tolist())
 
 
 def _minhash_params(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
@@ -97,18 +130,6 @@ def _minhash_params(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarr
     a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.uint64)
     b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.uint64)
     return a, b
-
-
-def _minhash_sig(shingles: set[int], a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    if not shingles:
-        return np.full(len(a), np.iinfo(np.uint64).max, dtype=np.uint64)
-    x = np.fromiter(shingles, dtype=np.uint64, count=len(shingles))
-    # (a*x + b) mod p, computed in python-int free uint64 space via float-safe
-    # object fallback would be slow; use uint128 emulation through np.uint64
-    # wraparound + mod on uint64 is fine for hashing purposes (not exact
-    # universal hashing, but deterministic and well-mixed).
-    vals = (x[None, :] * a[:, None] + b[:, None]) % np.uint64(_MERSENNE)
-    return vals.min(axis=1)
 
 
 class MinHashUDF:
@@ -122,47 +143,138 @@ class MinHashUDF:
         self.shingle_n = shingle_n
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        doc_ids = batch["doc_id"].to_pylist()
+        doc_ids = np.asarray(batch["doc_id"].to_pylist(), dtype=np.int64)
         toks = tokenize_batch(batch["text"].to_pylist())
-        out_doc, out_band, out_hash = [], [], []
-        for did, tk in zip(doc_ids, toks):
-            sig = _minhash_sig(_shingles(tk, self.shingle_n), self.a, self.b)
-            for bi in range(self.bands):
-                band = sig[bi * self.rows_per_band : (bi + 1) * self.rows_per_band]
-                h = hashlib.blake2b(band.tobytes(), digest_size=8).digest()
-                out_doc.append(did)
-                out_band.append(bi)
-                out_hash.append(int.from_bytes(h, "big") >> 1)  # int64-safe key
+        n_docs = len(toks)
+        num_perm = len(self.a)
+        sh = [_shingle_hash_array(_token_hashes(t), self.shingle_n) for t in toks]
+        lens = np.array([len(s) for s in sh], dtype=np.int64)
+        nz = np.flatnonzero(lens)
+        # signatures: permute ALL docs' shingles in one array per permutation
+        # (64 vectorized passes; O(total_shingles) memory), segment-min via
+        # np.minimum.reduceat at doc boundaries. Empty-shingle docs keep the
+        # all-MAX sentinel signature (frozen; they collide only with each
+        # other and verification drops them).
+        sigs = np.full((n_docs, num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+        if len(nz):
+            concat = np.concatenate([sh[i] for i in nz])
+            starts = np.concatenate(([0], np.cumsum(lens[nz])[:-1]))
+            m = np.uint64(_MERSENNE)
+            for p in range(num_perm):
+                vals = (concat * self.a[p] + self.b[p]) % m
+                sigs[nz, p] = np.minimum.reduceat(vals, starts)
+        # band keys: polynomial fold of each band's signature rows, finalized
+        # with splitmix64, >>1 for an int64-safe groupby key
+        s3 = sigs.reshape(n_docs, self.bands, self.rows_per_band)
+        acc = s3[:, :, 0].copy()
+        for j in range(1, self.rows_per_band):
+            acc = acc * _SH_B + s3[:, :, j]
+        band_hash = (_mix64(acc) >> np.uint64(1)).astype(np.int64)
         return pa.table(
             {
-                "doc_id": pa.array(out_doc, pa.int64()),
-                "band_id": pa.array(out_band, pa.int32()),
-                "band_hash": pa.array(out_hash, pa.int64()),
+                "doc_id": pa.array(np.repeat(doc_ids, self.bands), pa.int64()),
+                "band_id": pa.array(np.tile(np.arange(self.bands, dtype=np.int32), n_docs), pa.int32()),
+                "band_hash": pa.array(band_hash.ravel(), pa.int64()),
             }
         )
 
 
 def _verified_pairs_from_candidates(cand_pairs: set[tuple[int, int]], sf_dir: str, threshold: float, shingle_n: int = 3) -> pd.DataFrame:
-    """Exact Jaccard verification of candidate pairs (small set) against the
-    real shingle sets; broadcast-free because candidates are tiny."""
-    import pyarrow.parquet as pq
+    """Exact-Jaccard verification of candidate pairs as a DISTRIBUTED
+    reduce-side join — the documents table is never read onto the driver:
 
-    base = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    texts = dict(zip(base["doc_id"].to_pylist(), base["text"].to_pylist()))
+    1. shingle sets stay a Dataset keyed by doc_id, pruned at the read to
+       only the doc_ids the candidates reference (broadcast keyset filter);
+    2. each pair becomes two probe rows (one per side), unioned with the
+       shingle rows and grouped by doc_id so every probe picks up its
+       doc's shingle list inside the group;
+    3. a second groupby(pair_id) brings a pair's two shingle lists together
+       and emits the pair iff exact Jaccard >= threshold.
 
-    def text_of(did: int) -> str:
-        return texts[did - CLONE_OFFSET if did >= CLONE_OFFSET else did]
+    At 100TB both shuffles move only candidate-adjacent shingle sets (LSH
+    keeps |candidates| << |corpus|); only the verified pairs reach the
+    driver. Clone ids (>= CLONE_OFFSET) verify against their base doc."""
+    import ray
 
-    rows = []
-    for a_id, b_id in sorted(cand_pairs):
-        ta = _shingles(tokenize_batch([text_of(a_id)])[0], shingle_n)
-        tb = _shingles(tokenize_batch([text_of(b_id)])[0], shingle_n)
+    if not cand_pairs:
+        return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"), "doc_b": pd.Series([], dtype="int64")})
+
+    pairs = sorted(cand_pairs)
+    base = lambda d: d - CLONE_OFFSET if d >= CLONE_OFFSET else d  # noqa: E731
+    needed = sorted({base(d) for p in pairs for d in p})
+    needed_ref = ray.put(pa.array(needed, pa.int64()))
+
+    shingle_schema = pa.schema(
+        [("join_id", pa.int64()), ("pair_id", pa.int64()), ("side", pa.int32()),
+         ("doc_a", pa.int64()), ("doc_b", pa.int64()), ("shingles", pa.list_(pa.uint64()))]
+    )
+
+    def shingle_rows(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        batch = batch.filter(pc.is_in(batch["doc_id"], value_set=ray.get(needed_ref)))
+        toks = tokenize_batch(batch["text"].to_pylist())
+        sh = [_shingle_hash_array(_token_hashes(t), shingle_n) for t in toks]
+        n = len(sh)
+        return pa.table(
+            {
+                "join_id": batch["doc_id"].cast(pa.int64()),
+                "pair_id": pa.array([-1] * n, pa.int64()),
+                "side": pa.array([0] * n, pa.int32()),
+                "doc_a": pa.array([-1] * n, pa.int64()),
+                "doc_b": pa.array([-1] * n, pa.int64()),
+                "shingles": pa.array([s.tolist() for s in sh], pa.list_(pa.uint64())),
+            },
+            schema=shingle_schema,
+        )
+
+    probe_rows = pa.table(
+        {
+            "join_id": pa.array([base(p[s]) for p in pairs for s in (0, 1)], pa.int64()),
+            "pair_id": pa.array([i for i in range(len(pairs)) for _ in (0, 1)], pa.int64()),
+            "side": pa.array([s for _ in pairs for s in (0, 1)], pa.int32()),
+            "doc_a": pa.array([p[0] for p in pairs for _ in (0, 1)], pa.int64()),
+            "doc_b": pa.array([p[1] for p in pairs for _ in (0, 1)], pa.int64()),
+            "shingles": pa.array([[]] * (2 * len(pairs)), pa.list_(pa.uint64())),
+        },
+        schema=shingle_schema,
+    )
+
+    shingle_ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        shingle_rows, batch_format="pyarrow"
+    )
+    tagged = shingle_ds.union(ray.data.from_arrow(probe_rows))
+
+    def attach_shingles(g: pd.DataFrame) -> pd.DataFrame:
+        data = g[g["pair_id"] < 0]
+        probes = g[g["pair_id"] >= 0]
+        if len(data) == 0 or len(probes) == 0:
+            return probes.iloc[0:0]
+        sh = data["shingles"].iloc[0]
+        out = probes.copy()
+        out["shingles"] = [sh] * len(probes)
+        return out
+
+    def verify_pair(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_a": pd.Series([], dtype="int64"), "doc_b": pd.Series([], dtype="int64")})
+        if len(g) != 2:
+            return empty
+        g = g.sort_values("side")
+        ta, tb = (set(np.asarray(s, dtype=np.uint64).tolist()) for s in g["shingles"])
         if not ta or not tb:
-            continue
-        j = len(ta & tb) / len(ta | tb)
-        if j >= threshold:
-            rows.append((a_id, b_id))
-    return pd.DataFrame(rows, columns=["doc_a", "doc_b"]).astype("int64")
+            return empty
+        if len(ta & tb) / len(ta | tb) < threshold:
+            return empty
+        return pd.DataFrame({"doc_a": [int(g["doc_a"].iloc[0])], "doc_b": [int(g["doc_b"].iloc[0])]})
+
+    out = (
+        tagged.groupby("join_id").map_groups(attach_shingles, batch_format="pandas")
+        .groupby("pair_id").map_groups(verify_pair, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(out) == 0:
+        return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"), "doc_b": pd.Series([], dtype="int64")})
+    return out.astype("int64").sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
 def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.9) -> pd.DataFrame:

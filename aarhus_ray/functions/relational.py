@@ -41,26 +41,25 @@ def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
         price_c = _cents(batch["l_extendedprice"])
         disc_c = _cents(pc.subtract(pa.scalar(1.0), batch["l_discount"]))
         disc_price_e4 = pc.multiply(price_c, disc_c)
-        df = pa.table(
-            {
-                "l_returnflag": batch["l_returnflag"],
-                "l_linestatus": batch["l_linestatus"],
-                "qty": pc.cast(batch["l_quantity"], pa.int64()),
-                "price_c": price_c,
-                "disc_price_e4": disc_price_e4,
-            }
-        ).to_pandas()
+        # Arrow-native partial groupby — no pandas copy inside the hot stage
         g = (
-            df.groupby(["l_returnflag", "l_linestatus"], sort=False)
-            .agg(
-                sum_qty=("qty", "sum"),
-                sum_base_price_cents=("price_c", "sum"),
-                sum_disc_price_e4=("disc_price_e4", "sum"),
-                count_order=("qty", "size"),
+            pa.table(
+                {
+                    "l_returnflag": batch["l_returnflag"],
+                    "l_linestatus": batch["l_linestatus"],
+                    "qty": pc.cast(batch["l_quantity"], pa.int64()),
+                    "price_c": price_c,
+                    "disc_price_e4": disc_price_e4,
+                }
             )
-            .reset_index()
+            .group_by(["l_returnflag", "l_linestatus"])
+            .aggregate([("qty", "sum"), ("price_c", "sum"), ("disc_price_e4", "sum"), ("qty", "count")])
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return g.select(
+            ["l_returnflag", "l_linestatus", "qty_sum", "price_c_sum", "disc_price_e4_sum", "qty_count"]
+        ).rename_columns(
+            ["l_returnflag", "l_linestatus", "sum_qty", "sum_base_price_cents", "sum_disc_price_e4", "count_order"]
+        )
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
     out = (

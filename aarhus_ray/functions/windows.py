@@ -28,15 +28,16 @@ def events_hourly_tumbling(sf_dir: str) -> pd.DataFrame:
     def partial(batch: pa.Table) -> pa.Table:
         win = pc.floor_temporal(batch["ts"], unit="hour")
         cents = pc.cast(pc.floor(pc.multiply(batch["value"], pa.scalar(100.0))), pa.int64())
-        df = pa.table(
-            {"window_start": win, "event_type": batch["event_type"], "cents": cents}
-        ).to_pandas()
+        # Arrow-native partial groupby — no pandas round-trip (which also
+        # demoted window_start to datetime64[s])
         g = (
-            df.groupby(["window_start", "event_type"], sort=False)
-            .agg(n_events=("cents", "size"), sum_value_floor_cents=("cents", "sum"))
-            .reset_index()
+            pa.table({"window_start": win, "event_type": batch["event_type"], "cents": cents})
+            .group_by(["window_start", "event_type"])
+            .aggregate([("cents", "count"), ("cents", "sum")])
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return g.select(["window_start", "event_type", "cents_count", "cents_sum"]).rename_columns(
+            ["window_start", "event_type", "n_events", "sum_value_floor_cents"]
+        )
 
     out = (
         ds.map_batches(partial, batch_format="pyarrow")
