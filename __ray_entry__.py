@@ -79,8 +79,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup_pairs": dedup.embedding_near_dup_pairs,
         # --- similarity search over embeddings ---
         "knn_cosine_bruteforce": ann.knn_cosine_bruteforce,
-        "knn_cosine_lsh": ann.knn_cosine_lsh,          # approximate → rows-only
-        "knn_ivf": ann.ivf_search,                     # approximate → rows-only
+        "knn_cosine_lsh": ann.knn_cosine_lsh,   # sign-LSH probe, SQL-expressible semantics
+        "knn_ivf": ann.ivf_search,              # exact branch-and-bound == brute force
         # --- multimodal binary-column plumbing (stub decode) ---
         "multimodal_decode": multimodal.decode_features,
         # --- mergeable sketches (approximate → rows-only) ---
@@ -90,8 +90,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+_KNN_BRUTE_SQL = """
+    SELECT e.vec_id,
+           round(CAST(list_cosine_similarity(e.embedding, q.embedding) AS DOUBLE), 3) AS cos
+    FROM embeddings e
+    CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+    ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC, e.vec_id
+    LIMIT 10
+"""
+
+
 def oracle_sql() -> dict[str, str]:
-    from aarhus_ray.functions import fulltext
+    from aarhus_ray.functions import ann, fulltext
 
     tok = "regexp_split_to_array(lower(text), '[^a-z0-9]+')"
     toks_nonempty = f"list_filter({tok}, x -> x <> '')"
@@ -138,7 +148,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY revenue_e4 DESC, l_orderkey, l_linenumber LIMIT 20
         """,
         "supplier_nation_acctbal": """
-            SELECT s_nationkey, COUNT(*) AS n_suppliers,
+            SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey, COUNT(*) AS n_suppliers,
                    MIN(CAST(round(s_acctbal*100) AS BIGINT)) AS min_acctbal_cents,
                    MAX(CAST(round(s_acctbal*100) AS BIGINT)) AS max_acctbal_cents
             FROM supplier GROUP BY 1 ORDER BY 1
@@ -265,14 +275,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id AS vec_a, vec_id + {CLONE_OFFSET} AS vec_b
             FROM embeddings ORDER BY vec_a
         """,
-        "knn_cosine_bruteforce": """
-            SELECT e.vec_id,
-                   round(CAST(list_cosine_similarity(e.embedding, q.embedding) AS DOUBLE), 3) AS cos
-            FROM embeddings e
-            CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
-            ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC, e.vec_id
-            LIMIT 10
-        """,
+        "knn_cosine_bruteforce": _KNN_BRUTE_SQL,
+        # sign-LSH probe semantics are deterministic and SQL-expressible —
+        # the oracle pins bucketing + probing + scoring exactly
+        "knn_cosine_lsh": ann.lsh_oracle_sql(k=10, vec_id=0, n_bits=8, max_flip=2),
+        # IVF is EXACT branch-and-bound (cell bounds via spherical triangle
+        # inequality) — it shares the brute-force oracle by construction
+        "knn_ivf": _KNN_BRUTE_SQL,
         "multimodal_decode": """
             SELECT doc_id,
                    CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
@@ -282,6 +291,4 @@ def oracle_sql() -> dict[str, str]:
             FROM documents ORDER BY doc_id
         """,
         "fulltext_bm25_topk": fulltext.bm25_oracle_sql(),
-        # knn_cosine_lsh / knn_ivf: approximate by design → no oracle
-        # (driver records the weaker rows-only check).
     }

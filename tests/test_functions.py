@@ -75,14 +75,32 @@ def test_knn_bruteforce_matches_numpy():
     assert out["vec_id"].tolist() == ids[order].tolist()
 
 
-def test_ann_lsh_and_ivf_report_recall():
-    from aarhus_ray.functions.ann import ivf_search, knn_cosine_lsh
+def test_ivf_branch_and_bound_is_exact():
+    from aarhus_ray.functions.ann import ivf_search, knn_cosine_bruteforce
 
-    lsh = knn_cosine_lsh(SF, k=5)
+    brute = knn_cosine_bruteforce(SF, k=5)
     ivf = ivf_search(SF, k=5)
-    assert 0.0 <= lsh["recall_at_k"].iloc[0] <= 1.0
-    assert 0.0 <= ivf["recall_at_k"].iloc[0] <= 1.0
-    assert len(lsh) <= 5 and len(ivf) <= 5
+    assert ivf.values.tolist() == brute.values.tolist()
+
+
+def test_lsh_probe_matches_direct_replay():
+    from aarhus_ray.functions.ann import knn_cosine_lsh, sign_signature
+
+    n_bits, max_flip, k = 8, 2, 5
+    out = knn_cosine_lsh(SF, k=k, n_bits=n_bits, max_flip=max_flip)
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+    E = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    En = E / np.linalg.norm(E, axis=1, keepdims=True)
+    q = En[ids.tolist().index(0)]
+    sigs = sign_signature(En, n_bits)
+    q_sig = sigs[ids.tolist().index(0)]
+    ham = np.array([bin(int(s) ^ int(q_sig)).count("1") for s in sigs])
+    mask = ham <= max_flip
+    cos = En[mask] @ q
+    mids = ids[mask]
+    order = np.lexsort((mids, -cos))[:k]
+    assert out["vec_id"].tolist() == mids[order].tolist()
 
 
 def test_tumbling_window_matches_pandas():
