@@ -103,6 +103,11 @@ _KNN_BRUTE_SQL = """
 def oracle_sql() -> dict[str, str]:
     from aarhus_ray.functions import ann, fulltext
 
+    # ASCII-ONLY ASSUMPTION (verified by tests/test_functions.py::
+    # test_driver_corpus_is_ascii): these oracles tokenize with lower(text)
+    # while the engine uses NFKC + casefold + [a-z0-9]+ (textnorm.py). The
+    # two agree exactly on the driver corpus because it is plain lowercase
+    # ASCII; non-ASCII text (ß, ligatures, fullwidth digits) would diverge.
     tok = "regexp_split_to_array(lower(text), '[^a-z0-9]+')"
     toks_nonempty = f"list_filter({tok}, x -> x <> '')"
     return {
@@ -269,6 +274,46 @@ def oracle_sql() -> dict[str, str]:
         # LSH plan must reproduce; docs with < 3 tokens have no shingles)
         "docs_minhash_lsh_pairs": _JACCARD_PAIRS_SQL,
         "docs_ngram_jaccard_pairs": _JACCARD_PAIRS_SQL,
+        # full SQL replay of the engine's simhash (md5-prefix token hash,
+        # per-occurrence ±1 bit votes, sign threshold acc > 0) + exact
+        # all-pairs hamming <= 3 — the engine's quarter-bucket candidate
+        # generation is exactness-preserving by pigeonhole (3 flips can't
+        # touch all 4 of the 16-bit quarters), so both sides are exact.
+        "docs_simhash_pairs": f"""
+            WITH docs2 AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL SELECT doc_id + {CLONE_OFFSET}, text FROM documents
+            ),
+            toks AS (
+              SELECT doc_id,
+                     unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                        x -> x <> '')) AS tok
+              FROM docs2
+            ),
+            th AS (SELECT doc_id,
+                          CAST(concat('0x', substr(md5(tok), 1, 16)) AS UBIGINT) AS h
+                   FROM toks),
+            bits AS (
+              SELECT doc_id, b.bit,
+                     SUM(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+              FROM th CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS bit) b
+              GROUP BY 1, 2
+            ),
+            sig0 AS (
+              SELECT doc_id,
+                     CAST(SUM(CASE WHEN acc > 0 THEN CAST(1 AS UBIGINT) << bit
+                                   ELSE CAST(0 AS UBIGINT) END) AS UBIGINT) AS s
+              FROM bits GROUP BY 1
+            ),
+            sig AS (  -- zero-token docs have signature 0 (engine: acc all zero)
+              SELECT d.doc_id, coalesce(s0.s, CAST(0 AS UBIGINT)) AS s
+              FROM docs2 d LEFT JOIN sig0 s0 USING (doc_id)
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.s, b.s)) <= 3
+            ORDER BY doc_a, doc_b
+        """,
         # docs_simhash_pairs: hamming<=3 on 64-bit simhash is approximate by
         # design (no closed-form SQL answer) → rows-only check.
         "embedding_near_dup_pairs": f"""

@@ -306,29 +306,37 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.9) -> pd.DataFrame:
 
 class SimHashUDF:
     """Actor-pool stage: text → 64-bit SimHash fingerprint (token-feature
-    sign aggregation, frozen hashing)."""
+    sign aggregation). Token feature hash = first 16 hex chars of md5(tok)
+    — chosen over blake2b deliberately so the WHOLE simhash pipeline is
+    SQL-replayable in DuckDB (md5 + hex-prefix cast; see the
+    docs_simhash_pairs oracle in __ray_entry__), turning a rows-only check
+    into an exact hash-checked one. Duplicate token occurrences each
+    contribute (mirrored by the oracle's unnest)."""
 
     def __init__(self):
-        self.cache: dict[str, np.ndarray] = {}
+        self.cache: dict[str, int] = {}
 
-    def _token_bits(self, tok: str) -> np.ndarray:
+    def _token_hash(self, tok: str) -> int:
         v = self.cache.get(tok)
         if v is None:
-            h = int.from_bytes(hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big")
-            v = np.array([(h >> i) & 1 for i in range(64)], dtype=np.int64) * 2 - 1
+            v = int(hashlib.md5(tok.encode()).hexdigest()[:16], 16)
             self.cache[tok] = v
         return v
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids = batch["doc_id"].to_pylist()
         toks = tokenize_batch(batch["text"].to_pylist())
+        shifts = np.arange(64, dtype=np.uint64)
         sigs = []
         for tk in toks:
-            acc = np.zeros(64, dtype=np.int64)
-            for t in tk:
-                acc += self._token_bits(t)
-            bits = (acc > 0).astype(np.uint64)
-            sigs.append(int((bits << np.arange(64, dtype=np.uint64)).sum()))
+            if tk:
+                h = np.fromiter((self._token_hash(t) for t in tk), dtype=np.uint64, count=len(tk))
+                bits = ((h[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+                acc = 2 * bits.sum(axis=0) - len(tk)  # Σ(±1) per bit position
+            else:
+                acc = np.zeros(64, dtype=np.int64)
+            sig_bits = (acc > 0).astype(np.uint64)
+            sigs.append(int((sig_bits << shifts).sum()))
         return pa.table(
             {"doc_id": pa.array(doc_ids, pa.int64()), "simhash": pa.array(sigs, pa.uint64())}
         )

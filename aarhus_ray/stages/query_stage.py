@@ -289,11 +289,17 @@ class ScorerTaskFn:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out_dir, seg_ids, k, method, shared_ref, version = self.args
-        key = (out_dir, version, k, method)
+        # seg_ids and shared_ref-presence are part of the identity: a scorer
+        # built over a subset of segments (or without shared state) must not
+        # be served for a different configuration of the same index
+        key = (out_dir, version, k, method, seg_ids, shared_ref is not None)
         scorer = _WORKER_SCORER_CACHE.get(key)
         if scorer is None:
+            # evict only STALE entries of the same index (older version);
+            # scorers for other live indexes keep their warm state
+            for old in [k_ for k_ in _WORKER_SCORER_CACHE if k_[0] == out_dir and k_[1] < version]:
+                del _WORKER_SCORER_CACHE[old]
             scorer = QueryScorer(out_dir, list(seg_ids), k, method, shared_ref)
-            _WORKER_SCORER_CACHE.clear()  # old index versions are dead weight
             _WORKER_SCORER_CACHE[key] = scorer
         return scorer(batch)
 

@@ -269,3 +269,25 @@ def test_parallel_fixture_generation_deterministic(tmp_path):
         urls.extend(pq.read_table(os.path.join(a, f), columns=["url"])["url"].to_pylist())
     base_urls = [u for u in urls]
     assert len(set(base_urls)) >= 400  # 400 originals (+ dups reuse existing urls)
+
+
+def test_driver_corpus_is_ascii():
+    """Guards the oracle-SQL tokenizer equivalence: the DuckDB oracles use
+    lower(text) while the engine uses NFKC+casefold (textnorm.py). They
+    agree only while the driver corpus is plain ASCII — if this ever fails,
+    every text-tokenizing oracle in __ray_entry__ needs a casefold-aware
+    rewrite (see the ASCII-ONLY ASSUMPTION note there)."""
+    for sf in ("/root/testdata/sf0.001",):
+        t = pq.read_table(f"{sf}/documents.parquet", columns=["text"])
+        for s in t["text"].to_pylist():
+            assert s.isascii()
+
+
+def test_tokenize_nonascii_diverges_from_plain_lower():
+    """Documents (rather than hides) the divergence the ASCII guard above
+    protects against: casefold('ß') = 'ss' and NFKC folds fullwidth digits,
+    which lower(text) in SQL would not."""
+    from aarhus_ray.textnorm import tokenize
+
+    assert tokenize("STRASSE straße") == ["strasse", "strasse"]
+    assert tokenize("ＡＢＣ１２３") == ["abc123"]  # fullwidth → ascii via NFKC
