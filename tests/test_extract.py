@@ -97,3 +97,69 @@ def test_extract_golden_byte_identity():
     for url, want in zip(golden["url"].to_pylist(), golden["text"].to_pylist()):
         got = extract_text(winner_html[url])
         assert got == want, f"extraction drift for {url}"
+
+
+def test_ws_normalize_matches_regex_reference():
+    """_normalize_ws (C-speed str.split construction) must equal the frozen
+    two-regex semantics on arbitrary whitespace soup."""
+    import random
+
+    from aarhus_ray.extract import _WS_RUN, _WS_WITH_NL, _normalize_ws
+
+    rng = random.Random(7)
+    chars = list("ab c\t\n\r\f\v\xa0 xyz  \n\n   ")
+    for _ in range(5000):
+        s = "".join(rng.choice(chars) for _ in range(rng.randint(0, 50)))
+        want = _WS_RUN.sub(" ", _WS_WITH_NL.sub("\n", s)).strip()
+        assert _normalize_ws(s) == want, repr(s)
+
+
+def _slow_extract(html: bytes) -> str:
+    from aarhus_ray.extract import _normalize_ws, _slow_parts, decode_html
+
+    try:
+        decoded = decode_html(html)
+    except Exception:
+        decoded = bytes(html).decode("latin-1", errors="replace")
+    return _normalize_ws("".join(_slow_parts(decoded)))
+
+
+def test_fast_path_equals_htmlparser_on_fixture_space():
+    """The fast tokenizer must be byte-identical to the frozen HTMLParser
+    path across the fixture generator space (different seeds than the
+    goldens) — the fast path either agrees exactly or bails."""
+    import numpy as np
+
+    from aarhus_ray import fixtures
+    from aarhus_ray.extract import extract_text
+
+    for seed in (3, 11, 29):
+        rng = np.random.RandomState(seed)
+        vocab = [f"w{j}" for j in range(150)]
+        for di in range(60):
+            toks = [vocab[rng.randint(len(vocab))] for _ in range(rng.randint(5, 120))]
+            h, latin1 = fixtures._doc_html(rng, toks, di)
+            raw = h.encode("iso-8859-1" if latin1 else "utf-8", errors="replace")
+            assert extract_text(raw) == _slow_extract(raw)
+
+
+def test_fast_path_equals_htmlparser_on_adversarial_constructs():
+    from aarhus_ray.extract import extract_text
+
+    adversarial = [
+        b"a < b and c > d", b"<p>x &amp; y &#65; &#x42; &unknown; &lt</p>",
+        b"<script>if (a<b) { x = '</div>'; }</script>visible",
+        b"<SCRIPT>1<2</SCRIPT>after", b"<script>no close ever",
+        b"<script></scriptx></script>post", b"<script></script foo></script>post",
+        b"<style>p>b{}</style>t", b"<template><p>hid</p><script>h2</script></template>ok",
+        b"<!-- c1 --><p>t</p><!-- unterminated", b"<!doctype html><p>x</p>",
+        b"<![CDATA[raw]]><p>y</p>", b"<?php echo '>' ?><p>z</p>",
+        b"<div data-x='a > b'>edge</div>", b'<div data-x="a > b">edge</div>',
+        b"<br/><br /><hr></p ><p  >text", b"</><p>q</p>", b"<3 hearts",
+        b"<p\tclass=x\n>multi</p>", b"<p>unclosed", b"", b"plain",
+        b"<p>trailing amp &", b"<p>&#xZZ;</p>", b"<meta charset='nope-enc'><p>a</p>",
+        b"<p>a</p \t>", b"<a href=plain>t</a>", b"<p/>x<script/>y<template/>z",
+        b"<p>a<![if]>b</p>", b"<EM>caps</EM><DIV>D</DIV>",
+    ]
+    for h in adversarial:
+        assert extract_text(h) == _slow_extract(h), h
