@@ -26,8 +26,13 @@ CLONE_OFFSET = 1_000_000
 _MERSENNE = (1 << 61) - 1
 
 
-def _docs(sf_dir: str, columns=None) -> ray.data.Dataset:
-    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+def _docs(sf_dir: str, columns=None, num_blocks: int | None = None) -> ray.data.Dataset:
+    """documents table; num_blocks pins read parallelism for CPU-heavy maps
+    (the table is a single parquet file — without an override it can land
+    in one block and serialize the whole downstream map stage)."""
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=columns, override_num_blocks=num_blocks
+    )
 
 
 def _cloned_docs(sf_dir: str) -> ray.data.Dataset:
@@ -132,131 +137,121 @@ def _minhash_params(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarr
     return a, b
 
 
-class MinHashUDF:
-    """Actor-pool stage: text → minhash signature bands (band_id, band_hash,
-    doc_id) rows, ready for the LSH bucket groupby."""
+_MINHASH_STATE: dict[tuple, tuple[np.ndarray, np.ndarray]] = {}
 
-    def __init__(self, num_perm: int = 64, bands: int = 16, shingle_n: int = 3, seed: int = 42):
-        self.a, self.b = _minhash_params(num_perm, seed)
-        self.bands = bands
-        self.rows_per_band = num_perm // bands
-        self.shingle_n = shingle_n
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        doc_ids = np.asarray(batch["doc_id"].to_pylist(), dtype=np.int64)
-        toks = tokenize_batch(batch["text"].to_pylist())
-        n_docs = len(toks)
-        num_perm = len(self.a)
-        sh = [_shingle_hash_array(_token_hashes(t), self.shingle_n) for t in toks]
-        lens = np.array([len(s) for s in sh], dtype=np.int64)
-        nz = np.flatnonzero(lens)
-        # signatures: permute ALL docs' shingles in one array per permutation
-        # (64 vectorized passes; O(total_shingles) memory), segment-min via
-        # np.minimum.reduceat at doc boundaries. Empty-shingle docs keep the
-        # all-MAX sentinel signature (frozen; they collide only with each
-        # other and verification drops them).
-        sigs = np.full((n_docs, num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
-        if len(nz):
-            concat = np.concatenate([sh[i] for i in nz])
-            starts = np.concatenate(([0], np.cumsum(lens[nz])[:-1]))
-            m = np.uint64(_MERSENNE)
-            for p in range(num_perm):
-                vals = (concat * self.a[p] + self.b[p]) % m
-                sigs[nz, p] = np.minimum.reduceat(vals, starts)
-        # band keys: polynomial fold of each band's signature rows, finalized
-        # with splitmix64, >>1 for an int64-safe groupby key
-        s3 = sigs.reshape(n_docs, self.bands, self.rows_per_band)
-        acc = s3[:, :, 0].copy()
-        for j in range(1, self.rows_per_band):
-            acc = acc * _SH_B + s3[:, :, j]
-        band_hash = (_mix64(acc) >> np.uint64(1)).astype(np.int64)
-        return pa.table(
-            {
-                "doc_id": pa.array(np.repeat(doc_ids, self.bands), pa.int64()),
-                "band_id": pa.array(np.tile(np.arange(self.bands, dtype=np.int32), n_docs), pa.int32()),
-                "band_hash": pa.array(band_hash.ravel(), pa.int64()),
-            }
-        )
+def minhash_band_rows(
+    batch: pa.Table, num_perm: int = 64, bands: int = 16, shingle_n: int = 3, seed: int = 42
+) -> pa.Table:
+    """Stateless-TASK stage: text → (doc_id, band_hash) LSH band rows.
+
+    A plain top-level function (not an actor class) deliberately: the perm
+    params are microseconds to build (cached in the module global above,
+    which resolves per worker process because this function is pickled BY
+    REFERENCE — the round-1 cloudpickle lesson), and plain tasks reuse
+    Ray's long-lived workers instead of paying ~2s actor-pool spawn per
+    query run. The token-hash cache (_TOKEN_HASH_CACHE) persists the same
+    way."""
+    pk = (num_perm, seed)
+    if pk not in _MINHASH_STATE:
+        _MINHASH_STATE[pk] = _minhash_params(num_perm, seed)
+    a, b = _MINHASH_STATE[pk]
+    rows_per_band = num_perm // bands
+    doc_ids = np.asarray(batch["doc_id"].to_pylist(), dtype=np.int64)
+    toks = tokenize_batch(batch["text"].to_pylist())
+    n_docs = len(toks)
+    sh = [_shingle_hash_array(_token_hashes(t), shingle_n) for t in toks]
+    lens = np.array([len(s) for s in sh], dtype=np.int64)
+    nz = np.flatnonzero(lens)
+    # signatures: permute ALL docs' shingles in one array per permutation
+    # (64 vectorized passes; O(total_shingles) memory), segment-min via
+    # np.minimum.reduceat at doc boundaries. Empty-shingle docs keep the
+    # all-MAX sentinel signature (frozen; they collide only with each
+    # other and verification drops them).
+    sigs = np.full((n_docs, num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+    if len(nz):
+        concat = np.concatenate([sh[i] for i in nz])
+        starts = np.concatenate(([0], np.cumsum(lens[nz])[:-1]))
+        m = np.uint64(_MERSENNE)
+        for p in range(num_perm):
+            vals = (concat * a[p] + b[p]) % m
+            sigs[nz, p] = np.minimum.reduceat(vals, starts)
+    # band keys: polynomial fold of each band's signature rows seeded
+    # with a per-band initial value (so band_id is folded INTO the key
+    # — one int64 bucket key, no composite groupby), splitmix64
+    # finalize, >>1 for an int64-safe key. A cross-band hash collision
+    # can only ADD a candidate pair, and candidates are exact-verified.
+    s3 = sigs.reshape(n_docs, bands, rows_per_band)
+    init = _mix64(np.arange(1, bands + 1, dtype=np.uint64) * _SH_A)
+    acc = np.broadcast_to(init, (n_docs, bands)).copy()
+    for j in range(rows_per_band):
+        acc = acc * _SH_B + s3[:, :, j]
+    band_hash = (_mix64(acc) >> np.uint64(1)).astype(np.int64)
+    return pa.table(
+        {
+            "doc_id": pa.array(np.repeat(doc_ids, bands), pa.int64()),
+            "band_hash": pa.array(band_hash.ravel(), pa.int64()),
+        }
+    )
 
 
 def _verified_pairs_from_candidates(cand_pairs: set[tuple[int, int]], sf_dir: str, threshold: float, shingle_n: int = 3) -> pd.DataFrame:
     """Exact-Jaccard verification of candidate pairs as a DISTRIBUTED
-    reduce-side join — the documents table is never read onto the driver:
+    single-shuffle join — the documents table is never read onto the
+    driver:
 
-    1. shingle sets stay a Dataset keyed by doc_id, pruned at the read to
-       only the doc_ids the candidates reference (broadcast keyset filter);
-    2. each pair becomes two probe rows (one per side), unioned with the
-       shingle rows and grouped by doc_id so every probe picks up its
-       doc's shingle list inside the group;
-    3. a second groupby(pair_id) brings a pair's two shingle lists together
-       and emits the pair iff exact Jaccard >= threshold.
+    1. the candidate pair list (already driver-resident and small by LSH
+       construction) is inverted into a broadcast membership map
+       base_doc_id -> [(pair_id, side), ...];
+    2. one map over the documents Dataset prunes to member docs, shingles
+       them, and emits one (pair_id, side, shingles) row per membership;
+    3. one groupby(pair_id) brings a pair's two shingle lists together and
+       emits the pair iff exact Jaccard >= threshold.
 
-    At 100TB both shuffles move only candidate-adjacent shingle sets (LSH
-    keeps |candidates| << |corpus|); only the verified pairs reach the
-    driver. Clone ids (>= CLONE_OFFSET) verify against their base doc."""
+    At 100TB the shuffle moves only candidate-adjacent shingle sets (LSH
+    keeps |candidates| << |corpus|); only verified pairs reach the driver.
+    Clone ids (>= CLONE_OFFSET) verify against their base doc."""
     import ray
 
+    empty = pd.DataFrame({"doc_a": pd.Series([], dtype="int64"), "doc_b": pd.Series([], dtype="int64")})
     if not cand_pairs:
-        return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"), "doc_b": pd.Series([], dtype="int64")})
+        return empty
 
     pairs = sorted(cand_pairs)
     base = lambda d: d - CLONE_OFFSET if d >= CLONE_OFFSET else d  # noqa: E731
-    needed = sorted({base(d) for p in pairs for d in p})
-    needed_ref = ray.put(pa.array(needed, pa.int64()))
+    membership: dict[int, list[tuple[int, int, int, int]]] = {}
+    for pid, (a, b) in enumerate(pairs):
+        membership.setdefault(base(a), []).append((pid, 0, a, b))
+        membership.setdefault(base(b), []).append((pid, 1, a, b))
+    memb_ref = ray.put(membership)
 
-    shingle_schema = pa.schema(
-        [("join_id", pa.int64()), ("pair_id", pa.int64()), ("side", pa.int32()),
-         ("doc_a", pa.int64()), ("doc_b", pa.int64()), ("shingles", pa.list_(pa.uint64()))]
-    )
-
-    def shingle_rows(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        batch = batch.filter(pc.is_in(batch["doc_id"], value_set=ray.get(needed_ref)))
-        toks = tokenize_batch(batch["text"].to_pylist())
-        sh = [_shingle_hash_array(_token_hashes(t), shingle_n) for t in toks]
-        n = len(sh)
+    def pair_side_rows(batch: pa.Table) -> pa.Table:
+        memb = ray.get(memb_ref)
+        ids = batch["doc_id"].to_pylist()
+        keep = [i for i, d in enumerate(ids) if d in memb]
+        out_pid, out_side, out_a, out_b, out_sh = [], [], [], [], []
+        if keep:
+            sub = batch.take(keep)
+            toks = tokenize_batch(sub["text"].to_pylist())
+            for d, t in zip(sub["doc_id"].to_pylist(), toks):
+                sh = _shingle_hash_array(_token_hashes(t), shingle_n).tolist()
+                for pid, side, a, b in memb[d]:
+                    out_pid.append(pid)
+                    out_side.append(side)
+                    out_a.append(a)
+                    out_b.append(b)
+                    out_sh.append(sh)
         return pa.table(
             {
-                "join_id": batch["doc_id"].cast(pa.int64()),
-                "pair_id": pa.array([-1] * n, pa.int64()),
-                "side": pa.array([0] * n, pa.int32()),
-                "doc_a": pa.array([-1] * n, pa.int64()),
-                "doc_b": pa.array([-1] * n, pa.int64()),
-                "shingles": pa.array([s.tolist() for s in sh], pa.list_(pa.uint64())),
-            },
-            schema=shingle_schema,
+                "pair_id": pa.array(out_pid, pa.int64()),
+                "side": pa.array(out_side, pa.int32()),
+                "doc_a": pa.array(out_a, pa.int64()),
+                "doc_b": pa.array(out_b, pa.int64()),
+                "shingles": pa.array(out_sh, pa.list_(pa.uint64())),
+            }
         )
 
-    probe_rows = pa.table(
-        {
-            "join_id": pa.array([base(p[s]) for p in pairs for s in (0, 1)], pa.int64()),
-            "pair_id": pa.array([i for i in range(len(pairs)) for _ in (0, 1)], pa.int64()),
-            "side": pa.array([s for _ in pairs for s in (0, 1)], pa.int32()),
-            "doc_a": pa.array([p[0] for p in pairs for _ in (0, 1)], pa.int64()),
-            "doc_b": pa.array([p[1] for p in pairs for _ in (0, 1)], pa.int64()),
-            "shingles": pa.array([[]] * (2 * len(pairs)), pa.list_(pa.uint64())),
-        },
-        schema=shingle_schema,
-    )
-
-    shingle_ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        shingle_rows, batch_format="pyarrow"
-    )
-    tagged = shingle_ds.union(ray.data.from_arrow(probe_rows))
-
-    def attach_shingles(g: pd.DataFrame) -> pd.DataFrame:
-        data = g[g["pair_id"] < 0]
-        probes = g[g["pair_id"] >= 0]
-        if len(data) == 0 or len(probes) == 0:
-            return probes.iloc[0:0]
-        sh = data["shingles"].iloc[0]
-        out = probes.copy()
-        out["shingles"] = [sh] * len(probes)
-        return out
-
     def verify_pair(g: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"doc_a": pd.Series([], dtype="int64"), "doc_b": pd.Series([], dtype="int64")})
         if len(g) != 2:
             return empty
         g = g.sort_values("side")
@@ -268,12 +263,14 @@ def _verified_pairs_from_candidates(cand_pairs: set[tuple[int, int]], sf_dir: st
         return pd.DataFrame({"doc_a": [int(g["doc_a"].iloc[0])], "doc_b": [int(g["doc_b"].iloc[0])]})
 
     out = (
-        tagged.groupby("join_id").map_groups(attach_shingles, batch_format="pandas")
-        .groupby("pair_id").map_groups(verify_pair, batch_format="pandas")
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(pair_side_rows, batch_format="pyarrow")
+        .groupby("pair_id")
+        .map_groups(verify_pair, batch_format="pandas")
         .to_pandas()
     )
     if len(out) == 0:
-        return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"), "doc_b": pd.Series([], dtype="int64")})
+        return empty
     return out.astype("int64").sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
@@ -285,109 +282,126 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.9) -> pd.DataFrame:
     answer on pairs it does surface; at J>=0.9 with 16 bands × 4 rows the
     miss probability is ~1e-8 per pair). Output (doc_a < doc_b) sorted —
     oracle = exact all-pairs shingle-Jaccard in SQL."""
-    ds = _docs(sf_dir, ["doc_id", "text"])
-    banded = ds.map_batches(MinHashUDF, batch_format="pyarrow", concurrency=(1, 4))
+    import pyarrow.compute as pc
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(g["doc_id"].tolist())
-        if len(ids) < 2:
-            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"), "doc_b": pd.Series([], dtype="int64")})
-        pairs = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]]
-        return pd.DataFrame(pairs, columns=["doc_a", "doc_b"]).astype("int64")
-
-    cand = (
-        banded.groupby(["band_id", "band_hash"])
-        .map_groups(bucket_pairs, batch_format="pandas")
-        .to_pandas()
-    )
-    cand_pairs = set(zip(cand["doc_a"], cand["doc_b"])) if len(cand) else set()
+    # the table is one parquet row group -> ONE block; repartition so the
+    # CPU-heavy shingle/minhash map fans out (round-1 lesson: a single
+    # in-memory block gives a map stage exactly one task)
+    ds = _docs(sf_dir, ["doc_id", "text"]).repartition(16)
+    # materialized: the banded table is 2 int64 cols (tiny relative to the
+    # corpus) and is consumed twice below; at extreme scale write it to
+    # parquet instead and re-read
+    banded = ds.map_batches(minhash_band_rows, batch_format="pyarrow").materialize()
+    # candidate buckets via a VECTORIZED count aggregate (a per-group
+    # map_groups over every singleton bucket was the hot cost — ~16 buckets
+    # per doc, nearly all of size 1); only keys with >= 2 members survive
+    counts = banded.groupby("band_hash").count()
+    hot = counts.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["count()"], pa.scalar(2, pa.int64()))),
+        batch_format="pyarrow",
+    ).to_pandas()
+    if len(hot) == 0:
+        return _verified_pairs_from_candidates(set(), sf_dir, threshold)
+    hot_keys = pa.array(sorted(hot["band_hash"].tolist()), pa.int64())
+    cand = banded.map_batches(
+        lambda t: t.filter(pc.is_in(t["band_hash"], value_set=hot_keys)),
+        batch_format="pyarrow",
+    ).to_pandas()
+    cand_pairs: set[tuple[int, int]] = set()
+    for _, g in cand.groupby("band_hash"):
+        ids = sorted(set(g["doc_id"].tolist()))
+        cand_pairs.update((a, b) for i, a in enumerate(ids) for b in ids[i + 1 :])
     return _verified_pairs_from_candidates(cand_pairs, sf_dir, threshold)
 
 
-class SimHashUDF:
-    """Actor-pool stage: text → 64-bit SimHash fingerprint (token-feature
-    sign aggregation). Token feature hash = first 16 hex chars of md5(tok)
-    — chosen over blake2b deliberately so the WHOLE simhash pipeline is
-    SQL-replayable in DuckDB (md5 + hex-prefix cast; see the
+_SIMHASH_TOKEN_CACHE: dict[str, int] = {}  # per worker process (by-reference fn)
+
+
+def _md5_token_hash(tok: str) -> int:
+    v = _SIMHASH_TOKEN_CACHE.get(tok)
+    if v is None:
+        v = int(hashlib.md5(tok.encode()).hexdigest()[:16], 16)
+        _SIMHASH_TOKEN_CACHE[tok] = v
+    return v
+
+
+def simhash_rows(batch: pa.Table) -> pa.Table:
+    """Stateless-TASK stage: text → 64-bit SimHash fingerprint (token-
+    feature sign aggregation). Token feature hash = first 16 hex chars of
+    md5(tok) — chosen over blake2b deliberately so the WHOLE simhash
+    pipeline is SQL-replayable in DuckDB (md5 + hex-prefix cast; see the
     docs_simhash_pairs oracle in __ray_entry__), turning a rows-only check
     into an exact hash-checked one. Duplicate token occurrences each
-    contribute (mirrored by the oracle's unnest)."""
-
-    def __init__(self):
-        self.cache: dict[str, int] = {}
-
-    def _token_hash(self, tok: str) -> int:
-        v = self.cache.get(tok)
-        if v is None:
-            v = int(hashlib.md5(tok.encode()).hexdigest()[:16], 16)
-            self.cache[tok] = v
-        return v
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        doc_ids = batch["doc_id"].to_pylist()
-        toks = tokenize_batch(batch["text"].to_pylist())
-        shifts = np.arange(64, dtype=np.uint64)
-        sigs = []
-        for tk in toks:
-            if tk:
-                h = np.fromiter((self._token_hash(t) for t in tk), dtype=np.uint64, count=len(tk))
-                bits = ((h[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
-                acc = 2 * bits.sum(axis=0) - len(tk)  # Σ(±1) per bit position
-            else:
-                acc = np.zeros(64, dtype=np.int64)
-            sig_bits = (acc > 0).astype(np.uint64)
-            sigs.append(int((sig_bits << shifts).sum()))
-        return pa.table(
-            {"doc_id": pa.array(doc_ids, pa.int64()), "simhash": pa.array(sigs, pa.uint64())}
-        )
+    contribute (mirrored by the oracle's unnest). Plain top-level function
+    for the same worker-reuse/cache reasons as minhash_band_rows."""
+    doc_ids = batch["doc_id"].to_pylist()
+    toks = tokenize_batch(batch["text"].to_pylist())
+    shifts = np.arange(64, dtype=np.uint64)
+    sigs = []
+    for tk in toks:
+        if tk:
+            h = np.fromiter((_md5_token_hash(t) for t in tk), dtype=np.uint64, count=len(tk))
+            bits = ((h[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+            acc = 2 * bits.sum(axis=0) - len(tk)  # Σ(±1) per bit position
+        else:
+            acc = np.zeros(64, dtype=np.int64)
+        sig_bits = (acc > 0).astype(np.uint64)
+        sigs.append(int((sig_bits << shifts).sum()))
+    return pa.table(
+        {"doc_id": pa.array(doc_ids, pa.int64()), "simhash": pa.array(sigs, pa.uint64())}
+    )
 
 
 def simhash_dup_pairs(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
     """SimHash near-dup pairs over the cloned corpus. Candidate generation
     buckets by 16-bit simhash quarters (any pair within hamming<=3 shares at
     least one of 4 quarters), verify by exact hamming distance."""
-    ds = _cloned_docs(sf_dir)
-    sigs = ds.map_batches(SimHashUDF, batch_format="pyarrow", concurrency=(1, 4))
+    ds = _cloned_docs(sf_dir).repartition(16)
+    sigs = ds.map_batches(simhash_rows, batch_format="pyarrow")
+
+    import pyarrow.compute as pc
 
     def quarters(batch: pa.Table) -> pa.Table:
-        d = batch["doc_id"].to_pylist()
+        """One row per (doc, 16-bit simhash quarter); qkey folds the
+        quarter index into the key (key*4+q) for a single-column bucket."""
+        d = np.asarray(batch["doc_id"].to_pylist(), dtype=np.int64)
         s = batch["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        out_d, out_q, out_k, out_s = [], [], [], []
-        for i, did in enumerate(d):
-            for q in range(4):
-                out_d.append(did)
-                out_q.append(q)
-                out_k.append(int((s[i] >> np.uint64(16 * q)) & np.uint64(0xFFFF)))
-                out_s.append(int(s[i]))
+        qk = np.empty((len(d), 4), dtype=np.int64)
+        for q in range(4):
+            qk[:, q] = (((s >> np.uint64(16 * q)) & np.uint64(0xFFFF)).astype(np.int64) << 2) | q
         return pa.table(
             {
-                "doc_id": pa.array(out_d, pa.int64()),
-                "q": pa.array(out_q, pa.int32()),
-                "key": pa.array(out_k, pa.int64()),
-                "simhash": pa.array(out_s, pa.uint64()),
+                "doc_id": pa.array(np.repeat(d, 4), pa.int64()),
+                "qkey": pa.array(qk.ravel(), pa.int64()),
+                "simhash": pa.array(np.repeat(s, 4), pa.uint64()),
             }
         )
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        recs = sorted(zip(g["doc_id"], g["simhash"].astype(np.uint64)))
+    quartered = sigs.map_batches(quarters, batch_format="pyarrow").materialize()
+    counts = quartered.groupby("qkey").count()
+    hot = counts.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["count()"], pa.scalar(2, pa.int64()))),
+        batch_format="pyarrow",
+    ).to_pandas()
+    empty = pd.DataFrame({"doc_a": pd.Series([], dtype="int64"), "doc_b": pd.Series([], dtype="int64")})
+    if len(hot) == 0:
+        return empty
+    hot_keys = pa.array(sorted(hot["qkey"].tolist()), pa.int64())
+    cand = quartered.map_batches(
+        lambda t: t.filter(pc.is_in(t["qkey"], value_set=hot_keys)),
+        batch_format="pyarrow",
+    ).to_pandas()
+    rows = set()
+    for _, g in cand.groupby("qkey"):
+        recs = sorted(set(zip(g["doc_id"], g["simhash"].astype(np.uint64))))
         for i in range(len(recs)):
             for j in range(i + 1, len(recs)):
-                ham = bin(int(recs[i][1]) ^ int(recs[j][1])).count("1")
-                if ham <= max_hamming:
-                    rows.append((recs[i][0], recs[j][0]))
-        return pd.DataFrame(rows, columns=["doc_a", "doc_b"]).astype("int64")
-
-    pairs = (
-        sigs.map_batches(quarters, batch_format="pyarrow")
-        .groupby(["q", "key"])
-        .map_groups(bucket_pairs, batch_format="pandas")
-        .to_pandas()
-    )
-    if len(pairs) == 0:
-        return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"), "doc_b": pd.Series([], dtype="int64")})
-    pairs = pairs.drop_duplicates().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
-    return pairs
+                if bin(int(recs[i][1]) ^ int(recs[j][1])).count("1") <= max_hamming:
+                    rows.add((recs[i][0], recs[j][0]))
+    if not rows:
+        return empty
+    pairs = pd.DataFrame(sorted(rows), columns=["doc_a", "doc_b"]).astype("int64")
+    return pairs.reset_index(drop=True)
 
 
 def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.9, shingle_n: int = 3) -> pd.DataFrame:
