@@ -122,7 +122,9 @@ def _shingle_hash_array(th: np.ndarray, n: int = 3) -> np.ndarray:
     acc = th[: len(th) - n + 1].copy()
     for j in range(1, n):
         acc = acc * _SH_A + th[j : len(th) - n + 1 + j]
-    return np.unique(_mix64(acc))
+    # 63-bit (>>1) so shingle hashes survive int64 groupby keys / pandas
+    # round-trips everywhere downstream (minhash perms, inverted postings)
+    return np.unique(_mix64(acc) >> np.uint64(1))
 
 
 def _shingles(tokens: list[str], n: int = 3) -> set[int]:
@@ -405,61 +407,79 @@ def simhash_dup_pairs(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
 
 
 def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.9, shingle_n: int = 3) -> pd.DataFrame:
-    """Exact n-gram Jaccard near-dup pairs over the original corpus:
-    per-doc shingle sets built distributed (actor pool), then all-pairs
-    exact Jaccard in blocked tasks against a broadcast shingle-set table.
-    O(n²) by design — the exhaustive baseline the LSH plan approximates;
-    at 100TB you run minhash_lsh_pairs instead."""
-    import ray
+    """EXACT n-gram Jaccard near-dup pairs over the original corpus via a
+    distributed shingle INVERTED INDEX (no corpus broadcast, no O(n²)
+    scan — this replaced the round-1 all-pairs blocked matmul):
 
-    class ShingleUDF:
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            toks = tokenize_batch(batch["text"].to_pylist())
-            sets = [
-                np.fromiter(s, dtype=np.uint64, count=len(s)) if (s := _shingles(t, shingle_n)) else np.empty(0, np.uint64)
-                for t in toks
-            ]
-            return pa.table(
-                {
-                    "doc_id": batch["doc_id"],
-                    "shingles": pa.array([np.sort(s).tolist() for s in sets], pa.list_(pa.uint64())),
-                }
-            )
+    1. one map emits postings (shingle_hash, doc_id, set_size) — the doc's
+       shingle-set size travels WITH each posting, so no size broadcast;
+    2. a vectorized ``groupby(shingle).count()`` finds shingles shared by
+       >= 2 docs (a pair with J > 0 must share a shingle, so this loses
+       nothing); only those postings are collected — proportional to the
+       near-dup mass, not the corpus;
+    3. co-occurrence counts per doc pair give exact Jaccard:
+       J = co / (|a| + |b| - co).
 
-    sh = (
-        _docs(sf_dir, ["doc_id", "text"])
-        .map_batches(ShingleUDF(), batch_format="pyarrow")
-        .to_pandas()
-    )
-    ids = sh["doc_id"].to_numpy()
-    sets = [set(int(x) for x in s) for s in sh["shingles"]]
-    table_ref = ray.put((ids, sets))
+    The pair-join tail runs on the driver over the pruned postings (tiny
+    here); at extreme scale that join becomes one more groupby over
+    (doc_a, doc_b) keys — and in practice you run minhash_lsh_pairs, which
+    bounds candidate generation by banding instead of shingle fan-out."""
+    import pyarrow.compute as pc
 
-    def block_pairs(batch: pa.Table) -> pa.Table:
-        b_ids, b_sets = ray.get(table_ref)
-        rows_a, rows_b = [], []
-        for i in batch["i"].to_pylist():
-            si = b_sets[i]
-            if not si:
-                continue
-            for j in range(i + 1, len(b_ids)):
-                sj = b_sets[j]
-                if not sj:
-                    continue
-                inter = len(si & sj)
-                if inter and inter / (len(si) + len(sj) - inter) >= threshold:
-                    rows_a.append(int(b_ids[i]))
-                    rows_b.append(int(b_ids[j]))
+    empty = pd.DataFrame({"doc_a": pd.Series([], dtype="int64"), "doc_b": pd.Series([], dtype="int64")})
+
+    def postings(batch: pa.Table) -> pa.Table:
+        toks = tokenize_batch(batch["text"].to_pylist())
+        ids = np.asarray(batch["doc_id"].to_pylist(), dtype=np.int64)
+        sh = [_shingle_hash_array(_token_hashes(t), shingle_n) for t in toks]
+        lens = np.array([len(x) for x in sh], dtype=np.int64)
+        if lens.sum() == 0:
+            return pa.table({"shingle": pa.array([], pa.int64()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "size": pa.array([], pa.int64())})
         return pa.table(
-            {"doc_a": pa.array(rows_a, pa.int64()), "doc_b": pa.array(rows_b, pa.int64())}
+            {
+                "shingle": pa.array(np.concatenate(sh).astype(np.int64), pa.int64()),
+                "doc_id": pa.array(np.repeat(ids, lens), pa.int64()),
+                "size": pa.array(np.repeat(lens, lens), pa.int64()),
+            }
         )
 
-    idx_ds = ray.data.from_arrow(pa.table({"i": pa.array(range(len(ids)), pa.int64())}))
-    out = idx_ds.map_batches(block_pairs, batch_format="pyarrow", batch_size=64).to_pandas()
+    posted = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .repartition(16)
+        .map_batches(postings, batch_format="pyarrow")
+        .materialize()
+    )
+    counts = posted.groupby("shingle").count()
+    hot = counts.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["count()"], pa.scalar(2, pa.int64()))),
+        batch_format="pyarrow",
+    ).to_pandas()
+    if len(hot) == 0:
+        return empty
+    hot_keys = pa.array(sorted(hot["shingle"].tolist()), pa.int64())
+    cand = posted.map_batches(
+        lambda t: t.filter(pc.is_in(t["shingle"], value_set=hot_keys)),
+        batch_format="pyarrow",
+    ).to_pandas()
+    # pair join over pruned postings: co-occurrence count -> exact Jaccard
+    m = cand.merge(cand, on="shingle", suffixes=("_a", "_b"))
+    m = m[m["doc_id_a"] < m["doc_id_b"]]
+    if len(m) == 0:
+        return empty
+    g = (
+        m.groupby(["doc_id_a", "doc_id_b", "size_a", "size_b"], sort=False)
+        .size()
+        .reset_index(name="co")
+    )
+    jac = g["co"] / (g["size_a"] + g["size_b"] - g["co"])
+    out = g.loc[jac >= threshold, ["doc_id_a", "doc_id_b"]].rename(
+        columns={"doc_id_a": "doc_a", "doc_id_b": "doc_b"}
+    )
     if len(out) == 0:
-        return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"), "doc_b": pd.Series([], dtype="int64")})
-    out[["doc_a", "doc_b"]] = np.sort(out[["doc_a", "doc_b"]].to_numpy(), axis=1)
-    return out.drop_duplicates().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+        return empty
+    return out.astype("int64").sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
 def embedding_near_dup_pairs(

@@ -22,7 +22,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from ..partition import DOC_ID_PARTITION_SHIFT, hash64_column
-from ..textnorm import tokenize_batch
+from ..textnorm import tokenize_flat
 from ..state import manifest as mf
 
 DOCS_SCHEMA = pa.schema(
@@ -78,14 +78,18 @@ class DedupAssignWriter:
             n, dtype=np.uint64
         )
         kept_texts = [texts[i] for i in winners]
-        kept_tokens = tokenize_batch(kept_texts)
-        doclens = np.fromiter((len(t) for t in kept_tokens), dtype=np.uint32, count=n)
+        text_arr = pa.array(kept_texts, pa.string())
+        # Arrow-native tokenization: doclens from per-row counts, flat
+        # (term, doc) pairs passed straight to the encoder — no per-token
+        # Python objects anywhere in the build hot path
+        flat_terms, flat_docs, counts = tokenize_flat(text_arr, doc_ids)
+        doclens = counts.astype(np.uint32)
         out = pa.table(
             {
                 "doc_id": pa.array(doc_ids, pa.uint64()),
                 "url": pa.array(urls_s[is_last], pa.string()),
                 "doclen": pa.array(doclens, pa.uint32()),
-                "text": pa.array(kept_texts, pa.string()),
+                "text": text_arr,
             }
         )
         path = docs_path(self.out_dir, pid)
@@ -105,8 +109,8 @@ class DedupAssignWriter:
         )
         mf.append_manifest(self.out_dir, row)
         if self.encoder is not None:
-            # tokens already computed for doclens — no second tokenize pass
-            return self.encoder(out.select(["doc_id", "text"]), token_lists=kept_tokens)
+            # flat pairs already computed for doclens — no second tokenize pass
+            return self.encoder.encode_flat(flat_terms, flat_docs)
         return pa.table(
             {
                 "stage": ["docs"],

@@ -39,13 +39,13 @@ from __future__ import annotations
 import os
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from .. import codecs
 from ..partition import DOC_ID_PARTITION_SHIFT, hash64
-from ..textnorm import tokenize_batch
+from ..textnorm import tokenize_flat
 from ..state import manifest as mf
 
 PARTIAL_COLUMNS = [
@@ -80,49 +80,68 @@ class PostingsEncoder:
 
     def __call__(self, batch: pa.Table, token_lists: list | None = None) -> pa.Table:
         doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        if token_lists is None:
-            token_lists = tokenize_batch(batch["text"].to_pylist())
-        counts = np.fromiter((len(t) for t in token_lists), dtype=np.int64, count=len(token_lists))
-        flat_terms = np.concatenate([np.asarray(t, dtype=object) for t in token_lists if t]) if counts.sum() else np.empty(0, object)
-        flat_docs = np.repeat(doc_ids, counts)
+        if token_lists is not None:
+            counts = np.fromiter((len(t) for t in token_lists), np.int64, count=len(token_lists))
+            flat_terms = pa.array([w for t in token_lists for w in t], pa.string())
+            flat_docs = np.repeat(doc_ids, counts)
+        else:
+            flat_terms, flat_docs, _ = tokenize_flat(batch["text"], doc_ids)
+        return self.encode_flat(flat_terms, flat_docs)
+
+    def encode_flat(self, flat_terms: pa.Array, flat_docs: np.ndarray) -> pa.Table:
+        """Flat (term, doc) pairs → one encoded partial row per (term, salt).
+
+        Arrow-native hot path (round 2): tf counting is an Arrow
+        ``group_by(term, doc).count`` + ``sort_by`` — tokens never become
+        Python objects (the per-token allocation storm made the round-1
+        pandas groupby both slow and memory-bandwidth-bound). Tokens are
+        ASCII by construction ([a-z0-9]+), so Arrow's bytewise string sort
+        equals Python's codepoint sort. Per-TERM work (heavy lookup, light
+        salt hash, segment assignment) runs on the ~vocabulary-sized run
+        list, not per row."""
         if len(flat_terms) == 0:
             return pa.Table.from_pylist([], schema=self._schema())
-        df = pd.DataFrame({"term": flat_terms, "doc": flat_docs})
-        tf = (
-            df.groupby(["term", "doc"], sort=True, observed=True)
-            .size()
-            .reset_index(name="tf")
+        tf_tbl = (
+            pa.table({"term": flat_terms, "doc": pa.array(flat_docs, pa.uint64())})
+            .group_by(["term", "doc"], use_threads=False)
+            .aggregate([("doc", "count")])
+            .sort_by([("term", "ascending"), ("doc", "ascending")])
         )
-        terms = tf["term"].to_numpy()
-        docs = tf["doc"].to_numpy().astype(np.uint64)
-        tfs = tf["tf"].to_numpy().astype(np.uint64)
+        terms_arr = tf_tbl["term"].combine_chunks()
+        docs = tf_tbl["doc"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        tfs = tf_tbl["doc_count"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        n = len(docs)
         pids = (docs >> np.uint64(DOC_ID_PARTITION_SHIFT)).astype(np.uint32)
-        heavy_mask = np.fromiter(
-            (t in self.heavy for t in terms), dtype=bool, count=len(terms)
-        )
+        term_change = np.ones(n, dtype=bool)
+        if n > 1:
+            ne = pc.not_equal(terms_arr.slice(1), terms_arr.slice(0, n - 1))
+            term_change[1:] = np.asarray(ne.to_numpy(zero_copy_only=False), dtype=bool)
+        term_starts = np.flatnonzero(term_change)
+        run_id = np.cumsum(term_change) - 1  # per-row index into the term-run list
+        run_terms = terms_arr.take(pa.array(term_starts)).to_pylist()
+        n_runs = len(run_terms)
+        run_heavy = np.fromiter((t in self.heavy for t in run_terms), dtype=bool, count=n_runs)
         # heavy: docID-range salt (shards stay sorted + concatenable);
         # light: term-hash salt (whole list in one shard, reducers balanced)
-        light_salt_cache: dict[str, int] = {}
-
-        def _light_salt(t: str) -> int:
-            v = light_salt_cache.get(t)
-            if v is None:
-                v = hash64(t) % self.n_salts
-                light_salt_cache[t] = v
-            return v
-
+        run_light = np.fromiter(
+            (hash64(t) % self.n_salts for t in run_terms), dtype=np.uint32, count=n_runs
+        )
         salts = np.where(
-            heavy_mask,
-            self._salt_of_pid(pids),
-            np.fromiter((_light_salt(t) for t in terms), dtype=np.uint32, count=len(terms)),
+            run_heavy[run_id], self._salt_of_pid(pids), run_light[run_id]
         ).astype(np.uint32)
-        # contiguous (term, salt) runs: `terms` is sorted; within a term,
-        # docs ascend and salt is monotone in pid=doc>>40, so salt runs are
-        # contiguous too.
-        key_change = np.ones(len(terms), dtype=bool)
-        key_change[1:] = (terms[1:] != terms[:-1]) | (salts[1:] != salts[:-1])
+        run_seg = (
+            np.searchsorted(self.boundaries, np.asarray(run_terms, dtype=object), side="right")
+            if len(self.boundaries)
+            else np.zeros(n_runs, np.int64)
+        )
+        # contiguous (term, salt) runs: terms are sorted; within a term,
+        # docs ascend and the heavy salt is monotone in pid=doc>>40, so
+        # salt runs are contiguous too.
+        key_change = term_change.copy()
+        if n > 1:
+            key_change[1:] |= salts[1:] != salts[:-1]
         starts = np.flatnonzero(key_change)
-        ends = np.append(starts[1:], len(terms))
+        ends = np.append(starts[1:], n)
         # Whole-batch vectorized encode, then per-run byte slicing: partials
         # use self-delimiting LEB128 varints (byte-sliceable at any value
         # boundary) so ONE encode pass serves every run; Stream-VByte is
@@ -137,15 +156,16 @@ class PostingsEncoder:
         doc_off = np.concatenate([[0], np.cumsum(doc_lens)])
         tf_off = np.concatenate([[0], np.cumsum(tf_lens)])
         run_max_tf = np.maximum.reduceat(tfs, starts)
-        seg_ids = np.searchsorted(self.boundaries, terms, side="right") if len(self.boundaries) else np.zeros(len(terms), np.int64)
+        out_run = run_id[starts]  # term-run index of each output row
         rows = {k: [] for k in PARTIAL_COLUMNS}
         for ri, (s, e) in enumerate(zip(starts, ends)):
-            term = terms[s]
+            tr = int(out_run[ri])
             salt = int(salts[s])
-            rows["term"].append(term)
-            rows["seg_id"].append(int(seg_ids[s]))
+            seg = int(run_seg[tr])
+            rows["term"].append(run_terms[tr])
+            rows["seg_id"].append(seg)
             rows["salt"].append(salt)
-            rows["bucket"].append(int(seg_ids[s]) * self.n_salts + salt)
+            rows["bucket"].append(seg * self.n_salts + salt)
             rows["min_doc_id"].append(int(docs[s]))
             rows["doc_ids"].append(doc_blob[doc_off[s] : doc_off[e]])
             rows["tfs"].append(tf_blob[tf_off[s] : tf_off[e]])
