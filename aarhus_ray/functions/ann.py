@@ -75,6 +75,21 @@ def query_vector(sf_dir: str, vec_id: int = 0) -> np.ndarray:
     return np.asarray(t["embedding"][idx].as_py(), dtype=np.float64)
 
 
+
+def _topk_task(batch: pa.Table, q_ref, k: int) -> pa.Table:
+    """Per-batch exact top-k vs a broadcast query vector. Plain TASK form
+    (not an actor class): scans here are short, so per-call actor-pool
+    spawns dominated wall time; ray.get of the broadcast ref is a
+    zero-copy plasma read per batch."""
+    q = ray.get(q_ref)
+    ids, m = _to_matrix(batch)
+    sims = _normalize(m) @ q
+    order = np.lexsort((ids, -sims))[:k]
+    return pa.table(
+        {"vec_id": pa.array(ids[order], pa.int64()), "cos": pa.array(sims[order], pa.float64())}
+    )
+
+
 def knn_cosine_bruteforce(sf_dir: str, k: int = 10, vec_id: int = 0) -> pd.DataFrame:
     """Exact top-k by cosine to embeddings[vec_id]. Output (vec_id, cos
     rounded to 3dp) ordered (cos DESC, vec_id ASC) — rounding chosen because
@@ -83,24 +98,15 @@ def knn_cosine_bruteforce(sf_dir: str, k: int = 10, vec_id: int = 0) -> pd.DataF
     qn = q / np.linalg.norm(q)
     q_ref = ray.put(qn)
 
-    class BatchTopK:
-        def __init__(self):
-            self.q = ray.get(q_ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ids, m = _to_matrix(batch)
-            sims = _normalize(m) @ self.q
-            order = np.lexsort((ids, -sims))[:k]
-            return pa.table(
-                {
-                    "vec_id": pa.array(ids[order], pa.int64()),
-                    "cos": pa.array(sims[order], pa.float64()),
-                }
-            )
+    import functools
 
     parts = (
         _emb(sf_dir)
-        .map_batches(BatchTopK, batch_format="pyarrow", batch_size=4096, concurrency=(1, 4))
+        .map_batches(
+            functools.partial(_topk_task, q_ref=q_ref, k=k),
+            batch_format="pyarrow",
+            batch_size=4096,
+        )
         .to_pandas()
     )
     parts = parts.sort_values(["cos", "vec_id"], ascending=[False, True]).head(k)
@@ -206,21 +212,15 @@ def knn_cosine_lsh(
         return pd.DataFrame({"vec_id": pd.Series([], dtype="int64"), "cos": pd.Series([], dtype="float64")})
     q_ref = ray.put(qn)
 
-    class ProbeTopK:
-        def __init__(self):
-            self.q = ray.get(q_ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ids, m = _to_matrix(batch)
-            sims = _normalize(m) @ self.q
-            order = np.lexsort((ids, -sims))[:k]
-            return pa.table(
-                {"vec_id": pa.array(ids[order], pa.int64()), "cos": pa.array(sims[order], pa.float64())}
-            )
+    import functools
 
     parts = (
         ray.data.read_parquet(_parquet_files(dirs), columns=["vec_id", "embedding"])
-        .map_batches(ProbeTopK, batch_format="pyarrow", batch_size=4096, concurrency=(1, 4))
+        .map_batches(
+            functools.partial(_topk_task, q_ref=q_ref, k=k),
+            batch_format="pyarrow",
+            batch_size=4096,
+        )
         .to_pandas()
     )
     parts = parts.sort_values(["cos", "vec_id"], ascending=[False, True]).head(k)
@@ -280,6 +280,29 @@ def _train_centroids(sf_dir: str, n_cells: int, seed: int, sample_mod: int = 2) 
     return C
 
 
+
+def _assign_cell_task(batch: pa.Table, c_ref) -> pa.Table:
+    C = ray.get(c_ref)
+    _, m = _to_matrix(batch)
+    assign = np.argmax(_normalize(m) @ C.T, axis=1)
+    return batch.append_column("cell", pa.array(assign.astype(np.int64), pa.int64()))
+
+
+def _cell_min_cos_task(batch: pa.Table, c_ref) -> pa.Table:
+    """Per-batch partial: min cosine between each cell's centroid and its
+    members (the cell's angular radius accumulates from these)."""
+    C = ray.get(c_ref)
+    _, m = _to_matrix(batch)
+    mn = _normalize(m)
+    sims = mn @ C.T
+    assign = np.argmax(sims, axis=1)
+    own = sims[np.arange(len(mn)), assign]
+    cells, inv = np.unique(assign, return_inverse=True)
+    mins = np.full(len(cells), 2.0)
+    np.minimum.at(mins, inv, own)
+    return pa.table({"cell": pa.array(cells, pa.int64()), "min_cos": pa.array(mins, pa.float64())})
+
+
 def build_ivf_index(sf_dir: str, n_cells: int = 16, seed: int = 42) -> str:
     """Two streaming passes over embeddings: (1) write vectors parquet-
     partitioned by nearest-centroid cell; (2) per-cell angular radius
@@ -291,37 +314,21 @@ def build_ivf_index(sf_dir: str, n_cells: int = 16, seed: int = 42) -> str:
     tmp = f"{final}.tmp-{os.getpid()}"
     shutil.rmtree(tmp, ignore_errors=True)
 
+    import functools
+
     C = _train_centroids(sf_dir, n_cells, seed)
     c_ref = ray.put(C)
 
-    class AssignCell:
-        def __init__(self):
-            self.C = ray.get(c_ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            _, m = _to_matrix(batch)
-            assign = np.argmax(_normalize(m) @ self.C.T, axis=1)
-            return batch.append_column("cell", pa.array(assign.astype(np.int64), pa.int64()))
-
-    assigned = _emb(sf_dir).map_batches(AssignCell, batch_format="pyarrow", concurrency=(1, 4))
+    assigned = _emb(sf_dir).map_batches(
+        functools.partial(_assign_cell_task, c_ref=c_ref), batch_format="pyarrow"
+    )
     assigned.write_parquet(tmp, partition_cols=["cell"])
 
-    class CellMinCos:
-        def __init__(self):
-            self.C = ray.get(c_ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            _, m = _to_matrix(batch)
-            mn = _normalize(m)
-            sims = mn @ self.C.T
-            assign = np.argmax(sims, axis=1)
-            own = sims[np.arange(len(mn)), assign]
-            cells, inv = np.unique(assign, return_inverse=True)
-            mins = np.full(len(cells), 2.0)
-            np.minimum.at(mins, inv, own)
-            return pa.table({"cell": pa.array(cells, pa.int64()), "min_cos": pa.array(mins, pa.float64())})
-
-    partials = _emb(sf_dir).map_batches(CellMinCos, batch_format="pyarrow", concurrency=(1, 4)).to_pandas()
+    partials = (
+        _emb(sf_dir)
+        .map_batches(functools.partial(_cell_min_cos_task, c_ref=c_ref), batch_format="pyarrow")
+        .to_pandas()
+    )
     radii = np.ones(len(C), dtype=np.float64)  # min_cos defaults to 1 (empty cell → zero radius)
     for cell, mc in zip(partials["cell"], partials["min_cos"]):
         radii[int(cell)] = min(radii[int(cell)], float(mc))
@@ -355,17 +362,7 @@ def ivf_search(sf_dir: str, k: int = 10, vec_id: int = 0, n_cells: int = 16, see
     order = np.argsort(-bound)
     q_ref = ray.put(qn)
 
-    class CellTopK:
-        def __init__(self):
-            self.q = ray.get(q_ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ids, m = _to_matrix(batch)
-            sims = _normalize(m) @ self.q
-            o = np.lexsort((ids, -sims))[:k]
-            return pa.table(
-                {"vec_id": pa.array(ids[o], pa.int64()), "cos": pa.array(sims[o], pa.float64())}
-            )
+    import functools
 
     def scan(cells: list[int]) -> pd.DataFrame:
         dirs = [
@@ -377,28 +374,28 @@ def ivf_search(sf_dir: str, k: int = 10, vec_id: int = 0, n_cells: int = 16, see
             return pd.DataFrame({"vec_id": pd.Series([], dtype="int64"), "cos": pd.Series([], dtype="float64")})
         return (
             ray.data.read_parquet(_parquet_files(dirs), columns=["vec_id", "embedding"])
-            .map_batches(CellTopK, batch_format="pyarrow", batch_size=4096, concurrency=(1, 4))
+            .map_batches(
+                functools.partial(_topk_task, q_ref=q_ref, k=k),
+                batch_format="pyarrow",
+                batch_size=4096,
+            )
             .to_pandas()
         )
 
-    # phase 1: scan the most promising quarter of cells in one pruned read;
-    # then keep scanning bound-ordered cells while the best remaining cell
-    # could still beat the running k-th score. Stop is strict (<): an
-    # equal-bound cell must scan so an equal-score, smaller-vec_id candidate
-    # can't be missed. ``order`` is descending by bound, so the first cell
-    # below the threshold ends the search.
-    chunk = max(1, len(order) // 4)
-    best = scan([int(c) for c in order[:chunk]])
-    pos = chunk
-    while pos < len(order):
-        kth = float(best["cos"].nlargest(k).iloc[-1]) if len(best) >= k else -2.0
-        if bound[int(order[pos])] < kth:
-            break
-        nxt: list[int] = []
-        while pos < len(order) and bound[int(order[pos])] >= kth and len(nxt) < chunk:
-            nxt.append(int(order[pos]))
-            pos += 1
-        best = pd.concat([best, scan(nxt)], ignore_index=True)
+    # phase 1: scan the most promising half of cells in one pruned read;
+    # then ONE more pass over every remaining cell whose bound can still
+    # beat the running k-th score (cells below it are pruned for good —
+    # ``order`` is descending by bound). Stop is non-strict (>=): an
+    # equal-bound cell must scan so an equal-score, smaller-vec_id
+    # candidate can't be missed. Two pipeline launches maximum: each Ray
+    # read+map pipeline has ~1s fixed cost, so fine-grained chunking costs
+    # more than it prunes unless cells actually discriminate.
+    half = max(1, (len(order) + 1) // 2)
+    best = scan([int(c) for c in order[:half]])
+    kth = float(best["cos"].nlargest(k).iloc[-1]) if len(best) >= k else -2.0
+    rest = [int(c) for c in order[half:] if bound[int(c)] >= kth]
+    if rest:
+        best = pd.concat([best, scan(rest)], ignore_index=True)
 
     out = best.sort_values(["cos", "vec_id"], ascending=[False, True]).head(k)
     out["cos"] = out["cos"].round(3)
