@@ -59,14 +59,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_orders": relational.customers_without_orders,   # anti-join
         "parts_in_lineitem": relational.parts_in_lineitem,                 # semi-join
         "q3_shipping_priority": relational.q3_shipping_priority,           # 3-way join
+        "orders_topk_per_priority": relational.orders_topk_per_priority,  # window-fn shape
         # --- stream-shaped ops over events (SURVEY §2.10) ---
         "events_hourly_tumbling": windows.events_hourly_tumbling,
+        "events_sliding_window": windows.events_sliding_window,
         "events_dedup_keep_latest": windows.events_dedup_keep_latest,
         "events_sessionize": windows.events_sessionize,
         "events_asof_click_view": windows.events_asof_click_view,
+        "events_range_join_prior_views": windows.events_range_join_prior_views,
         # --- text analysis over documents ---
         "docs_term_counts_top50": textstats.term_counts_top50,
         "docs_token_counts": textstats.token_counts,
+        "docs_token_counts_bpe": textstats.bpe_token_counts,
         "docs_lang_id": textstats.lang_id,
         "docs_quality": textstats.quality_scores,
         "docs_fingerprints": textstats.fingerprints,
@@ -188,6 +192,42 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS sum_value_floor_cents
             FROM events GROUP BY 1, 2 ORDER BY 1, 2
         """,
+        # sliding 1h window every 15min: each event lands in 4 windows;
+        # window starts are epoch-aligned integer floors in microseconds,
+        # matching the engine's integer arithmetic bit-for-bit
+        "events_sliding_window": """
+            WITH e AS (SELECT (epoch_us(ts) // 900000000) * 900000000 AS base_us, event_type,
+                              CAST(floor(value*100) AS BIGINT) AS cents
+                       FROM events),
+            w AS (SELECT make_timestamp(base_us - s.j * 900000000) AS window_start,
+                         event_type, cents
+                  FROM e CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j) s)
+            SELECT window_start, event_type, COUNT(*) AS n_events,
+                   CAST(SUM(cents) AS BIGINT) AS sum_value_floor_cents
+            FROM w GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        # range join: same-user views in [click.ts - 10min, click.ts)
+        "events_range_join_prior_views": """
+            SELECT c.event_id AS click_id,
+                   CAST(count(v.event_id) AS BIGINT) AS n_prior_views,
+                   c.user_id
+            FROM (SELECT * FROM events WHERE event_type = 'click') c
+            LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+              ON v.user_id = c.user_id
+             AND v.ts >= c.ts - INTERVAL 10 MINUTE AND v.ts < c.ts
+            GROUP BY 1, 3 ORDER BY 1
+        """,
+        "orders_topk_per_priority": """
+            SELECT o_orderpriority, CAST(rn AS INTEGER) AS "rank", o_orderkey, totalprice_cents
+            FROM (SELECT o_orderpriority, o_orderkey,
+                         CAST(round(o_totalprice*100) AS BIGINT) AS totalprice_cents,
+                         row_number() OVER (
+                             PARTITION BY o_orderpriority
+                             ORDER BY CAST(round(o_totalprice*100) AS BIGINT) DESC, o_orderkey
+                         ) AS rn
+                  FROM orders)
+            WHERE rn <= 3 ORDER BY o_orderpriority, "rank"
+        """,
         "events_dedup_keep_latest": """
             SELECT user_id, event_type, event_id
             FROM events
@@ -229,6 +269,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "docs_token_counts": f"""
             SELECT doc_id, CAST(len({toks_nonempty}) AS BIGINT) AS n_tokens
+            FROM documents ORDER BY doc_id
+        """,
+        # BPE-ish pre-tokenizer: letter runs / digit runs / other-non-space
+        # runs ([:space:] in RE2 == Python's ASCII \\s exactly)
+        "docs_token_counts_bpe": """
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(lower(text),
+                        '[a-z]+|[0-9]+|[^a-z0-9[:space:]]+')) AS BIGINT) AS n_bpe_tokens
             FROM documents ORDER BY doc_id
         """,
         "docs_lang_id": f"""

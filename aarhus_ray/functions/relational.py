@@ -320,3 +320,42 @@ def q3_shipping_priority(sf_dir: str, k: int = 10) -> pd.DataFrame:
     odate = dict(zip(dates["o_orderkey"], dates["o_orderdate"]))
     agg["o_orderdate"] = agg["l_orderkey"].map(odate).astype("datetime64[us]")
     return agg[["l_orderkey", "revenue_e4", "o_orderdate"]].reset_index(drop=True)
+
+
+def orders_topk_per_priority(sf_dir: str, k: int = 3) -> pd.DataFrame:
+    """Top-k orders by total price WITHIN each priority group (the window-
+    function shape: row_number() OVER (PARTITION BY ...)). Two-level plan:
+    per-batch partial top-k per key (cheap, bounds shuffle rows at
+    k × keys × blocks), then a final per-key top-k over the tiny partials.
+    Frozen tie order: (cents DESC, orderkey ASC); rank is int32 to match
+    the oracle's CAST(row_number() AS INTEGER)."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority", "o_totalprice"])
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        cents = _cents(batch["o_totalprice"]).to_numpy(zero_copy_only=False)
+        keys = batch["o_orderpriority"].to_pylist()
+        ok = batch["o_orderkey"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"o_orderpriority": keys, "o_orderkey": ok, "totalprice_cents": cents})
+        df = df.sort_values(["o_orderpriority", "totalprice_cents", "o_orderkey"],
+                            ascending=[True, False, True])
+        df = df.groupby("o_orderpriority", sort=False).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["totalprice_cents", "o_orderkey"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int32)
+        return g
+
+    out = (
+        ds.map_batches(partial_topk, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .map_groups(final_topk, batch_format="pandas")
+        .to_pandas()
+    )
+    out["rank"] = out["rank"].astype("int32")
+    return (
+        out[["o_orderpriority", "rank", "o_orderkey", "totalprice_cents"]]
+        .sort_values(["o_orderpriority", "rank"])
+        .reset_index(drop=True)
+    )

@@ -139,3 +139,30 @@ def lang_counts(sf_dir: str) -> pd.DataFrame:
         _docs(sf_dir, ["lang"]).groupby("lang").aggregate(Count(alias_name="n")).to_pandas()
     )
     return out.sort_values("lang").reset_index(drop=True)
+
+
+_BPE_RE = None
+
+
+def bpe_token_counts(sf_dir: str) -> pd.DataFrame:
+    """BPE-ish pre-tokenizer counts per doc: maximal runs of letters,
+    digits, or other-non-space — the GPT-2-style word/number/punctuation
+    split, simplified to what RE2 and Python's ASCII ``re`` agree on
+    exactly (the driver corpus is ASCII — guarded by
+    tests/test_functions.py::test_driver_corpus_is_ascii). Uses lower(),
+    not NFKC+casefold, to mirror the SQL oracle's lower(text)."""
+    import re
+
+    global _BPE_RE
+    if _BPE_RE is None:
+        _BPE_RE = re.compile(r"[a-z]+|[0-9]+|[^a-z0-9\s]+", re.ASCII)
+
+    def count(batch: pa.Table) -> pa.Table:
+        pat = _BPE_RE
+        n = [len(pat.findall(t.lower())) if t else 0 for t in batch["text"].to_pylist()]
+        return pa.table(
+            {"doc_id": batch["doc_id"], "n_bpe_tokens": pa.array(n, pa.int64())}
+        )
+
+    out = _docs(sf_dir, ["doc_id", "text"]).map_batches(count, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)

@@ -132,3 +132,95 @@ def events_asof_click_view(sf_dir: str) -> pd.DataFrame:
 
     out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas").to_pandas()
     return out.sort_values("click_id").reset_index(drop=True)
+
+
+def events_sliding_window(sf_dir: str, window_min: int = 60, slide_min: int = 15) -> pd.DataFrame:
+    """SLIDING event-time window (1h long, sliding every 15min): each event
+    lands in ``window_min/slide_min`` consecutive windows. Implemented as a
+    map-side window expansion (each batch emits one pre-aggregated row set
+    per window offset — the fan-out never leaves the task) + the same tiny
+    final groupby as the tumbling case. Window starts are epoch-aligned
+    integer floor arithmetic in microseconds so the DuckDB oracle
+    (epoch_us // slide * slide) is bit-identical."""
+    import pyarrow.compute as pc
+
+    ds = _events(sf_dir, ["ts", "event_type", "value"])
+    slide_us = np.int64(slide_min * 60 * 1_000_000)
+    n_win = window_min // slide_min
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts_col = batch["ts"]
+        if isinstance(ts_col, pa.ChunkedArray):
+            ts_col = ts_col.combine_chunks()
+        us = ts_col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        base = (us // slide_us) * slide_us
+        cents = pc.cast(pc.floor(pc.multiply(batch["value"], pa.scalar(100.0))), pa.int64())
+        cents_np = cents.to_numpy(zero_copy_only=False)
+        et = batch["event_type"]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        parts = []
+        for j in range(n_win):
+            ws = base - j * slide_us
+            parts.append(
+                pa.table(
+                    {
+                        "window_start": pa.array(ws, pa.int64()).cast(pa.timestamp("us")),
+                        "event_type": et,
+                        "cents": pa.array(cents_np, pa.int64()),
+                    }
+                )
+            )
+        g = (
+            pa.concat_tables(parts)
+            .group_by(["window_start", "event_type"])
+            .aggregate([("cents", "count"), ("cents", "sum")])
+        )
+        return g.select(["window_start", "event_type", "cents_count", "cents_sum"]).rename_columns(
+            ["window_start", "event_type", "n_events", "sum_value_floor_cents"]
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["window_start", "event_type"])
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("sum_value_floor_cents", alias_name="sum_value_floor_cents"),
+        )
+        .to_pandas()
+    )
+    out["window_start"] = out["window_start"].astype("datetime64[us]")
+    return out.sort_values(["window_start", "event_type"]).reset_index(drop=True)
+
+
+def events_range_join_prior_views(sf_dir: str, lookback_min: int = 10) -> pd.DataFrame:
+    """RANGE JOIN: for every click, the count of same-user views with
+    ``ts in [click.ts - lookback, click.ts)``. Per-user groups (the same
+    partitioning key every events op reuses) + two vectorized
+    searchsorted's over the user's sorted view timestamps — O(n log n) per
+    group instead of the oracle's quadratic interval join."""
+    ds = _events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
+    lb = np.timedelta64(lookback_min * 60, "s")
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        clicks = g[g["event_type"] == "click"].sort_values("event_id")
+        if len(clicks) == 0:
+            return pd.DataFrame(
+                {"click_id": pd.Series([], dtype="int64"),
+                 "n_prior_views": pd.Series([], dtype="int64"),
+                 "user_id": pd.Series([], dtype="int64")}
+            )
+        vt = np.sort(g.loc[g["event_type"] == "view", "ts"].to_numpy())
+        ct = clicks["ts"].to_numpy()
+        # [ts - lookback, ts): left-closed right-open on view timestamps
+        n = np.searchsorted(vt, ct, side="left") - np.searchsorted(vt, ct - lb, side="left")
+        return pd.DataFrame(
+            {
+                "click_id": clicks["event_id"].astype("int64").to_numpy(),
+                "n_prior_views": n.astype("int64"),
+                "user_id": clicks["user_id"].astype("int64").to_numpy(),
+            }
+        )
+
+    out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas").to_pandas()
+    return out.sort_values("click_id").reset_index(drop=True)

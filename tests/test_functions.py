@@ -291,3 +291,58 @@ def test_tokenize_nonascii_diverges_from_plain_lower():
 
     assert tokenize("STRASSE straße") == ["strasse", "strasse"]
     assert tokenize("ＡＢＣ１２３") == ["abc123"]  # fullwidth → ascii via NFKC
+
+
+def test_sliding_window_consistent_with_tumbling_mass():
+    """Each event lands in exactly 4 sliding windows, so total event mass
+    is 4x the tumbling total; spot-check one window against pandas."""
+    from aarhus_ray.functions.windows import events_hourly_tumbling, events_sliding_window
+
+    slid = events_sliding_window(SF)
+    tumb = events_hourly_tumbling(SF)
+    assert slid["n_events"].sum() == 4 * tumb["n_events"].sum()
+    df = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    ws = slid["window_start"].iloc[0]
+    et = slid["event_type"].iloc[0]
+    m = (df["event_type"] == et) & (df["ts"] >= ws) & (df["ts"] < ws + np.timedelta64(60, "m"))
+    assert int(slid["n_events"].iloc[0]) == int(m.sum())
+
+
+def test_range_join_prior_views_matches_pandas():
+    from aarhus_ray.functions.windows import events_range_join_prior_views
+
+    out = events_range_join_prior_views(SF)
+    df = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    clicks = df[df.event_type == "click"]
+    views = df[df.event_type == "view"]
+    for _, row in out.head(20).iterrows():
+        c = clicks[clicks.event_id == row["click_id"]].iloc[0]
+        lo = c.ts - np.timedelta64(10, "m")
+        want = int(((views.user_id == c.user_id) & (views.ts >= lo) & (views.ts < c.ts)).sum())
+        assert int(row["n_prior_views"]) == want
+
+
+def test_topk_per_priority_shape_and_order():
+    from aarhus_ray.functions.relational import orders_topk_per_priority
+
+    out = orders_topk_per_priority(SF, k=3)
+    df = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+    for prio, g in out.groupby("o_orderpriority"):
+        assert g["rank"].tolist() == list(range(1, len(g) + 1))
+        sub = df[df.o_orderpriority == prio].copy()
+        sub["cents"] = (sub.o_totalprice * 100).round().astype("int64")
+        sub = sub.sort_values(["cents", "o_orderkey"], ascending=[False, True]).head(3)
+        assert g["o_orderkey"].tolist() == sub["o_orderkey"].tolist()
+
+
+def test_bpe_token_counts_matches_regex():
+    import re
+
+    from aarhus_ray.functions.textstats import bpe_token_counts
+
+    out = bpe_token_counts(SF)
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    texts = dict(zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()))
+    pat = re.compile(r"[a-z]+|[0-9]+|[^a-z0-9\s]+", re.ASCII)
+    for _, row in out.head(25).iterrows():
+        assert row["n_bpe_tokens"] == len(pat.findall(texts[row["doc_id"]].lower()))
