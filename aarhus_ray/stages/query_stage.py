@@ -26,7 +26,7 @@ from ..bm25 import brute_force_topk
 from ..partition import DOC_ID_PARTITION_SHIFT
 from ..state import manifest as mf
 from ..textnorm import tokenize
-from ..wand import TermCursor, block_max_topk, wand_topk
+from ..wand import TermCursor, block_max_topk, dense_accum_topk, wand_topk
 from .postings_stage import seg_dir
 
 
@@ -159,6 +159,10 @@ class QueryScorer:
         self._term_cache: dict[str, tuple] = {}
         self._cached_postings = 0
         self._cache_cap = 32_000_000
+        # dense-accumulation state (wand.dense_accum_topk): per-term global
+        # position arrays + one reusable float64 scratch over the doc space
+        self._pos_cache: dict[str, np.ndarray] = {}
+        self._dense_scratch: np.ndarray | None = None
 
     def _term_arrays(self, term: str, owners: list["Segment"]):
         from ..bm25 import idf as idf_fn
@@ -234,11 +238,28 @@ class QueryScorer:
                 for seg in owners[t]:
                     cursors.append(seg.cursor(t, idf_fn(gdf, self.n_docs)))
             return wand_topk(cursors, self.doclens.lookup_one, self.avgdl, self.k)
-        # default "wand": vectorized Block-Max WAND over cached full arrays
+        # default "wand": vectorized Block-Max WAND over cached full arrays,
+        # or — when the query's terms cover a large fraction of the corpus
+        # (flat block maxes, pruning can't bite) — exact term-at-a-time
+        # dense accumulation over precomputed global positions, which skips
+        # the union-sort work WAND would spend scoring nearly everything
         tbs = []
+        total_postings = 0
         for t in terms:
             doc_ids, contribs, lasts, bmax = self._term_arrays(t, owners[t])
             tbs.append((t, doc_ids, contribs, lasts, bmax))
+            total_postings += len(doc_ids)
+        if total_postings * 8 >= self.n_docs:
+            if self._dense_scratch is None:
+                self._dense_scratch = np.zeros(len(self.doclens.doc_ids), dtype=np.float64)
+            pos_entries = []
+            for t, doc_ids, contribs, _, _ in tbs:
+                pos = self._pos_cache.get(t)
+                if pos is None:
+                    pos = np.searchsorted(self.doclens.doc_ids, doc_ids)
+                    self._pos_cache[t] = pos
+                pos_entries.append((pos, contribs))
+            return dense_accum_topk(pos_entries, self.doclens.doc_ids, self._dense_scratch, self.k)
         return block_max_topk(tbs, self.avgdl, self.k)
 
     def __call__(self, batch: pa.Table) -> pa.Table:

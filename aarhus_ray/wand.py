@@ -284,3 +284,40 @@ def block_max_topk(
             cand_ids, cand_scores = topk_select(cand_ids, cand_scores, k)
             threshold = float(cand_scores[-1])
     return topk_select(cand_ids, cand_scores, k)
+
+
+def dense_accum_topk(
+    pos_entries: list[tuple[np.ndarray, np.ndarray]],
+    global_doc_ids: np.ndarray,
+    scratch: np.ndarray,
+    k: int = 10,
+):
+    """EXACT top-k by term-at-a-time dense accumulation — the head-heavy
+    complement to ``block_max_topk``.
+
+    When a query's terms cover a large fraction of the corpus (Zipf-head
+    stopwords), block maxes are flat and WAND pruning cannot bite: the
+    interval path then pays repeated union-sort + scatter work just to
+    score nearly everything anyway. Here each term's precomputed POSITION
+    array (its postings' indices in the global sorted doc table) lets its
+    contributions land with one vectorized fancy-index add; candidates
+    fall out of a single linear scan of the scratch array.
+
+    Bit-identical to brute force / block_max_topk: contributions add in
+    the same sorted-term order into a zero float64 accumulator, and
+    ``topk_select`` applies the same frozen (score DESC, doc_id ASC)
+    order. Positions within one term are unique, so ``scratch[pos] +=``
+    is a plain fancy add (no np.add.at).
+
+    The scratch array is O(docs in this scorer's doc space) — fine for a
+    per-node shard replica, NOT for 10^12 docs in one address space; at
+    cluster scale selective queries stay on WAND and head terms are served
+    from these same per-node impact arrays (SCALE.md)."""
+    from .bm25 import topk_select
+
+    for pos, contribs in pos_entries:  # sorted-term order → float determinism
+        scratch[pos] += contribs
+    touched = np.flatnonzero(scratch)  # contribs > 0, so touched ⟺ nonzero
+    scores = scratch[touched].copy()
+    scratch[touched] = 0.0
+    return topk_select(global_doc_ids[touched], scores, k)
