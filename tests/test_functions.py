@@ -346,3 +346,27 @@ def test_bpe_token_counts_matches_regex():
     pat = re.compile(r"[a-z]+|[0-9]+|[^a-z0-9\s]+", re.ASCII)
     for _, row in out.head(25).iterrows():
         assert row["n_bpe_tokens"] == len(pat.findall(texts[row["doc_id"]].lower()))
+
+
+def test_tokenize_flat_equals_tokenize_batch():
+    """The numpy byte-level fast path must produce the same (term, doc)
+    multiset and per-row counts as the frozen Python tokenizer — including
+    mixed ASCII/non-ASCII batches, empties, and sliced arrays."""
+    import pyarrow as pa
+
+    from aarhus_ray.textnorm import tokenize_batch, tokenize_flat
+
+    texts = [
+        "The QUICK brown-fox!! 123", "", "abc", "x!y", "A1b2", "  !!", "end1",
+        "1start end2", "Zz", "café ß STRASSE", "ＡＢＣ１２３", "a" * 300,
+        "mixed café then ascii again", "trailing space ", " leading", "\n\t",
+        "0", "a-b_c.d", "ODD|chars&here",
+    ]
+    ids = np.arange(len(texts), dtype=np.uint64)
+    ref = tokenize_batch(texts)
+    for col in (pa.array(texts, pa.string()), pa.array(["sliced-off"] + texts).slice(1)):
+        flat, fd, counts = tokenize_flat(col, ids)
+        assert counts.tolist() == [len(t) for t in ref]
+        got = sorted(zip(fd.tolist(), flat.to_pylist()))
+        want = sorted((int(i), w) for i, t in zip(ids, ref) for w in t)
+        assert got == want
