@@ -100,7 +100,12 @@ def bm25_topk(sf_dir: str, k: int = 10, fresh: bool = True) -> pd.DataFrame:
 def bm25_oracle_sql(k: int = 10) -> str:
     """DuckDB SQL replaying the frozen engine semantics over `documents`:
     [a-z0-9]+ tokens of lower(text), Lucene idf ln(1+(N-df+.5)/(df+.5)),
-    k1=1.2 b=0.75, query terms deduped, order (score DESC, doc_id ASC)."""
+    k1=1.2 b=0.75, query terms deduped, order (score DESC, doc_id ASC).
+
+    ASCII-ONLY ASSUMPTION: lower(text) here stands in for the engine's
+    NFKC+casefold (textnorm.py) — equivalent only because the driver
+    corpus is plain ASCII (guarded by tests/test_functions.py::
+    test_driver_corpus_is_ascii; see the note in __ray_entry__.oracle_sql)."""
     values = ",".join(
         f"({qid}, '{term}')"
         for qid, q in enumerate(FT_QUERIES)
