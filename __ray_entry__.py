@@ -45,7 +45,7 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from aarhus_ray.functions import (
-        ann, dedup, fulltext, multimodal, relational, sketches, textstats, windows,
+        ann, cleaning, dedup, fulltext, multimodal, relational, sketches, textstats, windows,
     )
 
     return {
@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_lang_counts": textstats.lang_counts,
         # --- dedup family (SURVEY §2.7 + extensions) ---
         "docs_dedup_exact": dedup.exact_dedup_min_id,
+        "corpus_clean": cleaning.corpus_clean,      # filter→quality→near-dedup→write
         "docs_minhash_lsh_pairs": dedup.minhash_lsh_pairs,
         "docs_ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "docs_simhash_pairs": dedup.simhash_dup_pairs,
@@ -317,6 +318,29 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT doc_id, text FROM documents
                   UNION ALL SELECT doc_id + {CLONE_OFFSET}, text FROM documents)
             GROUP BY text ORDER BY doc_id
+        """,
+        # the full cleaning composition: lang='en' + >=10 tokens, then drop
+        # the higher doc_id of each exact-Jaccard>=0.9 near-dup pair among
+        # the qualified docs
+        "corpus_clean": f"""
+            WITH t AS (SELECT doc_id, lang, text,
+                              {toks_nonempty} AS toks
+                       FROM documents),
+            q AS (SELECT doc_id, toks FROM t
+                  WHERE lang = 'en' AND len(toks) >= 10),
+            sh AS (SELECT doc_id,
+                          list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+                   FROM q WHERE len(toks) >= 3),
+            pairs AS (
+              SELECT a.doc_id AS da, b.doc_id AS db
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                    / len(list_distinct(list_concat(a.s, b.s))) >= 0.9
+            )
+            SELECT doc_id FROM q
+            WHERE doc_id NOT IN (SELECT db FROM pairs)
+            ORDER BY doc_id
         """,
         # exact all-pairs 3-gram-shingle Jaccard >= 0.9 (the true answer the
         # LSH plan must reproduce; docs with < 3 tokens have no shingles)

@@ -1,0 +1,82 @@
+"""End-to-end training-data corpus cleaning — the composition pipeline a
+100TB pretraining-data run would use, built from the engine's own stages:
+
+    documents → lang filter → quality floor (token count)
+              → near-dup removal (MinHash+LSH candidates, exact-Jaccard
+                verified, drop the higher doc_id of each verified pair)
+              → partitioned parquet corpus (resumable output layout)
+
+Every rule is deterministic and SQL-expressible, so the whole composition
+is oracle-hash-checked end to end (corpus_clean in __ray_entry__). The
+near-dup stage REUSES minhash_lsh_pairs — restricting its (corpus-wide)
+verified pairs to the qualified subset equals computing pairs among
+qualified docs, since a pair qualifies iff both ends do.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from ..textnorm import tokenize_flat
+from .dedup import _docs, minhash_lsh_pairs
+
+CLEAN_OUT_ROOT = "/tmp/aarhus_clean"
+
+
+def corpus_clean(
+    sf_dir: str,
+    min_tokens: int = 10,
+    langs: tuple[str, ...] = ("en",),
+    out_dir: str | None = None,
+) -> pd.DataFrame:
+    """Returns the surviving doc_ids (sorted) and writes the cleaned corpus
+    as lang-partitioned parquet under ``out_dir`` (default a per-corpus dir
+    below /tmp/aarhus_clean) — one directory per partition value, so a
+    failed downstream run can resume per partition."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    lang_set = pa.array(sorted(langs), pa.string())
+
+    def qualify(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_in(batch["lang"], value_set=lang_set))
+        if len(batch) == 0:
+            return batch.select(["doc_id", "lang", "text"])
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        _, _, counts = tokenize_flat(batch["text"], ids)
+        keep = counts >= min_tokens
+        return batch.filter(pa.array(keep)).select(["doc_id", "lang", "text"])
+
+    qualified = _docs(sf_dir, ["doc_id", "lang", "text"]).map_batches(
+        qualify, batch_format="pyarrow"
+    )
+    kept_ids = set(
+        qualified.select_columns(["doc_id"]).to_pandas()["doc_id"].astype("int64").tolist()
+    )
+    # near-dup edges among qualified docs; winner = min doc_id (pairs are
+    # emitted doc_a < doc_b, so doc_b drops)
+    pairs = minhash_lsh_pairs(sf_dir)
+    drop = {
+        int(b) for a, b in zip(pairs["doc_a"], pairs["doc_b"])
+        if int(a) in kept_ids and int(b) in kept_ids
+    }
+    survivors = sorted(kept_ids - drop)
+
+    out_dir = out_dir or os.path.join(
+        CLEAN_OUT_ROOT, os.path.basename(os.path.normpath(sf_dir))
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    drop_arr = pa.array(sorted(drop), pa.int64())
+
+    def final_filter(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.invert(pc.is_in(batch["doc_id"], value_set=drop_arr)))
+
+    qualified.map_batches(final_filter, batch_format="pyarrow").write_parquet(
+        out_dir, partition_cols=["lang"]
+    )
+    return pd.DataFrame({"doc_id": pd.Series(survivors, dtype="int64")})

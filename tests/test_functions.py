@@ -370,3 +370,29 @@ def test_tokenize_flat_equals_tokenize_batch():
         got = sorted(zip(fd.tolist(), flat.to_pylist()))
         want = sorted((int(i), w) for i, t in zip(ids, ref) for w in t)
         assert got == want
+
+
+def test_corpus_clean_composition():
+    """Cleaning = (lang='en' ∧ >=10 tokens) minus near-dup doc_b's; output
+    parquet is lang-partitioned and contains exactly the survivors."""
+    import os
+
+    from aarhus_ray.functions.cleaning import corpus_clean
+    from aarhus_ray.functions.dedup import minhash_lsh_pairs
+    from aarhus_ray.textnorm import tokenize
+
+    out_dir = "/tmp/ar_test_clean"
+    res = corpus_clean(SF, out_dir=out_dir)
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    qualified = {
+        int(r.doc_id) for r in docs.itertuples()
+        if r.lang == "en" and len(tokenize(r.text)) >= 10
+    }
+    pairs = minhash_lsh_pairs(SF)
+    drop = {int(b) for a, b in zip(pairs["doc_a"], pairs["doc_b"])
+            if int(a) in qualified and int(b) in qualified}
+    assert res["doc_id"].tolist() == sorted(qualified - drop)
+    # written corpus: hive lang partitions, exactly the surviving rows
+    assert os.path.isdir(os.path.join(out_dir, "lang=en"))
+    written = pq.read_table(out_dir)
+    assert sorted(written["doc_id"].to_pylist()) == res["doc_id"].tolist()
