@@ -70,9 +70,16 @@ def _normalize(m: np.ndarray) -> np.ndarray:
 
 
 def query_vector(sf_dir: str, vec_id: int = 0) -> np.ndarray:
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    idx = t["vec_id"].to_pylist().index(vec_id)
-    return np.asarray(t["embedding"][idx].as_py(), dtype=np.float64)
+    """One query vector by id — predicate pushdown so only the row groups
+    containing it are read (never the whole table)."""
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "=", vec_id)],
+    )
+    if len(t) == 0:
+        raise KeyError(f"vec_id {vec_id} not in {sf_dir}/embeddings.parquet")
+    return np.asarray(t["embedding"][0].as_py(), dtype=np.float64)
 
 
 
