@@ -161,7 +161,6 @@ def build_index(
     num_partitions: int = 8,
     num_segments: int = 2,
     n_salts: int = 4,
-    n_shards: int | None = None,
     langs: tuple[str, ...] | None = None,
     resume: bool = False,
     sample_docs: int = 2000,
