@@ -257,6 +257,8 @@ class QueryScorer:
                 pos = self._pos_cache.get(t)
                 if pos is None:
                     pos = np.searchsorted(self.doclens.doc_ids, doc_ids)
+                    if len(self.doclens.doc_ids) < (1 << 31):
+                        pos = pos.astype(np.int32)  # halve index bandwidth
                     self._pos_cache[t] = pos
                 pos_entries.append((pos, contribs))
             return dense_accum_topk(pos_entries, self.doclens.doc_ids, self._dense_scratch, self.k)

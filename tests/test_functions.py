@@ -396,3 +396,29 @@ def test_corpus_clean_composition():
     assert os.path.isdir(os.path.join(out_dir, "lang=en"))
     written = pq.read_table(out_dir)
     assert sorted(written["doc_id"].to_pylist()) == res["doc_id"].tolist()
+
+
+def test_tokenize_flat_hypothesis_property():
+    """Random text soup (ASCII + non-ASCII + controls): tokenize_flat's
+    (doc, term) multiset and counts always equal tokenize_batch's."""
+    import pyarrow as pa
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from aarhus_ray.textnorm import tokenize_batch, tokenize_flat
+
+    alphabet = st.sampled_from(list("aZ09 .!\t\n-_é߀☺ＡＢ１"))
+    texts_strat = st.lists(st.text(alphabet, max_size=40), min_size=0, max_size=12)
+
+    @settings(max_examples=150, deadline=None)
+    @given(texts_strat)
+    def check(texts):
+        ids = np.arange(len(texts), dtype=np.uint64)
+        flat, fd, counts = tokenize_flat(pa.array(texts, pa.string()), ids)
+        ref = tokenize_batch(texts)
+        assert counts.tolist() == [len(t) for t in ref]
+        got = sorted(zip(fd.tolist(), flat.to_pylist()))
+        want = sorted((int(i), w) for i, t in zip(ids, ref) for w in t)
+        assert got == want
+
+    check()
