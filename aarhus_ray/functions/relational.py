@@ -86,11 +86,12 @@ def top_customers_by_revenue(sf_dir: str, k: int = 10) -> pd.DataFrame:
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
 
     def partial(batch: pa.Table) -> pa.Table:
-        df = pa.table(
-            {"o_custkey": batch["o_custkey"], "cents": _cents(batch["o_totalprice"])}
-        ).to_pandas()
-        g = df.groupby("o_custkey", sort=False)["cents"].sum().reset_index(name="revenue_cents")
-        return pa.Table.from_pandas(g, preserve_index=False)
+        g = (
+            pa.table({"o_custkey": batch["o_custkey"], "cents": _cents(batch["o_totalprice"])})
+            .group_by(["o_custkey"])
+            .aggregate([("cents", "sum")])
+        )
+        return g.select(["o_custkey", "cents_sum"]).rename_columns(["o_custkey", "revenue_cents"])
 
     agg = (
         orders.map_batches(partial, batch_format="pyarrow")
@@ -291,9 +292,12 @@ def q3_shipping_priority(sf_dir: str, k: int = 10) -> pd.DataFrame:
         b = batch.filter(m)
         rev = pc.multiply(_cents(b["l_extendedprice"]),
                           _cents(pc.subtract(pa.scalar(1.0), b["l_discount"])))
-        df = pa.table({"l_orderkey": b["l_orderkey"], "revenue_e4": rev}).to_pandas()
-        g = df.groupby("l_orderkey", sort=False)["revenue_e4"].sum().reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        g = (
+            pa.table({"l_orderkey": b["l_orderkey"], "revenue_e4": rev})
+            .group_by(["l_orderkey"])
+            .aggregate([("revenue_e4", "sum")])
+        )
+        return g.select(["l_orderkey", "revenue_e4_sum"]).rename_columns(["l_orderkey", "revenue_e4"])
 
     agg = (
         _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"])
