@@ -86,8 +86,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine_bruteforce": ann.knn_cosine_bruteforce,
         "knn_cosine_lsh": ann.knn_cosine_lsh,   # sign-LSH probe, SQL-expressible semantics
         "knn_ivf": ann.ivf_search,              # exact branch-and-bound == brute force
-        # --- multimodal binary-column plumbing (stub decode) ---
+        # --- multimodal binary-column plumbing (stub kernels, real Ray shape) ---
         "multimodal_decode": multimodal.decode_features,
+        "multimodal_resize": multimodal.resize_features,
+        "multimodal_frame_sample": multimodal.frame_sample,
         # --- mergeable sketches (approximate → rows-only) ---
         "events_distinct_props_hll": sketches.distinct_count_hll,
         # --- the flagship: full index build + BM25/WAND over documents ---
@@ -406,6 +408,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST((octet_length(CAST(text AS BLOB)) // 256) % 256 AS BIGINT) AS fake_height,
                    md5(text) AS checksum
             FROM documents ORDER BY doc_id
+        """,
+        # fake-resize = byte truncation to the 64x64 budget; text is ASCII
+        # so substr(text) bytes == substring of the BLOB payload
+        "multimodal_resize": """
+            SELECT doc_id,
+                   CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS orig_bytes,
+                   CAST(least(octet_length(CAST(text AS BLOB)), 4096) AS BIGINT) AS resized_bytes,
+                   CAST(64 AS BIGINT) AS target_w,
+                   CAST(64 AS BIGINT) AS target_h,
+                   md5(substr(text, 1, 4096)) AS resized_checksum
+            FROM documents ORDER BY doc_id
+        """,
+        # fake frame stream: 256-byte frames, every 4th frame, max 3 rows/doc
+        "multimodal_frame_sample": """
+            WITH d AS (SELECT doc_id, text,
+                              greatest(1, octet_length(CAST(text AS BLOB)) // 256) AS n_frames
+                       FROM documents),
+            f AS (SELECT doc_id, text,
+                         unnest(list_slice(generate_series(0, CAST(n_frames - 1 AS BIGINT), 4), 1, 3)) AS frame_idx
+                  FROM d)
+            SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+                   CAST(frame_idx * 256 AS BIGINT) AS byte_offset,
+                   md5(substr(text, CAST(frame_idx * 256 + 1 AS BIGINT), 256)) AS frame_checksum
+            FROM f ORDER BY doc_id, frame_idx
         """,
         "fulltext_bm25_topk": fulltext.bm25_oracle_sql(),
     }

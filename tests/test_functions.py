@@ -422,3 +422,24 @@ def test_tokenize_flat_hypothesis_property():
         assert got == want
 
     check()
+
+
+def test_multimodal_resize_and_frame_sample():
+    from aarhus_ray.functions.multimodal import frame_sample, resize_features
+
+    rs = resize_features(SF, target_w=64, target_h=64)
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    texts = dict(zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()))
+    for _, row in rs.head(15).iterrows():
+        raw = texts[row["doc_id"]].encode()
+        assert row["orig_bytes"] == len(raw)
+        assert row["resized_bytes"] == min(len(raw), 4096)
+        assert row["resized_checksum"] == hashlib.md5(raw[:4096]).hexdigest()
+    fs = frame_sample(SF)
+    g = fs[fs["doc_id"] == fs["doc_id"].iloc[0]]
+    raw = texts[int(g["doc_id"].iloc[0])].encode()
+    for _, row in g.iterrows():
+        fi = int(row["frame_idx"])
+        assert fi % 4 == 0 and row["byte_offset"] == fi * 256
+        assert row["frame_checksum"] == hashlib.md5(raw[fi * 256 : (fi + 1) * 256]).hexdigest()
+    assert (fs.groupby("doc_id").size() <= 3).all()
