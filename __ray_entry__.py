@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_lang_id": textstats.lang_id,
         "docs_quality": textstats.quality_scores,
         "docs_fingerprints": textstats.fingerprints,
+        "docs_winnow_fingerprints": textstats.winnow_fingerprints,  # MOSS rolling-window
         "docs_lang_counts": textstats.lang_counts,
         # --- dedup family (SURVEY §2.7 + extensions) ---
         "docs_dedup_exact": dedup.exact_dedup_min_id,
@@ -311,6 +312,26 @@ def oracle_sql() -> dict[str, str]:
         """,
         "docs_fingerprints": """
             SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id
+        """,
+        # winnowing (MOSS): md5-prefix 3-gram shingle hashes, rolling min
+        # over windows of 4 (full windows only), distinct-minima count +
+        # smallest fingerprint per doc
+        "docs_winnow_fingerprints": f"""
+            WITH t AS (SELECT doc_id, {toks_nonempty} AS toks FROM documents),
+            pos AS (SELECT doc_id, unnest(generate_series(1, len(toks) - 2)) AS i, toks
+                    FROM t WHERE len(toks) >= 3),
+            sh AS (SELECT doc_id, i, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s
+                   FROM pos),
+            hh AS (SELECT doc_id, i,
+                          CAST(CAST(concat('0x', substr(md5(s), 1, 16)) AS UBIGINT) >> 1 AS BIGINT) AS h
+                   FROM sh),
+            wmin AS (SELECT doc_id, i,
+                            min(h) OVER (PARTITION BY doc_id ORDER BY i
+                                         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mh
+                     FROM hh QUALIFY i >= 4)
+            SELECT doc_id, CAST(count(DISTINCT mh) AS BIGINT) AS n_fp,
+                   CAST(min(mh) AS BIGINT) AS min_fp
+            FROM wmin GROUP BY doc_id ORDER BY doc_id
         """,
         "docs_lang_counts": """
             SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1 ORDER BY 1

@@ -166,3 +166,52 @@ def bpe_token_counts(sf_dir: str) -> pd.DataFrame:
 
     out = _docs(sf_dir, ["doc_id", "text"]).map_batches(count, batch_format="pyarrow").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_WINNOW_CACHE: dict[str, int] = {}
+
+
+def winnow_fingerprints(sf_dir: str, w: int = 4, shingle_n: int = 3) -> pd.DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS scheme): hash every ``shingle_n``-gram, slide a
+    window of ``w`` consecutive shingle hashes, keep each window's minimum;
+    the distinct minima are the fingerprint set. Guarantees any shared run
+    of >= w+shingle_n-1 tokens yields a shared fingerprint.
+
+    Shingle hashing is md5-prefix (>>1 for int64 safety) so the WHOLE
+    pipeline — including the rolling-window minima — replays exactly in
+    DuckDB (window min + QUALIFY). Output per doc (with >= w shingles):
+    fingerprint count and the smallest fingerprint."""
+    import hashlib as _hashlib
+
+    from ..textnorm import tokenize_batch
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        ids_out, nfp_out, minfp_out = [], [], []
+        toks = tokenize_batch(batch["text"].to_pylist())
+        for did, tk in zip(batch["doc_id"].to_pylist(), toks):
+            n_sh = len(tk) - shingle_n + 1
+            if n_sh < w:
+                continue
+            hs = np.empty(n_sh, dtype=np.int64)
+            for i in range(n_sh):
+                s = " ".join(tk[i : i + shingle_n])
+                v = _WINNOW_CACHE.get(s)
+                if v is None:
+                    v = int(_hashlib.md5(s.encode()).hexdigest()[:16], 16) >> 1
+                    _WINNOW_CACHE[s] = v
+                hs[i] = v
+            minima = np.lib.stride_tricks.sliding_window_view(hs, w).min(axis=1)
+            ids_out.append(did)
+            nfp_out.append(len(np.unique(minima)))
+            minfp_out.append(int(minima.min()))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids_out, pa.int64()),
+                "n_fp": pa.array(nfp_out, pa.int64()),
+                "min_fp": pa.array(minfp_out, pa.int64()),
+            }
+        )
+
+    out = _docs(sf_dir, ["doc_id", "text"]).map_batches(per_batch, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)

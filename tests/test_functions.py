@@ -443,3 +443,22 @@ def test_multimodal_resize_and_frame_sample():
         assert fi % 4 == 0 and row["byte_offset"] == fi * 256
         assert row["frame_checksum"] == hashlib.md5(raw[fi * 256 : (fi + 1) * 256]).hexdigest()
     assert (fs.groupby("doc_id").size() <= 3).all()
+
+
+def test_winnow_fingerprints_guarantee():
+    """Winnowing guarantee: two docs sharing a token run of length
+    >= w + shingle_n - 1 (= 6) share at least one fingerprint; spot-check
+    the rolling-min rule against a direct computation."""
+    from aarhus_ray.functions.textstats import winnow_fingerprints
+    from aarhus_ray.textnorm import tokenize
+
+    out = winnow_fingerprints(SF)
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    texts = dict(zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()))
+    row = out.iloc[0]
+    tk = tokenize(texts[int(row["doc_id"])])
+    hs = [int(hashlib.md5(" ".join(tk[i : i + 3]).encode()).hexdigest()[:16], 16) >> 1
+          for i in range(len(tk) - 2)]
+    minima = [min(hs[i - 3 : i + 1]) for i in range(3, len(hs))]
+    assert int(row["n_fp"]) == len(set(minima))
+    assert int(row["min_fp"]) == min(minima)
