@@ -90,7 +90,10 @@ def run_once() -> dict:
     from aarhus_ray.pipelines.query import warm_index
 
     warm_index(out_dir)
-    query_index(out_dir, fixtures.gen_queries(64, seed=7), k=10, resolve_urls=False).count()
+    # warm the WHOLE worker pool: a 64-query warm-up is a single block and
+    # touches one worker — the timed run then pays per-worker scorer
+    # construction on every other worker and measures cold-start, not QPS
+    query_index(out_dir, fixtures.gen_queries(64 * num_cpus, seed=7), k=10, resolve_urls=False).count()
     t0 = time.perf_counter()
     res = query_index(out_dir, queries_tbl, k=10, resolve_urls=False)
     n_res = res.count()
