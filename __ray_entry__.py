@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionize": windows.events_sessionize,
         "events_asof_click_view": windows.events_asof_click_view,
         "events_range_join_prior_views": windows.events_range_join_prior_views,
+        "events_value_median": windows.events_value_median,  # exact histogram percentile
         # --- text analysis over documents ---
         "docs_term_counts_top50": textstats.term_counts_top50,
         "docs_token_counts": textstats.token_counts,
@@ -220,6 +221,22 @@ def oracle_sql() -> dict[str, str]:
               ON v.user_id = c.user_id
              AND v.ts >= c.ts - INTERVAL 10 MINUTE AND v.ts < c.ts
             GROUP BY 1, 3 ORDER BY 1
+        """,
+        # exact per-type median of floor-cents: smallest value whose
+        # cumulative count >= ceil(n/2) — the frozen histogram median rule
+        "events_value_median": """
+            WITH h AS (SELECT event_type, CAST(floor(value*100) AS BIGINT) AS cents,
+                              COUNT(*) AS n
+                       FROM events GROUP BY 1, 2),
+            c AS (SELECT event_type, cents, n,
+                         SUM(n) OVER (PARTITION BY event_type ORDER BY cents) AS cum,
+                         SUM(n) OVER (PARTITION BY event_type) AS total
+                  FROM h)
+            SELECT event_type,
+                   CAST(min(cents) AS BIGINT) AS median_cents,
+                   CAST(min(total) AS BIGINT) AS n_events
+            FROM c WHERE cum >= (total + 1) // 2
+            GROUP BY event_type ORDER BY event_type
         """,
         "orders_topk_per_priority": """
             SELECT o_orderpriority, CAST(rn AS INTEGER) AS "rank", o_orderkey, totalprice_cents

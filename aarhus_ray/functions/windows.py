@@ -224,3 +224,45 @@ def events_range_join_prior_views(sf_dir: str, lookback_min: int = 10) -> pd.Dat
 
     out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas").to_pandas()
     return out.sort_values("click_id").reset_index(drop=True)
+
+
+def events_value_median(sf_dir: str) -> pd.DataFrame:
+    """EXACT per-type median of value (in floor-cents): distributed
+    histogram aggregation — per-batch (event_type, cents) counts, one
+    small groupby over (type × distinct cents), then the cumulative-count
+    median rule on the tiny histogram driver-side. Exact at any scale
+    because cents are integers with bounded cardinality (the classic
+    exact-percentile-via-histogram plan; no full sort, no value collect).
+    Median rule (frozen, mirrored in SQL): smallest cents value whose
+    cumulative count >= ceil(n/2)."""
+    ds = _events(sf_dir, ["event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.floor(pc.multiply(batch["value"], pa.scalar(100.0))), pa.int64())
+        g = (
+            pa.table({"event_type": batch["event_type"], "cents": cents})
+            .group_by(["event_type", "cents"])
+            .aggregate([("cents", "count")])
+        )
+        return g.select(["event_type", "cents", "cents_count"]).rename_columns(
+            ["event_type", "cents", "n"]
+        )
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "cents"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    rows = []
+    for et, g in hist.groupby("event_type"):
+        g = g.sort_values("cents")
+        total = int(g["n"].sum())
+        need = (total + 1) // 2  # ceil(n/2)
+        cum = g["n"].cumsum()
+        med = int(g.loc[cum >= need, "cents"].iloc[0])
+        rows.append((et, med, total))
+    out = pd.DataFrame(rows, columns=["event_type", "median_cents", "n_events"])
+    out["median_cents"] = out["median_cents"].astype("int64")
+    out["n_events"] = out["n_events"].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)

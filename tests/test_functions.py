@@ -462,3 +462,16 @@ def test_winnow_fingerprints_guarantee():
     minima = [min(hs[i - 3 : i + 1]) for i in range(3, len(hs))]
     assert int(row["n_fp"]) == len(set(minima))
     assert int(row["min_fp"]) == min(minima)
+
+
+def test_events_value_median_matches_numpy():
+    from aarhus_ray.functions.windows import events_value_median
+
+    out = events_value_median(SF)
+    df = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    df["cents"] = np.floor(df["value"] * 100).astype("int64")
+    for _, row in out.iterrows():
+        vals = np.sort(df.loc[df["event_type"] == row["event_type"], "cents"].to_numpy())
+        need = (len(vals) + 1) // 2
+        assert int(row["median_cents"]) == int(vals[need - 1])
+        assert int(row["n_events"]) == len(vals)
