@@ -279,7 +279,7 @@ def _verified_pairs_from_candidates(cand_pairs: set[tuple[int, int]], sf_dir: st
 def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.9) -> pd.DataFrame:
     """MinHash+LSH near-dup pairs over the ORIGINAL corpus (the driver
     corpus contains planted near-dup pairs — truncation clones):
-    shingle → minhash → band → ``groupby(band_id, band_hash)`` → candidate
+    shingle → minhash → band → ``groupby(band_hash)`` count + hot-key filter → candidate
     pairs → exact-Jaccard verify (so LSH recall misses can't change the
     answer on pairs it does surface; at J>=0.9 with 16 bands × 4 rows the
     miss probability is ~1e-8 per pair). Output (doc_a < doc_b) sorted —
