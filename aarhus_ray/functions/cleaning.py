@@ -20,7 +20,6 @@ import shutil
 
 import pandas as pd
 import pyarrow as pa
-import ray.data
 
 from ..textnorm import tokenize_flat
 from .dedup import _docs, minhash_lsh_pairs
@@ -52,6 +51,9 @@ def corpus_clean(
         keep = counts >= min_tokens
         return batch.filter(pa.array(keep)).select(["doc_id", "lang", "text"])
 
+    # consumed twice (id collect + final write): the qualify map recomputes
+    # rather than materializing — text-bearing intermediates should stream,
+    # not pin the object store (recompute-vs-materialize, SCALE.md)
     qualified = _docs(sf_dir, ["doc_id", "lang", "text"]).map_batches(
         qualify, batch_format="pyarrow"
     )
