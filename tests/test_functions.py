@@ -475,3 +475,23 @@ def test_events_value_median_matches_numpy():
         need = (len(vals) + 1) // 2
         assert int(row["median_cents"]) == int(vals[need - 1])
         assert int(row["n_events"]) == len(vals)
+
+
+def test_ann_index_cache_reuse_and_stamp_invalidation(tmp_path):
+    """The persisted LSH index is reused for an unchanged corpus and
+    rebuilt (new stamped dir) when the source file changes."""
+    import os
+    import shutil
+
+    from aarhus_ray.functions.ann import build_lsh_index
+
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    shutil.copy(f"{SF}/embeddings.parquet", corpus / "embeddings.parquet")
+    d1 = build_lsh_index(str(corpus))
+    assert os.path.exists(os.path.join(d1, "_DONE"))
+    assert build_lsh_index(str(corpus)) == d1  # cache hit, no rebuild
+    # change the corpus content stamp (mtime+size both feed the key)
+    os.utime(corpus / "embeddings.parquet", (1, 1))
+    d2 = build_lsh_index(str(corpus))
+    assert d2 != d1 and os.path.exists(os.path.join(d2, "_DONE"))
