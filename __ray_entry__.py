@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_fingerprints": textstats.fingerprints,
         "docs_winnow_fingerprints": textstats.winnow_fingerprints,  # MOSS rolling-window
         "docs_lang_counts": textstats.lang_counts,
+        "docs_stratified_sample": textstats.stratified_sample,  # reproducible mixture sampling
         # --- dedup family (SURVEY §2.7 + extensions) ---
         "docs_dedup_exact": dedup.exact_dedup_min_id,
         "corpus_clean": cleaning.corpus_clean,      # filter→quality→near-dedup→write
@@ -352,6 +353,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "docs_lang_counts": """
             SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1 ORDER BY 1
+        """,
+        # deterministic stratified sample: doc_id % 10 < 3 for en, < 5 otherwise
+        "docs_stratified_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE doc_id % 10 < CASE WHEN lang = 'en' THEN 3 ELSE 5 END
+            ORDER BY doc_id
         """,
         "docs_dedup_exact": f"""
             SELECT min(doc_id) AS doc_id

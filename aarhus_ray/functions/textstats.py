@@ -215,3 +215,22 @@ def winnow_fingerprints(sf_dir: str, w: int = 4, shingle_n: int = 3) -> pd.DataF
 
     out = _docs(sf_dir, ["doc_id", "text"]).map_batches(per_batch, batch_format="pyarrow").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def stratified_sample(sf_dir: str, en_in_10: int = 3, other_in_10: int = 5) -> pd.DataFrame:
+    """Deterministic stratified sampling: keep ``en_in_10``/10 of English
+    docs and ``other_in_10``/10 of everything else, selected by
+    ``doc_id % 10`` — fully reproducible, partition-local (zero shuffle),
+    and trivially resumable, which is exactly what a training-data mixture
+    pass needs (rate changes re-derive the same membership everywhere).
+    Returns (doc_id, lang) of the sample."""
+    import pyarrow.compute as pc
+
+    def keep(batch: pa.Table) -> pa.Table:
+        mod = pc.subtract(batch["doc_id"], pc.multiply(pc.divide(batch["doc_id"], 10), 10))
+        is_en = pc.equal(batch["lang"], "en")
+        lim = pc.if_else(is_en, pa.scalar(en_in_10, pa.int64()), pa.scalar(other_in_10, pa.int64()))
+        return batch.filter(pc.less(pc.cast(mod, pa.int64()), lim)).select(["doc_id", "lang"])
+
+    out = _docs(sf_dir, ["doc_id", "lang"]).map_batches(keep, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)

@@ -495,3 +495,14 @@ def test_ann_index_cache_reuse_and_stamp_invalidation(tmp_path):
     os.utime(corpus / "embeddings.parquet", (1, 1))
     d2 = build_lsh_index(str(corpus))
     assert d2 != d1 and os.path.exists(os.path.join(d2, "_DONE"))
+
+
+def test_stratified_sample_rule():
+    from aarhus_ray.functions.textstats import stratified_sample
+
+    out = stratified_sample(SF)
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "lang"]).to_pandas()
+    want = docs[
+        (docs.doc_id % 10) < docs.lang.map(lambda lg: 3 if lg == "en" else 5)
+    ].sort_values("doc_id")
+    assert out["doc_id"].tolist() == want["doc_id"].tolist()
