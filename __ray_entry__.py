@@ -433,8 +433,6 @@ def oracle_sql() -> dict[str, str]:
             WHERE bit_count(xor(a.s, b.s)) <= 3
             ORDER BY doc_a, doc_b
         """,
-        # docs_simhash_pairs: hamming<=3 on 64-bit simhash is approximate by
-        # design (no closed-form SQL answer) → rows-only check.
         "embedding_near_dup_pairs": f"""
             SELECT vec_id AS vec_a, vec_id + {CLONE_OFFSET} AS vec_b
             FROM embeddings ORDER BY vec_a

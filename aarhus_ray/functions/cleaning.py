@@ -51,23 +51,41 @@ def corpus_clean(
         keep = counts >= min_tokens
         return batch.filter(pa.array(keep)).select(["doc_id", "lang", "text"])
 
-    # consumed twice (id collect + final write): the qualify map recomputes
-    # rather than materializing — text-bearing intermediates should stream,
-    # not pin the object store (recompute-vs-materialize, SCALE.md)
-    qualified = _docs(sf_dir, ["doc_id", "lang", "text"]).map_batches(
-        qualify, batch_format="pyarrow"
-    )
-    kept_ids = set(
-        qualified.select_columns(["doc_id"]).to_pandas()["doc_id"].astype("int64").tolist()
-    )
-    # near-dup edges among qualified docs; winner = min doc_id (pairs are
-    # emitted doc_a < doc_b, so doc_b drops)
+    # the qualify map runs twice (pair-adjacent probe + final write) and
+    # recomputes rather than materializing — text-bearing intermediates
+    # should stream, not pin the object store (recompute-vs-materialize,
+    # SCALE.md). Nothing corpus-sized ever reaches the driver: the only
+    # driver-resident state is the verified near-dup pair list (small by
+    # LSH construction) and the drop set derived from it.
+    # near-dup edges over the corpus; winner = min doc_id (pairs are
+    # emitted doc_a < doc_b, so doc_b drops). A pair drops doc_b only if
+    # BOTH ends qualify — restricting corpus-wide pairs to the qualified
+    # subset equals computing pairs among qualified docs (see module doc).
     pairs = minhash_lsh_pairs(sf_dir)
+    pair_ids = sorted(
+        {int(a) for a in pairs["doc_a"]} | {int(b) for b in pairs["doc_b"]}
+    )
+    pair_arr = pa.array(pair_ids, pa.int64())
+
+    def probe_pair_members(batch: pa.Table) -> pa.Table:
+        # prune to pair-adjacent rows FIRST, then qualify — the probe scan
+        # tokenizes only candidate-pair members, not the corpus
+        return qualify(batch.filter(pc.is_in(batch["doc_id"], value_set=pair_arr)))
+
+    qualified_pair_ids = set()
+    if pair_ids:
+        qualified_pair_ids = set(
+            _docs(sf_dir, ["doc_id", "lang", "text"])
+            .map_batches(probe_pair_members, batch_format="pyarrow")
+            .select_columns(["doc_id"])
+            .to_pandas()["doc_id"]
+            .astype("int64")
+            .tolist()
+        )
     drop = {
         int(b) for a, b in zip(pairs["doc_a"], pairs["doc_b"])
-        if int(a) in kept_ids and int(b) in kept_ids
+        if int(a) in qualified_pair_ids and int(b) in qualified_pair_ids
     }
-    survivors = sorted(kept_ids - drop)
 
     out_dir = out_dir or os.path.join(
         CLEAN_OUT_ROOT, os.path.basename(os.path.normpath(sf_dir))
@@ -75,10 +93,25 @@ def corpus_clean(
     shutil.rmtree(out_dir, ignore_errors=True)
     drop_arr = pa.array(sorted(drop), pa.int64())
 
-    def final_filter(batch: pa.Table) -> pa.Table:
+    def qualify_and_drop(batch: pa.Table) -> pa.Table:
+        batch = qualify(batch)
         return batch.filter(pc.invert(pc.is_in(batch["doc_id"], value_set=drop_arr)))
 
-    qualified.map_batches(final_filter, batch_format="pyarrow").write_parquet(
-        out_dir, partition_cols=["lang"]
+    _docs(sf_dir, ["doc_id", "lang", "text"]).map_batches(
+        qualify_and_drop, batch_format="pyarrow"
+    ).write_parquet(out_dir, partition_cols=["lang"])
+    # the PRODUCT is the partitioned parquet corpus above; the returned id
+    # list exists for the correctness harness (oracle hash). It is read back
+    # from the written output — verifying the sink — via a pruned
+    # single-column scan. At 10^12 docs you would return the output path +
+    # survivor count instead of materializing ids.
+    import ray.data
+
+    survivors = (
+        ray.data.read_parquet(out_dir, columns=["doc_id"])
+        .to_pandas()["doc_id"]
+        .astype("int64")
+        .sort_values()
+        .reset_index(drop=True)
     )
-    return pd.DataFrame({"doc_id": pd.Series(survivors, dtype="int64")})
+    return pd.DataFrame({"doc_id": survivors})

@@ -197,6 +197,19 @@ def minhash_band_rows(
     )
 
 
+def _band_bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    """Per-band-bucket reducer: emit every (doc_a < doc_b) pair sharing this
+    bucket. Runs distributed inside groupby(band_hash).map_groups over
+    hot buckets only; the downstream (doc_a, doc_b) groupby dedups pairs
+    that collide in several bands."""
+    empty = pd.DataFrame({"doc_a": pd.Series([], dtype="int64"), "doc_b": pd.Series([], dtype="int64")})
+    ids = np.unique(g["doc_id"].to_numpy().astype(np.int64))
+    if len(ids) < 2:
+        return empty
+    iu = np.triu_indices(len(ids), 1)
+    return pd.DataFrame({"doc_a": ids[iu[0]], "doc_b": ids[iu[1]]}).astype("int64")
+
+
 def _verified_pairs_from_candidates(cand_pairs: set[tuple[int, int]], sf_dir: str, threshold: float, shingle_n: int = 3) -> pd.DataFrame:
     """Exact-Jaccard verification of candidate pairs as a DISTRIBUTED
     single-shuffle join — the documents table is never read onto the
@@ -304,15 +317,25 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.9) -> pd.DataFrame:
     ).to_pandas()
     if len(hot) == 0:
         return _verified_pairs_from_candidates(set(), sf_dir, threshold)
+    # candidate-pair expansion runs DISTRIBUTED: only hot-bucket rows (>= 2
+    # members) are shuffled into per-bucket reducers that emit the bucket's
+    # pairs, then a groupby over (doc_a, doc_b) dedups pairs surfaced by
+    # several bands. The driver receives only the DISTINCT candidate pairs
+    # — small by LSH construction (bounded by true near-dups + the banding
+    # false-positive rate) — to build the verification broadcast map.
     hot_keys = pa.array(sorted(hot["band_hash"].tolist()), pa.int64())
-    cand = banded.map_batches(
-        lambda t: t.filter(pc.is_in(t["band_hash"], value_set=hot_keys)),
-        batch_format="pyarrow",
-    ).to_pandas()
-    cand_pairs: set[tuple[int, int]] = set()
-    for _, g in cand.groupby("band_hash"):
-        ids = sorted(set(g["doc_id"].tolist()))
-        cand_pairs.update((a, b) for i, a in enumerate(ids) for b in ids[i + 1 :])
+    distinct = (
+        banded.map_batches(
+            lambda t: t.filter(pc.is_in(t["band_hash"], value_set=hot_keys)),
+            batch_format="pyarrow",
+        )
+        .groupby("band_hash")
+        .map_groups(_band_bucket_pairs, batch_format="pandas")
+        .groupby(["doc_a", "doc_b"])
+        .count()
+        .to_pandas()
+    )
+    cand_pairs = {(int(a), int(b)) for a, b in zip(distinct["doc_a"], distinct["doc_b"])}
     return _verified_pairs_from_candidates(cand_pairs, sf_dir, threshold)
 
 
@@ -335,29 +358,77 @@ def simhash_rows(batch: pa.Table) -> pa.Table:
     docs_simhash_pairs oracle in __ray_entry__), turning a rows-only check
     into an exact hash-checked one. Duplicate token occurrences each
     contribute (mirrored by the oracle's unnest). Plain top-level function
-    for the same worker-reuse/cache reasons as minhash_band_rows."""
+    for the same worker-reuse/cache reasons as minhash_band_rows.
+
+    Bit-count accumulation is one ``np.add.reduceat`` per bit position over
+    the batch's FLAT token-hash array (doc boundaries = cumulative token
+    counts) — no per-doc Python loop; only the md5 of each distinct token
+    ever seen by the worker costs Python time (process-wide cache)."""
     doc_ids = batch["doc_id"].to_pylist()
     toks = tokenize_batch(batch["text"].to_pylist())
     shifts = np.arange(64, dtype=np.uint64)
-    sigs = []
-    for tk in toks:
-        if tk:
-            h = np.fromiter((_md5_token_hash(t) for t in tk), dtype=np.uint64, count=len(tk))
-            bits = ((h[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
-            acc = 2 * bits.sum(axis=0) - len(tk)  # Σ(±1) per bit position
-        else:
-            acc = np.zeros(64, dtype=np.int64)
+    lens = np.array([len(t) for t in toks], dtype=np.int64)
+    sigs = np.zeros(len(toks), dtype=np.uint64)
+    nz = np.flatnonzero(lens)
+    if len(nz):
+        flat = np.empty(int(lens.sum()), dtype=np.uint64)
+        pos = 0
+        for tk in toks:
+            for j, t in enumerate(tk):
+                flat[pos + j] = _md5_token_hash(t)
+            pos += len(tk)
+        starts = np.concatenate(([0], np.cumsum(lens[nz])[:-1]))
+        sums = np.empty((len(nz), 64), dtype=np.int64)
+        for b in range(64):
+            col = ((flat >> np.uint64(b)) & np.uint64(1)).astype(np.int64)
+            sums[:, b] = np.add.reduceat(col, starts)
+        acc = 2 * sums - lens[nz][:, None]  # Σ(±1) per bit position
         sig_bits = (acc > 0).astype(np.uint64)
-        sigs.append(int((sig_bits << shifts).sum()))
+        sigs[nz] = (sig_bits << shifts[None, :]).sum(axis=1, dtype=np.uint64)
     return pa.table(
         {"doc_id": pa.array(doc_ids, pa.int64()), "simhash": pa.array(sigs, pa.uint64())}
     )
 
 
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized SWAR popcount over uint64 (frozen bit-twiddling form)."""
+    m1 = np.uint64(0x5555555555555555)
+    m2 = np.uint64(0x3333333333333333)
+    m4 = np.uint64(0x0F0F0F0F0F0F0F0F)
+    h01 = np.uint64(0x0101010101010101)
+    x = x - ((x >> np.uint64(1)) & m1)
+    x = (x & m2) + ((x >> np.uint64(2)) & m2)
+    x = (x + (x >> np.uint64(4))) & m4
+    return (x * h01) >> np.uint64(56)
+
+
+def _simhash_bucket_pairs(g: pd.DataFrame, max_hamming: int = 3) -> pd.DataFrame:
+    """Per-quarter-bucket reducer: vectorized XOR-popcount over the bucket's
+    (doc_id, simhash) rows, emitting only VERIFIED pairs (hamming <=
+    max_hamming). Runs distributed inside groupby(qkey).map_groups — the
+    candidate set never materializes anywhere; a bucket of size m costs one
+    m×m popcount (the pigeonhole quarters keep m small; a genuinely hot
+    boilerplate bucket is the salting case discussed in SCALE.md)."""
+    empty = pd.DataFrame({"doc_a": pd.Series([], dtype="int64"), "doc_b": pd.Series([], dtype="int64")})
+    if len(g) < 2:
+        return empty
+    g = g.sort_values("doc_id")
+    ids = g["doc_id"].to_numpy().astype(np.int64)
+    s = g["simhash"].to_numpy().astype(np.uint64)
+    iu = np.triu_indices(len(ids), 1)
+    hit = _popcount64(s[iu[0]] ^ s[iu[1]]) <= np.uint64(max_hamming)
+    if not hit.any():
+        return empty
+    return pd.DataFrame({"doc_a": ids[iu[0][hit]], "doc_b": ids[iu[1][hit]]}).astype("int64")
+
+
 def simhash_dup_pairs(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
     """SimHash near-dup pairs over the cloned corpus. Candidate generation
     buckets by 16-bit simhash quarters (any pair within hamming<=3 shares at
-    least one of 4 quarters), verify by exact hamming distance."""
+    least one of 4 quarters — pigeonhole); pairs are verified by exact
+    hamming distance INSIDE the distributed bucket reducers, so the driver
+    sees only verified pairs (deduped across quarters — a close pair can
+    share several)."""
     ds = _cloned_docs(sf_dir).repartition(16)
     sigs = ds.map_batches(simhash_rows, batch_format="pyarrow")
 
@@ -388,22 +459,28 @@ def simhash_dup_pairs(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
     empty = pd.DataFrame({"doc_a": pd.Series([], dtype="int64"), "doc_b": pd.Series([], dtype="int64")})
     if len(hot) == 0:
         return empty
+    # the groupby below shuffles ONLY hot-bucket rows (>=2 members — nearly
+    # all quarter buckets are singletons, the round-1 map_groups pathology)
     hot_keys = pa.array(sorted(hot["qkey"].tolist()), pa.int64())
-    cand = quartered.map_batches(
-        lambda t: t.filter(pc.is_in(t["qkey"], value_set=hot_keys)),
-        batch_format="pyarrow",
-    ).to_pandas()
-    rows = set()
-    for _, g in cand.groupby("qkey"):
-        recs = sorted(set(zip(g["doc_id"], g["simhash"].astype(np.uint64))))
-        for i in range(len(recs)):
-            for j in range(i + 1, len(recs)):
-                if bin(int(recs[i][1]) ^ int(recs[j][1])).count("1") <= max_hamming:
-                    rows.add((recs[i][0], recs[j][0]))
-    if not rows:
+    verified = (
+        quartered.map_batches(
+            lambda t: t.filter(pc.is_in(t["qkey"], value_set=hot_keys)),
+            batch_format="pyarrow",
+        )
+        .groupby("qkey")
+        .map_groups(
+            lambda g: _simhash_bucket_pairs(g, max_hamming), batch_format="pandas"
+        )
+        .to_pandas()
+    )
+    if len(verified) == 0:
         return empty
-    pairs = pd.DataFrame(sorted(rows), columns=["doc_a", "doc_b"]).astype("int64")
-    return pairs.reset_index(drop=True)
+    return (
+        verified.astype("int64")
+        .drop_duplicates()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
 
 
 def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.9, shingle_n: int = 3) -> pd.DataFrame:

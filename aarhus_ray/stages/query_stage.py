@@ -184,12 +184,21 @@ class QueryScorer:
                 o = np.argsort(lasts, kind="stable")  # shards out of order
                 lasts, bmax = lasts[o], bmax[o]
             got = (doc_ids, contribs, lasts, bmax)
-            if self._cached_postings + len(doc_ids) > self._cache_cap:
-                self._term_cache.clear()
-                self._cached_postings = 0
+            self._charge_cache(len(doc_ids))
             self._term_cache[term] = got
-            self._cached_postings += len(doc_ids)
         return got
+
+    def _charge_cache(self, n_postings: int) -> None:
+        """Charge a new cached array (term arrays OR dense position arrays)
+        against the shared cap; evict-all on overflow keeps both caches
+        bounded together (a long-lived worker serving many distinct head
+        terms must not grow without bound — _pos_cache entries are
+        postings-length too)."""
+        if self._cached_postings + n_postings > self._cache_cap:
+            self._term_cache.clear()
+            self._pos_cache.clear()
+            self._cached_postings = 0
+        self._cached_postings += n_postings
 
     def _owners(self, term: str) -> list[Segment]:
         """All shards holding postings of this term. Heavy terms are salted
@@ -259,6 +268,7 @@ class QueryScorer:
                     pos = np.searchsorted(self.doclens.doc_ids, doc_ids)
                     if len(self.doclens.doc_ids) < (1 << 31):
                         pos = pos.astype(np.int32)  # halve index bandwidth
+                    self._charge_cache(len(pos))
                     self._pos_cache[t] = pos
                 pos_entries.append((pos, contribs))
             return dense_accum_topk(pos_entries, self.doclens.doc_ids, self._dense_scratch, self.k)

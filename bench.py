@@ -182,6 +182,10 @@ def run_scaling() -> dict:
     results = {}
     for ncpu in (8, 32):
         best = None
+        # per side query keep the FASTEST observation at this CPU count
+        # across ALL trials, independent of which trial wins the build
+        # metric (wall-time noise on this host is ±20-50%)
+        query_minima: dict[str, float] = {}
         for _trial in range(2):  # best-of-2: single-node wall times vary ±20%
             env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
             out = subprocess.run(
@@ -193,14 +197,12 @@ def run_scaling() -> dict:
                 cwd=os.path.dirname(os.path.abspath(__file__)),
             ).stdout
             r = json.loads(out.strip().splitlines()[-1])
+            for k, v in r["queries"].items():
+                if v < query_minima.get(k, float("inf")):
+                    query_minima[k] = v
             if best is None or r["build_docs_per_s"] > best["build_docs_per_s"]:
                 best = r
-            # per side query keep the FASTEST observation at this CPU count
-            # (wall-time noise on this host is ±20-50%)
-            if best is not r:
-                for k, v in r["queries"].items():
-                    if v < best["queries"].get(k, float("inf")):
-                        best["queries"][k] = v
+        best["queries"] = query_minima
         results[ncpu] = best
     tput8 = results[8]["build_docs_per_s"]
     tput32 = results[32]["build_docs_per_s"]
