@@ -132,20 +132,20 @@ def customers_per_region(sf_dir: str) -> pd.DataFrame:
     region = pq.read_table(f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"])
     n2r = dict(zip(nation["n_nationkey"].to_pylist(), nation["n_regionkey"].to_pylist()))
     r2name = dict(zip(region["r_regionkey"].to_pylist(), region["r_name"].to_pylist()))
-    lookup_ref = ray.put({k: r2name[v] for k, v in n2r.items()})
+    # vectorized dimension lookup: position via pc.index_in against the
+    # nation-key array, then take from the aligned region-name array — no
+    # per-row Python. The two tiny arrays ride the task closure (25 rows);
+    # a plain task fn avoids the ~2s actor-pool spawn for a trivial stage.
+    nkeys = pa.array(sorted(n2r), pa.int64())
+    rnames = pa.array([r2name[n2r[k]] for k in sorted(n2r)], pa.string())
     cust = _read(sf_dir, "customer", ["c_nationkey"])
 
-    class RegionTag:
-        def __init__(self):
-            self.lookup = ray.get(lookup_ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            keys = batch["c_nationkey"].to_pylist()
-            names = [self.lookup[k] for k in keys]
-            return pa.table({"r_name": pa.array(names, pa.string())})
+    def region_tag(batch: pa.Table) -> pa.Table:
+        idx = pc.index_in(pc.cast(batch["c_nationkey"], pa.int64()), value_set=nkeys)
+        return pa.table({"r_name": pc.take(rnames, idx)})
 
     out = (
-        cust.map_batches(RegionTag, batch_format="pyarrow", concurrency=(1, 2))
+        cust.map_batches(region_tag, batch_format="pyarrow")
         .groupby("r_name")
         .aggregate(Count(alias_name="customer_count"))
         .to_pandas()

@@ -76,17 +76,28 @@ def lang_id(sf_dir: str) -> pd.DataFrame:
     ds = _docs(sf_dir, ["doc_id", "text"])
 
     def classify(batch: pa.Table) -> pa.Table:
-        toks = tokenize_batch(batch["text"].to_pylist())
-        preds = []
-        for tk in toks:
-            s = set(tk)
-            pred = "unk"
-            for lang, markers in LANG_MARKERS:
-                if any(m in s for m in markers):
-                    pred = lang
-                    break
-            preds.append(pred)
-        return pa.table({"doc_id": batch["doc_id"], "pred_lang": pa.array(preds, pa.string())})
+        # vectorized: one pc.is_in over the FLAT token array per language
+        # (first match in LANG_MARKERS order wins — scatter per-lang doc
+        # hits, assign unassigned docs in order); no per-token Python
+        import pyarrow.compute as pc
+
+        from ..textnorm import tokenize_flat
+
+        n = len(batch)
+        flat, flat_docs, _ = tokenize_flat(batch["text"], np.arange(n, dtype=np.uint64))
+        rows = flat_docs.astype(np.int64)
+        preds = np.full(n, "unk", dtype=object)
+        assigned = np.zeros(n, dtype=bool)
+        for lang, markers in LANG_MARKERS:
+            m = pc.is_in(flat, value_set=pa.array(markers, pa.string())).to_numpy(
+                zero_copy_only=False
+            )
+            has = np.zeros(n, dtype=bool)
+            has[rows[m]] = True
+            sel = has & ~assigned
+            preds[sel] = lang
+            assigned |= sel
+        return pa.table({"doc_id": batch["doc_id"], "pred_lang": pa.array(preds.tolist(), pa.string())})
 
     out = ds.map_batches(classify, batch_format="pyarrow").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
@@ -97,15 +108,29 @@ def quality_scores(sf_dir: str) -> pd.DataFrame:
     (frozen EN stopword set), distinct-token count. All integers → exact
     oracle comparison."""
     ds = _docs(sf_dir, ["doc_id", "text", "n_chars"])
-    stop = frozenset(STOPWORDS_EN)
+    stop_arr = pa.array(sorted(STOPWORDS_EN), pa.string())
 
     def score(batch: pa.Table) -> pa.Table:
-        toks = tokenize_batch(batch["text"].to_pylist())
-        n_tok = np.fromiter((len(t) for t in toks), dtype=np.int64, count=len(toks))
-        n_stop = np.fromiter(
-            (sum(1 for w in t if w in stop) for t in toks), dtype=np.int64, count=len(toks)
+        # vectorized over the FLAT token array: stopword hits via one
+        # pc.is_in + bincount; distinct tokens via an Arrow group_by over
+        # (row, term) pairs — no per-token Python loops
+        import pyarrow.compute as pc
+
+        from ..textnorm import tokenize_flat
+
+        n = len(batch)
+        flat, flat_docs, n_tok = tokenize_flat(batch["text"], np.arange(n, dtype=np.uint64))
+        rows = flat_docs.astype(np.int64)
+        sm = pc.is_in(flat, value_set=stop_arr).to_numpy(zero_copy_only=False)
+        n_stop = np.bincount(rows[sm], minlength=n)
+        uniq = (
+            pa.table({"row": pa.array(rows, pa.int64()), "term": flat})
+            .group_by(["row", "term"])
+            .aggregate([])
         )
-        n_distinct = np.fromiter((len(set(t)) for t in toks), dtype=np.int64, count=len(toks))
+        n_distinct = np.bincount(
+            uniq["row"].to_numpy(zero_copy_only=False), minlength=n
+        )
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
