@@ -93,8 +93,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_decode": multimodal.decode_features,
         "multimodal_resize": multimodal.resize_features,
         "multimodal_frame_sample": multimodal.frame_sample,
-        # --- mergeable sketches (approximate → rows-only) ---
+        # --- mergeable sketches (approximate → rows-only) + exact anchor ---
         "events_distinct_props_hll": sketches.distinct_count_hll,
+        "events_distinct_props_exact": sketches.distinct_count_exact,
         # --- the flagship: full index build + BM25/WAND over documents ---
         "fulltext_bm25_topk": fulltext.bm25_topk,
     }
@@ -475,6 +476,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(frame_idx * 256 AS BIGINT) AS byte_offset,
                    md5(substr(text, CAST(frame_idx * 256 + 1 AS BIGINT), 256)) AS frame_checksum
             FROM f ORDER BY doc_id, frame_idx
+        """,
+        # exact-distinct anchor for the HLL sketch (the sketch itself stays
+        # rows-only; a pytest pins |hll - exact|/exact < 5% at sf0.01)
+        "events_distinct_props_exact": """
+            SELECT 'events' AS table_name, 'props' AS column_name,
+                   CAST(COUNT(DISTINCT props) AS BIGINT) AS n_distinct
+            FROM events WHERE props IS NOT NULL
         """,
         "fulltext_bm25_topk": fulltext.bm25_oracle_sql(),
     }

@@ -201,49 +201,91 @@ def supplier_nation_acctbal(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("s_nationkey").reset_index(drop=True)
 
 
-def customers_without_orders(sf_dir: str) -> pd.DataFrame:
-    """ANTI-join via broadcast key set (SURVEY.md §2.4): customers with no
-    orders. The orders keyset is collected once (distinct custkeys — small
-    side), ray.put, and applied as a vectorized not-in mask per batch; at
-    100TB the same shape works with a Bloom filter in place of the set."""
-    keys = (
-        _read(sf_dir, "orders", ["o_custkey"])
-        .unique("o_custkey")
-    )
-    key_arr = pa.array(sorted(keys), pa.int64())
-    key_ref = ray.put(key_arr)
+# fact tables larger than this switch the broadcast-keyset join to the
+# Bloom + exact-verify plan (driver state bounded by the PROBE side's
+# bloom-positive candidates instead of the fact side's distinct keys)
+BLOOM_FACT_THRESHOLD = 5_000_000
+
+
+def _fact_keys_in_probe(
+    fact_ds: ray.data.Dataset,
+    fact_col: str,
+    probe_ds: ray.data.Dataset,
+    probe_col: str,
+    use_bloom: bool | None = None,
+) -> list[int]:
+    """Distinct fact-side keys that the probe side could match, EXACT.
+
+    Small facts: plain ``unique`` (the round-1 broadcast-keyset plan).
+    Large facts (or ``use_bloom=True``): a distributed Bloom filter over
+    the fact keys (fixed 1 MiB driver state) prunes the probe side to
+    bloom-positive CANDIDATES (no false negatives → nothing exact is
+    lost); one pruned fact scan then verifies candidates exactly. The
+    driver never holds the fact keyset — only the bloom bits, the
+    candidate list (bounded by the probe side) and the verified subset
+    (functions/bloom.py has the sizing math)."""
+    if use_bloom is None:
+        use_bloom = fact_ds.count() > BLOOM_FACT_THRESHOLD
+    if not use_bloom:
+        return sorted(fact_ds.unique(fact_col))
+    from . import bloom as bl
+
+    bits_ref = ray.put(bl.build_bloom(fact_ds, fact_col))
+
+    def cand_filter(batch: pa.Table) -> pa.Table:
+        bits = ray.get(bits_ref)
+        ks = batch[probe_col].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(bl.bloom_contains(bits, ks))).select([probe_col])
+
+    cand = probe_ds.map_batches(cand_filter, batch_format="pyarrow").unique(probe_col)
+    if not cand:
+        return []
+    cand_ref = ray.put(pa.array(sorted(int(c) for c in cand), pa.int64()))
+
+    def verify(batch: pa.Table) -> pa.Table:
+        ks = ray.get(cand_ref)
+        return batch.filter(pc.is_in(batch[fact_col], value_set=ks)).select([fact_col])
+
+    present = fact_ds.map_batches(verify, batch_format="pyarrow").unique(fact_col)
+    return sorted(int(p) for p in present)
+
+
+def customers_without_orders(sf_dir: str, use_bloom: bool | None = None) -> pd.DataFrame:
+    """ANTI-join (SURVEY.md §2.4): customers with no orders. The orders
+    keyset (restricted to keys customers could hold) comes from
+    ``_fact_keys_in_probe`` — broadcast set below BLOOM_FACT_THRESHOLD,
+    Bloom + exact-verify above it — then one vectorized not-in mask."""
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    keys = _fact_keys_in_probe(orders, "o_custkey", cust, "c_custkey", use_bloom)
+    key_ref = ray.put(pa.array(keys, pa.int64()))
 
     def anti(batch: pa.Table) -> pa.Table:
         ks = ray.get(key_ref)
         mask = pc.invert(pc.is_in(batch["c_custkey"], value_set=ks))
         return batch.filter(mask).select(["c_custkey", "c_name"])
 
-    out = _read(sf_dir, "customer", ["c_custkey", "c_name"]).map_batches(
-        anti, batch_format="pyarrow"
-    ).to_pandas()
+    out = cust.map_batches(anti, batch_format="pyarrow").to_pandas()
     if out.empty:  # every customer has orders → typed empty result
         out = pd.DataFrame({"c_custkey": pd.Series([], dtype="int64"),
                             "c_name": pd.Series([], dtype=object)})
     return out.sort_values("c_custkey").reset_index(drop=True)
 
 
-def parts_in_lineitem(sf_dir: str) -> pd.DataFrame:
-    """SEMI-join via broadcast key set: parts that appear in at least one
-    lineitem, with their size (no row multiplication — membership only)."""
-    keys = (
-        _read(sf_dir, "lineitem", ["l_partkey"])
-        .unique("l_partkey")
-    )
-    key_arr = pa.array(sorted(keys), pa.int64())
-    key_ref = ray.put(key_arr)
+def parts_in_lineitem(sf_dir: str, use_bloom: bool | None = None) -> pd.DataFrame:
+    """SEMI-join via broadcast key set (Bloom + exact-verify above the
+    fact threshold): parts that appear in at least one lineitem, with
+    their size (no row multiplication — membership only)."""
+    li = _read(sf_dir, "lineitem", ["l_partkey"])
+    part = _read(sf_dir, "part", ["p_partkey", "p_name", "p_size"])
+    keys = _fact_keys_in_probe(li, "l_partkey", part, "p_partkey", use_bloom)
+    key_ref = ray.put(pa.array(keys, pa.int64()))
 
     def semi(batch: pa.Table) -> pa.Table:
         ks = ray.get(key_ref)
         return batch.filter(pc.is_in(batch["p_partkey"], value_set=ks))
 
-    out = _read(sf_dir, "part", ["p_partkey", "p_name", "p_size"]).map_batches(
-        semi, batch_format="pyarrow"
-    ).to_pandas()
+    out = part.map_batches(semi, batch_format="pyarrow").to_pandas()
     if out.empty:  # all-empty map output loses its columns in to_pandas()
         out = pd.DataFrame({"p_partkey": pd.Series([], dtype="int64"),
                             "p_name": pd.Series([], dtype=object),
@@ -253,10 +295,25 @@ def parts_in_lineitem(sf_dir: str) -> pd.DataFrame:
 
 def q3_shipping_priority(sf_dir: str, k: int = 10) -> pd.DataFrame:
     """TPC-H Q3 shape: customer(seg='BUILDING'-ish) ⋈ orders(date<) ⋈
-    lineitem(date>) → revenue per order, top-k. Composed as two BROADCAST
-    semi-join filters (small keysets travel, fact rows never shuffle) + a
-    partial-aggregated groupby on the fact table — the star-schema plan
-    that scales to 100TB fact tables."""
+    lineitem(date>) → revenue per order, top-k.
+
+    Round-3 plan — the orders⋈lineitem semi-join is a DISTRIBUTED
+    tagged-union groupby (no driver-side keyset of qualifying orders,
+    which at real Q3 scale is ~10% of the orders table):
+
+    1. qualifying orders emit (o_orderkey, is_order=1, revenue_e4=0,
+       n_li=0); the only broadcast is the segment-customer keyset (the
+       DIMENSION side of the star — genuinely small);
+    2. lineitem emits per-batch PARTIAL revenue aggregates
+       (o_orderkey, 0, Σrevenue, n rows) — raw line items never shuffle;
+    3. one groupby(o_orderkey) sums the tags: a key qualifies iff
+       is_order>0 AND n_li>0 — the semi-join falls out of the aggregate;
+    4. per-batch partial top-k over the aggregate, tiny driver merge,
+       then one pruned orders re-read resolves o_orderdate for the final
+       k keys only.
+
+    Revenue is integer cents×cents (e4) so the sum is reduction-order
+    exact."""
     import pyarrow.parquet as pq
 
     seg_customers = pq.read_table(
@@ -267,43 +324,70 @@ def q3_shipping_priority(sf_dir: str, k: int = 10) -> pd.DataFrame:
     cust_ref = ray.put(pa.array(sorted(keys), pa.int64()))
     cutoff = pa.scalar(np.datetime64("1995-03-15", "us"), pa.timestamp("us"))
 
-    def orders_filter(batch: pa.Table) -> pa.Table:
+    def orders_tag(batch: pa.Table) -> pa.Table:
         ks = ray.get(cust_ref)
         m = pc.and_(pc.is_in(batch["o_custkey"], value_set=ks),
                     pc.less(batch["o_orderdate"], cutoff))
-        return batch.filter(m).select(["o_orderkey"])
-
-    # only the KEYSET of qualifying orders comes back to the driver (int64s,
-    # no dates) — at real Q3 scale ~10% of orders qualify, so the filtered
-    # rows themselves must never materialize driver-side; o_orderdate is
-    # resolved later for just the final top-k rows via a pruned re-read.
-    okeys = (
-        _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
-        .map_batches(orders_filter, batch_format="pyarrow")
-        .to_pandas()
-    )
-    okey_list = sorted(okeys["o_orderkey"].tolist()) if len(okeys) else []
-    okeys_ref = ray.put(pa.array(okey_list, pa.int64()))
+        b = batch.filter(m)
+        n = len(b)
+        return pa.table(
+            {
+                "o_orderkey": pc.cast(b["o_orderkey"], pa.int64()),
+                "is_order": pa.array(np.ones(n, np.int64), pa.int64()),
+                "revenue_e4": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "n_li": pa.array(np.zeros(n, np.int64), pa.int64()),
+            }
+        )
 
     def li_partial(batch: pa.Table) -> pa.Table:
-        ks = ray.get(okeys_ref)
-        m = pc.and_(pc.is_in(batch["l_orderkey"], value_set=ks),
-                    pc.greater(batch["l_shipdate"], cutoff))
-        b = batch.filter(m)
+        b = batch.filter(pc.greater(batch["l_shipdate"], cutoff))
         rev = pc.multiply(_cents(b["l_extendedprice"]),
                           _cents(pc.subtract(pa.scalar(1.0), b["l_discount"])))
         g = (
-            pa.table({"l_orderkey": b["l_orderkey"], "revenue_e4": rev})
-            .group_by(["l_orderkey"])
-            .aggregate([("revenue_e4", "sum")])
+            pa.table({"o_orderkey": pc.cast(b["l_orderkey"], pa.int64()), "revenue_e4": rev})
+            .group_by(["o_orderkey"])
+            .aggregate([("revenue_e4", "sum"), ("revenue_e4", "count")])
         )
-        return g.select(["l_orderkey", "revenue_e4_sum"]).rename_columns(["l_orderkey", "revenue_e4"])
+        n = len(g)
+        return pa.table(
+            {
+                "o_orderkey": g["o_orderkey"],
+                "is_order": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "revenue_e4": pc.cast(g["revenue_e4_sum"], pa.int64()),
+                "n_li": pc.cast(g["revenue_e4_count"], pa.int64()),
+            }
+        )
+
+    orders_side = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        orders_tag, batch_format="pyarrow"
+    )
+    li_side = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"]
+    ).map_batches(li_partial, batch_format="pyarrow")
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater(batch["is_order"], pa.scalar(0, pa.int64())),
+                    pc.greater(batch["n_li"], pa.scalar(0, pa.int64())))
+        b = batch.filter(m)
+        rev = b["revenue_e4"].to_numpy(zero_copy_only=False)
+        ok = b["o_orderkey"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ok, -rev))[:k]
+        return pa.table(
+            {
+                "l_orderkey": pa.array(ok[order], pa.int64()),
+                "revenue_e4": pa.array(rev[order], pa.int64()),
+            }
+        )
 
     agg = (
-        _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"])
-        .map_batches(li_partial, batch_format="pyarrow")
-        .groupby("l_orderkey")
-        .aggregate(Sum("revenue_e4", alias_name="revenue_e4"))
+        orders_side.union(li_side)
+        .groupby("o_orderkey")
+        .aggregate(
+            Sum("is_order", alias_name="is_order"),
+            Sum("revenue_e4", alias_name="revenue_e4"),
+            Sum("n_li", alias_name="n_li"),
+        )
+        .map_batches(partial_topk, batch_format="pyarrow")
         .to_pandas()
     )
     if agg.empty:
@@ -311,7 +395,7 @@ def q3_shipping_priority(sf_dir: str, k: int = 10) -> pd.DataFrame:
                              "revenue_e4": pd.Series([], dtype="int64"),
                              "o_orderdate": pd.Series([], dtype="datetime64[us]")})
     agg = agg.sort_values(["revenue_e4", "l_orderkey"], ascending=[False, True]).head(k)
-    # second pruned read: o_orderdate for ONLY the final k orderkeys
+    # pruned read: o_orderdate for ONLY the final k orderkeys
     final_keys = pa.array(sorted(agg["l_orderkey"].tolist()), pa.int64())
     dates = (
         pq.read_table(

@@ -81,3 +81,27 @@ def distinct_count_hll(sf_dir: str, table: str = "events", column: str = "props"
     return pd.DataFrame(
         {"table_name": [table], "column_name": [column], "approx_distinct": [round(hll_estimate(merged))]}
     )
+
+
+def distinct_count_exact(sf_dir: str, table: str = "events", column: str = "props") -> pd.DataFrame:
+    """EXACT distinct count of a column — the accuracy anchor for the HLL
+    sketch (hash-checked against ``COUNT(DISTINCT ...)``; a pytest pins the
+    sketch's relative error against this). Plan: per-batch distinct values
+    (vectorized np.unique — the shuffle carries only within-batch-distinct
+    strings) → groupby(value) → count groups. Fully distributed; only the
+    scalar count reaches the driver."""
+    import pyarrow.compute as pc
+
+    ds = ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=[column])
+
+    def batch_distinct(batch: pa.Table) -> pa.Table:
+        return pa.table({column: pc.unique(batch[column].drop_null())})
+
+    n = ds.map_batches(batch_distinct, batch_format="pyarrow").groupby(column).count().count()
+    return pd.DataFrame(
+        {
+            "table_name": [table],
+            "column_name": [column],
+            "n_distinct": pd.Series([n], dtype="int64"),
+        }
+    )

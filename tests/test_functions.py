@@ -229,15 +229,20 @@ def test_hll_distinct_count_accuracy():
 def test_hll_over_events_table():
     import duckdb
 
-    from aarhus_ray.functions.sketches import distinct_count_hll
+    from aarhus_ray.functions.sketches import distinct_count_exact, distinct_count_hll
 
     out = distinct_count_hll(SF, "events", "props")
     con = duckdb.connect()
-    exact = con.execute(
+    sql_exact = con.execute(
         f"SELECT count(DISTINCT props) FROM '{SF}/events.parquet'"
     ).fetchone()[0]
+    # the distributed exact-distinct anchor matches SQL exactly ...
+    eng_exact = int(distinct_count_exact(SF, "events", "props")["n_distinct"].iloc[0])
+    assert eng_exact == sql_exact
+    # ... and pins the sketch's relative error at sf0.01 (HLL_P=12 → ~1.6%
+    # standard error; 5% is > 3 sigma)
     approx = int(out["approx_distinct"].iloc[0])
-    assert abs(approx - exact) / max(1, exact) < 0.1
+    assert abs(approx - eng_exact) / max(1, eng_exact) < 0.05
 
 
 def test_parallel_fixture_generation_deterministic(tmp_path):
@@ -506,3 +511,34 @@ def test_stratified_sample_rule():
         (docs.doc_id % 10) < docs.lang.map(lambda lg: 3 if lg == "en" else 5)
     ].sort_values("doc_id")
     assert out["doc_id"].tolist() == want["doc_id"].tolist()
+
+
+def test_bloom_filter_kernel():
+    from aarhus_ray.functions.bloom import bloom_contains, _positions
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    members = rng.randint(0, 1 << 60, size=5000).astype(np.int64)
+    bits = np.zeros(1 << 20, dtype=np.uint8)
+    for pos in _positions(members):
+        np.bitwise_or.at(bits, pos >> 3, np.left_shift(np.uint8(1), (pos & 7).astype(np.uint8)))
+    # no false negatives, ever
+    assert bloom_contains(bits, members).all()
+    # false-positive rate on non-members is small (1 MiB bits, 5k keys)
+    others = rng.randint(1 << 60, 1 << 62, size=20000).astype(np.int64)
+    fp = bloom_contains(bits, others).mean()
+    assert fp < 0.01
+
+
+def test_semi_anti_join_bloom_path_matches_exact():
+    """The Bloom + exact-verify fallback must return byte-identical results
+    to the broadcast-keyset path (Bloom false positives are repaired by the
+    verification scan)."""
+    from aarhus_ray.functions.relational import customers_without_orders, parts_in_lineitem
+
+    exact = parts_in_lineitem(SF, use_bloom=False)
+    blm = parts_in_lineitem(SF, use_bloom=True)
+    assert exact.equals(blm)
+    exact_a = customers_without_orders(SF, use_bloom=False)
+    blm_a = customers_without_orders(SF, use_bloom=True)
+    assert exact_a.equals(blm_a)
