@@ -178,3 +178,82 @@ def _cpus() -> int:
         return max(2, int(ray.cluster_resources().get("CPU", 8)))
     except Exception:
         return 8
+
+
+def doc_pids(out_dir: str) -> list[int]:
+    """Partition ids present in the docs/ sidecar (sorted)."""
+    pids = []
+    for f in sorted(glob.glob(os.path.join(out_dir, "docs", "pid=*.parquet"))):
+        m = re.match(r"pid=(\d+)\.parquet$", os.path.basename(f))
+        if m:
+            pids.append(int(m.group(1)))
+    return pids
+
+
+def query_index_doc_sharded(
+    out_dir: str,
+    queries,
+    n_ranges: int = 4,
+    k: int = 10,
+    method: str = "wand",
+    batch_size: int = 64,
+):
+    """Top-k BM25 with DOC-RANGE-SHARDED scorer state — the cluster-shape
+    path (SCALE.md: at 10^12 docs the ~5 TB doclen sidecar cannot live in
+    every scorer; each node holds only the doc ranges it serves).
+
+    The docID scheme (pid<<40 | row) makes pid groups contiguous docID
+    ranges: each range scorer loads ONLY its partitions' doclens
+    (DoclenTable(pids=...), memory ∝ range size — asserted by test) and
+    scores every query over doc_ids in [lo, hi) with GLOBAL df/idf, so
+    each document is scored completely inside exactly one range. The
+    per-range partial top-k tables (≤ k rows per query per range) merge
+    under the frozen (score DESC, doc_id ASC) order — EXACT, bit-identical
+    to the full-corpus scorer, unlike per-term-segment top-k (SURVEY §8.3).
+
+    Returns a pandas DataFrame (query_id, rank, doc_id, score): the merge
+    input is final-answer-sized (queries × n_ranges × k rows), so a driver
+    merge is right-sized even at cluster scale."""
+    import pandas as pd
+    from ..partition import DOC_ID_PARTITION_SHIFT
+
+    segs = list_segments(out_dir)
+    if not segs:
+        raise ValueError(f"no segments under {out_dir}")
+    pids = doc_pids(out_dir)
+    if not pids:
+        raise ValueError(f"no docs/pid=*.parquet under {out_dir}")
+    groups = [list(g) for g in np.array_split(np.array(pids), min(n_ranges, len(pids))) if len(g)]
+    version = index_version(out_dir)
+
+    if isinstance(queries, str):
+        import pyarrow.parquet as _pq
+
+        queries = _pq.read_table(queries)
+    if isinstance(queries, pa.Table):
+        qds = ray.data.from_arrow(queries)
+    else:
+        qds = queries
+
+    from ..stages.query_stage import make_scorer_task_fn as _mk
+
+    parts = []
+    for g in groups:
+        lo = int(g[0]) << DOC_ID_PARTITION_SHIFT
+        hi = (int(g[-1]) + 1) << DOC_ID_PARTITION_SHIFT
+        # shared_ref deliberately None: the point of this path is that a
+        # scorer's state is bounded by its doc range, not a full-corpus
+        # shared copy
+        fn = _mk(out_dir, segs, k, method, None, version, doc_range=(lo, hi), pids=[int(p) for p in g])
+        parts.append(
+            qds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size).to_pandas()
+        )
+    allp = pd.concat(parts, ignore_index=True)
+    if allp.empty:
+        return allp
+    allp = allp.sort_values(
+        ["query_id", "score", "doc_id"], ascending=[True, False, True], kind="mergesort"
+    )
+    merged = allp.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    merged["rank"] = merged.groupby("query_id", sort=False).cumcount().astype("int32") + 1
+    return merged[["query_id", "rank", "doc_id", "score"]]

@@ -31,11 +31,24 @@ from .postings_stage import seg_dir
 
 
 class DoclenTable:
-    """Sorted (doc_id → doclen) arrays loaded from docs/ parquet."""
+    """Sorted (doc_id → doclen) arrays loaded from docs/ parquet.
 
-    def __init__(self, out_dir: str):
+    ``pids`` restricts the load to those partitions' sidecar files — the
+    cluster-shape path (SCALE.md §sizing: 10^12 docs → ~5 TB of doclens;
+    a doc-range-sharded scorer holds only the ranges it serves). Default
+    (None) loads everything: exact full-corpus scoring, required by the
+    goldens."""
+
+    def __init__(self, out_dir: str, pids: list[int] | None = None):
         files = sorted(glob.glob(os.path.join(out_dir, "docs", "pid=*.parquet")))
+        if pids is not None:
+            want = {f"pid={p:04d}.parquet" for p in pids}
+            files = [f for f in files if os.path.basename(f) in want]
         tables = [pq.read_table(f, columns=["doc_id", "doclen"]) for f in files]
+        if not tables:
+            self.doc_ids = np.empty(0, np.uint64)
+            self.doclens = np.empty(0, np.uint32)
+            return
         tbl = pa.concat_tables(tables)
         ids = tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
         dls = tbl["doclen"].to_numpy(zero_copy_only=False).astype(np.uint32)
@@ -127,12 +140,27 @@ class QueryScorer:
         k: int = 10,
         method: str = "wand",
         shared_ref=None,
+        doc_range: tuple[int, int] | None = None,
+        pids: list[int] | None = None,
     ):
+        """``doc_range=(lo, hi)`` + ``pids`` activate the DOC-SHARDED mode
+        (cluster scorer-state path, SCALE.md): this scorer holds only the
+        doclens of its partitions and scores each query over doc_ids in
+        [lo, hi) — memory bounded by the doc range, results merged across
+        ranges by the caller (exact: every doc is scored wholly inside
+        exactly one range, unlike per-term-segment top-k which splits doc
+        scores). idf/df stay GLOBAL (summed over all shards). Default
+        (None): full-corpus scoring, the goldens' exact path."""
         stats = mf.read_stats(out_dir)
         self.n_docs = int(stats["n_docs"])
         self.avgdl = float(stats["avgdl"])
         self.k = k
         self.method = method
+        self.doc_range = (
+            (np.uint64(doc_range[0]), np.uint64(doc_range[1])) if doc_range is not None else None
+        )
+        if doc_range is not None and method not in ("wand", "brute"):
+            raise ValueError(f"doc-sharded scoring supports wand/brute, not {method!r}")
         if seg_ids is None:
             from ..pipelines.query import list_segments
 
@@ -149,7 +177,7 @@ class QueryScorer:
             self.doclens.doclens = dl_lens
             self._shared_impacts = impacts
         else:
-            self.doclens = DoclenTable(out_dir)
+            self.doclens = DoclenTable(out_dir, pids=pids if doc_range is not None else None)
         # actor-lifetime term cache: term → (doc_ids, contribs, skips) with
         # contribs = the per-posting BM25 contribution score_tf(tf, dl,
         # avgdl, idf) — query-INDEPENDENT, so it is computed once. Zipf-head
@@ -164,27 +192,54 @@ class QueryScorer:
         self._pos_cache: dict[str, np.ndarray] = {}
         self._dense_scratch: np.ndarray | None = None
 
+    def _slice_to_range(self, doc_ids, contribs_or_tfs, lasts, bmax):
+        """Restrict term arrays to [lo, hi). Postings slice exactly; skip
+        blocks keep every block INTERSECTING the range — a partially-covered
+        block's max is an upper bound over a superset, so WAND pruning stays
+        admissible (exact), merely a little less tight at the range edges.
+        uint64 needles throughout (int needles would promote the comparison
+        to float64 and corrupt doc_ids >= 2^53)."""
+        lo, hi = self.doc_range
+        i0 = int(np.searchsorted(doc_ids, lo, side="left"))
+        i1 = int(np.searchsorted(doc_ids, hi, side="left"))
+        b1 = int(np.searchsorted(lasts, hi, side="left"))
+        b0 = int(np.searchsorted(lasts, lo, side="left"))
+        b1 = min(b1 + 1, len(lasts))
+        return doc_ids[i0:i1], contribs_or_tfs[i0:i1], lasts[b0:b1], bmax[b0:b1]
+
     def _term_arrays(self, term: str, owners: list["Segment"]):
         from ..bm25 import idf as idf_fn
         from ..bm25 import score_tf
 
-        got = self._shared_impacts.get(term)
-        if got is not None:
-            return got
+        if self.doc_range is None:
+            got = self._shared_impacts.get(term)
+            if got is not None:
+                return got
         got = self._term_cache.get(term)
         if got is None:
-            doc_ids, tfs = self._gather_postings(term, owners)
-            dls = self.doclens.lookup(doc_ids)
-            idf_val = idf_fn(self._global_df(term, owners), self.n_docs)
-            contribs = score_tf(tfs, dls.astype(np.float64), self.avgdl, idf_val)
-            skips_cat = np.concatenate([seg.term_skips(term) for seg in owners])
-            lasts = skips_cat["last_doc_id"].copy()
-            bmax = codecs.tf_upper_bound(skips_cat["max_tf"], idf_val)
-            if len(lasts) > 1 and not np.all(lasts[1:] >= lasts[:-1]):
-                o = np.argsort(lasts, kind="stable")  # shards out of order
-                lasts, bmax = lasts[o], bmax[o]
-            got = (doc_ids, contribs, lasts, bmax)
-            self._charge_cache(len(doc_ids))
+            shared = self._shared_impacts.get(term)
+            if shared is not None:
+                # doc-sharded mode over shared full-corpus impacts: slice the
+                # zero-copy views to this scorer's range (cluster analogue:
+                # the node's impact replica holds only its range)
+                got = self._slice_to_range(*shared)
+            else:
+                doc_ids, tfs = self._gather_postings(term, owners)
+                idf_val = idf_fn(self._global_df(term, owners), self.n_docs)
+                skips_cat = np.concatenate([seg.term_skips(term) for seg in owners])
+                lasts = skips_cat["last_doc_id"].copy()
+                bmax = codecs.tf_upper_bound(skips_cat["max_tf"], idf_val)
+                if len(lasts) > 1 and not np.all(lasts[1:] >= lasts[:-1]):
+                    o = np.argsort(lasts, kind="stable")  # shards out of order
+                    lasts, bmax = lasts[o], bmax[o]
+                if self.doc_range is not None:
+                    # slice BEFORE the doclen lookup: the range table only
+                    # holds in-range docs (searchsorted on others misindexes)
+                    doc_ids, tfs, lasts, bmax = self._slice_to_range(doc_ids, tfs, lasts, bmax)
+                dls = self.doclens.lookup(doc_ids)
+                contribs = score_tf(tfs, dls.astype(np.float64), self.avgdl, idf_val)
+                got = (doc_ids, contribs, lasts, bmax)
+            self._charge_cache(len(got[0]))
             self._term_cache[term] = got
         return got
 
@@ -218,6 +273,11 @@ class QueryScorer:
         if len(doc_ids) > 1 and not np.all(doc_ids[1:] > doc_ids[:-1]):
             o = np.argsort(doc_ids, kind="stable")
             doc_ids, tfs = doc_ids[o], tfs[o]
+        if self.doc_range is not None:
+            lo, hi = self.doc_range
+            i0 = int(np.searchsorted(doc_ids, lo, side="left"))
+            i1 = int(np.searchsorted(doc_ids, hi, side="left"))
+            doc_ids, tfs = doc_ids[i0:i1], tfs[i0:i1]
         return doc_ids, tfs
 
     def _score_query(self, text: str) -> tuple[np.ndarray, np.ndarray]:
@@ -258,7 +318,10 @@ class QueryScorer:
             doc_ids, contribs, lasts, bmax = self._term_arrays(t, owners[t])
             tbs.append((t, doc_ids, contribs, lasts, bmax))
             total_postings += len(doc_ids)
-        if total_postings * 8 >= self.n_docs:
+        # dense-path trigger compares against the LOCAL doc space (== n_docs
+        # for the default full-corpus scorer; the range's size when sharded)
+        n_local = len(self.doclens.doc_ids)
+        if n_local and total_postings * 8 >= n_local:
             if self._dense_scratch is None:
                 self._dense_scratch = np.zeros(len(self.doclens.doc_ids), dtype=np.float64)
             pos_entries = []
@@ -317,28 +380,54 @@ class ScorerTaskFn:
 
     __name__ = "ScorerTaskFn"
 
-    def __init__(self, out_dir: str, seg_ids: list[int], k: int, method: str, shared_ref, version: int):
-        self.args = (out_dir, tuple(seg_ids), k, method, shared_ref, version)
+    def __init__(
+        self,
+        out_dir: str,
+        seg_ids: list[int],
+        k: int,
+        method: str,
+        shared_ref,
+        version: int,
+        doc_range: tuple[int, int] | None = None,
+        pids: list[int] | None = None,
+    ):
+        self.args = (
+            out_dir, tuple(seg_ids), k, method, shared_ref, version,
+            doc_range, tuple(pids) if pids is not None else None,
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        out_dir, seg_ids, k, method, shared_ref, version = self.args
-        # seg_ids and shared_ref-presence are part of the identity: a scorer
-        # built over a subset of segments (or without shared state) must not
-        # be served for a different configuration of the same index
-        key = (out_dir, version, k, method, seg_ids, shared_ref is not None)
+        out_dir, seg_ids, k, method, shared_ref, version, doc_range, pids = self.args
+        # seg_ids, shared_ref-presence and doc_range are part of the
+        # identity: a scorer built over a subset of segments / a doc range
+        # (or without shared state) must not be served for a different
+        # configuration of the same index
+        key = (out_dir, version, k, method, seg_ids, shared_ref is not None, doc_range)
         scorer = _WORKER_SCORER_CACHE.get(key)
         if scorer is None:
             # evict only STALE entries of the same index (older version);
             # scorers for other live indexes keep their warm state
             for old in [k_ for k_ in _WORKER_SCORER_CACHE if k_[0] == out_dir and k_[1] < version]:
                 del _WORKER_SCORER_CACHE[old]
-            scorer = QueryScorer(out_dir, list(seg_ids), k, method, shared_ref)
+            scorer = QueryScorer(
+                out_dir, list(seg_ids), k, method, shared_ref,
+                doc_range=doc_range, pids=list(pids) if pids is not None else None,
+            )
             _WORKER_SCORER_CACHE[key] = scorer
         return scorer(batch)
 
 
-def make_scorer_task_fn(out_dir: str, seg_ids: list[int], k: int, method: str, shared_ref, version: int):
-    return ScorerTaskFn(out_dir, seg_ids, k, method, shared_ref, version)
+def make_scorer_task_fn(
+    out_dir: str,
+    seg_ids: list[int],
+    k: int,
+    method: str,
+    shared_ref,
+    version: int,
+    doc_range: tuple[int, int] | None = None,
+    pids: list[int] | None = None,
+):
+    return ScorerTaskFn(out_dir, seg_ids, k, method, shared_ref, version, doc_range, pids)
 
 
 class UrlResolver:

@@ -233,3 +233,43 @@ def test_resume_detects_corrupted_partition(tmp_path):
     build_index(pages, out, num_partitions=4, num_segments=2, n_salts=2, resume=True)
     with open(victim, "rb") as f:
         assert f.read() == good, "corrupted partition must be rebuilt bit-identically"
+
+
+def test_doc_sharded_query_matches_full_scorer(golden_index):
+    """The cluster scorer-state path (doc-range-sharded scorers, each
+    holding only its partitions' doclens) must be bit-identical to the
+    full-corpus scorer, and each range scorer's memory must be bounded by
+    its doc range."""
+    from aarhus_ray.pipelines.query import doc_pids, query_index_doc_sharded
+    from aarhus_ray.stages.query_stage import DoclenTable
+
+    q = fixtures.gen_queries(40, seed=11)
+    full = (
+        query_index(golden_index["index"], q, k=10, resolve_urls=False)
+        .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    sharded = (
+        query_index_doc_sharded(golden_index["index"], q, n_ranges=3, k=10)
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    assert len(full) == len(sharded)
+    assert (full["query_id"].to_numpy() == sharded["query_id"].to_numpy()).all()
+    assert (full["rank"].to_numpy() == sharded["rank"].to_numpy()).all()
+    assert (full["doc_id"].to_numpy().astype(np.uint64)
+            == sharded["doc_id"].to_numpy().astype(np.uint64)).all()
+    assert (full["score"].to_numpy() == sharded["score"].to_numpy()).all()
+
+    # memory profile: a range scorer's doclen table holds ONLY its pids
+    pids = doc_pids(golden_index["index"])
+    assert len(pids) == 8  # golden config P=8
+    total = len(DoclenTable(golden_index["index"]).doc_ids)
+    subset = pids[:3]
+    sub_tbl = DoclenTable(golden_index["index"], pids=subset)
+    per_pid = [
+        len(pq.read_table(
+            os.path.join(golden_index["index"], "docs", f"pid={p:04d}.parquet"),
+            columns=["doc_id"],
+        ))
+        for p in subset
+    ]
+    assert len(sub_tbl.doc_ids) == sum(per_pid) < total
