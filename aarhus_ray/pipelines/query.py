@@ -45,18 +45,58 @@ def list_segments(out_dir: str) -> list[int]:
 _SHARED_STATE_CACHE: dict[str, object] = {}
 
 
+@ray.remote
+def _impacts_for_terms(out_dir: str, seg_ids: tuple[int, ...], terms: tuple[str, ...], dl_pair, n_docs: int, avgdl: float):
+    """One shard of the head-term impact build: decode + score the given
+    terms' postings (gathering salted shards). ``dl_pair`` arrives as an
+    ObjectRef argument, which Ray resolves to zero-copy plasma-backed
+    numpy views — one shared copy serves every task."""
+    from .. import codecs as _codecs
+    from ..bm25 import idf as idf_fn, score_tf
+    from ..stages.query_stage import Segment
+
+    dl_ids, dl_lens = dl_pair
+    segs = [Segment(out_dir, sid) for sid in seg_ids]
+    out: dict[str, tuple] = {}
+    for term in terms:
+        segs_of = [s for s in segs if term in s.dict]
+        gdf = sum(s.dict[term][0] for s in segs_of)
+        parts = [s.term_postings(term) for s in segs_of]
+        doc_ids = np.concatenate([p[0] for p in parts])
+        tfs = np.concatenate([p[1] for p in parts])
+        if len(doc_ids) > 1 and not np.all(doc_ids[1:] > doc_ids[:-1]):
+            o = np.argsort(doc_ids, kind="stable")
+            doc_ids, tfs = doc_ids[o], tfs[o]
+        dls = dl_lens[np.searchsorted(dl_ids, doc_ids)]
+        idf_val = idf_fn(gdf, n_docs)
+        contribs = score_tf(tfs, dls.astype("float64"), avgdl, idf_val)
+        skips_cat = np.concatenate([s.term_skips(term) for s in segs_of])
+        lasts = skips_cat["last_doc_id"].copy()
+        bmax = _codecs.tf_upper_bound(skips_cat["max_tf"], idf_val)
+        if len(lasts) > 1 and not np.all(lasts[1:] >= lasts[:-1]):
+            o = np.argsort(lasts, kind="stable")
+            lasts, bmax = lasts[o], bmax[o]
+        out[term] = (doc_ids, contribs, lasts, bmax)
+    return out
+
+
 def _shared_scorer_state(out_dir: str, segs: list[int]):
-    """Build the scorer state ONCE on the driver and ray.put it: doclen
-    arrays + precomputed impact arrays (doc_ids, per-posting BM25
+    """Build the scorer state ONCE per driver process and ray.put it:
+    doclen arrays + precomputed impact arrays (doc_ids, per-posting BM25
     contribution, skips) for the Zipf-head terms (df >= n_docs/200). Every
-    scorer actor ray.get()s the same object — numpy arrays come back as
-    zero-copy read-only views over shared object-store memory, so N actors
-    pay ZERO per-actor decode/score warmup for the terms that dominate
+    scorer ray.get()s the same object — numpy arrays come back as
+    zero-copy read-only views over shared object-store memory, so N workers
+    pay ZERO per-worker decode/score warmup for the terms that dominate
     query cost. (Cluster analogue: the object is replicated once per node,
-    not per worker.) Cached per index dir for the driver process lifetime."""
+    not per worker.)
+
+    Round 3: the decode+score of head terms is DISTRIBUTED over Ray tasks
+    (one per term chunk, doclens passed by ref and read zero-copy) — the
+    driver only scans the shard dictionaries for global dfs and merges the
+    returned per-term dicts. Cached per (index dir, version) for the
+    driver process lifetime."""
     import ray as _ray
 
-    from ..bm25 import idf as idf_fn, score_tf
     from ..stages.query_stage import DoclenTable, Segment
     from ..state import manifest as mf
 
@@ -68,36 +108,25 @@ def _shared_scorer_state(out_dir: str, segs: list[int]):
     stats = mf.read_stats(out_dir)
     n_docs, avgdl = int(stats["n_docs"]), float(stats["avgdl"])
     dl = DoclenTable(out_dir)
-    impacts: dict[str, tuple] = {}
+    dl_ref = _ray.put((dl.doc_ids, dl.doclens))
     df_floor = max(256, n_docs // 200)
-    from .. import codecs as _codecs
-
-    # a term's postings may be salted over several shards — aggregate first
-    owners: dict[str, list[Segment]] = {}
+    # global df per term from the shard dicts alone (no postings decode)
+    gdf: dict[str, int] = {}
     for sid in segs:
         seg = Segment(out_dir, sid)
-        for term in seg.dict:
-            owners.setdefault(term, []).append(seg)
-    for term, segs_of in owners.items():
-        gdf = sum(s.dict[term][0] for s in segs_of)
-        if gdf < df_floor:
-            continue
-        parts = [s.term_postings(term) for s in segs_of]
-        doc_ids = np.concatenate([p[0] for p in parts])
-        tfs = np.concatenate([p[1] for p in parts])
-        if len(doc_ids) > 1 and not np.all(doc_ids[1:] > doc_ids[:-1]):
-            o = np.argsort(doc_ids, kind="stable")
-            doc_ids, tfs = doc_ids[o], tfs[o]
-        dls = dl.lookup(doc_ids)
-        idf_val = idf_fn(gdf, n_docs)
-        contribs = score_tf(tfs, dls.astype("float64"), avgdl, idf_val)
-        skips_cat = np.concatenate([s.term_skips(term) for s in segs_of])
-        lasts = skips_cat["last_doc_id"].copy()
-        bmax = _codecs.tf_upper_bound(skips_cat["max_tf"], idf_val)
-        if len(lasts) > 1 and not np.all(lasts[1:] >= lasts[:-1]):
-            o = np.argsort(lasts, kind="stable")
-            lasts, bmax = lasts[o], bmax[o]
-        impacts[term] = (doc_ids, contribs, lasts, bmax)
+        for term, entry in seg.dict.items():
+            gdf[term] = gdf.get(term, 0) + entry[0]
+    head = sorted(t for t, c in gdf.items() if c >= df_floor)
+    impacts: dict[str, tuple] = {}
+    if head:
+        n_chunks = min(len(head), max(1, _cpus() * 2))
+        chunks = [tuple(head[i::n_chunks]) for i in range(n_chunks)]
+        refs = [
+            _impacts_for_terms.remote(out_dir, tuple(segs), ch, dl_ref, n_docs, avgdl)
+            for ch in chunks
+        ]
+        for d in _ray.get(refs):
+            impacts.update(d)
     ref = _ray.put((dl.doc_ids, dl.doclens, impacts))
     _SHARED_STATE_CACHE[key] = ref
     return ref

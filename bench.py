@@ -73,12 +73,17 @@ def run_once() -> dict:
         pages_dir,
         out_dir,
         # P pinned regardless of CPU count: the scaling pair must share the
-        # same logical partitioning (and doc_ids are a function of P)
-        num_partitions=64,
-        # 8 term-ranges × 4 docID salts = 32 reduce shards: both runs of the
-        # scaling pair share this logical partitioning (SURVEY.md §4.5)
+        # same logical partitioning (and doc_ids are a function of P).
+        # 128 partitions (round 3; was 64): ~780 docs per dedup/encode group
+        # — the round-3 sweep measured the per-group stage cost to be
+        # superlinear in group size (45s vs 157s total UDF at P=128 vs 64),
+        # and smaller groups shorten the straggler tail at 32 CPUs
+        num_partitions=128,
+        # 8 term-ranges × 8 docID salts = 64 reduce shards: both runs of the
+        # scaling pair share this logical partitioning (SURVEY.md §4.5);
+        # salts=8 halves the heaviest term-shard straggler vs salts=4
         num_segments=8,
-        n_salts=4,
+        n_salts=8,
     )
     build_s = time.perf_counter() - t0
     n_docs = stats["n_docs"]
@@ -109,7 +114,7 @@ def run_once() -> dict:
     # Each is timed WARM (second call): the first call pays one-time session
     # costs — Ray worker spawn, the persisted ANN index build — and the
     # contract metric is steady-state throughput.
-    if os.path.isdir(sf_dir):
+    if os.path.isdir(sf_dir) and not os.environ.get("BENCH_SKIP_SIDE"):
         import __ray_entry__ as E
 
         qs = E.queries()
@@ -180,13 +185,17 @@ def run_scaling() -> dict:
     queries (the LLM-pipeline operators) run too, so every headline
     extension pipeline gets its own 8-vs-32 pair."""
     results = {}
-    for ncpu in (8, 32):
-        best = None
-        # per side query keep the FASTEST observation at this CPU count
-        # across ALL trials, independent of which trial wins the build
-        # metric (wall-time noise on this host is ±20-50%)
-        query_minima: dict[str, float] = {}
-        for _trial in range(2):  # best-of-2: single-node wall times vary ±20%
+    best: dict[int, dict | None] = {8: None, 32: None}
+    query_minima: dict[int, dict[str, float]] = {8: {}, 32: {}}
+    # trials INTERLEAVED across CPU counts (8,32,8,32): this host's
+    # throughput drifts on ~10-minute scales (round-3 finding: identical
+    # configs measured 17.7s and 62s half an hour apart), so running all-8
+    # then all-32 lets one weather shift poison the ratio; pairing each 8
+    # with an adjacent 32 makes best-of-N ratios weather-resistant.
+    # Per side query keep the FASTEST observation at each CPU count across
+    # ALL trials, independent of which trial wins the build metric.
+    for _trial in range(2):
+        for ncpu in (8, 32):
             env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
@@ -198,12 +207,13 @@ def run_scaling() -> dict:
             ).stdout
             r = json.loads(out.strip().splitlines()[-1])
             for k, v in r["queries"].items():
-                if v < query_minima.get(k, float("inf")):
-                    query_minima[k] = v
-            if best is None or r["build_docs_per_s"] > best["build_docs_per_s"]:
-                best = r
-        best["queries"] = query_minima
-        results[ncpu] = best
+                if v < query_minima[ncpu].get(k, float("inf")):
+                    query_minima[ncpu][k] = v
+            if best[ncpu] is None or r["build_docs_per_s"] > best[ncpu]["build_docs_per_s"]:
+                best[ncpu] = r
+    for ncpu in (8, 32):
+        best[ncpu]["queries"] = query_minima[ncpu]
+        results[ncpu] = best[ncpu]
     tput8 = results[8]["build_docs_per_s"]
     tput32 = results[32]["build_docs_per_s"]
     eff = (tput32 / tput8) / (32 / 8)
@@ -240,8 +250,52 @@ def run_scaling() -> dict:
     }
 
 
+def run_scale_headroom() -> dict:
+    """Flat-throughput-at-10×-corpus evidence (VERDICT round-2 item 9):
+    build the SAME config over 1M pages (10× the headline corpus) at 32
+    CPUs and report docs/s next to the 100k number from a fresh run in the
+    same weather window. A streaming engine should hold docs/s roughly
+    flat as the corpus grows; a falling curve means some stage materializes
+    or a driver tail grows with input size."""
+    results = {}
+    for pages in (BENCH_PAGES, 10 * BENCH_PAGES):
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS="32",
+            BENCH_PAGES=str(pages),
+            BENCH_QUERIES="1000",  # query side is not under test here
+            BENCH_SKIP_SIDE="1",
+        )
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        r = json.loads(out.strip().splitlines()[-1])
+        results[pages] = {
+            "build_docs_per_s": r["build_docs_per_s"],
+            "build_seconds": r["queries"]["index_build"],
+            "n_docs": r["n_docs"],
+        }
+    small, big = results[BENCH_PAGES], results[10 * BENCH_PAGES]
+    return {
+        "metric": "scale_headroom_10x_corpus",
+        "value": round(big["build_docs_per_s"] / small["build_docs_per_s"], 3),
+        "unit": "throughput_ratio_10x_vs_1x",
+        "pages_1x": BENCH_PAGES,
+        "result_1x": small,
+        "result_10x": big,
+        "num_cpus": 32,
+    }
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--scale-headroom" in sys.argv:
+        print(json.dumps(run_scale_headroom()))
     else:
         print(json.dumps(run_once()))

@@ -542,3 +542,13 @@ def test_semi_anti_join_bloom_path_matches_exact():
     exact_a = customers_without_orders(SF, use_bloom=False)
     blm_a = customers_without_orders(SF, use_bloom=True)
     assert exact_a.equals(blm_a)
+
+
+def test_ngram_jaccard_distributed_path_matches_driver_join():
+    """The size-gated distributed pair join (bucketed reducers + pair-sum
+    groupby) must equal the driver-side merge exactly."""
+    from aarhus_ray.functions.dedup import ngram_jaccard_pairs
+
+    local = ngram_jaccard_pairs(SF, distributed=False)
+    dist = ngram_jaccard_pairs(SF, distributed=True)
+    assert local.values.tolist() == dist.values.tolist()

@@ -273,3 +273,45 @@ def test_doc_sharded_query_matches_full_scorer(golden_index):
         for p in subset
     ]
     assert len(sub_tbl.doc_ids) == sum(per_pid) < total
+
+
+def test_plan_distributed_equals_serial(golden_index):
+    """The distributed plan sample (round 3) must produce the IDENTICAL
+    plan to the frozen round-1 semantics: boundaries = occurrence-sorted
+    flat-array quantiles, heavy = df/n_sample >= frac, over the first
+    sample_docs rows in file order."""
+    import glob as _glob
+
+    from aarhus_ray.extract import extract_text
+    from aarhus_ray.pipelines.build import _plan_terms_from_pages
+    from aarhus_ray.textnorm import tokenize
+
+    sample_docs, num_segments, frac = 600, 4, 0.05
+    paths = sorted(_glob.glob(os.path.join(golden_index["pages"], "*.parquet")))
+    texts = []
+    for p in paths:
+        if len(texts) >= sample_docs:
+            break
+        col = pq.read_table(p, columns=["html"])["html"]
+        texts.extend(extract_text(h) for h in col.to_pylist()[: sample_docs - len(texts)])
+    # naive reference: per-doc tokens -> flat sorted occurrences + dfs
+    flat = []
+    df: dict[str, int] = {}
+    for t in texts:
+        toks = tokenize(t)
+        flat.extend(toks)
+        for w in set(toks):
+            df[w] = df.get(w, 0) + 1
+    occ = sorted(flat)
+    want_bounds = []
+    for i in range(1, num_segments):
+        b = occ[min(len(occ) - 1, i * len(occ) // num_segments)]
+        if not want_bounds or b > want_bounds[-1]:
+            want_bounds.append(b)
+    want_heavy = sorted(w for w, c in df.items() if c / len(texts) >= frac)
+
+    got_bounds, got_heavy = _plan_terms_from_pages(
+        golden_index["pages"], num_segments, sample_docs, frac
+    )
+    assert got_bounds == want_bounds
+    assert got_heavy == want_heavy
