@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_distinct_props_exact": sketches.distinct_count_exact,
         # --- the flagship: full index build + BM25/WAND over documents ---
         "fulltext_bm25_topk": fulltext.bm25_topk,
+        "fulltext_bm25_conj_topk": fulltext.bm25_topk_conj,
     }
 
 
@@ -485,4 +486,5 @@ def oracle_sql() -> dict[str, str]:
             FROM events WHERE props IS NOT NULL
         """,
         "fulltext_bm25_topk": fulltext.bm25_oracle_sql(),
+        "fulltext_bm25_conj_topk": fulltext.bm25_conj_oracle_sql(),
     }

@@ -57,10 +57,38 @@ def brute_force_topk(
     n_docs: int,
     avgdl: float,
     k: int = 10,
+    conjunctive: bool = False,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Exhaustive BM25 top-k. ``postings[term] = (doc_ids, tfs)`` (decoded,
     sorted); ``doclen_lookup(doc_ids) -> dl array``. Duplicate query terms
-    count once (frozen: a query is a term SET, sorted)."""
+    count once (frozen: a query is a term SET, sorted).
+
+    ``conjunctive=True`` restricts candidates to docs containing EVERY
+    query term (AND semantics); a term absent from the index makes the
+    result empty. Scores for surviving docs are identical to the
+    disjunctive scores (same contributions, same sorted-term accumulation
+    order), so conjunctive results are a filtered subset of disjunctive
+    full scoring — the property the tests pin."""
+    if conjunctive:
+        terms = sorted(set(query_terms))
+        if not terms or any(t not in postings for t in terms):
+            return np.empty(0, np.uint64), np.empty(0, np.float64)
+        cand = postings[min(terms, key=lambda t: len(postings[t][0]))][0]
+        for t in terms:
+            d_ids = postings[t][0]
+            pos = np.searchsorted(d_ids, cand)
+            ok = pos < len(d_ids)
+            ok[ok] = d_ids[pos[ok]] == cand[ok]
+            cand = cand[ok]
+        if len(cand) == 0:
+            return np.empty(0, np.uint64), np.empty(0, np.float64)
+        scores = np.zeros(len(cand), dtype=np.float64)
+        dls = doclen_lookup(cand).astype(np.float64)
+        for t in terms:
+            d_ids, tfs = postings[t]
+            pos = np.searchsorted(d_ids, cand)
+            scores += score_tf(tfs[pos], dls, avgdl, idf(dfs[t], n_docs))
+        return topk_select(cand, scores, k)
     terms = sorted(set(t for t in query_terms if t in postings))
     if not terms:
         return np.empty(0, np.uint64), np.empty(0, np.float64)

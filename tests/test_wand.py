@@ -180,3 +180,53 @@ def test_blockmax_large_docids_no_float_promotion():
     assert len(np.unique(got_ids)) == len(got_ids), "duplicate doc in top-k"
     assert np.array_equal(got_ids, want_ids)
     assert np.array_equal(got_scores, want_scores)
+
+
+# --- conjunctive (AND) retrieval -------------------------------------------
+
+
+@given(st.integers(0, 10_000))
+@settings(max_examples=50, deadline=None)
+def test_conjunctive_equals_filtered_disjunctive(seed):
+    """Conjunctive top-k == full disjunctive scoring filtered to docs that
+    contain every distinct query term (bit-identical scores: same per-term
+    contributions, same sorted-term accumulation order)."""
+    rng = np.random.RandomState(seed)
+    n_docs = int(rng.randint(20, 400))
+    doclens, postings = _mini_corpus(rng, n_docs, n_terms=8, density=0.6)
+    if not postings:
+        return
+    terms = list(postings)
+    q = [terms[rng.randint(len(terms))] for _ in range(int(rng.randint(1, 4)))]
+    k = int(rng.randint(1, 15))
+    avgdl = float(doclens.mean())
+    dfs = {t: len(p[0]) for t, p in postings.items()}
+
+    def lookup(ids):
+        return doclens[ids.astype(np.int64)]
+
+    ci, cs = brute_force_topk(q, postings, dfs, lookup, n_docs, avgdl, k, conjunctive=True)
+    # reference: disjunctive with k = n_docs (full frozen-order ranking),
+    # filtered to all-terms docs, truncated to k
+    di, ds = brute_force_topk(q, postings, dfs, lookup, n_docs, avgdl, n_docs)
+    member = set.intersection(*(set(postings[t][0].tolist()) for t in set(q)))
+    mask = np.array([int(d) in member for d in di], dtype=bool)
+    ref_i, ref_s = di[mask][:k], ds[mask][:k]
+    assert np.array_equal(ci, ref_i), f"doc_ids differ (q={q}, k={k})"
+    assert np.array_equal(cs, ref_s), "scores not bit-identical"
+
+
+def test_conjunctive_oov_term_empties_result():
+    rng = np.random.RandomState(5)
+    doclens, postings = _mini_corpus(rng, 100, 5, 0.8)
+    t = next(iter(postings))
+    avgdl = float(doclens.mean())
+    dfs = {tt: len(p[0]) for tt, p in postings.items()}
+
+    def lookup(ids):
+        return doclens[ids.astype(np.int64)]
+
+    ci, cs = brute_force_topk(
+        [t, "zzz_oov"], postings, dfs, lookup, len(doclens), avgdl, 10, conjunctive=True
+    )
+    assert len(ci) == 0 and len(cs) == 0
