@@ -99,6 +99,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- the flagship: full index build + BM25/WAND over documents ---
         "fulltext_bm25_topk": fulltext.bm25_topk,
         "fulltext_bm25_conj_topk": fulltext.bm25_topk_conj,
+        # incremental build (base + delta generation) must equal a fresh
+        # full build — same full-corpus oracle as fulltext_bm25_topk
+        "fulltext_bm25_incremental": fulltext.bm25_topk_incremental,
     }
 
 
@@ -487,4 +490,5 @@ def oracle_sql() -> dict[str, str]:
         """,
         "fulltext_bm25_topk": fulltext.bm25_oracle_sql(),
         "fulltext_bm25_conj_topk": fulltext.bm25_conj_oracle_sql(),
+        "fulltext_bm25_incremental": fulltext.bm25_oracle_sql(),
     }

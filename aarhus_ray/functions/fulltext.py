@@ -112,6 +112,32 @@ def bm25_topk(sf_dir: str, k: int = 10, fresh: bool = True) -> pd.DataFrame:
 FT_QUERIES_CONJ = FT_QUERIES + ("table zzznotinvocab",)
 
 
+def bm25_topk_incremental(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Incremental-build exactness check, driver-visible: build the index
+    over the FIRST HALF of documents, graft the second half in as a delta
+    generation (pipelines/maintain.add_documents — disjoint doc space,
+    shared plan, folded stats), then answer FT_QUERIES over the union.
+    Shares fulltext_bm25_topk's full-corpus DuckDB oracle: an incremental
+    index must be indistinguishable from a fresh build over everything."""
+    from ..pipelines.maintain import add_documents
+
+    work = _work_dir(sf_dir) + "_incr"
+    shutil.rmtree(work, ignore_errors=True)
+    pages_all = os.path.join(work, "pages_all", "part-0000.parquet")
+    docs_as_pages(sf_dir, pages_all)
+    full = pq.read_table(pages_all)
+    half = full.num_rows // 2
+    dir_a = os.path.join(work, "pages_a")
+    dir_b = os.path.join(work, "pages_b")
+    os.makedirs(dir_a), os.makedirs(dir_b)
+    pq.write_table(full.slice(0, half), os.path.join(dir_a, "part-0000.parquet"))
+    pq.write_table(full.slice(half), os.path.join(dir_b, "part-0000.parquet"))
+    index = os.path.join(work, "index")
+    build_index(dir_a, index, num_partitions=8, num_segments=2, n_salts=2)
+    add_documents(index, dir_b, num_partitions=4)
+    return _run_queries(index, FT_QUERIES, k, "or")
+
+
 def bm25_topk_conj(sf_dir: str, k: int = 10) -> pd.DataFrame:
     """Conjunctive-AND BM25 over the same index: a doc ranks only if it
     contains EVERY query term; scores are the unchanged BM25 sums, so this

@@ -225,8 +225,14 @@ def build_index(
     extract_batch_size: int = 256,
     postings_batch_size: int = 1024,
     concurrency: int | None = None,
+    pid_offset: int = 0,
 ) -> dict:
-    """Build the inverted index; returns the stats dict."""
+    """Build the inverted index; returns the stats dict.
+
+    ``pid_offset`` shifts every partition id (and therefore every doc_id =
+    pid<<40 | row) by a fixed amount — used by incremental delta builds
+    (pipelines/maintain.py) so a generation's doc space is disjoint from
+    and above the base index's."""
     cpus = concurrency or _cpus()
     cfg = {
         "P": num_partitions,
@@ -234,6 +240,8 @@ def build_index(
         "n_salts": n_salts,
         "langs": sorted(langs) if langs else None,
     }
+    if pid_offset:
+        cfg["pid_offset"] = pid_offset
     if os.path.isdir(out_dir):
         if resume:
             # cfg.json is written at BUILD START (stats.json only lands at
@@ -275,7 +283,10 @@ def build_index(
             out_dir,
             "docs",
             verify=True,
-            paths={p: docs_path(out_dir, p) for p in range(num_partitions)},
+            paths={
+                p: docs_path(out_dir, p)
+                for p in range(pid_offset, pid_offset + num_partitions)
+            },
         )
         if resume
         else set()
@@ -287,7 +298,7 @@ def build_index(
 
     def _pages_pipeline():
         ds = read_pages(input_path)
-        prep = prep_batch_fn(langs, num_partitions)
+        prep = prep_batch_fn(langs, num_partitions, pid_offset)
         if done_pids:
             skip = pa.array(sorted(done_pids), pa.uint32())
 
@@ -314,7 +325,7 @@ def build_index(
         )
         _phase_log(f"plan (from input sample) {_time.perf_counter() - _t0:.1f}s")
         _t0 = _time.perf_counter()
-        encoder = PostingsEncoder(boundaries, heavy, num_partitions, n_salts)
+        encoder = PostingsEncoder(boundaries, heavy, num_partitions, n_salts, pid_offset)
         partials = _pages_pipeline().groupby("pid").map_groups(
             DedupAssignWriter(out_dir, encoder=encoder), batch_format="pyarrow"
         )
@@ -362,7 +373,7 @@ def build_index(
         docs_ds = ray.data.read_parquet(docs_glob, columns=["doc_id", "text"])
         partials = docs_ds.map_batches(
             PostingsEncoder,
-            fn_constructor_args=(boundaries, heavy, num_partitions, n_salts),
+            fn_constructor_args=(boundaries, heavy, num_partitions, n_salts, pid_offset),
             batch_format="pyarrow",
             batch_size=postings_batch_size,
             concurrency=(max(1, cpus // 2), cpus),

@@ -1,0 +1,222 @@
+"""Incremental index maintenance: delta generations + compaction
+(the LSM-style lifecycle a long-lived 10^12-doc index needs — a web crawl
+never stops, and a full rebuild per refresh is not a plan at 100 TB).
+
+``add_documents`` builds a DELTA GENERATION from new pages and grafts it
+into an existing index:
+
+- the delta claims a fresh pid range (``pid_offset`` = one past the base's
+  highest pid), so its doc_ids — (pid << 40) | row — are disjoint from and
+  strictly above every base doc_id;
+- it reuses the base plan.json (same term boundaries + heavy set), so
+  delta shards align with the base's term ranges;
+- its shard directories move into the base under fresh bucket ids
+  (appended after the base's), and global stats fold (n_docs, total_len →
+  avgdl). Nothing in the base is rewritten: the graft is O(delta).
+
+The query side needs NO changes: scorers already gather a term's postings
+from EVERY owning shard and sum df globally (term-sharded invariant,
+CLAUDE.md), so a query over base+delta is EXACT — bit-identical to a fresh
+build over the union corpus (the incremental fulltext query shares the
+full-corpus DuckDB oracle; tests/test_maintain.py pins build≡incremental).
+
+APPEND-ONLY ASSUMPTION: delta urls must be new. A url present in both
+generations gets two doc_ids (exact url dedup runs per generation — the
+url-hash partitioning that powers it cannot span generations without a
+rewrite). Detecting collisions at scale is a Bloom-filter semi-join of
+delta urls vs the base (functions/bloom.py is the building block); not
+wired up because the driving use case (crawl snapshots) is append-only.
+
+``compact_index`` rewrites all generations into one: re-encodes postings
+from the docs/ checkpoint (the same phase-D shape the resume path uses)
+into a fresh segment set under the base plan, then atomically swaps
+segments/. Query results are unchanged (test-pinned); what compaction buys
+is shard-count hygiene — k generations mean k× dictionary probes and skip
+arrays per term, and the gather's fixed cost grows with generation count.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import shutil
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data
+
+from ..state import manifest as mf
+from .build import INDEX_MARKER, build_index
+
+_SEG_RE = re.compile(r"seg=(\d+)$")
+
+
+def _seg_ids(index_dir: str) -> list[int]:
+    ids = []
+    for p in glob.glob(os.path.join(index_dir, "segments", "seg=*")):
+        m = _SEG_RE.search(os.path.basename(p))
+        if m and os.path.isdir(p):
+            ids.append(int(m.group(1)))
+    return sorted(ids)
+
+
+def _max_pid(index_dir: str) -> int:
+    pids = [
+        int(m.group(1))
+        for f in glob.glob(os.path.join(index_dir, "docs", "pid=*.parquet"))
+        if (m := re.search(r"pid=(\d+)\.parquet$", os.path.basename(f)))
+    ]
+    if not pids:
+        raise ValueError(f"no docs/pid=*.parquet under {index_dir}")
+    return max(pids)
+
+
+def add_documents(
+    out_dir: str,
+    input_path: str,
+    *,
+    num_partitions: int = 8,
+    langs: tuple[str, ...] | None = None,
+    extract_batch_size: int = 256,
+    concurrency: int | None = None,
+) -> dict:
+    """Graft a delta generation built from ``input_path`` into the index at
+    ``out_dir``. Returns the folded stats dict. See module docstring for
+    semantics (disjoint doc space, shared plan, appended buckets, exact
+    queries over the union)."""
+    if not os.path.exists(os.path.join(out_dir, INDEX_MARKER)):
+        raise ValueError(f"{out_dir} is not a completed index (missing {INDEX_MARKER})")
+    stats = mf.read_stats(out_dir)
+    plan_path = os.path.join(out_dir, "plan.json")
+    if not os.path.exists(plan_path):
+        raise ValueError(f"{out_dir} has no plan.json — cannot align a delta generation")
+    pid_offset = _max_pid(out_dir) + 1
+
+    delta_dir = os.path.join(out_dir, ".delta.tmp")
+    shutil.rmtree(delta_dir, ignore_errors=True)
+    os.makedirs(delta_dir)
+    # pre-seed the plan so the delta build reuses the BASE term boundaries
+    # and heavy set (build_index loads plan.json when present)
+    shutil.copyfile(plan_path, os.path.join(delta_dir, "plan.json"))
+    delta_stats = build_index(
+        input_path,
+        delta_dir,
+        num_partitions=num_partitions,
+        num_segments=int(stats["num_segments"]),
+        n_salts=int(stats["n_salts"]),
+        langs=langs,
+        extract_batch_size=extract_batch_size,
+        concurrency=concurrency,
+        pid_offset=pid_offset,
+    )
+
+    # ---- graft: docs files (names disjoint by pid_offset), then shard
+    # dirs under fresh bucket ids appended after the base's ----
+    for f in sorted(glob.glob(os.path.join(delta_dir, "docs", "pid=*.parquet"))):
+        os.replace(f, os.path.join(out_dir, "docs", os.path.basename(f)))
+    next_bucket = max(_seg_ids(out_dir)) + 1
+    bucket_map: dict[int, int] = {}
+    for sid in _seg_ids(delta_dir):
+        new_sid = next_bucket + sid
+        bucket_map[sid] = new_sid
+        os.replace(
+            os.path.join(delta_dir, "segments", f"seg={sid:04d}"),
+            os.path.join(out_dir, "segments", f"seg={new_sid:04d}"),
+        )
+    # lineage: append the delta's manifest rows (segment bucket ids
+    # remapped; docs pids already carry the offset)
+    for row in mf.read_manifest(delta_dir):
+        if row["stage"] == "segment":
+            row = dict(row, partition_id=bucket_map.get(int(row["partition_id"]), row["partition_id"]))
+        mf.append_manifest(out_dir, mf.ManifestRow(**{
+            k: row[k] for k in (
+                "stage", "partition_id", "input_rows", "output_rows",
+                "bytes_out", "wall_s", "checksum", "status", "doclen_sum",
+            ) if k in row
+        }))
+    shutil.rmtree(delta_dir, ignore_errors=True)
+
+    # ---- fold global stats; the stats.json rewrite bumps index_version,
+    # invalidating every cached scorer/shared-state for this path ----
+    n_docs = int(stats["n_docs"]) + int(delta_stats["n_docs"])
+    total_len = int(stats["total_len"]) + int(delta_stats["total_len"])
+    folded = dict(
+        stats,
+        n_docs=n_docs,
+        total_len=total_len,
+        avgdl=(total_len / n_docs) if n_docs else 0.0,
+        generations=int(stats.get("generations", 1)) + 1,
+    )
+    mf.write_stats(out_dir, folded)
+    man = mf.read_manifest(out_dir)
+    if man:
+        pq.write_table(pa.Table.from_pylist(man), os.path.join(out_dir, "metrics.parquet"))
+    return folded
+
+
+def compact_index(
+    out_dir: str,
+    *,
+    postings_batch_size: int = 1024,
+    concurrency: int | None = None,
+) -> dict:
+    """Rewrite all generations into a single fresh segment set (query
+    results unchanged — test-pinned). Re-encodes from the docs/ checkpoint
+    with the persisted plan, assembles into a temp root, then atomically
+    swaps segments/."""
+    from .build import _cpus
+    from ..stages.postings_stage import AssembleSegment, PostingsEncoder
+
+    stats = mf.read_stats(out_dir)
+    with open(os.path.join(out_dir, "plan.json")) as f:
+        plan = json.load(f)
+    boundaries, heavy = plan["boundaries"], plan["heavy_terms"]
+    # one flat pid space again: the heavy docID-range salt maps the TOTAL
+    # range over n_salts shards (pid_offset=0, P=total)
+    p_total = _max_pid(out_dir) + 1
+    n_salts = int(stats["n_salts"])
+    cpus = concurrency or _cpus()
+
+    tmp_root = out_dir + ".compact.tmp"
+    shutil.rmtree(tmp_root, ignore_errors=True)
+    os.makedirs(os.path.join(tmp_root, "segments"))
+    docs_glob = sorted(glob.glob(os.path.join(out_dir, "docs", "pid=*.parquet")))
+    docs_ds = ray.data.read_parquet(docs_glob, columns=["doc_id", "text"])
+    partials = docs_ds.map_batches(
+        PostingsEncoder,
+        fn_constructor_args=(boundaries, heavy, p_total, n_salts, 0),
+        batch_format="pyarrow",
+        batch_size=postings_batch_size,
+        concurrency=(max(1, cpus // 2), cpus),
+    )
+    rows = (
+        partials.groupby("bucket")
+        .map_groups(AssembleSegment(tmp_root), batch_format="pyarrow")
+        .take_all()
+    )
+
+    old = out_dir + ".segments.old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.replace(os.path.join(out_dir, "segments"), old)
+    os.replace(os.path.join(tmp_root, "segments"), os.path.join(out_dir, "segments"))
+    shutil.rmtree(old, ignore_errors=True)
+    # adopt the compaction's segment manifest rows into the base lineage
+    for row in mf.read_manifest(tmp_root):
+        mf.append_manifest(out_dir, mf.ManifestRow(**{
+            k: row[k] for k in (
+                "stage", "partition_id", "input_rows", "output_rows",
+                "bytes_out", "wall_s", "checksum", "status", "doclen_sum",
+            ) if k in row
+        }))
+    shutil.rmtree(tmp_root, ignore_errors=True)
+
+    compacted = dict(stats, generations=1)
+    mf.write_stats(out_dir, compacted)  # bumps index_version → caches refresh
+    with open(os.path.join(out_dir, INDEX_MARKER), "w") as f:
+        f.write(f"segments={len(rows)}\n")
+    man = mf.read_manifest(out_dir)
+    if man:
+        pq.write_table(pa.Table.from_pylist(man), os.path.join(out_dir, "metrics.parquet"))
+    return compacted

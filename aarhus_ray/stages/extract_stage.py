@@ -15,9 +15,13 @@ from ..extract import extract_text
 from ..partition import normalize_url, partition_ids
 
 
-def prep_batch_fn(langs: tuple[str, ...] | None, num_partitions: int):
+def prep_batch_fn(langs: tuple[str, ...] | None, num_partitions: int, pid_offset: int = 0):
     """Returns a stateless map_batches fn: normalize urls, filter langs,
-    tag each row with its corpus partition_id = blake2b64(url) % P."""
+    tag each row with its corpus partition_id = blake2b64(url) % P.
+
+    ``pid_offset`` shifts the partition ids (delta generations of an
+    incremental index claim a fresh pid range so their doc_ids —
+    (pid << 40) | row — are disjoint from and above every base doc_id)."""
 
     lang_set = list(langs) if langs else None
 
@@ -26,7 +30,7 @@ def prep_batch_fn(langs: tuple[str, ...] | None, num_partitions: int):
         batch = batch.set_column(batch.schema.get_field_index("url"), "url", urls)
         if lang_set is not None:
             batch = batch.filter(pc.is_in(batch["lang"], value_set=pa.array(lang_set)))
-        pid = partition_ids(batch["url"], num_partitions)
+        pid = partition_ids(batch["url"], num_partitions) + np.uint32(pid_offset)
         return batch.append_column("pid", pa.array(pid, pa.uint32()))
 
     return prep

@@ -67,16 +67,20 @@ class PostingsEncoder:
         heavy_terms: list[str],
         num_partitions: int,
         n_salts: int,
+        pid_offset: int = 0,
     ):
         self.boundaries = np.array(boundaries, dtype=object)
         self.heavy = frozenset(heavy_terms)
         self.P = num_partitions
         self.n_salts = max(1, n_salts)
+        # delta generations of an incremental index encode over a shifted
+        # pid range [offset, offset+P); the heavy salt must be computed on
+        # the LOCAL pid so it stays in [0, n_salts)
+        self.pid_offset = pid_offset
 
     def _salt_of_pid(self, pids: np.ndarray) -> np.ndarray:
-        return (pids.astype(np.uint64) * np.uint64(self.n_salts) // np.uint64(self.P)).astype(
-            np.uint32
-        )
+        local = pids.astype(np.uint64) - np.uint64(self.pid_offset)
+        return (local * np.uint64(self.n_salts) // np.uint64(self.P)).astype(np.uint32)
 
     def __call__(self, batch: pa.Table, token_lists: list | None = None) -> pa.Table:
         doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)

@@ -1,0 +1,126 @@
+"""Incremental indexing (delta generations) + compaction invariants:
+an incremental index answers queries exactly like a fresh full build, and
+compaction changes the shard layout without changing a single result bit."""
+
+import glob
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from aarhus_ray import fixtures
+from aarhus_ray.pipelines.build import build_index
+from aarhus_ray.pipelines.maintain import add_documents, compact_index
+from aarhus_ray.pipelines.query import query_index
+
+
+@pytest.fixture(scope="module")
+def incr_setup(tmp_path_factory):
+    """400 pages in 4 shard files; full build vs base(2 files)+delta(2)."""
+    root = tmp_path_factory.mktemp("incr")
+    # two url-DISJOINT halves (add_documents' append-only assumption:
+    # within-half recrawl dups are fine, cross-half url collisions are not)
+    table_a = fixtures.gen_pages(200, seed=7)
+    table_b = fixtures.gen_pages(200, seed=8, url_offset=100_000)
+    pages = str(root / "pages")
+    base_dir, delta_dir = str(root / "pages_a"), str(root / "pages_b")
+    for d in (pages, base_dir, delta_dir):
+        os.makedirs(d)
+    pq.write_table(table_a, os.path.join(pages, "part-0000.parquet"))
+    pq.write_table(table_b, os.path.join(pages, "part-0001.parquet"))
+    pq.write_table(table_a, os.path.join(base_dir, "part-0000.parquet"))
+    pq.write_table(table_b, os.path.join(delta_dir, "part-0000.parquet"))
+
+    full_idx = str(root / "idx_full")
+    build_index(pages, full_idx, num_partitions=6, num_segments=2, n_salts=2)
+    incr_idx = str(root / "idx_incr")
+    build_index(base_dir, incr_idx, num_partitions=4, num_segments=2, n_salts=2)
+    incr_stats = add_documents(incr_idx, delta_dir, num_partitions=3)
+    return {"full": full_idx, "incr": incr_idx, "incr_stats": incr_stats}
+
+
+def _topk(index, q, k=10):
+    return (
+        query_index(index, q, k=k, resolve_urls=True)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+
+
+def test_incremental_stats_fold(incr_setup):
+    full = pq  # noqa: F841  (imported for parity)
+    from aarhus_ray.state import manifest as mf
+
+    f = mf.read_stats(incr_setup["full"])
+    i = incr_setup["incr_stats"]
+    assert i["n_docs"] == f["n_docs"]
+    assert i["total_len"] == f["total_len"]
+    assert i["avgdl"] == pytest.approx(f["avgdl"], rel=0, abs=0)
+    assert i["generations"] == 2
+
+
+def test_incremental_equals_full_build(incr_setup):
+    """Same corpus, two build histories → identical rankings up to exact
+    score ties. Internal doc_ids differ (different partition counts), so
+    the frozen tie-break (score DESC, doc_id ASC) may legitimately order
+    EQUAL-score docs differently; everything else — per-rank float64
+    scores, and urls wherever the score is untied — must match exactly."""
+    q = fixtures.gen_queries(25, seed=13)
+    got_f = _topk(incr_setup["full"], q)
+    got_i = _topk(incr_setup["incr"], q)
+    assert len(got_f) == len(got_i)
+    assert (got_f["query_id"].to_numpy() == got_i["query_id"].to_numpy()).all()
+    assert (got_f["rank"].to_numpy() == got_i["rank"].to_numpy()).all()
+    assert (got_f["score"].to_numpy() == got_i["score"].to_numpy()).all(), "scores not exact"
+    # url equality up to tie groups: within a (query, score) group the url
+    # MULTISET must match. The per-query BOUNDARY score group is exempt —
+    # a tie straddling rank k legitimately admits different members.
+    for df in (got_f, got_i):
+        df["min_s"] = df.groupby("query_id")["score"].transform("min")
+    inner_f = got_f[got_f["score"] > got_f["min_s"]]
+    inner_i = got_i[got_i["score"] > got_i["min_s"]]
+    key_f = inner_f.groupby(["query_id", "score"])["url"].apply(sorted)
+    key_i = inner_i.groupby(["query_id", "score"])["url"].apply(sorted)
+    assert key_f.equals(key_i)
+
+
+def test_delta_doc_space_disjoint(incr_setup):
+    """Every delta doc_id sits above every base doc_id (pid offset)."""
+    files = sorted(glob.glob(os.path.join(incr_setup["incr"], "docs", "pid=*.parquet")))
+    pids = [int(os.path.basename(f)[4:8]) for f in files]
+    assert pids == sorted(set(pids)), "pid collision between generations"
+    assert len(pids) > 4  # base P=4 + delta partitions
+
+
+def test_compaction_preserves_results_bitwise(incr_setup):
+    q = fixtures.gen_queries(25, seed=13)
+    before = (
+        query_index(incr_setup["incr"], q, k=10, resolve_urls=False)
+        .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    conj_before = (
+        query_index(incr_setup["incr"], q, k=10, mode="and", resolve_urls=False)
+        .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    n_shards_before = len(glob.glob(os.path.join(incr_setup["incr"], "segments", "seg=*")))
+    stats = compact_index(incr_setup["incr"])
+    n_shards_after = len(glob.glob(os.path.join(incr_setup["incr"], "segments", "seg=*")))
+    assert stats["generations"] == 1
+    assert n_shards_after < n_shards_before
+    after = (
+        query_index(incr_setup["incr"], q, k=10, resolve_urls=False)
+        .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    assert len(before) == len(after)
+    assert (before["doc_id"].to_numpy() == after["doc_id"].to_numpy()).all()
+    assert (before["score"].to_numpy() == after["score"].to_numpy()).all()
+    # conjunctive mode equally unaffected by the shard-layout rewrite
+    conj_after = (
+        query_index(incr_setup["incr"], q, k=10, mode="and", resolve_urls=False)
+        .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    assert len(conj_before) == len(conj_after)
+    assert (conj_before["doc_id"].to_numpy() == conj_after["doc_id"].to_numpy()).all()
+    assert (conj_before["score"].to_numpy() == conj_after["score"].to_numpy()).all()
