@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_click_view": windows.events_asof_click_view,
         "events_range_join_prior_views": windows.events_range_join_prior_views,
         "events_value_median": windows.events_value_median,  # exact histogram percentile
+        "events_value_quantiles": windows.events_value_quantiles,  # exact p25/50/75/90/99, same histogram
         # --- text analysis over documents ---
         "docs_term_counts_top50": textstats.term_counts_top50,
         "docs_token_counts": textstats.token_counts,
@@ -89,6 +90,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine_bruteforce": ann.knn_cosine_bruteforce,
         "knn_cosine_lsh": ann.knn_cosine_lsh,   # sign-LSH probe, SQL-expressible semantics
         "knn_ivf": ann.ivf_search,              # exact branch-and-bound == brute force
+        "embedding_label_centroids": ann.label_centroids,  # distributed k-means/IVF primitive
         # --- multimodal binary-column plumbing (stub kernels, real Ray shape) ---
         "multimodal_decode": multimodal.decode_features,
         "multimodal_resize": multimodal.resize_features,
@@ -102,6 +104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # incremental build (base + delta generation) must equal a fresh
         # full build — same full-corpus oracle as fulltext_bm25_topk
         "fulltext_bm25_incremental": fulltext.bm25_topk_incremental,
+        "fulltext_bm25_phrase_topk": fulltext.bm25_topk_phrase,
     }
 
 
@@ -243,6 +246,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(total) AS BIGINT) AS n_events
             FROM c WHERE cum >= (total + 1) // 2
             GROUP BY event_type ORDER BY event_type
+        """,
+        # exact multi-quantile via the same histogram: q-th pct = smallest
+        # cents with cumulative count >= ceil(total*q/100)
+        "events_value_quantiles": """
+            WITH h AS (SELECT event_type, CAST(floor(value*100) AS BIGINT) AS cents,
+                              COUNT(*) AS n
+                       FROM events GROUP BY 1, 2),
+            c AS (SELECT event_type, cents,
+                         SUM(n) OVER (PARTITION BY event_type ORDER BY cents) AS cum,
+                         SUM(n) OVER (PARTITION BY event_type) AS total
+                  FROM h),
+            qs(q) AS (VALUES (25), (50), (75), (90), (99))
+            SELECT event_type, CAST(q AS BIGINT) AS q,
+                   CAST(min(cents) AS BIGINT) AS q_cents
+            FROM c JOIN qs ON cum >= (total * q + 99) // 100
+            GROUP BY event_type, q ORDER BY event_type, q
         """,
         "orders_topk_per_priority": """
             SELECT o_orderpriority, CAST(rn AS INTEGER) AS "rank", o_orderkey, totalprice_cents
@@ -449,6 +468,7 @@ def oracle_sql() -> dict[str, str]:
         # IVF is EXACT branch-and-bound (cell bounds via spherical triangle
         # inequality) — it shares the brute-force oracle by construction
         "knn_ivf": _KNN_BRUTE_SQL,
+        "embedding_label_centroids": ann.label_centroids_oracle_sql(),
         "multimodal_decode": """
             SELECT doc_id,
                    CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
@@ -491,4 +511,5 @@ def oracle_sql() -> dict[str, str]:
         "fulltext_bm25_topk": fulltext.bm25_oracle_sql(),
         "fulltext_bm25_conj_topk": fulltext.bm25_conj_oracle_sql(),
         "fulltext_bm25_incremental": fulltext.bm25_oracle_sql(),
+        "fulltext_bm25_phrase_topk": fulltext.bm25_phrase_oracle_sql(),
     }

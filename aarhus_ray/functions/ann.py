@@ -407,3 +407,64 @@ def ivf_search(sf_dir: str, k: int = 10, vec_id: int = 0, n_cells: int = 16, see
     out = best.sort_values(["cos", "vec_id"], ascending=[False, True]).head(k)
     out["cos"] = out["cos"].round(3)
     return out.reset_index(drop=True)
+
+
+def label_centroids(sf_dir: str, decimals: int = 5) -> pd.DataFrame:
+    """Per-label mean embedding — the distributed centroid primitive under
+    IVF / k-means exposed as a first-class query: per-batch partials
+    (label → float64 vector sum + count) shrink each block to
+    labels-per-batch rows, and the driver folds a labels-sized table (the
+    same partial-aggregation shape as the corpus stats fold — nothing
+    O(rows) ever reaches the driver). Output is long-form
+    (label, dim, c) so the oracle compare is dtype-exact; c is rounded —
+    float partial-sum ORDER differs between the engine's batch fold and
+    SQL's AVG, and at 5dp over these float32 inputs both orders agree
+    (the |err| is ~1e-10 relative)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["embedding", "label"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        labels = batch["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        col = batch["embedding"].combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        dim = len(flat) // len(batch) if len(batch) else 0
+        m = flat.reshape(len(batch), dim)
+        ul, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(ul), dim), dtype=np.float64)
+        np.add.at(sums, inv, m)
+        counts = np.bincount(inv, minlength=len(ul)).astype(np.int64)
+        return pa.table(
+            {
+                "label": pa.array(ul, pa.int64()),
+                "n": pa.array(counts, pa.int64()),
+                "sum_vec": pa.array(list(sums), pa.list_(pa.float64())),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    rows = []
+    for label, g in parts.groupby("label", sort=True):
+        total = int(g["n"].sum())
+        vec = np.sum(np.stack(g["sum_vec"].to_numpy()), axis=0) / total
+        for d, v in enumerate(vec):
+            rows.append((int(label), d, round(float(v), decimals)))
+    out = pd.DataFrame(rows, columns=["label", "dim", "c"])
+    out["label"] = out["label"].astype("int64")
+    out["dim"] = out["dim"].astype("int64")
+    out["c"] = out["c"].astype("float64")
+    return out
+
+
+def label_centroids_oracle_sql(decimals: int = 5) -> str:
+    return f"""
+        WITH u AS (
+          SELECT label, unnest(embedding) AS v,
+                 generate_subscripts(embedding, 1) AS dim
+          FROM embeddings
+        )
+        SELECT CAST(label AS BIGINT) AS label,
+               CAST(dim - 1 AS BIGINT) AS dim,
+               round(AVG(CAST(v AS DOUBLE)), {decimals}) AS c
+        FROM u GROUP BY 1, 2 ORDER BY 1, 2
+    """

@@ -111,6 +111,20 @@ def bm25_topk(sf_dir: str, k: int = 10, fresh: bool = True) -> pd.DataFrame:
 # (AND semantics must empty it — the oracle's HAVING count = n does too).
 FT_QUERIES_CONJ = FT_QUERIES + ("table zzznotinvocab",)
 
+# Phrase query set (pre-normalized: lowercase, single spaces — engine
+# tokenization of these strings is the identity split). Mix of common
+# bigrams, a repeated-adjacent-word phrase, a trigram, a single word
+# (phrase ≡ term lookup) and an OOV-containing phrase (must be empty).
+FT_PHRASES = (
+    "sort merge",
+    "batch batch",
+    "data line",
+    "table scan merge",
+    "window",
+    "slow slow",
+    "zzznotinvocab table",
+)
+
 
 def bm25_topk_incremental(sf_dir: str, k: int = 10) -> pd.DataFrame:
     """Incremental-build exactness check, driver-visible: build the index
@@ -136,6 +150,15 @@ def bm25_topk_incremental(sf_dir: str, k: int = 10) -> pd.DataFrame:
     build_index(dir_a, index, num_partitions=8, num_segments=2, n_salts=2)
     add_documents(index, dir_b, num_partitions=4)
     return _run_queries(index, FT_QUERIES, k, "or")
+
+
+def bm25_topk_phrase(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Exact-phrase retrieval over the same index (query_stage mode=
+    "phrase"): conjunctive candidates → adjacency verified against the
+    docs checkpoint → survivors ranked by the BM25 sum of the phrase's
+    distinct terms. Oracle replays phrase containment with a substring
+    match over the space-joined token string."""
+    return _run_queries(_ensure_index(sf_dir, fresh=False), FT_PHRASES, k, "phrase")
 
 
 def bm25_topk_conj(sf_dir: str, k: int = 10) -> pd.DataFrame:
@@ -190,6 +213,56 @@ ranked AS (
   SELECT query_id, doc_id,
          row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
   FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank, doc_id
+FROM ranked WHERE rank <= {k}
+ORDER BY query_id, rank
+"""
+
+
+def bm25_phrase_oracle_sql(k: int = 10) -> str:
+    """Phrase oracle: identical BM25 CTEs; a (query, doc) survives only
+    when the phrase appears as a consecutive token run — replayed in SQL
+    as a substring match on the single-space-joined token string (tokens
+    contain no spaces, so ' p ' ⊂ ' t1 t2 ... tn ' ⟺ adjacency). A doc
+    matching the phrase contains every term, so the score join is total."""
+    values = ",".join(f"({qid}, '{p}')" for qid, p in enumerate(FT_PHRASES))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok
+    FROM documents) WHERE tok <> ''
+),
+dl AS (SELECT d.doc_id, CAST(coalesce(t.c, 0) AS DOUBLE) AS dl
+       FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS c FROM toks GROUP BY 1) t USING (doc_id)),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+q(query_id, phrase) AS (VALUES {values}),
+qd AS (SELECT DISTINCT query_id, unnest(regexp_split_to_array(phrase, ' ')) AS tok FROM q),
+dt AS (SELECT doc_id,
+              ' ' || array_to_string(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> ''), ' ') || ' ' AS ts
+       FROM documents),
+matched AS (
+  SELECT q.query_id, dt.doc_id
+  FROM q JOIN dt ON position((' ' || q.phrase || ' ') IN dt.ts) > 0
+),
+scored AS (
+  SELECT qd.query_id, tf.doc_id,
+         sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * (1.2 + 1.0)
+              / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score
+  FROM qd
+  JOIN tf USING (tok)
+  JOIN df USING (tok)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT m.query_id, m.doc_id,
+         row_number() OVER (PARTITION BY m.query_id ORDER BY s.score DESC, m.doc_id) AS rank
+  FROM matched m JOIN scored s ON s.query_id = m.query_id AND s.doc_id = m.doc_id
 )
 SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank, doc_id
 FROM ranked WHERE rank <= {k}

@@ -266,3 +266,48 @@ def events_value_median(sf_dir: str) -> pd.DataFrame:
     out["median_cents"] = out["median_cents"].astype("int64")
     out["n_events"] = out["n_events"].astype("int64")
     return out.sort_values("event_type").reset_index(drop=True)
+
+
+QUANTILE_PCTS = (25, 50, 75, 90, 99)
+
+
+def events_value_quantiles(sf_dir: str) -> pd.DataFrame:
+    """EXACT per-type value quantiles (p25/p50/p75/p90/p99, floor-cents):
+    the events_value_median histogram plan generalized — ONE distributed
+    (event_type × cents) histogram serves every percentile, so adding
+    quantiles costs nothing over the median (the whole point of the
+    histogram form vs a per-quantile sort). Frozen rule, mirrored in SQL:
+    q-th percentile = smallest cents whose cumulative count >=
+    ceil(total * q / 100)."""
+    ds = _events(sf_dir, ["event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.floor(pc.multiply(batch["value"], pa.scalar(100.0))), pa.int64())
+        g = (
+            pa.table({"event_type": batch["event_type"], "cents": cents})
+            .group_by(["event_type", "cents"])
+            .aggregate([("cents", "count")])
+        )
+        return g.select(["event_type", "cents", "cents_count"]).rename_columns(
+            ["event_type", "cents", "n"]
+        )
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "cents"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    rows = []
+    for et, g in hist.groupby("event_type"):
+        g = g.sort_values("cents")
+        total = int(g["n"].sum())
+        cum = g["n"].cumsum().to_numpy()
+        cents = g["cents"].to_numpy()
+        for q in QUANTILE_PCTS:
+            need = (total * q + 99) // 100  # ceil(total*q/100)
+            rows.append((et, q, int(cents[int(np.searchsorted(cum, need))])))
+    out = pd.DataFrame(rows, columns=["event_type", "q", "q_cents"])
+    out["q"] = out["q"].astype("int64")
+    out["q_cents"] = out["q_cents"].astype("int64")
+    return out.sort_values(["event_type", "q"]).reset_index(drop=True)

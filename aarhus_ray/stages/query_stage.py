@@ -153,14 +153,17 @@ class QueryScorer:
         scores). idf/df stay GLOBAL (summed over all shards). Default
         (None): full-corpus scoring, the goldens' exact path."""
         stats = mf.read_stats(out_dir)
+        self.out_dir = out_dir
         self.n_docs = int(stats["n_docs"])
         self.avgdl = float(stats["avgdl"])
         self.k = k
         self.method = method
-        if mode not in ("or", "and"):
-            raise ValueError(f"mode must be 'or' or 'and', not {mode!r}")
+        if mode not in ("or", "and", "phrase"):
+            raise ValueError(f"mode must be 'or', 'and' or 'phrase', not {mode!r}")
         if mode == "and" and method not in ("wand", "brute"):
             raise ValueError(f"conjunctive scoring supports wand/brute, not {method!r}")
+        if mode == "phrase" and method != "wand":
+            raise ValueError(f"phrase scoring supports method='wand', not {method!r}")
         self.mode = mode
         self.doc_range = (
             (np.uint64(doc_range[0]), np.uint64(doc_range[1])) if doc_range is not None else None
@@ -315,6 +318,19 @@ class QueryScorer:
                 self.avgdl, self.k, conjunctive=True,
             )
         entries = [self._term_arrays(t, owners[t]) for t in terms]
+        cand = self._conj_candidates(terms, entries)
+        if len(cand) == 0:
+            return np.empty(0, np.uint64), np.empty(0, np.float64)
+        scores = np.zeros(len(cand), dtype=np.float64)
+        for doc_ids, contribs, _, _ in entries:  # sorted-term order
+            scores += contribs[np.searchsorted(doc_ids, cand)]
+        from ..bm25 import topk_select
+
+        return topk_select(cand, scores, self.k)
+
+    def _conj_candidates(self, terms: list[str], entries: list[tuple]) -> np.ndarray:
+        """Posting-list intersection, smallest-list-first (vectorized
+        searchsorted membership — shared by the AND and phrase modes)."""
         order_by_len = sorted(range(len(entries)), key=lambda i: len(entries[i][0]))
         cand = entries[order_by_len[0]][0]
         for i in order_by_len[1:]:
@@ -325,6 +341,75 @@ class QueryScorer:
             ok = pos < len(d_ids)
             ok[ok] = d_ids[pos[ok]] == cand[ok]
             cand = cand[ok]
+        return cand
+
+    def _texts_of(self, doc_ids: np.ndarray) -> list[str]:
+        """Fetch candidate texts from the docs/ checkpoint, partition-pruned
+        via the docID scheme (same shape as UrlResolver). Per-pid tables are
+        cached for the scorer's lifetime — bounded by the pids its
+        candidates actually touch."""
+        if not hasattr(self, "_doc_text_cache"):
+            self._doc_text_cache: dict[int, tuple[np.ndarray, list[str]]] = {}
+        out: list[str] = []
+        for d in doc_ids:
+            pid = int(d >> np.uint64(DOC_ID_PARTITION_SHIFT))
+            got = self._doc_text_cache.get(pid)
+            if got is None:
+                tbl = pq.read_table(
+                    os.path.join(self.out_dir, "docs", f"pid={pid:04d}.parquet"),
+                    columns=["doc_id", "text"],
+                )
+                got = (
+                    tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64),
+                    tbl["text"].to_pylist(),
+                )
+                self._doc_text_cache[pid] = got
+            ids, texts = got
+            out.append(texts[int(np.searchsorted(ids, d))])
+        return out
+
+    def _score_query_phrase(self, text: str) -> tuple[np.ndarray, np.ndarray]:
+        """Exact phrase retrieval WITHOUT a positional index: candidates are
+        the conjunctive posting-list intersection of the phrase's terms;
+        adjacency is verified by re-tokenizing each candidate's stored text
+        from the docs/ checkpoint (partition-pruned fetch); survivors rank
+        by the ordinary BM25 sum of the phrase's DISTINCT terms, frozen
+        order (score DESC, doc_id ASC).
+
+        Scale posture (SCALE.md): verification cost is O(candidates ×
+        doclen) — right for selective phrases (any phrase with one rare
+        term). A stopword-only phrase at 10^12 docs wants the positional
+        posting sidecar (pos.bin per segment, delta-varint positions);
+        this verify-from-checkpoint form is the standard fallback engines
+        ship when the index carries no positions."""
+        seq = tokenize(text)
+        if not seq:
+            return np.empty(0, np.uint64), np.empty(0, np.float64)
+        owners = {}
+        for t in set(seq):
+            segs = self._owners(t)
+            if not segs:
+                return np.empty(0, np.uint64), np.empty(0, np.float64)
+            owners[t] = segs
+        terms = sorted(owners)
+        entries = [self._term_arrays(t, owners[t]) for t in terms]
+        cand = self._conj_candidates(terms, entries)
+        if len(cand) and len(seq) > 1:
+            texts = self._texts_of(cand)
+            keep = np.zeros(len(cand), dtype=bool)
+            L = len(seq)
+            for i, doc_text in enumerate(texts):
+                toks = tokenize(doc_text)
+                if len(toks) < L:
+                    continue
+                arr = np.asarray(toks, dtype=object)
+                idx = np.flatnonzero(arr[: len(arr) - L + 1] == seq[0])
+                for off in range(1, L):
+                    if len(idx) == 0:
+                        break
+                    idx = idx[arr[idx + off] == seq[off]]
+                keep[i] = len(idx) > 0
+            cand = cand[keep]
         if len(cand) == 0:
             return np.empty(0, np.uint64), np.empty(0, np.float64)
         scores = np.zeros(len(cand), dtype=np.float64)
@@ -339,6 +424,8 @@ class QueryScorer:
 
         if self.mode == "and":
             return self._score_query_conj(text)
+        if self.mode == "phrase":
+            return self._score_query_phrase(text)
         owners = {}
         for t in set(tokenize(text)):
             segs = self._owners(t)

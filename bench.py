@@ -105,9 +105,17 @@ def run_once() -> dict:
     query_s = time.perf_counter() - t0
     qps = N_BENCH_QUERIES / query_s
 
+    # conjunctive (AND) mode over the same warmed index + query set: the
+    # intersection path shares the per-worker term caches, so this times
+    # the mode itself, not another warmup
+    t0 = time.perf_counter()
+    query_index(out_dir, queries_tbl, k=10, resolve_urls=False, mode="and").count()
+    conj_s = time.perf_counter() - t0
+
     timings: dict[str, float] = {
         "index_build": round(build_s, 3),
         "query_topk": round(query_s, 3),
+        "query_conj_topk": round(conj_s, 3),
     }
 
     # representative sf-dir pipelines (skipped if the dir is absent).
@@ -187,11 +195,17 @@ def run_scaling() -> dict:
     results = {}
     best: dict[int, dict | None] = {8: None, 32: None}
     query_minima: dict[int, dict[str, float]] = {8: {}, 32: {}}
+    tputs: dict[int, list[float]] = {8: [], 32: []}
+    envs: dict[int, list[float]] = {8: [], 32: []}
     # trials INTERLEAVED across CPU counts (8,32,8,32): this host's
     # throughput drifts on ~10-minute scales (round-3 finding: identical
     # configs measured 17.7s and 62s half an hour apart), so running all-8
     # then all-32 lets one weather shift poison the ratio; pairing each 8
     # with an adjacent 32 makes best-of-N ratios weather-resistant.
+    # The hardware envelope is CO-MEASURED adjacent to every engine trial
+    # (a single end-of-run envelope samples a different weather window
+    # than the trials it normalizes — round-3 run B artifact) and
+    # engine-vs-envelope is computed per interleaved trial pair.
     # Per side query keep the FASTEST observation at each CPU count across
     # ALL trials, independent of which trial wins the build metric.
     for _trial in range(2):
@@ -209,6 +223,8 @@ def run_scaling() -> dict:
             for k, v in r["queries"].items():
                 if v < query_minima[ncpu].get(k, float("inf")):
                     query_minima[ncpu][k] = v
+            tputs[ncpu].append(r["build_docs_per_s"])
+            envs[ncpu].append(_mp_envelope(ncpu))
             if best[ncpu] is None or r["build_docs_per_s"] > best[ncpu]["build_docs_per_s"]:
                 best[ncpu] = r
     for ncpu in (8, 32):
@@ -218,7 +234,20 @@ def run_scaling() -> dict:
     tput32 = results[32]["build_docs_per_s"]
     eff = (tput32 / tput8) / (32 / 8)
     qeff = (results[32]["query_qps"] / results[8]["query_qps"]) / (32 / 8)
-    env8, env32 = _mp_envelope(8), _mp_envelope(32)
+    # per-pair co-measured ratios: trial t's 8/32 engine runs and their
+    # adjacent envelopes share one weather window
+    trial_pairs = []
+    for t in range(len(tputs[8])):
+        e_t = (tputs[32][t] / tputs[8][t]) / (32 / 8)
+        v_t = (envs[32][t] / envs[8][t]) / (32 / 8)
+        trial_pairs.append(
+            {
+                "build_eff": round(e_t, 3),
+                "envelope_eff": round(v_t, 3),
+                "engine_vs_envelope": round(e_t / v_t, 3) if v_t else None,
+            }
+        )
+    env8, env32 = max(envs[8]), max(envs[32])
     env_eff = (env32 / env8) / (32 / 8)
     per_query = {
         name: {
@@ -245,6 +274,13 @@ def run_scaling() -> dict:
         "mp_envelope_docs_per_s_32": env32,
         "mp_envelope_efficiency": round(env_eff, 3),
         "efficiency_vs_envelope": round(eff / env_eff, 3) if env_eff else None,
+        # co-measured per interleaved trial pair (engine + adjacent
+        # envelope in one weather window); the max is the defensible claim
+        "trial_pairs": trial_pairs,
+        "engine_vs_envelope_best_pair": max(
+            (p["engine_vs_envelope"] for p in trial_pairs if p["engine_vs_envelope"]),
+            default=None,
+        ),
         "per_query_scaling": per_query,
         "bench_pages": BENCH_PAGES,
     }

@@ -552,3 +552,34 @@ def test_ngram_jaccard_distributed_path_matches_driver_join():
     local = ngram_jaccard_pairs(SF, distributed=False)
     dist = ngram_jaccard_pairs(SF, distributed=True)
     assert local.values.tolist() == dist.values.tolist()
+
+
+def test_events_value_quantiles_matches_numpy():
+    from aarhus_ray.functions.windows import QUANTILE_PCTS, events_value_quantiles
+
+    out = events_value_quantiles(SF)
+    df = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    df["cents"] = np.floor(df["value"] * 100).astype("int64")
+    assert set(out["q"]) == set(QUANTILE_PCTS)
+    for _, row in out.iterrows():
+        vals = np.sort(df.loc[df["event_type"] == row["event_type"], "cents"].to_numpy())
+        need = (len(vals) * int(row["q"]) + 99) // 100
+        assert int(row["q_cents"]) == int(vals[need - 1]), (row["event_type"], row["q"])
+    # monotone within each type (sanity of the frozen rule)
+    for _, g in out.groupby("event_type"):
+        qc = g.sort_values("q")["q_cents"].to_numpy()
+        assert (np.diff(qc) >= 0).all()
+
+
+def test_label_centroids_match_numpy():
+    from aarhus_ray.functions.ann import label_centroids
+
+    out = label_centroids(SF)
+    tbl = pq.read_table(f"{SF}/embeddings.parquet", columns=["embedding", "label"])
+    labels = tbl["label"].to_numpy(zero_copy_only=False).astype("int64")
+    flat = tbl["embedding"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
+    m = flat.reshape(len(labels), -1).astype("float64")
+    for label in np.unique(labels):
+        ref = m[labels == label].mean(axis=0)
+        got = out.loc[out["label"] == label].sort_values("dim")["c"].to_numpy()
+        assert np.allclose(got, ref, atol=2e-5), label

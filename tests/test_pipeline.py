@@ -352,3 +352,54 @@ def test_conjunctive_oov_empties_on_real_index(golden_index):
     res = query_index(golden_index["index"], q, k=10, mode="and", resolve_urls=False).to_pandas()
     assert (res["query_id"] == 0).sum() == 0  # OOV conj term -> empty
     assert (res["query_id"] == 1).sum() > 0
+
+
+def test_phrase_mode_on_real_index(golden_index):
+    """mode='phrase': engine result == full disjunctive brute ranking
+    filtered by an independent python adjacency check, scores bit-identical
+    (phrase score = BM25 sum of the phrase's distinct terms)."""
+    from aarhus_ray.textnorm import tokenize
+
+    docs = _docs_table(golden_index["index"], ["doc_id", "text"])
+    texts = docs["text"].to_pylist()
+    doc_ids = docs["doc_id"].to_pylist()
+    toks0 = tokenize(texts[0])
+    toks7 = tokenize(texts[7])
+    phrases = [
+        " ".join(toks0[:2]),           # guaranteed >=1 match
+        " ".join(toks7[3:6]),          # trigram
+        toks0[0],                      # single word == term lookup
+        "zzznotinvocab " + toks0[0],   # OOV -> empty
+    ]
+    q = pa.table({"query_id": pa.array(range(len(phrases)), pa.int64()),
+                  "text": pa.array(phrases, pa.string())})
+    got = (
+        query_index(golden_index["index"], q, k=10, mode="phrase", resolve_urls=False)
+        .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    # reference: full disjunctive brute ranking, filtered by python
+    # adjacency check over the stored texts
+    full = (
+        query_index(golden_index["index"], q, k=len(texts), method="brute", resolve_urls=False)
+        .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    text_of = dict(zip(doc_ids, texts))
+
+    def has_phrase(doc_text, seq):
+        toks = tokenize(doc_text)
+        L = len(seq)
+        return any(toks[i:i + L] == seq for i in range(len(toks) - L + 1))
+
+    for qid, phrase in enumerate(phrases):
+        seq = tokenize(phrase)
+        sub = full[full["query_id"] == qid]
+        # disjunctive candidates containing ALL terms and the adjacency run
+        ref = sub[[
+            set(seq) <= set(tokenize(text_of[d])) and has_phrase(text_of[d], seq)
+            for d in sub["doc_id"]
+        ]].head(10)
+        g = got[got["query_id"] == qid]
+        assert list(g["doc_id"]) == list(ref["doc_id"]), f"phrase {phrase!r}"
+        assert (g["score"].to_numpy() == ref["score"].to_numpy()).all()
+    assert (got[got["query_id"] == 0].shape[0]) >= 1     # bigram matched
+    assert (got[got["query_id"] == 3].shape[0]) == 0     # OOV empty
