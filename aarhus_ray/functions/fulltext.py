@@ -161,6 +161,147 @@ def bm25_topk_phrase(sf_dir: str, k: int = 10) -> pd.DataFrame:
     return _run_queries(_ensure_index(sf_dir, fresh=False), FT_PHRASES, k, "phrase")
 
 
+SNIPPET_WINDOW = 7
+
+
+def bm25_snippets(sf_dir: str, k: int = 5) -> pd.DataFrame:
+    """Search-result snippets (KWIC): top-k BM25 per FT_QUERIES, each hit
+    annotated with a text window around the first query-term occurrence.
+    Frozen rule (replayed in SQL): first = smallest token index in the doc
+    holding ANY of the query's terms; snippet = tokens[max(0, first-2) :
+    max(0, first-2) + 7] joined by single spaces. Text fetch touches only
+    the ≤ k×Q result docs (at cluster scale: the same partition-pruned
+    read UrlResolver does)."""
+    from ..textnorm import tokenize
+
+    res = _run_queries(_ensure_index(sf_dir, fresh=False), FT_QUERIES, k, "or")
+    import pyarrow.compute as pc
+
+    want = pa.array(sorted(set(res["doc_id"].tolist())), pa.int64())
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    t = t.filter(pc.is_in(t["doc_id"], value_set=want))
+    text_of = dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+    snippets = []
+    for row in res.itertuples():
+        qterms = set(tokenize(FT_QUERIES[row.query_id]))
+        toks = tokenize(text_of[row.doc_id])
+        first = next(i for i, tk in enumerate(toks) if tk in qterms)
+        s = max(0, first - 2)
+        snippets.append(" ".join(toks[s : s + SNIPPET_WINDOW]))
+    out = res.copy()
+    out["snippet"] = pd.Series(snippets, dtype="object")
+    return out
+
+
+def bm25_snippets_oracle_sql(k: int = 5) -> str:
+    """Snippet oracle: the bm25 ranking CTEs + 1-based list_slice replay of
+    the frozen window rule (engine 0-based s = max(0, first-2) ↔ SQL
+    start = greatest(1, fp-2) for 1-based fp, end = start+6 inclusive)."""
+    values = ",".join(
+        f"({qid}, '{term}')"
+        for qid, q in enumerate(FT_QUERIES)
+        for term in q.split()
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok
+    FROM documents) WHERE tok <> ''
+),
+dl AS (SELECT d.doc_id, CAST(coalesce(t.c, 0) AS DOUBLE) AS dl
+       FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS c FROM toks GROUP BY 1) t USING (doc_id)),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+q(query_id, tok) AS (VALUES {values}),
+qd AS (SELECT DISTINCT query_id, tok FROM q),
+scored AS (
+  SELECT qd.query_id, tf.doc_id,
+         sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * (1.2 + 1.0)
+              / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score
+  FROM qd JOIN tf USING (tok) JOIN df USING (tok)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+  FROM scored
+),
+arr AS (SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS a
+        FROM documents),
+posi AS (SELECT doc_id, unnest(a) AS tok, generate_subscripts(a, 1) AS pos FROM arr),
+firstp AS (SELECT qd.query_id, p.doc_id, min(p.pos) AS fp
+           FROM qd JOIN posi p USING (tok) GROUP BY 1, 2)
+SELECT CAST(r.query_id AS BIGINT) AS query_id, CAST(r.rank AS INTEGER) AS rank, r.doc_id,
+       array_to_string(
+         list_slice(a.a, greatest(1, f.fp - 2), greatest(1, f.fp - 2) + {SNIPPET_WINDOW - 1}),
+         ' ') AS snippet
+FROM ranked r
+JOIN firstp f ON f.query_id = r.query_id AND f.doc_id = r.doc_id
+JOIN arr a ON a.doc_id = r.doc_id
+WHERE r.rank <= {k}
+ORDER BY r.query_id, r.rank
+"""
+
+
+def index_stats(sf_dir: str) -> pd.DataFrame:
+    """Index introspection cross-checked against corpus ground truth: every
+    number here is read from the INDEX ARTIFACTS (stats.json fold + the
+    term-shard dictionaries), while the oracle recomputes the same numbers
+    from the raw documents table in SQL — a completeness audit of the
+    whole build (lost postings, dropped docs, split-term double counts all
+    show up as a mismatch).
+
+    - n_docs / n_tokens: the manifest stat fold (Σ per-partition rows /
+      doclen sums)
+    - n_terms: distinct terms across shard dicts (salted shards split one
+      term over several dicts — the union dedups them)
+    - n_postings: Σ df over all shard dicts == count of distinct
+      (doc, term) pairs (local dfs are disjoint doc ranges per term)."""
+    from ..pipelines.query import list_segments
+    from ..stages.query_stage import Segment
+    from ..state import manifest as _mf
+
+    index = _ensure_index(sf_dir, fresh=False)
+    stats = _mf.read_stats(index)
+    vocab: set[str] = set()
+    n_postings = 0
+    for sid in list_segments(index):
+        seg = Segment(index, sid)
+        vocab.update(seg.dict)
+        n_postings += sum(e[0] for e in seg.dict.values())
+    out = pd.DataFrame(
+        [
+            {
+                "n_docs": int(stats["n_docs"]),
+                "n_terms": len(vocab),
+                "n_postings": int(n_postings),
+                "n_tokens": int(stats["total_len"]),
+            }
+        ]
+    )
+    return out.astype("int64")
+
+
+def index_stats_oracle_sql() -> str:
+    return """
+        WITH toks AS (
+          SELECT doc_id, tok FROM (
+            SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok
+            FROM documents) WHERE tok <> ''
+        )
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+               CAST(count(DISTINCT tok) AS BIGINT) AS n_terms,
+               (SELECT CAST(count(*) AS BIGINT)
+                FROM (SELECT DISTINCT doc_id, tok FROM toks)) AS n_postings,
+               CAST(count(*) AS BIGINT) AS n_tokens
+        FROM toks
+    """
+
+
 def bm25_topk_conj(sf_dir: str, k: int = 10) -> pd.DataFrame:
     """Conjunctive-AND BM25 over the same index: a doc ranks only if it
     contains EVERY query term; scores are the unchanged BM25 sums, so this
