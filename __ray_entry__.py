@@ -107,6 +107,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fulltext_bm25_phrase_topk": fulltext.bm25_topk_phrase,
         "fulltext_index_stats": fulltext.index_stats,  # build-completeness audit
         "fulltext_bm25_snippets": fulltext.bm25_snippets,  # KWIC result windows
+        "fulltext_bm25_filtered": fulltext.bm25_topk_filtered,  # lang-facet filter
+        "fulltext_more_like_this": fulltext.more_like_this,  # doc-similarity search
     }
 
 
@@ -516,4 +518,6 @@ def oracle_sql() -> dict[str, str]:
         "fulltext_bm25_phrase_topk": fulltext.bm25_phrase_oracle_sql(),
         "fulltext_index_stats": fulltext.index_stats_oracle_sql(),
         "fulltext_bm25_snippets": fulltext.bm25_snippets_oracle_sql(),
+        "fulltext_bm25_filtered": fulltext.bm25_filtered_oracle_sql(),
+        "fulltext_more_like_this": fulltext.more_like_this_oracle_sql(),
     }

@@ -61,7 +61,9 @@ def docs_as_pages(sf_dir: str, out_path: str) -> str:
 
 
 def _work_dir(sf_dir: str) -> str:
-    key = hashlib.blake2b(sf_dir.encode(), digest_size=6).hexdigest()
+    # ":v2" — docs checkpoint gained the lang facet column; old cached
+    # indexes under /tmp must not be reused by facet-filtered queries
+    key = hashlib.blake2b(f"{sf_dir}:v2".encode(), digest_size=6).hexdigest()
     return f"/tmp/aarhus_fulltext_{key}"
 
 
@@ -86,14 +88,14 @@ def _ensure_index(sf_dir: str, fresh: bool = False) -> str:
     return index
 
 
-def _run_queries(index: str, query_texts, k: int, mode: str) -> pd.DataFrame:
+def _run_queries(index: str, query_texts, k: int, mode: str, **kw) -> pd.DataFrame:
     queries = pa.table(
         {
             "query_id": pa.array(range(len(query_texts)), pa.int64()),
             "text": pa.array(list(query_texts), pa.string()),
         }
     )
-    res = query_index(index, queries, k=k, resolve_urls=True, mode=mode).to_pandas()
+    res = query_index(index, queries, k=k, resolve_urls=True, mode=mode, **kw).to_pandas()
     res["doc_id"] = res["url"].map(url_doc_id).astype("int64")
     out = res[["query_id", "rank", "doc_id"]].sort_values(["query_id", "rank"])
     out["rank"] = out["rank"].astype("int32")
@@ -300,6 +302,171 @@ def index_stats_oracle_sql() -> str:
                CAST(count(*) AS BIGINT) AS n_tokens
         FROM toks
     """
+
+
+FT_FILTER_LANGS = ("en", "de")
+
+
+def bm25_topk_filtered(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Facet-filtered retrieval: top-k BM25 per FT_QUERIES restricted to
+    documents whose ``lang`` ∈ FT_FILTER_LANGS. The filter set comes from
+    the index's docs/ facet sidecar (``facet_doc_ids`` — pruned parallel
+    read, one broadcast), results are masked at postings-gather time inside
+    the scorer (WAND pruning stays exact), and BM25 statistics remain
+    GLOBAL — a doc's score is identical with and without the filter, the
+    standard engine semantics the oracle replays with an eligibility join."""
+    from ..pipelines.query import facet_doc_ids
+
+    index = _ensure_index(sf_dir, fresh=False)
+    allowed = facet_doc_ids(index, "lang", FT_FILTER_LANGS)
+    return _run_queries(index, FT_QUERIES, k, "or", filter_ids=allowed)
+
+
+def bm25_filtered_oracle_sql(k: int = 10) -> str:
+    """Filtered oracle: the unchanged BM25 CTEs (GLOBAL stats over the whole
+    corpus) with eligibility restricted by a documents.lang join before
+    ranking — scores computed over everything, ranks over the facet set."""
+    values = ",".join(
+        f"({qid}, '{term}')"
+        for qid, q in enumerate(FT_QUERIES)
+        for term in q.split()
+    )
+    langs = ",".join(f"'{l}'" for l in FT_FILTER_LANGS)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok
+    FROM documents) WHERE tok <> ''
+),
+dl AS (SELECT d.doc_id, CAST(coalesce(t.c, 0) AS DOUBLE) AS dl
+       FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS c FROM toks GROUP BY 1) t USING (doc_id)),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+q(query_id, tok) AS (VALUES {values}),
+qd AS (SELECT DISTINCT query_id, tok FROM q),
+scored AS (
+  SELECT qd.query_id, tf.doc_id,
+         sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * (1.2 + 1.0)
+              / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score
+  FROM qd
+  JOIN tf USING (tok)
+  JOIN df USING (tok)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT s.query_id, s.doc_id,
+         row_number() OVER (PARTITION BY s.query_id ORDER BY s.score DESC, s.doc_id) AS rank
+  FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+  WHERE d.lang IN ({langs})
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank, doc_id
+FROM ranked WHERE rank <= {k}
+ORDER BY query_id, rank
+"""
+
+
+MLT_SOURCES = (0, 7, 42)  # frozen source documents (documents.doc_id)
+MLT_TERMS = 5
+
+
+def more_like_this(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Document-similarity search ("more like this"): for each frozen
+    source doc, select its MLT_TERMS most characteristic terms by the
+    INTEGER-ONLY frozen rule (tf DESC, df ASC, term ASC) — highest
+    in-doc frequency, rarest in the corpus; integer sort keys make the
+    selection exactly replayable in SQL with no float-comparison hazard —
+    then rank the corpus by ordinary BM25 over those terms, excluding the
+    source doc itself (dropped BEFORE rank truncation: k+1 are fetched).
+    tf comes from the source text, df from the index's shard dictionaries
+    (global df sum — the same numbers scoring uses)."""
+    import pyarrow.compute as pc
+
+    from ..pipelines.query import list_segments
+    from ..stages.query_stage import Segment
+    from ..textnorm import tokenize
+
+    index = _ensure_index(sf_dir, fresh=False)
+    segs = [Segment(index, sid) for sid in list_segments(index)]
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    t = t.filter(pc.is_in(t["doc_id"], value_set=pa.array(list(MLT_SOURCES), pa.int64())))
+    text_of = dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+
+    query_texts = []
+    for src in MLT_SOURCES:
+        tf: dict[str, int] = {}
+        for tok in tokenize(text_of[src]):
+            tf[tok] = tf.get(tok, 0) + 1
+        gdf = {
+            term: sum(s.dict[term][0] for s in segs if term in s.dict)
+            for term in tf
+        }
+        picked = sorted(tf, key=lambda term: (-tf[term], gdf[term], term))[:MLT_TERMS]
+        query_texts.append(" ".join(picked))  # tokenize() of this is identity
+
+    res = _run_queries(_ensure_index(sf_dir, fresh=False), query_texts, k + 1, "or")
+    out_rows = []
+    for qid, src in enumerate(MLT_SOURCES):
+        sub = res[(res["query_id"] == qid) & (res["doc_id"] != src)].head(k)
+        for new_rank, doc in enumerate(sub["doc_id"], start=1):
+            out_rows.append((src, new_rank, doc))
+    out = pd.DataFrame(out_rows, columns=["src_doc_id", "rank", "doc_id"])
+    out["src_doc_id"] = out["src_doc_id"].astype("int64")
+    out["rank"] = out["rank"].astype("int32")
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out
+
+
+def more_like_this_oracle_sql(k: int = 10) -> str:
+    """MLT oracle: term selection replayed with the integer-only rule
+    (tf DESC, df ASC, tok ASC ≤ MLT_TERMS), then the unchanged BM25 CTEs
+    over the selected (src, term) pairs, source doc excluded pre-rank."""
+    values = ",".join(f"({s})" for s in MLT_SOURCES)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok
+    FROM documents) WHERE tok <> ''
+),
+dl AS (SELECT d.doc_id, CAST(coalesce(t.c, 0) AS DOUBLE) AS dl
+       FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS c FROM toks GROUP BY 1) t USING (doc_id)),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+src(s) AS (VALUES {values}),
+qterms AS (
+  SELECT src.s, tf.tok,
+         row_number() OVER (PARTITION BY src.s
+                            ORDER BY tf.tf DESC, df.df ASC, tf.tok ASC) AS rn
+  FROM src JOIN tf ON tf.doc_id = src.s
+  JOIN df ON df.tok = tf.tok
+),
+qd AS (SELECT s, tok FROM qterms WHERE rn <= {MLT_TERMS}),
+scored AS (
+  SELECT qd.s, tf.doc_id,
+         sum( ln(1 + (st.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * (1.2 + 1.0)
+              / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl)) ) AS score
+  FROM qd
+  JOIN tf USING (tok)
+  JOIN df USING (tok)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats st
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT s, doc_id,
+         row_number() OVER (PARTITION BY s ORDER BY score DESC, doc_id) AS rank
+  FROM scored WHERE doc_id <> s
+)
+SELECT CAST(s AS BIGINT) AS src_doc_id, CAST(rank AS INTEGER) AS rank, doc_id
+FROM ranked WHERE rank <= {k}
+ORDER BY src_doc_id, rank
+"""
 
 
 def bm25_topk_conj(sf_dir: str, k: int = 10) -> pd.DataFrame:

@@ -147,6 +147,38 @@ def warm_index(out_dir: str) -> None:
     _shared_scorer_state(out_dir, list_segments(out_dir))
 
 
+@ray.remote
+def _facet_ids_of(path: str, column: str, values: tuple) -> np.ndarray:
+    """One docs/pid file's doc_ids matching the facet predicate — pruned
+    read (doc_id + the facet column only; text never leaves storage)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as _pq
+
+    t = _pq.read_table(path, columns=["doc_id", column])
+    m = pc.is_in(t[column], value_set=pa.array(list(values), t.schema.field(column).type))
+    return t.filter(m)["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+
+
+def facet_doc_ids(out_dir: str, column: str, values) -> np.ndarray:
+    """Sorted doc_id array for a metadata facet predicate (column IN
+    values) over the docs/ sidecar — the query-time filter input for
+    ``query_index(filter_ids=...)``. One pruned Ray task per pid file;
+    per-pid arrays are already ascending (doc_id = (pid<<40)|row) and pids
+    are visited in order, so the concat is sorted without a sort.
+
+    Cluster posture: the result is broadcast via one ``ray.put`` exactly
+    like the doclen table (8 bytes/matching doc, replicated per node, not
+    per worker). At 10^12 docs prefer ``query_index_doc_sharded`` where
+    each range scorer would load only ITS pids' facet rows."""
+    paths = [
+        os.path.join(out_dir, "docs", f"pid={p:04d}.parquet") for p in doc_pids(out_dir)
+    ]
+    parts = ray.get([_facet_ids_of.remote(p, column, tuple(values)) for p in paths])
+    if not parts:
+        return np.empty(0, np.uint64)
+    return np.concatenate(parts)
+
+
 def query_index(
     out_dir: str,
     queries,
@@ -156,6 +188,7 @@ def query_index(
     batch_size: int = 64,
     resolve_urls: bool = True,
     mode: str = "or",
+    filter_ids: np.ndarray | None = None,
 ) -> ray.data.Dataset:
     """queries: parquet path | ray Dataset | pyarrow Table with
     (query_id:int64, text:string). Returns a Dataset
@@ -163,7 +196,11 @@ def query_index(
 
     ``mode="and"`` switches to conjunctive retrieval: only documents
     containing EVERY query term are eligible (an out-of-vocabulary term
-    empties that query's result); scores are unchanged BM25 sums."""
+    empties that query's result); scores are unchanged BM25 sums.
+
+    ``filter_ids`` (sorted uint64 doc_ids, e.g. from ``facet_doc_ids``)
+    restricts results to that doc set; BM25 statistics stay global (see
+    QueryScorer). Composes with every mode."""
     segs = list_segments(out_dir)
     if not segs:
         raise ValueError(f"no segments under {out_dir}")
@@ -189,11 +226,14 @@ def query_index(
         # count() here would execute the upstream pipeline twice)
     shared_ref = _shared_scorer_state(out_dir, segs)
     version = index_version(out_dir)
+    filter_ref = ray.put(np.ascontiguousarray(filter_ids, dtype=np.uint64)) if filter_ids is not None else None
     # stateless tasks + per-worker-process scorer cache: Ray's default
     # workers are long-lived, so repeated query runs reuse warm scorers
     # instead of paying a fresh actor-pool spawn (~2s/actor) per run
     merged = qds.map_batches(
-        make_scorer_task_fn(out_dir, segs, k, method, shared_ref, version, mode=mode),
+        make_scorer_task_fn(
+            out_dir, segs, k, method, shared_ref, version, mode=mode, filter_ref=filter_ref
+        ),
         batch_format="pyarrow",
         batch_size=batch_size,
     )

@@ -31,6 +31,8 @@ DOCS_SCHEMA = pa.schema(
         ("url", pa.string()),
         ("doclen", pa.uint32()),
         ("text", pa.string()),
+        ("lang", pa.string()),  # facet sidecar (query-time filters); "" when
+        # the source carried no lang column
     ]
 )
 
@@ -79,6 +81,11 @@ class DedupAssignWriter:
         )
         kept_texts = [texts[i] for i in winners]
         text_arr = pa.array(kept_texts, pa.string())
+        if "lang" in group.column_names:
+            langs = group["lang"].to_pylist()
+            lang_arr = pa.array([langs[i] for i in winners], pa.string())
+        else:
+            lang_arr = pa.array([""] * n, pa.string())
         # Arrow-native tokenization: doclens from per-row counts, flat
         # (term, doc) pairs passed straight to the encoder — no per-token
         # Python objects anywhere in the build hot path
@@ -90,6 +97,7 @@ class DedupAssignWriter:
                 "url": pa.array(urls_s[is_last], pa.string()),
                 "doclen": pa.array(doclens, pa.uint32()),
                 "text": text_arr,
+                "lang": lang_arr,
             }
         )
         path = docs_path(self.out_dir, pid)

@@ -143,6 +143,7 @@ class QueryScorer:
         doc_range: tuple[int, int] | None = None,
         pids: list[int] | None = None,
         mode: str = "or",
+        filter_ids: np.ndarray | None = None,
     ):
         """``doc_range=(lo, hi)`` + ``pids`` activate the DOC-SHARDED mode
         (cluster scorer-state path, SCALE.md): this scorer holds only the
@@ -151,7 +152,17 @@ class QueryScorer:
         ranges by the caller (exact: every doc is scored wholly inside
         exactly one range, unlike per-term-segment top-k which splits doc
         scores). idf/df stay GLOBAL (summed over all shards). Default
-        (None): full-corpus scoring, the goldens' exact path."""
+        (None): full-corpus scoring, the goldens' exact path.
+
+        ``filter_ids`` (sorted uint64 array) restricts RESULTS to the given
+        doc set — the facet-filter path (e.g. lang='en'). Frozen semantics:
+        the filter changes only eligibility, never the statistics — idf/df/
+        avgdl/N stay GLOBAL, as in mainstream engines, so a doc's score is
+        identical with and without a filter. The mask is applied to each
+        term's postings at gather time, BEFORE any top-k selection, so
+        WAND's unfiltered block maxima remain admissible upper bounds and
+        pruning stays exact (a filtered block's true max can only be
+        lower)."""
         stats = mf.read_stats(out_dir)
         self.out_dir = out_dir
         self.n_docs = int(stats["n_docs"])
@@ -170,6 +181,12 @@ class QueryScorer:
         )
         if doc_range is not None and method not in ("wand", "brute"):
             raise ValueError(f"doc-sharded scoring supports wand/brute, not {method!r}")
+        if filter_ids is not None and method == "wand_daat":
+            raise ValueError("facet filters support wand/brute (the cursor "
+                             "DAAT path reads segments directly)")
+        self.filter_ids = (
+            np.ascontiguousarray(filter_ids, dtype=np.uint64) if filter_ids is not None else None
+        )
         if seg_ids is None:
             from ..pipelines.query import list_segments
 
@@ -216,11 +233,26 @@ class QueryScorer:
         b1 = min(b1 + 1, len(lasts))
         return doc_ids[i0:i1], contribs_or_tfs[i0:i1], lasts[b0:b1], bmax[b0:b1]
 
+    def _member_mask(self, doc_ids: np.ndarray) -> np.ndarray:
+        """Boolean membership of doc_ids (sorted) in the sorted filter set —
+        vectorized searchsorted, O(n log m)."""
+        pos = np.searchsorted(self.filter_ids, doc_ids)
+        ok = pos < len(self.filter_ids)
+        ok[ok] = self.filter_ids[pos[ok]] == doc_ids[ok]
+        return ok
+
+    def _apply_filter(self, got: tuple) -> tuple:
+        """Mask a term's postings to the filter set; skip blocks stay as-is
+        (an unfiltered block max is a valid upper bound over the subset)."""
+        doc_ids, vals, lasts, bmax = got
+        m = self._member_mask(doc_ids)
+        return doc_ids[m], vals[m], lasts, bmax
+
     def _term_arrays(self, term: str, owners: list["Segment"]):
         from ..bm25 import idf as idf_fn
         from ..bm25 import score_tf
 
-        if self.doc_range is None:
+        if self.doc_range is None and self.filter_ids is None:
             got = self._shared_impacts.get(term)
             if got is not None:
                 return got
@@ -231,7 +263,9 @@ class QueryScorer:
                 # doc-sharded mode over shared full-corpus impacts: slice the
                 # zero-copy views to this scorer's range (cluster analogue:
                 # the node's impact replica holds only its range)
-                got = self._slice_to_range(*shared)
+                got = self._slice_to_range(*shared) if self.doc_range is not None else shared
+                if self.filter_ids is not None:
+                    got = self._apply_filter(got)
             else:
                 doc_ids, tfs = self._gather_postings(term, owners)
                 idf_val = idf_fn(self._global_df(term, owners), self.n_docs)
@@ -287,6 +321,9 @@ class QueryScorer:
             i0 = int(np.searchsorted(doc_ids, lo, side="left"))
             i1 = int(np.searchsorted(doc_ids, hi, side="left"))
             doc_ids, tfs = doc_ids[i0:i1], tfs[i0:i1]
+        if self.filter_ids is not None:
+            m = self._member_mask(doc_ids)
+            doc_ids, tfs = doc_ids[m], tfs[m]
         return doc_ids, tfs
 
     def _score_query_conj(self, text: str) -> tuple[np.ndarray, np.ndarray]:
@@ -534,29 +571,38 @@ class ScorerTaskFn:
         doc_range: tuple[int, int] | None = None,
         pids: list[int] | None = None,
         mode: str = "or",
+        filter_ref=None,
     ):
         self.args = (
             out_dir, tuple(seg_ids), k, method, shared_ref, version,
             doc_range, tuple(pids) if pids is not None else None, mode,
+            filter_ref,
         )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        out_dir, seg_ids, k, method, shared_ref, version, doc_range, pids, mode = self.args
-        # seg_ids, shared_ref-presence, doc_range and mode are part of the
-        # identity: a scorer built over a subset of segments / a doc range
-        # (or without shared state, or with AND semantics) must not be
-        # served for a different configuration of the same index
-        key = (out_dir, version, k, method, seg_ids, shared_ref is not None, doc_range, mode)
+        (out_dir, seg_ids, k, method, shared_ref, version, doc_range, pids,
+         mode, filter_ref) = self.args
+        # seg_ids, shared_ref-presence, doc_range, mode and the filter ref
+        # are part of the identity: a scorer built over a subset of segments
+        # / a doc range (or without shared state, with AND semantics, or
+        # with a facet filter) must not be served for a different
+        # configuration of the same index
+        key = (out_dir, version, k, method, seg_ids, shared_ref is not None,
+               doc_range, mode, filter_ref)
         scorer = _WORKER_SCORER_CACHE.get(key)
         if scorer is None:
             # evict only STALE entries of the same index (older version);
             # scorers for other live indexes keep their warm state
             for old in [k_ for k_ in _WORKER_SCORER_CACHE if k_[0] == out_dir and k_[1] < version]:
                 del _WORKER_SCORER_CACHE[old]
+            import ray as _ray
+
             scorer = QueryScorer(
                 out_dir, list(seg_ids), k, method, shared_ref,
                 doc_range=doc_range, pids=list(pids) if pids is not None else None,
                 mode=mode,
+                # zero-copy read-only view over the one object-store copy
+                filter_ids=_ray.get(filter_ref) if filter_ref is not None else None,
             )
             _WORKER_SCORER_CACHE[key] = scorer
         return scorer(batch)
@@ -572,8 +618,11 @@ def make_scorer_task_fn(
     doc_range: tuple[int, int] | None = None,
     pids: list[int] | None = None,
     mode: str = "or",
+    filter_ref=None,
 ):
-    return ScorerTaskFn(out_dir, seg_ids, k, method, shared_ref, version, doc_range, pids, mode)
+    return ScorerTaskFn(
+        out_dir, seg_ids, k, method, shared_ref, version, doc_range, pids, mode, filter_ref
+    )
 
 
 class UrlResolver:

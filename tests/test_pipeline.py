@@ -403,3 +403,64 @@ def test_phrase_mode_on_real_index(golden_index):
         assert (g["score"].to_numpy() == ref["score"].to_numpy()).all()
     assert (got[got["query_id"] == 0].shape[0]) >= 1     # bigram matched
     assert (got[got["query_id"] == 3].shape[0]) == 0     # OOV empty
+
+
+def test_facet_filtered_query_on_real_index(golden_index):
+    """filter_ids through the full pipeline: (1) wand == brute under the
+    filter (bit-identical), (2) filtered top-k == full brute ranking
+    restricted to the facet set (global stats: scores unchanged by the
+    filter), (3) every hit's lang is in the facet, (4) empty filter ->
+    empty, full filter == unfiltered."""
+    import numpy as np
+
+    from aarhus_ray.pipelines.query import facet_doc_ids
+
+    idx = golden_index["index"]
+    allowed = facet_doc_ids(idx, "lang", ("en",))
+    assert len(allowed) > 0 and np.all(np.diff(allowed.astype(np.int64)) > 0)
+    q = fixtures.gen_queries(20, seed=13)
+    filt = (
+        query_index(idx, q, k=10, filter_ids=allowed, resolve_urls=False)
+        .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    filt_brute = (
+        query_index(idx, q, k=10, method="brute", filter_ids=allowed, resolve_urls=False)
+        .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    assert (filt["doc_id"].to_numpy() == filt_brute["doc_id"].to_numpy()).all()
+    assert (filt["score"].to_numpy() == filt_brute["score"].to_numpy()).all()
+
+    # reference: deep unfiltered brute ranking restricted to the facet set
+    docs = _docs_table(idx, ["doc_id", "lang"])
+    n_docs = docs.num_rows
+    full = (
+        query_index(idx, q, k=n_docs, method="brute", resolve_urls=False)
+        .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    allowed_set = set(allowed.tolist())
+    for qid in full["query_id"].unique():
+        sub = full[full["query_id"] == qid]
+        ref = sub[[d in allowed_set for d in sub["doc_id"]]].head(10)
+        g = filt[filt["query_id"] == qid]
+        assert list(g["doc_id"]) == list(ref["doc_id"])
+        assert (g["score"].to_numpy() == ref["score"].to_numpy()).all()
+
+    lang_of = dict(zip(docs["doc_id"].to_pylist(), docs["lang"].to_pylist()))
+    assert all(lang_of[d] == "en" for d in filt["doc_id"])
+
+    empty = query_index(
+        idx, q, k=10, filter_ids=np.empty(0, np.uint64), resolve_urls=False
+    ).to_pandas()
+    assert len(empty) == 0
+    every = docs["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    every.sort()
+    all_filt = (
+        query_index(idx, q, k=10, filter_ids=every, resolve_urls=False)
+        .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    plain = (
+        query_index(idx, q, k=10, resolve_urls=False)
+        .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    assert (all_filt["doc_id"].to_numpy() == plain["doc_id"].to_numpy()).all()
+    assert (all_filt["score"].to_numpy() == plain["score"].to_numpy()).all()
