@@ -105,6 +105,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # full build — same full-corpus oracle as fulltext_bm25_topk
         "fulltext_bm25_incremental": fulltext.bm25_topk_incremental,
         "fulltext_bm25_phrase_topk": fulltext.bm25_topk_phrase,
+        # same phrases over a positional index (pos.bin sidecar) — adjacency
+        # verified from decoded positions, not checkpoint re-tokenization
+        "fulltext_bm25_phrase_positional": fulltext.bm25_topk_phrase_positional,
         "fulltext_index_stats": fulltext.index_stats,  # build-completeness audit
         "fulltext_bm25_snippets": fulltext.bm25_snippets,  # KWIC result windows
         "fulltext_bm25_filtered": fulltext.bm25_topk_filtered,  # lang-facet filter
@@ -516,6 +519,7 @@ def oracle_sql() -> dict[str, str]:
         "fulltext_bm25_conj_topk": fulltext.bm25_conj_oracle_sql(),
         "fulltext_bm25_incremental": fulltext.bm25_oracle_sql(),
         "fulltext_bm25_phrase_topk": fulltext.bm25_phrase_oracle_sql(),
+        "fulltext_bm25_phrase_positional": fulltext.bm25_phrase_oracle_sql(),
         "fulltext_index_stats": fulltext.index_stats_oracle_sql(),
         "fulltext_bm25_snippets": fulltext.bm25_snippets_oracle_sql(),
         "fulltext_bm25_filtered": fulltext.bm25_filtered_oracle_sql(),

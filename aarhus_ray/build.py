@@ -19,6 +19,8 @@ def main(argv=None) -> int:
     p.add_argument("--salts", type=int, default=4)
     p.add_argument("--langs", default=None, help="comma-separated lang filter, e.g. en,es")
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--positions", action="store_true",
+                   help="write the positional sidecar (index-native phrases)")
     p.add_argument("--num-cpus", type=int, default=None)
     args = p.parse_args(argv)
 
@@ -45,6 +47,7 @@ def main(argv=None) -> int:
         n_salts=args.salts,
         langs=tuple(args.langs.split(",")) if args.langs else None,
         resume=args.resume,
+        positions=args.positions,
     )
     print(json.dumps({k: stats[k] for k in ("n_docs", "avgdl", "num_partitions", "num_segments")}))
     ray.shutdown()

@@ -176,6 +176,21 @@ def varint_decode(buf: bytes | np.ndarray) -> np.ndarray:
     return out
 
 
+def pos_bounds(vals: np.ndarray, df: int) -> np.ndarray:
+    """Slot boundaries of a term's positional combined stream: posting i's
+    sublist is vals[b[i]:b[i+1]] = [count, first_pos, ascending deltas...].
+    Sequential by construction (each boundary depends on the previous
+    count) — O(df) python loop, paid once per term and cached by callers;
+    phrase-query terms are typically selective so df is small."""
+    b = np.empty(df + 1, dtype=np.int64)
+    idx = 0
+    for j in range(df):
+        b[j] = idx
+        idx += 1 + int(vals[idx])
+    b[df] = idx
+    return b
+
+
 # ---------------------------------------------------------------- posting blobs
 
 def tf_upper_bound(tf, idf: float) -> float | np.ndarray:

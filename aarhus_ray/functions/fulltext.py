@@ -67,16 +67,19 @@ def _work_dir(sf_dir: str) -> str:
     return f"/tmp/aarhus_fulltext_{key}"
 
 
-def _ensure_index(sf_dir: str, fresh: bool = False) -> str:
+def _ensure_index(sf_dir: str, fresh: bool = False, positions: bool = False) -> str:
     """Build (or reuse) the docs-as-pages index under the sf_dir-keyed
-    workdir; returns the index path. ``fresh=True`` rebuilds from scratch."""
+    workdir; returns the index path. ``fresh=True`` rebuilds from scratch.
+    ``positions=True`` builds (and caches separately) a positional index
+    (per-segment pos.bin sidecar) so phrase queries verify adjacency from
+    decoded positions instead of re-tokenizing checkpoint text."""
     work = _work_dir(sf_dir)
     if fresh:
         shutil.rmtree(work, ignore_errors=True)
     pages = os.path.join(work, "pages", "part-0000.parquet")
     if not os.path.exists(pages):
         docs_as_pages(sf_dir, pages)
-    index = os.path.join(work, "index")
+    index = os.path.join(work, "index_pos" if positions else "index")
     if not os.path.exists(os.path.join(index, "_INDEX_DONE")):
         build_index(
             os.path.dirname(pages),
@@ -84,6 +87,7 @@ def _ensure_index(sf_dir: str, fresh: bool = False) -> str:
             num_partitions=8,
             num_segments=2,
             n_salts=2,
+            positions=positions,
         )
     return index
 
@@ -161,6 +165,18 @@ def bm25_topk_phrase(sf_dir: str, k: int = 10) -> pd.DataFrame:
     distinct terms. Oracle replays phrase containment with a substring
     match over the space-joined token string."""
     return _run_queries(_ensure_index(sf_dir, fresh=False), FT_PHRASES, k, "phrase")
+
+
+def bm25_topk_phrase_positional(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Exact-phrase retrieval over a POSITIONAL index (pos.bin sidecar):
+    candidates from the conjunctive intersection, adjacency verified by
+    sorted-intersection of decoded per-term position lists — no checkpoint
+    text is read. Must be bit-identical to bm25_topk_phrase (the text-verify
+    path), so it shares that query's DuckDB oracle; the positional-vs-text
+    equivalence is additionally property-tested in tests/test_positions.py."""
+    return _run_queries(
+        _ensure_index(sf_dir, fresh=False, positions=True), FT_PHRASES, k, "phrase"
+    )
 
 
 SNIPPET_WINDOW = 7

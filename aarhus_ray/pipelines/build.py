@@ -226,13 +226,22 @@ def build_index(
     postings_batch_size: int = 1024,
     concurrency: int | None = None,
     pid_offset: int = 0,
+    positions: bool = False,
 ) -> dict:
     """Build the inverted index; returns the stats dict.
 
     ``pid_offset`` shifts every partition id (and therefore every doc_id =
     pid<<40 | row) by a fixed amount — used by incremental delta builds
     (pipelines/maintain.py) so a generation's doc space is disjoint from
-    and above the base index's."""
+    and above the base index's.
+
+    ``positions=True`` adds the positional sidecar (segments/*/pos.bin +
+    dict pos offsets): per posting, within-doc token positions as
+    self-delimiting varints that merge by the same ordered concat as the
+    docID blobs. Costs ~1 byte/token of extra shuffle + storage (the
+    standard positional-index overhead); enables index-native phrase
+    matching (no checkpoint re-tokenization at query time). Default off —
+    the default index layout stays byte-identical to the goldens."""
     cpus = concurrency or _cpus()
     cfg = {
         "P": num_partitions,
@@ -240,6 +249,8 @@ def build_index(
         "n_salts": n_salts,
         "langs": sorted(langs) if langs else None,
     }
+    if positions:
+        cfg["positions"] = True
     if pid_offset:
         cfg["pid_offset"] = pid_offset
     if os.path.isdir(out_dir):
@@ -325,7 +336,9 @@ def build_index(
         )
         _phase_log(f"plan (from input sample) {_time.perf_counter() - _t0:.1f}s")
         _t0 = _time.perf_counter()
-        encoder = PostingsEncoder(boundaries, heavy, num_partitions, n_salts, pid_offset)
+        encoder = PostingsEncoder(
+            boundaries, heavy, num_partitions, n_salts, pid_offset, positions=positions
+        )
         partials = _pages_pipeline().groupby("pid").map_groups(
             DedupAssignWriter(out_dir, encoder=encoder), batch_format="pyarrow"
         )
@@ -373,7 +386,7 @@ def build_index(
         docs_ds = ray.data.read_parquet(docs_glob, columns=["doc_id", "text"])
         partials = docs_ds.map_batches(
             PostingsEncoder,
-            fn_constructor_args=(boundaries, heavy, num_partitions, n_salts, pid_offset),
+            fn_constructor_args=(boundaries, heavy, num_partitions, n_salts, pid_offset, positions),
             batch_format="pyarrow",
             batch_size=postings_batch_size,
             concurrency=(max(1, cpus // 2), cpus),

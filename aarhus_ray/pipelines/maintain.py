@@ -110,6 +110,7 @@ def add_documents(
         extract_batch_size=extract_batch_size,
         concurrency=concurrency,
         pid_offset=pid_offset,
+        positions=bool(stats.get("positions")),
     )
 
     # ---- graft: docs files (names disjoint by pid_offset), then shard
@@ -186,7 +187,7 @@ def compact_index(
     docs_ds = ray.data.read_parquet(docs_glob, columns=["doc_id", "text"])
     partials = docs_ds.map_batches(
         PostingsEncoder,
-        fn_constructor_args=(boundaries, heavy, p_total, n_salts, 0),
+        fn_constructor_args=(boundaries, heavy, p_total, n_salts, 0, bool(stats.get("positions"))),
         batch_format="pyarrow",
         batch_size=postings_batch_size,
         concurrency=(max(1, cpus // 2), cpus),

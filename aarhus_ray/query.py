@@ -14,6 +14,13 @@ def main(argv=None) -> int:
     p.add_argument("--queries", required=True, help="parquet with (query_id, text)")
     p.add_argument("--k", type=int, default=10)
     p.add_argument("--method", choices=("wand", "brute"), default="wand")
+    p.add_argument(
+        "--mode",
+        choices=("or", "and", "phrase"),
+        default="or",
+        help="or: disjunctive BM25; and: conjunctive; phrase: exact phrase "
+        "(positional sidecar when present, else checkpoint text verify)",
+    )
     p.add_argument("--out", default=None, help="write results parquet here instead of stdout")
     p.add_argument("--num-cpus", type=int, default=None)
     args = p.parse_args(argv)
@@ -33,7 +40,7 @@ def main(argv=None) -> int:
 
     from .pipelines.query import query_index
 
-    res = query_index(args.index, args.queries, k=args.k, method=args.method)
+    res = query_index(args.index, args.queries, k=args.k, method=args.method, mode=args.mode)
     if args.out:
         res.write_parquet(args.out)
         print(f"wrote {args.out}")

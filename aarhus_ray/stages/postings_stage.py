@@ -50,7 +50,7 @@ from ..state import manifest as mf
 
 PARTIAL_COLUMNS = [
     "term", "seg_id", "salt", "bucket", "min_doc_id",
-    "doc_ids", "tfs", "df_partial", "max_tf",
+    "doc_ids", "tfs", "df_partial", "max_tf", "pos",
 ]
 
 
@@ -68,6 +68,7 @@ class PostingsEncoder:
         num_partitions: int,
         n_salts: int,
         pid_offset: int = 0,
+        positions: bool = False,
     ):
         self.boundaries = np.array(boundaries, dtype=object)
         self.heavy = frozenset(heavy_terms)
@@ -77,6 +78,10 @@ class PostingsEncoder:
         # pid range [offset, offset+P); the heavy salt must be computed on
         # the LOCAL pid so it stays in [0, n_salts)
         self.pid_offset = pid_offset
+        # positional sidecar: per posting [count, first_pos, deltas...] as
+        # self-delimiting varints — byte-sliceable at posting boundaries,
+        # so partials concat at merge exactly like the docID blobs
+        self.positions = positions
 
     def _salt_of_pid(self, pids: np.ndarray) -> np.ndarray:
         local = pids.astype(np.uint64) - np.uint64(self.pid_offset)
@@ -105,12 +110,35 @@ class PostingsEncoder:
         list, not per row."""
         if len(flat_terms) == 0:
             return pa.Table.from_pylist([], schema=self._schema())
-        tf_tbl = (
-            pa.table({"term": flat_terms, "doc": pa.array(flat_docs, pa.uint64())})
-            .group_by(["term", "doc"], use_threads=False)
-            .aggregate([("doc", "count")])
-            .sort_by([("term", "ascending"), ("doc", "ascending")])
-        )
+        if self.positions:
+            # within-doc token index: every tokenizer path keeps a doc's
+            # tokens contiguous and in document order, so positions fall
+            # out of the flat run boundaries
+            nf = len(flat_docs)
+            dchange = np.ones(nf, dtype=bool)
+            dchange[1:] = flat_docs[1:] != flat_docs[:-1]
+            rs = np.flatnonzero(dchange)
+            flat_pos = np.arange(nf, dtype=np.int64) - np.repeat(rs, np.diff(np.append(rs, nf)))
+            tf_tbl = (
+                pa.table(
+                    {
+                        "term": flat_terms,
+                        "doc": pa.array(flat_docs, pa.uint64()),
+                        "pos": pa.array(flat_pos, pa.int64()),
+                    }
+                )
+                .group_by(["term", "doc"], use_threads=False)
+                # hash_list keeps encounter order == ascending positions
+                .aggregate([("doc", "count"), ("pos", "list")])
+                .sort_by([("term", "ascending"), ("doc", "ascending")])
+            )
+        else:
+            tf_tbl = (
+                pa.table({"term": flat_terms, "doc": pa.array(flat_docs, pa.uint64())})
+                .group_by(["term", "doc"], use_threads=False)
+                .aggregate([("doc", "count")])
+                .sort_by([("term", "ascending"), ("doc", "ascending")])
+            )
         terms_arr = tf_tbl["term"].combine_chunks()
         docs = tf_tbl["doc"].to_numpy(zero_copy_only=False).astype(np.uint64)
         tfs = tf_tbl["doc_count"].to_numpy(zero_copy_only=False).astype(np.uint64)
@@ -159,6 +187,29 @@ class PostingsEncoder:
         tf_blob, tf_lens = codecs.varint_encode_with_lens(tfs)
         doc_off = np.concatenate([[0], np.cumsum(doc_lens)])
         tf_off = np.concatenate([[0], np.cumsum(tf_lens)])
+        if self.positions:
+            # combined stream: per posting i, slot CS[i] holds its count,
+            # followed by first-pos-absolute then ascending deltas. One
+            # vectorized varint pass over the whole batch; runs slice at
+            # posting boundaries via the slot→byte offset map.
+            pl = tf_tbl["pos_list"].combine_chunks()
+            V = pl.values.to_numpy(zero_copy_only=False).astype(np.int64)
+            O = pl.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            npos = np.diff(O)
+            assert (npos == tfs.astype(np.int64)).all()
+            CS = O[:-1] + np.arange(n)  # count-slot index of posting i
+            comb = np.empty(n + len(V), dtype=np.uint64)
+            comb[CS] = npos.astype(np.uint64)
+            deltas = V.copy()
+            if len(V) > 1:
+                deltas[1:] = V[1:] - V[:-1]
+            list_starts = O[:-1][npos > 0]
+            deltas[list_starts] = V[list_starts]  # first of list = absolute
+            ivals = np.repeat(np.arange(n), npos)
+            comb[np.arange(len(V)) + ivals + 1] = deltas.astype(np.uint64)
+            pos_blob, pos_lens = codecs.varint_encode_with_lens(comb)
+            pos_byte_off = np.concatenate([[0], np.cumsum(pos_lens)])
+            slot_bounds = np.append(CS, n + len(V))  # posting i starts at slot CS[i]
         run_max_tf = np.maximum.reduceat(tfs, starts)
         out_run = run_id[starts]  # term-run index of each output row
         rows = {k: [] for k in PARTIAL_COLUMNS}
@@ -175,6 +226,11 @@ class PostingsEncoder:
             rows["tfs"].append(tf_blob[tf_off[s] : tf_off[e]])
             rows["df_partial"].append(e - s)
             rows["max_tf"].append(int(run_max_tf[ri]))
+            rows["pos"].append(
+                pos_blob[pos_byte_off[slot_bounds[s]] : pos_byte_off[slot_bounds[e]]]
+                if self.positions
+                else b""
+            )
         return pa.table(
             {
                 "term": pa.array(rows["term"], pa.string()),
@@ -186,6 +242,7 @@ class PostingsEncoder:
                 "tfs": pa.array(rows["tfs"], pa.binary()),
                 "df_partial": pa.array(rows["df_partial"], pa.uint32()),
                 "max_tf": pa.array(rows["max_tf"], pa.uint32()),
+                "pos": pa.array(rows["pos"], pa.binary()),
             }
         )
 
@@ -202,6 +259,7 @@ class PostingsEncoder:
                 ("tfs", pa.binary()),
                 ("df_partial", pa.uint32()),
                 ("max_tf", pa.uint32()),
+                ("pos", pa.binary()),
             ]
         )
 
@@ -237,7 +295,10 @@ def _sorted_runs(group: pa.Table, by_salt: bool):
     within-run docID order verified (argsort fallback — partials own
     disjoint docID ranges, so ordered concat is already sorted in the
     normal case). Returns (t_s, s_s, seg_s, docs, tfs, run_row_starts,
-    flat_starts, flat_ends)."""
+    flat_starts, flat_ends, pos_blobs_sorted, run_perms): pos_blobs_sorted
+    is the per-row positional blobs in merge order (None when the partials
+    carry no positions), run_perms maps run index → the posting
+    permutation the argsort fallback applied (positions must follow)."""
     n_rows = len(group)
     terms = np.asarray(group["term"].to_pylist(), dtype=object)
     salts = group["salt"].to_numpy(zero_copy_only=False)
@@ -249,6 +310,11 @@ def _sorted_runs(group: pa.Table, by_salt: bool):
     tf_blobs = group["tfs"].to_pylist()
     doc_blobs = [doc_blobs[i] for i in order]
     tf_blobs = [tf_blobs[i] for i in order]
+    pos_blobs_sorted = None
+    if "pos" in group.column_names:
+        pos_raw = group["pos"].to_pylist()
+        if any(pos_raw):
+            pos_blobs_sorted = [pos_raw[i] for i in order]
     t_s, s_s, dfs_s, seg_s = terms[order], salts[order], dfs[order], seg_ids[order]
     docs, tfs, row_flat_starts = _decode_partials_segmented(doc_blobs, tf_blobs, dfs_s)
     change = np.ones(n_rows, dtype=bool)
@@ -259,17 +325,22 @@ def _sorted_runs(group: pa.Table, by_salt: bool):
     run_row_starts = np.flatnonzero(change)
     flat_starts = row_flat_starts[run_row_starts]
     flat_ends = np.append(flat_starts[1:], len(docs))
+    run_perms: dict[int, np.ndarray] = {}
     if len(docs) > 1:
         ok = docs[1:] > docs[:-1]
         ok[flat_starts[1:] - 1] = True  # run boundaries exempt
         if not ok.all():
-            for rs, re_ in zip(flat_starts, flat_ends):
+            for ri, (rs, re_) in enumerate(zip(flat_starts, flat_ends)):
                 seg = docs[rs:re_]
                 if len(seg) > 1 and not np.all(seg[1:] > seg[:-1]):
                     o = np.argsort(seg, kind="stable")
                     docs[rs:re_] = seg[o]
                     tfs[rs:re_] = tfs[rs:re_][o]
-    return t_s, s_s, seg_s, docs, tfs, run_row_starts, flat_starts, flat_ends
+                    run_perms[ri] = o
+    return (
+        t_s, s_s, seg_s, docs, tfs, run_row_starts, flat_starts, flat_ends,
+        pos_blobs_sorted, run_perms,
+    )
 
 
 class AssembleSegment:
@@ -291,17 +362,21 @@ class AssembleSegment:
         sdir = seg_dir(self.out_dir, sid)
         if sid in self.skip_segs and os.path.isdir(sdir):
             return self._manifest_table(sid, len(group), 0, 0, 0.0, "cached")
-        t_s, _, _, all_docs, all_tfs, run_rows, flat_starts, flat_ends = _sorted_runs(
-            group, by_salt=False
-        )
+        (t_s, _, _, all_docs, all_tfs, run_rows, flat_starts, flat_ends,
+         pos_blobs, run_perms) = _sorted_runs(group, by_salt=False)
         dict_rows = {
             "term": [], "df": [], "offset": [], "length": [],
             "skip_offset": [], "skip_length": [], "max_tf": [],
         }
         postings_parts: list[bytes] = []
         skips_parts: list[bytes] = []
+        pos_parts: list[bytes] = []
+        pos_offsets: list[int] = []
+        pos_lengths: list[int] = []
         p_off = 0
         s_off = 0
+        pp_off = 0
+        run_row_ends = np.append(run_rows[1:], len(group))
         for r, (fs, fe) in enumerate(zip(flat_starts, flat_ends)):
             docs = all_docs[fs:fe]
             tfs = all_tfs[fs:fe]
@@ -317,6 +392,21 @@ class AssembleSegment:
             skips_parts.append(skips)
             p_off += len(blob)
             s_off += len(skips)
+            if pos_blobs is not None:
+                # positions merge = the same ordered concat as the docID
+                # blobs (sublists are self-contained [count, first, deltas])
+                pos_run = b"".join(pos_blobs[run_rows[r] : run_row_ends[r]])
+                perm = run_perms.get(r)
+                if perm is not None:
+                    # rare out-of-order fallback: permute at posting level
+                    vals = codecs.varint_decode(pos_run)
+                    bounds = codecs.pos_bounds(vals, len(docs))
+                    vals = np.concatenate([vals[bounds[i] : bounds[i + 1]] for i in perm])
+                    pos_run = codecs.varint_encode_with_lens(vals)[0]
+                pos_parts.append(pos_run)
+                pos_offsets.append(pp_off)
+                pos_lengths.append(len(pos_run))
+                pp_off += len(pos_run)
         tmp = sdir + ".tmp"
         os.makedirs(tmp, exist_ok=True)
         dict_tbl = pa.table(
@@ -330,21 +420,30 @@ class AssembleSegment:
                 "max_tf": pa.array(dict_rows["max_tf"], pa.uint32()),
             }
         )
+        if pos_blobs is not None:
+            # positional sidecar columns exist ONLY on positional builds so
+            # the default index layout stays byte-identical
+            dict_tbl = dict_tbl.append_column(
+                "pos_offset", pa.array(pos_offsets, pa.uint64())
+            ).append_column("pos_length", pa.array(pos_lengths, pa.uint64()))
         pq.write_table(dict_tbl, os.path.join(tmp, "dict.parquet"))
         with open(os.path.join(tmp, "postings.bin"), "wb") as f:
             f.write(b"".join(postings_parts))
         with open(os.path.join(tmp, "skips.bin"), "wb") as f:
             f.write(b"".join(skips_parts))
+        if pos_blobs is not None:
+            with open(os.path.join(tmp, "pos.bin"), "wb") as f:
+                f.write(b"".join(pos_parts))
         if os.path.isdir(sdir):
             import shutil
 
             shutil.rmtree(sdir)
         os.replace(tmp, sdir)
         checksum = mf.file_checksum(os.path.join(sdir, "postings.bin"))
-        bytes_out = sum(
-            os.path.getsize(os.path.join(sdir, f))
-            for f in ("dict.parquet", "postings.bin", "skips.bin")
-        )
+        files = ["dict.parquet", "postings.bin", "skips.bin"]
+        if pos_blobs is not None:
+            files.append("pos.bin")
+        bytes_out = sum(os.path.getsize(os.path.join(sdir, f)) for f in files)
         row = mf.ManifestRow(
             stage="segment",
             partition_id=sid,

@@ -29,6 +29,10 @@ from ..textnorm import tokenize
 from ..wand import TermCursor, block_max_topk, dense_accum_topk, wand_topk
 from .postings_stage import seg_dir
 
+# per-Segment decoded-position cache budget (values, not entries): head
+# terms carry corpus-scale streams, ~4M int64 values ≈ 32 MB
+_POS_CACHE_VALS = 1 << 22
+
 
 class DoclenTable:
     """Sorted (doc_id → doclen) arrays loaded from docs/ parquet.
@@ -87,6 +91,15 @@ class Segment:
                 int(cols["skip_length"][i]),
                 int(cols["max_tf"][i]),
             )
+        # positional sidecar (present only on positions=True builds)
+        self.pos_dict: dict[str, tuple[int, int]] | None = None
+        if "pos_offset" in d.column_names:
+            po = d["pos_offset"].to_numpy(zero_copy_only=False)
+            pl = d["pos_length"].to_numpy(zero_copy_only=False)
+            self.pos_dict = {t: (int(po[i]), int(pl[i])) for i, t in enumerate(terms)}
+            self.pos_raw = np.memmap(os.path.join(sdir, "pos.bin"), dtype=np.uint8, mode="r")
+            self._pos_cache: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+            self._pos_cached_vals = 0
 
     def term_entry(self, term: str):
         return self.dict.get(term)
@@ -99,6 +112,31 @@ class Segment:
         blob = bytes(self.postings[off : off + length])
         skips = bytes(self.skips_raw[s_off : s_off + s_len])
         return codecs.decode_postings(blob, skips)
+
+    def term_positions(self, term: str) -> tuple[np.ndarray, np.ndarray] | None:
+        """Decoded positional stream of a term: (vals, bounds) where posting
+        i's sublist is vals[bounds[i]:bounds[i+1]] = [count, first_pos,
+        ascending deltas...]. Cached per segment (the boundary parse is the
+        sequential part — codecs.pos_bounds)."""
+        if self.pos_dict is None:
+            return None
+        e = self.pos_dict.get(term)
+        if e is None:
+            return None
+        got = self._pos_cache.get(term)
+        if got is None:
+            off, length = e
+            vals = codecs.varint_decode(bytes(self.pos_raw[off : off + length]))
+            bounds = codecs.pos_bounds(vals, self.dict[term][0])
+            got = (vals, bounds)
+            # bounded cache: head terms carry corpus-scale position streams,
+            # so charge by decoded values (~4M ≈ 32 MB), not entry count
+            if self._pos_cached_vals + len(vals) > _POS_CACHE_VALS:
+                self._pos_cache.clear()
+                self._pos_cached_vals = 0
+            self._pos_cache[term] = got
+            self._pos_cached_vals += len(vals)
+        return got
 
     def term_skips(self, term: str) -> np.ndarray:
         _, _, _, s_off, s_len, _ = self.dict[term]
@@ -405,6 +443,40 @@ class QueryScorer:
             out.append(texts[int(np.searchsorted(ids, d))])
         return out
 
+    def _positions_of_docs(self, term: str, owners_of_term, cand: np.ndarray):
+        """Absolute within-doc positions of ``term`` for each candidate doc
+        (aligned list; cand sorted). Each candidate lives in exactly one
+        docID-disjoint shard; positions decode from that shard's sidecar."""
+        out: list[np.ndarray | None] = [None] * len(cand)
+        for seg in owners_of_term:
+            d_ids, _ = seg.term_postings(term)
+            idx = np.searchsorted(d_ids, cand)
+            ok = idx < len(d_ids)
+            ok[ok] = d_ids[idx[ok]] == cand[ok]
+            if not ok.any():
+                continue
+            vals, bounds = seg.term_positions(term)
+            for ci in np.flatnonzero(ok):
+                i = int(idx[ci])
+                sub = vals[bounds[i] + 1 : bounds[i + 1]].astype(np.int64)
+                out[ci] = np.cumsum(sub)  # deltas → absolute, ascending
+        return out
+
+    def _verify_phrase_positions(self, seq: list[str], owners, cand: np.ndarray) -> np.ndarray:
+        """Index-native adjacency check: consecutive positional
+        intersection (pos(t_{i+1}) ∩ (survivors+1)) — the classic phrase
+        algorithm over a positional index; no checkpoint text is touched."""
+        pos_by_term = {t: self._positions_of_docs(t, owners[t], cand) for t in set(seq)}
+        keep = np.zeros(len(cand), dtype=bool)
+        for ci in range(len(cand)):
+            cur = pos_by_term[seq[0]][ci]
+            for t in seq[1:]:
+                if cur is None or len(cur) == 0:
+                    break
+                cur = np.intersect1d(cur + 1, pos_by_term[t][ci], assume_unique=True)
+            keep[ci] = cur is not None and len(cur) > 0
+        return keep
+
     def _score_query_phrase(self, text: str) -> tuple[np.ndarray, np.ndarray]:
         """Exact phrase retrieval WITHOUT a positional index: candidates are
         the conjunctive posting-list intersection of the phrase's terms;
@@ -432,21 +504,26 @@ class QueryScorer:
         entries = [self._term_arrays(t, owners[t]) for t in terms]
         cand = self._conj_candidates(terms, entries)
         if len(cand) and len(seq) > 1:
-            texts = self._texts_of(cand)
-            keep = np.zeros(len(cand), dtype=bool)
-            L = len(seq)
-            for i, doc_text in enumerate(texts):
-                toks = tokenize(doc_text)
-                if len(toks) < L:
-                    continue
-                arr = np.asarray(toks, dtype=object)
-                idx = np.flatnonzero(arr[: len(arr) - L + 1] == seq[0])
-                for off in range(1, L):
-                    if len(idx) == 0:
-                        break
-                    idx = idx[arr[idx + off] == seq[off]]
-                keep[i] = len(idx) > 0
-            cand = cand[keep]
+            if all(seg.pos_dict is not None for t in owners for seg in owners[t]):
+                # positional index: verify adjacency from pos.bin (no
+                # checkpoint fetch, no re-tokenization)
+                cand = cand[self._verify_phrase_positions(seq, owners, cand)]
+            else:
+                texts = self._texts_of(cand)
+                keep = np.zeros(len(cand), dtype=bool)
+                L = len(seq)
+                for i, doc_text in enumerate(texts):
+                    toks = tokenize(doc_text)
+                    if len(toks) < L:
+                        continue
+                    arr = np.asarray(toks, dtype=object)
+                    idx = np.flatnonzero(arr[: len(arr) - L + 1] == seq[0])
+                    for off in range(1, L):
+                        if len(idx) == 0:
+                            break
+                        idx = idx[arr[idx + off] == seq[off]]
+                    keep[i] = len(idx) > 0
+                cand = cand[keep]
         if len(cand) == 0:
             return np.empty(0, np.uint64), np.empty(0, np.float64)
         scores = np.zeros(len(cand), dtype=np.float64)
