@@ -108,6 +108,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # same phrases over a positional index (pos.bin sidecar) — adjacency
         # verified from decoded positions, not checkpoint re-tokenization
         "fulltext_bm25_phrase_positional": fulltext.bm25_topk_phrase_positional,
+        # delete-compact lifecycle: tombstone 1/5 of docs, compact (purge +
+        # stats recompute), query — must equal a fresh build over survivors
+        "fulltext_bm25_deleted": fulltext.bm25_topk_deleted,
         "fulltext_index_stats": fulltext.index_stats,  # build-completeness audit
         "fulltext_bm25_snippets": fulltext.bm25_snippets,  # KWIC result windows
         "fulltext_bm25_filtered": fulltext.bm25_topk_filtered,  # lang-facet filter
@@ -520,6 +523,7 @@ def oracle_sql() -> dict[str, str]:
         "fulltext_bm25_incremental": fulltext.bm25_oracle_sql(),
         "fulltext_bm25_phrase_topk": fulltext.bm25_phrase_oracle_sql(),
         "fulltext_bm25_phrase_positional": fulltext.bm25_phrase_oracle_sql(),
+        "fulltext_bm25_deleted": fulltext.bm25_deleted_oracle_sql(),
         "fulltext_index_stats": fulltext.index_stats_oracle_sql(),
         "fulltext_bm25_snippets": fulltext.bm25_snippets_oracle_sql(),
         "fulltext_bm25_filtered": fulltext.bm25_filtered_oracle_sql(),

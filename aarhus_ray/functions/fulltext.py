@@ -167,6 +167,38 @@ def bm25_topk_phrase(sf_dir: str, k: int = 10) -> pd.DataFrame:
     return _run_queries(_ensure_index(sf_dir, fresh=False), FT_PHRASES, k, "phrase")
 
 
+DELETE_MOD = 5  # delete-compact rule: tombstone docs with doc_id % 5 == 0
+
+
+def bm25_topk_deleted(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Delete-compact lifecycle, driver-visible: copy the cached index,
+    tombstone every doc whose SOURCE doc_id % DELETE_MOD == 0 (resolved
+    by url through pipelines/maintain.delete_documents), compact (purges
+    tombstones; N/avgdl/df recomputed over survivors), then answer
+    FT_QUERIES. The oracle replays BM25 over documents WHERE doc_id %
+    DELETE_MOD <> 0 — exact, because post-compaction scoring must be
+    indistinguishable from a fresh build over the surviving corpus.
+    Pre-compaction (visibility-only, stale-stats) semantics are pinned in
+    tests/test_deletes.py."""
+    from ..pipelines.maintain import compact_index, delete_documents
+
+    base = _ensure_index(sf_dir, fresh=False)
+    work = _work_dir(sf_dir) + "_del"
+    shutil.rmtree(work, ignore_errors=True)
+    index = os.path.join(work, "index")
+    os.makedirs(work)
+    shutil.copytree(base, index)
+    src = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    dead = [doc_url(i) for i in src["doc_id"].to_pylist() if i % DELETE_MOD == 0]
+    delete_documents(index, urls=dead)
+    compact_index(index)
+    return _run_queries(index, FT_QUERIES, k, "or")
+
+
+def bm25_deleted_oracle_sql(k: int = 10) -> str:
+    return bm25_oracle_sql(k, where=f"doc_id % {DELETE_MOD} <> 0")
+
+
 def bm25_topk_phrase_positional(sf_dir: str, k: int = 10) -> pd.DataFrame:
     """Exact-phrase retrieval over a POSITIONAL index (pos.bin sidecar):
     candidates from the conjunctive intersection, adjacency verified by
@@ -494,10 +526,13 @@ def bm25_topk_conj(sf_dir: str, k: int = 10) -> pd.DataFrame:
     return _run_queries(_ensure_index(sf_dir, fresh=False), FT_QUERIES_CONJ, k, "and")
 
 
-def bm25_oracle_sql(k: int = 10) -> str:
+def bm25_oracle_sql(k: int = 10, where: str = "") -> str:
     """DuckDB SQL replaying the frozen engine semantics over `documents`:
     [a-z0-9]+ tokens of lower(text), Lucene idf ln(1+(N-df+.5)/(df+.5)),
     k1=1.2 b=0.75, query terms deduped, order (score DESC, doc_id ASC).
+    ``where`` restricts the corpus (a predicate over documents columns) —
+    used by the delete-compact oracle, which must replay BM25 over the
+    SURVIVING corpus only (N/avgdl/df all shrink with it).
 
     ASCII-ONLY ASSUMPTION: lower(text) here stands in for the engine's
     NFKC+casefold (textnorm.py) — equivalent only because the driver
@@ -508,14 +543,16 @@ def bm25_oracle_sql(k: int = 10) -> str:
         for qid, q in enumerate(FT_QUERIES)
         for term in q.split()
     )
+    pred = f" WHERE {where}" if where else ""
     return f"""
-WITH toks AS (
+WITH corpus AS (SELECT doc_id, text FROM documents{pred}),
+toks AS (
   SELECT doc_id, tok FROM (
     SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok
-    FROM documents) WHERE tok <> ''
+    FROM corpus) WHERE tok <> ''
 ),
 dl AS (SELECT d.doc_id, CAST(coalesce(t.c, 0) AS DOUBLE) AS dl
-       FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS c FROM toks GROUP BY 1) t USING (doc_id)),
+       FROM corpus d LEFT JOIN (SELECT doc_id, count(*) AS c FROM toks GROUP BY 1) t USING (doc_id)),
 stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
 tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf FROM toks GROUP BY 1, 2),
 df AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),

@@ -27,11 +27,22 @@ rewrite). Detecting collisions at scale is a Bloom-filter semi-join of
 delta urls vs the base (functions/bloom.py is the building block); not
 wired up because the driving use case (crawl snapshots) is append-only.
 
+``delete_documents`` tombstones docs (by url or doc_id) under
+``tombstones/gen-*.parquet``. Deletes are VISIBILITY-ONLY until
+compaction: scorers exclude tombstoned ids from every candidate/result
+set at postings-gather time (query_stage exclude mask) while df/idf/
+avgdl/N keep the pre-delete globals — the standard LSM/segment-engine
+trade (Lucene's deleted-docs bitmap has the same semantics).
+
 ``compact_index`` rewrites all generations into one: re-encodes postings
 from the docs/ checkpoint (the same phase-D shape the resume path uses)
 into a fresh segment set under the base plan, then atomically swaps
-segments/. Query results are unchanged (test-pinned); what compaction buys
-is shard-count hygiene — k generations mean k× dictionary probes and skip
+segments/. With live tombstones it also PURGES: docs/ is rewritten minus
+tombstoned rows, N/total_len/avgdl recomputed, the tombstones dir
+removed — post-compaction scoring is fresh-build exact over the
+surviving corpus (df included; test-pinned). Without tombstones query
+results are unchanged (test-pinned); what compaction buys then is
+shard-count hygiene — k generations mean k× dictionary probes and skip
 arrays per term, and the gather's fixed cost grows with generation count.
 """
 
@@ -157,6 +168,91 @@ def add_documents(
     return folded
 
 
+@ray.remote
+def _match_doc_ids(path: str, urls: tuple) -> "pa.Array":
+    """One docs/pid file's doc_ids whose url is in the delete set — pruned
+    read (doc_id + url only; text never leaves storage)."""
+    t = pq.read_table(path, columns=["doc_id", "url"])
+    import pyarrow.compute as pc
+
+    return t.filter(pc.is_in(t["url"], value_set=pa.array(urls, pa.string())))["doc_id"]
+
+
+def delete_documents(
+    out_dir: str,
+    *,
+    urls: list[str] | None = None,
+    doc_ids: list[int] | None = None,
+) -> dict:
+    """Tombstone documents (Lucene-style deletes): append a tombstone
+    generation under ``tombstones/gen-NNNN.parquet`` and bump stats.json
+    (invalidating every cached scorer). Deletes are VISIBILITY-ONLY until
+    ``compact_index``: tombstoned docs vanish from all results/candidates
+    immediately, but df/idf/avgdl/N keep the pre-delete globals — the
+    standard LSM/segment-engine trade (a live stats rewrite would mean
+    touching every segment per delete). Compaction purges tombstones and
+    recomputes statistics, after which results match a fresh build over
+    the surviving corpus.
+
+    Exactly one of ``urls`` / ``doc_ids``. The url path resolves through
+    the docs/ checkpoint with one pruned Ray task per pid file (doc_id +
+    url columns only) and reports how many matched; the doc_ids path
+    trusts the caller (unknown ids are harmless — the exclude mask just
+    never fires). Returns {"n_requested", "n_tombstoned"}."""
+    if (urls is None) == (doc_ids is None):
+        raise ValueError("pass exactly one of urls= / doc_ids=")
+    if not os.path.exists(os.path.join(out_dir, INDEX_MARKER)):
+        raise ValueError(f"{out_dir} is not a completed index (missing {INDEX_MARKER})")
+    import numpy as np
+
+    if urls is not None:
+        n_requested = len(urls)
+        paths = sorted(glob.glob(os.path.join(out_dir, "docs", "pid=*.parquet")))
+        parts = ray.get([_match_doc_ids.remote(p, tuple(urls)) for p in paths])
+        ids = np.concatenate(
+            [np.asarray([], np.uint64)]
+            + [p.to_numpy(zero_copy_only=False).astype(np.uint64) for p in parts]
+        )
+    else:
+        n_requested = len(doc_ids)
+        ids = np.asarray(doc_ids, dtype=np.uint64)
+    ids = np.unique(ids)
+    if len(ids):
+        ts_dir = os.path.join(out_dir, "tombstones")
+        os.makedirs(ts_dir, exist_ok=True)
+        gen = len(glob.glob(os.path.join(ts_dir, "gen-*.parquet")))
+        tmp = os.path.join(ts_dir, f"gen-{gen:04d}.parquet.tmp")
+        pq.write_table(pa.table({"doc_id": pa.array(ids, pa.uint64())}), tmp)
+        os.replace(tmp, os.path.join(ts_dir, f"gen-{gen:04d}.parquet"))
+    total = mf.read_tombstones(out_dir)
+    stats = mf.read_stats(out_dir)
+    # rewrite bumps stats.json mtime == index_version → caches refresh
+    mf.write_stats(out_dir, dict(stats, n_tombstones=int(0 if total is None else len(total))))
+    return {"n_requested": n_requested, "n_tombstoned": int(len(ids))}
+
+
+@ray.remote
+def _rewrite_docs_file(src: str, dst: str, ts) -> tuple[int, int]:
+    """Copy one docs/pid file minus tombstoned rows (atomic tmp+rename);
+    ``ts`` is the sorted tombstone array (passed as one ray.put ref —
+    broadcast, not re-shipped per task). Returns (surviving_rows,
+    surviving_doclen_sum)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    t = pq.read_table(src)
+    ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    pos = np.searchsorted(ts, ids)
+    hit = pos < len(ts)
+    hit[hit] = ts[pos[hit]] == ids[hit]
+    if hit.any():
+        t = t.filter(pa.array(~hit))
+    tmp = dst + ".tmp"
+    pq.write_table(t, tmp)
+    os.replace(tmp, dst)
+    return t.num_rows, int(pc.sum(t["doclen"]).as_py() or 0)
+
+
 def compact_index(
     out_dir: str,
     *,
@@ -184,6 +280,24 @@ def compact_index(
     shutil.rmtree(tmp_root, ignore_errors=True)
     os.makedirs(os.path.join(tmp_root, "segments"))
     docs_glob = sorted(glob.glob(os.path.join(out_dir, "docs", "pid=*.parquet")))
+    tombstones = mf.read_tombstones(out_dir)
+    n_docs, total_len = int(stats["n_docs"]), int(stats["total_len"])
+    if tombstones is not None:
+        # purge: rewrite the docs checkpoint minus tombstoned rows (one
+        # task per pid file, broadcast tombstone set), re-encode from the
+        # survivors and recompute N/total_len — post-compaction scoring is
+        # fresh-build exact over the surviving corpus (df/avgdl included)
+        os.makedirs(os.path.join(tmp_root, "docs"))
+        ts_ref = ray.put(tombstones)
+        counts = ray.get([
+            _rewrite_docs_file.remote(
+                f, os.path.join(tmp_root, "docs", os.path.basename(f)), ts_ref
+            )
+            for f in docs_glob
+        ])
+        n_docs = sum(c[0] for c in counts)
+        total_len = sum(c[1] for c in counts)
+        docs_glob = sorted(glob.glob(os.path.join(tmp_root, "docs", "pid=*.parquet")))
     docs_ds = ray.data.read_parquet(docs_glob, columns=["doc_id", "text"])
     partials = docs_ds.map_batches(
         PostingsEncoder,
@@ -203,6 +317,13 @@ def compact_index(
     os.replace(os.path.join(out_dir, "segments"), old)
     os.replace(os.path.join(tmp_root, "segments"), os.path.join(out_dir, "segments"))
     shutil.rmtree(old, ignore_errors=True)
+    if tombstones is not None:
+        old_docs = out_dir + ".docs.old"
+        shutil.rmtree(old_docs, ignore_errors=True)
+        os.replace(os.path.join(out_dir, "docs"), old_docs)
+        os.replace(os.path.join(tmp_root, "docs"), os.path.join(out_dir, "docs"))
+        shutil.rmtree(old_docs, ignore_errors=True)
+        shutil.rmtree(os.path.join(out_dir, "tombstones"), ignore_errors=True)
     # adopt the compaction's segment manifest rows into the base lineage
     for row in mf.read_manifest(tmp_root):
         mf.append_manifest(out_dir, mf.ManifestRow(**{
@@ -213,7 +334,14 @@ def compact_index(
         }))
     shutil.rmtree(tmp_root, ignore_errors=True)
 
-    compacted = dict(stats, generations=1)
+    compacted = dict(
+        stats,
+        generations=1,
+        n_docs=n_docs,
+        total_len=total_len,
+        avgdl=(total_len / n_docs) if n_docs else 0.0,
+        n_tombstones=0,
+    )
     mf.write_stats(out_dir, compacted)  # bumps index_version → caches refresh
     with open(os.path.join(out_dir, INDEX_MARKER), "w") as f:
         f.write(f"segments={len(rows)}\n")

@@ -204,6 +204,14 @@ def query_index(
     segs = list_segments(out_dir)
     if not segs:
         raise ValueError(f"no segments under {out_dir}")
+    if method == "wand_daat":
+        from ..state import manifest as _mf
+
+        # fail at the driver, not wrapped inside a Ray worker: the cursor
+        # DAAT path reads segments directly and cannot see the exclude set
+        if _mf.read_tombstones(out_dir) is not None:
+            raise ValueError("an index with tombstones supports wand/brute "
+                             "(the cursor DAAT path reads segments directly)")
     conc = concurrency or max(1, _cpus())
     if isinstance(queries, str):
         # query sets are small: read driver-side and take the Table branch

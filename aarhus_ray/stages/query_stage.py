@@ -225,6 +225,17 @@ class QueryScorer:
         self.filter_ids = (
             np.ascontiguousarray(filter_ids, dtype=np.uint64) if filter_ids is not None else None
         )
+        # Lucene-style deletes (pipelines/maintain.delete_documents): a
+        # sorted EXCLUDE set loaded from tombstones/. Visibility-only —
+        # df/idf/avgdl/N stay the pre-delete globals until compact_index
+        # purges (the standard LSM trade; compaction restores fresh-build
+        # statistics). Applied at gather time exactly like filter_ids, so
+        # WAND block maxima stay admissible and all methods stay
+        # bit-identical. None (no tombstones dir) costs nothing.
+        self.exclude_ids = mf.read_tombstones(out_dir)
+        if self.exclude_ids is not None and method == "wand_daat":
+            raise ValueError("an index with tombstones supports wand/brute "
+                             "(the cursor DAAT path reads segments directly)")
         if seg_ids is None:
             from ..pipelines.query import list_segments
 
@@ -271,26 +282,42 @@ class QueryScorer:
         b1 = min(b1 + 1, len(lasts))
         return doc_ids[i0:i1], contribs_or_tfs[i0:i1], lasts[b0:b1], bmax[b0:b1]
 
-    def _member_mask(self, doc_ids: np.ndarray) -> np.ndarray:
-        """Boolean membership of doc_ids (sorted) in the sorted filter set —
-        vectorized searchsorted, O(n log m)."""
-        pos = np.searchsorted(self.filter_ids, doc_ids)
-        ok = pos < len(self.filter_ids)
-        ok[ok] = self.filter_ids[pos[ok]] == doc_ids[ok]
+    def _member_mask(self, doc_ids: np.ndarray, table: np.ndarray | None = None) -> np.ndarray:
+        """Boolean membership of doc_ids (sorted) in a sorted id set
+        (default: the facet filter set) — vectorized searchsorted,
+        O(n log m)."""
+        table = self.filter_ids if table is None else table
+        pos = np.searchsorted(table, doc_ids)
+        ok = pos < len(table)
+        ok[ok] = table[pos[ok]] == doc_ids[ok]
         return ok
 
+    def _visible_mask(self, doc_ids: np.ndarray) -> np.ndarray | None:
+        """Combined eligibility mask (facet include ∧ tombstone exclude),
+        or None when neither is active."""
+        m = None
+        if self.filter_ids is not None:
+            m = self._member_mask(doc_ids)
+        if self.exclude_ids is not None:
+            ex = ~self._member_mask(doc_ids, self.exclude_ids)
+            m = ex if m is None else (m & ex)
+        return m
+
     def _apply_filter(self, got: tuple) -> tuple:
-        """Mask a term's postings to the filter set; skip blocks stay as-is
-        (an unfiltered block max is a valid upper bound over the subset)."""
+        """Mask a term's postings to the visible set (facet filter minus
+        tombstones); skip blocks stay as-is (an unfiltered block max is a
+        valid upper bound over the subset)."""
         doc_ids, vals, lasts, bmax = got
-        m = self._member_mask(doc_ids)
+        m = self._visible_mask(doc_ids)
+        if m is None:
+            return got
         return doc_ids[m], vals[m], lasts, bmax
 
     def _term_arrays(self, term: str, owners: list["Segment"]):
         from ..bm25 import idf as idf_fn
         from ..bm25 import score_tf
 
-        if self.doc_range is None and self.filter_ids is None:
+        if self.doc_range is None and self.filter_ids is None and self.exclude_ids is None:
             got = self._shared_impacts.get(term)
             if got is not None:
                 return got
@@ -302,8 +329,7 @@ class QueryScorer:
                 # zero-copy views to this scorer's range (cluster analogue:
                 # the node's impact replica holds only its range)
                 got = self._slice_to_range(*shared) if self.doc_range is not None else shared
-                if self.filter_ids is not None:
-                    got = self._apply_filter(got)
+                got = self._apply_filter(got)
             else:
                 doc_ids, tfs = self._gather_postings(term, owners)
                 idf_val = idf_fn(self._global_df(term, owners), self.n_docs)
@@ -359,8 +385,8 @@ class QueryScorer:
             i0 = int(np.searchsorted(doc_ids, lo, side="left"))
             i1 = int(np.searchsorted(doc_ids, hi, side="left"))
             doc_ids, tfs = doc_ids[i0:i1], tfs[i0:i1]
-        if self.filter_ids is not None:
-            m = self._member_mask(doc_ids)
+        m = self._visible_mask(doc_ids)
+        if m is not None:
             doc_ids, tfs = doc_ids[m], tfs[m]
         return doc_ids, tfs
 

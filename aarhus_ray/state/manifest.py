@@ -117,6 +117,26 @@ def read_stats(out_dir: str) -> dict:
         return json.load(f)
 
 
+def read_tombstones(out_dir: str):
+    """Sorted unique uint64 doc_id array of every tombstone generation
+    under ``out_dir/tombstones/``, or None when the index has no deletes
+    (the common case — zero cost on the query path). Written by
+    pipelines/maintain.delete_documents; purged by compact_index."""
+    import glob
+
+    files = sorted(glob.glob(os.path.join(out_dir, "tombstones", "gen-*.parquet")))
+    if not files:
+        return None
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    parts = [
+        pq.read_table(f, columns=["doc_id"])["doc_id"].to_numpy(zero_copy_only=False)
+        for f in files
+    ]
+    return np.unique(np.concatenate(parts).astype(np.uint64))
+
+
 def check_resume_compatible(out_dir: str, expect: dict) -> bool:
     """True iff an existing stats.json matches the current config + code
     version (P, S, salts, seed must not drift across a resume)."""
