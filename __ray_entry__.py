@@ -108,6 +108,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # same phrases over a positional index (pos.bin sidecar) — adjacency
         # verified from decoded positions, not checkpoint re-tokenization
         "fulltext_bm25_phrase_positional": fulltext.bm25_topk_phrase_positional,
+        # proximity retrieval: all distinct terms within an 8-token window
+        # (unordered min-cover-span over the positional sidecar)
+        "fulltext_bm25_near_topk": fulltext.bm25_topk_near,
         # delete-compact lifecycle: tombstone 1/5 of docs, compact (purge +
         # stats recompute), query — must equal a fresh build over survivors
         "fulltext_bm25_deleted": fulltext.bm25_topk_deleted,
@@ -523,6 +526,7 @@ def oracle_sql() -> dict[str, str]:
         "fulltext_bm25_incremental": fulltext.bm25_oracle_sql(),
         "fulltext_bm25_phrase_topk": fulltext.bm25_phrase_oracle_sql(),
         "fulltext_bm25_phrase_positional": fulltext.bm25_phrase_oracle_sql(),
+        "fulltext_bm25_near_topk": fulltext.bm25_near_oracle_sql(),
         "fulltext_bm25_deleted": fulltext.bm25_deleted_oracle_sql(),
         "fulltext_index_stats": fulltext.index_stats_oracle_sql(),
         "fulltext_bm25_snippets": fulltext.bm25_snippets_oracle_sql(),

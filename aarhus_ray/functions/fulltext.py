@@ -131,6 +131,17 @@ FT_PHRASES = (
     "zzznotinvocab table",
 )
 
+# Frozen NEAR query set (all DISTINCT terms within NEAR_WINDOW consecutive
+# tokens, unordered). Duplicate terms count once, like every other mode.
+FT_NEARS = (
+    "table query",
+    "customer batch",
+    "query group the",
+    "zzznotinvocab table",
+    "vector",
+)
+NEAR_WINDOW = 8
+
 
 def bm25_topk_incremental(sf_dir: str, k: int = 10) -> pd.DataFrame:
     """Incremental-build exactness check, driver-visible: build the index
@@ -209,6 +220,85 @@ def bm25_topk_phrase_positional(sf_dir: str, k: int = 10) -> pd.DataFrame:
     return _run_queries(
         _ensure_index(sf_dir, fresh=False, positions=True), FT_PHRASES, k, "phrase"
     )
+
+
+def bm25_topk_near(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Proximity retrieval (NEAR): a doc qualifies iff ALL the query's
+    distinct terms occur within NEAR_WINDOW consecutive tokens (unordered
+    min-cover-span ≤ window−1, query_stage mode="near"); survivors rank by
+    the BM25 sum of the distinct terms. Runs over the positional index
+    (span check from decoded pos.bin lists — the scale path); positional
+    vs text-verify equivalence is pinned in tests/test_positions.py. The
+    oracle replays the span predicate with an n-way self-join over token
+    positions (min(GREATEST−LEAST) per doc)."""
+    return _run_queries(
+        _ensure_index(sf_dir, fresh=False, positions=True),
+        FT_NEARS, k, "near", near_window=NEAR_WINDOW,
+    )
+
+
+def bm25_near_oracle_sql(k: int = 10) -> str:
+    """NEAR oracle: BM25 CTEs over FT_NEARS terms + a per-query proximity
+    constraint — an n-way self-join of (doc_id, tok, pos) rows, qualifying
+    a doc when MIN(GREATEST(pos…) − LEAST(pos…)) ≤ NEAR_WINDOW−1 (some
+    pick of one occurrence per term spans < window). Single-term queries
+    degenerate to containment (span 0)."""
+    values = ",".join(
+        f"({qid}, '{term}')" for qid, q in enumerate(FT_NEARS) for term in q.split()
+    )
+    blocks = []
+    for qid, q in enumerate(FT_NEARS):
+        terms = sorted(set(q.split()))
+        aliases = [f"p{i}" for i in range(len(terms))]
+        joins = f"posi {aliases[0]}" + "".join(
+            f" JOIN posi {a} USING (doc_id)" for a in aliases[1:]
+        )
+        conds = " AND ".join(f"{a}.tok = '{t}'" for a, t in zip(aliases, terms))
+        cols = ", ".join(f"{a}.pos" for a in aliases)
+        blocks.append(
+            f"  SELECT {qid} AS query_id, {aliases[0]}.doc_id FROM {joins}\n"
+            f"  WHERE {conds} GROUP BY 2\n"
+            f"  HAVING MIN(GREATEST({cols}) - LEAST({cols})) <= {NEAR_WINDOW - 1}"
+        )
+    nears = "\n  UNION ALL\n".join(blocks)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok
+    FROM documents) WHERE tok <> ''
+),
+dl AS (SELECT d.doc_id, CAST(coalesce(t.c, 0) AS DOUBLE) AS dl
+       FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS c FROM toks GROUP BY 1) t USING (doc_id)),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+q(query_id, tok) AS (VALUES {values}),
+qd AS (SELECT DISTINCT query_id, tok FROM q),
+arr AS (SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS a
+        FROM documents),
+posi AS (SELECT doc_id, unnest(a) AS tok, generate_subscripts(a, 1) - 1 AS pos FROM arr),
+nears AS (
+{nears}
+),
+scored AS (
+  SELECT qd.query_id, tf.doc_id,
+         sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * (1.2 + 1.0)
+              / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score
+  FROM qd JOIN tf USING (tok) JOIN df USING (tok)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s GROUP BY 1, 2
+),
+ranked AS (
+  SELECT s.query_id, s.doc_id,
+         row_number() OVER (PARTITION BY s.query_id ORDER BY s.score DESC, s.doc_id) AS rank
+  FROM scored s JOIN nears n ON n.query_id = s.query_id AND n.doc_id = s.doc_id
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank, doc_id
+FROM ranked WHERE rank <= {k}
+ORDER BY query_id, rank
+"""
 
 
 SNIPPET_WINDOW = 7

@@ -189,6 +189,7 @@ def query_index(
     resolve_urls: bool = True,
     mode: str = "or",
     filter_ids: np.ndarray | None = None,
+    near_window: int = 8,
 ) -> ray.data.Dataset:
     """queries: parquet path | ray Dataset | pyarrow Table with
     (query_id:int64, text:string). Returns a Dataset
@@ -197,6 +198,10 @@ def query_index(
     ``mode="and"`` switches to conjunctive retrieval: only documents
     containing EVERY query term are eligible (an out-of-vocabulary term
     empties that query's result); scores are unchanged BM25 sums.
+    ``mode="phrase"`` requires the terms as consecutive tokens;
+    ``mode="near"`` requires all distinct terms within ``near_window``
+    consecutive tokens (unordered) — both verify from the positional
+    sidecar when the index carries one, else from checkpoint text.
 
     ``filter_ids`` (sorted uint64 doc_ids, e.g. from ``facet_doc_ids``)
     restricts results to that doc set; BM25 statistics stay global (see
@@ -240,7 +245,8 @@ def query_index(
     # instead of paying a fresh actor-pool spawn (~2s/actor) per run
     merged = qds.map_batches(
         make_scorer_task_fn(
-            out_dir, segs, k, method, shared_ref, version, mode=mode, filter_ref=filter_ref
+            out_dir, segs, k, method, shared_ref, version, mode=mode,
+            filter_ref=filter_ref, near_window=near_window,
         ),
         batch_format="pyarrow",
         batch_size=batch_size,

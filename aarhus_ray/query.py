@@ -16,11 +16,13 @@ def main(argv=None) -> int:
     p.add_argument("--method", choices=("wand", "brute"), default="wand")
     p.add_argument(
         "--mode",
-        choices=("or", "and", "phrase"),
+        choices=("or", "and", "phrase", "near"),
         default="or",
-        help="or: disjunctive BM25; and: conjunctive; phrase: exact phrase "
-        "(positional sidecar when present, else checkpoint text verify)",
+        help="or: disjunctive BM25; and: conjunctive; phrase: exact phrase; "
+        "near: all terms within --near-window tokens (phrase/near use the "
+        "positional sidecar when present, else checkpoint text verify)",
     )
+    p.add_argument("--near-window", type=int, default=8)
     p.add_argument("--out", default=None, help="write results parquet here instead of stdout")
     p.add_argument("--num-cpus", type=int, default=None)
     args = p.parse_args(argv)
@@ -40,7 +42,10 @@ def main(argv=None) -> int:
 
     from .pipelines.query import query_index
 
-    res = query_index(args.index, args.queries, k=args.k, method=args.method, mode=args.mode)
+    res = query_index(
+        args.index, args.queries, k=args.k, method=args.method, mode=args.mode,
+        near_window=args.near_window,
+    )
     if args.out:
         res.write_parquet(args.out)
         print(f"wrote {args.out}")

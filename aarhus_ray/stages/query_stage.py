@@ -34,6 +34,37 @@ from .postings_stage import seg_dir
 _POS_CACHE_VALS = 1 << 22
 
 
+def _min_cover_span(lists: list[np.ndarray]) -> int:
+    """Minimum span (max−min) over one position picked from each sorted
+    list — the k-sorted-lists minimal covering window, via merge + sliding
+    two-pointer. O(total · log total) for the merge; the pointer sweep is
+    linear in total occurrences of the query's terms in ONE doc (small)."""
+    k = len(lists)
+    if k == 1:
+        return 0
+    pos = np.concatenate(lists)
+    lab = np.concatenate([np.full(len(p), i, dtype=np.int32) for i, p in enumerate(lists)])
+    o = np.argsort(pos, kind="stable")
+    pos, lab = pos[o], lab[o]
+    count = np.zeros(k, dtype=np.int64)
+    have, left, best = 0, 0, np.iinfo(np.int64).max
+    for right in range(len(pos)):
+        c = lab[right]
+        count[c] += 1
+        if count[c] == 1:
+            have += 1
+        while have == k:
+            span = int(pos[right] - pos[left])
+            if span < best:
+                best = span
+            cl = lab[left]
+            count[cl] -= 1
+            if count[cl] == 0:
+                have -= 1
+            left += 1
+    return best
+
+
 class DoclenTable:
     """Sorted (doc_id → doclen) arrays loaded from docs/ parquet.
 
@@ -182,6 +213,7 @@ class QueryScorer:
         pids: list[int] | None = None,
         mode: str = "or",
         filter_ids: np.ndarray | None = None,
+        near_window: int = 8,
     ):
         """``doc_range=(lo, hi)`` + ``pids`` activate the DOC-SHARDED mode
         (cluster scorer-state path, SCALE.md): this scorer holds only the
@@ -207,13 +239,14 @@ class QueryScorer:
         self.avgdl = float(stats["avgdl"])
         self.k = k
         self.method = method
-        if mode not in ("or", "and", "phrase"):
-            raise ValueError(f"mode must be 'or', 'and' or 'phrase', not {mode!r}")
+        if mode not in ("or", "and", "phrase", "near"):
+            raise ValueError(f"mode must be 'or', 'and', 'phrase' or 'near', not {mode!r}")
         if mode == "and" and method not in ("wand", "brute"):
             raise ValueError(f"conjunctive scoring supports wand/brute, not {method!r}")
-        if mode == "phrase" and method != "wand":
-            raise ValueError(f"phrase scoring supports method='wand', not {method!r}")
+        if mode in ("phrase", "near") and method != "wand":
+            raise ValueError(f"{mode} scoring supports method='wand', not {method!r}")
         self.mode = mode
+        self.near_window = int(near_window)
         self.doc_range = (
             (np.uint64(doc_range[0]), np.uint64(doc_range[1])) if doc_range is not None else None
         )
@@ -488,6 +521,22 @@ class QueryScorer:
                 out[ci] = np.cumsum(sub)  # deltas → absolute, ascending
         return out
 
+    def _verify_near_positions(
+        self, terms: list[str], owners, cand: np.ndarray, window: int
+    ) -> np.ndarray:
+        """Proximity check over the positional sidecar: candidate ci
+        survives iff some choice of one occurrence per term spans < window
+        tokens (min cover span ≤ window−1; classic k-sorted-lists sliding
+        window). No checkpoint text is touched."""
+        pos_by_term = {t: self._positions_of_docs(t, owners[t], cand) for t in terms}
+        keep = np.zeros(len(cand), dtype=bool)
+        for ci in range(len(cand)):
+            lists = [pos_by_term[t][ci] for t in terms]
+            if any(p is None or len(p) == 0 for p in lists):
+                continue
+            keep[ci] = _min_cover_span(lists) <= window - 1
+        return keep
+
     def _verify_phrase_positions(self, seq: list[str], owners, cand: np.ndarray) -> np.ndarray:
         """Index-native adjacency check: consecutive positional
         intersection (pos(t_{i+1}) ∩ (survivors+1)) — the classic phrase
@@ -559,6 +608,52 @@ class QueryScorer:
 
         return topk_select(cand, scores, self.k)
 
+    def _score_query_near(self, text: str) -> tuple[np.ndarray, np.ndarray]:
+        """Proximity (NEAR) retrieval: a doc qualifies iff ALL the query's
+        DISTINCT terms occur within ``near_window`` consecutive tokens
+        (min cover span ≤ window−1; unordered — "query near(8) plan"
+        matches "...plan the query..."). Candidates are the conjunctive
+        intersection; proximity is verified from the positional sidecar
+        when every owning shard carries one, else by re-tokenizing
+        candidate texts from the docs/ checkpoint (same two-engine shape
+        as mode="phrase", bit-identical by construction and test). An OOV
+        term empties the result; a single-term query degenerates to AND.
+        Survivors rank by the BM25 sum of the distinct terms, frozen
+        (score DESC, doc_id ASC) order."""
+        toks = set(tokenize(text))
+        if not toks:
+            return np.empty(0, np.uint64), np.empty(0, np.float64)
+        owners = {}
+        for t in toks:
+            segs = self._owners(t)
+            if not segs:
+                return np.empty(0, np.uint64), np.empty(0, np.float64)
+            owners[t] = segs
+        terms = sorted(owners)
+        entries = [self._term_arrays(t, owners[t]) for t in terms]
+        cand = self._conj_candidates(terms, entries)
+        if len(cand) and len(terms) > 1:
+            if all(seg.pos_dict is not None for t in owners for seg in owners[t]):
+                cand = cand[self._verify_near_positions(terms, owners, cand, self.near_window)]
+            else:
+                texts = self._texts_of(cand)
+                keep = np.zeros(len(cand), dtype=bool)
+                for i, doc_text in enumerate(texts):
+                    arr = np.asarray(tokenize(doc_text), dtype=object)
+                    lists = [np.flatnonzero(arr == t) for t in terms]
+                    if any(len(p) == 0 for p in lists):
+                        continue
+                    keep[i] = _min_cover_span(lists) <= self.near_window - 1
+                cand = cand[keep]
+        if len(cand) == 0:
+            return np.empty(0, np.uint64), np.empty(0, np.float64)
+        scores = np.zeros(len(cand), dtype=np.float64)
+        for doc_ids, contribs, _, _ in entries:  # sorted-term order
+            scores += contribs[np.searchsorted(doc_ids, cand)]
+        from ..bm25 import topk_select
+
+        return topk_select(cand, scores, self.k)
+
     def _score_query(self, text: str) -> tuple[np.ndarray, np.ndarray]:
         from ..bm25 import idf as idf_fn
 
@@ -566,6 +661,8 @@ class QueryScorer:
             return self._score_query_conj(text)
         if self.mode == "phrase":
             return self._score_query_phrase(text)
+        if self.mode == "near":
+            return self._score_query_near(text)
         owners = {}
         for t in set(tokenize(text)):
             segs = self._owners(t)
@@ -675,23 +772,24 @@ class ScorerTaskFn:
         pids: list[int] | None = None,
         mode: str = "or",
         filter_ref=None,
+        near_window: int = 8,
     ):
         self.args = (
             out_dir, tuple(seg_ids), k, method, shared_ref, version,
             doc_range, tuple(pids) if pids is not None else None, mode,
-            filter_ref,
+            filter_ref, near_window,
         )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         (out_dir, seg_ids, k, method, shared_ref, version, doc_range, pids,
-         mode, filter_ref) = self.args
-        # seg_ids, shared_ref-presence, doc_range, mode and the filter ref
-        # are part of the identity: a scorer built over a subset of segments
-        # / a doc range (or without shared state, with AND semantics, or
-        # with a facet filter) must not be served for a different
-        # configuration of the same index
+         mode, filter_ref, near_window) = self.args
+        # seg_ids, shared_ref-presence, doc_range, mode, the filter ref and
+        # the near window are part of the identity: a scorer built over a
+        # subset of segments / a doc range (or without shared state, with
+        # AND/NEAR semantics, or with a facet filter) must not be served
+        # for a different configuration of the same index
         key = (out_dir, version, k, method, seg_ids, shared_ref is not None,
-               doc_range, mode, filter_ref)
+               doc_range, mode, filter_ref, near_window)
         scorer = _WORKER_SCORER_CACHE.get(key)
         if scorer is None:
             # evict only STALE entries of the same index (older version);
@@ -706,6 +804,7 @@ class ScorerTaskFn:
                 mode=mode,
                 # zero-copy read-only view over the one object-store copy
                 filter_ids=_ray.get(filter_ref) if filter_ref is not None else None,
+                near_window=near_window,
             )
             _WORKER_SCORER_CACHE[key] = scorer
         return scorer(batch)
@@ -722,9 +821,11 @@ def make_scorer_task_fn(
     pids: list[int] | None = None,
     mode: str = "or",
     filter_ref=None,
+    near_window: int = 8,
 ):
     return ScorerTaskFn(
-        out_dir, seg_ids, k, method, shared_ref, version, doc_range, pids, mode, filter_ref
+        out_dir, seg_ids, k, method, shared_ref, version, doc_range, pids, mode,
+        filter_ref, near_window,
     )
 
 
