@@ -111,6 +111,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # proximity retrieval: all distinct terms within an 8-token window
         # (unordered min-cover-span over the positional sidecar)
         "fulltext_bm25_near_topk": fulltext.bm25_topk_near,
+        # trailing-* wildcard terms expand against the sharded term
+        # dictionary (range scan), then score as disjunctive BM25
+        "fulltext_bm25_prefix_topk": fulltext.bm25_topk_prefix,
         # delete-compact lifecycle: tombstone 1/5 of docs, compact (purge +
         # stats recompute), query — must equal a fresh build over survivors
         "fulltext_bm25_deleted": fulltext.bm25_topk_deleted,
@@ -527,6 +530,7 @@ def oracle_sql() -> dict[str, str]:
         "fulltext_bm25_phrase_topk": fulltext.bm25_phrase_oracle_sql(),
         "fulltext_bm25_phrase_positional": fulltext.bm25_phrase_oracle_sql(),
         "fulltext_bm25_near_topk": fulltext.bm25_near_oracle_sql(),
+        "fulltext_bm25_prefix_topk": fulltext.bm25_prefix_oracle_sql(),
         "fulltext_bm25_deleted": fulltext.bm25_deleted_oracle_sql(),
         "fulltext_index_stats": fulltext.index_stats_oracle_sql(),
         "fulltext_bm25_snippets": fulltext.bm25_snippets_oracle_sql(),

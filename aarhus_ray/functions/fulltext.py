@@ -142,6 +142,18 @@ FT_NEARS = (
 )
 NEAR_WINDOW = 8
 
+# Frozen prefix-wildcard query set: trailing ``*`` expands against the term
+# dictionary (range scan); literals mix in unchanged. "s*" fans out to six
+# corpus terms; "zz*" matches nothing (must be empty); the last entry mixes
+# an expanding prefix with a dead one.
+FT_PREFIXES = (
+    "s*",
+    "b* line",
+    "qu* gr*",
+    "zz*",
+    "c* zz*",
+)
+
 
 def bm25_topk_incremental(sf_dir: str, k: int = 10) -> pd.DataFrame:
     """Incremental-build exactness check, driver-visible: build the index
@@ -294,6 +306,71 @@ ranked AS (
   SELECT s.query_id, s.doc_id,
          row_number() OVER (PARTITION BY s.query_id ORDER BY s.score DESC, s.doc_id) AS rank
   FROM scored s JOIN nears n ON n.query_id = s.query_id AND n.doc_id = s.doc_id
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank, doc_id
+FROM ranked WHERE rank <= {k}
+ORDER BY query_id, rank
+"""
+
+
+def bm25_topk_prefix(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Wildcard retrieval: trailing-``*`` query terms expand to every
+    dictionary term with that prefix (per-segment sorted-term bisection,
+    query_stage.QueryScorer._expand_prefix), then ordinary disjunctive
+    BM25 over the union — each expanded term scored with its own global
+    df/idf (Lucene scoring_boolean rewrite). The oracle replays the
+    expansion with a LIKE join against the distinct-token vocabulary."""
+    return _run_queries(_ensure_index(sf_dir, fresh=False), FT_PREFIXES, k, "prefix")
+
+
+def bm25_prefix_oracle_sql(k: int = 10) -> str:
+    """Prefix oracle: the standard BM25 CTE stack, but the query→term map
+    goes through the vocabulary — literal tokens join on equality, ``p*``
+    patterns join on ``tok LIKE 'p%'`` — so each query scores the DISTINCT
+    union of its literal + expanded terms, exactly the engine's rewrite."""
+    rows = []
+    for qid, q in enumerate(FT_PREFIXES):
+        for raw in q.split():
+            if raw.endswith("*"):
+                rows.append(f"({qid}, '{raw[:-1]}', true)")
+            else:
+                rows.append(f"({qid}, '{raw}', false)")
+    values = ",".join(rows)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok
+    FROM documents) WHERE tok <> ''
+),
+dl AS (SELECT d.doc_id, CAST(coalesce(t.c, 0) AS DOUBLE) AS dl
+       FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS c FROM toks GROUP BY 1) t USING (doc_id)),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+vocab AS (SELECT DISTINCT tok FROM tf),
+q(query_id, pat, is_prefix) AS (VALUES {values}),
+qd AS (
+  SELECT DISTINCT q.query_id, v.tok
+  FROM q JOIN vocab v
+    ON (q.is_prefix AND v.tok LIKE q.pat || '%')
+    OR (NOT q.is_prefix AND v.tok = q.pat)
+),
+scored AS (
+  SELECT qd.query_id, tf.doc_id,
+         sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * (1.2 + 1.0)
+              / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score
+  FROM qd
+  JOIN tf USING (tok)
+  JOIN df USING (tok)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+  FROM scored
 )
 SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank, doc_id
 FROM ranked WHERE rank <= {k}

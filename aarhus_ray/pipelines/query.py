@@ -202,6 +202,9 @@ def query_index(
     ``mode="near"`` requires all distinct terms within ``near_window``
     consecutive tokens (unordered) — both verify from the positional
     sidecar when the index carries one, else from checkpoint text.
+    ``mode="prefix"`` expands trailing-``*`` terms against the term
+    dictionary (sorted-dict range scan per segment) and scores the
+    union disjunctively.
 
     ``filter_ids`` (sorted uint64 doc_ids, e.g. from ``facet_doc_ids``)
     restricts results to that doc set; BM25 statistics stay global (see

@@ -122,6 +122,10 @@ class Segment:
                 int(cols["skip_length"][i]),
                 int(cols["max_tf"][i]),
             )
+        # sorted term list for dictionary RANGE SCANS (prefix expansion).
+        # dict.parquet rows arrive in merge order (normally sorted already
+        # within a term-range shard); sort defensively once per load.
+        self.terms_sorted: list[str] = sorted(terms)
         # positional sidecar (present only on positions=True builds)
         self.pos_dict: dict[str, tuple[int, int]] | None = None
         if "pos_offset" in d.column_names:
@@ -239,10 +243,14 @@ class QueryScorer:
         self.avgdl = float(stats["avgdl"])
         self.k = k
         self.method = method
-        if mode not in ("or", "and", "phrase", "near"):
-            raise ValueError(f"mode must be 'or', 'and', 'phrase' or 'near', not {mode!r}")
+        if mode not in ("or", "and", "phrase", "near", "prefix"):
+            raise ValueError(
+                f"mode must be 'or', 'and', 'phrase', 'near' or 'prefix', not {mode!r}"
+            )
         if mode == "and" and method not in ("wand", "brute"):
             raise ValueError(f"conjunctive scoring supports wand/brute, not {method!r}")
+        if mode == "prefix" and method not in ("wand", "brute"):
+            raise ValueError(f"prefix scoring supports wand/brute, not {method!r}")
         if mode in ("phrase", "near") and method != "wand":
             raise ValueError(f"{mode} scoring supports method='wand', not {method!r}")
         self.mode = mode
@@ -654,17 +662,66 @@ class QueryScorer:
 
         return topk_select(cand, scores, self.k)
 
-    def _score_query(self, text: str) -> tuple[np.ndarray, np.ndarray]:
-        from ..bm25 import idf as idf_fn
+    def _expand_prefix(self, prefix: str) -> set[str]:
+        """Dictionary RANGE SCAN: all index terms starting with ``prefix``.
+        Each segment's sorted term list is bisected to [prefix, prefix⁺) —
+        O(log |dict| + matches) per shard. Cluster shape: term-range
+        sharding means a prefix range intersects only the shards whose
+        term boundaries overlap it, so the scan routes to O(1) segment
+        holders, not all of them (here every shard is local, so the
+        pruning is implicit in the empty bisection ranges). Tokens are
+        ASCII [a-z0-9]+ (textnorm contract), so ``prefix[:-1] +
+        chr(ord(prefix[-1]) + 1)`` is a correct exclusive upper bound."""
+        import bisect
 
+        hi = prefix[:-1] + chr(ord(prefix[-1]) + 1)
+        out: set[str] = set()
+        for seg in self.segments:
+            i0 = bisect.bisect_left(seg.terms_sorted, prefix)
+            i1 = bisect.bisect_left(seg.terms_sorted, hi)
+            out.update(seg.terms_sorted[i0:i1])
+        return out
+
+    def _score_query_prefix(self, text: str) -> tuple[np.ndarray, np.ndarray]:
+        """Wildcard retrieval: a trailing ``*`` marks a prefix term, which
+        EXPANDS to every matching dictionary term; the query then scores as
+        ordinary disjunctive BM25 over the union of literal + expanded
+        terms, each expanded term with its OWN global df/idf (Lucene's
+        ``scoring_boolean`` rewrite of a PrefixQuery — the semantics an
+        exact SQL oracle can replay, unlike constant-score). A bare ``*``
+        is ignored; an unmatched prefix contributes nothing. No expansion
+        cap: exactness is the contract here; at web scale a hot prefix
+        ("th*") degrades gracefully — cost is the expanded terms' postings,
+        the same as typing those terms — and a production deployment would
+        cap expansion like Lucene's 1024-term rewrite limit."""
+        terms: set[str] = set()
+        for raw in text.split():
+            if raw.endswith("*"):
+                stem = tokenize(raw[:-1])
+                if len(stem) == 1:
+                    terms |= self._expand_prefix(stem[0])
+            else:
+                terms.update(tokenize(raw))
+        return self._score_terms(terms)
+
+    def _score_query(self, text: str) -> tuple[np.ndarray, np.ndarray]:
         if self.mode == "and":
             return self._score_query_conj(text)
         if self.mode == "phrase":
             return self._score_query_phrase(text)
         if self.mode == "near":
             return self._score_query_near(text)
+        if self.mode == "prefix":
+            return self._score_query_prefix(text)
+        return self._score_terms(set(tokenize(text)))
+
+    def _score_terms(self, toks: set[str]) -> tuple[np.ndarray, np.ndarray]:
+        """Disjunctive BM25 top-k over a concrete term set (the or-mode
+        engine; prefix mode feeds it the expanded set). OOV terms drop."""
+        from ..bm25 import idf as idf_fn
+
         owners = {}
-        for t in set(tokenize(text)):
+        for t in toks:
             segs = self._owners(t)
             if segs:
                 owners[t] = segs

@@ -464,3 +464,65 @@ def test_facet_filtered_query_on_real_index(golden_index):
     )
     assert (all_filt["doc_id"].to_numpy() == plain["doc_id"].to_numpy()).all()
     assert (all_filt["score"].to_numpy() == plain["score"].to_numpy()).all()
+
+
+def test_prefix_mode_on_real_index(golden_index):
+    """mode='prefix': a trailing-* term must score bit-identically to an
+    or-mode query that spells out every matching vocabulary term; wand ==
+    brute; a dead prefix empties; a bare * is ignored (contributes no
+    terms)."""
+    from aarhus_ray.textnorm import tokenize
+
+    docs = _docs_table(golden_index["index"], ["doc_id", "text"])
+    vocab = sorted({t for txt in docs["text"].to_pylist() for t in tokenize(txt)})
+    # pick the first single-char prefix that expands to >= 2 terms
+    prefix = next(
+        c for c in sorted({t[0] for t in vocab})
+        if sum(t.startswith(c) for t in vocab) >= 2
+    )
+    expanded = [t for t in vocab if t.startswith(prefix)]
+    assert len(expanded) >= 2
+
+    q = pa.table({
+        "query_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array([f"{prefix}*", "zzzq* " + expanded[0], "*"], pa.string()),
+    })
+    got = (
+        query_index(golden_index["index"], q, k=10, mode="prefix", resolve_urls=False)
+        .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    got_brute = (
+        query_index(
+            golden_index["index"], q, k=10, mode="prefix", method="brute", resolve_urls=False
+        ).to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    assert (got["doc_id"].to_numpy() == got_brute["doc_id"].to_numpy()).all()
+    assert (got["score"].to_numpy() == got_brute["score"].to_numpy()).all()
+
+    # query 0: identical to or-mode over the spelled-out expansion
+    q_or = pa.table({
+        "query_id": pa.array([0], pa.int64()),
+        "text": pa.array([" ".join(expanded)], pa.string()),
+    })
+    want = (
+        query_index(golden_index["index"], q_or, k=10, resolve_urls=False)
+        .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    g0 = got[got["query_id"] == 0].reset_index(drop=True)
+    assert (g0["doc_id"].to_numpy() == want["doc_id"].to_numpy()).all()
+    assert (g0["score"].to_numpy() == want["score"].to_numpy()).all()
+
+    # query 1: dead prefix drops, surviving literal == plain term query
+    q_lit = pa.table({
+        "query_id": pa.array([1], pa.int64()),
+        "text": pa.array([expanded[0]], pa.string()),
+    })
+    want1 = (
+        query_index(golden_index["index"], q_lit, k=10, resolve_urls=False)
+        .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    g1 = got[got["query_id"] == 1].reset_index(drop=True)
+    assert (g1["doc_id"].to_numpy() == want1["doc_id"].to_numpy()).all()
+
+    # query 2: bare * expands to nothing -> empty result
+    assert (got["query_id"] == 2).sum() == 0
