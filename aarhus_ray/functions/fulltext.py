@@ -154,6 +154,17 @@ FT_PREFIXES = (
     "c* zz*",
 )
 
+# Frozen fuzzy query set: misspellings within edit distance 1 of corpus
+# terms ("tabl"→table, "quey"→query, "kei"→key, "valu"→value), one clean
+# term, and one hopeless token (no d≤1 neighbour → contributes nothing).
+FT_FUZZIES = (
+    "tabl merge",
+    "quey",
+    "kei valu",
+    "zzznotinvocab",
+    "window",
+)
+
 
 def bm25_topk_incremental(sf_dir: str, k: int = 10) -> pd.DataFrame:
     """Incremental-build exactness check, driver-visible: build the index
@@ -354,6 +365,62 @@ qd AS (
   FROM q JOIN vocab v
     ON (q.is_prefix AND v.tok LIKE q.pat || '%')
     OR (NOT q.is_prefix AND v.tok = q.pat)
+),
+scored AS (
+  SELECT qd.query_id, tf.doc_id,
+         sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * (1.2 + 1.0)
+              / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score
+  FROM qd
+  JOIN tf USING (tok)
+  JOIN df USING (tok)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+  FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank, doc_id
+FROM ranked WHERE rank <= {k}
+ORDER BY query_id, rank
+"""
+
+
+def bm25_topk_fuzzy(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Typo-tolerant retrieval: every query token expands to the dictionary
+    terms within Levenshtein distance ≤ 1 (vectorized per-byte-length
+    bucket scan, query_stage.Segment.fuzzy1_candidates), then ordinary
+    disjunctive BM25 over the union — Lucene FuzzyQuery(maxEdits=1) under
+    the scoring_boolean rewrite, plain Levenshtein so DuckDB's
+    levenshtein() replays the expansion exactly."""
+    return _run_queries(_ensure_index(sf_dir, fresh=False), FT_FUZZIES, k, "fuzzy")
+
+
+def bm25_fuzzy_oracle_sql(k: int = 10) -> str:
+    """Fuzzy oracle: the standard BM25 CTE stack with the query→term map
+    joining the vocabulary on levenshtein(tok, pat) <= 1."""
+    values = ",".join(
+        f"({qid}, '{tok}')" for qid, q in enumerate(FT_FUZZIES) for tok in q.split()
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok
+    FROM documents) WHERE tok <> ''
+),
+dl AS (SELECT d.doc_id, CAST(coalesce(t.c, 0) AS DOUBLE) AS dl
+       FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS c FROM toks GROUP BY 1) t USING (doc_id)),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+vocab AS (SELECT DISTINCT tok FROM tf),
+q(query_id, pat) AS (VALUES {values}),
+qd AS (
+  SELECT DISTINCT q.query_id, v.tok
+  FROM q JOIN vocab v ON levenshtein(v.tok, q.pat) <= 1
 ),
 scored AS (
   SELECT qd.query_id, tf.doc_id,

@@ -16,12 +16,13 @@ def main(argv=None) -> int:
     p.add_argument("--method", choices=("wand", "brute"), default="wand")
     p.add_argument(
         "--mode",
-        choices=("or", "and", "phrase", "near", "prefix"),
+        choices=("or", "and", "phrase", "near", "prefix", "fuzzy"),
         default="or",
         help="or: disjunctive BM25; and: conjunctive; phrase: exact phrase; "
         "near: all terms within --near-window tokens (phrase/near use the "
         "positional sidecar when present, else checkpoint text verify); "
-        "prefix: trailing-* terms expand against the term dictionary",
+        "prefix: trailing-* terms expand against the term dictionary; "
+        "fuzzy: every term expands to dictionary terms within edit distance 1",
     )
     p.add_argument("--near-window", type=int, default=8)
     p.add_argument("--out", default=None, help="write results parquet here instead of stdout")

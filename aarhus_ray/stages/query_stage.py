@@ -65,6 +65,57 @@ def _min_cover_span(lists: list[np.ndarray]) -> int:
     return best
 
 
+def _lev1_same(mat: np.ndarray, qb: np.ndarray) -> np.ndarray:
+    """Rows of ``mat`` (n × m byte matrix) within substitution distance 1
+    of ``qb`` (m bytes): at most one mismatched position."""
+    return (mat != qb).sum(axis=1) <= 1
+
+
+def _lev1_del(mat: np.ndarray, qb: np.ndarray) -> np.ndarray:
+    """Rows of length m+1 that reach ``qb`` (length m) by deleting ONE
+    char. Classic d=1 shortcut: if it matches at all, it matches at the
+    longest-common-prefix split — so compute lcp per row (cumprod of
+    equality) and check the shifted suffix there. Fully vectorized."""
+    n, w = mat.shape
+    m = len(qb)
+    if m == 0:
+        return np.ones(n, dtype=bool)
+    cmp = mat[:, :m] == qb
+    lcp = cmp.cumprod(axis=1).sum(axis=1)  # first-mismatch index, 0..m
+    s = mat[:, 1:] == qb  # t[j+1] == q[j]
+    rs = np.flip(np.flip(s, axis=1).cumprod(axis=1), axis=1)  # all s[:, j:]
+    rs_full = np.concatenate([rs, np.ones((n, 1), dtype=rs.dtype)], axis=1)
+    return rs_full[np.arange(n), lcp].astype(bool)
+
+
+def _lev1_ins(mat: np.ndarray, qb: np.ndarray) -> np.ndarray:
+    """Rows of length m−1 that reach ``qb`` (length m) by inserting ONE
+    char (equivalently: deleting one char of q). Same lcp trick."""
+    n, w = mat.shape
+    if w == 0:
+        return np.ones(n, dtype=bool)
+    cmp = mat == qb[:w]
+    lcp = cmp.cumprod(axis=1).sum(axis=1)
+    s = mat == qb[1:]  # t[j] == q[j+1]
+    rs = np.flip(np.flip(s, axis=1).cumprod(axis=1), axis=1)
+    rs_full = np.concatenate([rs, np.ones((n, 1), dtype=rs.dtype)], axis=1)
+    return rs_full[np.arange(n), lcp].astype(bool)
+
+
+def _lev_dp(a: str, b: str) -> int:
+    """Plain Levenshtein (scalar DP) — fallback for non-ASCII terms only;
+    the hot path is the vectorized byte-matrix form above."""
+    if abs(len(a) - len(b)) > 1:
+        return 2
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
 class DoclenTable:
     """Sorted (doc_id → doclen) arrays loaded from docs/ parquet.
 
@@ -126,6 +177,11 @@ class Segment:
         # dict.parquet rows arrive in merge order (normally sorted already
         # within a term-range shard); sort defensively once per load.
         self.terms_sorted: list[str] = sorted(terms)
+        # fuzzy-expansion buckets (lazy): byte-length → (n × L uint8
+        # matrix, aligned term list); non-ASCII terms go to a scalar-DP
+        # fallback list. Built once per segment load, ~vocab bytes.
+        self._fuzzy_buckets: dict[int, tuple[np.ndarray, list[str]]] | None = None
+        self._fuzzy_fallback: list[str] = []
         # positional sidecar (present only on positions=True builds)
         self.pos_dict: dict[str, tuple[int, int]] | None = None
         if "pos_offset" in d.column_names:
@@ -135,6 +191,49 @@ class Segment:
             self.pos_raw = np.memmap(os.path.join(sdir, "pos.bin"), dtype=np.uint8, mode="r")
             self._pos_cache: dict[str, tuple[np.ndarray, np.ndarray]] = {}
             self._pos_cached_vals = 0
+
+    def fuzzy1_candidates(self, tok: str) -> list[str]:
+        """Dictionary terms within Levenshtein distance ≤ 1 of ``tok``.
+        ASCII terms are checked VECTORIZED per byte-length bucket (only the
+        three buckets |t|−1, |t|, |t|+1 are touched — the d≤1 length
+        pigeonhole); rare non-ASCII terms fall back to a scalar DP. At web
+        scale the production upgrade is a build-time SymSpell
+        deletion-neighborhood index (O(|tok|) probes instead of an O(bucket)
+        scan); the bucket scan here is the exact, dependency-free form and
+        its cost is bounded by the DICTIONARY (vocabulary) size, not the
+        corpus."""
+        if self._fuzzy_buckets is None:
+            buckets: dict[int, list[str]] = {}
+            for t in self.terms_sorted:
+                if t.isascii():
+                    buckets.setdefault(len(t), []).append(t)
+                else:
+                    self._fuzzy_fallback.append(t)
+            self._fuzzy_buckets = {
+                L: (
+                    np.frombuffer("".join(ts).encode("ascii"), dtype=np.uint8).reshape(
+                        len(ts), L
+                    ),
+                    ts,
+                )
+                for L, ts in buckets.items()
+                if L > 0
+            }
+        out: list[str] = []
+        if tok.isascii():
+            qb = np.frombuffer(tok.encode("ascii"), dtype=np.uint8)
+            m = len(qb)
+            for L, fn in ((m, _lev1_same), (m + 1, _lev1_del), (m - 1, _lev1_ins)):
+                got = self._fuzzy_buckets.get(L)
+                if got is None or L <= 0:
+                    continue
+                mat, ts = got
+                for i in np.flatnonzero(fn(mat, qb)):
+                    out.append(ts[int(i)])
+            out.extend(t for t in self._fuzzy_fallback if _lev_dp(tok, t) <= 1)
+        else:
+            out.extend(t for t in self.terms_sorted if _lev_dp(tok, t) <= 1)
+        return out
 
     def term_entry(self, term: str):
         return self.dict.get(term)
@@ -243,14 +342,14 @@ class QueryScorer:
         self.avgdl = float(stats["avgdl"])
         self.k = k
         self.method = method
-        if mode not in ("or", "and", "phrase", "near", "prefix"):
+        if mode not in ("or", "and", "phrase", "near", "prefix", "fuzzy"):
             raise ValueError(
-                f"mode must be 'or', 'and', 'phrase', 'near' or 'prefix', not {mode!r}"
+                f"mode must be 'or', 'and', 'phrase', 'near', 'prefix' or 'fuzzy', not {mode!r}"
             )
         if mode == "and" and method not in ("wand", "brute"):
             raise ValueError(f"conjunctive scoring supports wand/brute, not {method!r}")
-        if mode == "prefix" and method not in ("wand", "brute"):
-            raise ValueError(f"prefix scoring supports wand/brute, not {method!r}")
+        if mode in ("prefix", "fuzzy") and method not in ("wand", "brute"):
+            raise ValueError(f"{mode} scoring supports wand/brute, not {method!r}")
         if mode in ("phrase", "near") and method != "wand":
             raise ValueError(f"{mode} scoring supports method='wand', not {method!r}")
         self.mode = mode
@@ -704,6 +803,32 @@ class QueryScorer:
                 terms.update(tokenize(raw))
         return self._score_terms(terms)
 
+    def _expand_fuzzy(self, tok: str) -> set[str]:
+        """Union of each segment's d≤1 dictionary candidates, cached per
+        scorer (typo-class queries repeat the same tokens heavily)."""
+        if not hasattr(self, "_fuzzy_exp_cache"):
+            self._fuzzy_exp_cache: dict[str, set[str]] = {}
+        got = self._fuzzy_exp_cache.get(tok)
+        if got is None:
+            got = set()
+            for seg in self.segments:
+                got.update(seg.fuzzy1_candidates(tok))
+            self._fuzzy_exp_cache[tok] = got
+        return got
+
+    def _score_query_fuzzy(self, text: str) -> tuple[np.ndarray, np.ndarray]:
+        """Typo-tolerant retrieval: EVERY query token expands to the
+        dictionary terms within Levenshtein distance ≤ 1 (including exact
+        hits); the union scores as disjunctive BM25, each matched term with
+        its own global df/idf — the scoring_boolean rewrite of Lucene's
+        FuzzyQuery(maxEdits=1), minus transposition credit (plain
+        Levenshtein, replayable by DuckDB's levenshtein()). A token with no
+        near-dictionary neighbour contributes nothing."""
+        terms: set[str] = set()
+        for tok in set(tokenize(text)):
+            terms |= self._expand_fuzzy(tok)
+        return self._score_terms(terms)
+
     def _score_query(self, text: str) -> tuple[np.ndarray, np.ndarray]:
         if self.mode == "and":
             return self._score_query_conj(text)
@@ -713,6 +838,8 @@ class QueryScorer:
             return self._score_query_near(text)
         if self.mode == "prefix":
             return self._score_query_prefix(text)
+        if self.mode == "fuzzy":
+            return self._score_query_fuzzy(text)
         return self._score_terms(set(tokenize(text)))
 
     def _score_terms(self, toks: set[str]) -> tuple[np.ndarray, np.ndarray]:

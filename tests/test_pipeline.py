@@ -526,3 +526,59 @@ def test_prefix_mode_on_real_index(golden_index):
 
     # query 2: bare * expands to nothing -> empty result
     assert (got["query_id"] == 2).sum() == 0
+
+
+def test_fuzzy_mode_on_real_index(golden_index):
+    """mode='fuzzy': expansion == an independent scalar-DP Levenshtein<=1
+    scan of the vocabulary, scored bit-identically to the spelled-out
+    or-mode query; wand == brute; a hopeless token contributes nothing."""
+    from aarhus_ray.stages.query_stage import _lev_dp
+    from aarhus_ray.textnorm import tokenize
+
+    docs = _docs_table(golden_index["index"], ["doc_id", "text"])
+    vocab = sorted({t for txt in docs["text"].to_pylist() for t in tokenize(txt)})
+    base = next(t for t in vocab if len(t) >= 4)
+    typo = base[:-1] + ("x" if base[-1] != "x" else "y")  # one substitution
+    expanded = sorted(t for t in vocab if _lev_dp(typo, t) <= 1)
+    assert base in expanded
+
+    q = pa.table({
+        "query_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array([typo, "qqqqzzzz"], pa.string()),
+    })
+    got = (
+        query_index(golden_index["index"], q, k=10, mode="fuzzy", resolve_urls=False)
+        .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    got_brute = (
+        query_index(
+            golden_index["index"], q, k=10, mode="fuzzy", method="brute", resolve_urls=False
+        ).to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    assert (got["doc_id"].to_numpy() == got_brute["doc_id"].to_numpy()).all()
+    assert (got["score"].to_numpy() == got_brute["score"].to_numpy()).all()
+
+    q_or = pa.table({
+        "query_id": pa.array([0], pa.int64()),
+        "text": pa.array([" ".join(expanded)], pa.string()),
+    })
+    want = (
+        query_index(golden_index["index"], q_or, k=10, resolve_urls=False)
+        .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    g0 = got[got["query_id"] == 0].reset_index(drop=True)
+    assert (g0["doc_id"].to_numpy() == want["doc_id"].to_numpy()).all()
+    assert (g0["score"].to_numpy() == want["score"].to_numpy()).all()
+
+    assert (got["query_id"] == 1).sum() == 0  # no d<=1 neighbour
+
+    # direct expansion check: segment-level candidates == DP scan of vocab
+    from aarhus_ray.pipelines.query import list_segments
+    from aarhus_ray.stages.query_stage import Segment
+
+    idx = golden_index["index"]
+    segs = [Segment(idx, sid) for sid in list_segments(idx)]
+    for probe in [typo, vocab[0], vocab[-1], "a", vocab[len(vocab) // 2] + "s"]:
+        got_exp = sorted({t for s in segs for t in s.fuzzy1_candidates(probe)})
+        want_exp = sorted(t for t in vocab if _lev_dp(probe, t) <= 1)
+        assert got_exp == want_exp, probe
