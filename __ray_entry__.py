@@ -116,6 +116,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fulltext_bm25_prefix_topk": fulltext.bm25_topk_prefix,
         # typo tolerance: terms expand to edit-distance-1 dictionary hits
         "fulltext_bm25_fuzzy_topk": fulltext.bm25_topk_fuzzy,
+        # facet panel: per-query match-set counts grouped by lang
+        "fulltext_facet_counts": fulltext.facet_counts_query,
         # delete-compact lifecycle: tombstone 1/5 of docs, compact (purge +
         # stats recompute), query — must equal a fresh build over survivors
         "fulltext_bm25_deleted": fulltext.bm25_topk_deleted,
@@ -534,6 +536,7 @@ def oracle_sql() -> dict[str, str]:
         "fulltext_bm25_near_topk": fulltext.bm25_near_oracle_sql(),
         "fulltext_bm25_prefix_topk": fulltext.bm25_prefix_oracle_sql(),
         "fulltext_bm25_fuzzy_topk": fulltext.bm25_fuzzy_oracle_sql(),
+        "fulltext_facet_counts": fulltext.facet_counts_oracle_sql(),
         "fulltext_bm25_deleted": fulltext.bm25_deleted_oracle_sql(),
         "fulltext_index_stats": fulltext.index_stats_oracle_sql(),
         "fulltext_bm25_snippets": fulltext.bm25_snippets_oracle_sql(),

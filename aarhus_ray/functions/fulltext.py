@@ -445,6 +445,47 @@ ORDER BY query_id, rank
 """
 
 
+def facet_counts_query(sf_dir: str) -> pd.DataFrame:
+    """Search-engine faceting: for each FT_QUERY, the count of DISTINCT
+    documents containing ≥1 query term, grouped by the lang facet (the
+    facet panel an engine renders next to top-k; pipelines/query.
+    facet_counts). Output (query_id, lang, n_docs), lang ascending."""
+    from ..pipelines.query import facet_counts
+
+    index = _ensure_index(sf_dir, fresh=False)
+    queries = pa.table(
+        {
+            "query_id": pa.array(range(len(FT_QUERIES)), pa.int64()),
+            "text": pa.array(list(FT_QUERIES), pa.string()),
+        }
+    )
+    out = facet_counts(index, queries, facet="lang").to_pandas()
+    return out.sort_values(["query_id", "lang"]).reset_index(drop=True)
+
+
+def facet_counts_oracle_sql() -> str:
+    """Facet-count oracle: distinct (query, doc) matches through the token
+    table, grouped by the document's lang."""
+    values = ",".join(
+        f"({qid}, '{term}')" for qid, q in enumerate(FT_QUERIES) for term in q.split()
+    )
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok
+    FROM documents) WHERE tok <> ''
+),
+q(query_id, tok) AS (VALUES {values}),
+qd AS (SELECT DISTINCT query_id, tok FROM q),
+matches AS (SELECT DISTINCT qd.query_id, toks.doc_id FROM qd JOIN toks USING (tok))
+SELECT CAST(m.query_id AS BIGINT) AS query_id, d.lang,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM matches m JOIN documents d USING (doc_id)
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 SNIPPET_WINDOW = 7
 
 

@@ -264,6 +264,48 @@ def query_index(
     return merged
 
 
+def facet_counts(
+    out_dir: str,
+    queries,
+    facet: str = "lang",
+    concurrency: int | None = None,
+    batch_size: int = 64,
+) -> ray.data.Dataset:
+    """Per-query FACET COUNTS over the full match set: for each query, the
+    number of DISTINCT documents containing ≥1 query term, grouped by a
+    docs/-sidecar facet column — the aggregation a search engine renders
+    as the facet panel next to top-k results. Returns a Dataset
+    (query_id, <facet>, n_docs), facet values ascending within a query.
+    Tombstoned docs are excluded (same visibility as query_index).
+
+    Same execution shape as query_index: queries stream through stateless
+    map_batches tasks; each worker holds the mmap'd segments plus ONE
+    dictionary-encoded facet array (code bytes per doc), cached per
+    worker process."""
+    from ..stages.query_stage import FacetCountTaskFn
+
+    segs = list_segments(out_dir)
+    if not segs:
+        raise ValueError(f"no segments under {out_dir}")
+    conc = concurrency or max(1, _cpus())
+    if isinstance(queries, str):
+        import pyarrow.parquet as _pq
+
+        queries = _pq.read_table(queries)
+    if isinstance(queries, pa.Table):
+        n_blocks = max(1, min(conc * 4, queries.num_rows // max(1, batch_size) + 1))
+        per = (queries.num_rows + n_blocks - 1) // n_blocks
+        slices = [queries.slice(i * per, per) for i in range(n_blocks) if i * per < queries.num_rows]
+        qds = ray.data.from_arrow(slices)
+    else:
+        qds = queries
+    return qds.map_batches(
+        FacetCountTaskFn(out_dir, segs, facet, index_version(out_dir)),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+
+
 def _cpus() -> int:
     try:
         return max(2, int(ray.cluster_resources().get("CPU", 8)))

@@ -923,6 +923,104 @@ class QueryScorer:
         )
 
 
+class FacetCounter:
+    """Search-engine FACETING over the full match set: for each query,
+    count the DISTINCT documents containing ≥1 query term, grouped by a
+    docs/-sidecar facet column (e.g. lang). This is the collection-time
+    aggregation mainstream engines run alongside top-k — the match set is
+    the disjunctive postings union (doc_ids only; no scores, no doclens,
+    no text), so the per-query cost is the query terms' postings length,
+    exactly like scoring. Tombstoned docs are excluded (visibility
+    semantics shared with QueryScorer).
+
+    State loads once per worker (segments mmap + one dictionary-encoded
+    facet array over the docs sidecar — code bytes per doc, not strings);
+    at cluster scale the facet array shards by doc range with the same
+    plan as DoclenTable (SCALE.md §3)."""
+
+    def __init__(self, out_dir: str, seg_ids: list[int] | None = None, facet: str = "lang"):
+        import pyarrow.compute as pc
+
+        if seg_ids is None:
+            from ..pipelines.query import list_segments
+
+            seg_ids = list_segments(out_dir)
+        self.segments = [Segment(out_dir, sid) for sid in seg_ids]
+        self.facet = facet
+        files = sorted(glob.glob(os.path.join(out_dir, "docs", "pid=*.parquet")))
+        tbl = pa.concat_tables(pq.read_table(f, columns=["doc_id", facet]) for f in files)
+        # per-pid files are doc_id-ascending and visited in pid order, so
+        # the concat is globally sorted (doc_id = (pid<<40)|row)
+        self.doc_ids = tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        enc = pc.dictionary_encode(tbl[facet].combine_chunks())
+        self.codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        self.values = enc.dictionary.to_pylist()
+        self.exclude_ids = mf.read_tombstones(out_dir)
+
+    def _match_set(self, text: str) -> np.ndarray:
+        lists = []
+        for t in set(tokenize(text)):
+            for seg in self.segments:
+                got = seg.term_postings(t)
+                if got is not None:
+                    lists.append(got[0])
+        if not lists:
+            return np.empty(0, np.uint64)
+        docs = np.unique(np.concatenate(lists))
+        if self.exclude_ids is not None:
+            pos = np.searchsorted(self.exclude_ids, docs)
+            ok = pos < len(self.exclude_ids)
+            ok[ok] = self.exclude_ids[pos[ok]] == docs[ok]
+            docs = docs[~ok]
+        return docs
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids_out: list[int] = []
+        vals_out: list[str] = []
+        counts_out: list[int] = []
+        for qid, text in zip(batch["query_id"].to_pylist(), batch["text"].to_pylist()):
+            docs = self._match_set(text)
+            if len(docs) == 0:
+                continue
+            codes = self.codes[np.searchsorted(self.doc_ids, docs)]
+            counts = np.bincount(codes, minlength=len(self.values))
+            # frozen output order: facet value ascending within each query
+            for vi in np.argsort(np.asarray(self.values, dtype=object), kind="stable"):
+                if counts[vi]:
+                    qids_out.append(qid)
+                    vals_out.append(self.values[vi])
+                    counts_out.append(int(counts[vi]))
+        return pa.table(
+            {
+                "query_id": pa.array(qids_out, pa.int64()),
+                self.facet: pa.array(vals_out, pa.string()),
+                "n_docs": pa.array(counts_out, pa.int64()),
+            }
+        )
+
+
+_WORKER_FACET_CACHE: dict[tuple, "FacetCounter"] = {}
+
+
+class FacetCountTaskFn:
+    """Task-fn form of FacetCounter (same worker-process cache pattern as
+    ScorerTaskFn — long-lived default workers, no actor spawn)."""
+
+    def __init__(self, out_dir: str, seg_ids: list[int], facet: str, version: float):
+        self.args = (out_dir, tuple(seg_ids), facet, version)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_dir, seg_ids, facet, version = self.args
+        key = (out_dir, version, seg_ids, facet)
+        fc = _WORKER_FACET_CACHE.get(key)
+        if fc is None:
+            for k in [k for k in _WORKER_FACET_CACHE if k[0] == out_dir and k[1] < version]:
+                del _WORKER_FACET_CACHE[k]
+            fc = FacetCounter(out_dir, list(seg_ids), facet)
+            _WORKER_FACET_CACHE[key] = fc
+        return fc(batch)
+
+
 _WORKER_SCORER_CACHE: dict[tuple, "QueryScorer"] = {}
 
 

@@ -582,3 +582,29 @@ def test_fuzzy_mode_on_real_index(golden_index):
         got_exp = sorted({t for s in segs for t in s.fuzzy1_candidates(probe)})
         want_exp = sorted(t for t in vocab if _lev_dp(probe, t) <= 1)
         assert got_exp == want_exp, probe
+
+
+def test_facet_counts_on_real_index(golden_index):
+    """facet_counts == python reference over the docs table: distinct docs
+    containing >=1 query term, counted by lang, facet values ascending."""
+    from aarhus_ray.pipelines.query import facet_counts
+    from aarhus_ray.textnorm import tokenize
+
+    q = fixtures.gen_queries(12, seed=5)
+    got = (
+        facet_counts(golden_index["index"], q, facet="lang")
+        .to_pandas().sort_values(["query_id", "lang"]).reset_index(drop=True)
+    )
+    docs = _docs_table(golden_index["index"], ["doc_id", "text", "lang"])
+    toks_of = [set(tokenize(t)) for t in docs["text"].to_pylist()]
+    langs = docs["lang"].to_pylist()
+    want_rows = []
+    for qid, text in zip(q["query_id"].to_pylist(), q["text"].to_pylist()):
+        terms = set(tokenize(text))
+        counts: dict[str, int] = {}
+        for dt, lg in zip(toks_of, langs):
+            if terms & dt:
+                counts[lg] = counts.get(lg, 0) + 1
+        for lg in sorted(counts):
+            want_rows.append((qid, lg, counts[lg]))
+    assert list(map(tuple, got.itertuples(index=False))) == want_rows
