@@ -18,6 +18,7 @@ import pyarrow.parquet as pq
 
 from ..pipelines.build import build_index
 from ..pipelines.query import query_index
+from ..textnorm import tokenize
 
 # Frozen query set (query_id = position). Duplicate terms count once (frozen
 # engine semantics — mirrored with DISTINCT in the oracle SQL).
@@ -163,6 +164,17 @@ FT_FUZZIES = (
     "kei valu",
     "zzznotinvocab",
     "window",
+)
+
+# Frozen boost query set: per-term weights (term^W), incl. fractional
+# weights, a repeated term (weights SUM: table^2 table ≡ table^3), an
+# unweighted control and an OOV boost (contributes nothing).
+FT_BOOSTS = (
+    "table^2 query",
+    "customer^0.5 batch^3",
+    "table^2 table",
+    "zzznotinvocab^5 merge",
+    "vector",
 )
 
 
@@ -483,6 +495,79 @@ SELECT CAST(m.query_id AS BIGINT) AS query_id, d.lang,
 FROM matches m JOIN documents d USING (doc_id)
 GROUP BY 1, 2
 ORDER BY 1, 2
+"""
+
+
+def _parse_boosts(q: str) -> list[tuple[str, float]]:
+    """(token, weight) pairs of a boost query — the same parse the engine
+    runs (query_stage._score_query_boost): ``^W`` suffix, default 1.0,
+    non-numeric suffixes treated as part of the term."""
+    out = []
+    for raw in q.split():
+        stem, sep, ws = raw.rpartition("^")
+        w = 1.0
+        if sep:
+            try:
+                w = float(ws)
+            except ValueError:
+                stem = raw
+        else:
+            stem = raw
+        for t in tokenize(stem):
+            out.append((t, w))
+    return out
+
+
+def bm25_topk_boost(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Weighted retrieval: ``term^W`` multiplies that term's BM25
+    contribution by W (Lucene boost syntax; repeated terms sum weights).
+    Scaling contributions AND block maxima keeps WAND exact —
+    wand == brute is property-tested (tests/test_pipeline.py)."""
+    return _run_queries(_ensure_index(sf_dir, fresh=False), FT_BOOSTS, k, "boost")
+
+
+def bm25_boost_oracle_sql(k: int = 10) -> str:
+    """Boost oracle: the BM25 CTE stack with per-term weights — the query
+    map carries (tok, w) rows, duplicate terms SUM their weights, and the
+    score multiplies each term's contribution by the summed weight."""
+    values = ",".join(
+        f"({qid}, '{tok}', {w!r})"
+        for qid, q in enumerate(FT_BOOSTS)
+        for tok, w in _parse_boosts(q)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok
+    FROM documents) WHERE tok <> ''
+),
+dl AS (SELECT d.doc_id, CAST(coalesce(t.c, 0) AS DOUBLE) AS dl
+       FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS c FROM toks GROUP BY 1) t USING (doc_id)),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+q(query_id, tok, w) AS (VALUES {values}),
+qw AS (SELECT query_id, tok, CAST(SUM(w) AS DOUBLE) AS w FROM q GROUP BY 1, 2),
+scored AS (
+  SELECT qw.query_id, tf.doc_id,
+         sum( qw.w * ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * (1.2 + 1.0)
+              / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score
+  FROM qw
+  JOIN tf USING (tok)
+  JOIN df USING (tok)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+  FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank, doc_id
+FROM ranked WHERE rank <= {k}
+ORDER BY query_id, rank
 """
 
 

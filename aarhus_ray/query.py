@@ -16,13 +16,14 @@ def main(argv=None) -> int:
     p.add_argument("--method", choices=("wand", "brute"), default="wand")
     p.add_argument(
         "--mode",
-        choices=("or", "and", "phrase", "near", "prefix", "fuzzy"),
+        choices=("or", "and", "phrase", "near", "prefix", "fuzzy", "boost"),
         default="or",
         help="or: disjunctive BM25; and: conjunctive; phrase: exact phrase; "
         "near: all terms within --near-window tokens (phrase/near use the "
         "positional sidecar when present, else checkpoint text verify); "
         "prefix: trailing-* terms expand against the term dictionary; "
-        "fuzzy: every term expands to dictionary terms within edit distance 1",
+        "fuzzy: every term expands to dictionary terms within edit distance 1; "
+        "boost: term^W multiplies that term's BM25 contribution by W",
     )
     p.add_argument("--near-window", type=int, default=8)
     p.add_argument("--out", default=None, help="write results parquet here instead of stdout")

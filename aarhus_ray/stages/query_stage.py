@@ -342,13 +342,14 @@ class QueryScorer:
         self.avgdl = float(stats["avgdl"])
         self.k = k
         self.method = method
-        if mode not in ("or", "and", "phrase", "near", "prefix", "fuzzy"):
+        if mode not in ("or", "and", "phrase", "near", "prefix", "fuzzy", "boost"):
             raise ValueError(
-                f"mode must be 'or', 'and', 'phrase', 'near', 'prefix' or 'fuzzy', not {mode!r}"
+                f"mode must be 'or', 'and', 'phrase', 'near', 'prefix', 'fuzzy' "
+                f"or 'boost', not {mode!r}"
             )
         if mode == "and" and method not in ("wand", "brute"):
             raise ValueError(f"conjunctive scoring supports wand/brute, not {method!r}")
-        if mode in ("prefix", "fuzzy") and method not in ("wand", "brute"):
+        if mode in ("prefix", "fuzzy", "boost") and method not in ("wand", "brute"):
             raise ValueError(f"{mode} scoring supports wand/brute, not {method!r}")
         if mode in ("phrase", "near") and method != "wand":
             raise ValueError(f"{mode} scoring supports method='wand', not {method!r}")
@@ -829,6 +830,54 @@ class QueryScorer:
             terms |= self._expand_fuzzy(tok)
         return self._score_terms(terms)
 
+    def _score_query_boost(self, text: str) -> tuple[np.ndarray, np.ndarray]:
+        """Weighted retrieval: ``term^2.5`` multiplies that term's BM25
+        contribution by 2.5 (Lucene boost syntax). Frozen semantics:
+        unmarked terms weigh 1.0; REPEATED terms SUM their weights
+        ("table^2 table" ≡ table^3 — unlike or-mode's set semantics, and
+        exactly what a grouping SQL oracle computes); negative boosts are
+        rejected (they would invalidate WAND's upper bounds). Scaling both
+        the cached contribution arrays and the block maxima by w keeps
+        Block-Max WAND admissible and exact, so wand == brute stays
+        bit-identical (property-tested)."""
+        weights: dict[str, float] = {}
+        for raw in text.split():
+            stem, sep, ws = raw.rpartition("^")
+            w = 1.0
+            if sep:
+                try:
+                    w = float(ws)
+                except ValueError:
+                    stem = raw
+            else:
+                stem = raw
+            if w < 0:
+                raise ValueError(f"negative boost in query term {raw!r}")
+            for t in tokenize(stem):
+                weights[t] = weights.get(t, 0.0) + w
+        owners = {}
+        for t in weights:
+            segs = self._owners(t)
+            if segs:
+                owners[t] = segs
+        terms = sorted(owners)
+        if not terms:
+            return np.empty(0, np.uint64), np.empty(0, np.float64)
+        entries = []
+        for t in terms:
+            doc_ids, contribs, lasts, bmax = self._term_arrays(t, owners[t])
+            w = weights[t]
+            entries.append((t, doc_ids, contribs * w, lasts, bmax * w))
+        if self.method == "brute":
+            from ..bm25 import topk_select
+
+            all_ids = np.unique(np.concatenate([e[1] for e in entries]))
+            scores = np.zeros(len(all_ids), dtype=np.float64)
+            for _, doc_ids, contribs, _, _ in entries:  # sorted-term order
+                scores[np.searchsorted(all_ids, doc_ids)] += contribs
+            return topk_select(all_ids, scores, self.k)
+        return block_max_topk(entries, self.avgdl, self.k)
+
     def _score_query(self, text: str) -> tuple[np.ndarray, np.ndarray]:
         if self.mode == "and":
             return self._score_query_conj(text)
@@ -840,6 +889,8 @@ class QueryScorer:
             return self._score_query_prefix(text)
         if self.mode == "fuzzy":
             return self._score_query_fuzzy(text)
+        if self.mode == "boost":
+            return self._score_query_boost(text)
         return self._score_terms(set(tokenize(text)))
 
     def _score_terms(self, toks: set[str]) -> tuple[np.ndarray, np.ndarray]:

@@ -608,3 +608,60 @@ def test_facet_counts_on_real_index(golden_index):
         for lg in sorted(counts):
             want_rows.append((qid, lg, counts[lg]))
     assert list(map(tuple, got.itertuples(index=False))) == want_rows
+
+
+def test_boost_mode_on_real_index(golden_index):
+    """mode='boost': wand == brute bit-identical; all-weights-1 == plain
+    or-mode; 't^2 t' == 't^3' (weights sum); negative boost rejected."""
+    from aarhus_ray.textnorm import tokenize
+
+    docs = _docs_table(golden_index["index"], ["doc_id", "text"])
+    vocab = sorted({t for txt in docs["text"].to_pylist() for t in tokenize(txt)})
+    a, b = vocab[0], vocab[len(vocab) // 2]
+
+    q = pa.table({
+        "query_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array([f"{a}^2.5 {b}", f"{a} {b}", f"{a}^2 {a} {b}"], pa.string()),
+    })
+    got = (
+        query_index(golden_index["index"], q, k=10, mode="boost", resolve_urls=False)
+        .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    got_brute = (
+        query_index(
+            golden_index["index"], q, k=10, mode="boost", method="brute", resolve_urls=False
+        ).to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    assert (got["doc_id"].to_numpy() == got_brute["doc_id"].to_numpy()).all()
+    assert (got["score"].to_numpy() == got_brute["score"].to_numpy()).all()
+
+    # query 1 (all weights 1) == plain or-mode
+    q_or = pa.table({"query_id": pa.array([1], pa.int64()),
+                     "text": pa.array([f"{a} {b}"], pa.string())})
+    want = (
+        query_index(golden_index["index"], q_or, k=10, resolve_urls=False)
+        .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    g1 = got[got["query_id"] == 1].reset_index(drop=True)
+    assert (g1["doc_id"].to_numpy() == want["doc_id"].to_numpy()).all()
+    assert (g1["score"].to_numpy() == want["score"].to_numpy()).all()
+
+    # repeated-term weight summing: 'a^2 a b' == 'a^3 b'
+    q3 = pa.table({"query_id": pa.array([2], pa.int64()),
+                   "text": pa.array([f"{a}^3 {b}"], pa.string())})
+    want3 = (
+        query_index(golden_index["index"], q3, k=10, mode="boost", resolve_urls=False)
+        .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    g2 = got[got["query_id"] == 2].reset_index(drop=True)
+    assert (g2["doc_id"].to_numpy() == want3["doc_id"].to_numpy()).all()
+    assert (g2["score"].to_numpy() == want3["score"].to_numpy()).all()
+
+    # negative boost raises inside the worker -> surfaces as a Ray error
+    import pytest as _pytest
+
+    qneg = pa.table({"query_id": pa.array([0], pa.int64()),
+                     "text": pa.array([f"{a}^-1"], pa.string())})
+    with _pytest.raises(Exception, match="negative boost"):
+        query_index(golden_index["index"], qneg, k=10, mode="boost",
+                    resolve_urls=False).to_pandas()
