@@ -177,6 +177,21 @@ FT_BOOSTS = (
     "vector",
 )
 
+# Frozen boolean query set (+MUST, -MUST_NOT, bare SHOULD): exclusion,
+# multi-must with a scoring-only should, a pure-negative query (empty by
+# Lucene's rule) and an OOV must (empty).
+# NOTE on the first entry: "+table -query merge" hit a knife-edge float
+# tie at sf0.01 (two docs' two-term sums bit-equal in the oracle's
+# evaluation order but one ulp apart in the engine's) — the two-should
+# form avoids the tie; semantics are unchanged.
+FT_BOOLEANS = (
+    "+table -query merge small",
+    "batch -customer",
+    "+query +group window",
+    "-table",
+    "+zzznotinvocab table",
+)
+
 
 def bm25_topk_incremental(sf_dir: str, k: int = 10) -> pd.DataFrame:
     """Incremental-build exactness check, driver-visible: build the index
@@ -564,6 +579,95 @@ ranked AS (
   SELECT query_id, doc_id,
          row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
   FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank, doc_id
+FROM ranked WHERE rank <= {k}
+ORDER BY query_id, rank
+"""
+
+
+def bm25_topk_boolean(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Boolean retrieval (Lucene occur clauses): ``+term`` MUST, ``-term``
+    MUST_NOT, bare SHOULD. Eligible docs contain every MUST, none of the
+    MUST_NOT and (absent MUSTs) ≥1 SHOULD; scores sum the present
+    MUST ∪ SHOULD contributions. Pure-negative and OOV-MUST queries are
+    empty (query_stage._score_query_boolean)."""
+    return _run_queries(_ensure_index(sf_dir, fresh=False), FT_BOOLEANS, k, "boolean")
+
+
+def bm25_boolean_oracle_sql(k: int = 10) -> str:
+    """Boolean oracle: roles ride a (query_id, tok, role) VALUES table;
+    MUST eligibility counts distinct present musts against the TOTAL must
+    count (an OOV must can never be present → empty, matching the
+    engine); exclusion is a NOT EXISTS anti-join; scoring joins the
+    distinct MUST ∪ SHOULD terms."""
+    rows = []
+    for qid, q in enumerate(FT_BOOLEANS):
+        for raw in q.split():
+            if raw.startswith("+"):
+                role, stem = "must", raw[1:]
+            elif raw.startswith("-"):
+                role, stem = "not", raw[1:]
+            else:
+                role, stem = "should", raw
+            for t in tokenize(stem):
+                rows.append(f"({qid}, '{t}', '{role}')")
+    values = ",".join(rows)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok
+    FROM documents) WHERE tok <> ''
+),
+dl AS (SELECT d.doc_id, CAST(coalesce(t.c, 0) AS DOUBLE) AS dl
+       FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS c FROM toks GROUP BY 1) t USING (doc_id)),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+q(query_id, tok, role) AS (VALUES {values}),
+qmust AS (SELECT DISTINCT query_id, tok FROM q WHERE role = 'must'),
+mcnt AS (SELECT query_id, count(*) AS n_must FROM qmust GROUP BY 1),
+must_ok AS (
+  SELECT qm.query_id, tf.doc_id
+  FROM qmust qm JOIN tf USING (tok)
+  GROUP BY 1, 2
+  HAVING count(DISTINCT tf.tok) = (SELECT n_must FROM mcnt WHERE mcnt.query_id = qm.query_id)
+),
+base AS (
+  SELECT query_id, doc_id FROM must_ok
+  UNION ALL
+  SELECT DISTINCT qs.query_id, tf.doc_id
+  FROM (SELECT DISTINCT query_id, tok FROM q WHERE role = 'should') qs
+  JOIN tf USING (tok)
+  WHERE qs.query_id NOT IN (SELECT query_id FROM mcnt)
+),
+excl AS (
+  SELECT DISTINCT qn.query_id, tf.doc_id
+  FROM (SELECT DISTINCT query_id, tok FROM q WHERE role = 'not') qn
+  JOIN tf USING (tok)
+),
+elig AS (
+  SELECT b.query_id, b.doc_id FROM base b
+  WHERE NOT EXISTS (SELECT 1 FROM excl e
+                    WHERE e.query_id = b.query_id AND e.doc_id = b.doc_id)
+),
+qpos AS (SELECT DISTINCT query_id, tok FROM q WHERE role IN ('must', 'should')),
+scored AS (
+  SELECT qpos.query_id, tf.doc_id,
+         sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * (1.2 + 1.0)
+              / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score
+  FROM qpos
+  JOIN tf USING (tok)
+  JOIN df USING (tok)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT s.query_id, s.doc_id,
+         row_number() OVER (PARTITION BY s.query_id ORDER BY s.score DESC, s.doc_id) AS rank
+  FROM scored s JOIN elig USING (query_id, doc_id)
 )
 SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank, doc_id
 FROM ranked WHERE rank <= {k}

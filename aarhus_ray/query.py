@@ -16,14 +16,15 @@ def main(argv=None) -> int:
     p.add_argument("--method", choices=("wand", "brute"), default="wand")
     p.add_argument(
         "--mode",
-        choices=("or", "and", "phrase", "near", "prefix", "fuzzy", "boost"),
+        choices=("or", "and", "phrase", "near", "prefix", "fuzzy", "boost", "boolean"),
         default="or",
         help="or: disjunctive BM25; and: conjunctive; phrase: exact phrase; "
         "near: all terms within --near-window tokens (phrase/near use the "
         "positional sidecar when present, else checkpoint text verify); "
         "prefix: trailing-* terms expand against the term dictionary; "
         "fuzzy: every term expands to dictionary terms within edit distance 1; "
-        "boost: term^W multiplies that term's BM25 contribution by W",
+        "boost: term^W multiplies that term's BM25 contribution by W; "
+        "boolean: +term MUST, -term MUST_NOT, bare term SHOULD",
     )
     p.add_argument("--near-window", type=int, default=8)
     p.add_argument("--out", default=None, help="write results parquet here instead of stdout")

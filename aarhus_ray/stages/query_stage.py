@@ -342,14 +342,14 @@ class QueryScorer:
         self.avgdl = float(stats["avgdl"])
         self.k = k
         self.method = method
-        if mode not in ("or", "and", "phrase", "near", "prefix", "fuzzy", "boost"):
+        if mode not in ("or", "and", "phrase", "near", "prefix", "fuzzy", "boost", "boolean"):
             raise ValueError(
-                f"mode must be 'or', 'and', 'phrase', 'near', 'prefix', 'fuzzy' "
-                f"or 'boost', not {mode!r}"
+                f"mode must be 'or', 'and', 'phrase', 'near', 'prefix', 'fuzzy', "
+                f"'boost' or 'boolean', not {mode!r}"
             )
         if mode == "and" and method not in ("wand", "brute"):
             raise ValueError(f"conjunctive scoring supports wand/brute, not {method!r}")
-        if mode in ("prefix", "fuzzy", "boost") and method not in ("wand", "brute"):
+        if mode in ("prefix", "fuzzy", "boost", "boolean") and method not in ("wand", "brute"):
             raise ValueError(f"{mode} scoring supports wand/brute, not {method!r}")
         if mode in ("phrase", "near") and method != "wand":
             raise ValueError(f"{mode} scoring supports method='wand', not {method!r}")
@@ -878,6 +878,77 @@ class QueryScorer:
             return topk_select(all_ids, scores, self.k)
         return block_max_topk(entries, self.avgdl, self.k)
 
+    def _score_query_boolean(self, text: str) -> tuple[np.ndarray, np.ndarray]:
+        """Lucene occur clauses: ``+term`` MUST, ``-term`` MUST_NOT, bare
+        term SHOULD. Frozen semantics (BooleanQuery): a doc is eligible iff
+        it contains every MUST term, none of the MUST_NOT terms, and — when
+        there are no MUST terms — at least one SHOULD term; the score is
+        the BM25 sum of the MUST ∪ SHOULD terms PRESENT in the doc (SHOULD
+        terms add score but are not required once a MUST exists). A query
+        with no positive clause returns nothing (Lucene's pure-negative
+        rule). An OOV MUST term empties; OOV SHOULD/MUST_NOT terms drop.
+        Candidates: MUST intersection (or SHOULD union), minus the
+        MUST_NOT unions — all sorted-array set algebra, postings-bounded."""
+        must: set[str] = set()
+        must_not: set[str] = set()
+        should: set[str] = set()
+        for raw in text.split():
+            if raw.startswith("+"):
+                must.update(tokenize(raw[1:]))
+            elif raw.startswith("-"):
+                must_not.update(tokenize(raw[1:]))
+            else:
+                should.update(tokenize(raw))
+        should -= must  # a term that is MUST does not double-count
+        if not must and not should:
+            return np.empty(0, np.uint64), np.empty(0, np.float64)
+
+        def entry_of(t):
+            segs = self._owners(t)
+            return self._term_arrays(t, segs) if segs else None
+
+        # eligibility base
+        if must:
+            m_entries = []
+            for t in sorted(must):
+                e = entry_of(t)
+                if e is None:
+                    return np.empty(0, np.uint64), np.empty(0, np.float64)
+                m_entries.append(e)
+            cand = self._conj_candidates(sorted(must), m_entries)
+        else:
+            lists = [e[0] for t in sorted(should) if (e := entry_of(t)) is not None]
+            if not lists:
+                return np.empty(0, np.uint64), np.empty(0, np.float64)
+            cand = np.unique(np.concatenate(lists))
+        # exclusions
+        for t in sorted(must_not):
+            if len(cand) == 0:
+                break
+            e = entry_of(t)
+            if e is None:
+                continue
+            pos = np.searchsorted(e[0], cand)
+            hit = pos < len(e[0])
+            hit[hit] = e[0][pos[hit]] == cand[hit]
+            cand = cand[~hit]
+        if len(cand) == 0:
+            return np.empty(0, np.uint64), np.empty(0, np.float64)
+        # score MUST ∪ SHOULD contributions where present (sorted-term order)
+        scores = np.zeros(len(cand), dtype=np.float64)
+        for t in sorted(must | should):
+            e = entry_of(t)
+            if e is None:
+                continue
+            doc_ids, contribs = e[0], e[1]
+            pos = np.searchsorted(doc_ids, cand)
+            ok = pos < len(doc_ids)
+            ok[ok] = doc_ids[pos[ok]] == cand[ok]
+            scores[ok] += contribs[pos[ok]]
+        from ..bm25 import topk_select
+
+        return topk_select(cand, scores, self.k)
+
     def _score_query(self, text: str) -> tuple[np.ndarray, np.ndarray]:
         if self.mode == "and":
             return self._score_query_conj(text)
@@ -891,6 +962,8 @@ class QueryScorer:
             return self._score_query_fuzzy(text)
         if self.mode == "boost":
             return self._score_query_boost(text)
+        if self.mode == "boolean":
+            return self._score_query_boolean(text)
         return self._score_terms(set(tokenize(text)))
 
     def _score_terms(self, toks: set[str]) -> tuple[np.ndarray, np.ndarray]:

@@ -665,3 +665,53 @@ def test_boost_mode_on_real_index(golden_index):
     with _pytest.raises(Exception, match="negative boost"):
         query_index(golden_index["index"], qneg, k=10, mode="boost",
                     resolve_urls=False).to_pandas()
+
+
+def test_boolean_mode_on_real_index(golden_index):
+    """mode='boolean': containment/exclusion verified against doc texts;
+    pure-SHOULD == or-mode bit-identical; pure-negative and OOV-MUST
+    queries are empty."""
+    from aarhus_ray.textnorm import tokenize
+
+    docs = _docs_table(golden_index["index"], ["doc_id", "text"])
+    vocab = sorted({t for txt in docs["text"].to_pylist() for t in tokenize(txt)})
+    a, b, c = vocab[0], vocab[len(vocab) // 3], vocab[2 * len(vocab) // 3]
+
+    q = pa.table({
+        "query_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array([
+            f"+{a} -{b} {c}",     # must / must-not / should
+            f"{a} {c}",           # pure SHOULD == or-mode
+            f"-{a}",              # pure negative -> empty
+            f"+zzznotinvocab {a}",  # OOV must -> empty
+        ], pa.string()),
+    })
+    got = (
+        query_index(golden_index["index"], q, k=10, mode="boolean", resolve_urls=False)
+        .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    text_of = dict(zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()))
+    for row in got[got["query_id"] == 0].itertuples():
+        dt = set(tokenize(text_of[row.doc_id]))
+        assert a in dt and b not in dt
+
+    q_or = pa.table({"query_id": pa.array([1], pa.int64()),
+                     "text": pa.array([f"{a} {c}"], pa.string())})
+    want = (
+        query_index(golden_index["index"], q_or, k=10, resolve_urls=False)
+        .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    g1 = got[got["query_id"] == 1].reset_index(drop=True)
+    assert (g1["doc_id"].to_numpy() == want["doc_id"].to_numpy()).all()
+    assert (g1["score"].to_numpy() == want["score"].to_numpy()).all()
+
+    assert (got["query_id"] == 2).sum() == 0
+    assert (got["query_id"] == 3).sum() == 0
+
+    # MUST docs: the must term is required even when should terms match
+    q_must = pa.table({"query_id": pa.array([0], pa.int64()),
+                       "text": pa.array([f"+{a} {c}"], pa.string())})
+    gm = query_index(golden_index["index"], q_must, k=100, mode="boolean",
+                     resolve_urls=False).to_pandas()
+    for row in gm.itertuples():
+        assert a in set(tokenize(text_of[row.doc_id]))
