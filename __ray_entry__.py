@@ -122,6 +122,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fulltext_bm25_boost_topk": fulltext.bm25_topk_boost,
         # +must / -mustnot / should occur clauses (Lucene BooleanQuery)
         "fulltext_bm25_boolean_topk": fulltext.bm25_topk_boolean,
+        # result diversification: exact top-k within each lang group
+        "fulltext_facet_topk": fulltext.facet_topk_query,
         # delete-compact lifecycle: tombstone 1/5 of docs, compact (purge +
         # stats recompute), query — must equal a fresh build over survivors
         "fulltext_bm25_deleted": fulltext.bm25_topk_deleted,
@@ -543,6 +545,7 @@ def oracle_sql() -> dict[str, str]:
         "fulltext_facet_counts": fulltext.facet_counts_oracle_sql(),
         "fulltext_bm25_boost_topk": fulltext.bm25_boost_oracle_sql(),
         "fulltext_bm25_boolean_topk": fulltext.bm25_boolean_oracle_sql(),
+        "fulltext_facet_topk": fulltext.facet_topk_oracle_sql(),
         "fulltext_bm25_deleted": fulltext.bm25_deleted_oracle_sql(),
         "fulltext_index_stats": fulltext.index_stats_oracle_sql(),
         "fulltext_bm25_snippets": fulltext.bm25_snippets_oracle_sql(),

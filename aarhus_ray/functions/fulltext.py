@@ -675,6 +675,76 @@ ORDER BY query_id, rank
 """
 
 
+def facet_topk_query(sf_dir: str, k: int = 5) -> pd.DataFrame:
+    """Grouped top-k (result diversification): for each FT_QUERY, the top-k
+    BM25 hits WITHIN each lang facet group — exact per-group rankings
+    (pipelines/query.facet_topk). Output (query_id, lang, rank, doc_id),
+    lang ascending, 1-based ranks per group."""
+    from ..pipelines.query import facet_topk
+    from ..stages.query_stage import UrlResolver
+
+    index = _ensure_index(sf_dir, fresh=False)
+    queries = pa.table(
+        {
+            "query_id": pa.array(range(len(FT_QUERIES)), pa.int64()),
+            "text": pa.array(list(FT_QUERIES), pa.string()),
+        }
+    )
+    ds = facet_topk(index, queries, facet="lang", k=k).map_batches(
+        UrlResolver, fn_constructor_args=(index,), batch_format="pyarrow",
+        concurrency=(1, 2),
+    )
+    res = ds.to_pandas()
+    res["doc_id"] = res["url"].map(url_doc_id).astype("int64")
+    out = res[["query_id", "lang", "rank", "doc_id"]].sort_values(
+        ["query_id", "lang", "rank"]
+    )
+    out["rank"] = out["rank"].astype("int32")
+    return out.reset_index(drop=True)
+
+
+def facet_topk_oracle_sql(k: int = 5) -> str:
+    """Grouped-top-k oracle: the BM25 CTE stack windowed per (query, lang)."""
+    values = ",".join(
+        f"({qid}, '{term}')" for qid, q in enumerate(FT_QUERIES) for term in q.split()
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok
+    FROM documents) WHERE tok <> ''
+),
+dl AS (SELECT d.doc_id, CAST(coalesce(t.c, 0) AS DOUBLE) AS dl
+       FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS c FROM toks GROUP BY 1) t USING (doc_id)),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+q(query_id, tok) AS (VALUES {values}),
+qd AS (SELECT DISTINCT query_id, tok FROM q),
+scored AS (
+  SELECT qd.query_id, tf.doc_id,
+         sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * (1.2 + 1.0)
+              / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score
+  FROM qd
+  JOIN tf USING (tok)
+  JOIN df USING (tok)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT s.query_id, d.lang, s.doc_id,
+         row_number() OVER (PARTITION BY s.query_id, d.lang
+                            ORDER BY s.score DESC, s.doc_id) AS rank
+  FROM scored s JOIN documents d USING (doc_id)
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, lang, CAST(rank AS INTEGER) AS rank, doc_id
+FROM ranked WHERE rank <= {k}
+ORDER BY query_id, lang, rank
+"""
+
+
 SNIPPET_WINDOW = 7
 
 

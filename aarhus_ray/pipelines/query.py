@@ -306,6 +306,44 @@ def facet_counts(
     )
 
 
+def facet_topk(
+    out_dir: str,
+    queries,
+    facet: str = "lang",
+    k: int = 5,
+    concurrency: int | None = None,
+    batch_size: int = 64,
+) -> ray.data.Dataset:
+    """GROUPED top-k: for each query, the top-k BM25 hits within every
+    facet group (result diversification / field collapsing). Returns a
+    Dataset (query_id, <facet>, rank, doc_id, score) — exact per-group
+    rankings (the full disjunctive ranking restricted to each group),
+    facet values ascending within a query. Execution shape identical to
+    query_index (stateless tasks, worker-cached state)."""
+    from ..stages.query_stage import FacetTopKTaskFn
+
+    segs = list_segments(out_dir)
+    if not segs:
+        raise ValueError(f"no segments under {out_dir}")
+    conc = concurrency or max(1, _cpus())
+    if isinstance(queries, str):
+        import pyarrow.parquet as _pq
+
+        queries = _pq.read_table(queries)
+    if isinstance(queries, pa.Table):
+        n_blocks = max(1, min(conc * 4, queries.num_rows // max(1, batch_size) + 1))
+        per = (queries.num_rows + n_blocks - 1) // n_blocks
+        slices = [queries.slice(i * per, per) for i in range(n_blocks) if i * per < queries.num_rows]
+        qds = ray.data.from_arrow(slices)
+    else:
+        qds = queries
+    return qds.map_batches(
+        FacetTopKTaskFn(out_dir, segs, facet, k, index_version(out_dir)),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+
+
 def _cpus() -> int:
     try:
         return max(2, int(ray.cluster_resources().get("CPU", 8)))

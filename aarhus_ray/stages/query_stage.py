@@ -1123,7 +1123,100 @@ class FacetCounter:
         )
 
 
+class FacetTopK:
+    """GROUPED top-k (result diversification): for each query, the top-k
+    BM25 hits WITHIN every facet group (e.g. per lang) — the "collapse by
+    field" feature of mainstream engines, exact: the per-group ranking is
+    the full disjunctive ranking restricted to the group, so it can be
+    replayed by a windowed SQL oracle (row_number PARTITION BY query,
+    facet). Composition: a brute-path QueryScorer supplies per-term
+    cached (doc_id, contribution) arrays (tombstone/facet visibility
+    included); the union accumulates in sorted-term order — bit-identical
+    to the scorer's brute path — then one dictionary-code pass groups."""
+
+    def __init__(
+        self, out_dir: str, seg_ids: list[int] | None = None, facet: str = "lang", k: int = 5
+    ):
+        import pyarrow.compute as pc
+
+        self.scorer = QueryScorer(out_dir, seg_ids, k=k, method="brute")
+        self.k = k
+        self.facet = facet
+        files = sorted(glob.glob(os.path.join(out_dir, "docs", "pid=*.parquet")))
+        tbl = pa.concat_tables(pq.read_table(f, columns=["doc_id", facet]) for f in files)
+        self.doc_ids = tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        enc = pc.dictionary_encode(tbl[facet].combine_chunks())
+        self.codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        self.values = enc.dictionary.to_pylist()
+        self._value_order = sorted(range(len(self.values)), key=self.values.__getitem__)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..bm25 import topk_select
+
+        qids_out: list[int] = []
+        vals_out: list[str] = []
+        ranks_out: list[int] = []
+        docs_out: list[np.ndarray] = []
+        scores_out: list[np.ndarray] = []
+        for qid, text in zip(batch["query_id"].to_pylist(), batch["text"].to_pylist()):
+            owners = {}
+            for t in set(tokenize(text)):
+                segs = self.scorer._owners(t)
+                if segs:
+                    owners[t] = segs
+            terms = sorted(owners)
+            if not terms:
+                continue
+            entries = [self.scorer._term_arrays(t, owners[t]) for t in terms]
+            all_ids = np.unique(np.concatenate([e[0] for e in entries]))
+            scores = np.zeros(len(all_ids), dtype=np.float64)
+            for doc_ids, contribs, _, _ in entries:  # sorted-term order
+                pos = np.searchsorted(all_ids, doc_ids)
+                scores[pos] += contribs
+            codes = self.codes[np.searchsorted(self.doc_ids, all_ids)]
+            for vi in self._value_order:
+                m = codes == vi
+                if not m.any():
+                    continue
+                d, s = topk_select(all_ids[m], scores[m], self.k)
+                qids_out.extend([qid] * len(d))
+                vals_out.extend([self.values[vi]] * len(d))
+                ranks_out.extend(range(1, len(d) + 1))
+                docs_out.append(d)
+                scores_out.append(s)
+        docs = np.concatenate(docs_out) if docs_out else np.empty(0, np.uint64)
+        scrs = np.concatenate(scores_out) if scores_out else np.empty(0, np.float64)
+        return pa.table(
+            {
+                "query_id": pa.array(qids_out, pa.int64()),
+                self.facet: pa.array(vals_out, pa.string()),
+                "rank": pa.array(np.asarray(ranks_out, dtype=np.int32), pa.int32()),
+                "doc_id": pa.array(docs, pa.uint64()),
+                "score": pa.array(scrs, pa.float64()),
+            }
+        )
+
+
 _WORKER_FACET_CACHE: dict[tuple, "FacetCounter"] = {}
+_WORKER_FACET_TOPK_CACHE: dict[tuple, "FacetTopK"] = {}
+
+
+class FacetTopKTaskFn:
+    """Task-fn form of FacetTopK (worker-process cache, as ScorerTaskFn)."""
+
+    def __init__(self, out_dir: str, seg_ids: list[int], facet: str, k: int, version: float):
+        self.args = (out_dir, tuple(seg_ids), facet, k, version)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_dir, seg_ids, facet, k, version = self.args
+        key = (out_dir, version, seg_ids, facet, k)
+        ft = _WORKER_FACET_TOPK_CACHE.get(key)
+        if ft is None:
+            for kk in [kk for kk in _WORKER_FACET_TOPK_CACHE if kk[0] == out_dir and kk[1] < version]:
+                del _WORKER_FACET_TOPK_CACHE[kk]
+            ft = FacetTopK(out_dir, list(seg_ids), facet, k)
+            _WORKER_FACET_TOPK_CACHE[key] = ft
+        return ft(batch)
 
 
 class FacetCountTaskFn:

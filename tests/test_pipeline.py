@@ -715,3 +715,32 @@ def test_boolean_mode_on_real_index(golden_index):
                      resolve_urls=False).to_pandas()
     for row in gm.itertuples():
         assert a in set(tokenize(text_of[row.doc_id]))
+
+
+def test_facet_topk_on_real_index(golden_index):
+    """facet_topk == the full brute ranking restricted to each lang group
+    (doc_ids AND scores bit-identical), ranks 1-based per group."""
+    from aarhus_ray.pipelines.query import facet_topk
+
+    q = fixtures.gen_queries(8, seed=3)
+    got = (
+        facet_topk(golden_index["index"], q, facet="lang", k=4)
+        .to_pandas().sort_values(["query_id", "lang", "rank"]).reset_index(drop=True)
+    )
+    docs = _docs_table(golden_index["index"], ["doc_id", "lang"])
+    lang_of = dict(zip(docs["doc_id"].to_pylist(), docs["lang"].to_pylist()))
+    full = (
+        query_index(golden_index["index"], q, k=len(lang_of), method="brute",
+                    resolve_urls=False)
+        .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    full["lang"] = full["doc_id"].map(lang_of)
+    want_rows = []
+    for (qid, lg), sub in full.groupby(["query_id", "lang"], sort=True):
+        for r, row in enumerate(sub.itertuples(), 1):
+            if r > 4:
+                break
+            want_rows.append((qid, lg, r, row.doc_id, row.score))
+    got_rows = list(map(tuple, got[["query_id", "lang", "rank", "doc_id", "score"]]
+                        .itertuples(index=False)))
+    assert got_rows == want_rows
