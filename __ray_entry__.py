@@ -131,6 +131,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fulltext_bm25_snippets": fulltext.bm25_snippets,  # KWIC result windows
         "fulltext_bm25_filtered": fulltext.bm25_topk_filtered,  # lang-facet filter
         "fulltext_more_like_this": fulltext.more_like_this,  # doc-similarity search
+        # sort-by-field: k newest matches by the warc_ts docvalue sidecar
+        "fulltext_bm25_recency": fulltext.bm25_topk_recency,
+        # numeric-range filter over the same docvalue; BM25 stats stay global
+        "fulltext_bm25_ts_range": fulltext.bm25_topk_ts_range,
+        "fulltext_match_counts": fulltext.match_counts_query,  # totalHits
+        "fulltext_bm25_page2": fulltext.bm25_topk_page2,  # deep paging (ranks 11..20)
+        # ES significant_text over each query's top-50 sample (integer lift)
+        "fulltext_significant_terms": fulltext.significant_terms,
+        # "did you mean": OOV tokens -> highest-df Levenshtein<=1 vocab term
+        "fulltext_spell_suggest": fulltext.spell_suggest,
     }
 
 
@@ -551,4 +561,10 @@ def oracle_sql() -> dict[str, str]:
         "fulltext_bm25_snippets": fulltext.bm25_snippets_oracle_sql(),
         "fulltext_bm25_filtered": fulltext.bm25_filtered_oracle_sql(),
         "fulltext_more_like_this": fulltext.more_like_this_oracle_sql(),
+        "fulltext_bm25_recency": fulltext.bm25_recency_oracle_sql(),
+        "fulltext_bm25_ts_range": fulltext.bm25_ts_range_oracle_sql(),
+        "fulltext_match_counts": fulltext.match_counts_oracle_sql(),
+        "fulltext_bm25_page2": fulltext.bm25_page2_oracle_sql(),
+        "fulltext_significant_terms": fulltext.significant_terms_oracle_sql(),
+        "fulltext_spell_suggest": fulltext.spell_suggest_oracle_sql(),
     }

@@ -31,6 +31,17 @@ FT_QUERIES = (
     "slow slow merge",
 )
 BASE_TS_US = 1_700_000_000_000_000
+# Synthetic crawl-ts rule: a Knuth-hash permutation of doc_id (injective —
+# TS_MULT has no factor of the prime TS_MOD), so timestamp order is NOT
+# doc_id order and sort-by-recency genuinely exercises the docvalue path.
+# Exactly replayable in SQL: (doc_id * 2654435761) % 1000000007 is BIGINT-
+# safe for every driver doc_id.
+TS_MULT = 2_654_435_761
+TS_MOD = 1_000_000_007
+
+
+def doc_ts_us(doc_id: int) -> int:
+    return BASE_TS_US + (doc_id * TS_MULT) % TS_MOD
 
 
 def doc_url(doc_id: int) -> str:
@@ -50,7 +61,7 @@ def docs_as_pages(sf_dir: str, out_path: str) -> str:
     pages = pa.table(
         {
             "url": pa.array([doc_url(i) for i in ids], pa.string()),
-            "warc_ts": pa.array([BASE_TS_US + i for i in ids], pa.timestamp("us")),
+            "warc_ts": pa.array([doc_ts_us(i) for i in ids], pa.timestamp("us")),
             "html": pa.array(htmls, pa.binary()),
             "text": pa.array(texts, pa.string()),
             "lang": t["lang"],
@@ -62,9 +73,10 @@ def docs_as_pages(sf_dir: str, out_path: str) -> str:
 
 
 def _work_dir(sf_dir: str) -> str:
-    # ":v2" — docs checkpoint gained the lang facet column; old cached
-    # indexes under /tmp must not be reused by facet-filtered queries
-    key = hashlib.blake2b(f"{sf_dir}:v2".encode(), digest_size=6).hexdigest()
+    # ":v3" — docs checkpoint gained the warc_ts docvalue column and the
+    # synthetic crawl ts became the hashed permutation; old cached indexes
+    # under /tmp must not be reused by recency/range queries
+    key = hashlib.blake2b(f"{sf_dir}:v3".encode(), digest_size=6).hexdigest()
     return f"/tmp/aarhus_fulltext_{key}"
 
 
@@ -1048,6 +1060,411 @@ ranked AS (
 SELECT CAST(s AS BIGINT) AS src_doc_id, CAST(rank AS INTEGER) AS rank, doc_id
 FROM ranked WHERE rank <= {k}
 ORDER BY src_doc_id, rank
+"""
+
+
+def bm25_topk_recency(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Sort-by-field retrieval: per FT_QUERY, the k NEWEST matching docs —
+    the match set is the ordinary disjunctive postings union, but ranking
+    is (warc_ts DESC, doc_id ASC) over the index's numeric docvalue
+    sidecar, relevance never computed (pipelines/query.sort_topk /
+    query_stage.DocvalueTopK). The synthetic crawl ts is the hashed
+    doc_id permutation (doc_ts_us), so this genuinely tests the docvalue
+    path: ts order ≠ doc order, and the oracle replays the permutation in
+    integer SQL. Output (query_id, rank, doc_id, warc_ts)."""
+    from ..pipelines.query import sort_topk
+    from ..stages.query_stage import UrlResolver
+
+    index = _ensure_index(sf_dir, fresh=False)
+    queries = pa.table(
+        {
+            "query_id": pa.array(range(len(FT_QUERIES)), pa.int64()),
+            "text": pa.array(list(FT_QUERIES), pa.string()),
+        }
+    )
+    ds = sort_topk(index, queries, field="warc_ts", k=k).map_batches(
+        UrlResolver, fn_constructor_args=(index,), batch_format="pyarrow",
+        concurrency=(1, 2),
+    )
+    res = ds.to_pandas()
+    res["doc_id"] = res["url"].map(url_doc_id).astype("int64")
+    res["warc_ts"] = res["warc_ts"].astype("int64")
+    out = res[["query_id", "rank", "doc_id", "warc_ts"]].sort_values(["query_id", "rank"])
+    out["rank"] = out["rank"].astype("int32")
+    return out.reset_index(drop=True)
+
+
+def bm25_recency_oracle_sql(k: int = 10) -> str:
+    """Recency oracle: the distinct match set through the token table,
+    ranked by the integer-replayed crawl ts (BASE + (doc_id*M) mod P)
+    DESC, doc_id ASC — no floats anywhere."""
+    values = ",".join(
+        f"({qid}, '{term}')" for qid, q in enumerate(FT_QUERIES) for term in q.split()
+    )
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok
+    FROM documents) WHERE tok <> ''
+),
+q(query_id, tok) AS (VALUES {values}),
+qd AS (SELECT DISTINCT query_id, tok FROM q),
+matches AS (SELECT DISTINCT qd.query_id, toks.doc_id FROM qd JOIN toks USING (tok)),
+ranked AS (
+  SELECT query_id, doc_id,
+         {BASE_TS_US} + (doc_id * {TS_MULT}) % {TS_MOD} AS warc_ts,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY (doc_id * {TS_MULT}) % {TS_MOD} DESC, doc_id) AS rank
+  FROM matches
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank,
+       doc_id, CAST(warc_ts AS BIGINT) AS warc_ts
+FROM ranked WHERE rank <= {k}
+ORDER BY query_id, rank
+"""
+
+
+# Frozen ts-range filter: scramble values in [1e8, 6e8) µs past BASE —
+# a ~50% slice of the corpus under the uniform hashed permutation.
+TS_RANGE_LO_US = BASE_TS_US + 100_000_000
+TS_RANGE_HI_US = BASE_TS_US + 600_000_000
+
+
+def bm25_topk_ts_range(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Numeric-range-filtered retrieval: top-k BM25 per FT_QUERIES
+    restricted to docs whose crawl ts ∈ [TS_RANGE_LO_US, TS_RANGE_HI_US)
+    — "search only pages crawled in this window". The filter set comes
+    from the docvalue sidecar (``docvalue_range_ids`` — pruned parallel
+    read, one broadcast), masked at postings-gather time exactly like the
+    facet filter; BM25 statistics stay GLOBAL (a doc's score is identical
+    with and without the filter — the oracle replays eligibility as a
+    predicate join before ranking)."""
+    from ..pipelines.query import docvalue_range_ids
+
+    index = _ensure_index(sf_dir, fresh=False)
+    allowed = docvalue_range_ids(index, "warc_ts", TS_RANGE_LO_US, TS_RANGE_HI_US)
+    return _run_queries(index, FT_QUERIES, k, "or", filter_ids=allowed)
+
+
+def bm25_ts_range_oracle_sql(k: int = 10) -> str:
+    """Range-filter oracle: the unchanged BM25 CTEs (GLOBAL stats) with
+    eligibility restricted by the integer-replayed ts permutation."""
+    values = ",".join(
+        f"({qid}, '{term}')" for qid, q in enumerate(FT_QUERIES) for term in q.split()
+    )
+    lo = TS_RANGE_LO_US - BASE_TS_US
+    hi = TS_RANGE_HI_US - BASE_TS_US
+    return f"""
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok
+    FROM documents) WHERE tok <> ''
+),
+dl AS (SELECT d.doc_id, CAST(coalesce(t.c, 0) AS DOUBLE) AS dl
+       FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS c FROM toks GROUP BY 1) t USING (doc_id)),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+q(query_id, tok) AS (VALUES {values}),
+qd AS (SELECT DISTINCT query_id, tok FROM q),
+scored AS (
+  SELECT qd.query_id, tf.doc_id,
+         sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * (1.2 + 1.0)
+              / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score
+  FROM qd
+  JOIN tf USING (tok)
+  JOIN df USING (tok)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+  FROM scored
+  WHERE (doc_id * {TS_MULT}) % {TS_MOD} >= {lo}
+    AND (doc_id * {TS_MULT}) % {TS_MOD} < {hi}
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank, doc_id
+FROM ranked WHERE rank <= {k}
+ORDER BY query_id, rank
+"""
+
+
+def match_counts_query(sf_dir: str) -> pd.DataFrame:
+    """Total hits per FT_QUERY (Lucene totalHits): distinct docs containing
+    ≥1 query term (pipelines/query.match_counts). Output (query_id,
+    n_hits); the OOV query matches nothing and emits no row — the
+    SQL-join semantics the oracle replays."""
+    from ..pipelines.query import match_counts
+
+    index = _ensure_index(sf_dir, fresh=False)
+    queries = pa.table(
+        {
+            "query_id": pa.array(range(len(FT_QUERIES)), pa.int64()),
+            "text": pa.array(list(FT_QUERIES), pa.string()),
+        }
+    )
+    out = match_counts(index, queries).to_pandas()
+    return out.sort_values("query_id").reset_index(drop=True)
+
+
+def match_counts_oracle_sql() -> str:
+    values = ",".join(
+        f"({qid}, '{term}')" for qid, q in enumerate(FT_QUERIES) for term in q.split()
+    )
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok
+    FROM documents) WHERE tok <> ''
+),
+q(query_id, tok) AS (VALUES {values}),
+qd AS (SELECT DISTINCT query_id, tok FROM q)
+SELECT CAST(qd.query_id AS BIGINT) AS query_id,
+       CAST(count(DISTINCT toks.doc_id) AS BIGINT) AS n_hits
+FROM qd JOIN toks USING (tok)
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+PAGE_OFFSET = 10  # deep-paging window: ranks 11..20 (page 2 at k=10)
+
+
+def bm25_topk_page2(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Deep paging (page 2): per FT_QUERY the hits at ABSOLUTE ranks
+    offset+1..offset+k of the frozen BM25 total order. Implemented the way
+    Lucene implements searchAfter/offset: collect top (offset+k) with the
+    same exact WAND, then slice — ranks stay absolute so page boundaries
+    are verifiable (the oracle replays rank BETWEEN 11 AND 20)."""
+    res = _run_queries(
+        _ensure_index(sf_dir, fresh=False), FT_QUERIES, PAGE_OFFSET + k, "or"
+    )
+    out = res[res["rank"] > PAGE_OFFSET].reset_index(drop=True)
+    return out
+
+
+def bm25_page2_oracle_sql(k: int = 10) -> str:
+    base = bm25_oracle_sql(PAGE_OFFSET + k)
+    return base.replace(
+        f"WHERE rank <= {PAGE_OFFSET + k}",
+        f"WHERE rank > {PAGE_OFFSET} AND rank <= {PAGE_OFFSET + k}",
+    )
+
+
+SIG_SAMPLE = 50   # foreground sample: each query's top-50 BM25 docs
+SIG_MIN_FG = 3    # min sampled docs containing the term (ES min_doc_count)
+SIG_SCALE = 1_000_000  # integer lift scale (frozen; makes ranking SQL-exact)
+SIG_TOP = 10
+
+
+def significant_terms(sf_dir: str) -> pd.DataFrame:
+    """Significant-terms aggregation (Elasticsearch ``significant_text``
+    over a sampled result set): for each FT_QUERY, the terms
+    over-represented in its top-SIG_SAMPLE BM25 docs relative to the whole
+    corpus. Frozen integer-only scoring so the ranking is SQL-exact:
+
+        lift = (fg * N * SIG_SCALE) // (S * bg)
+
+    fg = sampled docs containing the term, S = sample size (≤ SIG_SAMPLE),
+    bg = GLOBAL df (the shard-dict sum scoring uses), N = corpus size —
+    integer division, no floats. The query's own tokens are excluded;
+    fg ≥ SIG_MIN_FG (rare-junk floor); order (lift DESC, fg DESC, term
+    ASC), top SIG_TOP per query. Foreground counting reads ONLY the ≤
+    S×Q sampled docs' text (the same right-sized fetch as snippets); bg
+    comes from the dictionaries, no corpus scan."""
+    from ..pipelines.query import list_segments
+    from ..stages.query_stage import Segment
+    from ..textnorm import tokenize
+    import pyarrow.compute as pc
+
+    index = _ensure_index(sf_dir, fresh=False)
+    segs = [Segment(index, sid) for sid in list_segments(index)]
+    from ..state import manifest as _mf
+
+    n_docs = int(_mf.read_stats(index)["n_docs"])
+
+    res = _run_queries(index, FT_QUERIES, SIG_SAMPLE, "or")
+    want = pa.array(sorted(set(res["doc_id"].tolist())), pa.int64())
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    t = t.filter(pc.is_in(t["doc_id"], value_set=want))
+    toks_of = {
+        d: set(tokenize(x))
+        for d, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist())
+    }
+
+    rows = []
+    for qid, q in enumerate(FT_QUERIES):
+        sample = res[res["query_id"] == qid]["doc_id"].tolist()
+        s = len(sample)
+        if s == 0:
+            continue
+        qtoks = set(tokenize(q))
+        fg: dict[str, int] = {}
+        for d in sample:
+            for tok in toks_of[d]:
+                if tok not in qtoks:
+                    fg[tok] = fg.get(tok, 0) + 1
+        cands = []
+        for tok, f in fg.items():
+            if f < SIG_MIN_FG:
+                continue
+            bg = sum(sg.dict[tok][0] for sg in segs if tok in sg.dict)
+            lift = (f * n_docs * SIG_SCALE) // (s * bg)
+            cands.append((-lift, -f, tok, bg))
+        cands.sort()
+        for rank, (nl, nf, tok, bg) in enumerate(cands[:SIG_TOP], start=1):
+            rows.append((qid, rank, tok, -nf, bg, -nl))
+    out = pd.DataFrame(
+        rows, columns=["query_id", "rank", "term", "fg", "bg", "lift"]
+    )
+    out["query_id"] = out["query_id"].astype("int64")
+    out["rank"] = out["rank"].astype("int32")
+    for c in ("fg", "bg", "lift"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def significant_terms_oracle_sql() -> str:
+    """Significant-terms oracle: the frozen top-SIG_SAMPLE ranking CTE →
+    sampled (query, doc) pairs → per-term fg over the sample, bg = global
+    df, integer-division lift, (lift DESC, fg DESC, term ASC) window."""
+    values = ",".join(
+        f"({qid}, '{term}')" for qid, q in enumerate(FT_QUERIES) for term in q.split()
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok
+    FROM documents) WHERE tok <> ''
+),
+dl AS (SELECT d.doc_id, CAST(coalesce(t.c, 0) AS DOUBLE) AS dl
+       FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS c FROM toks GROUP BY 1) t USING (doc_id)),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+q(query_id, tok) AS (VALUES {values}),
+qd AS (SELECT DISTINCT query_id, tok FROM q),
+scored AS (
+  SELECT qd.query_id, tf.doc_id,
+         sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * (1.2 + 1.0)
+              / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score
+  FROM qd JOIN tf USING (tok) JOIN df USING (tok)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s GROUP BY 1, 2
+),
+sample AS (
+  SELECT query_id, doc_id FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+    FROM scored) WHERE rank <= {SIG_SAMPLE}
+),
+ssize AS (SELECT query_id, CAST(count(*) AS BIGINT) AS s FROM sample GROUP BY 1),
+n_corpus AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+dtoks AS (SELECT DISTINCT doc_id, tok FROM toks),
+bg AS (SELECT tok, CAST(count(*) AS BIGINT) AS bg FROM dtoks GROUP BY 1),
+fg AS (
+  SELECT sm.query_id, dt.tok, CAST(count(*) AS BIGINT) AS fg
+  FROM sample sm JOIN dtoks dt USING (doc_id)
+  WHERE dt.tok NOT IN (SELECT tok FROM qd WHERE qd.query_id = sm.query_id)
+  GROUP BY 1, 2
+  HAVING count(*) >= {SIG_MIN_FG}
+),
+lifted AS (
+  SELECT fg.query_id, fg.tok, fg.fg, bg.bg,
+         (fg.fg * n.n * {SIG_SCALE}) // (ss.s * bg.bg) AS lift
+  FROM fg JOIN bg USING (tok)
+  JOIN ssize ss ON ss.query_id = fg.query_id
+  CROSS JOIN n_corpus n
+),
+ranked AS (
+  SELECT query_id, tok, fg, bg, lift,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY lift DESC, fg DESC, tok ASC) AS rank
+  FROM lifted
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank,
+       tok AS term, fg, bg, CAST(lift AS BIGINT) AS lift
+FROM ranked WHERE rank <= {SIG_TOP}
+ORDER BY query_id, rank
+"""
+
+
+def spell_suggest(sf_dir: str) -> pd.DataFrame:
+    """"Did you mean": for each FT_FUZZIES token NOT in the vocabulary,
+    the Levenshtein≤1 dictionary term with the highest GLOBAL df (tie:
+    term ASC) — Lucene DirectSpellChecker's frequency-ranked suggestion,
+    computed from the same per-segment vectorized length-bucket scan the
+    fuzzy mode uses (Segment.fuzzy1_candidates) with dfs summed across
+    term shards. In-vocab tokens and tokens with no d≤1 neighbour emit no
+    row (the SQL-join semantics). Output (query_id, token, suggestion,
+    df)."""
+    from ..pipelines.query import list_segments
+    from ..stages.query_stage import Segment
+    from ..textnorm import tokenize
+
+    index = _ensure_index(sf_dir, fresh=False)
+    segs = [Segment(index, sid) for sid in list_segments(index)]
+
+    def global_df(term: str) -> int:
+        return sum(sg.dict[term][0] for sg in segs if term in sg.dict)
+
+    rows = []
+    for qid, q in enumerate(FT_FUZZIES):
+        seen = set()
+        for tok in tokenize(q):
+            if tok in seen:
+                continue
+            seen.add(tok)
+            if global_df(tok) > 0:
+                continue  # in vocabulary — nothing to correct
+            cands = set()
+            for sg in segs:
+                cands.update(sg.fuzzy1_candidates(tok))
+            cands.discard(tok)
+            if not cands:
+                continue
+            best = min(cands, key=lambda c: (-global_df(c), c))  # df DESC, term ASC
+            rows.append((qid, tok, best, global_df(best)))
+    out = pd.DataFrame(rows, columns=["query_id", "token", "suggestion", "df"])
+    out["query_id"] = out["query_id"].astype("int64")
+    out["df"] = out["df"].astype("int64")
+    return out
+
+
+def spell_suggest_oracle_sql() -> str:
+    """Spell-suggestion oracle: OOV query tokens joined to the vocabulary
+    on levenshtein ≤ 1, argmax df with term-ASC tie via row_number."""
+    values = ",".join(
+        f"({qid}, '{tok}')"
+        for qid, q in enumerate(FT_FUZZIES)
+        for tok in dict.fromkeys(q.split())
+    )
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok
+    FROM documents) WHERE tok <> ''
+),
+vocab AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM toks GROUP BY 1),
+q(query_id, token) AS (VALUES {values}),
+oov AS (
+  SELECT q.query_id, q.token FROM q
+  WHERE q.token NOT IN (SELECT tok FROM vocab)
+),
+cand AS (
+  SELECT o.query_id, o.token, v.tok AS suggestion, v.df,
+         row_number() OVER (PARTITION BY o.query_id, o.token
+                            ORDER BY v.df DESC, v.tok ASC) AS rn
+  FROM oov o JOIN vocab v
+    ON levenshtein(v.tok, o.token) <= 1 AND v.tok <> o.token
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, token, suggestion, df
+FROM cand WHERE rn = 1
+ORDER BY query_id, token
 """
 
 

@@ -179,6 +179,72 @@ def facet_doc_ids(out_dir: str, column: str, values) -> np.ndarray:
     return np.concatenate(parts)
 
 
+@ray.remote
+def _range_ids_of(path: str, column: str, lo: int, hi: int) -> np.ndarray:
+    """One docs/pid file's doc_ids with docvalue in [lo, hi) — pruned read
+    (doc_id + the int64 docvalue column only)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as _pq
+
+    t = _pq.read_table(path, columns=["doc_id", column])
+    v = t[column].cast(pa.int64())
+    m = pc.and_(pc.greater_equal(v, lo), pc.less(v, hi))
+    return t.filter(m)["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+
+
+def docvalue_range_ids(out_dir: str, column: str, lo: int, hi: int) -> np.ndarray:
+    """Sorted doc_id array for a NUMERIC RANGE predicate (lo <= column <
+    hi) over the docs/ sidecar — the range-filter input for
+    ``query_index(filter_ids=...)`` (e.g. "only pages crawled this week").
+    Same shape and cluster posture as ``facet_doc_ids``: one pruned Ray
+    task per pid file, per-pid arrays already ascending, concat in pid
+    order is globally sorted."""
+    paths = [
+        os.path.join(out_dir, "docs", f"pid={p:04d}.parquet") for p in doc_pids(out_dir)
+    ]
+    parts = ray.get([_range_ids_of.remote(p, column, int(lo), int(hi)) for p in paths])
+    if not parts:
+        return np.empty(0, np.uint64)
+    return np.concatenate(parts)
+
+
+def sort_topk(
+    out_dir: str,
+    queries,
+    field: str = "warc_ts",
+    k: int = 10,
+    concurrency: int | None = None,
+    batch_size: int = 64,
+) -> ray.data.Dataset:
+    """Sort-by-field retrieval: per query, the top-k MATCHING docs ordered
+    by a numeric docvalue (field DESC, doc_id ASC) instead of by score —
+    "newest matches first". Returns (query_id, rank, doc_id, <field>).
+    Execution shape identical to query_index (stateless tasks,
+    worker-cached DocvalueTopK state)."""
+    from ..stages.query_stage import DocvalueTopKTaskFn
+
+    segs = list_segments(out_dir)
+    if not segs:
+        raise ValueError(f"no segments under {out_dir}")
+    conc = concurrency or max(1, _cpus())
+    if isinstance(queries, str):
+        import pyarrow.parquet as _pq
+
+        queries = _pq.read_table(queries)
+    if isinstance(queries, pa.Table):
+        n_blocks = max(1, min(conc * 4, queries.num_rows // max(1, batch_size) + 1))
+        per = (queries.num_rows + n_blocks - 1) // n_blocks
+        slices = [queries.slice(i * per, per) for i in range(n_blocks) if i * per < queries.num_rows]
+        qds = ray.data.from_arrow(slices)
+    else:
+        qds = queries
+    return qds.map_batches(
+        DocvalueTopKTaskFn(out_dir, segs, field, k, index_version(out_dir)),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+
+
 def query_index(
     out_dir: str,
     queries,
@@ -301,6 +367,40 @@ def facet_counts(
         qds = queries
     return qds.map_batches(
         FacetCountTaskFn(out_dir, segs, facet, index_version(out_dir)),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+
+
+def match_counts(
+    out_dir: str,
+    queries,
+    concurrency: int | None = None,
+    batch_size: int = 64,
+) -> ray.data.Dataset:
+    """TOTAL HITS per query: the distinct visible docs containing ≥1 query
+    term (Lucene totalHits — the count a result page shows next to top-k).
+    Returns (query_id, n_hits); empty-match queries emit no row. Same
+    stateless-task execution shape as query_index."""
+    from ..stages.query_stage import MatchCountTaskFn
+
+    segs = list_segments(out_dir)
+    if not segs:
+        raise ValueError(f"no segments under {out_dir}")
+    conc = concurrency or max(1, _cpus())
+    if isinstance(queries, str):
+        import pyarrow.parquet as _pq
+
+        queries = _pq.read_table(queries)
+    if isinstance(queries, pa.Table):
+        n_blocks = max(1, min(conc * 4, queries.num_rows // max(1, batch_size) + 1))
+        per = (queries.num_rows + n_blocks - 1) // n_blocks
+        slices = [queries.slice(i * per, per) for i in range(n_blocks) if i * per < queries.num_rows]
+        qds = ray.data.from_arrow(slices)
+    else:
+        qds = queries
+    return qds.map_batches(
+        MatchCountTaskFn(out_dir, segs, index_version(out_dir)),
         batch_format="pyarrow",
         batch_size=batch_size,
     )

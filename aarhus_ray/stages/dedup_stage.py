@@ -33,6 +33,9 @@ DOCS_SCHEMA = pa.schema(
         ("text", pa.string()),
         ("lang", pa.string()),  # facet sidecar (query-time filters); "" when
         # the source carried no lang column
+        ("warc_ts", pa.int64()),  # numeric docvalue sidecar (µs since epoch):
+        # the winner row's crawl timestamp — query-time sort-by-field and
+        # range filters read this column, pruned, exactly like the facet
     ]
 )
 
@@ -98,6 +101,7 @@ class DedupAssignWriter:
                 "doclen": pa.array(doclens, pa.uint32()),
                 "text": text_arr,
                 "lang": lang_arr,
+                "warc_ts": pa.array(ts[winners], pa.int64()),
             }
         )
         path = docs_path(self.out_dir, pid)

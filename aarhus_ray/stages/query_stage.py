@@ -1197,8 +1197,149 @@ class FacetTopK:
         )
 
 
+class DocvalueTopK:
+    """Sort-by-field retrieval: for each query, the top-k docs of the
+    disjunctive MATCH SET ordered by a numeric docvalue (e.g. warc_ts
+    DESC — "newest matching pages"), NOT by score. Mainstream engines call
+    this sort-by-field; relevance never enters, so no BM25 state loads at
+    all — the worker holds the mmap'd segments plus ONE int64 docvalue
+    array over the docs sidecar (8 bytes/doc; shards by doc range at
+    cluster scale exactly like doclens, SCALE.md §3). Frozen total order:
+    (value DESC, doc_id ASC); tombstoned docs excluded (visibility shared
+    with QueryScorer)."""
+
+    def __init__(self, out_dir: str, seg_ids: list[int] | None = None,
+                 field: str = "warc_ts", k: int = 10):
+        if seg_ids is None:
+            from ..pipelines.query import list_segments
+
+            seg_ids = list_segments(out_dir)
+        self.segments = [Segment(out_dir, sid) for sid in seg_ids]
+        self.field = field
+        files = sorted(glob.glob(os.path.join(out_dir, "docs", "pid=*.parquet")))
+        tbl = pa.concat_tables(pq.read_table(f, columns=["doc_id", field]) for f in files)
+        # per-pid files are doc_id-ascending and visited in pid order, so
+        # the concat is globally sorted (doc_id = (pid<<40)|row)
+        self.doc_ids = tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        self.vals = tbl[field].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        self.exclude_ids = mf.read_tombstones(out_dir)
+        self.k = k
+
+    # match set = disjunctive postings union minus tombstones — identical
+    # semantics to faceting, so borrow the implementation wholesale
+    _match_set = FacetCounter._match_set
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids_out: list[int] = []
+        ranks_out: list[int] = []
+        docs_out: list[np.ndarray] = []
+        vals_out: list[np.ndarray] = []
+        for qid, text in zip(batch["query_id"].to_pylist(), batch["text"].to_pylist()):
+            docs = self._match_set(text)
+            if len(docs) == 0:
+                continue
+            vals = self.vals[np.searchsorted(self.doc_ids, docs)]
+            k = min(self.k, len(docs))
+            # top-k by (value DESC, doc_id ASC): docs is ascending, so a
+            # stable sort on -vals yields exactly that order
+            if len(docs) > k:
+                # partition finds the kth value cheaply; the deterministic
+                # (value DESC, doc_id ASC) order is then a stable sort over
+                # only the >= kth candidates (ties at the boundary included)
+                kth = -np.partition(-vals, k - 1)[k - 1]
+                cand = np.flatnonzero(vals >= kth)
+                sel = cand[np.argsort(-vals[cand], kind="stable")][:k]
+            else:
+                sel = np.argsort(-vals, kind="stable")[:k]
+            qids_out.extend([qid] * len(sel))
+            ranks_out.extend(range(1, len(sel) + 1))
+            docs_out.append(docs[sel])
+            vals_out.append(vals[sel])
+        docs = np.concatenate(docs_out) if docs_out else np.empty(0, np.uint64)
+        vals = np.concatenate(vals_out) if vals_out else np.empty(0, np.int64)
+        return pa.table(
+            {
+                "query_id": pa.array(qids_out, pa.int64()),
+                "rank": pa.array(np.asarray(ranks_out, dtype=np.int32), pa.int32()),
+                "doc_id": pa.array(docs, pa.uint64()),
+                self.field: pa.array(vals, pa.int64()),
+            }
+        )
+
+
+class MatchCounter:
+    """TOTAL HITS per query (Lucene's totalHits): the size of the
+    disjunctive match set — distinct visible docs containing ≥1 query
+    term. The cheapest collection an engine runs (doc_ids only: no
+    scores, no doclens, no docvalues); queries with an empty match set
+    emit no row (the SQL-join semantics the oracle replays)."""
+
+    def __init__(self, out_dir: str, seg_ids: list[int] | None = None):
+        if seg_ids is None:
+            from ..pipelines.query import list_segments
+
+            seg_ids = list_segments(out_dir)
+        self.segments = [Segment(out_dir, sid) for sid in seg_ids]
+        self.exclude_ids = mf.read_tombstones(out_dir)
+
+    _match_set = FacetCounter._match_set
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids_out: list[int] = []
+        counts_out: list[int] = []
+        for qid, text in zip(batch["query_id"].to_pylist(), batch["text"].to_pylist()):
+            n = len(self._match_set(text))
+            if n:
+                qids_out.append(qid)
+                counts_out.append(n)
+        return pa.table(
+            {
+                "query_id": pa.array(qids_out, pa.int64()),
+                "n_hits": pa.array(counts_out, pa.int64()),
+            }
+        )
+
+
 _WORKER_FACET_CACHE: dict[tuple, "FacetCounter"] = {}
 _WORKER_FACET_TOPK_CACHE: dict[tuple, "FacetTopK"] = {}
+_WORKER_DOCVALUE_TOPK_CACHE: dict[tuple, "DocvalueTopK"] = {}
+_WORKER_MATCH_COUNT_CACHE: dict[tuple, "MatchCounter"] = {}
+
+
+class MatchCountTaskFn:
+    """Task-fn form of MatchCounter (worker-process cache, as ScorerTaskFn)."""
+
+    def __init__(self, out_dir: str, seg_ids: list[int], version: float):
+        self.args = (out_dir, tuple(seg_ids), version)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_dir, seg_ids, version = self.args
+        key = (out_dir, version, seg_ids)
+        mc = _WORKER_MATCH_COUNT_CACHE.get(key)
+        if mc is None:
+            for kk in [kk for kk in _WORKER_MATCH_COUNT_CACHE if kk[0] == out_dir and kk[1] < version]:
+                del _WORKER_MATCH_COUNT_CACHE[kk]
+            mc = MatchCounter(out_dir, list(seg_ids))
+            _WORKER_MATCH_COUNT_CACHE[key] = mc
+        return mc(batch)
+
+
+class DocvalueTopKTaskFn:
+    """Task-fn form of DocvalueTopK (worker-process cache, as ScorerTaskFn)."""
+
+    def __init__(self, out_dir: str, seg_ids: list[int], field: str, k: int, version: float):
+        self.args = (out_dir, tuple(seg_ids), field, k, version)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_dir, seg_ids, field, k, version = self.args
+        key = (out_dir, version, seg_ids, field, k)
+        dv = _WORKER_DOCVALUE_TOPK_CACHE.get(key)
+        if dv is None:
+            for kk in [kk for kk in _WORKER_DOCVALUE_TOPK_CACHE if kk[0] == out_dir and kk[1] < version]:
+                del _WORKER_DOCVALUE_TOPK_CACHE[kk]
+            dv = DocvalueTopK(out_dir, list(seg_ids), field, k)
+            _WORKER_DOCVALUE_TOPK_CACHE[key] = dv
+        return dv(batch)
 
 
 class FacetTopKTaskFn:

@@ -744,3 +744,102 @@ def test_facet_topk_on_real_index(golden_index):
     got_rows = list(map(tuple, got[["query_id", "lang", "rank", "doc_id", "score"]]
                         .itertuples(index=False)))
     assert got_rows == want_rows
+
+
+def test_docvalue_sort_and_range_on_real_index(golden_index):
+    """warc_ts numeric docvalue sidecar, end-to-end:
+    (1) the sidecar carries the dedup WINNER's page ts (max per url);
+    (2) sort_topk orders each query's match set by (warc_ts DESC, doc_id
+        ASC) — equal to a python reference over the docs checkpoint;
+    (3) docvalue_range_ids returns exactly the in-range doc_ids, and a
+        range-filtered query's hits all lie in range with scores unchanged
+        vs the unfiltered ranking (global BM25 stats)."""
+    from aarhus_ray.pipelines.query import docvalue_range_ids, sort_topk
+    from aarhus_ray.textnorm import tokenize
+
+    idx = golden_index["index"]
+    docs = _docs_table(idx, ["doc_id", "url", "text", "warc_ts"])
+
+    # (1) winner ts: max warc_ts per url over the source pages
+    pages = pa.concat_tables(
+        pq.read_table(f, columns=["url", "warc_ts"])
+        for f in sorted(glob.glob(os.path.join(golden_index["pages"], "*.parquet")))
+    )
+    pts = pages["warc_ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+    max_ts: dict[str, int] = {}
+    for u, t in zip(pages["url"].to_pylist(), pts):
+        if int(t) > max_ts.get(u, -1):
+            max_ts[u] = int(t)
+    for u, t in zip(docs["url"].to_pylist(),
+                    docs["warc_ts"].to_numpy(zero_copy_only=False)):
+        assert int(t) == max_ts[u]
+
+    ids = docs["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    ts = docs["warc_ts"].to_numpy(zero_copy_only=False)
+    toks_of = [set(tokenize(t)) for t in docs["text"].to_pylist()]
+
+    # (2) sort-by-field == python reference
+    q = fixtures.gen_queries(12, seed=9)
+    got = (
+        sort_topk(idx, q, field="warc_ts", k=7)
+        .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    want_rows = []
+    for qid, text in zip(q["query_id"].to_pylist(), q["text"].to_pylist()):
+        terms = set(tokenize(text))
+        m = [i for i, dt in enumerate(toks_of) if terms & dt]
+        order = sorted(m, key=lambda i: (-int(ts[i]), int(ids[i])))[:7]
+        for r, i in enumerate(order, start=1):
+            want_rows.append((qid, r, int(ids[i]), int(ts[i])))
+    got_rows = [
+        (row.query_id, row.rank, int(row.doc_id), int(row.warc_ts))
+        for row in got.itertuples(index=False)
+    ]
+    assert got_rows == want_rows
+
+    # (3) range filter: exact id set + in-range hits + unchanged scores
+    lo, hi = int(np.percentile(ts, 25)), int(np.percentile(ts, 75))
+    allowed = docvalue_range_ids(idx, "warc_ts", lo, hi)
+    want_ids = np.sort(ids[(ts >= lo) & (ts < hi)])
+    assert np.array_equal(allowed, want_ids)
+
+    filt = (
+        query_index(idx, q, k=10, filter_ids=allowed, resolve_urls=False)
+        .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    in_range = set(want_ids.tolist())
+    assert all(int(d) in in_range for d in filt["doc_id"])
+    # global stats: a doc's filtered score equals its unfiltered score
+    unfilt = (
+        query_index(idx, q, k=1000, resolve_urls=False)
+        .to_pandas()
+    )
+    ref_score = {(r.query_id, int(r.doc_id)): r.score for r in unfilt.itertuples(index=False)}
+    for r in filt.itertuples(index=False):
+        assert r.score == ref_score[(r.query_id, int(r.doc_id))]
+
+
+def test_match_counts_on_real_index(golden_index):
+    """match_counts == python reference (distinct docs containing >=1 query
+    term); empty-match queries emit no row; equals the sum of facet_counts
+    over lang groups (each doc has exactly one lang)."""
+    from aarhus_ray.pipelines.query import facet_counts, match_counts
+    from aarhus_ray.textnorm import tokenize
+
+    idx = golden_index["index"]
+    q = fixtures.gen_queries(12, seed=11)
+    got = match_counts(idx, q).to_pandas().sort_values("query_id").reset_index(drop=True)
+
+    docs = _docs_table(idx, ["text"])
+    toks_of = [set(tokenize(t)) for t in docs["text"].to_pylist()]
+    want = {}
+    for qid, text in zip(q["query_id"].to_pylist(), q["text"].to_pylist()):
+        terms = set(tokenize(text))
+        n = sum(1 for dt in toks_of if terms & dt)
+        if n:
+            want[qid] = n
+    assert dict(zip(got["query_id"], got["n_hits"])) == want
+
+    fc = facet_counts(idx, q, facet="lang").to_pandas()
+    by_q = fc.groupby("query_id")["n_docs"].sum().to_dict()
+    assert by_q == want
