@@ -141,6 +141,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fulltext_significant_terms": fulltext.significant_terms,
         # "did you mean": OOV tokens -> highest-df Levenshtein<=1 vocab term
         "fulltext_spell_suggest": fulltext.spell_suggest,
+        # multi_match over title^2 + body: two field indexes, weighted sum
+        "fulltext_bm25_multifield": fulltext.bm25_topk_multifield,
     }
 
 
@@ -567,4 +569,5 @@ def oracle_sql() -> dict[str, str]:
         "fulltext_bm25_page2": fulltext.bm25_page2_oracle_sql(),
         "fulltext_significant_terms": fulltext.significant_terms_oracle_sql(),
         "fulltext_spell_suggest": fulltext.spell_suggest_oracle_sql(),
+        "fulltext_bm25_multifield": fulltext.bm25_multifield_oracle_sql(),
     }

@@ -1495,6 +1495,168 @@ ORDER BY query_id, token
 """
 
 
+TITLE_LEN = 8        # synthetic title field: the doc's first 8 tokens
+W_TITLE, W_BODY = 2.0, 1.0  # multi_match field boosts (title^2, body)
+
+
+def _title_of(text: str) -> str:
+    return " ".join(tokenize(text)[:TITLE_LEN])
+
+
+def docs_as_title_pages(sf_dir: str, out_path: str) -> str:
+    """documents → pages whose text is the TITLE field (first TITLE_LEN
+    tokens). Every doc appears (an empty title is a doclen-0 doc), so the
+    title field's N matches the corpus and its own avgdl/df are the
+    field-local statistics Lucene keeps per field."""
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
+    ids = t["doc_id"].to_pylist()
+    titles = [_title_of(x) for x in t["text"].to_pylist()]
+    pages = pa.table(
+        {
+            "url": pa.array([doc_url(i) for i in ids], pa.string()),
+            "warc_ts": pa.array([doc_ts_us(i) for i in ids], pa.timestamp("us")),
+            "html": pa.array(
+                [f"<html><body><p>{x}</p></body></html>".encode() for x in titles],
+                pa.binary(),
+            ),
+            "text": pa.array(titles, pa.string()),
+            "lang": t["lang"],
+        }
+    )
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    pq.write_table(pages, out_path)
+    return out_path
+
+
+def _ensure_title_index(sf_dir: str) -> str:
+    """Build (or reuse) the TITLE-field index — a second postings space
+    with its own doclens/avgdl/df, which is exactly what a Lucene field
+    is. Reuses the whole build pipeline unchanged."""
+    work = _work_dir(sf_dir)
+    pages = os.path.join(work, "pages_title", "part-0000.parquet")
+    if not os.path.exists(pages):
+        docs_as_title_pages(sf_dir, pages)
+    index = os.path.join(work, "index_title")
+    if not os.path.exists(os.path.join(index, "_INDEX_DONE")):
+        build_index(
+            os.path.dirname(pages), index,
+            num_partitions=8, num_segments=2, n_salts=2,
+        )
+    return index
+
+
+def _full_ranking(index: str, k_all: int) -> pd.DataFrame:
+    """Complete per-field scores for FT_QUERIES (brute path scores the
+    whole match set; k_all >= corpus size keeps every doc), in SOURCE
+    doc_id space."""
+    queries = pa.table(
+        {
+            "query_id": pa.array(range(len(FT_QUERIES)), pa.int64()),
+            "text": pa.array(list(FT_QUERIES), pa.string()),
+        }
+    )
+    res = query_index(
+        index, queries, k=k_all, method="brute", resolve_urls=True
+    ).to_pandas()
+    res["doc_id"] = res["url"].map(url_doc_id).astype("int64")
+    return res[["query_id", "doc_id", "score"]]
+
+
+def bm25_topk_multifield(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Multi-field retrieval (Lucene ``multi_match`` over ``title^2,
+    body``): two REAL indexes — body (the shared one) and title (first
+    TITLE_LEN tokens; _ensure_title_index) — each a full postings space
+    with its own doclens/avgdl/df, scored independently and combined as
+
+        score = W_TITLE * bm25_title + W_BODY * bm25_body
+
+    over the union of both match sets (a doc matching only one field
+    contributes 0 from the other), order (score DESC, doc_id ASC).
+    Combination happens in source-doc space (urls align the two
+    indexes). Exactness: each field's brute path scores its whole match
+    set, so the combined ranking is exact — at cluster scale the same
+    combine runs per doc-range shard (both fields' scorers see the same
+    doc ranges; query_index_doc_sharded) with a final k-sized merge.
+    The oracle replays both field CTEs and the weighted sum."""
+    body = _ensure_index(sf_dir, fresh=False)
+    title = _ensure_title_index(sf_dir)
+    k_all = 1 << 30  # >= any corpus here: keep the full per-field rankings
+    rb = _full_ranking(body, k_all)
+    rt = _full_ranking(title, k_all)
+    m = rb.merge(rt, on=["query_id", "doc_id"], how="outer", suffixes=("_b", "_t"))
+    m["score"] = (
+        W_TITLE * m["score_t"].fillna(0.0) + W_BODY * m["score_b"].fillna(0.0)
+    )
+    m = m.sort_values(
+        ["query_id", "score", "doc_id"], ascending=[True, False, True], kind="mergesort"
+    )
+    out = m.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    out["rank"] = out.groupby("query_id", sort=False).cumcount().astype("int32") + 1
+    out["query_id"] = out["query_id"].astype("int64")
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out[["query_id", "rank", "doc_id"]]
+
+
+def bm25_multifield_oracle_sql(k: int = 10) -> str:
+    """Multi-field oracle: per-field BM25 CTE stacks (title = first
+    TITLE_LEN tokens with field-local dl/avgdl/df; body = the standard
+    stack) FULL-JOINed per (query, doc) and combined with the frozen
+    weights."""
+    values = ",".join(
+        f"({qid}, '{term}')" for qid, q in enumerate(FT_QUERIES) for term in q.split()
+    )
+    return f"""
+WITH bod AS (SELECT doc_id,
+                    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS a
+             FROM documents),
+toksB AS (SELECT doc_id, unnest(a) AS tok FROM bod),
+toksT AS (SELECT doc_id, unnest(list_slice(a, 1, {TITLE_LEN})) AS tok FROM bod),
+dlB AS (SELECT doc_id, CAST(len(a) AS DOUBLE) AS dl FROM bod),
+dlT AS (SELECT doc_id, CAST(least(len(a), {TITLE_LEN}) AS DOUBLE) AS dl FROM bod),
+statsB AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dlB),
+statsT AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dlT),
+tfB AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf FROM toksB GROUP BY 1, 2),
+dfB AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tfB GROUP BY 1),
+tfT AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf FROM toksT GROUP BY 1, 2),
+dfT AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tfT GROUP BY 1),
+q(query_id, tok) AS (VALUES {values}),
+qd AS (SELECT DISTINCT query_id, tok FROM q),
+scoredB AS (
+  SELECT qd.query_id, tfB.doc_id,
+         sum( ln(1 + (s.n - dfB.df + 0.5) / (dfB.df + 0.5))
+              * tfB.tf * (1.2 + 1.0)
+              / (tfB.tf + 1.2 * (1.0 - 0.75 + 0.75 * dlB.dl / s.avgdl)) ) AS score
+  FROM qd JOIN tfB USING (tok) JOIN dfB USING (tok)
+  JOIN dlB ON tfB.doc_id = dlB.doc_id
+  CROSS JOIN statsB s GROUP BY 1, 2
+),
+scoredT AS (
+  SELECT qd.query_id, tfT.doc_id,
+         sum( ln(1 + (s.n - dfT.df + 0.5) / (dfT.df + 0.5))
+              * tfT.tf * (1.2 + 1.0)
+              / (tfT.tf + 1.2 * (1.0 - 0.75 + 0.75 * dlT.dl / s.avgdl)) ) AS score
+  FROM qd JOIN tfT USING (tok) JOIN dfT USING (tok)
+  JOIN dlT ON tfT.doc_id = dlT.doc_id
+  CROSS JOIN statsT s GROUP BY 1, 2
+),
+comb AS (
+  SELECT coalesce(b.query_id, t.query_id) AS query_id,
+         coalesce(b.doc_id, t.doc_id) AS doc_id,
+         {W_TITLE} * coalesce(t.score, 0) + {W_BODY} * coalesce(b.score, 0) AS score
+  FROM scoredB b FULL JOIN scoredT t
+    ON b.query_id = t.query_id AND b.doc_id = t.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+  FROM comb
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank, doc_id
+FROM ranked WHERE rank <= {k}
+ORDER BY query_id, rank
+"""
+
+
 def bm25_topk_conj(sf_dir: str, k: int = 10) -> pd.DataFrame:
     """Conjunctive-AND BM25 over the same index: a doc ranks only if it
     contains EVERY query term; scores are the unchanged BM25 sums, so this
