@@ -143,6 +143,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fulltext_spell_suggest": fulltext.spell_suggest,
         # multi_match over title^2 + body: two field indexes, weighted sum
         "fulltext_bm25_multifield": fulltext.bm25_topk_multifield,
+        # scroll/export: the full match set per query (streaming Dataset)
+        "fulltext_export_matches": fulltext.export_matches_query,
     }
 
 
@@ -570,4 +572,5 @@ def oracle_sql() -> dict[str, str]:
         "fulltext_significant_terms": fulltext.significant_terms_oracle_sql(),
         "fulltext_spell_suggest": fulltext.spell_suggest_oracle_sql(),
         "fulltext_bm25_multifield": fulltext.bm25_multifield_oracle_sql(),
+        "fulltext_export_matches": fulltext.export_matches_oracle_sql(),
     }

@@ -1230,6 +1230,53 @@ ORDER BY 1
 """
 
 
+def export_matches_query(sf_dir: str) -> pd.DataFrame:
+    """Scroll/export: the FULL match set per FT_QUERY as (query_id,
+    doc_id) rows (pipelines/query.export_matches — a streaming Dataset;
+    collected here only because the driver compares full results). The
+    strongest completeness check of the postings layer: every (query,
+    matching-doc) pair must surface, not just top-k."""
+    from ..pipelines.query import export_matches
+    from ..stages.query_stage import UrlResolver
+
+    index = _ensure_index(sf_dir, fresh=False)
+    queries = pa.table(
+        {
+            "query_id": pa.array(range(len(FT_QUERIES)), pa.int64()),
+            "text": pa.array(list(FT_QUERIES), pa.string()),
+        }
+    )
+    ds = export_matches(index, queries).map_batches(
+        UrlResolver, fn_constructor_args=(index,), batch_format="pyarrow",
+        concurrency=(1, 2),
+    )
+    res = ds.to_pandas()
+    res["doc_id"] = res["url"].map(url_doc_id).astype("int64")
+    return (
+        res[["query_id", "doc_id"]]
+        .sort_values(["query_id", "doc_id"])
+        .reset_index(drop=True)
+    )
+
+
+def export_matches_oracle_sql() -> str:
+    values = ",".join(
+        f"({qid}, '{term}')" for qid, q in enumerate(FT_QUERIES) for term in q.split()
+    )
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok
+    FROM documents) WHERE tok <> ''
+),
+q(query_id, tok) AS (VALUES {values}),
+qd AS (SELECT DISTINCT query_id, tok FROM q)
+SELECT DISTINCT CAST(qd.query_id AS BIGINT) AS query_id, toks.doc_id
+FROM qd JOIN toks USING (tok)
+ORDER BY 1, 2
+"""
+
+
 PAGE_OFFSET = 10  # deep-paging window: ranks 11..20 (page 2 at k=10)
 
 

@@ -406,6 +406,42 @@ def match_counts(
     )
 
 
+def export_matches(
+    out_dir: str,
+    queries,
+    concurrency: int | None = None,
+    batch_size: int = 16,
+) -> ray.data.Dataset:
+    """SCROLL/EXPORT: the full match set per query as a streaming Dataset
+    (query_id, doc_id) — the bulk API that feeds downstream jobs (rescore,
+    join, training-set extraction) instead of a result page. Small batch_size:
+    each input query can fan out to corpus-scale output rows, and blocks
+    stream through the executor with backpressure; consume with
+    write_parquet or further map_batches, never take_all."""
+    from ..stages.query_stage import MatchExportTaskFn
+
+    segs = list_segments(out_dir)
+    if not segs:
+        raise ValueError(f"no segments under {out_dir}")
+    conc = concurrency or max(1, _cpus())
+    if isinstance(queries, str):
+        import pyarrow.parquet as _pq
+
+        queries = _pq.read_table(queries)
+    if isinstance(queries, pa.Table):
+        n_blocks = max(1, min(conc * 4, queries.num_rows // max(1, batch_size) + 1))
+        per = (queries.num_rows + n_blocks - 1) // n_blocks
+        slices = [queries.slice(i * per, per) for i in range(n_blocks) if i * per < queries.num_rows]
+        qds = ray.data.from_arrow(slices)
+    else:
+        qds = queries
+    return qds.map_batches(
+        MatchExportTaskFn(out_dir, segs, index_version(out_dir)),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+
+
 def facet_topk(
     out_dir: str,
     queries,

@@ -1300,10 +1300,57 @@ class MatchCounter:
         )
 
 
+class MatchExporter(MatchCounter):
+    """SCROLL/EXPORT: the FULL match set per query as rows (query_id,
+    doc_id) — the bulk-export API (Elasticsearch scroll / Lucene
+    collect-all) that feeds downstream pipelines rather than a result
+    page. Inherits MatchCounter's state (segments + tombstones); emits
+    doc_ids ascending per query. The output is a STREAM of blocks — a
+    query matching 10^9 docs produces many blocks flowing through
+    map_batches → write_parquet with backpressure, never a driver list."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids_out: list[np.ndarray] = []
+        docs_out: list[np.ndarray] = []
+        for qid, text in zip(batch["query_id"].to_pylist(), batch["text"].to_pylist()):
+            docs = self._match_set(text)
+            if len(docs) == 0:
+                continue
+            qids_out.append(np.full(len(docs), qid, dtype=np.int64))
+            docs_out.append(docs)
+        qids = np.concatenate(qids_out) if qids_out else np.empty(0, np.int64)
+        docs = np.concatenate(docs_out) if docs_out else np.empty(0, np.uint64)
+        return pa.table(
+            {
+                "query_id": pa.array(qids, pa.int64()),
+                "doc_id": pa.array(docs, pa.uint64()),
+            }
+        )
+
+
 _WORKER_FACET_CACHE: dict[tuple, "FacetCounter"] = {}
 _WORKER_FACET_TOPK_CACHE: dict[tuple, "FacetTopK"] = {}
 _WORKER_DOCVALUE_TOPK_CACHE: dict[tuple, "DocvalueTopK"] = {}
 _WORKER_MATCH_COUNT_CACHE: dict[tuple, "MatchCounter"] = {}
+_WORKER_MATCH_EXPORT_CACHE: dict[tuple, "MatchExporter"] = {}
+
+
+class MatchExportTaskFn:
+    """Task-fn form of MatchExporter (worker-process cache)."""
+
+    def __init__(self, out_dir: str, seg_ids: list[int], version: float):
+        self.args = (out_dir, tuple(seg_ids), version)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_dir, seg_ids, version = self.args
+        key = (out_dir, version, seg_ids)
+        me = _WORKER_MATCH_EXPORT_CACHE.get(key)
+        if me is None:
+            for kk in [kk for kk in _WORKER_MATCH_EXPORT_CACHE if kk[0] == out_dir and kk[1] < version]:
+                del _WORKER_MATCH_EXPORT_CACHE[kk]
+            me = MatchExporter(out_dir, list(seg_ids))
+            _WORKER_MATCH_EXPORT_CACHE[key] = me
+        return me(batch)
 
 
 class MatchCountTaskFn:
