@@ -58,6 +58,7 @@ def brute_force_topk(
     avgdl: float,
     k: int = 10,
     conjunctive: bool = False,
+    min_match: int | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Exhaustive BM25 top-k. ``postings[term] = (doc_ids, tfs)`` (decoded,
     sorted); ``doclen_lookup(doc_ids) -> dl array``. Duplicate query terms
@@ -90,13 +91,28 @@ def brute_force_topk(
             scores += score_tf(tfs[pos], dls, avgdl, idf(dfs[t], n_docs))
         return topk_select(cand, scores, k)
     terms = sorted(set(t for t in query_terms if t in postings))
-    if not terms:
+    if not terms or (min_match is not None and len(terms) < min_match):
         return np.empty(0, np.uint64), np.empty(0, np.float64)
-    all_ids = np.unique(np.concatenate([postings[t][0] for t in terms]))
+    all_ids, n_matched = np.unique(
+        np.concatenate([postings[t][0] for t in terms]), return_counts=True
+    )
+    if min_match is not None:
+        # minimum_should_match: a doc is eligible with >= min_match distinct
+        # matched terms; scores stay the disjunctive sums (the knob gates
+        # eligibility, never statistics — ES/Lucene semantics)
+        all_ids = all_ids[n_matched >= min_match]
+        if len(all_ids) == 0:
+            return all_ids.astype(np.uint64), np.empty(0, np.float64)
     scores = np.zeros(len(all_ids), dtype=np.float64)
     dls = doclen_lookup(all_ids).astype(np.float64)
+    filtered = min_match is not None and min_match > 1
     for t in terms:
         d_ids, tfs = postings[t]
         pos = np.searchsorted(all_ids, d_ids)
+        if filtered:
+            # some of this term's docs were dropped by the min_match gate
+            ok = pos < len(all_ids)
+            ok[ok] = all_ids[pos[ok]] == d_ids[ok]
+            pos, tfs = pos[ok], tfs[ok]
         scores[pos] += score_tf(tfs, dls[pos], avgdl, idf(dfs[t], n_docs))
     return topk_select(all_ids, scores, k)

@@ -1704,6 +1704,80 @@ ORDER BY query_id, rank
 """
 
 
+# minimum_should_match query set (m=2): mixes 2-of-3 / 2-of-4 selections,
+# an OOV term (never matches — ES counts only matchable optional clauses
+# the doc actually satisfies, so 'vector OOV table' at m=2 needs both
+# in-vocab terms), an all-OOV query and a single-term query (both must
+# come back empty at m=2).
+FT_MSMS = (
+    "table spark vector",
+    "customer stream batch",
+    "query group merge slow",
+    "vector zzznotinvocab table",
+    "zzznotinvocab zzzsecondoov",
+    "the",
+)
+MSM_M = 2
+
+
+def bm25_topk_msm(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """minimum_should_match retrieval (Lucene/ES boolean knob): docs with
+    >= MSM_M distinct matched terms, ranked by the unchanged disjunctive
+    BM25 sum of the terms each doc contains (stages/query_stage.
+    QueryScorer._score_query_msm). m generalizes or (m=1) / and (m=n)."""
+    return _run_queries(
+        _ensure_index(sf_dir, fresh=False), FT_MSMS, k, "msm",
+        min_should_match=MSM_M,
+    )
+
+
+def bm25_msm_oracle_sql(k: int = 10) -> str:
+    """minimum_should_match oracle: identical BM25 CTEs; a (query, doc)
+    survives only when its matched-DISTINCT-term count >= m. OOV terms
+    never join, so they reduce the satisfiable clause pool exactly like
+    the engine's in-vocabulary term set."""
+    values = ",".join(
+        f"({qid}, '{term}')"
+        for qid, q in enumerate(FT_MSMS)
+        for term in q.split()
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok
+    FROM documents) WHERE tok <> ''
+),
+dl AS (SELECT d.doc_id, CAST(coalesce(t.c, 0) AS DOUBLE) AS dl
+       FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS c FROM toks GROUP BY 1) t USING (doc_id)),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+q(query_id, tok) AS (VALUES {values}),
+qd AS (SELECT DISTINCT query_id, tok FROM q),
+scored AS (
+  SELECT qd.query_id, tf.doc_id,
+         sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * (1.2 + 1.0)
+              / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score
+  FROM qd
+  JOIN tf USING (tok)
+  JOIN df USING (tok)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+  HAVING count(DISTINCT tf.tok) >= {MSM_M}
+),
+ranked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+  FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank, doc_id
+FROM ranked WHERE rank <= {k}
+ORDER BY query_id, rank
+"""
+
+
 def bm25_topk_conj(sf_dir: str, k: int = 10) -> pd.DataFrame:
     """Conjunctive-AND BM25 over the same index: a doc ranks only if it
     contains EVERY query term; scores are the unchanged BM25 sums, so this

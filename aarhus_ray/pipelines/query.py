@@ -256,6 +256,7 @@ def query_index(
     mode: str = "or",
     filter_ids: np.ndarray | None = None,
     near_window: int = 8,
+    min_should_match: int = 1,
 ) -> ray.data.Dataset:
     """queries: parquet path | ray Dataset | pyarrow Table with
     (query_id:int64, text:string). Returns a Dataset
@@ -271,6 +272,9 @@ def query_index(
     ``mode="prefix"`` expands trailing-``*`` terms against the term
     dictionary (sorted-dict range scan per segment) and scores the
     union disjunctively.
+    ``mode="msm"`` requires at least ``min_should_match`` distinct
+    in-vocabulary terms per doc (m=1 ≡ "or", m=n_terms ≡ "and");
+    scores stay the disjunctive BM25 sums of the matched terms.
 
     ``filter_ids`` (sorted uint64 doc_ids, e.g. from ``facet_doc_ids``)
     restricts results to that doc set; BM25 statistics stay global (see
@@ -316,6 +320,7 @@ def query_index(
         make_scorer_task_fn(
             out_dir, segs, k, method, shared_ref, version, mode=mode,
             filter_ref=filter_ref, near_window=near_window,
+            min_should_match=min_should_match,
         ),
         batch_format="pyarrow",
         batch_size=batch_size,

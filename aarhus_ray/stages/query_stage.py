@@ -317,6 +317,7 @@ class QueryScorer:
         mode: str = "or",
         filter_ids: np.ndarray | None = None,
         near_window: int = 8,
+        min_should_match: int = 1,
     ):
         """``doc_range=(lo, hi)`` + ``pids`` activate the DOC-SHARDED mode
         (cluster scorer-state path, SCALE.md): this scorer holds only the
@@ -342,19 +343,21 @@ class QueryScorer:
         self.avgdl = float(stats["avgdl"])
         self.k = k
         self.method = method
-        if mode not in ("or", "and", "phrase", "near", "prefix", "fuzzy", "boost", "boolean"):
+        if mode not in ("or", "and", "phrase", "near", "prefix", "fuzzy", "boost",
+                        "boolean", "msm"):
             raise ValueError(
                 f"mode must be 'or', 'and', 'phrase', 'near', 'prefix', 'fuzzy', "
-                f"'boost' or 'boolean', not {mode!r}"
+                f"'boost', 'boolean' or 'msm', not {mode!r}"
             )
         if mode == "and" and method not in ("wand", "brute"):
             raise ValueError(f"conjunctive scoring supports wand/brute, not {method!r}")
-        if mode in ("prefix", "fuzzy", "boost", "boolean") and method not in ("wand", "brute"):
+        if mode in ("prefix", "fuzzy", "boost", "boolean", "msm") and method not in ("wand", "brute"):
             raise ValueError(f"{mode} scoring supports wand/brute, not {method!r}")
         if mode in ("phrase", "near") and method != "wand":
             raise ValueError(f"{mode} scoring supports method='wand', not {method!r}")
         self.mode = mode
         self.near_window = int(near_window)
+        self.min_should_match = int(min_should_match)
         self.doc_range = (
             (np.uint64(doc_range[0]), np.uint64(doc_range[1])) if doc_range is not None else None
         )
@@ -566,6 +569,57 @@ class QueryScorer:
         scores = np.zeros(len(cand), dtype=np.float64)
         for doc_ids, contribs, _, _ in entries:  # sorted-term order
             scores += contribs[np.searchsorted(doc_ids, cand)]
+        from ..bm25 import topk_select
+
+        return topk_select(cand, scores, self.k)
+
+    def _score_query_msm(self, text: str) -> tuple[np.ndarray, np.ndarray]:
+        """minimum_should_match (Lucene/Elasticsearch's core boolean knob,
+        generalizing OR and AND): only docs containing at least
+        ``min_should_match`` DISTINCT in-vocabulary query terms are
+        candidates (m=1 ≡ disjunctive, m=n_terms ≡ conjunctive — both
+        property-tested). Scores are the unchanged per-doc BM25
+        contributions of the terms the doc DOES contain, accumulated in
+        sorted-term order, so msm results are the disjunctive scoring
+        filtered to ≥m-matched docs (the mainstream-engine semantics:
+        the knob gates eligibility, never statistics).
+
+        The candidate count comes from one vectorized pass — concatenate
+        the terms' (docID-sorted, disjoint-per-term) posting doc_ids and
+        np.unique(return_counts): multiplicity == distinct matched terms.
+        Cost is the same postings union a disjunctive query reads; at
+        cluster scale the doc-sharded scorer path applies unchanged
+        (counts are per-doc facts, computed wholly inside one range)."""
+        toks = set(tokenize(text))
+        m = self.min_should_match
+        owners = {}
+        for t in toks:
+            segs = self._owners(t)
+            if segs:
+                owners[t] = segs
+        terms = sorted(owners)
+        if not terms or len(terms) < m:
+            return np.empty(0, np.uint64), np.empty(0, np.float64)
+        if self.method == "brute":
+            postings = {t: self._gather_postings(t, owners[t]) for t in terms}
+            dfs = {t: self._global_df(t, owners[t]) for t in terms}
+            return brute_force_topk(
+                terms, postings, dfs, self.doclens.lookup, self.n_docs,
+                self.avgdl, self.k, min_match=m,
+            )
+        entries = [self._term_arrays(t, owners[t]) for t in terms]
+        cand, counts = np.unique(
+            np.concatenate([e[0] for e in entries]), return_counts=True
+        )
+        cand = cand[counts >= m]
+        if len(cand) == 0:
+            return np.empty(0, np.uint64), np.empty(0, np.float64)
+        scores = np.zeros(len(cand), dtype=np.float64)
+        for doc_ids, contribs, _, _ in entries:  # sorted-term order
+            pos = np.searchsorted(doc_ids, cand)
+            ok = pos < len(doc_ids)
+            ok[ok] = doc_ids[pos[ok]] == cand[ok]
+            scores[ok] += contribs[pos[ok]]
         from ..bm25 import topk_select
 
         return topk_select(cand, scores, self.k)
@@ -964,6 +1018,8 @@ class QueryScorer:
             return self._score_query_boost(text)
         if self.mode == "boolean":
             return self._score_query_boolean(text)
+        if self.mode == "msm":
+            return self._score_query_msm(text)
         return self._score_terms(set(tokenize(text)))
 
     def _score_terms(self, toks: set[str]) -> tuple[np.ndarray, np.ndarray]:
@@ -1460,23 +1516,24 @@ class ScorerTaskFn:
         mode: str = "or",
         filter_ref=None,
         near_window: int = 8,
+        min_should_match: int = 1,
     ):
         self.args = (
             out_dir, tuple(seg_ids), k, method, shared_ref, version,
             doc_range, tuple(pids) if pids is not None else None, mode,
-            filter_ref, near_window,
+            filter_ref, near_window, min_should_match,
         )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         (out_dir, seg_ids, k, method, shared_ref, version, doc_range, pids,
-         mode, filter_ref, near_window) = self.args
+         mode, filter_ref, near_window, min_should_match) = self.args
         # seg_ids, shared_ref-presence, doc_range, mode, the filter ref and
-        # the near window are part of the identity: a scorer built over a
+        # the near/msm knobs are part of the identity: a scorer built over a
         # subset of segments / a doc range (or without shared state, with
-        # AND/NEAR semantics, or with a facet filter) must not be served
+        # AND/NEAR/msm semantics, or with a facet filter) must not be served
         # for a different configuration of the same index
         key = (out_dir, version, k, method, seg_ids, shared_ref is not None,
-               doc_range, mode, filter_ref, near_window)
+               doc_range, mode, filter_ref, near_window, min_should_match)
         scorer = _WORKER_SCORER_CACHE.get(key)
         if scorer is None:
             # evict only STALE entries of the same index (older version);
@@ -1492,6 +1549,7 @@ class ScorerTaskFn:
                 # zero-copy read-only view over the one object-store copy
                 filter_ids=_ray.get(filter_ref) if filter_ref is not None else None,
                 near_window=near_window,
+                min_should_match=min_should_match,
             )
             _WORKER_SCORER_CACHE[key] = scorer
         return scorer(batch)
@@ -1509,10 +1567,11 @@ def make_scorer_task_fn(
     mode: str = "or",
     filter_ref=None,
     near_window: int = 8,
+    min_should_match: int = 1,
 ):
     return ScorerTaskFn(
         out_dir, seg_ids, k, method, shared_ref, version, doc_range, pids, mode,
-        filter_ref, near_window,
+        filter_ref, near_window, min_should_match,
     )
 
 

@@ -354,6 +354,67 @@ def test_conjunctive_oov_empties_on_real_index(golden_index):
     assert (res["query_id"] == 1).sum() > 0
 
 
+def test_msm_mode_on_real_index(golden_index):
+    """mode='msm' (minimum_should_match): wand == brute bit-identical;
+    m=1 reproduces mode='or' exactly; on two-term queries m=2 reproduces
+    mode='and' exactly; and every m=2 hit's doc contains >= 2 distinct
+    query terms (independent python containment check)."""
+    from aarhus_ray.textnorm import tokenize
+
+    q = fixtures.gen_queries(20, seed=13)
+
+    def run(mode, **kw):
+        return (
+            query_index(golden_index["index"], q, k=10, mode=mode,
+                        resolve_urls=False, **kw)
+            .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+        )
+
+    msm2 = run("msm", min_should_match=2)
+    msm2_brute = run("msm", min_should_match=2, method="brute")
+    assert len(msm2) == len(msm2_brute)
+    assert (msm2["doc_id"].to_numpy() == msm2_brute["doc_id"].to_numpy()).all()
+    assert (msm2["score"].to_numpy() == msm2_brute["score"].to_numpy()).all()
+
+    # m=1 is plain disjunctive retrieval
+    msm1 = run("msm", min_should_match=1)
+    disj = run("or")
+    assert (msm1["doc_id"].to_numpy() == disj["doc_id"].to_numpy()).all()
+    assert (msm1["score"].to_numpy() == disj["score"].to_numpy()).all()
+
+    # containment: every m=2 hit matches >= 2 distinct query terms
+    docs = _docs_table(golden_index["index"], ["doc_id", "text"])
+    text_of = dict(zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()))
+    qtexts = dict(zip(q["query_id"].to_pylist(), q["text"].to_pylist()))
+    for row in msm2.itertuples():
+        terms = set(tokenize(qtexts[row.query_id]))
+        doc_toks = set(tokenize(text_of[row.doc_id]))
+        assert len(terms & doc_toks) >= 2
+
+    # on two-distinct-term queries, m=2 == conjunctive AND
+    texts = docs["text"].to_pylist()
+    t_a = tokenize(texts[0])
+    t_b = tokenize(texts[5])
+    two_term = [
+        f"{t_a[0]} {t_a[1]}" if t_a[0] != t_a[1] else f"{t_a[0]} {t_a[2]}",
+        f"{t_b[0]} {t_b[3]}" if t_b[0] != t_b[3] else f"{t_b[0]} {t_b[4]}",
+    ]
+    q2 = pa.table({"query_id": pa.array(range(len(two_term)), pa.int64()),
+                   "text": pa.array(two_term, pa.string())})
+    msm_and = (
+        query_index(golden_index["index"], q2, k=10, mode="msm",
+                    min_should_match=2, resolve_urls=False)
+        .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    conj = (
+        query_index(golden_index["index"], q2, k=10, mode="and", resolve_urls=False)
+        .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    assert len(msm_and) == len(conj)
+    assert (msm_and["doc_id"].to_numpy() == conj["doc_id"].to_numpy()).all()
+    assert (msm_and["score"].to_numpy() == conj["score"].to_numpy()).all()
+
+
 def test_phrase_mode_on_real_index(golden_index):
     """mode='phrase': engine result == full disjunctive brute ranking
     filtered by an independent python adjacency check, scores bit-identical
