@@ -138,6 +138,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # numeric-range filter over the same docvalue; BM25 stats stay global
         "fulltext_bm25_ts_range": fulltext.bm25_topk_ts_range,
         "fulltext_match_counts": fulltext.match_counts_query,  # totalHits
+        # ES-style aggregations over the match set (docvalue sidecar)
+        "fulltext_date_histogram": fulltext.date_histogram_query,
+        "fulltext_matchset_stats": fulltext.matchset_stats_query,
         "fulltext_bm25_page2": fulltext.bm25_topk_page2,  # deep paging (ranks 11..20)
         # ES significant_text over each query's top-50 sample (integer lift)
         "fulltext_significant_terms": fulltext.significant_terms,
@@ -571,6 +574,8 @@ def oracle_sql() -> dict[str, str]:
         "fulltext_bm25_recency": fulltext.bm25_recency_oracle_sql(),
         "fulltext_bm25_ts_range": fulltext.bm25_ts_range_oracle_sql(),
         "fulltext_match_counts": fulltext.match_counts_oracle_sql(),
+        "fulltext_date_histogram": fulltext.date_histogram_oracle_sql(),
+        "fulltext_matchset_stats": fulltext.matchset_stats_oracle_sql(),
         "fulltext_bm25_page2": fulltext.bm25_page2_oracle_sql(),
         "fulltext_significant_terms": fulltext.significant_terms_oracle_sql(),
         "fulltext_spell_suggest": fulltext.spell_suggest_oracle_sql(),

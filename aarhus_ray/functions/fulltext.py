@@ -1230,6 +1230,95 @@ ORDER BY 1
 """
 
 
+# Minute buckets for the histogram agg: the synthetic crawl-ts permutation
+# spreads docs over ~1000 s (TS_MOD us), so day buckets would collapse to
+# one row; 60 s buckets yield ~17 populated buckets per query.
+HIST_BUCKET_US = 60_000_000
+
+
+def date_histogram_query(sf_dir: str) -> pd.DataFrame:
+    """Date-histogram aggregation per FT_QUERY (ES date_histogram): counts
+    of distinct matching docs per HIST_BUCKET_US-wide bucket of the crawl
+    ts docvalue (pipelines/query.date_histogram). Output (query_id,
+    bucket, n_docs) — all integers, hash-exact."""
+    from ..pipelines.query import date_histogram
+
+    index = _ensure_index(sf_dir, fresh=False)
+    queries = pa.table(
+        {
+            "query_id": pa.array(range(len(FT_QUERIES)), pa.int64()),
+            "text": pa.array(list(FT_QUERIES), pa.string()),
+        }
+    )
+    out = date_histogram(index, queries, bucket_us=HIST_BUCKET_US).to_pandas()
+    return out.sort_values(["query_id", "bucket"]).reset_index(drop=True)
+
+
+def date_histogram_oracle_sql() -> str:
+    values = ",".join(
+        f"({qid}, '{term}')" for qid, q in enumerate(FT_QUERIES) for term in q.split()
+    )
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok
+    FROM documents) WHERE tok <> ''
+),
+q(query_id, tok) AS (VALUES {values}),
+qd AS (SELECT DISTINCT query_id, tok FROM q),
+matched AS (SELECT DISTINCT qd.query_id, toks.doc_id FROM qd JOIN toks USING (tok))
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(({BASE_TS_US} + (doc_id * {TS_MULT}) % {TS_MOD}) // {HIST_BUCKET_US} AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM matched
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+def matchset_stats_query(sf_dir: str) -> pd.DataFrame:
+    """Stats aggregation per FT_QUERY (ES stats agg): (n_docs, min, max,
+    sum) of the crawl ts docvalue over the distinct matching docs
+    (pipelines/query.matchset_stats; overflow-safe split-sum). Output is
+    integer-only, hash-exact; the OOV query emits no row."""
+    from ..pipelines.query import matchset_stats
+
+    index = _ensure_index(sf_dir, fresh=False)
+    queries = pa.table(
+        {
+            "query_id": pa.array(range(len(FT_QUERIES)), pa.int64()),
+            "text": pa.array(list(FT_QUERIES), pa.string()),
+        }
+    )
+    out = matchset_stats(index, queries).to_pandas()
+    return out.sort_values("query_id").reset_index(drop=True)
+
+
+def matchset_stats_oracle_sql() -> str:
+    values = ",".join(
+        f"({qid}, '{term}')" for qid, q in enumerate(FT_QUERIES) for term in q.split()
+    )
+    ts = f"({BASE_TS_US} + (doc_id * {TS_MULT}) % {TS_MOD})"
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok
+    FROM documents) WHERE tok <> ''
+),
+q(query_id, tok) AS (VALUES {values}),
+qd AS (SELECT DISTINCT query_id, tok FROM q),
+matched AS (SELECT DISTINCT qd.query_id, toks.doc_id FROM qd JOIN toks USING (tok))
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min({ts}) AS BIGINT) AS min_ts,
+       CAST(max({ts}) AS BIGINT) AS max_ts,
+       CAST(sum({ts}) AS BIGINT) AS sum_ts
+FROM matched
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 def export_matches_query(sf_dir: str) -> pd.DataFrame:
     """Scroll/export: the FULL match set per FT_QUERY as (query_id,
     doc_id) rows (pipelines/query.export_matches — a streaming Dataset;

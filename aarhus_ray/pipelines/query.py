@@ -411,6 +411,76 @@ def match_counts(
     )
 
 
+def date_histogram(
+    out_dir: str,
+    queries,
+    field: str = "warc_ts",
+    bucket_us: int = 86_400_000_000,
+    concurrency: int | None = None,
+    batch_size: int = 64,
+) -> ray.data.Dataset:
+    """DATE-HISTOGRAM aggregation per query (ES date_histogram): counts of
+    distinct matching visible docs per fixed-width bucket of a numeric
+    docvalue. Returns (query_id, bucket, n_docs); bucket = value //
+    bucket_us. Same stateless-task shape as match_counts."""
+    from ..stages.query_stage import DateHistogramTaskFn
+
+    segs = list_segments(out_dir)
+    if not segs:
+        raise ValueError(f"no segments under {out_dir}")
+    conc = concurrency or max(1, _cpus())
+    if isinstance(queries, str):
+        import pyarrow.parquet as _pq
+
+        queries = _pq.read_table(queries)
+    if isinstance(queries, pa.Table):
+        n_blocks = max(1, min(conc * 4, queries.num_rows // max(1, batch_size) + 1))
+        per = (queries.num_rows + n_blocks - 1) // n_blocks
+        slices = [queries.slice(i * per, per) for i in range(n_blocks) if i * per < queries.num_rows]
+        qds = ray.data.from_arrow(slices)
+    else:
+        qds = queries
+    return qds.map_batches(
+        DateHistogramTaskFn(out_dir, segs, field, bucket_us, index_version(out_dir)),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+
+
+def matchset_stats(
+    out_dir: str,
+    queries,
+    field: str = "warc_ts",
+    concurrency: int | None = None,
+    batch_size: int = 64,
+) -> ray.data.Dataset:
+    """STATS aggregation per query (ES stats agg): (n_docs, min, max, sum)
+    of a numeric docvalue over the distinct matching visible docs. Returns
+    (query_id, n_docs, min_ts, max_ts, sum_ts); empty matches emit no row."""
+    from ..stages.query_stage import MatchsetStatsTaskFn
+
+    segs = list_segments(out_dir)
+    if not segs:
+        raise ValueError(f"no segments under {out_dir}")
+    conc = concurrency or max(1, _cpus())
+    if isinstance(queries, str):
+        import pyarrow.parquet as _pq
+
+        queries = _pq.read_table(queries)
+    if isinstance(queries, pa.Table):
+        n_blocks = max(1, min(conc * 4, queries.num_rows // max(1, batch_size) + 1))
+        per = (queries.num_rows + n_blocks - 1) // n_blocks
+        slices = [queries.slice(i * per, per) for i in range(n_blocks) if i * per < queries.num_rows]
+        qds = ray.data.from_arrow(slices)
+    else:
+        qds = queries
+    return qds.map_batches(
+        MatchsetStatsTaskFn(out_dir, segs, field, index_version(out_dir)),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+
+
 def export_matches(
     out_dir: str,
     queries,

@@ -1384,11 +1384,88 @@ class MatchExporter(MatchCounter):
         )
 
 
+class DateHistogram(DocvalueTopK):
+    """DATE-HISTOGRAM aggregation over the match set (Elasticsearch's
+    date_histogram agg): for each query, the count of distinct matching
+    visible docs per fixed-width time bucket of a numeric docvalue
+    (default: calendar day of warc_ts). Collection cost is the match
+    set (doc_ids + one int64 gather) — no scores, no text; the bucket
+    fold is one vectorized np.unique over vals // bucket_us. At cluster
+    scale the docvalue array shards by doc range like doclens
+    (SCALE.md §3) and per-range partial histograms concat-merge (bucket
+    counts are additive across disjoint doc ranges)."""
+
+    def __init__(self, out_dir: str, seg_ids: list[int] | None = None,
+                 field: str = "warc_ts", bucket_us: int = 86_400_000_000):
+        super().__init__(out_dir, seg_ids, field, k=1)
+        self.bucket_us = int(bucket_us)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids_out: list[np.ndarray] = []
+        buckets_out: list[np.ndarray] = []
+        counts_out: list[np.ndarray] = []
+        for qid, text in zip(batch["query_id"].to_pylist(), batch["text"].to_pylist()):
+            docs = self._match_set(text)
+            if len(docs) == 0:
+                continue
+            vals = self.vals[np.searchsorted(self.doc_ids, docs)]
+            buckets, counts = np.unique(vals // self.bucket_us, return_counts=True)
+            qids_out.append(np.full(len(buckets), qid, dtype=np.int64))
+            buckets_out.append(buckets)
+            counts_out.append(counts.astype(np.int64))
+        cat = lambda xs: np.concatenate(xs) if xs else np.empty(0, np.int64)  # noqa: E731
+        return pa.table(
+            {
+                "query_id": pa.array(cat(qids_out), pa.int64()),
+                "bucket": pa.array(cat(buckets_out), pa.int64()),
+                "n_docs": pa.array(cat(counts_out), pa.int64()),
+            }
+        )
+
+
+class MatchsetStats(DocvalueTopK):
+    """STATS aggregation over the match set (Elasticsearch's stats agg):
+    per query, (n_docs, min, max, sum) of a numeric docvalue over the
+    distinct matching visible docs. The sum is exact at any scale: the
+    int64 values split into 32-bit halves summed separately and
+    recombined as a Python int (no silent int64 wrap at 10^9-doc match
+    sets), then emitted alongside the count so avg is derivable. Empty
+    match sets emit no row (SQL-join semantics)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids_out: list[int] = []
+        ns: list[int] = []
+        mins: list[int] = []
+        maxs: list[int] = []
+        sums: list[int] = []
+        for qid, text in zip(batch["query_id"].to_pylist(), batch["text"].to_pylist()):
+            docs = self._match_set(text)
+            if len(docs) == 0:
+                continue
+            vals = self.vals[np.searchsorted(self.doc_ids, docs)]
+            hi, lo = np.divmod(vals, np.int64(1) << 32)
+            qids_out.append(qid)
+            ns.append(len(vals))
+            mins.append(int(vals.min()))
+            maxs.append(int(vals.max()))
+            sums.append((int(hi.sum(dtype=np.int64)) << 32) + int(lo.sum(dtype=np.int64)))
+        return pa.table(
+            {
+                "query_id": pa.array(qids_out, pa.int64()),
+                "n_docs": pa.array(ns, pa.int64()),
+                "min_ts": pa.array(mins, pa.int64()),
+                "max_ts": pa.array(maxs, pa.int64()),
+                "sum_ts": pa.array(sums, pa.int64()),
+            }
+        )
+
+
 _WORKER_FACET_CACHE: dict[tuple, "FacetCounter"] = {}
 _WORKER_FACET_TOPK_CACHE: dict[tuple, "FacetTopK"] = {}
 _WORKER_DOCVALUE_TOPK_CACHE: dict[tuple, "DocvalueTopK"] = {}
 _WORKER_MATCH_COUNT_CACHE: dict[tuple, "MatchCounter"] = {}
 _WORKER_MATCH_EXPORT_CACHE: dict[tuple, "MatchExporter"] = {}
+_WORKER_MATCH_AGG_CACHE: dict[tuple, object] = {}
 
 
 class MatchExportTaskFn:
@@ -1425,6 +1502,43 @@ class MatchCountTaskFn:
             mc = MatchCounter(out_dir, list(seg_ids))
             _WORKER_MATCH_COUNT_CACHE[key] = mc
         return mc(batch)
+
+
+class DateHistogramTaskFn:
+    """Task-fn form of DateHistogram (worker-process cache)."""
+
+    def __init__(self, out_dir: str, seg_ids: list[int], field: str,
+                 bucket_us: int, version: float):
+        self.args = (out_dir, tuple(seg_ids), field, bucket_us, version)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_dir, seg_ids, field, bucket_us, version = self.args
+        key = (out_dir, version, seg_ids, field, bucket_us, "hist")
+        dh = _WORKER_MATCH_AGG_CACHE.get(key)
+        if dh is None:
+            for kk in [kk for kk in _WORKER_MATCH_AGG_CACHE if kk[0] == out_dir and kk[1] < version]:
+                del _WORKER_MATCH_AGG_CACHE[kk]
+            dh = DateHistogram(out_dir, list(seg_ids), field, bucket_us)
+            _WORKER_MATCH_AGG_CACHE[key] = dh
+        return dh(batch)
+
+
+class MatchsetStatsTaskFn:
+    """Task-fn form of MatchsetStats (worker-process cache)."""
+
+    def __init__(self, out_dir: str, seg_ids: list[int], field: str, version: float):
+        self.args = (out_dir, tuple(seg_ids), field, version)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_dir, seg_ids, field, version = self.args
+        key = (out_dir, version, seg_ids, field, "stats")
+        ms = _WORKER_MATCH_AGG_CACHE.get(key)
+        if ms is None:
+            for kk in [kk for kk in _WORKER_MATCH_AGG_CACHE if kk[0] == out_dir and kk[1] < version]:
+                del _WORKER_MATCH_AGG_CACHE[kk]
+            ms = MatchsetStats(out_dir, list(seg_ids), field)
+            _WORKER_MATCH_AGG_CACHE[key] = ms
+        return ms(batch)
 
 
 class DocvalueTopKTaskFn:

@@ -904,3 +904,46 @@ def test_match_counts_on_real_index(golden_index):
     fc = facet_counts(idx, q, facet="lang").to_pandas()
     by_q = fc.groupby("query_id")["n_docs"].sum().to_dict()
     assert by_q == want
+
+def test_matchset_aggs_on_real_index(golden_index):
+    """date_histogram + matchset_stats == python reference over the match
+    set (distinct docs containing >=1 query term, warc_ts docvalue):
+    histogram buckets are value//bucket_us counts, stats are exact
+    (count, min, max, sum); histogram counts sum to the stats count."""
+    from aarhus_ray.pipelines.query import date_histogram, matchset_stats
+    from aarhus_ray.textnorm import tokenize
+
+    idx = golden_index["index"]
+    q = fixtures.gen_queries(12, seed=11)
+    bucket_us = 3_600_000_000  # hour buckets
+    hist = (
+        date_histogram(idx, q, bucket_us=bucket_us)
+        .to_pandas().sort_values(["query_id", "bucket"]).reset_index(drop=True)
+    )
+    stats = matchset_stats(idx, q).to_pandas().sort_values("query_id").reset_index(drop=True)
+
+    docs = _docs_table(idx, ["doc_id", "text", "warc_ts"])
+    toks_of = [set(tokenize(t)) for t in docs["text"].to_pylist()]
+    ts_of = docs["warc_ts"].to_pylist()
+    want_hist = {}
+    want_stats = {}
+    for qid, text in zip(q["query_id"].to_pylist(), q["text"].to_pylist()):
+        terms = set(tokenize(text))
+        tss = [ts for dt, ts in zip(toks_of, ts_of) if terms & dt]
+        if not tss:
+            continue
+        want_stats[qid] = (len(tss), min(tss), max(tss), sum(tss))
+        for ts in tss:
+            want_hist[(qid, ts // bucket_us)] = want_hist.get((qid, ts // bucket_us), 0) + 1
+
+    got_hist = {
+        (r.query_id, r.bucket): r.n_docs for r in hist.itertuples()
+    }
+    assert got_hist == want_hist
+    got_stats = {
+        r.query_id: (r.n_docs, r.min_ts, r.max_ts, r.sum_ts) for r in stats.itertuples()
+    }
+    assert got_stats == want_stats
+    # histogram mass == stats count per query
+    mass = hist.groupby("query_id")["n_docs"].sum().to_dict()
+    assert mass == {qid: s[0] for qid, s in want_stats.items()}
