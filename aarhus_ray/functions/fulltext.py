@@ -1230,6 +1230,90 @@ ORDER BY 1
 """
 
 
+# function_score decay constants: origin just past the newest synthetic ts
+# (ages span (7, TS_MOD+7) us), scale sized so the linear factor spans
+# ~[0.17, 1) — wide enough to genuinely reorder bm25 ranks.
+FS_ORIGIN_US = BASE_TS_US + TS_MOD
+FS_SCALE_US = 1_200_000_000
+
+
+def function_score_query(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Function-score retrieval per FT_QUERY (ES function_score, linear
+    time decay): rank by bm25 × max(0, 1 − |origin − warc_ts| / scale)
+    (pipelines/query.function_score_topk). Linear decay replays
+    bit-faithfully in SQL (no transcendentals); output integer-only."""
+    from ..pipelines.query import function_score_topk
+    from ..stages.query_stage import UrlResolver
+
+    index = _ensure_index(sf_dir, fresh=False)
+    queries = pa.table(
+        {
+            "query_id": pa.array(range(len(FT_QUERIES)), pa.int64()),
+            "text": pa.array(list(FT_QUERIES), pa.string()),
+        }
+    )
+    ds = function_score_topk(
+        index, queries, origin_us=FS_ORIGIN_US, scale_us=FS_SCALE_US, k=k
+    ).map_batches(
+        UrlResolver, fn_constructor_args=(index,), batch_format="pyarrow",
+        concurrency=(1, 2),
+    )
+    res = ds.to_pandas()
+    res["doc_id"] = res["url"].map(url_doc_id).astype("int64")
+    out = res[["query_id", "rank", "doc_id"]].sort_values(["query_id", "rank"])
+    out["rank"] = out["rank"].astype("int32")
+    return out.reset_index(drop=True)
+
+
+def function_score_oracle_sql(k: int = 10) -> str:
+    """Function-score oracle: the unchanged BM25 CTEs, final score
+    multiplied by the linear decay replayed from the integer ts
+    permutation — the same short IEEE-754 op chain the engine runs."""
+    values = ",".join(
+        f"({qid}, '{term}')" for qid, q in enumerate(FT_QUERIES) for term in q.split()
+    )
+    ts = f"({BASE_TS_US} + (doc_id * {TS_MULT}) % {TS_MOD})"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok
+    FROM documents) WHERE tok <> ''
+),
+dl AS (SELECT d.doc_id, CAST(coalesce(t.c, 0) AS DOUBLE) AS dl
+       FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS c FROM toks GROUP BY 1) t USING (doc_id)),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+q(query_id, tok) AS (VALUES {values}),
+qd AS (SELECT DISTINCT query_id, tok FROM q),
+scored AS (
+  SELECT qd.query_id, tf.doc_id,
+         sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * (1.2 + 1.0)
+              / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score
+  FROM qd
+  JOIN tf USING (tok)
+  JOIN df USING (tok)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+decayed AS (
+  SELECT query_id, doc_id,
+         score * greatest(0.0, 1.0 - abs({FS_ORIGIN_US} - {ts}) / CAST({FS_SCALE_US} AS DOUBLE)) AS fscore
+  FROM scored
+),
+ranked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY fscore DESC, doc_id) AS rank
+  FROM decayed
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank, doc_id
+FROM ranked WHERE rank <= {k}
+ORDER BY query_id, rank
+"""
+
+
 # Minute buckets for the histogram agg: the synthetic crawl-ts permutation
 # spreads docs over ~1000 s (TS_MOD us), so day buckets would collapse to
 # one row; 60 s buckets yield ~17 populated buckets per query.

@@ -411,6 +411,45 @@ def match_counts(
     )
 
 
+def function_score_topk(
+    out_dir: str,
+    queries,
+    field: str = "warc_ts",
+    origin_us: int = 0,
+    scale_us: int = 1,
+    k: int = 10,
+    concurrency: int | None = None,
+    batch_size: int = 64,
+) -> ray.data.Dataset:
+    """FUNCTION-SCORE retrieval (ES function_score, linear time decay):
+    top-k by bm25 × max(0, 1 − |origin − docvalue| / scale). Returns
+    (query_id, rank, doc_id, score). Same stateless-task shape as
+    query_index; BM25 statistics stay global."""
+    from ..stages.query_stage import FunctionScoreTaskFn
+
+    segs = list_segments(out_dir)
+    if not segs:
+        raise ValueError(f"no segments under {out_dir}")
+    conc = concurrency or max(1, _cpus())
+    if isinstance(queries, str):
+        import pyarrow.parquet as _pq
+
+        queries = _pq.read_table(queries)
+    if isinstance(queries, pa.Table):
+        n_blocks = max(1, min(conc * 4, queries.num_rows // max(1, batch_size) + 1))
+        per = (queries.num_rows + n_blocks - 1) // n_blocks
+        slices = [queries.slice(i * per, per) for i in range(n_blocks) if i * per < queries.num_rows]
+        qds = ray.data.from_arrow(slices)
+    else:
+        qds = queries
+    return qds.map_batches(
+        FunctionScoreTaskFn(out_dir, segs, field, origin_us, scale_us, k,
+                            index_version(out_dir)),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+
+
 def date_histogram(
     out_dir: str,
     queries,

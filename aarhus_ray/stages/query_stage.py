@@ -1253,6 +1253,77 @@ class FacetTopK:
         )
 
 
+class FunctionScoreTopK:
+    """FUNCTION-SCORE retrieval (Elasticsearch's function_score with a
+    LINEAR time-decay multiplier): final = bm25 × max(0, 1 − |origin −
+    ts| / scale) — "relevance, discounted by staleness". Linear decay is
+    chosen over exp/gauss deliberately: the factor is a short chain of
+    IEEE-754 ops (int64 diff → double divide → subtract → clamp) that
+    rounds IDENTICALLY in numpy and the SQL oracle, so ranks replay
+    bit-faithfully; transcendental decay would differ in the last ulp
+    across libm implementations. The multiplier is ≤ 1, so Block-Max
+    WAND's undecayed bounds stay admissible upper bounds at cluster
+    scale; here the brute-path scorer supplies per-term cached (doc_id,
+    contribution) arrays (tombstone/filter visibility included) and the
+    union accumulates in sorted-term order — bit-identical to the
+    scorer's brute path — then one docvalue gather applies the decay
+    before top-k selection. Total order: (final score DESC, doc_id ASC)."""
+
+    def __init__(self, out_dir: str, seg_ids: list[int] | None = None,
+                 field: str = "warc_ts", origin_us: int = 0,
+                 scale_us: int = 1, k: int = 10):
+        self.scorer = QueryScorer(out_dir, seg_ids, k=k, method="brute")
+        self.k = k
+        self.field = field
+        self.origin_us = int(origin_us)
+        self.scale_us = int(scale_us)
+        files = sorted(glob.glob(os.path.join(out_dir, "docs", "pid=*.parquet")))
+        tbl = pa.concat_tables(pq.read_table(f, columns=["doc_id", field]) for f in files)
+        self.doc_ids = tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        self.vals = tbl[field].cast(pa.int64()).to_numpy(zero_copy_only=False)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..bm25 import topk_select
+
+        qids_out: list[int] = []
+        ranks_out: list[int] = []
+        docs_out: list[np.ndarray] = []
+        scores_out: list[np.ndarray] = []
+        for qid, text in zip(batch["query_id"].to_pylist(), batch["text"].to_pylist()):
+            owners = {}
+            for t in set(tokenize(text)):
+                segs = self.scorer._owners(t)
+                if segs:
+                    owners[t] = segs
+            terms = sorted(owners)
+            if not terms:
+                continue
+            entries = [self.scorer._term_arrays(t, owners[t]) for t in terms]
+            all_ids = np.unique(np.concatenate([e[0] for e in entries]))
+            scores = np.zeros(len(all_ids), dtype=np.float64)
+            for doc_ids, contribs, _, _ in entries:  # sorted-term order
+                pos = np.searchsorted(all_ids, doc_ids)
+                scores[pos] += contribs
+            ts = self.vals[np.searchsorted(self.doc_ids, all_ids)]
+            factor = 1.0 - np.abs(self.origin_us - ts) / float(self.scale_us)
+            scores *= np.maximum(factor, 0.0)
+            d, s = topk_select(all_ids, scores, self.k)
+            qids_out.extend([qid] * len(d))
+            ranks_out.extend(range(1, len(d) + 1))
+            docs_out.append(d)
+            scores_out.append(s)
+        docs = np.concatenate(docs_out) if docs_out else np.empty(0, np.uint64)
+        scrs = np.concatenate(scores_out) if scores_out else np.empty(0, np.float64)
+        return pa.table(
+            {
+                "query_id": pa.array(qids_out, pa.int64()),
+                "rank": pa.array(np.asarray(ranks_out, dtype=np.int32), pa.int32()),
+                "doc_id": pa.array(docs, pa.uint64()),
+                "score": pa.array(scrs, pa.float64()),
+            }
+        )
+
+
 class DocvalueTopK:
     """Sort-by-field retrieval: for each query, the top-k docs of the
     disjunctive MATCH SET ordered by a numeric docvalue (e.g. warc_ts
@@ -1466,6 +1537,7 @@ _WORKER_DOCVALUE_TOPK_CACHE: dict[tuple, "DocvalueTopK"] = {}
 _WORKER_MATCH_COUNT_CACHE: dict[tuple, "MatchCounter"] = {}
 _WORKER_MATCH_EXPORT_CACHE: dict[tuple, "MatchExporter"] = {}
 _WORKER_MATCH_AGG_CACHE: dict[tuple, object] = {}
+_WORKER_FSCORE_CACHE: dict[tuple, "FunctionScoreTopK"] = {}
 
 
 class MatchExportTaskFn:
@@ -1502,6 +1574,25 @@ class MatchCountTaskFn:
             mc = MatchCounter(out_dir, list(seg_ids))
             _WORKER_MATCH_COUNT_CACHE[key] = mc
         return mc(batch)
+
+
+class FunctionScoreTaskFn:
+    """Task-fn form of FunctionScoreTopK (worker-process cache)."""
+
+    def __init__(self, out_dir: str, seg_ids: list[int], field: str,
+                 origin_us: int, scale_us: int, k: int, version: float):
+        self.args = (out_dir, tuple(seg_ids), field, origin_us, scale_us, k, version)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_dir, seg_ids, field, origin_us, scale_us, k, version = self.args
+        key = (out_dir, version, seg_ids, field, origin_us, scale_us, k)
+        fs = _WORKER_FSCORE_CACHE.get(key)
+        if fs is None:
+            for kk in [kk for kk in _WORKER_FSCORE_CACHE if kk[0] == out_dir and kk[1] < version]:
+                del _WORKER_FSCORE_CACHE[kk]
+            fs = FunctionScoreTopK(out_dir, list(seg_ids), field, origin_us, scale_us, k)
+            _WORKER_FSCORE_CACHE[key] = fs
+        return fs(batch)
 
 
 class DateHistogramTaskFn:

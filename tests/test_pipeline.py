@@ -947,3 +947,52 @@ def test_matchset_aggs_on_real_index(golden_index):
     # histogram mass == stats count per query
     mass = hist.groupby("query_id")["n_docs"].sum().to_dict()
     assert mass == {qid: s[0] for qid, s in want_stats.items()}
+
+def test_function_score_on_real_index(golden_index):
+    """function_score (linear time decay) == python reference: full
+    disjunctive brute scoring x max(0, 1-|origin-ts|/scale), frozen
+    (score DESC, doc_id ASC) order; factor<=1 so every final score is
+    <= its bm25 score."""
+    import numpy as np
+    from aarhus_ray.pipelines.query import function_score_topk
+    from aarhus_ray.textnorm import tokenize
+    from aarhus_ray.bm25 import brute_force_topk
+    from aarhus_ray.stages.query_stage import QueryScorer
+
+    idx = golden_index["index"]
+    q = fixtures.gen_queries(12, seed=17)
+    docs = _docs_table(idx, ["doc_id", "warc_ts"])
+    all_ts = dict(zip(docs["doc_id"].to_pylist(), docs["warc_ts"].to_pylist()))
+    origin = max(all_ts.values()) + 1
+    scale = max(all_ts.values()) - min(all_ts.values()) + 2
+
+    got = (
+        function_score_topk(idx, q, origin_us=origin, scale_us=scale, k=10)
+        .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+
+    # python reference: brute full-ranking (k = corpus size), decay applied
+    scorer = QueryScorer(idx, k=10, method="brute")
+    want_rows = []
+    for qid, text in zip(q["query_id"].to_pylist(), q["text"].to_pylist()):
+        toks = sorted(set(tokenize(text)))
+        owners = {t: scorer._owners(t) for t in toks}
+        owners = {t: s for t, s in owners.items() if s}
+        if not owners:
+            continue
+        terms = sorted(owners)
+        postings = {t: scorer._gather_postings(t, owners[t]) for t in terms}
+        dfs = {t: scorer._global_df(t, owners[t]) for t in terms}
+        d, s = brute_force_topk(terms, postings, dfs, scorer.doclens.lookup,
+                                scorer.n_docs, scorer.avgdl, k=1 << 30)
+        ts = np.array([all_ts[int(x)] for x in d], dtype=np.int64)
+        fac = np.maximum(1.0 - np.abs(origin - ts) / float(scale), 0.0)
+        fs = s * fac
+        order = np.lexsort((d, -fs))[:10]
+        for r, i in enumerate(order, 1):
+            want_rows.append((qid, r, int(d[i]), fs[i]))
+
+    assert len(got) == len(want_rows)
+    for row, (qid, r, did, fsc) in zip(got.itertuples(), want_rows):
+        assert (row.query_id, row.rank, row.doc_id) == (qid, r, did)
+        assert row.score == fsc  # bit-identical float path
