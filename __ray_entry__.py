@@ -138,6 +138,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # numeric-range filter over the same docvalue; BM25 stats stay global
         "fulltext_bm25_ts_range": fulltext.bm25_topk_ts_range,
         "fulltext_match_counts": fulltext.match_counts_query,  # totalHits
+        # query-time synonym expansion (Lucene SynonymQuery: merged tf, max df)
+        "fulltext_synonym_topk": fulltext.synonym_topk_query,
         # function_score: bm25 x linear time-decay on the warc_ts docvalue
         "fulltext_function_score": fulltext.function_score_query,
         # ES-style aggregations over the match set (docvalue sidecar)
@@ -576,6 +578,7 @@ def oracle_sql() -> dict[str, str]:
         "fulltext_bm25_recency": fulltext.bm25_recency_oracle_sql(),
         "fulltext_bm25_ts_range": fulltext.bm25_ts_range_oracle_sql(),
         "fulltext_match_counts": fulltext.match_counts_oracle_sql(),
+        "fulltext_synonym_topk": fulltext.synonym_oracle_sql(),
         "fulltext_function_score": fulltext.function_score_oracle_sql(),
         "fulltext_date_histogram": fulltext.date_histogram_oracle_sql(),
         "fulltext_matchset_stats": fulltext.matchset_stats_oracle_sql(),

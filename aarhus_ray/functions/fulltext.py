@@ -1230,6 +1230,101 @@ ORDER BY 1
 """
 
 
+# Query-time synonym map over the fixture vocabulary; includes OOV
+# synonyms (quick/grid/large never match — they must contribute nothing)
+# and an in-vocab pair (join↔merge) whose merged-tf/max-df scoring
+# genuinely differs from plain OR retrieval.
+FT_SYNONYMS = {
+    "join": ("merge",),
+    "fast": ("quick", "slow"),
+    "big": ("large",),
+    "table": ("row", "grid"),
+}
+FT_SYN_QUERIES = (
+    "join customer",
+    "fast query",
+    "table scan",
+    "big data",
+    "vector",
+    "zzznotinvocab",
+)
+
+
+def synonym_topk_query(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Query-time synonym retrieval per FT_SYN_QUERIES (Lucene
+    SynonymQuery semantics: a term's synonym group scores as one
+    pseudo-term with merged tf and max-df idf —
+    stages/query_stage.SynonymTopK). Output integer-only."""
+    from ..pipelines.query import synonym_topk
+    from ..stages.query_stage import UrlResolver
+
+    index = _ensure_index(sf_dir, fresh=False)
+    queries = pa.table(
+        {
+            "query_id": pa.array(range(len(FT_SYN_QUERIES)), pa.int64()),
+            "text": pa.array(list(FT_SYN_QUERIES), pa.string()),
+        }
+    )
+    ds = synonym_topk(index, queries, synonyms=FT_SYNONYMS, k=k).map_batches(
+        UrlResolver, fn_constructor_args=(index,), batch_format="pyarrow",
+        concurrency=(1, 2),
+    )
+    res = ds.to_pandas()
+    res["doc_id"] = res["url"].map(url_doc_id).astype("int64")
+    out = res[["query_id", "rank", "doc_id"]].sort_values(["query_id", "rank"])
+    out["rank"] = out["rank"].astype("int32")
+    return out.reset_index(drop=True)
+
+
+def synonym_oracle_sql(k: int = 10) -> str:
+    """Synonym oracle: per (query, base-term) group, merged tf = SUM of
+    member tfs per doc and idf from the group's MAX df — the engine's
+    SynonymQuery rule replayed relationally."""
+    rows = []
+    for qid, q in enumerate(FT_SYN_QUERIES):
+        for base in q.split():
+            for tok in sorted({base, *FT_SYNONYMS.get(base, ())}):
+                rows.append(f"({qid}, '{base}', '{tok}')")
+    values = ",".join(rows)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok
+    FROM documents) WHERE tok <> ''
+),
+dl AS (SELECT d.doc_id, CAST(coalesce(t.c, 0) AS DOUBLE) AS dl
+       FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS c FROM toks GROUP BY 1) t USING (doc_id)),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+syn(query_id, grp, tok) AS (VALUES {values}),
+sd AS (SELECT DISTINCT query_id, grp, tok FROM syn),
+mtf AS (SELECT sd.query_id, sd.grp, tf.doc_id, sum(tf.tf) AS mtf
+        FROM sd JOIN tf USING (tok) GROUP BY 1, 2, 3),
+gdf AS (SELECT sd.query_id, sd.grp, max(df.df) AS dfm
+        FROM sd JOIN df USING (tok) GROUP BY 1, 2),
+scored AS (
+  SELECT m.query_id, m.doc_id,
+         sum( ln(1 + (s.n - g.dfm + 0.5) / (g.dfm + 0.5))
+              * m.mtf * (1.2 + 1.0)
+              / (m.mtf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score
+  FROM mtf m
+  JOIN gdf g ON g.query_id = m.query_id AND g.grp = m.grp
+  JOIN dl ON m.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+  FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank, doc_id
+FROM ranked WHERE rank <= {k}
+ORDER BY query_id, rank
+"""
+
+
 # function_score decay constants: origin just past the newest synthetic ts
 # (ages span (7, TS_MOD+7) us), scale sized so the linear factor spans
 # ~[0.17, 1) — wide enough to genuinely reorder bm25 ranks.

@@ -450,6 +450,42 @@ def function_score_topk(
     )
 
 
+def synonym_topk(
+    out_dir: str,
+    queries,
+    synonyms: dict[str, tuple[str, ...]] | None = None,
+    k: int = 10,
+    concurrency: int | None = None,
+    batch_size: int = 64,
+) -> ray.data.Dataset:
+    """Query-time SYNONYM retrieval (Lucene SynonymQuery semantics): each
+    term expands to its synonym group scored as one pseudo-term (merged
+    tf, max-df idf). Returns (query_id, rank, doc_id, score)."""
+    from ..stages.query_stage import SynonymTopKTaskFn
+
+    syn_t = tuple(sorted((b, tuple(s)) for b, s in (synonyms or {}).items()))
+    segs = list_segments(out_dir)
+    if not segs:
+        raise ValueError(f"no segments under {out_dir}")
+    conc = concurrency or max(1, _cpus())
+    if isinstance(queries, str):
+        import pyarrow.parquet as _pq
+
+        queries = _pq.read_table(queries)
+    if isinstance(queries, pa.Table):
+        n_blocks = max(1, min(conc * 4, queries.num_rows // max(1, batch_size) + 1))
+        per = (queries.num_rows + n_blocks - 1) // n_blocks
+        slices = [queries.slice(i * per, per) for i in range(n_blocks) if i * per < queries.num_rows]
+        qds = ray.data.from_arrow(slices)
+    else:
+        qds = queries
+    return qds.map_batches(
+        SynonymTopKTaskFn(out_dir, segs, syn_t, k, index_version(out_dir)),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+
+
 def date_histogram(
     out_dir: str,
     queries,

@@ -1324,6 +1324,84 @@ class FunctionScoreTopK:
         )
 
 
+class SynonymTopK:
+    """QUERY-TIME SYNONYM EXPANSION with Lucene SynonymQuery semantics:
+    each query term expands to its synonym group {term} ∪ syns(term), and
+    the group scores as ONE pseudo-term — merged tf = Σ tf over the
+    group's members present in the doc, idf from the group's MAX df (the
+    Lucene blended-df rule: synonyms share one saturation curve instead
+    of double-counting near-identical words). Groups accumulate in
+    sorted-base-term order (the frozen order rule); total order
+    (score DESC, doc_id ASC). An out-of-vocabulary synonym simply
+    contributes nothing (its postings are empty); a whole-group miss
+    drops the group, and a query with no surviving group emits no rows.
+
+    The group merge is vectorized: concat the members' (doc_id, tf)
+    arrays → np.unique(return_inverse) → np.add.at fold. Per-query cost
+    is the expanded terms' postings length — identical shape to
+    disjunctive scoring, so the doc-range-sharded cluster path applies
+    unchanged (merged tf and max-df are per-group global facts;
+    df sums/maxes ship with the query exactly like global df today)."""
+
+    def __init__(self, out_dir: str, seg_ids: list[int] | None = None,
+                 synonyms: tuple[tuple[str, tuple[str, ...]], ...] = (),
+                 k: int = 10):
+        self.scorer = QueryScorer(out_dir, seg_ids, k=k, method="brute")
+        self.k = k
+        self.synonyms = {base: tuple(syns) for base, syns in synonyms}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..bm25 import idf as idf_fn, score_tf, topk_select
+
+        sc = self.scorer
+        qids_out: list[int] = []
+        ranks_out: list[int] = []
+        docs_out: list[np.ndarray] = []
+        scores_out: list[np.ndarray] = []
+        for qid, text in zip(batch["query_id"].to_pylist(), batch["text"].to_pylist()):
+            groups: list[tuple[str, list[str]]] = []
+            for base in sorted(set(tokenize(text))):
+                members = []
+                for t in sorted({base, *self.synonyms.get(base, ())}):
+                    if sc._owners(t):
+                        members.append(t)
+                if members:
+                    groups.append((base, members))
+            if not groups:
+                continue
+            merged: list[tuple[np.ndarray, np.ndarray, float]] = []
+            for _, members in groups:
+                parts = [sc._gather_postings(t, sc._owners(t)) for t in members]
+                ids = np.concatenate([p[0] for p in parts])
+                tfs = np.concatenate([p[1] for p in parts]).astype(np.float64)
+                uids, inv = np.unique(ids, return_inverse=True)
+                mtf = np.zeros(len(uids), dtype=np.float64)
+                np.add.at(mtf, inv, tfs)
+                dfm = max(sc._global_df(t, sc._owners(t)) for t in members)
+                merged.append((uids, mtf, idf_fn(dfm, sc.n_docs)))
+            cand = np.unique(np.concatenate([m[0] for m in merged]))
+            dls = sc.doclens.lookup(cand).astype(np.float64)
+            scores = np.zeros(len(cand), dtype=np.float64)
+            for uids, mtf, idf_val in merged:  # sorted-base-term order
+                pos = np.searchsorted(cand, uids)
+                scores[pos] += score_tf(mtf, dls[pos], sc.avgdl, idf_val)
+            d, s = topk_select(cand, scores, self.k)
+            qids_out.extend([qid] * len(d))
+            ranks_out.extend(range(1, len(d) + 1))
+            docs_out.append(d)
+            scores_out.append(s)
+        docs = np.concatenate(docs_out) if docs_out else np.empty(0, np.uint64)
+        scrs = np.concatenate(scores_out) if scores_out else np.empty(0, np.float64)
+        return pa.table(
+            {
+                "query_id": pa.array(qids_out, pa.int64()),
+                "rank": pa.array(np.asarray(ranks_out, dtype=np.int32), pa.int32()),
+                "doc_id": pa.array(docs, pa.uint64()),
+                "score": pa.array(scrs, pa.float64()),
+            }
+        )
+
+
 class DocvalueTopK:
     """Sort-by-field retrieval: for each query, the top-k docs of the
     disjunctive MATCH SET ordered by a numeric docvalue (e.g. warc_ts
@@ -1538,6 +1616,7 @@ _WORKER_MATCH_COUNT_CACHE: dict[tuple, "MatchCounter"] = {}
 _WORKER_MATCH_EXPORT_CACHE: dict[tuple, "MatchExporter"] = {}
 _WORKER_MATCH_AGG_CACHE: dict[tuple, object] = {}
 _WORKER_FSCORE_CACHE: dict[tuple, "FunctionScoreTopK"] = {}
+_WORKER_SYNONYM_CACHE: dict[tuple, "SynonymTopK"] = {}
 
 
 class MatchExportTaskFn:
@@ -1593,6 +1672,27 @@ class FunctionScoreTaskFn:
             fs = FunctionScoreTopK(out_dir, list(seg_ids), field, origin_us, scale_us, k)
             _WORKER_FSCORE_CACHE[key] = fs
         return fs(batch)
+
+
+class SynonymTopKTaskFn:
+    """Task-fn form of SynonymTopK (worker-process cache). ``synonyms``
+    is the canonical hashable form: sorted tuple of (base, (syn, ...))."""
+
+    def __init__(self, out_dir: str, seg_ids: list[int],
+                 synonyms: tuple[tuple[str, tuple[str, ...]], ...],
+                 k: int, version: float):
+        self.args = (out_dir, tuple(seg_ids), synonyms, k, version)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_dir, seg_ids, synonyms, k, version = self.args
+        key = (out_dir, version, seg_ids, synonyms, k)
+        st = _WORKER_SYNONYM_CACHE.get(key)
+        if st is None:
+            for kk in [kk for kk in _WORKER_SYNONYM_CACHE if kk[0] == out_dir and kk[1] < version]:
+                del _WORKER_SYNONYM_CACHE[kk]
+            st = SynonymTopK(out_dir, list(seg_ids), synonyms, k)
+            _WORKER_SYNONYM_CACHE[key] = st
+        return st(batch)
 
 
 class DateHistogramTaskFn:

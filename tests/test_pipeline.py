@@ -996,3 +996,65 @@ def test_function_score_on_real_index(golden_index):
     for row, (qid, r, did, fsc) in zip(got.itertuples(), want_rows):
         assert (row.query_id, row.rank, row.doc_id) == (qid, r, did)
         assert row.score == fsc  # bit-identical float path
+
+def test_synonym_mode_on_real_index(golden_index):
+    """SynonymTopK: with an EMPTY synonym map every group is a singleton
+    (merged tf = own tf, max df = own df), so results are bit-identical
+    to plain disjunctive retrieval; with a real map, scores match an
+    independent python recompute of the merged-tf/max-df rule."""
+    import numpy as np
+    from aarhus_ray.pipelines.query import query_index, synonym_topk
+    from aarhus_ray.textnorm import tokenize
+    from aarhus_ray.bm25 import idf as idf_fn, score_tf
+    from aarhus_ray.stages.query_stage import QueryScorer
+
+    idx = golden_index["index"]
+    q = fixtures.gen_queries(12, seed=19)
+
+    plain = (
+        query_index(idx, q, k=10, resolve_urls=False)
+        .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    syn_empty = (
+        synonym_topk(idx, q, synonyms={}, k=10)
+        .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    assert (syn_empty["doc_id"].to_numpy() == plain["doc_id"].to_numpy()).all()
+    assert (syn_empty["score"].to_numpy() == plain["score"].to_numpy()).all()
+
+    # real map: pick two co-occurring corpus words as a synonym pair
+    docs = _docs_table(idx, ["doc_id", "text"])
+    texts = docs["text"].to_pylist()
+    ids = docs["doc_id"].to_pylist()
+    t0 = tokenize(texts[0])
+    base, syn = t0[0], t0[1]
+    if base == syn:
+        syn = t0[2]
+    synonyms = {base: (syn, "zzznotinvocab")}
+    q2 = pa.table({"query_id": pa.array([0], pa.int64()),
+                   "text": pa.array([base], pa.string())})
+    got = (
+        synonym_topk(idx, q2, synonyms=synonyms, k=10)
+        .to_pandas().sort_values("rank").reset_index(drop=True)
+    )
+
+    sc = QueryScorer(idx, k=10, method="brute")
+    tf_by_doc: dict[int, float] = {}
+    df_a = df_b = 0
+    for did, text in zip(ids, texts):
+        tks = tokenize(text)
+        ca, cb = tks.count(base), tks.count(syn)
+        if ca:
+            df_a += 1
+        if cb:
+            df_b += 1
+        if ca + cb:
+            tf_by_doc[did] = float(ca + cb)
+    dfm = max(df_a, df_b)
+    cand = np.array(sorted(tf_by_doc), dtype=np.uint64)
+    mtf = np.array([tf_by_doc[int(d)] for d in cand])
+    dls = sc.doclens.lookup(cand).astype(np.float64)
+    scores = score_tf(mtf, dls, sc.avgdl, idf_fn(dfm, sc.n_docs))
+    order = np.lexsort((cand, -scores))[:10]
+    assert list(got["doc_id"]) == [int(cand[i]) for i in order]
+    assert list(got["score"]) == [scores[i] for i in order]
