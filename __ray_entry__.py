@@ -116,6 +116,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # trailing-* wildcard terms expand against the sharded term
         # dictionary (range scan), then score as disjunctive BM25
         "fulltext_bm25_prefix_topk": fulltext.bm25_topk_prefix,
+        # general wildcard (* anywhere: suffix/infix/contains patterns)
+        "fulltext_bm25_wildcard_topk": fulltext.bm25_topk_wildcard,
         # typo tolerance: terms expand to edit-distance-1 dictionary hits
         "fulltext_bm25_fuzzy_topk": fulltext.bm25_topk_fuzzy,
         # facet panel: per-query match-set counts grouped by lang
@@ -565,6 +567,7 @@ def oracle_sql() -> dict[str, str]:
         "fulltext_bm25_phrase_positional": fulltext.bm25_phrase_oracle_sql(),
         "fulltext_bm25_near_topk": fulltext.bm25_near_oracle_sql(),
         "fulltext_bm25_prefix_topk": fulltext.bm25_prefix_oracle_sql(),
+        "fulltext_bm25_wildcard_topk": fulltext.bm25_wildcard_oracle_sql(),
         "fulltext_bm25_fuzzy_topk": fulltext.bm25_fuzzy_oracle_sql(),
         "fulltext_facet_counts": fulltext.facet_counts_oracle_sql(),
         "fulltext_bm25_boost_topk": fulltext.bm25_boost_oracle_sql(),

@@ -428,6 +428,81 @@ ORDER BY query_id, rank
 """
 
 
+# General-wildcard query set: suffix (*ow), infix (c*er), contains (*or*),
+# multi-star (s*m*), a no-match pattern, and mixes with literal terms.
+FT_WILDCARDS = (
+    "*ow",
+    "c*er",
+    "*or* data",
+    "s*m*",
+    "*zzz*",
+    "*a* the",
+)
+
+
+def bm25_topk_wildcard(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """General wildcard retrieval (``*`` anywhere — Lucene WildcardQuery):
+    patterns expand against the term dictionary (prefix-ranged scan when a
+    literal prefix exists, else a vocabulary-bounded full scan) and the
+    union scores as disjunctive BM25 with per-term global df/idf
+    (query_stage.QueryScorer._expand_wildcard)."""
+    return _run_queries(_ensure_index(sf_dir, fresh=False), FT_WILDCARDS, k, "wildcard")
+
+
+def bm25_wildcard_oracle_sql(k: int = 10) -> str:
+    """Wildcard oracle: the prefix oracle generalized — ``*`` patterns
+    join the vocabulary with LIKE ('*' → '%'), literal tokens on
+    equality; then the standard BM25 stack over the expanded union."""
+    rows = []
+    for qid, q in enumerate(FT_WILDCARDS):
+        for raw in q.split():
+            if "*" in raw:
+                rows.append(f"({qid}, '{raw.lower().replace('*', '%')}', true)")
+            else:
+                rows.append(f"({qid}, '{raw}', false)")
+    values = ",".join(rows)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok
+    FROM documents) WHERE tok <> ''
+),
+dl AS (SELECT d.doc_id, CAST(coalesce(t.c, 0) AS DOUBLE) AS dl
+       FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS c FROM toks GROUP BY 1) t USING (doc_id)),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+vocab AS (SELECT DISTINCT tok FROM tf),
+q(query_id, pat, is_wild) AS (VALUES {values}),
+qd AS (
+  SELECT DISTINCT q.query_id, v.tok
+  FROM q JOIN vocab v
+    ON (q.is_wild AND v.tok LIKE q.pat)
+    OR (NOT q.is_wild AND v.tok = q.pat)
+),
+scored AS (
+  SELECT qd.query_id, tf.doc_id,
+         sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * (1.2 + 1.0)
+              / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score
+  FROM qd
+  JOIN tf USING (tok)
+  JOIN df USING (tok)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+  FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank, doc_id
+FROM ranked WHERE rank <= {k}
+ORDER BY query_id, rank
+"""
+
+
 def bm25_topk_fuzzy(sf_dir: str, k: int = 10) -> pd.DataFrame:
     """Typo-tolerant retrieval: every query token expands to the dictionary
     terms within Levenshtein distance ≤ 1 (vectorized per-byte-length

@@ -344,14 +344,14 @@ class QueryScorer:
         self.k = k
         self.method = method
         if mode not in ("or", "and", "phrase", "near", "prefix", "fuzzy", "boost",
-                        "boolean", "msm"):
+                        "boolean", "msm", "wildcard"):
             raise ValueError(
                 f"mode must be 'or', 'and', 'phrase', 'near', 'prefix', 'fuzzy', "
-                f"'boost', 'boolean' or 'msm', not {mode!r}"
+                f"'boost', 'boolean', 'msm' or 'wildcard', not {mode!r}"
             )
         if mode == "and" and method not in ("wand", "brute"):
             raise ValueError(f"conjunctive scoring supports wand/brute, not {method!r}")
-        if mode in ("prefix", "fuzzy", "boost", "boolean", "msm") and method not in ("wand", "brute"):
+        if mode in ("prefix", "fuzzy", "boost", "boolean", "msm", "wildcard") and method not in ("wand", "brute"):
             raise ValueError(f"{mode} scoring supports wand/brute, not {method!r}")
         if mode in ("phrase", "near") and method != "wand":
             raise ValueError(f"{mode} scoring supports method='wand', not {method!r}")
@@ -858,6 +858,51 @@ class QueryScorer:
                 terms.update(tokenize(raw))
         return self._score_terms(terms)
 
+    def _expand_wildcard(self, pattern: str) -> set[str]:
+        """GENERAL wildcard expansion (Lucene WildcardQuery, ``*`` only,
+        anywhere in the token): all dictionary terms matching the glob.
+        When the pattern has a literal prefix before the first ``*`` the
+        scan is bisected to that prefix's range (same routing story as
+        _expand_prefix); a LEADING wildcard degrades to a full dictionary
+        scan — bounded by vocabulary size, not corpus size, exactly as in
+        Lucene (which warns about leading wildcards for the same reason)."""
+        import bisect
+        import re as _re
+
+        pre = pattern.split("*", 1)[0]
+        rx = _re.compile(
+            "^" + ".*".join(_re.escape(p) for p in pattern.split("*")) + "$"
+        )
+        out: set[str] = set()
+        for seg in self.segments:
+            ts = seg.terms_sorted
+            if pre:
+                i0 = bisect.bisect_left(ts, pre)
+                i1 = bisect.bisect_left(ts, pre[:-1] + chr(ord(pre[-1]) + 1))
+                cand = ts[i0:i1]
+            else:
+                cand = ts
+            out.update(t for t in cand if rx.match(t))
+        return out
+
+    def _score_query_wildcard(self, text: str) -> tuple[np.ndarray, np.ndarray]:
+        """Wildcard retrieval with ``*`` anywhere (contains ``*ab*``,
+        suffix ``*ab``, infix ``a*b`` — generalizing mode='prefix'): each
+        pattern EXPANDS to the matching dictionary terms and the query
+        scores as disjunctive BM25 over the union, each term with its own
+        global df/idf (scoring_boolean rewrite, SQL-replayable via LIKE).
+        Patterns lowercase; a bare ``*`` is ignored; literal tokens pass
+        through tokenize."""
+        terms: set[str] = set()
+        for raw in text.split():
+            if "*" in raw:
+                pat = raw.lower()
+                if pat.strip("*"):
+                    terms |= self._expand_wildcard(pat)
+            else:
+                terms.update(tokenize(raw))
+        return self._score_terms(terms)
+
     def _expand_fuzzy(self, tok: str) -> set[str]:
         """Union of each segment's d≤1 dictionary candidates, cached per
         scorer (typo-class queries repeat the same tokens heavily)."""
@@ -1020,6 +1065,8 @@ class QueryScorer:
             return self._score_query_boolean(text)
         if self.mode == "msm":
             return self._score_query_msm(text)
+        if self.mode == "wildcard":
+            return self._score_query_wildcard(text)
         return self._score_terms(set(tokenize(text)))
 
     def _score_terms(self, toks: set[str]) -> tuple[np.ndarray, np.ndarray]:

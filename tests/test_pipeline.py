@@ -1058,3 +1058,38 @@ def test_synonym_mode_on_real_index(golden_index):
     order = np.lexsort((cand, -scores))[:10]
     assert list(got["doc_id"]) == [int(cand[i]) for i in order]
     assert list(got["score"]) == [scores[i] for i in order]
+
+def test_wildcard_mode_on_real_index(golden_index):
+    """mode='wildcard': expansion == fnmatch over the corpus vocabulary,
+    and scoring == mode='or' over the expanded literal term set
+    (bit-identical scores); leading-star and no-match patterns covered."""
+    from fnmatch import fnmatchcase
+
+    from aarhus_ray.textnorm import tokenize
+
+    idx = golden_index["index"]
+    docs = _docs_table(idx, ["text"])
+    vocab = sorted({t for x in docs["text"].to_pylist() for t in tokenize(x)})
+    pats = ["*ing", "th*", "*a*d*", "zz*qq", vocab[0][:2] + "*"]
+    q = pa.table({"query_id": pa.array(range(len(pats)), pa.int64()),
+                  "text": pa.array(pats, pa.string())})
+    wild = (
+        query_index(idx, q, k=10, mode="wildcard", resolve_urls=False)
+        .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    rows = []
+    for qid, pat in enumerate(pats):
+        expanded = [t for t in vocab if fnmatchcase(t, pat)]
+        if not expanded:
+            continue
+        rows.append((qid, " ".join(expanded)))
+    q_or = pa.table({"query_id": pa.array([r[0] for r in rows], pa.int64()),
+                     "text": pa.array([r[1] for r in rows], pa.string())})
+    disj = (
+        query_index(idx, q_or, k=10, mode="or", resolve_urls=False)
+        .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    assert len(wild) == len(disj)
+    assert (wild["query_id"].to_numpy() == disj["query_id"].to_numpy()).all()
+    assert (wild["doc_id"].to_numpy() == disj["doc_id"].to_numpy()).all()
+    assert (wild["score"].to_numpy() == disj["score"].to_numpy()).all()
