@@ -140,6 +140,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # numeric-range filter over the same docvalue; BM25 stats stay global
         "fulltext_bm25_ts_range": fulltext.bm25_topk_ts_range,
         "fulltext_match_counts": fulltext.match_counts_query,  # totalHits
+        # dis_max over title/body: best field wins + tie_breaker * other
+        "fulltext_bm25_dismax": fulltext.bm25_topk_dismax,
         # query-time synonym expansion (Lucene SynonymQuery: merged tf, max df)
         "fulltext_synonym_topk": fulltext.synonym_topk_query,
         # function_score: bm25 x linear time-decay on the warc_ts docvalue
@@ -581,6 +583,7 @@ def oracle_sql() -> dict[str, str]:
         "fulltext_bm25_recency": fulltext.bm25_recency_oracle_sql(),
         "fulltext_bm25_ts_range": fulltext.bm25_ts_range_oracle_sql(),
         "fulltext_match_counts": fulltext.match_counts_oracle_sql(),
+        "fulltext_bm25_dismax": fulltext.bm25_dismax_oracle_sql(),
         "fulltext_synonym_topk": fulltext.synonym_oracle_sql(),
         "fulltext_function_score": fulltext.function_score_oracle_sql(),
         "fulltext_date_histogram": fulltext.date_histogram_oracle_sql(),

@@ -2047,6 +2047,59 @@ ORDER BY query_id, rank
 """
 
 
+DIS_TIE = 0.3  # dis_max tie_breaker (the ES default style: 0 < tie < 1)
+
+
+def bm25_topk_dismax(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Disjunction-max multi-field retrieval (Lucene DisjunctionMaxQuery /
+    ES dis_max over title, body): per doc the BEST field score wins and
+    the other contributes only tie_breaker × its score —
+
+        score = max(bm25_title, bm25_body) + DIS_TIE * min(title, body)
+
+    (missing field ⇒ 0). This is the "don't double-count the same words
+    in two fields" alternative to multi_match's weighted SUM; both ride
+    the same two real field indexes (_ensure_title_index). Exact by the
+    same argument as bm25_topk_multifield: each field's brute path scores
+    its whole match set; at cluster scale the combine runs per doc-range
+    shard with a final k-sized merge."""
+    import numpy as np
+
+    body = _ensure_index(sf_dir, fresh=False)
+    title = _ensure_title_index(sf_dir)
+    k_all = 1 << 30
+    rb = _full_ranking(body, k_all)
+    rt = _full_ranking(title, k_all)
+    m = rb.merge(rt, on=["query_id", "doc_id"], how="outer", suffixes=("_b", "_t"))
+    st = m["score_t"].fillna(0.0).to_numpy()
+    sb = m["score_b"].fillna(0.0).to_numpy()
+    m["score"] = np.maximum(st, sb) + DIS_TIE * np.minimum(st, sb)
+    m = m.sort_values(
+        ["query_id", "score", "doc_id"], ascending=[True, False, True], kind="mergesort"
+    )
+    out = m.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    out["rank"] = out.groupby("query_id", sort=False).cumcount().astype("int32") + 1
+    out["query_id"] = out["query_id"].astype("int64")
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out[["query_id", "rank", "doc_id"]]
+
+
+def bm25_dismax_oracle_sql(k: int = 10) -> str:
+    """dis_max oracle: the two field CTE stacks of the multi_match oracle,
+    combined with greatest + tie_breaker × least instead of the weighted
+    sum — the same short IEEE-754 chain the engine computes."""
+    sql = bm25_multifield_oracle_sql(k)
+    old = (
+        f"{W_TITLE} * coalesce(t.score, 0) + {W_BODY} * coalesce(b.score, 0) AS score"
+    )
+    new = (
+        f"greatest(coalesce(t.score, 0), coalesce(b.score, 0)) + "
+        f"{DIS_TIE} * least(coalesce(t.score, 0), coalesce(b.score, 0)) AS score"
+    )
+    assert old in sql
+    return sql.replace(old, new)
+
+
 # minimum_should_match query set (m=2): mixes 2-of-3 / 2-of-4 selections,
 # an OOV term (never matches — ES counts only matchable optional clauses
 # the doc actually satisfies, so 'vector OOV table' at m=2 needs both
