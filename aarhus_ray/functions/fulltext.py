@@ -2047,6 +2047,80 @@ ORDER BY query_id, rank
 """
 
 
+def search_after_query(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """SEARCH_AFTER cursor pagination (ES search_after — the scale-safe
+    deep-paging API): page 1 of the recency sort supplies each query's
+    cursor (the rank-k hit's (warc_ts, doc_id) sort key, in ENGINE doc
+    space), then pipelines/query.search_after_topk returns the next k
+    matches strictly after the cursor — equal, by construction, to ranks
+    k+1..2k of the full recency ordering, which is what the oracle
+    replays. Output (query_id, rank, doc_id, warc_ts), rank 1..k within
+    the page."""
+    from ..pipelines.query import search_after_topk, sort_topk
+    from ..stages.query_stage import UrlResolver
+
+    index = _ensure_index(sf_dir, fresh=False)
+    queries = pa.table(
+        {
+            "query_id": pa.array(range(len(FT_QUERIES)), pa.int64()),
+            "text": pa.array(list(FT_QUERIES), pa.string()),
+        }
+    )
+    page1 = sort_topk(index, queries, field="warc_ts", k=k).to_pandas()
+    last = page1[page1["rank"] == page1.groupby("query_id")["rank"].transform("max")]
+    cur = {int(r.query_id): (int(r.warc_ts), int(r.doc_id)) for r in last.itertuples()}
+    keep = [qid for qid in range(len(FT_QUERIES)) if qid in cur]
+    q2 = pa.table(
+        {
+            "query_id": pa.array(keep, pa.int64()),
+            "text": pa.array([FT_QUERIES[qid] for qid in keep], pa.string()),
+            "after_val": pa.array([cur[qid][0] for qid in keep], pa.int64()),
+            "after_doc": pa.array([cur[qid][1] for qid in keep], pa.uint64()),
+        }
+    )
+    ds = search_after_topk(index, q2, field="warc_ts", k=k).map_batches(
+        UrlResolver, fn_constructor_args=(index,), batch_format="pyarrow",
+        concurrency=(1, 2),
+    )
+    res = ds.to_pandas()
+    res["doc_id"] = res["url"].map(url_doc_id).astype("int64")
+    res["warc_ts"] = res["warc_ts"].astype("int64")
+    out = res[["query_id", "rank", "doc_id", "warc_ts"]].sort_values(["query_id", "rank"])
+    out["rank"] = out["rank"].astype("int32")
+    return out.reset_index(drop=True)
+
+
+def search_after_oracle_sql(k: int = 10) -> str:
+    """search_after oracle: the recency ordering's ranks k+1..2k (cursor
+    paging after a full first page is exactly the next window), rank
+    renumbered 1..k within the page."""
+    values = ",".join(
+        f"({qid}, '{term}')" for qid, q in enumerate(FT_QUERIES) for term in q.split()
+    )
+    ts = f"({BASE_TS_US} + (doc_id * {TS_MULT}) % {TS_MOD})"
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok
+    FROM documents) WHERE tok <> ''
+),
+q(query_id, tok) AS (VALUES {values}),
+qd AS (SELECT DISTINCT query_id, tok FROM q),
+matched AS (SELECT DISTINCT qd.query_id, toks.doc_id FROM qd JOIN toks USING (tok)),
+ranked AS (
+  SELECT query_id, doc_id, {ts} AS warc_ts,
+         row_number() OVER (PARTITION BY query_id ORDER BY {ts} DESC, doc_id) AS rn
+  FROM matched
+)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(rn - {k} AS INTEGER) AS rank,
+       doc_id,
+       CAST(warc_ts AS BIGINT) AS warc_ts
+FROM ranked WHERE rn > {k} AND rn <= {2 * k}
+ORDER BY query_id, rank
+"""
+
+
 DIS_TIE = 0.3  # dis_max tie_breaker (the ES default style: 0 < tie < 1)
 
 

@@ -245,6 +245,44 @@ def sort_topk(
     )
 
 
+def search_after_topk(
+    out_dir: str,
+    queries,
+    field: str = "warc_ts",
+    k: int = 10,
+    concurrency: int | None = None,
+    batch_size: int = 64,
+) -> ray.data.Dataset:
+    """SEARCH_AFTER cursor pagination on the docvalue sort (ES
+    search_after): ``queries`` rows carry (query_id, text, after_val,
+    after_doc) — the sort key of the last delivered hit — and the result
+    is the next k matches strictly after that cursor in (field DESC,
+    doc_id ASC) order. Returns (query_id, rank, doc_id, <field>) with
+    rank 1..k within the page."""
+    from ..stages.query_stage import SearchAfterTaskFn
+
+    segs = list_segments(out_dir)
+    if not segs:
+        raise ValueError(f"no segments under {out_dir}")
+    conc = concurrency or max(1, _cpus())
+    if isinstance(queries, str):
+        import pyarrow.parquet as _pq
+
+        queries = _pq.read_table(queries)
+    if isinstance(queries, pa.Table):
+        n_blocks = max(1, min(conc * 4, queries.num_rows // max(1, batch_size) + 1))
+        per = (queries.num_rows + n_blocks - 1) // n_blocks
+        slices = [queries.slice(i * per, per) for i in range(n_blocks) if i * per < queries.num_rows]
+        qds = ray.data.from_arrow(slices)
+    else:
+        qds = queries
+    return qds.map_batches(
+        SearchAfterTaskFn(out_dir, segs, field, k, index_version(out_dir)),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+
+
 def query_index(
     out_dir: str,
     queries,

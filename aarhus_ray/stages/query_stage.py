@@ -1519,6 +1519,60 @@ class DocvalueTopK:
         )
 
 
+class DocvalueSearchAfter(DocvalueTopK):
+    """SEARCH_AFTER cursor pagination on the docvalue sort (the ES
+    search_after API — the scale-safe alternative to from+size offset
+    paging: a cursor is O(1) state per client, while deep offsets force
+    every shard to materialize offset+k results). Batch rows carry the
+    per-query cursor (after_val, after_doc) = the sort key of the last
+    hit already delivered; a doc qualifies iff it sorts STRICTLY after
+    the cursor in the frozen (value DESC, doc_id ASC) order:
+    value < after_val OR (value == after_val AND doc_id > after_doc).
+    The filter is one vectorized mask over the match set before the
+    same top-k selection as DocvalueTopK."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids_out: list[int] = []
+        ranks_out: list[int] = []
+        docs_out: list[np.ndarray] = []
+        vals_out: list[np.ndarray] = []
+        after_vals = batch["after_val"].to_pylist()
+        after_docs = batch["after_doc"].to_pylist()
+        for qid, text, a_val, a_doc in zip(
+            batch["query_id"].to_pylist(), batch["text"].to_pylist(),
+            after_vals, after_docs,
+        ):
+            docs = self._match_set(text)
+            if len(docs) == 0:
+                continue
+            vals = self.vals[np.searchsorted(self.doc_ids, docs)]
+            m = (vals < a_val) | ((vals == a_val) & (docs > np.uint64(a_doc)))
+            docs, vals = docs[m], vals[m]
+            if len(docs) == 0:
+                continue
+            k = min(self.k, len(docs))
+            if len(docs) > k:
+                kth = -np.partition(-vals, k - 1)[k - 1]
+                cand = np.flatnonzero(vals >= kth)
+                sel = cand[np.argsort(-vals[cand], kind="stable")][:k]
+            else:
+                sel = np.argsort(-vals, kind="stable")[:k]
+            qids_out.extend([qid] * len(sel))
+            ranks_out.extend(range(1, len(sel) + 1))
+            docs_out.append(docs[sel])
+            vals_out.append(vals[sel])
+        docs = np.concatenate(docs_out) if docs_out else np.empty(0, np.uint64)
+        vals = np.concatenate(vals_out) if vals_out else np.empty(0, np.int64)
+        return pa.table(
+            {
+                "query_id": pa.array(qids_out, pa.int64()),
+                "rank": pa.array(np.asarray(ranks_out, dtype=np.int32), pa.int32()),
+                "doc_id": pa.array(docs, pa.uint64()),
+                self.field: pa.array(vals, pa.int64()),
+            }
+        )
+
+
 class MatchCounter:
     """TOTAL HITS per query (Lucene's totalHits): the size of the
     disjunctive match set — distinct visible docs containing ≥1 query
@@ -1795,6 +1849,24 @@ class DocvalueTopKTaskFn:
             dv = DocvalueTopK(out_dir, list(seg_ids), field, k)
             _WORKER_DOCVALUE_TOPK_CACHE[key] = dv
         return dv(batch)
+
+
+class SearchAfterTaskFn:
+    """Task-fn form of DocvalueSearchAfter (worker-process cache)."""
+
+    def __init__(self, out_dir: str, seg_ids: list[int], field: str, k: int, version: float):
+        self.args = (out_dir, tuple(seg_ids), field, k, version)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_dir, seg_ids, field, k, version = self.args
+        key = (out_dir, version, seg_ids, field, k, "search_after")
+        sa = _WORKER_MATCH_AGG_CACHE.get(key)
+        if sa is None:
+            for kk in [kk for kk in _WORKER_MATCH_AGG_CACHE if kk[0] == out_dir and kk[1] < version]:
+                del _WORKER_MATCH_AGG_CACHE[kk]
+            sa = DocvalueSearchAfter(out_dir, list(seg_ids), field, k)
+            _WORKER_MATCH_AGG_CACHE[key] = sa
+        return sa(batch)
 
 
 class FacetTopKTaskFn:

@@ -1093,3 +1093,41 @@ def test_wildcard_mode_on_real_index(golden_index):
     assert (wild["query_id"].to_numpy() == disj["query_id"].to_numpy()).all()
     assert (wild["doc_id"].to_numpy() == disj["doc_id"].to_numpy()).all()
     assert (wild["score"].to_numpy() == disj["score"].to_numpy()).all()
+
+def test_search_after_pages_reconstruct_full_sort(golden_index):
+    """Chained search_after pages (cursor = last hit of the previous page)
+    reconstruct the ENTIRE docvalue ordering with no gaps, overlaps, or
+    reorders — equality against one big-k sort_topk run."""
+    from aarhus_ray.pipelines.query import search_after_topk, sort_topk
+
+    idx = golden_index["index"]
+    q = pa.table({"query_id": pa.array([0], pa.int64()),
+                  "text": pa.array(["the"], pa.string())})
+    full = (
+        sort_topk(idx, q, field="warc_ts", k=1 << 20)
+        .to_pandas().sort_values("rank").reset_index(drop=True)
+    )
+    assert len(full) > 30  # needs several pages to be meaningful
+
+    pages = []
+    page = (
+        sort_topk(idx, q, field="warc_ts", k=10)
+        .to_pandas().sort_values("rank").reset_index(drop=True)
+    )
+    while len(page):
+        pages.append(page)
+        last = page.iloc[-1]
+        q2 = pa.table({
+            "query_id": pa.array([0], pa.int64()),
+            "text": pa.array(["the"], pa.string()),
+            "after_val": pa.array([int(last["warc_ts"])], pa.int64()),
+            "after_doc": pa.array([int(last["doc_id"])], pa.uint64()),
+        })
+        page = search_after_topk(idx, q2, field="warc_ts", k=10).to_pandas()
+        if len(page):
+            page = page.sort_values("rank").reset_index(drop=True)
+    import pandas as pd
+
+    chained = pd.concat(pages, ignore_index=True)
+    assert list(chained["doc_id"]) == list(full["doc_id"])
+    assert list(chained["warc_ts"]) == list(full["warc_ts"])
