@@ -140,6 +140,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # numeric-range filter over the same docvalue; BM25 stats stay global
         "fulltext_bm25_ts_range": fulltext.bm25_topk_ts_range,
         "fulltext_match_counts": fulltext.match_counts_query,  # totalHits
+        # rescore: phrase bonus applied inside a top-window (ES rescore API)
+        "fulltext_rescore": fulltext.rescore_query,
         # search_after cursor paging on the recency sort (page 2 via cursor)
         "fulltext_search_after": fulltext.search_after_query,
         # dis_max over title/body: best field wins + tie_breaker * other
@@ -585,6 +587,7 @@ def oracle_sql() -> dict[str, str]:
         "fulltext_bm25_recency": fulltext.bm25_recency_oracle_sql(),
         "fulltext_bm25_ts_range": fulltext.bm25_ts_range_oracle_sql(),
         "fulltext_match_counts": fulltext.match_counts_oracle_sql(),
+        "fulltext_rescore": fulltext.rescore_oracle_sql(),
         "fulltext_search_after": fulltext.search_after_oracle_sql(),
         "fulltext_bm25_dismax": fulltext.bm25_dismax_oracle_sql(),
         "fulltext_synonym_topk": fulltext.synonym_oracle_sql(),

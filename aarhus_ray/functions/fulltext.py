@@ -2121,6 +2121,100 @@ ORDER BY query_id, rank
 """
 
 
+RESCORE_WINDOW = 30
+RESCORE_W = 2.0
+
+
+def rescore_query(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Rescore retrieval per FT_PHRASES (ES rescore API): the primary
+    disjunctive BM25 fills a top-RESCORE_WINDOW window; window docs
+    containing the query as a consecutive phrase gain RESCORE_W × their
+    phrase score; page = rescored window's top-k
+    (pipelines/query.rescore_topk). Output integer-only."""
+    from ..pipelines.query import rescore_topk
+    from ..stages.query_stage import UrlResolver
+
+    index = _ensure_index(sf_dir, fresh=False)
+    queries = pa.table(
+        {
+            "query_id": pa.array(range(len(FT_PHRASES)), pa.int64()),
+            "text": pa.array(list(FT_PHRASES), pa.string()),
+        }
+    )
+    ds = rescore_topk(
+        index, queries, window=RESCORE_WINDOW, weight=RESCORE_W, k=k
+    ).map_batches(
+        UrlResolver, fn_constructor_args=(index,), batch_format="pyarrow",
+        concurrency=(1, 2),
+    )
+    res = ds.to_pandas()
+    res["doc_id"] = res["url"].map(url_doc_id).astype("int64")
+    out = res[["query_id", "rank", "doc_id"]].sort_values(["query_id", "rank"])
+    out["rank"] = out["rank"].astype("int32")
+    return out.reset_index(drop=True)
+
+
+def rescore_oracle_sql(k: int = 10) -> str:
+    """Rescore oracle: the phrase oracle's CTE stacks — primary scores
+    windowed to the top-RESCORE_WINDOW by (score DESC, doc_id), phrase
+    membership via the token-string adjacency replay, final = score +
+    W × (score if phrase else 0), re-ranked inside the window."""
+    values = ",".join(f"({qid}, '{p}')" for qid, p in enumerate(FT_PHRASES))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok
+    FROM documents) WHERE tok <> ''
+),
+dl AS (SELECT d.doc_id, CAST(coalesce(t.c, 0) AS DOUBLE) AS dl
+       FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS c FROM toks GROUP BY 1) t USING (doc_id)),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+q(query_id, phrase) AS (VALUES {values}),
+qd AS (SELECT DISTINCT query_id, unnest(regexp_split_to_array(phrase, ' ')) AS tok FROM q),
+dt AS (SELECT doc_id,
+              ' ' || array_to_string(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> ''), ' ') || ' ' AS ts
+       FROM documents),
+phrased AS (
+  SELECT q.query_id, dt.doc_id
+  FROM q JOIN dt ON position((' ' || q.phrase || ' ') IN dt.ts) > 0
+),
+scored AS (
+  SELECT qd.query_id, tf.doc_id,
+         sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * (1.2 + 1.0)
+              / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score
+  FROM qd
+  JOIN tf USING (tok)
+  JOIN df USING (tok)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+windowed AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rn
+  FROM scored
+),
+final AS (
+  SELECT w.query_id, w.doc_id,
+         w.score + {RESCORE_W} * (CASE WHEN p.doc_id IS NOT NULL THEN w.score ELSE 0 END) AS fscore
+  FROM windowed w
+  LEFT JOIN phrased p ON p.query_id = w.query_id AND p.doc_id = w.doc_id
+  WHERE w.rn <= {RESCORE_WINDOW}
+),
+ranked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY fscore DESC, doc_id) AS rank
+  FROM final
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank, doc_id
+FROM ranked WHERE rank <= {k}
+ORDER BY query_id, rank
+"""
+
+
 DIS_TIE = 0.3  # dis_max tie_breaker (the ES default style: 0 < tie < 1)
 
 

@@ -245,6 +245,44 @@ def sort_topk(
     )
 
 
+def rescore_topk(
+    out_dir: str,
+    queries,
+    window: int = 30,
+    weight: float = 2.0,
+    k: int = 10,
+    concurrency: int | None = None,
+    batch_size: int = 64,
+) -> ray.data.Dataset:
+    """RESCORE retrieval (ES rescore API): primary BM25 fills a top-
+    ``window`` candidate set per query; inside the window each doc gains
+    ``weight`` × its phrase score (0 unless the query occurs as a
+    consecutive phrase); the page is the rescored window's top-k.
+    Returns (query_id, rank, doc_id, score)."""
+    from ..stages.query_stage import RescoreTaskFn
+
+    segs = list_segments(out_dir)
+    if not segs:
+        raise ValueError(f"no segments under {out_dir}")
+    conc = concurrency or max(1, _cpus())
+    if isinstance(queries, str):
+        import pyarrow.parquet as _pq
+
+        queries = _pq.read_table(queries)
+    if isinstance(queries, pa.Table):
+        n_blocks = max(1, min(conc * 4, queries.num_rows // max(1, batch_size) + 1))
+        per = (queries.num_rows + n_blocks - 1) // n_blocks
+        slices = [queries.slice(i * per, per) for i in range(n_blocks) if i * per < queries.num_rows]
+        qds = ray.data.from_arrow(slices)
+    else:
+        qds = queries
+    return qds.map_batches(
+        RescoreTaskFn(out_dir, segs, window, weight, k, index_version(out_dir)),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+
+
 def search_after_topk(
     out_dir: str,
     queries,

@@ -1449,6 +1449,67 @@ class SynonymTopK:
         )
 
 
+class RescoreTopK:
+    """RESCORE API (Elasticsearch rescore): retrieve a WINDOW of the top-N
+    docs by the primary disjunctive BM25, then — inside the window only —
+    add a phrase bonus:
+
+        final = bm25 + weight × bm25_phrase
+
+    where bm25_phrase equals the doc's BM25 sum when it contains the query
+    as a consecutive phrase, else 0 (the standard "cheap query recalls,
+    expensive query re-ranks" pattern: the phrase verification runs on N
+    window docs per query, never the corpus). The returned page is the
+    top-k of the rescored window, order (final DESC, doc_id ASC). Both
+    phases reuse the frozen QueryScorer paths, so window membership and
+    scores are bit-identical to the primary/phrase modes the goldens pin."""
+
+    def __init__(self, out_dir: str, seg_ids: list[int] | None = None,
+                 window: int = 30, weight: float = 2.0, k: int = 10):
+        self.primary = QueryScorer(out_dir, seg_ids, k=window, method="wand")
+        self.phrase = QueryScorer(out_dir, seg_ids, k=1 << 30, method="wand",
+                                  mode="phrase")
+        self.weight = float(weight)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..bm25 import topk_select
+
+        qids_out: list[int] = []
+        ranks_out: list[int] = []
+        docs_out: list[np.ndarray] = []
+        scores_out: list[np.ndarray] = []
+        for qid, text in zip(batch["query_id"].to_pylist(), batch["text"].to_pylist()):
+            d_win, s_win = self.primary._score_query(text)
+            if len(d_win) == 0:
+                continue
+            d_ph, s_ph = self.phrase._score_query_phrase(text)
+            bonus = np.zeros(len(d_win), dtype=np.float64)
+            if len(d_ph):
+                order = np.argsort(d_ph)
+                d_ph, s_ph = d_ph[order], s_ph[order]
+                pos = np.searchsorted(d_ph, d_win)
+                ok = pos < len(d_ph)
+                ok[ok] = d_ph[pos[ok]] == d_win[ok]
+                bonus[ok] = s_ph[pos[ok]]
+            final = s_win + self.weight * bonus
+            d, s = topk_select(d_win, final, self.k)
+            qids_out.extend([qid] * len(d))
+            ranks_out.extend(range(1, len(d) + 1))
+            docs_out.append(d)
+            scores_out.append(s)
+        docs = np.concatenate(docs_out) if docs_out else np.empty(0, np.uint64)
+        scrs = np.concatenate(scores_out) if scores_out else np.empty(0, np.float64)
+        return pa.table(
+            {
+                "query_id": pa.array(qids_out, pa.int64()),
+                "rank": pa.array(np.asarray(ranks_out, dtype=np.int32), pa.int32()),
+                "doc_id": pa.array(docs, pa.uint64()),
+                "score": pa.array(scrs, pa.float64()),
+            }
+        )
+
+
 class DocvalueTopK:
     """Sort-by-field retrieval: for each query, the top-k docs of the
     disjunctive MATCH SET ordered by a numeric docvalue (e.g. warc_ts
@@ -1849,6 +1910,25 @@ class DocvalueTopKTaskFn:
             dv = DocvalueTopK(out_dir, list(seg_ids), field, k)
             _WORKER_DOCVALUE_TOPK_CACHE[key] = dv
         return dv(batch)
+
+
+class RescoreTaskFn:
+    """Task-fn form of RescoreTopK (worker-process cache)."""
+
+    def __init__(self, out_dir: str, seg_ids: list[int], window: int,
+                 weight: float, k: int, version: float):
+        self.args = (out_dir, tuple(seg_ids), window, weight, k, version)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_dir, seg_ids, window, weight, k, version = self.args
+        key = (out_dir, version, seg_ids, window, weight, k, "rescore")
+        rs = _WORKER_MATCH_AGG_CACHE.get(key)
+        if rs is None:
+            for kk in [kk for kk in _WORKER_MATCH_AGG_CACHE if kk[0] == out_dir and kk[1] < version]:
+                del _WORKER_MATCH_AGG_CACHE[kk]
+            rs = RescoreTopK(out_dir, list(seg_ids), window, weight, k)
+            _WORKER_MATCH_AGG_CACHE[key] = rs
+        return rs(batch)
 
 
 class SearchAfterTaskFn:

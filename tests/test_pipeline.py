@@ -1131,3 +1131,53 @@ def test_search_after_pages_reconstruct_full_sort(golden_index):
     chained = pd.concat(pages, ignore_index=True)
     assert list(chained["doc_id"]) == list(full["doc_id"])
     assert list(chained["warc_ts"]) == list(full["warc_ts"])
+
+def test_rescore_on_real_index(golden_index):
+    """RescoreTopK: weight=0 reproduces the primary disjunctive top-k
+    bit-identically; with a positive weight, every phrase-matching window
+    doc outranks every non-matching one of equal primary score, and
+    final scores equal primary + W*phrase (python cross-check)."""
+    from aarhus_ray.pipelines.query import query_index, rescore_topk
+    from aarhus_ray.textnorm import tokenize
+
+    idx = golden_index["index"]
+    docs = _docs_table(idx, ["doc_id", "text"])
+    texts = docs["text"].to_pylist()
+    toks0 = tokenize(texts[0])
+    phrases = [" ".join(toks0[:2]), " ".join(tokenize(texts[9])[2:4]), "the"]
+    q = pa.table({"query_id": pa.array(range(len(phrases)), pa.int64()),
+                  "text": pa.array(phrases, pa.string())})
+
+    w0 = (
+        rescore_topk(idx, q, window=50, weight=0.0, k=10)
+        .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    plain = (
+        query_index(idx, q, k=10, resolve_urls=False)
+        .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    assert (w0["doc_id"].to_numpy() == plain["doc_id"].to_numpy()).all()
+    assert (w0["score"].to_numpy() == plain["score"].to_numpy()).all()
+
+    got = (
+        rescore_topk(idx, q, window=50, weight=2.0, k=10)
+        .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    # python cross-check: window = top-50 primary; phrase docs via substring
+    win = (
+        query_index(idx, q, k=50, resolve_urls=False)
+        .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    joined = {d: " " + " ".join(tokenize(t)) + " "
+              for d, t in zip(docs["doc_id"].to_pylist(), texts)}
+    import numpy as np
+
+    for qid, phrase in enumerate(phrases):
+        sub = win[win["query_id"] == qid]
+        is_ph = np.array([f" {phrase} " in joined[int(d)] for d in sub["doc_id"]])
+        final = sub["score"].to_numpy() * np.where(is_ph, 1.0, 0.0) * 2.0 + sub["score"].to_numpy()
+        order = np.lexsort((sub["doc_id"].to_numpy(), -final))[:10]
+        want_docs = sub["doc_id"].to_numpy()[order]
+        got_sub = got[got["query_id"] == qid]
+        assert list(got_sub["doc_id"]) == list(want_docs)
+        assert list(got_sub["score"]) == [final[i] for i in order]
