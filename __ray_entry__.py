@@ -153,6 +153,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ES-style aggregations over the match set (docvalue sidecar)
         "fulltext_date_histogram": fulltext.date_histogram_query,
         "fulltext_matchset_stats": fulltext.matchset_stats_query,
+        "fulltext_matchset_percentiles": fulltext.matchset_percentiles_query,
+        "fulltext_facet_cardinality": fulltext.facet_cardinality_query,
+        # term statistics audit (df + ttf from decoded postings)
+        "fulltext_term_stats": fulltext.term_stats_query,
         "fulltext_bm25_page2": fulltext.bm25_topk_page2,  # deep paging (ranks 11..20)
         # ES significant_text over each query's top-50 sample (integer lift)
         "fulltext_significant_terms": fulltext.significant_terms,
@@ -594,6 +598,9 @@ def oracle_sql() -> dict[str, str]:
         "fulltext_function_score": fulltext.function_score_oracle_sql(),
         "fulltext_date_histogram": fulltext.date_histogram_oracle_sql(),
         "fulltext_matchset_stats": fulltext.matchset_stats_oracle_sql(),
+        "fulltext_matchset_percentiles": fulltext.matchset_percentiles_oracle_sql(),
+        "fulltext_facet_cardinality": fulltext.facet_cardinality_oracle_sql(),
+        "fulltext_term_stats": fulltext.term_stats_oracle_sql(),
         "fulltext_bm25_page2": fulltext.bm25_page2_oracle_sql(),
         "fulltext_significant_terms": fulltext.significant_terms_oracle_sql(),
         "fulltext_spell_suggest": fulltext.spell_suggest_oracle_sql(),

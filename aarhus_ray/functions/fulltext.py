@@ -2121,6 +2121,130 @@ ORDER BY query_id, rank
 """
 
 
+# term-stats probe set: every FT_QUERIES token, a known-rare term, an OOV
+FT_STAT_TERMS = tuple(sorted({t for q in FT_QUERIES for t in q.split()} | {"dup"}))
+
+
+def term_stats_query(sf_dir: str) -> pd.DataFrame:
+    """Term statistics per probe term (ES _termvectors term_statistics):
+    global visible df + total term frequency from the decoded postings
+    (pipelines/query.term_stats) — the strongest dictionary+tf audit
+    short of a full export. OOV terms emit no row."""
+    from ..pipelines.query import term_stats
+
+    index = _ensure_index(sf_dir, fresh=False)
+    terms = pa.table({"term": pa.array(list(FT_STAT_TERMS), pa.string())})
+    out = term_stats(index, terms).to_pandas()
+    return out.sort_values("term").reset_index(drop=True)
+
+
+def term_stats_oracle_sql() -> str:
+    values = ",".join(f"('{t}')" for t in FT_STAT_TERMS)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok
+    FROM documents) WHERE tok <> ''
+),
+probe(term) AS (VALUES {values})
+SELECT probe.term,
+       CAST(count(DISTINCT toks.doc_id) AS BIGINT) AS df,
+       CAST(count(*) AS BIGINT) AS ttf
+FROM probe JOIN toks ON toks.tok = probe.term
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+def facet_cardinality_query(sf_dir: str) -> pd.DataFrame:
+    """Cardinality aggregation per FT_QUERY (ES cardinality agg): distinct
+    lang values among matching docs (pipelines/query.facet_cardinality).
+    Exact here; the HLL sketch (functions/sketches.py) is the large-value-
+    space drop-in, as in ES."""
+    from ..pipelines.query import facet_cardinality
+
+    index = _ensure_index(sf_dir, fresh=False)
+    queries = pa.table(
+        {
+            "query_id": pa.array(range(len(FT_QUERIES)), pa.int64()),
+            "text": pa.array(list(FT_QUERIES), pa.string()),
+        }
+    )
+    out = facet_cardinality(index, queries, facet="lang").to_pandas()
+    return out.sort_values("query_id").reset_index(drop=True)
+
+
+def facet_cardinality_oracle_sql() -> str:
+    values = ",".join(
+        f"({qid}, '{term}')" for qid, q in enumerate(FT_QUERIES) for term in q.split()
+    )
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok
+    FROM documents) WHERE tok <> ''
+),
+q(query_id, tok) AS (VALUES {values}),
+qd AS (SELECT DISTINCT query_id, tok FROM q),
+matched AS (SELECT DISTINCT qd.query_id, toks.doc_id FROM qd JOIN toks USING (tok))
+SELECT CAST(m.query_id AS BIGINT) AS query_id,
+       CAST(count(DISTINCT d.lang) AS BIGINT) AS n_values
+FROM matched m JOIN documents d USING (doc_id)
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+PCTL_QUANTILES = (0.25, 0.5, 0.75)
+
+
+def matchset_percentiles_query(sf_dir: str) -> pd.DataFrame:
+    """Percentiles aggregation per FT_QUERY (ES percentiles agg, exact
+    type-1): the warc_ts order statistic at floor(q·(n−1)) for q ∈
+    {25, 50, 75}% (pipelines/query.matchset_percentiles). Integer-only."""
+    from ..pipelines.query import matchset_percentiles
+
+    index = _ensure_index(sf_dir, fresh=False)
+    queries = pa.table(
+        {
+            "query_id": pa.array(range(len(FT_QUERIES)), pa.int64()),
+            "text": pa.array(list(FT_QUERIES), pa.string()),
+        }
+    )
+    out = matchset_percentiles(index, queries, quantiles=PCTL_QUANTILES).to_pandas()
+    return out.sort_values(["query_id", "pct"]).reset_index(drop=True)
+
+
+def matchset_percentiles_oracle_sql() -> str:
+    values = ",".join(
+        f"({qid}, '{term}')" for qid, q in enumerate(FT_QUERIES) for term in q.split()
+    )
+    qvals = ",".join(f"({q}, {int(round(q * 100))})" for q in PCTL_QUANTILES)
+    ts = f"({BASE_TS_US} + (doc_id * {TS_MULT}) % {TS_MOD})"
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok
+    FROM documents) WHERE tok <> ''
+),
+q(query_id, tok) AS (VALUES {values}),
+qd AS (SELECT DISTINCT query_id, tok FROM q),
+matched AS (SELECT DISTINCT qd.query_id, toks.doc_id FROM qd JOIN toks USING (tok)),
+ranked AS (
+  SELECT query_id, {ts} AS v,
+         row_number() OVER (PARTITION BY query_id ORDER BY {ts}) AS rn,
+         count(*) OVER (PARTITION BY query_id) AS n
+  FROM matched
+),
+quant(qf, pct) AS (VALUES {qvals})
+SELECT CAST(r.query_id AS BIGINT) AS query_id,
+       CAST(quant.pct AS BIGINT) AS pct,
+       CAST(r.v AS BIGINT) AS value
+FROM ranked r JOIN quant ON r.rn = CAST(floor(quant.qf * (r.n - 1)) AS BIGINT) + 1
+ORDER BY 1, 2
+"""
+
+
 RESCORE_WINDOW = 30
 RESCORE_W = 2.0
 

@@ -632,6 +632,109 @@ def matchset_stats(
     )
 
 
+def term_stats(
+    out_dir: str,
+    terms,
+    concurrency: int | None = None,
+    batch_size: int = 64,
+) -> ray.data.Dataset:
+    """TERM STATISTICS (ES term_statistics): per requested term, global
+    visible df and total term frequency (ttf). ``terms``: pyarrow Table /
+    Dataset / parquet path with a ``term`` string column. Returns
+    (term, df, ttf); OOV terms emit no row."""
+    from ..stages.query_stage import TermStatsTaskFn
+
+    segs = list_segments(out_dir)
+    if not segs:
+        raise ValueError(f"no segments under {out_dir}")
+    conc = concurrency or max(1, _cpus())
+    if isinstance(terms, str):
+        import pyarrow.parquet as _pq
+
+        terms = _pq.read_table(terms)
+    if isinstance(terms, pa.Table):
+        n_blocks = max(1, min(conc * 4, terms.num_rows // max(1, batch_size) + 1))
+        per = (terms.num_rows + n_blocks - 1) // n_blocks
+        slices = [terms.slice(i * per, per) for i in range(n_blocks) if i * per < terms.num_rows]
+        qds = ray.data.from_arrow(slices)
+    else:
+        qds = terms
+    return qds.map_batches(
+        TermStatsTaskFn(out_dir, segs, index_version(out_dir)),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+
+
+def facet_cardinality(
+    out_dir: str,
+    queries,
+    facet: str = "lang",
+    concurrency: int | None = None,
+    batch_size: int = 64,
+) -> ray.data.Dataset:
+    """CARDINALITY aggregation per query (ES cardinality agg): the number
+    of distinct facet values among matching visible docs. Returns
+    (query_id, n_values); empty matches emit no row."""
+    from ..stages.query_stage import FacetCardinalityTaskFn
+
+    segs = list_segments(out_dir)
+    if not segs:
+        raise ValueError(f"no segments under {out_dir}")
+    conc = concurrency or max(1, _cpus())
+    if isinstance(queries, str):
+        import pyarrow.parquet as _pq
+
+        queries = _pq.read_table(queries)
+    if isinstance(queries, pa.Table):
+        n_blocks = max(1, min(conc * 4, queries.num_rows // max(1, batch_size) + 1))
+        per = (queries.num_rows + n_blocks - 1) // n_blocks
+        slices = [queries.slice(i * per, per) for i in range(n_blocks) if i * per < queries.num_rows]
+        qds = ray.data.from_arrow(slices)
+    else:
+        qds = queries
+    return qds.map_batches(
+        FacetCardinalityTaskFn(out_dir, segs, facet, index_version(out_dir)),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+
+
+def matchset_percentiles(
+    out_dir: str,
+    queries,
+    field: str = "warc_ts",
+    quantiles: tuple[float, ...] = (0.25, 0.5, 0.75),
+    concurrency: int | None = None,
+    batch_size: int = 64,
+) -> ray.data.Dataset:
+    """PERCENTILES aggregation per query (ES percentiles agg, exact
+    type-1 order statistics). Returns (query_id, pct, value)."""
+    from ..stages.query_stage import MatchsetPercentilesTaskFn
+
+    segs = list_segments(out_dir)
+    if not segs:
+        raise ValueError(f"no segments under {out_dir}")
+    conc = concurrency or max(1, _cpus())
+    if isinstance(queries, str):
+        import pyarrow.parquet as _pq
+
+        queries = _pq.read_table(queries)
+    if isinstance(queries, pa.Table):
+        n_blocks = max(1, min(conc * 4, queries.num_rows // max(1, batch_size) + 1))
+        per = (queries.num_rows + n_blocks - 1) // n_blocks
+        slices = [queries.slice(i * per, per) for i in range(n_blocks) if i * per < queries.num_rows]
+        qds = ray.data.from_arrow(slices)
+    else:
+        qds = queries
+    return qds.map_batches(
+        MatchsetPercentilesTaskFn(out_dir, segs, field, tuple(quantiles),
+                                  index_version(out_dir)),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+
+
 def export_matches(
     out_dir: str,
     queries,

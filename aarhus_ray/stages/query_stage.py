@@ -1226,6 +1226,33 @@ class FacetCounter:
         )
 
 
+class FacetCardinality(FacetCounter):
+    """CARDINALITY aggregation over the match set (ES cardinality agg on
+    a keyword field): per query, the number of DISTINCT facet values
+    among the matching visible docs. Exact here (the facet dictionary is
+    small); ES answers the same question with HyperLogLog++ when the
+    value space is large — this engine's mergeable HLL sketch
+    (functions/sketches.py) is the drop-in at that scale. Empty match
+    sets emit no row."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids_out: list[int] = []
+        cards: list[int] = []
+        for qid, text in zip(batch["query_id"].to_pylist(), batch["text"].to_pylist()):
+            docs = self._match_set(text)
+            if len(docs) == 0:
+                continue
+            codes = self.codes[np.searchsorted(self.doc_ids, docs)]
+            qids_out.append(qid)
+            cards.append(int(len(np.unique(codes))))
+        return pa.table(
+            {
+                "query_id": pa.array(qids_out, pa.int64()),
+                "n_values": pa.array(cards, pa.int64()),
+            }
+        )
+
+
 class FacetTopK:
     """GROUPED top-k (result diversification): for each query, the top-k
     BM25 hits WITHIN every facet group (e.g. per lang) — the "collapse by
@@ -1634,6 +1661,44 @@ class DocvalueSearchAfter(DocvalueTopK):
         )
 
 
+class TermStats:
+    """TERM STATISTICS API (ES _termvectors term_statistics / Lucene
+    TermStates): per requested term, the GLOBAL doc frequency (df, summed
+    over the term's segment shards — the same fold every query runs) and
+    the total term frequency (ttf / collection frequency, Σ tf over all
+    postings). The strongest dictionary+postings audit short of a full
+    export: df checks the dict fold, ttf checks every decoded tf.
+    Tombstoned docs are excluded from both (visibility semantics shared
+    with QueryScorer). OOV terms emit no row."""
+
+    def __init__(self, out_dir: str, seg_ids: list[int] | None = None):
+        self.scorer = QueryScorer(out_dir, seg_ids, k=1, method="brute")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sc = self.scorer
+        terms_out: list[str] = []
+        dfs: list[int] = []
+        ttfs: list[int] = []
+        for term in batch["term"].to_pylist():
+            for t in sorted(set(tokenize(term))):
+                segs = sc._owners(t)
+                if not segs:
+                    continue
+                doc_ids, tfs = sc._gather_postings(t, segs)
+                if len(doc_ids) == 0:
+                    continue
+                terms_out.append(t)
+                dfs.append(len(doc_ids))
+                ttfs.append(int(tfs.sum(dtype=np.int64)))
+        return pa.table(
+            {
+                "term": pa.array(terms_out, pa.string()),
+                "df": pa.array(dfs, pa.int64()),
+                "ttf": pa.array(ttfs, pa.int64()),
+            }
+        )
+
+
 class MatchCounter:
     """TOTAL HITS per query (Lucene's totalHits): the size of the
     disjunctive match set — distinct visible docs containing ≥1 query
@@ -1730,6 +1795,46 @@ class DateHistogram(DocvalueTopK):
                 "query_id": pa.array(cat(qids_out), pa.int64()),
                 "bucket": pa.array(cat(buckets_out), pa.int64()),
                 "n_docs": pa.array(cat(counts_out), pa.int64()),
+            }
+        )
+
+
+class MatchsetPercentiles(DocvalueTopK):
+    """PERCENTILES aggregation over the match set (ES percentiles agg,
+    exact): per query and requested quantile q, the lower (type-1)
+    order statistic of the docvalue — the element at sorted index
+    floor(q·(n−1)). Integer outputs, so the oracle replay is exact
+    (row_number over value ASC picks the same element). ES uses
+    t-digest at scale; the exact form here is the oracle-able
+    contract, and the engine's distributed histogram median
+    (functions/windows.py) is the 10^12-doc path."""
+
+    def __init__(self, out_dir: str, seg_ids: list[int] | None = None,
+                 field: str = "warc_ts",
+                 quantiles: tuple[float, ...] = (0.25, 0.5, 0.75)):
+        super().__init__(out_dir, seg_ids, field, k=1)
+        self.quantiles = tuple(quantiles)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids_out: list[int] = []
+        pcts: list[int] = []
+        vals_out: list[int] = []
+        for qid, text in zip(batch["query_id"].to_pylist(), batch["text"].to_pylist()):
+            docs = self._match_set(text)
+            n = len(docs)
+            if n == 0:
+                continue
+            vals = np.sort(self.vals[np.searchsorted(self.doc_ids, docs)])
+            for q in self.quantiles:
+                idx = int(np.floor(q * (n - 1)))
+                qids_out.append(qid)
+                pcts.append(int(round(q * 100)))
+                vals_out.append(int(vals[idx]))
+        return pa.table(
+            {
+                "query_id": pa.array(qids_out, pa.int64()),
+                "pct": pa.array(pcts, pa.int64()),
+                "value": pa.array(vals_out, pa.int64()),
             }
         )
 
@@ -1929,6 +2034,61 @@ class RescoreTaskFn:
             rs = RescoreTopK(out_dir, list(seg_ids), window, weight, k)
             _WORKER_MATCH_AGG_CACHE[key] = rs
         return rs(batch)
+
+
+class TermStatsTaskFn:
+    """Task-fn form of TermStats (worker-process cache)."""
+
+    def __init__(self, out_dir: str, seg_ids: list[int], version: float):
+        self.args = (out_dir, tuple(seg_ids), version)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_dir, seg_ids, version = self.args
+        key = (out_dir, version, seg_ids, "term_stats")
+        ts = _WORKER_MATCH_AGG_CACHE.get(key)
+        if ts is None:
+            for kk in [kk for kk in _WORKER_MATCH_AGG_CACHE if kk[0] == out_dir and kk[1] < version]:
+                del _WORKER_MATCH_AGG_CACHE[kk]
+            ts = TermStats(out_dir, list(seg_ids))
+            _WORKER_MATCH_AGG_CACHE[key] = ts
+        return ts(batch)
+
+
+class FacetCardinalityTaskFn:
+    """Task-fn form of FacetCardinality (worker-process cache)."""
+
+    def __init__(self, out_dir: str, seg_ids: list[int], facet: str, version: float):
+        self.args = (out_dir, tuple(seg_ids), facet, version)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_dir, seg_ids, facet, version = self.args
+        key = (out_dir, version, seg_ids, facet, "cardinality")
+        fc = _WORKER_MATCH_AGG_CACHE.get(key)
+        if fc is None:
+            for kk in [kk for kk in _WORKER_MATCH_AGG_CACHE if kk[0] == out_dir and kk[1] < version]:
+                del _WORKER_MATCH_AGG_CACHE[kk]
+            fc = FacetCardinality(out_dir, list(seg_ids), facet)
+            _WORKER_MATCH_AGG_CACHE[key] = fc
+        return fc(batch)
+
+
+class MatchsetPercentilesTaskFn:
+    """Task-fn form of MatchsetPercentiles (worker-process cache)."""
+
+    def __init__(self, out_dir: str, seg_ids: list[int], field: str,
+                 quantiles: tuple[float, ...], version: float):
+        self.args = (out_dir, tuple(seg_ids), field, quantiles, version)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_dir, seg_ids, field, quantiles, version = self.args
+        key = (out_dir, version, seg_ids, field, quantiles, "pctl")
+        mp = _WORKER_MATCH_AGG_CACHE.get(key)
+        if mp is None:
+            for kk in [kk for kk in _WORKER_MATCH_AGG_CACHE if kk[0] == out_dir and kk[1] < version]:
+                del _WORKER_MATCH_AGG_CACHE[kk]
+            mp = MatchsetPercentiles(out_dir, list(seg_ids), field, quantiles)
+            _WORKER_MATCH_AGG_CACHE[key] = mp
+        return mp(batch)
 
 
 class SearchAfterTaskFn:

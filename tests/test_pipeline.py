@@ -1181,3 +1181,48 @@ def test_rescore_on_real_index(golden_index):
         got_sub = got[got["query_id"] == qid]
         assert list(got_sub["doc_id"]) == list(want_docs)
         assert list(got_sub["score"]) == [final[i] for i in order]
+
+def test_term_stats_cardinality_percentiles(golden_index):
+    """TermStats / FacetCardinality / MatchsetPercentiles == independent
+    python recompute over the docs sidecar (tokenize + exact order
+    statistics)."""
+    import numpy as np
+    from aarhus_ray.pipelines.query import (
+        facet_cardinality, matchset_percentiles, term_stats,
+    )
+    from aarhus_ray.textnorm import tokenize
+
+    idx = golden_index["index"]
+    docs = _docs_table(idx, ["doc_id", "text", "lang", "warc_ts"])
+    texts = docs["text"].to_pylist()
+    toks_of = [tokenize(t) for t in texts]
+
+    # --- term_stats
+    probe = ["the", "a", "zzznotinvocab", toks_of[0][0]]
+    got = term_stats(idx, pa.table({"term": pa.array(probe, pa.string())})).to_pandas()
+    got = got.sort_values("term").reset_index(drop=True)
+    want = {}
+    for t in set(probe):
+        df = sum(1 for tk in toks_of if t in tk)
+        ttf = sum(tk.count(t) for tk in toks_of)
+        if df:
+            want[t] = (df, ttf)
+    assert {r.term: (r.df, r.ttf) for r in got.itertuples()} == want
+
+    # --- cardinality + percentiles share the match set of one query
+    q = pa.table({"query_id": pa.array([0], pa.int64()),
+                  "text": pa.array(["the"], pa.string())})
+    langs = docs["lang"].to_pylist()
+    tss = docs["warc_ts"].to_pylist()
+    m_langs = sorted({l for tk, l in zip(toks_of, langs) if "the" in tk})
+    m_ts = np.sort(np.array([ts for tk, ts in zip(toks_of, tss) if "the" in tk]))
+    card = facet_cardinality(idx, q, facet="lang").to_pandas()
+    assert list(card["n_values"]) == [len(m_langs)]
+    pct = (
+        matchset_percentiles(idx, q, quantiles=(0.25, 0.5, 0.75))
+        .to_pandas().sort_values("pct").reset_index(drop=True)
+    )
+    n = len(m_ts)
+    want_vals = [int(m_ts[int(np.floor(qf * (n - 1)))]) for qf in (0.25, 0.5, 0.75)]
+    assert list(pct["value"]) == want_vals
+    assert list(pct["pct"]) == [25, 50, 75]
