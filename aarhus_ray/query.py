@@ -16,7 +16,8 @@ def main(argv=None) -> int:
     p.add_argument("--method", choices=("wand", "brute"), default="wand")
     p.add_argument(
         "--mode",
-        choices=("or", "and", "phrase", "near", "prefix", "fuzzy", "boost", "boolean"),
+        choices=("or", "and", "phrase", "near", "prefix", "fuzzy", "boost",
+                 "boolean", "msm", "wildcard"),
         default="or",
         help="or: disjunctive BM25; and: conjunctive; phrase: exact phrase; "
         "near: all terms within --near-window tokens (phrase/near use the "
@@ -24,9 +25,12 @@ def main(argv=None) -> int:
         "prefix: trailing-* terms expand against the term dictionary; "
         "fuzzy: every term expands to dictionary terms within edit distance 1; "
         "boost: term^W multiplies that term's BM25 contribution by W; "
-        "boolean: +term MUST, -term MUST_NOT, bare term SHOULD",
+        "boolean: +term MUST, -term MUST_NOT, bare term SHOULD; "
+        "msm: docs matching at least --min-should-match distinct terms; "
+        "wildcard: * anywhere in a term expands against the dictionary",
     )
     p.add_argument("--near-window", type=int, default=8)
+    p.add_argument("--min-should-match", type=int, default=1)
     p.add_argument("--out", default=None, help="write results parquet here instead of stdout")
     p.add_argument("--num-cpus", type=int, default=None)
     args = p.parse_args(argv)
@@ -48,7 +52,7 @@ def main(argv=None) -> int:
 
     res = query_index(
         args.index, args.queries, k=args.k, method=args.method, mode=args.mode,
-        near_window=args.near_window,
+        near_window=args.near_window, min_should_match=args.min_should_match,
     )
     if args.out:
         res.write_parquet(args.out)
