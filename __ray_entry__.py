@@ -166,6 +166,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fulltext_bm25_multifield": fulltext.bm25_topk_multifield,
         # scroll/export: the full match set per query (streaming Dataset)
         "fulltext_export_matches": fulltext.export_matches_query,
+        # percolator: stored queries, streamed docs (reverse search, no index)
+        "fulltext_percolate": fulltext.percolate_query,
     }
 
 
@@ -606,4 +608,5 @@ def oracle_sql() -> dict[str, str]:
         "fulltext_spell_suggest": fulltext.spell_suggest_oracle_sql(),
         "fulltext_bm25_multifield": fulltext.bm25_multifield_oracle_sql(),
         "fulltext_export_matches": fulltext.export_matches_oracle_sql(),
+        "fulltext_percolate": fulltext.percolate_oracle_sql(),
     }

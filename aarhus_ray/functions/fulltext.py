@@ -2121,6 +2121,51 @@ ORDER BY query_id, rank
 """
 
 
+def percolate_query(sf_dir: str) -> pd.DataFrame:
+    """Percolation (reverse search) of the documents stream against
+    FT_QUERIES as STORED conjunctive queries (pipelines/query.percolate):
+    every (stored query, matching doc) pair, no index consulted — the
+    alerting/routing primitive. The OOV query matches nothing. Output
+    (query_id, doc_id), integer-only."""
+    from ..pipelines.query import percolate
+
+    queries = pa.table(
+        {
+            "query_id": pa.array(range(len(FT_QUERIES)), pa.int64()),
+            "text": pa.array(list(FT_QUERIES), pa.string()),
+        }
+    )
+    out = percolate(f"{sf_dir}/documents.parquet", queries).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values(["query_id", "doc_id"]).reset_index(drop=True)
+
+
+def percolate_oracle_sql() -> str:
+    """Percolator oracle: conjunctive containment — a (query, doc) pair
+    survives iff the doc's distinct-token join covers ALL the query's
+    distinct terms (OOV terms never join, so their queries return no
+    rows)."""
+    values = ",".join(
+        f"({qid}, '{term}')" for qid, q in enumerate(FT_QUERIES) for term in q.split()
+    )
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok
+    FROM documents) WHERE tok <> ''
+),
+q(query_id, tok) AS (VALUES {values}),
+qd AS (SELECT DISTINCT query_id, tok FROM q),
+qn AS (SELECT query_id, count(*) AS n FROM qd GROUP BY 1),
+mc AS (SELECT qd.query_id, toks.doc_id, count(DISTINCT qd.tok) AS c
+       FROM qd JOIN toks USING (tok) GROUP BY 1, 2)
+SELECT CAST(mc.query_id AS BIGINT) AS query_id, mc.doc_id
+FROM mc JOIN qn USING (query_id)
+WHERE mc.c = qn.n
+ORDER BY 1, 2
+"""
+
+
 # term-stats probe set: every FT_QUERIES token, a known-rare term, an OOV
 FT_STAT_TERMS = tuple(sorted({t for q in FT_QUERIES for t in q.split()} | {"dup"}))
 

@@ -632,6 +632,31 @@ def matchset_stats(
     )
 
 
+def percolate(
+    docs,
+    queries,
+    batch_size: int = 256,
+) -> ray.data.Dataset:
+    """REVERSE SEARCH (ES percolator): match a STREAM of documents against
+    STORED queries (conjunctive: every distinct query term must appear).
+    ``docs``: parquet path or Dataset with (doc_id, text); ``queries``:
+    pyarrow Table with (query_id, text), compiled once per worker.
+    Returns a streaming Dataset of (query_id, doc_id) matches — composes
+    with ingest at full backpressure (no index consulted)."""
+    from ..stages.query_stage import PercolateTaskFn
+
+    qt = tuple(zip(queries["query_id"].to_pylist(), queries["text"].to_pylist()))
+    if isinstance(docs, str):
+        ds = ray.data.read_parquet(docs, columns=["doc_id", "text"])
+        # single-row-group files would feed the map exactly one task
+        ds = ds.repartition(max(2, _cpus() // 2))
+    else:
+        ds = docs
+    return ds.map_batches(
+        PercolateTaskFn(qt), batch_format="pyarrow", batch_size=batch_size
+    )
+
+
 def term_stats(
     out_dir: str,
     terms,

@@ -1661,6 +1661,86 @@ class DocvalueSearchAfter(DocvalueTopK):
         )
 
 
+class Percolator:
+    """REVERSE SEARCH (Elasticsearch percolator): STORED queries, STREAMED
+    documents — the alerting/routing primitive ("which saved searches does
+    this new page match?"). No index is consulted: the document stream
+    maps straight through a stateless batch fn whose stored queries are
+    compiled once per worker, so percolation composes with ingest
+    (read_parquet → Percolator → write/route) at full streaming
+    backpressure — the exact shape a 100 TB firehose needs.
+
+    Semantics: conjunctive — a doc matches a stored query iff EVERY
+    distinct query term (OOV included, which therefore never matches)
+    appears in the doc's token set. Fully vectorized per batch: one
+    tokenize_flat pass, pc.index_in against the queries' union
+    vocabulary, then a (docs × vocab) boolean incidence matrix and one
+    all(axis) per query — no per-token Python."""
+
+    def __init__(self, queries: tuple[tuple[int, str], ...]):
+        import pyarrow.compute as _pc  # noqa: F401 (used in __call__)
+
+        self.vocab: list[str] = sorted(
+            {t for _, text in queries for t in set(tokenize(text))}
+        )
+        self._vocab_arr = pa.array(self.vocab, pa.string())
+        vidx = {t: i for i, t in enumerate(self.vocab)}
+        self.compiled: list[tuple[int, np.ndarray]] = [
+            (qid, np.array(sorted(vidx[t] for t in set(tokenize(text))), dtype=np.int64))
+            for qid, text in queries
+            if tokenize(text)
+        ]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        from ..textnorm import tokenize_flat
+
+        doc_ids = np.asarray(batch["doc_id"].to_numpy(zero_copy_only=False), dtype=np.uint64)
+        flat, fdocs, _ = tokenize_flat(batch["text"].combine_chunks(), doc_ids)
+        idx = pc.index_in(flat, value_set=self._vocab_arr)
+        idxn = idx.to_numpy(zero_copy_only=False).astype(np.float64)
+        keep = ~np.isnan(idxn)
+        qids_out: list[np.ndarray] = []
+        docs_out: list[np.ndarray] = []
+        if keep.any():
+            cols = idxn[keep].astype(np.int64)
+            docs_u, dinv = np.unique(fdocs[keep], return_inverse=True)
+            m = np.zeros((len(docs_u), len(self.vocab)), dtype=bool)
+            m[dinv, cols] = True
+            for qid, tidx in self.compiled:
+                hit = docs_u[m[:, tidx].all(axis=1)]
+                if len(hit):
+                    qids_out.append(np.full(len(hit), qid, dtype=np.int64))
+                    docs_out.append(hit)
+        qs = np.concatenate(qids_out) if qids_out else np.empty(0, np.int64)
+        ds = np.concatenate(docs_out) if docs_out else np.empty(0, np.uint64)
+        return pa.table(
+            {
+                "query_id": pa.array(qs, pa.int64()),
+                "doc_id": pa.array(ds, pa.uint64()),
+            }
+        )
+
+
+_WORKER_PERCOLATOR_CACHE: dict[tuple, "Percolator"] = {}
+
+
+class PercolateTaskFn:
+    """Task-fn form of Percolator (worker-process cache keyed by the
+    stored-query set — no index, no version)."""
+
+    def __init__(self, queries: tuple[tuple[int, str], ...]):
+        self.queries = tuple(queries)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        pc_ = _WORKER_PERCOLATOR_CACHE.get(self.queries)
+        if pc_ is None:
+            pc_ = Percolator(self.queries)
+            _WORKER_PERCOLATOR_CACHE[self.queries] = pc_
+        return pc_(batch)
+
+
 class TermStats:
     """TERM STATISTICS API (ES _termvectors term_statistics / Lucene
     TermStates): per requested term, the GLOBAL doc frequency (df, summed

@@ -1226,3 +1226,30 @@ def test_term_stats_cardinality_percentiles(golden_index):
     want_vals = [int(m_ts[int(np.floor(qf * (n - 1)))]) for qf in (0.25, 0.5, 0.75)]
     assert list(pct["value"]) == want_vals
     assert list(pct["pct"]) == [25, 50, 75]
+
+def test_percolator_streaming_reverse_search(golden_index):
+    """Percolator == python reference: conjunctive containment of stored
+    queries against a streamed docs Dataset (no index consulted); OOV
+    queries match nothing; single-term queries match their postings."""
+    import ray as _ray
+
+    from aarhus_ray.pipelines.query import percolate
+    from aarhus_ray.textnorm import tokenize
+
+    idx = golden_index["index"]
+    docs = _docs_table(idx, ["doc_id", "text"])
+    stored = ["the", "the a", "zzznotinvocab the", ""]
+    q = pa.table({"query_id": pa.array(range(len(stored)), pa.int64()),
+                  "text": pa.array(stored, pa.string())})
+    ds = _ray.data.from_arrow(docs).repartition(4)
+    got = percolate(ds, q).to_pandas().sort_values(["query_id", "doc_id"]).reset_index(drop=True)
+
+    want = []
+    for did, text in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()):
+        dt = set(tokenize(text))
+        for qid, s in enumerate(stored):
+            terms = set(tokenize(s))
+            if terms and terms <= dt:
+                want.append((qid, did))
+    want.sort()
+    assert [(r.query_id, r.doc_id) for r in got.itertuples()] == want
