@@ -155,6 +155,19 @@ FT_NEARS = (
 )
 NEAR_WINDOW = 8
 
+# Frozen span_near query set (tokens IN ORDER within len−1+SPAN_SLOP
+# consecutive tokens). The first two entries are the same term pair in
+# both orders — ordered semantics make them DIFFERENT queries, the exact
+# distinction mode="near" (unordered) erases.
+FT_SPANS = (
+    "query the",
+    "the query",
+    "customer slow batch",
+    "zzznotinvocab table",
+    "vector",
+)
+SPAN_SLOP = 2
+
 # Frozen prefix-wildcard query set: trailing ``*`` expands against the term
 # dictionary (range scan); literals mix in unchanged. "s*" fans out to six
 # corpus terms; "zz*" matches nothing (must be empty); the last entry mixes
@@ -356,6 +369,92 @@ ranked AS (
   SELECT s.query_id, s.doc_id,
          row_number() OVER (PARTITION BY s.query_id ORDER BY s.score DESC, s.doc_id) AS rank
   FROM scored s JOIN nears n ON n.query_id = s.query_id AND n.doc_id = s.doc_id
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank, doc_id
+FROM ranked WHERE rank <= {k}
+ORDER BY query_id, rank
+"""
+
+
+def bm25_topk_span_near(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Ordered proximity (Lucene span_near in_order=true): a doc qualifies
+    iff the query's tokens occur AS A SEQUENCE (strictly increasing
+    positions) within len(seq)−1+SPAN_SLOP consecutive tokens — slop=0 is
+    exact phrase, and unlike mode="near" the queries "query the" and
+    "the query" are different. Runs over the positional index (ordered
+    min-span from decoded pos.bin via the greedy chain in
+    query_stage._min_ordered_span); survivors rank by the BM25 sum of the
+    distinct terms. The oracle replays the predicate with an n-way ordered
+    positional self-join (p1 < p2 < … < pn, MIN(pn−p1) ≤ n−1+slop)."""
+    return _run_queries(
+        _ensure_index(sf_dir, fresh=False, positions=True),
+        FT_SPANS, k, "span_near", span_slop=SPAN_SLOP,
+    )
+
+
+def bm25_span_near_oracle_sql(k: int = 10) -> str:
+    """span_near oracle: BM25 CTEs over each query's DISTINCT terms + a
+    per-query ORDERED proximity constraint — an n-way self-join of
+    (doc_id, tok, pos) rows aliased per SEQUENCE position (duplicate
+    query tokens reuse the same tok in two aliases), qualifying a doc when
+    MIN(p_last − p_first) ≤ n−1+slop over strictly-increasing picks.
+    Single-token queries degenerate to containment."""
+    values = ",".join(
+        f"({qid}, '{term}')"
+        for qid, q in enumerate(FT_SPANS)
+        for term in sorted(set(q.split()))
+    )
+    blocks = []
+    for qid, q in enumerate(FT_SPANS):
+        seq = q.split()
+        aliases = [f"p{i}" for i in range(len(seq))]
+        joins = f"posi {aliases[0]}" + "".join(
+            f" JOIN posi {a} USING (doc_id)" for a in aliases[1:]
+        )
+        conds = " AND ".join(f"{a}.tok = '{t}'" for a, t in zip(aliases, seq))
+        order = " AND ".join(
+            f"{aliases[i + 1]}.pos > {aliases[i]}.pos" for i in range(len(seq) - 1)
+        )
+        where = conds + (f" AND {order}" if order else "")
+        limit = len(seq) - 1 + SPAN_SLOP
+        blocks.append(
+            f"  SELECT {qid} AS query_id, {aliases[0]}.doc_id FROM {joins}\n"
+            f"  WHERE {where} GROUP BY 2\n"
+            f"  HAVING MIN({aliases[-1]}.pos - {aliases[0]}.pos) <= {limit}"
+        )
+    spans = "\n  UNION ALL\n".join(blocks)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok
+    FROM documents) WHERE tok <> ''
+),
+dl AS (SELECT d.doc_id, CAST(coalesce(t.c, 0) AS DOUBLE) AS dl
+       FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS c FROM toks GROUP BY 1) t USING (doc_id)),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+qd(query_id, tok) AS (VALUES {values}),
+arr AS (SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS a
+        FROM documents),
+posi AS (SELECT doc_id, unnest(a) AS tok, generate_subscripts(a, 1) - 1 AS pos FROM arr),
+spans AS (
+{spans}
+),
+scored AS (
+  SELECT qd.query_id, tf.doc_id,
+         sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * (1.2 + 1.0)
+              / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score
+  FROM qd JOIN tf USING (tok) JOIN df USING (tok)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s GROUP BY 1, 2
+),
+ranked AS (
+  SELECT s.query_id, s.doc_id,
+         row_number() OVER (PARTITION BY s.query_id ORDER BY s.score DESC, s.doc_id) AS rank
+  FROM scored s JOIN spans n ON n.query_id = s.query_id AND n.doc_id = s.doc_id
 )
 SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank, doc_id
 FROM ranked WHERE rank <= {k}

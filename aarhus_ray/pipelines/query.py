@@ -333,6 +333,7 @@ def query_index(
     filter_ids: np.ndarray | None = None,
     near_window: int = 8,
     min_should_match: int = 1,
+    span_slop: int = 2,
 ) -> ray.data.Dataset:
     """queries: parquet path | ray Dataset | pyarrow Table with
     (query_id:int64, text:string). Returns a Dataset
@@ -351,6 +352,10 @@ def query_index(
     ``mode="msm"`` requires at least ``min_should_match`` distinct
     in-vocabulary terms per doc (m=1 ≡ "or", m=n_terms ≡ "and");
     scores stay the disjunctive BM25 sums of the matched terms.
+    ``mode="span_near"`` requires the query's tokens IN ORDER within
+    ``len(seq)−1+span_slop`` consecutive tokens (Lucene span_near
+    in_order=true; slop=0 ≡ phrase) — verified from the positional
+    sidecar when present, else from checkpoint text.
 
     ``filter_ids`` (sorted uint64 doc_ids, e.g. from ``facet_doc_ids``)
     restricts results to that doc set; BM25 statistics stay global (see
@@ -396,7 +401,7 @@ def query_index(
         make_scorer_task_fn(
             out_dir, segs, k, method, shared_ref, version, mode=mode,
             filter_ref=filter_ref, near_window=near_window,
-            min_should_match=min_should_match,
+            min_should_match=min_should_match, span_slop=span_slop,
         ),
         batch_format="pyarrow",
         batch_size=batch_size,

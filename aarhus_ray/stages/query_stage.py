@@ -65,6 +65,30 @@ def _min_cover_span(lists: list[np.ndarray]) -> int:
     return best
 
 
+def _min_ordered_span(lists: list[np.ndarray]) -> int:
+    """Minimum (last − first) over picks p0 < p1 < … < p_{n−1}, one from
+    each sorted list IN ORDER — the ordered-span primitive behind Lucene's
+    ``span_near(in_order=true)``. Greedy chain: for each start p0, the
+    smallest completing last position is reached by repeatedly taking the
+    first occurrence strictly after the previous pick (optimal because the
+    chain is monotone); if a chain fails from p0 it fails from every later
+    start, so the scan short-circuits. O(|l0| · n log m). Duplicate terms
+    in the sequence reuse one list — the strict-increase rule handles them
+    exactly like the SQL self-join replay (p_{i+1} > p_i)."""
+    best = np.iinfo(np.int64).max
+    for p0 in lists[0]:
+        cur = int(p0)
+        for lst in lists[1:]:
+            j = int(np.searchsorted(lst, cur + 1))
+            if j == len(lst):
+                return best
+            cur = int(lst[j])
+        span = cur - int(p0)
+        if span < best:
+            best = span
+    return best
+
+
 def _lev1_same(mat: np.ndarray, qb: np.ndarray) -> np.ndarray:
     """Rows of ``mat`` (n × m byte matrix) within substitution distance 1
     of ``qb`` (m bytes): at most one mismatched position."""
@@ -318,6 +342,7 @@ class QueryScorer:
         filter_ids: np.ndarray | None = None,
         near_window: int = 8,
         min_should_match: int = 1,
+        span_slop: int = 2,
     ):
         """``doc_range=(lo, hi)`` + ``pids`` activate the DOC-SHARDED mode
         (cluster scorer-state path, SCALE.md): this scorer holds only the
@@ -343,21 +368,23 @@ class QueryScorer:
         self.avgdl = float(stats["avgdl"])
         self.k = k
         self.method = method
-        if mode not in ("or", "and", "phrase", "near", "prefix", "fuzzy", "boost",
-                        "boolean", "msm", "wildcard"):
+        if mode not in ("or", "and", "phrase", "near", "span_near", "prefix",
+                        "fuzzy", "boost", "boolean", "msm", "wildcard"):
             raise ValueError(
-                f"mode must be 'or', 'and', 'phrase', 'near', 'prefix', 'fuzzy', "
-                f"'boost', 'boolean', 'msm' or 'wildcard', not {mode!r}"
+                f"mode must be 'or', 'and', 'phrase', 'near', 'span_near', "
+                f"'prefix', 'fuzzy', 'boost', 'boolean', 'msm' or 'wildcard', "
+                f"not {mode!r}"
             )
         if mode == "and" and method not in ("wand", "brute"):
             raise ValueError(f"conjunctive scoring supports wand/brute, not {method!r}")
         if mode in ("prefix", "fuzzy", "boost", "boolean", "msm", "wildcard") and method not in ("wand", "brute"):
             raise ValueError(f"{mode} scoring supports wand/brute, not {method!r}")
-        if mode in ("phrase", "near") and method != "wand":
+        if mode in ("phrase", "near", "span_near") and method != "wand":
             raise ValueError(f"{mode} scoring supports method='wand', not {method!r}")
         self.mode = mode
         self.near_window = int(near_window)
         self.min_should_match = int(min_should_match)
+        self.span_slop = int(span_slop)
         self.doc_range = (
             (np.uint64(doc_range[0]), np.uint64(doc_range[1])) if doc_range is not None else None
         )
@@ -699,6 +726,23 @@ class QueryScorer:
             keep[ci] = _min_cover_span(lists) <= window - 1
         return keep
 
+    def _verify_span_positions(
+        self, seq: list[str], owners, cand: np.ndarray, slop: int
+    ) -> np.ndarray:
+        """Ordered-proximity check over the positional sidecar: candidate
+        ci survives iff some strictly-increasing pick of one occurrence per
+        SEQUENCE position spans ≤ len(seq)−1+slop tokens (Lucene
+        span_near in_order=true). slop=0 degenerates to exact phrase."""
+        pos_by_term = {t: self._positions_of_docs(t, owners[t], cand) for t in set(seq)}
+        limit = len(seq) - 1 + slop
+        keep = np.zeros(len(cand), dtype=bool)
+        for ci in range(len(cand)):
+            lists = [pos_by_term[t][ci] for t in seq]
+            if any(p is None or len(p) == 0 for p in lists):
+                continue
+            keep[ci] = _min_ordered_span(lists) <= limit
+        return keep
+
     def _verify_phrase_positions(self, seq: list[str], owners, cand: np.ndarray) -> np.ndarray:
         """Index-native adjacency check: consecutive positional
         intersection (pos(t_{i+1}) ∩ (survivors+1)) — the classic phrase
@@ -760,6 +804,55 @@ class QueryScorer:
                             break
                         idx = idx[arr[idx + off] == seq[off]]
                     keep[i] = len(idx) > 0
+                cand = cand[keep]
+        if len(cand) == 0:
+            return np.empty(0, np.uint64), np.empty(0, np.float64)
+        scores = np.zeros(len(cand), dtype=np.float64)
+        for doc_ids, contribs, _, _ in entries:  # sorted-term order
+            scores += contribs[np.searchsorted(doc_ids, cand)]
+        from ..bm25 import topk_select
+
+        return topk_select(cand, scores, self.k)
+
+    def _score_query_span(self, text: str) -> tuple[np.ndarray, np.ndarray]:
+        """Ordered proximity (span_near, in_order=true): a doc qualifies
+        iff the query's tokens occur AS A SEQUENCE — one occurrence per
+        query position, positions strictly increasing — within
+        len(seq)−1+span_slop consecutive tokens. slop=0 ≡ phrase; unlike
+        mode="near", "query the" and "the query" are different queries.
+        Candidates are the conjunctive intersection of the DISTINCT terms
+        (a necessary condition); the ordered-span predicate verifies from
+        the positional sidecar when every owning shard carries one, else by
+        re-tokenizing candidate texts from the docs/ checkpoint (the same
+        two-engine shape as phrase/near, pinned equal by test). An OOV term
+        empties the result; a single-token query degenerates to AND
+        (span 0 ≤ slop). Survivors rank by the BM25 sum of the distinct
+        terms, frozen (score DESC, doc_id ASC) order."""
+        seq = tokenize(text)
+        if not seq:
+            return np.empty(0, np.uint64), np.empty(0, np.float64)
+        owners = {}
+        for t in set(seq):
+            segs = self._owners(t)
+            if not segs:
+                return np.empty(0, np.uint64), np.empty(0, np.float64)
+            owners[t] = segs
+        terms = sorted(owners)
+        entries = [self._term_arrays(t, owners[t]) for t in terms]
+        cand = self._conj_candidates(terms, entries)
+        if len(cand) and len(seq) > 1:
+            if all(seg.pos_dict is not None for t in owners for seg in owners[t]):
+                cand = cand[self._verify_span_positions(seq, owners, cand, self.span_slop)]
+            else:
+                texts = self._texts_of(cand)
+                limit = len(seq) - 1 + self.span_slop
+                keep = np.zeros(len(cand), dtype=bool)
+                for i, doc_text in enumerate(texts):
+                    arr = np.asarray(tokenize(doc_text), dtype=object)
+                    lists = [np.flatnonzero(arr == t) for t in seq]
+                    if any(len(p) == 0 for p in lists):
+                        continue
+                    keep[i] = _min_ordered_span(lists) <= limit
                 cand = cand[keep]
         if len(cand) == 0:
             return np.empty(0, np.uint64), np.empty(0, np.float64)
@@ -1055,6 +1148,8 @@ class QueryScorer:
             return self._score_query_phrase(text)
         if self.mode == "near":
             return self._score_query_near(text)
+        if self.mode == "span_near":
+            return self._score_query_span(text)
         if self.mode == "prefix":
             return self._score_query_prefix(text)
         if self.mode == "fuzzy":
@@ -2261,23 +2356,25 @@ class ScorerTaskFn:
         filter_ref=None,
         near_window: int = 8,
         min_should_match: int = 1,
+        span_slop: int = 2,
     ):
         self.args = (
             out_dir, tuple(seg_ids), k, method, shared_ref, version,
             doc_range, tuple(pids) if pids is not None else None, mode,
-            filter_ref, near_window, min_should_match,
+            filter_ref, near_window, min_should_match, span_slop,
         )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         (out_dir, seg_ids, k, method, shared_ref, version, doc_range, pids,
-         mode, filter_ref, near_window, min_should_match) = self.args
+         mode, filter_ref, near_window, min_should_match, span_slop) = self.args
         # seg_ids, shared_ref-presence, doc_range, mode, the filter ref and
         # the near/msm knobs are part of the identity: a scorer built over a
         # subset of segments / a doc range (or without shared state, with
         # AND/NEAR/msm semantics, or with a facet filter) must not be served
         # for a different configuration of the same index
         key = (out_dir, version, k, method, seg_ids, shared_ref is not None,
-               doc_range, mode, filter_ref, near_window, min_should_match)
+               doc_range, mode, filter_ref, near_window, min_should_match,
+               span_slop)
         scorer = _WORKER_SCORER_CACHE.get(key)
         if scorer is None:
             # evict only STALE entries of the same index (older version);
@@ -2294,6 +2391,7 @@ class ScorerTaskFn:
                 filter_ids=_ray.get(filter_ref) if filter_ref is not None else None,
                 near_window=near_window,
                 min_should_match=min_should_match,
+                span_slop=span_slop,
             )
             _WORKER_SCORER_CACHE[key] = scorer
         return scorer(batch)
@@ -2312,10 +2410,11 @@ def make_scorer_task_fn(
     filter_ref=None,
     near_window: int = 8,
     min_should_match: int = 1,
+    span_slop: int = 2,
 ):
     return ScorerTaskFn(
         out_dir, seg_ids, k, method, shared_ref, version, doc_range, pids, mode,
-        filter_ref, near_window, min_should_match,
+        filter_ref, near_window, min_should_match, span_slop,
     )
 
 

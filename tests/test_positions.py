@@ -96,6 +96,87 @@ def test_phrase_positional_equals_text_verify(pos_pair):
     assert (a["score"].to_numpy() == b["score"].to_numpy()).all()
 
 
+def test_min_ordered_span_vs_bruteforce():
+    """_min_ordered_span (greedy chain) == exhaustive enumeration over all
+    strictly-increasing picks, on random lists incl. shared-list reuse."""
+    from itertools import product
+
+    from aarhus_ray.stages.query_stage import _min_ordered_span
+
+    rng = random.Random(11)
+    big = np.iinfo(np.int64).max
+    for _ in range(200):
+        n_lists = rng.randint(1, 4)
+        lists = [
+            np.array(sorted(rng.sample(range(30), rng.randint(1, 6))), dtype=np.int64)
+            for _ in range(n_lists)
+        ]
+        if n_lists >= 2 and rng.random() < 0.3:
+            lists[-1] = lists[0]  # duplicate-term case: same list twice
+        want = big
+        for pick in product(*lists):
+            if all(pick[i + 1] > pick[i] for i in range(len(pick) - 1)):
+                want = min(want, pick[-1] - pick[0])
+        assert _min_ordered_span(lists) == want
+
+
+def test_span_near_positional_equals_text_verify_and_order_matters(pos_pair):
+    """mode='span_near' over the positional index is bit-identical to the
+    checkpoint-re-tokenize fallback; slop=0 on an in-order adjacent pair
+    reproduces mode='phrase'; and reversing the token order changes the
+    match set (the ordered-vs-unordered distinction)."""
+    text_of = _texts(pos_pair["pos"])
+    texts = list(text_of.values())
+    t0, t7 = tokenize(texts[0]), tokenize(texts[7])
+    pair = [t0[0], t0[1]]
+    queries = [
+        " ".join(pair),
+        " ".join(reversed(pair)),
+        " ".join(t7[3:6]),
+        t0[0],
+        "zzznotinvocab " + t0[0],
+    ]
+    q = pa.table(
+        {
+            "query_id": pa.array(range(len(queries)), pa.int64()),
+            "text": pa.array(queries, pa.string()),
+        }
+    )
+    for slop in (0, 2):
+        a = (
+            query_index(pos_pair["pos"], q, k=10, mode="span_near",
+                        span_slop=slop, resolve_urls=False)
+            .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+        )
+        b = (
+            query_index(pos_pair["nopos"], q, k=10, mode="span_near",
+                        span_slop=slop, resolve_urls=False)
+            .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+        )
+        assert len(a) == len(b) > 0
+        assert (a["doc_id"].to_numpy() == b["doc_id"].to_numpy()).all()
+        assert (a["score"].to_numpy() == b["score"].to_numpy()).all()
+        if slop == 0:
+            # slop=0 ≡ exact phrase on the in-order pair (distinct terms)
+            ph = (
+                query_index(pos_pair["pos"], q.slice(0, 1), k=10, mode="phrase",
+                            resolve_urls=False)
+                .to_pandas().sort_values("rank").reset_index(drop=True)
+            )
+            a0 = a[a["query_id"] == 0].reset_index(drop=True)
+            assert (a0["doc_id"].to_numpy() == ph["doc_id"].to_numpy()).all()
+    # ordered semantics: the reversed pair must NOT be forced to match the
+    # forward pair's docs (on a random corpus the sets differ; assert the
+    # engine at least distinguishes the two queries' eligible sets)
+    a = (
+        query_index(pos_pair["pos"], q, k=10, mode="span_near", span_slop=0,
+                    resolve_urls=False).to_pandas()
+    )
+    fwd = set(a[a["query_id"] == 0]["doc_id"])
+    rev = set(a[a["query_id"] == 1]["doc_id"])
+    assert fwd != rev
+
+
 def test_default_build_has_no_sidecar(pos_pair):
     assert not glob.glob(f"{pos_pair['nopos']}/segments/*/pos.bin")
     assert glob.glob(f"{pos_pair['pos']}/segments/*/pos.bin")
