@@ -116,6 +116,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ordered proximity (span_near in_order=true, slop=2): tokens as a
         # strictly-increasing sequence within len−1+slop tokens
         "fulltext_bm25_span_near": fulltext.bm25_topk_span_near,
+        # explain API: per-hit (term, tf, global df, doclen) rows — the raw
+        # integer inputs the BM25 score is a pure function of
+        "fulltext_explain": fulltext.explain_query,
         # trailing-* wildcard terms expand against the sharded term
         # dictionary (range scan), then score as disjunctive BM25
         "fulltext_bm25_prefix_topk": fulltext.bm25_topk_prefix,
@@ -582,6 +585,7 @@ def oracle_sql() -> dict[str, str]:
         "fulltext_bm25_phrase_positional": fulltext.bm25_phrase_oracle_sql(),
         "fulltext_bm25_near_topk": fulltext.bm25_near_oracle_sql(),
         "fulltext_bm25_span_near": fulltext.bm25_span_near_oracle_sql(),
+        "fulltext_explain": fulltext.explain_oracle_sql(),
         "fulltext_bm25_prefix_topk": fulltext.bm25_prefix_oracle_sql(),
         "fulltext_bm25_wildcard_topk": fulltext.bm25_wildcard_oracle_sql(),
         "fulltext_bm25_fuzzy_topk": fulltext.bm25_fuzzy_oracle_sql(),

@@ -376,6 +376,91 @@ ORDER BY query_id, rank
 """
 
 
+def explain_query(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """EXPLAIN API (Lucene/ES `_explain`) over FT_QUERIES: for each query's
+    top-k hits, one row per (hit, matched term) with the raw BM25 inputs —
+    tf from the postings, GLOBAL df from the shard dictionaries, dl from
+    the doclen sidecar (pipelines/query.explain_topk). Integer-only: the
+    floats (idf, contribution, score) are pure functions of these rows
+    plus (n_docs, avgdl) — tests pin that score_tf/idf over them
+    reconstructs the hit's ranking score bit-exactly. The oracle replays
+    the frozen ranking and joins the same statistics in SQL."""
+    from ..pipelines.query import explain_topk
+    from ..stages.query_stage import UrlResolver
+
+    index = _ensure_index(sf_dir, fresh=False)
+    queries = pa.table(
+        {
+            "query_id": pa.array(range(len(FT_QUERIES)), pa.int64()),
+            "text": pa.array(list(FT_QUERIES), pa.string()),
+        }
+    )
+    ds = explain_topk(index, queries, k=k).map_batches(
+        UrlResolver, fn_constructor_args=(index,), batch_format="pyarrow",
+        concurrency=(1, 2),
+    )
+    res = ds.to_pandas()
+    res["doc_id"] = res["url"].map(url_doc_id).astype("int64")
+    out = (
+        res[["query_id", "rank", "doc_id", "term", "tf", "df", "dl"]]
+        .sort_values(["query_id", "rank", "term"])
+        .reset_index(drop=True)
+    )
+    out["rank"] = out["rank"].astype("int32")
+    return out
+
+
+def explain_oracle_sql(k: int = 10) -> str:
+    """Explain oracle: the frozen BM25 ranking stack (bm25_oracle_sql's
+    CTEs) ranks FT_QUERIES' top-k, then each hit joins back the per-term
+    tf / global df / doclen it was scored from — exactly the rows the
+    engine's Explainer emits (absent terms emit no row)."""
+    values = ",".join(
+        f"({qid}, '{term}')"
+        for qid, q in enumerate(FT_QUERIES)
+        for term in q.split()
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok
+    FROM documents) WHERE tok <> ''
+),
+dl AS (SELECT d.doc_id, CAST(coalesce(t.c, 0) AS DOUBLE) AS dl
+       FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS c FROM toks GROUP BY 1) t USING (doc_id)),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+q(query_id, tok) AS (VALUES {values}),
+qd AS (SELECT DISTINCT query_id, tok FROM q),
+scored AS (
+  SELECT qd.query_id, tf.doc_id,
+         sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * (1.2 + 1.0)
+              / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score
+  FROM qd JOIN tf USING (tok) JOIN df USING (tok)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+  FROM scored
+)
+SELECT CAST(r.query_id AS BIGINT) AS query_id, CAST(r.rank AS INTEGER) AS rank,
+       r.doc_id, qd.tok AS term,
+       CAST(tf.tf AS BIGINT) AS tf, CAST(df.df AS BIGINT) AS df,
+       CAST(dl.dl AS BIGINT) AS dl
+FROM ranked r
+JOIN qd ON qd.query_id = r.query_id
+JOIN tf ON tf.doc_id = r.doc_id AND tf.tok = qd.tok
+JOIN df ON df.tok = qd.tok
+JOIN dl ON dl.doc_id = r.doc_id
+WHERE r.rank <= {k}
+ORDER BY query_id, rank, term
+"""
+
+
 def bm25_topk_span_near(sf_dir: str, k: int = 10) -> pd.DataFrame:
     """Ordered proximity (Lucene span_near in_order=true): a doc qualifies
     iff the query's tokens occur AS A SEQUENCE (strictly increasing

@@ -801,6 +801,45 @@ def export_matches(
     )
 
 
+def explain_topk(
+    out_dir: str,
+    queries,
+    k: int = 10,
+    concurrency: int | None = None,
+    batch_size: int = 64,
+) -> ray.data.Dataset:
+    """EXPLAIN: for each query's top-k hits, one row per (hit, matched
+    term) carrying the raw BM25 inputs — (query_id, rank, doc_id, term,
+    tf, df, dl). df is the GLOBAL document frequency (summed across the
+    term's shards); dl the hit's doclen. Integer-only: idf/contribution/
+    score are pure functions of these plus (n_docs, avgdl), so the
+    explanation is complete and exactly comparable. Same stateless-task +
+    worker-cache execution shape as query_index; output is O(k · terms)
+    per query, page-sized."""
+    from ..stages.query_stage import ExplainTaskFn
+
+    segs = list_segments(out_dir)
+    if not segs:
+        raise ValueError(f"no segments under {out_dir}")
+    conc = concurrency or max(1, _cpus())
+    if isinstance(queries, str):
+        import pyarrow.parquet as _pq
+
+        queries = _pq.read_table(queries)
+    if isinstance(queries, pa.Table):
+        n_blocks = max(1, min(conc * 4, queries.num_rows // max(1, batch_size) + 1))
+        per = (queries.num_rows + n_blocks - 1) // n_blocks
+        slices = [queries.slice(i * per, per) for i in range(n_blocks) if i * per < queries.num_rows]
+        qds = ray.data.from_arrow(slices)
+    else:
+        qds = queries
+    return qds.map_batches(
+        ExplainTaskFn(out_dir, segs, k, index_version(out_dir)),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+
+
 def facet_topk(
     out_dir: str,
     queries,

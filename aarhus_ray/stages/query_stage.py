@@ -1874,6 +1874,92 @@ class TermStats:
         )
 
 
+class Explainer:
+    """EXPLAIN API (Lucene/ES `_explain`): for each query's top-k hits,
+    the raw per-term statistics the BM25 score is computed from — tf
+    (from the term's postings), GLOBAL df (summed over the term's shards)
+    and the doc's length — one row per (hit, matched term). Integer-only
+    by design: the floats (idf, contribution, score) are pure functions of
+    these integers plus the corpus constants (n_docs, avgdl), so the
+    explanation is complete while the oracle compare stays exact;
+    tests pin that score_tf/idf over these rows reconstructs the hit's
+    ranking score bit-exactly. Rows follow the frozen hit order, terms
+    ascending within a hit; absent terms (tf 0) emit no row, like Lucene's
+    per-field explanation tree."""
+
+    def __init__(self, out_dir: str, seg_ids: list[int] | None = None, k: int = 10):
+        self.scorer = QueryScorer(out_dir, seg_ids, k=k, method="wand")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sc = self.scorer
+        qids_out: list[int] = []
+        ranks_out: list[int] = []
+        docs_out: list[np.ndarray] = []
+        terms_out: list[str] = []
+        tfs_out: list[int] = []
+        dfs_out: list[int] = []
+        dls_out: list[int] = []
+        for qid, text in zip(batch["query_id"].to_pylist(), batch["text"].to_pylist()):
+            d, _ = sc._score_query(text)
+            if len(d) == 0:
+                continue
+            per_hit: list[list[tuple[str, int, int]]] = [[] for _ in range(len(d))]
+            for t in sorted(set(tokenize(text))):
+                owners = sc._owners(t)
+                if not owners:
+                    continue
+                doc_ids, tfs = sc._gather_postings(t, owners)
+                idx = np.searchsorted(doc_ids, d)
+                ok = idx < len(doc_ids)
+                ok[ok] = doc_ids[idx[ok]] == d[ok]
+                gdf = int(sc._global_df(t, owners))
+                for i in np.flatnonzero(ok):
+                    per_hit[i].append((t, int(tfs[idx[i]]), gdf))
+            dls = sc.doclens.lookup(d)
+            for i in range(len(d)):
+                for t, tf, gdf in per_hit[i]:
+                    qids_out.append(qid)
+                    ranks_out.append(i + 1)
+                    terms_out.append(t)
+                    tfs_out.append(tf)
+                    dfs_out.append(gdf)
+                    dls_out.append(int(dls[i]))
+                docs_out.append(np.full(len(per_hit[i]), d[i], dtype=np.uint64))
+        docs = np.concatenate(docs_out) if docs_out else np.empty(0, np.uint64)
+        return pa.table(
+            {
+                "query_id": pa.array(qids_out, pa.int64()),
+                "rank": pa.array(np.asarray(ranks_out, np.int32), pa.int32()),
+                "doc_id": pa.array(docs, pa.uint64()),
+                "term": pa.array(terms_out, pa.string()),
+                "tf": pa.array(tfs_out, pa.int64()),
+                "df": pa.array(dfs_out, pa.int64()),
+                "dl": pa.array(dls_out, pa.int64()),
+            }
+        )
+
+
+_WORKER_EXPLAIN_CACHE: dict[tuple, "Explainer"] = {}
+
+
+class ExplainTaskFn:
+    """Task-fn form of Explainer (worker-process cache, as ScorerTaskFn)."""
+
+    def __init__(self, out_dir: str, seg_ids: list[int], k: int, version: float):
+        self.args = (out_dir, tuple(seg_ids), k, version)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_dir, seg_ids, k, version = self.args
+        key = (out_dir, version, seg_ids, k)
+        ex = _WORKER_EXPLAIN_CACHE.get(key)
+        if ex is None:
+            for kk in [kk for kk in _WORKER_EXPLAIN_CACHE if kk[0] == out_dir and kk[1] < version]:
+                del _WORKER_EXPLAIN_CACHE[kk]
+            ex = Explainer(out_dir, list(seg_ids), k)
+            _WORKER_EXPLAIN_CACHE[key] = ex
+        return ex(batch)
+
+
 class MatchCounter:
     """TOTAL HITS per query (Lucene's totalHits): the size of the
     disjunctive match set — distinct visible docs containing ≥1 query

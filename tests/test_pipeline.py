@@ -1253,3 +1253,54 @@ def test_percolator_streaming_reverse_search(golden_index):
                 want.append((qid, did))
     want.sort()
     assert [(r.query_id, r.doc_id) for r in got.itertuples()] == want
+
+
+def test_explain_reconstructs_scores(golden_index):
+    """explain_topk rows are COMPLETE: score_tf/idf over each hit's
+    (term, tf, df, dl) rows, accumulated in sorted-term order, reproduces
+    the hit's ranking score bit-exactly; ranks/doc_ids match query_index;
+    terms are ascending within a hit and absent terms emit no row."""
+    import numpy as np
+
+    from aarhus_ray.bm25 import idf, score_tf
+    from aarhus_ray.pipelines.query import explain_topk, query_index
+    from aarhus_ray.state import manifest as mf
+    from aarhus_ray.textnorm import tokenize
+
+    idx = golden_index["index"]
+    stats = mf.read_stats(idx)
+    n_docs, avgdl = int(stats["n_docs"]), float(stats["avgdl"])
+    q = fixtures.gen_queries(15, seed=21)
+    hits = (
+        query_index(idx, q, k=10, resolve_urls=False)
+        .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    ex = (
+        explain_topk(idx, q, k=10)
+        .to_pandas().sort_values(["query_id", "rank", "term"]).reset_index(drop=True)
+    )
+    # same hit set
+    key_hits = set(zip(hits["query_id"], hits["rank"], hits["doc_id"]))
+    key_ex = set(zip(ex["query_id"], ex["rank"], ex["doc_id"]))
+    assert key_ex == key_hits
+    # every row's term is a token of its query, present in the doc (tf >= 1)
+    terms_of = {qid: set(tokenize(t)) for qid, t in zip(q["query_id"].to_pylist(), q["text"].to_pylist())}
+    assert all(t in terms_of[qid] for qid, t in zip(ex["query_id"], ex["term"]))
+    assert (ex["tf"] >= 1).all() and (ex["df"] >= 1).all()
+    # bit-exact score reconstruction (accumulate in sorted-term order, the
+    # frozen engine accumulation order)
+    score_of = {}
+    for (qid, rank), g in ex.groupby(["query_id", "rank"], sort=False):
+        s = 0.0
+        for _, row in g.sort_values("term").iterrows():
+            s += float(
+                score_tf(
+                    np.array([float(row["tf"])]),
+                    np.array([float(row["dl"])]),
+                    avgdl,
+                    idf(int(row["df"]), n_docs),
+                )[0]
+            )
+        score_of[(qid, rank)] = s
+    for _, h in hits.iterrows():
+        assert score_of[(h["query_id"], h["rank"])] == h["score"]
