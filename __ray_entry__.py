@@ -119,6 +119,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # explain API: per-hit (term, tf, global df, doclen) rows — the raw
         # integer inputs the BM25 score is a pure function of
         "fulltext_explain": fulltext.explain_query,
+        # completion suggester: prefix -> top dictionary completions by
+        # global df (dictionary range scan, no corpus touch)
+        "fulltext_completion_suggest": fulltext.completion_suggest,
         # trailing-* wildcard terms expand against the sharded term
         # dictionary (range scan), then score as disjunctive BM25
         "fulltext_bm25_prefix_topk": fulltext.bm25_topk_prefix,
@@ -586,6 +589,7 @@ def oracle_sql() -> dict[str, str]:
         "fulltext_bm25_near_topk": fulltext.bm25_near_oracle_sql(),
         "fulltext_bm25_span_near": fulltext.bm25_span_near_oracle_sql(),
         "fulltext_explain": fulltext.explain_oracle_sql(),
+        "fulltext_completion_suggest": fulltext.completion_suggest_oracle_sql(),
         "fulltext_bm25_prefix_topk": fulltext.bm25_prefix_oracle_sql(),
         "fulltext_bm25_wildcard_topk": fulltext.bm25_wildcard_oracle_sql(),
         "fulltext_bm25_fuzzy_topk": fulltext.bm25_fuzzy_oracle_sql(),

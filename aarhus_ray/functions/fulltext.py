@@ -376,6 +376,75 @@ ORDER BY query_id, rank
 """
 
 
+# Frozen completion-suggest prefixes: fan-out ("s"), a narrower stem
+# ("ta"), a single-hit stem, a dead prefix (no rows) and a multi-token
+# input (invalid for completion — no rows, like ES).
+FT_COMPLETIONS = (
+    "s",
+    "ta",
+    "wind",
+    "zz",
+    "two words",
+)
+COMPLETION_SIZE = 5
+
+
+def completion_suggest(sf_dir: str) -> pd.DataFrame:
+    """Completion suggester (ES `completion`): each prefix expands against
+    the sharded term dictionary (sorted-list range scan) and the top
+    COMPLETION_SIZE completions rank by GLOBAL df (popularity), tie term
+    ASC (pipelines/query.suggest_completions). Dead prefixes and
+    multi-token inputs emit no rows. The oracle replays the ranking over
+    the distinct-token vocabulary with a LIKE prefix join."""
+    from ..pipelines.query import suggest_completions
+
+    index = _ensure_index(sf_dir, fresh=False)
+    queries = pa.table(
+        {
+            "query_id": pa.array(range(len(FT_COMPLETIONS)), pa.int64()),
+            "text": pa.array(list(FT_COMPLETIONS), pa.string()),
+        }
+    )
+    out = (
+        suggest_completions(index, queries, size=COMPLETION_SIZE)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    out["rank"] = out["rank"].astype("int32")
+    return out
+
+
+def completion_suggest_oracle_sql() -> str:
+    """Completion oracle: vocabulary = distinct (tok, df) over the token
+    split; per prefix, tokens LIKE 'p%' rank by (df DESC, tok ASC), top
+    COMPLETION_SIZE. Multi-token prefixes are excluded up front (VALUES
+    only carries the single-token ones — the engine contract)."""
+    rows = []
+    for qid, p in enumerate(FT_COMPLETIONS):
+        toks = [t for t in p.lower().split() if t]
+        if len(toks) == 1:
+            rows.append(f"({qid}, '{toks[0]}')")
+    values = ",".join(rows)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok
+    FROM documents) WHERE tok <> ''
+),
+df AS (SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM toks GROUP BY 1),
+q(query_id, prefix) AS (VALUES {values}),
+ranked AS (
+  SELECT q.query_id, df.tok AS term, df.df,
+         row_number() OVER (PARTITION BY q.query_id ORDER BY df.df DESC, df.tok) AS rank
+  FROM q JOIN df ON df.tok LIKE q.prefix || '%'
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank, term, df
+FROM ranked WHERE rank <= {COMPLETION_SIZE}
+ORDER BY query_id, rank
+"""
+
+
 def explain_query(sf_dir: str, k: int = 10) -> pd.DataFrame:
     """EXPLAIN API (Lucene/ES `_explain`) over FT_QUERIES: for each query's
     top-k hits, one row per (hit, matched term) with the raw BM25 inputs —

@@ -840,6 +840,42 @@ def explain_topk(
     )
 
 
+def suggest_completions(
+    out_dir: str,
+    queries,
+    size: int = 5,
+    concurrency: int | None = None,
+    batch_size: int = 64,
+) -> ray.data.Dataset:
+    """COMPLETION SUGGESTER: each (query_id, text) prefix expands against
+    the sharded term dictionary and returns the top ``size`` completions by
+    GLOBAL df (tie: term ASC) as (query_id, rank, term, df). Dictionary-
+    only — no postings or corpus scan; a prefix range routes to O(1)
+    term-shard holders at cluster scale."""
+    from ..stages.query_stage import CompletionTaskFn
+
+    segs = list_segments(out_dir)
+    if not segs:
+        raise ValueError(f"no segments under {out_dir}")
+    conc = concurrency or max(1, _cpus())
+    if isinstance(queries, str):
+        import pyarrow.parquet as _pq
+
+        queries = _pq.read_table(queries)
+    if isinstance(queries, pa.Table):
+        n_blocks = max(1, min(conc * 4, queries.num_rows // max(1, batch_size) + 1))
+        per = (queries.num_rows + n_blocks - 1) // n_blocks
+        slices = [queries.slice(i * per, per) for i in range(n_blocks) if i * per < queries.num_rows]
+        qds = ray.data.from_arrow(slices)
+    else:
+        qds = queries
+    return qds.map_batches(
+        CompletionTaskFn(out_dir, segs, size, index_version(out_dir)),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+
+
 def facet_topk(
     out_dir: str,
     queries,

@@ -1939,6 +1939,83 @@ class Explainer:
         )
 
 
+class CompletionSuggester:
+    """COMPLETION SUGGESTER (ES `completion` / Lucene suggest): a typed
+    prefix expands against the sharded term dictionary (sorted-list
+    bisection per segment — the same range scan as mode="prefix") and the
+    candidates rank by GLOBAL document frequency (popularity), tie term
+    ASC, top ``size`` returned. df is summed across a term's segment
+    shards before ranking (a per-shard top-size would mis-rank terms
+    whose shards split their df — same global-statistics rule as
+    scoring). Emits (query_id, rank, term, df); an unmatched or empty
+    prefix emits no rows. At cluster scale a prefix range routes to O(1)
+    term-shard holders; the candidate set is vocabulary-bounded, never
+    corpus-bounded."""
+
+    def __init__(self, out_dir: str, seg_ids: list[int] | None = None, size: int = 5):
+        if seg_ids is None:
+            from ..pipelines.query import list_segments
+
+            seg_ids = list_segments(out_dir)
+        self.segments = [Segment(out_dir, sid) for sid in seg_ids]
+        self.size = size
+
+    def _suggest(self, prefix: str) -> list[tuple[str, int]]:
+        import bisect
+
+        toks = tokenize(prefix)
+        if len(toks) != 1:
+            return []
+        p = toks[0]
+        hi = p[:-1] + chr(ord(p[-1]) + 1)
+        df: dict[str, int] = {}
+        for seg in self.segments:
+            i0 = bisect.bisect_left(seg.terms_sorted, p)
+            i1 = bisect.bisect_left(seg.terms_sorted, hi)
+            for t in seg.terms_sorted[i0:i1]:
+                df[t] = df.get(t, 0) + int(seg.dict[t][0])
+        ranked = sorted(df.items(), key=lambda kv: (-kv[1], kv[0]))
+        return ranked[: self.size]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids, ranks, terms, dfs = [], [], [], []
+        for qid, text in zip(batch["query_id"].to_pylist(), batch["text"].to_pylist()):
+            for r, (t, d) in enumerate(self._suggest(text), 1):
+                qids.append(qid)
+                ranks.append(r)
+                terms.append(t)
+                dfs.append(d)
+        return pa.table(
+            {
+                "query_id": pa.array(qids, pa.int64()),
+                "rank": pa.array(np.asarray(ranks, np.int32), pa.int32()),
+                "term": pa.array(terms, pa.string()),
+                "df": pa.array(dfs, pa.int64()),
+            }
+        )
+
+
+_WORKER_SUGGEST_CACHE: dict[tuple, "CompletionSuggester"] = {}
+
+
+class CompletionTaskFn:
+    """Task-fn form of CompletionSuggester (worker-process cache)."""
+
+    def __init__(self, out_dir: str, seg_ids: list[int], size: int, version: float):
+        self.args = (out_dir, tuple(seg_ids), size, version)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_dir, seg_ids, size, version = self.args
+        key = (out_dir, version, seg_ids, size)
+        cs = _WORKER_SUGGEST_CACHE.get(key)
+        if cs is None:
+            for kk in [kk for kk in _WORKER_SUGGEST_CACHE if kk[0] == out_dir and kk[1] < version]:
+                del _WORKER_SUGGEST_CACHE[kk]
+            cs = CompletionSuggester(out_dir, list(seg_ids), size)
+            _WORKER_SUGGEST_CACHE[key] = cs
+        return cs(batch)
+
+
 _WORKER_EXPLAIN_CACHE: dict[tuple, "Explainer"] = {}
 
 

@@ -1304,3 +1304,42 @@ def test_explain_reconstructs_scores(golden_index):
         score_of[(qid, rank)] = s
     for _, h in hits.iterrows():
         assert score_of[(h["query_id"], h["rank"])] == h["score"]
+
+
+def test_completion_suggester_on_real_index(golden_index):
+    """suggest_completions == python reference over the corpus vocabulary
+    (global df ranking, tie term ASC); dead and multi-token prefixes emit
+    nothing; every suggestion extends its prefix."""
+    from collections import Counter
+
+    from aarhus_ray.pipelines.query import suggest_completions
+    from aarhus_ray.textnorm import tokenize
+
+    idx = golden_index["index"]
+    docs = _docs_table(idx, ["text"])
+    df = Counter()
+    for t in docs["text"].to_pylist():
+        df.update(set(tokenize(t)))
+    prefixes = ["s", "ta", "q", "zzz", "two words", "w"]
+    q = pa.table(
+        {
+            "query_id": pa.array(range(len(prefixes)), pa.int64()),
+            "text": pa.array(prefixes, pa.string()),
+        }
+    )
+    got = (
+        suggest_completions(idx, q, size=4)
+        .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    for qid, p in enumerate(prefixes):
+        g = got[got["query_id"] == qid]
+        toks = tokenize(p)
+        if len(toks) != 1:
+            assert len(g) == 0
+            continue
+        want = sorted(
+            ((t, c) for t, c in df.items() if t.startswith(toks[0])),
+            key=lambda kv: (-kv[1], kv[0]),
+        )[:4]
+        assert list(zip(g["term"], g["df"])) == want
+        assert all(t.startswith(toks[0]) for t in g["term"])
