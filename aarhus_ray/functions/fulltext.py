@@ -445,6 +445,94 @@ ORDER BY query_id, rank
 """
 
 
+def rank_eval_query(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Rank-eval (ES `_rank_eval`) over FT_QUERIES: the frozen disjunctive
+    top-k graded against the DETERMINISTIC conjunctive-containment qrel
+    (relevant ⇔ doc contains every distinct query token — exactly
+    replayable in SQL, no hand labels). Integer metrics per query:
+    n_rel, n_rel_at_k (precision@k numerator), first_rel_rank (MRR⁻¹;
+    0 = none). The fully-OOV query must score (0, 0, 0)."""
+    from ..pipelines.query import rank_eval
+
+    index = _ensure_index(sf_dir, fresh=False)
+    queries = pa.table(
+        {
+            "query_id": pa.array(range(len(FT_QUERIES)), pa.int64()),
+            "text": pa.array(list(FT_QUERIES), pa.string()),
+        }
+    )
+    return (
+        rank_eval(index, queries, k=k)
+        .to_pandas()
+        .sort_values("query_id")
+        .reset_index(drop=True)
+    )
+
+
+def rank_eval_oracle_sql(k: int = 10) -> str:
+    """Rank-eval oracle: the frozen BM25 ranking stack top-k LEFT-JOINed
+    against the conjunctive-containment relevance set (docs holding ALL
+    the query's distinct in-vocab tokens, count(DISTINCT tok) = the
+    query's distinct-token count — an OOV token makes the count
+    unreachable, emptying the set)."""
+    values = ",".join(
+        f"({qid}, '{term}')"
+        for qid, q in enumerate(FT_QUERIES)
+        for term in q.split()
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok
+    FROM documents) WHERE tok <> ''
+),
+dl AS (SELECT d.doc_id, CAST(coalesce(t.c, 0) AS DOUBLE) AS dl
+       FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS c FROM toks GROUP BY 1) t USING (doc_id)),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+q(query_id, tok) AS (VALUES {values}),
+qd AS (SELECT DISTINCT query_id, tok FROM q),
+qn AS (SELECT query_id, count(*) AS n_terms FROM qd GROUP BY 1),
+rel AS (
+  SELECT qd.query_id, tf.doc_id
+  FROM qd JOIN tf USING (tok) JOIN qn USING (query_id)
+  GROUP BY 1, 2
+  HAVING count(DISTINCT tok) = min(qn.n_terms)
+),
+scored AS (
+  SELECT qd.query_id, tf.doc_id,
+         sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * (1.2 + 1.0)
+              / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score
+  FROM qd JOIN tf USING (tok) JOIN df USING (tok)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+  FROM scored
+),
+nr AS (SELECT query_id, count(*) AS n_rel FROM rel GROUP BY 1),
+tk AS (
+  SELECT r.query_id,
+         count(rel.doc_id) AS n_at_k,
+         coalesce(min(CASE WHEN rel.doc_id IS NOT NULL THEN r.rank END), 0) AS first_rnk
+  FROM ranked r LEFT JOIN rel ON rel.query_id = r.query_id AND rel.doc_id = r.doc_id
+  WHERE r.rank <= {k}
+  GROUP BY 1
+),
+qids AS (SELECT DISTINCT query_id FROM qd)
+SELECT CAST(q.query_id AS BIGINT) AS query_id,
+       CAST(coalesce(nr.n_rel, 0) AS BIGINT) AS n_rel,
+       CAST(coalesce(tk.n_at_k, 0) AS BIGINT) AS n_rel_at_k,
+       CAST(coalesce(tk.first_rnk, 0) AS BIGINT) AS first_rel_rank
+FROM qids q LEFT JOIN nr USING (query_id) LEFT JOIN tk USING (query_id)
+ORDER BY query_id
+"""
+
+
 def explain_query(sf_dir: str, k: int = 10) -> pd.DataFrame:
     """EXPLAIN API (Lucene/ES `_explain`) over FT_QUERIES: for each query's
     top-k hits, one row per (hit, matched term) with the raw BM25 inputs —

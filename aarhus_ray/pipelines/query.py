@@ -840,6 +840,43 @@ def explain_topk(
     )
 
 
+def rank_eval(
+    out_dir: str,
+    queries,
+    k: int = 10,
+    concurrency: int | None = None,
+    batch_size: int = 64,
+) -> ray.data.Dataset:
+    """RANK-EVAL: per query, integer IR metrics of the frozen disjunctive
+    top-k against the deterministic conjunctive-containment qrel —
+    (query_id, n_rel, n_rel_at_k, first_rel_rank); precision@k =
+    n_rel_at_k/k, recall@k = n_rel_at_k/n_rel, MRR = 1/first_rel_rank
+    (0 ⇒ no relevant hit). One row per input query, OOV ⇒ zeros. Same
+    stateless-task + worker-cache execution as query_index."""
+    from ..stages.query_stage import RankEvalTaskFn
+
+    segs = list_segments(out_dir)
+    if not segs:
+        raise ValueError(f"no segments under {out_dir}")
+    conc = concurrency or max(1, _cpus())
+    if isinstance(queries, str):
+        import pyarrow.parquet as _pq
+
+        queries = _pq.read_table(queries)
+    if isinstance(queries, pa.Table):
+        n_blocks = max(1, min(conc * 4, queries.num_rows // max(1, batch_size) + 1))
+        per = (queries.num_rows + n_blocks - 1) // n_blocks
+        slices = [queries.slice(i * per, per) for i in range(n_blocks) if i * per < queries.num_rows]
+        qds = ray.data.from_arrow(slices)
+    else:
+        qds = queries
+    return qds.map_batches(
+        RankEvalTaskFn(out_dir, segs, k, index_version(out_dir)),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+
+
 def suggest_completions(
     out_dir: str,
     queries,

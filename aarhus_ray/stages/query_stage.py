@@ -1995,6 +1995,76 @@ class CompletionSuggester:
         )
 
 
+class RankEval:
+    """RANK-EVAL API (ES `_rank_eval`): per query, IR metrics of the
+    frozen disjunctive BM25 top-k against a DETERMINISTIC qrel — a doc is
+    RELEVANT iff it contains EVERY distinct query token (the conjunctive
+    containment set, computable exactly on both the engine and the SQL
+    side, so the gate needs no hand-labeled judgments). Integer-only
+    outputs per query: n_rel (relevant docs in the corpus), n_rel_at_k
+    (relevant among the top-k → precision@k numerator) and
+    first_rel_rank (0 if none → reciprocal rank is 1/first_rel_rank).
+    A fully-OOV query scores (0, 0, 0). One row per input query."""
+
+    def __init__(self, out_dir: str, seg_ids: list[int] | None = None, k: int = 10):
+        self.scorer = QueryScorer(out_dir, seg_ids, k=k, method="wand")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sc = self.scorer
+        qids, n_rels, n_at_ks, firsts = [], [], [], []
+        for qid, text in zip(batch["query_id"].to_pylist(), batch["text"].to_pylist()):
+            hits, _ = sc._score_query(text)
+            toks = sorted(set(tokenize(text)))
+            owners = {t: sc._owners(t) for t in toks}
+            if toks and all(owners[t] for t in toks):
+                entries = [sc._term_arrays(t, owners[t]) for t in toks]
+                rel = sc._conj_candidates(toks, entries)
+            else:
+                rel = np.empty(0, np.uint64)
+            n_rel = len(rel)
+            n_at_k, first = 0, 0
+            if n_rel and len(hits):
+                idx = np.searchsorted(rel, hits)
+                ok = idx < n_rel
+                ok[ok] = rel[idx[ok]] == hits[ok]
+                n_at_k = int(ok.sum())
+                where = np.flatnonzero(ok)
+                first = int(where[0]) + 1 if len(where) else 0
+            qids.append(qid)
+            n_rels.append(n_rel)
+            n_at_ks.append(n_at_k)
+            firsts.append(first)
+        return pa.table(
+            {
+                "query_id": pa.array(qids, pa.int64()),
+                "n_rel": pa.array(n_rels, pa.int64()),
+                "n_rel_at_k": pa.array(n_at_ks, pa.int64()),
+                "first_rel_rank": pa.array(firsts, pa.int64()),
+            }
+        )
+
+
+_WORKER_RANKEVAL_CACHE: dict[tuple, "RankEval"] = {}
+
+
+class RankEvalTaskFn:
+    """Task-fn form of RankEval (worker-process cache, as ScorerTaskFn)."""
+
+    def __init__(self, out_dir: str, seg_ids: list[int], k: int, version: float):
+        self.args = (out_dir, tuple(seg_ids), k, version)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_dir, seg_ids, k, version = self.args
+        key = (out_dir, version, seg_ids, k)
+        re_ = _WORKER_RANKEVAL_CACHE.get(key)
+        if re_ is None:
+            for kk in [kk for kk in _WORKER_RANKEVAL_CACHE if kk[0] == out_dir and kk[1] < version]:
+                del _WORKER_RANKEVAL_CACHE[kk]
+            re_ = RankEval(out_dir, list(seg_ids), k)
+            _WORKER_RANKEVAL_CACHE[key] = re_
+        return re_(batch)
+
+
 _WORKER_SUGGEST_CACHE: dict[tuple, "CompletionSuggester"] = {}
 
 

@@ -1343,3 +1343,51 @@ def test_completion_suggester_on_real_index(golden_index):
         )[:4]
         assert list(zip(g["term"], g["df"])) == want
         assert all(t.startswith(toks[0]) for t in g["term"])
+
+
+def test_rank_eval_on_real_index(golden_index):
+    """rank_eval == python reference: qrel = conjunctive containment;
+    n_rel_at_k/first_rel_rank graded over the engine's own frozen top-k;
+    OOV queries score (0, 0, 0); one row per query."""
+    from aarhus_ray.pipelines.query import query_index, rank_eval
+    from aarhus_ray.textnorm import tokenize
+
+    idx = golden_index["index"]
+    docs = _docs_table(idx, ["doc_id", "text"])
+    toks_of = {}
+    for did, t in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()):
+        toks_of[did] = set(tokenize(t))
+    texts = list(docs["text"].to_pylist())
+    some = tokenize(texts[0])
+    queries = [
+        " ".join(some[:2]),
+        some[0],
+        "zzznotinvocab",
+        " ".join(some[:3]) + " zzznotinvocab",
+    ]
+    q = pa.table(
+        {
+            "query_id": pa.array(range(len(queries)), pa.int64()),
+            "text": pa.array(queries, pa.string()),
+        }
+    )
+    got = (
+        rank_eval(idx, q, k=10)
+        .to_pandas().sort_values("query_id").reset_index(drop=True)
+    )
+    assert list(got["query_id"]) == list(range(len(queries)))
+    hits = query_index(idx, q, k=10, resolve_urls=False).to_pandas()
+    for qid, text in enumerate(queries):
+        terms = set(tokenize(text))
+        rel = {d for d, dt in toks_of.items() if terms <= dt} if terms else set()
+        # an OOV term can never be contained
+        if not all(any(t in dt for dt in toks_of.values()) for t in terms):
+            rel = set()
+        h = hits[hits["query_id"] == qid].sort_values("rank")
+        in_rel = [int(d) in rel for d in h["doc_id"]]
+        row = got[got["query_id"] == qid].iloc[0]
+        assert row["n_rel"] == len(rel)
+        assert row["n_rel_at_k"] == sum(in_rel)
+        want_first = next((i + 1 for i, x in enumerate(in_rel) if x), 0)
+        assert row["first_rel_rank"] == want_first
+    assert got[got["query_id"] == 2][["n_rel", "n_rel_at_k", "first_rel_rank"]].sum().sum() == 0
