@@ -445,6 +445,75 @@ ORDER BY query_id, rank
 """
 
 
+def adjacency_matrix_query(sf_dir: str) -> pd.DataFrame:
+    """Adjacency-matrix aggregation (ES `adjacency_matrix`) over all
+    ordered-unique pairs (i ≤ j) of FT_QUERIES: per pair, both disjunctive
+    match-set sizes and their intersection — the query co-occurrence
+    matrix (pipelines/query.adjacency_matrix). The diagonal pins
+    n_ab == n_a == n_b; pairs involving the OOV query pin zeros. The
+    oracle replays every cell with containment joins."""
+    from ..pipelines.query import adjacency_matrix
+
+    index = _ensure_index(sf_dir, fresh=False)
+    n = len(FT_QUERIES)
+    rows = [(i * n + j, FT_QUERIES[i], FT_QUERIES[j]) for i in range(n) for j in range(i, n)]
+    pairs = pa.table(
+        {
+            "pair_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text_a": pa.array([r[1] for r in rows], pa.string()),
+            "text_b": pa.array([r[2] for r in rows], pa.string()),
+        }
+    )
+    return (
+        adjacency_matrix(index, pairs)
+        .to_pandas()
+        .sort_values("pair_id")
+        .reset_index(drop=True)
+    )
+
+
+def adjacency_matrix_oracle_sql() -> str:
+    """Adjacency oracle: distinct containment match sets per query, then
+    per-pair counts and an intersection join; zero cells survive via LEFT
+    JOIN + coalesce (the matrix shape is fixed by the request)."""
+    values = ",".join(
+        f"({qid}, '{term}')"
+        for qid, q in enumerate(FT_QUERIES)
+        for term in sorted(set(q.split()))
+    )
+    n = len(FT_QUERIES)
+    pair_values = ",".join(
+        f"({i * n + j}, {i}, {j})" for i in range(n) for j in range(i, n)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok
+    FROM documents) WHERE tok <> ''
+),
+qd(query_id, tok) AS (VALUES {values}),
+m AS (SELECT qd.query_id, toks.doc_id FROM qd JOIN toks USING (tok) GROUP BY 1, 2),
+cnt AS (SELECT query_id, count(*) AS n FROM m GROUP BY 1),
+pairs(pair_id, qa, qb) AS (VALUES {pair_values}),
+inter AS (
+  SELECT p.pair_id, count(*) AS n
+  FROM pairs p
+  JOIN m ma ON ma.query_id = p.qa
+  JOIN m mb ON mb.query_id = p.qb AND mb.doc_id = ma.doc_id
+  GROUP BY 1
+)
+SELECT CAST(p.pair_id AS BIGINT) AS pair_id,
+       CAST(coalesce(ca.n, 0) AS BIGINT) AS n_a,
+       CAST(coalesce(cb.n, 0) AS BIGINT) AS n_b,
+       CAST(coalesce(i.n, 0) AS BIGINT) AS n_ab
+FROM pairs p
+LEFT JOIN cnt ca ON ca.query_id = p.qa
+LEFT JOIN cnt cb ON cb.query_id = p.qb
+LEFT JOIN inter i USING (pair_id)
+ORDER BY pair_id
+"""
+
+
 def rank_eval_query(sf_dir: str, k: int = 10) -> pd.DataFrame:
     """Rank-eval (ES `_rank_eval`) over FT_QUERIES: the frozen disjunctive
     top-k graded against the DETERMINISTIC conjunctive-containment qrel

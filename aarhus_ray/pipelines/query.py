@@ -877,6 +877,42 @@ def rank_eval(
     )
 
 
+def adjacency_matrix(
+    out_dir: str,
+    pairs,
+    concurrency: int | None = None,
+    batch_size: int = 64,
+) -> ray.data.Dataset:
+    """ADJACENCY MATRIX: each input row (pair_id, text_a, text_b) yields
+    the two disjunctive match-set sizes and their intersection size —
+    (pair_id, n_a, n_b, n_ab), one row per pair, zeros included. Cells
+    are independent → embarrassingly parallel; per-worker match sets are
+    cached across cells sharing a filter, so an n×n matrix costs n match
+    sets + n² sorted-array intersections, never n² postings gathers."""
+    from ..stages.query_stage import AdjacencyTaskFn
+
+    segs = list_segments(out_dir)
+    if not segs:
+        raise ValueError(f"no segments under {out_dir}")
+    conc = concurrency or max(1, _cpus())
+    if isinstance(pairs, str):
+        import pyarrow.parquet as _pq
+
+        pairs = _pq.read_table(pairs)
+    if isinstance(pairs, pa.Table):
+        n_blocks = max(1, min(conc * 4, pairs.num_rows // max(1, batch_size) + 1))
+        per = (pairs.num_rows + n_blocks - 1) // n_blocks
+        slices = [pairs.slice(i * per, per) for i in range(n_blocks) if i * per < pairs.num_rows]
+        qds = ray.data.from_arrow(slices)
+    else:
+        qds = pairs
+    return qds.map_batches(
+        AdjacencyTaskFn(out_dir, segs, index_version(out_dir)),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+
+
 def suggest_completions(
     out_dir: str,
     queries,

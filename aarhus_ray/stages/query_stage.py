@@ -2140,6 +2140,82 @@ class MatchCounter:
         )
 
 
+class AdjacencyMatrix(MatchCounter):
+    """ADJACENCY-MATRIX aggregation (ES `adjacency_matrix`): for each
+    input PAIR of filters (here: two disjunctive term queries), the sizes
+    of both match sets and of their INTERSECTION — the co-occurrence
+    matrix search engines render as a heat map. One input row = one cell
+    (pair_id, text_a, text_b) → (pair_id, n_a, n_b, n_ab); cells are
+    independent, so the matrix streams through stateless tasks with the
+    per-worker match sets cached across cells sharing a filter (the
+    diagonal is text_a == text_b ⇒ n_ab == n_a == n_b). Every pair emits
+    a row, zeros included (the matrix shape is fixed by its request)."""
+
+    def __init__(self, out_dir: str, seg_ids: list[int] | None = None):
+        super().__init__(out_dir, seg_ids)
+        self._set_cache: dict[str, np.ndarray] = {}
+
+    def _cached_set(self, text: str) -> np.ndarray:
+        got = self._set_cache.get(text)
+        if got is None:
+            got = self._match_set(text)
+            if len(self._set_cache) > 256:
+                self._set_cache.clear()
+            self._set_cache[text] = got
+        return got
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        pids, nas, nbs, nabs = [], [], [], []
+        for pid, ta, tb in zip(
+            batch["pair_id"].to_pylist(),
+            batch["text_a"].to_pylist(),
+            batch["text_b"].to_pylist(),
+        ):
+            a = self._cached_set(ta)
+            b = self._cached_set(tb)
+            # both sets are sorted unique doc_ids: vectorized membership
+            if len(a) and len(b):
+                idx = np.searchsorted(a, b)
+                ok = idx < len(a)
+                ok[ok] = a[idx[ok]] == b[ok]
+                n_ab = int(ok.sum())
+            else:
+                n_ab = 0
+            pids.append(pid)
+            nas.append(len(a))
+            nbs.append(len(b))
+            nabs.append(n_ab)
+        return pa.table(
+            {
+                "pair_id": pa.array(pids, pa.int64()),
+                "n_a": pa.array(nas, pa.int64()),
+                "n_b": pa.array(nbs, pa.int64()),
+                "n_ab": pa.array(nabs, pa.int64()),
+            }
+        )
+
+
+_WORKER_ADJACENCY_CACHE: dict[tuple, "AdjacencyMatrix"] = {}
+
+
+class AdjacencyTaskFn:
+    """Task-fn form of AdjacencyMatrix (worker-process cache)."""
+
+    def __init__(self, out_dir: str, seg_ids: list[int], version: float):
+        self.args = (out_dir, tuple(seg_ids), version)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_dir, seg_ids, version = self.args
+        key = (out_dir, version, seg_ids)
+        am = _WORKER_ADJACENCY_CACHE.get(key)
+        if am is None:
+            for kk in [kk for kk in _WORKER_ADJACENCY_CACHE if kk[0] == out_dir and kk[1] < version]:
+                del _WORKER_ADJACENCY_CACHE[kk]
+            am = AdjacencyMatrix(out_dir, list(seg_ids))
+            _WORKER_ADJACENCY_CACHE[key] = am
+        return am(batch)
+
+
 class MatchExporter(MatchCounter):
     """SCROLL/EXPORT: the FULL match set per query as rows (query_id,
     doc_id) — the bulk-export API (Elasticsearch scroll / Lucene

@@ -1391,3 +1391,45 @@ def test_rank_eval_on_real_index(golden_index):
         want_first = next((i + 1 for i, x in enumerate(in_rel) if x), 0)
         assert row["first_rel_rank"] == want_first
     assert got[got["query_id"] == 2][["n_rel", "n_rel_at_k", "first_rel_rank"]].sum().sum() == 0
+
+
+def test_adjacency_matrix_on_real_index(golden_index):
+    """adjacency_matrix == python reference (pairwise containment match-set
+    intersections); diagonal cells pin n_ab == n_a == n_b; symmetric pair
+    order swaps n_a/n_b but keeps n_ab."""
+    from aarhus_ray.pipelines.query import adjacency_matrix
+    from aarhus_ray.textnorm import tokenize
+
+    idx = golden_index["index"]
+    docs = _docs_table(idx, ["doc_id", "text"])
+    toks_of = {
+        did: set(tokenize(t))
+        for did, t in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist())
+    }
+    texts = list(docs["text"].to_pylist())
+    qa, qb = " ".join(tokenize(texts[0])[:2]), " ".join(tokenize(texts[5])[:2])
+    rows = [(0, qa, qb), (1, qa, qa), (2, qb, qa), (3, "zzznotinvocab", qa)]
+    pairs = pa.table(
+        {
+            "pair_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text_a": pa.array([r[1] for r in rows], pa.string()),
+            "text_b": pa.array([r[2] for r in rows], pa.string()),
+        }
+    )
+    got = (
+        adjacency_matrix(idx, pairs)
+        .to_pandas().sort_values("pair_id").reset_index(drop=True)
+    )
+
+    def mset(q):
+        terms = set(tokenize(q))
+        return {d for d, dt in toks_of.items() if terms & dt}
+
+    for pid, ta, tb in rows:
+        a, b = mset(ta), mset(tb)
+        r = got[got["pair_id"] == pid].iloc[0]
+        assert (r["n_a"], r["n_b"], r["n_ab"]) == (len(a), len(b), len(a & b))
+    diag = got[got["pair_id"] == 1].iloc[0]
+    assert diag["n_a"] == diag["n_b"] == diag["n_ab"]
+    assert got[got["pair_id"] == 0].iloc[0]["n_ab"] == got[got["pair_id"] == 2].iloc[0]["n_ab"]
+    assert got[got["pair_id"] == 3].iloc[0]["n_a"] == 0
