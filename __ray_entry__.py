@@ -128,6 +128,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # adjacency matrix: pairwise match-set intersection counts (the
         # query co-occurrence heat map)
         "fulltext_adjacency_matrix": fulltext.adjacency_matrix_query,
+        # termvectors: per-doc (term, tf, global df, first position), every
+        # statistic gathered from the index (postings + pos sidecar + dict)
+        "fulltext_term_vectors": fulltext.term_vectors_query,
         # trailing-* wildcard terms expand against the sharded term
         # dictionary (range scan), then score as disjunctive BM25
         "fulltext_bm25_prefix_topk": fulltext.bm25_topk_prefix,
@@ -598,6 +601,7 @@ def oracle_sql() -> dict[str, str]:
         "fulltext_completion_suggest": fulltext.completion_suggest_oracle_sql(),
         "fulltext_rank_eval": fulltext.rank_eval_oracle_sql(),
         "fulltext_adjacency_matrix": fulltext.adjacency_matrix_oracle_sql(),
+        "fulltext_term_vectors": fulltext.term_vectors_oracle_sql(),
         "fulltext_bm25_prefix_topk": fulltext.bm25_prefix_oracle_sql(),
         "fulltext_bm25_wildcard_topk": fulltext.bm25_wildcard_oracle_sql(),
         "fulltext_bm25_fuzzy_topk": fulltext.bm25_fuzzy_oracle_sql(),

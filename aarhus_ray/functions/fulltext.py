@@ -12,6 +12,7 @@ import hashlib
 import os
 import shutil
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -684,6 +685,95 @@ JOIN df ON df.tok = qd.tok
 JOIN dl ON dl.doc_id = r.doc_id
 WHERE r.rank <= {k}
 ORDER BY query_id, rank, term
+"""
+
+
+TV_NDOCS = 8  # termvectors targets: the TV_NDOCS smallest doc_ids
+
+
+def term_vectors_query(sf_dir: str) -> pd.DataFrame:
+    """TERMVECTORS API (ES `_termvectors` with term_statistics=true): for
+    each of the TV_NDOCS smallest doc_ids, one row per distinct term of the
+    doc with its tf, GLOBAL df and first position — and every statistic is
+    read from the INDEX, not recomputed from text: tf from the decoded
+    postings (the doc's entry lives in exactly ONE salt shard per term —
+    asserted), first_pos from the pos.bin sidecar's per-posting sublist,
+    df summed across term shards (the invariant: never per-segment). The
+    stored text is used only to ENUMERATE the doc's terms (a term-sharded
+    index has no forward index; ES stores term vectors per doc for the
+    same reason). Point-lookup API ⇒ driver-side like spell_suggest; the
+    scale path per term is a skip-seek into the one block containing
+    doc_id instead of the full postings decode used here."""
+    from ..pipelines.query import list_segments
+    from ..stages.query_stage import Segment
+
+    index = _ensure_index(sf_dir, fresh=False, positions=True)
+    targets = sorted(
+        pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+        )["doc_id"].to_pylist()
+    )[:TV_NDOCS]
+    # index doc_ids are (pid<<40)|row — the stable external key is the URL
+    urls = {doc_url(int(t)): int(t) for t in targets}
+    docs = pq.read_table(
+        os.path.join(index, "docs"),
+        columns=["doc_id", "url", "text"],
+        filters=[("url", "in", list(urls))],
+    )
+    by_doc = {
+        urls[u]: (int(ixid), t)
+        for ixid, u, t in zip(
+            docs["doc_id"].to_pylist(), docs["url"].to_pylist(), docs["text"].to_pylist()
+        )
+    }
+    segs = [Segment(index, sid) for sid in list_segments(index)]
+
+    rows = []
+    for did in targets:
+        did = int(did)
+        index_id, text = by_doc[did]
+        for term in sorted(set(tokenize(text))):
+            df = sum(sg.dict[term][0] for sg in segs if term in sg.dict)
+            hits = []
+            for sg in segs:
+                got = sg.term_postings(term)
+                if got is None:
+                    continue
+                doc_ids, tfs = got
+                i = int(np.searchsorted(doc_ids, index_id))
+                if i < len(doc_ids) and int(doc_ids[i]) == index_id:
+                    vals, bounds = sg.term_positions(term)
+                    hits.append((int(tfs[i]), int(vals[bounds[i] + 1])))
+            assert len(hits) == 1, f"doc {did} term {term!r} in {len(hits)} shards"
+            tf, first_pos = hits[0]
+            rows.append((did, term, tf, df, first_pos))
+    out = pd.DataFrame(rows, columns=["doc_id", "term", "tf", "df", "first_pos"])
+    for c in ("doc_id", "tf", "df", "first_pos"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["doc_id", "term"]).reset_index(drop=True)
+
+
+def term_vectors_oracle_sql() -> str:
+    """Termvectors oracle: per-doc (term, tf, min position) over the
+    TV_NDOCS smallest doc_ids joined with the corpus-wide distinct-doc df
+    — the exact statistics the engine gathers from postings/pos.bin."""
+    return f"""
+WITH arr AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS a
+  FROM documents
+),
+posi AS (SELECT doc_id, unnest(a) AS tok, generate_subscripts(a, 1) - 1 AS pos FROM arr),
+sel AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT {TV_NDOCS}),
+tv AS (
+  SELECT doc_id, tok, count(*) AS tf, min(pos) AS first_pos
+  FROM posi JOIN sel USING (doc_id) GROUP BY 1, 2
+),
+df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM posi GROUP BY 1)
+SELECT tv.doc_id, tv.tok AS term, CAST(tv.tf AS BIGINT) AS tf,
+       CAST(df.df AS BIGINT) AS df, CAST(tv.first_pos AS BIGINT) AS first_pos
+FROM tv JOIN df USING (tok)
+ORDER BY doc_id, term
 """
 
 

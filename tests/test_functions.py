@@ -583,3 +583,34 @@ def test_label_centroids_match_numpy():
         ref = m[labels == label].mean(axis=0)
         got = out.loc[out["label"] == label].sort_values("dim")["c"].to_numpy()
         assert np.allclose(got, ref, atol=2e-5), label
+
+
+def test_term_vectors_match_forward_recompute():
+    """Termvectors read from the index (postings tf, pos.bin first_pos,
+    shard-summed df) must equal a pure-Python forward recompute over the
+    raw documents table."""
+    from collections import Counter
+
+    from aarhus_ray.functions.fulltext import TV_NDOCS, term_vectors_query
+    from aarhus_ray.textnorm import tokenize
+
+    got = term_vectors_query(SF)
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    toks = {
+        int(d): tokenize(t)
+        for d, t in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist())
+    }
+    targets = sorted(toks)[:TV_NDOCS]
+    df = Counter()
+    for ts in toks.values():
+        df.update(set(ts))
+    want = []
+    for did in targets:
+        ts = toks[did]
+        tf = Counter(ts)
+        first = {}
+        for i, t in enumerate(ts):
+            first.setdefault(t, i)
+        for term in sorted(tf):
+            want.append([did, term, tf[term], df[term], first[term]])
+    assert got.values.tolist() == want
