@@ -170,6 +170,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fulltext_function_score": fulltext.function_score_query,
         # ES-style aggregations over the match set (docvalue sidecar)
         "fulltext_date_histogram": fulltext.date_histogram_query,
+        # composite agg: full (lang × ts-bucket) space in after_key pages,
+        # the pagination loop itself hash-checked via page numbers
+        "fulltext_composite_agg": fulltext.composite_agg_query,
         "fulltext_matchset_stats": fulltext.matchset_stats_query,
         "fulltext_matchset_percentiles": fulltext.matchset_percentiles_query,
         "fulltext_facet_cardinality": fulltext.facet_cardinality_query,
@@ -623,6 +626,7 @@ def oracle_sql() -> dict[str, str]:
         "fulltext_synonym_topk": fulltext.synonym_oracle_sql(),
         "fulltext_function_score": fulltext.function_score_oracle_sql(),
         "fulltext_date_histogram": fulltext.date_histogram_oracle_sql(),
+        "fulltext_composite_agg": fulltext.composite_agg_oracle_sql(),
         "fulltext_matchset_stats": fulltext.matchset_stats_oracle_sql(),
         "fulltext_matchset_percentiles": fulltext.matchset_percentiles_oracle_sql(),
         "fulltext_facet_cardinality": fulltext.facet_cardinality_oracle_sql(),

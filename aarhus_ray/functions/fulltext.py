@@ -2030,6 +2030,96 @@ ORDER BY 1, 2
 """
 
 
+COMP_BUCKET_US = 250_000_000  # composite second source: warc_ts // 250s
+COMP_PAGE_SIZE = 12
+
+
+def composite_agg_query(sf_dir: str) -> pd.DataFrame:
+    """Composite aggregation per FT_QUERY (ES `composite`): the FULL
+    (lang ASC, ts-bucket ASC) bucket space of each query's match set,
+    streamed in after_key pages of COMP_PAGE_SIZE buckets — the driver
+    loop feeds each page's last key back as the next cursor, all live
+    queries advancing in ONE pipeline launch per page round (pipelines/
+    query.composite_agg). Output (query_id, page, lang, bucket, n_docs);
+    the oracle recovers page as (row_number−1) // size over the same
+    composite order, so the pagination semantics themselves are
+    hash-checked. The OOV query matches nothing and emits no rows."""
+    from ..pipelines.query import composite_agg
+
+    index = _ensure_index(sf_dir, fresh=False)
+    cursors: dict[int, tuple[str, int]] = {
+        qid: ("", -1) for qid in range(len(FT_QUERIES))
+    }
+    live = sorted(cursors)
+    frames = []
+    page = 0
+    while live:
+        reqs = pa.table(
+            {
+                "query_id": pa.array(live, pa.int64()),
+                "text": pa.array([FT_QUERIES[q] for q in live], pa.string()),
+                "after_lang": pa.array([cursors[q][0] for q in live], pa.string()),
+                "after_bucket": pa.array([cursors[q][1] for q in live], pa.int64()),
+            }
+        )
+        res = composite_agg(
+            index, reqs, bucket_us=COMP_BUCKET_US, size=COMP_PAGE_SIZE
+        ).to_pandas()
+        res = res.sort_values(["query_id", "lang", "bucket"]).reset_index(drop=True)
+        nxt = []
+        for qid in live:
+            g = res[res["query_id"] == qid]
+            if len(g) == COMP_PAGE_SIZE:  # full page → there may be more
+                last = g.iloc[-1]
+                cursors[qid] = (str(last["lang"]), int(last["bucket"]))
+                nxt.append(qid)
+        if len(res):
+            res["page"] = np.int64(page)
+            frames.append(res)
+        live = nxt
+        page += 1
+    out = pd.concat(frames, ignore_index=True) if frames else pd.DataFrame(
+        columns=["query_id", "lang", "bucket", "n_docs", "page"]
+    )
+    return (
+        out[["query_id", "page", "lang", "bucket", "n_docs"]]
+        .sort_values(["query_id", "page", "lang", "bucket"])
+        .reset_index(drop=True)
+    )
+
+
+def composite_agg_oracle_sql() -> str:
+    """Composite oracle: the (lang, ts-bucket) counts per query's distinct
+    match set, page = (row_number−1) // size over the composite order —
+    exactly the frames the engine's after_key loop emits."""
+    values = ",".join(
+        f"({qid}, '{term}')" for qid, q in enumerate(FT_QUERIES) for term in q.split()
+    )
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok
+    FROM documents) WHERE tok <> ''
+),
+q(query_id, tok) AS (VALUES {values}),
+qd AS (SELECT DISTINCT query_id, tok FROM q),
+matched AS (SELECT DISTINCT qd.query_id, toks.doc_id FROM qd JOIN toks USING (tok)),
+bkt AS (
+  SELECT m.query_id, d.lang,
+         CAST(({BASE_TS_US} + (m.doc_id * {TS_MULT}) % {TS_MOD}) // {COMP_BUCKET_US} AS BIGINT) AS bucket,
+         CAST(count(*) AS BIGINT) AS n_docs
+  FROM matched m JOIN documents d USING (doc_id)
+  GROUP BY 1, 2, 3
+)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST((row_number() OVER (PARTITION BY query_id ORDER BY lang, bucket) - 1)
+            // {COMP_PAGE_SIZE} AS BIGINT) AS page,
+       lang, bucket, n_docs
+FROM bkt
+ORDER BY query_id, page, lang, bucket
+"""
+
+
 def matchset_stats_query(sf_dir: str) -> pd.DataFrame:
     """Stats aggregation per FT_QUERY (ES stats agg): (n_docs, min, max,
     sum) of the crawl ts docvalue over the distinct matching docs

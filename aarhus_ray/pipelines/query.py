@@ -603,6 +603,47 @@ def date_histogram(
     )
 
 
+def composite_agg(
+    out_dir: str,
+    requests,
+    facet: str = "lang",
+    field: str = "warc_ts",
+    bucket_us: int = 250_000_000,
+    size: int = 12,
+    concurrency: int | None = None,
+    batch_size: int = 64,
+) -> ray.data.Dataset:
+    """COMPOSITE aggregation pages (ES composite agg): each input row is a
+    page request (query_id, text, after_lang, after_bucket) and yields up
+    to ``size`` buckets of the (facet ASC, docvalue-bucket ASC) composite
+    key space STRICTLY AFTER the cursor — ("", -1) opens the stream. The
+    caller iterates pages by feeding each page's last key back as the next
+    cursor (functions/fulltext.composite_agg_query drives the loop). Same
+    stateless-task shape as the other match-set aggregations."""
+    from ..stages.query_stage import CompositeAggTaskFn
+
+    segs = list_segments(out_dir)
+    if not segs:
+        raise ValueError(f"no segments under {out_dir}")
+    conc = concurrency or max(1, _cpus())
+    if isinstance(requests, str):
+        import pyarrow.parquet as _pq
+
+        requests = _pq.read_table(requests)
+    if isinstance(requests, pa.Table):
+        n_blocks = max(1, min(conc * 4, requests.num_rows // max(1, batch_size) + 1))
+        per = (requests.num_rows + n_blocks - 1) // n_blocks
+        slices = [requests.slice(i * per, per) for i in range(n_blocks) if i * per < requests.num_rows]
+        qds = ray.data.from_arrow(slices)
+    else:
+        qds = requests
+    return qds.map_batches(
+        CompositeAggTaskFn(out_dir, segs, facet, field, bucket_us, size, index_version(out_dir)),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+
+
 def matchset_stats(
     out_dir: str,
     queries,

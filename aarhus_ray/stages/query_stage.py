@@ -2465,6 +2465,96 @@ class DateHistogramTaskFn:
         return dh(batch)
 
 
+class CompositeAgg(FacetCounter):
+    """COMPOSITE aggregation (ES `composite`): the full bucket space of
+    two sources — (facet term ASC, fixed-width docvalue bucket ASC) —
+    retrieved ONE PAGE AT A TIME via an `after` cursor, the way engines
+    stream an unbounded bucket set to a client without a giant response.
+    One input row = one page request (query_id, text, after_lang,
+    after_bucket) → ≤ size rows (query_id, lang, bucket, n_docs) in
+    composite key order, strictly AFTER the cursor; ("", -1) is the
+    open cursor (first page). Each page recomputes the match set and
+    fold (exactly ES semantics — composite re-runs the agg per page and
+    skips to `after`); the per-worker state (segments + facet codes +
+    docvalue) is shared with the other match-set aggregations, and at
+    cluster scale both sidecar arrays shard by doc range (SCALE.md §3)."""
+
+    def __init__(self, out_dir: str, seg_ids: list[int] | None = None,
+                 facet: str = "lang", field: str = "warc_ts",
+                 bucket_us: int = 250_000_000, size: int = 12):
+        super().__init__(out_dir, seg_ids, facet)
+        files = sorted(glob.glob(os.path.join(out_dir, "docs", "pid=*.parquet")))
+        tbl = pa.concat_tables(pq.read_table(f, columns=[field]) for f in files)
+        self.vals = tbl[field].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        self.bucket_us = int(bucket_us)
+        self.size = int(size)
+        # composite order is by facet VALUE, not dictionary code: rank
+        # permutation built once (codes → sort-rank, rank → value)
+        order = sorted(range(len(self.values)), key=lambda i: self.values[i])
+        self.code_rank = np.empty(len(self.values), np.int64)
+        for r, c in enumerate(order):
+            self.code_rank[c] = r
+        self.value_by_rank = [self.values[c] for c in order]
+        self.rank_of_value = {v: r for r, v in enumerate(self.value_by_rank)}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        B = 1 << 40  # bucket ids fit far below 2^40; rank*B+bucket is injective
+        qids_out: list[np.ndarray] = []
+        langs_out: list[str] = []
+        buckets_out: list[np.ndarray] = []
+        counts_out: list[np.ndarray] = []
+        for qid, text, alang, abkt in zip(
+            batch["query_id"].to_pylist(),
+            batch["text"].to_pylist(),
+            batch["after_lang"].to_pylist(),
+            batch["after_bucket"].to_pylist(),
+        ):
+            docs = self._match_set(text)
+            if len(docs) == 0:
+                continue
+            idx = np.searchsorted(self.doc_ids, docs)
+            key = self.code_rank[self.codes[idx]] * B + self.vals[idx] // self.bucket_us
+            ukey, counts = np.unique(key, return_counts=True)
+            akey = self.rank_of_value.get(alang, -1) * B + int(abkt)
+            start = int(np.searchsorted(ukey, akey, side="right"))
+            sel = slice(start, start + self.size)
+            ukey, counts = ukey[sel], counts[sel]
+            if len(ukey) == 0:
+                continue
+            qids_out.append(np.full(len(ukey), qid, dtype=np.int64))
+            langs_out.extend(self.value_by_rank[int(r)] for r in ukey // B)
+            buckets_out.append(ukey % B)
+            counts_out.append(counts.astype(np.int64))
+        cat = lambda xs: np.concatenate(xs) if xs else np.empty(0, np.int64)  # noqa: E731
+        return pa.table(
+            {
+                "query_id": pa.array(cat(qids_out), pa.int64()),
+                self.facet: pa.array(langs_out, pa.string()),
+                "bucket": pa.array(cat(buckets_out), pa.int64()),
+                "n_docs": pa.array(cat(counts_out), pa.int64()),
+            }
+        )
+
+
+class CompositeAggTaskFn:
+    """Task-fn form of CompositeAgg (worker-process cache)."""
+
+    def __init__(self, out_dir: str, seg_ids: list[int], facet: str, field: str,
+                 bucket_us: int, size: int, version: float):
+        self.args = (out_dir, tuple(seg_ids), facet, field, bucket_us, size, version)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_dir, seg_ids, facet, field, bucket_us, size, version = self.args
+        key = (out_dir, version, seg_ids, facet, field, bucket_us, size, "composite")
+        ca = _WORKER_MATCH_AGG_CACHE.get(key)
+        if ca is None:
+            for kk in [kk for kk in _WORKER_MATCH_AGG_CACHE if kk[0] == out_dir and kk[1] < version]:
+                del _WORKER_MATCH_AGG_CACHE[kk]
+            ca = CompositeAgg(out_dir, list(seg_ids), facet, field, bucket_us, size)
+            _WORKER_MATCH_AGG_CACHE[key] = ca
+        return ca(batch)
+
+
 class MatchsetStatsTaskFn:
     """Task-fn form of MatchsetStats (worker-process cache)."""
 

@@ -1433,3 +1433,61 @@ def test_adjacency_matrix_on_real_index(golden_index):
     assert diag["n_a"] == diag["n_b"] == diag["n_ab"]
     assert got[got["pair_id"] == 0].iloc[0]["n_ab"] == got[got["pair_id"] == 2].iloc[0]["n_ab"]
     assert got[got["pair_id"] == 3].iloc[0]["n_a"] == 0
+
+
+def test_composite_agg_paging_on_real_index(golden_index):
+    """composite_agg == python reference: (lang ASC, ts-bucket ASC) bucket
+    space of the match set, strictly after the cursor, ≤ size rows — and
+    feeding a page's last key back as the cursor tiles the space exactly."""
+    from aarhus_ray.pipelines.query import composite_agg
+    from aarhus_ray.textnorm import tokenize
+
+    idx = golden_index["index"]
+    docs = _docs_table(idx, ["doc_id", "text", "lang", "warc_ts"])
+    bucket_us, size = 250_000_000, 5
+    by_doc = {
+        int(d): (set(tokenize(t)), lang, int(ts) // bucket_us)
+        for d, t, lang, ts in zip(
+            docs["doc_id"].to_pylist(), docs["text"].to_pylist(),
+            docs["lang"].to_pylist(), docs["warc_ts"].to_pylist(),
+        )
+    }
+    text = " ".join(tokenize(docs["text"].to_pylist()[0])[:2])
+    terms = set(tokenize(text))
+
+    def ref_buckets():
+        from collections import Counter
+
+        c = Counter(
+            (lang, bkt) for toks, lang, bkt in by_doc.values() if terms & toks
+        )
+        return sorted(c.items())
+
+    want = ref_buckets()
+    assert len(want) > size, "fixture must force multiple pages"
+
+    got_all, cursor, pages = [], ("", -1), 0
+    while True:
+        reqs = pa.table(
+            {
+                "query_id": pa.array([0], pa.int64()),
+                "text": pa.array([text], pa.string()),
+                "after_lang": pa.array([cursor[0]], pa.string()),
+                "after_bucket": pa.array([cursor[1]], pa.int64()),
+            }
+        )
+        res = (
+            composite_agg(idx, reqs, bucket_us=bucket_us, size=size)
+            .to_pandas().sort_values(["lang", "bucket"]).reset_index(drop=True)
+        )
+        assert len(res) <= size
+        got_all.extend(
+            ((r["lang"], int(r["bucket"])), int(r["n_docs"]))
+            for _, r in res.iterrows()
+        )
+        pages += 1
+        if len(res) < size:
+            break
+        cursor = (str(res.iloc[-1]["lang"]), int(res.iloc[-1]["bucket"]))
+    assert got_all == want
+    assert pages == (len(want) + size - 1) // size or pages == len(want) // size + 1
