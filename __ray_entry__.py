@@ -183,6 +183,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fulltext_significant_terms": fulltext.significant_terms,
         # "did you mean": OOV tokens -> highest-df Levenshtein<=1 vocab term
         "fulltext_spell_suggest": fulltext.spell_suggest,
+        # phrase suggester: whole-query did-you-mean, candidates collated
+        # against the index (conjunctive containment count)
+        "fulltext_phrase_suggest": fulltext.phrase_suggest,
         # multi_match over title^2 + body: two field indexes, weighted sum
         "fulltext_bm25_multifield": fulltext.bm25_topk_multifield,
         # scroll/export: the full match set per query (streaming Dataset)
@@ -634,6 +637,7 @@ def oracle_sql() -> dict[str, str]:
         "fulltext_bm25_page2": fulltext.bm25_page2_oracle_sql(),
         "fulltext_significant_terms": fulltext.significant_terms_oracle_sql(),
         "fulltext_spell_suggest": fulltext.spell_suggest_oracle_sql(),
+        "fulltext_phrase_suggest": fulltext.phrase_suggest_oracle_sql(),
         "fulltext_bm25_multifield": fulltext.bm25_multifield_oracle_sql(),
         "fulltext_export_matches": fulltext.export_matches_oracle_sql(),
         "fulltext_percolate": fulltext.percolate_oracle_sql(),

@@ -2475,6 +2475,150 @@ ORDER BY query_id, token
 """
 
 
+PS_PER_TOKEN = 3  # phrase suggester: candidates kept per token (df DESC)
+PS_TOPK = 3       # suggestions emitted per query
+# Phrase-suggester query set: misspellings chosen so single tokens expand
+# to MULTIPLE vocabulary candidates (sow→{row,slow}, hast→{fast,hash},
+# tort→{part,sort}, ag→{a,agg}) — the cartesian product and the collate
+# ranking are genuinely exercised, not degenerate 1-candidate chains.
+FT_PHRASE_FUZZIES = (
+    "sow tabl",
+    "hast tort",
+    "ag stram",
+    "zzznotinvocab merge",
+    "quey",
+)
+
+
+def phrase_suggest(sf_dir: str) -> pd.DataFrame:
+    """PHRASE SUGGESTER (ES phrase suggester with collate): whole-query
+    "did you mean" over FT_PHRASE_FUZZIES. Per token, the top PS_PER_TOKEN
+    in-vocabulary candidates within Levenshtein ≤ 1 (the token itself
+    included when in vocab), ranked (global df DESC, term ASC) from the
+    same vectorized dictionary scan fuzzy retrieval uses; whole-phrase
+    candidates are the cartesian product, each COLLATED against the
+    index — scored by the number of docs containing ALL its distinct
+    tokens (sorted-postings intersection), zero-match phrases pruned
+    (collate=true). Top PS_TOPK per query by (n_docs DESC, phrase ASC);
+    a query with an uncorrectable token (no candidates) emits no rows.
+    Output (query_id, rank, suggestion, n_docs) — integer-exact."""
+    from itertools import product
+
+    from ..pipelines.query import list_segments
+    from ..stages.query_stage import Segment
+
+    index = _ensure_index(sf_dir, fresh=False)
+    segs = [Segment(index, sid) for sid in list_segments(index)]
+
+    def global_df(term: str) -> int:
+        return sum(sg.dict[term][0] for sg in segs if term in sg.dict)
+
+    doc_arrs: dict[str, np.ndarray] = {}
+
+    def doc_arr(term: str) -> np.ndarray:
+        got = doc_arrs.get(term)
+        if got is None:
+            lists = [
+                sg.term_postings(term)[0] for sg in segs if term in sg.dict
+            ]
+            got = np.unique(np.concatenate(lists)) if lists else np.empty(0, np.uint64)
+            doc_arrs[term] = got
+        return got
+
+    rows = []
+    for qid, q in enumerate(FT_PHRASE_FUZZIES):
+        per_tok: list[list[str]] = []
+        for tok in tokenize(q):
+            cands: set[str] = set()
+            for sg in segs:
+                cands.update(sg.fuzzy1_candidates(tok))
+            ranked = sorted(cands, key=lambda c: (-global_df(c), c))[:PS_PER_TOKEN]
+            if not ranked:
+                per_tok = []
+                break
+            per_tok.append(ranked)
+        if not per_tok:
+            continue
+        scored = []
+        for combo in product(*per_tok):
+            cur: np.ndarray | None = None
+            for t in sorted(set(combo)):
+                arr = doc_arr(t)
+                cur = arr if cur is None else np.intersect1d(cur, arr, assume_unique=True)
+                if len(cur) == 0:
+                    break
+            n = int(len(cur)) if cur is not None else 0
+            if n >= 1:  # collate: a suggestion must actually match
+                scored.append((" ".join(combo), n))
+        scored.sort(key=lambda x: (-x[1], x[0]))
+        for r, (p, n) in enumerate(scored[:PS_TOPK], 1):
+            rows.append((qid, r, p, n))
+    out = pd.DataFrame(rows, columns=["query_id", "rank", "suggestion", "n_docs"])
+    out["query_id"] = out["query_id"].astype("int64")
+    out["rank"] = out["rank"].astype("int32")
+    out["n_docs"] = out["n_docs"].astype("int64")
+    return out
+
+
+def phrase_suggest_oracle_sql() -> str:
+    """Phrase-suggester oracle: per-token top-PS_PER_TOKEN levenshtein≤1
+    vocabulary candidates (df DESC, term ASC), per-query cartesian
+    product assembled as one SELECT block per query (token counts
+    differ), each phrase collate-scored by a correlated containment
+    count over per-doc token sets, ranked (n_docs DESC, phrase ASC)."""
+    qtoks = ",".join(
+        f"({qid}, {pos}, '{tok}')"
+        for qid, q in enumerate(FT_PHRASE_FUZZIES)
+        for pos, tok in enumerate(q.split())
+    )
+    blocks = []
+    for qid, q in enumerate(FT_PHRASE_FUZZIES):
+        n = len(q.split())
+        aliases = [f"c{i}" for i in range(n)]
+        phrase = " || ' ' || ".join(f"{a}.cand" for a in aliases)
+        frm = " CROSS JOIN ".join(f"topc {a}" for a in aliases)
+        where = " AND ".join(
+            f"{a}.query_id = {qid} AND {a}.pos = {i}" for i, a in enumerate(aliases)
+        )
+        contains = " AND ".join(f"list_contains(d.tokset, {a}.cand)" for a in aliases)
+        blocks.append(
+            f"  SELECT {qid} AS query_id, {phrase} AS suggestion,\n"
+            f"         (SELECT count(*) FROM docsets d WHERE {contains}) AS n_docs\n"
+            f"  FROM {frm} WHERE {where}"
+        )
+    phrases = "\n  UNION ALL\n".join(blocks)
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok
+    FROM documents) WHERE tok <> ''
+),
+vocab AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM toks GROUP BY 1),
+docsets AS (SELECT doc_id, list(tok) AS tokset FROM toks GROUP BY 1),
+qtoks(query_id, pos, tok) AS (VALUES {qtoks}),
+cand AS (
+  SELECT q.query_id, q.pos, v.tok AS cand,
+         row_number() OVER (PARTITION BY q.query_id, q.pos
+                            ORDER BY v.df DESC, v.tok ASC) AS rn
+  FROM qtoks q JOIN vocab v ON levenshtein(v.tok, q.tok) <= 1
+),
+topc AS (SELECT * FROM cand WHERE rn <= {PS_PER_TOKEN}),
+phrases AS (
+{phrases}
+),
+ranked AS (
+  SELECT query_id, suggestion, n_docs,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY n_docs DESC, suggestion ASC) AS rank
+  FROM phrases WHERE n_docs >= 1
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank,
+       suggestion, CAST(n_docs AS BIGINT) AS n_docs
+FROM ranked WHERE rank <= {PS_TOPK}
+ORDER BY query_id, rank
+"""
+
+
 TITLE_LEN = 8        # synthetic title field: the doc's first 8 tokens
 W_TITLE, W_BODY = 2.0, 1.0  # multi_match field boosts (title^2, body)
 

@@ -614,3 +614,57 @@ def test_term_vectors_match_forward_recompute():
         for term in sorted(tf):
             want.append([did, term, tf[term], df[term], first[term]])
     assert got.values.tolist() == want
+
+
+def test_phrase_suggest_matches_bruteforce():
+    """Phrase suggester == brute-force recompute: per-token lev≤1 top-C by
+    (df DESC, term ASC), cartesian phrases collate-scored by conjunctive
+    containment, top-K by (n_docs DESC, phrase ASC)."""
+    from collections import Counter
+    from itertools import product
+
+    from aarhus_ray.functions.fulltext import (
+        FT_PHRASE_FUZZIES, PS_PER_TOKEN, PS_TOPK, phrase_suggest,
+    )
+    from aarhus_ray.textnorm import tokenize
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["text"])
+    sets = [set(tokenize(t)) for t in docs["text"].to_pylist()]
+    df = Counter()
+    for s in sets:
+        df.update(s)
+    want = []
+    for qid, q in enumerate(FT_PHRASE_FUZZIES):
+        per_tok = []
+        for tok in tokenize(q):
+            cands = sorted(
+                (v for v in df if lev(v, tok) <= 1),
+                key=lambda c: (-df[c], c),
+            )[:PS_PER_TOKEN]
+            if not cands:
+                per_tok = []
+                break
+            per_tok.append(cands)
+        if not per_tok:
+            continue
+        scored = []
+        for combo in product(*per_tok):
+            n = sum(1 for s in sets if set(combo) <= s)
+            if n:
+                scored.append((" ".join(combo), n))
+        scored.sort(key=lambda x: (-x[1], x[0]))
+        for r, (p, n) in enumerate(scored[:PS_TOPK], 1):
+            want.append([qid, r, p, n])
+    got = phrase_suggest(SF)
+    assert got.values.tolist() == want
+    # the fixture must exercise real ranking: some query ranks >= 2 phrases
+    assert (got["rank"] >= 2).any()
