@@ -2030,6 +2030,71 @@ ORDER BY 1, 2
 """
 
 
+MS_B_DIV = 1000  # matrix_stats: ts scaled to ms offsets so squares fit int64
+
+
+def matrix_stats_query(sf_dir: str) -> pd.DataFrame:
+    """Matrix-stats aggregation per FT_QUERY (ES matrix_stats over the
+    doclen and crawl-ts docvalues): the exact integer sufficient
+    statistics (n, Σa, Σb, Σa², Σb², Σab) with a = doclen and
+    b = (warc_ts − BASE_TS_US) // MS_B_DIV, from which the matrix ES
+    returns (means, variances, covariance, correlation) is pure float
+    arithmetic (pipelines/query.matrix_stats). Hash-exact; the OOV query
+    emits no row."""
+    from ..pipelines.query import matrix_stats
+
+    index = _ensure_index(sf_dir, fresh=False)
+    queries = pa.table(
+        {
+            "query_id": pa.array(range(len(FT_QUERIES)), pa.int64()),
+            "text": pa.array(list(FT_QUERIES), pa.string()),
+        }
+    )
+    out = matrix_stats(
+        index, queries, b_off=BASE_TS_US, b_div=MS_B_DIV
+    ).to_pandas()
+    return out.sort_values("query_id").reset_index(drop=True)
+
+
+def matrix_stats_oracle_sql() -> str:
+    """Matrix-stats oracle: per-query joint integer moments of (token
+    count, scaled ts permutation) over the distinct match set."""
+    values = ",".join(
+        f"({qid}, '{term}')" for qid, q in enumerate(FT_QUERIES) for term in q.split()
+    )
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok
+    FROM documents) WHERE tok <> ''
+),
+alltoks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok
+    FROM documents) WHERE tok <> ''
+),
+dl AS (SELECT doc_id, count(*) AS a FROM alltoks GROUP BY 1),
+q(query_id, tok) AS (VALUES {values}),
+qd AS (SELECT DISTINCT query_id, tok FROM q),
+matched AS (SELECT DISTINCT qd.query_id, toks.doc_id FROM qd JOIN toks USING (tok)),
+ab AS (
+  SELECT m.query_id, dl.a,
+         ((m.doc_id * {TS_MULT}) % {TS_MOD}) // {MS_B_DIV} AS b
+  FROM matched m JOIN dl USING (doc_id)
+)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(a) AS BIGINT) AS sum_a,
+       CAST(SUM(b) AS BIGINT) AS sum_b,
+       CAST(SUM(a * a) AS BIGINT) AS sum_a2,
+       CAST(SUM(b * b) AS BIGINT) AS sum_b2,
+       CAST(SUM(a * b) AS BIGINT) AS sum_ab
+FROM ab
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 COMP_BUCKET_US = 250_000_000  # composite second source: warc_ts // 250s
 COMP_PAGE_SIZE = 12
 

@@ -603,6 +603,45 @@ def date_histogram(
     )
 
 
+def matrix_stats(
+    out_dir: str,
+    queries,
+    field_a: str = "doclen",
+    field_b: str = "warc_ts",
+    b_off: int = 0,
+    b_div: int = 1,
+    concurrency: int | None = None,
+    batch_size: int = 64,
+) -> ray.data.Dataset:
+    """MATRIX-STATS aggregation per query (ES matrix_stats): exact integer
+    sufficient statistics (n, Σa, Σb, Σa², Σb², Σab) of two numeric
+    docvalues over the distinct matching visible docs; mean/variance/
+    covariance/correlation derive client-side. Same stateless-task shape
+    as the other match-set aggregations."""
+    from ..stages.query_stage import MatrixStatsTaskFn
+
+    segs = list_segments(out_dir)
+    if not segs:
+        raise ValueError(f"no segments under {out_dir}")
+    conc = concurrency or max(1, _cpus())
+    if isinstance(queries, str):
+        import pyarrow.parquet as _pq
+
+        queries = _pq.read_table(queries)
+    if isinstance(queries, pa.Table):
+        n_blocks = max(1, min(conc * 4, queries.num_rows // max(1, batch_size) + 1))
+        per = (queries.num_rows + n_blocks - 1) // n_blocks
+        slices = [queries.slice(i * per, per) for i in range(n_blocks) if i * per < queries.num_rows]
+        qds = ray.data.from_arrow(slices)
+    else:
+        qds = queries
+    return qds.map_batches(
+        MatrixStatsTaskFn(out_dir, segs, field_a, field_b, b_off, b_div, index_version(out_dir)),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+
+
 def composite_agg(
     out_dir: str,
     requests,

@@ -2360,6 +2360,83 @@ class MatchsetStats(DocvalueTopK):
         )
 
 
+class MatrixStats:
+    """MATRIX-STATS aggregation over the match set (ES matrix_stats): the
+    joint second-moment statistics of TWO numeric docvalues — here doclen
+    and the crawl ts — from which mean/variance/covariance/correlation are
+    pure derivations. The engine emits the exact INTEGER sufficient
+    statistics (n, Σa, Σb, Σa², Σb², Σab) so the oracle compare is
+    hash-exact and the floats are client-side arithmetic (same contract
+    as the explain API). The ts is shifted/scaled ((b − b_off) // b_div)
+    so squares stay well inside int64; at 10^12-doc match sets the
+    per-doc-range partial sums accumulate as arbitrary-precision Python
+    ints before the merge (they are additive across disjoint ranges —
+    SCALE.md §3), exactly like MatchsetStats' split-sum. Empty match sets
+    emit no row (SQL-join semantics)."""
+
+    def __init__(self, out_dir: str, seg_ids: list[int] | None = None,
+                 field_a: str = "doclen", field_b: str = "warc_ts",
+                 b_off: int = 0, b_div: int = 1):
+        if seg_ids is None:
+            from ..pipelines.query import list_segments
+
+            seg_ids = list_segments(out_dir)
+        self.segments = [Segment(out_dir, sid) for sid in seg_ids]
+        files = sorted(glob.glob(os.path.join(out_dir, "docs", "pid=*.parquet")))
+        tbl = pa.concat_tables(
+            pq.read_table(f, columns=["doc_id", field_a, field_b]) for f in files
+        )
+        self.doc_ids = tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        self.a = tbl[field_a].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        self.b = (
+            tbl[field_b].cast(pa.int64()).to_numpy(zero_copy_only=False) - int(b_off)
+        ) // int(b_div)
+        self.exclude_ids = mf.read_tombstones(out_dir)
+
+    _match_set = FacetCounter._match_set
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = {k: [] for k in ("query_id", "n_docs", "sum_a", "sum_b",
+                               "sum_a2", "sum_b2", "sum_ab")}
+        for qid, text in zip(batch["query_id"].to_pylist(), batch["text"].to_pylist()):
+            docs = self._match_set(text)
+            if len(docs) == 0:
+                continue
+            idx = np.searchsorted(self.doc_ids, docs)
+            # object dtype → arbitrary-precision Python ints: the squares
+            # of an unscaled docvalue overflow int64 PER ELEMENT, and the
+            # emitted sums must be exact (that is the whole contract)
+            a = self.a[idx].astype(object)
+            b = self.b[idx].astype(object)
+            out["query_id"].append(qid)
+            out["n_docs"].append(len(a))
+            out["sum_a"].append(int(a.sum()))
+            out["sum_b"].append(int(b.sum()))
+            out["sum_a2"].append(int((a * a).sum()))
+            out["sum_b2"].append(int((b * b).sum()))
+            out["sum_ab"].append(int((a * b).sum()))
+        return pa.table({k: pa.array(v, pa.int64()) for k, v in out.items()})
+
+
+class MatrixStatsTaskFn:
+    """Task-fn form of MatrixStats (worker-process cache)."""
+
+    def __init__(self, out_dir: str, seg_ids: list[int], field_a: str,
+                 field_b: str, b_off: int, b_div: int, version: float):
+        self.args = (out_dir, tuple(seg_ids), field_a, field_b, b_off, b_div, version)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_dir, seg_ids, field_a, field_b, b_off, b_div, version = self.args
+        key = (out_dir, version, seg_ids, field_a, field_b, b_off, b_div, "matrix")
+        ms = _WORKER_MATCH_AGG_CACHE.get(key)
+        if ms is None:
+            for kk in [kk for kk in _WORKER_MATCH_AGG_CACHE if kk[0] == out_dir and kk[1] < version]:
+                del _WORKER_MATCH_AGG_CACHE[kk]
+            ms = MatrixStats(out_dir, list(seg_ids), field_a, field_b, b_off, b_div)
+            _WORKER_MATCH_AGG_CACHE[key] = ms
+        return ms(batch)
+
+
 _WORKER_FACET_CACHE: dict[tuple, "FacetCounter"] = {}
 _WORKER_FACET_TOPK_CACHE: dict[tuple, "FacetTopK"] = {}
 _WORKER_DOCVALUE_TOPK_CACHE: dict[tuple, "DocvalueTopK"] = {}

@@ -1491,3 +1491,44 @@ def test_composite_agg_paging_on_real_index(golden_index):
         cursor = (str(res.iloc[-1]["lang"]), int(res.iloc[-1]["bucket"]))
     assert got_all == want
     assert pages == (len(want) + size - 1) // size or pages == len(want) // size + 1
+
+
+def test_matrix_stats_on_real_index(golden_index):
+    """matrix_stats sufficient statistics == python recompute over the
+    match set, and the derived covariance/correlation match numpy."""
+    from aarhus_ray.pipelines.query import matrix_stats
+    from aarhus_ray.textnorm import tokenize
+
+    idx = golden_index["index"]
+    docs = _docs_table(idx, ["doc_id", "text", "doclen", "warc_ts"])
+    texts = docs["text"].to_pylist()
+    text = " ".join(tokenize(texts[0])[:2])
+    terms = set(tokenize(text))
+    # fixture ts = 2024-01-01 + rand(1y); seconds-offset keeps Σb² in int64
+    # while per-element b*b still exceeds float53 (exactness matters)
+    b_off, b_div = 1_704_067_200_000_000, 1_000_000
+
+    qs = pa.table(
+        {"query_id": pa.array([0], pa.int64()), "text": pa.array([text], pa.string())}
+    )
+    got = matrix_stats(idx, qs, b_off=b_off, b_div=b_div).to_pandas().iloc[0]
+
+    a_l, b_l = [], []
+    for t, dl, ts in zip(texts, docs["doclen"].to_pylist(), docs["warc_ts"].to_pylist()):
+        if terms & set(tokenize(t)):
+            a_l.append(int(dl))
+            b_l.append((int(ts) - b_off) // b_div)
+    n = len(a_l)
+    assert int(got["n_docs"]) == n
+    assert int(got["sum_a"]) == sum(a_l)
+    assert int(got["sum_b"]) == sum(b_l)
+    assert int(got["sum_a2"]) == sum(x * x for x in a_l)
+    assert int(got["sum_b2"]) == sum(x * x for x in b_l)
+    assert int(got["sum_ab"]) == sum(x * y for x, y in zip(a_l, b_l))
+    # derived moments equal numpy's (population covariance/correlation)
+    a, b = np.array(a_l, dtype=np.float64), np.array(b_l, dtype=np.float64)
+    cov = got["sum_ab"] / n - (got["sum_a"] / n) * (got["sum_b"] / n)
+    assert np.isclose(cov, np.cov(a, b, bias=True)[0, 1])
+    var_a = got["sum_a2"] / n - (got["sum_a"] / n) ** 2
+    var_b = got["sum_b2"] / n - (got["sum_b"] / n) ** 2
+    assert np.isclose(cov / np.sqrt(var_a * var_b), np.corrcoef(a, b)[0, 1])
