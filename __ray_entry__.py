@@ -103,6 +103,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fulltext_bm25_conj_topk": fulltext.bm25_topk_conj,
         # minimum_should_match (>=2 distinct matched terms; m generalizes or/and)
         "fulltext_bm25_msm_topk": fulltext.bm25_topk_msm,
+        # terms_set: msm with a PER-DOC required count from a docvalue
+        "fulltext_bm25_terms_set": fulltext.bm25_topk_terms_set,
         # incremental build (base + delta generation) must equal a fresh
         # full build — same full-corpus oracle as fulltext_bm25_topk
         "fulltext_bm25_incremental": fulltext.bm25_topk_incremental,
@@ -600,6 +602,7 @@ def oracle_sql() -> dict[str, str]:
         "fulltext_bm25_topk": fulltext.bm25_oracle_sql(),
         "fulltext_bm25_conj_topk": fulltext.bm25_conj_oracle_sql(),
         "fulltext_bm25_msm_topk": fulltext.bm25_msm_oracle_sql(),
+        "fulltext_bm25_terms_set": fulltext.bm25_terms_set_oracle_sql(),
         "fulltext_bm25_incremental": fulltext.bm25_oracle_sql(),
         "fulltext_bm25_phrase_topk": fulltext.bm25_phrase_oracle_sql(),
         "fulltext_bm25_phrase_positional": fulltext.bm25_phrase_oracle_sql(),

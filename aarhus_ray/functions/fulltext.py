@@ -3263,6 +3263,90 @@ def bm25_topk_msm(sf_dir: str, k: int = 10) -> pd.DataFrame:
     )
 
 
+TSET_MOD = 3  # terms_set: per-doc required matches = 1 + doclen % TSET_MOD
+
+
+def bm25_topk_terms_set(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """terms_set retrieval (ES `terms_set` with minimum_should_match_field):
+    msm where the required distinct-match count is a PER-DOC docvalue fact
+    — required(doc) = 1 + doclen % TSET_MOD (the frozen synthetic stand-in
+    for a stored required_matches field; stages/query_stage.
+    QueryScorer._score_query_terms_set). Docs demanding more matches than
+    the query has in-vocabulary terms are ineligible by construction;
+    scores stay the disjunctive BM25 sums of the matched terms.
+
+    Ties: the solo-"the" query produces bit-equal scores for docs with
+    identical (tf, dl); the engine's internal tie order is INDEX doc_id
+    (partition-hash space), so like page2/multifield this query retrieves
+    the full eligible set and re-ranks in SOURCE doc_id space — the
+    _full_ranking pattern — making the external (score DESC, doc_id ASC)
+    contract exact."""
+    index = _ensure_index(sf_dir, fresh=False)
+    n_docs = pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+    queries = pa.table(
+        {
+            "query_id": pa.array(range(len(FT_MSMS)), pa.int64()),
+            "text": pa.array(list(FT_MSMS), pa.string()),
+        }
+    )
+    res = query_index(
+        index, queries, k=n_docs, mode="terms_set", terms_set_mod=TSET_MOD,
+        resolve_urls=True,
+    ).to_pandas()
+    res["doc_id"] = res["url"].map(url_doc_id).astype("int64")
+    res = res.sort_values(
+        ["query_id", "score", "doc_id"], ascending=[True, False, True]
+    ).reset_index(drop=True)
+    res["rank"] = res.groupby("query_id").cumcount().astype("int32") + 1
+    out = res.loc[res["rank"] <= k, ["query_id", "rank", "doc_id"]]
+    return out.reset_index(drop=True)
+
+
+def bm25_terms_set_oracle_sql(k: int = 10) -> str:
+    """terms_set oracle: the msm BM25 CTEs with the HAVING threshold read
+    per doc — count(DISTINCT matched) >= 1 + doclen % TSET_MOD."""
+    values = ",".join(
+        f"({qid}, '{term}')"
+        for qid, q in enumerate(FT_MSMS)
+        for term in q.split()
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok
+    FROM documents) WHERE tok <> ''
+),
+dl AS (SELECT d.doc_id, CAST(coalesce(t.c, 0) AS DOUBLE) AS dl
+       FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS c FROM toks GROUP BY 1) t USING (doc_id)),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+q(query_id, tok) AS (VALUES {values}),
+qd AS (SELECT DISTINCT query_id, tok FROM q),
+scored AS (
+  SELECT qd.query_id, tf.doc_id,
+         sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * (1.2 + 1.0)
+              / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score
+  FROM qd
+  JOIN tf USING (tok)
+  JOIN df USING (tok)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+  HAVING count(DISTINCT tf.tok) >= 1 + CAST(any_value(dl.dl) AS BIGINT) % {TSET_MOD}
+),
+ranked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+  FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank, doc_id
+FROM ranked WHERE rank <= {k}
+ORDER BY query_id, rank
+"""
+
+
 def bm25_msm_oracle_sql(k: int = 10) -> str:
     """minimum_should_match oracle: identical BM25 CTEs; a (query, doc)
     survives only when its matched-DISTINCT-term count >= m. OOV terms

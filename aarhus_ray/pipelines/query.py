@@ -334,6 +334,7 @@ def query_index(
     near_window: int = 8,
     min_should_match: int = 1,
     span_slop: int = 2,
+    terms_set_mod: int = 3,
 ) -> ray.data.Dataset:
     """queries: parquet path | ray Dataset | pyarrow Table with
     (query_id:int64, text:string). Returns a Dataset
@@ -352,6 +353,9 @@ def query_index(
     ``mode="msm"`` requires at least ``min_should_match`` distinct
     in-vocabulary terms per doc (m=1 ≡ "or", m=n_terms ≡ "and");
     scores stay the disjunctive BM25 sums of the matched terms.
+    ``mode="terms_set"`` is msm with a PER-DOC required count read from
+    a docvalue (ES terms_set / minimum_should_match_field): required =
+    1 + doclen % ``terms_set_mod``.
     ``mode="span_near"`` requires the query's tokens IN ORDER within
     ``len(seq)−1+span_slop`` consecutive tokens (Lucene span_near
     in_order=true; slop=0 ≡ phrase) — verified from the positional
@@ -402,6 +406,7 @@ def query_index(
             out_dir, segs, k, method, shared_ref, version, mode=mode,
             filter_ref=filter_ref, near_window=near_window,
             min_should_match=min_should_match, span_slop=span_slop,
+            terms_set_mod=terms_set_mod,
         ),
         batch_format="pyarrow",
         batch_size=batch_size,

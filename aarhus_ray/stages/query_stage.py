@@ -343,6 +343,7 @@ class QueryScorer:
         near_window: int = 8,
         min_should_match: int = 1,
         span_slop: int = 2,
+        terms_set_mod: int = 3,
     ):
         """``doc_range=(lo, hi)`` + ``pids`` activate the DOC-SHARDED mode
         (cluster scorer-state path, SCALE.md): this scorer holds only the
@@ -369,15 +370,17 @@ class QueryScorer:
         self.k = k
         self.method = method
         if mode not in ("or", "and", "phrase", "near", "span_near", "prefix",
-                        "fuzzy", "boost", "boolean", "msm", "wildcard"):
+                        "fuzzy", "boost", "boolean", "msm", "terms_set",
+                        "wildcard"):
             raise ValueError(
                 f"mode must be 'or', 'and', 'phrase', 'near', 'span_near', "
-                f"'prefix', 'fuzzy', 'boost', 'boolean', 'msm' or 'wildcard', "
-                f"not {mode!r}"
+                f"'prefix', 'fuzzy', 'boost', 'boolean', 'msm', 'terms_set' "
+                f"or 'wildcard', not {mode!r}"
             )
         if mode == "and" and method not in ("wand", "brute"):
             raise ValueError(f"conjunctive scoring supports wand/brute, not {method!r}")
-        if mode in ("prefix", "fuzzy", "boost", "boolean", "msm", "wildcard") and method not in ("wand", "brute"):
+        if mode in ("prefix", "fuzzy", "boost", "boolean", "msm", "terms_set",
+                    "wildcard") and method not in ("wand", "brute"):
             raise ValueError(f"{mode} scoring supports wand/brute, not {method!r}")
         if mode in ("phrase", "near", "span_near") and method != "wand":
             raise ValueError(f"{mode} scoring supports method='wand', not {method!r}")
@@ -385,6 +388,7 @@ class QueryScorer:
         self.near_window = int(near_window)
         self.min_should_match = int(min_should_match)
         self.span_slop = int(span_slop)
+        self.terms_set_mod = int(terms_set_mod)
         self.doc_range = (
             (np.uint64(doc_range[0]), np.uint64(doc_range[1])) if doc_range is not None else None
         )
@@ -639,6 +643,46 @@ class QueryScorer:
             np.concatenate([e[0] for e in entries]), return_counts=True
         )
         cand = cand[counts >= m]
+        if len(cand) == 0:
+            return np.empty(0, np.uint64), np.empty(0, np.float64)
+        scores = np.zeros(len(cand), dtype=np.float64)
+        for doc_ids, contribs, _, _ in entries:  # sorted-term order
+            pos = np.searchsorted(doc_ids, cand)
+            ok = pos < len(doc_ids)
+            ok[ok] = doc_ids[pos[ok]] == cand[ok]
+            scores[ok] += contribs[pos[ok]]
+        from ..bm25 import topk_select
+
+        return topk_select(cand, scores, self.k)
+
+    def _score_query_terms_set(self, text: str) -> tuple[np.ndarray, np.ndarray]:
+        """terms_set query (ES `terms_set` with minimum_should_match_field):
+        minimum_should_match where the REQUIRED match count is a PER-DOC
+        fact read from a docvalue, not a query constant — each doc states
+        how many of the query's terms it demands. The synthetic stand-in
+        for a stored required_matches field is the frozen rule
+        required(doc) = 1 + doclen(doc) % terms_set_mod (deterministic,
+        SQL-replayable). Candidates and scoring are exactly the msm shape
+        — one vectorized postings-union distinct-count, gated per doc,
+        scores the unchanged disjunctive BM25 sums of the matched terms
+        (the knob gates eligibility, never statistics). The doclen gather
+        is the scorer's existing doclen table — per-doc facts resolve
+        wholly inside one doc range at cluster scale."""
+        toks = set(tokenize(text))
+        owners = {}
+        for t in toks:
+            segs = self._owners(t)
+            if segs:
+                owners[t] = segs
+        terms = sorted(owners)
+        if not terms:
+            return np.empty(0, np.uint64), np.empty(0, np.float64)
+        entries = [self._term_arrays(t, owners[t]) for t in terms]
+        cand, counts = np.unique(
+            np.concatenate([e[0] for e in entries]), return_counts=True
+        )
+        required = 1 + self.doclens.lookup(cand) % self.terms_set_mod
+        cand = cand[counts >= required]
         if len(cand) == 0:
             return np.empty(0, np.uint64), np.empty(0, np.float64)
         scores = np.zeros(len(cand), dtype=np.float64)
@@ -1160,6 +1204,8 @@ class QueryScorer:
             return self._score_query_boolean(text)
         if self.mode == "msm":
             return self._score_query_msm(text)
+        if self.mode == "terms_set":
+            return self._score_query_terms_set(text)
         if self.mode == "wildcard":
             return self._score_query_wildcard(text)
         return self._score_terms(set(tokenize(text)))
@@ -2833,16 +2879,19 @@ class ScorerTaskFn:
         near_window: int = 8,
         min_should_match: int = 1,
         span_slop: int = 2,
+        terms_set_mod: int = 3,
     ):
         self.args = (
             out_dir, tuple(seg_ids), k, method, shared_ref, version,
             doc_range, tuple(pids) if pids is not None else None, mode,
             filter_ref, near_window, min_should_match, span_slop,
+            terms_set_mod,
         )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         (out_dir, seg_ids, k, method, shared_ref, version, doc_range, pids,
-         mode, filter_ref, near_window, min_should_match, span_slop) = self.args
+         mode, filter_ref, near_window, min_should_match, span_slop,
+         terms_set_mod) = self.args
         # seg_ids, shared_ref-presence, doc_range, mode, the filter ref and
         # the near/msm knobs are part of the identity: a scorer built over a
         # subset of segments / a doc range (or without shared state, with
@@ -2850,7 +2899,7 @@ class ScorerTaskFn:
         # for a different configuration of the same index
         key = (out_dir, version, k, method, seg_ids, shared_ref is not None,
                doc_range, mode, filter_ref, near_window, min_should_match,
-               span_slop)
+               span_slop, terms_set_mod)
         scorer = _WORKER_SCORER_CACHE.get(key)
         if scorer is None:
             # evict only STALE entries of the same index (older version);
@@ -2868,6 +2917,7 @@ class ScorerTaskFn:
                 near_window=near_window,
                 min_should_match=min_should_match,
                 span_slop=span_slop,
+                terms_set_mod=terms_set_mod,
             )
             _WORKER_SCORER_CACHE[key] = scorer
         return scorer(batch)
@@ -2887,10 +2937,11 @@ def make_scorer_task_fn(
     near_window: int = 8,
     min_should_match: int = 1,
     span_slop: int = 2,
+    terms_set_mod: int = 3,
 ):
     return ScorerTaskFn(
         out_dir, seg_ids, k, method, shared_ref, version, doc_range, pids, mode,
-        filter_ref, near_window, min_should_match, span_slop,
+        filter_ref, near_window, min_should_match, span_slop, terms_set_mod,
     )
 
 

@@ -1532,3 +1532,56 @@ def test_matrix_stats_on_real_index(golden_index):
     var_a = got["sum_a2"] / n - (got["sum_a"] / n) ** 2
     var_b = got["sum_b2"] / n - (got["sum_b"] / n) ** 2
     assert np.isclose(cov / np.sqrt(var_a * var_b), np.corrcoef(a, b)[0, 1])
+
+
+def test_terms_set_mode_on_real_index(golden_index):
+    """terms_set == python reference: eligibility is per-doc
+    (distinct matched >= 1 + doclen % mod), scores the disjunctive BM25
+    sums — and msm with m=1 must be a superset (mod=1 ≡ or)."""
+    from aarhus_ray.bm25 import idf as idf_fn, score_tf
+    from aarhus_ray.pipelines.query import query_index
+    from aarhus_ray.textnorm import tokenize
+
+    idx = golden_index["index"]
+    docs = _docs_table(idx, ["doc_id", "text", "doclen"])
+    stats = golden_index["stats"]
+    n_docs, avgdl = stats["n_docs"], stats["avgdl"]
+    mod = 3
+    toks_of = {
+        int(d): tokenize(t)
+        for d, t in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist())
+    }
+    dl_of = {
+        int(d): int(dl)
+        for d, dl in zip(docs["doc_id"].to_pylist(), docs["doclen"].to_pylist())
+    }
+    text = " ".join(tokenize(docs["text"].to_pylist()[0])[:3])
+    terms = sorted(set(tokenize(text)))
+    df = {t: sum(1 for ts in toks_of.values() if t in ts) for t in terms}
+
+    want = []
+    for d, ts in toks_of.items():
+        matched = [t for t in terms if t in ts]
+        if len(matched) >= 1 + dl_of[d] % mod:
+            s = sum(
+                float(score_tf(ts.count(t), dl_of[d], avgdl, idf_fn(df[t], n_docs)))
+                for t in matched
+            )
+            want.append((d, s))
+    want.sort(key=lambda x: (-x[1], x[0]))
+
+    q = pa.table(
+        {"query_id": pa.array([0], pa.int64()), "text": pa.array([text], pa.string())}
+    )
+    got = (
+        query_index(idx, q, k=10, mode="terms_set", terms_set_mod=mod,
+                    resolve_urls=False)
+        .to_pandas().sort_values("rank")
+    )
+    assert got["doc_id"].tolist() == [d for d, _ in want[:10]]
+    assert np.allclose(got["score"].to_numpy(), [s for _, s in want[:10]], rtol=0, atol=0)
+    # mod=1 degenerates to required=1 for every doc ≡ disjunctive eligibility
+    got1 = query_index(idx, q, k=10, mode="terms_set", terms_set_mod=1,
+                       resolve_urls=False).to_pandas()
+    got_or = query_index(idx, q, k=10, mode="or", resolve_urls=False).to_pandas()
+    assert got1["doc_id"].tolist() == got_or["doc_id"].tolist()
