@@ -108,6 +108,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # incremental build (base + delta generation) must equal a fresh
         # full build — same full-corpus oracle as fulltext_bm25_topk
         "fulltext_bm25_incremental": fulltext.bm25_topk_incremental,
+        # reindex: lang-filtered destination with RECOMPUTED corpus stats
+        # (contrast: fulltext_bm25_filtered keeps global stats)
+        "fulltext_reindex_lang": fulltext.reindex_lang_query,
         "fulltext_bm25_phrase_topk": fulltext.bm25_topk_phrase,
         # same phrases over a positional index (pos.bin sidecar) — adjacency
         # verified from decoded positions, not checkpoint re-tokenization
@@ -604,6 +607,7 @@ def oracle_sql() -> dict[str, str]:
         "fulltext_bm25_msm_topk": fulltext.bm25_msm_oracle_sql(),
         "fulltext_bm25_terms_set": fulltext.bm25_terms_set_oracle_sql(),
         "fulltext_bm25_incremental": fulltext.bm25_oracle_sql(),
+        "fulltext_reindex_lang": fulltext.reindex_lang_oracle_sql(),
         "fulltext_bm25_phrase_topk": fulltext.bm25_phrase_oracle_sql(),
         "fulltext_bm25_phrase_positional": fulltext.bm25_phrase_oracle_sql(),
         "fulltext_bm25_near_topk": fulltext.bm25_near_oracle_sql(),

@@ -2734,6 +2734,121 @@ def _ensure_title_index(sf_dir: str) -> str:
     return index
 
 
+REINDEX_LANG = "en"  # _reindex filter: destination holds only lang='en'
+
+
+def _ensure_reindexed(sf_dir: str) -> str:
+    """REINDEX API (ES `_reindex` with a query filter): stream the SOURCE
+    index's docs sidecar — not the original raw corpus — through a lang
+    filter into a fresh destination build. The destination RECOMPUTES its
+    corpus statistics (N, avgdl, per-term df) over the surviving docs,
+    which is exactly what distinguishes _reindex from a filtered search
+    (bm25_topk_filtered keeps GLOBAL statistics and only gates
+    eligibility). Reuses the whole build pipeline unchanged; cached under
+    the workdir with the same _INDEX_DONE idempotency as every index."""
+    src = _ensure_index(sf_dir, fresh=False)
+    work = _work_dir(sf_dir)
+    pages = os.path.join(work, "pages_reindex", "part-0000.parquet")
+    if not os.path.exists(pages):
+        t = pq.read_table(
+            os.path.join(src, "docs"),
+            columns=["url", "text", "lang", "warc_ts"],
+            filters=[("lang", "=", REINDEX_LANG)],
+        ).sort_by("url")
+        out = pa.table(
+            {
+                "url": t["url"],
+                "warc_ts": t["warc_ts"].cast(pa.timestamp("us")),
+                "html": pa.array(
+                    [
+                        f"<html><body><p>{x}</p></body></html>".encode()
+                        for x in t["text"].to_pylist()
+                    ],
+                    pa.binary(),
+                ),
+                "text": t["text"],
+                "lang": t["lang"],
+            }
+        )
+        os.makedirs(os.path.dirname(pages), exist_ok=True)
+        pq.write_table(out, pages)
+    index = os.path.join(work, "index_reindex")
+    if not os.path.exists(os.path.join(index, "_INDEX_DONE")):
+        build_index(
+            os.path.dirname(pages), index,
+            num_partitions=8, num_segments=2, n_salts=2,
+        )
+    return index
+
+
+def reindex_lang_query(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """FT_QUERIES answered by the REINDEXED (lang-filtered) destination
+    index: scores use the destination's RECOMPUTED N/avgdl/df, so ranks
+    legitimately differ from bm25_topk_filtered's global-statistics
+    ranking over the same doc subset — the reindex-vs-filter distinction
+    itself is what the oracle pins (its CTEs compute every statistic over
+    the lang='en' subset only). Full-set re-rank in source doc_id space
+    (the _full_ranking pattern) keeps the external tie order exact."""
+    index = _ensure_reindexed(sf_dir)
+    n_docs = pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+    queries = pa.table(
+        {
+            "query_id": pa.array(range(len(FT_QUERIES)), pa.int64()),
+            "text": pa.array(list(FT_QUERIES), pa.string()),
+        }
+    )
+    res = query_index(index, queries, k=n_docs, resolve_urls=True).to_pandas()
+    res["doc_id"] = res["url"].map(url_doc_id).astype("int64")
+    res = res.sort_values(
+        ["query_id", "score", "doc_id"], ascending=[True, False, True]
+    ).reset_index(drop=True)
+    res["rank"] = res.groupby("query_id").cumcount().astype("int32") + 1
+    return res.loc[res["rank"] <= k, ["query_id", "rank", "doc_id"]].reset_index(drop=True)
+
+
+def reindex_lang_oracle_sql(k: int = 10) -> str:
+    """Reindex oracle: the BM25 stack with EVERY corpus statistic —
+    N, avgdl, df, tf, dl — computed over the lang-filtered subset."""
+    values = ",".join(
+        f"({qid}, '{term}')" for qid, q in enumerate(FT_QUERIES) for term in q.split()
+    )
+    return f"""
+WITH sub AS (SELECT doc_id, text FROM documents WHERE lang = '{REINDEX_LANG}'),
+toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok
+    FROM sub) WHERE tok <> ''
+),
+dl AS (SELECT s.doc_id, CAST(coalesce(t.c, 0) AS DOUBLE) AS dl
+       FROM sub s LEFT JOIN (SELECT doc_id, count(*) AS c FROM toks GROUP BY 1) t USING (doc_id)),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+q(query_id, tok) AS (VALUES {values}),
+qd AS (SELECT DISTINCT query_id, tok FROM q),
+scored AS (
+  SELECT qd.query_id, tf.doc_id,
+         sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * (1.2 + 1.0)
+              / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score
+  FROM qd
+  JOIN tf USING (tok)
+  JOIN df USING (tok)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+  FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank, doc_id
+FROM ranked WHERE rank <= {k}
+ORDER BY query_id, rank
+"""
+
+
 def _full_ranking(index: str, k_all: int) -> pd.DataFrame:
     """Complete per-field scores for FT_QUERIES (brute path scores the
     whole match set; k_all >= corpus size keeps every doc), in SOURCE

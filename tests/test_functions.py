@@ -668,3 +668,37 @@ def test_phrase_suggest_matches_bruteforce():
     assert got.values.tolist() == want
     # the fixture must exercise real ranking: some query ranks >= 2 phrases
     assert (got["rank"] >= 2).any()
+
+
+def test_reindex_recomputes_corpus_stats():
+    """The _reindex destination must hold ONLY the lang-filtered docs and
+    RECOMPUTE n_docs/avgdl over them (the reindex-vs-filtered-search
+    distinction); ranks must come from subset statistics."""
+    from aarhus_ray.functions.fulltext import (
+        REINDEX_LANG, _ensure_index, _ensure_reindexed, reindex_lang_query,
+    )
+    from aarhus_ray.state import manifest as mf
+    from aarhus_ray.textnorm import tokenize
+
+    src_stats = mf.read_stats(_ensure_index(SF, fresh=False))
+    dst = _ensure_reindexed(SF)
+    dst_stats = mf.read_stats(dst)
+
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["text", "lang"])
+    sub = [
+        t for t, lang in zip(docs["text"].to_pylist(), docs["lang"].to_pylist())
+        if lang == REINDEX_LANG
+    ]
+    assert 0 < len(sub) < docs.num_rows
+    assert dst_stats["n_docs"] == len(sub) != src_stats["n_docs"]
+    want_avgdl = sum(len(tokenize(t)) for t in sub) / len(sub)
+    assert abs(dst_stats["avgdl"] - want_avgdl) < 1e-6
+    # every returned doc is in the filtered subset
+    out = reindex_lang_query(SF)
+    docs_full = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "lang"])
+    en_ids = {
+        int(d) for d, lang in zip(
+            docs_full["doc_id"].to_pylist(), docs_full["lang"].to_pylist()
+        ) if lang == REINDEX_LANG
+    }
+    assert set(out["doc_id"].tolist()) <= en_ids
