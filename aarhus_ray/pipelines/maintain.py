@@ -349,3 +349,64 @@ def compact_index(
     if man:
         pq.write_table(pa.Table.from_pylist(man), os.path.join(out_dir, "metrics.parquet"))
     return compacted
+
+
+def snapshot_index(index_dir: str, snap_dir: str) -> dict:
+    """SNAPSHOT (the ES `_snapshot` repository shape): copy a COMPLETED
+    index's files into ``snap_dir`` and write a catalog (SNAPSHOT.json)
+    with a blake2b checksum per file. Everything under a finished index is
+    immutable (builds finish with atomic tmp+rename, deltas add NEW
+    generation dirs, deletes add NEW tombstone files), so the copy is
+    consistent without pausing writers — the same reasoning Lucene uses
+    for its write-once segment snapshots. The catalog is itself written
+    atomically (tmp+rename) LAST, so a torn snapshot is never restorable.
+    Returns {"files": n, "bytes": total}. At cluster scale each worker
+    copies its own doc-range/segment shard to shared storage and the
+    driver folds the per-shard catalogs — same additive-manifest shape as
+    the build."""
+    if not os.path.exists(os.path.join(index_dir, INDEX_MARKER)):
+        raise ValueError(f"cannot snapshot an incomplete index: {index_dir}")
+    catalog: dict[str, str] = {}
+    total = 0
+    os.makedirs(snap_dir, exist_ok=True)
+    for root, _, files in os.walk(index_dir):
+        for fn in sorted(files):
+            src = os.path.join(root, fn)
+            rel = os.path.relpath(src, index_dir)
+            dst = os.path.join(snap_dir, "files", rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            shutil.copyfile(src, dst)
+            catalog[rel] = mf.file_checksum(dst)
+            total += os.path.getsize(dst)
+    payload = json.dumps({"files": catalog, "src": os.path.abspath(index_dir)},
+                         sort_keys=True).encode()
+    mf.atomic_write_bytes(os.path.join(snap_dir, "SNAPSHOT.json"), payload)
+    return {"files": len(catalog), "bytes": total}
+
+
+def restore_index(snap_dir: str, dest_dir: str) -> dict:
+    """RESTORE: materialize a snapshot into ``dest_dir``, verifying every
+    file's blake2b against the catalog AFTER copying (bit-rot in the
+    repository or a torn copy fails loudly — ValueError names the file —
+    and the destination is left WITHOUT its _INDEX_DONE marker so a
+    failed restore can never be queried). Returns {"files": n}."""
+    cat_path = os.path.join(snap_dir, "SNAPSHOT.json")
+    if not os.path.exists(cat_path):
+        raise ValueError(f"no SNAPSHOT.json under {snap_dir}")
+    with open(cat_path) as f:
+        catalog = json.load(f)["files"]
+    os.makedirs(dest_dir, exist_ok=True)
+    # marker last: copy every non-marker file, verify, then the marker
+    names = sorted(catalog, key=lambda r: (os.path.basename(r) == INDEX_MARKER, r))
+    for rel in names:
+        src = os.path.join(snap_dir, "files", rel)
+        dst = os.path.join(dest_dir, rel)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        shutil.copyfile(src, dst)
+        got = mf.file_checksum(dst)
+        if got != catalog[rel]:
+            os.remove(dst)
+            raise ValueError(
+                f"restore checksum mismatch for {rel}: {got} != {catalog[rel]}"
+            )
+    return {"files": len(catalog)}

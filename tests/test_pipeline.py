@@ -1585,3 +1585,49 @@ def test_terms_set_mode_on_real_index(golden_index):
                        resolve_urls=False).to_pandas()
     got_or = query_index(idx, q, k=10, mode="or", resolve_urls=False).to_pandas()
     assert got1["doc_id"].tolist() == got_or["doc_id"].tolist()
+
+
+def test_snapshot_restore_roundtrip_and_tamper(golden_index, tmp_path):
+    """snapshot → restore serves bit-identical results; a tampered
+    repository fails the restore checksum loudly and leaves no
+    _INDEX_DONE marker (the restored dir must never be queryable)."""
+    from aarhus_ray.pipelines.maintain import restore_index, snapshot_index
+    from aarhus_ray.pipelines.query import query_index
+    from aarhus_ray.textnorm import tokenize
+
+    idx = golden_index["index"]
+    snap = str(tmp_path / "snap")
+    info = snapshot_index(idx, snap)
+    assert info["files"] > 5 and info["bytes"] > 0
+
+    dest = str(tmp_path / "restored")
+    out = restore_index(snap, dest)
+    assert out["files"] == info["files"]
+
+    docs = _docs_table(idx, ["text"])
+    text = " ".join(tokenize(docs["text"].to_pylist()[0])[:2])
+    q = pa.table(
+        {"query_id": pa.array([0], pa.int64()), "text": pa.array([text], pa.string())}
+    )
+    a = query_index(idx, q, k=10, resolve_urls=False).to_pandas().sort_values("rank")
+    b = query_index(dest, q, k=10, resolve_urls=False).to_pandas().sort_values("rank")
+    assert a["doc_id"].tolist() == b["doc_id"].tolist()
+    assert a["score"].tolist() == b["score"].tolist()  # bit-identical
+
+    # tamper one postings byte in the repository → restore must refuse
+    victim = next(
+        os.path.join(r, f)
+        for r, _, fs in os.walk(os.path.join(snap, "files"))
+        for f in fs if f == "postings.bin"
+    )
+    blob = bytearray(open(victim, "rb").read())
+    blob[len(blob) // 2] ^= 0xFF
+    open(victim, "wb").write(bytes(blob))
+    dest2 = str(tmp_path / "restored2")
+    with pytest.raises(ValueError, match="checksum mismatch"):
+        restore_index(snap, dest2)
+    assert not os.path.exists(os.path.join(dest2, "_INDEX_DONE"))
+
+    # an incomplete index refuses to snapshot
+    with pytest.raises(ValueError, match="incomplete"):
+        snapshot_index(str(tmp_path / "nonexistent"), str(tmp_path / "s2"))
