@@ -1003,6 +1003,80 @@ ORDER BY query_id, rank
 """
 
 
+# Regexp query set (Lucene RegexpQuery: pattern must match the WHOLE term).
+# Constructs restricted to the RE2 ∩ Python-re common core so the DuckDB
+# regexp_full_match oracle replays expansion exactly: alternation, classes,
+# '.', '*', '+', '?'. Mix: alternation, dot positions, star suffix with a
+# literal second token, char class, and a no-match pattern (empty result).
+FT_REGEXPS = (
+    "s(low|mall)",
+    ".a..",
+    "(jo|cust).*",
+    "merge gr[ou]+p",
+    "zz+9*",
+)
+
+
+def bm25_topk_regexp(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Regexp retrieval (Lucene RegexpQuery, scoring_boolean rewrite):
+    every whitespace-separated item is a FULL-match regex expanded against
+    the sharded term dictionary (literal-prefix bisect routing, else a
+    vocabulary-bounded scan — never a corpus scan) and the union scores as
+    disjunctive BM25 with per-term global df/idf
+    (query_stage.QueryScorer._expand_regexp)."""
+    return _run_queries(_ensure_index(sf_dir, fresh=False), FT_REGEXPS, k, "regexp")
+
+
+def bm25_regexp_oracle_sql(k: int = 10) -> str:
+    """Regexp oracle: the wildcard oracle with LIKE replaced by DuckDB's
+    regexp_full_match (RE2) — exact for the frozen pattern set because the
+    constructs used are semantics-identical between RE2 and Python re on
+    full-match; then the standard BM25 stack over the expanded union."""
+    values = ",".join(
+        f"({qid}, '{pat}')"
+        for qid, q in enumerate(FT_REGEXPS)
+        for pat in q.lower().split()
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok
+    FROM documents) WHERE tok <> ''
+),
+dl AS (SELECT d.doc_id, CAST(coalesce(t.c, 0) AS DOUBLE) AS dl
+       FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS c FROM toks GROUP BY 1) t USING (doc_id)),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+vocab AS (SELECT DISTINCT tok FROM tf),
+q(query_id, pat) AS (VALUES {values}),
+qd AS (
+  SELECT DISTINCT q.query_id, v.tok
+  FROM q JOIN vocab v ON regexp_full_match(v.tok, q.pat)
+),
+scored AS (
+  SELECT qd.query_id, tf.doc_id,
+         sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * (1.2 + 1.0)
+              / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score
+  FROM qd
+  JOIN tf USING (tok)
+  JOIN df USING (tok)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+  FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank, doc_id
+FROM ranked WHERE rank <= {k}
+ORDER BY query_id, rank
+"""
+
+
 def bm25_topk_fuzzy(sf_dir: str, k: int = 10) -> pd.DataFrame:
     """Typo-tolerant retrieval: every query token expands to the dictionary
     terms within Levenshtein distance ≤ 1 (vectorized per-byte-length

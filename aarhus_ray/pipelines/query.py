@@ -349,7 +349,9 @@ def query_index(
     sidecar when the index carries one, else from checkpoint text.
     ``mode="prefix"`` expands trailing-``*`` terms against the term
     dictionary (sorted-dict range scan per segment) and scores the
-    union disjunctively.
+    union disjunctively; ``mode="wildcard"`` generalizes to ``*``
+    anywhere; ``mode="regexp"`` expands full-match regexes (Lucene
+    RegexpQuery) the same way.
     ``mode="msm"`` requires at least ``min_should_match`` distinct
     in-vocabulary terms per doc (m=1 ≡ "or", m=n_terms ≡ "and");
     scores stay the disjunctive BM25 sums of the matched terms.

@@ -371,16 +371,16 @@ class QueryScorer:
         self.method = method
         if mode not in ("or", "and", "phrase", "near", "span_near", "prefix",
                         "fuzzy", "boost", "boolean", "msm", "terms_set",
-                        "wildcard"):
+                        "wildcard", "regexp"):
             raise ValueError(
                 f"mode must be 'or', 'and', 'phrase', 'near', 'span_near', "
-                f"'prefix', 'fuzzy', 'boost', 'boolean', 'msm', 'terms_set' "
-                f"or 'wildcard', not {mode!r}"
+                f"'prefix', 'fuzzy', 'boost', 'boolean', 'msm', 'terms_set', "
+                f"'wildcard' or 'regexp', not {mode!r}"
             )
         if mode == "and" and method not in ("wand", "brute"):
             raise ValueError(f"conjunctive scoring supports wand/brute, not {method!r}")
         if mode in ("prefix", "fuzzy", "boost", "boolean", "msm", "terms_set",
-                    "wildcard") and method not in ("wand", "brute"):
+                    "wildcard", "regexp") and method not in ("wand", "brute"):
             raise ValueError(f"{mode} scoring supports wand/brute, not {method!r}")
         if mode in ("phrase", "near", "span_near") and method != "wand":
             raise ValueError(f"{mode} scoring supports method='wand', not {method!r}")
@@ -1040,6 +1040,51 @@ class QueryScorer:
                 terms.update(tokenize(raw))
         return self._score_terms(terms)
 
+    def _expand_regexp(self, pattern: str) -> set[str]:
+        """Regexp expansion (Lucene RegexpQuery: the pattern must match the
+        WHOLE term — re.fullmatch): all dictionary terms matching. Routing
+        mirrors _expand_wildcard: a literal prefix (leading [a-z0-9] chars
+        before the first metacharacter) bisects each segment's sorted
+        dictionary to that range; a pattern with no literal prefix scans
+        the vocabulary — bounded by dictionary size, never corpus size.
+        The supported construct set is the RE2 ∩ Python-re common core
+        (classes, alternation, ., *, +, ?), which is what makes the DuckDB
+        regexp_full_match oracle an exact replay."""
+        import bisect
+        import re as _re
+
+        pre = ""
+        for ch in pattern:
+            if ch.isalnum():
+                pre += ch
+            else:
+                break
+        rx = _re.compile(pattern)
+        out: set[str] = set()
+        for seg in self.segments:
+            ts = seg.terms_sorted
+            if pre:
+                i0 = bisect.bisect_left(ts, pre)
+                i1 = bisect.bisect_left(ts, pre[:-1] + chr(ord(pre[-1]) + 1))
+                cand = ts[i0:i1]
+            else:
+                cand = ts
+            out.update(t for t in cand if rx.fullmatch(t))
+        return out
+
+    def _score_query_regexp(self, text: str) -> tuple[np.ndarray, np.ndarray]:
+        """Regexp retrieval (Lucene RegexpQuery, scoring_boolean rewrite):
+        EVERY whitespace-separated item is a full-match regex over the term
+        dictionary (a plain token is the literal regex matching itself);
+        the union of expansions scores as disjunctive BM25, each matched
+        term with its own global df/idf. Patterns are lowercased (the
+        dictionary is [a-z0-9]+ by the textnorm contract); a pattern
+        matching nothing contributes nothing."""
+        terms: set[str] = set()
+        for raw in text.split():
+            terms |= self._expand_regexp(raw.lower())
+        return self._score_terms(terms)
+
     def _expand_fuzzy(self, tok: str) -> set[str]:
         """Union of each segment's d≤1 dictionary candidates, cached per
         scorer (typo-class queries repeat the same tokens heavily)."""
@@ -1208,6 +1253,8 @@ class QueryScorer:
             return self._score_query_terms_set(text)
         if self.mode == "wildcard":
             return self._score_query_wildcard(text)
+        if self.mode == "regexp":
+            return self._score_query_regexp(text)
         return self._score_terms(set(tokenize(text)))
 
     def _score_terms(self, toks: set[str]) -> tuple[np.ndarray, np.ndarray]:

@@ -1094,6 +1094,42 @@ def test_wildcard_mode_on_real_index(golden_index):
     assert (wild["doc_id"].to_numpy() == disj["doc_id"].to_numpy()).all()
     assert (wild["score"].to_numpy() == disj["score"].to_numpy()).all()
 
+def test_regexp_mode_on_real_index(golden_index):
+    """mode='regexp': expansion == Python re.fullmatch over the corpus
+    vocabulary, and scoring == mode='or' over the expanded literal term set
+    (bit-identical scores); alternation, classes, dots, star quantifiers,
+    prefix-routed and prefixless patterns, and a no-match pattern covered."""
+    import re
+
+    from aarhus_ray.textnorm import tokenize
+
+    idx = golden_index["index"]
+    docs = _docs_table(idx, ["text"])
+    vocab = sorted({t for x in docs["text"].to_pylist() for t in tokenize(x)})
+    pats = ["th(e|at|is)", ".h.", "[ab].*", vocab[0][:1] + ".+", "zz+q?"]
+    q = pa.table({"query_id": pa.array(range(len(pats)), pa.int64()),
+                  "text": pa.array(pats, pa.string())})
+    rex = (
+        query_index(idx, q, k=10, mode="regexp", resolve_urls=False)
+        .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    rows = []
+    for qid, pat in enumerate(pats):
+        expanded = [t for t in vocab if re.fullmatch(pat, t)]
+        if not expanded:
+            continue
+        rows.append((qid, " ".join(expanded)))
+    q_or = pa.table({"query_id": pa.array([r[0] for r in rows], pa.int64()),
+                     "text": pa.array([r[1] for r in rows], pa.string())})
+    disj = (
+        query_index(idx, q_or, k=10, mode="or", resolve_urls=False)
+        .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    assert len(rex) == len(disj)
+    assert (rex["query_id"].to_numpy() == disj["query_id"].to_numpy()).all()
+    assert (rex["doc_id"].to_numpy() == disj["doc_id"].to_numpy()).all()
+    assert (rex["score"].to_numpy() == disj["score"].to_numpy()).all()
+
 def test_search_after_pages_reconstruct_full_sort(golden_index):
     """Chained search_after pages (cursor = last hit of the previous page)
     reconstruct the ENTIRE docvalue ordering with no gaps, overlaps, or
