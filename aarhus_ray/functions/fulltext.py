@@ -2104,6 +2104,70 @@ ORDER BY 1, 2
 """
 
 
+HP_INTERVAL = 4  # histogram pipeline: doclen bucket width (doclen ∈ [10,99])
+
+
+def histogram_pipeline_query(sf_dir: str) -> pd.DataFrame:
+    """Histogram + pipeline aggregations per FT_QUERY (ES `histogram`
+    min_doc_count=0 + `cumulative_sum` + `derivative` over the doclen
+    docvalue): the DENSE bucket series between each match set's min and
+    max bucket — zero-count buckets INCLUDED (that is what makes the
+    pipeline aggs well-defined) — with the running total and the
+    bucket-over-bucket difference (frozen 0 baseline at the series
+    start). Output (query_id, bucket, n_docs, cum_docs, delta_docs) —
+    all integers, hash-exact (pipelines/query.histogram_agg)."""
+    from ..pipelines.query import histogram_agg
+
+    index = _ensure_index(sf_dir, fresh=False)
+    queries = pa.table(
+        {
+            "query_id": pa.array(range(len(FT_QUERIES)), pa.int64()),
+            "text": pa.array(list(FT_QUERIES), pa.string()),
+        }
+    )
+    out = histogram_agg(index, queries, field="doclen", interval=HP_INTERVAL).to_pandas()
+    return out.sort_values(["query_id", "bucket"]).reset_index(drop=True)
+
+
+def histogram_pipeline_oracle_sql() -> str:
+    """Oracle: dense per-query bucket range via generate_series between
+    the match set's min and max bucket, LEFT-JOINed counts (coalesce 0),
+    then window functions replay the pipeline aggs — running SUM for
+    cumulative_sum, value − lag(value, 1, 0) for the derivative with the
+    frozen 0 start baseline."""
+    values = ",".join(
+        f"({qid}, '{term}')" for qid, q in enumerate(FT_QUERIES) for term in q.split()
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok
+    FROM documents) WHERE tok <> ''
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+q(query_id, tok) AS (VALUES {values}),
+qd AS (SELECT DISTINCT query_id, tok FROM q),
+matched AS (SELECT DISTINCT qd.query_id, toks.doc_id FROM qd JOIN toks USING (tok)),
+mb AS (SELECT m.query_id, dl.dl // {HP_INTERVAL} AS bucket
+       FROM matched m JOIN dl USING (doc_id)),
+counts AS (SELECT query_id, bucket, count(*) AS n FROM mb GROUP BY 1, 2),
+bounds AS (SELECT query_id, min(bucket) AS b0, max(bucket) AS b1 FROM mb GROUP BY 1),
+dense AS (SELECT query_id, unnest(generate_series(b0, b1)) AS bucket FROM bounds),
+series AS (
+  SELECT d.query_id, d.bucket, coalesce(c.n, 0) AS n_docs
+  FROM dense d LEFT JOIN counts c ON c.query_id = d.query_id AND c.bucket = d.bucket
+)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(bucket AS BIGINT) AS bucket,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(sum(n_docs) OVER w AS BIGINT) AS cum_docs,
+       CAST(n_docs - lag(n_docs, 1, 0) OVER w AS BIGINT) AS delta_docs
+FROM series
+WINDOW w AS (PARTITION BY query_id ORDER BY bucket)
+ORDER BY query_id, bucket
+"""
+
+
 MS_B_DIV = 1000  # matrix_stats: ts scaled to ms offsets so squares fit int64
 
 

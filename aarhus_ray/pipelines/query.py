@@ -610,6 +610,45 @@ def date_histogram(
     )
 
 
+def histogram_agg(
+    out_dir: str,
+    queries,
+    field: str = "doclen",
+    interval: int = 4,
+    concurrency: int | None = None,
+    batch_size: int = 64,
+) -> ray.data.Dataset:
+    """HISTOGRAM aggregation + bucket PIPELINE aggregations per query (ES
+    `histogram` with min_doc_count=0 + `cumulative_sum` + `derivative`):
+    the DENSE bucket series (empty buckets included) of a numeric docvalue
+    over each query's match set, each bucket carrying n_docs, the running
+    cum_docs and the bucket-over-bucket delta_docs. Returns (query_id,
+    bucket, n_docs, cum_docs, delta_docs); bucket = value // interval.
+    Same stateless-task shape as date_histogram."""
+    from ..stages.query_stage import HistogramPipelineTaskFn
+
+    segs = list_segments(out_dir)
+    if not segs:
+        raise ValueError(f"no segments under {out_dir}")
+    conc = concurrency or max(1, _cpus())
+    if isinstance(queries, str):
+        import pyarrow.parquet as _pq
+
+        queries = _pq.read_table(queries)
+    if isinstance(queries, pa.Table):
+        n_blocks = max(1, min(conc * 4, queries.num_rows // max(1, batch_size) + 1))
+        per = (queries.num_rows + n_blocks - 1) // n_blocks
+        slices = [queries.slice(i * per, per) for i in range(n_blocks) if i * per < queries.num_rows]
+        qds = ray.data.from_arrow(slices)
+    else:
+        qds = queries
+    return qds.map_batches(
+        HistogramPipelineTaskFn(out_dir, segs, field, interval, index_version(out_dir)),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+
+
 def matrix_stats(
     out_dir: str,
     queries,

@@ -2376,6 +2376,62 @@ class DateHistogram(DocvalueTopK):
         )
 
 
+class HistogramPipeline(DocvalueTopK):
+    """HISTOGRAM aggregation + PIPELINE aggregations over the match set
+    (ES `histogram` with min_doc_count=0, plus the two canonical bucket
+    pipeline aggs, `cumulative_sum` and `derivative`): for each query,
+    the DENSE fixed-width bucket series of a numeric docvalue between the
+    match set's min and max bucket — EMPTY buckets included, which is
+    what distinguishes `histogram` from the date_histogram implemented
+    above and is what makes the pipeline aggs well-defined over the
+    series. Per bucket: n_docs (distinct matching visible docs),
+    cum_docs (running total — ES cumulative_sum), delta_docs (difference
+    from the previous bucket — ES derivative, with the series start
+    frozen against an implicit 0 baseline so the output stays total and
+    integer-only; ES emits no value for the first bucket, a gap policy
+    an exact-hash oracle cannot replay with NULL-free columns).
+    Collection cost is the match set + one int64 gather; the dense fold
+    is a bincount over (bucket − b0). At cluster scale per-doc-range
+    partial histograms are additive and concat-merge; the pipeline fold
+    runs post-merge over the (bucket-count-sized) series, never over
+    docs."""
+
+    def __init__(self, out_dir: str, seg_ids: list[int] | None = None,
+                 field: str = "doclen", interval: int = 4):
+        super().__init__(out_dir, seg_ids, field, k=1)
+        self.interval = int(interval)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids_out: list[np.ndarray] = []
+        buckets_out: list[np.ndarray] = []
+        n_out: list[np.ndarray] = []
+        cum_out: list[np.ndarray] = []
+        delta_out: list[np.ndarray] = []
+        for qid, text in zip(batch["query_id"].to_pylist(), batch["text"].to_pylist()):
+            docs = self._match_set(text)
+            if len(docs) == 0:
+                continue
+            vals = self.vals[np.searchsorted(self.doc_ids, docs)]
+            b = vals // self.interval
+            b0, b1 = int(b.min()), int(b.max())
+            n = np.bincount(b - b0, minlength=b1 - b0 + 1).astype(np.int64)
+            qids_out.append(np.full(len(n), qid, dtype=np.int64))
+            buckets_out.append(np.arange(b0, b1 + 1, dtype=np.int64))
+            n_out.append(n)
+            cum_out.append(np.cumsum(n))
+            delta_out.append(np.diff(n, prepend=0))
+        cat = lambda xs: np.concatenate(xs) if xs else np.empty(0, np.int64)  # noqa: E731
+        return pa.table(
+            {
+                "query_id": pa.array(cat(qids_out), pa.int64()),
+                "bucket": pa.array(cat(buckets_out), pa.int64()),
+                "n_docs": pa.array(cat(n_out), pa.int64()),
+                "cum_docs": pa.array(cat(cum_out), pa.int64()),
+                "delta_docs": pa.array(cat(delta_out), pa.int64()),
+            }
+        )
+
+
 class MatchsetPercentiles(DocvalueTopK):
     """PERCENTILES aggregation over the match set (ES percentiles agg,
     exact): per query and requested quantile q, the lower (type-1)
@@ -2633,6 +2689,25 @@ class DateHistogramTaskFn:
             dh = DateHistogram(out_dir, list(seg_ids), field, bucket_us)
             _WORKER_MATCH_AGG_CACHE[key] = dh
         return dh(batch)
+
+
+class HistogramPipelineTaskFn:
+    """Task-fn form of HistogramPipeline (worker-process cache)."""
+
+    def __init__(self, out_dir: str, seg_ids: list[int], field: str,
+                 interval: int, version: float):
+        self.args = (out_dir, tuple(seg_ids), field, interval, version)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_dir, seg_ids, field, interval, version = self.args
+        key = (out_dir, version, seg_ids, field, interval, "histpipe")
+        hp = _WORKER_MATCH_AGG_CACHE.get(key)
+        if hp is None:
+            for kk in [kk for kk in _WORKER_MATCH_AGG_CACHE if kk[0] == out_dir and kk[1] < version]:
+                del _WORKER_MATCH_AGG_CACHE[kk]
+            hp = HistogramPipeline(out_dir, list(seg_ids), field, interval)
+            _WORKER_MATCH_AGG_CACHE[key] = hp
+        return hp(batch)
 
 
 class CompositeAgg(FacetCounter):

@@ -948,6 +948,47 @@ def test_matchset_aggs_on_real_index(golden_index):
     mass = hist.groupby("query_id")["n_docs"].sum().to_dict()
     assert mass == {qid: s[0] for qid, s in want_stats.items()}
 
+def test_histogram_pipeline_on_real_index(golden_index):
+    """histogram_agg == python reference: DENSE doclen bucket series per
+    match set (zero-count buckets inside [min,max] bucket range INCLUDED),
+    cum_docs a running sum, delta_docs the diff against a 0 start
+    baseline; at least one query must exercise a zero bucket for the
+    min_doc_count=0 semantics to be genuinely covered."""
+    import pandas as pd
+
+    from aarhus_ray.pipelines.query import histogram_agg
+    from aarhus_ray.textnorm import tokenize
+
+    idx = golden_index["index"]
+    q = fixtures.gen_queries(12, seed=23)
+    interval = 7
+    got = (
+        histogram_agg(idx, q, field="doclen", interval=interval)
+        .to_pandas().sort_values(["query_id", "bucket"]).reset_index(drop=True)
+    )
+
+    docs = _docs_table(idx, ["doc_id", "text", "doclen"])
+    toks_of = [set(tokenize(t)) for t in docs["text"].to_pylist()]
+    dl_of = docs["doclen"].to_pylist()
+    rows = []
+    saw_zero_bucket = False
+    for qid, text in zip(q["query_id"].to_pylist(), q["text"].to_pylist()):
+        terms = set(tokenize(text))
+        bs = sorted(dl // interval for dt, dl in zip(toks_of, dl_of) if terms & dt)
+        if not bs:
+            continue
+        cum = 0
+        prev = 0
+        for b in range(bs[0], bs[-1] + 1):
+            n = bs.count(b)
+            saw_zero_bucket = saw_zero_bucket or n == 0
+            cum += n
+            rows.append((qid, b, n, cum, n - prev))
+            prev = n
+    want = pd.DataFrame(rows, columns=["query_id", "bucket", "n_docs", "cum_docs", "delta_docs"])
+    assert saw_zero_bucket  # the dense-series semantics must actually fire
+    pd.testing.assert_frame_equal(got.astype("int64"), want.astype("int64"))
+
 def test_function_score_on_real_index(golden_index):
     """function_score (linear time decay) == python reference: full
     disjunctive brute scoring x max(0, 1-|origin-ts|/scale), frozen
