@@ -179,6 +179,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fulltext_date_histogram": fulltext.date_histogram_query,
         # histogram (min_doc_count=0) + cumulative_sum/derivative pipeline
         "fulltext_histogram_pipeline": fulltext.histogram_pipeline_query,
+        # rare_terms: dictionary-driven long-tail buckets per match set
+        "fulltext_rare_terms": fulltext.rare_terms_query,
         # composite agg: full (lang × ts-bucket) space in after_key pages,
         # the pagination loop itself hash-checked via page numbers
         "fulltext_composite_agg": fulltext.composite_agg_query,
@@ -644,6 +646,7 @@ def oracle_sql() -> dict[str, str]:
         "fulltext_function_score": fulltext.function_score_oracle_sql(),
         "fulltext_date_histogram": fulltext.date_histogram_oracle_sql(),
         "fulltext_histogram_pipeline": fulltext.histogram_pipeline_oracle_sql(),
+        "fulltext_rare_terms": fulltext.rare_terms_oracle_sql(),
         "fulltext_composite_agg": fulltext.composite_agg_oracle_sql(),
         "fulltext_matchset_stats": fulltext.matchset_stats_oracle_sql(),
         "fulltext_matrix_stats": fulltext.matrix_stats_oracle_sql(),

@@ -2104,6 +2104,55 @@ ORDER BY 1, 2
 """
 
 
+RT_MAX_DF = 100  # rare_terms: global-df rarity threshold (catches 'dup',
+#                  the planted near-dup marker term; every other corpus
+#                  term sits in ~380-460 docs)
+
+
+def rare_terms_query(sf_dir: str) -> pd.DataFrame:
+    """Rare-terms aggregation per FT_QUERY (ES rare_terms, exact
+    dictionary-driven variant): vocabulary terms with global df ≤
+    RT_MAX_DF appearing in ≥1 matching doc, with matching-doc counts.
+    Output (query_id, term, n_docs) — hash-exact
+    (pipelines/query.rare_terms)."""
+    from ..pipelines.query import rare_terms
+
+    index = _ensure_index(sf_dir, fresh=False)
+    queries = pa.table(
+        {
+            "query_id": pa.array(range(len(FT_QUERIES)), pa.int64()),
+            "text": pa.array(list(FT_QUERIES), pa.string()),
+        }
+    )
+    out = rare_terms(index, queries, max_doc_count=RT_MAX_DF).to_pandas()
+    return out.sort_values(["query_id", "term"]).reset_index(drop=True)
+
+
+def rare_terms_oracle_sql() -> str:
+    values = ",".join(
+        f"({qid}, '{term}')" for qid, q in enumerate(FT_QUERIES) for term in q.split()
+    )
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok
+    FROM documents) WHERE tok <> ''
+),
+rare AS (SELECT tok FROM toks GROUP BY tok HAVING count(*) <= {RT_MAX_DF}),
+q(query_id, tok) AS (VALUES {values}),
+qd AS (SELECT DISTINCT query_id, tok FROM q),
+matched AS (SELECT DISTINCT qd.query_id, toks.doc_id FROM qd JOIN toks USING (tok))
+SELECT CAST(m.query_id AS BIGINT) AS query_id,
+       t.tok AS term,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM matched m
+JOIN toks t USING (doc_id)
+JOIN rare r ON r.tok = t.tok
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 HP_INTERVAL = 4  # histogram pipeline: doclen bucket width (doclen ∈ [10,99])
 
 

@@ -499,6 +499,42 @@ def match_counts(
     )
 
 
+def rare_terms(
+    out_dir: str,
+    queries,
+    max_doc_count: int = 100,
+    concurrency: int | None = None,
+    batch_size: int = 64,
+) -> ray.data.Dataset:
+    """RARE-TERMS aggregation per query (ES `rare_terms`, the exact
+    dictionary-driven variant — see stages.query_stage.RareTerms): the
+    vocabulary terms with global df ≤ max_doc_count present in ≥1 matching
+    doc, with their matching-doc counts. Returns (query_id, term, n_docs).
+    Same stateless-task shape as match_counts."""
+    from ..stages.query_stage import RareTermsTaskFn
+
+    segs = list_segments(out_dir)
+    if not segs:
+        raise ValueError(f"no segments under {out_dir}")
+    conc = concurrency or max(1, _cpus())
+    if isinstance(queries, str):
+        import pyarrow.parquet as _pq
+
+        queries = _pq.read_table(queries)
+    if isinstance(queries, pa.Table):
+        n_blocks = max(1, min(conc * 4, queries.num_rows // max(1, batch_size) + 1))
+        per = (queries.num_rows + n_blocks - 1) // n_blocks
+        slices = [queries.slice(i * per, per) for i in range(n_blocks) if i * per < queries.num_rows]
+        qds = ray.data.from_arrow(slices)
+    else:
+        qds = queries
+    return qds.map_batches(
+        RareTermsTaskFn(out_dir, segs, max_doc_count, index_version(out_dir)),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+
+
 def function_score_topk(
     out_dir: str,
     queries,

@@ -2233,6 +2233,70 @@ class MatchCounter:
         )
 
 
+class RareTerms(MatchCounter):
+    """RARE-TERMS aggregation (ES `rare_terms`, dictionary-driven
+    variant): per query, the vocabulary terms with GLOBAL df ≤
+    max_doc_count that occur in ≥ 1 matching doc, each with the count of
+    matching docs containing it. Deliberate, documented deviation from
+    ES (which measures rarity WITHIN the agg context using a CuckooFilter
+    and is approximate): rarity here is the corpus-global df folded from
+    the shard dictionaries, which is exactly what makes the operator
+    scale-safe AND exact — candidates come from the DICTIONARY (global
+    df ≤ T bounds each candidate's postings at T entries, so the whole
+    candidate state is vocabulary-shaped, never corpus-shaped) instead
+    of enumerating matched docs' terms. Global df ≤ T implies context
+    df ≤ T, so every emitted bucket satisfies the ES predicate; the
+    variant can only miss terms globally common but rare in one match
+    set — the boilerplate terms rare_terms exists to exclude anyway. At
+    cluster scale the term-sharded dictionaries each contribute their
+    own rare candidates and per-doc-range counts concat-merge."""
+
+    def __init__(self, out_dir: str, seg_ids: list[int] | None = None,
+                 max_doc_count: int = 100):
+        super().__init__(out_dir, seg_ids)
+        self.max_doc_count = int(max_doc_count)
+        gdf: dict[str, int] = {}
+        for seg in self.segments:
+            for t, entry in seg.dict.items():
+                gdf[t] = gdf.get(t, 0) + entry[0]
+        # rare candidates + their (tiny, df-bounded) postings, loaded once
+        # per worker; shards are docID-disjoint so concat+sort is exact
+        self.rare: list[tuple[str, np.ndarray]] = []
+        for t in sorted(gdf):
+            if gdf[t] <= self.max_doc_count:
+                lists = []
+                for seg in self.segments:
+                    got = seg.term_postings(t)
+                    if got is not None:
+                        lists.append(got[0])
+                self.rare.append((t, np.sort(np.concatenate(lists))))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids_out: list[int] = []
+        terms_out: list[str] = []
+        counts_out: list[int] = []
+        for qid, text in zip(batch["query_id"].to_pylist(), batch["text"].to_pylist()):
+            docs = self._match_set(text)
+            if len(docs) == 0:
+                continue
+            for t, ids in self.rare:
+                pos = np.searchsorted(docs, ids)
+                ok = pos < len(docs)
+                ok[ok] = docs[pos[ok]] == ids[ok]
+                n = int(ok.sum())
+                if n:
+                    qids_out.append(qid)
+                    terms_out.append(t)
+                    counts_out.append(n)
+        return pa.table(
+            {
+                "query_id": pa.array(qids_out, pa.int64()),
+                "term": pa.array(terms_out, pa.string()),
+                "n_docs": pa.array(counts_out, pa.int64()),
+            }
+        )
+
+
 class AdjacencyMatrix(MatchCounter):
     """ADJACENCY-MATRIX aggregation (ES `adjacency_matrix`): for each
     input PAIR of filters (here: two disjunctive term queries), the sizes
@@ -2630,6 +2694,25 @@ class MatchCountTaskFn:
             mc = MatchCounter(out_dir, list(seg_ids))
             _WORKER_MATCH_COUNT_CACHE[key] = mc
         return mc(batch)
+
+
+class RareTermsTaskFn:
+    """Task-fn form of RareTerms (worker-process cache)."""
+
+    def __init__(self, out_dir: str, seg_ids: list[int], max_doc_count: int,
+                 version: float):
+        self.args = (out_dir, tuple(seg_ids), max_doc_count, version)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_dir, seg_ids, max_doc_count, version = self.args
+        key = (out_dir, version, seg_ids, max_doc_count, "rare")
+        rt = _WORKER_MATCH_AGG_CACHE.get(key)
+        if rt is None:
+            for kk in [kk for kk in _WORKER_MATCH_AGG_CACHE if kk[0] == out_dir and kk[1] < version]:
+                del _WORKER_MATCH_AGG_CACHE[kk]
+            rt = RareTerms(out_dir, list(seg_ids), max_doc_count)
+            _WORKER_MATCH_AGG_CACHE[key] = rt
+        return rt(batch)
 
 
 class FunctionScoreTaskFn:

@@ -989,6 +989,43 @@ def test_histogram_pipeline_on_real_index(golden_index):
     assert saw_zero_bucket  # the dense-series semantics must actually fire
     pd.testing.assert_frame_equal(got.astype("int64"), want.astype("int64"))
 
+def test_rare_terms_on_real_index(golden_index):
+    """rare_terms == python reference: terms with global df <= T present
+    in >=1 matching doc, counted over the match set; T chosen so the
+    fixture vocabulary yields a real rare tail (and the reference must
+    find at least one bucket for the test to mean anything)."""
+    from aarhus_ray.pipelines.query import rare_terms as rare_terms_agg
+    from aarhus_ray.textnorm import tokenize
+
+    idx = golden_index["index"]
+    q = fixtures.gen_queries(8, seed=29)
+    T = 5
+    got = (
+        rare_terms_agg(idx, q, max_doc_count=T)
+        .to_pandas().sort_values(["query_id", "term"]).reset_index(drop=True)
+    )
+
+    docs = _docs_table(idx, ["doc_id", "text"])
+    toks_of = [set(tokenize(t)) for t in docs["text"].to_pylist()]
+    gdf: dict[str, int] = {}
+    for dt in toks_of:
+        for t in dt:
+            gdf[t] = gdf.get(t, 0) + 1
+    rare_vocab = {t for t, d in gdf.items() if d <= T}
+    assert rare_vocab  # fixture must have a rare tail
+    want = []
+    for qid, text in zip(q["query_id"].to_pylist(), q["text"].to_pylist()):
+        terms = set(tokenize(text))
+        matched = [dt for dt in toks_of if terms & dt]
+        if not matched:
+            continue
+        for rt in sorted(rare_vocab):
+            n = sum(1 for dt in matched if rt in dt)
+            if n:
+                want.append((qid, rt, n))
+    assert [tuple(r) for r in got.itertuples(index=False)] == want
+    assert want  # at least one bucket actually emitted
+
 def test_function_score_on_real_index(golden_index):
     """function_score (linear time decay) == python reference: full
     disjunctive brute scoring x max(0, 1-|origin-ts|/scale), frozen
