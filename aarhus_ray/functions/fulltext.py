@@ -286,6 +286,85 @@ def bm25_deleted_oracle_sql(k: int = 10) -> str:
     return bm25_oracle_sql(k, where=f"doc_id % {DELETE_MOD} <> 0")
 
 
+# delete_by_query filter: conjunctive — docs containing BOTH terms die
+DBQ_TEXT = "vector stream"
+
+
+def bm25_topk_delete_by_query(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """ES _delete_by_query, PRE-compaction semantics (the state deletes
+    live in until a merge): copy the cached index, delete_by_query the
+    conjunctive match set of DBQ_TEXT (streamed straight to a tombstone
+    generation — pipelines/maintain.delete_by_query), then answer
+    FT_QUERIES. Visibility-only is the Lucene contract being pinned:
+    tombstoned docs vanish from every ranking while N/avgdl/df keep the
+    PRE-delete globals — so the oracle scores over the FULL corpus and
+    only the eligibility anti-join excludes the deleted set. (The
+    post-compaction fresh-stats contract is pinned separately by
+    fulltext_bm25_deleted.)"""
+    from ..pipelines.maintain import delete_by_query
+
+    base = _ensure_index(sf_dir, fresh=False)
+    work = _work_dir(sf_dir) + "_dbq"
+    shutil.rmtree(work, ignore_errors=True)
+    index = os.path.join(work, "index")
+    os.makedirs(work)
+    shutil.copytree(base, index)
+    delete_by_query(index, DBQ_TEXT, mode="and")
+    return _run_queries(index, FT_QUERIES, k, "or")
+
+
+def bm25_delete_by_query_oracle_sql(k: int = 10) -> str:
+    """Full-corpus-stats BM25 (stale statistics — the Lucene pre-merge
+    contract) with the conjunctive DBQ_TEXT match set anti-joined out of
+    the ranking."""
+    values = ",".join(
+        f"({qid}, '{term}')"
+        for qid, q in enumerate(FT_QUERIES)
+        for term in q.split()
+    )
+    dbq_terms = ",".join(f"'{t}'" for t in sorted(set(DBQ_TEXT.split())))
+    n_dbq = len(set(DBQ_TEXT.split()))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok
+    FROM documents) WHERE tok <> ''
+),
+dl AS (SELECT d.doc_id, CAST(coalesce(t.c, 0) AS DOUBLE) AS dl
+       FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS c FROM toks GROUP BY 1) t USING (doc_id)),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+deleted AS (
+  SELECT doc_id FROM (SELECT DISTINCT doc_id, tok FROM toks WHERE tok IN ({dbq_terms}))
+  GROUP BY doc_id HAVING count(*) = {n_dbq}
+),
+q(query_id, tok) AS (VALUES {values}),
+qd AS (SELECT DISTINCT query_id, tok FROM q),
+scored AS (
+  SELECT qd.query_id, tf.doc_id,
+         sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * (1.2 + 1.0)
+              / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score
+  FROM qd
+  JOIN tf USING (tok)
+  JOIN df USING (tok)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+  FROM scored
+  WHERE doc_id NOT IN (SELECT doc_id FROM deleted)
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank, doc_id
+FROM ranked WHERE rank <= {k}
+ORDER BY query_id, rank
+"""
+
+
 def bm25_topk_phrase_positional(sf_dir: str, k: int = 10) -> pd.DataFrame:
     """Exact-phrase retrieval over a POSITIONAL index (pos.bin sidecar):
     candidates from the conjunctive intersection, adjacency verified by

@@ -231,6 +231,49 @@ def delete_documents(
     return {"n_requested": n_requested, "n_tombstoned": int(len(ids))}
 
 
+def delete_by_query(out_dir: str, text: str, mode: str = "or") -> dict:
+    """ES ``_delete_by_query``: tombstone every VISIBLE doc matching a
+    retrieval query — ``mode="or"`` (any distinct query term) or
+    ``mode="and"`` (every distinct term), the same match semantics the
+    search path uses. The match set NEVER lands on the driver: the
+    export_matches stream (the scroll API — exactly how ES implements
+    delete_by_query internally: scroll + bulk-delete) writes (doc_id)
+    blocks straight into a tombstone generation DIRECTORY with
+    backpressure, which is renamed into place atomically (a torn write is
+    never visible) and folded by read_tombstones like any file
+    generation. Already-tombstoned docs are excluded from the match set,
+    so re-running is idempotent (second run tombstones 0). Deletes stay
+    VISIBILITY-ONLY until compact_index, exactly like delete_documents.
+    Returns {"n_tombstoned"}."""
+    if not os.path.exists(os.path.join(out_dir, INDEX_MARKER)):
+        raise ValueError(f"{out_dir} is not a completed index (missing {INDEX_MARKER})")
+    from .query import export_matches
+
+    q = pa.table(
+        {"query_id": pa.array([0], pa.int64()), "text": pa.array([text], pa.string())}
+    )
+    ts_dir = os.path.join(out_dir, "tombstones")
+    os.makedirs(ts_dir, exist_ok=True)
+    gen = len(glob.glob(os.path.join(ts_dir, "gen-q*")))
+    tmp = os.path.join(ts_dir, f".tmp-gen-q{gen:04d}")
+    shutil.rmtree(tmp, ignore_errors=True)
+    ds = export_matches(out_dir, q, mode=mode).select_columns(["doc_id"])
+    ds.write_parquet(tmp)
+    n = sum(
+        pq.read_metadata(f).num_rows
+        for f in glob.glob(os.path.join(tmp, "*.parquet"))
+    )
+    if n == 0:
+        shutil.rmtree(tmp, ignore_errors=True)
+        return {"n_tombstoned": 0}
+    os.replace(tmp, os.path.join(ts_dir, f"gen-q{gen:04d}"))
+    total = mf.read_tombstones(out_dir)
+    stats = mf.read_stats(out_dir)
+    # rewrite bumps stats.json mtime == index_version → caches refresh
+    mf.write_stats(out_dir, dict(stats, n_tombstones=int(len(total))))
+    return {"n_tombstoned": int(n)}
+
+
 @ray.remote
 def _rewrite_docs_file(src: str, dst: str, ts) -> tuple[int, int]:
     """Copy one docs/pid file minus tombstoned rows (atomic tmp+rename);

@@ -932,13 +932,16 @@ def export_matches(
     queries,
     concurrency: int | None = None,
     batch_size: int = 16,
+    mode: str = "or",
 ) -> ray.data.Dataset:
     """SCROLL/EXPORT: the full match set per query as a streaming Dataset
     (query_id, doc_id) — the bulk API that feeds downstream jobs (rescore,
     join, training-set extraction) instead of a result page. Small batch_size:
     each input query can fan out to corpus-scale output rows, and blocks
     stream through the executor with backpressure; consume with
-    write_parquet or further map_batches, never take_all."""
+    write_parquet or further map_batches, never take_all.
+    ``mode="and"`` exports the conjunctive match set instead (docs
+    containing EVERY distinct query term)."""
     from ..stages.query_stage import MatchExportTaskFn
 
     segs = list_segments(out_dir)
@@ -957,7 +960,7 @@ def export_matches(
     else:
         qds = queries
     return qds.map_batches(
-        MatchExportTaskFn(out_dir, segs, index_version(out_dir)),
+        MatchExportTaskFn(out_dir, segs, index_version(out_dir), mode),
         batch_format="pyarrow",
         batch_size=batch_size,
     )

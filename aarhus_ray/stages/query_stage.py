@@ -2380,13 +2380,53 @@ class MatchExporter(MatchCounter):
     page. Inherits MatchCounter's state (segments + tombstones); emits
     doc_ids ascending per query. The output is a STREAM of blocks — a
     query matching 10^9 docs produces many blocks flowing through
-    map_batches → write_parquet with backpressure, never a driver list."""
+    map_batches → write_parquet with backpressure, never a driver list.
+
+    ``mode="and"`` switches to the CONJUNCTIVE match set (docs containing
+    every distinct query term; an OOV term empties the set) — per-term
+    postings unions intersected smallest-first, the same semantics as
+    retrieval mode="and". This is what _delete_by_query-style bulk
+    operations filter with."""
+
+    def __init__(self, out_dir: str, seg_ids: list[int] | None = None,
+                 mode: str = "or"):
+        super().__init__(out_dir, seg_ids)
+        if mode not in ("or", "and"):
+            raise ValueError(f"export mode must be 'or' or 'and', not {mode!r}")
+        self.mode = mode
+
+    def _match_set_and(self, text: str) -> np.ndarray:
+        per_term: list[np.ndarray] = []
+        for t in set(tokenize(text)):
+            lists = []
+            for seg in self.segments:
+                got = seg.term_postings(t)
+                if got is not None:
+                    lists.append(got[0])
+            if not lists:
+                return np.empty(0, np.uint64)  # OOV term ⇒ empty conjunction
+            per_term.append(np.unique(np.concatenate(lists)))
+        if not per_term:
+            return np.empty(0, np.uint64)
+        per_term.sort(key=len)  # smallest-first: the rare term pays
+        docs = per_term[0]
+        for ids in per_term[1:]:
+            pos = np.searchsorted(ids, docs)
+            ok = pos < len(ids)
+            ok[ok] = ids[pos[ok]] == docs[ok]
+            docs = docs[ok]
+        if self.exclude_ids is not None:
+            pos = np.searchsorted(self.exclude_ids, docs)
+            ok = pos < len(self.exclude_ids)
+            ok[ok] = self.exclude_ids[pos[ok]] == docs[ok]
+            docs = docs[~ok]
+        return docs
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         qids_out: list[np.ndarray] = []
         docs_out: list[np.ndarray] = []
         for qid, text in zip(batch["query_id"].to_pylist(), batch["text"].to_pylist()):
-            docs = self._match_set(text)
+            docs = self._match_set(text) if self.mode == "or" else self._match_set_and(text)
             if len(docs) == 0:
                 continue
             qids_out.append(np.full(len(docs), qid, dtype=np.int64))
@@ -2663,17 +2703,18 @@ _WORKER_SYNONYM_CACHE: dict[tuple, "SynonymTopK"] = {}
 class MatchExportTaskFn:
     """Task-fn form of MatchExporter (worker-process cache)."""
 
-    def __init__(self, out_dir: str, seg_ids: list[int], version: float):
-        self.args = (out_dir, tuple(seg_ids), version)
+    def __init__(self, out_dir: str, seg_ids: list[int], version: float,
+                 mode: str = "or"):
+        self.args = (out_dir, tuple(seg_ids), version, mode)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        out_dir, seg_ids, version = self.args
-        key = (out_dir, version, seg_ids)
+        out_dir, seg_ids, version, mode = self.args
+        key = (out_dir, version, seg_ids, mode)
         me = _WORKER_MATCH_EXPORT_CACHE.get(key)
         if me is None:
             for kk in [kk for kk in _WORKER_MATCH_EXPORT_CACHE if kk[0] == out_dir and kk[1] < version]:
                 del _WORKER_MATCH_EXPORT_CACHE[kk]
-            me = MatchExporter(out_dir, list(seg_ids))
+            me = MatchExporter(out_dir, list(seg_ids), mode)
             _WORKER_MATCH_EXPORT_CACHE[key] = me
         return me(batch)
 

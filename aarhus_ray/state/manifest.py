@@ -124,7 +124,11 @@ def read_tombstones(out_dir: str):
     pipelines/maintain.delete_documents; purged by compact_index."""
     import glob
 
+    # a generation is one atomic file (delete_documents) OR one atomic
+    # DIRECTORY of parquet parts (delete_by_query streams the match set
+    # straight to disk and renames the directory into place)
     files = sorted(glob.glob(os.path.join(out_dir, "tombstones", "gen-*.parquet")))
+    files += sorted(glob.glob(os.path.join(out_dir, "tombstones", "gen-*", "*.parquet")))
     if not files:
         return None
     import numpy as np

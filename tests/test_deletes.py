@@ -144,3 +144,47 @@ def test_delete_args_validated(del_base, tmp_path):
         delete_documents(idx)
     with pytest.raises(ValueError, match="exactly one"):
         delete_documents(idx, urls=["u"], doc_ids=[1])
+
+
+def test_delete_by_query_matches_manual_tombstones(del_base, tmp_path):
+    """delete_by_query(text) ≡ delete_documents(doc_ids=<match set>) for
+    both boolean modes: identical tombstone sets, identical post-delete
+    rankings (bit-for-bit), and a second identical call tombstones 0
+    (idempotent — already-deleted docs leave the visible match set)."""
+    from aarhus_ray.pipelines.maintain import delete_by_query
+    from aarhus_ray.pipelines.query import export_matches
+    from aarhus_ray.textnorm import tokenize
+
+    # pick a two-term query whose AND and OR sets genuinely differ
+    texts = pa.concat_tables(
+        pq.read_table(f, columns=["doc_id", "text"])
+        for f in sorted(glob.glob(f"{del_base['idx']}/docs/pid=*.parquet"))
+    )
+    toks_of = dict(zip(texts["doc_id"].to_pylist(),
+                       [set(tokenize(t)) for t in texts["text"].to_pylist()]))
+    t0 = sorted(toks_of[next(iter(toks_of))])[0]
+    t1 = next(t for dt in toks_of.values() for t in sorted(dt) if t != t0)
+    q_text = f"{t0} {t1}"
+    for mode in ("or", "and"):
+        want_ids = sorted(
+            d for d, dt in toks_of.items()
+            if (({t0, t1} & dt) if mode == "or" else ({t0, t1} <= dt))
+        )
+        idx_a = _copy(del_base, tmp_path, f"dbq_{mode}_a")
+        idx_b = _copy(del_base, tmp_path, f"dbq_{mode}_b")
+        r = delete_by_query(idx_a, q_text, mode=mode)
+        assert r["n_tombstoned"] == len(want_ids)
+        assert list(mf.read_tombstones(idx_a)) == want_ids
+        delete_documents(idx_b, doc_ids=want_ids)
+        qa = query_index(idx_a, del_base["queries"], k=10, resolve_urls=False).to_pandas()
+        qb = query_index(idx_b, del_base["queries"], k=10, resolve_urls=False).to_pandas()
+        assert (qa["doc_id"].to_numpy() == qb["doc_id"].to_numpy()).all()
+        assert (qa["score"].to_numpy() == qb["score"].to_numpy()).all()
+        # idempotency: the visible match set is now empty for this query
+        r2 = delete_by_query(idx_a, q_text, mode=mode)
+        assert r2["n_tombstoned"] == 0
+        # export stream excludes tombstoned docs
+        qtab = pa.table({"query_id": pa.array([0], pa.int64()),
+                         "text": pa.array([q_text], pa.string())})
+        left = export_matches(idx_a, qtab, mode=mode).to_pandas()
+        assert len(left) == 0
