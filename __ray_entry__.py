@@ -158,6 +158,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fulltext_bm25_deleted": fulltext.bm25_topk_deleted,
         # delete_by_query: streamed tombstones, pre-compaction visibility
         "fulltext_delete_by_query": fulltext.bm25_topk_delete_by_query,
+        # update_by_query: delete + re-add delta, stale stats until merge
+        "fulltext_update_by_query": fulltext.bm25_topk_update_by_query,
         "fulltext_index_stats": fulltext.index_stats,  # build-completeness audit
         "fulltext_bm25_snippets": fulltext.bm25_snippets,  # KWIC result windows
         "fulltext_bm25_filtered": fulltext.bm25_topk_filtered,  # lang-facet filter
@@ -635,6 +637,7 @@ def oracle_sql() -> dict[str, str]:
         "fulltext_facet_topk": fulltext.facet_topk_oracle_sql(),
         "fulltext_bm25_deleted": fulltext.bm25_deleted_oracle_sql(),
         "fulltext_delete_by_query": fulltext.bm25_delete_by_query_oracle_sql(),
+        "fulltext_update_by_query": fulltext.bm25_update_by_query_oracle_sql(),
         "fulltext_index_stats": fulltext.index_stats_oracle_sql(),
         "fulltext_bm25_snippets": fulltext.bm25_snippets_oracle_sql(),
         "fulltext_bm25_filtered": fulltext.bm25_filtered_oracle_sql(),

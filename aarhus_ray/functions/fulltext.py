@@ -1082,6 +1082,118 @@ ORDER BY query_id, rank
 """
 
 
+# update_by_query: conjunctive filter, transform appends one new token
+UBQ_TEXT = "slow merge"
+UBQ_SUFFIX = " refreshed"
+UBQ_OFFSET = 10_000_000  # oracle-side id for a doc's NEW version
+
+
+def _ubq_transform(t: str) -> str:
+    return t + UBQ_SUFFIX
+
+
+def bm25_topk_update_by_query(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """ES _update_by_query with exact Lucene update semantics, PRE-merge:
+    copy the cached index, update every doc matching UBQ_TEXT (AND) by
+    appending UBQ_SUFFIX (pipelines/maintain.update_by_query: streamed
+    tombstones + delta generation), then answer FT_QUERIES. The contract
+    pinned here: old versions stay in N/avgdl/df until compaction (an
+    update is a delete + re-add), new versions rank with the folded
+    stats. Ranked via the _full_ranking pattern (brute over the whole
+    match set, re-ranked in SOURCE doc_id space) so bit-equal score ties
+    order exactly as the oracle's (score DESC, source doc_id ASC)."""
+    from ..pipelines.maintain import update_by_query
+
+    base = _ensure_index(sf_dir, fresh=False)
+    work = _work_dir(sf_dir) + "_ubq"
+    shutil.rmtree(work, ignore_errors=True)
+    index = os.path.join(work, "index")
+    os.makedirs(work)
+    shutil.copytree(base, index)
+    update_by_query(index, UBQ_TEXT, _ubq_transform, mode="and")
+    queries = pa.table(
+        {
+            "query_id": pa.array(range(len(FT_QUERIES)), pa.int64()),
+            "text": pa.array(list(FT_QUERIES), pa.string()),
+        }
+    )
+    res = query_index(index, queries, k=1 << 20, method="brute", resolve_urls=True).to_pandas()
+    res["doc_id"] = res["url"].map(url_doc_id).astype("int64")
+    res = res.sort_values(["query_id", "score", "doc_id"], ascending=[True, False, True])
+    res["rank"] = res.groupby("query_id").cumcount() + 1
+    out = res[res["rank"] <= k][["query_id", "rank", "doc_id"]]
+    out["rank"] = out["rank"].astype("int32")
+    return out.reset_index(drop=True)
+
+
+def bm25_update_by_query_oracle_sql(k: int = 10) -> str:
+    """Update oracle: corpus' = documents UNION ALL the transformed
+    versions of the conjunctive UBQ_TEXT match set (new id = old +
+    UBQ_OFFSET). EVERY statistic (N, avgdl, df, tf) is computed over
+    corpus' INCLUDING the superseded old versions — the Lucene pre-merge
+    contract — and only the eligibility filter hides them; output ids
+    fold back with % UBQ_OFFSET."""
+    values = ",".join(
+        f"({qid}, '{term}')"
+        for qid, q in enumerate(FT_QUERIES)
+        for term in q.split()
+    )
+    upd_terms = ",".join(f"'{t}'" for t in sorted(set(UBQ_TEXT.split())))
+    n_upd = len(set(UBQ_TEXT.split()))
+    return f"""
+WITH base_toks AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok
+    FROM documents) WHERE tok <> ''
+),
+upd AS (
+  SELECT doc_id FROM base_toks WHERE tok IN ({upd_terms})
+  GROUP BY doc_id HAVING count(*) = {n_upd}
+),
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT d.doc_id + {UBQ_OFFSET}, d.text || '{UBQ_SUFFIX}'
+  FROM documents d JOIN upd u ON d.doc_id = u.doc_id
+),
+toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok
+    FROM corpus) WHERE tok <> ''
+),
+dl AS (SELECT c.doc_id, CAST(coalesce(t.c, 0) AS DOUBLE) AS dl
+       FROM corpus c LEFT JOIN (SELECT doc_id, count(*) AS c FROM toks GROUP BY 1) t USING (doc_id)),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+q(query_id, tok) AS (VALUES {values}),
+qd AS (SELECT DISTINCT query_id, tok FROM q),
+scored AS (
+  SELECT qd.query_id, tf.doc_id,
+         sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * (1.2 + 1.0)
+              / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score
+  FROM qd
+  JOIN tf USING (tok)
+  JOIN df USING (tok)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, doc_id % {UBQ_OFFSET} AS doc_id,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY score DESC, doc_id % {UBQ_OFFSET}
+         ) AS rank
+  FROM scored
+  WHERE NOT (doc_id < {UBQ_OFFSET} AND doc_id IN (SELECT doc_id FROM upd))
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank, doc_id
+FROM ranked WHERE rank <= {k}
+ORDER BY query_id, rank
+"""
+
+
 # Regexp query set (Lucene RegexpQuery: pattern must match the WHOLE term).
 # Constructs restricted to the RE2 ∩ Python-re common core so the DuckDB
 # regexp_full_match oracle replays expansion exactly: alternation, classes,

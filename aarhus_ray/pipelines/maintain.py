@@ -265,13 +265,115 @@ def delete_by_query(out_dir: str, text: str, mode: str = "or") -> dict:
     )
     if n == 0:
         shutil.rmtree(tmp, ignore_errors=True)
-        return {"n_tombstoned": 0}
-    os.replace(tmp, os.path.join(ts_dir, f"gen-q{gen:04d}"))
+        return {"n_tombstoned": 0, "generation": None}
+    gen_dir = os.path.join(ts_dir, f"gen-q{gen:04d}")
+    os.replace(tmp, gen_dir)
     total = mf.read_tombstones(out_dir)
     stats = mf.read_stats(out_dir)
     # rewrite bumps stats.json mtime == index_version → caches refresh
     mf.write_stats(out_dir, dict(stats, n_tombstones=int(len(total))))
-    return {"n_tombstoned": int(n)}
+    return {"n_tombstoned": int(n), "generation": gen_dir}
+
+
+@ray.remote
+def _updated_pages_file(src: str, dst: str, ids, transform) -> int:
+    """One docs/pid file's rows in ``ids`` (sorted uint64, one broadcast
+    ray.put ref) re-materialized as pages-schema rows with ``transform``
+    applied to text, the crawl ts bumped by 1 µs (the recrawl must win
+    dedup) and the html re-wrapped so the rebuilt extraction reproduces
+    the transformed text. Returns the row count written (0 ⇒ no file)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    t = pq.read_table(src, columns=["doc_id", "url", "warc_ts", "lang", "text"])
+    doc_ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    pos = np.searchsorted(ids, doc_ids)
+    hit = pos < len(ids)
+    hit[hit] = ids[pos[hit]] == doc_ids[hit]
+    if not hit.any():
+        return 0
+    t = t.filter(pa.array(hit))
+    new_text = [transform(x) for x in t["text"].to_pylist()]
+    pages = pa.table(
+        {
+            "url": t["url"],
+            "warc_ts": pc.add(t["warc_ts"].cast(pa.int64()), 1).cast(pa.timestamp("us")),
+            "html": pa.array(
+                [f"<html><body><p>{x}</p></body></html>".encode() for x in new_text],
+                pa.binary(),
+            ),
+            "text": pa.array(new_text, pa.string()),
+            "lang": t["lang"],
+        }
+    )
+    tmp = dst + ".tmp"
+    pq.write_table(pages, tmp)
+    os.replace(tmp, dst)
+    return pages.num_rows
+
+
+def update_by_query(
+    out_dir: str,
+    text: str,
+    transform,
+    *,
+    mode: str = "and",
+    num_partitions: int = 4,
+    extract_batch_size: int = 256,
+) -> dict:
+    """ES ``_update_by_query``: apply a deterministic, pure ``transform``
+    (the "script") to the text of every visible doc matching the retrieval
+    query, with exact Lucene update semantics — an update IS a delete plus
+    a re-add: (1) delete_by_query streams the match set into a tombstone
+    generation; (2) each matched doc's source row re-materializes as a
+    pages row (transformed text, crawl ts bumped 1 µs) via one pruned Ray
+    task per docs/pid file with the id set broadcast once; (3) the new
+    versions graft in as an add_documents delta generation (disjoint pid
+    range, folded stats). Consequently — and this is the contract being
+    pinned — the OLD versions keep contributing to N/avgdl/df until
+    compact_index merges them away, exactly like Lucene deleted docs;
+    post-compaction the index is fresh-build exact over the updated
+    corpus. Returns {"n_updated", "stats"}."""
+    r = delete_by_query(out_dir, text, mode=mode)
+    if r["n_tombstoned"] == 0:
+        return {"n_updated": 0, "stats": mf.read_stats(out_dir)}
+    import numpy as np
+
+    gen_files = sorted(glob.glob(os.path.join(r["generation"], "*.parquet")))
+    ids = np.unique(
+        np.concatenate(
+            [
+                pq.read_table(f, columns=["doc_id"])["doc_id"]
+                .to_numpy(zero_copy_only=False)
+                .astype(np.uint64)
+                for f in gen_files
+            ]
+        )
+    )
+    ids_ref = ray.put(ids)
+    pages_dir = os.path.join(out_dir, ".update-pages.tmp")
+    shutil.rmtree(pages_dir, ignore_errors=True)
+    os.makedirs(pages_dir)
+    srcs = sorted(glob.glob(os.path.join(out_dir, "docs", "pid=*.parquet")))
+    counts = ray.get(
+        [
+            _updated_pages_file.remote(
+                f,
+                os.path.join(pages_dir, f"upd-{os.path.basename(f)}"),
+                ids_ref,
+                transform,
+            )
+            for f in srcs
+        ]
+    )
+    stats = add_documents(
+        out_dir,
+        pages_dir,
+        num_partitions=num_partitions,
+        extract_batch_size=extract_batch_size,
+    )
+    shutil.rmtree(pages_dir, ignore_errors=True)
+    return {"n_updated": int(sum(counts)), "stats": stats}
 
 
 @ray.remote

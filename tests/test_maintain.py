@@ -124,3 +124,81 @@ def test_compaction_preserves_results_bitwise(incr_setup):
     assert len(conj_before) == len(conj_after)
     assert (conj_before["doc_id"].to_numpy() == conj_after["doc_id"].to_numpy()).all()
     assert (conj_before["score"].to_numpy() == conj_after["score"].to_numpy()).all()
+
+
+def test_update_by_query_lifecycle(tmp_path):
+    """update_by_query: matched docs' OLD versions vanish from results,
+    NEW versions (transformed text) rank; tokens introduced by the
+    transform are retrievable and hit exactly the updated urls; stats keep
+    the old versions folded in (n_docs grows by n_updated — the Lucene
+    delete+re-add contract); compaction then restores fresh-build-exact
+    statistics over the updated corpus."""
+    import shutil
+
+    from aarhus_ray.pipelines.maintain import update_by_query
+    from aarhus_ray.pipelines.query import export_matches
+    from aarhus_ray.state import manifest as mf
+    from aarhus_ray.textnorm import tokenize
+    import pyarrow as pa
+
+    pages = str(tmp_path / "pages")
+    fixtures.write_pages_dir(pages, 200, seed=13, rows_per_file=100)
+    idx = str(tmp_path / "idx")
+    build_index(pages, idx, num_partitions=3, num_segments=2, n_salts=2)
+    docs = pa.concat_tables(
+        pq.read_table(f, columns=["doc_id", "url", "text"])
+        for f in sorted(glob.glob(f"{idx}/docs/pid=*.parquet"))
+    )
+    toks_of = [set(tokenize(t)) for t in docs["text"].to_pylist()]
+    # a term matching a strict subset of docs
+    term = next(
+        t for t in sorted(set().union(*toks_of))
+        if 0 < sum(1 for dt in toks_of if t in dt) < len(toks_of) // 2
+    )
+    want_urls = sorted(
+        u for u, dt in zip(docs["url"].to_pylist(), toks_of) if term in dt
+    )
+    n0 = int(mf.read_stats(idx)["n_docs"])
+
+    r = update_by_query(idx, term, lambda t: t + " zzupdatedzz", mode="or")
+    assert r["n_updated"] == len(want_urls)
+    assert int(mf.read_stats(idx)["n_docs"]) == n0 + len(want_urls)  # old still counted
+
+    # the transform-introduced token retrieves exactly the updated urls
+    q = pa.table({"query_id": pa.array([0], pa.int64()),
+                  "text": pa.array(["zzupdatedzz"], pa.string())})
+    hits = query_index(idx, q, k=1 << 20, resolve_urls=True).to_pandas()
+    assert sorted(hits["url"]) == want_urls
+    # and the old versions are invisible: term-match set == updated-doc count
+    m = export_matches(idx, pa.table({"query_id": pa.array([0], pa.int64()),
+                                      "text": pa.array([term], pa.string())})).to_pandas()
+    assert len(m) == len(want_urls)
+
+    # post-compaction: statistics are fresh-build exact over the updated corpus
+    from aarhus_ray.pipelines.maintain import compact_index as _ci
+    _ci(idx)
+    fresh_pages = str(tmp_path / "fresh_pages")
+    shutil.copytree(pages, fresh_pages)
+    # rebuild reference corpus with the transform applied to matched urls
+    for f in sorted(glob.glob(f"{fresh_pages}/*.parquet")):
+        t = pq.read_table(f)
+        texts, htmls = [], []
+        for u, x in zip(t["url"].to_pylist(), t["text"].to_pylist()):
+            if u in set(want_urls):
+                x = x + " zzupdatedzz"
+            texts.append(x)
+            htmls.append(f"<html><body><p>{x}</p></body></html>".encode())
+        # warc_ts bump irrelevant for stats; text/html carry the change
+        t = t.set_column(t.schema.get_field_index("text"), "text", pa.array(texts, pa.string()))
+        t = t.set_column(t.schema.get_field_index("html"), "html", pa.array(htmls, pa.binary()))
+        pq.write_table(t, f)
+    fresh_idx = str(tmp_path / "fresh_idx")
+    build_index(fresh_pages, fresh_idx, num_partitions=3, num_segments=2, n_salts=2)
+    sa, sb = mf.read_stats(idx), mf.read_stats(fresh_idx)
+    assert int(sa["n_docs"]) == int(sb["n_docs"])
+    assert int(sa["total_len"]) == int(sb["total_len"])
+    qs = fixtures.gen_queries(10, seed=3)
+    ra = query_index(idx, qs, k=10).to_pandas()
+    rb = query_index(fresh_idx, qs, k=10).to_pandas()
+    assert (ra["url"].to_numpy() == rb["url"].to_numpy()).all()
+    assert (ra["score"].to_numpy() == rb["score"].to_numpy()).all()
