@@ -111,6 +111,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # reindex: lang-filtered destination with RECOMPUTED corpus stats
         # (contrast: fulltext_bm25_filtered keeps global stats)
         "fulltext_reindex_lang": fulltext.reindex_lang_query,
+        # alias over per-lang indexes: per-index stats, merged ranking
+        "fulltext_msearch_alias": fulltext.msearch_alias_query,
         "fulltext_bm25_phrase_topk": fulltext.bm25_topk_phrase,
         # same phrases over a positional index (pos.bin sidecar) — adjacency
         # verified from decoded positions, not checkpoint re-tokenization
@@ -618,6 +620,7 @@ def oracle_sql() -> dict[str, str]:
         "fulltext_bm25_terms_set": fulltext.bm25_terms_set_oracle_sql(),
         "fulltext_bm25_incremental": fulltext.bm25_oracle_sql(),
         "fulltext_reindex_lang": fulltext.reindex_lang_oracle_sql(),
+        "fulltext_msearch_alias": fulltext.msearch_alias_oracle_sql(),
         "fulltext_bm25_phrase_topk": fulltext.bm25_phrase_oracle_sql(),
         "fulltext_bm25_phrase_positional": fulltext.bm25_phrase_oracle_sql(),
         "fulltext_bm25_near_topk": fulltext.bm25_near_oracle_sql(),

@@ -3159,6 +3159,139 @@ def _ensure_reindexed(sf_dir: str) -> str:
     return index
 
 
+# Multi-index alias search: the alias spans one index per language —
+# lang partitions are disjoint, so a doc lives in exactly one member index
+ALIAS_LANGS = ("de", "fr")
+
+
+def _ensure_lang_index(sf_dir: str, lang: str) -> str:
+    """One alias-member index: the source docs sidecar filtered to
+    ``lang``, rebuilt as a standalone index with its OWN recomputed
+    statistics (each ES index carries its own stats — that per-index
+    independence is exactly what cross-index search must respect)."""
+    src = _ensure_index(sf_dir, fresh=False)
+    work = _work_dir(sf_dir)
+    pages = os.path.join(work, f"pages_alias_{lang}", "part-0000.parquet")
+    if not os.path.exists(pages):
+        t = pq.read_table(
+            os.path.join(src, "docs"),
+            columns=["url", "text", "lang", "warc_ts"],
+            filters=[("lang", "=", lang)],
+        ).sort_by("url")
+        out = pa.table(
+            {
+                "url": t["url"],
+                "warc_ts": t["warc_ts"].cast(pa.timestamp("us")),
+                "html": pa.array(
+                    [
+                        f"<html><body><p>{x}</p></body></html>".encode()
+                        for x in t["text"].to_pylist()
+                    ],
+                    pa.binary(),
+                ),
+                "text": t["text"],
+                "lang": t["lang"],
+            }
+        )
+        os.makedirs(os.path.dirname(pages), exist_ok=True)
+        pq.write_table(out, pages)
+    index = os.path.join(work, f"index_alias_{lang}")
+    if not os.path.exists(os.path.join(index, "_INDEX_DONE")):
+        build_index(
+            os.path.dirname(pages), index,
+            num_partitions=4, num_segments=2, n_salts=2,
+        )
+    return index
+
+
+def msearch_alias_query(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """MULTI-INDEX ALIAS SEARCH (ES: one alias over N indices, default
+    query_then_fetch): each FT_QUERY runs against EVERY member index with
+    that index's OWN statistics — a doc's score depends on which index it
+    lives in, the documented ES cross-index behavior (and the reason
+    dfs_query_then_fetch exists) — and the per-index hits merge into one
+    ranking by (score DESC, source doc_id ASC). Lang partitions are
+    disjoint, so the merge never sees one doc twice. Full-set re-rank in
+    source space (the _full_ranking pattern) keeps the tie order exact.
+    At cluster scale each member index is its own doc-range-sharded
+    scorer fleet and the merge is the same k-sized fold as multifield's."""
+    frames = []
+    n_docs = pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+    queries = pa.table(
+        {
+            "query_id": pa.array(range(len(FT_QUERIES)), pa.int64()),
+            "text": pa.array(list(FT_QUERIES), pa.string()),
+        }
+    )
+    for lang in ALIAS_LANGS:
+        index = _ensure_lang_index(sf_dir, lang)
+        res = query_index(index, queries, k=n_docs, resolve_urls=True).to_pandas()
+        res["doc_id"] = res["url"].map(url_doc_id).astype("int64")
+        frames.append(res[["query_id", "doc_id", "score"]])
+    allr = pd.concat(frames, ignore_index=True)
+    allr = allr.sort_values(
+        ["query_id", "score", "doc_id"], ascending=[True, False, True]
+    ).reset_index(drop=True)
+    allr["rank"] = allr.groupby("query_id").cumcount().astype("int32") + 1
+    return allr.loc[allr["rank"] <= k, ["query_id", "rank", "doc_id"]].reset_index(drop=True)
+
+
+def msearch_alias_oracle_sql(k: int = 10) -> str:
+    """Alias oracle: one full BM25 CTE stack PER member index (every
+    statistic over that lang subset only), UNION ALL, then one global
+    row_number per query over (score DESC, doc_id ASC)."""
+    values = ",".join(
+        f"({qid}, '{term}')"
+        for qid, q in enumerate(FT_QUERIES)
+        for term in q.split()
+    )
+
+    def stack(lang: str) -> str:
+        return f"""
+SELECT qd.query_id, tf_{lang}.doc_id,
+       sum( ln(1 + (s.n - df_{lang}.df + 0.5) / (df_{lang}.df + 0.5))
+            * tf_{lang}.tf * (1.2 + 1.0)
+            / (tf_{lang}.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl_{lang}.dl / s.avgdl)) ) AS score
+FROM qd
+JOIN tf_{lang} USING (tok)
+JOIN df_{lang} USING (tok)
+JOIN dl_{lang} ON tf_{lang}.doc_id = dl_{lang}.doc_id
+CROSS JOIN stats_{lang} s
+GROUP BY 1, 2"""
+
+    ctes = []
+    for lang in ALIAS_LANGS:
+        ctes.append(f"""
+corpus_{lang} AS (SELECT doc_id, text FROM documents WHERE lang = '{lang}'),
+toks_{lang} AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok
+    FROM corpus_{lang}) WHERE tok <> ''
+),
+dl_{lang} AS (SELECT c.doc_id, CAST(coalesce(t.c, 0) AS DOUBLE) AS dl
+       FROM corpus_{lang} c LEFT JOIN (SELECT doc_id, count(*) AS c FROM toks_{lang} GROUP BY 1) t USING (doc_id)),
+stats_{lang} AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl_{lang}),
+tf_{lang} AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf FROM toks_{lang} GROUP BY 1, 2),
+df_{lang} AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf_{lang} GROUP BY 1)""")
+    unioned = "\nUNION ALL\n".join(stack(lang) for lang in ALIAS_LANGS)
+    return f"""
+WITH {','.join(ctes)},
+q(query_id, tok) AS (VALUES {values}),
+qd AS (SELECT DISTINCT query_id, tok FROM q),
+scored AS (
+{unioned}
+),
+ranked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+  FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank, doc_id
+FROM ranked WHERE rank <= {k}
+ORDER BY query_id, rank
+"""
+
+
 def reindex_lang_query(sf_dir: str, k: int = 10) -> pd.DataFrame:
     """FT_QUERIES answered by the REINDEXED (lang-filtered) destination
     index: scores use the destination's RECOMPUTED N/avgdl/df, so ranks
