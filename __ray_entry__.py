@@ -145,6 +145,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fulltext_bm25_wildcard_topk": fulltext.bm25_topk_wildcard,
         # regexp query: full-match regex expansion over the dictionary
         "fulltext_bm25_regexp_topk": fulltext.bm25_topk_regexp,
+        # query_string: phrases + occur clauses + boosts + prefixes in one
+        "fulltext_query_string": fulltext.bm25_topk_query_string,
         # typo tolerance: terms expand to edit-distance-1 dictionary hits
         "fulltext_bm25_fuzzy_topk": fulltext.bm25_topk_fuzzy,
         # facet panel: per-query match-set counts grouped by lang
@@ -633,6 +635,7 @@ def oracle_sql() -> dict[str, str]:
         "fulltext_bm25_prefix_topk": fulltext.bm25_prefix_oracle_sql(),
         "fulltext_bm25_wildcard_topk": fulltext.bm25_wildcard_oracle_sql(),
         "fulltext_bm25_regexp_topk": fulltext.bm25_regexp_oracle_sql(),
+        "fulltext_query_string": fulltext.bm25_query_string_oracle_sql(),
         "fulltext_bm25_fuzzy_topk": fulltext.bm25_fuzzy_oracle_sql(),
         "fulltext_facet_counts": fulltext.facet_counts_oracle_sql(),
         "fulltext_bm25_boost_topk": fulltext.bm25_boost_oracle_sql(),

@@ -1082,6 +1082,162 @@ ORDER BY query_id, rank
 """
 
 
+# query_string mini-language set: one query per construct family —
+# MUST+boost, phrase+MUST_NOT, prefix group + fractional boost, the full
+# composite, pure-negative (empty), OOV MUST (empty), repeated-term
+# weight summing.
+FT_QS = (
+    '+table spark^2',
+    '"group the" -batch',
+    'quer* merge^0.5',
+    '+vector "slow merge" -key',
+    '-table',
+    '+zzznotinvocab table',
+    'key row^2 row',
+)
+
+
+def bm25_topk_query_string(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """The ES/Lucene ``query_string`` entry point: one string composes
+    phrases, +/- occur clauses, ^boosts and prefix wildcards
+    (query_stage.parse_query_string — shared verbatim with the oracle
+    generator — and QueryScorer._score_query_qs)."""
+    return _run_queries(_ensure_index(sf_dir, fresh=False), FT_QS, k, "query_string")
+
+
+def bm25_query_string_oracle_sql(k: int = 10) -> str:
+    """query_string oracle, GENERATED from the same parse the engine uses
+    (the boost-oracle precedent — the parse is shared code; what the SQL
+    independently replays is the retrieval semantics given the parse):
+    summed per-term weights (prefix items expand against the vocabulary
+    with LIKE), conjunctive eligibility over MUST ∪ phrase terms with
+    substring-verified phrases, SHOULD-union eligibility otherwise,
+    MUST_NOT anti-join, weighted BM25 scoring over the eligible set."""
+    from ..stages.query_stage import parse_query_string
+
+    wlit_rows: list[str] = []
+    wpre_rows: list[str] = []
+    mreq_rows: list[str] = []
+    phr_rows: list[str] = []
+    mn_rows: list[str] = []
+    for qid, q in enumerate(FT_QS):
+        phrases, must, must_not, should = parse_query_string(q)
+        wmap: dict[str, float] = {}
+        req: set[str] = set(must)
+        for t in set(must):
+            wmap[t] = wmap.get(t, 0.0) + 1.0
+        for p in phrases:
+            toks = p.split()
+            req |= set(toks)
+            for t in set(toks):
+                wmap[t] = wmap.get(t, 0.0) + 1.0
+            phr_rows.append(f"({qid}, '{p}')")
+        for item, w in should:
+            if item.endswith("*"):
+                wpre_rows.append(f"({qid}, '{item[:-1]}', {w!r})")
+            else:
+                wmap[item] = wmap.get(item, 0.0) + w
+        for t, w in sorted(wmap.items()):
+            wlit_rows.append(f"({qid}, '{t}', {w!r})")
+        for t in sorted(req):
+            mreq_rows.append(f"({qid}, '{t}')")
+        for t in sorted(set(must_not)):
+            mn_rows.append(f"({qid}, '{t}')")
+    sent = "(-1, 'zzzsentinel')"
+    sentw = "(-1, 'zzzsentinel', 0.0)"
+    wlit = ",".join(wlit_rows) or sentw
+    wpre = ",".join(wpre_rows) or sentw
+    mreq = ",".join(mreq_rows) or sent
+    phr = ",".join(phr_rows) or sent
+    mn = ",".join(mn_rows) or sent
+    return f"""
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok
+    FROM documents) WHERE tok <> ''
+),
+toksd AS (SELECT DISTINCT doc_id, tok FROM toks),
+dl AS (SELECT d.doc_id, CAST(coalesce(t.c, 0) AS DOUBLE) AS dl
+       FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS c FROM toks GROUP BY 1) t USING (doc_id)),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+vocab AS (SELECT DISTINCT tok FROM tf),
+dt AS (SELECT doc_id,
+              ' ' || array_to_string(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> ''), ' ') || ' ' AS ts
+       FROM documents),
+wlit(query_id, tok, w) AS (VALUES {wlit}),
+wpre(query_id, pre, w) AS (VALUES {wpre}),
+wexp AS (
+  SELECT query_id, tok, w FROM wlit WHERE query_id >= 0
+  UNION ALL
+  SELECT p.query_id, v.tok, p.w FROM wpre p JOIN vocab v ON v.tok LIKE p.pre || '%'
+  WHERE p.query_id >= 0
+),
+wsum AS (SELECT query_id, tok, CAST(sum(w) AS DOUBLE) AS w FROM wexp GROUP BY 1, 2),
+mreq(query_id, tok) AS (VALUES {mreq}),
+nreq AS (SELECT query_id, count(*) AS n FROM mreq WHERE query_id >= 0 GROUP BY 1),
+conj_cnt AS (
+  SELECT m.query_id, d.doc_id, count(*) AS c
+  FROM mreq m JOIN toksd d USING (tok) WHERE m.query_id >= 0 GROUP BY 1, 2
+),
+conj_pass AS (
+  SELECT c.query_id, c.doc_id FROM conj_cnt c JOIN nreq r USING (query_id) WHERE c.c = r.n
+),
+phr(query_id, phrase) AS (VALUES {phr}),
+nphr AS (SELECT query_id, count(*) AS n FROM phr WHERE query_id >= 0 GROUP BY 1),
+phr_cnt AS (
+  SELECT p.query_id, dt.doc_id, count(*) AS c
+  FROM phr p JOIN dt ON position((' ' || p.phrase || ' ') IN dt.ts) > 0
+  WHERE p.query_id >= 0 GROUP BY 1, 2
+),
+phr_pass AS (
+  SELECT h.query_id, h.doc_id FROM phr_cnt h JOIN nphr n USING (query_id) WHERE h.c = n.n
+),
+elig_conj AS (
+  SELECT c.query_id, c.doc_id FROM conj_pass c
+  LEFT JOIN nphr np USING (query_id)
+  LEFT JOIN phr_pass pp ON pp.query_id = c.query_id AND pp.doc_id = c.doc_id
+  WHERE np.n IS NULL OR pp.doc_id IS NOT NULL
+),
+union_ok AS (
+  SELECT w.query_id, d.doc_id FROM wsum w JOIN toksd d USING (tok)
+  WHERE w.query_id NOT IN (SELECT query_id FROM nreq)
+  GROUP BY 1, 2
+),
+elig0 AS (SELECT * FROM elig_conj UNION ALL SELECT * FROM union_ok),
+mn(query_id, tok) AS (VALUES {mn}),
+excl AS (
+  SELECT DISTINCT m.query_id, d.doc_id FROM mn m JOIN toksd d USING (tok) WHERE m.query_id >= 0
+),
+elig AS (
+  SELECT e.query_id, e.doc_id FROM elig0 e
+  LEFT JOIN excl x ON x.query_id = e.query_id AND x.doc_id = e.doc_id
+  WHERE x.doc_id IS NULL
+),
+scored AS (
+  SELECT w.query_id, tf.doc_id,
+         sum( w.w * ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * (1.2 + 1.0)
+              / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score
+  FROM wsum w
+  JOIN tf USING (tok)
+  JOIN df USING (tok)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT e.query_id, e.doc_id,
+         row_number() OVER (PARTITION BY e.query_id ORDER BY s.score DESC, e.doc_id) AS rank
+  FROM elig e JOIN scored s ON s.query_id = e.query_id AND s.doc_id = e.doc_id
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank, doc_id
+FROM ranked WHERE rank <= {k}
+ORDER BY query_id, rank
+"""
+
+
 # update_by_query: conjunctive filter, transform appends one new token
 UBQ_TEXT = "slow merge"
 UBQ_SUFFIX = " refreshed"

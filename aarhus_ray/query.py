@@ -17,7 +17,7 @@ def main(argv=None) -> int:
     p.add_argument(
         "--mode",
         choices=("or", "and", "phrase", "near", "prefix", "fuzzy", "boost",
-                 "boolean", "msm", "wildcard"),
+                 "boolean", "msm", "wildcard", "regexp", "query_string"),
         default="or",
         help="or: disjunctive BM25; and: conjunctive; phrase: exact phrase; "
         "near: all terms within --near-window tokens (phrase/near use the "
@@ -27,7 +27,9 @@ def main(argv=None) -> int:
         "boost: term^W multiplies that term's BM25 contribution by W; "
         "boolean: +term MUST, -term MUST_NOT, bare term SHOULD; "
         "msm: docs matching at least --min-should-match distinct terms; "
-        "wildcard: * anywhere in a term expands against the dictionary",
+        "wildcard: * anywhere in a term expands against the dictionary; "
+        "regexp: full-match regexes expand against the dictionary; "
+        "query_string: '\"a b\" +must -not term^2 pre*' composite syntax",
     )
     p.add_argument("--near-window", type=int, default=8)
     p.add_argument("--min-should-match", type=int, default=1)

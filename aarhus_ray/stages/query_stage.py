@@ -126,6 +126,55 @@ def _lev1_ins(mat: np.ndarray, qb: np.ndarray) -> np.ndarray:
     return rs_full[np.arange(n), lcp].astype(bool)
 
 
+def parse_query_string(text: str):
+    """Frozen mini query language (the Lucene/ES ``query_string`` subset
+    this engine supports), shared verbatim by the scorer and the oracle
+    generator so the two sides can never drift:
+
+      ``"a b c"``  exact phrase, MUST          ``+tok``  MUST
+      ``-tok``     MUST_NOT                    ``tok``   SHOULD (w=1)
+      ``tok^2.5``  boosted SHOULD              ``pre*``  prefix SHOULD group
+
+    Returns (phrases, must, must_not, should) where ``phrases`` is a list
+    of raw phrase strings, must/must_not are token lists, and ``should``
+    is a list of (item, weight) with a trailing ``*`` marking an
+    unexpanded prefix item. Negative boosts are rejected (they would
+    invalidate score upper bounds, as in mode="boost")."""
+    import re as _re
+
+    phrases = [p for p in _re.findall(r'"([^"]*)"', text)]
+    rest = _re.sub(r'"[^"]*"', " ", text)
+    must: list[str] = []
+    must_not: list[str] = []
+    should: list[tuple[str, float]] = []
+    for raw in rest.split():
+        if raw.startswith("+"):
+            must.extend(tokenize(raw[1:]))
+            continue
+        if raw.startswith("-"):
+            must_not.extend(tokenize(raw[1:]))
+            continue
+        stem, sep, ws = raw.rpartition("^")
+        w = 1.0
+        if sep:
+            try:
+                w = float(ws)
+            except ValueError:
+                stem = raw
+        else:
+            stem = raw
+        if w < 0:
+            raise ValueError(f"negative boost in query_string item {raw!r}")
+        if stem.endswith("*"):
+            toks = tokenize(stem[:-1])
+            if len(toks) == 1:
+                should.append((toks[0] + "*", w))
+        else:
+            for t in tokenize(stem):
+                should.append((t, w))
+    return phrases, must, must_not, should
+
+
 def _lev_dp(a: str, b: str) -> int:
     """Plain Levenshtein (scalar DP) — fallback for non-ASCII terms only;
     the hot path is the vectorized byte-matrix form above."""
@@ -371,16 +420,16 @@ class QueryScorer:
         self.method = method
         if mode not in ("or", "and", "phrase", "near", "span_near", "prefix",
                         "fuzzy", "boost", "boolean", "msm", "terms_set",
-                        "wildcard", "regexp"):
+                        "wildcard", "regexp", "query_string"):
             raise ValueError(
                 f"mode must be 'or', 'and', 'phrase', 'near', 'span_near', "
                 f"'prefix', 'fuzzy', 'boost', 'boolean', 'msm', 'terms_set', "
-                f"'wildcard' or 'regexp', not {mode!r}"
+                f"'wildcard', 'regexp' or 'query_string', not {mode!r}"
             )
         if mode == "and" and method not in ("wand", "brute"):
             raise ValueError(f"conjunctive scoring supports wand/brute, not {method!r}")
         if mode in ("prefix", "fuzzy", "boost", "boolean", "msm", "terms_set",
-                    "wildcard", "regexp") and method not in ("wand", "brute"):
+                    "wildcard", "regexp", "query_string") and method not in ("wand", "brute"):
             raise ValueError(f"{mode} scoring supports wand/brute, not {method!r}")
         if mode in ("phrase", "near", "span_near") and method != "wand":
             raise ValueError(f"{mode} scoring supports method='wand', not {method!r}")
@@ -802,6 +851,33 @@ class QueryScorer:
             keep[ci] = cur is not None and len(cur) > 0
         return keep
 
+    def _verify_phrase(self, seq: list[str], owners, cand: np.ndarray) -> np.ndarray:
+        """Adjacency filter over conjunctive candidates: positional
+        sidecar when every owning shard carries one, else re-tokenize
+        candidate texts from the docs/ checkpoint (the two-engine shape
+        shared by phrase mode and query_string phrase clauses)."""
+        if len(cand) == 0 or len(seq) <= 1:
+            return cand
+        if all(seg.pos_dict is not None for t in owners for seg in owners[t]):
+            # positional index: verify adjacency from pos.bin (no
+            # checkpoint fetch, no re-tokenization)
+            return cand[self._verify_phrase_positions(seq, owners, cand)]
+        texts = self._texts_of(cand)
+        keep = np.zeros(len(cand), dtype=bool)
+        L = len(seq)
+        for i, doc_text in enumerate(texts):
+            toks = tokenize(doc_text)
+            if len(toks) < L:
+                continue
+            arr = np.asarray(toks, dtype=object)
+            idx = np.flatnonzero(arr[: len(arr) - L + 1] == seq[0])
+            for off in range(1, L):
+                if len(idx) == 0:
+                    break
+                idx = idx[arr[idx + off] == seq[off]]
+            keep[i] = len(idx) > 0
+        return cand[keep]
+
     def _score_query_phrase(self, text: str) -> tuple[np.ndarray, np.ndarray]:
         """Exact phrase retrieval WITHOUT a positional index: candidates are
         the conjunctive posting-list intersection of the phrase's terms;
@@ -828,27 +904,7 @@ class QueryScorer:
         terms = sorted(owners)
         entries = [self._term_arrays(t, owners[t]) for t in terms]
         cand = self._conj_candidates(terms, entries)
-        if len(cand) and len(seq) > 1:
-            if all(seg.pos_dict is not None for t in owners for seg in owners[t]):
-                # positional index: verify adjacency from pos.bin (no
-                # checkpoint fetch, no re-tokenization)
-                cand = cand[self._verify_phrase_positions(seq, owners, cand)]
-            else:
-                texts = self._texts_of(cand)
-                keep = np.zeros(len(cand), dtype=bool)
-                L = len(seq)
-                for i, doc_text in enumerate(texts):
-                    toks = tokenize(doc_text)
-                    if len(toks) < L:
-                        continue
-                    arr = np.asarray(toks, dtype=object)
-                    idx = np.flatnonzero(arr[: len(arr) - L + 1] == seq[0])
-                    for off in range(1, L):
-                        if len(idx) == 0:
-                            break
-                        idx = idx[arr[idx + off] == seq[off]]
-                    keep[i] = len(idx) > 0
-                cand = cand[keep]
+        cand = self._verify_phrase(seq, owners, cand)
         if len(cand) == 0:
             return np.empty(0, np.uint64), np.empty(0, np.float64)
         scores = np.zeros(len(cand), dtype=np.float64)
@@ -1230,6 +1286,91 @@ class QueryScorer:
 
         return topk_select(cand, scores, self.k)
 
+    def _score_query_qs(self, text: str) -> tuple[np.ndarray, np.ndarray]:
+        """The ``query_string`` mini language (parse_query_string) — the
+        user-facing entry point that COMPOSES the engine's clause types in
+        one query: quoted phrases (MUST, adjacency-verified), ``+``/``-``
+        occur prefixes, ``^W`` boosts, trailing-``*`` prefix expansion.
+        Frozen semantics:
+
+        * eligibility — if any MUST term or phrase exists: the conjunctive
+          intersection of all MUST terms and all phrase terms, each phrase
+          adjacency-verified; else the union of SHOULD terms (prefixes
+          expanded). MUST_NOT unions subtract. No positive clause (or an
+          OOV MUST/phrase term) ⇒ empty, Lucene's pure-negative rule.
+        * scoring — each doc's score is Σ weight(t)·contrib(t,d) over the
+          positive terms it contains, where weight(t) SUMS the term's
+          clause occurrences (MUST = 1, each phrase listing t = 1, SHOULD
+          = its boost, each prefix-expanded term = the prefix's boost) —
+          the groupable semantics an exact SQL oracle replays, as in
+          mode="boost". Order (score DESC, doc_id ASC)."""
+        phrases, must, must_not, should = parse_query_string(text)
+        phrase_seqs = [s for s in (tokenize(p) for p in phrases) if s]
+        weights: dict[str, float] = {}
+        for t in set(must):
+            weights[t] = weights.get(t, 0.0) + 1.0
+        for seq in phrase_seqs:
+            for t in set(seq):
+                weights[t] = weights.get(t, 0.0) + 1.0
+        for item, w in should:
+            terms = self._expand_prefix(item[:-1]) if item.endswith("*") else (item,)
+            for t in terms:
+                weights[t] = weights.get(t, 0.0) + w
+        if not weights:
+            return np.empty(0, np.uint64), np.empty(0, np.float64)
+
+        def entry_of(t):
+            segs = self._owners(t)
+            return self._term_arrays(t, segs) if segs else None
+
+        required = set(must)
+        for seq in phrase_seqs:
+            required |= set(seq)
+        if required:
+            req = sorted(required)
+            entries = []
+            for t in req:
+                e = entry_of(t)
+                if e is None:
+                    return np.empty(0, np.uint64), np.empty(0, np.float64)
+                entries.append(e)
+            cand = self._conj_candidates(req, entries)
+            owners = {t: self._owners(t) for t in req}
+            for seq in phrase_seqs:
+                if len(cand) == 0:
+                    break
+                cand = self._verify_phrase(seq, owners, cand)
+        else:
+            lists = [e[0] for t in sorted(weights) if (e := entry_of(t)) is not None]
+            if not lists:
+                return np.empty(0, np.uint64), np.empty(0, np.float64)
+            cand = np.unique(np.concatenate(lists))
+        for t in sorted(set(must_not)):
+            if len(cand) == 0:
+                break
+            e = entry_of(t)
+            if e is None:
+                continue
+            pos = np.searchsorted(e[0], cand)
+            hit = pos < len(e[0])
+            hit[hit] = e[0][pos[hit]] == cand[hit]
+            cand = cand[~hit]
+        if len(cand) == 0:
+            return np.empty(0, np.uint64), np.empty(0, np.float64)
+        scores = np.zeros(len(cand), dtype=np.float64)
+        for t in sorted(weights):
+            e = entry_of(t)
+            if e is None:
+                continue
+            doc_ids, contribs = e[0], e[1]
+            pos = np.searchsorted(doc_ids, cand)
+            ok = pos < len(doc_ids)
+            ok[ok] = doc_ids[pos[ok]] == cand[ok]
+            scores[ok] += weights[t] * contribs[pos[ok]]
+        from ..bm25 import topk_select
+
+        return topk_select(cand, scores, self.k)
+
     def _score_query(self, text: str) -> tuple[np.ndarray, np.ndarray]:
         if self.mode == "and":
             return self._score_query_conj(text)
@@ -1255,6 +1396,8 @@ class QueryScorer:
             return self._score_query_wildcard(text)
         if self.mode == "regexp":
             return self._score_query_regexp(text)
+        if self.mode == "query_string":
+            return self._score_query_qs(text)
         return self._score_terms(set(tokenize(text)))
 
     def _score_terms(self, toks: set[str]) -> tuple[np.ndarray, np.ndarray]:

@@ -1208,6 +1208,49 @@ def test_regexp_mode_on_real_index(golden_index):
     assert (rex["doc_id"].to_numpy() == disj["doc_id"].to_numpy()).all()
     assert (rex["score"].to_numpy() == disj["score"].to_numpy()).all()
 
+def test_query_string_degenerates_to_component_modes(golden_index):
+    """mode='query_string' must reproduce its component modes bit-for-bit
+    on their own syntax: pure boosts == mode='boost', pure +terms ==
+    mode='and', a lone quoted phrase == mode='phrase'; pure-negative and
+    OOV-MUST queries are empty; the parser itself is pinned on the
+    documented grammar."""
+    from aarhus_ray.stages.query_stage import parse_query_string
+    from aarhus_ray.textnorm import tokenize
+
+    # parser grammar pins
+    ph, mu, mn, sh = parse_query_string('"a b" +c -d e^2.5 fg* h')
+    assert ph == ["a b"] and mu == ["c"] and mn == ["d"]
+    assert sh == [("e", 2.5), ("fg*", 1.0), ("h", 1.0)]
+    with pytest.raises(ValueError, match="negative boost"):
+        parse_query_string("a^-1")
+
+    idx = golden_index["index"]
+    docs = _docs_table(idx, ["text"])
+    vocab = sorted({t for x in docs["text"].to_pylist() for t in tokenize(x)})
+    t0, t1 = vocab[0], vocab[len(vocab) // 2]
+    # a genuine bigram so the phrase comparison has non-empty results
+    btoks = tokenize(docs["text"].to_pylist()[0])
+    big0, big1 = btoks[0], btoks[1]
+
+    def run(text, mode, **kw):
+        q = pa.table({"query_id": pa.array([0], pa.int64()),
+                      "text": pa.array([text], pa.string())})
+        out = query_index(idx, q, k=10, mode=mode, resolve_urls=False, **kw).to_pandas()
+        return out.sort_values("rank").reset_index(drop=True) if len(out) else out
+
+    for qs_text, ref_text, ref_mode in [
+        (f"{t0}^2 {t1}^0.5", f"{t0}^2 {t1}^0.5", "boost"),
+        (f"+{big0} +{big1}", f"{big0} {big1}", "and"),
+        (f'"{big0} {big1}"', f"{big0} {big1}", "phrase"),
+    ]:
+        a = run(qs_text, "query_string")
+        b = run(ref_text, ref_mode)
+        assert len(a) == len(b) > 0, (qs_text, ref_mode)
+        assert (a["doc_id"].to_numpy() == b["doc_id"].to_numpy()).all(), (qs_text, ref_mode)
+        assert (a["score"].to_numpy() == b["score"].to_numpy()).all(), (qs_text, ref_mode)
+    assert len(run(f"-{t0}", "query_string")) == 0
+    assert len(run(f"+zzznotinvocab {t0}", "query_string")) == 0
+
 def test_search_after_pages_reconstruct_full_sort(golden_index):
     """Chained search_after pages (cursor = last hit of the previous page)
     reconstruct the ENTIRE docvalue ordering with no gaps, overlaps, or
