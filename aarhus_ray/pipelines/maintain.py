@@ -403,11 +403,20 @@ def compact_index(
     *,
     postings_batch_size: int = 1024,
     concurrency: int | None = None,
+    num_segments: int | None = None,
 ) -> dict:
     """Rewrite all generations into a single fresh segment set (query
     results unchanged — test-pinned). Re-encodes from the docs/ checkpoint
     with the persisted plan, assembles into a temp root, then atomically
-    swaps segments/."""
+    swaps segments/.
+
+    ``num_segments`` (ES ``_forcemerge max_num_segments`` / ``_shrink``):
+    compact into FEWER term ranges — the persisted plan's boundaries
+    coarsen to evenly-spaced cut points (term order and salting
+    unchanged, so every invariant the sharded gather relies on holds),
+    the new plan persists for future delta generations, and results stay
+    bit-identical (test-pinned; only the shard layout changes). Growing
+    the segment count would need a re-sample, and is rejected."""
     from .build import _cpus
     from ..stages.postings_stage import AssembleSegment, PostingsEncoder
 
@@ -415,6 +424,19 @@ def compact_index(
     with open(os.path.join(out_dir, "plan.json")) as f:
         plan = json.load(f)
     boundaries, heavy = plan["boundaries"], plan["heavy_terms"]
+    if num_segments is not None:
+        s_old = len(boundaries) + 1
+        if num_segments > s_old:
+            raise ValueError(
+                f"cannot grow segments ({s_old} → {num_segments}); "
+                f"force-merge only shrinks"
+            )
+        boundaries = [
+            boundaries[(j + 1) * s_old // num_segments - 1]
+            for j in range(num_segments - 1)
+        ]
+        plan = dict(plan, boundaries=boundaries)
+        stats = dict(stats, num_segments=num_segments)
     # one flat pid space again: the heavy docID-range salt maps the TOTAL
     # range over n_salts shards (pid_offset=0, P=total)
     p_total = _max_pid(out_dir) + 1
@@ -487,6 +509,12 @@ def compact_index(
         avgdl=(total_len / n_docs) if n_docs else 0.0,
         n_tombstones=0,
     )
+    if num_segments is not None:
+        # persist the coarsened plan so future delta generations align
+        tmp_plan = os.path.join(out_dir, "plan.json.tmp")
+        with open(tmp_plan, "w") as f:
+            json.dump(plan, f)
+        os.replace(tmp_plan, os.path.join(out_dir, "plan.json"))
     mf.write_stats(out_dir, compacted)  # bumps index_version → caches refresh
     with open(os.path.join(out_dir, INDEX_MARKER), "w") as f:
         f.write(f"segments={len(rows)}\n")

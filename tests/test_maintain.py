@@ -202,3 +202,60 @@ def test_update_by_query_lifecycle(tmp_path):
     rb = query_index(fresh_idx, qs, k=10).to_pandas()
     assert (ra["url"].to_numpy() == rb["url"].to_numpy()).all()
     assert (ra["score"].to_numpy() == rb["score"].to_numpy()).all()
+
+
+def test_force_merge_shrinks_segments_bitwise(tmp_path):
+    """compact_index(num_segments=1) — the ES _forcemerge/_shrink shape:
+    the segment count drops, query results stay bit-identical, the
+    coarsened plan persists (a later delta generation aligns with it),
+    and growing the segment count is rejected."""
+    import json
+    import shutil
+
+    import pyarrow as pa
+    import pytest as _pytest
+
+    from aarhus_ray.pipelines.maintain import compact_index as _ci
+    from aarhus_ray.state import manifest as mf
+
+    pages = str(tmp_path / "pages")
+    fixtures.write_pages_dir(pages, 200, seed=19, rows_per_file=100)
+    idx = str(tmp_path / "idx")
+    build_index(pages, idx, num_partitions=3, num_segments=4, n_salts=2)
+    q = fixtures.gen_queries(12, seed=7)
+    before = query_index(idx, q, k=10).to_pandas()
+    segs_before = len(glob.glob(f"{idx}/segments/seg=*"))
+
+    with _pytest.raises(ValueError, match="only shrinks"):
+        _ci(idx, num_segments=8)
+
+    _ci(idx, num_segments=1)
+    segs_after = len(glob.glob(f"{idx}/segments/seg=*"))
+    assert segs_after < segs_before
+    with open(f"{idx}/plan.json") as f:
+        assert json.load(f)["boundaries"] == []
+    assert int(mf.read_stats(idx)["num_segments"]) == 1
+    after = query_index(idx, q, k=10).to_pandas()
+    assert (before["url"].to_numpy() == after["url"].to_numpy()).all()
+    assert (before["score"].to_numpy() == after["score"].to_numpy()).all()
+
+    # a delta generation grafts onto the shrunk plan and stays exact
+    from aarhus_ray.pipelines.maintain import add_documents
+    import pyarrow.parquet as _pq
+    delta = str(tmp_path / "delta")
+    os.makedirs(delta)
+    _pq.write_table(fixtures.gen_pages(100, seed=20, url_offset=50_000),
+                    os.path.join(delta, "part-0000.parquet"))
+    add_documents(idx, delta, num_partitions=2)
+    full_pages = str(tmp_path / "full_pages")
+    shutil.copytree(pages, full_pages)
+    _pq.write_table(fixtures.gen_pages(100, seed=20, url_offset=50_000),
+                    os.path.join(full_pages, "part-z.parquet"))
+    fresh = str(tmp_path / "fresh")
+    build_index(full_pages, fresh, num_partitions=3, num_segments=1, n_salts=2)
+    got = query_index(idx, q, k=10).to_pandas()
+    want = query_index(fresh, q, k=10).to_pandas()
+    for qid in got["query_id"].unique():
+        a = sorted(zip(got[got.query_id == qid]["score"], got[got.query_id == qid]["url"]))
+        b = sorted(zip(want[want.query_id == qid]["score"], want[want.query_id == qid]["url"]))
+        assert a == b
