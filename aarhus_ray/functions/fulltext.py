@@ -1082,6 +1082,70 @@ ORDER BY query_id, rank
 """
 
 
+AN_NDOCS = 8  # analyze API: the AN_NDOCS smallest doc_ids
+
+
+def _analyze_batch(batch: pa.Table) -> pa.Table:
+    """Stateless analysis stage (ES `_analyze` over a doc stream): the
+    engine's FROZEN normalize+tokenize chain (textnorm — the exact code
+    the index build runs) applied per doc, emitting one row per token
+    with its 1-based position. Streams through map_batches like
+    percolation; composes with any corpus-sized input."""
+    from ..textnorm import tokenize as _tok
+
+    ids_out: list[int] = []
+    pos_out: list[int] = []
+    toks_out: list[str] = []
+    for did, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+        toks = _tok(text)
+        ids_out.extend([did] * len(toks))
+        pos_out.extend(range(1, len(toks) + 1))
+        toks_out.extend(toks)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids_out, pa.int64()),
+            "pos": pa.array(pos_out, pa.int64()),
+            "token": pa.array(toks_out, pa.string()),
+        }
+    )
+
+
+def analyze_query(sf_dir: str) -> pd.DataFrame:
+    """ES `_analyze` as a first-class queryable op: the AN_NDOCS smallest
+    docs' texts through the engine's frozen analysis chain, one row per
+    (doc_id, position, token). The oracle replays the chain with the
+    regexp split + a range-join for ordinality — auditing the tokenizer
+    itself, token order included (every other oracle only sees bags)."""
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    out = (
+        ds.filter(lambda r: r["doc_id"] < AN_NDOCS)
+        .map_batches(_analyze_batch, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values(["doc_id", "pos"]).reset_index(drop=True)
+
+
+def analyze_oracle_sql() -> str:
+    return f"""
+WITH docs AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS l
+  FROM documents WHERE doc_id < {AN_NDOCS}
+),
+idx AS (SELECT unnest(range(1, 1001)) AS pos)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(i.pos AS BIGINT) AS pos,
+       d.l[i.pos] AS token
+FROM docs d, idx i
+WHERE i.pos <= len(d.l)
+ORDER BY doc_id, pos
+"""
+
+
 # query_string mini-language set: one query per construct family —
 # MUST+boost, phrase+MUST_NOT, prefix group + fractional boost, the full
 # composite, pure-negative (empty), OOV MUST (empty), repeated-term
