@@ -149,6 +149,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fulltext_query_string": fulltext.bm25_topk_query_string,
         # analyze API: the frozen tokenize chain, order-audited per doc
         "fulltext_analyze": fulltext.analyze_query,
+        # percentile_ranks: inverse percentiles, exact integer form
+        "fulltext_percentile_ranks": fulltext.percentile_ranks_query,
         # typo tolerance: terms expand to edit-distance-1 dictionary hits
         "fulltext_bm25_fuzzy_topk": fulltext.bm25_topk_fuzzy,
         # facet panel: per-query match-set counts grouped by lang
@@ -639,6 +641,7 @@ def oracle_sql() -> dict[str, str]:
         "fulltext_bm25_regexp_topk": fulltext.bm25_regexp_oracle_sql(),
         "fulltext_query_string": fulltext.bm25_query_string_oracle_sql(),
         "fulltext_analyze": fulltext.analyze_oracle_sql(),
+        "fulltext_percentile_ranks": fulltext.percentile_ranks_oracle_sql(),
         "fulltext_bm25_fuzzy_topk": fulltext.bm25_fuzzy_oracle_sql(),
         "fulltext_facet_counts": fulltext.facet_counts_oracle_sql(),
         "fulltext_bm25_boost_topk": fulltext.bm25_boost_oracle_sql(),

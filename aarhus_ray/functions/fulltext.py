@@ -1082,6 +1082,55 @@ ORDER BY query_id, rank
 """
 
 
+PR_PROBES = (20, 40, 60)  # percentile_ranks probes over doclen ∈ [10,99]
+
+
+def percentile_ranks_query(sf_dir: str) -> pd.DataFrame:
+    """Percentile-ranks aggregation per FT_QUERY (ES percentile_ranks
+    over the doclen docvalue, exact integer form): for each probe value,
+    how many matching docs have doclen ≤ probe, plus the match-set size
+    (the ES percentage is the client-side float ratio). Output
+    (query_id, probe, n_le, n_docs) — hash-exact
+    (pipelines/query.percentile_ranks)."""
+    from ..pipelines.query import percentile_ranks
+
+    index = _ensure_index(sf_dir, fresh=False)
+    queries = pa.table(
+        {
+            "query_id": pa.array(range(len(FT_QUERIES)), pa.int64()),
+            "text": pa.array(list(FT_QUERIES), pa.string()),
+        }
+    )
+    out = percentile_ranks(index, queries, field="doclen", probes=PR_PROBES).to_pandas()
+    return out.sort_values(["query_id", "probe"]).reset_index(drop=True)
+
+
+def percentile_ranks_oracle_sql() -> str:
+    values = ",".join(
+        f"({qid}, '{term}')" for qid, q in enumerate(FT_QUERIES) for term in q.split()
+    )
+    probes = ",".join(f"({p})" for p in PR_PROBES)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok
+    FROM documents) WHERE tok <> ''
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+q(query_id, tok) AS (VALUES {values}),
+qd AS (SELECT DISTINCT query_id, tok FROM q),
+matched AS (SELECT DISTINCT qd.query_id, toks.doc_id FROM qd JOIN toks USING (tok)),
+p(probe) AS (VALUES {probes})
+SELECT CAST(m.query_id AS BIGINT) AS query_id,
+       CAST(p.probe AS BIGINT) AS probe,
+       CAST(count(*) FILTER (WHERE dl.dl <= p.probe) AS BIGINT) AS n_le,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM matched m JOIN dl USING (doc_id) CROSS JOIN p
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 AN_NDOCS = 8  # analyze API: the AN_NDOCS smallest doc_ids
 
 

@@ -892,6 +892,41 @@ def facet_cardinality(
     )
 
 
+def percentile_ranks(
+    out_dir: str,
+    queries,
+    field: str = "doclen",
+    probes: tuple[int, ...] = (20, 40, 60),
+    concurrency: int | None = None,
+    batch_size: int = 64,
+) -> ray.data.Dataset:
+    """PERCENTILE-RANKS aggregation per query (ES percentile_ranks,
+    exact integer form). Returns (query_id, probe, n_le, n_docs); the ES
+    percentage is n_le/n_docs·100 client-side."""
+    from ..stages.query_stage import PercentileRanksTaskFn
+
+    segs = list_segments(out_dir)
+    if not segs:
+        raise ValueError(f"no segments under {out_dir}")
+    conc = concurrency or max(1, _cpus())
+    if isinstance(queries, str):
+        import pyarrow.parquet as _pq
+
+        queries = _pq.read_table(queries)
+    if isinstance(queries, pa.Table):
+        n_blocks = max(1, min(conc * 4, queries.num_rows // max(1, batch_size) + 1))
+        per = (queries.num_rows + n_blocks - 1) // n_blocks
+        slices = [queries.slice(i * per, per) for i in range(n_blocks) if i * per < queries.num_rows]
+        qds = ray.data.from_arrow(slices)
+    else:
+        qds = queries
+    return qds.map_batches(
+        PercentileRanksTaskFn(out_dir, segs, field, probes, index_version(out_dir)),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+
+
 def matchset_percentiles(
     out_dir: str,
     queries,

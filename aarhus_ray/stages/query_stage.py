@@ -2719,6 +2719,49 @@ class MatchsetPercentiles(DocvalueTopK):
         )
 
 
+class PercentileRanks(DocvalueTopK):
+    """PERCENTILE-RANKS aggregation over the match set (ES
+    `percentile_ranks` — the inverse of percentiles): for each query and
+    each requested probe VALUE, how much of the match set's docvalue
+    distribution lies at or below it. Integer contract (the explain-API
+    philosophy): the output is (n_le, n_docs) — one searchsorted per
+    probe over the sorted gathered values — and the ES percentage is the
+    client-side float n_le/n_docs·100. Exact at any scale: per-doc-range
+    partial (n_le, n) pairs are additive across disjoint shards, unlike
+    ES's t-digest approximation."""
+
+    def __init__(self, out_dir: str, seg_ids: list[int] | None = None,
+                 field: str = "doclen",
+                 probes: tuple[int, ...] = (20, 40, 60)):
+        super().__init__(out_dir, seg_ids, field, k=1)
+        self.probes = tuple(int(p) for p in probes)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids_out: list[int] = []
+        probes_out: list[int] = []
+        nle_out: list[int] = []
+        n_out: list[int] = []
+        for qid, text in zip(batch["query_id"].to_pylist(), batch["text"].to_pylist()):
+            docs = self._match_set(text)
+            n = len(docs)
+            if n == 0:
+                continue
+            vals = np.sort(self.vals[np.searchsorted(self.doc_ids, docs)])
+            for p in self.probes:
+                qids_out.append(qid)
+                probes_out.append(p)
+                nle_out.append(int(np.searchsorted(vals, p, side="right")))
+                n_out.append(n)
+        return pa.table(
+            {
+                "query_id": pa.array(qids_out, pa.int64()),
+                "probe": pa.array(probes_out, pa.int64()),
+                "n_le": pa.array(nle_out, pa.int64()),
+                "n_docs": pa.array(n_out, pa.int64()),
+            }
+        )
+
+
 class MatchsetStats(DocvalueTopK):
     """STATS aggregation over the match set (Elasticsearch's stats agg):
     per query, (n_docs, min, max, sum) of a numeric docvalue over the
@@ -3156,6 +3199,25 @@ class FacetCardinalityTaskFn:
             fc = FacetCardinality(out_dir, list(seg_ids), facet)
             _WORKER_MATCH_AGG_CACHE[key] = fc
         return fc(batch)
+
+
+class PercentileRanksTaskFn:
+    """Task-fn form of PercentileRanks (worker-process cache)."""
+
+    def __init__(self, out_dir: str, seg_ids: list[int], field: str,
+                 probes: tuple[int, ...], version: float):
+        self.args = (out_dir, tuple(seg_ids), field, tuple(probes), version)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_dir, seg_ids, field, probes, version = self.args
+        key = (out_dir, version, seg_ids, field, probes, "pctranks")
+        pr = _WORKER_MATCH_AGG_CACHE.get(key)
+        if pr is None:
+            for kk in [kk for kk in _WORKER_MATCH_AGG_CACHE if kk[0] == out_dir and kk[1] < version]:
+                del _WORKER_MATCH_AGG_CACHE[kk]
+            pr = PercentileRanks(out_dir, list(seg_ids), field, probes)
+            _WORKER_MATCH_AGG_CACHE[key] = pr
+        return pr(batch)
 
 
 class MatchsetPercentilesTaskFn:
