@@ -183,6 +183,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fulltext_search_after": fulltext.search_after_query,
         # dis_max over title/body: best field wins + tie_breaker * other
         "fulltext_bm25_dismax": fulltext.bm25_topk_dismax,
+        # hybrid retrieval: reciprocal-rank fusion of the BM25 window and
+        # an exact-cosine kNN window (ES 8 `rrf` retriever)
+        "fulltext_hybrid_rrf": fulltext.hybrid_rrf_query,
         # query-time synonym expansion (Lucene SynonymQuery: merged tf, max df)
         "fulltext_synonym_topk": fulltext.synonym_topk_query,
         # function_score: bm25 x linear time-decay on the warc_ts docvalue
@@ -660,6 +663,7 @@ def oracle_sql() -> dict[str, str]:
         "fulltext_rescore": fulltext.rescore_oracle_sql(),
         "fulltext_search_after": fulltext.search_after_oracle_sql(),
         "fulltext_bm25_dismax": fulltext.bm25_dismax_oracle_sql(),
+        "fulltext_hybrid_rrf": fulltext.hybrid_rrf_oracle_sql(),
         "fulltext_synonym_topk": fulltext.synonym_oracle_sql(),
         "fulltext_function_score": fulltext.function_score_oracle_sql(),
         "fulltext_date_histogram": fulltext.date_histogram_oracle_sql(),

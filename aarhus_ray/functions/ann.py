@@ -121,6 +121,78 @@ def knn_cosine_bruteforce(sf_dir: str, k: int = 10, vec_id: int = 0) -> pd.DataF
     return parts.reset_index(drop=True)
 
 
+def _multi_topk_task(batch: pa.Table, q_ref, w: int) -> pa.Table:
+    """Per-batch exact top-w cosine partials for EVERY row of a broadcast
+    (nq × dim) query matrix — one corpus scan serves all queries (sims is
+    a single (batch × nq) matmul; the loop is over queries, not rows)."""
+    Q = ray.get(q_ref)
+    ids, m = _to_matrix(batch)
+    if not len(ids):
+        return pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "vec_id": pa.array([], pa.int64()),
+                "cos": pa.array([], pa.float64()),
+            }
+        )
+    sims = _normalize(m) @ Q.T
+    qs, vs, cs = [], [], []
+    for qi in range(Q.shape[0]):
+        s = sims[:, qi]
+        order = np.lexsort((ids, -s))[:w]
+        qs.append(np.full(len(order), qi, dtype=np.int64))
+        vs.append(ids[order].astype(np.int64))
+        cs.append(s[order])
+    return pa.table(
+        {
+            "query_id": pa.array(np.concatenate(qs), pa.int64()),
+            "vec_id": pa.array(np.concatenate(vs), pa.int64()),
+            "cos": pa.array(np.concatenate(cs), pa.float64()),
+        }
+    )
+
+
+def multi_knn_window(sf_dir: str, vec_ids, w: int) -> pd.DataFrame:
+    """Exact per-query top-w cosine windows in ONE streamed corpus scan:
+    the (nq × dim) normalized query matrix is broadcast once (ray.put),
+    each batch emits per-query top-w partials, and the driver merges only
+    O(nq × w) partial rows — window-shaped, never corpus-shaped. Query
+    vectors come from a predicate-pushdown read of ``vec_ids`` (the probed
+    row groups only). Output (query_id, vec_id, rank), rank 1-based under
+    the frozen (cos DESC, vec_id ASC) total order; query_id is the
+    POSITION in ``vec_ids``."""
+    vec_ids = list(vec_ids)
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "in", vec_ids)],
+    )
+    got = {int(v): i for i, v in enumerate(t["vec_id"].to_pylist())}
+    missing = [v for v in vec_ids if v not in got]
+    if missing:
+        raise KeyError(f"vec_ids {missing} not in {sf_dir}/embeddings.parquet")
+    rows = np.stack([np.asarray(t["embedding"][got[v]].as_py(), dtype=np.float64) for v in vec_ids])
+    q_ref = ray.put(_normalize(rows))
+
+    import functools
+
+    parts = (
+        _emb(sf_dir)
+        .map_batches(
+            functools.partial(_multi_topk_task, q_ref=q_ref, w=w),
+            batch_format="pyarrow",
+            batch_size=4096,
+        )
+        .to_pandas()
+    )
+    parts = parts.sort_values(
+        ["query_id", "cos", "vec_id"], ascending=[True, False, True]
+    )
+    out = parts.groupby("query_id", sort=True).head(w).reset_index(drop=True)
+    out["rank"] = (out.groupby("query_id").cumcount() + 1).astype("int32")
+    return out[["query_id", "vec_id", "rank"]]
+
+
 # ---------------------------------------------------------------------------
 # persisted index plumbing
 # ---------------------------------------------------------------------------

@@ -4078,6 +4078,121 @@ ORDER BY query_id, rank
 """
 
 
+# Hybrid retrieval (ES 8 `rrf` retriever): reciprocal-rank fusion of a
+# lexical BM25 window and an exact-cosine vector window. Frozen config:
+RRF_K = 60  # the ES default rank_constant
+RRF_WINDOW = 20  # rank_window_size per retriever
+
+
+def hybrid_rrf_query(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Hybrid BM25 + kNN retrieval per FT_QUERIES (the ES 8 ``rrf``
+    retriever): retriever 1 is the disjunctive BM25 top-RRF_WINDOW through
+    the real index; retriever 2 is the exact cosine top-RRF_WINDOW against
+    the query embedding (``embeddings[vec_id == query_id]`` — the driver
+    tables share one id space). rrf(d) = Σ_r 1/(RRF_K + rank_r(d)) over
+    the windows that contain d; final order (rrf DESC, doc_id ASC), top-k.
+
+    Both windows come from distributed scans (the BM25 window through the
+    term-sharded index, the vector window as one broadcast-matrix corpus
+    scan with per-batch partials); the fusion itself is window-shaped —
+    O(queries × RRF_WINDOW) rows on the driver, the ES coordinating-node
+    step, never corpus-shaped. Every rrf score is a sum of ≤2 IEEE-exact
+    divisions of integers, so the DuckDB replay is bit-identical; output
+    is integer-only anyway. The OOV query's lexical window is empty, so
+    its page is the pure vector ranking (ES semantics: a retriever that
+    returns nothing simply contributes no reciprocal ranks)."""
+    from .ann import multi_knn_window
+
+    index = _ensure_index(sf_dir, fresh=False)
+    lex = _run_queries(index, FT_QUERIES, RRF_WINDOW, "or").rename(
+        columns={"rank": "lrank"}
+    )
+    vec = multi_knn_window(sf_dir, range(len(FT_QUERIES)), RRF_WINDOW).rename(
+        columns={"vec_id": "doc_id", "rank": "vrank"}
+    )
+    f = lex.merge(vec, on=["query_id", "doc_id"], how="outer")
+    lr = f["lrank"].to_numpy(dtype=np.float64, na_value=np.nan)
+    vr = f["vrank"].to_numpy(dtype=np.float64, na_value=np.nan)
+    f["rrf"] = np.where(np.isnan(lr), 0.0, 1.0 / (RRF_K + lr)) + np.where(
+        np.isnan(vr), 0.0, 1.0 / (RRF_K + vr)
+    )
+    f = f.sort_values(["query_id", "rrf", "doc_id"], ascending=[True, False, True])
+    out = f.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    out["rank"] = (out.groupby("query_id").cumcount() + 1).astype("int32")
+    out["query_id"] = out["query_id"].astype("int64")
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out[["query_id", "rank", "doc_id"]]
+
+
+def hybrid_rrf_oracle_sql(k: int = 10) -> str:
+    """RRF oracle: the standard BM25 CTE stack windowed to RRF_WINDOW,
+    the cosine ranking windowed likewise (list_cosine_similarity — its
+    float32 rounding cannot reorder this corpus's ~1e-3-separated
+    cosines), FULL OUTER JOIN, rrf = coalesce'd reciprocal ranks."""
+    values = ",".join(
+        f"({qid}, '{t}')" for qid, q in enumerate(FT_QUERIES) for t in q.split()
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok
+    FROM documents) WHERE tok <> ''
+),
+dl AS (SELECT d.doc_id, CAST(coalesce(t.c, 0) AS DOUBLE) AS dl
+       FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS c FROM toks GROUP BY 1) t USING (doc_id)),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+q(query_id, tok) AS (VALUES {values}),
+qd AS (SELECT DISTINCT query_id, tok FROM q),
+scored AS (
+  SELECT qd.query_id, tf.doc_id,
+         sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * (1.2 + 1.0)
+              / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score
+  FROM qd
+  JOIN tf USING (tok)
+  JOIN df USING (tok)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+lwin AS (
+  SELECT query_id, doc_id, rn FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rn
+    FROM scored) WHERE rn <= {RRF_WINDOW}
+),
+qv AS (SELECT qq.query_id, e.embedding AS qe
+       FROM (SELECT DISTINCT query_id FROM q) qq
+       JOIN embeddings e ON e.vec_id = qq.query_id),
+vcos AS (SELECT qv.query_id, e.vec_id AS doc_id,
+                list_cosine_similarity(e.embedding, qv.qe) AS cos
+         FROM qv CROSS JOIN embeddings e),
+vwin AS (
+  SELECT query_id, doc_id, rn FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, doc_id) AS rn
+    FROM vcos) WHERE rn <= {RRF_WINDOW}
+),
+fused AS (
+  SELECT coalesce(l.query_id, v.query_id) AS query_id,
+         coalesce(l.doc_id, v.doc_id) AS doc_id,
+         coalesce(1.0 / ({RRF_K} + l.rn), 0) + coalesce(1.0 / ({RRF_K} + v.rn), 0) AS rrf
+  FROM lwin l FULL OUTER JOIN vwin v
+    ON l.query_id = v.query_id AND l.doc_id = v.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rank
+  FROM fused
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank, doc_id
+FROM ranked WHERE rank <= {k}
+ORDER BY query_id, rank
+"""
+
+
 DIS_TIE = 0.3  # dis_max tie_breaker (the ES default style: 0 < tie < 1)
 
 

@@ -702,3 +702,74 @@ def test_reindex_recomputes_corpus_stats():
         ) if lang == REINDEX_LANG
     }
     assert set(out["doc_id"].tolist()) <= en_ids
+
+
+def test_multi_knn_window_matches_numpy():
+    """multi_knn_window: one-scan per-query top-w cosine windows equal a
+    plain numpy recompute over the parquet (frozen (cos DESC, vec_id)
+    order, rank 1-based)."""
+    from aarhus_ray.functions.ann import multi_knn_window
+
+    t = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+    m = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    vec_ids, w = [0, 3, 7], 5
+    got = multi_knn_window(SF, vec_ids, w)
+    for qi, v in enumerate(vec_ids):
+        q = m[ids == v][0]
+        sims = m @ q
+        order = np.lexsort((ids, -sims))[:w]
+        sub = got[got["query_id"] == qi]
+        assert sub["vec_id"].tolist() == ids[order].tolist()
+        assert sub["rank"].tolist() == list(range(1, w + 1))
+
+
+def test_hybrid_rrf_fusion_rule():
+    """hybrid_rrf_query == an independent driver-side fusion of the two
+    windows (lexical via query_index, vector via numpy): score =
+    1/(K+lrank) + 1/(K+vrank) over the window union, (score DESC, doc_id)
+    order. Also pins the OOV query's page to the pure vector ranking."""
+    import pandas as pd
+
+    from aarhus_ray.functions import fulltext
+    from aarhus_ray.functions.fulltext import (
+        FT_QUERIES,
+        RRF_K,
+        RRF_WINDOW,
+        hybrid_rrf_query,
+        _ensure_index,
+        _run_queries,
+    )
+
+    got = hybrid_rrf_query(SF, k=10)
+
+    index = _ensure_index(SF, fresh=False)
+    lex = _run_queries(index, FT_QUERIES, RRF_WINDOW, "or")
+    t = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+    m = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+
+    oov_qid = FT_QUERIES.index("zzznotinvocab")
+    for qid in range(len(FT_QUERIES)):
+        q = m[ids == qid][0]
+        sims = m @ q
+        vorder = np.lexsort((ids, -sims))[:RRF_WINDOW]
+        vrank = {int(ids[i]): r + 1 for r, i in enumerate(vorder)}
+        lsub = lex[lex["query_id"] == qid]
+        lrank = dict(zip(lsub["doc_id"].astype(int), lsub["rank"].astype(int)))
+        union = sorted(set(vrank) | set(lrank))
+        score = np.array(
+            [
+                (1.0 / (RRF_K + lrank[d]) if d in lrank else 0.0)
+                + (1.0 / (RRF_K + vrank[d]) if d in vrank else 0.0)
+                for d in union
+            ]
+        )
+        order = np.lexsort((np.array(union), -score))[:10]
+        want = [union[i] for i in order]
+        sub = got[got["query_id"] == qid]
+        assert sub["doc_id"].tolist() == want, f"query {qid}"
+        if qid == oov_qid:  # empty lexical window -> pure vector page
+            assert sub["doc_id"].tolist() == [int(ids[i]) for i in vorder[:10]]
