@@ -186,6 +186,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # hybrid retrieval: reciprocal-rank fusion of the BM25 window and
         # an exact-cosine kNN window (ES 8 `rrf` retriever)
         "fulltext_hybrid_rrf": fulltext.hybrid_rrf_query,
+        # boosting query: negative clause DEMOTES (score x 0.5), never excludes
+        "fulltext_bm25_boosting": fulltext.bm25_topk_boosting,
         # query-time synonym expansion (Lucene SynonymQuery: merged tf, max df)
         "fulltext_synonym_topk": fulltext.synonym_topk_query,
         # function_score: bm25 x linear time-decay on the warc_ts docvalue
@@ -664,6 +666,7 @@ def oracle_sql() -> dict[str, str]:
         "fulltext_search_after": fulltext.search_after_oracle_sql(),
         "fulltext_bm25_dismax": fulltext.bm25_dismax_oracle_sql(),
         "fulltext_hybrid_rrf": fulltext.hybrid_rrf_oracle_sql(),
+        "fulltext_bm25_boosting": fulltext.bm25_boosting_oracle_sql(),
         "fulltext_synonym_topk": fulltext.synonym_oracle_sql(),
         "fulltext_function_score": fulltext.function_score_oracle_sql(),
         "fulltext_date_histogram": fulltext.date_histogram_oracle_sql(),

@@ -4193,6 +4193,112 @@ ORDER BY query_id, rank
 """
 
 
+# Boosting query set: (positive, negative) clause pairs. Mix: a negative
+# disjoint from the positive, one demoting via a common stopword (most of
+# the match set demoted — ranks must still be total), an OOV negative
+# (must change nothing), and a negative that overlaps the positive's own
+# terms (docs matching 'slow' are demoted even though 'slow' also scores).
+# Pairs are chosen so the top-(k+1) fscores are DISTINCT at sf0.01 and
+# sf0.001 (like every frozen fulltext query set): on an exact fscore tie
+# the engine breaks by its internal (pid<<40)|row doc id — a url-sort
+# permutation of source ids that SQL cannot replay. ('table spark',
+# 'merge') was rejected by exactly that probe: two docs tie at rank 10.
+FT_BOOSTING = (
+    ("table spark", "stream"),
+    ("query group the", "vector"),
+    ("vector", "zzznotinvocab"),
+    ("customer stream batch", "the"),
+    ("slow slow merge", "slow"),
+)
+NEG_BOOST = 0.5  # ES negative_boost — a power of two: the multiply is IEEE-exact
+
+
+def bm25_topk_boosting(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Boosting retrieval per FT_BOOSTING (ES ``boosting`` query): the
+    positive clause's disjunctive BM25 score × NEG_BOOST for docs that
+    also match the negative clause (demotion in rank, never exclusion —
+    contrast fulltext_bm25_boolean's must_not, which removes). Output
+    (query_id, rank, doc_id), integer-only."""
+    from ..pipelines.query import boosting_topk
+    from ..stages.query_stage import UrlResolver
+
+    index = _ensure_index(sf_dir, fresh=False)
+    queries = pa.table(
+        {
+            "query_id": pa.array(range(len(FT_BOOSTING)), pa.int64()),
+            "text": pa.array([p for p, _ in FT_BOOSTING], pa.string()),
+            "neg": pa.array([n for _, n in FT_BOOSTING], pa.string()),
+        }
+    )
+    ds = boosting_topk(index, queries, negative_boost=NEG_BOOST, k=k).map_batches(
+        UrlResolver, fn_constructor_args=(index,), batch_format="pyarrow",
+        concurrency=(1, 2),
+    )
+    res = ds.to_pandas()
+    res["doc_id"] = res["url"].map(url_doc_id).astype("int64")
+    out = res[["query_id", "rank", "doc_id"]].sort_values(["query_id", "rank"])
+    out["rank"] = out["rank"].astype("int32")
+    return out.reset_index(drop=True)
+
+
+def bm25_boosting_oracle_sql(k: int = 10) -> str:
+    """Boosting oracle: the standard BM25 stack scores the positive
+    clause; the negative match set is a DISTINCT (query, doc) join of the
+    negative terms against tf; final = score × NEG_BOOST where matched
+    (exact: ×0.5 is a float exponent decrement)."""
+    pos_values = ",".join(
+        f"({qid}, '{t}')" for qid, (p, _) in enumerate(FT_BOOSTING) for t in p.split()
+    )
+    neg_values = ",".join(
+        f"({qid}, '{t}')" for qid, (_, n) in enumerate(FT_BOOSTING) for t in n.split()
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok
+    FROM documents) WHERE tok <> ''
+),
+dl AS (SELECT d.doc_id, CAST(coalesce(t.c, 0) AS DOUBLE) AS dl
+       FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS c FROM toks GROUP BY 1) t USING (doc_id)),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+q(query_id, tok) AS (VALUES {pos_values}),
+nq(query_id, tok) AS (VALUES {neg_values}),
+qd AS (SELECT DISTINCT query_id, tok FROM q),
+scored AS (
+  SELECT qd.query_id, tf.doc_id,
+         sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * (1.2 + 1.0)
+              / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score
+  FROM qd
+  JOIN tf USING (tok)
+  JOIN df USING (tok)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+negset AS (
+  SELECT DISTINCT n.query_id, tf.doc_id
+  FROM (SELECT DISTINCT query_id, tok FROM nq) n JOIN tf USING (tok)
+),
+final AS (
+  SELECT s.query_id, s.doc_id,
+         s.score * (CASE WHEN ns.doc_id IS NOT NULL THEN {NEG_BOOST} ELSE 1.0 END) AS fscore
+  FROM scored s
+  LEFT JOIN negset ns ON ns.query_id = s.query_id AND ns.doc_id = s.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY fscore DESC, doc_id) AS rank
+  FROM final
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank, doc_id
+FROM ranked WHERE rank <= {k}
+ORDER BY query_id, rank
+"""
+
+
 DIS_TIE = 0.3  # dis_max tie_breaker (the ES default style: 0 < tie < 1)
 
 

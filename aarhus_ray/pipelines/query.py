@@ -574,6 +574,44 @@ def function_score_topk(
     )
 
 
+def boosting_topk(
+    out_dir: str,
+    queries,
+    negative_boost: float = 0.5,
+    k: int = 10,
+    concurrency: int | None = None,
+    batch_size: int = 64,
+) -> ray.data.Dataset:
+    """BOOSTING retrieval (ES ``boosting`` query): positive disjunctive
+    BM25, × ``negative_boost`` for docs also matching the negative query
+    (demotion, not exclusion). ``queries`` must carry (query_id, text,
+    neg) — ``neg`` is the per-query negative clause text. Returns
+    (query_id, rank, doc_id, score); same stateless-task shape as
+    query_index."""
+    from ..stages.query_stage import BoostingTopKTaskFn
+
+    segs = list_segments(out_dir)
+    if not segs:
+        raise ValueError(f"no segments under {out_dir}")
+    conc = concurrency or max(1, _cpus())
+    if isinstance(queries, str):
+        import pyarrow.parquet as _pq
+
+        queries = _pq.read_table(queries)
+    if isinstance(queries, pa.Table):
+        n_blocks = max(1, min(conc * 4, queries.num_rows // max(1, batch_size) + 1))
+        per = (queries.num_rows + n_blocks - 1) // n_blocks
+        slices = [queries.slice(i * per, per) for i in range(n_blocks) if i * per < queries.num_rows]
+        qds = ray.data.from_arrow(slices)
+    else:
+        qds = queries
+    return qds.map_batches(
+        BoostingTopKTaskFn(out_dir, segs, negative_boost, k, index_version(out_dir)),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+
+
 def synonym_topk(
     out_dir: str,
     queries,

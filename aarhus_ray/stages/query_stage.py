@@ -1729,6 +1729,104 @@ class FunctionScoreTopK:
         )
 
 
+class BoostingTopK:
+    """BOOSTING retrieval (Elasticsearch's ``boosting`` query): the
+    positive disjunctive BM25 score, multiplied by ``negative_boost``
+    when the doc ALSO matches the negative query (any negative term
+    present — filter-context match; the negative side's scores are never
+    used). Demotion, not exclusion: negative matches stay ranked, just
+    below what their relevance alone would earn. ``negative_boost``
+    defaults to 0.5 — a power of two, so the demotion multiply is
+    IEEE-exact and the SQL replay is bit-faithful (the same reasoning as
+    FunctionScoreTopK's linear decay). The negative match set is the
+    union of the negative terms' postings doc_ids, gathered through the
+    same term-sharded segments as the positives (OOV negative terms
+    contribute nothing; a doc-range-sharded scorer sees only its range's
+    postings, so the demotion set shards for free at cluster scale).
+    Total order (final score DESC, doc_id ASC)."""
+
+    def __init__(self, out_dir: str, seg_ids: list[int] | None = None,
+                 negative_boost: float = 0.5, k: int = 10):
+        self.scorer = QueryScorer(out_dir, seg_ids, k=k, method="brute")
+        self.k = k
+        self.neg_boost = float(negative_boost)
+
+    def _match_ids(self, text: str) -> np.ndarray | None:
+        parts = []
+        for t in set(tokenize(text or "")):
+            segs = self.scorer._owners(t)
+            if segs:
+                parts.append(self.scorer._term_arrays(t, segs)[0])
+        if not parts:
+            return None
+        return np.unique(np.concatenate(parts))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..bm25 import topk_select
+
+        qids_out: list[int] = []
+        ranks_out: list[int] = []
+        docs_out: list[np.ndarray] = []
+        scores_out: list[np.ndarray] = []
+        for qid, text, neg in zip(
+            batch["query_id"].to_pylist(),
+            batch["text"].to_pylist(),
+            batch["neg"].to_pylist(),
+        ):
+            owners = {}
+            for t in set(tokenize(text)):
+                segs = self.scorer._owners(t)
+                if segs:
+                    owners[t] = segs
+            terms = sorted(owners)
+            if not terms:
+                continue
+            entries = [self.scorer._term_arrays(t, owners[t]) for t in terms]
+            all_ids = np.unique(np.concatenate([e[0] for e in entries]))
+            scores = np.zeros(len(all_ids), dtype=np.float64)
+            for doc_ids, contribs, _, _ in entries:  # sorted-term order
+                pos = np.searchsorted(all_ids, doc_ids)
+                scores[pos] += contribs
+            negset = self._match_ids(neg)
+            if negset is not None:
+                hit = np.isin(all_ids, negset, assume_unique=True)
+                scores = np.where(hit, scores * self.neg_boost, scores)
+            d, s = topk_select(all_ids, scores, self.k)
+            qids_out.extend([qid] * len(d))
+            ranks_out.extend(range(1, len(d) + 1))
+            docs_out.append(d)
+            scores_out.append(s)
+        docs = np.concatenate(docs_out) if docs_out else np.empty(0, np.uint64)
+        scrs = np.concatenate(scores_out) if scores_out else np.empty(0, np.float64)
+        return pa.table(
+            {
+                "query_id": pa.array(qids_out, pa.int64()),
+                "rank": pa.array(np.asarray(ranks_out, dtype=np.int32), pa.int32()),
+                "doc_id": pa.array(docs, pa.uint64()),
+                "score": pa.array(scrs, pa.float64()),
+            }
+        )
+
+
+class BoostingTopKTaskFn:
+    """Task-fn form of BoostingTopK (worker-process cache)."""
+
+    def __init__(self, out_dir: str, seg_ids: list[int],
+                 negative_boost: float, k: int, version: float):
+        self.args = (out_dir, tuple(seg_ids), float(negative_boost), k, version)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_dir, seg_ids, neg_boost, k, version = self.args
+        key = (out_dir, version, seg_ids, neg_boost, k, "boosting")
+        bt = _WORKER_MATCH_AGG_CACHE.get(key)
+        if bt is None:
+            for kk in [kk for kk in _WORKER_MATCH_AGG_CACHE if kk[0] == out_dir and kk[1] < version]:
+                del _WORKER_MATCH_AGG_CACHE[kk]
+            bt = BoostingTopK(out_dir, list(seg_ids), neg_boost, k)
+            _WORKER_MATCH_AGG_CACHE[key] = bt
+        return bt(batch)
+
+
 class SynonymTopK:
     """QUERY-TIME SYNONYM EXPANSION with Lucene SynonymQuery semantics:
     each query term expands to its synonym group {term} ∪ syns(term), and

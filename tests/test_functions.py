@@ -773,3 +773,60 @@ def test_hybrid_rrf_fusion_rule():
         assert sub["doc_id"].tolist() == want, f"query {qid}"
         if qid == oov_qid:  # empty lexical window -> pure vector page
             assert sub["doc_id"].tolist() == [int(ids[i]) for i in vorder[:10]]
+
+
+def test_boosting_demotes_never_excludes():
+    """bm25_topk_boosting == an independent recompute: full or-mode
+    scores via the brute scorer, negative membership decided from the
+    TEXT (tokenize each doc — not from postings), score × 0.5 where
+    matched, (fscore DESC, doc_id) order. Also pins the OOV-negative
+    query to the plain or-mode page (demotion set empty)."""
+    from aarhus_ray.functions import fulltext
+    from aarhus_ray.functions.fulltext import (
+        FT_BOOSTING,
+        NEG_BOOST,
+        _ensure_index,
+        _full_ranking,
+        _run_queries,
+        bm25_topk_boosting,
+    )
+    from aarhus_ray.textnorm import tokenize
+
+    got = bm25_topk_boosting(SF, k=10)
+    index = _ensure_index(SF, fresh=False)
+
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    toksets = {
+        int(d): set(tokenize(t))
+        for d, t in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist())
+    }
+
+    import pandas as pd
+    import pyarrow as pa
+
+    from aarhus_ray.pipelines.query import query_index
+
+    q = pa.table(
+        {
+            "query_id": pa.array(range(len(FT_BOOSTING)), pa.int64()),
+            "text": pa.array([p for p, _ in FT_BOOSTING], pa.string()),
+        }
+    )
+    full = query_index(
+        index, q, k=len(toksets), method="brute", resolve_urls=True
+    ).to_pandas()
+    full["doc_id"] = full["url"].map(fulltext.url_doc_id).astype("int64")
+
+    for qid, (pos, neg) in enumerate(FT_BOOSTING):
+        sub = full[full["query_id"] == qid]
+        negterms = set(tokenize(neg))
+        ids = sub["doc_id"].to_numpy()
+        hit = np.array([bool(toksets[int(d)] & negterms) for d in ids])
+        fscore = sub["score"].to_numpy() * np.where(hit, NEG_BOOST, 1.0)
+        order = np.lexsort((ids, -fscore))[:10]
+        want = ids[order].tolist()
+        page = got[got["query_id"] == qid]["doc_id"].tolist()
+        assert page == want, f"query {qid}"
+        if neg == "zzznotinvocab":
+            plain = _run_queries(index, [pos], 10, "or")
+            assert page == plain["doc_id"].tolist()
