@@ -196,6 +196,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fulltext_date_histogram": fulltext.date_histogram_query,
         # histogram (min_doc_count=0) + cumulative_sum/derivative pipeline
         "fulltext_histogram_pipeline": fulltext.histogram_pipeline_query,
+        # range agg: arbitrary overlapping [from,to) buckets + exact sums,
+        # zero buckets and hit-less queries emit the full skeleton
+        "fulltext_range_agg": fulltext.range_agg_query,
         # rare_terms: dictionary-driven long-tail buckets per match set
         "fulltext_rare_terms": fulltext.rare_terms_query,
         # composite agg: full (lang × ts-bucket) space in after_key pages,
@@ -671,6 +674,7 @@ def oracle_sql() -> dict[str, str]:
         "fulltext_function_score": fulltext.function_score_oracle_sql(),
         "fulltext_date_histogram": fulltext.date_histogram_oracle_sql(),
         "fulltext_histogram_pipeline": fulltext.histogram_pipeline_oracle_sql(),
+        "fulltext_range_agg": fulltext.range_agg_oracle_sql(),
         "fulltext_rare_terms": fulltext.rare_terms_oracle_sql(),
         "fulltext_composite_agg": fulltext.composite_agg_oracle_sql(),
         "fulltext_matchset_stats": fulltext.matchset_stats_oracle_sql(),

@@ -2677,6 +2677,86 @@ ORDER BY query_id, bucket
 """
 
 
+# Range-agg bounds over the doclen docvalue (None = open end). Deliberately
+# NOT a partition: (100, 200) overlaps both neighbours (a doc can land in
+# two buckets) and (1000, None) is empty at every driver scale — pinning
+# the two contracts that make `range` more than a histogram special case:
+# overlapping membership and the always-emitted zero bucket.
+RANGE_BOUNDS = ((None, 120), (100, 200), (150, None), (1000, None))
+
+
+def range_agg_query(sf_dir: str) -> pd.DataFrame:
+    """Range aggregation per FT_QUERY (ES ``range`` over the doclen
+    docvalue): doc_count + exact integer sum per configured half-open
+    [from, to) bucket — every bucket of RANGE_BOUNDS emitted for every
+    query, zero-count buckets and the OOV query's empty match set
+    included (the ES bucket-skeleton contract). Output (query_id,
+    range_idx, n_docs, sum_val), all integers
+    (pipelines/query.range_agg)."""
+    from ..pipelines.query import range_agg
+
+    index = _ensure_index(sf_dir, fresh=False)
+    queries = pa.table(
+        {
+            "query_id": pa.array(range(len(FT_QUERIES)), pa.int64()),
+            "text": pa.array(list(FT_QUERIES), pa.string()),
+        }
+    )
+    out = range_agg(index, queries, field="doclen", ranges=RANGE_BOUNDS).to_pandas()
+    return out.sort_values(["query_id", "range_idx"]).reset_index(drop=True)
+
+
+def range_agg_oracle_sql() -> str:
+    """Range-agg oracle: the match set joined to integer doclens, CROSS
+    JOINed against the VALUES-table of ranges with NULL-open bounds, then
+    the full (query × range) skeleton LEFT-JOINs the aggregates so
+    zero buckets and hit-less queries emit 0 rows exactly like the
+    engine."""
+    values = ",".join(
+        f"({qid}, '{term}')" for qid, q in enumerate(FT_QUERIES) for term in q.split()
+    )
+    ranges = ",".join(
+        f"({i}, {lo if lo is not None else 'NULL'}, {hi if hi is not None else 'NULL'})"
+        for i, (lo, hi) in enumerate(RANGE_BOUNDS)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok
+    FROM documents) WHERE tok <> ''
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+q(query_id, tok) AS (VALUES {values}),
+qd AS (SELECT DISTINCT query_id, tok FROM q),
+ranges(range_idx, lo, hi) AS (VALUES {ranges}),
+matched AS (SELECT DISTINCT qd.query_id, toks.doc_id FROM qd JOIN toks USING (tok)),
+hits AS (
+  SELECT m.query_id, r.range_idx, dl.dl
+  FROM matched m
+  JOIN dl USING (doc_id)
+  CROSS JOIN ranges r
+  WHERE (r.lo IS NULL OR dl.dl >= r.lo) AND (r.hi IS NULL OR dl.dl < r.hi)
+),
+agg AS (
+  SELECT query_id, range_idx,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(dl) AS BIGINT) AS sum_val
+  FROM hits GROUP BY 1, 2
+),
+skeleton AS (
+  SELECT qq.query_id, r.range_idx
+  FROM (SELECT DISTINCT query_id FROM q) qq CROSS JOIN ranges r
+)
+SELECT CAST(s.query_id AS BIGINT) AS query_id,
+       CAST(s.range_idx AS BIGINT) AS range_idx,
+       coalesce(a.n_docs, 0) AS n_docs,
+       coalesce(a.sum_val, 0) AS sum_val
+FROM skeleton s
+LEFT JOIN agg a ON a.query_id = s.query_id AND a.range_idx = s.range_idx
+ORDER BY s.query_id, s.range_idx
+"""
+
+
 MS_B_DIV = 1000  # matrix_stats: ts scaled to ms offsets so squares fit int64
 
 

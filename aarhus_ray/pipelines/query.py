@@ -723,6 +723,43 @@ def histogram_agg(
     )
 
 
+def range_agg(
+    out_dir: str,
+    queries,
+    field: str = "doclen",
+    ranges: tuple[tuple[int | None, int | None], ...] = ((None, 128), (128, None)),
+    concurrency: int | None = None,
+    batch_size: int = 64,
+) -> ray.data.Dataset:
+    """RANGE aggregation per query (ES ``range``): doc_count + exact int64
+    sum of a numeric docvalue per configured half-open [from, to) range —
+    every configured range emitted, count-0 and empty match sets
+    included. Returns (query_id, range_idx, n_docs, sum_val). Same
+    stateless-task shape as date_histogram."""
+    from ..stages.query_stage import RangeAggTaskFn
+
+    segs = list_segments(out_dir)
+    if not segs:
+        raise ValueError(f"no segments under {out_dir}")
+    conc = concurrency or max(1, _cpus())
+    if isinstance(queries, str):
+        import pyarrow.parquet as _pq
+
+        queries = _pq.read_table(queries)
+    if isinstance(queries, pa.Table):
+        n_blocks = max(1, min(conc * 4, queries.num_rows // max(1, batch_size) + 1))
+        per = (queries.num_rows + n_blocks - 1) // n_blocks
+        slices = [queries.slice(i * per, per) for i in range(n_blocks) if i * per < queries.num_rows]
+        qds = ray.data.from_arrow(slices)
+    else:
+        qds = queries
+    return qds.map_batches(
+        RangeAggTaskFn(out_dir, segs, field, ranges, index_version(out_dir)),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+
+
 def matrix_stats(
     out_dir: str,
     queries,

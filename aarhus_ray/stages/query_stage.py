@@ -2777,6 +2777,75 @@ class HistogramPipeline(DocvalueTopK):
         )
 
 
+class RangeAgg(DocvalueTopK):
+    """RANGE aggregation over the match set (Elasticsearch's ``range``
+    agg): per query and configured half-open [from, to) range of a
+    numeric docvalue — doc_count plus an exact int64 ``sum``
+    sub-aggregation. EVERY configured range is emitted, count-0 ranges
+    and empty match sets included (the ES contract: a query with zero
+    hits still returns the full bucket skeleton — this is what
+    distinguishes range from the join-semantics aggs above). Ranges are
+    arbitrary: they may overlap and need not cover, so a doc can land in
+    zero or several buckets — which is why range is NOT a histogram
+    special case. Bounds are (lo, hi) with None for an open end.
+    Collection cost is the match set + one gather; each range is one
+    vectorized mask. Per-doc-range partials are additive (count and sum
+    both), so the cluster-scale shard story is DateHistogram's."""
+
+    def __init__(self, out_dir: str, seg_ids: list[int] | None = None,
+                 field: str = "doclen",
+                 ranges: tuple[tuple[int | None, int | None], ...] = ((None, 128), (128, None))):
+        super().__init__(out_dir, seg_ids, field, k=1)
+        self.ranges = tuple((lo, hi) for lo, hi in ranges)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids_out: list[int] = []
+        ridx_out: list[int] = []
+        n_out: list[int] = []
+        sum_out: list[int] = []
+        for qid, text in zip(batch["query_id"].to_pylist(), batch["text"].to_pylist()):
+            docs = self._match_set(text)
+            vals = self.vals[np.searchsorted(self.doc_ids, docs)] if len(docs) else np.empty(0, np.int64)
+            for ridx, (lo, hi) in enumerate(self.ranges):
+                mask = np.ones(len(vals), dtype=bool)
+                if lo is not None:
+                    mask &= vals >= lo
+                if hi is not None:
+                    mask &= vals < hi
+                sel = vals[mask]
+                qids_out.append(qid)
+                ridx_out.append(ridx)
+                n_out.append(int(mask.sum()))
+                sum_out.append(int(sel.sum(dtype=np.int64)))
+        return pa.table(
+            {
+                "query_id": pa.array(qids_out, pa.int64()),
+                "range_idx": pa.array(ridx_out, pa.int64()),
+                "n_docs": pa.array(n_out, pa.int64()),
+                "sum_val": pa.array(sum_out, pa.int64()),
+            }
+        )
+
+
+class RangeAggTaskFn:
+    """Task-fn form of RangeAgg (worker-process cache)."""
+
+    def __init__(self, out_dir: str, seg_ids: list[int], field: str,
+                 ranges: tuple[tuple[int | None, int | None], ...], version: float):
+        self.args = (out_dir, tuple(seg_ids), field, tuple(ranges), version)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_dir, seg_ids, field, ranges, version = self.args
+        key = (out_dir, version, seg_ids, field, ranges, "range")
+        ra = _WORKER_MATCH_AGG_CACHE.get(key)
+        if ra is None:
+            for kk in [kk for kk in _WORKER_MATCH_AGG_CACHE if kk[0] == out_dir and kk[1] < version]:
+                del _WORKER_MATCH_AGG_CACHE[kk]
+            ra = RangeAgg(out_dir, list(seg_ids), field, ranges)
+            _WORKER_MATCH_AGG_CACHE[key] = ra
+        return ra(batch)
+
+
 class MatchsetPercentiles(DocvalueTopK):
     """PERCENTILES aggregation over the match set (ES percentiles agg,
     exact): per query and requested quantile q, the lower (type-1)

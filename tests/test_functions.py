@@ -830,3 +830,42 @@ def test_boosting_demotes_never_excludes():
         if neg == "zzznotinvocab":
             plain = _run_queries(index, [pos], 10, "or")
             assert page == plain["doc_id"].tolist()
+
+
+def test_range_agg_contracts():
+    """range_agg: full (query × range) skeleton always emitted (OOV query
+    included, all zeros), overlapping ranges double-count the overlap
+    docs, and counts/sums match a text-level recompute."""
+    from aarhus_ray.functions.fulltext import (
+        FT_QUERIES,
+        RANGE_BOUNDS,
+        range_agg_query,
+    )
+    from aarhus_ray.textnorm import tokenize
+
+    got = range_agg_query(SF)
+    assert len(got) == len(FT_QUERIES) * len(RANGE_BOUNDS)
+
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    toks = {
+        int(d): tokenize(t)
+        for d, t in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist())
+    }
+    oov = FT_QUERIES.index("zzznotinvocab")
+    for qid, qtext in enumerate(FT_QUERIES):
+        terms = set(qtext.split())
+        match = {d for d, tk in toks.items() if terms & set(tk)}
+        for ridx, (lo, hi) in enumerate(RANGE_BOUNDS):
+            lens = [
+                len(toks[d])
+                for d in match
+                if (lo is None or len(toks[d]) >= lo) and (hi is None or len(toks[d]) < hi)
+            ]
+            row = got[(got.query_id == qid) & (got.range_idx == ridx)]
+            assert int(row["n_docs"].iloc[0]) == len(lens)
+            assert int(row["sum_val"].iloc[0]) == sum(lens)
+        if qid == oov:
+            sub = got[got.query_id == qid]
+            assert (sub["n_docs"] == 0).all() and (sub["sum_val"] == 0).all()
+    # the (1000, None) range must actually be empty for the zero-bucket pin
+    assert (got[got.range_idx == len(RANGE_BOUNDS) - 1]["n_docs"] == 0).all()
