@@ -199,6 +199,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # range agg: arbitrary overlapping [from,to) buckets + exact sums,
         # zero buckets and hit-less queries emit the full skeleton
         "fulltext_range_agg": fulltext.range_agg_query,
+        # moving_fn (trailing window sum) + serial_diff over the dense series
+        "fulltext_moving_window": fulltext.moving_window_query,
+        # bucket_selector (n>=2) + bucket_sort (n DESC, bucket) top-5
+        "fulltext_bucket_sort": fulltext.bucket_sort_query,
         # rare_terms: dictionary-driven long-tail buckets per match set
         "fulltext_rare_terms": fulltext.rare_terms_query,
         # composite agg: full (lang × ts-bucket) space in after_key pages,
@@ -675,6 +679,8 @@ def oracle_sql() -> dict[str, str]:
         "fulltext_date_histogram": fulltext.date_histogram_oracle_sql(),
         "fulltext_histogram_pipeline": fulltext.histogram_pipeline_oracle_sql(),
         "fulltext_range_agg": fulltext.range_agg_oracle_sql(),
+        "fulltext_moving_window": fulltext.moving_window_oracle_sql(),
+        "fulltext_bucket_sort": fulltext.bucket_sort_oracle_sql(),
         "fulltext_rare_terms": fulltext.rare_terms_oracle_sql(),
         "fulltext_composite_agg": fulltext.composite_agg_oracle_sql(),
         "fulltext_matchset_stats": fulltext.matchset_stats_oracle_sql(),

@@ -2677,6 +2677,133 @@ ORDER BY query_id, bucket
 """
 
 
+MW_WINDOW = 3  # moving_fn trailing window (buckets, current included)
+MW_LAG = 2  # serial_diff lag
+
+
+def moving_window_query(sf_dir: str) -> pd.DataFrame:
+    """moving_fn + serial_diff pipeline aggregations per FT_QUERY (ES):
+    the dense doclen-histogram series with the trailing MW_WINDOW-bucket
+    sum (partial at the series head, the ES moving_fn behavior) and the
+    lag-MW_LAG difference (frozen 0 baseline below the lag, the same
+    total-output variant as the derivative). Output (query_id, bucket,
+    n_docs, mov_sum, sdiff), all integers
+    (pipelines/query.moving_window_agg)."""
+    from ..pipelines.query import moving_window_agg
+
+    index = _ensure_index(sf_dir, fresh=False)
+    queries = pa.table(
+        {
+            "query_id": pa.array(range(len(FT_QUERIES)), pa.int64()),
+            "text": pa.array(list(FT_QUERIES), pa.string()),
+        }
+    )
+    out = moving_window_agg(
+        index, queries, field="doclen", interval=HP_INTERVAL,
+        window=MW_WINDOW, lag=MW_LAG,
+    ).to_pandas()
+    return out.sort_values(["query_id", "bucket"]).reset_index(drop=True)
+
+
+def moving_window_oracle_sql() -> str:
+    """Oracle: the histogram-pipeline dense series; mov_sum is a ROWS
+    BETWEEN window sum, sdiff is n − lag(n, MW_LAG, 0)."""
+    values = ",".join(
+        f"({qid}, '{term}')" for qid, q in enumerate(FT_QUERIES) for term in q.split()
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok
+    FROM documents) WHERE tok <> ''
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+q(query_id, tok) AS (VALUES {values}),
+qd AS (SELECT DISTINCT query_id, tok FROM q),
+matched AS (SELECT DISTINCT qd.query_id, toks.doc_id FROM qd JOIN toks USING (tok)),
+mb AS (SELECT m.query_id, dl.dl // {HP_INTERVAL} AS bucket
+       FROM matched m JOIN dl USING (doc_id)),
+counts AS (SELECT query_id, bucket, count(*) AS n FROM mb GROUP BY 1, 2),
+bounds AS (SELECT query_id, min(bucket) AS b0, max(bucket) AS b1 FROM mb GROUP BY 1),
+dense AS (SELECT query_id, unnest(generate_series(b0, b1)) AS bucket FROM bounds),
+series AS (
+  SELECT d.query_id, d.bucket, coalesce(c.n, 0) AS n_docs
+  FROM dense d LEFT JOIN counts c ON c.query_id = d.query_id AND c.bucket = d.bucket
+)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(bucket AS BIGINT) AS bucket,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(sum(n_docs) OVER (PARTITION BY query_id ORDER BY bucket
+                              ROWS BETWEEN {MW_WINDOW - 1} PRECEDING AND CURRENT ROW) AS BIGINT) AS mov_sum,
+       CAST(n_docs - lag(n_docs, {MW_LAG}, 0) OVER (PARTITION BY query_id ORDER BY bucket) AS BIGINT) AS sdiff
+FROM series
+ORDER BY query_id, bucket
+"""
+
+
+BS_MIN_COUNT = 2  # bucket_selector predicate: n_docs >= 2
+BS_SIZE = 5  # bucket_sort truncation
+
+
+def bucket_sort_query(sf_dir: str) -> pd.DataFrame:
+    """bucket_selector + bucket_sort pipeline aggregations per FT_QUERY
+    (ES): doclen-histogram buckets surviving n_docs >= BS_MIN_COUNT,
+    re-ranked (n_docs DESC, bucket ASC), top BS_SIZE — the busiest
+    doclen buckets of each match set. Output (query_id, rank, bucket,
+    n_docs) (pipelines/query.bucket_sort_agg)."""
+    from ..pipelines.query import bucket_sort_agg
+
+    index = _ensure_index(sf_dir, fresh=False)
+    queries = pa.table(
+        {
+            "query_id": pa.array(range(len(FT_QUERIES)), pa.int64()),
+            "text": pa.array(list(FT_QUERIES), pa.string()),
+        }
+    )
+    out = bucket_sort_agg(
+        index, queries, field="doclen", interval=HP_INTERVAL,
+        min_count=BS_MIN_COUNT, size=BS_SIZE,
+    ).to_pandas()
+    return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+def bucket_sort_oracle_sql() -> str:
+    """Oracle: sparse histogram counts, HAVING-filtered by the selector
+    predicate, row_number re-ranked (n DESC, bucket ASC), truncated."""
+    values = ",".join(
+        f"({qid}, '{term}')" for qid, q in enumerate(FT_QUERIES) for term in q.split()
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok
+    FROM documents) WHERE tok <> ''
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+q(query_id, tok) AS (VALUES {values}),
+qd AS (SELECT DISTINCT query_id, tok FROM q),
+matched AS (SELECT DISTINCT qd.query_id, toks.doc_id FROM qd JOIN toks USING (tok)),
+mb AS (SELECT m.query_id, dl.dl // {HP_INTERVAL} AS bucket
+       FROM matched m JOIN dl USING (doc_id)),
+counts AS (
+  SELECT query_id, bucket, count(*) AS n
+  FROM mb GROUP BY 1, 2
+  HAVING count(*) >= {BS_MIN_COUNT}
+),
+ranked AS (
+  SELECT query_id, bucket, n,
+         row_number() OVER (PARTITION BY query_id ORDER BY n DESC, bucket) AS rank
+  FROM counts
+)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(rank AS BIGINT) AS rank,
+       CAST(bucket AS BIGINT) AS bucket,
+       CAST(n AS BIGINT) AS n_docs
+FROM ranked WHERE rank <= {BS_SIZE}
+ORDER BY query_id, rank
+"""
+
+
 # Range-agg bounds over the doclen docvalue (None = open end). Deliberately
 # NOT a partition: (100, 200) overlaps both neighbours (a doc can land in
 # two buckets) and (1000, None) is empty at every driver scale — pinning

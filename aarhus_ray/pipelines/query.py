@@ -723,6 +723,83 @@ def histogram_agg(
     )
 
 
+def moving_window_agg(
+    out_dir: str,
+    queries,
+    field: str = "doclen",
+    interval: int = 4,
+    window: int = 3,
+    lag: int = 2,
+    concurrency: int | None = None,
+    batch_size: int = 64,
+) -> ray.data.Dataset:
+    """MOVING-WINDOW pipeline aggs per query (ES moving_fn sum +
+    serial_diff over the dense histogram series). Returns (query_id,
+    bucket, n_docs, mov_sum, sdiff). Same stateless-task shape as
+    histogram_agg."""
+    from ..stages.query_stage import MovingWindowAggTaskFn
+
+    segs = list_segments(out_dir)
+    if not segs:
+        raise ValueError(f"no segments under {out_dir}")
+    conc = concurrency or max(1, _cpus())
+    if isinstance(queries, str):
+        import pyarrow.parquet as _pq
+
+        queries = _pq.read_table(queries)
+    if isinstance(queries, pa.Table):
+        n_blocks = max(1, min(conc * 4, queries.num_rows // max(1, batch_size) + 1))
+        per = (queries.num_rows + n_blocks - 1) // n_blocks
+        slices = [queries.slice(i * per, per) for i in range(n_blocks) if i * per < queries.num_rows]
+        qds = ray.data.from_arrow(slices)
+    else:
+        qds = queries
+    return qds.map_batches(
+        MovingWindowAggTaskFn(out_dir, segs, field, interval, window, lag,
+                              index_version(out_dir)),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+
+
+def bucket_sort_agg(
+    out_dir: str,
+    queries,
+    field: str = "doclen",
+    interval: int = 4,
+    min_count: int = 1,
+    size: int = 5,
+    concurrency: int | None = None,
+    batch_size: int = 64,
+) -> ray.data.Dataset:
+    """BUCKET_SELECTOR + BUCKET_SORT per query (ES): histogram buckets
+    with n_docs >= min_count, re-ranked (n_docs DESC, bucket ASC), top
+    ``size``. Returns (query_id, rank, bucket, n_docs)."""
+    from ..stages.query_stage import BucketSortAggTaskFn
+
+    segs = list_segments(out_dir)
+    if not segs:
+        raise ValueError(f"no segments under {out_dir}")
+    conc = concurrency or max(1, _cpus())
+    if isinstance(queries, str):
+        import pyarrow.parquet as _pq
+
+        queries = _pq.read_table(queries)
+    if isinstance(queries, pa.Table):
+        n_blocks = max(1, min(conc * 4, queries.num_rows // max(1, batch_size) + 1))
+        per = (queries.num_rows + n_blocks - 1) // n_blocks
+        slices = [queries.slice(i * per, per) for i in range(n_blocks) if i * per < queries.num_rows]
+        qds = ray.data.from_arrow(slices)
+    else:
+        qds = queries
+    return qds.map_batches(
+        BucketSortAggTaskFn(out_dir, segs, field, interval, min_count, size,
+                            index_version(out_dir)),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+
+
 def range_agg(
     out_dir: str,
     queries,

@@ -2777,6 +2777,153 @@ class HistogramPipeline(DocvalueTopK):
         )
 
 
+class MovingWindowAgg(DocvalueTopK):
+    """MOVING-WINDOW pipeline aggregations over the dense histogram
+    series (ES ``moving_fn`` + ``serial_diff``): per query, the
+    HistogramPipeline dense bucket series (min_doc_count=0 — what makes
+    the pipeline folds well-defined), each bucket carrying
+    ``mov_sum`` — the trailing ``window``-bucket sum INCLUDING the
+    current bucket (ES moving_fn with shift=window, fn=sum; short
+    prefixes sum what exists, the ES partial-window behavior) — and
+    ``sdiff`` — n[i] − n[i−lag] with a frozen 0 baseline for i < lag
+    (same total-output variant as HistogramPipeline's derivative; ES
+    emits nulls there, which a NULL-free exact-hash oracle can't carry).
+    Both folds run post-merge over the bucket-count-sized series, never
+    over docs — the cluster story is HistogramPipeline's unchanged."""
+
+    def __init__(self, out_dir: str, seg_ids: list[int] | None = None,
+                 field: str = "doclen", interval: int = 4,
+                 window: int = 3, lag: int = 2):
+        super().__init__(out_dir, seg_ids, field, k=1)
+        self.interval = int(interval)
+        self.window = int(window)
+        self.lag = int(lag)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids_out: list[np.ndarray] = []
+        buckets_out: list[np.ndarray] = []
+        n_out: list[np.ndarray] = []
+        mov_out: list[np.ndarray] = []
+        sdiff_out: list[np.ndarray] = []
+        for qid, text in zip(batch["query_id"].to_pylist(), batch["text"].to_pylist()):
+            docs = self._match_set(text)
+            if len(docs) == 0:
+                continue
+            vals = self.vals[np.searchsorted(self.doc_ids, docs)]
+            b = vals // self.interval
+            b0, b1 = int(b.min()), int(b.max())
+            n = np.bincount(b - b0, minlength=b1 - b0 + 1).astype(np.int64)
+            cum = np.cumsum(n)
+            mov = cum - np.concatenate([np.zeros(min(self.window, len(n)), np.int64),
+                                        cum[: len(n) - self.window]])
+            lagged = np.concatenate([np.zeros(min(self.lag, len(n)), np.int64),
+                                     n[: len(n) - self.lag]])
+            qids_out.append(np.full(len(n), qid, dtype=np.int64))
+            buckets_out.append(np.arange(b0, b1 + 1, dtype=np.int64))
+            n_out.append(n)
+            mov_out.append(mov)
+            sdiff_out.append(n - lagged)
+        cat = lambda xs: np.concatenate(xs) if xs else np.empty(0, np.int64)  # noqa: E731
+        return pa.table(
+            {
+                "query_id": pa.array(cat(qids_out), pa.int64()),
+                "bucket": pa.array(cat(buckets_out), pa.int64()),
+                "n_docs": pa.array(cat(n_out), pa.int64()),
+                "mov_sum": pa.array(cat(mov_out), pa.int64()),
+                "sdiff": pa.array(cat(sdiff_out), pa.int64()),
+            }
+        )
+
+
+class MovingWindowAggTaskFn:
+    """Task-fn form of MovingWindowAgg (worker-process cache)."""
+
+    def __init__(self, out_dir: str, seg_ids: list[int], field: str,
+                 interval: int, window: int, lag: int, version: float):
+        self.args = (out_dir, tuple(seg_ids), field, interval, window, lag, version)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_dir, seg_ids, field, interval, window, lag, version = self.args
+        key = (out_dir, version, seg_ids, field, interval, window, lag, "movwin")
+        mw = _WORKER_MATCH_AGG_CACHE.get(key)
+        if mw is None:
+            for kk in [kk for kk in _WORKER_MATCH_AGG_CACHE if kk[0] == out_dir and kk[1] < version]:
+                del _WORKER_MATCH_AGG_CACHE[kk]
+            mw = MovingWindowAgg(out_dir, list(seg_ids), field, interval, window, lag)
+            _WORKER_MATCH_AGG_CACHE[key] = mw
+        return mw(batch)
+
+
+class BucketSortAgg(DocvalueTopK):
+    """BUCKET_SELECTOR + BUCKET_SORT pipeline aggregations (ES): per
+    query, the histogram buckets SURVIVING an integer predicate
+    (n_docs >= min_count — bucket_selector; false drops the bucket from
+    the response) re-ordered by (n_docs DESC, bucket ASC) and truncated
+    to the top ``size`` (bucket_sort with sort + size) — "the busiest
+    docvalue buckets per query". Emits (query_id, rank, bucket, n_docs);
+    a query whose every bucket fails the selector emits nothing. Both
+    pipeline stages fold over the bucket series post-merge (series-sized
+    state), exactly like the other pipeline aggs."""
+
+    def __init__(self, out_dir: str, seg_ids: list[int] | None = None,
+                 field: str = "doclen", interval: int = 4,
+                 min_count: int = 1, size: int = 5):
+        super().__init__(out_dir, seg_ids, field, k=1)
+        self.interval = int(interval)
+        self.min_count = int(min_count)
+        self.size = int(size)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids_out: list[np.ndarray] = []
+        ranks_out: list[np.ndarray] = []
+        buckets_out: list[np.ndarray] = []
+        n_out: list[np.ndarray] = []
+        for qid, text in zip(batch["query_id"].to_pylist(), batch["text"].to_pylist()):
+            docs = self._match_set(text)
+            if len(docs) == 0:
+                continue
+            vals = self.vals[np.searchsorted(self.doc_ids, docs)]
+            buckets, counts = np.unique(vals // self.interval, return_counts=True)
+            counts = counts.astype(np.int64)
+            keep = counts >= self.min_count
+            buckets, counts = buckets[keep], counts[keep]
+            if not len(buckets):
+                continue
+            order = np.lexsort((buckets, -counts))[: self.size]
+            qids_out.append(np.full(len(order), qid, dtype=np.int64))
+            ranks_out.append(np.arange(1, len(order) + 1, dtype=np.int64))
+            buckets_out.append(buckets[order])
+            n_out.append(counts[order])
+        cat = lambda xs: np.concatenate(xs) if xs else np.empty(0, np.int64)  # noqa: E731
+        return pa.table(
+            {
+                "query_id": pa.array(cat(qids_out), pa.int64()),
+                "rank": pa.array(cat(ranks_out), pa.int64()),
+                "bucket": pa.array(cat(buckets_out), pa.int64()),
+                "n_docs": pa.array(cat(n_out), pa.int64()),
+            }
+        )
+
+
+class BucketSortAggTaskFn:
+    """Task-fn form of BucketSortAgg (worker-process cache)."""
+
+    def __init__(self, out_dir: str, seg_ids: list[int], field: str,
+                 interval: int, min_count: int, size: int, version: float):
+        self.args = (out_dir, tuple(seg_ids), field, interval, min_count, size, version)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_dir, seg_ids, field, interval, min_count, size, version = self.args
+        key = (out_dir, version, seg_ids, field, interval, min_count, size, "bsort")
+        bs = _WORKER_MATCH_AGG_CACHE.get(key)
+        if bs is None:
+            for kk in [kk for kk in _WORKER_MATCH_AGG_CACHE if kk[0] == out_dir and kk[1] < version]:
+                del _WORKER_MATCH_AGG_CACHE[kk]
+            bs = BucketSortAgg(out_dir, list(seg_ids), field, interval, min_count, size)
+            _WORKER_MATCH_AGG_CACHE[key] = bs
+        return bs(batch)
+
+
 class RangeAgg(DocvalueTopK):
     """RANGE aggregation over the match set (Elasticsearch's ``range``
     agg): per query and configured half-open [from, to) range of a

@@ -869,3 +869,39 @@ def test_range_agg_contracts():
             assert (sub["n_docs"] == 0).all() and (sub["sum_val"] == 0).all()
     # the (1000, None) range must actually be empty for the zero-bucket pin
     assert (got[got.range_idx == len(RANGE_BOUNDS) - 1]["n_docs"] == 0).all()
+
+
+def test_moving_window_and_bucket_sort_folds():
+    """moving_window: mov_sum/sdiff equal a pandas rolling/shift
+    recompute of its own dense n_docs series (independent fold
+    implementation); bucket_sort: selector + ordering re-derived from
+    the moving_window series (the sparse non-zero buckets)."""
+    from aarhus_ray.functions.fulltext import (
+        BS_MIN_COUNT,
+        BS_SIZE,
+        MW_LAG,
+        MW_WINDOW,
+        bucket_sort_query,
+        moving_window_query,
+    )
+
+    mw = moving_window_query(SF)
+    assert len(mw)  # dense series exists
+    for qid, sub in mw.groupby("query_id"):
+        n = sub["n_docs"].reset_index(drop=True)
+        want_mov = n.rolling(MW_WINDOW, min_periods=1).sum().astype(int)
+        want_sdiff = (n - n.shift(MW_LAG, fill_value=0)).astype(int)
+        assert sub["mov_sum"].tolist() == want_mov.tolist()
+        assert sub["sdiff"].tolist() == want_sdiff.tolist()
+        # buckets are dense (every integer between min and max present)
+        b = sub["bucket"].tolist()
+        assert b == list(range(b[0], b[-1] + 1))
+
+    bs = bucket_sort_query(SF)
+    for qid, sub in mw.groupby("query_id"):
+        nz = sub[sub["n_docs"] >= BS_MIN_COUNT]
+        order = nz.sort_values(["n_docs", "bucket"], ascending=[False, True]).head(BS_SIZE)
+        page = bs[bs["query_id"] == qid]
+        assert page["bucket"].tolist() == order["bucket"].tolist()
+        assert page["n_docs"].tolist() == order["n_docs"].tolist()
+        assert page["rank"].tolist() == list(range(1, len(order) + 1))
