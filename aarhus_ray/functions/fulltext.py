@@ -1866,6 +1866,88 @@ ORDER BY query_id, lang, rank
 """
 
 
+def collapse_topk_query(sf_dir: str, k: int = 5) -> pd.DataFrame:
+    """Field collapsing per FT_QUERY (ES ``collapse`` on lang): ONE
+    blended page per query — each lang contributes its single best hit,
+    winners re-ranked (score DESC, doc_id ASC), top-k, each row carrying
+    the collapsed group's full match count (the integer core of
+    inner_hits.total). Output (query_id, rank, doc_id, lang, n_group)
+    (pipelines/query.collapse_topk). Contrast fulltext_facet_topk, which
+    returns a full page per group."""
+    from ..pipelines.query import collapse_topk
+    from ..stages.query_stage import UrlResolver
+
+    index = _ensure_index(sf_dir, fresh=False)
+    queries = pa.table(
+        {
+            "query_id": pa.array(range(len(FT_QUERIES)), pa.int64()),
+            "text": pa.array(list(FT_QUERIES), pa.string()),
+        }
+    )
+    ds = collapse_topk(index, queries, facet="lang", k=k).map_batches(
+        UrlResolver, fn_constructor_args=(index,), batch_format="pyarrow",
+        concurrency=(1, 2),
+    )
+    res = ds.to_pandas()
+    res["doc_id"] = res["url"].map(url_doc_id).astype("int64")
+    out = res[["query_id", "rank", "doc_id", "lang", "n_group"]].sort_values(
+        ["query_id", "rank"]
+    )
+    out["rank"] = out["rank"].astype("int32")
+    return out.reset_index(drop=True)
+
+
+def collapse_oracle_sql(k: int = 5) -> str:
+    """Collapse oracle: the BM25 stack joined to lang; per (query, lang)
+    window picks the group winner (grn=1) and counts the group; winners
+    re-rank per query."""
+    values = ",".join(
+        f"({qid}, '{term}')" for qid, q in enumerate(FT_QUERIES) for term in q.split()
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok
+    FROM documents) WHERE tok <> ''
+),
+dl AS (SELECT d.doc_id, CAST(coalesce(t.c, 0) AS DOUBLE) AS dl
+       FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS c FROM toks GROUP BY 1) t USING (doc_id)),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+q(query_id, tok) AS (VALUES {values}),
+qd AS (SELECT DISTINCT query_id, tok FROM q),
+scored AS (
+  SELECT qd.query_id, tf.doc_id,
+         sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * (1.2 + 1.0)
+              / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score
+  FROM qd
+  JOIN tf USING (tok)
+  JOIN df USING (tok)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+g AS (
+  SELECT s.query_id, d.lang, s.doc_id, s.score,
+         row_number() OVER (PARTITION BY s.query_id, d.lang
+                            ORDER BY s.score DESC, s.doc_id) AS grn,
+         count(*) OVER (PARTITION BY s.query_id, d.lang) AS n_group
+  FROM scored s JOIN documents d USING (doc_id)
+),
+ranked AS (
+  SELECT query_id, lang, doc_id, n_group,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+  FROM g WHERE grn = 1
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank,
+       doc_id, lang, CAST(n_group AS BIGINT) AS n_group
+FROM ranked WHERE rank <= {k}
+ORDER BY query_id, rank
+"""
+
+
 SNIPPET_WINDOW = 7
 
 

@@ -1301,6 +1301,44 @@ def suggest_completions(
     )
 
 
+def collapse_topk(
+    out_dir: str,
+    queries,
+    facet: str = "lang",
+    k: int = 5,
+    concurrency: int | None = None,
+    batch_size: int = 64,
+) -> ray.data.Dataset:
+    """FIELD COLLAPSING (ES ``collapse``): one blended page per query in
+    which each facet value appears at most once — the group's best hit
+    represents the group, winners re-rank (score DESC, doc_id ASC), top
+    k; each hit carries the group's match count. Returns (query_id,
+    rank, doc_id, <facet>, n_group, score). Execution shape identical to
+    facet_topk."""
+    from ..stages.query_stage import CollapseTopKTaskFn
+
+    segs = list_segments(out_dir)
+    if not segs:
+        raise ValueError(f"no segments under {out_dir}")
+    conc = concurrency or max(1, _cpus())
+    if isinstance(queries, str):
+        import pyarrow.parquet as _pq
+
+        queries = _pq.read_table(queries)
+    if isinstance(queries, pa.Table):
+        n_blocks = max(1, min(conc * 4, queries.num_rows // max(1, batch_size) + 1))
+        per = (queries.num_rows + n_blocks - 1) // n_blocks
+        slices = [queries.slice(i * per, per) for i in range(n_blocks) if i * per < queries.num_rows]
+        qds = ray.data.from_arrow(slices)
+    else:
+        qds = queries
+    return qds.map_batches(
+        CollapseTopKTaskFn(out_dir, segs, facet, k, index_version(out_dir)),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+
+
 def facet_topk(
     out_dir: str,
     queries,

@@ -3571,6 +3571,98 @@ class SearchAfterTaskFn:
         return sa(batch)
 
 
+class CollapseTopK(FacetTopK):
+    """FIELD COLLAPSING (Elasticsearch's ``collapse``): ONE blended
+    result page per query in which each facet value appears at most once
+    — the group's best hit (score DESC, doc_id ASC within the group)
+    represents the whole group, winners re-rank by the same total order,
+    top-k. Each hit also carries ``n_group``, the group's full match
+    count (the integer core of ES's inner_hits/total). Contrast
+    FacetTopK: that returns a page PER group; collapse returns one
+    diversified page. Scoring composition is identical (brute-path
+    per-term cached arrays, sorted-term accumulation), so the doc-range
+    sharded cluster path applies: per-range group winners + counts merge
+    associatively (max by the frozen order / sum)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..bm25 import topk_select
+
+        qids_out: list[int] = []
+        vals_out: list[str] = []
+        ranks_out: list[int] = []
+        ngroup_out: list[int] = []
+        docs_out: list[np.ndarray] = []
+        scores_out: list[np.ndarray] = []
+        for qid, text in zip(batch["query_id"].to_pylist(), batch["text"].to_pylist()):
+            owners = {}
+            for t in set(tokenize(text)):
+                segs = self.scorer._owners(t)
+                if segs:
+                    owners[t] = segs
+            terms = sorted(owners)
+            if not terms:
+                continue
+            entries = [self.scorer._term_arrays(t, owners[t]) for t in terms]
+            all_ids = np.unique(np.concatenate([e[0] for e in entries]))
+            scores = np.zeros(len(all_ids), dtype=np.float64)
+            for doc_ids, contribs, _, _ in entries:  # sorted-term order
+                pos = np.searchsorted(all_ids, doc_ids)
+                scores[pos] += contribs
+            codes = self.codes[np.searchsorted(self.doc_ids, all_ids)]
+            win_d: list[int] = []
+            win_s: list[float] = []
+            win_v: list[str] = []
+            win_n: list[int] = []
+            for vi in self._value_order:
+                m = codes == vi
+                if not m.any():
+                    continue
+                d, s = topk_select(all_ids[m], scores[m], 1)
+                win_d.append(int(d[0]))
+                win_s.append(float(s[0]))
+                win_v.append(self.values[vi])
+                win_n.append(int(m.sum()))
+            wd = np.asarray(win_d, dtype=np.uint64)
+            ws = np.asarray(win_s, dtype=np.float64)
+            order = np.lexsort((wd, -ws))[: self.k]
+            qids_out.extend([qid] * len(order))
+            ranks_out.extend(range(1, len(order) + 1))
+            vals_out.extend(win_v[i] for i in order)
+            ngroup_out.extend(win_n[i] for i in order)
+            docs_out.append(wd[order])
+            scores_out.append(ws[order])
+        docs = np.concatenate(docs_out) if docs_out else np.empty(0, np.uint64)
+        scrs = np.concatenate(scores_out) if scores_out else np.empty(0, np.float64)
+        return pa.table(
+            {
+                "query_id": pa.array(qids_out, pa.int64()),
+                "rank": pa.array(np.asarray(ranks_out, dtype=np.int32), pa.int32()),
+                "doc_id": pa.array(docs, pa.uint64()),
+                self.facet: pa.array(vals_out, pa.string()),
+                "n_group": pa.array(ngroup_out, pa.int64()),
+                "score": pa.array(scrs, pa.float64()),
+            }
+        )
+
+
+class CollapseTopKTaskFn:
+    """Task-fn form of CollapseTopK (worker-process cache)."""
+
+    def __init__(self, out_dir: str, seg_ids: list[int], facet: str, k: int, version: float):
+        self.args = (out_dir, tuple(seg_ids), facet, k, version)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_dir, seg_ids, facet, k, version = self.args
+        key = (out_dir, version, seg_ids, facet, k, "collapse")
+        ct = _WORKER_MATCH_AGG_CACHE.get(key)
+        if ct is None:
+            for kk in [kk for kk in _WORKER_MATCH_AGG_CACHE if kk[0] == out_dir and kk[1] < version]:
+                del _WORKER_MATCH_AGG_CACHE[kk]
+            ct = CollapseTopK(out_dir, list(seg_ids), facet, k)
+            _WORKER_MATCH_AGG_CACHE[key] = ct
+        return ct(batch)
+
+
 class FacetTopKTaskFn:
     """Task-fn form of FacetTopK (worker-process cache, as ScorerTaskFn)."""
 

@@ -905,3 +905,46 @@ def test_moving_window_and_bucket_sort_folds():
         assert page["bucket"].tolist() == order["bucket"].tolist()
         assert page["n_docs"].tolist() == order["n_docs"].tolist()
         assert page["rank"].tolist() == list(range(1, len(order) + 1))
+
+
+def test_collapse_topk_contracts():
+    """collapse: each lang at most once per page; the page's winner set
+    and group counts equal a recompute from facet_topk (the per-group
+    pages) — winner = each group's rank-1 doc, blended by the full
+    ranking's scores; n_group equals the text-level match count per
+    lang."""
+    from aarhus_ray.functions.fulltext import (
+        FT_QUERIES,
+        _ensure_index,
+        collapse_topk_query,
+        facet_topk_query,
+    )
+    from aarhus_ray.textnorm import tokenize
+
+    got = collapse_topk_query(SF, k=5)
+    for qid, sub in got.groupby("query_id"):
+        assert sub["lang"].is_unique
+
+    facet = facet_topk_query(SF, k=1)  # per-group winners
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text", "lang"])
+    toks = {
+        int(d): set(tokenize(t))
+        for d, t in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist())
+    }
+    langs = {
+        int(d): lg for d, lg in zip(docs["doc_id"].to_pylist(), docs["lang"].to_pylist())
+    }
+    for qid, qtext in enumerate(FT_QUERIES):
+        want_winners = set(facet[(facet.query_id == qid) & (facet["rank"] == 1)]["doc_id"])
+        page = got[got.query_id == qid]
+        assert set(page["doc_id"]) <= want_winners
+        assert len(page) == min(5, len(want_winners))
+        # n_group from text-level membership
+        terms = set(qtext.split())
+        for _, row in page.iterrows():
+            n = sum(
+                1
+                for d, tk in toks.items()
+                if langs[d] == row["lang"] and (terms & tk)
+            )
+            assert int(row["n_group"]) == n
