@@ -88,6 +88,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup_pairs": dedup.embedding_near_dup_pairs,
         # --- similarity search over embeddings ---
         "knn_cosine_bruteforce": ann.knn_cosine_bruteforce,
+        "knn_cosine_filtered": ann.knn_cosine_filtered,  # ES knn-with-filter (pre-filter)
         "knn_cosine_lsh": ann.knn_cosine_lsh,   # sign-LSH probe, SQL-expressible semantics
         "knn_ivf": ann.ivf_search,              # exact branch-and-bound == brute force
         "embedding_label_centroids": ann.label_centroids,  # distributed k-means/IVF primitive
@@ -239,6 +240,18 @@ _KNN_BRUTE_SQL = """
            round(CAST(list_cosine_similarity(e.embedding, q.embedding) AS DOUBLE), 3) AS cos
     FROM embeddings e
     CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+    ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC, e.vec_id
+    LIMIT 10
+"""
+
+# ES knn-with-filter, pre-filter semantics: candidates restricted BEFORE
+# ranking, so exactly k rows return whenever k pass the filter.
+_KNN_FILTERED_SQL = """
+    SELECT e.vec_id, e.label,
+           round(CAST(list_cosine_similarity(e.embedding, q.embedding) AS DOUBLE), 3) AS cos
+    FROM embeddings e
+    CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+    WHERE e.label = 1
     ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC, e.vec_id
     LIMIT 10
 """
@@ -588,6 +601,7 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings ORDER BY vec_a
         """,
         "knn_cosine_bruteforce": _KNN_BRUTE_SQL,
+        "knn_cosine_filtered": _KNN_FILTERED_SQL,
         # sign-LSH probe semantics are deterministic and SQL-expressible —
         # the oracle pins bucketing + probing + scoring exactly
         "knn_cosine_lsh": ann.lsh_oracle_sql(k=10, vec_id=0, n_bits=8, max_flip=2),

@@ -121,6 +121,43 @@ def knn_cosine_bruteforce(sf_dir: str, k: int = 10, vec_id: int = 0) -> pd.DataF
     return parts.reset_index(drop=True)
 
 
+def knn_cosine_filtered(sf_dir: str, k: int = 10, vec_id: int = 0, label: int = 1) -> pd.DataFrame:
+    """FILTERED kNN (Elasticsearch 8's ``knn`` with ``filter``, PRE-filter
+    semantics): exact top-k cosine among vectors whose ``label`` docvalue
+    passes the filter — the filter restricts the candidate set BEFORE
+    ranking, the ES/Lucene guarantee that k results come back whenever k
+    candidates pass (post-filtering a top-k would under-fill). The filter
+    is pushed into the parquet read (``filters=[(label, =, L)]`` →
+    row-group pruning: non-matching row groups never leave storage), then
+    the scan shape is knn_cosine_bruteforce's — per-batch top-k partials
+    vs the broadcast query vector, tiny driver merge. Output (vec_id,
+    label, cos rounded 3dp — the documented DuckDB float32 contract),
+    order (cos DESC, vec_id ASC)."""
+    q = query_vector(sf_dir, vec_id)
+    qn = q / np.linalg.norm(q)
+    q_ref = ray.put(qn)
+
+    import functools
+
+    parts = (
+        ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet",
+            columns=["vec_id", "embedding"],
+            filter=(pa.dataset.field("label") == label),
+        )
+        .map_batches(
+            functools.partial(_topk_task, q_ref=q_ref, k=k),
+            batch_format="pyarrow",
+            batch_size=4096,
+        )
+        .to_pandas()
+    )
+    parts = parts.sort_values(["cos", "vec_id"], ascending=[False, True]).head(k)
+    parts["cos"] = parts["cos"].round(3)
+    parts["label"] = np.int32(label)
+    return parts[["vec_id", "label", "cos"]].reset_index(drop=True)
+
+
 def _multi_topk_task(batch: pa.Table, q_ref, w: int) -> pa.Table:
     """Per-batch exact top-w cosine partials for EVERY row of a broadcast
     (nq × dim) query matrix — one corpus scan serves all queries (sims is

@@ -948,3 +948,29 @@ def test_collapse_topk_contracts():
                 if langs[d] == row["lang"] and (terms & tk)
             )
             assert int(row["n_group"]) == n
+
+
+def test_knn_filtered_prefilter_semantics():
+    """knn_cosine_filtered == numpy recompute over the label-filtered
+    candidate set (pre-filter: restrict THEN rank), and returns exactly
+    k rows whenever >= k candidates pass."""
+    from aarhus_ray.functions.ann import knn_cosine_filtered
+
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+    labels = np.asarray(t["label"].to_pylist(), dtype=np.int64)
+    m = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    q = m[ids == 0][0]
+
+    label = 1
+    keep = labels == label
+    sims = m[keep] @ q
+    kids = ids[keep]
+    order = np.lexsort((kids, -sims))
+    k = min(5, keep.sum())
+    got = knn_cosine_filtered(SF, k=int(k), vec_id=0, label=label)
+    assert got["vec_id"].tolist() == kids[order][:k].tolist()
+    assert (got["label"] == label).all()
+    assert len(got) == k
+    assert np.allclose(got["cos"].to_numpy(), np.round(sims[order][:k], 3), atol=1e-9)
