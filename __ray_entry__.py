@@ -204,6 +204,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fulltext_range_agg": fulltext.range_agg_query,
         # moving_fn (trailing window sum) + serial_diff over the dense series
         "fulltext_moving_window": fulltext.moving_window_query,
+        # auto_date_histogram: adaptive interval off a frozen ladder
+        "fulltext_auto_date_histogram": fulltext.auto_date_histogram_query,
         # bucket_selector (n>=2) + bucket_sort (n DESC, bucket) top-5
         "fulltext_bucket_sort": fulltext.bucket_sort_query,
         # rare_terms: dictionary-driven long-tail buckets per match set
@@ -697,6 +699,7 @@ def oracle_sql() -> dict[str, str]:
         "fulltext_histogram_pipeline": fulltext.histogram_pipeline_oracle_sql(),
         "fulltext_range_agg": fulltext.range_agg_oracle_sql(),
         "fulltext_moving_window": fulltext.moving_window_oracle_sql(),
+        "fulltext_auto_date_histogram": fulltext.auto_date_histogram_oracle_sql(),
         "fulltext_bucket_sort": fulltext.bucket_sort_oracle_sql(),
         "fulltext_rare_terms": fulltext.rare_terms_oracle_sql(),
         "fulltext_composite_agg": fulltext.composite_agg_oracle_sql(),

@@ -2759,6 +2759,85 @@ ORDER BY query_id, bucket
 """
 
 
+ADH_TARGET = 20  # auto_date_histogram target bucket count
+
+
+def auto_date_histogram_query(sf_dir: str) -> pd.DataFrame:
+    """Auto-interval date histogram per FT_QUERY (ES auto_date_histogram
+    over the warc_ts docvalue): the smallest frozen-ladder interval
+    keeping the dense bucket series within ADH_TARGET buckets — sparser
+    match sets get finer resolution, exactly the ES adaptive contract —
+    then the DENSE counts at that interval, chosen interval on every
+    row. Output (query_id, interval_us, bucket, n_docs), all integers
+    (pipelines/query.auto_date_histogram)."""
+    from ..pipelines.query import auto_date_histogram
+
+    index = _ensure_index(sf_dir, fresh=False)
+    queries = pa.table(
+        {
+            "query_id": pa.array(range(len(FT_QUERIES)), pa.int64()),
+            "text": pa.array(list(FT_QUERIES), pa.string()),
+        }
+    )
+    out = auto_date_histogram(
+        index, queries, field="warc_ts", target_buckets=ADH_TARGET
+    ).to_pandas()
+    return out.sort_values(["query_id", "bucket"]).reset_index(drop=True)
+
+
+def auto_date_histogram_oracle_sql() -> str:
+    """Oracle: per-query (min, max) bounds, the ladder as a VALUES table,
+    chosen interval = min ladder entry whose dense span fits the target
+    (coalesce to the coarsest), then the dense generate_series counts at
+    that interval — the engine's frozen warc_ts rule replayed inline."""
+    from ..stages.query_stage import AutoDateHistogram
+
+    values = ",".join(
+        f"({qid}, '{term}')" for qid, q in enumerate(FT_QUERIES) for term in q.split()
+    )
+    ladder = ",".join(f"({iv})" for iv in AutoDateHistogram.LADDER)
+    ts = f"({BASE_TS_US} + (doc_id * {TS_MULT}) % {TS_MOD})"
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok
+    FROM documents) WHERE tok <> ''
+),
+q(query_id, tok) AS (VALUES {values}),
+qd AS (SELECT DISTINCT query_id, tok FROM q),
+matched AS (SELECT DISTINCT qd.query_id, toks.doc_id FROM qd JOIN toks USING (tok)),
+mts AS (SELECT query_id, {ts} AS ts FROM matched),
+bounds AS (SELECT query_id, min(ts) AS lo, max(ts) AS hi FROM mts GROUP BY 1),
+ladder(iv) AS (VALUES {ladder}),
+fits AS (
+  SELECT b.query_id, min(l.iv) AS iv
+  FROM bounds b JOIN ladder l ON (b.hi // l.iv - b.lo // l.iv + 1) <= {ADH_TARGET}
+  GROUP BY 1
+),
+chosen AS (
+  SELECT b.query_id, b.lo, b.hi,
+         coalesce(f.iv, (SELECT max(iv) FROM ladder)) AS iv
+  FROM bounds b LEFT JOIN fits f USING (query_id)
+),
+dense AS (
+  SELECT query_id, iv, unnest(generate_series(lo // iv, hi // iv)) AS bucket
+  FROM chosen
+),
+counts AS (
+  SELECT m.query_id, c.iv, m.ts // c.iv AS bucket, count(*) AS n
+  FROM mts m JOIN chosen c USING (query_id)
+  GROUP BY 1, 2, 3
+)
+SELECT CAST(d.query_id AS BIGINT) AS query_id,
+       CAST(d.iv AS BIGINT) AS interval_us,
+       CAST(d.bucket AS BIGINT) AS bucket,
+       CAST(coalesce(c.n, 0) AS BIGINT) AS n_docs
+FROM dense d
+LEFT JOIN counts c ON c.query_id = d.query_id AND c.bucket = d.bucket
+ORDER BY d.query_id, d.bucket
+"""
+
+
 MW_WINDOW = 3  # moving_fn trailing window (buckets, current included)
 MW_LAG = 2  # serial_diff lag
 

@@ -2777,6 +2777,80 @@ class HistogramPipeline(DocvalueTopK):
         )
 
 
+class AutoDateHistogram(DocvalueTopK):
+    """AUTO-INTERVAL date histogram (Elasticsearch's
+    ``auto_date_histogram``): per query, the SMALLEST interval from a
+    frozen ladder whose dense bucket count over the match set's
+    [min, max] docvalue span stays within ``target_buckets`` (none
+    qualifying ⇒ the ladder's coarsest — the ES rounding ladder
+    behavior, made exact by freezing the ladder). The chosen interval is
+    emitted on every row, and the series is DENSE (empty buckets
+    included — auto_date_histogram is a date_histogram underneath).
+    Adaptive choice is a pure function of (min, max), which are
+    per-doc-range associative — the cluster merge picks the interval
+    AFTER folding range partials' bounds, then partial histograms at
+    that interval concat-merge like DateHistogram's."""
+
+    LADDER = (1_000_000, 10_000_000, 60_000_000, 600_000_000, 3_600_000_000)
+
+    def __init__(self, out_dir: str, seg_ids: list[int] | None = None,
+                 field: str = "warc_ts", target_buckets: int = 20):
+        super().__init__(out_dir, seg_ids, field, k=1)
+        self.target = int(target_buckets)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids_out: list[np.ndarray] = []
+        iv_out: list[np.ndarray] = []
+        buckets_out: list[np.ndarray] = []
+        n_out: list[np.ndarray] = []
+        for qid, text in zip(batch["query_id"].to_pylist(), batch["text"].to_pylist()):
+            docs = self._match_set(text)
+            if len(docs) == 0:
+                continue
+            vals = self.vals[np.searchsorted(self.doc_ids, docs)]
+            lo, hi = int(vals.min()), int(vals.max())
+            iv = self.LADDER[-1]
+            for cand in self.LADDER:
+                if hi // cand - lo // cand + 1 <= self.target:
+                    iv = cand
+                    break
+            b = vals // iv
+            b0, b1 = lo // iv, hi // iv
+            n = np.bincount(b - b0, minlength=b1 - b0 + 1).astype(np.int64)
+            qids_out.append(np.full(len(n), qid, dtype=np.int64))
+            iv_out.append(np.full(len(n), iv, dtype=np.int64))
+            buckets_out.append(np.arange(b0, b1 + 1, dtype=np.int64))
+            n_out.append(n)
+        cat = lambda xs: np.concatenate(xs) if xs else np.empty(0, np.int64)  # noqa: E731
+        return pa.table(
+            {
+                "query_id": pa.array(cat(qids_out), pa.int64()),
+                "interval_us": pa.array(cat(iv_out), pa.int64()),
+                "bucket": pa.array(cat(buckets_out), pa.int64()),
+                "n_docs": pa.array(cat(n_out), pa.int64()),
+            }
+        )
+
+
+class AutoDateHistogramTaskFn:
+    """Task-fn form of AutoDateHistogram (worker-process cache)."""
+
+    def __init__(self, out_dir: str, seg_ids: list[int], field: str,
+                 target_buckets: int, version: float):
+        self.args = (out_dir, tuple(seg_ids), field, target_buckets, version)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_dir, seg_ids, field, target, version = self.args
+        key = (out_dir, version, seg_ids, field, target, "autodate")
+        ah = _WORKER_MATCH_AGG_CACHE.get(key)
+        if ah is None:
+            for kk in [kk for kk in _WORKER_MATCH_AGG_CACHE if kk[0] == out_dir and kk[1] < version]:
+                del _WORKER_MATCH_AGG_CACHE[kk]
+            ah = AutoDateHistogram(out_dir, list(seg_ids), field, target)
+            _WORKER_MATCH_AGG_CACHE[key] = ah
+        return ah(batch)
+
+
 class MovingWindowAgg(DocvalueTopK):
     """MOVING-WINDOW pipeline aggregations over the dense histogram
     series (ES ``moving_fn`` + ``serial_diff``): per query, the

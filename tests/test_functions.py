@@ -974,3 +974,46 @@ def test_knn_filtered_prefilter_semantics():
     assert (got["label"] == label).all()
     assert len(got) == k
     assert np.allclose(got["cos"].to_numpy(), np.round(sims[order][:k], 3), atol=1e-9)
+
+
+def test_auto_date_histogram_adaptive_rule():
+    """auto_date_histogram: per query the chosen interval is the SMALLEST
+    ladder entry whose dense span fits the target; the series is dense;
+    counts sum to the match-set size (numpy recompute from the frozen
+    warc_ts rule)."""
+    from aarhus_ray.functions.fulltext import (
+        ADH_TARGET,
+        FT_QUERIES,
+        auto_date_histogram_query,
+        doc_ts_us,
+    )
+    from aarhus_ray.stages.query_stage import AutoDateHistogram
+    from aarhus_ray.textnorm import tokenize
+
+    got = auto_date_histogram_query(SF)
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    toks = {
+        int(d): set(tokenize(t))
+        for d, t in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist())
+    }
+    for qid, qtext in enumerate(FT_QUERIES):
+        terms = set(qtext.split())
+        match = sorted(d for d, tk in toks.items() if terms & tk)
+        sub = got[got.query_id == qid]
+        if not match:
+            assert len(sub) == 0
+            continue
+        ts = np.array([doc_ts_us(d) for d in match], dtype=np.int64)
+        lo, hi = int(ts.min()), int(ts.max())
+        iv = AutoDateHistogram.LADDER[-1]
+        for cand in AutoDateHistogram.LADDER:
+            if hi // cand - lo // cand + 1 <= ADH_TARGET:
+                iv = cand
+                break
+        assert (sub["interval_us"] == iv).all(), f"query {qid}"
+        b = sub["bucket"].tolist()
+        assert b == list(range(lo // iv, hi // iv + 1))  # dense
+        assert len(b) <= ADH_TARGET
+        assert int(sub["n_docs"].sum()) == len(match)
+        want = np.bincount(ts // iv - lo // iv, minlength=len(b)).tolist()
+        assert sub["n_docs"].tolist() == want
