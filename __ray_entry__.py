@@ -164,6 +164,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fulltext_facet_topk": fulltext.facet_topk_query,
         # collapse: one blended page, each lang at most once, + group counts
         "fulltext_collapse": fulltext.collapse_topk_query,
+        # diversified_sampler: capped relevance-ordered sample, lang counts
+        "fulltext_diversified_sampler": fulltext.diversified_sampler_query,
         # delete-compact lifecycle: tombstone 1/5 of docs, compact (purge +
         # stats recompute), query — must equal a fresh build over survivors
         "fulltext_bm25_deleted": fulltext.bm25_topk_deleted,
@@ -678,6 +680,7 @@ def oracle_sql() -> dict[str, str]:
         "fulltext_bm25_boolean_topk": fulltext.bm25_boolean_oracle_sql(),
         "fulltext_facet_topk": fulltext.facet_topk_oracle_sql(),
         "fulltext_collapse": fulltext.collapse_oracle_sql(),
+        "fulltext_diversified_sampler": fulltext.diversified_sampler_oracle_sql(),
         "fulltext_bm25_deleted": fulltext.bm25_deleted_oracle_sql(),
         "fulltext_delete_by_query": fulltext.bm25_delete_by_query_oracle_sql(),
         "fulltext_update_by_query": fulltext.bm25_update_by_query_oracle_sql(),

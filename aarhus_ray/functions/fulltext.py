@@ -1948,6 +1948,83 @@ ORDER BY query_id, rank
 """
 
 
+DS_N = 12  # diversified_sampler sample size (probed tie-free at both scales)
+DS_CAP = 3  # max sample slots per lang
+
+
+def diversified_sampler_query(sf_dir: str) -> pd.DataFrame:
+    """Diversified-sampler aggregation per FT_QUERY (ES
+    ``diversified_sampler`` + ``terms`` sub-agg on lang): walk the match
+    set in relevance order, cap each lang at DS_CAP sample slots, stop
+    at DS_N picks, then count the sample per lang — aggregation over the
+    best hits without one lang drowning the sample. Output (query_id,
+    lang, n_sample) (pipelines/query.diversified_sampler)."""
+    from ..pipelines.query import diversified_sampler
+
+    index = _ensure_index(sf_dir, fresh=False)
+    queries = pa.table(
+        {
+            "query_id": pa.array(range(len(FT_QUERIES)), pa.int64()),
+            "text": pa.array(list(FT_QUERIES), pa.string()),
+        }
+    )
+    out = diversified_sampler(
+        index, queries, facet="lang", sample_size=DS_N, max_per_value=DS_CAP
+    ).to_pandas()
+    return out.sort_values(["query_id", "lang"]).reset_index(drop=True)
+
+
+def diversified_sampler_oracle_sql() -> str:
+    """Sampler oracle: the skip-walk is equivalent to per-lang rank
+    filter (≤ DS_CAP) then global top-DS_N over the kept set (a skipped
+    doc can never evict an earlier pick), which two windows replay."""
+    values = ",".join(
+        f"({qid}, '{term}')" for qid, q in enumerate(FT_QUERIES) for term in q.split()
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok
+    FROM documents) WHERE tok <> ''
+),
+dl AS (SELECT d.doc_id, CAST(coalesce(t.c, 0) AS DOUBLE) AS dl
+       FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS c FROM toks GROUP BY 1) t USING (doc_id)),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+q(query_id, tok) AS (VALUES {values}),
+qd AS (SELECT DISTINCT query_id, tok FROM q),
+scored AS (
+  SELECT qd.query_id, tf.doc_id,
+         sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * (1.2 + 1.0)
+              / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score
+  FROM qd
+  JOIN tf USING (tok)
+  JOIN df USING (tok)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+g AS (
+  SELECT s.query_id, d.lang, s.doc_id, s.score,
+         row_number() OVER (PARTITION BY s.query_id, d.lang
+                            ORDER BY s.score DESC, s.doc_id) AS lrn
+  FROM scored s JOIN documents d USING (doc_id)
+),
+kept AS (
+  SELECT query_id, lang, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS srn
+  FROM g WHERE lrn <= {DS_CAP}
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, lang,
+       CAST(count(*) AS BIGINT) AS n_sample
+FROM kept WHERE srn <= {DS_N}
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 SNIPPET_WINDOW = 7
 
 

@@ -1338,6 +1338,44 @@ def suggest_completions(
     )
 
 
+def diversified_sampler(
+    out_dir: str,
+    queries,
+    facet: str = "lang",
+    sample_size: int = 12,
+    max_per_value: int = 3,
+    concurrency: int | None = None,
+    batch_size: int = 64,
+) -> ray.data.Dataset:
+    """DIVERSIFIED-SAMPLER aggregation per query (ES diversified_sampler
+    + terms sub-agg): relevance-ordered sample capped per facet value,
+    then facet counts over the sample. Returns (query_id, <facet>,
+    n_sample)."""
+    from ..stages.query_stage import DiversifiedSamplerTaskFn
+
+    segs = list_segments(out_dir)
+    if not segs:
+        raise ValueError(f"no segments under {out_dir}")
+    conc = concurrency or max(1, _cpus())
+    if isinstance(queries, str):
+        import pyarrow.parquet as _pq
+
+        queries = _pq.read_table(queries)
+    if isinstance(queries, pa.Table):
+        n_blocks = max(1, min(conc * 4, queries.num_rows // max(1, batch_size) + 1))
+        per = (queries.num_rows + n_blocks - 1) // n_blocks
+        slices = [queries.slice(i * per, per) for i in range(n_blocks) if i * per < queries.num_rows]
+        qds = ray.data.from_arrow(slices)
+    else:
+        qds = queries
+    return qds.map_batches(
+        DiversifiedSamplerTaskFn(out_dir, segs, facet, sample_size, max_per_value,
+                                 index_version(out_dir)),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+
+
 def collapse_topk(
     out_dir: str,
     queries,

@@ -3719,6 +3719,99 @@ class CollapseTopK(FacetTopK):
         )
 
 
+class DiversifiedSampler(FacetTopK):
+    """DIVERSIFIED-SAMPLER aggregation (Elasticsearch's
+    ``diversified_sampler`` with a ``terms`` sub-agg): walk the match set
+    in relevance order (score DESC, doc_id ASC), skip docs whose facet
+    value already holds ``max_per_value`` sample slots, stop at
+    ``sample_size`` — then count the sample per facet value. The ES
+    use-case verbatim: aggregate over the best-matching docs without one
+    over-represented group drowning the sample. Skipping never evicts an
+    earlier pick, so the walk is equivalent to: per-facet rank filter
+    (≤ max_per_value) THEN global top-sample_size — the form a windowed
+    SQL oracle replays. Output (query_id, <facet>, n_sample), facet
+    ascending; only facet COUNTS are emitted, so same-facet boundary
+    ties cannot change the output (cross-facet boundary ties are
+    excluded by the frozen query set, as with every ranked oracle
+    here)."""
+
+    def __init__(self, out_dir: str, seg_ids: list[int] | None = None,
+                 facet: str = "lang", sample_size: int = 20,
+                 max_per_value: int = 3):
+        super().__init__(out_dir, seg_ids, facet, k=1)
+        self.sample_size = int(sample_size)
+        self.max_per_value = int(max_per_value)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids_out: list[int] = []
+        vals_out: list[str] = []
+        n_out: list[int] = []
+        for qid, text in zip(batch["query_id"].to_pylist(), batch["text"].to_pylist()):
+            owners = {}
+            for t in set(tokenize(text)):
+                segs = self.scorer._owners(t)
+                if segs:
+                    owners[t] = segs
+            terms = sorted(owners)
+            if not terms:
+                continue
+            entries = [self.scorer._term_arrays(t, owners[t]) for t in terms]
+            all_ids = np.unique(np.concatenate([e[0] for e in entries]))
+            scores = np.zeros(len(all_ids), dtype=np.float64)
+            for doc_ids, contribs, _, _ in entries:  # sorted-term order
+                pos = np.searchsorted(all_ids, doc_ids)
+                scores[pos] += contribs
+            codes = self.codes[np.searchsorted(self.doc_ids, all_ids)]
+            order = np.lexsort((all_ids, -scores))
+            ocodes = codes[order]
+            # per-facet occurrence rank along the relevance walk
+            seen: dict[int, int] = {}
+            keep = np.zeros(len(order), dtype=bool)
+            taken = 0
+            for i, c in enumerate(ocodes):
+                if taken >= self.sample_size:
+                    break
+                got = seen.get(int(c), 0)
+                if got < self.max_per_value:
+                    seen[int(c)] = got + 1
+                    keep[i] = True
+                    taken += 1
+            kept_codes = ocodes[keep]
+            uniq, counts = np.unique(kept_codes, return_counts=True)
+            for vi in self._value_order:
+                where = np.nonzero(uniq == vi)[0]
+                if len(where):
+                    qids_out.append(qid)
+                    vals_out.append(self.values[vi])
+                    n_out.append(int(counts[where[0]]))
+        return pa.table(
+            {
+                "query_id": pa.array(qids_out, pa.int64()),
+                self.facet: pa.array(vals_out, pa.string()),
+                "n_sample": pa.array(n_out, pa.int64()),
+            }
+        )
+
+
+class DiversifiedSamplerTaskFn:
+    """Task-fn form of DiversifiedSampler (worker-process cache)."""
+
+    def __init__(self, out_dir: str, seg_ids: list[int], facet: str,
+                 sample_size: int, max_per_value: int, version: float):
+        self.args = (out_dir, tuple(seg_ids), facet, sample_size, max_per_value, version)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_dir, seg_ids, facet, size, cap, version = self.args
+        key = (out_dir, version, seg_ids, facet, size, cap, "divsample")
+        ds = _WORKER_MATCH_AGG_CACHE.get(key)
+        if ds is None:
+            for kk in [kk for kk in _WORKER_MATCH_AGG_CACHE if kk[0] == out_dir and kk[1] < version]:
+                del _WORKER_MATCH_AGG_CACHE[kk]
+            ds = DiversifiedSampler(out_dir, list(seg_ids), facet, size, cap)
+            _WORKER_MATCH_AGG_CACHE[key] = ds
+        return ds(batch)
+
+
 class CollapseTopKTaskFn:
     """Task-fn form of CollapseTopK (worker-process cache)."""
 

@@ -1017,3 +1017,56 @@ def test_auto_date_histogram_adaptive_rule():
         assert int(sub["n_docs"].sum()) == len(match)
         want = np.bincount(ts // iv - lo // iv, minlength=len(b)).tolist()
         assert sub["n_docs"].tolist() == want
+
+
+def test_diversified_sampler_walk_semantics():
+    """diversified_sampler == an independent python simulation of the ES
+    skip-walk (relevance order, skip past-cap facets, stop at N) over
+    the full brute ranking — pinning the walk/filter-window equivalence
+    the oracle relies on. Caps respected, sample sizes <= DS_N."""
+    import pyarrow as pa
+
+    from aarhus_ray.functions import fulltext
+    from aarhus_ray.functions.fulltext import (
+        DS_CAP,
+        DS_N,
+        FT_QUERIES,
+        _ensure_index,
+        diversified_sampler_query,
+    )
+    from aarhus_ray.pipelines.query import query_index
+
+    got = diversified_sampler_query(SF)
+    assert (got["n_sample"] <= DS_CAP).all()
+    for qid, sub in got.groupby("query_id"):
+        assert sub["n_sample"].sum() <= DS_N
+
+    index = _ensure_index(SF, fresh=False)
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "lang"])
+    langs = {
+        int(d): lg for d, lg in zip(docs["doc_id"].to_pylist(), docs["lang"].to_pylist())
+    }
+    q = pa.table(
+        {
+            "query_id": pa.array(range(len(FT_QUERIES)), pa.int64()),
+            "text": pa.array(list(FT_QUERIES), pa.string()),
+        }
+    )
+    full = query_index(
+        index, q, k=len(langs), method="brute", resolve_urls=True
+    ).to_pandas()
+    full["doc_id"] = full["url"].map(fulltext.url_doc_id).astype("int64")
+    for qid in range(len(FT_QUERIES)):
+        sub = full[full.query_id == qid].sort_values("rank")
+        taken: dict[str, int] = {}
+        picks = 0
+        for d in sub["doc_id"]:
+            if picks >= DS_N:
+                break
+            lg = langs[int(d)]
+            if taken.get(lg, 0) < DS_CAP:
+                taken[lg] = taken.get(lg, 0) + 1
+                picks += 1
+        want = {lg: c for lg, c in sorted(taken.items())}
+        page = got[got.query_id == qid]
+        assert dict(zip(page["lang"], page["n_sample"])) == want, f"query {qid}"
