@@ -1948,6 +1948,57 @@ ORDER BY query_id, rank
 """
 
 
+# mget request set: source ids present at every driver scale (sf0.001 has
+# 50 docs) plus one guaranteed miss — the found=false row is part of the
+# frozen contract.
+MGET_IDS = (3, 17, 41)
+MGET_MISSING = "doc://99999999"
+
+
+def mget_query(sf_dir: str) -> pd.DataFrame:
+    """GET/_mget per frozen request set: routed point fetch of stored
+    fields + docvalues by url — pid = blake2b64(url) % P opens ONLY the
+    owning docs/pid file (the ES shard-routing formula), url predicate
+    pushed to row groups, misses reported found=false with zero/empty
+    fields. Output (url, found, doclen, lang, warc_ts), url ascending
+    (pipelines/query.mget)."""
+    from ..pipelines.query import mget
+
+    index = _ensure_index(sf_dir, fresh=False)
+    urls = [doc_url(i) for i in MGET_IDS] + [MGET_MISSING]
+    return mget(index, urls).to_pandas()
+
+
+def mget_oracle_sql() -> str:
+    """mget oracle: the request VALUES LEFT-JOIN documents on the frozen
+    url format, token-count doclen, the frozen synthetic warc_ts rule;
+    misses coalesce to the engine's zero/empty fields."""
+    req = ",".join(
+        f"('{doc_url(i)}')" for i in MGET_IDS
+    ) + f",('{MGET_MISSING}')"
+    ts = f"({BASE_TS_US} + (d.doc_id * {TS_MULT}) % {TS_MOD})"
+    return f"""
+WITH req(url) AS (VALUES {req}),
+toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok
+    FROM documents) WHERE tok <> ''
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+d AS (SELECT 'doc://' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS url, doc_id, lang
+      FROM documents)
+SELECT req.url,
+       d.doc_id IS NOT NULL AS found,
+       CAST(coalesce(dl.dl, 0) AS BIGINT) AS doclen,
+       coalesce(d.lang, '') AS lang,
+       CAST(coalesce({ts}, 0) AS BIGINT) AS warc_ts
+FROM req
+LEFT JOIN d USING (url)
+LEFT JOIN dl ON dl.doc_id = d.doc_id
+ORDER BY req.url
+"""
+
+
 DS_N = 12  # diversified_sampler sample size (probed tie-free at both scales)
 DS_CAP = 3  # max sample slots per lang
 

@@ -1469,6 +1469,87 @@ def doc_pids(out_dir: str) -> list[int]:
     return pids
 
 
+@ray.remote
+def _mget_fetch(path: str, urls: tuple[str, ...]):
+    """One routed point-read: the owning docs/pid file opened with the
+    url predicate pushed down to its row groups."""
+    import pyarrow.parquet as _pq
+
+    return _pq.read_table(
+        path,
+        columns=["url", "doc_id", "doclen", "lang", "warc_ts"],
+        filters=[("url", "in", list(urls))],
+    )
+
+
+def mget(out_dir: str, urls) -> pa.Table:
+    """GET / _mget: routed point fetch of stored fields + docvalues by
+    url (the user-facing document id). Routing replays the build's
+    partitioner — pid = blake2b64(normalize_url(url)) % P, P from
+    stats.json — so each lookup opens ONLY its owning base docs/pid file
+    (the ES ``shard = hash(routing) % num_shards`` formula); delta
+    generations (pids ≥ P, bounded by delta size) are scanned too, since
+    their pid offsets are not url-derivable. Tombstoned docs report
+    found=false (a GET after delete misses, pre-compaction); if a url is
+    somehow visible in several generations the newest wins (warc_ts,
+    then doc_id — the dedup rule). One Ray task per touched file, merged
+    url-ascending. Output (url, found, doclen, lang, warc_ts); misses
+    carry found=false and zero/empty fields so the row set is total."""
+    from ..partition import normalize_url, partition_ids
+
+    urls = [normalize_url(u) for u in urls]
+    stats = mf.read_stats(out_dir)
+    P = int(stats.get("num_partitions") or stats.get("P"))
+    pids = partition_ids(urls, P)
+    by_pid: dict[int, list[str]] = {}
+    for u, p in zip(urls, pids):
+        by_pid.setdefault(int(p), []).append(u)
+    all_pids = doc_pids(out_dir)
+    refs = []
+    for pid in all_pids:
+        if pid < P and pid not in by_pid:
+            continue  # routed: base files for unrequested pids never open
+        want = tuple(sorted(by_pid.get(pid, []))) if pid < P else tuple(sorted(urls))
+        from ..stages.dedup_stage import docs_path
+
+        refs.append(_mget_fetch.remote(docs_path(out_dir, pid), want))
+    tables = [t for t in ray.get(refs) if t.num_rows] if refs else []
+    found: dict[str, tuple[int, int, int, str]] = {}
+    for t in tables:
+        for u, d, dl, lg, ts in zip(
+            t["url"].to_pylist(), t["doc_id"].to_pylist(), t["doclen"].to_pylist(),
+            t["lang"].to_pylist(), t["warc_ts"].to_pylist(),
+        ):
+            prev = found.get(u)
+            if prev is None or (ts, d) > (prev[0], prev[1]):
+                found[u] = (int(ts), int(d), int(dl), lg)
+    tomb = mf.read_tombstones(out_dir)
+    if tomb is not None:
+        import numpy as _np
+
+        for u in list(found):
+            d = _np.uint64(found[u][1])
+            pos = _np.searchsorted(tomb, d)
+            if pos < len(tomb) and tomb[pos] == d:
+                del found[u]
+    rows = []
+    for u in sorted(set(urls)):
+        if u in found:
+            ts, d, dl, lg = found[u]
+            rows.append((u, True, dl, lg, ts))
+        else:
+            rows.append((u, False, 0, "", 0))
+    return pa.table(
+        {
+            "url": pa.array([r[0] for r in rows], pa.string()),
+            "found": pa.array([r[1] for r in rows], pa.bool_()),
+            "doclen": pa.array([r[2] for r in rows], pa.int64()),
+            "lang": pa.array([r[3] for r in rows], pa.string()),
+            "warc_ts": pa.array([r[4] for r in rows], pa.int64()),
+        }
+    )
+
+
 def query_index_doc_sharded(
     out_dir: str,
     queries,

@@ -188,3 +188,31 @@ def test_delete_by_query_matches_manual_tombstones(del_base, tmp_path):
                          "text": pa.array([q_text], pa.string())})
         left = export_matches(idx_a, qtab, mode=mode).to_pandas()
         assert len(left) == 0
+
+
+def test_mget_routing_and_tombstone_visibility(del_base, tmp_path):
+    """mget: found rows carry the docs/pid sidecar's stored fields, a
+    missing url reports found=false, and a tombstoned doc flips to
+    found=false (GET-after-delete misses pre-compaction)."""
+    from aarhus_ray.pipelines.query import mget
+
+    idx = _copy(del_base, tmp_path, "mget_idx")
+    docs = del_base["docs"]
+    urls = docs["url"].to_pylist()[:3]
+    got = mget(idx, urls + ["https://nowhere.example/x"]).to_pandas()
+    assert len(got) == 4
+    by_url = got.set_index("url")
+    stored = pq.read_table(
+        glob.glob(f"{idx}/docs/pid=*.parquet")[0],
+        columns=["url", "doclen", "warc_ts"],
+    )
+    for u in urls:
+        assert bool(by_url.loc[u, "found"])
+        assert by_url.loc[u, "doclen"] > 0
+    assert not bool(by_url.loc["https://nowhere.example/x", "found"])
+    assert int(by_url.loc["https://nowhere.example/x", "doclen"]) == 0
+
+    delete_documents(idx, urls=[urls[0]])
+    after = mget(idx, urls).to_pandas().set_index("url")
+    assert not bool(after.loc[urls[0], "found"])
+    assert bool(after.loc[urls[1], "found"])
