@@ -168,6 +168,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fulltext_diversified_sampler": fulltext.diversified_sampler_query,
         # GET/_mget: shard-routed point fetch (one docs/pid file per hit)
         "fulltext_mget": fulltext.mget_query,
+        # sliced scroll: coordination-free hash partition of the export stream
+        "fulltext_sliced_scroll": fulltext.sliced_scroll_query,
         # delete-compact lifecycle: tombstone 1/5 of docs, compact (purge +
         # stats recompute), query — must equal a fresh build over survivors
         "fulltext_bm25_deleted": fulltext.bm25_topk_deleted,
@@ -684,6 +686,7 @@ def oracle_sql() -> dict[str, str]:
         "fulltext_collapse": fulltext.collapse_oracle_sql(),
         "fulltext_diversified_sampler": fulltext.diversified_sampler_oracle_sql(),
         "fulltext_mget": fulltext.mget_oracle_sql(),
+        "fulltext_sliced_scroll": fulltext.sliced_scroll_oracle_sql(),
         "fulltext_bm25_deleted": fulltext.bm25_deleted_oracle_sql(),
         "fulltext_delete_by_query": fulltext.bm25_delete_by_query_oracle_sql(),
         "fulltext_update_by_query": fulltext.bm25_update_by_query_oracle_sql(),

@@ -1948,6 +1948,84 @@ ORDER BY query_id, rank
 """
 
 
+SCROLL_SLICES = 3  # sliced-scroll fan-out
+
+
+def _add_slice_id(batch: pa.Table) -> pa.Table:
+    """Deterministic scroll-slice assignment: md5-64(url) % SCROLL_SLICES
+    — md5 over blake2b deliberately, so DuckDB replays the hash exactly
+    (the simhash oracle's idiom). Coordination-free: any worker computes
+    its own membership from the doc alone."""
+    s = [
+        int(hashlib.md5(u.encode()).hexdigest()[:16], 16) % SCROLL_SLICES
+        for u in batch["url"].to_pylist()
+    ]
+    return batch.append_column("slice_id", pa.array(s, pa.int64()))
+
+
+def sliced_scroll_query(sf_dir: str) -> pd.DataFrame:
+    """Sliced scroll per FT_QUERY (ES sliced scrolling): the full match
+    set STREAMS out of the export path and every doc is assigned to
+    exactly one of SCROLL_SLICES slices by a frozen doc-local hash —
+    the contract that lets N workers drain one scroll in parallel
+    without coordination (each slice is a disjoint, deterministic
+    sub-stream; the union is exactly the match set). Output (query_id,
+    slice_id, doc_id) — the partition property is the thing under test,
+    so all slices are emitted (a real consumer would filter its own
+    slice inside the same map)."""
+    from ..pipelines.query import export_matches
+    from ..stages.query_stage import UrlResolver
+
+    index = _ensure_index(sf_dir, fresh=False)
+    queries = pa.table(
+        {
+            "query_id": pa.array(range(len(FT_QUERIES)), pa.int64()),
+            "text": pa.array(list(FT_QUERIES), pa.string()),
+        }
+    )
+    ds = (
+        export_matches(index, queries)
+        .map_batches(
+            UrlResolver, fn_constructor_args=(index,), batch_format="pyarrow",
+            concurrency=(1, 2),
+        )
+        .map_batches(_add_slice_id, batch_format="pyarrow")
+    )
+    res = ds.to_pandas()
+    res["doc_id"] = res["url"].map(url_doc_id).astype("int64")
+    out = res[["query_id", "slice_id", "doc_id"]].sort_values(
+        ["query_id", "slice_id", "doc_id"]
+    )
+    return out.reset_index(drop=True)
+
+
+def sliced_scroll_oracle_sql() -> str:
+    """Sliced-scroll oracle: the match set with the md5-prefix slice hash
+    replayed over the frozen url format."""
+    values = ",".join(
+        f"({qid}, '{term}')" for qid, q in enumerate(FT_QUERIES) for term in q.split()
+    )
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok
+    FROM documents) WHERE tok <> ''
+),
+q(query_id, tok) AS (VALUES {values}),
+qd AS (SELECT DISTINCT query_id, tok FROM q),
+matched AS (SELECT DISTINCT qd.query_id, toks.doc_id FROM qd JOIN toks USING (tok)),
+sliced AS (
+  SELECT query_id, doc_id,
+         CAST(CAST(concat('0x', substr(md5('doc://' || lpad(CAST(doc_id AS VARCHAR), 8, '0')), 1, 16)) AS UBIGINT)
+              % {SCROLL_SLICES} AS BIGINT) AS slice_id
+  FROM matched
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, slice_id, doc_id
+FROM sliced
+ORDER BY query_id, slice_id, doc_id
+"""
+
+
 # mget request set: source ids present at every driver scale (sf0.001 has
 # 50 docs) plus one guaranteed miss — the found=false row is part of the
 # frozen contract.

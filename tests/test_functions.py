@@ -1070,3 +1070,35 @@ def test_diversified_sampler_walk_semantics():
         want = {lg: c for lg, c in sorted(taken.items())}
         page = got[got.query_id == qid]
         assert dict(zip(page["lang"], page["n_sample"])) == want, f"query {qid}"
+
+
+def test_sliced_scroll_partitions_the_match_set():
+    """sliced scroll: the slices PARTITION each query's match set (every
+    matching doc in exactly one slice, union == export), slice ids are
+    the frozen md5 rule, and all slices are non-trivially populated."""
+    import hashlib as _hl
+
+    from aarhus_ray.functions.fulltext import (
+        FT_QUERIES,
+        SCROLL_SLICES,
+        doc_url,
+        sliced_scroll_query,
+    )
+    from aarhus_ray.textnorm import tokenize
+
+    got = sliced_scroll_query(SF)
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    toks = {
+        int(d): set(tokenize(t))
+        for d, t in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist())
+    }
+    assert set(got["slice_id"]) == set(range(SCROLL_SLICES))
+    for qid, qtext in enumerate(FT_QUERIES):
+        terms = set(qtext.split())
+        match = {d for d, tk in toks.items() if terms & tk}
+        sub = got[got.query_id == qid]
+        assert sub["doc_id"].is_unique  # each doc in exactly one slice
+        assert set(sub["doc_id"]) == match  # union == the match set
+        for _, row in sub.head(10).iterrows():
+            want = int(_hl.md5(doc_url(int(row["doc_id"])).encode()).hexdigest()[:16], 16) % SCROLL_SLICES
+            assert int(row["slice_id"]) == want
