@@ -136,6 +136,7 @@ def run_once() -> dict:
             "knn_cosine_lsh",
             "knn_ivf",
             "fulltext_bm25_topk",
+            "fulltext_hybrid_rrf",
         ):
             qs[name](sf_dir)
             t0 = time.perf_counter()
