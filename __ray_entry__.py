@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search over embeddings ---
         "knn_cosine_bruteforce": ann.knn_cosine_bruteforce,
         "knn_cosine_filtered": ann.knn_cosine_filtered,  # ES knn-with-filter (pre-filter)
+        "knn_radius": ann.knn_radius,  # range search: all vectors past a cosine cutoff
         "knn_cosine_lsh": ann.knn_cosine_lsh,   # sign-LSH probe, SQL-expressible semantics
         "knn_ivf": ann.ivf_search,              # exact branch-and-bound == brute force
         "embedding_label_centroids": ann.label_centroids,  # distributed k-means/IVF primitive
@@ -170,6 +171,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fulltext_mget": fulltext.mget_query,
         # sliced scroll: coordination-free hash partition of the export stream
         "fulltext_sliced_scroll": fulltext.sliced_scroll_query,
+        # top_metrics: a metric docvalue read off the top of a sort
+        "fulltext_top_metrics": fulltext.top_metrics_query,
         # delete-compact lifecycle: tombstone 1/5 of docs, compact (purge +
         # stats recompute), query — must equal a fresh build over survivors
         "fulltext_bm25_deleted": fulltext.bm25_topk_deleted,
@@ -250,6 +253,18 @@ _KNN_BRUTE_SQL = """
     CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
     ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC, e.vec_id
     LIMIT 10
+"""
+
+# radius/range search: membership compares the 3dp-ROUNDED cosine on both
+# sides, freezing the boundary across numpy-float64 and DuckDB-float32.
+_KNN_RADIUS_SQL = """
+    SELECT vec_id, cos FROM (
+        SELECT e.vec_id,
+               round(CAST(list_cosine_similarity(e.embedding, q.embedding) AS DOUBLE), 3) AS cos
+        FROM embeddings e
+        CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+    ) WHERE cos >= 0.2
+    ORDER BY cos DESC, vec_id
 """
 
 # ES knn-with-filter, pre-filter semantics: candidates restricted BEFORE
@@ -610,6 +625,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "knn_cosine_bruteforce": _KNN_BRUTE_SQL,
         "knn_cosine_filtered": _KNN_FILTERED_SQL,
+        "knn_radius": _KNN_RADIUS_SQL,
         # sign-LSH probe semantics are deterministic and SQL-expressible —
         # the oracle pins bucketing + probing + scoring exactly
         "knn_cosine_lsh": ann.lsh_oracle_sql(k=10, vec_id=0, n_bits=8, max_flip=2),
@@ -687,6 +703,7 @@ def oracle_sql() -> dict[str, str]:
         "fulltext_diversified_sampler": fulltext.diversified_sampler_oracle_sql(),
         "fulltext_mget": fulltext.mget_oracle_sql(),
         "fulltext_sliced_scroll": fulltext.sliced_scroll_oracle_sql(),
+        "fulltext_top_metrics": fulltext.top_metrics_oracle_sql(),
         "fulltext_bm25_deleted": fulltext.bm25_deleted_oracle_sql(),
         "fulltext_delete_by_query": fulltext.bm25_delete_by_query_oracle_sql(),
         "fulltext_update_by_query": fulltext.bm25_update_by_query_oracle_sql(),

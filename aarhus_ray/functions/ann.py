@@ -158,6 +158,56 @@ def knn_cosine_filtered(sf_dir: str, k: int = 10, vec_id: int = 0, label: int = 
     return parts[["vec_id", "label", "cos"]].reset_index(drop=True)
 
 
+def _radius_task(batch: pa.Table, q_ref, threshold: float) -> pa.Table:
+    """Per-batch radius filter vs a broadcast query vector: emit rows
+    whose 3dp-ROUNDED cosine clears the threshold. Rounding before the
+    comparison is deliberate — it makes membership a pure function of
+    the rounded value both engines agree on (DuckDB computes cosine in
+    float32; an unrounded boundary compare could flip membership in the
+    last ulp)."""
+    q = ray.get(q_ref)
+    ids, m = _to_matrix(batch)
+    if not len(ids):
+        return pa.table({"vec_id": pa.array([], pa.int64()), "cos": pa.array([], pa.float64())})
+    sims = np.round(_normalize(m) @ q, 3)
+    keep = sims >= threshold
+    return pa.table(
+        {
+            "vec_id": pa.array(ids[keep].astype(np.int64), pa.int64()),
+            "cos": pa.array(sims[keep], pa.float64()),
+        }
+    )
+
+
+def knn_radius(sf_dir: str, threshold: float = 0.2, vec_id: int = 0) -> pd.DataFrame:
+    """RADIUS (range) similarity search: EVERY vector whose cosine to the
+    query clears ``threshold`` — the vector-database range-search API
+    (Milvus/FAISS range_search; ES's knn has no radius form, similarity
+    cutoff is the nearest analogue). Unlike top-k, the result size is
+    data-dependent, so the scan STREAMS per-batch filtered rows (no k-th
+    score coordination at all — embarrassingly parallel, the easiest
+    vector op to scale). Membership compares the 3dp-rounded cosine
+    (the documented DuckDB float32 contract, here load-bearing: it
+    freezes the boundary). Output (vec_id, cos), (cos DESC, vec_id)."""
+    q = query_vector(sf_dir, vec_id)
+    qn = q / np.linalg.norm(q)
+    q_ref = ray.put(qn)
+
+    import functools
+
+    parts = (
+        _emb(sf_dir)
+        .map_batches(
+            functools.partial(_radius_task, q_ref=q_ref, threshold=threshold),
+            batch_format="pyarrow",
+            batch_size=4096,
+        )
+        .to_pandas()
+    )
+    parts = parts.sort_values(["cos", "vec_id"], ascending=[False, True])
+    return parts.reset_index(drop=True)
+
+
 def _multi_topk_task(batch: pa.Table, q_ref, w: int) -> pa.Table:
     """Per-batch exact top-w cosine partials for EVERY row of a broadcast
     (nq × dim) query matrix — one corpus scan serves all queries (sims is

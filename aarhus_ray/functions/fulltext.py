@@ -1948,6 +1948,63 @@ ORDER BY query_id, rank
 """
 
 
+TM_SIZE = 3  # top_metrics size
+
+
+def top_metrics_query(sf_dir: str) -> pd.DataFrame:
+    """top_metrics aggregation per FT_QUERY (ES ``top_metrics``): the
+    doclen metric read off the TM_SIZE newest matching docs (sort =
+    warc_ts DESC, doc_id ASC — injective, tie-free by construction).
+    Output (query_id, rank, sort_val, metric_val), all integers
+    (pipelines/query.top_metrics)."""
+    from ..pipelines.query import top_metrics
+
+    index = _ensure_index(sf_dir, fresh=False)
+    queries = pa.table(
+        {
+            "query_id": pa.array(range(len(FT_QUERIES)), pa.int64()),
+            "text": pa.array(list(FT_QUERIES), pa.string()),
+        }
+    )
+    out = top_metrics(
+        index, queries, field="warc_ts", metric="doclen", size=TM_SIZE
+    ).to_pandas()
+    out = out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    out["rank"] = out["rank"].astype("int32")
+    return out
+
+
+def top_metrics_oracle_sql() -> str:
+    """top_metrics oracle: the match set joined to the frozen warc_ts
+    rule and token-count doclens, windowed (ts DESC, doc_id) to
+    TM_SIZE."""
+    values = ",".join(
+        f"({qid}, '{term}')" for qid, q in enumerate(FT_QUERIES) for term in q.split()
+    )
+    ts = f"({BASE_TS_US} + (doc_id * {TS_MULT}) % {TS_MOD})"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok
+    FROM documents) WHERE tok <> ''
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+q(query_id, tok) AS (VALUES {values}),
+qd AS (SELECT DISTINCT query_id, tok FROM q),
+matched AS (SELECT DISTINCT qd.query_id, toks.doc_id FROM qd JOIN toks USING (tok)),
+ranked AS (
+  SELECT m.query_id, {ts} AS sort_val, dl.dl AS metric_val,
+         row_number() OVER (PARTITION BY m.query_id
+                            ORDER BY {ts} DESC, m.doc_id) AS rank
+  FROM matched m JOIN dl USING (doc_id)
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank,
+       CAST(sort_val AS BIGINT) AS sort_val, CAST(metric_val AS BIGINT) AS metric_val
+FROM ranked WHERE rank <= {TM_SIZE}
+ORDER BY query_id, rank
+"""
+
+
 SCROLL_SLICES = 3  # sliced-scroll fan-out
 
 

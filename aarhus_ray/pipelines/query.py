@@ -723,6 +723,43 @@ def histogram_agg(
     )
 
 
+def top_metrics(
+    out_dir: str,
+    queries,
+    field: str = "warc_ts",
+    metric: str = "doclen",
+    size: int = 3,
+    concurrency: int | None = None,
+    batch_size: int = 64,
+) -> ray.data.Dataset:
+    """TOP_METRICS aggregation per query (ES top_metrics): the metric
+    docvalue read off the top ``size`` docs of the sort docvalue's
+    ordering over the match set. Returns (query_id, rank, sort_val,
+    metric_val)."""
+    from ..stages.query_stage import TopMetricsTaskFn
+
+    segs = list_segments(out_dir)
+    if not segs:
+        raise ValueError(f"no segments under {out_dir}")
+    conc = concurrency or max(1, _cpus())
+    if isinstance(queries, str):
+        import pyarrow.parquet as _pq
+
+        queries = _pq.read_table(queries)
+    if isinstance(queries, pa.Table):
+        n_blocks = max(1, min(conc * 4, queries.num_rows // max(1, batch_size) + 1))
+        per = (queries.num_rows + n_blocks - 1) // n_blocks
+        slices = [queries.slice(i * per, per) for i in range(n_blocks) if i * per < queries.num_rows]
+        qds = ray.data.from_arrow(slices)
+    else:
+        qds = queries
+    return qds.map_batches(
+        TopMetricsTaskFn(out_dir, segs, field, metric, size, index_version(out_dir)),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+
+
 def auto_date_histogram(
     out_dir: str,
     queries,

@@ -2777,6 +2777,75 @@ class HistogramPipeline(DocvalueTopK):
         )
 
 
+class TopMetrics(DocvalueTopK):
+    """TOP_METRICS aggregation (Elasticsearch's ``top_metrics``): per
+    query, the value of a METRIC docvalue read off the top ``size`` docs
+    of a SORT docvalue's ordering over the match set — "the doclen of
+    the newest matching pages". Distinct from DocvalueTopK (which
+    returns the sort field itself): the point of top_metrics is
+    gathering OTHER fields at the top of a sort without a full fetch.
+    Two int64 arrays over the docs sidecar (sort + metric; both shard by
+    doc range at cluster scale); frozen order (sort DESC, doc_id ASC).
+    The driver sort field (warc_ts) is an injective hash of the doc, so
+    the ordering is tie-free by construction."""
+
+    def __init__(self, out_dir: str, seg_ids: list[int] | None = None,
+                 field: str = "warc_ts", metric: str = "doclen",
+                 size: int = 3):
+        super().__init__(out_dir, seg_ids, field, k=size)
+        self.metric = metric
+        files = sorted(glob.glob(os.path.join(out_dir, "docs", "pid=*.parquet")))
+        tbl = pa.concat_tables(pq.read_table(f, columns=["doc_id", metric]) for f in files)
+        self.metric_vals = tbl[metric].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        self.size = int(size)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids_out: list[int] = []
+        ranks_out: list[int] = []
+        sort_out: list[int] = []
+        metric_out: list[int] = []
+        for qid, text in zip(batch["query_id"].to_pylist(), batch["text"].to_pylist()):
+            docs = self._match_set(text)
+            if len(docs) == 0:
+                continue
+            pos = np.searchsorted(self.doc_ids, docs)
+            svals = self.vals[pos]
+            order = np.lexsort((docs, -svals))[: self.size]
+            mvals = self.metric_vals[pos[order]]
+            for r, (sv, mv) in enumerate(zip(svals[order], mvals), start=1):
+                qids_out.append(qid)
+                ranks_out.append(r)
+                sort_out.append(int(sv))
+                metric_out.append(int(mv))
+        return pa.table(
+            {
+                "query_id": pa.array(qids_out, pa.int64()),
+                "rank": pa.array(np.asarray(ranks_out, dtype=np.int32), pa.int32()),
+                "sort_val": pa.array(sort_out, pa.int64()),
+                "metric_val": pa.array(metric_out, pa.int64()),
+            }
+        )
+
+
+class TopMetricsTaskFn:
+    """Task-fn form of TopMetrics (worker-process cache)."""
+
+    def __init__(self, out_dir: str, seg_ids: list[int], field: str,
+                 metric: str, size: int, version: float):
+        self.args = (out_dir, tuple(seg_ids), field, metric, size, version)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_dir, seg_ids, field, metric, size, version = self.args
+        key = (out_dir, version, seg_ids, field, metric, size, "topmetrics")
+        tm = _WORKER_MATCH_AGG_CACHE.get(key)
+        if tm is None:
+            for kk in [kk for kk in _WORKER_MATCH_AGG_CACHE if kk[0] == out_dir and kk[1] < version]:
+                del _WORKER_MATCH_AGG_CACHE[kk]
+            tm = TopMetrics(out_dir, list(seg_ids), field, metric, size)
+            _WORKER_MATCH_AGG_CACHE[key] = tm
+        return tm(batch)
+
+
 class AutoDateHistogram(DocvalueTopK):
     """AUTO-INTERVAL date histogram (Elasticsearch's
     ``auto_date_histogram``): per query, the SMALLEST interval from a

@@ -1102,3 +1102,42 @@ def test_sliced_scroll_partitions_the_match_set():
         for _, row in sub.head(10).iterrows():
             want = int(_hl.md5(doc_url(int(row["doc_id"])).encode()).hexdigest()[:16], 16) % SCROLL_SLICES
             assert int(row["slice_id"]) == want
+
+
+def test_top_metrics_and_knn_radius():
+    """top_metrics: sort/metric pairs equal a python recompute from the
+    frozen ts rule + token counts; knn_radius: membership and order
+    equal a numpy recompute on the rounded-cosine contract."""
+    from aarhus_ray.functions.ann import knn_radius
+    from aarhus_ray.functions.fulltext import (
+        FT_QUERIES,
+        TM_SIZE,
+        doc_ts_us,
+        top_metrics_query,
+    )
+    from aarhus_ray.textnorm import tokenize
+
+    got = top_metrics_query(SF)
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    toks = {
+        int(d): tokenize(t)
+        for d, t in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist())
+    }
+    for qid, qtext in enumerate(FT_QUERIES):
+        terms = set(qtext.split())
+        match = [d for d, tk in toks.items() if terms & set(tk)]
+        order = sorted(match, key=lambda d: (-doc_ts_us(d), d))[:TM_SIZE]
+        sub = got[got.query_id == qid]
+        assert sub["sort_val"].tolist() == [doc_ts_us(d) for d in order]
+        assert sub["metric_val"].tolist() == [len(toks[d]) for d in order]
+
+    r = knn_radius(SF, threshold=0.2, vec_id=0)
+    t = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+    m = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = np.round(m @ m[ids == 0][0], 3)
+    keep = sims >= 0.2
+    order = np.lexsort((ids[keep], -sims[keep]))
+    assert r["vec_id"].tolist() == ids[keep][order].tolist()
+    assert r["cos"].tolist() == sims[keep][order].tolist()
