@@ -173,6 +173,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fulltext_sliced_scroll": fulltext.sliced_scroll_query,
         # top_metrics: a metric docvalue read off the top of a sort
         "fulltext_top_metrics": fulltext.top_metrics_query,
+        # match_phrase_prefix: last token expands, best completion scores
+        "fulltext_phrase_prefix": fulltext.bm25_topk_phrase_prefix,
         # delete-compact lifecycle: tombstone 1/5 of docs, compact (purge +
         # stats recompute), query — must equal a fresh build over survivors
         "fulltext_bm25_deleted": fulltext.bm25_topk_deleted,
@@ -704,6 +706,7 @@ def oracle_sql() -> dict[str, str]:
         "fulltext_mget": fulltext.mget_oracle_sql(),
         "fulltext_sliced_scroll": fulltext.sliced_scroll_oracle_sql(),
         "fulltext_top_metrics": fulltext.top_metrics_oracle_sql(),
+        "fulltext_phrase_prefix": fulltext.bm25_phrase_prefix_oracle_sql(),
         "fulltext_bm25_deleted": fulltext.bm25_deleted_oracle_sql(),
         "fulltext_delete_by_query": fulltext.bm25_delete_by_query_oracle_sql(),
         "fulltext_update_by_query": fulltext.bm25_update_by_query_oracle_sql(),

@@ -1948,6 +1948,99 @@ ORDER BY query_id, rank
 """
 
 
+# match_phrase_prefix query set: (fixed-term-or-None, stem). The 31-word
+# driver vocabulary makes single-letter stems genuinely multi-expansion
+# ('s' → scan/slow/small/sort/spark/stream). Mix: multi-expansion after a
+# common and a rare fixed term, a bare stem (prefix-only degeneration), an
+# empty expansion (must be empty), and a stem range containing the fixed
+# term itself ('slow s' — the self-completion double-count case).
+FT_PHRASE_PREFIX = (
+    ("table", "s"),
+    ("the", "b"),
+    (None, "v"),
+    ("query", "zzz"),
+    ("slow", "s"),
+)
+
+
+def bm25_topk_phrase_prefix(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """match_phrase_prefix per FT_PHRASE_PREFIX (ES match_phrase_prefix):
+    the stem expands against the index dictionary, each completed phrase
+    is adjacency-verified, and a matching doc scores as its best
+    completion — fixed-term BM25 + max matching expansion contribution.
+    Output (query_id, rank, doc_id), integer-only
+    (query_index(mode="phrase_prefix"))."""
+    texts = [f"{f} {s}" if f else s for f, s in FT_PHRASE_PREFIX]
+    return _run_queries(_ensure_index(sf_dir, fresh=False), texts, k, "phrase_prefix")
+
+
+def bm25_phrase_prefix_oracle_sql(k: int = 10) -> str:
+    """match_phrase_prefix oracle: expansions from the distinct-token
+    vocabulary via LIKE, adjacency via the token-string substring idiom,
+    per-(doc, term) contributions from the standard formula; fscore =
+    fixed contribution + MAX matching expansion contribution."""
+    values = ",".join(
+        "({}, {}, '{}')".format(qid, "'" + f + "'" if f else "NULL", s)
+        for qid, (f, s) in enumerate(FT_PHRASE_PREFIX)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok
+    FROM documents) WHERE tok <> ''
+),
+dl AS (SELECT d.doc_id, CAST(coalesce(t.c, 0) AS DOUBLE) AS dl
+       FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS c FROM toks GROUP BY 1) t USING (doc_id)),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+q(query_id, fixed, stem) AS (VALUES {values}),
+vocab AS (SELECT DISTINCT tok FROM tf),
+exp AS (SELECT q.query_id, v.tok AS e FROM q JOIN vocab v ON v.tok LIKE q.stem || '%'),
+dt AS (SELECT doc_id,
+              ' ' || array_to_string(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> ''), ' ') || ' ' AS ts
+       FROM documents),
+contrib AS (
+  SELECT tf.doc_id, tf.tok,
+         ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+         * tf.tf * (1.2 + 1.0)
+         / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) AS c
+  FROM tf
+  JOIN df USING (tok)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+),
+matched AS (
+  SELECT x.query_id, dt.doc_id, x.e
+  FROM exp x
+  JOIN q USING (query_id)
+  JOIN dt ON position(
+       (CASE WHEN q.fixed IS NULL THEN ' ' || x.e || ' '
+             ELSE ' ' || q.fixed || ' ' || x.e || ' ' END) IN dt.ts) > 0
+),
+emax AS (
+  SELECT m.query_id, m.doc_id, max(c.c) AS e_max
+  FROM matched m JOIN contrib c ON c.doc_id = m.doc_id AND c.tok = m.e
+  GROUP BY 1, 2
+),
+final AS (
+  SELECT e.query_id, e.doc_id,
+         coalesce(fc.c, 0) + e.e_max AS fscore
+  FROM emax e
+  JOIN q ON q.query_id = e.query_id
+  LEFT JOIN contrib fc ON fc.doc_id = e.doc_id AND fc.tok = q.fixed
+),
+ranked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY fscore DESC, doc_id) AS rank
+  FROM final
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank, doc_id
+FROM ranked WHERE rank <= {k}
+ORDER BY query_id, rank
+"""
+
+
 TM_SIZE = 3  # top_metrics size
 
 

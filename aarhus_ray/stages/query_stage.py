@@ -420,18 +420,19 @@ class QueryScorer:
         self.method = method
         if mode not in ("or", "and", "phrase", "near", "span_near", "prefix",
                         "fuzzy", "boost", "boolean", "msm", "terms_set",
-                        "wildcard", "regexp", "query_string"):
+                        "wildcard", "regexp", "query_string", "phrase_prefix"):
             raise ValueError(
                 f"mode must be 'or', 'and', 'phrase', 'near', 'span_near', "
                 f"'prefix', 'fuzzy', 'boost', 'boolean', 'msm', 'terms_set', "
-                f"'wildcard', 'regexp' or 'query_string', not {mode!r}"
+                f"'wildcard', 'regexp', 'query_string' or 'phrase_prefix', "
+                f"not {mode!r}"
             )
         if mode == "and" and method not in ("wand", "brute"):
             raise ValueError(f"conjunctive scoring supports wand/brute, not {method!r}")
         if mode in ("prefix", "fuzzy", "boost", "boolean", "msm", "terms_set",
                     "wildcard", "regexp", "query_string") and method not in ("wand", "brute"):
             raise ValueError(f"{mode} scoring supports wand/brute, not {method!r}")
-        if mode in ("phrase", "near", "span_near") and method != "wand":
+        if mode in ("phrase", "near", "span_near", "phrase_prefix") and method != "wand":
             raise ValueError(f"{mode} scoring supports method='wand', not {method!r}")
         self.mode = mode
         self.near_window = int(near_window)
@@ -1051,6 +1052,77 @@ class QueryScorer:
                 terms.update(tokenize(raw))
         return self._score_terms(terms)
 
+    def _score_query_phrase_prefix(self, text: str) -> tuple[np.ndarray, np.ndarray]:
+        """MATCH_PHRASE_PREFIX (Elasticsearch's ``match_phrase_prefix``):
+        the LAST token is a prefix stem expanded against the sharded
+        dictionary (_expand_prefix range scan — the same O(1)-shard
+        routing as prefix mode); a doc matches iff SOME completed phrase
+        ``fixed + [e]`` occurs adjacently (verified per expansion by the
+        shared _verify_phrase two-engine path: positional sidecar when
+        present, checkpoint re-tokenization otherwise); a matching doc
+        scores as its BEST completion — the BM25 sum of the DISTINCT
+        fixed terms plus the max matching expansion's contribution.
+        Best-completion (dis_max over completions) is the frozen scoring
+        rule because an exact SQL oracle replays MAX; Lucene's
+        MultiPhraseQuery position-blended idf would not hash-replay. A
+        single-token query degenerates to best-completion prefix search;
+        an OOV fixed term or an empty expansion empties the result. An
+        expansion may coincide with a fixed term ("slow s…" → 'slow'):
+        its contribution then counts in both the fixed sum and the max,
+        the same double the SQL computes. Verification cost is
+        O(|expansions| × candidates-per-completion) — at web scale the
+        stem's dictionary range bounds the fan-out exactly like prefix
+        mode, and each completion prunes through the conjunctive
+        intersection before any positions/text are touched."""
+        seq = tokenize(text)
+        if not seq:
+            return np.empty(0, np.uint64), np.empty(0, np.float64)
+        fixed, stem = seq[:-1], seq[-1]
+        expansions = sorted(self._expand_prefix(stem))
+        if not expansions:
+            return np.empty(0, np.uint64), np.empty(0, np.float64)
+        owners = {}
+        for t in set(fixed):
+            segs = self._owners(t)
+            if not segs:
+                return np.empty(0, np.uint64), np.empty(0, np.float64)
+            owners[t] = segs
+        fixed_terms = sorted(owners)
+        fixed_entries = [self._term_arrays(t, owners[t]) for t in fixed_terms]
+        matched: list[tuple[np.ndarray, np.ndarray]] = []
+        for e in expansions:
+            esegs = self._owners(e)
+            if not esegs:
+                continue
+            e_entry = self._term_arrays(e, esegs)
+            if e in owners:
+                terms_all, entries_all = fixed_terms, fixed_entries
+            else:
+                terms_all = sorted(fixed_terms + [e])
+                by_term = dict(zip(fixed_terms, fixed_entries))
+                by_term[e] = e_entry
+                entries_all = [by_term[t] for t in terms_all]
+            cand = self._conj_candidates(terms_all, entries_all)
+            all_owners = dict(owners)
+            all_owners[e] = esegs
+            cand = self._verify_phrase(fixed + [e], all_owners, cand)
+            if len(cand) == 0:
+                continue
+            matched.append((cand, e_entry[1][np.searchsorted(e_entry[0], cand)]))
+        if not matched:
+            return np.empty(0, np.uint64), np.empty(0, np.float64)
+        docs = np.unique(np.concatenate([c for c, _ in matched]))
+        best = np.full(len(docs), -np.inf)
+        for cand, contrib in matched:
+            np.maximum.at(best, np.searchsorted(docs, cand), contrib)
+        scores = np.zeros(len(docs), dtype=np.float64)
+        for doc_ids, contribs, _, _ in fixed_entries:  # sorted-term order
+            scores += contribs[np.searchsorted(doc_ids, docs)]
+        scores += best  # fixed-sum first, max last — the SQL's addition order
+        from ..bm25 import topk_select
+
+        return topk_select(docs, scores, self.k)
+
     def _expand_wildcard(self, pattern: str) -> set[str]:
         """GENERAL wildcard expansion (Lucene WildcardQuery, ``*`` only,
         anywhere in the token): all dictionary terms matching the glob.
@@ -1398,6 +1470,8 @@ class QueryScorer:
             return self._score_query_regexp(text)
         if self.mode == "query_string":
             return self._score_query_qs(text)
+        if self.mode == "phrase_prefix":
+            return self._score_query_phrase_prefix(text)
         return self._score_terms(set(tokenize(text)))
 
     def _score_terms(self, toks: set[str]) -> tuple[np.ndarray, np.ndarray]:

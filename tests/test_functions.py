@@ -1141,3 +1141,62 @@ def test_top_metrics_and_knn_radius():
     order = np.lexsort((ids[keep], -sims[keep]))
     assert r["vec_id"].tolist() == ids[keep][order].tolist()
     assert r["cos"].tolist() == sims[keep][order].tolist()
+
+
+def test_phrase_prefix_semantics():
+    """phrase_prefix: (a) a single-expansion stem degenerates to plain
+    phrase mode bit-identically ('slow sl' -> 'slow slow'); (b) full
+    best-completion recompute from texts: doc matches iff some completed
+    phrase occurs adjacently; score = fixed contrib + max matching
+    completion contrib (via the brute scorer's own per-term scores)."""
+    from aarhus_ray.functions import fulltext
+    from aarhus_ray.functions.fulltext import _ensure_index, _run_queries
+    from aarhus_ray.textnorm import tokenize
+
+    index = _ensure_index(SF, fresh=False)
+    deg = _run_queries(index, ["slow sl"], 10, "phrase_prefix")
+    phr = _run_queries(index, ["slow slow"], 10, "phrase")
+    assert deg["doc_id"].tolist() == phr["doc_id"].tolist()
+
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    toks = {
+        int(d): tokenize(t)
+        for d, t in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist())
+    }
+    vocab = sorted({t for tk in toks.values() for t in tk})
+    joined = {d: " " + " ".join(tk) + " " for d, tk in toks.items()}
+
+    # per-(doc, term) contributions from the or-mode brute ranking of the
+    # single term (score of a 1-term query IS that term's contribution)
+    def contrib_map(term):
+        sub = _run_queries_scores(index, term)
+        return sub
+
+    import pyarrow as pa
+
+    from aarhus_ray.pipelines.query import query_index
+
+    def _run_queries_scores(idx, term):
+        q = pa.table({"query_id": pa.array([0], pa.int64()),
+                      "text": pa.array([term], pa.string())})
+        r = query_index(idx, q, k=10**6, method="brute", resolve_urls=True).to_pandas()
+        r["doc_id"] = r["url"].map(fulltext.url_doc_id).astype("int64")
+        return dict(zip(r["doc_id"], r["score"]))
+
+    got = fulltext.bm25_topk_phrase_prefix(SF, k=10)
+    for qid, (fixed, stem) in enumerate(fulltext.FT_PHRASE_PREFIX):
+        exps = [v for v in vocab if v.startswith(stem)]
+        fixed_c = contrib_map(fixed) if fixed else {}
+        best = {}
+        for e in exps:
+            e_c = contrib_map(e)
+            needle = f" {fixed} {e} " if fixed else f" {e} "
+            for d, js in joined.items():
+                if needle in js:
+                    s = e_c[d]
+                    if d not in best or s > best[d]:
+                        best[d] = s
+        want_scores = {d: (fixed_c[d] if fixed else 0.0) + s for d, s in best.items()}
+        order = sorted(want_scores, key=lambda d: (-want_scores[d], d))[:10]
+        page = got[got.query_id == qid]["doc_id"].tolist()
+        assert page == order, f"query {qid}"
