@@ -241,6 +241,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fulltext_phrase_suggest": fulltext.phrase_suggest,
         # multi_match over title^2 + body: two field indexes, weighted sum
         "fulltext_bm25_multifield": fulltext.bm25_topk_multifield,
+        # cross_fields: per-TERM best field (the third multi_match mode)
+        "fulltext_cross_fields": fulltext.bm25_topk_cross_fields,
         # scroll/export: the full match set per query (streaming Dataset)
         "fulltext_export_matches": fulltext.export_matches_query,
         # percolator: stored queries, streamed docs (reverse search, no index)
@@ -742,6 +744,7 @@ def oracle_sql() -> dict[str, str]:
         "fulltext_spell_suggest": fulltext.spell_suggest_oracle_sql(),
         "fulltext_phrase_suggest": fulltext.phrase_suggest_oracle_sql(),
         "fulltext_bm25_multifield": fulltext.bm25_multifield_oracle_sql(),
+        "fulltext_cross_fields": fulltext.bm25_cross_fields_oracle_sql(),
         "fulltext_export_matches": fulltext.export_matches_oracle_sql(),
         "fulltext_percolate": fulltext.percolate_oracle_sql(),
     }

@@ -4465,6 +4465,148 @@ ORDER BY query_id, rank
 """
 
 
+# cross_fields query set: every query has <= 2 DISTINCT terms, deliberately.
+# A doc's score is a sum of per-term blended contributions; DuckDB's
+# parallel aggregate sums >= 3 addends in nondeterministic order, so two
+# docs with identical inputs (the planted clones) can land an ulp apart
+# and permute — with <= 2 addends the sum is commutative and exact ties
+# stay exact, breaking by doc_id identically on both sides. (Found live:
+# "customer stream batch" permuted an exact-tie clone trio at ranks 1-3.)
+FT_CROSS = (
+    "table spark",
+    "query group",
+    "vector",
+    "customer stream",
+    "slow merge",
+    "zzznotinvocab table",
+)
+
+
+def bm25_topk_cross_fields(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """CROSS-FIELDS multi-field retrieval (the third Lucene ``multi_match``
+    mode, next to best_fields=dis_max and most_fields=weighted sum): the
+    match is term-centric — each query term takes its BEST field's
+    weighted contribution, and the doc sums those per-term bests:
+
+        score = Σ_t max(W_TITLE × bm25_title(t), W_BODY × bm25_body(t))
+
+    "every term must be found in SOME field, whichever is strongest" —
+    the mode for attribute-split documents (first/last name) where
+    best_fields under-scores cross-field matches and most_fields
+    double-counts. (Lucene's exact BlendedTermQuery df-munging is not
+    hash-replayable; the per-term-max form is the frozen, SQL-exact
+    blend.) Per-term per-field contributions come from 1-term brute
+    rankings through each REAL index (a 1-term query's score IS that
+    term's contribution); combination is in source-doc space. At
+    cluster scale the same combine runs per doc-range shard — both
+    fields' scorers shard identically — with a k-sized merge, exactly
+    the multifield story. Output (query_id, rank, doc_id)."""
+    from ..pipelines.query import query_index
+
+    body = _ensure_index(sf_dir, fresh=False)
+    title = _ensure_title_index(sf_dir)
+    terms = sorted({t for q in FT_CROSS for t in q.split()})
+    tq = pa.table(
+        {
+            "query_id": pa.array(range(len(terms)), pa.int64()),
+            "text": pa.array(terms, pa.string()),
+        }
+    )
+    k_all = 1 << 30
+
+    def rank(idx: str) -> pd.DataFrame:
+        res = query_index(idx, tq, k=k_all, method="brute", resolve_urls=True).to_pandas()
+        res["doc_id"] = res["url"].map(url_doc_id).astype("int64")
+        return res[["query_id", "doc_id", "score"]]
+
+    m = rank(body).merge(
+        rank(title), on=["query_id", "doc_id"], how="outer", suffixes=("_b", "_t")
+    )
+    m["c"] = np.maximum(
+        W_TITLE * m["score_t"].fillna(0.0).to_numpy(),
+        W_BODY * m["score_b"].fillna(0.0).to_numpy(),
+    )
+    m["term"] = m["query_id"].map(dict(enumerate(terms)))
+    expand = pd.DataFrame(
+        [(qid, t) for qid, q in enumerate(FT_CROSS) for t in sorted(set(q.split()))],
+        columns=["qid", "term"],
+    )
+    j = expand.merge(m[["term", "doc_id", "c"]], on="term")
+    scored = j.groupby(["qid", "doc_id"], sort=True)["c"].sum().reset_index()
+    scored = scored.sort_values(
+        ["qid", "c", "doc_id"], ascending=[True, False, True], kind="mergesort"
+    )
+    out = scored.groupby("qid", sort=True).head(k).reset_index(drop=True)
+    out["rank"] = (out.groupby("qid").cumcount() + 1).astype("int32")
+    out = out.rename(columns={"qid": "query_id"})
+    out["query_id"] = out["query_id"].astype("int64")
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out[["query_id", "rank", "doc_id"]]
+
+
+def bm25_cross_fields_oracle_sql(k: int = 10) -> str:
+    """cross_fields oracle: the multifield per-field CTE stacks kept at
+    PER-TERM granularity (no per-query sum yet), FULL-JOINed per
+    (term, doc), blended with greatest(), then summed per (query, doc)."""
+    values = ",".join(
+        f"({qid}, '{term}')" for qid, q in enumerate(FT_CROSS) for term in q.split()
+    )
+    return f"""
+WITH bod AS (SELECT doc_id,
+                    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS a
+             FROM documents),
+toksB AS (SELECT doc_id, unnest(a) AS tok FROM bod),
+toksT AS (SELECT doc_id, unnest(list_slice(a, 1, {TITLE_LEN})) AS tok FROM bod),
+dlB AS (SELECT doc_id, CAST(len(a) AS DOUBLE) AS dl FROM bod),
+dlT AS (SELECT doc_id, CAST(least(len(a), {TITLE_LEN}) AS DOUBLE) AS dl FROM bod),
+statsB AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dlB),
+statsT AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dlT),
+tfB AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf FROM toksB GROUP BY 1, 2),
+dfB AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tfB GROUP BY 1),
+tfT AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf FROM toksT GROUP BY 1, 2),
+dfT AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tfT GROUP BY 1),
+q(query_id, tok) AS (VALUES {values}),
+qd AS (SELECT DISTINCT query_id, tok FROM q),
+contribB AS (
+  SELECT tfB.tok, tfB.doc_id,
+         ln(1 + (s.n - dfB.df + 0.5) / (dfB.df + 0.5))
+         * tfB.tf * (1.2 + 1.0)
+         / (tfB.tf + 1.2 * (1.0 - 0.75 + 0.75 * dlB.dl / s.avgdl)) AS c
+  FROM tfB JOIN dfB USING (tok)
+  JOIN dlB ON tfB.doc_id = dlB.doc_id
+  CROSS JOIN statsB s
+),
+contribT AS (
+  SELECT tfT.tok, tfT.doc_id,
+         ln(1 + (s.n - dfT.df + 0.5) / (dfT.df + 0.5))
+         * tfT.tf * (1.2 + 1.0)
+         / (tfT.tf + 1.2 * (1.0 - 0.75 + 0.75 * dlT.dl / s.avgdl)) AS c
+  FROM tfT JOIN dfT USING (tok)
+  JOIN dlT ON tfT.doc_id = dlT.doc_id
+  CROSS JOIN statsT s
+),
+blended AS (
+  SELECT coalesce(b.tok, t.tok) AS tok, coalesce(b.doc_id, t.doc_id) AS doc_id,
+         greatest({W_TITLE} * coalesce(t.c, 0), {W_BODY} * coalesce(b.c, 0)) AS c
+  FROM contribB b FULL JOIN contribT t
+    ON b.tok = t.tok AND b.doc_id = t.doc_id
+),
+scored AS (
+  SELECT qd.query_id, bl.doc_id, sum(bl.c) AS score
+  FROM qd JOIN blended bl USING (tok)
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+  FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank, doc_id
+FROM ranked WHERE rank <= {k}
+ORDER BY query_id, rank
+"""
+
+
 def search_after_query(sf_dir: str, k: int = 10) -> pd.DataFrame:
     """SEARCH_AFTER cursor pagination (ES search_after — the scale-safe
     deep-paging API): page 1 of the recency sort supplies each query's

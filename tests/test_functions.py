@@ -1200,3 +1200,42 @@ def test_phrase_prefix_semantics():
         order = sorted(want_scores, key=lambda d: (-want_scores[d], d))[:10]
         page = got[got.query_id == qid]["doc_id"].tolist()
         assert page == order, f"query {qid}"
+
+
+def test_cross_fields_blend_property():
+    """cross_fields: on a single-term query the score IS the per-doc max
+    of the weighted per-field scores, so the page must equal a ranking
+    recomputed from the two indexes' PER-QUERY full rankings (an
+    independent path — the engine combines per-term rankings)."""
+    import pyarrow as pa
+
+    from aarhus_ray.functions import fulltext
+    from aarhus_ray.functions.fulltext import (
+        FT_CROSS,
+        W_BODY,
+        W_TITLE,
+        _ensure_index,
+        _ensure_title_index,
+        bm25_topk_cross_fields,
+    )
+    from aarhus_ray.pipelines.query import query_index
+
+    got = bm25_topk_cross_fields(SF, k=10)
+    body, title = _ensure_index(SF, fresh=False), _ensure_title_index(SF)
+    qid = FT_CROSS.index("vector")
+    q = pa.table({"query_id": pa.array([0], pa.int64()),
+                  "text": pa.array(["vector"], pa.string())})
+
+    def full(idx):
+        r = query_index(idx, q, k=1 << 30, method="brute", resolve_urls=True).to_pandas()
+        r["doc_id"] = r["url"].map(fulltext.url_doc_id).astype("int64")
+        return dict(zip(r["doc_id"], r["score"]))
+
+    fb, ft_ = full(body), full(title)
+    docs = sorted(set(fb) | set(ft_))
+    score = {d: max(W_TITLE * ft_.get(d, 0.0), W_BODY * fb.get(d, 0.0)) for d in docs}
+    want = sorted(docs, key=lambda d: (-score[d], d))[:10]
+    assert got[got.query_id == qid]["doc_id"].tolist() == want
+    # the OOV+term query must rank by the in-vocab term alone (union, not AND)
+    oov_qid = FT_CROSS.index("zzznotinvocab table")
+    assert len(got[got.query_id == oov_qid]) == 10
