@@ -4465,6 +4465,180 @@ ORDER BY query_id, rank
 """
 
 
+# Pinned results: per FT_QUERY, the promoted source doc ids, in display
+# order. Ids exist at every driver scale (sf0.001 has 50 docs). Query 2
+# pins a doc that does NOT match "vector" — the ES pinned contract shows
+# it anyway; query 4 (OOV) is pure pins over an empty organic ranking.
+FT_PINNED = ((7, 3), (11,), (44,), (), (5, 9), ())
+
+
+def bm25_topk_pinned(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """PINNED query per FT_QUERY (Elasticsearch's ``pinned`` query —
+    promoted/sponsored results): the configured ids rank 1..p in their
+    GIVEN order regardless of relevance (a pinned doc that does not
+    match still shows — ES's contract), then the organic disjunctive
+    ranking fills the page, skipping docs already pinned. Output
+    (query_id, rank, doc_id). Composition-only: one or-mode page of
+    k+p through the real index plus a constant prepend — nothing new
+    touches the corpus, which is exactly how ES implements it
+    (organic query wrapped in a dis_max with a huge constant boost)."""
+    index = _ensure_index(sf_dir, fresh=False)
+    organic = _run_queries(
+        index, FT_QUERIES, k + max((len(p) for p in FT_PINNED), default=0), "or"
+    )
+    rows = []
+    for qid in range(len(FT_QUERIES)):
+        pins = [p for p in FT_PINNED[qid]]
+        page = list(pins)
+        for d in organic[organic.query_id == qid]["doc_id"]:
+            if len(page) >= k:
+                break
+            if int(d) not in pins:
+                page.append(int(d))
+        rows.extend((qid, r + 1, d) for r, d in enumerate(page[:k]))
+    out = pd.DataFrame(rows, columns=["query_id", "rank", "doc_id"])
+    out["query_id"] = out["query_id"].astype("int64")
+    out["rank"] = out["rank"].astype("int32")
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out
+
+
+def bm25_pinned_oracle_sql(k: int = 10) -> str:
+    """Pinned oracle: the standard stack's organic ranking unioned under
+    the pins VALUES (pin ordinal as the primary sort key), pinned docs
+    removed from the organic side, re-ranked."""
+    values = ",".join(
+        f"({qid}, '{term}')" for qid, q in enumerate(FT_QUERIES) for term in q.split()
+    )
+    pin_rows = [
+        (qid, ordinal, d)
+        for qid, pins in enumerate(FT_PINNED)
+        for ordinal, d in enumerate(pins)
+    ]
+    pins = ",".join(f"({q}, {o}, {d})" for q, o, d in pin_rows) or "(NULL, NULL, NULL)"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok
+    FROM documents) WHERE tok <> ''
+),
+dl AS (SELECT d.doc_id, CAST(coalesce(t.c, 0) AS DOUBLE) AS dl
+       FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS c FROM toks GROUP BY 1) t USING (doc_id)),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+q(query_id, tok) AS (VALUES {values}),
+qd AS (SELECT DISTINCT query_id, tok FROM q),
+pins(query_id, ord, doc_id) AS (VALUES {pins}),
+scored AS (
+  SELECT qd.query_id, tf.doc_id,
+         sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * (1.2 + 1.0)
+              / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score
+  FROM qd
+  JOIN tf USING (tok)
+  JOIN df USING (tok)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+organic AS (
+  SELECT s.query_id, s.doc_id, s.score
+  FROM scored s
+  LEFT JOIN pins p ON p.query_id = s.query_id AND p.doc_id = s.doc_id
+  WHERE p.doc_id IS NULL
+),
+unioned AS (
+  SELECT query_id, doc_id, 0 AS tier, ord AS ord2, 0.0 AS score
+  FROM pins WHERE query_id IS NOT NULL
+  UNION ALL
+  SELECT query_id, doc_id, 1 AS tier, 0 AS ord2, score FROM organic
+),
+ranked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY tier, ord2, score DESC, doc_id) AS rank
+  FROM unioned
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank,
+       CAST(doc_id AS BIGINT) AS doc_id
+FROM ranked WHERE rank <= {k}
+ORDER BY query_id, rank
+"""
+
+
+RS_SEED = "graft-r3"  # random_score seed (frozen)
+
+
+def random_score_query(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """RANDOM_SCORE retrieval per FT_QUERY (ES function_score
+    random_score with a seed + field): the match set ranked by a
+    DETERMINISTIC per-doc hash — md5-64 of "seed:url" (md5 so DuckDB
+    replays it; the simhash idiom) — descending, doc_id tie-break. The
+    ES use-case verbatim: a reproducible shuffle of matching docs
+    (diverse sampling pages that are stable across reruns and shards —
+    the hash is a pure function of the doc, no coordination). Here the
+    page assembles from the streamed export (match sets are small at
+    driver scale); at 10^12 docs the same hash ranks via per-batch
+    partial top-k exactly like the kNN scan. Output (query_id, rank,
+    doc_id)."""
+    from ..pipelines.query import export_matches
+    from ..stages.query_stage import UrlResolver
+
+    index = _ensure_index(sf_dir, fresh=False)
+    queries = pa.table(
+        {
+            "query_id": pa.array(range(len(FT_QUERIES)), pa.int64()),
+            "text": pa.array(list(FT_QUERIES), pa.string()),
+        }
+    )
+    ds = export_matches(index, queries).map_batches(
+        UrlResolver, fn_constructor_args=(index,), batch_format="pyarrow",
+        concurrency=(1, 2),
+    )
+    res = ds.to_pandas()
+    res["doc_id"] = res["url"].map(url_doc_id).astype("int64")
+    res["h"] = [
+        int(hashlib.md5(f"{RS_SEED}:{u}".encode()).hexdigest()[:16], 16)
+        for u in res["url"]
+    ]
+    res = res.sort_values(["query_id", "h", "doc_id"], ascending=[True, False, True])
+    out = res.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    out["rank"] = (out.groupby("query_id").cumcount() + 1).astype("int32")
+    return out[["query_id", "rank", "doc_id"]]
+
+
+def random_score_oracle_sql(k: int = 10) -> str:
+    """random_score oracle: the match set with the md5-prefix hash of
+    seed:url replayed, ranked descending."""
+    values = ",".join(
+        f"({qid}, '{term}')" for qid, q in enumerate(FT_QUERIES) for term in q.split()
+    )
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok
+    FROM documents) WHERE tok <> ''
+),
+q(query_id, tok) AS (VALUES {values}),
+qd AS (SELECT DISTINCT query_id, tok FROM q),
+matched AS (SELECT DISTINCT qd.query_id, toks.doc_id FROM qd JOIN toks USING (tok)),
+hashed AS (
+  SELECT query_id, doc_id,
+         CAST(concat('0x', substr(md5('{RS_SEED}:' || 'doc://' || lpad(CAST(doc_id AS VARCHAR), 8, '0')), 1, 16)) AS UBIGINT) AS h
+  FROM matched
+),
+ranked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY h DESC, doc_id) AS rank
+  FROM hashed
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank, doc_id
+FROM ranked WHERE rank <= {k}
+ORDER BY query_id, rank
+"""
+
+
 # cross_fields query set: every query has <= 2 DISTINCT terms, deliberately.
 # A doc's score is a sum of per-term blended contributions; DuckDB's
 # parallel aggregate sums >= 3 addends in nondeterministic order, so two

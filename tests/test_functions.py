@@ -1239,3 +1239,57 @@ def test_cross_fields_blend_property():
     # the OOV+term query must rank by the in-vocab term alone (union, not AND)
     oov_qid = FT_CROSS.index("zzznotinvocab table")
     assert len(got[got.query_id == oov_qid]) == 10
+
+
+def test_pinned_and_random_score_contracts():
+    """pinned: promoted ids occupy ranks 1..p in given order (even
+    non-matching ones — query 2's pin does not contain 'vector'), the
+    organic tail is the or-mode page minus pins; random_score: the page
+    is a deterministic md5-seeded shuffle of the match set, identical
+    across reruns."""
+    import hashlib as _hl
+
+    from aarhus_ray.functions.fulltext import (
+        FT_PINNED,
+        FT_QUERIES,
+        RS_SEED,
+        _ensure_index,
+        _run_queries,
+        bm25_topk_pinned,
+        doc_url,
+        random_score_query,
+    )
+    from aarhus_ray.textnorm import tokenize
+
+    got = bm25_topk_pinned(SF, k=10)
+    index = _ensure_index(SF, fresh=False)
+    organic = _run_queries(index, FT_QUERIES, 12, "or")
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    toks = {
+        int(d): set(tokenize(t))
+        for d, t in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist())
+    }
+    for qid, pins in enumerate(FT_PINNED):
+        page = got[got.query_id == qid]["doc_id"].tolist()
+        assert page[: len(pins)] == list(pins)
+        tail = [d for d in organic[organic.query_id == qid]["doc_id"] if d not in pins]
+        assert page[len(pins) :] == tail[: 10 - len(pins)]
+    # the non-matching pin really does not match
+    assert "vector" not in toks[FT_PINNED[2][0]]
+
+    r1 = random_score_query(SF, k=10)
+    r2 = random_score_query(SF, k=10)
+    assert r1.values.tolist() == r2.values.tolist()  # reproducible shuffle
+    for qid, qtext in enumerate(FT_QUERIES):
+        terms = set(qtext.split())
+        match = {d for d, tk in toks.items() if terms & tk}
+        page = r1[r1.query_id == qid]["doc_id"].tolist()
+        assert set(page) <= match
+        want = sorted(
+            match,
+            key=lambda d: (
+                -int(_hl.md5(f"{RS_SEED}:{doc_url(d)}".encode()).hexdigest()[:16], 16),
+                d,
+            ),
+        )[:10]
+        assert page == want
