@@ -3031,10 +3031,21 @@ class MovingWindowAgg(DocvalueTopK):
             b0, b1 = int(b.min()), int(b.max())
             n = np.bincount(b - b0, minlength=b1 - b0 + 1).astype(np.int64)
             cum = np.cumsum(n)
-            mov = cum - np.concatenate([np.zeros(min(self.window, len(n)), np.int64),
-                                        cum[: len(n) - self.window]])
-            lagged = np.concatenate([np.zeros(min(self.lag, len(n)), np.int64),
-                                     n[: len(n) - self.lag]])
+            if len(n) > self.window:
+                mov = cum - np.concatenate(
+                    [np.zeros(self.window, np.int64), cum[: len(n) - self.window]]
+                )
+            else:
+                # series no longer than the window: every trailing window is
+                # partial and the running total IS the window sum (a negative
+                # slice here would KEEP elements instead of dropping them all)
+                mov = cum.copy()
+            if len(n) > self.lag:
+                lagged = np.concatenate(
+                    [np.zeros(self.lag, np.int64), n[: len(n) - self.lag]]
+                )
+            else:
+                lagged = np.zeros(len(n), np.int64)
             qids_out.append(np.full(len(n), qid, dtype=np.int64))
             buckets_out.append(np.arange(b0, b1 + 1, dtype=np.int64))
             n_out.append(n)

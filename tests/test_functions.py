@@ -1293,3 +1293,27 @@ def test_pinned_and_random_score_contracts():
             ),
         )[:10]
         assert page == want
+
+
+def test_moving_window_short_series():
+    """Series no longer than the window/lag: mov_sum degenerates to the
+    running total and sdiff to n itself (the partial-window head rule) —
+    exercised by collapsing every doclen into one bucket (a negative
+    numpy slice here used to keep elements instead of dropping all)."""
+    import pyarrow as pa
+
+    from aarhus_ray.functions.fulltext import FT_QUERIES, _ensure_index
+    from aarhus_ray.pipelines.query import moving_window_agg
+
+    index = _ensure_index(SF, fresh=False)
+    queries = pa.table(
+        {
+            "query_id": pa.array(range(len(FT_QUERIES)), pa.int64()),
+            "text": pa.array(list(FT_QUERIES), pa.string()),
+        }
+    )
+    out = moving_window_agg(index, queries, interval=10**9).to_pandas()
+    assert len(out)  # every matching query collapses to one bucket
+    assert (out.groupby("query_id").size() == 1).all()
+    assert out["mov_sum"].tolist() == out["n_docs"].tolist()
+    assert out["sdiff"].tolist() == out["n_docs"].tolist()
