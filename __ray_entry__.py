@@ -83,6 +83,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_dedup_exact": dedup.exact_dedup_min_id,
         "corpus_clean": cleaning.corpus_clean,      # filter→quality→near-dedup→write
         "docs_minhash_lsh_pairs": dedup.minhash_lsh_pairs,
+        # chunk-level exact dedup (C4/RefinedWeb boilerplate pass)
+        "docs_paragraph_dups": dedup.paragraph_dup_spans,
+        # benchmark decontamination: frozen probe n-grams vs every doc
+        "docs_contamination": textstats.contamination_flags,
         "docs_ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "docs_simhash_pairs": dedup.simhash_dup_pairs,
         "embedding_near_dup_pairs": dedup.embedding_near_dup_pairs,
@@ -289,7 +293,7 @@ _KNN_FILTERED_SQL = """
 
 
 def oracle_sql() -> dict[str, str]:
-    from aarhus_ray.functions import ann, fulltext
+    from aarhus_ray.functions import ann, dedup, fulltext, textstats
 
     # ASCII-ONLY ASSUMPTION (verified by tests/test_functions.py::
     # test_driver_corpus_is_ascii): these oracles tokenize with lower(text)
@@ -587,6 +591,36 @@ def oracle_sql() -> dict[str, str]:
         # LSH plan must reproduce; docs with < 3 tokens have no shingles)
         "docs_minhash_lsh_pairs": _JACCARD_PAIRS_SQL,
         "docs_ngram_jaccard_pairs": _JACCARD_PAIRS_SQL,
+        # chunk-level dedup: md5 of space-joined 32-token windows, flagged
+        # when a hash occurs in >= 2 DISTINCT docs (list_slice clamps the
+        # trailing partial exactly like the engine's python slice)
+        "docs_paragraph_dups": f"""
+            WITH bod AS (SELECT doc_id, {toks_nonempty} AS a FROM documents),
+            ch AS (
+              SELECT doc_id, g AS chunk_idx,
+                     md5(array_to_string(list_slice(a, g*{dedup.CHUNK_TOKENS}+1, g*{dedup.CHUNK_TOKENS}+{dedup.CHUNK_TOKENS}), ' ')) AS h
+              FROM (SELECT doc_id, a,
+                           unnest(generate_series(0, CAST(ceil(len(a)/{dedup.CHUNK_TOKENS}.0) AS BIGINT) - 1)) AS g
+                    FROM bod WHERE len(a) > 0)
+            ),
+            dup AS (SELECT h FROM ch GROUP BY h HAVING count(DISTINCT doc_id) >= 2)
+            SELECT CAST(ch.doc_id AS BIGINT) AS doc_id, CAST(ch.chunk_idx AS BIGINT) AS chunk_idx
+            FROM ch JOIN dup USING (h)
+            ORDER BY 1, 2
+        """,
+        # decontamination: the frozen probe 5-grams (lifted from source
+        # docs via list_slice) substring-matched against every token stream
+        "docs_contamination": f"""
+            WITH bod AS (SELECT doc_id, {toks_nonempty} AS a FROM documents),
+            probes(probe_idx, src, start, length) AS (VALUES {", ".join(f"({p}, {s}, {st}, {ln})" for p, s, st, ln in textstats.CONTAM_PROBES)}),
+            ps AS (SELECT p.probe_idx,
+                          array_to_string(list_slice(b.a, p.start, p.start + p.length - 1), ' ') AS s
+                   FROM probes p JOIN bod b ON b.doc_id = p.src),
+            dt AS (SELECT doc_id, ' ' || array_to_string(a, ' ') || ' ' AS ts FROM bod)
+            SELECT CAST(dt.doc_id AS BIGINT) AS doc_id, CAST(ps.probe_idx AS BIGINT) AS probe_idx
+            FROM ps JOIN dt ON position((' ' || ps.s || ' ') IN dt.ts) > 0
+            ORDER BY 1, 2
+        """,
         # full SQL replay of the engine's simhash (md5-prefix token hash,
         # per-occurrence ±1 bit votes, sign threshold acc > 0) + exact
         # all-pairs hamming <= 3 — the engine's quarter-bucket candidate

@@ -726,3 +726,82 @@ def embedding_near_dup_pairs(
     if len(out) == 0:
         return pd.DataFrame({"vec_a": pd.Series([], dtype="int64"), "vec_b": pd.Series([], dtype="int64")})
     return out.drop_duplicates().sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# paragraph/chunk-level exact dedup (the C4/RefinedWeb boilerplate pass)
+# ---------------------------------------------------------------------------
+
+CHUNK_TOKENS = 32  # frozen chunk width (non-overlapping token windows)
+
+
+def _chunk_hash_rows(batch: pa.Table) -> pa.Table:
+    """(doc_id, chunk_idx, h) rows: non-overlapping CHUNK_TOKENS-token
+    windows (trailing partial included), h = md5 hex of the space-joined
+    chunk — md5 so DuckDB replays the hash over the same joined string."""
+    ids_out: list[int] = []
+    idx_out: list[int] = []
+    h_out: list[str] = []
+    toks_per_doc = tokenize_batch(batch["text"].to_pylist())
+    for d, toks in zip(batch["doc_id"].to_pylist(), toks_per_doc):
+        for ci in range((len(toks) + CHUNK_TOKENS - 1) // CHUNK_TOKENS):
+            seg = toks[ci * CHUNK_TOKENS : (ci + 1) * CHUNK_TOKENS]
+            ids_out.append(int(d))
+            idx_out.append(ci)
+            h_out.append(hashlib.md5(" ".join(seg).encode()).hexdigest())
+    return pa.table(
+        {
+            "doc_id": pa.array(ids_out, pa.int64()),
+            "chunk_idx": pa.array(idx_out, pa.int64()),
+            "h": pa.array(h_out, pa.string()),
+        }
+    )
+
+
+def _dup_chunk_group(g: pd.DataFrame) -> pd.DataFrame:
+    """Per chunk-hash reducer: emit the group's (doc_id, chunk_idx) rows
+    iff the chunk occurs in >= 2 DISTINCT docs (cross-doc duplication —
+    a chunk repeated INSIDE one doc is repetition, not boilerplate)."""
+    if g["doc_id"].nunique() < 2:
+        return pd.DataFrame({"doc_id": [], "chunk_idx": []})
+    return g[["doc_id", "chunk_idx"]]
+
+
+def paragraph_dup_spans(sf_dir: str) -> pd.DataFrame:
+    """Paragraph/chunk-level exact dedup over documents (the C4 /
+    RefinedWeb boilerplate pass — the sub-document granularity document
+    dedup misses): every doc splits into non-overlapping CHUNK_TOKENS-
+    token windows; a span is flagged when its exact chunk hash occurs in
+    ≥ 2 DISTINCT docs. Shuffle-native end to end, the minhash shape:
+    chunk rows → groupby(h).count() → hot-key is_in filter (≥ 2 rows) →
+    per-hash reducers emit flagged spans (the distinct-docs check lives
+    in the reducer: an intra-doc repeat alone is not boilerplate). Only
+    hashes move through the shuffle — the text never leaves its map
+    task. Output (doc_id, chunk_idx), sorted. At 10^12 docs the hot-key
+    filter bounds reducer input by the true boilerplate volume, exactly
+    like the LSH band buckets."""
+    import pyarrow.compute as pc
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).repartition(16)
+    rows = ds.map_batches(_chunk_hash_rows, batch_format="pyarrow").materialize()
+    counts = rows.groupby("h").count()
+    hot = counts.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["count()"], pa.scalar(2, pa.int64()))),
+        batch_format="pyarrow",
+    ).to_pandas()
+    if len(hot) == 0:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "chunk_idx": pd.Series([], dtype="int64")})
+    hot_keys = pa.array(sorted(hot["h"].tolist()), pa.string())
+    out = (
+        rows.map_batches(
+            lambda t: t.filter(pc.is_in(t["h"], value_set=hot_keys)),
+            batch_format="pyarrow",
+        )
+        .groupby("h")
+        .map_groups(_dup_chunk_group, batch_format="pandas")
+        .to_pandas()
+    )
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["chunk_idx"] = out["chunk_idx"].astype("int64")
+    return out.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)

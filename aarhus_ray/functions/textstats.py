@@ -259,3 +259,80 @@ def stratified_sample(sf_dir: str, en_in_10: int = 3, other_in_10: int = 5) -> p
 
     out = _docs(sf_dir, ["doc_id", "lang"]).map_batches(keep, batch_format="pyarrow").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination (the PaLM/GPT-3 n-gram contamination check)
+# ---------------------------------------------------------------------------
+
+# Frozen probe spec: (probe_idx, source doc_id, 1-based token start, length).
+# Probes are drawn FROM the corpus deterministically so the check has
+# guaranteed positives (the source doc, and its planted clone when the span
+# survives truncation) and is exactly replayable in SQL via list_slice.
+CONTAM_PROBES = ((0, 8, 4, 5), (1, 10, 11, 5), (2, 25, 2, 5))
+
+
+def _probe_strings(sf_dir: str) -> list[tuple[int, str]]:
+    import pyarrow.parquet as pq
+
+    ids = sorted({src for _, src, _, _ in CONTAM_PROBES})
+    t = pq.read_table(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text"],
+        filters=[("doc_id", "in", ids)],
+    )
+    texts = dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+    out = []
+    for pidx, src, start, length in CONTAM_PROBES:
+        toks = tokenize_batch([texts[src]])[0]
+        out.append((pidx, " ".join(toks[start - 1 : start - 1 + length])))
+    return out
+
+
+def contamination_flags(sf_dir: str) -> pd.DataFrame:
+    """Benchmark decontamination over documents (the PaLM/GPT-3-style
+    n-gram overlap check every pretraining pipeline runs): flag every
+    doc whose token stream CONTAINS any frozen probe n-gram. Probes are
+    5-grams lifted deterministically from three corpus docs (CONTAM_
+    PROBES), so the planted clones guarantee true positives. The probe
+    list is tiny and rides in the task closure (the broadcast-small-side
+    pattern); matching is one vectorized Arrow match_substring over the
+    space-joined token strings per batch — contains(' p ', ' t1 .. tn ')
+    ⟺ n-gram occurrence, the phrase-oracle idiom. Output (doc_id,
+    probe_idx) sorted; a doc hit by several probes emits several rows.
+    At 10^12 docs this is a pure streaming map — no shuffle at all."""
+    import pyarrow.compute as pc
+
+    probes = _probe_strings(sf_dir)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        toks_per_doc = tokenize_batch(batch["text"].to_pylist())
+        joined = pa.array(
+            [" " + " ".join(t) + " " for t in toks_per_doc], pa.string()
+        )
+        ids = batch["doc_id"]
+        out_ids: list[pa.Array] = []
+        out_pidx: list[pa.Array] = []
+        for pidx, p in probes:
+            hit = pc.match_substring(joined, f" {p} ")
+            sel = ids.filter(hit)
+            out_ids.append(sel)
+            out_pidx.append(pa.array([pidx] * len(sel), pa.int64()))
+        return pa.table(
+            {
+                "doc_id": pa.concat_arrays(
+                    [a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in out_ids]
+                ) if out_ids else pa.array([], pa.int64()),
+                "probe_idx": pa.concat_arrays(out_pidx) if out_pidx else pa.array([], pa.int64()),
+            }
+        )
+
+    out = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .repartition(16)
+        .map_batches(flag, batch_format="pyarrow")
+        .to_pandas()
+    )
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["probe_idx"] = out["probe_idx"].astype("int64")
+    return out.sort_values(["doc_id", "probe_idx"]).reset_index(drop=True)

@@ -1317,3 +1317,46 @@ def test_moving_window_short_series():
     assert (out.groupby("query_id").size() == 1).all()
     assert out["mov_sum"].tolist() == out["n_docs"].tolist()
     assert out["sdiff"].tolist() == out["n_docs"].tolist()
+
+
+def test_paragraph_dups_and_contamination():
+    """paragraph_dup_spans == a python recompute (md5 of 32-token
+    windows, flagged when >= 2 DISTINCT docs share a hash);
+    contamination_flags == a substring recompute, every probe hits its
+    own source doc, and probe 0 (lifted from a shared chunk) hits >= 2
+    docs — a real cross-doc leak."""
+    import hashlib as _hl
+
+    from aarhus_ray.functions.dedup import CHUNK_TOKENS, paragraph_dup_spans
+    from aarhus_ray.functions.textstats import (
+        CONTAM_PROBES,
+        contamination_flags,
+    )
+    from aarhus_ray.textnorm import tokenize
+
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    toks = {
+        int(d): tokenize(t)
+        for d, t in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist())
+    }
+    by_hash: dict[str, list[tuple[int, int]]] = {}
+    for d, tk in toks.items():
+        for ci in range((len(tk) + CHUNK_TOKENS - 1) // CHUNK_TOKENS):
+            h = _hl.md5(" ".join(tk[ci * CHUNK_TOKENS : (ci + 1) * CHUNK_TOKENS]).encode()).hexdigest()
+            by_hash.setdefault(h, []).append((d, ci))
+    want = sorted(
+        {span for spans in by_hash.values() if len({d for d, _ in spans}) >= 2 for span in spans}
+    )
+    got = paragraph_dup_spans(SF)
+    assert list(map(tuple, got.values.tolist())) == want
+    assert want, "the planted near-dups must share chunks"
+
+    flags = contamination_flags(SF)
+    joined = {d: " " + " ".join(tk) + " " for d, tk in toks.items()}
+    for pidx, src, start, length in CONTAM_PROBES:
+        p = " ".join(toks[src][start - 1 : start - 1 + length])
+        hits = sorted(d for d, js in joined.items() if f" {p} " in js)
+        sub = flags[flags.probe_idx == pidx]["doc_id"].tolist()
+        assert sub == hits, f"probe {pidx}"
+        assert src in sub  # self-hit guaranteed
+    assert len(flags[flags.probe_idx == 0]) >= 2  # the cross-doc leak
