@@ -83,6 +83,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_dedup_exact": dedup.exact_dedup_min_id,
         "corpus_clean": cleaning.corpus_clean,      # filter→quality→near-dedup→write
         "docs_minhash_lsh_pairs": dedup.minhash_lsh_pairs,
+        "docs_dup_clusters": dedup.dup_clusters,    # connected components (label propagation)
         # chunk-level exact dedup (C4/RefinedWeb boilerplate pass)
         "docs_paragraph_dups": dedup.paragraph_dup_spans,
         # benchmark decontamination: frozen probe n-grams vs every doc
@@ -591,6 +592,21 @@ def oracle_sql() -> dict[str, str]:
         # LSH plan must reproduce; docs with < 3 tokens have no shingles)
         "docs_minhash_lsh_pairs": _JACCARD_PAIRS_SQL,
         "docs_ngram_jaccard_pairs": _JACCARD_PAIRS_SQL,
+        # near-dup CLUSTERS: recursive-CTE transitive closure over the same
+        # exact-Jaccard pair graph; cluster_id = min doc_id reachable (the
+        # engine computes it by distributed min-label propagation)
+        "docs_dup_clusters": f"""
+            WITH RECURSIVE pairs AS ({_JACCARD_PAIRS_SQL.replace("ORDER BY doc_a, doc_b", "")}),
+            e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                  UNION ALL SELECT doc_b, doc_a FROM pairs),
+            reach(src, dst) AS (
+              SELECT a, b FROM e
+              UNION
+              SELECT r.src, e.b FROM reach r JOIN e ON e.a = r.dst
+            )
+            SELECT src AS doc_id, CAST(least(src, min(dst)) AS BIGINT) AS cluster_id
+            FROM reach GROUP BY src ORDER BY doc_id
+        """,
         # chunk-level dedup: md5 of space-joined 32-token windows, flagged
         # when a hash occurs in >= 2 DISTINCT docs (list_slice clamps the
         # trailing partial exactly like the engine's python slice)

@@ -805,3 +805,115 @@ def paragraph_dup_spans(sf_dir: str) -> pd.DataFrame:
     out["doc_id"] = out["doc_id"].astype("int64")
     out["chunk_idx"] = out["chunk_idx"].astype("int64")
     return out.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+
+
+def _cc_min_labels(pairs: pd.DataFrame, max_rounds: int = 32) -> pd.DataFrame:
+    """Connected components over an undirected (doc_a, doc_b) edge list by
+    Pregel-style MIN-LABEL PROPAGATION, expressed entirely in Ray Data
+    groupby rounds (the hash-join label-propagation plan every distributed
+    CC starts from; pointer-jumping / hash-to-min would halve the round
+    count and is the named upgrade at extreme diameters):
+
+      labels := node            (every endpoint starts as its own label)
+      repeat: every node sends its current label to each neighbour;
+              node's new label = min(own, received)       -- one shuffle
+      until the label table reaches a fixpoint.
+
+    Each round is union(edges, labels) → groupby(node).map_groups
+    (propagate) → groupby(node).min — only (int64, int64) rows ever move,
+    never text, and the label table is bounded by the dup-graph node
+    count, living in the object store across rounds. Labels decrease
+    monotonically, so Sum(lbl) is a fixpoint witness: unchanged sum ⇔
+    converged (≤ graph diameter + 1 rounds — web dup graphs are shallow:
+    boilerplate clusters are dense, so diameters stay small even when
+    components are huge).
+
+    Returns (doc_id, cluster_id): cluster_id = min doc_id reachable.
+    """
+    from ray.data.aggregate import Min, Sum
+
+    empty = pd.DataFrame(
+        {"doc_id": pd.Series([], dtype="int64"), "cluster_id": pd.Series([], dtype="int64")}
+    )
+    if len(pairs) == 0:
+        return empty
+    a = pairs["doc_a"].to_numpy().astype(np.int64)
+    b = pairs["doc_b"].to_numpy().astype(np.int64)
+    src = np.concatenate([a, b])
+    dst = np.concatenate([b, a])
+    # edge rows carry lbl=-1 (sentinel: "not a label row"); label rows
+    # carry nbr=-1 — one shared 3-column schema so union() is trivial
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "node": pa.array(src, pa.int64()),
+                "nbr": pa.array(dst, pa.int64()),
+                "lbl": pa.array(np.full(len(src), -1, np.int64), pa.int64()),
+            }
+        )
+    ).materialize()
+    nodes = np.unique(src)
+    labels = ray.data.from_arrow(
+        pa.table(
+            {
+                "node": pa.array(nodes, pa.int64()),
+                "nbr": pa.array(np.full(len(nodes), -1, np.int64), pa.int64()),
+                "lbl": pa.array(nodes, pa.int64()),
+            }
+        )
+    ).materialize()
+    total = int(labels.aggregate(Sum("lbl"))["sum(lbl)"])
+
+    def propagate(g: pd.DataFrame) -> pa.Table:
+        # group = this node's label row(s) + its outgoing edge rows;
+        # returns Arrow (schema-metadata-free, so downstream groupby blocks
+        # dedup their schemas cleanly)
+        cur = int(g.loc[g["lbl"] >= 0, "lbl"].min())
+        nbrs = g.loc[g["nbr"] >= 0, "nbr"].to_numpy().astype(np.int64)
+        out_node = np.concatenate([nbrs, [np.int64(g["node"].iloc[0])]])
+        return pa.table(
+            {
+                "node": pa.array(out_node, pa.int64()),
+                "lbl": pa.array(np.full(len(out_node), cur, np.int64), pa.int64()),
+            }
+        )
+
+    def with_nbr_sentinel(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "nbr", pa.array(np.full(len(t), -1, np.int64), pa.int64())
+        ).select(["node", "nbr", "lbl"])
+
+    for _ in range(max_rounds):
+        labels = (
+            edges.union(labels)
+            .groupby("node")
+            .map_groups(propagate, batch_format="pandas")
+            .groupby("node")
+            .aggregate(Min("lbl", alias_name="lbl"))
+            .map_batches(with_nbr_sentinel, batch_format="pyarrow")
+            .materialize()
+        )
+        new_total = int(labels.aggregate(Sum("lbl"))["sum(lbl)"])
+        if new_total == total:
+            break
+        total = new_total
+    out = labels.to_pandas()[["node", "lbl"]].rename(
+        columns={"node": "doc_id", "lbl": "cluster_id"}
+    )
+    return (
+        out.astype("int64").sort_values("doc_id").reset_index(drop=True)
+    )
+
+
+def dup_clusters(sf_dir: str, threshold: float = 0.9) -> pd.DataFrame:
+    """Near-dup CLUSTERS: connected components over the verified
+    MinHash+LSH pair graph — the step every production dedup runs after
+    pairing (keep one doc per component, not per pair: pair-wise "drop
+    doc_b" over a chain a-b-c drops b and c against different winners,
+    while the component rule keeps exactly min(component)). Pairs come
+    from ``minhash_lsh_pairs`` (exact-Jaccard verified); components from
+    distributed min-label propagation (``_cc_min_labels``). Output one
+    (doc_id, cluster_id) row per doc appearing in >= 1 verified pair,
+    cluster_id = min doc_id of its component. Oracle: recursive-CTE
+    transitive closure over the same exact-Jaccard pair set."""
+    return _cc_min_labels(minhash_lsh_pairs(sf_dir, threshold))

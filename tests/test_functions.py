@@ -1360,3 +1360,37 @@ def test_paragraph_dups_and_contamination():
         assert sub == hits, f"probe {pidx}"
         assert src in sub  # self-hit guaranteed
     assert len(flags[flags.probe_idx == 0]) >= 2  # the cross-doc leak
+
+
+def test_cc_min_labels_and_dup_clusters():
+    """_cc_min_labels: a 4-chain + a triangle-ish component resolve to the
+    min reachable id in O(diameter) propagation rounds; dup_clusters over
+    the corpus agrees with a union-find recompute of minhash_lsh_pairs."""
+    import pandas as pd
+
+    from aarhus_ray.functions.dedup import _cc_min_labels, dup_clusters, minhash_lsh_pairs
+
+    pairs = pd.DataFrame({"doc_a": [0, 1, 2, 10, 30], "doc_b": [1, 2, 3, 11, 10]})
+    got = _cc_min_labels(pairs)
+    assert dict(zip(got["doc_id"], got["cluster_id"])) == {
+        0: 0, 1: 0, 2: 0, 3: 0, 10: 10, 11: 10, 30: 10,
+    }
+    assert _cc_min_labels(pairs.iloc[0:0]).empty
+
+    clusters = dup_clusters(SF)
+    edges = minhash_lsh_pairs(SF)
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges.values.tolist():
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = sorted((d, find(d)) for d in parent)
+    assert list(map(tuple, clusters.values.tolist())) == want
+    assert len(clusters), "planted near-dups must form clusters"
