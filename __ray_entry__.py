@@ -79,7 +79,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_winnow_fingerprints": textstats.winnow_fingerprints,  # MOSS rolling-window
         "docs_lang_counts": textstats.lang_counts,
         "docs_stratified_sample": textstats.stratified_sample,  # reproducible mixture sampling
+        "docs_pii_scrub": textstats.pii_scrub,  # PII detect + redact (vectorized RE2)
         # --- dedup family (SURVEY §2.7 + extensions) ---
+        "docs_source_stats": textstats.source_stats,  # per-domain accounting
+        "docs_source_cap": cleaning.source_cap,       # per-domain quota (RefinedWeb cap)
         "docs_dedup_exact": dedup.exact_dedup_min_id,
         "corpus_clean": cleaning.corpus_clean,      # filter→quality→near-dedup→write
         "docs_minhash_lsh_pairs": dedup.minhash_lsh_pairs,
@@ -294,7 +297,7 @@ _KNN_FILTERED_SQL = """
 
 
 def oracle_sql() -> dict[str, str]:
-    from aarhus_ray.functions import ann, dedup, fulltext, textstats
+    from aarhus_ray.functions import ann, cleaning, dedup, fulltext, textstats
 
     # ASCII-ONLY ASSUMPTION (verified by tests/test_functions.py::
     # test_driver_corpus_is_ascii): these oracles tokenize with lower(text)
@@ -552,6 +555,45 @@ def oracle_sql() -> dict[str, str]:
         """,
         "docs_lang_counts": """
             SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1 ORDER BY 1
+        """,
+        # PII scrub: identical RE2 patterns on both sides; the deterministic
+        # doc_id%k augmentation plants the PII the synthetic corpus lacks
+        "docs_pii_scrub": f"""
+            WITH aug AS (
+              SELECT doc_id, text
+                {" ".join(f"|| CASE WHEN doc_id % {m} = 0 THEN '{p}' ELSE '' END" for m, p in textstats.PII_PLANTS)}
+                AS t
+              FROM documents),
+            r1 AS (SELECT doc_id,
+                          CAST(len(regexp_extract_all(t, '{textstats.PII_EMAIL_RE}')) AS BIGINT) AS n_email,
+                          regexp_replace(t, '{textstats.PII_EMAIL_RE}', '<EMAIL>', 'g') AS t
+                   FROM aug),
+            r2 AS (SELECT doc_id, n_email,
+                          CAST(len(regexp_extract_all(t, '{textstats.PII_PHONE_RE}')) AS BIGINT) AS n_phone,
+                          regexp_replace(t, '{textstats.PII_PHONE_RE}', '<PHONE>', 'g') AS t
+                   FROM r1),
+            r3 AS (SELECT doc_id, n_email, n_phone,
+                          CAST(len(regexp_extract_all(t, '{textstats.PII_IP_RE}')) AS BIGINT) AS n_ip,
+                          regexp_replace(t, '{textstats.PII_IP_RE}', '<IP>', 'g') AS t
+                   FROM r2)
+            SELECT doc_id, n_email, n_phone, n_ip, md5(t) AS red_fp
+            FROM r3 ORDER BY doc_id
+        """,
+        "docs_source_stats": f"""
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+                   CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+                   CAST(SUM(len({toks_nonempty})) AS BIGINT) AS sum_tokens
+            FROM documents GROUP BY source ORDER BY source
+        """,
+        # per-domain quota: keep the K longest docs per source, ties by id
+        "docs_source_cap": f"""
+            SELECT doc_id, source, n_chars FROM (
+                SELECT doc_id, source, n_chars,
+                       row_number() OVER (PARTITION BY source
+                                          ORDER BY n_chars DESC, doc_id) AS rn
+                FROM documents
+            ) WHERE rn <= {cleaning.SOURCE_CAP_K} ORDER BY doc_id
         """,
         # deterministic stratified sample: doc_id % 10 < 3 for en, < 5 otherwise
         "docs_stratified_sample": """

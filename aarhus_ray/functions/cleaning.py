@@ -115,3 +115,51 @@ def corpus_clean(
         .reset_index(drop=True)
     )
     return pd.DataFrame({"doc_id": survivors})
+
+
+SOURCE_CAP_K = 10  # frozen cap: keep at most K docs per source
+
+
+def source_cap(sf_dir: str, k: int = SOURCE_CAP_K) -> pd.DataFrame:
+    """Per-domain QUOTA (the RefinedWeb / CCNet per-registered-domain cap —
+    no single host may dominate the training mix): keep at most ``k`` docs
+    per source, preferring longer docs (n_chars DESC, doc_id ASC — ties
+    frozen by id). Two-phase distributed top-k, the same shape as the
+    engine's per-batch score partials:
+
+      phase 1 (map): each batch keeps its own per-source top-k — a batch
+        can contribute at most k rows per source, so phase 2's groups are
+        bounded by k × #blocks regardless of how hot a host is;
+      phase 2 (reduce): groupby(source).map_groups merges the partials and
+        re-takes the top-k.
+
+    Only (doc_id, source, n_chars) triples ever move — never text. The
+    skew story is exactly the hot-domain story: a host with 10^9 docs
+    still ships ≤ k rows per map task into its reducer."""
+    ds = _docs(sf_dir, ["doc_id", "source", "n_chars"])
+
+    def per_batch_topk(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        kept = (
+            df.sort_values(["n_chars", "doc_id"], ascending=[False, True])
+            .groupby("source", sort=False)
+            .head(k)
+        )
+        return pa.Table.from_pandas(kept.reset_index(drop=True), preserve_index=False)
+
+    def merge_topk(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.sort_values(["n_chars", "doc_id"], ascending=[False, True])
+            .head(k)
+            .reset_index(drop=True)
+        )
+
+    out = (
+        ds.map_batches(per_batch_topk, batch_format="pyarrow")
+        .groupby("source")
+        .map_groups(merge_topk, batch_format="pandas")
+        .to_pandas()
+    )
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["n_chars"] = out["n_chars"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)[["doc_id", "source", "n_chars"]]

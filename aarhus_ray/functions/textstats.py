@@ -11,7 +11,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data
-from ray.data.aggregate import Count, Sum
+from ray.data.aggregate import Count, Max, Sum
 
 from ..textnorm import tokenize_batch
 
@@ -336,3 +336,116 @@ def contamination_flags(sf_dir: str) -> pd.DataFrame:
     out["doc_id"] = out["doc_id"].astype("int64")
     out["probe_idx"] = out["probe_idx"].astype("int64")
     return out.sort_values(["doc_id", "probe_idx"]).reset_index(drop=True)
+
+
+def source_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-SOURCE corpus profile (the per-registered-domain accounting a
+    CommonCrawl curation run keeps — which hosts dominate the corpus, by
+    docs, bytes and tokens): n_docs / sum_chars / max_chars / sum_tokens
+    per source. One vectorized partial per (batch, source) — token counts
+    fold into per-source sums inside the map task — then a tiny
+    groupby(source) shuffle of pre-aggregated rows; at 10^12 docs the
+    shuffle volume is O(#distinct hosts), not O(docs)."""
+    ds = _docs(sf_dir, ["source", "n_chars", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = tokenize_batch(batch["text"].to_pylist())
+        df = pd.DataFrame(
+            {
+                "source": batch["source"].to_pylist(),
+                "n_chars": batch["n_chars"].to_numpy(),
+                "n_tokens": np.fromiter((len(t) for t in toks), np.int64, len(toks)),
+            }
+        )
+        g = df.groupby("source", sort=False).agg(
+            n_docs=("source", "size"),
+            sum_chars=("n_chars", "sum"),
+            max_chars=("n_chars", "max"),
+            sum_tokens=("n_tokens", "sum"),
+        ).reset_index()
+        return pa.table(
+            {
+                "source": pa.array(g["source"], pa.string()),
+                "n_docs": pa.array(g["n_docs"].astype("int64"), pa.int64()),
+                "sum_chars": pa.array(g["sum_chars"].astype("int64"), pa.int64()),
+                "max_chars": pa.array(g["max_chars"].astype("int64"), pa.int64()),
+                "sum_tokens": pa.array(g["sum_tokens"].astype("int64"), pa.int64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("sum_chars", alias_name="sum_chars"),
+            Max("max_chars", alias_name="max_chars"),
+            Sum("sum_tokens", alias_name="sum_tokens"),
+        )
+        .to_pandas()
+    )
+    for c in ("n_docs", "sum_chars", "max_chars", "sum_tokens"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("source").reset_index(drop=True)
+
+
+# PII patterns (RE2 syntax — the SAME engine Arrow's *_substring_regex
+# kernels and DuckDB's regexp_* functions compile, so one pattern string
+# is the whole cross-engine contract). Kept deliberately simple: the op
+# under test is the vectorized scan/redact plumbing, not regex recall.
+PII_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PII_PHONE_RE = r"\d{3}-\d{3}-\d{4}"
+PII_IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+# deterministic PII augmentation (the synthetic corpus carries no PII, so
+# both engines plant the same strings by the same doc_id rule)
+PII_PLANTS = (
+    (7, " contact alice@example.com or bob.smith@mail.example.org today"),
+    (11, " call 555-123-4567 now"),
+    (13, " server 192.168.1.1 and 10.0.0.255 up"),
+)
+
+
+def pii_scrub(sf_dir: str) -> pd.DataFrame:
+    """PII detection + redaction over documents — the scrub pass every
+    public-web training corpus runs before tokenization: per doc, count
+    email / phone / IPv4 matches and fingerprint the REDACTED text
+    (matches replaced by <EMAIL>/<PHONE>/<IP>, email first so address
+    innards can't re-match as phones or IPs). One streaming map, zero
+    shuffle; every kernel is a compiled-RE2 Arrow compute call over the
+    whole batch (count_substring_regex / replace_substring_regex) — no
+    Python row loop anywhere. At 10^12 docs this is the shape you want:
+    embarrassingly parallel, text never leaves its map task, output is 3
+    int64 counts + a 32-byte fingerprint per doc."""
+    import pyarrow.compute as pc
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        for mod, plant in PII_PLANTS:
+            mask = pa.array(ids % mod == 0)
+            text = pc.if_else(
+                mask, pc.binary_join_element_wise(text, pa.scalar(plant), pa.scalar("")), text
+            )
+        n_email = pc.count_substring_regex(text, PII_EMAIL_RE)
+        red = pc.replace_substring_regex(text, PII_EMAIL_RE, "<EMAIL>")
+        n_phone = pc.count_substring_regex(red, PII_PHONE_RE)
+        red = pc.replace_substring_regex(red, PII_PHONE_RE, "<PHONE>")
+        n_ip = pc.count_substring_regex(red, PII_IP_RE)
+        red = pc.replace_substring_regex(red, PII_IP_RE, "<IP>")
+        fp = [hashlib.md5(s.encode()).hexdigest() for s in red.to_pylist()]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_email": pc.cast(n_email, pa.int64()),
+                "n_phone": pc.cast(n_phone, pa.int64()),
+                "n_ip": pc.cast(n_ip, pa.int64()),
+                "red_fp": pa.array(fp, pa.string()),
+            }
+        )
+
+    out = ds.map_batches(scrub, batch_format="pyarrow").to_pandas()
+    for c in ("n_email", "n_phone", "n_ip"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)

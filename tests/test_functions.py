@@ -1394,3 +1394,74 @@ def test_cc_min_labels_and_dup_clusters():
     want = sorted((d, find(d)) for d in parent)
     assert list(map(tuple, clusters.values.tolist())) == want
     assert len(clusters), "planted near-dups must form clusters"
+
+
+def test_source_stats_and_cap_match_pandas():
+    """source_stats == a pandas groupby recompute; source_cap keeps the K
+    longest docs per source (ties by doc_id) and never exceeds K."""
+    import pandas as pd
+
+    from aarhus_ray.functions.cleaning import SOURCE_CAP_K, source_cap
+    from aarhus_ray.functions.textstats import source_stats
+    from aarhus_ray.textnorm import tokenize
+
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    docs["n_tokens"] = [len(tokenize(t)) for t in docs["text"]]
+    want = (
+        docs.groupby("source")
+        .agg(n_docs=("doc_id", "size"), sum_chars=("n_chars", "sum"),
+             max_chars=("n_chars", "max"), sum_tokens=("n_tokens", "sum"))
+        .reset_index()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    got = source_stats(SF)
+    pd.testing.assert_frame_equal(got, want.astype({c: "int64" for c in want.columns[1:]}))
+
+    capped = source_cap(SF)
+    want_cap = (
+        docs.sort_values(["n_chars", "doc_id"], ascending=[False, True])
+        .groupby("source", sort=False)
+        .head(SOURCE_CAP_K)
+        .sort_values("doc_id")[["doc_id", "source", "n_chars"]]
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(capped, want_cap)
+    assert capped.groupby("source").size().max() <= SOURCE_CAP_K
+
+
+def test_pii_scrub_counts_and_redaction():
+    """pii_scrub == a python-re recompute of the same augmentation +
+    redaction chain; planted docs carry the expected minimum counts."""
+    import hashlib as _hl
+    import re
+
+    from aarhus_ray.functions.textstats import (
+        PII_EMAIL_RE,
+        PII_IP_RE,
+        PII_PHONE_RE,
+        PII_PLANTS,
+        pii_scrub,
+    )
+
+    got = pii_scrub(SF).set_index("doc_id")
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    for d, t in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()):
+        for mod, plant in PII_PLANTS:
+            if d % mod == 0:
+                t += plant
+        n_email = len(re.findall(PII_EMAIL_RE, t))
+        t = re.sub(PII_EMAIL_RE, "<EMAIL>", t)
+        n_phone = len(re.findall(PII_PHONE_RE, t))
+        t = re.sub(PII_PHONE_RE, "<PHONE>", t)
+        n_ip = len(re.findall(PII_IP_RE, t))
+        t = re.sub(PII_IP_RE, "<IP>", t)
+        row = got.loc[d]
+        assert (row["n_email"], row["n_phone"], row["n_ip"]) == (n_email, n_phone, n_ip), d
+        assert row["red_fp"] == _hl.md5(t.encode()).hexdigest(), d
+        if d % 7 == 0:
+            assert row["n_email"] >= 2 and "<EMAIL>" in t
+        if d % 11 == 0:
+            assert row["n_phone"] >= 1
+        if d % 13 == 0:
+            assert row["n_ip"] >= 2
