@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_lang_counts": textstats.lang_counts,
         "docs_stratified_sample": textstats.stratified_sample,  # reproducible mixture sampling
         "docs_pii_scrub": textstats.pii_scrub,  # PII detect + redact (vectorized RE2)
+        "docs_repetition": textstats.repetition_signals,  # Gopher intra-doc repetition
         # --- dedup family (SURVEY §2.7 + extensions) ---
         "docs_source_stats": textstats.source_stats,  # per-domain accounting
         "docs_source_cap": cleaning.source_cap,       # per-domain quota (RefinedWeb cap)
@@ -89,6 +90,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_dup_clusters": dedup.dup_clusters,    # connected components (label propagation)
         # chunk-level exact dedup (C4/RefinedWeb boilerplate pass)
         "docs_paragraph_dups": dedup.paragraph_dup_spans,
+        # exact substring-match dedup (Lee et al. 2021): stride-1 windows
+        "docs_substring_dups": dedup.substring_dup_spans,
         # benchmark decontamination: frozen probe n-grams vs every doc
         "docs_contamination": textstats.contamination_flags,
         "docs_ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
@@ -579,6 +582,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_email, n_phone, n_ip, md5(t) AS red_fp
             FROM r3 ORDER BY doc_id
         """,
+        # Gopher repetition signals: per-doc 2-gram multiplicities and
+        # repeated-3-gram positions; engine counts 64-bit gram hashes where
+        # this counts gram strings (equal modulo ~1e-13 collisions)
+        "docs_repetition": f"""
+            WITH t AS (SELECT doc_id, {toks_nonempty} AS a FROM documents),
+            bg AS (SELECT doc_id,
+                          unnest(list_transform(generate_series(1, len(a) - 1),
+                                 i -> a[i] || ' ' || a[i+1])) AS g
+                   FROM t WHERE len(a) >= 2),
+            bc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+            bs AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+                          CAST(MAX(c) AS BIGINT) AS top_bigram_n
+                   FROM bc GROUP BY 1),
+            tg AS (SELECT doc_id,
+                          unnest(list_transform(generate_series(1, len(a) - 2),
+                                 i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2])) AS g
+                   FROM t WHERE len(a) >= 3),
+            tc AS (SELECT doc_id, g, count(*) AS c FROM tg GROUP BY 1, 2),
+            ts AS (SELECT doc_id,
+                          CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup_trigram_pos
+                   FROM tc GROUP BY 1)
+            SELECT d.doc_id,
+                   CAST(COALESCE(bs.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+                   CAST(COALESCE(bs.top_bigram_n, 0) AS BIGINT) AS top_bigram_n,
+                   CAST(COALESCE(ts.dup_trigram_pos, 0) AS BIGINT) AS dup_trigram_pos
+            FROM documents d
+            LEFT JOIN bs ON bs.doc_id = d.doc_id
+            LEFT JOIN ts ON ts.doc_id = d.doc_id
+            ORDER BY d.doc_id
+        """,
         "docs_source_stats": f"""
             SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
                    CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
@@ -665,6 +698,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(ch.doc_id AS BIGINT) AS doc_id, CAST(ch.chunk_idx AS BIGINT) AS chunk_idx
             FROM ch JOIN dup USING (h)
             ORDER BY 1, 2
+        """,
+        # exact substring dedup: stride-1 16-token windows, flagged when a
+        # window occurs in >= 2 DISTINCT docs, maximal spans via the
+        # gaps-and-islands row_number idiom (engine merges positions with
+        # vectorized diff; it folds 64-bit window hashes where this hashes
+        # window strings — equal modulo ~1e-13 collisions)
+        "docs_substring_dups": f"""
+            WITH t AS (SELECT doc_id, {toks_nonempty} AS a FROM documents),
+            w AS (SELECT doc_id, i - 1 AS pos,
+                         md5(array_to_string(list_slice(a, i, i + {dedup.SUBSTR_WINDOW} - 1), ' ')) AS h
+                  FROM (SELECT doc_id, a,
+                               unnest(generate_series(1, len(a) - {dedup.SUBSTR_WINDOW} + 1)) AS i
+                        FROM t WHERE len(a) >= {dedup.SUBSTR_WINDOW})),
+            dup AS (SELECT h FROM w GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+            f AS (SELECT doc_id, pos,
+                         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+                  FROM w JOIN dup USING (h))
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(min(pos) AS BIGINT) AS span_start,
+                   CAST(max(pos) AS BIGINT) AS span_end,
+                   CAST(count(*) AS BIGINT) AS n_windows
+            FROM f GROUP BY doc_id, grp ORDER BY doc_id, span_start
         """,
         # decontamination: the frozen probe 5-grams (lifted from source
         # docs via list_slice) substring-matched against every token stream

@@ -917,3 +917,131 @@ def dup_clusters(sf_dir: str, threshold: float = 0.9) -> pd.DataFrame:
     cluster_id = min doc_id of its component. Oracle: recursive-CTE
     transitive closure over the same exact-Jaccard pair set."""
     return _cc_min_labels(minhash_lsh_pairs(sf_dir, threshold))
+
+
+SUBSTR_WINDOW = 16  # frozen: exact-substring dedup window (tokens)
+
+
+def substring_dup_spans(sf_dir: str) -> pd.DataFrame:
+    """Exact SUBSTRING-match dedup (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better"): find every maximal span
+    of >= SUBSTR_WINDOW consecutive tokens shared verbatim across >= 2
+    distinct docs. Chunk dedup (paragraph_dup_spans) only sees aligned
+    32-token blocks; this slides a stride-1 window, so a duplicated
+    passage is caught at ANY offset — the MapReduce analog of the paper's
+    suffix array (which is the named single-machine alternative).
+
+    Plan (the chunk-dedup shape, one extra reduce):
+      1. map: per doc, ALL overlapping SUBSTR_WINDOW-token window hashes —
+         vectorized polynomial fold over the flat token-hash array, one
+         (doc_id, pos, h) row per position (hashes move, text never does);
+      2. groupby(h).count -> hot-key filter (>= 2 rows), then per-hash
+         reducers flag positions whose window occurs in >= 2 DISTINCT docs
+         (intra-doc repetition alone is repetition, not duplication);
+      3. groupby(doc_id) merges flagged positions into maximal spans
+         (vectorized gaps-and-islands: consecutive positions fold into one
+         span row (span_start, span_end, n_windows)).
+
+    The engine folds 64-bit window hashes where the oracle hashes window
+    STRINGS (md5) — identical grouping modulo ~1e-13 collisions, the
+    jaccard-pair contract. At 10^12 docs step 1 emits one 16-byte row per
+    token position; the hot-key filter bounds reducer input by the true
+    duplicated volume, and a suffix array per shard is the documented
+    next rung if window rows ever dominate."""
+    import pyarrow.compute as pc
+
+    from ..textnorm import tokenize_flat
+
+    w = SUBSTR_WINDOW
+    ds = _docs(sf_dir, ["doc_id", "text"]).repartition(16)
+
+    def window_rows(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        flat, flat_rows, _ = tokenize_flat(batch["text"], np.arange(n, dtype=np.uint64))
+        rows = flat_rows.astype(np.int64)
+        th = _token_hashes(flat.to_pylist())
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(th) < w:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "pos": pa.array([], pa.int64()),
+                    "h": pa.array([], pa.int64()),
+                }
+            )
+        acc = th[: len(th) - w + 1].copy()
+        for j in range(1, w):
+            acc = acc * _SH_A + th[j : len(th) - w + 1 + j]
+        valid = rows[: len(th) - w + 1] == rows[w - 1 :]
+        r = rows[: len(th) - w + 1][valid]
+        # per-doc window position = flat index minus the doc's first flat
+        # index (each doc's tokens are contiguous/in order — the
+        # tokenize_flat ORDER CONTRACT; np.unique's return_index gives the
+        # first occurrence even if docs arrive out of id order)
+        first = np.full(n, -1, dtype=np.int64)
+        uniq_rows, first_idx = np.unique(rows, return_index=True)
+        first[uniq_rows] = first_idx
+        pos = np.flatnonzero(valid) - first[r]
+        keys = (_mix64(acc[valid]) >> np.uint64(1)).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[r], pa.int64()),
+                "pos": pa.array(pos, pa.int64()),
+                "h": pa.array(keys, pa.int64()),
+            }
+        )
+
+    rows_ds = ds.map_batches(window_rows, batch_format="pyarrow").materialize()
+    counts = rows_ds.groupby("h").count()
+    hot = counts.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["count()"], pa.scalar(2, pa.int64()))),
+        batch_format="pyarrow",
+    ).to_pandas()
+    empty = pd.DataFrame(
+        {
+            "doc_id": pd.Series([], dtype="int64"),
+            "span_start": pd.Series([], dtype="int64"),
+            "span_end": pd.Series([], dtype="int64"),
+            "n_windows": pd.Series([], dtype="int64"),
+        }
+    )
+    if len(hot) == 0:
+        return empty
+
+    def cross_doc_group(g: pd.DataFrame) -> pd.DataFrame:
+        if g["doc_id"].nunique() < 2:
+            return pd.DataFrame({"doc_id": [], "pos": []})
+        return g[["doc_id", "pos"]]
+
+    def merge_spans(g: pd.DataFrame) -> pd.DataFrame:
+        p = np.sort(np.unique(g["pos"].to_numpy().astype(np.int64)))
+        # gaps-and-islands: a new span starts where the position jumps
+        brk = np.flatnonzero(np.diff(p) > 1) + 1
+        starts = np.concatenate([[0], brk])
+        ends = np.concatenate([brk, [len(p)]]) - 1
+        return pd.DataFrame(
+            {
+                "doc_id": np.full(len(starts), int(g["doc_id"].iloc[0]), np.int64),
+                "span_start": p[starts],
+                "span_end": p[ends],
+                "n_windows": (ends - starts + 1).astype(np.int64),
+            }
+        )
+
+    hot_keys = pa.array(sorted(hot["h"].tolist()), pa.int64())
+    out = (
+        rows_ds.map_batches(
+            lambda t: t.filter(pc.is_in(t["h"], value_set=hot_keys)),
+            batch_format="pyarrow",
+        )
+        .groupby("h")
+        .map_groups(cross_doc_group, batch_format="pandas")
+        .groupby("doc_id")
+        .map_groups(merge_spans, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(out) == 0:
+        return empty
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["doc_id", "span_start"]).reset_index(drop=True)

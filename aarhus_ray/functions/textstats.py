@@ -449,3 +449,57 @@ def pii_scrub(sf_dir: str) -> pd.DataFrame:
     for c in ("n_email", "n_phone", "n_ip"):
         out[c] = out[c].astype("int64")
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def repetition_signals(sf_dir: str) -> pd.DataFrame:
+    """Gopher-style INTRA-document repetition signals (Rae et al. 2021's
+    repetition filters — the quality rules that catch keyword-stuffed /
+    template pages whole-document dedup can't): per doc, the total and
+    maximum 2-gram multiplicity and the number of 3-gram positions whose
+    gram repeats within the doc. Pure streaming map, zero shuffle, and
+    fully vectorized: one flat token array per batch, polynomial-fold
+    gram hashes (row id mixed into the key so grams never merge across
+    docs), np.unique + bincount/maximum.at for the per-doc folds — no
+    per-token Python. The engine counts 64-bit gram hashes where the SQL
+    oracle counts gram strings; equal modulo ~1e-13 hash collisions (the
+    jaccard-pair contract)."""
+    from .dedup import _SH_A, _SH_B, _mix64, _token_hashes
+    from ..textnorm import tokenize_flat
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def signals(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        flat, flat_rows, _ = tokenize_flat(batch["text"], np.arange(n, dtype=np.uint64))
+        rows = flat_rows.astype(np.int64)
+        th = _token_hashes(flat.to_pylist())
+        n_bigrams = np.zeros(n, np.int64)
+        top_bigram = np.zeros(n, np.int64)
+        dup_tri = np.zeros(n, np.int64)
+        for gram_n, sink in ((2, "bi"), (3, "tri")):
+            if len(th) >= gram_n:
+                acc = th[: len(th) - gram_n + 1].copy()
+                valid = rows[: len(th) - gram_n + 1] == rows[gram_n - 1 :]
+                for j in range(1, gram_n):
+                    acc = acc * _SH_A + th[j : len(th) - gram_n + 1 + j]
+                r = rows[: len(th) - gram_n + 1][valid]
+                # mix the row id into the key: counts are per (doc, gram)
+                keys = _mix64(acc[valid] + (r.astype(np.uint64) + np.uint64(1)) * _SH_B)
+                _, inv, cnt = np.unique(keys, return_inverse=True, return_counts=True)
+                if sink == "bi":
+                    n_bigrams = np.bincount(r, minlength=n).astype(np.int64)
+                    np.maximum.at(top_bigram, r, cnt[inv])
+                else:
+                    dup_mask = cnt[inv] >= 2
+                    dup_tri = np.bincount(r[dup_mask], minlength=n).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_bigrams": pa.array(n_bigrams, pa.int64()),
+                "top_bigram_n": pa.array(top_bigram, pa.int64()),
+                "dup_trigram_pos": pa.array(dup_tri, pa.int64()),
+            }
+        )
+
+    out = ds.map_batches(signals, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)

@@ -36,9 +36,13 @@ def tokenize_flat(col, doc_ids):
     """Flat (term, doc_id) pairs + per-row token COUNTS, Arrow-native.
 
     Returns ``(flat_terms: pa.StringArray, flat_docs: np.uint64[],
-    counts: np.int64[] per input row)``. Token ORDER within a doc is
-    unspecified — callers group by (term, doc), so only the multiset
-    matters. This is the hot-path form of ``tokenize_batch``: for ASCII
+    counts: np.int64[] per input row)``. ORDER CONTRACT (load-bearing for
+    the n-gram ops — repetition_signals, substring_dup_spans): each doc's
+    tokens appear CONTIGUOUSLY and IN DOCUMENT ORDER, identical to
+    ``tokenize_batch``; only the order of DOCS relative to each other is
+    unspecified (mixed batches emit all-ASCII rows first). Order-sensitive
+    callers must therefore segment by flat_docs, never assume doc_id
+    monotonicity. This is the hot-path form of ``tokenize_batch``: for ASCII
     rows (the overwhelming case for web text after extraction) NFKC is
     the identity and casefold == lower, so the whole pipeline runs as
     Arrow kernels (ascii_lower → split_pattern_regex → list_flatten)

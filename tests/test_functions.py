@@ -375,6 +375,11 @@ def test_tokenize_flat_equals_tokenize_batch():
         got = sorted(zip(fd.tolist(), flat.to_pylist()))
         want = sorted((int(i), w) for i, t in zip(ids, ref) for w in t)
         assert got == want
+        # ORDER contract (load-bearing for the n-gram ops): each doc's
+        # tokens are contiguous and in document order
+        fl, fdl = flat.to_pylist(), fd.tolist()
+        for i, t in zip(ids, ref):
+            assert [w for w, d in zip(fl, fdl) if d == int(i)] == t
 
 
 def test_corpus_clean_composition():
@@ -425,6 +430,9 @@ def test_tokenize_flat_hypothesis_property():
         got = sorted(zip(fd.tolist(), flat.to_pylist()))
         want = sorted((int(i), w) for i, t in zip(ids, ref) for w in t)
         assert got == want
+        fl, fdl = flat.to_pylist(), fd.tolist()
+        for i, t in zip(ids, ref):
+            assert [w for w, d in zip(fl, fdl) if d == int(i)] == t
 
     check()
 
@@ -1465,3 +1473,59 @@ def test_pii_scrub_counts_and_redaction():
             assert row["n_phone"] >= 1
         if d % 13 == 0:
             assert row["n_ip"] >= 2
+
+
+def test_repetition_signals_match_python_recompute():
+    """repetition_signals == a Counter-based recompute over gram STRINGS
+    (the engine counts 64-bit gram hashes; any mismatch would surface a
+    collision or a fold bug)."""
+    from collections import Counter
+
+    from aarhus_ray.functions.textstats import repetition_signals
+    from aarhus_ray.textnorm import tokenize
+
+    got = repetition_signals(SF).set_index("doc_id")
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    saw_repeat = False
+    for d, t in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()):
+        toks = tokenize(t)
+        bi = Counter(zip(toks, toks[1:]))
+        tri = Counter(zip(toks, toks[1:], toks[2:]))
+        row = got.loc[d]
+        assert row["n_bigrams"] == sum(bi.values())
+        assert row["top_bigram_n"] == (max(bi.values()) if bi else 0)
+        assert row["dup_trigram_pos"] == sum(c for c in tri.values() if c >= 2)
+        saw_repeat |= bool(bi) and max(bi.values()) >= 2
+    assert saw_repeat, "corpus should contain at least one repeated bigram"
+
+
+def test_substring_dup_spans_match_python_recompute():
+    """substring_dup_spans == a dict-based recompute over window STRINGS
+    (stride-1 16-token windows, cross-doc rule, maximal-span merge)."""
+    from aarhus_ray.functions.dedup import SUBSTR_WINDOW, substring_dup_spans
+    from aarhus_ray.textnorm import tokenize
+
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    by_win: dict[str, list[tuple[int, int]]] = {}
+    for d, t in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()):
+        toks = tokenize(t)
+        for i in range(len(toks) - SUBSTR_WINDOW + 1):
+            by_win.setdefault(" ".join(toks[i : i + SUBSTR_WINDOW]), []).append((d, i))
+    flagged: dict[int, set[int]] = {}
+    for spans in by_win.values():
+        if len({d for d, _ in spans}) >= 2:
+            for d, i in spans:
+                flagged.setdefault(d, set()).add(i)
+    want = []
+    for d in sorted(flagged):
+        ps = sorted(flagged[d])
+        start = prev = ps[0]
+        for p in ps[1:] + [None]:
+            if p is None or p != prev + 1:
+                want.append((d, start, prev, prev - start + 1))
+                if p is not None:
+                    start = p
+            prev = p if p is not None else prev
+    got = substring_dup_spans(SF)
+    assert list(map(tuple, got.values.tolist())) == want
+    assert want, "planted near-dups must share 16-token substrings"
