@@ -45,7 +45,8 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from aarhus_ray.functions import (
-        ann, cleaning, dedup, fulltext, multimodal, relational, sketches, textstats, windows,
+        ann, bpe, cleaning, dedup, fulltext, multimodal, relational, sketches, textstats,
+        windows,
     )
 
     return {
@@ -84,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- dedup family (SURVEY §2.7 + extensions) ---
         "docs_source_stats": textstats.source_stats,  # per-domain accounting
         "docs_source_cap": cleaning.source_cap,       # per-domain quota (RefinedWeb cap)
+        "docs_mixture_resample": cleaning.mixture_resample,  # training-mix rebalance
         "docs_dedup_exact": dedup.exact_dedup_min_id,
         "corpus_clean": cleaning.corpus_clean,      # filter→quality→near-dedup→write
         "docs_minhash_lsh_pairs": dedup.minhash_lsh_pairs,
@@ -108,6 +110,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_decode": multimodal.decode_features,
         "multimodal_resize": multimodal.resize_features,
         "multimodal_frame_sample": multimodal.frame_sample,
+        # BPE merge learning (Sennrich 2016): iterative pair-count reduce +
+        # broadcast rewrite — inherently iterative, not SQL-expressible, so
+        # rows-only at the driver; pinned instead by
+        # tests/test_functions.py::test_bpe_merges_match_sequential
+        "docs_bpe_merges": bpe.learn_merges,
         # --- mergeable sketches (approximate → rows-only) + exact anchor ---
         "events_distinct_props_hll": sketches.distinct_count_hll,
         "events_distinct_props_exact": sketches.distinct_count_exact,
@@ -618,6 +625,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(n_chars) AS BIGINT) AS max_chars,
                    CAST(SUM(len({toks_nonempty})) AS BIGINT) AS sum_tokens
             FROM documents GROUP BY source ORDER BY source
+        """,
+        # training-mix rebalance: per-lang quota, reproducible md5 order
+        "docs_mixture_resample": f"""
+            WITH quotas(lang, q) AS (VALUES {", ".join(f"('{lang}', {int(cleaning.MIX_BUDGET * w)})" for lang, w in cleaning.MIX_WEIGHTS)}),
+            r AS (SELECT doc_id, lang,
+                         row_number() OVER (PARTITION BY lang
+                                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+                  FROM documents)
+            SELECT r.doc_id, r.lang FROM r JOIN quotas USING (lang)
+            WHERE r.rn <= quotas.q ORDER BY r.doc_id
         """,
         # per-domain quota: keep the K longest docs per source, ties by id
         "docs_source_cap": f"""

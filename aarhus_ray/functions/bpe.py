@@ -1,0 +1,155 @@
+"""Distributed BPE merge learning (Sennrich, Haddow & Birch 2016 — the
+vocabulary-induction step of every LLM tokenizer) expressed Ray-Data-first.
+
+Classic BPE trains on the WORD-FREQUENCY table, not the raw corpus: the
+corpus collapses to (word, count) once (one term-count shuffle — at 10^12
+docs this is the same pre-aggregated plan as term_counts_top50, and the
+word table is vocabulary-sized, i.e. tiny next to the corpus). Each merge
+round is then:
+
+    map      per-batch ADJACENT-PAIR partial counts over the symbol
+             sequences, weighted by word count (vectorized: one flat
+             symbol array per batch, np.unique over (left, right) codes)
+    reduce   groupby(left, right).sum — pair space is vocab², but only
+             pairs that OCCUR ship
+    argmax   the single winning pair (count DESC, then lexicographic —
+             the frozen tie-break) comes to the driver: one row, not data
+    rewrite  map applies the merge to every word's symbol sequence
+
+Rounds are inherently sequential (merge i+1's counts depend on merge i's
+rewrite) — the iteration is the algorithm, not a driver-side shortcut.
+State between rounds lives in the object store (materialized word table).
+
+No SQL oracle: iterative rewriting is not expressible as a DuckDB query
+over the base tables (the driver records a rows-only check); correctness
+is pinned by tests/test_functions.py::test_bpe_merges_match_sequential,
+a from-scratch sequential reference implementation.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+from ray.data.aggregate import Sum
+
+from ..textnorm import tokenize_batch
+
+N_MERGES = 8  # frozen: merges learned by the driver query
+
+
+def _word_counts(sf_dir: str) -> ray.data.Dataset:
+    """Distinct-token frequency table over documents (the BPE training
+    input): pre-aggregated per-batch partials → one groupby(term) sum."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = tokenize_batch(batch["text"].to_pylist())
+        flat = [w for t in toks for w in t]
+        if not flat:
+            return pa.table({"word": pa.array([], pa.string()), "n": pa.array([], pa.int64())})
+        words, counts = np.unique(np.asarray(flat, dtype=object), return_counts=True)
+        return pa.table(
+            {"word": pa.array(list(words), pa.string()), "n": pa.array(counts, pa.int64())}
+        )
+
+    return ds.map_batches(partial, batch_format="pyarrow").groupby("word").aggregate(
+        Sum("n", alias_name="n")
+    )
+
+
+def _pair_partials(batch: pa.Table) -> pa.Table:
+    """Per-batch weighted adjacent-pair counts over space-joined symbol
+    sequences — vectorized: one flat symbol array, pairs via shifted
+    views, np.unique over object-dtype (left, right) rows."""
+    seqs = batch["sym"].to_pylist()
+    ns = batch["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    lefts: list[str] = []
+    rights: list[str] = []
+    weights: list[int] = []
+    for seq, n in zip(seqs, ns):
+        syms = seq.split(" ")
+        if len(syms) < 2:
+            continue
+        lefts.extend(syms[:-1])
+        rights.extend(syms[1:])
+        weights.extend([int(n)] * (len(syms) - 1))
+    if not lefts:
+        return pa.table(
+            {
+                "left": pa.array([], pa.string()),
+                "right": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+    key = np.array([l + "\x00" + r for l, r in zip(lefts, rights)], dtype=object)
+    uk, inv = np.unique(key, return_inverse=True)
+    w = np.bincount(inv, weights=np.asarray(weights, np.float64)).astype(np.int64)
+    lr = [k.split("\x00") for k in uk]
+    return pa.table(
+        {
+            "left": pa.array([p[0] for p in lr], pa.string()),
+            "right": pa.array([p[1] for p in lr], pa.string()),
+            "n": pa.array(w, pa.int64()),
+        }
+    )
+
+
+def learn_merges(sf_dir: str, n_merges: int = N_MERGES) -> pd.DataFrame:
+    """Learn the first ``n_merges`` BPE merges over the corpus vocabulary.
+    Returns (merge_idx, left, right, pair_count) in merge order. Symbols
+    start as single characters; the winner each round is the
+    highest-count adjacent pair, ties broken lexicographically (frozen,
+    so the result is a pure function of the corpus)."""
+    words = _word_counts(sf_dir)
+
+    def to_symbols(batch: pa.Table) -> pa.Table:
+        syms = [" ".join(wd) for wd in batch["word"].to_pylist()]
+        return pa.table({"sym": pa.array(syms, pa.string()), "n": batch["n"]})
+
+    table = words.map_batches(to_symbols, batch_format="pyarrow").materialize()
+    out = {"merge_idx": [], "left": [], "right": [], "pair_count": []}
+    for i in range(n_merges):
+        counts = (
+            table.map_batches(_pair_partials, batch_format="pyarrow")
+            .groupby(["left", "right"])
+            .aggregate(Sum("n", alias_name="n"))
+            .to_pandas()
+        )
+        if len(counts) == 0:
+            break
+        counts = counts.sort_values(
+            ["n", "left", "right"], ascending=[False, True, True]
+        )
+        left, right, n = (
+            str(counts["left"].iloc[0]),
+            str(counts["right"].iloc[0]),
+            int(counts["n"].iloc[0]),
+        )
+        out["merge_idx"].append(i)
+        out["left"].append(left)
+        out["right"].append(right)
+        out["pair_count"].append(n)
+        import re
+
+        # Sennrich's merge_vocab regex: non-consuming lookarounds keep the
+        # separating spaces, so consecutive occurrences ("a b a b") all
+        # merge in one pass and a pair never matches across a symbol
+        # boundary ("xa b" does not contain pair (a, b))
+        pat = re.compile(r"(?<!\S)" + re.escape(f"{left} {right}") + r"(?!\S)")
+        merged = f"{left}{right}"
+
+        def apply_merge(batch: pa.Table, pat=pat, merged=merged) -> pa.Table:
+            syms = [pat.sub(merged, s) for s in batch["sym"].to_pylist()]
+            return pa.table({"sym": pa.array(syms, pa.string()), "n": batch["n"]})
+
+        table = table.map_batches(apply_merge, batch_format="pyarrow").materialize()
+    return pd.DataFrame(
+        {
+            "merge_idx": pd.Series(out["merge_idx"], dtype="int64"),
+            "left": pd.Series(out["left"], dtype="object"),
+            "right": pd.Series(out["right"], dtype="object"),
+            "pair_count": pd.Series(out["pair_count"], dtype="int64"),
+        }
+    )

@@ -163,3 +163,50 @@ def source_cap(sf_dir: str, k: int = SOURCE_CAP_K) -> pd.DataFrame:
     out["doc_id"] = out["doc_id"].astype("int64")
     out["n_chars"] = out["n_chars"].astype("int64")
     return out.sort_values("doc_id").reset_index(drop=True)[["doc_id", "source", "n_chars"]]
+
+
+# frozen training-mix targets: quota per lang out of MIX_BUDGET docs
+MIX_BUDGET = 200
+MIX_WEIGHTS = (("en", 0.40), ("de", 0.15), ("es", 0.15), ("fr", 0.15), ("zh", 0.15))
+
+
+def mixture_resample(sf_dir: str) -> pd.DataFrame:
+    """Training-MIX rebalancing (the DoReMi / data-mixture step: resample
+    the corpus so each language holds its target share regardless of crawl
+    skew): per lang keep quota_l = floor(MIX_BUDGET × w_l) docs, chosen by
+    a reproducible coordination-free hash order (md5 of the doc_id string
+    — every shard agrees on the ranking without communication, the
+    random_score idiom; a lang with fewer docs than quota keeps all).
+    Same two-phase distributed top-k as ``source_cap``: per-batch
+    head(quota) partials bound each reducer at quota × #blocks, so a
+    10^12-doc head language still ships only its quota per map task."""
+    import hashlib
+
+    quotas = {lang: int(MIX_BUDGET * w) for lang, w in MIX_WEIGHTS}
+    ds = _docs(sf_dir, ["doc_id", "lang"])
+
+    def rkey_topq(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["rkey"] = [
+            hashlib.md5(str(int(d)).encode()).hexdigest() for d in df["doc_id"]
+        ]
+        kept = (
+            df.sort_values(["rkey", "doc_id"])
+            .groupby("lang", sort=False)
+            .head(max(quotas.values()))
+        )
+        kept = kept[kept["lang"].isin(quotas)]
+        return pa.Table.from_pandas(kept.reset_index(drop=True), preserve_index=False)
+
+    def merge_topq(g: pd.DataFrame) -> pd.DataFrame:
+        q = quotas.get(str(g["lang"].iloc[0]), 0)
+        return g.sort_values(["rkey", "doc_id"]).head(q).reset_index(drop=True)
+
+    out = (
+        ds.map_batches(rkey_topq, batch_format="pyarrow")
+        .groupby("lang")
+        .map_groups(merge_topq, batch_format="pandas")
+        .to_pandas()
+    )
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out[["doc_id", "lang"]].sort_values("doc_id").reset_index(drop=True)

@@ -1529,3 +1529,36 @@ def test_substring_dup_spans_match_python_recompute():
     got = substring_dup_spans(SF)
     assert list(map(tuple, got.values.tolist())) == want
     assert want, "planted near-dups must share 16-token substrings"
+
+
+def test_bpe_merges_match_sequential():
+    """learn_merges == a from-scratch sequential BPE (Sennrich et al.
+    2016: get_stats over the word-frequency table, lexicographic
+    tie-break, lookaround-regex merge)."""
+    import re
+    from collections import Counter
+
+    from aarhus_ray.functions.bpe import N_MERGES, learn_merges
+    from aarhus_ray.textnorm import tokenize
+
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["text"])
+    wc = Counter(w for t in docs["text"].to_pylist() for w in tokenize(t))
+    vocab = {" ".join(w): n for w, n in wc.items()}
+    want = []
+    for i in range(N_MERGES):
+        stats = Counter()
+        for seq, n in vocab.items():
+            syms = seq.split(" ")
+            for l, r in zip(syms, syms[1:]):
+                stats[(l, r)] += n
+        if not stats:
+            break
+        (l, r), n = min(stats.items(), key=lambda kv: (-kv[1], kv[0]))
+        want.append((i, l, r, n))
+        pat = re.compile(r"(?<!\S)" + re.escape(f"{l} {r}") + r"(?!\S)")
+        vocab = {pat.sub(l + r, seq): m for seq, m in vocab.items()}
+    got = learn_merges(SF)
+    assert list(map(tuple, got.values.tolist())) == want
+    assert len(want) == N_MERGES
+    # merges must build multi-char symbols (later merges chain earlier ones)
+    assert any(len(l) > 1 or len(r) > 1 for _, l, r, _ in want)
