@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_source_stats": textstats.source_stats,  # per-domain accounting
         "docs_source_cap": cleaning.source_cap,       # per-domain quota (RefinedWeb cap)
         "docs_mixture_resample": cleaning.mixture_resample,  # training-mix rebalance
+        "docs_gopher_filter": cleaning.gopher_filter,  # composite quality rules
         "docs_dedup_exact": dedup.exact_dedup_min_id,
         "corpus_clean": cleaning.corpus_clean,      # filter→quality→near-dedup→write
         "docs_minhash_lsh_pairs": dedup.minhash_lsh_pairs,
@@ -625,6 +626,48 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(n_chars) AS BIGINT) AS max_chars,
                    CAST(SUM(len({toks_nonempty})) AS BIGINT) AS sum_tokens
             FROM documents GROUP BY source ORDER BY source
+        """,
+        # composite Gopher filter: frozen rule order, integer-exact
+        # cross-multiplied thresholds (no float ratio at the boundary)
+        "docs_gopher_filter": f"""
+            WITH t AS (SELECT doc_id, lang, {toks_nonempty} AS a FROM documents),
+            base AS (SELECT doc_id, lang, len(a) AS n_tok,
+                            len(list_filter(a,
+                                x -> x IN ('the','a','and','of','to','in','is'))) AS n_stop
+                     FROM t),
+            bg AS (SELECT doc_id,
+                          unnest(list_transform(generate_series(1, len(a) - 1),
+                                 i -> a[i] || ' ' || a[i+1])) AS g
+                   FROM t WHERE len(a) >= 2),
+            bc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+            bs AS (SELECT doc_id, SUM(c) AS n_bigrams, MAX(c) AS top_bigram_n
+                   FROM bc GROUP BY 1),
+            tg AS (SELECT doc_id,
+                          unnest(list_transform(generate_series(1, len(a) - 2),
+                                 i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2])) AS g
+                   FROM t WHERE len(a) >= 3),
+            tc AS (SELECT doc_id, g, count(*) AS c FROM tg GROUP BY 1, 2),
+            ts AS (SELECT doc_id,
+                          SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup_trigram_pos
+                   FROM tc GROUP BY 1),
+            j AS (SELECT b.doc_id, b.lang, b.n_tok, b.n_stop,
+                         COALESCE(bs.n_bigrams, 0) AS nb,
+                         COALESCE(bs.top_bigram_n, 0) AS tb,
+                         COALESCE(ts.dup_trigram_pos, 0) AS dt
+                  FROM base b
+                  LEFT JOIN bs ON bs.doc_id = b.doc_id
+                  LEFT JOIN ts ON ts.doc_id = b.doc_id),
+            r AS (SELECT doc_id,
+                         CASE
+                           WHEN n_tok < {cleaning.GOPHER_MIN_TOKENS} THEN 'too_short'
+                           WHEN n_tok > {cleaning.GOPHER_MAX_TOKENS} THEN 'too_long'
+                           WHEN tb * {cleaning.GOPHER_TOP_BIGRAM_X} > nb THEN 'bigram_repetition'
+                           WHEN dt * {cleaning.GOPHER_DUP_TRIGRAM_X} > greatest(n_tok - 2, 0) THEN 'trigram_repetition'
+                           WHEN lang = 'en' AND n_stop < {cleaning.GOPHER_MIN_STOPWORDS} THEN 'few_stopwords'
+                           ELSE ''
+                         END AS reason
+                  FROM j)
+            SELECT doc_id, reason = '' AS keep, reason FROM r ORDER BY doc_id
         """,
         # training-mix rebalance: per-lang quota, reproducible md5 order
         "docs_mixture_resample": f"""

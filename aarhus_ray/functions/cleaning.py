@@ -18,6 +18,7 @@ from __future__ import annotations
 import os
 import shutil
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
@@ -210,3 +211,59 @@ def mixture_resample(sf_dir: str) -> pd.DataFrame:
     )
     out["doc_id"] = out["doc_id"].astype("int64")
     return out[["doc_id", "lang"]].sort_values("doc_id").reset_index(drop=True)
+
+
+# frozen Gopher-filter thresholds (integer-exact comparisons only, so the
+# rule boundary is a pure function both engines replay bit-identically)
+GOPHER_MIN_TOKENS = 10
+GOPHER_MAX_TOKENS = 5000
+GOPHER_TOP_BIGRAM_X = 5    # drop if top_bigram_n * 5 > n_bigrams  (>20%)
+GOPHER_DUP_TRIGRAM_X = 4   # drop if dup_trigram_pos * 4 > n_trigrams (>25%)
+GOPHER_MIN_STOPWORDS = 2   # en docs need >= 2 stopword hits
+
+
+def gopher_filter(sf_dir: str) -> pd.DataFrame:
+    """The composite Gopher QUALITY FILTER (Rae et al. 2021 §A1.1, the
+    rule set C4/MassiveText-style curation applies before dedup): per doc
+    a keep flag and the FIRST failing rule, evaluated in frozen order —
+
+        too_short           n_tokens < 10
+        too_long            n_tokens > 5000
+        bigram_repetition   top 2-gram multiplicity > 20% of all 2-grams
+        trigram_repetition  repeated-3-gram positions > 25% of 3-grams
+        few_stopwords       lang = 'en' with < 2 stopword hits
+
+    All comparisons are integer cross-multiplications (never a float
+    ratio), so the decision boundary replays exactly in SQL. One
+    streaming map sharing ``textstats._repetition_arrays`` with
+    repetition_signals — the signals are computed once per batch, zero
+    shuffle, nothing corpus-sized leaves the map."""
+    from .textstats import _repetition_arrays
+
+    ds = _docs(sf_dir, ["doc_id", "lang", "text"])
+
+    def apply_rules(batch: pa.Table) -> pa.Table:
+        n_tok, n_stop, n_bigrams, top_bigram, dup_tri = _repetition_arrays(batch)
+        lang_en = np.asarray(
+            [lang == "en" for lang in batch["lang"].to_pylist()], dtype=bool
+        )
+        n_tri = np.maximum(n_tok - 2, 0)
+        reasons = np.full(len(n_tok), "", dtype=object)
+        for name, failed in (
+            ("too_short", n_tok < GOPHER_MIN_TOKENS),
+            ("too_long", n_tok > GOPHER_MAX_TOKENS),
+            ("bigram_repetition", top_bigram * GOPHER_TOP_BIGRAM_X > n_bigrams),
+            ("trigram_repetition", dup_tri * GOPHER_DUP_TRIGRAM_X > n_tri),
+            ("few_stopwords", lang_en & (n_stop < GOPHER_MIN_STOPWORDS)),
+        ):
+            reasons[(reasons == "") & failed] = name
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "keep": pa.array(reasons == "", pa.bool_()),
+                "reason": pa.array(reasons.tolist(), pa.string()),
+            }
+        )
+
+    out = ds.map_batches(apply_rules, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)

@@ -451,6 +451,49 @@ def pii_scrub(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _repetition_arrays(batch: pa.Table) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Shared vectorized kernel for the Gopher repetition signals: given a
+    (doc_id, text) batch returns per-row (n_tokens, n_stopwords,
+    n_bigrams, top_bigram_n, dup_trigram_pos) int64 arrays. One flat
+    token array, polynomial-fold gram hashes with the row id mixed into
+    the key (grams never merge across docs), np.unique +
+    bincount/maximum.at folds — no per-token Python. Used by both
+    ``repetition_signals`` and ``cleaning.gopher_filter``."""
+    import pyarrow.compute as pc
+
+    from .dedup import _SH_A, _SH_B, _mix64, _token_hashes
+    from ..textnorm import tokenize_flat
+
+    n = len(batch)
+    flat, flat_rows, n_tok = tokenize_flat(batch["text"], np.arange(n, dtype=np.uint64))
+    rows = flat_rows.astype(np.int64)
+    sm = pc.is_in(flat, value_set=pa.array(sorted(STOPWORDS_EN), pa.string())).to_numpy(
+        zero_copy_only=False
+    )
+    n_stop = np.bincount(rows[sm], minlength=n).astype(np.int64)
+    th = _token_hashes(flat.to_pylist())
+    n_bigrams = np.zeros(n, np.int64)
+    top_bigram = np.zeros(n, np.int64)
+    dup_tri = np.zeros(n, np.int64)
+    for gram_n, sink in ((2, "bi"), (3, "tri")):
+        if len(th) >= gram_n:
+            acc = th[: len(th) - gram_n + 1].copy()
+            valid = rows[: len(th) - gram_n + 1] == rows[gram_n - 1 :]
+            for j in range(1, gram_n):
+                acc = acc * _SH_A + th[j : len(th) - gram_n + 1 + j]
+            r = rows[: len(th) - gram_n + 1][valid]
+            # mix the row id into the key: counts are per (doc, gram)
+            keys = _mix64(acc[valid] + (r.astype(np.uint64) + np.uint64(1)) * _SH_B)
+            _, inv, cnt = np.unique(keys, return_inverse=True, return_counts=True)
+            if sink == "bi":
+                n_bigrams = np.bincount(r, minlength=n).astype(np.int64)
+                np.maximum.at(top_bigram, r, cnt[inv])
+            else:
+                dup_mask = cnt[inv] >= 2
+                dup_tri = np.bincount(r[dup_mask], minlength=n).astype(np.int64)
+    return n_tok.astype(np.int64), n_stop, n_bigrams, top_bigram, dup_tri
+
+
 def repetition_signals(sf_dir: str) -> pd.DataFrame:
     """Gopher-style INTRA-document repetition signals (Rae et al. 2021's
     repetition filters — the quality rules that catch keyword-stuffed /
@@ -463,35 +506,10 @@ def repetition_signals(sf_dir: str) -> pd.DataFrame:
     per-token Python. The engine counts 64-bit gram hashes where the SQL
     oracle counts gram strings; equal modulo ~1e-13 hash collisions (the
     jaccard-pair contract)."""
-    from .dedup import _SH_A, _SH_B, _mix64, _token_hashes
-    from ..textnorm import tokenize_flat
-
     ds = _docs(sf_dir, ["doc_id", "text"])
 
     def signals(batch: pa.Table) -> pa.Table:
-        n = len(batch)
-        flat, flat_rows, _ = tokenize_flat(batch["text"], np.arange(n, dtype=np.uint64))
-        rows = flat_rows.astype(np.int64)
-        th = _token_hashes(flat.to_pylist())
-        n_bigrams = np.zeros(n, np.int64)
-        top_bigram = np.zeros(n, np.int64)
-        dup_tri = np.zeros(n, np.int64)
-        for gram_n, sink in ((2, "bi"), (3, "tri")):
-            if len(th) >= gram_n:
-                acc = th[: len(th) - gram_n + 1].copy()
-                valid = rows[: len(th) - gram_n + 1] == rows[gram_n - 1 :]
-                for j in range(1, gram_n):
-                    acc = acc * _SH_A + th[j : len(th) - gram_n + 1 + j]
-                r = rows[: len(th) - gram_n + 1][valid]
-                # mix the row id into the key: counts are per (doc, gram)
-                keys = _mix64(acc[valid] + (r.astype(np.uint64) + np.uint64(1)) * _SH_B)
-                _, inv, cnt = np.unique(keys, return_inverse=True, return_counts=True)
-                if sink == "bi":
-                    n_bigrams = np.bincount(r, minlength=n).astype(np.int64)
-                    np.maximum.at(top_bigram, r, cnt[inv])
-                else:
-                    dup_mask = cnt[inv] >= 2
-                    dup_tri = np.bincount(r[dup_mask], minlength=n).astype(np.int64)
+        _, _, n_bigrams, top_bigram, dup_tri = _repetition_arrays(batch)
         return pa.table(
             {
                 "doc_id": batch["doc_id"],

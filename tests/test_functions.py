@@ -1562,3 +1562,47 @@ def test_bpe_merges_match_sequential():
     assert len(want) == N_MERGES
     # merges must build multi-char symbols (later merges chain earlier ones)
     assert any(len(l) > 1 or len(r) > 1 for _, l, r, _ in want)
+
+
+def test_gopher_filter_rules():
+    """gopher_filter == a rule-by-rule recompute in the frozen order; at
+    least one doc must fail a rule (the corpus has sub-10-token docs) and
+    keep == (reason == '') everywhere."""
+    from collections import Counter
+
+    from aarhus_ray.functions.cleaning import (
+        GOPHER_DUP_TRIGRAM_X,
+        GOPHER_MAX_TOKENS,
+        GOPHER_MIN_STOPWORDS,
+        GOPHER_MIN_TOKENS,
+        GOPHER_TOP_BIGRAM_X,
+        gopher_filter,
+    )
+    from aarhus_ray.functions.textstats import STOPWORDS_EN
+    from aarhus_ray.textnorm import tokenize
+
+    got = gopher_filter(SF).set_index("doc_id")
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "lang", "text"])
+    dropped = 0
+    for d, lang, t in zip(
+        docs["doc_id"].to_pylist(), docs["lang"].to_pylist(), docs["text"].to_pylist()
+    ):
+        toks = tokenize(t)
+        bi = Counter(zip(toks, toks[1:]))
+        tri = Counter(zip(toks, toks[1:], toks[2:]))
+        n_stop = sum(1 for w in toks if w in STOPWORDS_EN)
+        reason = ""
+        if len(toks) < GOPHER_MIN_TOKENS:
+            reason = "too_short"
+        elif len(toks) > GOPHER_MAX_TOKENS:
+            reason = "too_long"
+        elif bi and max(bi.values()) * GOPHER_TOP_BIGRAM_X > sum(bi.values()):
+            reason = "bigram_repetition"
+        elif sum(c for c in tri.values() if c >= 2) * GOPHER_DUP_TRIGRAM_X > max(len(toks) - 2, 0):
+            reason = "trigram_repetition"
+        elif lang == "en" and n_stop < GOPHER_MIN_STOPWORDS:
+            reason = "few_stopwords"
+        row = got.loc[d]
+        assert (bool(row["keep"]), row["reason"]) == (reason == "", reason), d
+        dropped += reason != ""
+    assert dropped, "corpus must exercise at least one failing rule"
