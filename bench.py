@@ -132,6 +132,7 @@ def run_once() -> dict:
             "docs_term_counts_top50",
             "docs_minhash_lsh_pairs",
             "docs_simhash_pairs",
+            "docs_substring_dups",
             "knn_cosine_bruteforce",
             "knn_cosine_lsh",
             "knn_ivf",
