@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_lang_counts": textstats.lang_counts,
         "docs_stratified_sample": textstats.stratified_sample,  # reproducible mixture sampling
         "docs_pii_scrub": textstats.pii_scrub,  # PII detect + redact (vectorized RE2)
+        "docs_length_histogram": textstats.length_histogram,  # dense token-length buckets
         "docs_repetition": textstats.repetition_signals,  # Gopher intra-doc repetition
         # --- dedup family (SURVEY §2.7 + extensions) ---
         "docs_source_stats": textstats.source_stats,  # per-domain accounting
@@ -107,6 +108,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine_lsh": ann.knn_cosine_lsh,   # sign-LSH probe, SQL-expressible semantics
         "knn_ivf": ann.ivf_search,              # exact branch-and-bound == brute force
         "embedding_label_centroids": ann.label_centroids,  # distributed k-means/IVF primitive
+        # full iterative Lloyd's k-means (frozen init/tie/empty rules);
+        # iterative ≠ SQL → rows-only at the driver, pinned by
+        # tests/test_functions.py::test_kmeans_matches_numpy_lloyd
+        "embedding_kmeans": ann.kmeans,
         # --- multimodal binary-column plumbing (stub kernels, real Ray shape) ---
         "multimodal_decode": multimodal.decode_features,
         "multimodal_resize": multimodal.resize_features,
@@ -589,6 +594,17 @@ def oracle_sql() -> dict[str, str]:
                    FROM r2)
             SELECT doc_id, n_email, n_phone, n_ip, md5(t) AS red_fp
             FROM r3 ORDER BY doc_id
+        """,
+        # dense token-length histogram (zeros included up to observed max)
+        "docs_length_histogram": f"""
+            WITH t AS (SELECT len({toks_nonempty}) // {textstats.LENGTH_BUCKET} AS b FROM documents),
+            cnt AS (SELECT b AS bucket, count(*) AS n FROM t GROUP BY 1),
+            sk AS (SELECT unnest(generate_series(0, (SELECT max(b) FROM t))) AS bucket)
+            SELECT CAST(sk.bucket AS BIGINT) AS bucket,
+                   CAST(sk.bucket * {textstats.LENGTH_BUCKET} AS BIGINT) AS lo,
+                   CAST(COALESCE(cnt.n, 0) AS BIGINT) AS n
+            FROM sk LEFT JOIN cnt ON cnt.bucket = sk.bucket
+            ORDER BY sk.bucket
         """,
         # Gopher repetition signals: per-doc 2-gram multiplicities and
         # repeated-3-gram positions; engine counts 64-bit gram hashes where

@@ -627,3 +627,86 @@ def label_centroids_oracle_sql(decimals: int = 5) -> str:
                round(AVG(CAST(v AS DOUBLE)), {decimals}) AS c
         FROM u GROUP BY 1, 2 ORDER BY 1, 2
     """
+
+
+KMEANS_K = 4
+KMEANS_ITERS = 3
+
+
+def kmeans(sf_dir: str, k: int = KMEANS_K, iters: int = KMEANS_ITERS,
+           decimals: int = 4) -> pd.DataFrame:
+    """FULL Lloyd's k-means over the embedding column — the canonical
+    iterative distributed-ML op (the IVF coarse quantizer's training
+    loop, exposed as a first-class query). Frozen, fully deterministic
+    recipe so the result is a pure function of the table:
+
+      init        centroids = the embeddings of the k smallest vec_ids
+      assign      nearest centroid by squared euclidean, ties to the
+                  lowest cluster id (argmin's first-wins rule)
+      update      distributed per-batch partial (cluster → float64 vector
+                  sum + count) — the label_centroids shape: each block
+                  shrinks to ≤ k rows, the driver folds a k-sized table,
+                  nothing O(rows) ever leaves the cluster
+      empty       a cluster that captures no points keeps its previous
+                  centroid (frozen rule)
+
+    ``iters`` assign+update rounds; rounds are inherently sequential
+    (iteration IS Lloyd's algorithm — the same contract as BPE merges).
+    Output long-form (cluster_id, n_vecs, dim, c): n_vecs from the final
+    round's assignment, centroids rounded (float partial-sum order
+    differs between engine fold and any replay; at 4dp over these
+    float32 inputs all orders agree, the label_centroids contract).
+    No SQL oracle (iterative); pinned by
+    tests/test_functions.py::test_kmeans_matches_numpy_lloyd."""
+    emb_path = f"{sf_dir}/embeddings.parquet"
+    init = pq.read_table(emb_path, columns=["vec_id", "embedding"])
+    order = np.argsort(init["vec_id"].to_numpy(zero_copy_only=False))[:k]
+    cents = np.stack(
+        [np.asarray(init["embedding"][int(i)].as_py(), dtype=np.float64) for i in order]
+    )
+
+    ds = ray.data.read_parquet(emb_path, columns=["embedding"])
+    n_vecs = np.zeros(k, dtype=np.int64)
+    for _ in range(iters):
+        c = cents  # rebind: the closure must capture THIS round's centroids
+
+        def partial(batch: pa.Table, c=c) -> pa.Table:
+            col = batch["embedding"].combine_chunks()
+            flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+            m = flat.reshape(len(batch), -1)
+            # ||x-c||² = ||x||² - 2x·c + ||c||²; ||x||² is constant per row,
+            # so argmin needs only the cross and centroid-norm terms
+            d2 = -2.0 * (m @ c.T) + (c * c).sum(axis=1)[None, :]
+            a = np.argmin(d2, axis=1)  # first-wins tie rule
+            sums = np.zeros((k, m.shape[1]), dtype=np.float64)
+            np.add.at(sums, a, m)
+            counts = np.bincount(a, minlength=k).astype(np.int64)
+            return pa.table(
+                {
+                    "cluster_id": pa.array(np.arange(k, dtype=np.int64), pa.int64()),
+                    "n": pa.array(counts, pa.int64()),
+                    "sum_vec": pa.array(list(sums), pa.list_(pa.float64())),
+                }
+            )
+
+        parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+        new_cents = cents.copy()
+        n_vecs = np.zeros(k, dtype=np.int64)
+        for cid, g in parts.groupby("cluster_id", sort=True):
+            total = int(g["n"].sum())
+            n_vecs[int(cid)] = total
+            if total > 0:
+                new_cents[int(cid)] = (
+                    np.sum(np.stack(g["sum_vec"].to_numpy()), axis=0) / total
+                )
+        cents = new_cents
+    rows = [
+        (cid, int(n_vecs[cid]), d, round(float(v), decimals))
+        for cid in range(k)
+        for d, v in enumerate(cents[cid])
+    ]
+    out = pd.DataFrame(rows, columns=["cluster_id", "n_vecs", "dim", "c"])
+    for col_ in ("cluster_id", "n_vecs", "dim"):
+        out[col_] = out[col_].astype("int64")
+    out["c"] = out["c"].astype("float64")
+    return out

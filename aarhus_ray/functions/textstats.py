@@ -521,3 +521,40 @@ def repetition_signals(sf_dir: str) -> pd.DataFrame:
 
     out = ds.map_batches(signals, batch_format="pyarrow").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+LENGTH_BUCKET = 16  # frozen histogram bucket width (tokens)
+
+
+def length_histogram(sf_dir: str) -> pd.DataFrame:
+    """Corpus token-length DISTRIBUTION in fixed LENGTH_BUCKET-token
+    buckets, dense skeleton (every bucket up to the observed max emits,
+    zeros included) — the length profile a training-mix planner reads
+    before choosing packing / truncation lengths. Per-batch partial
+    bincounts (one int64 row per occupied bucket per batch) → one tiny
+    groupby(bucket) sum; the shuffle is O(#buckets), never O(docs)."""
+    ds = _docs(sf_dir, ["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from ..textnorm import tokenize_flat
+
+        _, _, n_tok = tokenize_flat(batch["text"], np.arange(len(batch), dtype=np.uint64))
+        b = (n_tok // LENGTH_BUCKET).astype(np.int64)
+        cnt = np.bincount(b)
+        nz = np.flatnonzero(cnt)
+        return pa.table(
+            {"bucket": pa.array(nz, pa.int64()), "n": pa.array(cnt[nz], pa.int64())}
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    hi = int(agg["bucket"].max()) if len(agg) else 0
+    dense = pd.DataFrame({"bucket": np.arange(hi + 1, dtype=np.int64)})
+    out = dense.merge(agg, on="bucket", how="left").fillna({"n": 0})
+    out["lo"] = (out["bucket"] * LENGTH_BUCKET).astype("int64")
+    out["n"] = out["n"].astype("int64")
+    return out[["bucket", "lo", "n"]].sort_values("bucket").reset_index(drop=True)

@@ -1606,3 +1606,45 @@ def test_gopher_filter_rules():
         assert (bool(row["keep"]), row["reason"]) == (reason == "", reason), d
         dropped += reason != ""
     assert dropped, "corpus must exercise at least one failing rule"
+
+
+def test_kmeans_matches_numpy_lloyd():
+    """kmeans == a sequential numpy Lloyd recompute with the same frozen
+    recipe (k smallest vec_ids init, first-wins argmin, empty keeps
+    previous, float64 accumulation); counts exact, centroids within one
+    rounding ulp."""
+    from aarhus_ray.functions.ann import KMEANS_ITERS, KMEANS_K, kmeans
+
+    tbl = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    vec_ids = tbl["vec_id"].to_numpy(zero_copy_only=False)
+    m = np.stack([np.asarray(e.as_py(), dtype=np.float64) for e in tbl["embedding"]])
+    cents = m[np.argsort(vec_ids)[:KMEANS_K]].copy()
+    n = np.zeros(KMEANS_K, dtype=np.int64)
+    for _ in range(KMEANS_ITERS):
+        d2 = ((m[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        a = np.argmin(d2, axis=1)
+        n = np.bincount(a, minlength=KMEANS_K)
+        for cid in range(KMEANS_K):
+            if n[cid] > 0:
+                cents[cid] = m[a == cid].mean(axis=0)
+    got = kmeans(SF)
+    assert got["n_vecs"].to_numpy()[:: m.shape[1]].tolist() == n.tolist()
+    want = np.round(cents.ravel(), 4)
+    assert np.abs(got["c"].to_numpy() - want).max() <= 1e-4
+    assert len(got) == KMEANS_K * m.shape[1]
+    assert n.sum() == len(m) and (n > 0).all()
+
+
+def test_length_histogram_dense_and_exact():
+    from collections import Counter
+
+    from aarhus_ray.functions.textstats import LENGTH_BUCKET, length_histogram
+    from aarhus_ray.textnorm import tokenize
+
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["text"])
+    want = Counter(len(tokenize(t)) // LENGTH_BUCKET for t in docs["text"].to_pylist())
+    got = length_histogram(SF)
+    assert got["bucket"].tolist() == list(range(max(want) + 1))  # dense
+    assert got["n"].sum() == docs.num_rows
+    for _, r in got.iterrows():
+        assert r["n"] == want.get(r["bucket"], 0) and r["lo"] == r["bucket"] * LENGTH_BUCKET
