@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_clean": cleaning.corpus_clean,      # filter→quality→near-dedup→write
         "docs_minhash_lsh_pairs": dedup.minhash_lsh_pairs,
         "docs_dup_clusters": dedup.dup_clusters,    # connected components (label propagation)
+        "docs_dedup_survivors": dedup.dedup_survivors_cc,  # one winner per component
         # chunk-level exact dedup (C4/RefinedWeb boilerplate pass)
         "docs_paragraph_dups": dedup.paragraph_dup_spans,
         # exact substring-match dedup (Lee et al. 2021): stride-1 windows
@@ -757,6 +758,22 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT src AS doc_id, CAST(least(src, min(dst)) AS BIGINT) AS cluster_id
             FROM reach GROUP BY src ORDER BY doc_id
+        """,
+        # component dedup survivors: drop every non-winning component member
+        "docs_dedup_survivors": f"""
+            WITH RECURSIVE pairs AS ({_JACCARD_PAIRS_SQL.replace("ORDER BY doc_a, doc_b", "")}),
+            e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                  UNION ALL SELECT doc_b, doc_a FROM pairs),
+            reach(src, dst) AS (
+              SELECT a, b FROM e
+              UNION
+              SELECT r.src, e.b FROM reach r JOIN e ON e.a = r.dst
+            ),
+            losers AS (SELECT src FROM reach GROUP BY src
+                       HAVING least(src, min(dst)) < src)
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (SELECT src FROM losers)
+            ORDER BY doc_id
         """,
         # chunk-level dedup: md5 of space-joined 32-token windows, flagged
         # when a hash occurs in >= 2 DISTINCT docs (list_slice clamps the

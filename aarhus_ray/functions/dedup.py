@@ -1045,3 +1045,35 @@ def substring_dup_spans(sf_dir: str) -> pd.DataFrame:
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out.sort_values(["doc_id", "span_start"]).reset_index(drop=True)
+
+
+def dedup_survivors_cc(sf_dir: str, threshold: float = 0.9) -> pd.DataFrame:
+    """COMPONENT-based dedup survivors — the end product of the cluster
+    pass: every doc except non-winning members of near-dup components
+    (winner = min doc_id per component, from ``dup_clusters``). This is
+    the set a chained pair rule gets wrong: over a chain a-b-c the pair
+    rule drops b and c against different winners but can also drop NOTHING
+    consistently when pairs are processed independently; the component
+    rule keeps exactly one doc per cluster. The drop set is
+    component-members-minus-winners — small by LSH construction — so
+    survivors are one broadcast anti-filter over a pruned doc_id scan;
+    nothing corpus-sized reaches the driver beyond the id list the
+    harness compares."""
+    import pyarrow.compute as pc
+
+    clusters = dup_clusters(sf_dir, threshold)
+    drop = pa.array(
+        sorted(
+            int(d) for d, c in zip(clusters["doc_id"], clusters["cluster_id"]) if d != c
+        ),
+        pa.int64(),
+    )
+    out = (
+        _docs(sf_dir, ["doc_id"])
+        .map_batches(
+            lambda t: t.filter(pc.invert(pc.is_in(t["doc_id"], value_set=drop))),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    return out.astype("int64").sort_values("doc_id").reset_index(drop=True)

@@ -1648,3 +1648,17 @@ def test_length_histogram_dense_and_exact():
     assert got["n"].sum() == docs.num_rows
     for _, r in got.iterrows():
         assert r["n"] == want.get(r["bucket"], 0) and r["lo"] == r["bucket"] * LENGTH_BUCKET
+
+
+def test_dedup_survivors_cc_keeps_one_per_component():
+    from aarhus_ray.functions.dedup import dedup_survivors_cc, dup_clusters
+
+    surv = set(dedup_survivors_cc(SF)["doc_id"])
+    clusters = dup_clusters(SF)
+    docs = set(pq.read_table(f"{SF}/documents.parquet", columns=["doc_id"])["doc_id"].to_pylist())
+    losers = {int(d) for d, c in zip(clusters["doc_id"], clusters["cluster_id"]) if d != c}
+    assert surv == docs - losers
+    # exactly one survivor per component: its min
+    for cid, g in clusters.groupby("cluster_id"):
+        members = set(g["doc_id"])
+        assert surv & members == {min(members)}
