@@ -108,6 +108,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_radius": ann.knn_radius,  # range search: all vectors past a cosine cutoff
         "knn_cosine_lsh": ann.knn_cosine_lsh,   # sign-LSH probe, SQL-expressible semantics
         "knn_ivf": ann.ivf_search,              # exact branch-and-bound == brute force
+        # product-quantization ADC scan + exact rerank (Jégou 2011) — the
+        # memory-bound 10^12-vector path; approximate by construction →
+        # rows-only here, recall/exactness pinned by
+        # tests/test_functions.py::test_pq_search_recall_and_exact_rerank
+        "knn_pq": ann.pq_search,
         "embedding_label_centroids": ann.label_centroids,  # distributed k-means/IVF primitive
         # full iterative Lloyd's k-means (frozen init/tie/empty rules);
         # iterative ≠ SQL → rows-only at the driver, pinned by

@@ -83,6 +83,26 @@ def test_ivf_branch_and_bound_is_exact():
     assert ivf.values.tolist() == brute.values.tolist()
 
 
+def test_pq_search_recall_and_exact_rerank():
+    from aarhus_ray.functions.ann import knn_cosine_bruteforce, pq_search
+
+    k = 10
+    out = pq_search(SF, k=k)
+    again = pq_search(SF, k=k)
+    assert out.values.tolist() == again.values.tolist()  # deterministic
+
+    brute_full = knn_cosine_bruteforce(SF, k=10**9)  # full exact ranking
+    # recall bound vs the true top-k (gaussian corpus, 4-bit codes, C=100)
+    true_top = set(brute_full["vec_id"].head(k).tolist())
+    assert len(true_top & set(out["vec_id"].tolist())) >= int(0.8 * k)
+    # every returned row is exact-scored and in brute's total order
+    pos = {v: i for i, v in enumerate(brute_full["vec_id"].tolist())}
+    ranks = [pos[v] for v in out["vec_id"].tolist()]
+    assert ranks == sorted(ranks)
+    cos_of = dict(zip(brute_full["vec_id"], brute_full["cos"]))
+    assert all(cos_of[v] == c for v, c in zip(out["vec_id"], out["cos"]))
+
+
 def test_lsh_probe_matches_direct_replay():
     from aarhus_ray.functions.ann import knn_cosine_lsh, sign_signature
 
