@@ -68,6 +68,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionize": windows.events_sessionize,
         "events_asof_click_view": windows.events_asof_click_view,
         "events_range_join_prior_views": windows.events_range_join_prior_views,
+        # bounded-out-of-orderness watermark (Flink semantics) over a
+        # simulated arrival clock: which events a streaming engine drops,
+        # and what it emits hourly vs the batch-perfect answer
+        "events_late_ids": windows.events_late_ids,
+        "events_watermark_hourly": windows.events_watermark_hourly,
         "events_value_median": windows.events_value_median,  # exact histogram percentile
         "events_value_quantiles": windows.events_value_quantiles,  # exact p25/50/75/90/99, same histogram
         # --- text analysis over documents ---
@@ -319,7 +324,7 @@ _KNN_FILTERED_SQL = """
 
 
 def oracle_sql() -> dict[str, str]:
-    from aarhus_ray.functions import ann, cleaning, dedup, fulltext, textstats
+    from aarhus_ray.functions import ann, cleaning, dedup, fulltext, textstats, windows
 
     # ASCII-ONLY ASSUMPTION (verified by tests/test_functions.py::
     # test_driver_corpus_is_ascii): these oracles tokenize with lower(text)
@@ -419,6 +424,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT window_start, event_type, COUNT(*) AS n_events,
                    CAST(SUM(cents) AS BIGINT) AS sum_value_floor_cents
             FROM w GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        # watermark replay: arrival clock = ts + md5(event_id)%600 seconds
+        # (the reproducible-md5 idiom); watermark = running max event-time
+        # in arrival order; late iff it exceeds own ts by > 120s strictly
+        "events_late_ids": f"""
+            WITH a AS (
+              SELECT event_id, ts,
+                     ts + to_microseconds(1000000 * CAST(
+                       CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+                       % {windows.WM_DELAY_MOD_S} AS BIGINT)) AS arr
+              FROM events),
+            w AS (SELECT *, MAX(ts) OVER (ORDER BY arr, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+                  FROM a)
+            SELECT event_id, CAST(epoch_us(pmax) - epoch_us(ts) AS BIGINT) AS lag_us
+            FROM w WHERE pmax IS NOT NULL
+              AND pmax - ts > INTERVAL {windows.WM_LATENESS_S} SECONDS
+            ORDER BY event_id
+        """,
+        "events_watermark_hourly": f"""
+            WITH a AS (
+              SELECT event_id, ts, value,
+                     ts + to_microseconds(1000000 * CAST(
+                       CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+                       % {windows.WM_DELAY_MOD_S} AS BIGINT)) AS arr
+              FROM events),
+            w AS (SELECT *, MAX(ts) OVER (ORDER BY arr, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+                  FROM a)
+            SELECT date_trunc('hour', ts) AS window_start,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS sum_value_floor_cents
+            FROM w WHERE pmax IS NULL
+               OR pmax - ts <= INTERVAL {windows.WM_LATENESS_S} SECONDS
+            GROUP BY 1 ORDER BY 1
         """,
         # range join: same-user views in [click.ts - 10min, click.ts)
         "events_range_join_prior_views": """

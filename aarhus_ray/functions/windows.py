@@ -311,3 +311,154 @@ def events_value_quantiles(sf_dir: str) -> pd.DataFrame:
     out["q"] = out["q"].astype("int64")
     out["q_cents"] = out["q_cents"].astype("int64")
     return out.sort_values(["event_type", "q"]).reset_index(drop=True)
+
+
+WM_DELAY_MOD_S = 600   # simulated network delay: md5(event_id) % 600 seconds
+WM_LATENESS_S = 120    # allowed lateness (bounded out-of-orderness)
+_US_PER_H = 3_600_000_000
+_WM_SENTINEL = -(2**62)  # "no prior arrival" carry (int64-safe, never late)
+
+
+def _arrival_delay_s(event_ids: np.ndarray) -> np.ndarray:
+    """Deterministic per-event 'network' delay in seconds — the repo's
+    reproducible-md5 idiom (mixture_resample), replayable in SQL as
+    CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8) AS UBIGINT)
+    % 600. SIMULATION HARNESS ONLY: the driver's events log is perfectly
+    time-ordered, so lateness must be synthesized; a production stream
+    carries its own arrival timestamp and this column arrives with the
+    data (the md5 is then free)."""
+    import hashlib
+
+    md5 = hashlib.md5
+    return np.fromiter(
+        (
+            int.from_bytes(md5(str(int(e)).encode()).digest()[:4], "big") % WM_DELAY_MOD_S
+            for e in event_ids
+        ),
+        dtype=np.int64,
+        count=len(event_ids),
+    )
+
+
+def _watermark_flags(sf_dir: str) -> ray.data.Dataset:
+    """Per-event lateness under a bounded-out-of-orderness watermark
+    (Flink/Beam semantics, frozen): arrival order = (arr_ts, event_id);
+    watermark before an event = max event-time among previously-arrived
+    events minus WM_LATENESS_S; an event is LATE iff that running max
+    exceeds its own ts by strictly more than the lateness. Distributed as
+    a TWO-PHASE SCAN over arrival-hour buckets: phase A partial-maxes
+    event-time per bucket inside map_batches and a tiny groupby reduces to
+    one row per hour; the driver takes the exclusive prefix max over that
+    (the ONLY sequential state — O(buckets), never the data); phase B
+    gathers each bucket with groupby(arr_hour).map_groups, sorts by
+    arrival order, local running max + carry-in, flags lateness.
+    Partitioning assumption (documented knob): one arrival-bucket's events
+    fit one group task — shrink the bucket to minutes at higher rates;
+    driver scan stays tiny."""
+    ds = _events(sf_dir, ["event_id", "ts", "value"])
+
+    def enrich(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts_us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        arr_us = ts_us + _arrival_delay_s(eid) * 1_000_000
+        return pa.table(
+            {
+                "event_id": pa.array(eid, pa.int64()),
+                "ts_us": pa.array(ts_us, pa.int64()),
+                "value": batch["value"],
+                "arr_us": pa.array(arr_us, pa.int64()),
+                "arr_hour": pa.array(arr_us // _US_PER_H, pa.int64()),
+            }
+        )
+
+    enriched = ds.map_batches(enrich, batch_format="pyarrow")
+
+    # phase A: max event-time per arrival-hour (tiny: one row per hour)
+    from ray.data.aggregate import Max
+
+    hours = (
+        enriched.groupby("arr_hour")
+        .aggregate(Max("ts_us", alias_name="max_ts_us"))
+        .to_pandas()
+        .sort_values("arr_hour")
+    )
+    excl = hours["max_ts_us"].cummax().shift(1, fill_value=_WM_SENTINEL)
+    carry = dict(zip(hours["arr_hour"].astype(int), excl.astype(np.int64)))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["arr_us", "event_id"])
+        ts = g["ts_us"].to_numpy()
+        pm = np.maximum.accumulate(ts)
+        c = np.int64(carry[int(g["arr_hour"].iloc[0])])
+        excl_max = np.empty_like(pm)
+        excl_max[0] = c
+        if len(pm) > 1:
+            excl_max[1:] = np.maximum(pm[:-1], c)
+        lag_us = excl_max - ts
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "ts_us": ts,
+                "value": g["value"].to_numpy(),
+                "lag_us": lag_us,
+                "late": lag_us > np.int64(WM_LATENESS_S) * 1_000_000,
+            }
+        )
+
+    return enriched.groupby("arr_hour").map_groups(per_bucket, batch_format="pandas")
+
+
+def events_late_ids(sf_dir: str) -> pd.DataFrame:
+    """The events a WM_LATENESS_S-bounded watermark DROPS, with how far
+    past the watermark's horizon each arrived (lag_us = running-max
+    event-time at arrival minus own ts, exact integer microseconds).
+    Output (event_id, lag_us) ordered by event_id; exact SQL oracle via
+    MAX(ts) OVER (ORDER BY arr, event_id ROWS UNBOUNDED PRECEDING TO 1
+    PRECEDING)."""
+    out = (
+        _watermark_flags(sf_dir)
+        .map_batches(
+            lambda df: df.loc[df["late"], ["event_id", "lag_us"]], batch_format="pandas"
+        )
+        .to_pandas()
+    )
+    out = out.sort_values("event_id").reset_index(drop=True)
+    for c in ("event_id", "lag_us"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def events_watermark_hourly(sf_dir: str) -> pd.DataFrame:
+    """events_hourly_tumbling restricted to events an on-line watermark
+    would actually have admitted (late arrivals dropped) — what a
+    streaming engine EMITS vs the batch-perfect answer. Same output shape
+    (window_start, n_events, sum_value_floor_cents) so the two queries
+    diff directly."""
+    flagged = _watermark_flags(sf_dir)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[~df["late"]]
+        win = (df["ts_us"].to_numpy() // _US_PER_H) * _US_PER_H
+        cents = np.floor(df["value"].to_numpy() * 100.0).astype(np.int64)
+        p = pd.DataFrame({"window_start_us": win, "cents": cents})
+        g = p.groupby("window_start_us", as_index=False).agg(
+            n_events=("cents", "size"), sum_value_floor_cents=("cents", "sum")
+        )
+        return g
+
+    out = (
+        flagged.map_batches(partial, batch_format="pandas")
+        .groupby("window_start_us")
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("sum_value_floor_cents", alias_name="sum_value_floor_cents"),
+        )
+        .to_pandas()
+    )
+    out["window_start"] = pd.to_datetime(out["window_start_us"], unit="us").astype(
+        "datetime64[us]"
+    )
+    out = out[["window_start", "n_events", "sum_value_floor_cents"]]
+    for c in ("n_events", "sum_value_floor_cents"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("window_start").reset_index(drop=True)

@@ -141,6 +141,53 @@ def test_tumbling_window_matches_pandas():
     assert (out["sum_value_floor_cents"].to_numpy() == want["sum_value_floor_cents"].to_numpy()).all()
 
 
+def test_watermark_matches_sequential_replay():
+    """Distributed two-phase watermark scan == a single sequential pass in
+    arrival order (the semantics a one-node streaming engine would run)."""
+    import hashlib
+
+    from aarhus_ray.functions.windows import (
+        WM_DELAY_MOD_S,
+        WM_LATENESS_S,
+        events_hourly_tumbling,
+        events_late_ids,
+        events_watermark_hourly,
+    )
+
+    df = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    ts_us = df["ts"].astype("int64").to_numpy()
+    delay = np.array(
+        [
+            int.from_bytes(hashlib.md5(str(int(e)).encode()).digest()[:4], "big")
+            % WM_DELAY_MOD_S
+            for e in df["event_id"]
+        ],
+        dtype=np.int64,
+    )
+    arr = ts_us + delay * 1_000_000
+    order = np.lexsort((df["event_id"].to_numpy(), arr))
+    ts_sorted = ts_us[order]
+    pmax = np.maximum.accumulate(ts_sorted)
+    excl = np.empty_like(pmax)
+    excl[0] = np.iinfo(np.int64).min // 2
+    excl[1:] = pmax[:-1]
+    lag = excl - ts_sorted
+    late_mask = lag > WM_LATENESS_S * 1_000_000
+    want_ids = np.sort(df["event_id"].to_numpy()[order][late_mask])
+
+    out = events_late_ids(SF)
+    assert out["event_id"].tolist() == want_ids.tolist()
+    assert len(out) > 0  # the delay simulation must actually produce late data
+
+    # hourly emission == batch-perfect tumbling minus the dropped events
+    wm = events_watermark_hourly(SF)
+    full = events_hourly_tumbling(SF)
+    full_by_win = full.groupby("window_start")[["n_events"]].sum()
+    wm_by_win = wm.set_index("window_start")["n_events"]
+    dropped = int(full_by_win["n_events"].sum() - wm_by_win.sum())
+    assert dropped == len(out)
+
+
 def test_asof_join_matches_pandas_global():
     from aarhus_ray.functions.windows import events_asof_click_view
 
