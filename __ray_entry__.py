@@ -160,6 +160,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ordered proximity (span_near in_order=true, slop=2): tokens as a
         # strictly-increasing sequence within len−1+slop tokens
         "fulltext_bm25_span_near": fulltext.bm25_topk_span_near,
+        # ES intervals query: ordered any_of slots ('a|b c') within
+        # n_slots-1+max_gaps tokens (SpanOr inside SpanNear)
+        "fulltext_bm25_intervals": fulltext.bm25_topk_intervals,
         # explain API: per-hit (term, tf, global df, doclen) rows — the raw
         # integer inputs the BM25 score is a pure function of
         "fulltext_explain": fulltext.explain_query,
@@ -976,6 +979,7 @@ def oracle_sql() -> dict[str, str]:
         "fulltext_bm25_phrase_positional": fulltext.bm25_phrase_oracle_sql(),
         "fulltext_bm25_near_topk": fulltext.bm25_near_oracle_sql(),
         "fulltext_bm25_span_near": fulltext.bm25_span_near_oracle_sql(),
+        "fulltext_bm25_intervals": fulltext.bm25_intervals_oracle_sql(),
         "fulltext_explain": fulltext.explain_oracle_sql(),
         "fulltext_completion_suggest": fulltext.completion_suggest_oracle_sql(),
         "fulltext_rank_eval": fulltext.rank_eval_oracle_sql(),

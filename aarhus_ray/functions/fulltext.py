@@ -169,6 +169,19 @@ FT_SPANS = (
 )
 SPAN_SLOP = 2
 
+# Frozen ES intervals query set: whitespace-separated ORDERED slots, each
+# slot '|'-separated any_of alternatives. Exercises head/tail alternation,
+# an OOV alternative silently leaving its slot, a fully-OOV slot (must be
+# empty), and the single-slot degenerate (containment of either term).
+FT_INTERVALS = (
+    "query|table the",
+    "customer|zzznotinvocab slow|fast batch",
+    "the query|group",
+    "zzznotinvocab table",
+    "vector|stream",
+)
+INTERVALS_MAX_GAPS = 2
+
 # Frozen prefix-wildcard query set: trailing ``*`` expands against the term
 # dictionary (range scan); literals mix in unchanged. "s*" fans out to six
 # corpus terms; "zz*" matches nothing (must be empty); the last entry mixes
@@ -870,6 +883,95 @@ def bm25_topk_span_near(sf_dir: str, k: int = 10) -> pd.DataFrame:
         _ensure_index(sf_dir, fresh=False, positions=True),
         FT_SPANS, k, "span_near", span_slop=SPAN_SLOP,
     )
+
+
+def bm25_topk_intervals(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """ES intervals query (all_of ordered + any_of slots): each query is a
+    sequence of slots, a slot matching ANY of its '|'-alternatives; a doc
+    qualifies iff one occurrence per slot can be picked with strictly
+    increasing positions within n_slots−1+INTERVALS_MAX_GAPS consecutive
+    tokens (Lucene SpanOr inside SpanNear). Survivors rank by the BM25 sum
+    of the distinct alternatives the doc contains. Runs over the
+    positional index; the oracle replays the predicate with per-slot
+    ``tok IN (…)`` positional self-joins."""
+    return _run_queries(
+        _ensure_index(sf_dir, fresh=False, positions=True),
+        FT_INTERVALS, k, "intervals", max_gaps=INTERVALS_MAX_GAPS,
+    )
+
+
+def bm25_intervals_oracle_sql(k: int = 10) -> str:
+    """intervals oracle: the span_near oracle generalized — each sequence
+    alias constrains ``tok IN (slot alternatives)`` instead of one term,
+    and the BM25 CTE sums over every alternative PRESENT in the doc
+    (absent alternatives simply don't join). Single-slot queries
+    degenerate to containment-of-any."""
+    parsed = [
+        [sorted(set(slot.split("|"))) for slot in q.split()] for q in FT_INTERVALS
+    ]
+    values = ",".join(
+        f"({qid}, '{term}')"
+        for qid, slots in enumerate(parsed)
+        for term in sorted({t for s in slots for t in s})
+    )
+    blocks = []
+    for qid, slots in enumerate(parsed):
+        aliases = [f"p{i}" for i in range(len(slots))]
+        joins = f"posi {aliases[0]}" + "".join(
+            f" JOIN posi {a} USING (doc_id)" for a in aliases[1:]
+        )
+        conds = " AND ".join(
+            f"{a}.tok IN ({', '.join(repr(t) for t in s)})"
+            for a, s in zip(aliases, slots)
+        )
+        order = " AND ".join(
+            f"{aliases[i + 1]}.pos > {aliases[i]}.pos" for i in range(len(slots) - 1)
+        )
+        where = conds + (f" AND {order}" if order else "")
+        limit = len(slots) - 1 + INTERVALS_MAX_GAPS
+        blocks.append(
+            f"  SELECT {qid} AS query_id, {aliases[0]}.doc_id FROM {joins}\n"
+            f"  WHERE {where} GROUP BY 2\n"
+            f"  HAVING MIN({aliases[-1]}.pos - {aliases[0]}.pos) <= {limit}"
+        )
+    spans = "\n  UNION ALL\n".join(blocks)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok
+    FROM documents) WHERE tok <> ''
+),
+dl AS (SELECT d.doc_id, CAST(coalesce(t.c, 0) AS DOUBLE) AS dl
+       FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS c FROM toks GROUP BY 1) t USING (doc_id)),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+qd(query_id, tok) AS (VALUES {values}),
+arr AS (SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS a
+        FROM documents),
+posi AS (SELECT doc_id, unnest(a) AS tok, generate_subscripts(a, 1) - 1 AS pos FROM arr),
+spans AS (
+{spans}
+),
+scored AS (
+  SELECT qd.query_id, tf.doc_id,
+         sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * (1.2 + 1.0)
+              / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score
+  FROM qd JOIN tf USING (tok) JOIN df USING (tok)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s GROUP BY 1, 2
+),
+ranked AS (
+  SELECT s.query_id, s.doc_id,
+         row_number() OVER (PARTITION BY s.query_id ORDER BY s.score DESC, s.doc_id) AS rank
+  FROM scored s JOIN spans n ON n.query_id = s.query_id AND n.doc_id = s.doc_id
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank, doc_id
+FROM ranked WHERE rank <= {k}
+ORDER BY query_id, rank
+"""
 
 
 def bm25_span_near_oracle_sql(k: int = 10) -> str:

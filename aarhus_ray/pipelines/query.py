@@ -335,6 +335,7 @@ def query_index(
     min_should_match: int = 1,
     span_slop: int = 2,
     terms_set_mod: int = 3,
+    max_gaps: int = 2,
 ) -> ray.data.Dataset:
     """queries: parquet path | ray Dataset | pyarrow Table with
     (query_id:int64, text:string). Returns a Dataset
@@ -362,6 +363,10 @@ def query_index(
     ``len(seq)−1+span_slop`` consecutive tokens (Lucene span_near
     in_order=true; slop=0 ≡ phrase) — verified from the positional
     sidecar when present, else from checkpoint text.
+    ``mode="intervals"`` is the ES intervals query: whitespace-separated
+    slots of ``|``-separated alternatives, matched as an ordered
+    sequence (one occurrence from any alternative per slot) within
+    ``n_slots−1+max_gaps`` consecutive tokens.
 
     ``filter_ids`` (sorted uint64 doc_ids, e.g. from ``facet_doc_ids``)
     restricts results to that doc set; BM25 statistics stay global (see
@@ -408,7 +413,7 @@ def query_index(
             out_dir, segs, k, method, shared_ref, version, mode=mode,
             filter_ref=filter_ref, near_window=near_window,
             min_should_match=min_should_match, span_slop=span_slop,
-            terms_set_mod=terms_set_mod,
+            terms_set_mod=terms_set_mod, max_gaps=max_gaps,
         ),
         batch_format="pyarrow",
         batch_size=batch_size,

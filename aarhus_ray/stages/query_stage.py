@@ -393,6 +393,7 @@ class QueryScorer:
         min_should_match: int = 1,
         span_slop: int = 2,
         terms_set_mod: int = 3,
+        max_gaps: int = 2,
     ):
         """``doc_range=(lo, hi)`` + ``pids`` activate the DOC-SHARDED mode
         (cluster scorer-state path, SCALE.md): this scorer holds only the
@@ -420,25 +421,28 @@ class QueryScorer:
         self.method = method
         if mode not in ("or", "and", "phrase", "near", "span_near", "prefix",
                         "fuzzy", "boost", "boolean", "msm", "terms_set",
-                        "wildcard", "regexp", "query_string", "phrase_prefix"):
+                        "wildcard", "regexp", "query_string", "phrase_prefix",
+                        "intervals"):
             raise ValueError(
                 f"mode must be 'or', 'and', 'phrase', 'near', 'span_near', "
                 f"'prefix', 'fuzzy', 'boost', 'boolean', 'msm', 'terms_set', "
-                f"'wildcard', 'regexp', 'query_string' or 'phrase_prefix', "
-                f"not {mode!r}"
+                f"'wildcard', 'regexp', 'query_string', 'phrase_prefix' or "
+                f"'intervals', not {mode!r}"
             )
         if mode == "and" and method not in ("wand", "brute"):
             raise ValueError(f"conjunctive scoring supports wand/brute, not {method!r}")
         if mode in ("prefix", "fuzzy", "boost", "boolean", "msm", "terms_set",
                     "wildcard", "regexp", "query_string") and method not in ("wand", "brute"):
             raise ValueError(f"{mode} scoring supports wand/brute, not {method!r}")
-        if mode in ("phrase", "near", "span_near", "phrase_prefix") and method != "wand":
+        if mode in ("phrase", "near", "span_near", "phrase_prefix",
+                    "intervals") and method != "wand":
             raise ValueError(f"{mode} scoring supports method='wand', not {method!r}")
         self.mode = mode
         self.near_window = int(near_window)
         self.min_should_match = int(min_should_match)
         self.span_slop = int(span_slop)
         self.terms_set_mod = int(terms_set_mod)
+        self.max_gaps = int(max_gaps)
         self.doc_range = (
             (np.uint64(doc_range[0]), np.uint64(doc_range[1])) if doc_range is not None else None
         )
@@ -964,6 +968,107 @@ class QueryScorer:
 
         return topk_select(cand, scores, self.k)
 
+    def _score_query_intervals(self, text: str) -> tuple[np.ndarray, np.ndarray]:
+        """ES ``intervals`` query, ``all_of(ordered=true, max_gaps)`` over
+        ``any_of`` slots (Lucene SpanOr inside SpanNear): the query text is
+        whitespace-separated SLOTS, each slot one or more ``|``-separated
+        alternative terms. A doc qualifies iff picking ONE occurrence from
+        ANY alternative per slot yields a strictly-increasing position
+        sequence within n_slots−1+max_gaps consecutive tokens (ES's
+        max_gaps counts tokens BETWEEN the picked occurrences; max_gaps=0
+        ≡ phrase-with-alternates). Every-slot-single-alternative
+        degenerates to span_near exactly (pinned by test). Candidates are
+        the intersection over slots of the UNION of alternative postings —
+        an OOV alternative just leaves its slot, a fully-OOV slot empties
+        the result. Verification merges each slot's alternative position
+        lists (sorted union from the positional sidecar, else checkpoint
+        re-tokenize) and runs the same greedy ordered-span chain as
+        span_near. Survivors rank by the BM25 sum of the DISTINCT
+        alternatives the doc CONTAINS (absent alternatives contribute 0),
+        frozen (score DESC, doc_id ASC)."""
+        slots: list[list[str]] = []
+        for raw in text.split():
+            alts: set[str] = set()
+            for a in raw.split("|"):
+                toks = tokenize(a)
+                if len(toks) > 1:
+                    raise ValueError(
+                        f"intervals alternatives must be single terms, got {a!r}"
+                    )
+                alts.update(toks)
+            slots.append(sorted(alts))
+        if not slots or any(not s for s in slots):
+            return np.empty(0, np.uint64), np.empty(0, np.float64)
+        owners, entries = {}, {}
+        for t in sorted({t for s in slots for t in s}):
+            segs = self._owners(t)
+            if segs:
+                owners[t] = segs
+                entries[t] = self._term_arrays(t, owners[t])
+        live_slots = [[t for t in s if t in owners] for s in slots]
+        if any(not s for s in live_slots):
+            return np.empty(0, np.uint64), np.empty(0, np.float64)
+        slot_docs = []
+        for s in live_slots:
+            docs = entries[s[0]][0]
+            for t in s[1:]:
+                docs = np.union1d(docs, entries[t][0])
+            slot_docs.append(docs)
+        order_by_len = sorted(range(len(slot_docs)), key=lambda i: len(slot_docs[i]))
+        cand = slot_docs[order_by_len[0]]
+        for i in order_by_len[1:]:
+            if len(cand) == 0:
+                break
+            d_ids = slot_docs[i]
+            pos = np.searchsorted(d_ids, cand)
+            ok = pos < len(d_ids)
+            ok[ok] = d_ids[pos[ok]] == cand[ok]
+            cand = cand[ok]
+        if len(cand) and len(slots) > 1:
+            limit = len(slots) - 1 + self.max_gaps
+            keep = np.zeros(len(cand), dtype=bool)
+            if all(seg.pos_dict is not None for t in owners for seg in owners[t]):
+                pos_by_term = {
+                    t: self._positions_of_docs(t, owners[t], cand) for t in owners
+                }
+                for ci in range(len(cand)):
+                    lists, ok2 = [], True
+                    for s in live_slots:
+                        parts = [
+                            p for t in s
+                            if (p := pos_by_term[t][ci]) is not None and len(p)
+                        ]
+                        if not parts:
+                            ok2 = False
+                            break
+                        lists.append(
+                            parts[0] if len(parts) == 1
+                            else np.unique(np.concatenate(parts))
+                        )
+                    if ok2:
+                        keep[ci] = _min_ordered_span(lists) <= limit
+            else:
+                texts = self._texts_of(cand)
+                for ci, doc_text in enumerate(texts):
+                    arr = np.asarray(tokenize(doc_text), dtype=object)
+                    lists = [np.flatnonzero(np.isin(arr, s)) for s in live_slots]
+                    if any(len(p) == 0 for p in lists):
+                        continue
+                    keep[ci] = _min_ordered_span(lists) <= limit
+            cand = cand[keep]
+        if len(cand) == 0:
+            return np.empty(0, np.uint64), np.empty(0, np.float64)
+        scores = np.zeros(len(cand), dtype=np.float64)
+        for t in sorted(owners):  # sorted-term accumulation order (frozen)
+            doc_ids, contribs, _, _ = entries[t]
+            idx = np.searchsorted(doc_ids, cand)
+            ok = idx < len(doc_ids)
+            ok[ok] = doc_ids[idx[ok]] == cand[ok]
+            scores[ok] += contribs[idx[ok]]
+        from ..bm25 import topk_select
+
+        return topk_select(cand, scores, self.k)
+
     def _score_query_near(self, text: str) -> tuple[np.ndarray, np.ndarray]:
         """Proximity (NEAR) retrieval: a doc qualifies iff ALL the query's
         DISTINCT terms occur within ``near_window`` consecutive tokens
@@ -1452,6 +1557,8 @@ class QueryScorer:
             return self._score_query_near(text)
         if self.mode == "span_near":
             return self._score_query_span(text)
+        if self.mode == "intervals":
+            return self._score_query_intervals(text)
         if self.mode == "prefix":
             return self._score_query_prefix(text)
         if self.mode == "fuzzy":
@@ -4058,18 +4165,19 @@ class ScorerTaskFn:
         min_should_match: int = 1,
         span_slop: int = 2,
         terms_set_mod: int = 3,
+        max_gaps: int = 2,
     ):
         self.args = (
             out_dir, tuple(seg_ids), k, method, shared_ref, version,
             doc_range, tuple(pids) if pids is not None else None, mode,
             filter_ref, near_window, min_should_match, span_slop,
-            terms_set_mod,
+            terms_set_mod, max_gaps,
         )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         (out_dir, seg_ids, k, method, shared_ref, version, doc_range, pids,
          mode, filter_ref, near_window, min_should_match, span_slop,
-         terms_set_mod) = self.args
+         terms_set_mod, max_gaps) = self.args
         # seg_ids, shared_ref-presence, doc_range, mode, the filter ref and
         # the near/msm knobs are part of the identity: a scorer built over a
         # subset of segments / a doc range (or without shared state, with
@@ -4077,7 +4185,7 @@ class ScorerTaskFn:
         # for a different configuration of the same index
         key = (out_dir, version, k, method, seg_ids, shared_ref is not None,
                doc_range, mode, filter_ref, near_window, min_should_match,
-               span_slop, terms_set_mod)
+               span_slop, terms_set_mod, max_gaps)
         scorer = _WORKER_SCORER_CACHE.get(key)
         if scorer is None:
             # evict only STALE entries of the same index (older version);
@@ -4096,6 +4204,7 @@ class ScorerTaskFn:
                 min_should_match=min_should_match,
                 span_slop=span_slop,
                 terms_set_mod=terms_set_mod,
+                max_gaps=max_gaps,
             )
             _WORKER_SCORER_CACHE[key] = scorer
         return scorer(batch)
@@ -4116,10 +4225,12 @@ def make_scorer_task_fn(
     min_should_match: int = 1,
     span_slop: int = 2,
     terms_set_mod: int = 3,
+    max_gaps: int = 2,
 ):
     return ScorerTaskFn(
         out_dir, seg_ids, k, method, shared_ref, version, doc_range, pids, mode,
         filter_ref, near_window, min_should_match, span_slop, terms_set_mod,
+        max_gaps,
     )
 
 

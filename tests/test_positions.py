@@ -253,3 +253,57 @@ def test_incremental_delta_inherits_positions(pos_pair, tmp_path):
         a = sorted(zip(got[got["query_id"] == qid]["score"], got[got["query_id"] == qid]["url"]))
         b = sorted(zip(want[want["query_id"] == qid]["score"], want[want["query_id"] == qid]["url"]))
         assert a == b
+
+
+def test_intervals_mode_fallback_parity_and_degenerates(pos_pair):
+    """mode='intervals': positional index == checkpoint-re-tokenize fallback
+    bit-identically; single-alternative slots degenerate to span_near
+    (same docs AND scores); an OOV alternative silently leaves its slot;
+    a fully-OOV slot empties the query."""
+    text_of = _texts(pos_pair["pos"])
+    texts = list(text_of.values())
+    t0, t7 = tokenize(texts[0]), tokenize(texts[7])
+    a_, b_ = t0[0], t0[1]
+    c_ = next(t for t in t7 if t not in (a_, b_))
+    queries = [
+        f"{a_} {b_}",                # all-single-alternative (span_near shape)
+        f"{a_}|{c_} {b_}",           # head any_of alternation
+        f"zzznotinvocab|{a_} {b_}",  # OOV alternative must drop out
+        f"{a_}|{b_}",                # single slot: containment of either
+        f"zzznotinvocab {b_}",       # fully-OOV slot: empty result
+    ]
+    q = pa.table(
+        {
+            "query_id": pa.array(range(len(queries)), pa.int64()),
+            "text": pa.array(queries, pa.string()),
+        }
+    )
+    for gaps in (0, 2):
+        a = (
+            query_index(pos_pair["pos"], q, k=10, mode="intervals",
+                        max_gaps=gaps, resolve_urls=False)
+            .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+        )
+        b = (
+            query_index(pos_pair["nopos"], q, k=10, mode="intervals",
+                        max_gaps=gaps, resolve_urls=False)
+            .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+        )
+        assert len(a) == len(b) > 0
+        assert (a["doc_id"].to_numpy() == b["doc_id"].to_numpy()).all()
+        assert (a["score"].to_numpy() == b["score"].to_numpy()).all()
+        # single-alternative degenerate == span_near (docs and scores)
+        sn = (
+            query_index(pos_pair["pos"], q.slice(0, 1), k=10, mode="span_near",
+                        span_slop=gaps, resolve_urls=False)
+            .to_pandas().sort_values("rank").reset_index(drop=True)
+        )
+        a0 = a[a["query_id"] == 0].reset_index(drop=True)
+        assert (a0["doc_id"].to_numpy() == sn["doc_id"].to_numpy()).all()
+        assert (a0["score"].to_numpy() == sn["score"].to_numpy()).all()
+        # the OOV alternative contributes neither matches nor score
+        a2 = a[a["query_id"] == 2].reset_index(drop=True)
+        assert (a2["doc_id"].to_numpy() == a0["doc_id"].to_numpy()).all()
+        assert (a2["score"].to_numpy() == a0["score"].to_numpy()).all()
+        assert len(a[a["query_id"] == 1]) > 0  # alternation query matches
+        assert (a["query_id"] == 4).sum() == 0
