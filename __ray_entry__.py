@@ -61,6 +61,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_in_lineitem": relational.parts_in_lineitem,                 # semi-join
         "q3_shipping_priority": relational.q3_shipping_priority,           # 3-way join
         "orders_topk_per_priority": relational.orders_topk_per_priority,  # window-fn shape
+        # correlated aggregate subquery (Q17): per-part avg threshold,
+        # integer-exact (5·qty_c·cnt < sum_qc), broadcast stats join-back
+        "q17_small_quantity_revenue": relational.q17_small_quantity_revenue,
+        # two-level aggregation with zero-fill (Q13): order-count histogram
+        "q13_customer_order_distribution": relational.q13_customer_order_distribution,
         # --- stream-shaped ops over events (SURVEY §2.10) ---
         "events_hourly_tumbling": windows.events_hourly_tumbling,
         "events_sliding_window": windows.events_sliding_window,
@@ -163,6 +168,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ES intervals query: ordered any_of slots ('a|b c') within
         # n_slots-1+max_gaps tokens (SpanOr inside SpanNear)
         "fulltext_bm25_intervals": fulltext.bm25_topk_intervals,
+        # top_hits agg: per (query, lang facet bucket) the global-ranking
+        # top hits (facet-filtered retrieval; statistics stay global)
+        "fulltext_top_hits": fulltext.top_hits_query,
         # explain API: per-hit (term, tf, global df, doclen) rows — the raw
         # integer inputs the BM25 score is a pure function of
         "fulltext_explain": fulltext.explain_query,
@@ -357,6 +365,31 @@ def oracle_sql() -> dict[str, str]:
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
             GROUP BY 1, 2
             ORDER BY revenue_cents DESC, c_custkey LIMIT 10
+        """,
+        # Q17 shape: threshold replayed integer-exactly (no float division)
+        "q17_small_quantity_revenue": """
+            WITH s AS (
+              SELECT l_partkey,
+                     CAST(SUM(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qc,
+                     COUNT(*) AS cnt
+              FROM lineitem GROUP BY 1
+            )
+            SELECT p.p_brand,
+                   COUNT(*) AS n_small,
+                   CAST(SUM(CAST(round(l.l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_price_cents
+            FROM lineitem l
+            JOIN s ON s.l_partkey = l.l_partkey
+            JOIN part p ON p.p_partkey = l.l_partkey
+            WHERE 5 * CAST(round(l.l_quantity*100) AS BIGINT) * s.cnt < s.sum_qc
+            GROUP BY 1 ORDER BY 1
+        """,
+        # Q13 shape: per-customer order counts incl. the zero bucket
+        "q13_customer_order_distribution": """
+            SELECT c_count, COUNT(*) AS custdist FROM (
+              SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+              FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+              GROUP BY 1
+            ) GROUP BY 1 ORDER BY custdist DESC, c_count DESC
         """,
         "order_priority_counts": """
             SELECT o_orderpriority, COUNT(*) AS order_count
@@ -980,6 +1013,7 @@ def oracle_sql() -> dict[str, str]:
         "fulltext_bm25_near_topk": fulltext.bm25_near_oracle_sql(),
         "fulltext_bm25_span_near": fulltext.bm25_span_near_oracle_sql(),
         "fulltext_bm25_intervals": fulltext.bm25_intervals_oracle_sql(),
+        "fulltext_top_hits": fulltext.top_hits_oracle_sql(),
         "fulltext_explain": fulltext.explain_oracle_sql(),
         "fulltext_completion_suggest": fulltext.completion_suggest_oracle_sql(),
         "fulltext_rank_eval": fulltext.rank_eval_oracle_sql(),

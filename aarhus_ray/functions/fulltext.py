@@ -885,6 +885,78 @@ def bm25_topk_span_near(sf_dir: str, k: int = 10) -> pd.DataFrame:
     )
 
 
+TH_LANGS = ("en", "de", "zh")  # top_hits buckets (frozen subset of the facet)
+TH_SIZE = 2                    # hits per bucket (ES top_hits size)
+
+
+def top_hits_query(sf_dir: str, size: int = TH_SIZE) -> pd.DataFrame:
+    """ES ``top_hits`` aggregation: per query, per ``lang`` facet bucket,
+    the top ``size`` hits by the GLOBAL BM25 ranking (ES semantics: the
+    aggregation buckets the query's match set; scores are the query's,
+    never renormalized per bucket — exactly this engine's filter-invariant
+    scoring contract). Runs as one facet-filtered retrieval per bucket
+    (filter_ids from the lang docvalue; statistics stay global so a doc's
+    score is identical in and out of a bucket), which at cluster scale is
+    the same partition-pruned gather as any filtered query — no extra
+    all-to-all. Output (query_id, lang, rank, doc_id); empty buckets
+    yield no rows (ES returns an empty hits array). Oracle: row_number
+    over (query, lang) partitions of the standard BM25 stack."""
+    from ..pipelines.query import facet_doc_ids
+
+    index = _ensure_index(sf_dir, fresh=False)
+    parts = []
+    for lang in TH_LANGS:
+        allowed = facet_doc_ids(index, "lang", (lang,))
+        res = _run_queries(index, FT_QUERIES, size, "or", filter_ids=allowed)
+        res.insert(1, "lang", lang)
+        parts.append(res)
+    out = pd.concat(parts, ignore_index=True)
+    return out.sort_values(["query_id", "lang", "rank"]).reset_index(drop=True)
+
+
+def top_hits_oracle_sql(size: int = TH_SIZE) -> str:
+    """top_hits oracle: the standard BM25 stack scored per query, joined to
+    the documents' lang docvalue, row_number per (query, lang) bucket."""
+    values = ",".join(
+        f"({qid}, '{term}')"
+        for qid, q in enumerate(FT_QUERIES)
+        for term in sorted(set(q.split()))
+    )
+    langs = ",".join(f"'{l}'" for l in TH_LANGS)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok
+    FROM documents) WHERE tok <> ''
+),
+dl AS (SELECT d.doc_id, CAST(coalesce(t.c, 0) AS DOUBLE) AS dl
+       FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS c FROM toks GROUP BY 1) t USING (doc_id)),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+qd(query_id, tok) AS (VALUES {values}),
+scored AS (
+  SELECT qd.query_id, tf.doc_id,
+         sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * (1.2 + 1.0)
+              / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score
+  FROM qd JOIN tf USING (tok) JOIN df USING (tok)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s GROUP BY 1, 2
+),
+ranked AS (
+  SELECT s.query_id, d.lang, s.doc_id,
+         row_number() OVER (PARTITION BY s.query_id, d.lang
+                            ORDER BY s.score DESC, s.doc_id) AS rank
+  FROM scored s JOIN documents d USING (doc_id)
+  WHERE d.lang IN ({langs})
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, lang, CAST(rank AS INTEGER) AS rank, doc_id
+FROM ranked WHERE rank <= {size}
+ORDER BY query_id, lang, rank
+"""
+
+
 def bm25_topk_intervals(sf_dir: str, k: int = 10) -> pd.DataFrame:
     """ES intervals query (all_of ordered + any_of slots): each query is a
     sequence of slots, a slot matching ANY of its '|'-alternatives; a doc

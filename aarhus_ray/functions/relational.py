@@ -12,6 +12,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+import pyarrow.parquet as pq
 import ray
 import ray.data
 from ray.data.aggregate import Count, Max, Min, Sum
@@ -447,3 +448,132 @@ def orders_topk_per_priority(sf_dir: str, k: int = 3) -> pd.DataFrame:
         .sort_values(["o_orderpriority", "rank"])
         .reset_index(drop=True)
     )
+
+
+def q17_small_quantity_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q17 shape (correlated aggregate subquery): per brand, the
+    revenue of lineitems whose quantity is below 0.2× that PART's average
+    quantity. The correlation runs as aggregate-then-broadcast: one
+    pre-aggregated groupby builds per-part (sum_qty_cents, count) — the
+    only shuffle, O(parts) rows — and the second lineitem pass joins it as
+    a BROADCAST sorted-array lookup (ray.put once, np.searchsorted per
+    batch), valid while parts ≪ lineitems (TPC-H is 1:30; at 10^12 rows
+    the stats table shards by partkey range instead). The threshold is
+    INTEGER-exact, no float division: qty < 0.2·avg ⟺
+    5·qty_cents·count < sum_qty_cents — replayed verbatim in SQL. Output
+    per brand: qualifying line count + their summed extendedprice cents."""
+    stats = (
+        _read(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
+        .map_batches(
+            lambda b: pa.table(
+                {"l_partkey": b["l_partkey"], "qc": _cents(b["l_quantity"])}
+            )
+            .group_by("l_partkey")
+            .aggregate([("qc", "sum"), ("qc", "count")])
+            .rename_columns(["l_partkey", "sum_qc", "cnt"]),
+            batch_format="pyarrow",
+        )
+        .groupby("l_partkey")
+        .aggregate(Sum("sum_qc", alias_name="sum_qc"), Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+        .sort_values("l_partkey")
+    )
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
+    ).to_pandas().sort_values("p_partkey")
+    keys = np.ascontiguousarray(stats["l_partkey"].to_numpy())
+    ref = ray.put(
+        (
+            keys,
+            np.ascontiguousarray(stats["sum_qc"].to_numpy(), dtype=np.int64),
+            np.ascontiguousarray(stats["cnt"].to_numpy(), dtype=np.int64),
+            np.ascontiguousarray(part["p_partkey"].to_numpy()),
+            part["p_brand"].to_numpy(),
+        )
+    )
+
+    import functools
+
+    def small_qty(batch: pa.Table, *, stats_ref) -> pa.Table:
+        import ray as _ray
+
+        keys_, sum_qc_, cnt_, pkeys_, brands_ = _ray.get(stats_ref)
+        pk = batch["l_partkey"].to_numpy(zero_copy_only=False)
+        qc = _cents(batch["l_quantity"]).to_numpy(zero_copy_only=False)
+        i = np.searchsorted(keys_, pk)  # every lineitem partkey is in stats
+        small = 5 * qc * cnt_[i] < sum_qc_[i]
+        if not small.any():
+            return pa.table(
+                {
+                    "p_brand": pa.array([], pa.string()),
+                    "n_small": pa.array([], pa.int64()),
+                    "sum_price_cents": pa.array([], pa.int64()),
+                }
+            )
+        brand = brands_[np.searchsorted(pkeys_, pk[small])]
+        price_c = _cents(batch["l_extendedprice"]).to_numpy(zero_copy_only=False)[small]
+        g = (
+            pa.table(
+                {
+                    "p_brand": pa.array(brand, pa.string()),
+                    "one": pa.array(np.ones(small.sum(), np.int64)),
+                    "price_c": pa.array(price_c, pa.int64()),
+                }
+            )
+            .group_by("p_brand")
+            .aggregate([("one", "sum"), ("price_c", "sum")])
+        )
+        return g.rename_columns(["p_brand", "n_small", "sum_price_cents"])
+
+    out = (
+        _read(sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice"])
+        .map_batches(
+            functools.partial(small_qty, stats_ref=ref), batch_format="pyarrow"
+        )
+        .groupby("p_brand")
+        .aggregate(
+            Sum("n_small", alias_name="n_small"),
+            Sum("sum_price_cents", alias_name="sum_price_cents"),
+        )
+        .to_pandas()
+    )
+    for c in ("n_small", "sum_price_cents"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("p_brand").reset_index(drop=True)
+
+
+def q13_customer_order_distribution(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q13 shape (two-level aggregation with zero-fill): the
+    distribution of per-customer order counts INCLUDING customers with no
+    orders. Level 1: orders pre-aggregate per batch then groupby custkey —
+    O(customers) rows out. Level 2: histogram of those counts is a tiny
+    second groupby; the c_count=0 bucket is total customers (a metadata
+    count) minus customers seen — no left join materializes. Output
+    (c_count, custdist) ordered (custdist DESC, c_count DESC), the TPC-H
+    Q13 order."""
+    per_cust = (
+        _read(sf_dir, "orders", ["o_custkey"])
+        .map_batches(
+            lambda b: pa.table({"o_custkey": b["o_custkey"]})
+            .group_by("o_custkey")
+            .aggregate([("o_custkey", "count")])
+            .rename_columns(["o_custkey", "n"]),
+            batch_format="pyarrow",
+        )
+        .groupby("o_custkey")
+        .aggregate(Sum("n", alias_name="c_count"))
+        .to_pandas()
+    )
+    n_customers = _read(sf_dir, "customer", ["c_custkey"]).count()
+    hist = per_cust.groupby("c_count").size().reset_index(name="custdist")
+    zero = int(n_customers) - len(per_cust)
+    if zero > 0:
+        hist = pd.concat(
+            [hist, pd.DataFrame({"c_count": [0], "custdist": [zero]})],
+            ignore_index=True,
+        )
+    hist["c_count"] = hist["c_count"].astype("int64")
+    hist["custdist"] = hist["custdist"].astype("int64")
+    return hist.sort_values(
+        ["custdist", "c_count"], ascending=[False, False]
+    ).reset_index(drop=True)

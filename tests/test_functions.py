@@ -407,6 +407,49 @@ def test_topk_per_priority_shape_and_order():
         assert g["o_orderkey"].tolist() == sub["o_orderkey"].tolist()
 
 
+def test_q17_small_quantity_matches_pandas():
+    from aarhus_ray.functions.relational import q17_small_quantity_revenue
+
+    out = q17_small_quantity_revenue(SF)
+    li = pq.read_table(f"{SF}/lineitem.parquet").to_pandas()
+    part = pq.read_table(f"{SF}/part.parquet").to_pandas()
+    li["qc"] = (li.l_quantity * 100).round().astype("int64")
+    li["pc"] = (li.l_extendedprice * 100).round().astype("int64")
+    st = li.groupby("l_partkey")["qc"].agg(["sum", "count"])
+    li = li.join(st, on="l_partkey")
+    small = li[5 * li["qc"] * li["count"] < li["sum"]].merge(
+        part, left_on="l_partkey", right_on="p_partkey"
+    )
+    want = (
+        small.groupby("p_brand")
+        .agg(n_small=("pc", "size"), sum_price_cents=("pc", "sum"))
+        .reset_index()
+        .sort_values("p_brand")
+        .reset_index(drop=True)
+    )
+    assert out.values.tolist() == want.values.tolist()
+
+
+def test_q13_order_distribution_includes_zero_bucket():
+    from aarhus_ray.functions.relational import q13_customer_order_distribution
+
+    out = q13_customer_order_distribution(SF)
+    orders = pq.read_table(f"{SF}/orders.parquet", columns=["o_custkey"]).to_pandas()
+    cust = pq.read_table(f"{SF}/customer.parquet", columns=["c_custkey"]).to_pandas()
+    counts = orders.groupby("o_custkey").size()
+    hist = counts.value_counts()
+    zero = len(cust) - len(counts)
+    assert int(out["custdist"].sum()) == len(cust)
+    if zero > 0:
+        assert int(out.loc[out["c_count"] == 0, "custdist"].iloc[0]) == zero
+    for c_count, custdist in hist.items():
+        assert int(out.loc[out["c_count"] == c_count, "custdist"].iloc[0]) == custdist
+    # frozen TPC-H Q13 order
+    assert out.sort_values(
+        ["custdist", "c_count"], ascending=[False, False]
+    ).values.tolist() == out.values.tolist()
+
+
 def test_bpe_token_counts_matches_regex():
     import re
 
