@@ -92,6 +92,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_stratified_sample": textstats.stratified_sample,  # reproducible mixture sampling
         "docs_pii_scrub": textstats.pii_scrub,  # PII detect + redact (vectorized RE2)
         "docs_length_histogram": textstats.length_histogram,  # dense token-length buckets
+        # sequence packing plan: global token offsets (distributed prefix
+        # sum — the watermark scan with SUM for MAX) + sequence spans
+        "docs_pack_sequences": textstats.pack_sequences,
+        # CCNet-style LM quality signal: per-doc corpus-unigram NLL in
+        # integer milli-nats (exact across engines)
+        "docs_unigram_nll": textstats.unigram_nll,
         "docs_repetition": textstats.repetition_signals,  # Gopher intra-doc repetition
         # --- dedup family (SURVEY §2.7 + extensions) ---
         "docs_source_stats": textstats.source_stats,  # per-domain accounting
@@ -687,6 +693,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(cnt.n, 0) AS BIGINT) AS n
             FROM sk LEFT JOIN cnt ON cnt.bucket = sk.bucket
             ORDER BY sk.bucket
+        """,
+        # packing plan: exclusive prefix sum of token counts in doc_id
+        # order, sliced into PACK_SEQ_LEN-token training sequences
+        "docs_pack_sequences": f"""
+            WITH t AS (SELECT doc_id, len({toks_nonempty}) AS n FROM documents),
+            c AS (SELECT doc_id, n,
+                         COALESCE(SUM(n) OVER (ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_start
+                  FROM t)
+            SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+                   CAST(tok_start AS BIGINT) AS tok_start,
+                   CAST(tok_start // {textstats.PACK_SEQ_LEN} AS BIGINT) AS seq_first,
+                   CAST((tok_start + n - 1) // {textstats.PACK_SEQ_LEN} AS BIGINT) AS seq_last
+            FROM c WHERE n > 0 ORDER BY doc_id
+        """,
+        # unigram NLL in milli-nats: counts are identical integers on both
+        # sides, so round(ln(c)*1000) agrees bitwise and the doc sum is
+        # pure int64 arithmetic
+        "docs_unigram_nll": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({toks_nonempty}) AS tok FROM documents),
+            cnt AS (SELECT tok, count(*) AS c FROM toks GROUP BY 1),
+            tot AS (SELECT CAST(round(ln(count(*)) * 1000) AS BIGINT) AS l FROM toks),
+            lt AS (SELECT tok, CAST(round(ln(c) * 1000) AS BIGINT) AS l FROM cnt)
+            SELECT t.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(count(*) * (SELECT l FROM tot) - SUM(lt.l) AS BIGINT) AS nll_milli
+            FROM toks t JOIN lt USING (tok)
+            GROUP BY 1 ORDER BY 1
         """,
         # Gopher repetition signals: per-doc 2-gram multiplicities and
         # repeated-3-gram positions; engine counts 64-bit gram hashes where

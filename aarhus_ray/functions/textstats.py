@@ -558,3 +558,156 @@ def length_histogram(sf_dir: str) -> pd.DataFrame:
     out["lo"] = (out["bucket"] * LENGTH_BUCKET).astype("int64")
     out["n"] = out["n"].astype("int64")
     return out[["bucket", "lo", "n"]].sort_values("bucket").reset_index(drop=True)
+
+
+PACK_SEQ_LEN = 256  # training sequence length (tokens)
+PACK_BUCKET = 64    # doc_id-range scan bucket (the two-phase-scan knob)
+
+
+def pack_sequences(sf_dir: str, seq_len: int = PACK_SEQ_LEN) -> pd.DataFrame:
+    """Sequence PACKING PLAN (GPT-style pretraining layout): documents
+    concatenated in doc_id order and sliced into fixed seq_len-token
+    training sequences; per doc the plan emits its global token offset and
+    first/last sequence index — enough for a loader to materialize any
+    sequence shard independently (sequence i depends only on docs
+    overlapping [i·L, (i+1)·L), which the plan locates WITHOUT touching
+    text). The global offset is a PREFIX SUM over doc_id order, run as the
+    same two-phase distributed scan as the watermark's prefix max
+    (windows._watermark_flags): per-bucket token totals (tiny groupby over
+    doc_id // PACK_BUCKET), an O(buckets) driver exclusive scan, per-bucket
+    local cumsum + carry-in via map_groups. Zero-token docs occupy no
+    sequence and are dropped (frozen). Oracle: SUM(n) OVER (ORDER BY
+    doc_id ROWS … 1 PRECEDING) — all integers, exact."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def counts(batch: pa.Table) -> pa.Table:
+        from ..textnorm import tokenize_flat
+
+        _, _, n_tok = tokenize_flat(batch["text"], np.arange(len(batch), dtype=np.uint64))
+        did = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(did, pa.int64()),
+                "n_tokens": pa.array(n_tok.astype(np.int64), pa.int64()),
+                "bucket": pa.array(did // PACK_BUCKET, pa.int64()),
+            }
+        )
+
+    counted = ds.map_batches(counts, batch_format="pyarrow")
+    totals = (
+        counted.groupby("bucket")
+        .aggregate(Sum("n_tokens", alias_name="tot"))
+        .to_pandas()
+        .sort_values("bucket")
+    )
+    excl = totals["tot"].cumsum().shift(1, fill_value=0)
+    carry = dict(zip(totals["bucket"].astype(int), excl.astype(np.int64)))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id")
+        n = g["n_tokens"].to_numpy()
+        start = np.int64(carry[int(g["bucket"].iloc[0])]) + np.concatenate(
+            ([0], np.cumsum(n[:-1]))
+        )
+        keep = n > 0
+        n, start = n[keep], start[keep]
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy()[keep],
+                "n_tokens": n,
+                "tok_start": start,
+                "seq_first": start // seq_len,
+                "seq_last": (start + n - 1) // seq_len,
+            }
+        )
+
+    out = (
+        counted.groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def unigram_nll(sf_dir: str) -> pd.DataFrame:
+    """CCNet-style LM-perplexity quality signal with the corpus ITSELF as
+    the language model: per doc, the total negative log-likelihood of its
+    tokens under the corpus unigram distribution (CCNet buckets docs into
+    head/middle/tail on exactly this kind of score; a KenLM 5-gram is the
+    production drop-in, the plumbing is identical). INTEGER-exact across
+    engines: per-term l_t = round(ln(count_t)·1000) milli-nats (counts are
+    the same integers on both sides, so libm log agrees bitwise) and
+    nll_milli = n_tokens·round(ln(total)·1000) − Σ tf·l_t — no
+    order-dependent float sum anywhere. Two passes: the term-count groupby
+    (vocab-sized, the term_counts_top50 exchange), then the vocab
+    broadcast (ray.put sorted arrays, np.searchsorted + bincount per
+    batch). At 10^12 tokens the vocab shards by term hash instead and
+    doc NLL sums via one groupby(doc) — the same partial-sum shape.
+    Zero-token docs are dropped (frozen, the packing rule)."""
+    import ray
+
+    from ..textnorm import tokenize_flat
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def term_partial(batch: pa.Table) -> pa.Table:
+        flat, _, _ = tokenize_flat(batch["text"], np.arange(len(batch), dtype=np.uint64))
+        g = pa.table({"tok": flat}).group_by("tok").aggregate([("tok", "count")])
+        return g.rename_columns(["tok", "n"])
+
+    vocab = (
+        ds.map_batches(term_partial, batch_format="pyarrow")
+        .groupby("tok")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values("tok")
+    )
+    total = int(vocab["n"].sum())
+    l_tot = np.int64(np.round(np.log(float(total)) * 1000.0))
+    terms = pa.array(vocab["tok"].tolist(), pa.string())
+    l_term = np.round(np.log(vocab["n"].to_numpy().astype(np.float64)) * 1000.0).astype(
+        np.int64
+    )
+    ref = ray.put((terms, l_term))
+
+    import functools
+
+    def doc_nll(batch: pa.Table, *, vocab_ref) -> pa.Table:
+        import ray as _ray
+
+        terms_, l_ = _ray.get(vocab_ref)
+        flat, flat_docs, n_tok = tokenize_flat(
+            batch["text"], np.arange(len(batch), dtype=np.uint64)
+        )
+        import pyarrow.compute as pc
+
+        rows = flat_docs.astype(np.int64)
+        idx = pc.index_in(flat, value_set=terms_).to_numpy(zero_copy_only=False)
+        li = l_[idx.astype(np.int64)]  # every corpus token is in the vocab
+        sum_l = np.bincount(rows, weights=li.astype(np.float64), minlength=len(batch))
+        # bincount weights are float64 but every addend is an integer
+        # < 2^53 — the sum is exact (the repo's integer-cents argument)
+        nll = n_tok.astype(np.int64) * l_tot - sum_l.astype(np.int64)
+        did = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = n_tok > 0
+        return pa.table(
+            {
+                "doc_id": pa.array(did[keep], pa.int64()),
+                "n_tokens": pa.array(n_tok[keep].astype(np.int64), pa.int64()),
+                "nll_milli": pa.array(nll[keep], pa.int64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(functools.partial(doc_nll, vocab_ref=ref), batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out

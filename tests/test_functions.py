@@ -450,6 +450,50 @@ def test_q13_order_distribution_includes_zero_bucket():
     ).values.tolist() == out.values.tolist()
 
 
+def test_pack_sequences_matches_sequential_cumsum():
+    from aarhus_ray.functions.textstats import PACK_SEQ_LEN, pack_sequences
+    from aarhus_ray.textnorm import tokenize
+
+    out = pack_sequences(SF)
+    docs = (
+        pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    n = docs["text"].map(lambda t: len(tokenize(t))).to_numpy()
+    start = np.concatenate(([0], np.cumsum(n[:-1])))
+    keep = n > 0
+    assert out["doc_id"].tolist() == docs["doc_id"].to_numpy()[keep].tolist()
+    assert out["tok_start"].tolist() == start[keep].tolist()
+    assert out["seq_first"].tolist() == (start[keep] // PACK_SEQ_LEN).tolist()
+    assert (
+        out["seq_last"].tolist()
+        == ((start[keep] + n[keep] - 1) // PACK_SEQ_LEN).tolist()
+    )
+    # plan invariant: consecutive docs tile the token stream gap-free
+    ts, nt = out["tok_start"].to_numpy(), out["n_tokens"].to_numpy()
+    assert (ts[1:] == ts[:-1] + nt[:-1]).all()
+
+
+def test_unigram_nll_matches_counter_recompute():
+    from collections import Counter
+
+    from aarhus_ray.functions.textstats import unigram_nll
+    from aarhus_ray.textnorm import tokenize
+
+    out = unigram_nll(SF)
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+    toks = {int(d): tokenize(t) for d, t in zip(docs["doc_id"], docs["text"])}
+    cnt = Counter(t for ts in toks.values() for t in ts)
+    total = sum(cnt.values())
+    l_tot = int(np.round(np.log(float(total)) * 1000.0))
+    l_of = {t: int(np.round(np.log(float(c)) * 1000.0)) for t, c in cnt.items()}
+    for _, row in out.head(50).iterrows():
+        ts = toks[int(row["doc_id"])]
+        assert int(row["n_tokens"]) == len(ts)
+        assert int(row["nll_milli"]) == len(ts) * l_tot - sum(l_of[t] for t in ts)
+
+
 def test_bpe_token_counts_matches_regex():
     import re
 
