@@ -78,6 +78,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # and what it emits hourly vs the batch-perfect answer
         "events_late_ids": windows.events_late_ids,
         "events_watermark_hourly": windows.events_watermark_hourly,
+        # ordered funnel (signup -> view -> purchase, unlimited window):
+        # per-step user counts with the greedy earliest-anchor rule
+        "events_funnel": windows.events_funnel,
         "events_value_median": windows.events_value_median,  # exact histogram percentile
         "events_value_quantiles": windows.events_value_quantiles,  # exact p25/50/75/90/99, same histogram
         # --- text analysis over documents ---
@@ -501,6 +504,35 @@ def oracle_sql() -> dict[str, str]:
             FROM w WHERE pmax IS NULL
                OR pmax - ts <= INTERVAL {windows.WM_LATENESS_S} SECONDS
             GROUP BY 1 ORDER BY 1
+        """,
+        # ordered funnel, first-touch attribution: chained
+        # MIN(ts)-in-window CTEs (anchor = earliest qualifying event)
+        "events_funnel": f"""
+            WITH u1 AS (SELECT user_id, MIN(ts) AS t FROM events
+                        WHERE event_type = '{windows.FUNNEL_STEPS[0]}' GROUP BY 1),
+            u2 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+                   JOIN u1 USING (user_id)
+                   WHERE e.event_type = '{windows.FUNNEL_STEPS[1]}'
+                     AND e.ts > u1.t
+                     AND e.ts <= u1.t + INTERVAL {windows.FUNNEL_WINDOW_H} HOURS
+                   GROUP BY 1),
+            u3 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+                   JOIN u2 USING (user_id)
+                   WHERE e.event_type = '{windows.FUNNEL_STEPS[2]}'
+                     AND e.ts > u2.t
+                     AND e.ts <= u2.t + INTERVAL {windows.FUNNEL_WINDOW_H} HOURS
+                   GROUP BY 1)
+            SELECT * FROM (
+              SELECT CAST(1 AS BIGINT) AS step,
+                     '{windows.FUNNEL_STEPS[0]}' AS event_type,
+                     CAST(count(*) AS BIGINT) AS n_users FROM u1
+              UNION ALL
+              SELECT CAST(2 AS BIGINT), '{windows.FUNNEL_STEPS[1]}',
+                     CAST(count(*) AS BIGINT) FROM u2
+              UNION ALL
+              SELECT CAST(3 AS BIGINT), '{windows.FUNNEL_STEPS[2]}',
+                     CAST(count(*) AS BIGINT) FROM u3
+            ) ORDER BY step
         """,
         # range join: same-user views in [click.ts - 10min, click.ts)
         "events_range_join_prior_views": """

@@ -462,3 +462,53 @@ def events_watermark_hourly(sf_dir: str) -> pd.DataFrame:
     for c in ("n_events", "sum_value_floor_cents"):
         out[c] = out[c].astype("int64")
     return out.sort_values("window_start").reset_index(drop=True)
+
+
+FUNNEL_STEPS = ("signup", "view", "purchase")  # frozen ordered funnel
+FUNNEL_WINDOW_H = 48  # per-step conversion window (hours)
+
+
+def events_funnel(sf_dir: str) -> pd.DataFrame:
+    """ORDERED FUNNEL analysis (the product-analytics primitive; the
+    Mixpanel/Amplitude "funnel" with a per-step conversion window):
+    how many users performed FUNNEL_STEPS in order, each step within
+    FUNNEL_WINDOW_H hours of the previous one. FIRST-TOUCH attribution,
+    frozen: the anchor for step i is the EARLIEST step-i event in
+    (anchor_{i-1}, anchor_{i-1} + window] — deterministic and
+    SQL-replayable; note this deliberately is NOT exists-any-path
+    semantics (a later signup whose window converts is not credited —
+    the standard first-touch trade, documented). One groupby(user_id)
+    gather — the same stream-shaped partitioning every sessionization op
+    here uses — then a per-user min-in-window chain; the per-step counts
+    are a tiny groupby fold. Output (step, event_type, n_users); oracle:
+    chained MIN(ts)-in-window CTEs."""
+    ds = _events(sf_dir, ["ts", "user_id", "event_type"])
+    steps = FUNNEL_STEPS
+    window = np.timedelta64(FUNNEL_WINDOW_H * 3600, "s")
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        reached = np.zeros(len(steps), dtype=np.int64)
+        anchor = None
+        for i, step in enumerate(steps):
+            ts = g.loc[g["event_type"] == step, "ts"]
+            if anchor is not None:
+                ts = ts[(ts > anchor) & (ts <= anchor + window)]
+            if len(ts) == 0:
+                break
+            anchor = ts.min()
+            reached[i] = 1
+        return pd.DataFrame({"step": np.arange(1, len(steps) + 1), "n": reached})
+
+    agg = (
+        ds.groupby("user_id")
+        .map_groups(per_user, batch_format="pandas")
+        .groupby("step")
+        .aggregate(Sum("n", alias_name="n_users"))
+        .to_pandas()
+        .sort_values("step")
+        .reset_index(drop=True)
+    )
+    agg["event_type"] = [steps[int(s) - 1] for s in agg["step"]]
+    for c in ("step", "n_users"):
+        agg[c] = agg[c].astype("int64")
+    return agg[["step", "event_type", "n_users"]]

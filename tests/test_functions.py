@@ -188,6 +188,33 @@ def test_watermark_matches_sequential_replay():
     assert dropped == len(out)
 
 
+def test_funnel_matches_sequential_per_user_replay():
+    from aarhus_ray.functions.windows import (
+        FUNNEL_STEPS,
+        FUNNEL_WINDOW_H,
+        events_funnel,
+    )
+
+    out = events_funnel(SF)
+    df = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    window = np.timedelta64(FUNNEL_WINDOW_H * 3600, "s")
+    want = np.zeros(len(FUNNEL_STEPS), dtype=np.int64)
+    for _, g in df.groupby("user_id"):
+        anchor = None
+        for i, step in enumerate(FUNNEL_STEPS):
+            ts = g.loc[g["event_type"] == step, "ts"]
+            if anchor is not None:
+                ts = ts[(ts > anchor) & (ts <= anchor + window)]
+            if len(ts) == 0:
+                break
+            anchor = ts.min()
+            want[i] += 1
+    assert out["n_users"].tolist() == want.tolist()
+    assert list(out["event_type"]) == list(FUNNEL_STEPS)
+    # funnel monotonicity: each step can only lose users
+    assert (np.diff(out["n_users"].to_numpy()) <= 0).all()
+
+
 def test_asof_join_matches_pandas_global():
     from aarhus_ray.functions.windows import events_asof_click_view
 
