@@ -132,6 +132,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only here, recall/exactness pinned by
         # tests/test_functions.py::test_pq_search_recall_and_exact_rerank
         "knn_pq": ann.pq_search,
+        # kNN-graph construction: top-k neighbors of EVERY vector (blocked
+        # GEMM vs one broadcast corpus; O(n*k) shuffle bytes)
+        "knn_graph": ann.knn_graph,
         "embedding_label_centroids": ann.label_centroids,  # distributed k-means/IVF primitive
         # full iterative Lloyd's k-means (frozen init/tie/empty rules);
         # iterative ≠ SQL → rows-only at the driver, pinned by
@@ -1020,6 +1023,24 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings ORDER BY vec_a
         """,
         "knn_cosine_bruteforce": _KNN_BRUTE_SQL,
+        # kNN graph: DOUBLE[]-cast cosine (float64 in DuckDB, 1 ulp from
+        # numpy — measured) so the per-vector ranking replays exactly;
+        # exact-clone ties resolve by the frozen nbr_id ASC on both sides
+        "knn_graph": f"""
+            WITH c AS (
+              SELECT a.vec_id, b.vec_id AS nbr_id,
+                     list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[])) AS cos
+              FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+            ),
+            r AS (SELECT vec_id, nbr_id, cos,
+                         row_number() OVER (PARTITION BY vec_id
+                                            ORDER BY cos DESC, nbr_id) AS rank
+                  FROM c)
+            SELECT vec_id, CAST(rank AS INTEGER) AS rank, nbr_id, round(cos, 3) AS cos
+            FROM r WHERE rank <= {ann.KNN_GRAPH_K}
+            ORDER BY vec_id, rank
+        """,
         "knn_cosine_filtered": _KNN_FILTERED_SQL,
         "knn_radius": _KNN_RADIUS_SQL,
         # sign-LSH probe semantics are deterministic and SQL-expressible —

@@ -834,3 +834,81 @@ def pq_search(sf_dir: str, k: int = 10, rerank_c: int = PQ_RERANK_C) -> pd.DataF
     out = out.sort_values(["cos", "vec_id"], ascending=[False, True]).head(k)
     out["cos"] = out["cos"].round(3)
     return out.reset_index(drop=True)
+
+
+KNN_GRAPH_K = 3  # neighbors per vector (the kNN-graph construction degree)
+
+
+def knn_graph(sf_dir: str, k: int = KNN_GRAPH_K) -> pd.DataFrame:
+    """kNN-GRAPH construction: the top-k cosine neighbors of EVERY vector
+    (the all-pairs primitive under HNSW/NN-descent builds and
+    graph-based near-dup clustering) — not one query's top-k but n of
+    them. Executed as a blocked matmul join: the row-normalized corpus
+    broadcasts ONCE (ray.put), each batch computes its block of the
+    cosine matrix with one float64 GEMM, masks the diagonal, and emits
+    its own top-k rows — O(n²) flops but O(n·k) shuffle bytes, embar-
+    rassingly parallel over row blocks. At 10^12 vectors the broadcast
+    side shards by IVF cell and each block joins only neighboring cells
+    (the PQ/IVF scale path); the per-block GEMM+top-k shape is unchanged.
+    Frozen order per vector: cos DESC (float64, unrounded), nbr ASC;
+    output cos rounded 3dp. Oracle: a DOUBLE[]-cast cross join (float64
+    inside DuckDB, 1-ulp from numpy — measured) + row_number ≤ k."""
+    emb_path = f"{sf_dir}/embeddings.parquet"
+    tbl = pq.read_table(emb_path, columns=["vec_id", "embedding"])
+    ids = tbl["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(ids)
+    E = np.array(tbl["embedding"].to_pylist(), dtype=np.float64)[order]
+    En = E / np.linalg.norm(E, axis=1, keepdims=True)
+    ids = ids[order]
+    corpus_ref = ray.put((ids, En))
+
+    import functools
+
+    def block_topk(batch: pa.Table, *, ref, k_) -> pa.Table:
+        import ray as _ray
+
+        ids_, En_ = _ray.get(ref)
+        bid = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        col = batch["embedding"].combine_chunks()
+        m = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64).reshape(len(batch), -1)
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        cos = m @ En_.T  # one GEMM per block
+        # mask self-similarity (every batch vec_id exists in the corpus)
+        cos[np.arange(len(bid)), np.searchsorted(ids_, bid)] = -np.inf
+        # per-row top-k, frozen (cos DESC, nbr_id ASC). The candidate
+        # window is k+8 and argpartition's kth covers the WHOLE window, so
+        # exact-duplicate cosines at the k-th boundary (the planted clone
+        # vectors) always land inside it and the lexsort tie-break sees them
+        w = min(k_ + 8, cos.shape[1] - 1)
+        part = np.argpartition(-cos, w, axis=1)[:, : w + 1]
+        rows_out, ranks, nbrs, cs = [], [], [], []
+        for r in range(len(bid)):
+            cand = part[r]
+            o = np.lexsort((ids_[cand], -cos[r][cand]))[:k_]
+            sel = cand[o]
+            rows_out.extend([bid[r]] * k_)
+            ranks.extend(range(1, k_ + 1))
+            nbrs.extend(ids_[sel])
+            cs.extend(cos[r][sel])
+        return pa.table(
+            {
+                "vec_id": pa.array(np.asarray(rows_out, np.int64), pa.int64()),
+                "rank": pa.array(np.asarray(ranks, np.int32), pa.int32()),
+                "nbr_id": pa.array(np.asarray(nbrs, np.int64), pa.int64()),
+                "cos": pa.array(np.asarray(cs, np.float64), pa.float64()),
+            }
+        )
+
+    out = (
+        ray.data.read_parquet(emb_path, columns=["vec_id", "embedding"])
+        .map_batches(
+            functools.partial(block_topk, ref=corpus_ref, k_=k),
+            batch_format="pyarrow",
+            batch_size=1024,
+        )
+        .to_pandas()
+        .sort_values(["vec_id", "rank"])
+        .reset_index(drop=True)
+    )
+    out["cos"] = out["cos"].round(3)
+    return out

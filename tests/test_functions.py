@@ -103,6 +103,30 @@ def test_pq_search_recall_and_exact_rerank():
     assert all(cos_of[v] == c for v, c in zip(out["vec_id"], out["cos"]))
 
 
+def test_knn_graph_matches_full_matrix():
+    from aarhus_ray.functions.ann import KNN_GRAPH_K, knn_graph
+
+    out = knn_graph(SF)
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+    order = np.argsort(ids)
+    ids = ids[order]
+    E = np.array(t["embedding"].to_pylist(), dtype=np.float64)[order]
+    En = E / np.linalg.norm(E, axis=1, keepdims=True)
+    cos = En @ En.T
+    np.fill_diagonal(cos, -np.inf)
+    rows = []
+    for i in range(len(ids)):
+        o = np.lexsort((ids, -cos[i]))[:KNN_GRAPH_K]
+        for rk, j in enumerate(o, 1):
+            rows.append([int(ids[i]), rk, int(ids[j]), round(float(cos[i, j]), 3)])
+    want = sorted(rows)
+    assert out.values.tolist() == want
+    # every vector appears with exactly K neighbors and no self-loop
+    assert (out.groupby("vec_id").size() == KNN_GRAPH_K).all()
+    assert (out["vec_id"] != out["nbr_id"]).all()
+
+
 def test_lsh_probe_matches_direct_replay():
     from aarhus_ray.functions.ann import knn_cosine_lsh, sign_signature
 
