@@ -81,6 +81,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ordered funnel (signup -> view -> purchase, unlimited window):
         # per-step user counts with the greedy earliest-anchor rule
         "events_funnel": windows.events_funnel,
+        # cohort retention triangle: users cohorted by first-event day,
+        # distinct-active counts per (cohort_day, day offset)
+        "events_retention_cohorts": windows.events_retention_cohorts,
+        # top-k ordered event_type paths over each user's first 3 events
+        "events_user_paths": windows.events_user_paths,
         "events_value_median": windows.events_value_median,  # exact histogram percentile
         "events_value_quantiles": windows.events_value_quantiles,  # exact p25/50/75/90/99, same histogram
         # --- text analysis over documents ---
@@ -536,6 +541,36 @@ def oracle_sql() -> dict[str, str]:
               SELECT CAST(3 AS BIGINT), '{windows.FUNNEL_STEPS[2]}',
                      CAST(count(*) AS BIGINT) FROM u3
             ) ORDER BY step
+        """,
+        # cohort retention: first-event-day cohorts x distinct active-day
+        # offsets; day arithmetic pinned to date_trunc (exact on ts[us])
+        "events_retention_cohorts": """
+            WITH ud AS (SELECT DISTINCT user_id,
+                               CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+                        FROM events),
+            c AS (SELECT user_id, MIN(day) AS cohort_day FROM ud GROUP BY 1)
+            SELECT c.cohort_day,
+                   CAST(date_diff('day', c.cohort_day, ud.day) AS BIGINT) AS offset_days,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM ud JOIN c USING (user_id)
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        # top-k first-3-event paths: ordered string_agg per user (ts,
+        # event_id frozen order), count, (n DESC, path ASC) rank
+        "events_user_paths": f"""
+            WITH o AS (SELECT user_id, event_type,
+                              row_number() OVER (PARTITION BY user_id
+                                                 ORDER BY ts, event_id) AS rn
+                       FROM events),
+            p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+                  FROM o WHERE rn <= {windows.PATH_LEN} GROUP BY 1),
+            cnt AS (SELECT path, count(*) AS n_users FROM p GROUP BY 1),
+            r AS (SELECT path, n_users,
+                         row_number() OVER (ORDER BY n_users DESC, path) AS rank
+                  FROM cnt)
+            SELECT CAST(rank AS BIGINT) AS rank, path,
+                   CAST(n_users AS BIGINT) AS n_users
+            FROM r WHERE rank <= {windows.PATH_TOP_K} ORDER BY rank
         """,
         # range join: same-user views in [click.ts - 10min, click.ts)
         "events_range_join_prior_views": """

@@ -12,7 +12,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
-from ray.data.aggregate import Sum
+from ray.data.aggregate import Count, Sum
 
 
 def _events(sf_dir: str, columns=None) -> ray.data.Dataset:
@@ -512,3 +512,75 @@ def events_funnel(sf_dir: str) -> pd.DataFrame:
     for c in ("step", "n_users"):
         agg[c] = agg[c].astype("int64")
     return agg[["step", "event_type", "n_users"]]
+
+
+_US_PER_DAY = np.int64(86_400) * 1_000_000
+
+
+def events_retention_cohorts(sf_dir: str) -> pd.DataFrame:
+    """COHORT RETENTION analysis (the product-analytics retention
+    triangle): users are cohorted by the UTC day of their first event;
+    for every (cohort_day, offset_days) cell, how many of that cohort's
+    users were active offset_days later. One groupby(user_id) gather —
+    the same stream partitioning sessionize/funnel use — emitting each
+    user's (cohort_day, distinct day offsets) pairs, then a tiny
+    (cohort_day, offset) count fold. Day arithmetic is exact integer
+    microseconds (ts_us // 86400e6). At 10^12 events the per-user state
+    is a handful of day ints; the cohort matrix is days² — driver-safe
+    forever. Output (cohort_day ts[us], offset_days, n_users)."""
+    ds = _events(sf_dir, ["ts", "user_id"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        days = np.unique(g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64) // _US_PER_DAY)
+        return pd.DataFrame(
+            {"cohort_day": np.full(len(days), days[0]), "offset_days": days - days[0]}
+        )
+
+    out = (
+        ds.groupby("user_id")
+        .map_groups(per_user, batch_format="pandas")
+        .groupby(["cohort_day", "offset_days"])
+        .aggregate(Count(alias_name="n_users"))
+        .to_pandas()
+    )
+    out["cohort_day"] = pd.to_datetime(out["cohort_day"] * _US_PER_DAY, unit="us").astype(
+        "datetime64[us]"
+    )
+    out = out.sort_values(["cohort_day", "offset_days"]).reset_index(drop=True)
+    for c in ("offset_days", "n_users"):
+        out[c] = out[c].astype("int64")
+    return out[["cohort_day", "offset_days", "n_users"]]
+
+
+PATH_LEN = 3  # first-P-events path prefix
+PATH_TOP_K = 10  # most common paths reported
+
+
+def events_user_paths(sf_dir: str, p: int = PATH_LEN, k: int = PATH_TOP_K) -> pd.DataFrame:
+    """TOP-K USER PATHS (GA/Amplitude "path analysis"): the most common
+    ordered event_type sequence over each user's first ``p`` events
+    (order frozen: ts ASC, event_id ASC on ties; users with fewer than
+    ``p`` events contribute their full shorter path). groupby(user_id)
+    gather → per-user path string ('>'-joined) → groupby(path) count →
+    top-k (n DESC, path ASC). Path cardinality ≤ |event_types|^p, so the
+    final fold is tiny at any corpus size. Output (rank, path,
+    n_users)."""
+    ds = _events(sf_dir, ["ts", "user_id", "event_id", "event_type"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"]).head(p)
+        return pd.DataFrame({"path": [">".join(g["event_type"].tolist())]})
+
+    counts = (
+        ds.groupby("user_id")
+        .map_groups(per_user, batch_format="pandas")
+        .groupby("path")
+        .aggregate(Count(alias_name="n_users"))
+        .to_pandas()
+        .sort_values(["n_users", "path"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+    counts.insert(0, "rank", np.arange(1, len(counts) + 1, dtype=np.int64))
+    counts["n_users"] = counts["n_users"].astype("int64")
+    return counts[["rank", "path", "n_users"]]

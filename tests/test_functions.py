@@ -6,6 +6,7 @@ import hashlib
 import json
 
 import numpy as np
+import pandas as pd
 import pyarrow.parquet as pq
 import pytest
 
@@ -1867,3 +1868,52 @@ def test_dedup_survivors_cc_keeps_one_per_component():
     for cid, g in clusters.groupby("cluster_id"):
         members = set(g["doc_id"])
         assert surv & members == {min(members)}
+
+
+def test_retention_cohorts_match_pandas_replay():
+    from aarhus_ray.functions.windows import events_retention_cohorts
+
+    out = events_retention_cohorts(SF)
+    df = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    day = df["ts"].to_numpy().astype("datetime64[D]")
+    pairs = pd.DataFrame({"user_id": df["user_id"], "day": day}).drop_duplicates()
+    cohort = pairs.groupby("user_id")["day"].min().rename("cohort_day")
+    j = pairs.join(cohort, on="user_id")
+    j["offset_days"] = (j["day"] - j["cohort_day"]).dt.days
+    want = (
+        j.groupby(["cohort_day", "offset_days"])
+        .size()
+        .rename("n_users")
+        .reset_index()
+        .sort_values(["cohort_day", "offset_days"])
+        .reset_index(drop=True)
+    )
+    assert out["offset_days"].tolist() == want["offset_days"].tolist()
+    assert out["n_users"].tolist() == want["n_users"].tolist()
+    assert (
+        out["cohort_day"].to_numpy().astype("datetime64[D]")
+        == want["cohort_day"].to_numpy().astype("datetime64[D]")
+    ).all()
+    # offset 0 of each cohort counts the whole cohort (every user is
+    # active on their own first day)
+    o0 = out[out["offset_days"] == 0].set_index("cohort_day")["n_users"]
+    sizes = cohort.value_counts()
+    assert all(int(o0[d]) == int(sizes[d]) for d in o0.index)
+
+
+def test_user_paths_match_pandas_replay():
+    from aarhus_ray.functions.windows import PATH_LEN, PATH_TOP_K, events_user_paths
+
+    out = events_user_paths(SF)
+    df = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    paths = (
+        df.sort_values(["ts", "event_id"])
+        .groupby("user_id")["event_type"]
+        .apply(lambda s: ">".join(s.head(PATH_LEN)))
+    )
+    cnt = paths.value_counts().rename("n_users").reset_index()
+    cnt.columns = ["path", "n_users"]
+    cnt = cnt.sort_values(["n_users", "path"], ascending=[False, True]).head(PATH_TOP_K)
+    assert out["path"].tolist() == cnt["path"].tolist()
+    assert out["n_users"].tolist() == cnt["n_users"].tolist()
+    assert out["rank"].tolist() == list(range(1, len(out) + 1))
