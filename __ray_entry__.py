@@ -64,6 +64,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # correlated aggregate subquery (Q17): per-part avg threshold,
         # integer-exact (5·qty_c·cnt < sum_qc), broadcast stats join-back
         "q17_small_quantity_revenue": relational.q17_small_quantity_revenue,
+        # Q18 shape: HAVING-tail semi-join (pre-agg qty per order, broadcast
+        # the bounded qualifying keyset into orders/customer)
+        "q18_large_volume_customers": relational.q18_large_volume_customers,
         # two-level aggregation with zero-fill (Q13): order-count histogram
         "q13_customer_order_distribution": relational.q13_customer_order_distribution,
         # --- stream-shaped ops over events (SURVEY §2.10) ---
@@ -352,7 +355,15 @@ _KNN_FILTERED_SQL = """
 
 
 def oracle_sql() -> dict[str, str]:
-    from aarhus_ray.functions import ann, cleaning, dedup, fulltext, textstats, windows
+    from aarhus_ray.functions import (
+        ann,
+        cleaning,
+        dedup,
+        fulltext,
+        relational,
+        textstats,
+        windows,
+    )
 
     # ASCII-ONLY ASSUMPTION (verified by tests/test_functions.py::
     # test_driver_corpus_is_ascii): these oracles tokenize with lower(text)
@@ -399,6 +410,24 @@ def oracle_sql() -> dict[str, str]:
             JOIN part p ON p.p_partkey = l.l_partkey
             WHERE 5 * CAST(round(l.l_quantity*100) AS BIGINT) * s.cnt < s.sum_qc
             GROUP BY 1 ORDER BY 1
+        """,
+        # Q18 shape: HAVING-tail qty sum + order/customer join, frozen
+        # (price DESC, date, orderkey) top-100
+        "q18_large_volume_customers": f"""
+            WITH big AS (
+              SELECT l_orderkey,
+                     CAST(SUM(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_cents
+              FROM lineitem GROUP BY 1
+              HAVING SUM(CAST(round(l_quantity*100) AS BIGINT)) > {relational.Q18_QTY_CENTS}
+            )
+            SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+                   CAST(round(o.o_totalprice*100) AS BIGINT) AS total_price_cents,
+                   b.sum_qty_cents
+            FROM big b
+            JOIN orders o ON o.o_orderkey = b.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            ORDER BY total_price_cents DESC, o.o_orderdate, o.o_orderkey
+            LIMIT {relational.Q18_LIMIT}
         """,
         # Q13 shape: per-customer order counts incl. the zero bucket
         "q13_customer_order_distribution": """

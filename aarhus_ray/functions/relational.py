@@ -577,3 +577,90 @@ def q13_customer_order_distribution(sf_dir: str) -> pd.DataFrame:
     return hist.sort_values(
         ["custdist", "c_count"], ascending=[False, False]
     ).reset_index(drop=True)
+
+
+Q18_QTY_CENTS = 30_000  # HAVING sum(l_quantity) > 300, in integer cents
+Q18_LIMIT = 100
+
+
+def q18_large_volume_customers(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q18 shape (groupby-HAVING semi-join): customers whose orders
+    total more than 300 units of quantity, with order header and customer
+    name, top-100 by (totalprice DESC, orderdate ASC, orderkey ASC —
+    frozen tie). The only wide exchange is the pre-aggregated
+    groupby(l_orderkey) qty sum; the HAVING tail it keeps is the extreme
+    right of the per-order distribution (46 of 15k orders at sf0.01), so
+    collecting it is bounded BY CONSTRUCTION at any corpus size — the
+    threshold defines a top-tail, not a fraction. Orders and customer are
+    then pruned with broadcast key sets (ray.put once, np.isin per
+    batch); the final ≤LIMIT-row merge is driver-side. Money/qty in
+    integer cents throughout."""
+    big = (
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+        .map_batches(
+            lambda b: pa.table(
+                {"l_orderkey": b["l_orderkey"], "qc": _cents(b["l_quantity"])}
+            )
+            .group_by("l_orderkey")
+            .aggregate([("qc", "sum")])
+            .rename_columns(["l_orderkey", "sum_qc"]),
+            batch_format="pyarrow",
+        )
+        .groupby("l_orderkey")
+        .aggregate(Sum("sum_qc", alias_name="sum_qty_cents"))
+        .map_batches(
+            lambda df: df[df["sum_qty_cents"] > Q18_QTY_CENTS], batch_format="pandas"
+        )
+        .to_pandas()
+    )
+    okeys = np.sort(big["l_orderkey"].to_numpy())
+    okey_ref = ray.put(okeys)
+
+    import functools
+
+    def keep_orders(batch: pa.Table, *, ref) -> pa.Table:
+        import ray as _ray
+
+        keys_ = _ray.get(ref)
+        mask = np.isin(batch["o_orderkey"].to_numpy(zero_copy_only=False), keys_)
+        return batch.filter(pa.array(mask))
+
+    orders = (
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+        .map_batches(functools.partial(keep_orders, ref=okey_ref), batch_format="pyarrow")
+        .to_pandas()
+    )
+    ckey_ref = ray.put(np.unique(orders["o_custkey"].to_numpy()))
+
+    def keep_custs(batch: pa.Table, *, ref) -> pa.Table:
+        import ray as _ray
+
+        keys_ = _ray.get(ref)
+        mask = np.isin(batch["c_custkey"].to_numpy(zero_copy_only=False), keys_)
+        return batch.filter(pa.array(mask))
+
+    cust = (
+        _read(sf_dir, "customer", ["c_custkey", "c_name"])
+        .map_batches(functools.partial(keep_custs, ref=ckey_ref), batch_format="pyarrow")
+        .to_pandas()
+    )
+    out = orders.merge(big, left_on="o_orderkey", right_on="l_orderkey").merge(
+        cust, left_on="o_custkey", right_on="c_custkey"
+    )
+    out["total_price_cents"] = np.round(out["o_totalprice"].to_numpy() * 100.0).astype(
+        np.int64
+    )
+    out["o_orderdate"] = out["o_orderdate"].astype("datetime64[us]")
+    out = (
+        out.sort_values(
+            ["total_price_cents", "o_orderdate", "o_orderkey"],
+            ascending=[False, True, True],
+        )
+        .head(Q18_LIMIT)
+        .reset_index(drop=True)
+    )
+    for c in ("c_custkey", "o_orderkey", "sum_qty_cents"):
+        out[c] = out[c].astype("int64")
+    return out[
+        ["c_name", "c_custkey", "o_orderkey", "o_orderdate", "total_price_cents", "sum_qty_cents"]
+    ]

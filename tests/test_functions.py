@@ -1917,3 +1917,28 @@ def test_user_paths_match_pandas_replay():
     assert out["path"].tolist() == cnt["path"].tolist()
     assert out["n_users"].tolist() == cnt["n_users"].tolist()
     assert out["rank"].tolist() == list(range(1, len(out) + 1))
+
+
+def test_q18_matches_pandas_replay():
+    from aarhus_ray.functions.relational import Q18_QTY_CENTS, q18_large_volume_customers
+
+    out = q18_large_volume_customers(SF)
+    li = pq.read_table(f"{SF}/lineitem.parquet").to_pandas()
+    li["qc"] = np.round(li["l_quantity"].to_numpy() * 100.0).astype(np.int64)
+    big = li.groupby("l_orderkey")["qc"].sum()
+    big = big[big > Q18_QTY_CENTS]
+    assert len(big) > 0  # the fixture must exercise the HAVING tail
+    od = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+    cu = pq.read_table(f"{SF}/customer.parquet").to_pandas()
+    j = od[od["o_orderkey"].isin(big.index)].merge(
+        cu[["c_custkey", "c_name"]], left_on="o_custkey", right_on="c_custkey"
+    )
+    j["total_price_cents"] = np.round(j["o_totalprice"].to_numpy() * 100.0).astype(np.int64)
+    j["sum_qty_cents"] = big.loc[j["o_orderkey"]].to_numpy()
+    want = j.sort_values(
+        ["total_price_cents", "o_orderdate", "o_orderkey"], ascending=[False, True, True]
+    ).head(100)
+    assert out["o_orderkey"].tolist() == want["o_orderkey"].tolist()
+    assert out["c_name"].tolist() == want["c_name"].tolist()
+    assert out["total_price_cents"].tolist() == want["total_price_cents"].tolist()
+    assert out["sum_qty_cents"].tolist() == want["sum_qty_cents"].tolist()
