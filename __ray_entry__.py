@@ -101,6 +101,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_winnow_fingerprints": textstats.winnow_fingerprints,  # MOSS rolling-window
         "docs_lang_counts": textstats.lang_counts,
         "docs_stratified_sample": textstats.stratified_sample,  # reproducible mixture sampling
+        # RAG sliding-window chunking: overlapping char windows, md5-pinned
+        "docs_chunk_overlap": textstats.chunk_overlap,
         "docs_pii_scrub": textstats.pii_scrub,  # PII detect + redact (vectorized RE2)
         "docs_length_histogram": textstats.length_histogram,  # dense token-length buckets
         # sequence packing plan: global token offsets (distributed prefix
@@ -758,6 +760,25 @@ def oracle_sql() -> dict[str, str]:
         """,
         "docs_lang_counts": """
             SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1 ORDER BY 1
+        """,
+        # RAG chunking: generate_series starts < n_chars; character-based
+        # substring == Python str slicing; md5 over the chunk's UTF-8 bytes
+        "docs_chunk_overlap": f"""
+            WITH s AS (SELECT doc_id, text, length(text) AS n FROM documents),
+            st AS (SELECT doc_id, text,
+                          unnest(generate_series(0, CAST(n - 1 AS BIGINT),
+                                                 {textstats.CHUNK_S})) AS start_c
+                   FROM s WHERE n > 0),
+            ch AS (SELECT doc_id, start_c,
+                          substring(text, CAST(start_c + 1 AS INTEGER),
+                                    {textstats.CHUNK_W}) AS chunk
+                   FROM st)
+            SELECT doc_id,
+                   CAST(start_c / {textstats.CHUNK_S} AS BIGINT) AS chunk_id,
+                   CAST(start_c AS BIGINT) AS start_c,
+                   CAST(length(chunk) AS BIGINT) AS chunk_len,
+                   substring(md5(chunk), 1, 8) AS chunk_md5
+            FROM ch ORDER BY doc_id, chunk_id
         """,
         # PII scrub: identical RE2 patterns on both sides; the deterministic
         # doc_id%k augmentation plants the PII the synthetic corpus lacks

@@ -711,3 +711,57 @@ def unigram_nll(sf_dir: str) -> pd.DataFrame:
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out
+
+
+CHUNK_W = 120  # chunk width (characters)
+CHUNK_S = 90  # chunk stride (characters) -> 30-char overlap
+
+
+def chunk_overlap(sf_dir: str, w: int = CHUNK_W, s: int = CHUNK_S) -> pd.DataFrame:
+    """RAG-style SLIDING-WINDOW CHUNKING: every document split into
+    ``w``-char chunks on a ``s``-char stride (chunks overlap by w−s; the
+    final chunk may be short; chunk starts are 0, s, 2s, … while
+    start < n_chars). The embed-and-retrieve preprocessing step every
+    retrieval corpus needs. Chunk text itself never leaves the stage —
+    each output row carries (start, length, md5-prefix) so the exchange
+    is O(chunks), not O(bytes); a real pipeline would write chunk text
+    to partitioned parquet in the same pass. Codepoint semantics on both
+    sides (Python str slicing == DuckDB character substring; md5 over
+    the UTF-8 bytes). Output (doc_id, chunk_id, start_c, chunk_len,
+    chunk_md5)."""
+    import hashlib
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        dids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        texts = batch["text"].to_pylist()
+        did_o, cid_o, st_o, ln_o, h_o = [], [], [], [], []
+        for did, t in zip(dids, texts):
+            n = len(t)
+            for cid, start in enumerate(range(0, n, s)):
+                chunk = t[start : start + w]
+                did_o.append(did)
+                cid_o.append(cid)
+                st_o.append(start)
+                ln_o.append(len(chunk))
+                h_o.append(hashlib.md5(chunk.encode("utf-8")).hexdigest()[:8])
+        return pa.table(
+            {
+                "doc_id": pa.array(np.asarray(did_o, np.int64), pa.int64()),
+                "chunk_id": pa.array(np.asarray(cid_o, np.int64), pa.int64()),
+                "start_c": pa.array(np.asarray(st_o, np.int64), pa.int64()),
+                "chunk_len": pa.array(np.asarray(ln_o, np.int64), pa.int64()),
+                "chunk_md5": pa.array(h_o, pa.string()),
+            }
+        )
+
+    out = (
+        ds.map_batches(per_batch, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_id"])
+        .reset_index(drop=True)
+    )
+    for c in ("doc_id", "chunk_id", "start_c", "chunk_len"):
+        out[c] = out[c].astype("int64")
+    return out

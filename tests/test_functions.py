@@ -1942,3 +1942,29 @@ def test_q18_matches_pandas_replay():
     assert out["c_name"].tolist() == want["c_name"].tolist()
     assert out["total_price_cents"].tolist() == want["total_price_cents"].tolist()
     assert out["sum_qty_cents"].tolist() == want["sum_qty_cents"].tolist()
+
+
+def test_chunk_overlap_covers_and_reassembles():
+    import hashlib
+
+    from aarhus_ray.functions.textstats import CHUNK_S, CHUNK_W, chunk_overlap
+
+    out = chunk_overlap(SF)
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    by_doc = dict(zip(docs["doc_id"], docs["text"]))
+    assert set(out["doc_id"]) == set(by_doc)  # every doc chunked
+    for did, g in out.groupby("doc_id"):
+        t = by_doc[did]
+        # starts are the exact stride grid below n_chars
+        assert g["start_c"].tolist() == list(range(0, len(t), CHUNK_S))
+        for _, r in g.iterrows():
+            chunk = t[r["start_c"] : r["start_c"] + CHUNK_W]
+            assert r["chunk_len"] == len(chunk)
+            assert r["chunk_md5"] == hashlib.md5(chunk.encode()).hexdigest()[:8]
+        # full-width chunks overlap the next start by exactly w - s
+        ends = g["start_c"].to_numpy() + g["chunk_len"].to_numpy()
+        full = g["chunk_len"].to_numpy()[:-1] == CHUNK_W
+        assert (
+            (ends[:-1] - g["start_c"].to_numpy()[1:])[full] == CHUNK_W - CHUNK_S
+        ).all()
+        assert ends.max() == len(t)  # coverage reaches the end of the doc
