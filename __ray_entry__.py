@@ -131,6 +131,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "docs_simhash_pairs": dedup.simhash_dup_pairs,
         "embedding_near_dup_pairs": dedup.embedding_near_dup_pairs,
+        # SemDeDup: cluster-scoped semantic dedup, keep-farthest-from-
+        # centroid rule; label column stands in for the k-means pass
+        "embedding_semdedup_drops": dedup.semdedup_drops,
         # --- similarity search over embeddings ---
         "knn_cosine_bruteforce": ann.knn_cosine_bruteforce,
         "knn_cosine_filtered": ann.knn_cosine_filtered,  # ES knn-with-filter (pre-filter)
@@ -1106,6 +1109,30 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dup_pairs": f"""
             SELECT vec_id AS vec_a, vec_id + {CLONE_OFFSET} AS vec_b
             FROM embeddings ORDER BY vec_a
+        """,
+        # SemDeDup replay: per-label centroid via lockstep unnest + avg,
+        # DOUBLE[] cosine (1 ulp from numpy); the keep rule's EXISTS uses
+        # the frozen (cs ASC, vec_id ASC) dominance
+        "embedding_semdedup_drops": f"""
+            WITH e AS (SELECT vec_id, label,
+                              CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            d AS (SELECT label,
+                         unnest(generate_series(1, len(v))) AS i,
+                         unnest(v) AS x
+                  FROM e),
+            cen AS (SELECT label, list(m ORDER BY i) AS c
+                    FROM (SELECT label, i, avg(x) AS m FROM d GROUP BY 1, 2)
+                    GROUP BY 1),
+            cs AS (SELECT e.vec_id, e.label, e.v,
+                          list_cosine_similarity(e.v, cen.c) AS cs
+                   FROM e JOIN cen USING (label))
+            SELECT a.vec_id, CAST(a.label AS BIGINT) AS label
+            FROM cs a
+            WHERE EXISTS (SELECT 1 FROM cs b
+                          WHERE b.label = a.label AND b.vec_id <> a.vec_id
+                            AND list_cosine_similarity(a.v, b.v) > {dedup.SEMDEDUP_TAU}
+                            AND (b.cs < a.cs OR (b.cs = a.cs AND b.vec_id < a.vec_id)))
+            ORDER BY a.vec_id
         """,
         "knn_cosine_bruteforce": _KNN_BRUTE_SQL,
         # kNN graph: DOUBLE[]-cast cosine (float64 in DuckDB, 1 ulp from

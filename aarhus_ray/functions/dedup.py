@@ -1077,3 +1077,64 @@ def dedup_survivors_cc(sf_dir: str, threshold: float = 0.9) -> pd.DataFrame:
         .to_pandas()
     )
     return out.astype("int64").sort_values("doc_id").reset_index(drop=True)
+
+
+SEMDEDUP_TAU = 0.32  # within-cluster cosine threshold (sits inside the
+# synthetic corpus's real similarity mass — max pair cos is ~0.51)
+
+
+def semdedup_drops(sf_dir: str, tau: float = SEMDEDUP_TAU) -> pd.DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication scoped to
+    embedding clusters — within each cluster, a vector is DROPPED when
+    some cluster-mate sits above ``tau`` cosine and is FARTHER from the
+    cluster centroid (the paper's keep-the-extreme-point rule; vec_id
+    ASC breaks exact ties, which is what bitwise-identical clones hit).
+    The production recipe clusters with k-means first; here the table's
+    ``label`` column IS that clustering (the same deterministic
+    substitution embedding_label_centroids uses), so the op is an exact,
+    SQL-replayable gate. One groupby(label) shuffle; per-cluster work is
+    a vectorized (centroid, cos-matrix, drop-mask) fold — O(c²) flops
+    inside a cluster, never across clusters, which is the entire point
+    of SemDeDup at 10^12 vectors: cluster sizes are set by the k-means
+    k, so the quadratic stays bounded per group (hot clusters split by
+    re-clustering, the paper's own remedy). Output: dropped (vec_id,
+    label), vec_id ASC."""
+    from .ann import _normalize, _to_matrix
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding", "label"]
+    )
+
+    def per_cluster(batch: pa.Table) -> pa.Table:
+        ids, m = _to_matrix(batch)
+        order = np.argsort(ids)
+        ids, m = ids[order].astype(np.int64), m[order]
+        label = int(batch["label"][0].as_py())
+        cen = m.mean(axis=0)
+        mn = _normalize(m)
+        cs = mn @ (cen / np.linalg.norm(cen))  # cosine to centroid
+        cos = mn @ mn.T
+        np.fill_diagonal(cos, -np.inf)
+        near = cos > tau
+        # u beats v (v dropped) iff near AND (cs_u < cs_v OR tie, id_u < id_v)
+        u_cs, v_cs = cs[:, None], cs[None, :]
+        u_id, v_id = ids[:, None], ids[None, :]
+        beats = near & ((u_cs < v_cs) | ((u_cs == v_cs) & (u_id < v_id)))
+        dropped = beats.any(axis=0)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids[dropped], pa.int64()),
+                "label": pa.array(np.full(int(dropped.sum()), label, np.int64), pa.int64()),
+            }
+        )
+
+    out = (
+        ds.groupby("label")
+        .map_groups(per_cluster, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    for c in ("vec_id", "label"):
+        out[c] = out[c].astype("int64")
+    return out

