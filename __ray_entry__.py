@@ -296,6 +296,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the pagination loop itself hash-checked via page numbers
         "fulltext_composite_agg": fulltext.composite_agg_query,
         "fulltext_matchset_stats": fulltext.matchset_stats_query,
+        # string_stats: value-length stats + integer-exact char entropy
+        "fulltext_string_stats": fulltext.string_stats_query,
         # matrix_stats: joint integer moments of (doclen, ts) per match set
         "fulltext_matrix_stats": fulltext.matrix_stats_query,
         "fulltext_matchset_percentiles": fulltext.matchset_percentiles_query,
@@ -1262,6 +1264,7 @@ def oracle_sql() -> dict[str, str]:
         "fulltext_rare_terms": fulltext.rare_terms_oracle_sql(),
         "fulltext_composite_agg": fulltext.composite_agg_oracle_sql(),
         "fulltext_matchset_stats": fulltext.matchset_stats_oracle_sql(),
+        "fulltext_string_stats": fulltext.string_stats_oracle_sql(),
         "fulltext_matrix_stats": fulltext.matrix_stats_oracle_sql(),
         "fulltext_matchset_percentiles": fulltext.matchset_percentiles_oracle_sql(),
         "fulltext_facet_cardinality": fulltext.facet_cardinality_oracle_sql(),

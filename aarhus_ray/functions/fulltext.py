@@ -3773,6 +3773,65 @@ ORDER BY 1
 """
 
 
+def string_stats_query(sf_dir: str) -> pd.DataFrame:
+    """string_stats aggregation per FT_QUERY (ES string_stats on the text
+    docvalue): matched-value length stats + character-entropy in the
+    integer milli-nat × T contract (h_milli_t = T·l(T) − Σ c·l(c),
+    l = round(ln·1000) — order-independent, hash-exact; ES's float
+    entropy is h_milli_t/(1000·T) client-side, natural log where ES uses
+    log2). OOV query emits no row
+    (pipelines/query.matchset_string_stats)."""
+    from ..pipelines.query import matchset_string_stats
+
+    index = _ensure_index(sf_dir, fresh=False)
+    queries = pa.table(
+        {
+            "query_id": pa.array(range(len(FT_QUERIES)), pa.int64()),
+            "text": pa.array(list(FT_QUERIES), pa.string()),
+        }
+    )
+    out = matchset_string_stats(index, queries).to_pandas()
+    return out.sort_values("query_id").reset_index(drop=True)
+
+
+def string_stats_oracle_sql() -> str:
+    """Oracle: matched docs join documents; char counts via
+    string_split(text, ''); the same milli-nat rounding on both sides
+    (identical integer inputs → identical libm ln)."""
+    values = ",".join(
+        f"({qid}, '{term}')" for qid, q in enumerate(FT_QUERIES) for term in q.split()
+    )
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok
+    FROM documents) WHERE tok <> ''
+),
+q(query_id, tok) AS (VALUES {values}),
+qd AS (SELECT DISTINCT query_id, tok FROM q),
+matched AS (SELECT DISTINCT qd.query_id, toks.doc_id FROM qd JOIN toks USING (tok)),
+md AS (SELECT m.query_id, d.doc_id, d.text, length(d.text) AS len
+       FROM matched m JOIN documents d USING (doc_id)),
+ch AS (SELECT query_id, unnest(string_split(text, '')) AS c FROM md),
+cc AS (SELECT query_id, c, count(*) AS n FROM ch GROUP BY 1, 2),
+ent AS (SELECT query_id,
+               CAST(sum(n) AS BIGINT) AS t,
+               CAST(sum(n * CAST(round(ln(n)*1000) AS BIGINT)) AS BIGINT) AS s
+        FROM cc GROUP BY 1),
+st AS (SELECT query_id, count(*) AS n_values, min(len) AS min_len,
+              max(len) AS max_len, sum(len) AS sum_len
+       FROM md GROUP BY 1)
+SELECT CAST(st.query_id AS BIGINT) AS query_id,
+       CAST(n_values AS BIGINT) AS n_values,
+       CAST(min_len AS BIGINT) AS min_len,
+       CAST(max_len AS BIGINT) AS max_len,
+       CAST(sum_len AS BIGINT) AS sum_len,
+       CAST(ent.t * CAST(round(ln(ent.t)*1000) AS BIGINT) - ent.s AS BIGINT) AS h_milli_t
+FROM st JOIN ent USING (query_id)
+ORDER BY query_id
+"""
+
+
 def export_matches_query(sf_dir: str) -> pd.DataFrame:
     """Scroll/export: the FULL match set per FT_QUERY as (query_id,
     doc_id) rows (pipelines/query.export_matches — a streaming Dataset;

@@ -1030,6 +1030,41 @@ def matchset_stats(
     )
 
 
+def matchset_string_stats(
+    out_dir: str,
+    queries,
+    field: str = "text",
+    concurrency: int | None = None,
+    batch_size: int = 64,
+) -> ray.data.Dataset:
+    """STRING_STATS aggregation per query (ES string_stats): value-length
+    stats + integer-exact character entropy (milli-nats × T) over the
+    matching visible docs' ``field`` values. Returns (query_id, n_values,
+    min_len, max_len, sum_len, h_milli_t); empty matches emit no row."""
+    from ..stages.query_stage import MatchsetStringStatsTaskFn
+
+    segs = list_segments(out_dir)
+    if not segs:
+        raise ValueError(f"no segments under {out_dir}")
+    conc = concurrency or max(1, _cpus())
+    if isinstance(queries, str):
+        import pyarrow.parquet as _pq
+
+        queries = _pq.read_table(queries)
+    if isinstance(queries, pa.Table):
+        n_blocks = max(1, min(conc * 4, queries.num_rows // max(1, batch_size) + 1))
+        per = (queries.num_rows + n_blocks - 1) // n_blocks
+        slices = [queries.slice(i * per, per) for i in range(n_blocks) if i * per < queries.num_rows]
+        qds = ray.data.from_arrow(slices)
+    else:
+        qds = queries
+    return qds.map_batches(
+        MatchsetStringStatsTaskFn(out_dir, segs, field, index_version(out_dir)),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+
+
 def percolate(
     docs,
     queries,

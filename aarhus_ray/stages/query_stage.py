@@ -3448,6 +3448,67 @@ class MatchsetStats(DocvalueTopK):
         )
 
 
+def _lm(x: int) -> int:
+    """round(ln(x)·1000) milli-nats — same-libm-exact across engines on
+    identical integer inputs (the unigram_nll contract)."""
+    import math
+
+    return int(round(math.log(x) * 1000.0))
+
+
+class MatchsetStringStats(FacetCounter):
+    """STRING_STATS aggregation over the match set (ES string_stats on a
+    keyword/text docvalue): per query, the matched docs' value-length
+    stats plus the SHANNON ENTROPY of the character distribution of all
+    matched values. Integer contract (the explain-API philosophy): the
+    entropy ships as h_milli_t = T·l(T) − Σ_c cnt_c·l(cnt_c) with
+    l(x) = round(ln(x)·1000) — total entropy in milli-nats × T, exact
+    and order-independent, so the DuckDB replay hash-matches; the ES
+    float is h_milli_t / (1000·T) client-side. Counting is per Unicode
+    CODEPOINT (utf-32 view + np.unique — matches DuckDB's
+    string_split(text,'') and length()); the per-query gather visits
+    matched values like every matchset agg — at 10^12 docs this field's
+    char counts become a precomputed derived docvalue summed per doc
+    range instead (SCALE.md §3), which the additive integer form
+    already permits."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids_out: list[int] = []
+        ns: list[int] = []
+        mins: list[int] = []
+        maxs: list[int] = []
+        sums: list[int] = []
+        hs: list[int] = []
+        for qid, text in zip(batch["query_id"].to_pylist(), batch["text"].to_pylist()):
+            docs = self._match_set(text)
+            if len(docs) == 0:
+                continue
+            codes = self.codes[np.searchsorted(self.doc_ids, docs)]
+            vals = [self.values[int(c)] for c in codes]
+            joined = "".join(vals)
+            arr = np.frombuffer(joined.encode("utf-32-le"), np.uint32)
+            _, cnt = np.unique(arr, return_counts=True)
+            t = int(arr.size)
+            h = t * _lm(t) - sum(int(c) * _lm(int(c)) for c in cnt)
+            lens = np.fromiter((len(v) for v in vals), np.int64, len(vals))
+            qids_out.append(qid)
+            ns.append(len(vals))
+            mins.append(int(lens.min()))
+            maxs.append(int(lens.max()))
+            sums.append(t)
+            hs.append(h)
+        return pa.table(
+            {
+                "query_id": pa.array(qids_out, pa.int64()),
+                "n_values": pa.array(ns, pa.int64()),
+                "min_len": pa.array(mins, pa.int64()),
+                "max_len": pa.array(maxs, pa.int64()),
+                "sum_len": pa.array(sums, pa.int64()),
+                "h_milli_t": pa.array(hs, pa.int64()),
+            }
+        )
+
+
 class MatrixStats:
     """MATRIX-STATS aggregation over the match set (ES matrix_stats): the
     joint second-moment statistics of TWO numeric docvalues — here doclen
@@ -3775,6 +3836,24 @@ class MatchsetStatsTaskFn:
             ms = MatchsetStats(out_dir, list(seg_ids), field)
             _WORKER_MATCH_AGG_CACHE[key] = ms
         return ms(batch)
+
+
+class MatchsetStringStatsTaskFn:
+    """Task-fn form of MatchsetStringStats (worker-process cache)."""
+
+    def __init__(self, out_dir: str, seg_ids: list[int], field: str, version: float):
+        self.args = (out_dir, tuple(seg_ids), field, version)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_dir, seg_ids, field, version = self.args
+        key = (out_dir, version, seg_ids, field, "string_stats")
+        ss = _WORKER_MATCH_AGG_CACHE.get(key)
+        if ss is None:
+            for kk in [kk for kk in _WORKER_MATCH_AGG_CACHE if kk[0] == out_dir and kk[1] < version]:
+                del _WORKER_MATCH_AGG_CACHE[kk]
+            ss = MatchsetStringStats(out_dir, list(seg_ids), field)
+            _WORKER_MATCH_AGG_CACHE[key] = ss
+        return ss(batch)
 
 
 class DocvalueTopKTaskFn:

@@ -1788,3 +1788,43 @@ def test_snapshot_restore_roundtrip_and_tamper(golden_index, tmp_path):
     # an incomplete index refuses to snapshot
     with pytest.raises(ValueError, match="incomplete"):
         snapshot_index(str(tmp_path / "nonexistent"), str(tmp_path / "s2"))
+
+def test_string_stats_on_real_index(golden_index):
+    """matchset_string_stats == python reference: length stats over the
+    matched docs' text values plus the integer milli-nat char-entropy
+    fold (h = T*l(T) - sum c*l(c)), recomputed from scratch with
+    collections.Counter."""
+    import math
+    from collections import Counter
+
+    from aarhus_ray.pipelines.query import matchset_string_stats
+    from aarhus_ray.textnorm import tokenize
+
+    idx = golden_index["index"]
+    q = fixtures.gen_queries(12, seed=11)
+    out = (
+        matchset_string_stats(idx, q, field="text")
+        .to_pandas().sort_values("query_id").reset_index(drop=True)
+    )
+    docs = _docs_table(idx, ["doc_id", "text"])
+    toks_of = [set(tokenize(t)) for t in docs["text"].to_pylist()]
+    texts = docs["text"].to_pylist()
+    lm = lambda x: int(round(math.log(x) * 1000.0))
+    want = {}
+    for qid, text in zip(q["query_id"].to_pylist(), q["text"].to_pylist()):
+        terms = set(tokenize(text))
+        vals = [t for dt, t in zip(toks_of, texts) if terms & dt]
+        if not vals:
+            continue
+        cnt = Counter("".join(vals))
+        t_total = sum(cnt.values())
+        h = t_total * lm(t_total) - sum(c * lm(c) for c in cnt.values())
+        lens = [len(v) for v in vals]
+        want[qid] = (len(vals), min(lens), max(lens), sum(lens), h)
+    got = {
+        r.query_id: (r.n_values, r.min_len, r.max_len, r.sum_len, r.h_milli_t)
+        for r in out.itertuples()
+    }
+    assert got == want
+    # entropy is positive for any non-degenerate multi-char distribution
+    assert all(v[4] > 0 for v in want.values())
