@@ -298,6 +298,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fulltext_matchset_stats": fulltext.matchset_stats_query,
         # string_stats: value-length stats + integer-exact char entropy
         "fulltext_string_stats": fulltext.string_stats_query,
+        # mad: exact type-1 median + median-absolute-deviation of doclen
+        "fulltext_mad": fulltext.mad_query,
+        # multi_terms: composite (lang, doclen-bucket) terms agg, top-k
+        "fulltext_multi_terms": fulltext.multi_terms_query,
+        # terms_enum: dictionary prefix range scan across segment shards
+        "fulltext_terms_enum": fulltext.terms_enum_query,
         # matrix_stats: joint integer moments of (doclen, ts) per match set
         "fulltext_matrix_stats": fulltext.matrix_stats_query,
         "fulltext_matchset_percentiles": fulltext.matchset_percentiles_query,
@@ -1265,6 +1271,9 @@ def oracle_sql() -> dict[str, str]:
         "fulltext_composite_agg": fulltext.composite_agg_oracle_sql(),
         "fulltext_matchset_stats": fulltext.matchset_stats_oracle_sql(),
         "fulltext_string_stats": fulltext.string_stats_oracle_sql(),
+        "fulltext_mad": fulltext.mad_oracle_sql(),
+        "fulltext_multi_terms": fulltext.multi_terms_oracle_sql(),
+        "fulltext_terms_enum": fulltext.terms_enum_oracle_sql(),
         "fulltext_matrix_stats": fulltext.matrix_stats_oracle_sql(),
         "fulltext_matchset_percentiles": fulltext.matchset_percentiles_oracle_sql(),
         "fulltext_facet_cardinality": fulltext.facet_cardinality_oracle_sql(),

@@ -3832,6 +3832,172 @@ ORDER BY query_id
 """
 
 
+def mad_query(sf_dir: str) -> pd.DataFrame:
+    """median_absolute_deviation aggregation per FT_QUERY (ES MAD agg,
+    exact type-1 instead of t-digest): lower median of doclen over the
+    match set, then lower median of |doclen − median|
+    (pipelines/query.matchset_mad). Integer-only."""
+    from ..pipelines.query import matchset_mad
+
+    index = _ensure_index(sf_dir, fresh=False)
+    queries = pa.table(
+        {
+            "query_id": pa.array(range(len(FT_QUERIES)), pa.int64()),
+            "text": pa.array(list(FT_QUERIES), pa.string()),
+        }
+    )
+    out = matchset_mad(index, queries, field="doclen").to_pandas()
+    return out.sort_values("query_id").reset_index(drop=True)
+
+
+def mad_oracle_sql() -> str:
+    """MAD oracle: doclen replay (non-distinct token counts), type-1
+    lower median via row_number at floor(0.5·(n−1))+1, twice."""
+    values = ",".join(
+        f"({qid}, '{term}')" for qid, q in enumerate(FT_QUERIES) for term in q.split()
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok
+    FROM documents) WHERE tok <> ''
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+q(query_id, tok) AS (VALUES {values}),
+qd AS (SELECT DISTINCT query_id, tok FROM q),
+matched AS (SELECT DISTINCT qd.query_id, toks.doc_id FROM qd JOIN toks USING (tok)),
+ranked AS (
+  SELECT m.query_id, dl.dl AS v,
+         row_number() OVER (PARTITION BY m.query_id ORDER BY dl.dl) AS rn,
+         count(*) OVER (PARTITION BY m.query_id) AS n
+  FROM matched m JOIN dl USING (doc_id)
+),
+med AS (SELECT query_id, v AS med, n
+        FROM ranked WHERE rn = CAST(floor(0.5 * (n - 1)) AS BIGINT) + 1),
+dranked AS (
+  SELECT r.query_id, abs(r.v - m.med) AS d,
+         row_number() OVER (PARTITION BY r.query_id ORDER BY abs(r.v - m.med)) AS rn,
+         r.n
+  FROM ranked r JOIN med m USING (query_id)
+),
+madv AS (SELECT query_id, d AS mad
+         FROM dranked WHERE rn = CAST(floor(0.5 * (n - 1)) AS BIGINT) + 1)
+SELECT CAST(med.query_id AS BIGINT) AS query_id,
+       CAST(med.n AS BIGINT) AS n_docs,
+       CAST(med.med AS BIGINT) AS median,
+       CAST(madv.mad AS BIGINT) AS mad
+FROM med JOIN madv USING (query_id)
+ORDER BY query_id
+"""
+
+
+MT_BUCKET_W = 64
+MT_K = 5
+
+
+def multi_terms_query(sf_dir: str) -> pd.DataFrame:
+    """multi_terms aggregation per FT_QUERY (ES multi_terms on the
+    composite (lang, doclen//64) key): top-MT_K buckets by (count DESC,
+    lang ASC, bucket ASC) (pipelines/query.multi_terms). Row order frozen
+    by value sort on both sides."""
+    from ..pipelines.query import multi_terms
+
+    index = _ensure_index(sf_dir, fresh=False)
+    queries = pa.table(
+        {
+            "query_id": pa.array(range(len(FT_QUERIES)), pa.int64()),
+            "text": pa.array(list(FT_QUERIES), pa.string()),
+        }
+    )
+    out = multi_terms(
+        index, queries, facet="lang", field="doclen",
+        bucket_width=MT_BUCKET_W, k=MT_K,
+    ).to_pandas()
+    return out.sort_values(["query_id", "lang", "len_bucket"]).reset_index(drop=True)
+
+
+def multi_terms_oracle_sql() -> str:
+    values = ",".join(
+        f"({qid}, '{term}')" for qid, q in enumerate(FT_QUERIES) for term in q.split()
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok
+    FROM documents) WHERE tok <> ''
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+q(query_id, tok) AS (VALUES {values}),
+qd AS (SELECT DISTINCT query_id, tok FROM q),
+matched AS (SELECT DISTINCT qd.query_id, toks.doc_id FROM qd JOIN toks USING (tok)),
+grp AS (
+  SELECT m.query_id, d.lang,
+         CAST(floor(dl.dl / {MT_BUCKET_W}.0) AS BIGINT) AS len_bucket,
+         count(*) AS c
+  FROM matched m JOIN documents d USING (doc_id) JOIN dl USING (doc_id)
+  GROUP BY 1, 2, 3
+),
+ranked AS (
+  SELECT query_id, lang, len_bucket, c,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY c DESC, lang, len_bucket) AS rn
+  FROM grp
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, lang,
+       CAST(len_bucket AS BIGINT) AS len_bucket,
+       CAST(c AS BIGINT) AS n_docs
+FROM ranked WHERE rn <= {MT_K}
+ORDER BY 1, 2, 3
+"""
+
+
+# Frozen terms_enum prefix set: "s" and "t" fan wide, "qu" narrow, "zz"
+# dead (must emit nothing), "b" medium.
+TE_PREFIXES = ("s", "qu", "b", "zz", "t")
+TE_SIZE = 8
+
+
+def terms_enum_query(sf_dir: str) -> pd.DataFrame:
+    """_terms_enum API per TE_PREFIX (ES terms_enum): the first TE_SIZE
+    dictionary terms with the prefix, lexicographic, merged across the
+    term-sharded segment dictionaries (pipelines/query.terms_enum)."""
+    from ..pipelines.query import terms_enum
+
+    index = _ensure_index(sf_dir, fresh=False)
+    prefixes = pa.table(
+        {
+            "prefix_id": pa.array(range(len(TE_PREFIXES)), pa.int64()),
+            "prefix": pa.array(list(TE_PREFIXES), pa.string()),
+        }
+    )
+    out = terms_enum(index, prefixes, size=TE_SIZE).to_pandas()
+    return out.sort_values(["prefix_id", "rank"]).reset_index(drop=True)
+
+
+def terms_enum_oracle_sql() -> str:
+    """terms_enum oracle: the distinct corpus vocabulary filtered by
+    prefix, ranked lexicographically, first TE_SIZE per prefix."""
+    values = ",".join(f"({pid}, '{p}')" for pid, p in enumerate(TE_PREFIXES))
+    return f"""
+WITH vocab AS (
+  SELECT DISTINCT tok FROM (
+    SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok
+    FROM documents) WHERE tok <> ''
+),
+p(prefix_id, prefix) AS (VALUES {values}),
+ranked AS (
+  SELECT p.prefix_id, vocab.tok,
+         row_number() OVER (PARTITION BY p.prefix_id ORDER BY vocab.tok) AS rn
+  FROM p JOIN vocab ON vocab.tok LIKE p.prefix || '%'
+)
+SELECT CAST(prefix_id AS BIGINT) AS prefix_id,
+       CAST(rn AS INTEGER) AS rank,
+       tok AS term
+FROM ranked WHERE rn <= {TE_SIZE}
+ORDER BY 1, 2
+"""
+
+
 def export_matches_query(sf_dir: str) -> pd.DataFrame:
     """Scroll/export: the FULL match set per FT_QUERY as (query_id,
     doc_id) rows (pipelines/query.export_matches — a streaming Dataset;

@@ -1065,6 +1065,113 @@ def matchset_string_stats(
     )
 
 
+def matchset_mad(
+    out_dir: str,
+    queries,
+    field: str = "doclen",
+    concurrency: int | None = None,
+    batch_size: int = 64,
+) -> ray.data.Dataset:
+    """MEDIAN-ABSOLUTE-DEVIATION aggregation per query (ES
+    median_absolute_deviation, exact type-1 order statistics). Returns
+    (query_id, n_docs, median, mad); empty matches emit no row."""
+    from ..stages.query_stage import MatchsetMADTaskFn
+
+    segs = list_segments(out_dir)
+    if not segs:
+        raise ValueError(f"no segments under {out_dir}")
+    conc = concurrency or max(1, _cpus())
+    if isinstance(queries, str):
+        import pyarrow.parquet as _pq
+
+        queries = _pq.read_table(queries)
+    if isinstance(queries, pa.Table):
+        n_blocks = max(1, min(conc * 4, queries.num_rows // max(1, batch_size) + 1))
+        per = (queries.num_rows + n_blocks - 1) // n_blocks
+        slices = [queries.slice(i * per, per) for i in range(n_blocks) if i * per < queries.num_rows]
+        qds = ray.data.from_arrow(slices)
+    else:
+        qds = queries
+    return qds.map_batches(
+        MatchsetMADTaskFn(out_dir, segs, field, index_version(out_dir)),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+
+
+def multi_terms(
+    out_dir: str,
+    queries,
+    facet: str = "lang",
+    field: str = "doclen",
+    bucket_width: int = 64,
+    k: int = 5,
+    concurrency: int | None = None,
+    batch_size: int = 64,
+) -> ray.data.Dataset:
+    """MULTI-TERMS aggregation per query (ES multi_terms on the composite
+    (facet, field//bucket_width) key): top-k buckets by (count DESC,
+    facet ASC, bucket ASC). Returns (query_id, facet, len_bucket,
+    n_docs)."""
+    from ..stages.query_stage import MultiTermsTaskFn
+
+    segs = list_segments(out_dir)
+    if not segs:
+        raise ValueError(f"no segments under {out_dir}")
+    conc = concurrency or max(1, _cpus())
+    if isinstance(queries, str):
+        import pyarrow.parquet as _pq
+
+        queries = _pq.read_table(queries)
+    if isinstance(queries, pa.Table):
+        n_blocks = max(1, min(conc * 4, queries.num_rows // max(1, batch_size) + 1))
+        per = (queries.num_rows + n_blocks - 1) // n_blocks
+        slices = [queries.slice(i * per, per) for i in range(n_blocks) if i * per < queries.num_rows]
+        qds = ray.data.from_arrow(slices)
+    else:
+        qds = queries
+    return qds.map_batches(
+        MultiTermsTaskFn(out_dir, segs, facet, field, bucket_width, k,
+                         index_version(out_dir)),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+
+
+def terms_enum(
+    out_dir: str,
+    prefixes,
+    size: int = 10,
+    concurrency: int | None = None,
+    batch_size: int = 64,
+) -> ray.data.Dataset:
+    """TERMS-ENUM (ES _terms_enum): per prefix, the first ``size``
+    dictionary terms in lexicographic order. Input rows are
+    (prefix_id, prefix); returns (prefix_id, rank, term)."""
+    from ..stages.query_stage import TermsEnumTaskFn
+
+    segs = list_segments(out_dir)
+    if not segs:
+        raise ValueError(f"no segments under {out_dir}")
+    conc = concurrency or max(1, _cpus())
+    if isinstance(prefixes, str):
+        import pyarrow.parquet as _pq
+
+        prefixes = _pq.read_table(prefixes)
+    if isinstance(prefixes, pa.Table):
+        n_blocks = max(1, min(conc * 4, prefixes.num_rows // max(1, batch_size) + 1))
+        per = (prefixes.num_rows + n_blocks - 1) // n_blocks
+        slices = [prefixes.slice(i * per, per) for i in range(n_blocks) if i * per < prefixes.num_rows]
+        qds = ray.data.from_arrow(slices)
+    else:
+        qds = prefixes
+    return qds.map_batches(
+        TermsEnumTaskFn(out_dir, segs, size, index_version(out_dir)),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+
+
 def percolate(
     docs,
     queries,

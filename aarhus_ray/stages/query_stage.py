@@ -3509,6 +3509,152 @@ class MatchsetStringStats(FacetCounter):
         )
 
 
+class MatchsetMAD(DocvalueTopK):
+    """MEDIAN-ABSOLUTE-DEVIATION aggregation over the match set (ES
+    median_absolute_deviation agg): per query, the type-1 lower median of
+    the docvalue and the type-1 lower median of |value − median| — the
+    robust dispersion measure the ES agg approximates with t-digest; here
+    both order statistics are EXACT integers (element at sorted index
+    floor(0.5·(n−1))), so a row_number SQL replay hash-matches. At 10^12
+    docs the same answer comes from two passes over the per-doc-range
+    doclen HISTOGRAM (values are small ints — the distributed
+    exact-median plan of functions/windows.py), never a gather."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids_out: list[int] = []
+        ns: list[int] = []
+        meds: list[int] = []
+        mads: list[int] = []
+        for qid, text in zip(batch["query_id"].to_pylist(), batch["text"].to_pylist()):
+            docs = self._match_set(text)
+            n = len(docs)
+            if n == 0:
+                continue
+            vals = np.sort(self.vals[np.searchsorted(self.doc_ids, docs)])
+            med = int(vals[(n - 1) // 2])
+            dev = np.sort(np.abs(vals - med))
+            qids_out.append(qid)
+            ns.append(n)
+            meds.append(med)
+            mads.append(int(dev[(n - 1) // 2]))
+        return pa.table(
+            {
+                "query_id": pa.array(qids_out, pa.int64()),
+                "n_docs": pa.array(ns, pa.int64()),
+                "median": pa.array(meds, pa.int64()),
+                "mad": pa.array(mads, pa.int64()),
+            }
+        )
+
+
+class MultiTerms(FacetCounter):
+    """MULTI-TERMS aggregation over the match set (ES multi_terms): terms
+    agg keyed by the COMPOSITE (lang, doclen-bucket) tuple — distinct
+    matching visible docs counted per (facet value, value//bucket_width)
+    pair, top-k buckets per query by the frozen (count DESC, lang ASC,
+    bucket ASC) order. One np.unique over the fused int key (code·2^32 +
+    bucket) per query; at cluster scale the pairs are per-doc-range
+    partial counts merged by key — additive, like every counting agg
+    here."""
+
+    def __init__(self, out_dir: str, seg_ids: list[int] | None = None,
+                 facet: str = "lang", field: str = "doclen",
+                 bucket_width: int = 64, k: int = 5):
+        super().__init__(out_dir, seg_ids, facet)
+        files = sorted(glob.glob(os.path.join(out_dir, "docs", "pid=*.parquet")))
+        tbl = pa.concat_tables(pq.read_table(f, columns=["doc_id", field]) for f in files)
+        self.field_vals = tbl[field].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        self.bucket_width = int(bucket_width)
+        self.k = int(k)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids_out: list[int] = []
+        langs_out: list[str] = []
+        buckets_out: list[int] = []
+        counts_out: list[int] = []
+        # lang codes sorted by VALUE so the fused key's code component
+        # orders ties exactly like the oracle's ORDER BY lang ASC
+        order = np.argsort(np.asarray(self.values, dtype=object), kind="stable")
+        rank_of_code = np.empty(len(order), np.int64)
+        rank_of_code[order] = np.arange(len(order))
+        for qid, text in zip(batch["query_id"].to_pylist(), batch["text"].to_pylist()):
+            docs = self._match_set(text)
+            if len(docs) == 0:
+                continue
+            idx = np.searchsorted(self.doc_ids, docs)
+            fused = rank_of_code[self.codes[idx]] * (np.int64(1) << 32) + (
+                self.field_vals[idx] // self.bucket_width
+            )
+            keys, cnt = np.unique(fused, return_counts=True)
+            # top-k by (count DESC, fused key ASC): argsort on (-cnt) is
+            # stable over the key-ascending unique output
+            sel = np.argsort(-cnt, kind="stable")[: self.k]
+            for s in sel:
+                code_rank, bucket = divmod(int(keys[s]), 1 << 32)
+                qids_out.append(qid)
+                langs_out.append(self.values[int(order[code_rank])])
+                buckets_out.append(bucket)
+                counts_out.append(int(cnt[s]))
+        return pa.table(
+            {
+                "query_id": pa.array(qids_out, pa.int64()),
+                self.facet: pa.array(langs_out, pa.string()),
+                "len_bucket": pa.array(buckets_out, pa.int64()),
+                "n_docs": pa.array(counts_out, pa.int64()),
+            }
+        )
+
+
+class TermsEnum:
+    """TERMS-ENUM API (ES _terms_enum): for each prefix, the first
+    ``size`` index DICTIONARY terms with that prefix in lexicographic
+    order. Pure dictionary range scan — two bisects per segment on the
+    sorted term list, no postings touched — then a cross-segment merge
+    dedup (the term-sharded layout stores each term's shards under the
+    same key, and salts duplicate dictionary entries, so the union is
+    deduped before ranking). Cost is bounded by the VOCABULARY under the
+    prefix, not the corpus; at cluster scale each index worker answers
+    from its local segment dicts and the driver merges size-bounded
+    sorted lists. Like ES, tombstones are ignored (a deleted doc's terms
+    stay enumerable until segment merge rewrites the dictionary)."""
+
+    def __init__(self, out_dir: str, seg_ids: list[int] | None = None, size: int = 10):
+        if seg_ids is None:
+            from ..pipelines.query import list_segments
+
+            seg_ids = list_segments(out_dir)
+        self.segments = [Segment(out_dir, sid) for sid in seg_ids]
+        self.size = int(size)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import bisect
+
+        qids_out: list[int] = []
+        ranks_out: list[int] = []
+        terms_out: list[str] = []
+        for qid, prefix in zip(
+            batch["prefix_id"].to_pylist(), batch["prefix"].to_pylist()
+        ):
+            found: set[str] = set()
+            hi_key = prefix + "￿"
+            for seg in self.segments:
+                ts = seg.terms_sorted
+                lo = bisect.bisect_left(ts, prefix)
+                hi = bisect.bisect_right(ts, hi_key, lo=lo)
+                found.update(ts[lo:hi])
+            for rank, term in enumerate(sorted(found)[: self.size], 1):
+                qids_out.append(qid)
+                ranks_out.append(rank)
+                terms_out.append(term)
+        return pa.table(
+            {
+                "prefix_id": pa.array(qids_out, pa.int64()),
+                "rank": pa.array(np.asarray(ranks_out, dtype=np.int32), pa.int32()),
+                "term": pa.array(terms_out, pa.string()),
+            }
+        )
+
+
 class MatrixStats:
     """MATRIX-STATS aggregation over the match set (ES matrix_stats): the
     joint second-moment statistics of TWO numeric docvalues — here doclen
@@ -3854,6 +4000,62 @@ class MatchsetStringStatsTaskFn:
             ss = MatchsetStringStats(out_dir, list(seg_ids), field)
             _WORKER_MATCH_AGG_CACHE[key] = ss
         return ss(batch)
+
+
+class MatchsetMADTaskFn:
+    """Task-fn form of MatchsetMAD (worker-process cache)."""
+
+    def __init__(self, out_dir: str, seg_ids: list[int], field: str, version: float):
+        self.args = (out_dir, tuple(seg_ids), field, version)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_dir, seg_ids, field, version = self.args
+        key = (out_dir, version, seg_ids, field, "mad")
+        ms = _WORKER_MATCH_AGG_CACHE.get(key)
+        if ms is None:
+            for kk in [kk for kk in _WORKER_MATCH_AGG_CACHE if kk[0] == out_dir and kk[1] < version]:
+                del _WORKER_MATCH_AGG_CACHE[kk]
+            ms = MatchsetMAD(out_dir, list(seg_ids), field)
+            _WORKER_MATCH_AGG_CACHE[key] = ms
+        return ms(batch)
+
+
+class MultiTermsTaskFn:
+    """Task-fn form of MultiTerms (worker-process cache)."""
+
+    def __init__(self, out_dir: str, seg_ids: list[int], facet: str, field: str,
+                 bucket_width: int, k: int, version: float):
+        self.args = (out_dir, tuple(seg_ids), facet, field, int(bucket_width),
+                     int(k), version)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_dir, seg_ids, facet, field, bw, k, version = self.args
+        key = (out_dir, version, seg_ids, facet, field, bw, k, "multi_terms")
+        mt = _WORKER_MATCH_AGG_CACHE.get(key)
+        if mt is None:
+            for kk in [kk for kk in _WORKER_MATCH_AGG_CACHE if kk[0] == out_dir and kk[1] < version]:
+                del _WORKER_MATCH_AGG_CACHE[kk]
+            mt = MultiTerms(out_dir, list(seg_ids), facet, field, bw, k)
+            _WORKER_MATCH_AGG_CACHE[key] = mt
+        return mt(batch)
+
+
+class TermsEnumTaskFn:
+    """Task-fn form of TermsEnum (worker-process cache)."""
+
+    def __init__(self, out_dir: str, seg_ids: list[int], size: int, version: float):
+        self.args = (out_dir, tuple(seg_ids), int(size), version)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_dir, seg_ids, size, version = self.args
+        key = (out_dir, version, seg_ids, size, "terms_enum")
+        te = _WORKER_MATCH_AGG_CACHE.get(key)
+        if te is None:
+            for kk in [kk for kk in _WORKER_MATCH_AGG_CACHE if kk[0] == out_dir and kk[1] < version]:
+                del _WORKER_MATCH_AGG_CACHE[kk]
+            te = TermsEnum(out_dir, list(seg_ids), size)
+            _WORKER_MATCH_AGG_CACHE[key] = te
+        return te(batch)
 
 
 class DocvalueTopKTaskFn:

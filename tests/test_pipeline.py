@@ -1828,3 +1828,79 @@ def test_string_stats_on_real_index(golden_index):
     assert got == want
     # entropy is positive for any non-degenerate multi-char distribution
     assert all(v[4] > 0 for v in want.values())
+
+
+def test_mad_multi_terms_terms_enum_on_real_index(golden_index):
+    """matchset_mad / multi_terms / terms_enum == python reference over
+    the golden fixture: exact type-1 order statistics, composite-key
+    top-k with the frozen (count DESC, lang, bucket) tie order, and
+    lexicographic dictionary prefix scans."""
+    from collections import Counter
+
+    from aarhus_ray.pipelines.query import matchset_mad, multi_terms, terms_enum
+    from aarhus_ray.textnorm import tokenize
+
+    idx = golden_index["index"]
+    q = fixtures.gen_queries(10, seed=13)
+    docs = _docs_table(idx, ["doc_id", "text", "doclen", "lang"])
+    dids = docs["doc_id"].to_pylist()
+    toks_of = [set(tokenize(t)) for t in docs["text"].to_pylist()]
+    dls = docs["doclen"].to_pylist()
+    langs = docs["lang"].to_pylist()
+
+    # --- matchset_mad: lower median + lower median of absolute deviations
+    out = matchset_mad(idx, q, field="doclen").to_pandas()
+    got = {r.query_id: (r.n_docs, r.median, r.mad) for r in out.itertuples()}
+    want = {}
+    for qid, text in zip(q["query_id"].to_pylist(), q["text"].to_pylist()):
+        terms = set(tokenize(text))
+        vals = sorted(dl for dt, dl in zip(toks_of, dls) if terms & dt)
+        if not vals:
+            continue
+        med = vals[(len(vals) - 1) // 2]
+        mad = sorted(abs(v - med) for v in vals)[(len(vals) - 1) // 2]
+        want[qid] = (len(vals), med, mad)
+    assert got == want
+
+    # --- multi_terms: top-k composite (lang, doclen//W) buckets
+    W, K = 16, 3
+    out = multi_terms(idx, q, facet="lang", field="doclen",
+                      bucket_width=W, k=K).to_pandas()
+    got_mt = {}
+    for r in out.itertuples():
+        got_mt.setdefault(r.query_id, []).append((r.lang, r.len_bucket, r.n_docs))
+    want_mt = {}
+    for qid, text in zip(q["query_id"].to_pylist(), q["text"].to_pylist()):
+        terms = set(tokenize(text))
+        cnt = Counter(
+            (lg, dl // W)
+            for dt, dl, lg in zip(toks_of, dls, langs)
+            if terms & dt
+        )
+        if not cnt:
+            continue
+        top = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:K]
+        want_mt[qid] = [(lg, b, c) for (lg, b), c in top]
+    assert {k: sorted(v) for k, v in got_mt.items()} == {
+        k: sorted(v) for k, v in want_mt.items()
+    }
+
+    # --- terms_enum: first `size` vocabulary terms per prefix
+    vocab = sorted(set().union(*toks_of))
+    prefixes = pa.table(
+        {
+            "prefix_id": pa.array([0, 1, 2], pa.int64()),
+            "prefix": pa.array(["a", "th", "zzzz"], pa.string()),
+        }
+    )
+    out = terms_enum(idx, prefixes, size=6).to_pandas()
+    got_te = {}
+    for r in out.sort_values(["prefix_id", "rank"]).itertuples():
+        got_te.setdefault(r.prefix_id, []).append(r.term)
+    want_te = {}
+    for pid, p in enumerate(["a", "th", "zzzz"]):
+        hit = [t for t in vocab if t.startswith(p)][:6]
+        if hit:
+            want_te[pid] = hit
+    assert got_te == want_te
+    assert 0 in want_te  # prefix "a" must actually exercise the scan
