@@ -69,6 +69,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q18_large_volume_customers": relational.q18_large_volume_customers,
         # two-level aggregation with zero-fill (Q13): order-count histogram
         "q13_customer_order_distribution": relational.q13_customer_order_distribution,
+        # Q5: 6-table co-nation star, one shuffle, pivot-column equality
+        "q5_local_supplier_volume": relational.q5_local_supplier_volume,
+        # Q6: pure scan-aggregate with integer-cent predicate boundaries
+        "q6_forecast_revenue": relational.q6_forecast_revenue,
+        # Q10: returned-item top-k with pruned winner resolution
+        "q10_returned_items": relational.q10_returned_items,
+        # Q14: promo share — broadcast dimension flag map, 3-integer fold
+        "q14_promo_effect": relational.q14_promo_effect,
+        # Q22 shape: scalar AVG subquery + anti-join, nations for phones
+        "q22_global_sales_opportunity": relational.q22_global_sales_opportunity,
         # --- stream-shaped ops over events (SURVEY §2.10) ---
         "events_hourly_tumbling": windows.events_hourly_tumbling,
         "events_sliding_window": windows.events_sliding_window,
@@ -499,6 +509,79 @@ def oracle_sql() -> dict[str, str]:
               AND l.l_shipdate > TIMESTAMP '1995-03-15'
             GROUP BY 1, 3
             ORDER BY revenue_e4 DESC, l_orderkey LIMIT 10
+        """,
+        "q5_local_supplier_volume": f"""
+            SELECT n.n_name,
+                   CAST(SUM(CAST(round(l.l_extendedprice*100) AS BIGINT)
+                       * CAST(round((1-l.l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_e4
+            FROM customer c
+            JOIN orders o ON c.c_custkey = o.o_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            WHERE c.c_nationkey = s.s_nationkey
+              AND r.r_name = '{relational.Q5_REGION}'
+              AND o.o_orderdate >= TIMESTAMP '{relational.Q5_LO}'
+              AND o.o_orderdate < TIMESTAMP '{relational.Q5_HI}'
+            GROUP BY 1
+            ORDER BY revenue_e4 DESC, n_name
+        """,
+        "q6_forecast_revenue": f"""
+            SELECT CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+                       * CAST(round(l_discount*100) AS BIGINT)) AS BIGINT) AS revenue_e4,
+                   COUNT(*) AS n_lines
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '{relational.Q6_LO}'
+              AND l_shipdate < TIMESTAMP '{relational.Q6_HI}'
+              AND CAST(round(l_discount*100) AS BIGINT) BETWEEN 5 AND 7
+              AND l_quantity < 24
+        """,
+        "q10_returned_items": f"""
+            SELECT c.c_custkey, c.c_name,
+                   CAST(SUM(CAST(round(l.l_extendedprice*100) AS BIGINT)
+                       * CAST(round((1-l.l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_e4,
+                   CAST(round(c.c_acctbal*100) AS BIGINT) AS acctbal_cents,
+                   n.n_name
+            FROM customer c
+            JOIN orders o ON c.c_custkey = o.o_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            WHERE o.o_orderdate >= TIMESTAMP '{relational.Q10_LO}'
+              AND o.o_orderdate < TIMESTAMP '{relational.Q10_HI}'
+              AND l.l_returnflag = 'R'
+            GROUP BY 1, 2, 4, 5
+            ORDER BY revenue_e4 DESC, c_custkey LIMIT {relational.Q10_LIMIT}
+        """,
+        "q14_promo_effect": f"""
+            SELECT CAST(SUM(CASE WHEN p.p_type LIKE 'PROMO%'
+                       THEN CAST(round(l.l_extendedprice*100) AS BIGINT)
+                            * CAST(round((1-l.l_discount)*100) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS promo_revenue_e4,
+                   CAST(SUM(CAST(round(l.l_extendedprice*100) AS BIGINT)
+                       * CAST(round((1-l.l_discount)*100) AS BIGINT)) AS BIGINT) AS total_revenue_e4,
+                   COUNT(*) AS n_lines
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE l.l_shipdate >= TIMESTAMP '{relational.Q14_LO}'
+              AND l.l_shipdate < TIMESTAMP '{relational.Q14_HI}'
+        """,
+        "q22_global_sales_opportunity": f"""
+            WITH tot AS (
+              SELECT CAST(SUM(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT) AS s,
+                     COUNT(*) AS n
+              FROM customer
+              WHERE c_nationkey IN {relational.Q22_NATIONS}
+                AND CAST(round(c_acctbal*100) AS BIGINT) > 0
+            )
+            SELECT CAST(c.c_nationkey AS BIGINT) AS cntry,
+                   COUNT(*) AS numcust,
+                   CAST(SUM(CAST(round(c.c_acctbal*100) AS BIGINT)) AS BIGINT) AS totacctbal_cents
+            FROM customer c, tot
+            WHERE c.c_nationkey IN {relational.Q22_NATIONS}
+              AND CAST(round(c.c_acctbal*100) AS BIGINT) * tot.n > tot.s
+              AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                              AND o.o_orderdate >= TIMESTAMP '{relational.Q22_CUTOFF}')
+            GROUP BY 1 ORDER BY 1
         """,
         "events_hourly_tumbling": """
             SELECT date_trunc('hour', ts) AS window_start, event_type,

@@ -664,3 +664,489 @@ def q18_large_volume_customers(sf_dir: str) -> pd.DataFrame:
     return out[
         ["c_name", "c_custkey", "o_orderkey", "o_orderdate", "total_price_cents", "sum_qty_cents"]
     ]
+
+
+Q5_REGION = "ASIA"
+Q5_LO, Q5_HI = "1996-01-01", "1997-01-01"
+
+
+def q5_local_supplier_volume(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q5 shape (co-located 6-table star): revenue per nation where
+    the ORDERING customer and the SUPPLYING supplier share a nation in
+    one region, over one order-date year.
+
+    Plan — ONE shuffle, aggregate-only (no map_groups; the
+    c_nation == s_nation equality is resolved INSIDE the aggregate):
+
+    1. region⋈nation collapses driver-side to ~5 nation codes; the
+       supplier→code and customer→code maps for those nations broadcast
+       once via ``ray.put`` (two sorted int arrays each — at web scale
+       the customer map becomes the per-doc-range sharded lookup of
+       SCALE.md §3, same access pattern);
+    2. orders (date-filtered) emit (o_orderkey, tag=cust_code+1,
+       rev_0..rev_4 = 0); lineitem emits per-batch PARTIAL revenue
+       pivoted into one column per supplier nation code — raw lines
+       never shuffle, and the pivot makes the equality a column SELECT;
+    3. groupby(o_orderkey) sums the union; a row joins iff tag>0, and
+       its revenue contribution is column rev_{tag-1} — take_along_axis,
+       no second shuffle;
+    4. per-batch partial per-nation sums; the driver merges ≤5 rows.
+
+    Revenue in integer e4 (cents × percent-cents), reduction-order
+    exact."""
+    nat = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    reg = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    rkey = int(reg.loc[reg["r_name"] == Q5_REGION, "r_regionkey"].iloc[0])
+    nat = nat[nat["n_regionkey"] == rkey].sort_values("n_nationkey")
+    nkeys = nat["n_nationkey"].to_numpy(np.int64)
+    names = nat["n_name"].tolist()
+    n_codes = len(nkeys)
+
+    def _member_map(tbl: pa.Table, key: str, nk: str):
+        ks = tbl[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        codes = np.searchsorted(nkeys, tbl[nk].to_numpy(zero_copy_only=False))
+        hit = (codes < n_codes) & (
+            np.take(nkeys, np.minimum(codes, n_codes - 1))
+            == tbl[nk].to_numpy(zero_copy_only=False)
+        )
+        order = np.argsort(ks[hit])
+        return ks[hit][order], codes[hit][order]
+
+    supp_ref = ray.put(
+        _member_map(
+            pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]),
+            "s_suppkey", "s_nationkey",
+        )
+    )
+    cust_ref = ray.put(
+        _member_map(
+            pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]),
+            "c_custkey", "c_nationkey",
+        )
+    )
+    lo = pa.scalar(np.datetime64(Q5_LO, "us"), pa.timestamp("us"))
+    hi = pa.scalar(np.datetime64(Q5_HI, "us"), pa.timestamp("us"))
+    rev_cols = [f"rev_{i}" for i in range(n_codes)]
+
+    def _lookup(keys: np.ndarray, sorted_keys: np.ndarray, codes: np.ndarray):
+        pos = np.searchsorted(sorted_keys, keys)
+        pos_c = np.minimum(pos, len(sorted_keys) - 1)
+        ok = (len(sorted_keys) > 0) & (np.take(sorted_keys, pos_c) == keys)
+        return ok, np.take(codes, pos_c)
+
+    def orders_tag(batch: pa.Table) -> pa.Table:
+        sk, sc = ray.get(cust_ref)
+        b = batch.filter(
+            pc.and_(pc.greater_equal(batch["o_orderdate"], lo),
+                    pc.less(batch["o_orderdate"], hi))
+        )
+        ok, code = _lookup(b["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64), sk, sc)
+        okey = b["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)[ok]
+        cols = {
+            "o_orderkey": pa.array(okey, pa.int64()),
+            "tag": pa.array(code[ok] + 1, pa.int64()),
+        }
+        zero = np.zeros(len(okey), np.int64)
+        for c in rev_cols:
+            cols[c] = pa.array(zero, pa.int64())
+        return pa.table(cols)
+
+    def li_pivot(batch: pa.Table) -> pa.Table:
+        sk, sc = ray.get(supp_ref)
+        ok, code = _lookup(
+            batch["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64), sk, sc
+        )
+        b = batch.filter(pa.array(ok))
+        code = code[ok]
+        rev = pc.multiply(
+            _cents(b["l_extendedprice"]),
+            _cents(pc.subtract(pa.scalar(1.0), b["l_discount"])),
+        ).to_numpy(zero_copy_only=False)
+        okey = b["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uk, inv = np.unique(okey, return_inverse=True)
+        piv = np.zeros((len(uk), n_codes), np.int64)
+        np.add.at(piv, (inv, code), rev)
+        cols = {
+            "o_orderkey": pa.array(uk, pa.int64()),
+            "tag": pa.array(np.zeros(len(uk), np.int64), pa.int64()),
+        }
+        for i, c in enumerate(rev_cols):
+            cols[c] = pa.array(piv[:, i], pa.int64())
+        return pa.table(cols)
+
+    orders_side = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        orders_tag, batch_format="pyarrow"
+    )
+    li_side = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
+    ).map_batches(li_pivot, batch_format="pyarrow")
+
+    def per_nation_partial(batch: pa.Table) -> pa.Table:
+        tag = batch["tag"].to_numpy(zero_copy_only=False)
+        keep = tag > 0
+        code = tag[keep] - 1
+        piv = np.stack(
+            [batch[c].to_numpy(zero_copy_only=False)[keep] for c in rev_cols], axis=1
+        )
+        contrib = np.take_along_axis(piv, code[:, None], axis=1)[:, 0]
+        out = np.zeros(n_codes, np.int64)
+        np.add.at(out, code, contrib)
+        return pa.table(
+            {
+                "code": pa.array(np.arange(n_codes), pa.int64()),
+                "revenue_e4": pa.array(out, pa.int64()),
+            }
+        )
+
+    parts = (
+        orders_side.union(li_side)
+        .groupby("o_orderkey")
+        .aggregate(
+            Sum("tag", alias_name="tag"),
+            *[Sum(c, alias_name=c) for c in rev_cols],
+        )
+        .map_batches(per_nation_partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    tot = parts.groupby("code")["revenue_e4"].sum()
+    out = pd.DataFrame(
+        {
+            "n_name": names,
+            "revenue_e4": [int(tot.get(i, 0)) for i in range(n_codes)],
+        }
+    )
+    out = out[out["revenue_e4"] > 0]
+    return out.sort_values(
+        ["revenue_e4", "n_name"], ascending=[False, True]
+    ).reset_index(drop=True)
+
+
+Q6_LO, Q6_HI = "1996-01-01", "1997-01-01"
+
+
+def q6_forecast_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q6 shape (pure scan-aggregate): Σ extprice·discount over one
+    ship-date year, a discount band and a quantity cap — the canonical
+    predicate-pushdown query. Per-batch partial (sum, count) rows, one
+    tiny driver fold; the discount band compares INTEGER percent-cents
+    (round(d·100) ∈ [5,7]) so Ray and SQL agree at the float boundary.
+    Revenue in integer e4."""
+    lo = pa.scalar(np.datetime64(Q6_LO, "us"), pa.timestamp("us"))
+    hi = pa.scalar(np.datetime64(Q6_HI, "us"), pa.timestamp("us"))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        disc_c = _cents(batch["l_discount"])
+        m = pc.and_(
+            pc.and_(
+                pc.and_(pc.greater_equal(batch["l_shipdate"], lo),
+                        pc.less(batch["l_shipdate"], hi)),
+                pc.and_(pc.greater_equal(disc_c, pa.scalar(5, pa.int64())),
+                        pc.less_equal(disc_c, pa.scalar(7, pa.int64()))),
+            ),
+            pc.less(batch["l_quantity"], pa.scalar(24.0)),
+        )
+        b = batch.filter(m)
+        rev = pc.multiply(_cents(b["l_extendedprice"]), _cents(b["l_discount"]))
+        s = pc.sum(rev).as_py() or 0
+        return pa.table(
+            {
+                "revenue_e4": pa.array([s], pa.int64()),
+                "n_lines": pa.array([len(b)], pa.int64()),
+            }
+        )
+
+    parts = (
+        _read(sf_dir, "lineitem",
+              ["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return pd.DataFrame(
+        {
+            "revenue_e4": [int(parts["revenue_e4"].sum())],
+            "n_lines": [int(parts["n_lines"].sum())],
+        }
+    )
+
+
+Q10_LO, Q10_HI = "1996-10-01", "1997-01-01"
+Q10_LIMIT = 20
+
+
+def q10_returned_items(sf_dir: str, k: int = Q10_LIMIT) -> pd.DataFrame:
+    """TPC-H Q10 shape (returned-item reporting): revenue lost per
+    customer from RETURNED lines of one quarter's orders, top-k with
+    name / balance / nation resolved for the winners only.
+
+    Two aggregate-only shuffles: (1) tagged union on o_orderkey glues
+    date-filtered orders (tag = o_custkey+1) to per-batch partial
+    R-line revenue — the join emits (custkey, revenue) with no
+    map_groups; (2) groupby(custkey) sums, per-batch partial top-k,
+    tiny driver merge. Customer/nation attributes come from a PRUNED
+    read of exactly the k winner keys (q3's resolution idiom). Money in
+    integer cents/e4; frozen (revenue DESC, custkey ASC) tie order."""
+    lo = pa.scalar(np.datetime64(Q10_LO, "us"), pa.timestamp("us"))
+    hi = pa.scalar(np.datetime64(Q10_HI, "us"), pa.timestamp("us"))
+
+    def orders_tag(batch: pa.Table) -> pa.Table:
+        b = batch.filter(
+            pc.and_(pc.greater_equal(batch["o_orderdate"], lo),
+                    pc.less(batch["o_orderdate"], hi))
+        )
+        return pa.table(
+            {
+                "o_orderkey": pc.cast(b["o_orderkey"], pa.int64()),
+                "tag": pc.cast(pc.add(b["o_custkey"], pa.scalar(1)), pa.int64()),
+                "revenue_e4": pa.array(np.zeros(len(b), np.int64), pa.int64()),
+            }
+        )
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.equal(batch["l_returnflag"], pa.scalar("R")))
+        rev = pc.multiply(
+            _cents(b["l_extendedprice"]),
+            _cents(pc.subtract(pa.scalar(1.0), b["l_discount"])),
+        )
+        g = (
+            pa.table({"o_orderkey": pc.cast(b["l_orderkey"], pa.int64()), "revenue_e4": rev})
+            .group_by("o_orderkey")
+            .aggregate([("revenue_e4", "sum")])
+        )
+        return pa.table(
+            {
+                "o_orderkey": g["o_orderkey"],
+                "tag": pa.array(np.zeros(len(g), np.int64), pa.int64()),
+                "revenue_e4": pc.cast(g["revenue_e4_sum"], pa.int64()),
+            }
+        )
+
+    def to_cust(batch: pa.Table) -> pa.Table:
+        tag = batch["tag"].to_numpy(zero_copy_only=False)
+        rev = batch["revenue_e4"].to_numpy(zero_copy_only=False)
+        keep = (tag > 0) & (rev > 0)
+        ck = tag[keep] - 1
+        uk, inv = np.unique(ck, return_inverse=True)
+        s = np.zeros(len(uk), np.int64)
+        np.add.at(s, inv, rev[keep])
+        return pa.table(
+            {
+                "c_custkey": pa.array(uk, pa.int64()),
+                "revenue_e4": pa.array(s, pa.int64()),
+            }
+        )
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        rev = batch["revenue_e4"].to_numpy(zero_copy_only=False)
+        ck = batch["c_custkey"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ck, -rev))[:k]
+        return pa.table(
+            {
+                "c_custkey": pa.array(ck[order], pa.int64()),
+                "revenue_e4": pa.array(rev[order], pa.int64()),
+            }
+        )
+
+    orders_side = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        orders_tag, batch_format="pyarrow"
+    )
+    li_side = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
+    ).map_batches(li_partial, batch_format="pyarrow")
+    agg = (
+        orders_side.union(li_side)
+        .groupby("o_orderkey")
+        .aggregate(Sum("tag", alias_name="tag"), Sum("revenue_e4", alias_name="revenue_e4"))
+        .map_batches(to_cust, batch_format="pyarrow")
+        .groupby("c_custkey")
+        .aggregate(Sum("revenue_e4", alias_name="revenue_e4"))
+        .map_batches(partial_topk, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if agg.empty:
+        return pd.DataFrame(
+            {
+                "c_custkey": pd.Series([], dtype="int64"),
+                "c_name": pd.Series([], dtype=object),
+                "revenue_e4": pd.Series([], dtype="int64"),
+                "acctbal_cents": pd.Series([], dtype="int64"),
+                "n_name": pd.Series([], dtype=object),
+            }
+        )
+    agg = agg.sort_values(["revenue_e4", "c_custkey"], ascending=[False, True]).head(k)
+    final_keys = sorted(int(x) for x in agg["c_custkey"])
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_acctbal", "c_nationkey"],
+        filters=[("c_custkey", "in", final_keys)],
+    ).to_pandas()
+    nat = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]).to_pandas()
+    cust = cust.merge(nat, left_on="c_nationkey", right_on="n_nationkey")
+    cust["acctbal_cents"] = np.round(cust["c_acctbal"].to_numpy() * 100.0).astype(np.int64)
+    out = agg.merge(cust[["c_custkey", "c_name", "acctbal_cents", "n_name"]], on="c_custkey")
+    out["c_custkey"] = out["c_custkey"].astype("int64")
+    out["revenue_e4"] = out["revenue_e4"].astype("int64")
+    return out[
+        ["c_custkey", "c_name", "revenue_e4", "acctbal_cents", "n_name"]
+    ].reset_index(drop=True)
+
+
+Q14_LO, Q14_HI = "1996-09-01", "1996-10-01"
+
+
+def q14_promo_effect(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q14 shape (promotion effect): the PROMO-typed share of one
+    ship-month's revenue. The part→is_promo map broadcasts once (sorted
+    partkey array + bool flags — the part dimension, small relative to
+    lineitem at every TPC-H scale); lineitem is a single scan emitting
+    per-batch (promo_e4, total_e4, n) partials; the driver folds three
+    integers. Both sums ship as exact BIGINT — the ratio is derivable
+    and float-free."""
+    part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"])
+    pk = part["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    promo = np.array(
+        [t.startswith("PROMO") for t in part["p_type"].to_pylist()], dtype=bool
+    )
+    order = np.argsort(pk)
+    promo_ref = ray.put((pk[order], promo[order]))
+    lo = pa.scalar(np.datetime64(Q14_LO, "us"), pa.timestamp("us"))
+    hi = pa.scalar(np.datetime64(Q14_HI, "us"), pa.timestamp("us"))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys, flags = ray.get(promo_ref)
+        b = batch.filter(
+            pc.and_(pc.greater_equal(batch["l_shipdate"], lo),
+                    pc.less(batch["l_shipdate"], hi))
+        )
+        rev = pc.multiply(
+            _cents(b["l_extendedprice"]),
+            _cents(pc.subtract(pa.scalar(1.0), b["l_discount"])),
+        ).to_numpy(zero_copy_only=False)
+        lpk = b["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(keys, lpk)
+        pos_c = np.minimum(pos, len(keys) - 1)
+        is_promo = np.take(flags, pos_c) & (np.take(keys, pos_c) == lpk)
+        return pa.table(
+            {
+                "promo_revenue_e4": pa.array([int(rev[is_promo].sum())], pa.int64()),
+                "total_revenue_e4": pa.array([int(rev.sum())], pa.int64()),
+                "n_lines": pa.array([len(b)], pa.int64()),
+            }
+        )
+
+    parts = (
+        _read(sf_dir, "lineitem",
+              ["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return pd.DataFrame(
+        {
+            "promo_revenue_e4": [int(parts["promo_revenue_e4"].sum())],
+            "total_revenue_e4": [int(parts["total_revenue_e4"].sum())],
+            "n_lines": [int(parts["n_lines"].sum())],
+        }
+    )
+
+
+Q22_NATIONS = (0, 3, 7, 11, 14, 17, 20)
+Q22_CUTOFF = "2000-01-01"
+
+
+def q22_global_sales_opportunity(sf_dir: str, use_bloom: bool | None = None) -> pd.DataFrame:
+    """TPC-H Q22 shape (global sales opportunity), adapted to the tables
+    at hand: the driver schema carries no c_phone, so the seven phone
+    country-code prefixes become seven NATION keys, and — because this
+    synthetic corpus gives EVERY customer at least one order — the
+    anti-join excludes customers with any RECENT order (o_orderdate ≥
+    Q22_CUTOFF) rather than any order at all. The shape (scalar AVG
+    subquery → positive-balance threshold → anti-join against a
+    date-filtered orders scan → per-group count/sum) is unchanged.
+
+    The scalar average folds from per-batch (Σcents, n) partials; the
+    threshold compares acctbal_cents·n > Σcents — integer
+    cross-multiplication, so Ray and the SQL replay agree exactly at
+    the boundary (no float division anywhere). The anti-join reuses
+    ``_fact_keys_in_probe`` (broadcast keyset below
+    BLOOM_FACT_THRESHOLD, distributed Bloom + exact verify above).
+    Output (cntry = nationkey, numcust, totacctbal_cents)."""
+    nset = pa.array(list(Q22_NATIONS), pa.int64())
+
+    def bal_partial(batch: pa.Table) -> pa.Table:
+        cents = _cents(batch["c_acctbal"])
+        m = pc.and_(
+            pc.is_in(pc.cast(batch["c_nationkey"], pa.int64()), value_set=nset),
+            pc.greater(cents, pa.scalar(0, pa.int64())),
+        )
+        kept = cents.filter(m)
+        return pa.table(
+            {
+                "sum_cents": pa.array([pc.sum(kept).as_py() or 0], pa.int64()),
+                "n": pa.array([len(kept)], pa.int64()),
+            }
+        )
+
+    cust_cols = ["c_custkey", "c_nationkey", "c_acctbal"]
+    bal = _read(sf_dir, "customer", ["c_nationkey", "c_acctbal"]).map_batches(
+        bal_partial, batch_format="pyarrow"
+    ).to_pandas()
+    tot, cnt = int(bal["sum_cents"].sum()), int(bal["n"].sum())
+
+    cut = pa.scalar(np.datetime64(Q22_CUTOFF, "us"), pa.timestamp("us"))
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"]).map_batches(
+        lambda b: b.filter(pc.greater_equal(b["o_orderdate"], cut)).select(["o_custkey"]),
+        batch_format="pyarrow",
+    )
+    cust = _read(sf_dir, "customer", cust_cols)
+    have_orders = _fact_keys_in_probe(orders, "o_custkey", cust, "c_custkey", use_bloom)
+    okey_ref = ray.put(pa.array(have_orders, pa.int64()))
+
+    def per_nation(batch: pa.Table) -> pa.Table:
+        ks = ray.get(okey_ref)
+        cents = _cents(batch["c_acctbal"])
+        m = pc.and_(
+            pc.and_(
+                pc.is_in(pc.cast(batch["c_nationkey"], pa.int64()), value_set=nset),
+                pc.greater(
+                    pc.multiply(cents, pa.scalar(cnt, pa.int64())),
+                    pa.scalar(tot, pa.int64()),
+                ),
+            ),
+            pc.invert(pc.is_in(batch["c_custkey"], value_set=ks)),
+        )
+        b = batch.filter(m)
+        g = (
+            pa.table(
+                {
+                    "cntry": pc.cast(b["c_nationkey"], pa.int64()),
+                    "bal_cents": _cents(b["c_acctbal"]),
+                }
+            )
+            .group_by("cntry")
+            .aggregate([("bal_cents", "sum"), ("bal_cents", "count")])
+        )
+        return pa.table(
+            {
+                "cntry": g["cntry"],
+                "totacctbal_cents": pc.cast(g["bal_cents_sum"], pa.int64()),
+                "numcust": pc.cast(g["bal_cents_count"], pa.int64()),
+            }
+        )
+
+    parts = cust.map_batches(per_nation, batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        return pd.DataFrame(
+            {
+                "cntry": pd.Series([], dtype="int64"),
+                "numcust": pd.Series([], dtype="int64"),
+                "totacctbal_cents": pd.Series([], dtype="int64"),
+            }
+        )
+    out = (
+        parts.groupby("cntry", as_index=False)
+        .agg(numcust=("numcust", "sum"), totacctbal_cents=("totacctbal_cents", "sum"))
+        .astype({"cntry": "int64", "numcust": "int64", "totacctbal_cents": "int64"})
+    )
+    return out.sort_values("cntry").reset_index(drop=True)[
+        ["cntry", "numcust", "totacctbal_cents"]
+    ]
