@@ -127,6 +127,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_source_cap": cleaning.source_cap,       # per-domain quota (RefinedWeb cap)
         "docs_mixture_resample": cleaning.mixture_resample,  # training-mix rebalance
         "docs_gopher_filter": cleaning.gopher_filter,  # composite quality rules
+        # DSIR (Xie et al. 2023): hashed-unigram importance ranking toward
+        # a target domain — integer milli-nat log-ratios, 2 streaming passes
+        "docs_dsir_weights": cleaning.dsir_weights,
         "docs_dedup_exact": dedup.exact_dedup_min_id,
         "corpus_clean": cleaning.corpus_clean,      # filter→quality→near-dedup→write
         "docs_minhash_lsh_pairs": dedup.minhash_lsh_pairs,
@@ -310,6 +313,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fulltext_string_stats": fulltext.string_stats_query,
         # mad: exact type-1 median + median-absolute-deviation of doclen
         "fulltext_mad": fulltext.mad_query,
+        # extended_stats: exact integer second moments + variance numerator
+        "fulltext_extended_stats": fulltext.extended_stats_query,
+        # filters agg: named predicate buckets + other_bucket, one pass
+        "fulltext_filters_agg": fulltext.filters_agg_query,
         # multi_terms: composite (lang, doclen-bucket) terms agg, top-k
         "fulltext_multi_terms": fulltext.multi_terms_query,
         # terms_enum: dictionary prefix range scan across segment shards
@@ -1026,6 +1033,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT r.doc_id, r.lang FROM r JOIN quotas USING (lang)
             WHERE r.rn <= quotas.q ORDER BY r.doc_id
         """,
+        # DSIR: smoothed hashed-bucket log-ratio weights in milli-nats;
+        # bucket = md5(token) % B, delta replayed per bucket, weight = Σ delta
+        "docs_dsir_weights": f"""
+            WITH toks AS (
+              SELECT doc_id, tok FROM (
+                SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok
+                FROM documents) WHERE tok <> ''
+            ),
+            b AS (SELECT doc_id,
+                         CAST(CAST(('0x' || substr(md5(tok), 1, 8)) AS UBIGINT)
+                              % {cleaning.DSIR_B} AS BIGINT) AS bkt
+                  FROM toks),
+            raw AS (SELECT bkt, count(*) AS rc FROM b GROUP BY 1),
+            tgt AS (SELECT bkt, count(*) AS tc
+                    FROM b JOIN documents USING (doc_id)
+                    WHERE source IN {cleaning.DSIR_TARGET_SOURCES} GROUP BY 1),
+            tot AS (SELECT (SELECT count(*) FROM b) AS rtot,
+                           (SELECT count(*) FROM b JOIN documents USING (doc_id)
+                            WHERE source IN {cleaning.DSIR_TARGET_SOURCES}) AS ttot),
+            delta AS (
+              SELECT r.bkt,
+                     CAST(round(1000*ln(coalesce(t.tc, 0) + 1)) AS BIGINT)
+                   - CAST(round(1000*ln(tot.ttot + {cleaning.DSIR_B})) AS BIGINT)
+                   - CAST(round(1000*ln(r.rc + 1)) AS BIGINT)
+                   + CAST(round(1000*ln(tot.rtot + {cleaning.DSIR_B})) AS BIGINT) AS d
+              FROM raw r CROSS JOIN tot LEFT JOIN tgt t USING (bkt)
+            ),
+            w AS (SELECT b.doc_id, CAST(SUM(d.d) AS BIGINT) AS weight_milli
+                  FROM b JOIN delta d USING (bkt) GROUP BY 1)
+            SELECT CAST(row_number() OVER (ORDER BY weight_milli DESC, doc_id) AS BIGINT) AS rank,
+                   CAST(doc_id AS BIGINT) AS doc_id, weight_milli
+            FROM w ORDER BY weight_milli DESC, doc_id LIMIT {cleaning.DSIR_K}
+        """,
         # per-domain quota: keep the K longest docs per source, ties by id
         "docs_source_cap": f"""
             SELECT doc_id, source, n_chars FROM (
@@ -1355,6 +1395,8 @@ def oracle_sql() -> dict[str, str]:
         "fulltext_matchset_stats": fulltext.matchset_stats_oracle_sql(),
         "fulltext_string_stats": fulltext.string_stats_oracle_sql(),
         "fulltext_mad": fulltext.mad_oracle_sql(),
+        "fulltext_extended_stats": fulltext.extended_stats_oracle_sql(),
+        "fulltext_filters_agg": fulltext.filters_agg_oracle_sql(),
         "fulltext_multi_terms": fulltext.multi_terms_oracle_sql(),
         "fulltext_terms_enum": fulltext.terms_enum_oracle_sql(),
         "fulltext_matrix_stats": fulltext.matrix_stats_oracle_sql(),

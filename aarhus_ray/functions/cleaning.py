@@ -267,3 +267,131 @@ def gopher_filter(sf_dir: str) -> pd.DataFrame:
 
     out = ds.map_batches(apply_rules, batch_format="pyarrow").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+DSIR_B = 1024  # hashed-feature buckets
+DSIR_TARGET_SOURCES = ("src0", "src1", "src2")
+DSIR_K = 100
+
+
+def dsir_weights(sf_dir: str) -> pd.DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al. 2023):
+    rank raw documents by the log importance ratio of a TARGET domain
+    over the raw corpus under hashed unigram features. The production
+    recipe for 'make CommonCrawl look like Wikipedia': estimate smoothed
+    bucket distributions p(target) and q(raw) over md5-hashed token
+    buckets, weight each doc by Σ_tokens [ln p(bkt) − ln q(bkt)], keep
+    the top of the ranking (the real pipeline then Gumbel-resamples; the
+    deterministic top-k is the oracle-checkable core).
+
+    INTEGER-exact across engines, the unigram_nll idiom: per-bucket
+    delta = lm(t_b+1) − lm(T+B) − lm(r_b+1) + lm(R+B) in milli-nats
+    (lm(x) = round(1000·ln(x)); counts are identical integers on both
+    sides, so libm agrees bitwise), doc weight = Σ delta[bucket(tok)] —
+    an integer dot product, no order-dependent float sum.
+
+    Two distributed passes: (1) per-batch partial (bucket, raw_c, tgt_c)
+    counts — at most B=1024 rows per batch regardless of corpus size —
+    folded to one 2·B-int driver table and broadcast as the delta array;
+    (2) per-doc weight via np.bincount over flat token buckets + partial
+    top-k per batch, tiny driver merge. Both passes stream; nothing
+    driver-side grows with the corpus."""
+    import hashlib
+
+    import ray
+    import pyarrow.compute as pc
+
+    ds = _docs(sf_dir, ["doc_id", "text", "source"])
+    tgt_set = set(DSIR_TARGET_SOURCES)
+
+    def _buckets_of(flat: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+        """(unique-token bucket ids, inverse index per flat token)."""
+        uniq = pc.unique(flat)
+        bkt_u = np.array(
+            [
+                int(hashlib.md5(t.encode("utf-8")).hexdigest()[:8], 16) % DSIR_B
+                for t in uniq.to_pylist()
+            ],
+            dtype=np.int64,
+        )
+        inv = pc.index_in(flat, value_set=uniq).to_numpy(zero_copy_only=False)
+        return bkt_u, inv.astype(np.int64)
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        flat, flat_docs, _ = tokenize_flat(
+            batch["text"], np.arange(len(batch), dtype=np.uint64)
+        )
+        bkt_u, inv = _buckets_of(flat)
+        bkt = bkt_u[inv]
+        raw_c = np.bincount(bkt, minlength=DSIR_B)
+        is_tgt = np.array(
+            [s in tgt_set for s in batch["source"].to_pylist()], dtype=bool
+        )
+        tgt_mask = is_tgt[flat_docs.astype(np.int64)]
+        tgt_c = np.bincount(bkt[tgt_mask], minlength=DSIR_B)
+        return pa.table(
+            {
+                "bkt": pa.array(np.arange(DSIR_B), pa.int64()),
+                "raw_c": pa.array(raw_c.astype(np.int64), pa.int64()),
+                "tgt_c": pa.array(tgt_c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    parts = (
+        ds.map_batches(count_partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("bkt", as_index=False)
+        .sum()
+        .sort_values("bkt")
+    )
+    raw_c = np.zeros(DSIR_B, np.int64)
+    tgt_c = np.zeros(DSIR_B, np.int64)
+    raw_c[parts["bkt"].to_numpy()] = parts["raw_c"].to_numpy()
+    tgt_c[parts["bkt"].to_numpy()] = parts["tgt_c"].to_numpy()
+    lm = lambda x: np.round(np.log(x.astype(np.float64)) * 1000.0).astype(np.int64)
+    lm1 = lambda x: np.int64(np.round(np.log(float(x)) * 1000.0))
+    delta = (
+        lm(tgt_c + 1)
+        - lm1(int(tgt_c.sum()) + DSIR_B)
+        - lm(raw_c + 1)
+        + lm1(int(raw_c.sum()) + DSIR_B)
+    )
+    delta_ref = ray.put(delta)
+
+    import functools
+
+    def doc_weight(batch: pa.Table, *, ref) -> pa.Table:
+        import ray as _ray
+
+        d = _ray.get(ref)
+        flat, flat_docs, n_tok = tokenize_flat(
+            batch["text"], np.arange(len(batch), dtype=np.uint64)
+        )
+        bkt_u, inv = _buckets_of(flat)
+        w = np.bincount(
+            flat_docs.astype(np.int64),
+            weights=d[bkt_u[inv]].astype(np.float64),
+            minlength=len(batch),
+        ).astype(np.int64)  # integer addends < 2^53 — exact
+        did = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = n_tok > 0
+        did, w = did[keep], w[keep]
+        order = np.lexsort((did, -w))[:DSIR_K]  # partial top-k
+        return pa.table(
+            {
+                "doc_id": pa.array(did[order], pa.int64()),
+                "weight_milli": pa.array(w[order], pa.int64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(functools.partial(doc_weight, ref=delta_ref), batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["weight_milli", "doc_id"], ascending=[False, True])
+        .head(DSIR_K)
+        .reset_index(drop=True)
+    )
+    out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    for c in ("doc_id", "weight_milli", "rank"):
+        out[c] = out[c].astype("int64")
+    return out[["rank", "doc_id", "weight_milli"]]

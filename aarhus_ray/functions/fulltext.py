@@ -3998,6 +3998,96 @@ ORDER BY 1, 2
 """
 
 
+def extended_stats_query(sf_dir: str) -> pd.DataFrame:
+    """extended_stats aggregation per FT_QUERY (ES extended_stats on the
+    doclen docvalue, exact-integer form): n, Σv, Σv² and the variance
+    numerator n·Σv²−(Σv)² (pipelines/query.matchset_extended_stats)."""
+    from ..pipelines.query import matchset_extended_stats
+
+    index = _ensure_index(sf_dir, fresh=False)
+    queries = pa.table(
+        {
+            "query_id": pa.array(range(len(FT_QUERIES)), pa.int64()),
+            "text": pa.array(list(FT_QUERIES), pa.string()),
+        }
+    )
+    out = matchset_extended_stats(index, queries, field="doclen").to_pandas()
+    return out.sort_values("query_id").reset_index(drop=True)
+
+
+def extended_stats_oracle_sql() -> str:
+    values = ",".join(
+        f"({qid}, '{term}')" for qid, q in enumerate(FT_QUERIES) for term in q.split()
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok
+    FROM documents) WHERE tok <> ''
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+q(query_id, tok) AS (VALUES {values}),
+qd AS (SELECT DISTINCT query_id, tok FROM q),
+matched AS (SELECT DISTINCT qd.query_id, toks.doc_id FROM qd JOIN toks USING (tok))
+SELECT CAST(m.query_id AS BIGINT) AS query_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(dl.dl) AS BIGINT) AS "sum",
+       CAST(SUM(dl.dl * dl.dl) AS BIGINT) AS sum_sq,
+       CAST(COUNT(*) * CAST(SUM(dl.dl * dl.dl) AS BIGINT)
+            - CAST(SUM(dl.dl) AS BIGINT) * CAST(SUM(dl.dl) AS BIGINT) AS BIGINT) AS var_num
+FROM matched m JOIN dl USING (doc_id)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def filters_agg_query(sf_dir: str) -> pd.DataFrame:
+    """filters aggregation per FT_QUERY (ES filters agg with
+    other_bucket): named buckets short/long/en plus other, all four
+    emitted per non-empty match set (pipelines/query.filters_agg)."""
+    from ..pipelines.query import filters_agg
+
+    index = _ensure_index(sf_dir, fresh=False)
+    queries = pa.table(
+        {
+            "query_id": pa.array(range(len(FT_QUERIES)), pa.int64()),
+            "text": pa.array(list(FT_QUERIES), pa.string()),
+        }
+    )
+    out = filters_agg(index, queries).to_pandas()
+    return out.sort_values(["query_id", "bucket"]).reset_index(drop=True)
+
+
+def filters_agg_oracle_sql() -> str:
+    from ..stages.query_stage import FILTERS_AGG_LONG, FILTERS_AGG_SHORT
+
+    values = ",".join(
+        f"({qid}, '{term}')" for qid, q in enumerate(FT_QUERIES) for term in q.split()
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok
+    FROM documents) WHERE tok <> ''
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+q(query_id, tok) AS (VALUES {values}),
+qd AS (SELECT DISTINCT query_id, tok FROM q),
+matched AS (SELECT DISTINCT qd.query_id, toks.doc_id FROM qd JOIN toks USING (tok)),
+j AS (SELECT m.query_id, dl.dl, d.lang
+      FROM matched m JOIN dl USING (doc_id) JOIN documents d USING (doc_id)),
+b(bucket) AS (VALUES ('short'), ('long'), ('en'), ('other'))
+SELECT CAST(j.query_id AS BIGINT) AS query_id, b.bucket,
+       CAST(SUM(CASE b.bucket
+         WHEN 'short' THEN CASE WHEN j.dl < {FILTERS_AGG_SHORT} THEN 1 ELSE 0 END
+         WHEN 'long'  THEN CASE WHEN j.dl >= {FILTERS_AGG_LONG} THEN 1 ELSE 0 END
+         WHEN 'en'    THEN CASE WHEN j.lang = 'en' THEN 1 ELSE 0 END
+         ELSE CASE WHEN j.dl >= {FILTERS_AGG_SHORT} AND j.dl < {FILTERS_AGG_LONG}
+                    AND j.lang <> 'en' THEN 1 ELSE 0 END END) AS BIGINT) AS n_docs
+FROM j CROSS JOIN b
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def export_matches_query(sf_dir: str) -> pd.DataFrame:
     """Scroll/export: the FULL match set per FT_QUERY as (query_id,
     doc_id) rows (pipelines/query.export_matches — a streaming Dataset;

@@ -1172,6 +1172,74 @@ def terms_enum(
     )
 
 
+def matchset_extended_stats(
+    out_dir: str,
+    queries,
+    field: str = "doclen",
+    concurrency: int | None = None,
+    batch_size: int = 64,
+) -> ray.data.Dataset:
+    """EXTENDED-STATS aggregation per query (ES extended_stats): exact
+    integer (n, Σv, Σv², n·Σv²−(Σv)²) over the match set's docvalue.
+    Returns (query_id, n_docs, sum, sum_sq, var_num)."""
+    from ..stages.query_stage import MatchsetExtendedStatsTaskFn
+
+    segs = list_segments(out_dir)
+    if not segs:
+        raise ValueError(f"no segments under {out_dir}")
+    conc = concurrency or max(1, _cpus())
+    if isinstance(queries, str):
+        import pyarrow.parquet as _pq
+
+        queries = _pq.read_table(queries)
+    if isinstance(queries, pa.Table):
+        n_blocks = max(1, min(conc * 4, queries.num_rows // max(1, batch_size) + 1))
+        per = (queries.num_rows + n_blocks - 1) // n_blocks
+        slices = [queries.slice(i * per, per) for i in range(n_blocks) if i * per < queries.num_rows]
+        qds = ray.data.from_arrow(slices)
+    else:
+        qds = queries
+    return qds.map_batches(
+        MatchsetExtendedStatsTaskFn(out_dir, segs, field, index_version(out_dir)),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+
+
+def filters_agg(
+    out_dir: str,
+    queries,
+    concurrency: int | None = None,
+    batch_size: int = 64,
+) -> ray.data.Dataset:
+    """FILTERS aggregation per query (ES filters agg, other_bucket=true):
+    the frozen named buckets short/long/en plus other, all emitted (zeros
+    included) for every non-empty match set. Returns
+    (query_id, bucket, n_docs)."""
+    from ..stages.query_stage import FiltersAggTaskFn
+
+    segs = list_segments(out_dir)
+    if not segs:
+        raise ValueError(f"no segments under {out_dir}")
+    conc = concurrency or max(1, _cpus())
+    if isinstance(queries, str):
+        import pyarrow.parquet as _pq
+
+        queries = _pq.read_table(queries)
+    if isinstance(queries, pa.Table):
+        n_blocks = max(1, min(conc * 4, queries.num_rows // max(1, batch_size) + 1))
+        per = (queries.num_rows + n_blocks - 1) // n_blocks
+        slices = [queries.slice(i * per, per) for i in range(n_blocks) if i * per < queries.num_rows]
+        qds = ray.data.from_arrow(slices)
+    else:
+        qds = queries
+    return qds.map_batches(
+        FiltersAggTaskFn(out_dir, segs, index_version(out_dir)),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+
+
 def percolate(
     docs,
     queries,

@@ -4541,3 +4541,137 @@ class UrlResolver:
             ids, us = self._load(pid)
             urls.append(us[int(np.searchsorted(ids, d))])
         return batch.append_column("url", pa.array(urls, pa.string()))
+
+
+class MatchsetExtendedStats(DocvalueTopK):
+    """EXTENDED-STATS aggregation over the match set (ES extended_stats):
+    the second-moment family — count, sum, sum of squares and the exact
+    VARIANCE NUMERATOR n·Σv² − (Σv)² — over a numeric docvalue.
+    Everything is integer: both sums use the 32-bit-split trick of
+    MatchsetStats (Python-int recombination, no silent int64 wrap at
+    10^9-doc match sets with 10^4-scale values), so variance/std are
+    derivable client-side to any precision and a SQL replay
+    hash-matches. Per-doc-range PARTIALS (n, Σv, Σv²) are additive —
+    the cluster plan is the same merge as every counting agg here."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids_out: list[int] = []
+        ns: list[int] = []
+        sums: list[int] = []
+        sumsqs: list[int] = []
+        varnums: list[int] = []
+        for qid, text in zip(batch["query_id"].to_pylist(), batch["text"].to_pylist()):
+            docs = self._match_set(text)
+            n = len(docs)
+            if n == 0:
+                continue
+            vals = self.vals[np.searchsorted(self.doc_ids, docs)]
+            hi, lo = np.divmod(vals, np.int64(1) << 32)
+            s = (int(hi.sum(dtype=np.int64)) << 32) + int(lo.sum(dtype=np.int64))
+            sq = vals * vals  # exact: docvalues < 2^31
+            hi2, lo2 = np.divmod(sq, np.int64(1) << 32)
+            ssq = (int(hi2.sum(dtype=np.int64)) << 32) + int(lo2.sum(dtype=np.int64))
+            qids_out.append(qid)
+            ns.append(n)
+            sums.append(s)
+            sumsqs.append(ssq)
+            varnums.append(n * ssq - s * s)
+        return pa.table(
+            {
+                "query_id": pa.array(qids_out, pa.int64()),
+                "n_docs": pa.array(ns, pa.int64()),
+                "sum": pa.array(sums, pa.int64()),
+                "sum_sq": pa.array(sumsqs, pa.int64()),
+                "var_num": pa.array(varnums, pa.int64()),
+            }
+        )
+
+
+FILTERS_AGG_SHORT = 40
+FILTERS_AGG_LONG = 75
+
+
+class FiltersAgg(FacetCounter):
+    """FILTERS aggregation over the match set (ES filters agg with
+    other_bucket=true): a fixed set of NAMED predicate buckets counted
+    in one pass — 'short' (doclen < 40), 'long' (doclen ≥ 75), 'en'
+    (lang = 'en') — plus the 'other' bucket of matched docs in NO named
+    bucket. Buckets may overlap (a short English doc counts in both
+    'short' and 'en'), exactly ES semantics. All four buckets emit for
+    every non-empty match set, zeros included (the agg's shape is fixed
+    by the request, not the data). Counts are additive per doc range —
+    the standard partial-merge cluster plan."""
+
+    BUCKETS = ("short", "long", "en", "other")
+
+    def __init__(self, out_dir: str, seg_ids: list[int] | None = None):
+        super().__init__(out_dir, seg_ids, "lang")
+        files = sorted(glob.glob(os.path.join(out_dir, "docs", "pid=*.parquet")))
+        tbl = pa.concat_tables(pq.read_table(f, columns=["doc_id", "doclen"]) for f in files)
+        self.doclen = tbl["doclen"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        try:
+            self.en_code = self.values.index("en")
+        except ValueError:
+            self.en_code = -1
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids_out: list[int] = []
+        buckets_out: list[str] = []
+        counts_out: list[int] = []
+        for qid, text in zip(batch["query_id"].to_pylist(), batch["text"].to_pylist()):
+            docs = self._match_set(text)
+            if len(docs) == 0:
+                continue
+            idx = np.searchsorted(self.doc_ids, docs)
+            dl = self.doclen[idx]
+            short = dl < FILTERS_AGG_SHORT
+            long_ = dl >= FILTERS_AGG_LONG
+            en = self.codes[idx] == self.en_code
+            other = ~(short | long_ | en)
+            for name, mask in zip(self.BUCKETS, (short, long_, en, other)):
+                qids_out.append(qid)
+                buckets_out.append(name)
+                counts_out.append(int(mask.sum()))
+        return pa.table(
+            {
+                "query_id": pa.array(qids_out, pa.int64()),
+                "bucket": pa.array(buckets_out, pa.string()),
+                "n_docs": pa.array(counts_out, pa.int64()),
+            }
+        )
+
+
+class MatchsetExtendedStatsTaskFn:
+    """Task-fn form of MatchsetExtendedStats (worker-process cache)."""
+
+    def __init__(self, out_dir: str, seg_ids: list[int], field: str, version: float):
+        self.args = (out_dir, tuple(seg_ids), field, version)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_dir, seg_ids, field, version = self.args
+        key = (out_dir, version, seg_ids, field, "ext_stats")
+        es = _WORKER_MATCH_AGG_CACHE.get(key)
+        if es is None:
+            for kk in [kk for kk in _WORKER_MATCH_AGG_CACHE if kk[0] == out_dir and kk[1] < version]:
+                del _WORKER_MATCH_AGG_CACHE[kk]
+            es = MatchsetExtendedStats(out_dir, list(seg_ids), field)
+            _WORKER_MATCH_AGG_CACHE[key] = es
+        return es(batch)
+
+
+class FiltersAggTaskFn:
+    """Task-fn form of FiltersAgg (worker-process cache)."""
+
+    def __init__(self, out_dir: str, seg_ids: list[int], version: float):
+        self.args = (out_dir, tuple(seg_ids), version)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_dir, seg_ids, version = self.args
+        key = (out_dir, version, seg_ids, "filters_agg")
+        fa = _WORKER_MATCH_AGG_CACHE.get(key)
+        if fa is None:
+            for kk in [kk for kk in _WORKER_MATCH_AGG_CACHE if kk[0] == out_dir and kk[1] < version]:
+                del _WORKER_MATCH_AGG_CACHE[kk]
+            fa = FiltersAgg(out_dir, list(seg_ids))
+            _WORKER_MATCH_AGG_CACHE[key] = fa
+        return fa(batch)

@@ -1904,3 +1904,47 @@ def test_mad_multi_terms_terms_enum_on_real_index(golden_index):
             want_te[pid] = hit
     assert got_te == want_te
     assert 0 in want_te  # prefix "a" must actually exercise the scan
+
+
+def test_extended_stats_filters_agg_on_real_index(golden_index):
+    """matchset_extended_stats / filters_agg == python reference."""
+    from aarhus_ray.pipelines.query import filters_agg, matchset_extended_stats
+    from aarhus_ray.stages.query_stage import FILTERS_AGG_LONG, FILTERS_AGG_SHORT
+    from aarhus_ray.textnorm import tokenize
+
+    idx = golden_index["index"]
+    q = fixtures.gen_queries(10, seed=17)
+    docs = _docs_table(idx, ["doc_id", "text", "doclen", "lang"])
+    toks_of = [set(tokenize(t)) for t in docs["text"].to_pylist()]
+    dls = docs["doclen"].to_pylist()
+    langs = docs["lang"].to_pylist()
+
+    out = matchset_extended_stats(idx, q, field="doclen").to_pandas()
+    got = {r.query_id: (r.n_docs, r.sum, r.sum_sq, r.var_num) for r in out.itertuples()}
+    want = {}
+    for qid, text in zip(q["query_id"].to_pylist(), q["text"].to_pylist()):
+        terms = set(tokenize(text))
+        vals = [dl for dt, dl in zip(toks_of, dls) if terms & dt]
+        if not vals:
+            continue
+        n, s, ssq = len(vals), sum(vals), sum(v * v for v in vals)
+        want[qid] = (n, s, ssq, n * ssq - s * s)
+    assert got == want
+    # the variance numerator must be non-negative (Cauchy-Schwarz)
+    assert all(v[3] >= 0 for v in want.values())
+
+    out = filters_agg(idx, q).to_pandas()
+    got_f = {(r.query_id, r.bucket): r.n_docs for r in out.itertuples()}
+    want_f = {}
+    for qid, text in zip(q["query_id"].to_pylist(), q["text"].to_pylist()):
+        terms = set(tokenize(text))
+        hit = [(dl, lg) for dt, dl, lg in zip(toks_of, dls, langs) if terms & dt]
+        if not hit:
+            continue
+        want_f[(qid, "short")] = sum(dl < FILTERS_AGG_SHORT for dl, _ in hit)
+        want_f[(qid, "long")] = sum(dl >= FILTERS_AGG_LONG for dl, _ in hit)
+        want_f[(qid, "en")] = sum(lg == "en" for _, lg in hit)
+        want_f[(qid, "other")] = sum(
+            FILTERS_AGG_SHORT <= dl < FILTERS_AGG_LONG and lg != "en" for dl, lg in hit
+        )
+    assert got_f == want_f
