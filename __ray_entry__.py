@@ -121,6 +121,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # CCNet-style LM quality signal: per-doc corpus-unigram NLL in
         # integer milli-nats (exact across engines)
         "docs_unigram_nll": textstats.unigram_nll,
+        # CCNet head/middle/tail terciles of the unigram NLL (Wenzek 2020)
+        "docs_ccnet_buckets": textstats.ccnet_buckets,
         "docs_repetition": textstats.repetition_signals,  # Gopher intra-doc repetition
         # --- dedup family (SURVEY §2.7 + extensions) ---
         "docs_source_stats": textstats.source_stats,  # per-domain accounting
@@ -177,6 +179,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_bpe_merges": bpe.learn_merges,
         # --- mergeable sketches (approximate → rows-only) + exact anchor ---
         "events_distinct_props_hll": sketches.distinct_count_hll,
+        # Misra-Gries sketch + exact verify: provably-exact top-k keys
+        "events_heavy_hitters": sketches.heavy_hitters_mg,
         "events_distinct_props_exact": sketches.distinct_count_exact,
         # --- the flagship: full index build + BM25/WAND over documents ---
         "fulltext_bm25_topk": fulltext.bm25_topk,
@@ -391,6 +395,7 @@ def oracle_sql() -> dict[str, str]:
         dedup,
         fulltext,
         relational,
+        sketches,
         textstats,
         windows,
     )
@@ -943,6 +948,44 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) * (SELECT l FROM tot) - SUM(lt.l) AS BIGINT) AS nll_milli
             FROM toks t JOIN lt USING (tok)
             GROUP BY 1 ORDER BY 1
+        """,
+        # CCNet head/middle/tail: exact type-1 lower terciles of nll_milli
+        # (values at sorted index floor((n-1)/3), floor(2(n-1)/3)), bucket
+        # frozen BY VALUE: head <= t1 < middle <= t2 < tail
+        "docs_ccnet_buckets": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({toks_nonempty}) AS tok FROM documents),
+            cnt AS (SELECT tok, count(*) AS c FROM toks GROUP BY 1),
+            tot AS (SELECT CAST(round(ln(count(*)) * 1000) AS BIGINT) AS l FROM toks),
+            lt AS (SELECT tok, CAST(round(ln(c) * 1000) AS BIGINT) AS l FROM cnt),
+            nll AS (
+              SELECT t.doc_id,
+                     CAST(count(*) * (SELECT l FROM tot) - SUM(lt.l) AS BIGINT) AS nll_milli
+              FROM toks t JOIN lt USING (tok) GROUP BY 1),
+            ranked AS (SELECT nll_milli,
+                              row_number() OVER (ORDER BY nll_milli) AS rn,
+                              count(*) OVER () AS n
+                       FROM nll),
+            th AS (SELECT
+                     max(CASE WHEN rn = CAST(floor((n - 1) / 3.0) AS BIGINT) + 1
+                         THEN nll_milli END) AS t1,
+                     max(CASE WHEN rn = CAST(floor(2 * (n - 1) / 3.0) AS BIGINT) + 1
+                         THEN nll_milli END) AS t2
+                   FROM ranked)
+            SELECT CAST(nll.doc_id AS BIGINT) AS doc_id, nll.nll_milli,
+                   CASE WHEN nll.nll_milli <= th.t1 THEN 'head'
+                        WHEN nll.nll_milli <= th.t2 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM nll CROSS JOIN th ORDER BY 1
+        """,
+        # Misra-Gries heavy hitters, exact-verified: the oracle is the
+        # plain exact top-k (the sketch only bounds the exchange)
+        "events_heavy_hitters": f"""
+            SELECT CAST(row_number() OVER (ORDER BY n_rows DESC, props) AS BIGINT) AS rank,
+                   props, n_rows
+            FROM (SELECT props, CAST(count(*) AS BIGINT) AS n_rows
+                  FROM events GROUP BY 1)
+            ORDER BY n_rows DESC, props LIMIT {sketches.MG_TOP}
         """,
         # Gopher repetition signals: per-doc 2-gram multiplicities and
         # repeated-3-gram positions; engine counts 64-bit gram hashes where

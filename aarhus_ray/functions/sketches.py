@@ -105,3 +105,114 @@ def distinct_count_exact(sf_dir: str, table: str = "events", column: str = "prop
             "n_distinct": pd.Series([n], dtype="int64"),
         }
     )
+
+
+MG_K = 256  # Misra-Gries counters per summary
+MG_TOP = 10
+
+
+def heavy_hitters_mg(
+    sf_dir: str, table: str = "events", column: str = "props",
+    k: int = MG_K, top: int = MG_TOP,
+) -> pd.DataFrame:
+    """EXACT top-``top`` heavy hitters via a Misra-Gries sketch plus an
+    exact verification pass — the sketch prunes the candidate space, the
+    verify pass restores exactness, and the MG frequency guarantee makes
+    the combination PROVABLY complete:
+
+    1. per-batch MG summary: exact batch counts, then the classic
+       decrement — subtract the (k+1)-th largest count from everything,
+       keep positives (≤ k counters per batch; summaries are mergeable,
+       Agarwal et al. 2012);
+    2. one groupby(key) sums the summaries (the candidate union is the
+       only exchange — raw rows never shuffle);
+    3. driver MG-compresses the merged summary back to ≤ k candidates;
+    4. exact verify: broadcast the candidate keyset, per-batch filtered
+       counts, groupby sum → TRUE counts; take top-``top`` by
+       (count DESC, key ASC).
+
+    Completeness proof: any key with true frequency > n/(k+1) survives
+    every MG summary, so the candidate set contains every such key; the
+    function ASSERTS the returned top-``top`` tail clears that bound and
+    falls back to the exact full groupby when it does not (never on
+    skewed real data with k ≫ top; the fallback keeps the op exact on
+    adversarially flat data). So the output is always the exact top-k —
+    the sketch only bounds the exchange."""
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=[column])
+
+    def mg_partial(batch: pa.Table) -> pa.Table:
+        tbl = pa.table({"key": batch[column]}).group_by("key").aggregate([("key", "count")])
+        keys = tbl["key"].to_pylist()
+        cnt = tbl["key_count"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(cnt) > k:
+            kth = np.partition(cnt, len(cnt) - k - 1)[len(cnt) - k - 1]
+            keep = cnt > kth
+            keys = [kk for kk, m in zip(keys, keep) if m]
+            cnt = cnt[keep] - kth
+        return pa.table(
+            {
+                "key": pa.array(keys, pa.string()),
+                "c": pa.array(cnt, pa.int64()),
+            }
+        )
+
+    n_total = ds.count()  # parquet metadata — no scan
+    merged = (
+        ds.map_batches(mg_partial, batch_format="pyarrow")
+        .groupby("key")
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+    )
+    cand = merged.sort_values(["c", "key"], ascending=[False, True])
+    if len(cand) > k:  # final driver-side MG compress
+        kth = int(cand["c"].iloc[k])
+        cand = cand[cand["c"] > kth]
+    cand_keys = pa.array(sorted(cand["key"].tolist()), pa.string())
+    key_ref = ray.put(cand_keys)
+
+    def exact_counts(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ks = ray.get(key_ref)
+        col = batch[column]
+        kept = col.filter(pc.is_in(col, value_set=ks))
+        t = pa.table({"key": kept}).group_by("key").aggregate([("key", "count")])
+        return t.rename_columns(["key", "c"])
+
+    exact = (
+        ds.map_batches(exact_counts, batch_format="pyarrow")
+        .groupby("key")
+        .aggregate(Sum("c", alias_name="n_rows"))
+        .to_pandas()
+        .sort_values(["n_rows", "key"], ascending=[False, True])
+        .head(top)
+        .reset_index(drop=True)
+    )
+    bound = n_total // (k + 1)
+    if len(exact) < top or int(exact["n_rows"].iloc[-1]) <= bound:
+        # The guarantee "every key with true count > n/(k+1) survives MG"
+        # only certifies the result when the top-``top`` tail clears that
+        # bound AND the candidate pool filled the request; on adversarially
+        # flat data (or k < top) recompute exactly — never taken on skewed
+        # real data with k >> top; keeps the op always exact.
+        exact = (
+            ds.map_batches(
+                lambda b: pa.table({"key": b[column]})
+                .group_by("key")
+                .aggregate([("key", "count")])
+                .rename_columns(["key", "c"]),
+                batch_format="pyarrow",
+            )
+            .groupby("key")
+            .aggregate(Sum("c", alias_name="n_rows"))
+            .to_pandas()
+            .sort_values(["n_rows", "key"], ascending=[False, True])
+            .head(top)
+            .reset_index(drop=True)
+        )
+    exact["n_rows"] = exact["n_rows"].astype("int64")
+    out = exact.rename(columns={"key": column})
+    out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    return out[["rank", column, "n_rows"]]

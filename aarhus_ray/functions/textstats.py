@@ -10,6 +10,7 @@ import hashlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 from ray.data.aggregate import Count, Max, Sum
 
@@ -633,7 +634,7 @@ def pack_sequences(sf_dir: str, seq_len: int = PACK_SEQ_LEN) -> pd.DataFrame:
     return out
 
 
-def unigram_nll(sf_dir: str) -> pd.DataFrame:
+def _doc_nll_dataset(sf_dir: str) -> "ray.data.Dataset":
     """CCNet-style LM-perplexity quality signal with the corpus ITSELF as
     the language model: per doc, the total negative log-likelihood of its
     tokens under the corpus unigram distribution (CCNet buckets docs into
@@ -702,12 +703,15 @@ def unigram_nll(sf_dir: str) -> pd.DataFrame:
             }
         )
 
-    out = (
-        ds.map_batches(functools.partial(doc_nll, vocab_ref=ref), batch_format="pyarrow")
-        .to_pandas()
-        .sort_values("doc_id")
-        .reset_index(drop=True)
+    return ds.map_batches(
+        functools.partial(doc_nll, vocab_ref=ref), batch_format="pyarrow"
     )
+
+
+def unigram_nll(sf_dir: str) -> pd.DataFrame:
+    """Driver-facing form of ``_doc_nll_dataset`` (docstring there): the
+    full (doc_id, n_tokens, nll_milli) table, id-sorted."""
+    out = _doc_nll_dataset(sf_dir).to_pandas().sort_values("doc_id").reset_index(drop=True)
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out
@@ -763,5 +767,67 @@ def chunk_overlap(sf_dir: str, w: int = CHUNK_W, s: int = CHUNK_S) -> pd.DataFra
         .reset_index(drop=True)
     )
     for c in ("doc_id", "chunk_id", "start_c", "chunk_len"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def ccnet_buckets(sf_dir: str) -> pd.DataFrame:
+    """CCNet-style HEAD/MIDDLE/TAIL quality bucketing (Wenzek et al.
+    2020): split the corpus into terciles of LM negative log-likelihood —
+    CCNet keeps 'head' (lowest perplexity) for pretraining. The score is
+    the engine's corpus-unigram nll_milli (``_doc_nll_dataset``; a KenLM
+    drop-in at production); thresholds are EXACT type-1 lower terciles
+    (the values at sorted index floor((n−1)/3) and floor(2(n−1)/3)) and
+    the bucket rule is frozen by VALUE — head: nll ≤ t1, middle:
+    t1 < nll ≤ t2, tail: nll > t2 — so a row_number SQL replay
+    hash-matches.
+
+    The order statistics come from a DISTINCT-VALUE count histogram
+    (per-batch (nll, count) partials → one groupby → driver cumsum),
+    never a sort of the corpus: driver state is bounded by the number of
+    distinct integer scores (≤ value range), the exact-median plan of
+    functions/windows.py. Bucket assignment is a second stateless pass
+    with the two thresholds broadcast in the closure."""
+    import ray
+    from ray.data.aggregate import Count
+
+    nll = _doc_nll_dataset(sf_dir)
+    hist = (
+        nll.map_batches(
+            lambda b: pa.table({"nll_milli": b["nll_milli"]})
+            .group_by("nll_milli")
+            .aggregate([("nll_milli", "count")])
+            .rename_columns(["nll_milli", "c"]),
+            batch_format="pyarrow",
+        )
+        .groupby("nll_milli")
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+        .sort_values("nll_milli")
+    )
+    n = int(hist["c"].sum())
+    cum = hist["c"].cumsum().to_numpy()
+    vals = hist["nll_milli"].to_numpy()
+    t1 = int(vals[np.searchsorted(cum, (n - 1) // 3 + 1)])
+    t2 = int(vals[np.searchsorted(cum, 2 * (n - 1) // 3 + 1)])
+
+    def assign(batch: pa.Table) -> pa.Table:
+        v = batch["nll_milli"].to_numpy(zero_copy_only=False)
+        bucket = np.where(v <= t1, "head", np.where(v <= t2, "middle", "tail"))
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+                "nll_milli": pc.cast(batch["nll_milli"], pa.int64()),
+                "bucket": pa.array(bucket.tolist(), pa.string()),
+            }
+        )
+
+    out = (
+        nll.map_batches(assign, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for c in ("doc_id", "nll_milli"):
         out[c] = out[c].astype("int64")
     return out

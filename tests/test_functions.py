@@ -1998,3 +1998,46 @@ def test_semdedup_matches_full_replay():
     # least one member of every near-dup pair remains
     dropped = set(out["vec_id"])
     assert len(dropped) < len(t)
+
+
+def test_ccnet_buckets_terciles_match_recompute():
+    from aarhus_ray.functions.textstats import ccnet_buckets, unigram_nll
+
+    out = ccnet_buckets(SF)
+    nll = unigram_nll(SF).set_index("doc_id")["nll_milli"]
+    assert out["doc_id"].tolist() == sorted(nll.index.tolist())
+    assert (out.set_index("doc_id")["nll_milli"] == nll).all()
+    v = np.sort(nll.to_numpy())
+    n = len(v)
+    t1, t2 = int(v[(n - 1) // 3]), int(v[2 * (n - 1) // 3])
+    want = np.where(
+        out["nll_milli"] <= t1, "head", np.where(out["nll_milli"] <= t2, "middle", "tail")
+    )
+    assert out["bucket"].tolist() == want.tolist()
+    # bucket-by-VALUE: ties on a threshold all land on the low side, so
+    # every head score < every middle score < every tail score
+    bs = out.groupby("bucket")["nll_milli"]
+    assert bs.max()["head"] < bs.min()["middle"] <= bs.max()["middle"] < bs.min()["tail"]
+
+
+def test_heavy_hitters_mg_exact_topk():
+    import duckdb
+
+    from aarhus_ray.functions.sketches import heavy_hitters_mg
+
+    con = duckdb.connect()
+    want = con.execute(
+        f"""SELECT props, CAST(count(*) AS BIGINT) AS n_rows
+            FROM '{SF}/events.parquet' GROUP BY 1
+            ORDER BY n_rows DESC, props LIMIT 10"""
+    ).fetchdf()
+    out = heavy_hitters_mg(SF)
+    assert out["rank"].tolist() == list(range(1, len(want) + 1))
+    assert out["props"].tolist() == want["props"].tolist()
+    assert out["n_rows"].tolist() == want["n_rows"].tolist()
+    # adversarial k: with only 2 MG counters the frequency guarantee
+    # cannot cover top-10, so the exact-fallback path must fire — and the
+    # result must STILL be the exact top-k
+    out2 = heavy_hitters_mg(SF, k=2, top=10)
+    assert out2["props"].tolist() == want["props"].tolist()
+    assert out2["n_rows"].tolist() == want["n_rows"].tolist()
