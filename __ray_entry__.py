@@ -101,6 +101,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_paths": windows.events_user_paths,
         "events_value_median": windows.events_value_median,  # exact histogram percentile
         "events_value_quantiles": windows.events_value_quantiles,  # exact p25/50/75/90/99, same histogram
+        # Welch two-sample t-test from exact integer moments (ES t_test agg)
+        "events_t_test": windows.events_t_test,
+        # market-basket frequent itemsets over (user, day) baskets via the
+        # bitmask-histogram collapse (ES frequent_item_sets agg)
+        "events_frequent_itemsets": windows.events_frequent_itemsets,
         # --- text analysis over documents ---
         "docs_term_counts_top50": textstats.term_counts_top50,
         "docs_token_counts": textstats.token_counts,
@@ -123,6 +128,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_unigram_nll": textstats.unigram_nll,
         # CCNet head/middle/tail terciles of the unigram NLL (Wenzek 2020)
         "docs_ccnet_buckets": textstats.ccnet_buckets,
+        # Heaps'-law bigram-vocabulary growth per crawl-time bucket
+        # (ES cumulative_cardinality over a date_histogram)
+        "docs_vocab_growth": textstats.vocab_growth,
         "docs_repetition": textstats.repetition_signals,  # Gopher intra-doc repetition
         # --- dedup family (SURVEY §2.7 + extensions) ---
         "docs_source_stats": textstats.source_stats,  # per-domain accounting
@@ -271,6 +279,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # update_by_query: delete + re-add delta, stale stats until merge
         "fulltext_update_by_query": fulltext.bm25_topk_update_by_query,
         "fulltext_index_stats": fulltext.index_stats,  # build-completeness audit
+        "fulltext_field_caps": fulltext.field_caps_query,  # per-field type + envelope
         "fulltext_bm25_snippets": fulltext.bm25_snippets,  # KWIC result windows
         "fulltext_bm25_filtered": fulltext.bm25_topk_filtered,  # lang-facet filter
         "fulltext_more_like_this": fulltext.more_like_this,  # doc-similarity search
@@ -978,6 +987,76 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'tail' END AS bucket
             FROM nll CROSS JOIN th ORDER BY 1
         """,
+        # Heaps' bigram-vocab growth: first-occurrence identity — cumulative
+        # distinct == running sum of new-gram counts per bucket
+        "docs_vocab_growth": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({toks_nonempty}) AS tok,
+                     generate_subscripts({toks_nonempty}, 1) AS pos
+              FROM documents),
+            bg AS (SELECT a.tok || ' ' || b.tok AS gram,
+                          min(({fulltext.BASE_TS_US} + (a.doc_id * {fulltext.TS_MULT})
+                               % {fulltext.TS_MOD}) // {textstats.VG_BUCKET_US}) AS bucket
+                   FROM toks a JOIN toks b
+                     ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+                   GROUP BY 1),
+            nb AS (SELECT bucket, count(*) AS new_grams FROM bg GROUP BY 1)
+            SELECT CAST(bucket AS BIGINT) AS bucket,
+                   CAST(new_grams AS BIGINT) AS new_grams,
+                   CAST(SUM(new_grams) OVER (ORDER BY bucket) AS BIGINT) AS cum_grams
+            FROM nb ORDER BY 1
+        """,
+        # Welch t-test replayed from the SAME exact integer moments (n, Σv,
+        # Σv² on floor-cents) through the SAME float64 closed form
+        "events_t_test": f"""
+            WITH c AS (SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS v
+                       FROM events
+                       WHERE event_type IN ('{windows.TT_TYPE_A}', '{windows.TT_TYPE_B}')),
+            m AS (SELECT event_type, count(*) AS n,
+                         CAST(SUM(v) AS BIGINT) AS s, CAST(SUM(v * v) AS BIGINT) AS q
+                  FROM c GROUP BY 1),
+            st AS (SELECT
+              CAST(a.n AS DOUBLE) AS na, CAST(a.s AS DOUBLE) AS sa, CAST(a.q AS DOUBLE) AS qa,
+              CAST(b.n AS DOUBLE) AS nb, CAST(b.s AS DOUBLE) AS sb, CAST(b.q AS DOUBLE) AS qb
+              FROM (SELECT * FROM m WHERE event_type = '{windows.TT_TYPE_A}') a,
+                   (SELECT * FROM m WHERE event_type = '{windows.TT_TYPE_B}') b),
+            f AS (SELECT na, nb, sa / na AS ma, sb / nb AS mb,
+                         ((qa - sa * sa / na) / (na - 1)) / na AS se2a,
+                         ((qb - sb * sb / nb) / (nb - 1)) / nb AS se2b
+                  FROM st)
+            SELECT '{windows.TT_TYPE_A}' AS type_a, '{windows.TT_TYPE_B}' AS type_b,
+                   CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+                   round(ma, 6) AS mean_a_c, round(mb, 6) AS mean_b_c,
+                   round((ma - mb) / sqrt(se2a + se2b), 6) AS t,
+                   round((se2a + se2b) * (se2a + se2b)
+                         / (se2a * se2a / (na - 1) + se2b * se2b / (nb - 1)), 6) AS df
+            FROM f
+        """,
+        # frequent itemsets: distinct (user, day, type) baskets; pairs and
+        # triples via ordered self-joins (engine items are alphabet-sorted)
+        "events_frequent_itemsets": f"""
+            WITH d AS (SELECT DISTINCT user_id,
+                              epoch_us(ts) // {windows.FIS_DAY_US} AS day, event_type
+                       FROM events),
+            s1 AS (SELECT event_type AS items, 1 AS size, count(*) AS support
+                   FROM d GROUP BY 1),
+            s2 AS (SELECT a.event_type || '+' || b.event_type AS items, 2 AS size,
+                          count(*) AS support
+                   FROM d a JOIN d b ON a.user_id = b.user_id AND a.day = b.day
+                                    AND a.event_type < b.event_type
+                   GROUP BY 1),
+            s3 AS (SELECT a.event_type || '+' || b.event_type || '+' || c.event_type AS items,
+                          3 AS size, count(*) AS support
+                   FROM d a JOIN d b ON a.user_id = b.user_id AND a.day = b.day
+                                    AND a.event_type < b.event_type
+                          JOIN d c ON b.user_id = c.user_id AND b.day = c.day
+                                    AND b.event_type < c.event_type
+                   GROUP BY 1)
+            SELECT items, CAST(size AS BIGINT) AS size, CAST(support AS BIGINT) AS support
+            FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3)
+            WHERE support >= {windows.FIS_MIN_SUPPORT}
+            ORDER BY size, support DESC, items
+        """,
         # Misra-Gries heavy hitters, exact-verified: the oracle is the
         # plain exact top-k (the sketch only bounds the exchange)
         "events_heavy_hitters": f"""
@@ -1414,6 +1493,7 @@ def oracle_sql() -> dict[str, str]:
         "fulltext_delete_by_query": fulltext.bm25_delete_by_query_oracle_sql(),
         "fulltext_update_by_query": fulltext.bm25_update_by_query_oracle_sql(),
         "fulltext_index_stats": fulltext.index_stats_oracle_sql(),
+        "fulltext_field_caps": fulltext.field_caps_oracle_sql(),
         "fulltext_bm25_snippets": fulltext.bm25_snippets_oracle_sql(),
         "fulltext_bm25_filtered": fulltext.bm25_filtered_oracle_sql(),
         "fulltext_more_like_this": fulltext.more_like_this_oracle_sql(),

@@ -6200,3 +6200,87 @@ SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank, doc_
 FROM ranked WHERE rank <= {k}
 ORDER BY query_id, rank
 """
+
+
+FC_FIELDS = ("doc_id", "lang", "n_chars", "source", "text")
+
+
+def field_caps_query(sf_dir: str) -> pd.DataFrame:
+    """ES field_caps API over the index's source table: per field, the
+    Arrow storage type and the aggregatable envelope (non-null count,
+    min, max — stringified so one schema covers every field type). One
+    streaming pass computes ALL fields' envelopes together: each batch
+    emits a 5-row partial, the driver folds the tiny (blocks × fields)
+    table — no shuffle, no per-field rescan. Output (field, type,
+    n_non_null, min_v, max_v) ordered by field — hash-exact against a
+    UNION ALL SQL replay."""
+    import ray.data
+
+    schema = pq.read_schema(f"{sf_dir}/documents.parquet")
+    types = {f: str(schema.field(f).type) for f in FC_FIELDS}
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=list(FC_FIELDS))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        rows = {"field": [], "n": [], "min_v": [], "max_v": []}
+        for f in FC_FIELDS:
+            col = batch[f]
+            mm = pc.min_max(col)
+            rows["field"].append(f)
+            rows["n"].append(len(col) - col.null_count)
+            rows["min_v"].append(str(mm["min"].as_py()))
+            rows["max_v"].append(str(mm["max"].as_py()))
+        return pa.table(
+            {
+                "field": pa.array(rows["field"], pa.string()),
+                "n": pa.array(rows["n"], pa.int64()),
+                "min_v": pa.array(rows["min_v"], pa.string()),
+                "max_v": pa.array(rows["max_v"], pa.string()),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    rows = []
+    for f in FC_FIELDS:
+        g = parts[parts["field"] == f]
+        # fold in the FIELD's order, not string order ("95" > "499")
+        conv = int if types[f].startswith("int") else str
+        rows.append(
+            (
+                f,
+                types[f],
+                int(g["n"].sum()),
+                str(min(conv(v) for v in g["min_v"])),
+                str(max(conv(v) for v in g["max_v"])),
+            )
+        )
+    out = pd.DataFrame(rows, columns=["field", "type", "n_non_null", "min_v", "max_v"])
+    out["n_non_null"] = out["n_non_null"].astype("int64")
+    return out.sort_values("field").reset_index(drop=True)
+
+
+def field_caps_oracle_sql() -> str:
+    """UNION ALL replay of field_caps_query: numeric min/max stringified
+    the way Python str() prints them (ints plain, no padding)."""
+    parts = []
+    for f in FC_FIELDS:
+        parts.append(
+            f"""SELECT '{f}' AS field, count({f}) AS n,
+                   CAST(min({f}) AS VARCHAR) AS min_v,
+                   CAST(max({f}) AS VARCHAR) AS max_v
+            FROM documents"""
+        )
+    u = " UNION ALL ".join(parts)
+    # Arrow type names, stated inline (the engine reads them from the
+    # parquet schema; the oracle states the same contract literally)
+    return f"""
+        WITH caps AS ({u}),
+        ty(field, type) AS (VALUES
+          ('doc_id', 'int64'), ('lang', 'string'), ('n_chars', 'int64'),
+          ('source', 'string'), ('text', 'string'))
+        SELECT caps.field, ty.type, CAST(caps.n AS BIGINT) AS n_non_null,
+               caps.min_v, caps.max_v
+        FROM caps JOIN ty USING (field)
+        ORDER BY field
+    """

@@ -831,3 +831,79 @@ def ccnet_buckets(sf_dir: str) -> pd.DataFrame:
     for c in ("doc_id", "nll_milli"):
         out[c] = out[c].astype("int64")
     return out
+
+
+VG_BUCKET_US = 60_000_000  # vocab-growth bucket width (fulltext.HIST_BUCKET_US)
+
+
+def vocab_growth(sf_dir: str, bucket_us: int = VG_BUCKET_US) -> pd.DataFrame:
+    """Phrase-vocabulary growth curve (ES cumulative_cardinality pipeline
+    agg over a date_histogram): per crawl-time bucket, how many
+    NEVER-SEEN-BEFORE word bigrams appear, and the cumulative distinct
+    bigram vocabulary so far — the Heaps'-law monitor a streaming webtext
+    ingest runs to spot crawler drift. Bigrams, not unigrams: the driver
+    corpus draws from a closed 31-word vocabulary, so unigram growth
+    saturates in one bucket while the ~900-phrase bigram space keeps
+    producing novelty (same reason production dedup shingles words).
+
+    Cumulative distinct-per-bucket is NOT a sum of per-bucket distincts;
+    the distributed plan uses the first-occurrence identity
+    ``cum_distinct(b) = Σ_{b'<=b} |{g : first_bucket(g) = b'}|``:
+      1. per-batch partial: (gram, min bucket) — one lexsort + keep-first
+         over the batch's grams; raw gram occurrences never shuffle;
+      2. groupby(gram).Min → the gram's global first bucket (the only
+         exchange, ≤ |bigram vocab| rows);
+      3. per-bucket counts → driver cumsum over the tiny bucket table.
+    Timestamps are the synthetic crawl ts docvalue (fulltext.doc_ts_us).
+    Output (bucket, new_grams, cum_grams), all int64 — hash-exact."""
+    from ray.data.aggregate import Min
+
+    from .fulltext import BASE_TS_US, TS_MOD, TS_MULT
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bucket = (BASE_TS_US + (ids * TS_MULT) % TS_MOD) // bucket_us
+        toks = tokenize_batch(batch["text"].to_pylist())
+        grams, bks = [], []
+        for b, ts in zip(bucket, toks):
+            if len(ts) >= 2:
+                g = np.unique(
+                    np.fromiter(
+                        (f"{x} {y}" for x, y in zip(ts, ts[1:])),
+                        dtype=object,
+                        count=len(ts) - 1,
+                    )
+                )
+                grams.append(g)
+                bks.append(np.full(len(g), b, dtype=np.int64))
+        if not grams:
+            return pa.table({"gram": pa.array([], pa.string()), "bucket": pa.array([], pa.int64())})
+        flat = np.concatenate(grams)
+        fb = np.concatenate(bks)
+        # per-batch (gram → min bucket): sort by (gram, bucket), keep firsts
+        order = np.lexsort((fb, flat))
+        flat, fb = flat[order], fb[order]
+        first = np.ones(len(flat), dtype=bool)
+        first[1:] = flat[1:] != flat[:-1]
+        return pa.table(
+            {
+                "gram": pa.array(list(flat[first]), pa.string()),
+                "bucket": pa.array(fb[first], pa.int64()),
+            }
+        )
+
+    fb = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("gram")
+        .aggregate(Min("bucket", alias_name="bucket"))
+        .to_pandas()
+    )
+    out = (
+        fb.groupby("bucket", sort=True).size().rename("new_grams").reset_index()
+    )
+    out["cum_grams"] = out["new_grams"].cumsum()
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out

@@ -584,3 +584,187 @@ def events_user_paths(sf_dir: str, p: int = PATH_LEN, k: int = PATH_TOP_K) -> pd
     counts.insert(0, "rank", np.arange(1, len(counts) + 1, dtype=np.int64))
     counts["n_users"] = counts["n_users"].astype("int64")
     return counts[["rank", "path", "n_users"]]
+
+
+TT_TYPE_A = "purchase"  # t_test group A
+TT_TYPE_B = "error"     # t_test group B
+TT_DECIMALS = 6
+
+
+def events_t_test(
+    sf_dir: str, type_a: str = TT_TYPE_A, type_b: str = TT_TYPE_B,
+    decimals: int = TT_DECIMALS,
+) -> pd.DataFrame:
+    """Welch's unpaired two-sample t-test between the value distributions
+    of two event types (ES t_test aggregation, heteroscedastic default):
+    does `purchase` move different money than `error`? Distributed as the
+    moments plan — per-batch partials carry only (type, n, Σx, Σx²) on
+    integer cents (floor(value*100), the module contract), one ≤2-row-per-
+    block groupby sums them, and the driver finishes the closed form
+
+        t  = (m_a − m_b) / sqrt(v_a/n_a + v_b/n_b)
+        df = (v_a/n_a + v_b/n_b)² / ((v_a/n_a)²/(n_a−1) + (v_b/n_b)²/(n_b−1))
+
+    with v the SAMPLE variance (Q − S²/n)/(n−1). All moments are exact
+    int64 (Q < 2^53 exactly representable as float64), so t and df are a
+    deterministic float64 expression of integers — the SQL oracle states
+    the same formula over the same integers and matches to the last bit;
+    rounding to ``decimals`` is belt-and-braces. Output one row:
+    (type_a, type_b, n_a, n_b, mean_a_c, mean_b_c, t, df)."""
+    ds = _events(sf_dir, ["event_type", "value"])
+    types = pa.array([type_a, type_b], pa.string())
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_in(batch["event_type"], value_set=types))
+        cents = np.floor(
+            batch["value"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        rows = {"event_type": [], "n": [], "s": [], "q": []}
+        for t in (type_a, type_b):
+            x = cents[et == t]
+            rows["event_type"].append(t)
+            rows["n"].append(len(x))
+            rows["s"].append(int(x.sum()))
+            rows["q"].append(int((x * x).sum()))
+        return pa.table(
+            {
+                "event_type": pa.array(rows["event_type"], pa.string()),
+                "n": pa.array(rows["n"], pa.int64()),
+                "s": pa.array(rows["s"], pa.int64()),
+                "q": pa.array(rows["q"], pa.int64()),
+            }
+        )
+
+    m = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("n", alias_name="n"), Sum("s", alias_name="s"), Sum("q", alias_name="q")
+        )
+        .to_pandas()
+        .set_index("event_type")
+    )
+
+    def stats(t):
+        n = float(m.loc[t, "n"])
+        s = float(m.loc[t, "s"])
+        q = float(m.loc[t, "q"])
+        mean = s / n
+        var = (q - s * s / n) / (n - 1.0)
+        return n, mean, var
+
+    na, ma, va = stats(type_a)
+    nb, mb, vb = stats(type_b)
+    se2_a, se2_b = va / na, vb / nb
+    t_stat = (ma - mb) / np.sqrt(se2_a + se2_b)
+    df = (se2_a + se2_b) ** 2 / (se2_a**2 / (na - 1.0) + se2_b**2 / (nb - 1.0))
+    return pd.DataFrame(
+        {
+            "type_a": pd.Series([type_a], dtype=object),
+            "type_b": pd.Series([type_b], dtype=object),
+            "n_a": pd.Series([int(na)], dtype="int64"),
+            "n_b": pd.Series([int(nb)], dtype="int64"),
+            "mean_a_c": pd.Series([round(ma, decimals)], dtype="float64"),
+            "mean_b_c": pd.Series([round(mb, decimals)], dtype="float64"),
+            "t": pd.Series([round(float(t_stat), decimals)], dtype="float64"),
+            "df": pd.Series([round(float(df), decimals)], dtype="float64"),
+        }
+    )
+
+
+FIS_MIN_SUPPORT = 5  # frequent_item_sets support floor
+FIS_MAX_SIZE = 3
+FIS_DAY_US = 86_400_000_000
+
+
+def events_frequent_itemsets(
+    sf_dir: str, min_support: int = FIS_MIN_SUPPORT, max_size: int = FIS_MAX_SIZE,
+) -> pd.DataFrame:
+    """Frequent itemsets over (user, day) event-type baskets (ES
+    frequent_item_sets aggregation — the market-basket shape): every set
+    of ≤ ``max_size`` distinct event types co-occurring in ≥
+    ``min_support`` user-days. Baskets are user-DAYS, not whole user
+    histories: over a month every user touches every type, so history
+    baskets are degenerate while daily baskets have real sparsity
+    (measured at sf0.01: basket sizes 1..5 ≈ 1388/1486/870/235/27).
+
+    The type alphabet is tiny (≤ 64), so the plan is the BITMASK-HISTOGRAM
+    collapse — Apriori with no candidate generation and no row shuffle:
+      1. distinct (user_id, day, type) via per-batch dedup + one groupby;
+      2. type → bit (frozen: bit index = rank in the sorted global type
+         alphabet); groupby(user, day).Sum of bits == OR, because step 1
+         made rows distinct per (basket, type);
+      3. per-batch histogram of masks → groupby(mask) → ≤ 2^T rows;
+      4. driver: support(itemset I) = Σ n_baskets(mask ⊇ I) over that tiny
+         histogram — every itemset size falls out of one table.
+    Output (items 'a+b+c' sorted-joined, size, support) with support ≥
+    ``min_support``, ordered (size, support DESC, items) — hash-exact;
+    the SQL oracle replays sizes 1..3 with distinct-set self-joins."""
+    ds = _events(sf_dir, ["user_id", "ts", "event_type"])
+
+    def dedup_triples(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        day = pa.array(us // FIS_DAY_US, pa.int64())
+        return (
+            pa.table(
+                {"user_id": batch["user_id"], "day": day, "event_type": batch["event_type"]}
+            )
+            .group_by(["user_id", "day", "event_type"])
+            .aggregate([])
+        )
+
+    pairs = (
+        ds.map_batches(dedup_triples, batch_format="pyarrow")
+        .groupby(["user_id", "day", "event_type"])
+        .count()
+        .select_columns(["user_id", "day", "event_type"])
+    )
+    # frozen alphabet: the sorted distinct event types (tiny — collected once)
+    alphabet = sorted(
+        pairs.groupby("event_type").count().to_pandas()["event_type"].tolist()
+    )
+    bit_of = {t: 1 << i for i, t in enumerate(alphabet)}
+
+    def to_bits(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"].to_pylist()
+        bits = np.fromiter((bit_of[t] for t in et), dtype=np.int64, count=len(et))
+        return pa.table(
+            {"user_id": batch["user_id"], "day": batch["day"], "bit": pa.array(bits, pa.int64())}
+        )
+
+    masks = (
+        pairs.map_batches(to_bits, batch_format="pyarrow")
+        .groupby(["user_id", "day"])
+        .aggregate(Sum("bit", alias_name="mask"))
+    )
+
+    def mask_hist(batch: pa.Table) -> pa.Table:
+        t = pa.table({"mask": batch["mask"]}).group_by("mask").aggregate([("mask", "count")])
+        return t.rename_columns(["mask", "n"])
+
+    hist = (
+        masks.map_batches(mask_hist, batch_format="pyarrow")
+        .groupby("mask")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    hmask = hist["mask"].to_numpy().astype(np.int64)
+    hn = hist["n"].to_numpy().astype(np.int64)
+
+    import itertools
+
+    rows = []
+    for size in range(1, max_size + 1):
+        for combo in itertools.combinations(alphabet, size):
+            im = sum(bit_of[t] for t in combo)
+            support = int(hn[(hmask & im) == im].sum())
+            if support >= min_support:
+                rows.append(("+".join(combo), size, support))
+    out = pd.DataFrame(rows, columns=["items", "size", "support"])
+    out = out.sort_values(
+        ["size", "support", "items"], ascending=[True, False, True]
+    ).reset_index(drop=True)
+    out["size"] = out["size"].astype("int64")
+    out["support"] = out["support"].astype("int64")
+    return out

@@ -2041,3 +2041,78 @@ def test_heavy_hitters_mg_exact_topk():
     out2 = heavy_hitters_mg(SF, k=2, top=10)
     assert out2["props"].tolist() == want["props"].tolist()
     assert out2["n_rows"].tolist() == want["n_rows"].tolist()
+
+
+def test_vocab_growth_matches_recompute():
+    from aarhus_ray.functions.fulltext import doc_ts_us
+    from aarhus_ray.functions.textstats import VG_BUCKET_US, vocab_growth
+    from aarhus_ray.textnorm import tokenize
+
+    out = vocab_growth(SF)
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+    first = {}
+    for d, t in zip(docs["doc_id"], docs["text"]):
+        b = doc_ts_us(int(d)) // VG_BUCKET_US
+        ts = tokenize(t)
+        for g in {f"{x} {y}" for x, y in zip(ts, ts[1:])}:
+            first[g] = min(first.get(g, b), b)
+    import collections
+
+    nb = collections.Counter(first.values())
+    want = sorted(nb.items())
+    assert list(zip(out["bucket"], out["new_grams"])) == want
+    assert out["cum_grams"].tolist() == list(np.cumsum([n for _, n in want]))
+
+
+def test_events_t_test_matches_numpy():
+    from aarhus_ray.functions.windows import events_t_test
+
+    out = events_t_test(SF)
+    ev = pq.read_table(f"{SF}/events.parquet", columns=["event_type", "value"]).to_pandas()
+    res = {}
+    for t in ("purchase", "error"):
+        x = np.floor(ev.loc[ev["event_type"] == t, "value"].to_numpy() * 100).astype(np.int64)
+        res[t] = (len(x), x.mean(), x.var(ddof=1))
+    (na, ma, va), (nb, mb, vb) = res["purchase"], res["error"]
+    se2a, se2b = va / na, vb / nb
+    t_stat = (ma - mb) / np.sqrt(se2a + se2b)
+    df = (se2a + se2b) ** 2 / (se2a**2 / (na - 1) + se2b**2 / (nb - 1))
+    row = out.iloc[0]
+    assert (int(row["n_a"]), int(row["n_b"])) == (na, nb)
+    assert abs(row["t"] - t_stat) < 1e-6
+    assert abs(row["df"] - df) < 1e-6
+
+
+def test_frequent_itemsets_matches_pandas():
+    import itertools
+
+    from aarhus_ray.functions.windows import FIS_DAY_US, FIS_MIN_SUPPORT, events_frequent_itemsets
+
+    out = events_frequent_itemsets(SF)
+    ev = pq.read_table(f"{SF}/events.parquet", columns=["user_id", "ts", "event_type"]).to_pandas()
+    ev["day"] = ev["ts"].astype("datetime64[us]").astype("int64") // FIS_DAY_US
+    baskets = ev.groupby(["user_id", "day"])["event_type"].agg(lambda s: frozenset(s))
+    alphabet = sorted(set(ev["event_type"]))
+    want = []
+    for size in (1, 2, 3):
+        for combo in itertools.combinations(alphabet, size):
+            sup = int(sum(1 for b in baskets if set(combo) <= b))
+            if sup >= FIS_MIN_SUPPORT:
+                want.append(("+".join(combo), size, sup))
+    want.sort(key=lambda r: (r[1], -r[2], r[0]))
+    assert [tuple(r) for r in out.itertuples(index=False)] == want
+
+
+def test_field_caps_matches_pyarrow():
+    import pyarrow.compute as pc
+
+    from aarhus_ray.functions.fulltext import FC_FIELDS, field_caps_query
+
+    out = field_caps_query(SF).set_index("field")
+    t = pq.read_table(f"{SF}/documents.parquet")
+    for f in FC_FIELDS:
+        mm = pc.min_max(t[f])
+        assert out.loc[f, "n_non_null"] == len(t) - t[f].null_count
+        assert out.loc[f, "min_v"] == str(mm["min"].as_py())
+        assert out.loc[f, "max_v"] == str(mm["max"].as_py())
+        assert out.loc[f, "type"] == str(t.schema.field(f).type)
