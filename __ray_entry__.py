@@ -71,8 +71,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q13_customer_order_distribution": relational.q13_customer_order_distribution,
         # Q5: 6-table co-nation star, one shuffle, pivot-column equality
         "q5_local_supplier_volume": relational.q5_local_supplier_volume,
+        # Q4 shape: EXISTS semi-join via union-groupby (no broadcast)
+        "q4_order_priority_exists": relational.q4_order_priority_exists,
         # Q6: pure scan-aggregate with integer-cent predicate boundaries
         "q6_forecast_revenue": relational.q6_forecast_revenue,
+        # Q7: two-nation volume shipping, Q5-style pivot union-groupby
+        "q7_volume_shipping": relational.q7_volume_shipping,
+        # Q15: top supplier by quarterly revenue (view + max pattern)
+        "q15_top_supplier": relational.q15_top_supplier,
+        # Q19: disjunctive OR-of-ANDs over a broadcast part dimension
+        "q19_discounted_revenue": relational.q19_discounted_revenue,
         # Q10: returned-item top-k with pruned winner resolution
         "q10_returned_items": relational.q10_returned_items,
         # Q14: promo share — broadcast dimension flag map, 3-integer fold
@@ -547,6 +555,57 @@ def oracle_sql() -> dict[str, str]:
               AND o.o_orderdate < TIMESTAMP '{relational.Q5_HI}'
             GROUP BY 1
             ORDER BY revenue_e4 DESC, n_name
+        """,
+        # Q4 shape: EXISTS → IN over distinct returned orderkeys
+        "q4_order_priority_exists": f"""
+            SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '{relational.Q4_LO}'
+              AND o_orderdate < TIMESTAMP '{relational.Q4_HI}'
+              AND o_orderkey IN (
+                SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R')
+            GROUP BY 1 ORDER BY 1
+        """,
+        "q7_volume_shipping": f"""
+            SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                   CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+                       * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS revenue_e4
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation sn ON s_nationkey = sn.n_nationkey
+            JOIN nation cn ON c_nationkey = cn.n_nationkey
+            WHERE ((sn.n_name = '{relational.Q7_NATION_A}' AND cn.n_name = '{relational.Q7_NATION_B}')
+                OR (sn.n_name = '{relational.Q7_NATION_B}' AND cn.n_name = '{relational.Q7_NATION_A}'))
+              AND l_shipdate >= TIMESTAMP '{relational.Q7_LO}'
+              AND l_shipdate < TIMESTAMP '{relational.Q7_HI}'
+            GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+        """,
+        "q15_top_supplier": f"""
+            WITH rev AS (
+              SELECT l_suppkey AS s_suppkey,
+                     CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+                         * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS total_revenue_e4
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '{relational.Q15_LO}'
+                AND l_shipdate < TIMESTAMP '{relational.Q15_HI}'
+              GROUP BY 1)
+            SELECT CAST(rev.s_suppkey AS BIGINT) AS s_suppkey, s.s_name, rev.total_revenue_e4
+            FROM rev JOIN supplier s ON rev.s_suppkey = s.s_suppkey
+            WHERE rev.total_revenue_e4 = (SELECT max(total_revenue_e4) FROM rev)
+            ORDER BY 1
+        """,
+        "q19_discounted_revenue": f"""
+            SELECT CAST(COALESCE(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+                       * (100 - CAST(round(l_discount*100) AS BIGINT))), 0) AS BIGINT) AS revenue_e4,
+                   CAST(count(*) AS BIGINT) AS n_lines
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE {" OR ".join(
+                f"(p_brand = '{b}' AND p_size BETWEEN 1 AND {sm} "
+                f"AND CAST(round(l_quantity*100) AS BIGINT) BETWEEN {ql * 100} AND {qh * 100})"
+                for b, sm, ql, qh in relational.Q19_PREDS)}
         """,
         "q6_forecast_revenue": f"""
             SELECT CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)

@@ -1150,3 +1150,370 @@ def q22_global_sales_opportunity(sf_dir: str, use_bloom: bool | None = None) -> 
     return out.sort_values("cntry").reset_index(drop=True)[
         ["cntry", "numcust", "totacctbal_cents"]
     ]
+
+
+Q4_LO, Q4_HI = "1996-07-01", "1996-10-01"
+
+
+def q4_order_priority_exists(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q4 shape (EXISTS semi-join + priority rollup), adapted to the
+    driver schema: orders in one quarter that have AT LEAST ONE returned
+    line (l_returnflag = 'R' stands in for the missing commit/receipt-date
+    lateness predicate), counted per order priority.
+
+    Plan — the union-groupby semi-join (no broadcast of the big side):
+    orders emit (okey, prio_code+1, li=0); lineitem emits per-batch
+    DISTINCT returned orderkeys as (okey, 0, 1); one groupby(okey) takes
+    Max of both tags; a stateless count-per-priority partial + driver
+    fold finishes. Raw lineitem rows never shuffle — only distinct
+    returned orderkeys do."""
+    from ray.data.aggregate import Max
+
+    prios = ("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    pcode = {p: i + 1 for i, p in enumerate(prios)}
+    lo = pa.scalar(np.datetime64(Q4_LO, "us"), pa.timestamp("us"))
+    hi = pa.scalar(np.datetime64(Q4_HI, "us"), pa.timestamp("us"))
+
+    def orders_part(batch: pa.Table) -> pa.Table:
+        b = batch.filter(
+            pc.and_(pc.greater_equal(batch["o_orderdate"], lo),
+                    pc.less(batch["o_orderdate"], hi))
+        )
+        pr = np.fromiter(
+            (pcode[p] for p in b["o_orderpriority"].to_pylist()),
+            dtype=np.int64, count=len(b),
+        )
+        return pa.table(
+            {
+                "okey": pc.cast(b["o_orderkey"], pa.int64()),
+                "prio": pa.array(pr, pa.int64()),
+                "li": pa.array(np.zeros(len(b), np.int64), pa.int64()),
+            }
+        )
+
+    def lineitem_part(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.equal(batch["l_returnflag"], pa.scalar("R")))
+        okeys = np.unique(b["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64))
+        return pa.table(
+            {
+                "okey": pa.array(okeys, pa.int64()),
+                "prio": pa.array(np.zeros(len(okeys), np.int64), pa.int64()),
+                "li": pa.array(np.ones(len(okeys), np.int64), pa.int64()),
+            }
+        )
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"]).map_batches(
+        orders_part, batch_format="pyarrow"
+    )
+    lines = _read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag"]).map_batches(
+        lineitem_part, batch_format="pyarrow"
+    )
+    merged = (
+        orders.union(lines)
+        .groupby("okey")
+        .aggregate(Max("prio", alias_name="prio"), Max("li", alias_name="li"))
+    )
+
+    def count_part(batch: pa.Table) -> pa.Table:
+        pr = batch["prio"].to_numpy(zero_copy_only=False)
+        li = batch["li"].to_numpy(zero_copy_only=False)
+        hit = pr[(pr > 0) & (li > 0)]
+        cnt = np.bincount(hit, minlength=len(prios) + 1)[1:]
+        return pa.table(
+            {
+                "prio": pa.array(np.arange(1, len(prios) + 1, dtype=np.int64), pa.int64()),
+                "n": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    parts = merged.map_batches(count_part, batch_format="pyarrow").to_pandas()
+    fold = parts.groupby("prio", sort=True)["n"].sum()
+    out = pd.DataFrame(
+        {
+            "o_orderpriority": list(prios),
+            "order_count": [int(fold.get(pcode[p], 0)) for p in prios],
+        }
+    )
+    out["order_count"] = out["order_count"].astype("int64")
+    return out[out["order_count"] > 0].reset_index(drop=True)
+
+
+Q7_NATION_A, Q7_NATION_B = "NATION_1", "NATION_2"
+Q7_LO, Q7_HI = "1996-01-01", "1998-01-01"
+
+
+def q7_volume_shipping(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q7 shape (volume shipping between two nations): revenue of
+    lines SUPPLIED by one nation for orders PLACED by the other, split by
+    ship year, both directions. Same one-shuffle pivot plan as Q5: the
+    supplier and customer nation maps broadcast once; lineitem emits
+    per-batch revenue partials pivoted into one column per
+    (supp-nation, year) cell; orders emit the customer-nation tag; one
+    groupby(o_orderkey) joins them; a stateless 8-cell partial + driver
+    fold resolves the (supp != cust) pair filter. Revenue in integer e4
+    (cents × (100 − discount-cents)) — reduction-order exact."""
+    from ray.data.aggregate import Max, Sum
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    nk = {
+        n: int(nat.loc[nat["n_name"] == n, "n_nationkey"].iloc[0])
+        for n in (Q7_NATION_A, Q7_NATION_B)
+    }
+    names = [Q7_NATION_A, Q7_NATION_B]
+
+    def _key_map(table: str, key: str, nkcol: str):
+        t = pq.read_table(f"{sf_dir}/{table}.parquet", columns=[key, nkcol])
+        ks = t[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        nks = t[nkcol].to_numpy(zero_copy_only=False).astype(np.int64)
+        code = np.where(nks == nk[Q7_NATION_A], 0, np.where(nks == nk[Q7_NATION_B], 1, -1))
+        keep = code >= 0
+        order = np.argsort(ks[keep])
+        return ks[keep][order], code[keep][order]
+
+    supp_ref = ray.put(_key_map("supplier", "s_suppkey", "s_nationkey"))
+    cust_ref = ray.put(_key_map("customer", "c_custkey", "c_nationkey"))
+    lo = pa.scalar(np.datetime64(Q7_LO, "us"), pa.timestamp("us"))
+    hi = pa.scalar(np.datetime64(Q7_HI, "us"), pa.timestamp("us"))
+    y0 = int(Q7_LO[:4])
+    n_years = int(Q7_HI[:4]) - y0
+    cells = [(s, y) for s in range(2) for y in range(n_years)]
+    rev_cols = [f"rev_{s}_{y}" for s, y in cells] + [f"cnt_{s}_{y}" for s, y in cells]
+
+    def _lookup(keys: np.ndarray, sorted_keys: np.ndarray, codes: np.ndarray):
+        if len(sorted_keys) == 0:
+            return np.zeros(len(keys), bool), np.zeros(len(keys), np.int64)
+        pos = np.minimum(np.searchsorted(sorted_keys, keys), len(sorted_keys) - 1)
+        ok = np.take(sorted_keys, pos) == keys
+        return ok, np.take(codes, pos)
+
+    def orders_tag(batch: pa.Table) -> pa.Table:
+        sk, sc = ray.get(cust_ref)
+        ok, code = _lookup(
+            batch["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64), sk, sc
+        )
+        okey = batch["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)[ok]
+        cols = {
+            "okey": pa.array(okey, pa.int64()),
+            "tag": pa.array(code[ok] + 1, pa.int64()),
+        }
+        for c in rev_cols:
+            cols[c] = pa.array(np.zeros(len(okey), np.int64), pa.int64())
+        return pa.table(cols)
+
+    def lines_pivot(batch: pa.Table) -> pa.Table:
+        b = batch.filter(
+            pc.and_(pc.greater_equal(batch["l_shipdate"], lo),
+                    pc.less(batch["l_shipdate"], hi))
+        )
+        sk, sc = ray.get(supp_ref)
+        ok, code = _lookup(
+            b["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64), sk, sc
+        )
+        idx = np.flatnonzero(ok)
+        if len(idx) == 0:
+            cols = {"okey": pa.array([], pa.int64()), "tag": pa.array([], pa.int64())}
+            for c in rev_cols:
+                cols[c] = pa.array([], pa.int64())
+            return pa.table(cols)
+        b = b.take(idx)
+        code = code[ok]
+        okey = b["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        year = (
+            b["l_shipdate"].to_numpy(zero_copy_only=False).astype("datetime64[Y]").astype(np.int64)
+            + 1970 - y0
+        )
+        rev = (
+            _cents(b["l_extendedprice"]).to_numpy(zero_copy_only=False)
+            * (100 - _cents(b["l_discount"]).to_numpy(zero_copy_only=False))
+        ).astype(np.int64)
+        # per-batch pivot partial: one row per orderkey, rev + line-count
+        # columns per cell (counts distinguish "no joining line" from a
+        # zero-revenue sum — SQL GROUP BY emits no row for empty groups)
+        uo, inv = np.unique(okey, return_inverse=True)
+        mat = np.zeros((len(uo), 2 * len(cells)), dtype=np.int64)
+        np.add.at(mat, (inv, code * n_years + year), rev)
+        np.add.at(mat, (inv, len(cells) + code * n_years + year), 1)
+        cols = {
+            "okey": pa.array(uo, pa.int64()),
+            "tag": pa.array(np.zeros(len(uo), np.int64), pa.int64()),
+        }
+        for j, c in enumerate(rev_cols):
+            cols[c] = pa.array(mat[:, j], pa.int64())
+        return pa.table(cols)
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
+        orders_tag, batch_format="pyarrow"
+    )
+    lines = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    ).map_batches(lines_pivot, batch_format="pyarrow")
+    merged = (
+        orders.union(lines)
+        .groupby("okey")
+        .aggregate(
+            Max("tag", alias_name="tag"),
+            *[Sum(c, alias_name=c) for c in rev_cols],
+        )
+    )
+
+    def cell_fold(batch: pa.Table) -> pa.Table:
+        tag = batch["tag"].to_numpy(zero_copy_only=False)
+        rows = {"supp": [], "cust": [], "year": [], "rev": [], "cnt": []}
+        for s, y in cells:
+            rv = batch[f"rev_{s}_{y}"].to_numpy(zero_copy_only=False)
+            ct = batch[f"cnt_{s}_{y}"].to_numpy(zero_copy_only=False)
+            for cust in range(2):
+                if cust == s:
+                    continue  # Q7 keeps only the two cross pairs
+                sel = tag == cust + 1
+                rows["supp"].append(s)
+                rows["cust"].append(cust)
+                rows["year"].append(y0 + y)
+                rows["rev"].append(int(rv[sel].sum()))
+                rows["cnt"].append(int(ct[sel].sum()))
+        return pa.table(
+            {
+                "supp": pa.array(rows["supp"], pa.int64()),
+                "cust": pa.array(rows["cust"], pa.int64()),
+                "year": pa.array(rows["year"], pa.int64()),
+                "rev": pa.array(rows["rev"], pa.int64()),
+                "cnt": pa.array(rows["cnt"], pa.int64()),
+            }
+        )
+
+    parts = merged.map_batches(cell_fold, batch_format="pyarrow").to_pandas()
+    fold = (
+        parts.groupby(["supp", "cust", "year"], sort=True)[["rev", "cnt"]]
+        .sum()
+        .reset_index()
+    )
+    fold = fold[fold["cnt"] > 0]  # SQL emits no row for an empty group
+    out = pd.DataFrame(
+        {
+            "supp_nation": pd.Series([names[s] for s in fold["supp"]], dtype=object),
+            "cust_nation": pd.Series([names[c] for c in fold["cust"]], dtype=object),
+            "l_year": fold["year"].astype("int64"),
+            "revenue_e4": fold["rev"].astype("int64"),
+        }
+    )
+    return out.sort_values(["supp_nation", "cust_nation", "l_year"]).reset_index(drop=True)
+
+
+Q15_LO, Q15_HI = "1996-01-01", "1996-04-01"
+
+
+def q15_top_supplier(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q15 shape (top supplier by quarterly revenue — the CREATE
+    VIEW + max() pattern): revenue per suppkey over one ship-date
+    quarter, then the supplier(s) achieving the maximum. Per-batch
+    partial sums per suppkey → one small groupby(suppkey) → driver
+    takes the max and joins the tiny supplier table for names. Revenue
+    in integer e4, so the max comparison is exact — no float-revenue
+    tie ambiguity."""
+    from ray.data.aggregate import Sum
+
+    lo = pa.scalar(np.datetime64(Q15_LO, "us"), pa.timestamp("us"))
+    hi = pa.scalar(np.datetime64(Q15_HI, "us"), pa.timestamp("us"))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        b = batch.filter(
+            pc.and_(pc.greater_equal(batch["l_shipdate"], lo),
+                    pc.less(batch["l_shipdate"], hi))
+        )
+        sk = b["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rev = (
+            _cents(b["l_extendedprice"]).to_numpy(zero_copy_only=False)
+            * (100 - _cents(b["l_discount"]).to_numpy(zero_copy_only=False))
+        ).astype(np.int64)
+        us, inv = np.unique(sk, return_inverse=True)
+        sums = np.zeros(len(us), dtype=np.int64)
+        np.add.at(sums, inv, rev)
+        return pa.table(
+            {"s_suppkey": pa.array(us, pa.int64()), "total_revenue_e4": pa.array(sums, pa.int64())}
+        )
+
+    agg = (
+        _read(sf_dir, "lineitem",
+              ["l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("s_suppkey")
+        .aggregate(Sum("total_revenue_e4", alias_name="total_revenue_e4"))
+        .to_pandas()
+    )
+    best = agg[agg["total_revenue_e4"] == agg["total_revenue_e4"].max()]
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]).to_pandas()
+    out = best.merge(supp, on="s_suppkey").sort_values("s_suppkey").reset_index(drop=True)
+    out["s_suppkey"] = out["s_suppkey"].astype("int64")
+    out["total_revenue_e4"] = out["total_revenue_e4"].astype("int64")
+    return out[["s_suppkey", "s_name", "total_revenue_e4"]]
+
+
+# Q19 disjunctive predicate triples: (brand, max size, qty lo, qty hi)
+Q19_PREDS = (
+    ("Brand#1", 15, 1, 15),
+    ("Brand#2", 25, 10, 25),
+    ("Brand#3", 35, 20, 35),
+)
+
+
+def q19_discounted_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q19 shape (disjunctive OR-of-ANDs pushdown over a broadcast
+    dimension): Σ extprice·(1−discount) over lines whose part satisfies
+    any of three (brand, size-band, quantity-band) conjunctions —
+    adapted to the driver part schema (no container column; size bands
+    stand in). The part table broadcasts once as three sorted arrays
+    (partkey → brand code, size); each lineitem batch resolves the
+    disjunction with vectorized lookups — no join shuffle at all.
+    Revenue in integer e4; quantity compared in integer cents."""
+    part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand", "p_size"])
+    pk = part["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    brands = {b: i for i, (b, *_rest) in enumerate(Q19_PREDS)}
+    bcode = np.fromiter(
+        (brands.get(b, -1) for b in part["p_brand"].to_pylist()),
+        dtype=np.int64, count=len(part),
+    )
+    psize = part["p_size"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(pk)
+    part_ref = ray.put((pk[order], bcode[order], psize[order]))
+    qlo = np.array([p[2] for p in Q19_PREDS], dtype=np.int64) * 100
+    qhi = np.array([p[3] for p in Q19_PREDS], dtype=np.int64) * 100
+    smax = np.array([p[1] for p in Q19_PREDS], dtype=np.int64)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pks, codes, sizes = ray.get(part_ref)
+        keys = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.minimum(np.searchsorted(pks, keys), len(pks) - 1)
+        ok = np.take(pks, pos) == keys
+        code = np.where(ok, np.take(codes, pos), -1)
+        size = np.where(ok, np.take(sizes, pos), 0)
+        qty_c = np.round(
+            batch["l_quantity"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        hit = code >= 0
+        cc = np.maximum(code, 0)
+        hit &= (size >= 1) & (size <= np.take(smax, cc))
+        hit &= (qty_c >= np.take(qlo, cc)) & (qty_c <= np.take(qhi, cc))
+        rev = (
+            _cents(batch["l_extendedprice"]).to_numpy(zero_copy_only=False)
+            * (100 - _cents(batch["l_discount"]).to_numpy(zero_copy_only=False))
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "revenue_e4": pa.array([int(rev[hit].sum())], pa.int64()),
+                "n_lines": pa.array([int(hit.sum())], pa.int64()),
+            }
+        )
+
+    parts = (
+        _read(sf_dir, "lineitem",
+              ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return pd.DataFrame(
+        {
+            "revenue_e4": pd.Series([int(parts["revenue_e4"].sum())], dtype="int64"),
+            "n_lines": pd.Series([int(parts["n_lines"].sum())], dtype="int64"),
+        }
+    )

@@ -2116,3 +2116,64 @@ def test_field_caps_matches_pyarrow():
         assert out.loc[f, "min_v"] == str(mm["min"].as_py())
         assert out.loc[f, "max_v"] == str(mm["max"].as_py())
         assert out.loc[f, "type"] == str(t.schema.field(f).type)
+
+
+def test_tpch_q4_q7_q15_q19_match_duckdb():
+    import duckdb
+
+    from aarhus_ray.functions import relational as r
+
+    con = duckdb.connect()
+    L, O, S, P = (f"'{SF}/{t}.parquet'" for t in ("lineitem", "orders", "supplier", "part"))
+    # Q4: EXISTS semi-join counts per priority
+    q4 = r.q4_order_priority_exists(SF)
+    want4 = con.execute(f"""
+        SELECT o_orderpriority, count(*) AS n FROM {O}
+        WHERE o_orderdate >= TIMESTAMP '{r.Q4_LO}' AND o_orderdate < TIMESTAMP '{r.Q4_HI}'
+          AND o_orderkey IN (SELECT l_orderkey FROM {L} WHERE l_returnflag = 'R')
+        GROUP BY 1 ORDER BY 1""").fetchdf()
+    assert q4["o_orderpriority"].tolist() == want4["o_orderpriority"].tolist()
+    assert q4["order_count"].tolist() == want4["n"].tolist()
+    # Q15: top supplier by quarterly revenue
+    q15 = r.q15_top_supplier(SF)
+    want15 = con.execute(f"""
+        WITH rev AS (SELECT l_suppkey, SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+                       * (100 - CAST(round(l_discount*100) AS BIGINT))) AS t
+                     FROM {L} WHERE l_shipdate >= TIMESTAMP '{r.Q15_LO}'
+                       AND l_shipdate < TIMESTAMP '{r.Q15_HI}' GROUP BY 1)
+        SELECT l_suppkey, CAST(t AS BIGINT) AS t FROM rev
+        WHERE t = (SELECT max(t) FROM rev) ORDER BY 1""").fetchdf()
+    assert q15["s_suppkey"].tolist() == want15["l_suppkey"].tolist()
+    assert q15["total_revenue_e4"].tolist() == want15["t"].tolist()
+    # Q19: disjunctive OR-of-ANDs revenue
+    q19 = r.q19_discounted_revenue(SF)
+    ors = " OR ".join(
+        f"(p_brand = '{b}' AND p_size BETWEEN 1 AND {sm} "
+        f"AND CAST(round(l_quantity*100) AS BIGINT) BETWEEN {ql*100} AND {qh*100})"
+        for b, sm, ql, qh in r.Q19_PREDS
+    )
+    want19 = con.execute(f"""
+        SELECT CAST(COALESCE(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+                 * (100 - CAST(round(l_discount*100) AS BIGINT))), 0) AS BIGINT) AS rev,
+               count(*) AS n
+        FROM {L} JOIN {P} ON l_partkey = p_partkey WHERE {ors}""").fetchdf()
+    assert int(q19["revenue_e4"].iloc[0]) == int(want19["rev"].iloc[0])
+    assert int(q19["n_lines"].iloc[0]) == int(want19["n"].iloc[0])
+    # Q7 at sf0.001 is legitimately EMPTY (no cross flows between the two
+    # nations in the tiny sample) — the empty-group contract holds, and
+    # the schema stays string-typed
+    q7 = r.q7_volume_shipping(SF)
+    n7 = con.execute(f"""
+        SELECT count(*) FROM (
+          SELECT year(l_shipdate) FROM {L}
+          JOIN {O} ON l_orderkey = o_orderkey
+          JOIN '{SF}/customer.parquet' ON o_custkey = c_custkey
+          JOIN {S} ON l_suppkey = s_suppkey
+          JOIN '{SF}/nation.parquet' sn ON s_nationkey = sn.n_nationkey
+          JOIN '{SF}/nation.parquet' cn ON c_nationkey = cn.n_nationkey
+          WHERE ((sn.n_name = '{r.Q7_NATION_A}' AND cn.n_name = '{r.Q7_NATION_B}')
+              OR (sn.n_name = '{r.Q7_NATION_B}' AND cn.n_name = '{r.Q7_NATION_A}'))
+            AND l_shipdate >= TIMESTAMP '{r.Q7_LO}' AND l_shipdate < TIMESTAMP '{r.Q7_HI}'
+          GROUP BY 1)""").fetchone()[0]
+    assert len(q7) == n7
+    assert q7["supp_nation"].dtype == object
