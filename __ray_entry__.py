@@ -45,8 +45,8 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from aarhus_ray.functions import (
-        ann, bpe, cleaning, dedup, fulltext, multimodal, relational, sketches, textstats,
-        windows,
+        ann, bpe, cleaning, dedup, fulltext, geo, multimodal, relational, sketches,
+        textstats, windows,
     )
 
     return {
@@ -111,6 +111,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_quantiles": windows.events_value_quantiles,  # exact p25/50/75/90/99, same histogram
         # Welch two-sample t-test from exact integer moments (ES t_test agg)
         "events_t_test": windows.events_t_test,
+        # geo family over the synthetic microdegree geo_point docvalue:
+        # bounds (ES geo_bounds), integer-frozen grid (ES geotile_grid
+        # shape), haversine radius rollup (ES geo_distance)
+        "events_geo_bounds": geo.geo_bounds,
+        "events_geo_grid": geo.geo_grid,
+        "events_geo_distance": geo.geo_distance,
         # market-basket frequent itemsets over (user, day) baskets via the
         # bitmask-histogram collapse (ES frequent_item_sets agg)
         "events_frequent_itemsets": windows.events_frequent_itemsets,
@@ -179,6 +185,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # kNN-graph construction: top-k neighbors of EVERY vector (blocked
         # GEMM vs one broadcast corpus; O(n*k) shuffle bytes)
         "knn_graph": ann.knn_graph,
+        # late-interaction (ColBERT MaxSim): labels as multi-vector docs
+        "knn_maxsim": ann.maxsim_scores,
         "embedding_label_centroids": ann.label_centroids,  # distributed k-means/IVF primitive
         # full iterative Lloyd's k-means (frozen init/tie/empty rules);
         # iterative ≠ SQL → rows-only at the driver, pinned by
@@ -411,6 +419,7 @@ def oracle_sql() -> dict[str, str]:
         cleaning,
         dedup,
         fulltext,
+        geo,
         relational,
         sketches,
         textstats,
@@ -1065,6 +1074,50 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(new_grams) OVER (ORDER BY bucket) AS BIGINT) AS cum_grams
             FROM nb ORDER BY 1
         """,
+        # geo family: the synthetic microdegree geo_point stated inline;
+        # bounds and grid are pure int64, distance restates the haversine
+        # with identical operand order (float boundary caveat only)
+        "events_geo_bounds": f"""
+            WITH g AS (SELECT event_type,
+                (event_id * {geo.GEO_LAT_MULT}) % {geo.GEO_LAT_MOD} - 85000000 AS lat_u,
+                (event_id * {geo.GEO_LON_MULT}) % {geo.GEO_LON_MOD} - 180000000 AS lon_u
+              FROM events)
+            SELECT event_type,
+                   CAST(min(lat_u) AS BIGINT) AS min_lat_u,
+                   CAST(max(lat_u) AS BIGINT) AS max_lat_u,
+                   CAST(min(lon_u) AS BIGINT) AS min_lon_u,
+                   CAST(max(lon_u) AS BIGINT) AS max_lon_u
+            FROM g GROUP BY 1 ORDER BY 1
+        """,
+        "events_geo_grid": f"""
+            WITH g AS (SELECT
+                (event_id * {geo.GEO_LAT_MULT}) % {geo.GEO_LAT_MOD} - 85000000 AS lat_u,
+                (event_id * {geo.GEO_LON_MULT}) % {geo.GEO_LON_MOD} - 180000000 AS lon_u
+              FROM events),
+            t AS (SELECT ((lon_u + 180000000) * {1 << geo.GRID_ZOOM}) // {geo.GEO_LON_MOD} AS tile_x,
+                         ((lat_u + 85000000) * {1 << geo.GRID_ZOOM}) // {geo.GEO_LAT_MOD} AS tile_y
+                  FROM g)
+            SELECT CAST(tile_x AS BIGINT) AS tile_x, CAST(tile_y AS BIGINT) AS tile_y,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM t GROUP BY 1, 2
+            ORDER BY n_events DESC, tile_x, tile_y LIMIT {geo.GRID_TOP}
+        """,
+        "events_geo_distance": f"""
+            WITH g AS (SELECT event_type, value,
+                ((event_id * {geo.GEO_LAT_MULT}) % {geo.GEO_LAT_MOD} - 85000000) / 1e6 AS lat,
+                ((event_id * {geo.GEO_LON_MULT}) % {geo.GEO_LON_MOD} - 180000000) / 1e6 AS lon
+              FROM events),
+            d AS (SELECT event_type, value,
+                2 * {geo.EARTH_R_M} * asin(sqrt(
+                    pow(sin(radians(lat - {geo.GD_LAT}) / 2), 2)
+                    + cos(radians({geo.GD_LAT})) * cos(radians(lat))
+                      * pow(sin(radians(lon - {geo.GD_LON}) / 2), 2))) AS dist
+              FROM g)
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n_within,
+                   CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c
+            FROM d WHERE dist <= {geo.GD_RADIUS_M}
+            GROUP BY 1 ORDER BY 1
+        """,
         # Welch t-test replayed from the SAME exact integer moments (n, Σv,
         # Σv² on floor-cents) through the SAME float64 closed form
         "events_t_test": f"""
@@ -1464,6 +1517,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, CAST(rank AS INTEGER) AS rank, nbr_id, round(cos, 3) AS cos
             FROM r WHERE rank <= {ann.KNN_GRAPH_K}
             ORDER BY vec_id, rank
+        """,
+        "knn_maxsim": f"""
+            WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS emb
+                       FROM embeddings
+                       WHERE vec_id IN ({", ".join(str(q) for q in ann.MAXSIM_QUERY_IDS)})),
+            mx AS (SELECT e.label, q.qid,
+                          max(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.emb)) AS m
+                   FROM embeddings e, q GROUP BY 1, 2)
+            SELECT CAST(label AS BIGINT) AS label, round(SUM(m), 3) AS score
+            FROM mx GROUP BY 1 ORDER BY score DESC, label
         """,
         "knn_cosine_filtered": _KNN_FILTERED_SQL,
         "knn_radius": _KNN_RADIUS_SQL,

@@ -912,3 +912,70 @@ def knn_graph(sf_dir: str, k: int = KNN_GRAPH_K) -> pd.DataFrame:
     )
     out["cos"] = out["cos"].round(3)
     return out
+
+
+MAXSIM_QUERY_IDS = (0, 1)  # late-interaction query token vectors
+
+
+def maxsim_scores(sf_dir: str, query_ids=MAXSIM_QUERY_IDS) -> pd.DataFrame:
+    """Late-interaction (ColBERT-style MaxSim) scoring with labels as
+    multi-vector documents: each label's vector set is one 'document',
+    the query is a small set of token vectors (the embeddings of
+    ``query_ids``), and
+
+        score(label) = Σ_q  max_{v ∈ label}  cos(q, v)
+
+    — the sum-of-max reduction that distinguishes late interaction from
+    single-vector kNN (knn_cosine_*) and from maxsim's transpose, the
+    top_hits/collapse family. Distributed as per-batch (label × query)
+    partial maxes (one GEMM against the broadcast query matrix, then a
+    grouped np.maximum reduction) → one ≤ |labels|-row groupby(Max per
+    query col) → driver sums the query columns. Scores round to 3dp
+    (float64 both engines, 1-ulp max-order risk only). Output
+    (label, score) ordered score DESC, label ASC — the full ranking, as
+    label count is the 'collection size' here."""
+    from ray.data.aggregate import Max
+
+    emb_path = f"{sf_dir}/embeddings.parquet"
+    qt = pq.read_table(emb_path, columns=["vec_id", "embedding"])
+    ids = qt["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    Q = np.stack(
+        [
+            np.asarray(qt["embedding"][int(np.flatnonzero(ids == q)[0])].as_py(), np.float64)
+            for q in query_ids
+        ]
+    )
+    Q /= np.linalg.norm(Q, axis=1, keepdims=True)
+    q_ref = ray.put(Q)
+    qcols = [f"mx_{i}" for i in range(len(query_ids))]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        Qm = ray.get(q_ref)
+        labels = batch["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        col = batch["embedding"].combine_chunks()
+        m = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64).reshape(len(batch), -1)
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        cos = m @ Qm.T  # [rows, n_queries]
+        ul, inv = np.unique(labels, return_inverse=True)
+        mx = np.full((len(ul), cos.shape[1]), -2.0)
+        np.maximum.at(mx, inv, cos)
+        cols = {"label": pa.array(ul, pa.int64())}
+        for i, c in enumerate(qcols):
+            cols[c] = pa.array(mx[:, i], pa.float64())
+        return pa.table(cols)
+
+    agg = (
+        ray.data.read_parquet(emb_path, columns=["label", "embedding"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("label")
+        .aggregate(*[Max(c, alias_name=c) for c in qcols])
+        .to_pandas()
+    )
+    agg["score"] = agg[qcols].sum(axis=1).round(3)
+    out = (
+        agg.sort_values(["score", "label"], ascending=[False, True])
+        .reset_index(drop=True)[["label", "score"]]
+    )
+    out["label"] = out["label"].astype("int64")
+    out["score"] = out["score"].astype("float64")
+    return out

@@ -2177,3 +2177,60 @@ def test_tpch_q4_q7_q15_q19_match_duckdb():
           GROUP BY 1)""").fetchone()[0]
     assert len(q7) == n7
     assert q7["supp_nation"].dtype == object
+
+
+def test_geo_family_matches_recompute():
+    from aarhus_ray.functions import geo
+
+    ev = pq.read_table(f"{SF}/events.parquet", columns=["event_id", "event_type", "value"]).to_pandas()
+    lat_u, lon_u = geo.geo_point_u(ev["event_id"].to_numpy())
+    assert lat_u.min() >= -85_000_000 and lat_u.max() <= 85_000_000
+    assert lon_u.min() >= -180_000_000 and lon_u.max() < 180_000_000
+    # bounds
+    b = geo.geo_bounds(SF).set_index("event_type")
+    df = pd.DataFrame({"t": ev["event_type"], "lat": lat_u, "lon": lon_u})
+    for t, g in df.groupby("t"):
+        assert b.loc[t, "min_lat_u"] == g["lat"].min()
+        assert b.loc[t, "max_lon_u"] == g["lon"].max()
+    # grid: pure-integer tiling, frozen tie-break
+    n = 1 << geo.GRID_ZOOM
+    tx = (lon_u + 180_000_000) * n // geo.GEO_LON_MOD
+    ty = (lat_u + 85_000_000) * n // geo.GEO_LAT_MOD
+    cnt = pd.DataFrame({"tile_x": tx, "tile_y": ty}).groupby(["tile_x", "tile_y"]).size()
+    want = cnt.reset_index(name="n_events").sort_values(
+        ["n_events", "tile_x", "tile_y"], ascending=[False, True, True]
+    ).head(geo.GRID_TOP)
+    out = geo.geo_grid(SF)
+    assert out.values.tolist() == want.values.tolist()
+    # distance: haversine rollup
+    lat, lon = lat_u / 1e6, lon_u / 1e6
+    dist = 2 * geo.EARTH_R_M * np.arcsin(np.sqrt(
+        np.sin(np.radians(lat - geo.GD_LAT) / 2) ** 2
+        + np.cos(np.radians(geo.GD_LAT)) * np.cos(np.radians(lat))
+        * np.sin(np.radians(lon - geo.GD_LON) / 2) ** 2))
+    keep = dist <= geo.GD_RADIUS_M
+    d = geo.geo_distance(SF).set_index("event_type")
+    sub = ev[keep]
+    for t, g in sub.groupby("event_type"):
+        assert d.loc[t, "n_within"] == len(g)
+        assert d.loc[t, "sum_value_c"] == int(np.floor(g["value"].to_numpy() * 100).sum())
+
+
+def test_maxsim_matches_numpy_replay():
+    from aarhus_ray.functions.ann import MAXSIM_QUERY_IDS, maxsim_scores
+
+    out = maxsim_scores(SF)
+    t = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    E = np.array(t["embedding"].tolist(), dtype=np.float64)
+    En = E / np.linalg.norm(E, axis=1, keepdims=True)
+    ids = t["vec_id"].to_numpy()
+    Q = En[[int(np.flatnonzero(ids == q)[0]) for q in MAXSIM_QUERY_IDS]]
+    cos = En @ Q.T
+    want = {}
+    for lbl, g in pd.DataFrame({"label": t["label"].astype(int)}).groupby("label"):
+        want[int(lbl)] = round(float(cos[g.index.to_numpy()].max(axis=0).sum()), 3)
+    got = dict(zip(out["label"], out["score"]))
+    assert got == want
+    # frozen total order: score DESC, label ASC
+    keys = list(zip(-out["score"], out["label"]))
+    assert keys == sorted(keys)
