@@ -120,6 +120,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # market-basket frequent itemsets over (user, day) baskets via the
         # bitmask-histogram collapse (ES frequent_item_sets agg)
         "events_frequent_itemsets": windows.events_frequent_itemsets,
+        # EQL sequence-by-user with maxspan, frozen all-matches semantics
+        "events_eql_sequence": windows.events_eql_sequence,
         # --- text analysis over documents ---
         "docs_term_counts_top50": textstats.term_counts_top50,
         "docs_token_counts": textstats.token_counts,
@@ -187,6 +189,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_graph": ann.knn_graph,
         # late-interaction (ColBERT MaxSim): labels as multi-vector docs
         "knn_maxsim": ann.maxsim_scores,
+        # int8 scalar quantization envelope + per-vector code audit
+        "embedding_int8_quantize": ann.int8_quantize_stats,
         "embedding_label_centroids": ann.label_centroids,  # distributed k-means/IVF primitive
         # full iterative Lloyd's k-means (frozen init/tie/empty rules);
         # iterative ≠ SQL → rows-only at the driver, pinned by
@@ -1144,6 +1148,20 @@ def oracle_sql() -> dict[str, str]:
                          / (se2a * se2a / (na - 1) + se2b * se2b / (nb - 1)), 6) AS df
             FROM f
         """,
+        # EQL sequence: all-matches == the literal ordered triple self-join
+        "events_eql_sequence": f"""
+            WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events)
+            SELECT CAST(a.user_id AS BIGINT) AS user_id,
+                   CAST(count(*) AS BIGINT) AS n_matches
+            FROM e a
+            JOIN e b ON a.user_id = b.user_id AND b.t > a.t
+            JOIN e c ON b.user_id = c.user_id AND c.t > b.t
+            WHERE a.event_type = '{windows.EQL_STEPS[0]}'
+              AND b.event_type = '{windows.EQL_STEPS[1]}'
+              AND c.event_type = '{windows.EQL_STEPS[2]}'
+              AND c.t - a.t <= {windows.EQL_MAXSPAN_S * 1_000_000}
+            GROUP BY 1 ORDER BY 1
+        """,
         # frequent itemsets: distinct (user, day, type) baskets; pairs and
         # triples via ordered self-joins (engine items are alphabet-sorted)
         "events_frequent_itemsets": f"""
@@ -1517,6 +1535,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, CAST(rank AS INTEGER) AS rank, nbr_id, round(cos, 3) AS cos
             FROM r WHERE rank <= {ann.KNN_GRAPH_K}
             ORDER BY vec_id, rank
+        """,
+        # int8 quantization: floor-based codes replay exactly (no banker's
+        # rounding divergence); envelope and codes all in one SQL chain
+        "embedding_int8_quantize": f"""
+            WITH u AS (
+              SELECT vec_id, CAST(v AS DOUBLE) AS v, dim FROM (
+                SELECT vec_id, unnest(embedding) AS v,
+                       generate_subscripts(embedding, 1) AS dim
+                FROM embeddings)),
+            mm AS (SELECT dim, min(v) AS mn, max(v) AS mx FROM u GROUP BY 1),
+            q AS (SELECT u.vec_id,
+                         CAST(least(floor((u.v - mm.mn) / (mm.mx - mm.mn) * {ann.INT8_LEVELS}),
+                                    {ann.INT8_LEVELS - 1}) AS BIGINT) - 128 AS code
+                  FROM u JOIN mm USING (dim))
+            SELECT CAST(vec_id AS BIGINT) AS vec_id,
+                   CAST(SUM(code) AS BIGINT) AS code_sum,
+                   CAST(min(code) AS BIGINT) AS code_min,
+                   CAST(max(code) AS BIGINT) AS code_max
+            FROM q GROUP BY 1 ORDER BY 1
         """,
         "knn_maxsim": f"""
             WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS emb

@@ -979,3 +979,76 @@ def maxsim_scores(sf_dir: str, query_ids=MAXSIM_QUERY_IDS) -> pd.DataFrame:
     out["label"] = out["label"].astype("int64")
     out["score"] = out["score"].astype("float64")
     return out
+
+
+INT8_LEVELS = 255  # scalar-quantization buckets (codes -128..126 via floor)
+
+
+def int8_quantize_stats(sf_dir: str) -> pd.DataFrame:
+    """Scalar int8 quantization of the embedding column (the ES
+    int8-quantized-kNN storage recipe: per-DIMENSION min/max envelope,
+    byte codes, 4× memory cut for the scale path) with a frozen
+    integer-exact contract:
+
+        code(v, d) = min(floor((v − mn_d) / (mx_d − mn_d) · 255), 254) − 128
+
+    floor, not round — floor has identical semantics in numpy and SQL
+    (no banker's-rounding divergence), so the codes replay exactly.
+    Two streaming passes: (1) per-batch per-dim min/max partials → one
+    64-row groupby → the envelope broadcasts via closure; (2) vectorized
+    encode, folded per vector to (code_sum, code_min, code_max) — the
+    codes themselves stay worker-side (at 10^12 vectors they'd be the
+    written index artifact; the fold is the driver-sized audit of it).
+    Output (vec_id, code_sum, code_min, code_max), all int64."""
+    from ray.data.aggregate import Max, Min
+
+    emb_path = f"{sf_dir}/embeddings.parquet"
+    ds = ray.data.read_parquet(emb_path, columns=["vec_id", "embedding"])
+
+    def mm_partial(batch: pa.Table) -> pa.Table:
+        col = batch["embedding"].combine_chunks()
+        m = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64).reshape(len(batch), -1)
+        d = m.shape[1]
+        return pa.table(
+            {
+                "dim": pa.array(np.arange(d, dtype=np.int64), pa.int64()),
+                "mn": pa.array(m.min(axis=0), pa.float64()),
+                "mx": pa.array(m.max(axis=0), pa.float64()),
+            }
+        )
+
+    mm = (
+        ds.map_batches(mm_partial, batch_format="pyarrow")
+        .groupby("dim")
+        .aggregate(Min("mn", alias_name="mn"), Max("mx", alias_name="mx"))
+        .to_pandas()
+        .sort_values("dim")
+    )
+    mn = mm["mn"].to_numpy()
+    mx = mm["mx"].to_numpy()
+
+    def encode(batch: pa.Table) -> pa.Table:
+        col = batch["embedding"].combine_chunks()
+        m = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64).reshape(len(batch), -1)
+        t = (m - mn) / (mx - mn)
+        code = np.minimum(np.floor(t * INT8_LEVELS), INT8_LEVELS - 1).astype(np.int64) - 128
+        return pa.table(
+            {
+                "vec_id": pc.cast(batch["vec_id"], pa.int64()),
+                "code_sum": pa.array(code.sum(axis=1), pa.int64()),
+                "code_min": pa.array(code.min(axis=1), pa.int64()),
+                "code_max": pa.array(code.max(axis=1), pa.int64()),
+            }
+        )
+
+    import pyarrow.compute as pc
+
+    out = (
+        ds.map_batches(encode, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out

@@ -768,3 +768,63 @@ def events_frequent_itemsets(
     out["size"] = out["size"].astype("int64")
     out["support"] = out["support"].astype("int64")
     return out
+
+
+EQL_STEPS = ("view", "click", "purchase")
+EQL_MAXSPAN_S = 86_400  # sequence ... within 24h (driver stream density)
+
+
+def events_eql_sequence(sf_dir: str, maxspan_s: int = EQL_MAXSPAN_S) -> pd.DataFrame:
+    """EQL-style sequence matching (Elastic Event Query Language:
+    ``sequence by user_id [view] [click] [purchase] with maxspan=24h``)
+    under frozen ALL-MATCHES semantics: count, per user, every ordered
+    triple t_view < t_click < t_purchase with t_purchase − t_view ≤
+    maxspan (strict inequalities; no event-consumption rule — every
+    combination counts, which is exactly the triple self-join a SQL
+    replay states). Complements events_funnel, which is the first-touch
+    single-path reduction of the same stream.
+
+    Per-user work is O((V+C+P)·log) via sorted arrays, never the literal
+    triple loop: for each purchase, the eligible views are one
+    searchsorted window, and the clicks strictly inside each (view,
+    purchase) interval fold to (window size × clicks-before-purchase −
+    prefix-summed clicks-before-view). The usual stream-shaped
+    groupby(user_id) gather is the only shuffle. Output (user_id,
+    n_matches > 0), id-ordered — hash-exact."""
+    ds = _events(sf_dir, ["ts", "user_id", "event_type"])
+    span_us = np.int64(maxspan_s) * 1_000_000
+    v_step, c_step, p_step = EQL_STEPS
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        t = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        et = g["event_type"].to_numpy()
+        tv = np.sort(t[et == v_step])
+        tc = np.sort(t[et == c_step])
+        tp = np.sort(t[et == p_step])
+        empty = pd.DataFrame(
+            {"user_id": pd.Series([], dtype="int64"), "n_matches": pd.Series([], dtype="int64")}
+        )
+        if not (len(tv) and len(tc) and len(tp)):
+            return empty
+        r_v = np.searchsorted(tc, tv, side="right")  # clicks ≤ each view
+        pref = np.concatenate(([0], np.cumsum(r_v)))
+        lo = np.searchsorted(tv, tp - span_us, side="left")
+        hi = np.searchsorted(tv, tp, side="left")
+        c_before_p = np.searchsorted(tc, tp, side="left")
+        n = int(((hi - lo) * c_before_p - (pref[hi] - pref[lo])).sum())
+        if n == 0:
+            return empty
+        return pd.DataFrame(
+            {"user_id": [int(g["user_id"].iloc[0])], "n_matches": [n]}
+        )
+
+    out = (
+        ds.groupby("user_id")
+        .map_groups(per_user, batch_format="pandas")
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out

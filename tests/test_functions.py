@@ -2234,3 +2234,42 @@ def test_maxsim_matches_numpy_replay():
     # frozen total order: score DESC, label ASC
     keys = list(zip(-out["score"], out["label"]))
     assert keys == sorted(keys)
+
+
+def test_eql_sequence_matches_brute_triples():
+    from aarhus_ray.functions.windows import EQL_MAXSPAN_S, EQL_STEPS, events_eql_sequence
+
+    out = events_eql_sequence(SF)
+    ev = pq.read_table(f"{SF}/events.parquet", columns=["user_id", "ts", "event_type"]).to_pandas()
+    ev["t"] = ev["ts"].astype("datetime64[us]").astype("int64")
+    span = EQL_MAXSPAN_S * 1_000_000
+    want = {}
+    for uid, g in ev.groupby("user_id"):
+        tv = np.sort(g.loc[g["event_type"] == EQL_STEPS[0], "t"].to_numpy())
+        tc = np.sort(g.loc[g["event_type"] == EQL_STEPS[1], "t"].to_numpy())
+        tp = np.sort(g.loc[g["event_type"] == EQL_STEPS[2], "t"].to_numpy())
+        n = sum(
+            1
+            for v in tv
+            for c in tc
+            for p in tp
+            if v < c < p and p - v <= span
+        )
+        if n:
+            want[int(uid)] = n
+    assert dict(zip(out["user_id"], out["n_matches"])) == want
+
+
+def test_int8_quantize_matches_numpy():
+    from aarhus_ray.functions.ann import INT8_LEVELS, int8_quantize_stats
+
+    out = int8_quantize_stats(SF)
+    t = pq.read_table(f"{SF}/embeddings.parquet").to_pandas().sort_values("vec_id")
+    E = np.array(t["embedding"].tolist(), dtype=np.float64)
+    mn, mx = E.min(axis=0), E.max(axis=0)
+    code = np.minimum(np.floor((E - mn) / (mx - mn) * INT8_LEVELS), INT8_LEVELS - 1).astype(np.int64) - 128
+    assert (code >= -128).all() and (code <= 126).all()
+    assert out["vec_id"].tolist() == t["vec_id"].tolist()
+    assert out["code_sum"].tolist() == code.sum(axis=1).tolist()
+    assert out["code_min"].tolist() == code.min(axis=1).tolist()
+    assert out["code_max"].tolist() == code.max(axis=1).tolist()
