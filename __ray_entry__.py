@@ -200,6 +200,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_decode": multimodal.decode_features,
         "multimodal_resize": multimodal.resize_features,
         "multimodal_frame_sample": multimodal.frame_sample,
+        # per-payload 64-bit perceptual hash (aHash recipe on raw bytes)
+        "multimodal_phash": multimodal.phash_table,
         # BPE merge learning (Sennrich 2016): iterative pair-count reduce +
         # broadcast rewrite — inherently iterative, not SQL-expressible, so
         # rows-only at the driver; pinned instead by
@@ -1605,6 +1607,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(frame_idx * 256 AS BIGINT) AS byte_offset,
                    md5(substr(text, CAST(frame_idx * 256 + 1 AS BIGINT), 256)) AS frame_checksum
             FROM f ORDER BY doc_id, frame_idx
+        """,
+        # 64-bit aHash replayed bit-for-bit: ASCII payloads → ascii(substr)
+        # byte stream, closed-form cell split, bit_or of BIGINT shifts
+        # (bit 63 stated as the sign-bit literal — DuckDB << refuses to wrap)
+        "multimodal_phash": """
+            WITH base AS (SELECT doc_id, text, length(text) AS n FROM documents),
+            p AS (SELECT doc_id, text, n, unnest(generate_series(1, n)) AS pos FROM base),
+            cells AS (SELECT doc_id, n, ((pos - 1) * 64) // n AS cell,
+                             ascii(substr(text, pos, 1)) AS code
+                      FROM p),
+            cs AS (SELECT doc_id, cell, SUM(code) AS s, count(*) AS l
+                   FROM cells GROUP BY 1, 2),
+            tot AS (SELECT doc_id, SUM(code) AS t, any_value(n) AS n
+                    FROM cells GROUP BY 1),
+            bits AS (SELECT cs.doc_id, cs.cell
+                     FROM cs JOIN tot USING (doc_id)
+                     WHERE cs.s * tot.n > tot.t * cs.l),
+            h AS (SELECT doc_id,
+                         bit_or(CASE WHEN cell = 63 THEN -9223372036854775808
+                                     ELSE 1::BIGINT << CAST(cell AS INTEGER) END) AS ph
+                  FROM bits GROUP BY 1)
+            SELECT CAST(base.doc_id AS BIGINT) AS doc_id,
+                   CAST(COALESCE(h.ph, 0) AS BIGINT) AS phash,
+                   CAST(base.n AS BIGINT) AS n_bytes
+            FROM base LEFT JOIN h USING (doc_id) ORDER BY 1
         """,
         # exact-distinct anchor for the HLL sketch (the sketch itself stays
         # rows-only; a pytest pins |hll - exact|/exact < 5% at sf0.01)

@@ -158,3 +158,165 @@ def frame_sample(sf_dir: str, frame_bytes: int = 256, every_n: int = 4, max_fram
 
     out = ds.map_batches(sample, batch_format="pyarrow", batch_size=64).to_pandas()
     return out.sort_values(["doc_id", "frame_idx"]).reset_index(drop=True)
+
+
+PH_BITS = 64
+PH_BANDS = 9   # pigeonhole: <= PH_T bit errors across 9 bands leave one intact
+PH_T = 8       # hamming threshold for a near-dup pair
+_PH_OFF = [(b * PH_BITS) // PH_BANDS for b in range(PH_BANDS + 1)]
+
+
+def _phash_batch(batch: pa.Table) -> pa.Table:
+    """Per-doc 64-bit perceptual hash of the binary payload (the aHash
+    recipe a real image pipeline runs on decoded luma, frozen here on the
+    raw bytes): split the byte stream into 64 cells by index
+    (cell = idx*64 // n), bit c set iff cell mean > global mean —
+    compared in exact integer cross-multiplied form
+    (cell_sum * n > total * cell_len), so any engine replays it."""
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    payloads = batch["payload"].to_pylist()
+    hashes = np.empty(len(ids), dtype=np.uint64)
+    for i, p in enumerate(payloads):
+        a = np.frombuffer(p, dtype=np.uint8).astype(np.int64)
+        n = len(a)
+        if n == 0:
+            hashes[i] = 0
+            continue
+        cell = np.arange(n, dtype=np.int64) * PH_BITS // n
+        cs = np.bincount(cell, weights=a, minlength=PH_BITS).astype(np.int64)
+        cl = np.bincount(cell, minlength=PH_BITS).astype(np.int64)
+        bits = (cs * n) > (int(a.sum()) * cl)
+        hashes[i] = np.dot(bits.astype(np.uint64), np.left_shift(np.uint64(1), np.arange(PH_BITS, dtype=np.uint64)))
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "phash": pa.array(hashes.view(np.int64), pa.int64()),
+        }
+    )
+
+
+def _phash_band_rows(batch: pa.Table) -> pa.Table:
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    ph = batch["phash"].to_numpy(zero_copy_only=False).view(np.uint64)
+    rows_id, rows_key, rows_ph = [], [], []
+    for b in range(PH_BANDS):
+        off, size = _PH_OFF[b], _PH_OFF[b + 1] - _PH_OFF[b]
+        val = (ph >> np.uint64(off)) & np.uint64((1 << size) - 1)
+        key = (np.uint64(b) << np.uint64(56)) | val
+        rows_id.append(ids)
+        rows_key.append(key.view(np.int64))
+        rows_ph.append(ph.view(np.int64))
+    return pa.table(
+        {
+            "band_key": pa.array(np.concatenate(rows_key), pa.int64()),
+            "doc_id": pa.array(np.concatenate(rows_id), pa.int64()),
+            "phash": pa.array(np.concatenate(rows_ph), pa.int64()),
+        }
+    )
+
+
+def _phash_bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    rows = []
+    recs = sorted(zip(g["doc_id"].astype(int), g["phash"].astype(np.int64).to_numpy().view(np.uint64)))
+    for i in range(len(recs)):
+        for j in range(i + 1, len(recs)):
+            if recs[i][0] == recs[j][0]:
+                continue
+            h = bin(int(recs[i][1]) ^ int(recs[j][1])).count("1")
+            if h <= PH_T:
+                rows.append((recs[i][0], recs[j][0], h))
+    return pd.DataFrame(
+        {
+            "doc_a": pd.Series([r[0] for r in rows], dtype="int64"),
+            "doc_b": pd.Series([r[1] for r in rows], dtype="int64"),
+            "hamming": pd.Series([r[2] for r in rows], dtype="int64"),
+        }
+    )
+
+
+def phash_pairs(sf_dir: str) -> pd.DataFrame:
+    """Binary-payload near-dup pairs by perceptual hash + banded LSH
+    (the image-dedup shape of the MinHash pipeline): 64-bit aHash per
+    payload, PH_BANDS band keys per doc, ``groupby(band_key)`` count →
+    hot buckets → per-bucket pair expansion with an in-reducer hamming
+    verify. COMPLETE by pigeonhole: ≤ PH_T bit errors across PH_BANDS >
+    PH_T bands leave at least one band identical, so every pair with
+    hamming ≤ PH_T shares a bucket — the banding only bounds the
+    exchange, exactly the Misra-Gries/MinHash contract. Output
+    (doc_a < doc_b, hamming) sorted; the SQL oracle replays the full
+    hash (ASCII payloads → ascii(substr()) byte sums) and brute-forces
+    the pair scan."""
+    import pyarrow.compute as pc
+
+    hashed = (
+        make_payload_table(sf_dir)
+        .repartition(16)
+        .map_batches(_phash_batch, batch_format="pyarrow")
+    )
+    banded = hashed.map_batches(_phash_band_rows, batch_format="pyarrow").materialize()
+    counts = banded.groupby("band_key").count()
+    hot = counts.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["count()"], pa.scalar(2, pa.int64()))),
+        batch_format="pyarrow",
+    ).to_pandas()
+    if len(hot) == 0:
+        return pd.DataFrame(
+            {
+                "doc_a": pd.Series([], dtype="int64"),
+                "doc_b": pd.Series([], dtype="int64"),
+                "hamming": pd.Series([], dtype="int64"),
+            }
+        )
+    hot_keys = pa.array(sorted(hot["band_key"].tolist()), pa.int64())
+    raw = (
+        banded.map_batches(
+            lambda t: t.filter(pc.is_in(t["band_key"], value_set=hot_keys)),
+            batch_format="pyarrow",
+        )
+        .groupby("band_key")
+        .map_groups(_phash_bucket_pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    # the verified pair stream is small by LSH construction (bounded by
+    # true near-dups + banding false positives) — dedup it driver-side
+    if len(raw) == 0:
+        return pd.DataFrame(
+            {
+                "doc_a": pd.Series([], dtype="int64"),
+                "doc_b": pd.Series([], dtype="int64"),
+                "hamming": pd.Series([], dtype="int64"),
+            }
+        )
+    pairs = (
+        raw.groupby(["doc_a", "doc_b"], as_index=False)["hamming"].max()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    for c in pairs.columns:
+        pairs[c] = pairs[c].astype("int64")
+    return pairs
+
+
+def phash_table(sf_dir: str) -> pd.DataFrame:
+    """The per-payload 64-bit perceptual hash as a first-class output
+    (doc_id, phash, n_bytes): the artifact an image-dedup pipeline
+    persists and joins against (the pairing machinery over it is
+    ``phash_pairs``; on this corpus the aHash spectrum has no pairs
+    under PH_T — verified, and pinned by the planted-fixture pair test).
+    The SQL oracle rebuilds every bit: ASCII payloads let ascii(substr())
+    replay the byte stream, the cell split is closed-form integer
+    arithmetic, and the bit assembly is a bit_or of BIGINT shifts —
+    bit 63 wraps to the sign bit identically in numpy's int64 view."""
+    out = (
+        make_payload_table(sf_dir)
+        .repartition(16)
+        .map_batches(_phash_batch, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
+    out = out.merge(docs.rename(columns={"n_chars": "n_bytes"}), on="doc_id")
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out[["doc_id", "phash", "n_bytes"]]

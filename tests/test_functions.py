@@ -2273,3 +2273,57 @@ def test_int8_quantize_matches_numpy():
     assert out["code_sum"].tolist() == code.sum(axis=1).tolist()
     assert out["code_min"].tolist() == code.min(axis=1).tolist()
     assert out["code_max"].tolist() == code.max(axis=1).tolist()
+
+
+def _ref_phash(b: bytes) -> int:
+    a = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
+    n = len(a)
+    cell = np.arange(n, dtype=np.int64) * 64 // n
+    cs = np.bincount(cell, weights=a, minlength=64).astype(np.int64)
+    cl = np.bincount(cell, minlength=64).astype(np.int64)
+    bits = (cs * n) > (int(a.sum()) * cl)
+    v = sum(int(x) << i for i, x in enumerate(bits))
+    return v - (1 << 64) if v >= (1 << 63) else v  # int64 view
+
+
+def test_phash_table_matches_recompute():
+    from aarhus_ray.functions.multimodal import phash_table
+
+    out = phash_table(SF)
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+    want = {int(d): _ref_phash(t.encode()) for d, t in zip(docs["doc_id"], docs["text"])}
+    assert dict(zip(out["doc_id"], out["phash"])) == want
+
+
+def test_phash_pairs_planted_fixture(tmp_path):
+    """Pigeonhole completeness: a pair within PH_T bits MUST surface
+    through the banding; corpus docs far beyond PH_T must not."""
+    import pyarrow as pa
+    import pyarrow.parquet as pqw
+
+    from aarhus_ray.functions.multimodal import PH_T, phash_pairs
+
+    rng = np.random.RandomState(7)
+    base = bytes(rng.randint(32, 127, size=640, dtype=np.uint8).tolist())
+    # clone with a handful of byte bumps — a few phash bits flip, <= PH_T
+    clone = bytearray(base)
+    for i in range(0, 50, 10):
+        clone[i] = clone[i] + 1 if clone[i] < 126 else clone[i] - 1
+    texts = [base.decode(), bytes(clone).decode()]
+    texts += ["".join(chr(c) for c in rng.randint(32, 127, size=500)) for _ in range(30)]
+    d = tmp_path / "planted"
+    d.mkdir()
+    pqw.write_table(
+        pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())}),
+        d / "documents.parquet",
+    )
+    ph0, ph1 = _ref_phash(base), _ref_phash(bytes(clone))
+    planted_h = bin((ph0 ^ ph1) & ((1 << 64) - 1)).count("1")
+    assert planted_h <= PH_T  # the fixture must actually plant a near-dup
+    out = phash_pairs(str(d))
+    got = set(zip(out["doc_a"], out["doc_b"]))
+    assert (0, 1) in got
+    assert out.set_index(["doc_a", "doc_b"]).loc[(0, 1), "hamming"] == planted_h
+    # every surfaced pair is verified <= PH_T
+    assert (out["hamming"] <= PH_T).all()
