@@ -77,6 +77,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q6_forecast_revenue": relational.q6_forecast_revenue,
         # Q7: two-nation volume shipping, Q5-style pivot union-groupby
         "q7_volume_shipping": relational.q7_volume_shipping,
+        # Q8: national market share by order year (pivot union-groupby)
+        "q8_market_share": relational.q8_market_share,
         # Q15: top supplier by quarterly revenue (view + max pattern)
         "q15_top_supplier": relational.q15_top_supplier,
         # Q19: disjunctive OR-of-ANDs over a broadcast part dimension
@@ -597,6 +599,31 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate >= TIMESTAMP '{relational.Q7_LO}'
               AND l_shipdate < TIMESTAMP '{relational.Q7_HI}'
             GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+        """,
+        "q8_market_share": f"""
+            WITH v AS (
+              SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                     CAST(round(l_extendedprice*100) AS BIGINT)
+                       * (100 - CAST(round(l_discount*100) AS BIGINT)) AS vol,
+                     CASE WHEN sn.n_name = '{relational.Q8_NATION}' THEN 1 ELSE 0 END AS is_n
+              FROM lineitem
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation cn ON c_nationkey = cn.n_nationkey
+              JOIN region ON cn.n_regionkey = r_regionkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation sn ON s_nationkey = sn.n_nationkey
+              JOIN part ON l_partkey = p_partkey
+              WHERE r_name = '{relational.Q8_REGION}'
+                AND p_type = '{relational.Q8_TYPE}'
+                AND o_orderdate >= TIMESTAMP '{relational.Q8_LO}'
+                AND o_orderdate < TIMESTAMP '{relational.Q8_HI}')
+            SELECT o_year,
+                   CAST(SUM(vol * is_n) AS BIGINT) AS nation_volume_e4,
+                   CAST(SUM(vol) AS BIGINT) AS total_volume_e4,
+                   round(CAST(SUM(vol * is_n) AS BIGINT) / CAST(SUM(vol) AS BIGINT)::DOUBLE, 6)
+                     AS mkt_share
+            FROM v GROUP BY 1 ORDER BY 1
         """,
         "q15_top_supplier": f"""
             WITH rev AS (

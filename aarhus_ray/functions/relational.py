@@ -1517,3 +1517,156 @@ def q19_discounted_revenue(sf_dir: str) -> pd.DataFrame:
             "n_lines": pd.Series([int(parts["n_lines"].sum())], dtype="int64"),
         }
     )
+
+
+Q8_NATION = "NATION_2"
+Q8_REGION = "ASIA"     # NATION_2's region
+Q8_TYPE = "PROMO"
+Q8_LO, Q8_HI = "1996-01-01", "1998-01-01"
+
+
+def q8_market_share(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q8 shape (national market share): of all PROMO-part revenue
+    sold into one region's customers over two order years, what share was
+    supplied by one nation — per year. Same pivot union-groupby spine as
+    Q5/Q7: three small dimension maps broadcast (customer → in-region,
+    part → type match, supplier → is-nation), lineitem emits revenue
+    pivoted by supplier-is-nation, orders carry the year tag (the year is
+    an ORDER attribute here, so it rides the orders side of the
+    union-groupby rather than the lineitem pivot); an 8-cell stateless
+    fold finishes. Volumes in integer e4; mkt_share is the one float —
+    computed from those exact integers by the same division in both
+    engines, rounded 6dp."""
+    from ray.data.aggregate import Max, Sum
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    reg = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    rkey = int(reg.loc[reg["r_name"] == Q8_REGION, "r_regionkey"].iloc[0])
+    region_nations = set(nat.loc[nat["n_regionkey"] == rkey, "n_nationkey"].astype(int))
+    nkey = int(nat.loc[nat["n_name"] == Q8_NATION, "n_nationkey"].iloc[0])
+    y0 = int(Q8_LO[:4])
+    n_years = int(Q8_HI[:4]) - y0
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    ck = cust["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    in_region = np.isin(cust["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64),
+                        sorted(region_nations))
+    order_c = np.argsort(ck[in_region])
+    cust_ref = ray.put(ck[in_region][order_c])
+
+    part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"])
+    pk = part["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    tmask = np.fromiter((t == Q8_TYPE for t in part["p_type"].to_pylist()), bool, count=len(pk))
+    part_ref = ray.put(np.sort(pk[tmask]))
+
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
+    sk = supp["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    is_n = supp["s_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64) == nkey
+    supp_ref = ray.put(np.sort(sk[is_n]))
+
+    lo = pa.scalar(np.datetime64(Q8_LO, "us"), pa.timestamp("us"))
+    hi = pa.scalar(np.datetime64(Q8_HI, "us"), pa.timestamp("us"))
+    piv_cols = ["rev_n", "rev_o", "cnt"]
+
+    def _member(keys: np.ndarray, sorted_keys: np.ndarray) -> np.ndarray:
+        if len(sorted_keys) == 0:
+            return np.zeros(len(keys), bool)
+        pos = np.minimum(np.searchsorted(sorted_keys, keys), len(sorted_keys) - 1)
+        return np.take(sorted_keys, pos) == keys
+
+    def orders_tag(batch: pa.Table) -> pa.Table:
+        b = batch.filter(
+            pc.and_(pc.greater_equal(batch["o_orderdate"], lo),
+                    pc.less(batch["o_orderdate"], hi))
+        )
+        keep = _member(
+            b["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64),
+            ray.get(cust_ref),
+        )
+        okey = b["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)[keep]
+        year = (
+            b["o_orderdate"].to_numpy(zero_copy_only=False).astype("datetime64[Y]")
+            .astype(np.int64)[keep] + 1970 - y0
+        )
+        cols = {
+            "okey": pa.array(okey, pa.int64()),
+            "tag": pa.array(year + 1, pa.int64()),
+        }
+        for c in piv_cols:
+            cols[c] = pa.array(np.zeros(len(okey), np.int64), pa.int64())
+        return pa.table(cols)
+
+    def lines_pivot(batch: pa.Table) -> pa.Table:
+        keep = _member(
+            batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64),
+            ray.get(part_ref),
+        )
+        idx = np.flatnonzero(keep)
+        b = batch.take(idx)
+        is_nat = _member(
+            b["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64),
+            ray.get(supp_ref),
+        )
+        okey = b["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rev = (
+            _cents(b["l_extendedprice"]).to_numpy(zero_copy_only=False)
+            * (100 - _cents(b["l_discount"]).to_numpy(zero_copy_only=False))
+        ).astype(np.int64)
+        uo, inv = np.unique(okey, return_inverse=True)
+        mat = np.zeros((len(uo), 3), dtype=np.int64)
+        np.add.at(mat, (inv, np.where(is_nat, 0, 1)), rev)
+        np.add.at(mat, (inv, 2), 1)
+        cols = {
+            "okey": pa.array(uo, pa.int64()),
+            "tag": pa.array(np.zeros(len(uo), np.int64), pa.int64()),
+        }
+        for j, c in enumerate(piv_cols):
+            cols[c] = pa.array(mat[:, j], pa.int64())
+        return pa.table(cols)
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        orders_tag, batch_format="pyarrow"
+    )
+    lines = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(lines_pivot, batch_format="pyarrow")
+    merged = (
+        orders.union(lines)
+        .groupby("okey")
+        .aggregate(
+            Max("tag", alias_name="tag"),
+            *[Sum(c, alias_name=c) for c in piv_cols],
+        )
+    )
+
+    def year_fold(batch: pa.Table) -> pa.Table:
+        tag = batch["tag"].to_numpy(zero_copy_only=False)
+        rn = batch["rev_n"].to_numpy(zero_copy_only=False)
+        ro = batch["rev_o"].to_numpy(zero_copy_only=False)
+        ct = batch["cnt"].to_numpy(zero_copy_only=False)
+        rows = []
+        for y in range(n_years):
+            sel = tag == y + 1
+            rows.append((y0 + y, int(rn[sel].sum()), int((rn[sel] + ro[sel]).sum()), int(ct[sel].sum())))
+        return pa.table(
+            {
+                "o_year": pa.array([r[0] for r in rows], pa.int64()),
+                "nat": pa.array([r[1] for r in rows], pa.int64()),
+                "tot": pa.array([r[2] for r in rows], pa.int64()),
+                "cnt": pa.array([r[3] for r in rows], pa.int64()),
+            }
+        )
+
+    parts = merged.map_batches(year_fold, batch_format="pyarrow").to_pandas()
+    fold = parts.groupby("o_year", sort=True)[["nat", "tot", "cnt"]].sum().reset_index()
+    fold = fold[fold["cnt"] > 0]
+    out = pd.DataFrame(
+        {
+            "o_year": fold["o_year"].astype("int64"),
+            "nation_volume_e4": fold["nat"].astype("int64"),
+            "total_volume_e4": fold["tot"].astype("int64"),
+            "mkt_share": (fold["nat"].astype(float) / fold["tot"].astype(float)).round(6),
+        }
+    )
+    return out.reset_index(drop=True)

@@ -2327,3 +2327,34 @@ def test_phash_pairs_planted_fixture(tmp_path):
     assert out.set_index(["doc_a", "doc_b"]).loc[(0, 1), "hamming"] == planted_h
     # every surfaced pair is verified <= PH_T
     assert (out["hamming"] <= PH_T).all()
+
+
+def test_tpch_q8_market_share_matches_duckdb():
+    import duckdb
+
+    from aarhus_ray.functions import relational as r
+
+    out = r.q8_market_share(SF)
+    con = duckdb.connect()
+    want = con.execute(f"""
+        WITH v AS (
+          SELECT year(o_orderdate) AS y,
+                 CAST(round(l_extendedprice*100) AS BIGINT)
+                   * (100 - CAST(round(l_discount*100) AS BIGINT)) AS vol,
+                 CASE WHEN sn.n_name = '{r.Q8_NATION}' THEN 1 ELSE 0 END AS is_n
+          FROM '{SF}/lineitem.parquet'
+          JOIN '{SF}/orders.parquet' ON l_orderkey = o_orderkey
+          JOIN '{SF}/customer.parquet' ON o_custkey = c_custkey
+          JOIN '{SF}/nation.parquet' cn ON c_nationkey = cn.n_nationkey
+          JOIN '{SF}/region.parquet' ON cn.n_regionkey = r_regionkey
+          JOIN '{SF}/supplier.parquet' ON l_suppkey = s_suppkey
+          JOIN '{SF}/nation.parquet' sn ON s_nationkey = sn.n_nationkey
+          JOIN '{SF}/part.parquet' ON l_partkey = p_partkey
+          WHERE r_name = '{r.Q8_REGION}' AND p_type = '{r.Q8_TYPE}'
+            AND o_orderdate >= TIMESTAMP '{r.Q8_LO}' AND o_orderdate < TIMESTAMP '{r.Q8_HI}')
+        SELECT y, CAST(SUM(vol*is_n) AS BIGINT) AS nat, CAST(SUM(vol) AS BIGINT) AS tot
+        FROM v GROUP BY 1 ORDER BY 1""").fetchdf()
+    assert out["o_year"].tolist() == want["y"].tolist()
+    assert out["nation_volume_e4"].tolist() == want["nat"].tolist()
+    assert out["total_volume_e4"].tolist() == want["tot"].tolist()
+    assert (out["mkt_share"] == (want["nat"] / want["tot"].astype(float)).round(6)).all()
