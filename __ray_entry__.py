@@ -149,6 +149,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Heaps'-law bigram-vocabulary growth per crawl-time bucket
         # (ES cumulative_cardinality over a date_histogram)
         "docs_vocab_growth": textstats.vocab_growth,
+        # second-order LM quality: per-doc bigram conditional NLL
+        "docs_bigram_nll": textstats.bigram_nll,
         "docs_repetition": textstats.repetition_signals,  # Gopher intra-doc repetition
         # --- dedup family (SURVEY §2.7 + extensions) ---
         "docs_source_stats": textstats.source_stats,  # per-domain accounting
@@ -193,6 +195,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_maxsim": ann.maxsim_scores,
         # int8 scalar quantization envelope + per-vector code audit
         "embedding_int8_quantize": ann.int8_quantize_stats,
+        # integer-frozen PageRank over the kNN graph (iterative → rows-only)
+        "knn_pagerank": ann.pagerank_knn,
         "embedding_label_centroids": ann.label_centroids,  # distributed k-means/IVF primitive
         # full iterative Lloyd's k-means (frozen init/tie/empty rules);
         # iterative ≠ SQL → rows-only at the driver, pinned by
@@ -1087,6 +1091,27 @@ def oracle_sql() -> dict[str, str]:
                         WHEN nll.nll_milli <= th.t2 THEN 'middle'
                         ELSE 'tail' END AS bucket
             FROM nll CROSS JOIN th ORDER BY 1
+        """,
+        # bigram conditional NLL: same milli-nat integer contract as the
+        # unigram op, with the left-context total as the conditioning count
+        "docs_bigram_nll": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({toks_nonempty}) AS tok,
+                     generate_subscripts({toks_nonempty}, 1) AS pos
+              FROM documents),
+            bg AS (SELECT a.doc_id, a.tok AS w1, a.tok || ' ' || b.tok AS gram
+                   FROM toks a JOIN toks b
+                     ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+            c2 AS (SELECT gram, count(*) AS c FROM bg GROUP BY 1),
+            c1 AS (SELECT w1, count(*) AS c FROM bg GROUP BY 1),
+            l2 AS (SELECT gram, CAST(round(ln(c) * 1000) AS BIGINT) AS l FROM c2),
+            l1 AS (SELECT w1, CAST(round(ln(c) * 1000) AS BIGINT) AS l FROM c1),
+            per AS (SELECT bg.doc_id, l1.l - l2.l AS d
+                    FROM bg JOIN l1 USING (w1) JOIN l2 USING (gram))
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(count(*) AS BIGINT) AS n_bigrams,
+                   CAST(SUM(d) AS BIGINT) AS nll_milli
+            FROM per GROUP BY 1 ORDER BY 1
         """,
         # Heaps' bigram-vocab growth: first-occurrence identity — cumulative
         # distinct == running sum of new-gram counts per bucket

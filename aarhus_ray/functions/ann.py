@@ -1052,3 +1052,72 @@ def int8_quantize_stats(sf_dir: str) -> pd.DataFrame:
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out
+
+
+PR_ITERS = 5
+PR_DAMP_NUM, PR_DAMP_DEN = 85, 100  # d = 0.85 as a ratio (integer-frozen)
+PR_TOTAL = 10**12                   # total rank mass, integer micro-units
+
+
+def pagerank_knn(sf_dir: str, k: int = KNN_GRAPH_K, iters: int = PR_ITERS) -> pd.DataFrame:
+    """PageRank over the kNN graph (the graph-centrality pass dedup /
+    curation pipelines run on similarity graphs: high-rank nodes are
+    cluster cores, low-rank nodes are outliers). Edges are knn_graph's
+    (every vector → its top-k cosine neighbors, out-degree exactly k),
+    and the power iteration is INTEGER-FROZEN so the result is a pure
+    function of the graph — no float reduction order anywhere:
+
+        R_0(v)     = PR_TOTAL // N
+        R_{t+1}(v) = (15 · (PR_TOTAL // N)) // 100
+                     + (85 · Σ_{u→v} (R_t(u) // k)) // 100
+
+    (floor divisions frozen; total mass drifts by < N per round, the
+    documented price of exactness). Each round is one broadcast of the
+    N-sized rank vector (ray.put) + a stateless per-batch partial over
+    edge partitions + one groupby(dst) — the kmeans/BPE sequential-rounds
+    contract, with the rank vector driver-held (shard it by vertex range
+    at web scale). Iterative → no SQL oracle (rows-only at the driver);
+    pinned exactly by tests/test_functions.py::test_pagerank_matches_
+    numpy_replay. Output (vec_id, pr) int64, id-ordered."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    edges_pd = knn_graph(sf_dir, k=k)[["vec_id", "nbr_id"]]
+    ids = np.sort(edges_pd["vec_id"].unique().astype(np.int64))
+    n = len(ids)
+    eds = ray.data.from_pandas(edges_pd).repartition(8).materialize()
+    base = (15 * (PR_TOTAL // n)) // 100
+    R = np.full(n, PR_TOTAL // n, dtype=np.int64)
+
+    for _ in range(iters):
+        ref = ray.put((ids, R))
+
+        def contrib(batch: pa.Table, *, r_ref=ref, k_=k) -> pa.Table:
+            import ray as _ray
+
+            ids_, R_ = _ray.get(r_ref)
+            src = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            dst = batch["nbr_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            c = R_[np.searchsorted(ids_, src)] // k_
+            ud, inv = np.unique(dst, return_inverse=True)
+            s = np.zeros(len(ud), dtype=np.int64)
+            np.add.at(s, inv, c)
+            return pa.table(
+                {"dst": pa.array(ud, pa.int64()), "s": pa.array(s, pa.int64())}
+            )
+
+        sums = (
+            eds.map_batches(contrib, batch_format="pyarrow")
+            .groupby("dst")
+            .aggregate(Sum("s", alias_name="s"))
+            .to_pandas()
+        )
+        nextR = np.full(n, base, dtype=np.int64)
+        pos = np.searchsorted(ids, sums["dst"].to_numpy().astype(np.int64))
+        nextR[pos] += (PR_DAMP_NUM * sums["s"].to_numpy().astype(np.int64)) // PR_DAMP_DEN
+        R = nextR
+
+    out = pd.DataFrame({"vec_id": ids, "pr": R})
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out

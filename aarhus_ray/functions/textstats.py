@@ -907,3 +907,110 @@ def vocab_growth(sf_dir: str, bucket_us: int = VG_BUCKET_US) -> pd.DataFrame:
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out
+
+
+def bigram_nll(sf_dir: str) -> pd.DataFrame:
+    """Second-order LM quality signal: per doc, the total negative
+    log-likelihood of its word bigrams under the corpus bigram MLE,
+    P(w2 | w1) = c(w1 w2) / c1(w1) with c1 the left-context total
+    (Σ_w2 c(w1 w2)) — the KenLM-2gram drop-in on top of the unigram
+    plumbing (``_doc_nll_dataset``), and the signal that separates
+    shuffled-word gibberish from fluent text when unigram stats agree.
+
+    INTEGER-exact like the unigram op: per gram
+    δ(g) = round(ln(c1(w1))·1000) − round(ln(c2(g))·1000) milli-nats
+    (both counts are identical integers in any engine, so libm ln agrees
+    bitwise), and nll_milli = Σ δ over the doc's bigram positions — no
+    order-dependent float sum. Plan: per-batch bigram counts → one
+    bigram-vocab groupby; the (gram, δ) table broadcasts (ray.put) and a
+    second stateless pass scores docs via index_in + bincount. Driver
+    state is bounded by the bigram vocabulary (shard it by gram hash at
+    web scale — the unigram op's note). Docs with < 2 tokens are dropped
+    (frozen). Output (doc_id, n_bigrams, nll_milli), all int64."""
+    import functools
+
+    import ray
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def _doc_grams(texts) -> list[np.ndarray]:
+        toks = tokenize_batch(texts)
+        return [
+            np.fromiter(
+                (f"{x} {y}" for x, y in zip(ts, ts[1:])),
+                dtype=object,
+                count=max(len(ts) - 1, 0),
+            )
+            for ts in toks
+        ]
+
+    def gram_partial(batch: pa.Table) -> pa.Table:
+        per_doc = [g for g in _doc_grams(batch["text"].to_pylist()) if len(g)]
+        if not per_doc:
+            return pa.table({"gram": pa.array([], pa.string()), "n": pa.array([], pa.int64())})
+        flat = np.concatenate(per_doc)
+        grams, counts = np.unique(flat, return_counts=True)
+        return pa.table(
+            {"gram": pa.array(list(grams), pa.string()), "n": pa.array(counts, pa.int64())}
+        )
+
+    vocab = (
+        ds.map_batches(gram_partial, batch_format="pyarrow")
+        .groupby("gram")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    vocab["w1"] = vocab["gram"].str.split(" ").str[0]
+    c1 = vocab.groupby("w1")["n"].sum()
+    l2 = np.round(np.log(vocab["n"].to_numpy().astype(np.float64)) * 1000.0).astype(np.int64)
+    l1 = np.round(np.log(c1.loc[vocab["w1"]].to_numpy().astype(np.float64)) * 1000.0).astype(
+        np.int64
+    )
+    vocab = vocab.assign(delta=l1 - l2).sort_values("gram")
+    ref = ray.put(
+        (pa.array(vocab["gram"].tolist(), pa.string()), vocab["delta"].to_numpy())
+    )
+
+    def score(batch: pa.Table, *, gram_ref) -> pa.Table:
+        import pyarrow.compute as pc
+
+        import ray as _ray
+
+        grams_, delta_ = _ray.get(gram_ref)
+        per_doc = _doc_grams(batch["text"].to_pylist())
+        did = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n_bg = np.fromiter((len(g) for g in per_doc), dtype=np.int64, count=len(per_doc))
+        keep = n_bg > 0
+        if not keep.any():
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_bigrams": pa.array([], pa.int64()),
+                    "nll_milli": pa.array([], pa.int64()),
+                }
+            )
+        flat = np.concatenate([g for g in per_doc if len(g)])
+        rows = np.repeat(np.flatnonzero(keep), n_bg[keep])
+        idx = pc.index_in(pa.array(list(flat), pa.string()), value_set=grams_).to_numpy(
+            zero_copy_only=False
+        )
+        d = delta_[idx.astype(np.int64)]
+        # float64 bincount of integer addends < 2^53 — exact
+        nll = np.bincount(rows, weights=d.astype(np.float64), minlength=len(per_doc))
+        return pa.table(
+            {
+                "doc_id": pa.array(did[keep], pa.int64()),
+                "n_bigrams": pa.array(n_bg[keep], pa.int64()),
+                "nll_milli": pa.array(nll[keep].astype(np.int64), pa.int64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(functools.partial(score, gram_ref=ref), batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out

@@ -2358,3 +2358,49 @@ def test_tpch_q8_market_share_matches_duckdb():
     assert out["nation_volume_e4"].tolist() == want["nat"].tolist()
     assert out["total_volume_e4"].tolist() == want["tot"].tolist()
     assert (out["mkt_share"] == (want["nat"] / want["tot"].astype(float)).round(6)).all()
+
+
+def test_bigram_nll_matches_counter_recompute():
+    from collections import Counter
+
+    from aarhus_ray.functions.textstats import bigram_nll
+    from aarhus_ray.textnorm import tokenize
+
+    out = bigram_nll(SF)
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+    grams = {
+        int(d): [f"{x} {y}" for x, y in zip(tokenize(t), tokenize(t)[1:])]
+        for d, t in zip(docs["doc_id"], docs["text"])
+    }
+    c2 = Counter(g for gs in grams.values() for g in gs)
+    c1 = Counter(g.split(" ")[0] for gs in grams.values() for g in gs)
+    l2 = {g: int(np.round(np.log(float(c)) * 1000)) for g, c in c2.items()}
+    l1 = {w: int(np.round(np.log(float(c)) * 1000)) for w, c in c1.items()}
+    for _, row in out.head(40).iterrows():
+        gs = grams[int(row["doc_id"])]
+        assert int(row["n_bigrams"]) == len(gs)
+        assert int(row["nll_milli"]) == sum(l1[g.split(" ")[0]] - l2[g] for g in gs)
+    assert set(out["doc_id"]) == {d for d, gs in grams.items() if gs}
+
+
+def test_pagerank_matches_numpy_replay():
+    from aarhus_ray.functions.ann import (
+        KNN_GRAPH_K, PR_ITERS, PR_TOTAL, knn_graph, pagerank_knn,
+    )
+
+    out = pagerank_knn(SF)
+    edges = knn_graph(SF, k=KNN_GRAPH_K)[["vec_id", "nbr_id"]]
+    ids = np.sort(edges["vec_id"].unique())
+    n = len(ids)
+    src = np.searchsorted(ids, edges["vec_id"].to_numpy())
+    dst = np.searchsorted(ids, edges["nbr_id"].to_numpy())
+    R = np.full(n, PR_TOTAL // n, dtype=np.int64)
+    base = (15 * (PR_TOTAL // n)) // 100
+    for _ in range(PR_ITERS):
+        s = np.zeros(n, dtype=np.int64)
+        np.add.at(s, dst, R[src] // KNN_GRAPH_K)
+        R = base + (85 * s) // 100
+    assert out["vec_id"].tolist() == ids.tolist()
+    assert out["pr"].tolist() == R.tolist()
+    # mass conservation within the documented floor-division drift
+    assert abs(int(out["pr"].sum()) - PR_TOTAL) < 3 * n * PR_ITERS
