@@ -119,6 +119,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_geo_bounds": geo.geo_bounds,
         "events_geo_grid": geo.geo_grid,
         "events_geo_distance": geo.geo_distance,
+        "events_geo_centroid": geo.geo_centroid,
+        # ES weighted_avg: value weighted by the props 'k' field
+        "events_weighted_avg": windows.events_weighted_avg,
         # market-basket frequent itemsets over (user, day) baskets via the
         # bitmask-histogram collapse (ES frequent_item_sets agg)
         "events_frequent_itemsets": windows.events_frequent_itemsets,
@@ -1175,6 +1178,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c
             FROM d WHERE dist <= {geo.GD_RADIUS_M}
             GROUP BY 1 ORDER BY 1
+        """,
+        "events_geo_centroid": f"""
+            WITH g AS (SELECT event_type,
+                (event_id * {geo.GEO_LAT_MULT}) % {geo.GEO_LAT_MOD} - 85000000 AS lat_u,
+                (event_id * {geo.GEO_LON_MULT}) % {geo.GEO_LON_MOD} - 180000000 AS lon_u
+              FROM events)
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   round(CAST(SUM(lat_u) AS BIGINT) / CAST(count(*) AS BIGINT)::DOUBLE / 1e6, 6)
+                     AS centroid_lat,
+                   round(CAST(SUM(lon_u) AS BIGINT) / CAST(count(*) AS BIGINT)::DOUBLE / 1e6, 6)
+                     AS centroid_lon
+            FROM g GROUP BY 1 ORDER BY 1
+        """,
+        # weighted_avg: both moments exact int64, one float division
+        "events_weighted_avg": f"""
+            WITH c AS (SELECT event_type,
+                              CAST(floor(value * 100) AS BIGINT) AS v,
+                              CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS w
+                       FROM events)
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   CAST(SUM(w) AS BIGINT) AS sum_w,
+                   round(CAST(SUM(v * w) AS BIGINT) / CAST(SUM(w) AS BIGINT)::DOUBLE,
+                         {windows.WA_DECIMALS}) AS weighted_avg_c
+            FROM c GROUP BY 1 ORDER BY 1
         """,
         # Welch t-test replayed from the SAME exact integer moments (n, Σv,
         # Σv² on floor-cents) through the SAME float64 closed form

@@ -185,3 +185,42 @@ def geo_distance(sf_dir: str) -> pd.DataFrame:
     out["n_within"] = out["n_within"].astype("int64")
     out["sum_value_c"] = out["sum_value_c"].astype("int64")
     return out
+
+
+def geo_centroid(sf_dir: str, decimals: int = 6) -> pd.DataFrame:
+    """ES geo_centroid aggregation per event_type: the mean point of each
+    type's events. Exact integer microdegree sums per batch → one tiny
+    groupby → the division is the only float (same exact integers both
+    engines, rounded ``decimals``). Output (event_type, n, centroid_lat,
+    centroid_lon) in degrees."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lat_u, lon_u = geo_point_u(batch["event_id"].to_numpy(zero_copy_only=False))
+        df = pd.DataFrame(
+            {"event_type": batch["event_type"].to_pandas(), "lat": lat_u, "lon": lon_u}
+        )
+        g = df.groupby("event_type", sort=False).agg(
+            n=("lat", "size"), slat=("lat", "sum"), slon=("lon", "sum")
+        )
+        return pa.Table.from_pandas(g.reset_index(), preserve_index=False)
+
+    agg = (
+        _events(sf_dir, ["event_id", "event_type"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("n", alias_name="n"), Sum("slat", alias_name="slat"), Sum("slon", alias_name="slon")
+        )
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    out = pd.DataFrame(
+        {
+            "event_type": agg["event_type"],
+            "n": agg["n"].astype("int64"),
+            "centroid_lat": (agg["slat"].astype(float) / agg["n"] / 1e6).round(decimals),
+            "centroid_lon": (agg["slon"].astype(float) / agg["n"] / 1e6).round(decimals),
+        }
+    )
+    return out

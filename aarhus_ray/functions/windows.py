@@ -828,3 +828,56 @@ def events_eql_sequence(sf_dir: str, maxspan_s: int = EQL_MAXSPAN_S) -> pd.DataF
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out
+
+
+WA_DECIMALS = 6
+
+
+def events_weighted_avg(sf_dir: str, decimals: int = WA_DECIMALS) -> pd.DataFrame:
+    """ES weighted_avg aggregation: per event_type, the value (cents)
+    averaged with the props 'k' field as the weight — Σ(cents·k)/Σk.
+    Both moments stay exact int64 per-batch partials (k parsed from the
+    single-key JSON with the same digit-run rule the SQL oracle's
+    regexp_extract applies), one tiny groupby sums them, and the division
+    is the only float — same two exact integers in both engines, rounded
+    ``decimals``. Output (event_type, n, sum_w, weighted_avg_c)."""
+    import re
+
+    ds = _events(sf_dir, ["event_type", "value", "props"])
+    digit = re.compile(r"[0-9]+")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = np.floor(batch["value"].to_numpy(zero_copy_only=False) * 100.0).astype(np.int64)
+        w = np.fromiter(
+            (int(digit.search(p).group()) for p in batch["props"].to_pylist()),
+            dtype=np.int64, count=len(batch),
+        )
+        df = pd.DataFrame(
+            {"event_type": batch["event_type"].to_pandas(), "vw": cents * w, "w": w}
+        )
+        g = df.groupby("event_type", sort=False).agg(
+            n=("w", "size"), vw=("vw", "sum"), w=("w", "sum")
+        )
+        return pa.Table.from_pandas(g.reset_index(), preserve_index=False)
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("n", alias_name="n"), Sum("vw", alias_name="vw"), Sum("w", alias_name="sum_w")
+        )
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    out = pd.DataFrame(
+        {
+            "event_type": agg["event_type"],
+            "n": agg["n"].astype("int64"),
+            "sum_w": agg["sum_w"].astype("int64"),
+            "weighted_avg_c": (
+                agg["vw"].astype(float) / agg["sum_w"].astype(float)
+            ).round(decimals),
+        }
+    )
+    return out

@@ -2404,3 +2404,25 @@ def test_pagerank_matches_numpy_replay():
     assert out["pr"].tolist() == R.tolist()
     # mass conservation within the documented floor-division drift
     assert abs(int(out["pr"].sum()) - PR_TOTAL) < 3 * n * PR_ITERS
+
+
+def test_weighted_avg_and_geo_centroid_match_recompute():
+    import re
+
+    from aarhus_ray.functions.geo import geo_centroid, geo_point_u
+    from aarhus_ray.functions.windows import events_weighted_avg
+
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    cents = np.floor(ev["value"].to_numpy() * 100).astype(np.int64)
+    w = np.array([int(re.search(r"[0-9]+", p).group()) for p in ev["props"]], dtype=np.int64)
+    wa = events_weighted_avg(SF).set_index("event_type")
+    for t, g in pd.DataFrame({"t": ev["event_type"], "vw": cents * w, "w": w}).groupby("t"):
+        assert wa.loc[t, "n"] == len(g)
+        assert wa.loc[t, "sum_w"] == g["w"].sum()
+        assert wa.loc[t, "weighted_avg_c"] == round(float(g["vw"].sum()) / float(g["w"].sum()), 6)
+    lat_u, lon_u = geo_point_u(ev["event_id"].to_numpy())
+    gc = geo_centroid(SF).set_index("event_type")
+    for t, g in pd.DataFrame({"t": ev["event_type"], "lat": lat_u, "lon": lon_u}).groupby("t"):
+        assert gc.loc[t, "n"] == len(g)
+        assert gc.loc[t, "centroid_lat"] == round(float(g["lat"].sum()) / len(g) / 1e6, 6)
+        assert gc.loc[t, "centroid_lon"] == round(float(g["lon"].sum()) / len(g) / 1e6, 6)
