@@ -79,6 +79,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q7_volume_shipping": relational.q7_volume_shipping,
         # Q8: national market share by order year (pivot union-groupby)
         "q8_market_share": relational.q8_market_share,
+        # Q12 shape: CASE aggregation over the orders⋈lineitem join
+        "q12_priority_class_by_flag": relational.q12_priority_class_by_flag,
         # Q15: top supplier by quarterly revenue (view + max pattern)
         "q15_top_supplier": relational.q15_top_supplier,
         # Q19: disjunctive OR-of-ANDs over a broadcast part dimension
@@ -127,6 +129,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_frequent_itemsets": windows.events_frequent_itemsets,
         # EQL sequence-by-user with maxspan, frozen all-matches semantics
         "events_eql_sequence": windows.events_eql_sequence,
+        # SQL window-function parity: per-user running value total
+        "events_running_total": windows.events_running_total,
         # --- text analysis over documents ---
         "docs_term_counts_top50": textstats.term_counts_top50,
         "docs_token_counts": textstats.token_counts,
@@ -631,6 +635,17 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(SUM(vol * is_n) AS BIGINT) / CAST(SUM(vol) AS BIGINT)::DOUBLE, 6)
                      AS mkt_share
             FROM v GROUP BY 1 ORDER BY 1
+        """,
+        "q12_priority_class_by_flag": f"""
+            SELECT l_returnflag,
+                   CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                                 THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= TIMESTAMP '{relational.Q12_LO}'
+              AND l_shipdate < TIMESTAMP '{relational.Q12_HI}'
+            GROUP BY 1 ORDER BY 1
         """,
         "q15_top_supplier": f"""
             WITH rev AS (
@@ -1228,6 +1243,15 @@ def oracle_sql() -> dict[str, str]:
                    round((se2a + se2b) * (se2a + se2b)
                          / (se2a * se2a / (na - 1) + se2b * se2b / (nb - 1)), 6) AS df
             FROM f
+        """,
+        # running total: the window function stated literally
+        "events_running_total": """
+            SELECT CAST(event_id AS BIGINT) AS event_id,
+                   CAST(user_id AS BIGINT) AS user_id,
+                   CAST(SUM(CAST(floor(value * 100) AS BIGINT))
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+                     AS running_c
+            FROM events ORDER BY event_id
         """,
         # EQL sequence: all-matches == the literal ordered triple self-join
         "events_eql_sequence": f"""

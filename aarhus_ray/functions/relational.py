@@ -1670,3 +1670,99 @@ def q8_market_share(sf_dir: str) -> pd.DataFrame:
         }
     )
     return out.reset_index(drop=True)
+
+
+Q12_LO, Q12_HI = "1996-01-01", "1997-01-01"
+Q12_FLAGS = ("A", "N", "R")
+
+
+def q12_priority_class_by_flag(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q12 shape (CASE aggregation over a big-big join), adapted to
+    the driver schema: per l_returnflag (standing in for the missing
+    l_shipmode), how many lines shipped in one year belong to
+    high-priority orders (1-URGENT / 2-HIGH) vs the rest. The union-
+    groupby spine again — lineitem emits per-order line counts pivoted by
+    returnflag, orders carry the priority-class tag, one groupby(okey)
+    joins them, a 6-cell stateless fold finishes. All counts int64."""
+    from ray.data.aggregate import Max, Sum
+
+    lo = pa.scalar(np.datetime64(Q12_LO, "us"), pa.timestamp("us"))
+    hi = pa.scalar(np.datetime64(Q12_HI, "us"), pa.timestamp("us"))
+    flag_code = {f: i for i, f in enumerate(Q12_FLAGS)}
+    cnt_cols = [f"cnt_{f}" for f in Q12_FLAGS]
+
+    def orders_tag(batch: pa.Table) -> pa.Table:
+        pr = batch["o_orderpriority"].to_pylist()
+        tag = np.fromiter(
+            (2 if p in ("1-URGENT", "2-HIGH") else 1 for p in pr),
+            dtype=np.int64, count=len(pr),
+        )
+        okey = batch["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cols = {"okey": pa.array(okey, pa.int64()), "tag": pa.array(tag, pa.int64())}
+        for c in cnt_cols:
+            cols[c] = pa.array(np.zeros(len(okey), np.int64), pa.int64())
+        return pa.table(cols)
+
+    def lines_pivot(batch: pa.Table) -> pa.Table:
+        b = batch.filter(
+            pc.and_(pc.greater_equal(batch["l_shipdate"], lo),
+                    pc.less(batch["l_shipdate"], hi))
+        )
+        okey = b["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        fc = np.fromiter(
+            (flag_code[f] for f in b["l_returnflag"].to_pylist()),
+            dtype=np.int64, count=len(b),
+        )
+        uo, inv = np.unique(okey, return_inverse=True)
+        mat = np.zeros((len(uo), len(Q12_FLAGS)), dtype=np.int64)
+        np.add.at(mat, (inv, fc), 1)
+        cols = {
+            "okey": pa.array(uo, pa.int64()),
+            "tag": pa.array(np.zeros(len(uo), np.int64), pa.int64()),
+        }
+        for j, c in enumerate(cnt_cols):
+            cols[c] = pa.array(mat[:, j], pa.int64())
+        return pa.table(cols)
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"]).map_batches(
+        orders_tag, batch_format="pyarrow"
+    )
+    lines = _read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag", "l_shipdate"]).map_batches(
+        lines_pivot, batch_format="pyarrow"
+    )
+    merged = (
+        orders.union(lines)
+        .groupby("okey")
+        .aggregate(
+            Max("tag", alias_name="tag"),
+            *[Sum(c, alias_name=c) for c in cnt_cols],
+        )
+    )
+
+    def fold(batch: pa.Table) -> pa.Table:
+        tag = batch["tag"].to_numpy(zero_copy_only=False)
+        rows = {"flag": [], "high": [], "low": []}
+        for f in Q12_FLAGS:
+            c = batch[f"cnt_{f}"].to_numpy(zero_copy_only=False)
+            rows["flag"].append(f)
+            rows["high"].append(int(c[tag == 2].sum()))
+            rows["low"].append(int(c[tag == 1].sum()))
+        return pa.table(
+            {
+                "flag": pa.array(rows["flag"], pa.string()),
+                "high": pa.array(rows["high"], pa.int64()),
+                "low": pa.array(rows["low"], pa.int64()),
+            }
+        )
+
+    parts = merged.map_batches(fold, batch_format="pyarrow").to_pandas()
+    agg = parts.groupby("flag", sort=True)[["high", "low"]].sum().reset_index()
+    agg = agg[(agg["high"] + agg["low"]) > 0]  # GROUP BY emits no empty flag
+    out = pd.DataFrame(
+        {
+            "l_returnflag": agg["flag"].astype(object),
+            "high_line_count": agg["high"].astype("int64"),
+            "low_line_count": agg["low"].astype("int64"),
+        }
+    )
+    return out.reset_index(drop=True)

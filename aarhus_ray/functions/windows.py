@@ -881,3 +881,35 @@ def events_weighted_avg(sf_dir: str, decimals: int = WA_DECIMALS) -> pd.DataFram
         }
     )
     return out
+
+
+def events_running_total(sf_dir: str) -> pd.DataFrame:
+    """SQL window-function parity (SUM() OVER (PARTITION BY user ORDER BY
+    ts, event_id)): per event, the running total of that user's value in
+    integer cents. The standard stream-shaped plan — one groupby(user_id)
+    gather, per-group cumsum over the frozen (ts, event_id) order; sums
+    stay int64 so every engine agrees bitwise. Output
+    (event_id, user_id, running_c), event-ordered."""
+    ds = _events(sf_dir, ["event_id", "ts", "user_id", "value"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        run = np.floor(g["value"].to_numpy() * 100.0).astype(np.int64).cumsum()
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].astype("int64"),
+                "user_id": g["user_id"].astype("int64"),
+                "running_c": pd.Series(run, dtype="int64", index=g.index),
+            }
+        )
+
+    out = (
+        ds.groupby("user_id")
+        .map_groups(per_user, batch_format="pandas")
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out

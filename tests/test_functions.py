@@ -2426,3 +2426,29 @@ def test_weighted_avg_and_geo_centroid_match_recompute():
         assert gc.loc[t, "n"] == len(g)
         assert gc.loc[t, "centroid_lat"] == round(float(g["lat"].sum()) / len(g) / 1e6, 6)
         assert gc.loc[t, "centroid_lon"] == round(float(g["lon"].sum()) / len(g) / 1e6, 6)
+
+
+def test_running_total_and_q12_match_duckdb():
+    import duckdb
+
+    from aarhus_ray.functions import relational as r
+    from aarhus_ray.functions.windows import events_running_total
+
+    con = duckdb.connect()
+    rt = events_running_total(SF)
+    want = con.execute(f"""
+        SELECT event_id, SUM(CAST(floor(value*100) AS BIGINT))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS run
+        FROM '{SF}/events.parquet' ORDER BY event_id""").fetchdf()
+    assert rt["running_c"].tolist() == want["run"].astype("int64").tolist()
+    q12 = r.q12_priority_class_by_flag(SF)
+    want12 = con.execute(f"""
+        SELECT l_returnflag,
+               SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS h,
+               SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS l
+        FROM '{SF}/lineitem.parquet' JOIN '{SF}/orders.parquet' ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '{r.Q12_LO}' AND l_shipdate < TIMESTAMP '{r.Q12_HI}'
+        GROUP BY 1 ORDER BY 1""").fetchdf()
+    assert q12["l_returnflag"].tolist() == want12["l_returnflag"].tolist()
+    assert q12["high_line_count"].tolist() == want12["h"].astype(int).tolist()
+    assert q12["low_line_count"].tolist() == want12["l"].astype(int).tolist()
