@@ -138,6 +138,11 @@ def run_once() -> dict:
             "knn_ivf",
             "fulltext_bm25_topk",
             "fulltext_hybrid_rrf",
+            "events_heavy_hitters",
+            "events_geo_grid",
+            "docs_bigram_nll",
+            "multimodal_phash",
+            "knn_pagerank",
         ):
             qs[name](sf_dir)
             t0 = time.perf_counter()
