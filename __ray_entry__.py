@@ -158,6 +158,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_vocab_growth": textstats.vocab_growth,
         # second-order LM quality: per-doc bigram conditional NLL
         "docs_bigram_nll": textstats.bigram_nll,
+        # Naive Bayes lang classifier: distributed train + infer, integer
+        # milli-nat scores (the fasttext-classifier slot, NB-frozen)
+        "docs_nb_classifier": textstats.nb_lang_classifier,
         "docs_repetition": textstats.repetition_signals,  # Gopher intra-doc repetition
         # --- dedup family (SURVEY §2.7 + extensions) ---
         "docs_source_stats": textstats.source_stats,  # per-domain accounting
@@ -1109,6 +1112,43 @@ def oracle_sql() -> dict[str, str]:
                         WHEN nll.nll_milli <= th.t2 THEN 'middle'
                         ELSE 'tail' END AS bucket
             FROM nll CROSS JOIN th ORDER BY 1
+        """,
+        # NB classifier: full train+infer replay — add-one counts, integer
+        # milli-nat logs (every ln() argument is an integer), argmax via
+        # row_number (score DESC, lang), margin = rank1 − rank2
+        "docs_nb_classifier": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({toks_nonempty}) AS tok FROM documents),
+            docl AS (SELECT doc_id, lang FROM documents),
+            tl AS (SELECT d.lang, t.tok, count(*) AS c
+                   FROM toks t JOIN docl d USING (doc_id) GROUP BY 1, 2),
+            langs AS (SELECT lang, count(*) AS nd FROM documents GROUP BY 1),
+            vv AS (SELECT count(DISTINCT tok) AS v FROM toks),
+            cl AS (SELECT lang, SUM(c) AS ctot FROM tl GROUP BY 1),
+            ntok AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1),
+            ts AS (SELECT t.doc_id, l.lang,
+                          CAST(SUM(CAST(round(ln(COALESCE(tl.c, 0) + 1) * 1000) AS BIGINT))
+                               AS BIGINT) AS s
+                   FROM toks t CROSS JOIN langs l
+                   LEFT JOIN tl ON tl.lang = l.lang AND tl.tok = t.tok
+                   GROUP BY 1, 2),
+            sc AS (SELECT ts.doc_id, ts.lang,
+                          ts.s
+                          - ntok.n * CAST(round(ln(cl.ctot + (SELECT v FROM vv)) * 1000) AS BIGINT)
+                          + CAST(round(ln(langs.nd) * 1000) AS BIGINT)
+                          - CAST(round(ln((SELECT SUM(nd) FROM langs)) * 1000) AS BIGINT) AS score
+                   FROM ts
+                   JOIN ntok USING (doc_id)
+                   JOIN cl ON cl.lang = ts.lang
+                   JOIN langs ON langs.lang = ts.lang),
+            r AS (SELECT doc_id, lang, score,
+                         row_number() OVER (PARTITION BY doc_id
+                                            ORDER BY score DESC, lang) AS rn
+                  FROM sc)
+            SELECT CAST(a.doc_id AS BIGINT) AS doc_id, a.lang AS pred_lang,
+                   CAST(a.score - b.score AS BIGINT) AS margin_milli
+            FROM r a JOIN r b ON a.doc_id = b.doc_id AND b.rn = 2
+            WHERE a.rn = 1 ORDER BY 1
         """,
         # bigram conditional NLL: same milli-nat integer contract as the
         # unigram op, with the left-context total as the conditioning count

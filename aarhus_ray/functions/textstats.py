@@ -1014,3 +1014,122 @@ def bigram_nll(sf_dir: str) -> pd.DataFrame:
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out
+
+
+def nb_lang_classifier(sf_dir: str) -> pd.DataFrame:
+    """Distributed Naive Bayes TRAIN + INFER in one pipeline (the
+    fasttext-style quality/language classifier slot of a webtext
+    pipeline, with multinomial NB as the frozen, replayable model):
+    train P(tok | lang) with add-one smoothing on the corpus's own lang
+    labels, then score every doc and emit the argmax label plus its
+    integer margin. All log-likelihoods follow the unigram-NLL integer
+    contract — every ln() argument is an INTEGER (count+1, lang totals,
+    doc counts), so l = round(ln(k)·1000) milli-nats agrees bitwise in
+    any engine and scores fold in pure int64:
+
+        score(doc, g) = l(docs_g) − l(docs)
+                        + Σ_tok l(c(tok,g)+1) − n_tok·l(C_g + V)
+
+    (C_g = token total of lang g, V = global vocab size; unseen
+    (tok, g) contribute l(1) = 0). Argmax ties break lang ASC (frozen).
+    Plan: one (lang, tok) count groupby — the model is |langs|×|vocab|,
+    broadcast via ray.put — then a stateless scoring pass (per-lang
+    index_in + bincount). Output (doc_id, pred_lang, margin_milli):
+    margin = best − runner-up, the abstention signal a production
+    filter thresholds on. Hash-checked against a full SQL replay."""
+    import functools
+
+    import ray
+
+    from ..textnorm import tokenize_flat
+
+    ds = _docs(sf_dir, ["doc_id", "lang", "text"])
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        flat, flat_docs, _ = tokenize_flat(batch["text"], np.arange(len(batch), dtype=np.uint64))
+        langs = np.asarray(batch["lang"].to_pylist(), dtype=object)
+        g = (
+            pa.table(
+                {
+                    "lang": pa.array(list(langs[flat_docs.astype(np.int64)]), pa.string()),
+                    "tok": flat,
+                }
+            )
+            .group_by(["lang", "tok"])
+            .aggregate([("tok", "count")])
+        )
+        return g.rename_columns(["lang", "tok", "n"])
+
+    counts = (
+        ds.map_batches(count_partial, batch_format="pyarrow")
+        .groupby(["lang", "tok"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    docs_per_lang = (
+        ds.groupby("lang").aggregate(Count(alias_name="n_docs")).to_pandas()
+    )
+    langs = sorted(docs_per_lang["lang"])
+    vocab = sorted(counts["tok"].unique())
+    V = len(vocab)
+    n_docs_total = int(docs_per_lang["n_docs"].sum())
+
+    def _l(k) -> np.ndarray:
+        return np.round(np.log(np.asarray(k, dtype=np.float64)) * 1000.0).astype(np.int64)
+
+    tok_pos = {t: i for i, t in enumerate(vocab)}
+    lt = np.zeros((len(langs), V), dtype=np.int64)  # l(c+1) per (lang, tok)
+    for li, g in enumerate(langs):
+        sub = counts[counts["lang"] == g]
+        row = np.zeros(V, dtype=np.int64)
+        row[[tok_pos[t] for t in sub["tok"]]] = sub["n"].to_numpy()
+        lt[li] = _l(row + 1)
+    c_lang = counts.groupby("lang")["n"].sum().reindex(langs).fillna(0).astype(int)
+    l_denom = _l(c_lang.to_numpy() + V)                 # per-lang l(C_g + V)
+    prior = _l(docs_per_lang.set_index("lang")["n_docs"].reindex(langs).to_numpy()) - _l(
+        [n_docs_total]
+    )
+    vocab_arr = pa.array(vocab, pa.string())
+    model_ref = ray.put((vocab_arr, lt, l_denom, prior))
+
+    def score(batch: pa.Table, *, m_ref) -> pa.Table:
+        import pyarrow.compute as pc
+
+        import ray as _ray
+
+        vocab_, lt_, l_denom_, prior_ = _ray.get(m_ref)
+        flat, flat_docs, n_tok = tokenize_flat(
+            batch["text"], np.arange(len(batch), dtype=np.uint64)
+        )
+        rows = flat_docs.astype(np.int64)
+        idx = pc.index_in(flat, value_set=vocab_).to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(batch)
+        scores = np.zeros((n, lt_.shape[0]), dtype=np.int64)
+        for li in range(lt_.shape[0]):
+            s = np.bincount(rows, weights=lt_[li][idx].astype(np.float64), minlength=n)
+            scores[:, li] = s.astype(np.int64) - n_tok.astype(np.int64) * l_denom_[li] + prior_[li]
+        best = np.argmin(-scores, axis=1)  # argmax, first-wins == lang ASC
+        order = np.argsort(-scores, axis=1, kind="stable")
+        margin = (
+            scores[np.arange(n), order[:, 0]] - scores[np.arange(n), order[:, 1]]
+        )
+        keep = n_tok > 0  # zero-token docs are dropped (frozen, the NLL rule)
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch["doc_id"], pa.int64()).filter(pa.array(keep)),
+                "pred_lang": pa.array(
+                    [langs[b] for b, k in zip(best, keep) if k], pa.string()
+                ),
+                "margin_milli": pa.array(margin[keep], pa.int64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(functools.partial(score, m_ref=model_ref), batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["margin_milli"] = out["margin_milli"].astype("int64")
+    return out

@@ -2452,3 +2452,34 @@ def test_running_total_and_q12_match_duckdb():
     assert q12["l_returnflag"].tolist() == want12["l_returnflag"].tolist()
     assert q12["high_line_count"].tolist() == want12["h"].astype(int).tolist()
     assert q12["low_line_count"].tolist() == want12["l"].astype(int).tolist()
+
+
+def test_nb_classifier_matches_counter_recompute():
+    from collections import Counter, defaultdict
+
+    from aarhus_ray.functions.textstats import nb_lang_classifier
+    from aarhus_ray.textnorm import tokenize
+
+    out = nb_lang_classifier(SF)
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    toks = {int(d): tokenize(t) for d, t in zip(docs["doc_id"], docs["text"])}
+    lang_of = dict(zip(docs["doc_id"].astype(int), docs["lang"]))
+    langs = sorted(set(lang_of.values()))
+    tl = defaultdict(Counter)
+    for d, ts in toks.items():
+        tl[lang_of[d]].update(ts)
+    vocab = {t for c in tl.values() for t in c}
+    V = len(vocab)
+    nd = Counter(lang_of.values())
+    l = lambda k: int(np.round(np.log(float(k)) * 1000))
+    for _, row in out.head(40).iterrows():
+        d = int(row["doc_id"])
+        scores = {}
+        for g in langs:
+            s = sum(l(tl[g][t] + 1) for t in toks[d])
+            scores[g] = (
+                s - len(toks[d]) * l(sum(tl[g].values()) + V) + l(nd[g]) - l(len(docs))
+            )
+        ranked = sorted(langs, key=lambda g: (-scores[g], g))
+        assert row["pred_lang"] == ranked[0]
+        assert int(row["margin_milli"]) == scores[ranked[0]] - scores[ranked[1]]
