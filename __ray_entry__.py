@@ -131,6 +131,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_eql_sequence": windows.events_eql_sequence,
         # SQL window-function parity: per-user running value total
         "events_running_total": windows.events_running_total,
+        # count-spike anomaly detection: hourly z-scores per type over the
+        # dense global bucket range (zeros included)
+        "events_anomaly_zscore": windows.events_anomaly_zscore,
         # --- text analysis over documents ---
         "docs_term_counts_top50": textstats.term_counts_top50,
         "docs_token_counts": textstats.token_counts,
@@ -1283,6 +1286,27 @@ def oracle_sql() -> dict[str, str]:
                    round((se2a + se2b) * (se2a + se2b)
                          / (se2a * se2a / (na - 1) + se2b * se2b / (nb - 1)), 6) AS df
             FROM f
+        """,
+        # anomaly z-scores: moments are unchanged by zero buckets, so only
+        # the dense bucket COUNT enters; the filter applies to unrounded z
+        "events_anomaly_zscore": f"""
+            WITH b AS (SELECT event_type, epoch_us(ts) // {windows.AZ_BUCKET_US} AS h,
+                              count(*) AS c
+                       FROM events GROUP BY 1, 2),
+            rng AS (SELECT max(h) - min(h) + 1 AS nb FROM b),
+            m AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS s,
+                         CAST(SUM(c * c) AS BIGINT) AS q
+                  FROM b GROUP BY 1),
+            z AS (SELECT b.event_type, b.h, b.c,
+                         (b.c - m.s / rng.nb::DOUBLE)
+                         / sqrt((m.q - CAST(m.s * m.s AS DOUBLE) / rng.nb)
+                                / (rng.nb - 1)) AS zz
+                  FROM b CROSS JOIN rng JOIN m USING (event_type))
+            SELECT event_type, CAST(h AS BIGINT) AS bucket,
+                   CAST(c AS BIGINT) AS n_events,
+                   round(zz, {windows.AZ_DECIMALS}) AS z
+            FROM z WHERE zz >= {windows.AZ_ZMIN}
+            ORDER BY 1, 2
         """,
         # running total: the window function stated literally
         "events_running_total": """

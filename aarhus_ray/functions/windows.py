@@ -913,3 +913,56 @@ def events_running_total(sf_dir: str) -> pd.DataFrame:
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out
+
+
+AZ_BUCKET_US = 3_600_000_000
+AZ_ZMIN = 3.0
+AZ_DECIMALS = 4
+
+
+def events_anomaly_zscore(sf_dir: str) -> pd.DataFrame:
+    """Count-spike anomaly detection (the ES anomaly-detection job shape,
+    frozen to a replayable statistic): per event_type, hourly counts over
+    the DENSE global hour range (zeros included — absence is data), and
+    the z-score of each bucket against that type's own across-bucket
+    mean/SAMPLE-std; buckets with z ≥ AZ_ZMIN are the anomalies. Counts
+    and both moments are exact integers (B buckets, Σc, Σc² — the t_test
+    contract), so z is a deterministic float64 expression of integers;
+    z rounds to AZ_DECIMALS. Distributed part = the (type, hour) count
+    pre-aggregation (the hourly_tumbling exchange); the stats fold is a
+    types × buckets driver table. Output (event_type, bucket, n_events,
+    z) ordered (event_type, bucket)."""
+    ds = _events(sf_dir, ["ts", "event_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        df = pd.DataFrame({"event_type": batch["event_type"].to_pandas(), "h": us // AZ_BUCKET_US})
+        g = df.groupby(["event_type", "h"], sort=False).size().rename("c")
+        return pa.Table.from_pandas(g.reset_index(), preserve_index=False)
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "h"])
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+    )
+    lo, hi = int(counts["h"].min()), int(counts["h"].max())
+    B = hi - lo + 1
+    rows = []
+    for t, g in counts.groupby("event_type"):
+        c = np.zeros(B, dtype=np.int64)
+        c[g["h"].to_numpy().astype(np.int64) - lo] = g["c"].to_numpy()
+        s = int(c.sum())
+        q = int((c * c).sum())
+        mean = s / B
+        var = (q - s * s / B) / (B - 1)
+        z = (c - mean) / np.sqrt(var)
+        hit = z >= AZ_ZMIN
+        for h, n, zz in zip(np.flatnonzero(hit) + lo, c[hit], z[hit]):
+            rows.append((t, int(h), int(n), round(float(zz), AZ_DECIMALS)))
+    out = pd.DataFrame(rows, columns=["event_type", "bucket", "n_events", "z"])
+    out = out.sort_values(["event_type", "bucket"]).reset_index(drop=True)
+    out["bucket"] = out["bucket"].astype("int64")
+    out["n_events"] = out["n_events"].astype("int64")
+    out["z"] = out["z"].astype("float64")
+    return out

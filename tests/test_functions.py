@@ -2483,3 +2483,26 @@ def test_nb_classifier_matches_counter_recompute():
         ranked = sorted(langs, key=lambda g: (-scores[g], g))
         assert row["pred_lang"] == ranked[0]
         assert int(row["margin_milli"]) == scores[ranked[0]] - scores[ranked[1]]
+
+
+def test_anomaly_zscore_matches_recompute():
+    from aarhus_ray.functions.windows import (
+        AZ_BUCKET_US, AZ_DECIMALS, AZ_ZMIN, events_anomaly_zscore,
+    )
+
+    out = events_anomaly_zscore(SF)
+    ev = pq.read_table(f"{SF}/events.parquet", columns=["ts", "event_type"]).to_pandas()
+    h = ev["ts"].astype("datetime64[us]").astype("int64") // AZ_BUCKET_US
+    lo, hi = int(h.min()), int(h.max())
+    B = hi - lo + 1
+    want = []
+    for t, g in pd.DataFrame({"t": ev["event_type"], "h": h}).groupby("t"):
+        c = np.zeros(B, dtype=np.int64)
+        np.add.at(c, g["h"].to_numpy() - lo, 1)
+        s, q = int(c.sum()), int((c * c).sum())
+        z = (c - s / B) / np.sqrt((q - s * s / B) / (B - 1))
+        for i in np.flatnonzero(z >= AZ_ZMIN):
+            want.append((t, lo + int(i), int(c[i]), round(float(z[i]), AZ_DECIMALS)))
+    want.sort()
+    assert [tuple(r) for r in out.itertuples(index=False)] == want
+    assert len(want) > 0  # the threshold must bite on the driver stream
