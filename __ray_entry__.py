@@ -170,6 +170,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_source_cap": cleaning.source_cap,       # per-domain quota (RefinedWeb cap)
         "docs_mixture_resample": cleaning.mixture_resample,  # training-mix rebalance
         "docs_gopher_filter": cleaning.gopher_filter,  # composite quality rules
+        # end-to-end curation: gopher ∩ dedup-survivor ∩ ccnet-head
+        "docs_curation_pipeline": cleaning.curation_pipeline,
         # DSIR (Xie et al. 2023): hashed-unigram importance ranking toward
         # a target domain — integer milli-nat log-ratios, 2 streaming passes
         "docs_dsir_weights": cleaning.dsir_weights,
@@ -458,7 +460,7 @@ def oracle_sql() -> dict[str, str]:
     # ASCII; non-ASCII text (ß, ligatures, fullwidth digits) would diverge.
     tok = "regexp_split_to_array(lower(text), '[^a-z0-9]+')"
     toks_nonempty = f"list_filter({tok}, x -> x <> '')"
-    return {
+    sqls = {
         # NOTE: every SUM is wrapped CAST(SUM(...) AS BIGINT) — DuckDB's
         # SUM(BIGINT) yields HUGEINT, which fetchdf() maps to float64 and
         # breaks the driver's dtype-sensitive value hash (engine emits int64).
@@ -1890,3 +1892,15 @@ def oracle_sql() -> dict[str, str]:
         "fulltext_export_matches": fulltext.export_matches_oracle_sql(),
         "fulltext_percolate": fulltext.percolate_oracle_sql(),
     }
+    # end-to-end curation composition: the oracle is literally the
+    # INTERSECT of the three stage oracles — any stage drift breaks it
+    sqls["docs_curation_pipeline"] = f"""
+        SELECT doc_id FROM (
+          SELECT doc_id FROM ({sqls["docs_gopher_filter"]}) WHERE keep
+          INTERSECT
+          SELECT doc_id FROM ({sqls["docs_dedup_survivors"]})
+          INTERSECT
+          SELECT doc_id FROM ({sqls["docs_ccnet_buckets"]}) WHERE bucket = 'head'
+        ) ORDER BY doc_id
+    """
+    return sqls

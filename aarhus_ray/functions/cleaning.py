@@ -395,3 +395,28 @@ def dsir_weights(sf_dir: str) -> pd.DataFrame:
     for c in ("doc_id", "weight_milli", "rank"):
         out[c] = out[c].astype("int64")
     return out[["rank", "doc_id", "weight_milli"]]
+
+
+def curation_pipeline(sf_dir: str) -> pd.DataFrame:
+    """END-TO-END CURATION COMPOSITION — the pipeline a pretraining-data
+    user actually runs, as one query: keep exactly the docs that
+    (1) pass the Gopher composite quality filter, (2) survive connected-
+    component near-dup dedup, and (3) land in the CCNet 'head'
+    perplexity tercile. Each stage is the existing distributed operator
+    (this function adds NO new semantics — it is the composition
+    contract); the id-set intersection is driver-side because stage
+    outputs are id-sized, not corpus-sized. The oracle is literally the
+    INTERSECT of the three stage oracles, so any drift in any stage
+    breaks this query too — the strongest cross-stage consistency check
+    in the suite. Output (doc_id) sorted, the curated keep-list a real
+    run would hand to pack_sequences."""
+    from ..functions.dedup import dedup_survivors_cc
+    from ..functions.textstats import ccnet_buckets
+
+    gf = gopher_filter(sf_dir)
+    keep_q = set(gf.loc[gf["keep"], "doc_id"].astype(int))
+    keep_d = set(dedup_survivors_cc(sf_dir)["doc_id"].astype(int))
+    cb = ccnet_buckets(sf_dir)
+    keep_h = set(cb.loc[cb["bucket"] == "head", "doc_id"].astype(int))
+    ids = sorted(keep_q & keep_d & keep_h)
+    return pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64")})

@@ -2506,3 +2506,21 @@ def test_anomaly_zscore_matches_recompute():
     want.sort()
     assert [tuple(r) for r in out.itertuples(index=False)] == want
     assert len(want) > 0  # the threshold must bite on the driver stream
+
+
+def test_curation_pipeline_is_stage_intersection():
+    from aarhus_ray.functions.cleaning import curation_pipeline, gopher_filter
+    from aarhus_ray.functions.dedup import dedup_survivors_cc
+    from aarhus_ray.functions.textstats import ccnet_buckets
+
+    out = curation_pipeline(SF)
+    gf = gopher_filter(SF)
+    cb = ccnet_buckets(SF)
+    want = (
+        set(gf.loc[gf["keep"], "doc_id"].astype(int))
+        & set(dedup_survivors_cc(SF)["doc_id"].astype(int))
+        & set(cb.loc[cb["bucket"] == "head", "doc_id"].astype(int))
+    )
+    assert out["doc_id"].tolist() == sorted(want)
+    # the composition must actually filter at every stage on this corpus
+    assert 0 < len(out) < len(gf)
