@@ -164,6 +164,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Naive Bayes lang classifier: distributed train + infer, integer
         # milli-nat scores (the fasttext-classifier slot, NB-frozen)
         "docs_nb_classifier": textstats.nb_lang_classifier,
+        # corpus-drift monitor: integer scaled-L1 between parity halves
+        "docs_term_drift": textstats.term_drift,
         "docs_repetition": textstats.repetition_signals,  # Gopher intra-doc repetition
         # --- dedup family (SURVEY §2.7 + extensions) ---
         "docs_source_stats": textstats.source_stats,  # per-domain accounting
@@ -1117,6 +1119,22 @@ def oracle_sql() -> dict[str, str]:
                         WHEN nll.nll_milli <= th.t2 THEN 'middle'
                         ELSE 'tail' END AS bucket
             FROM nll CROSS JOIN th ORDER BY 1
+        """,
+        # term drift: cross-multiplied counts — no division, pure BIGINT
+        "docs_term_drift": f"""
+            WITH toks AS (
+              SELECT doc_id % 2 AS half, unnest({toks_nonempty}) AS tok
+              FROM documents),
+            c AS (SELECT tok,
+                         CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c_even,
+                         CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c_odd
+                  FROM toks GROUP BY 1),
+            tot AS (SELECT CAST(SUM(c_even) AS BIGINT) AS n0,
+                           CAST(SUM(c_odd) AS BIGINT) AS n1 FROM c)
+            SELECT tok AS term, c_even, c_odd,
+                   CAST(abs(c_even * tot.n1 - c_odd * tot.n0) AS BIGINT) AS drift
+            FROM c CROSS JOIN tot
+            ORDER BY drift DESC, term LIMIT 10
         """,
         # NB classifier: full train+infer replay — add-one counts, integer
         # milli-nat logs (every ln() argument is an integer), argmax via

@@ -1133,3 +1133,46 @@ def nb_lang_classifier(sf_dir: str) -> pd.DataFrame:
     out["doc_id"] = out["doc_id"].astype("int64")
     out["margin_milli"] = out["margin_milli"].astype("int64")
     return out
+
+
+def term_drift(sf_dir: str) -> pd.DataFrame:
+    """Corpus-drift monitor (the ingest-side check a continuously-crawled
+    corpus runs: has the term distribution moved between two crawl
+    slices?): split docs by doc_id parity (frozen stand-in for
+    yesterday/today), and report, per term, the INTEGER-frozen scaled-L1
+    drift contribution |c_even·N_odd − c_odd·N_even| (cross-multiplied —
+    the exact-integer form of |p − q|·N_even·N_odd, no division
+    anywhere), plus totals. Top 10 terms by (drift DESC, term ASC) — the
+    'what changed' readout. One (half, term) count groupby is the whole
+    exchange. Hash-exact."""
+    from ..textnorm import tokenize_flat
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat, flat_docs, _ = tokenize_flat(batch["text"], np.arange(len(batch), dtype=np.uint64))
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        half = (ids % 2)[flat_docs.astype(np.int64)]
+        g = (
+            pa.table({"half": pa.array(half, pa.int64()), "tok": flat})
+            .group_by(["half", "tok"])
+            .aggregate([("tok", "count")])
+        )
+        return g.rename_columns(["half", "tok", "n"])
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["half", "tok"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    piv = counts.pivot_table(index="tok", columns="half", values="n", fill_value=0).astype(int)
+    c0 = piv.get(0, pd.Series(0, index=piv.index)).to_numpy()
+    c1 = piv.get(1, pd.Series(0, index=piv.index)).to_numpy()
+    n0, n1 = int(c0.sum()), int(c1.sum())
+    drift = np.abs(c0 * n1 - c1 * n0)
+    out = pd.DataFrame({"term": piv.index, "drift": drift, "c_even": c0, "c_odd": c1})
+    out = out.sort_values(["drift", "term"], ascending=[False, True]).head(10).reset_index(drop=True)
+    for c in ("drift", "c_even", "c_odd"):
+        out[c] = out[c].astype("int64")
+    return out[["term", "c_even", "c_odd", "drift"]]

@@ -2524,3 +2524,25 @@ def test_curation_pipeline_is_stage_intersection():
     assert out["doc_id"].tolist() == sorted(want)
     # the composition must actually filter at every stage on this corpus
     assert 0 < len(out) < len(gf)
+
+
+def test_term_drift_matches_counter_recompute():
+    from collections import Counter
+
+    from aarhus_ray.functions.textstats import term_drift
+    from aarhus_ray.textnorm import tokenize
+
+    out = term_drift(SF)
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+    c0, c1 = Counter(), Counter()
+    for d, t in zip(docs["doc_id"], docs["text"]):
+        (c0 if int(d) % 2 == 0 else c1).update(tokenize(t))
+    n0, n1 = sum(c0.values()), sum(c1.values())
+    rows = sorted(
+        (
+            (tok, c0[tok], c1[tok], abs(c0[tok] * n1 - c1[tok] * n0))
+            for tok in set(c0) | set(c1)
+        ),
+        key=lambda r: (-r[3], r[0]),
+    )[:10]
+    assert [tuple(r) for r in out.itertuples(index=False)] == rows
