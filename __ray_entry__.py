@@ -134,6 +134,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # count-spike anomaly detection: hourly z-scores per type over the
         # dense global bucket range (zeros included)
         "events_anomaly_zscore": windows.events_anomaly_zscore,
+        # CDC → SCD-type-2 versions: per-key validity intervals (LEAD)
+        "events_scd2_versions": windows.events_scd2_versions,
         # --- text analysis over documents ---
         "docs_term_counts_top50": textstats.term_counts_top50,
         "docs_token_counts": textstats.token_counts,
@@ -1306,6 +1308,19 @@ def oracle_sql() -> dict[str, str]:
                    round((se2a + se2b) * (se2a + se2b)
                          / (se2a * se2a / (na - 1) + se2b * se2b / (nb - 1)), 6) AS df
             FROM f
+        """,
+        # SCD2 versions: the LEAD window stated literally, open versions
+        # closed with the frozen sentinel
+        "events_scd2_versions": f"""
+            SELECT CAST(event_id AS BIGINT) AS event_id,
+                   CAST(user_id AS BIGINT) AS user_id,
+                   event_type,
+                   CAST(epoch_us(ts) AS BIGINT) AS valid_from_us,
+                   CAST(COALESCE(
+                     LEAD(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+                                              ORDER BY ts, event_id),
+                     {windows.SCD2_OPEN_US}) AS BIGINT) AS valid_to_us
+            FROM events ORDER BY event_id
         """,
         # anomaly z-scores: moments are unchanged by zero buckets, so only
         # the dense bucket COUNT enters; the filter applies to unrounded z

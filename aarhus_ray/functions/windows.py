@@ -966,3 +966,53 @@ def events_anomaly_zscore(sf_dir: str) -> pd.DataFrame:
     out["n_events"] = out["n_events"].astype("int64")
     out["z"] = out["z"].astype("float64")
     return out
+
+
+SCD2_OPEN_US = 2**62  # frozen 'current version' sentinel (int64-safe)
+
+
+def events_scd2_versions(sf_dir: str) -> pd.DataFrame:
+    """CDC → SCD-type-2 table maintenance: treat the event stream as a
+    changelog keyed by (user_id, event_type) and emit one VERSION row per
+    event with its validity interval — valid from its own timestamp
+    until the next change of the same key (the open current version gets
+    the frozen SCD2_OPEN_US sentinel; intervals are epoch-µs int64, so
+    the whole output is integer-exact). The warehouse-merge shape every
+    lakehouse pipeline runs, expressed as the standard stream gather:
+    one groupby(user_id), per-type sorted LEAD inside the group. Order
+    within a key is frozen (ts, event_id). Oracle: the LEAD window
+    function stated literally."""
+    ds = _events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["event_type", "ts", "event_id"])
+        us = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        nxt = np.empty(len(g), dtype=np.int64)
+        nxt[:-1] = us[1:]
+        nxt[-1] = SCD2_OPEN_US
+        # a key's last version stays open: the LEAD crossing into the
+        # next event_type must not close it
+        et = g["event_type"].to_numpy()
+        last_of_key = np.ones(len(g), dtype=bool)
+        last_of_key[:-1] = et[:-1] != et[1:]
+        nxt[last_of_key] = SCD2_OPEN_US
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].astype("int64"),
+                "user_id": g["user_id"].astype("int64"),
+                "event_type": g["event_type"],
+                "valid_from_us": pd.Series(us, dtype="int64", index=g.index),
+                "valid_to_us": pd.Series(nxt, dtype="int64", index=g.index),
+            }
+        )
+
+    out = (
+        ds.groupby("user_id")
+        .map_groups(per_user, batch_format="pandas")
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    for c in ("event_id", "user_id", "valid_from_us", "valid_to_us"):
+        out[c] = out[c].astype("int64")
+    return out

@@ -2546,3 +2546,18 @@ def test_term_drift_matches_counter_recompute():
         key=lambda r: (-r[3], r[0]),
     )[:10]
     assert [tuple(r) for r in out.itertuples(index=False)] == rows
+
+
+def test_scd2_versions_tile_per_key():
+    from aarhus_ray.functions.windows import SCD2_OPEN_US, events_scd2_versions
+
+    out = events_scd2_versions(SF)
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    assert len(out) == len(ev)  # every event is a version row
+    for (_, _), g in out.groupby(["user_id", "event_type"]):
+        g = g.sort_values(["valid_from_us", "event_id"])
+        vf, vt = g["valid_from_us"].to_numpy(), g["valid_to_us"].to_numpy()
+        # intervals tile gap-free within the key and exactly one is open
+        assert (vt[:-1] == vf[1:]).all()
+        assert vt[-1] == SCD2_OPEN_US
+        assert (vt[:-1] != SCD2_OPEN_US).all()
