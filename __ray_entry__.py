@@ -53,6 +53,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- relational / aggregation / joins / top-n (SURVEY §2.4-2.6) ---
         "q1_pricing_summary": relational.q1_pricing_summary,
         "top_customers_revenue": relational.top_customers_by_revenue,
+        # two-level analytics: value-frozen deciles of a derived aggregate
+        "customer_ltv_deciles": relational.customer_ltv_deciles,
         "order_priority_counts": relational.order_priority_counts,
         "customers_per_region": relational.customers_per_region,
         "lineitem_top_revenue": relational.lineitem_top_revenue,
@@ -595,6 +597,29 @@ def oracle_sql() -> dict[str, str]:
               AND o.o_orderdate < TIMESTAMP '{relational.Q5_HI}'
             GROUP BY 1
             ORDER BY revenue_e4 DESC, n_name
+        """,
+        # LTV deciles: type-1 lower thresholds at rn = (i(n-1))//10 + 1,
+        # bucket = count of thresholds strictly below the value
+        "customer_ltv_deciles": f"""
+            WITH rev AS (
+              SELECT c.c_custkey,
+                     COALESCE(CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT), 0) AS r
+              FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+              GROUP BY 1),
+            ranked AS (SELECT r, row_number() OVER (ORDER BY r) AS rn,
+                              count(*) OVER () AS n
+                       FROM rev),
+            th AS (SELECT i.i, min(rk.r) AS t
+                   FROM generate_series(1, {relational.LTV_BUCKETS - 1}) i(i)
+                   JOIN ranked rk ON rk.rn = (i.i * (rk.n - 1)) // {relational.LTV_BUCKETS} + 1
+                   GROUP BY 1),
+            b AS (SELECT rev.r,
+                         (SELECT count(*) FROM th WHERE th.t < rev.r) AS decile
+                  FROM rev)
+            SELECT CAST(decile AS BIGINT) AS decile,
+                   CAST(count(*) AS BIGINT) AS n_customers,
+                   CAST(SUM(r) AS BIGINT) AS sum_revenue_c
+            FROM b GROUP BY 1 ORDER BY 1
         """,
         # Q4 shape: EXISTS → IN over distinct returned orderkeys
         "q4_order_priority_exists": f"""

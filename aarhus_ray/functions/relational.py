@@ -1766,3 +1766,60 @@ def q12_priority_class_by_flag(sf_dir: str) -> pd.DataFrame:
         }
     )
     return out.reset_index(drop=True)
+
+
+LTV_BUCKETS = 10
+
+
+def customer_ltv_deciles(sf_dir: str, n_buckets: int = LTV_BUCKETS) -> pd.DataFrame:
+    """Customer lifetime-value DECILES — value-frozen bucketing of a
+    DERIVED aggregate (the two-level analytics shape: aggregate first,
+    then rank the aggregate): revenue cents per customer (pre-aggregated
+    groupby, the only exchange), exact type-1 lower decile thresholds
+    from the sorted per-customer array, buckets BY VALUE (never NTILE,
+    whose row-split of ties is engine-dependent; ties at a threshold all
+    land low, like ccnet_buckets). Customers with no orders join as
+    revenue-0 rows (the Q13 zero-fill rule, via a metadata row count).
+    The driver fold is CUSTOMER-count-sized — fine at 10^8 customers and
+    honest about it; past that the thresholds come from the distributed
+    distinct-value histogram (windows.events_value_median's plan) and
+    assignment becomes a broadcast second pass. Output
+    (decile, n_customers, sum_revenue_c), all int64 — hash-exact."""
+    import pyarrow.parquet as pq_
+
+    agg = (
+        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .map_batches(
+            lambda b: pa.table(
+                {"o_custkey": b["o_custkey"], "cents": _cents(b["o_totalprice"])}
+            )
+            .group_by("o_custkey")
+            .aggregate([("cents", "sum")])
+            .rename_columns(["o_custkey", "revenue_cents"]),
+            batch_format="pyarrow",
+        )
+        .groupby("o_custkey")
+        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
+        .to_pandas()
+    )
+    n_cust_total = pq_.ParquetFile(f"{sf_dir}/customer.parquet").metadata.num_rows
+    rev = np.concatenate(
+        [agg["revenue_cents"].to_numpy(np.int64),
+         np.zeros(n_cust_total - len(agg), dtype=np.int64)]
+    )
+    v = np.sort(rev)
+    n = len(v)
+    # type-1 lower quantiles at i/n_buckets, i = 1..n_buckets-1
+    th = v[[(i * (n - 1)) // n_buckets for i in range(1, n_buckets)]]
+    bucket = np.searchsorted(th, rev, side="left")  # rev <= th[d] → d
+    out = (
+        pd.DataFrame({"decile": bucket, "c": rev})
+        .groupby("decile")
+        .agg(n_customers=("c", "size"), sum_revenue_c=("c", "sum"))
+        .reset_index()
+        .sort_values("decile")
+        .reset_index(drop=True)
+    )
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out

@@ -2561,3 +2561,27 @@ def test_scd2_versions_tile_per_key():
         assert (vt[:-1] == vf[1:]).all()
         assert vt[-1] == SCD2_OPEN_US
         assert (vt[:-1] != SCD2_OPEN_US).all()
+
+
+def test_ltv_deciles_value_frozen_buckets():
+    from aarhus_ray.functions.relational import LTV_BUCKETS, customer_ltv_deciles
+
+    out = customer_ltv_deciles(SF)
+    ord_ = pq.read_table(f"{SF}/orders.parquet", columns=["o_custkey", "o_totalprice"]).to_pandas()
+    cust = pq.read_table(f"{SF}/customer.parquet", columns=["c_custkey"]).to_pandas()
+    rev = (
+        ord_.assign(c=np.round(ord_["o_totalprice"].to_numpy() * 100).astype(np.int64))
+        .groupby("o_custkey")["c"].sum()
+        .reindex(cust["c_custkey"]).fillna(0).astype(np.int64).to_numpy()
+    )
+    v = np.sort(rev)
+    th = v[[(i * (len(v) - 1)) // LTV_BUCKETS for i in range(1, LTV_BUCKETS)]]
+    bucket = np.searchsorted(th, rev, side="left")
+    want = (
+        pd.DataFrame({"d": bucket, "c": rev}).groupby("d")
+        .agg(n=("c", "size"), s=("c", "sum")).reset_index()
+    )
+    assert out["decile"].tolist() == want["d"].tolist()
+    assert out["n_customers"].tolist() == want["n"].tolist()
+    assert out["sum_revenue_c"].tolist() == want["s"].tolist()
+    assert int(out["n_customers"].sum()) == len(cust)  # zero-fill holds
