@@ -218,6 +218,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_int8_quantize": ann.int8_quantize_stats,
         # integer-frozen PageRank over the kNN graph (iterative → rows-only)
         "knn_pagerank": ann.pagerank_knn,
+        # top principal component via distributed moments + driver power
+        # iteration (iterative → rows-only)
+        "embedding_top_pc": ann.embedding_top_pc,
         "embedding_label_centroids": ann.label_centroids,  # distributed k-means/IVF primitive
         # full iterative Lloyd's k-means (frozen init/tie/empty rules);
         # iterative ≠ SQL → rows-only at the driver, pinned by

@@ -1121,3 +1121,63 @@ def pagerank_knn(sf_dir: str, k: int = KNN_GRAPH_K, iters: int = PR_ITERS) -> pd
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out
+
+
+PCA_ITERS = 20
+PCA_DECIMALS = 4
+
+
+def embedding_top_pc(sf_dir: str, iters: int = PCA_ITERS) -> pd.DataFrame:
+    """Top principal component of the embedding column — the
+    dimensionality-reduction member of the distributed-ML family
+    (kmeans / NB / PageRank / BPE): the covariance MOMENTS are the only
+    distributed work (per-batch Σx and Σxxᵀ partials — the
+    label_centroids shape, each block shrinking to one d-vector and one
+    d×d block), then the driver folds C = Σxxᵀ/n − μμᵀ and runs ``iters``
+    power-iteration rounds on the d×d matrix (d = 64 — driver state is
+    model-sized, never data-sized). Frozen determinism contract: the
+    driver math is a pure function of the folded moments; float64
+    moment sums are reduction-order exact to ~1 ulp, and loadings round
+    to PCA_DECIMALS. Sign frozen: the loading with the largest absolute
+    value is made positive. Output (dim, loading, eigenvalue) — rows-only
+    at the driver (iterative); pinned by a numpy whole-corpus replay
+    test at matching tolerance."""
+    emb_path = f"{sf_dir}/embeddings.parquet"
+    ds = ray.data.read_parquet(emb_path, columns=["embedding"])
+
+    def moments(batch: pa.Table) -> pa.Table:
+        col = batch["embedding"].combine_chunks()
+        m = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64).reshape(len(batch), -1)
+        d = m.shape[1]
+        return pa.table(
+            {
+                "n": pa.array([len(m)], pa.int64()),
+                "sx": pa.array([m.sum(axis=0)], pa.list_(pa.float64())),
+                "sxx": pa.array([(m.T @ m).ravel()], pa.list_(pa.float64())),
+            }
+        )
+
+    parts = ds.map_batches(moments, batch_format="pyarrow").to_pandas()
+    n = int(parts["n"].sum())
+    sx = np.sum(np.stack(parts["sx"].to_numpy()), axis=0)
+    d = len(sx)
+    sxx = np.sum(np.stack(parts["sxx"].to_numpy()), axis=0).reshape(d, d)
+    mu = sx / n
+    C = sxx / n - np.outer(mu, mu)
+
+    v = np.ones(d) / np.sqrt(d)
+    for _ in range(iters):
+        v = C @ v
+        v /= np.linalg.norm(v)
+    eig = float(v @ C @ v)
+    if v[np.argmax(np.abs(v))] < 0:
+        v = -v
+    out = pd.DataFrame(
+        {
+            "dim": np.arange(d, dtype=np.int64),
+            "loading": np.round(v, PCA_DECIMALS),
+            "eigenvalue": np.round(np.full(d, eig), PCA_DECIMALS),
+        }
+    )
+    out["dim"] = out["dim"].astype("int64")
+    return out

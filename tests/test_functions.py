@@ -2585,3 +2585,24 @@ def test_ltv_deciles_value_frozen_buckets():
     assert out["n_customers"].tolist() == want["n"].tolist()
     assert out["sum_revenue_c"].tolist() == want["s"].tolist()
     assert int(out["n_customers"].sum()) == len(cust)  # zero-fill holds
+
+
+def test_top_pc_matches_numpy_replay():
+    from aarhus_ray.functions.ann import PCA_DECIMALS, PCA_ITERS, embedding_top_pc
+
+    out = embedding_top_pc(SF)
+    t = pq.read_table(f"{SF}/embeddings.parquet", columns=["embedding"]).to_pandas()
+    X = np.array(t["embedding"].tolist(), dtype=np.float64)
+    C = (X.T @ X) / len(X) - np.outer(X.mean(axis=0), X.mean(axis=0))
+    v = np.ones(X.shape[1]) / np.sqrt(X.shape[1])
+    for _ in range(PCA_ITERS):
+        v = C @ v
+        v /= np.linalg.norm(v)
+    if v[np.argmax(np.abs(v))] < 0:
+        v = -v
+    eig = float(v @ C @ v)
+    # moments fold in a different order (Ray blocks vs one matmul) —
+    # ulp-level drift, far below the rounding decimals
+    assert np.allclose(out["loading"].to_numpy(), v, atol=10**-PCA_DECIMALS)
+    assert abs(out["eigenvalue"].iloc[0] - eig) < 10**-PCA_DECIMALS
+    assert abs(np.linalg.norm(out["loading"].to_numpy()) - 1.0) < 1e-2
