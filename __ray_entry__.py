@@ -349,6 +349,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # hybrid retrieval: reciprocal-rank fusion of the BM25 window and
         # an exact-cosine kNN window (ES 8 `rrf` retriever)
         "fulltext_hybrid_rrf": fulltext.hybrid_rrf_query,
+        # value-based fusion sibling: ES 'linear' retriever (min_max norms)
+        "fulltext_hybrid_linear": fulltext.hybrid_linear_query,
         # boosting query: negative clause DEMOTES (score x 0.5), never excludes
         "fulltext_bm25_boosting": fulltext.bm25_topk_boosting,
         # query-time synonym expansion (Lucene SynonymQuery: merged tf, max df)
@@ -1952,6 +1954,7 @@ def oracle_sql() -> dict[str, str]:
         "fulltext_random_score": fulltext.random_score_oracle_sql(),
         "fulltext_export_matches": fulltext.export_matches_oracle_sql(),
         "fulltext_percolate": fulltext.percolate_oracle_sql(),
+        "fulltext_hybrid_linear": fulltext.hybrid_linear_oracle_sql(),
     }
     # end-to-end curation composition: the oracle is literally the
     # INTERSECT of the three stage oracles — any stage drift breaks it

@@ -239,7 +239,7 @@ def _multi_topk_task(batch: pa.Table, q_ref, w: int) -> pa.Table:
     )
 
 
-def multi_knn_window(sf_dir: str, vec_ids, w: int) -> pd.DataFrame:
+def multi_knn_window(sf_dir: str, vec_ids, w: int, keep_cos: bool = False) -> pd.DataFrame:
     """Exact per-query top-w cosine windows in ONE streamed corpus scan:
     the (nq × dim) normalized query matrix is broadcast once (ray.put),
     each batch emits per-query top-w partials, and the driver merges only
@@ -277,6 +277,8 @@ def multi_knn_window(sf_dir: str, vec_ids, w: int) -> pd.DataFrame:
     )
     out = parts.groupby("query_id", sort=True).head(w).reset_index(drop=True)
     out["rank"] = (out.groupby("query_id").cumcount() + 1).astype("int32")
+    if keep_cos:
+        return out[["query_id", "vec_id", "rank", "cos"]]
     return out[["query_id", "vec_id", "rank"]]
 
 

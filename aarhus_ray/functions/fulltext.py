@@ -6284,3 +6284,146 @@ def field_caps_oracle_sql() -> str:
         FROM caps JOIN ty USING (field)
         ORDER BY field
     """
+
+
+HL_WLEX, HL_WVEC = 0.7, 0.3  # linear-retriever weights (frozen)
+
+
+def hybrid_linear_query(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Hybrid BM25 + kNN with LINEAR score fusion (the ES 8.14
+    ``linear`` retriever with min_max normalizers — the value-based
+    sibling of hybrid_rrf's rank-based fusion): each retriever's
+    RRF_WINDOW window is min-max normalized per query (min→0, max→1;
+    constant or single-row windows freeze to 1.0), fused as
+    HL_WLEX·lex + HL_WVEC·vec with a missing retriever contributing 0,
+    final order (fused DESC, doc_id ASC). Window-shaped driver fusion,
+    like the RRF op. Floats cross the engines here (BM25 ln sums, f64
+    cosine), so the frozen query set was gap-probed: the smallest
+    adjacent fused-score gap at either test scale is ≫ 1e-9 while
+    engine/SQL drift is ≤ ~1e-12 relative — the standard
+    distinct-at-both-scales fulltext contract. Output (query_id, rank,
+    doc_id)."""
+    from .ann import multi_knn_window
+
+    index = _ensure_index(sf_dir, fresh=False)
+    queries = pa.table(
+        {
+            "query_id": pa.array(range(len(FT_QUERIES)), pa.int64()),
+            "text": pa.array(list(FT_QUERIES), pa.string()),
+        }
+    )
+    res = query_index(index, queries, k=RRF_WINDOW, resolve_urls=True, mode="or").to_pandas()
+    res["doc_id"] = res["url"].map(url_doc_id).astype("int64")
+    lex = res[["query_id", "doc_id", "score"]]
+    vec = multi_knn_window(
+        sf_dir, range(len(FT_QUERIES)), RRF_WINDOW, keep_cos=True
+    ).rename(columns={"vec_id": "doc_id"})[["query_id", "doc_id", "cos"]]
+
+    def _minmax(df: pd.DataFrame, col: str) -> np.ndarray:
+        g = df.groupby("query_id")[col]
+        mn = g.transform("min").to_numpy()
+        mx = g.transform("max").to_numpy()
+        v = df[col].to_numpy()
+        rng = mx - mn
+        return np.where(rng > 0, (v - mn) / np.where(rng > 0, rng, 1.0), 1.0)
+
+    lex = lex.assign(ln=_minmax(lex, "score"))
+    vec = vec.assign(vn=_minmax(vec, "cos"))
+    f = lex[["query_id", "doc_id", "ln"]].merge(
+        vec[["query_id", "doc_id", "vn"]], on=["query_id", "doc_id"], how="outer"
+    )
+    f["fused"] = HL_WLEX * f["ln"].fillna(0.0) + HL_WVEC * f["vn"].fillna(0.0)
+    f = f.sort_values(["query_id", "fused", "doc_id"], ascending=[True, False, True])
+    out = f.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    out["rank"] = (out.groupby("query_id").cumcount() + 1).astype("int32")
+    out["query_id"] = out["query_id"].astype("int64")
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out[["query_id", "rank", "doc_id"]]
+
+
+def hybrid_linear_oracle_sql(k: int = 10) -> str:
+    """Linear-fusion oracle: the RRF stack with SCORES kept — per-window
+    min/max via window functions, DOUBLE[]-cast cosine (f64, 1 ulp from
+    numpy), coalesce'd weighted sum."""
+    values = ",".join(
+        f"({qid}, '{t}')" for qid, q in enumerate(FT_QUERIES) for t in q.split()
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok
+    FROM documents) WHERE tok <> ''
+),
+dl AS (SELECT d.doc_id, CAST(coalesce(t.c, 0) AS DOUBLE) AS dl
+       FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS c FROM toks GROUP BY 1) t USING (doc_id)),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+q(query_id, tok) AS (VALUES {values}),
+qd AS (SELECT DISTINCT query_id, tok FROM q),
+scored AS (
+  SELECT qd.query_id, tf.doc_id,
+         sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * (1.2 + 1.0)
+              / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score
+  FROM qd
+  JOIN tf USING (tok)
+  JOIN df USING (tok)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+lwin AS (
+  SELECT query_id, doc_id, score FROM (
+    SELECT query_id, doc_id, score,
+           row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rn
+    FROM scored) WHERE rn <= {RRF_WINDOW}
+),
+lnorm AS (
+  SELECT query_id, doc_id,
+         CASE WHEN max(score) OVER (PARTITION BY query_id)
+                   > min(score) OVER (PARTITION BY query_id)
+              THEN (score - min(score) OVER (PARTITION BY query_id))
+                   / (max(score) OVER (PARTITION BY query_id)
+                      - min(score) OVER (PARTITION BY query_id))
+              ELSE 1.0 END AS ln_
+  FROM lwin
+),
+qv AS (SELECT qq.query_id, CAST(e.embedding AS DOUBLE[]) AS qe
+       FROM (SELECT DISTINCT query_id FROM q) qq
+       JOIN embeddings e ON e.vec_id = qq.query_id),
+vcos AS (SELECT qv.query_id, e.vec_id AS doc_id,
+                list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), qv.qe) AS cos
+         FROM qv CROSS JOIN embeddings e),
+vwin AS (
+  SELECT query_id, doc_id, cos FROM (
+    SELECT query_id, doc_id, cos,
+           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, doc_id) AS rn
+    FROM vcos) WHERE rn <= {RRF_WINDOW}
+),
+vnorm AS (
+  SELECT query_id, doc_id,
+         CASE WHEN max(cos) OVER (PARTITION BY query_id)
+                   > min(cos) OVER (PARTITION BY query_id)
+              THEN (cos - min(cos) OVER (PARTITION BY query_id))
+                   / (max(cos) OVER (PARTITION BY query_id)
+                      - min(cos) OVER (PARTITION BY query_id))
+              ELSE 1.0 END AS vn
+  FROM vwin
+),
+fused AS (
+  SELECT coalesce(l.query_id, v.query_id) AS query_id,
+         coalesce(l.doc_id, v.doc_id) AS doc_id,
+         {HL_WLEX} * coalesce(l.ln_, 0) + {HL_WVEC} * coalesce(v.vn, 0) AS fused
+  FROM lnorm l FULL OUTER JOIN vnorm v
+    ON l.query_id = v.query_id AND l.doc_id = v.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY fused DESC, doc_id) AS rank
+  FROM fused
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank, doc_id
+FROM ranked WHERE rank <= {k}
+ORDER BY query_id, rank
+"""

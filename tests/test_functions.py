@@ -2606,3 +2606,55 @@ def test_top_pc_matches_numpy_replay():
     assert np.allclose(out["loading"].to_numpy(), v, atol=10**-PCA_DECIMALS)
     assert abs(out["eigenvalue"].iloc[0] - eig) < 10**-PCA_DECIMALS
     assert abs(np.linalg.norm(out["loading"].to_numpy()) - 1.0) < 1e-2
+
+
+def test_hybrid_linear_fusion_gaps_and_replay():
+    """The linear retriever's rank hash relies on fused-score separation
+    exceeding cross-engine float drift — measure it, and replay the
+    fusion from the engine's own windows."""
+    from aarhus_ray.functions.ann import multi_knn_window
+    from aarhus_ray.functions.fulltext import (
+        FT_QUERIES, HL_WLEX, HL_WVEC, RRF_WINDOW, _ensure_index,
+        hybrid_linear_query, url_doc_id,
+    )
+    from aarhus_ray.pipelines.query import query_index
+
+    out = hybrid_linear_query(SF)
+    index = _ensure_index(SF, fresh=False)
+    import pyarrow as pa
+
+    queries = pa.table(
+        {"query_id": pa.array(range(len(FT_QUERIES)), pa.int64()),
+         "text": pa.array(list(FT_QUERIES), pa.string())}
+    )
+    res = query_index(index, queries, k=RRF_WINDOW, resolve_urls=True, mode="or").to_pandas()
+    res["doc_id"] = res["url"].map(url_doc_id).astype("int64")
+    vec = multi_knn_window(SF, range(len(FT_QUERIES)), RRF_WINDOW, keep_cos=True).rename(
+        columns={"vec_id": "doc_id"}
+    )
+    min_gap = np.inf
+    for qid in range(len(FT_QUERIES)):
+        l = res[res["query_id"] == qid]
+        v = vec[vec["query_id"] == qid]
+        ln = {}
+        if len(l):
+            s = l["score"].to_numpy()
+            rng = s.max() - s.min()
+            ln = dict(zip(l["doc_id"], (s - s.min()) / rng if rng > 0 else np.ones(len(s))))
+        vn = {}
+        if len(v):
+            c = v["cos"].to_numpy()
+            rng = c.max() - c.min()
+            vn = dict(zip(v["doc_id"], (c - c.min()) / rng if rng > 0 else np.ones(len(c))))
+        fused = {
+            d: HL_WLEX * ln.get(d, 0.0) + HL_WVEC * vn.get(d, 0.0)
+            for d in set(ln) | set(vn)
+        }
+        ranked = sorted(fused.items(), key=lambda kv: (-kv[1], kv[0]))
+        got = out[out["query_id"] == qid]["doc_id"].tolist()
+        assert got == [d for d, _ in ranked[:10]]
+        gaps = np.diff(sorted({s for _, s in ranked}, reverse=True))
+        if len(gaps):
+            min_gap = min(min_gap, float(np.abs(gaps).min()))
+    # cross-engine BM25/cosine drift is ~1e-12 relative; require 1000x slack
+    assert min_gap > 1e-9
