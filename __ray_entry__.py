@@ -237,6 +237,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only at the driver; pinned instead by
         # tests/test_functions.py::test_bpe_merges_match_sequential
         "docs_bpe_merges": bpe.learn_merges,
+        # the inference half: apply the learned merges, per-doc fertility
+        "docs_bpe_encode": bpe.encode_with_merges,
         # --- mergeable sketches (approximate → rows-only) + exact anchor ---
         "events_distinct_props_hll": sketches.distinct_count_hll,
         # Misra-Gries sketch + exact verify: provably-exact top-k keys

@@ -153,3 +153,67 @@ def learn_merges(sf_dir: str, n_merges: int = N_MERGES) -> pd.DataFrame:
             "pair_count": pd.Series(out["pair_count"], dtype="int64"),
         }
     )
+
+
+def encode_with_merges(sf_dir: str, n_merges: int = N_MERGES) -> pd.DataFrame:
+    """APPLY the learned merges — the inference half of the tokenizer
+    (learn_merges is train): every word encodes to its post-merge symbol
+    count, and every doc to the sum over its tokens (the 'fertility
+    after training' signal tokenizer teams track per corpus slice). The
+    merge list and the word→length map are VOCABULARY-sized (built once,
+    broadcast via ray.put); the corpus-side work is one stateless
+    map_batches that looks tokens up with index_in + bincount — the
+    unigram-NLL scoring shape. Iterative training upstream → rows-only
+    at the driver; pinned by a from-scratch sequential re-encode test.
+    Output (doc_id, n_tokens, n_bpe_units), all int64."""
+    import functools
+    import re
+
+    import pyarrow.compute as pc
+    import ray
+
+    from ..textnorm import tokenize_flat
+
+    merges = learn_merges(sf_dir, n_merges)
+    vocab = (
+        _word_counts(sf_dir).to_pandas()["word"].sort_values().reset_index(drop=True)
+    )
+    syms = [" ".join(w) for w in vocab]
+    for left, right in zip(merges["left"], merges["right"]):
+        pat = re.compile(r"(?<!\S)" + re.escape(f"{left} {right}") + r"(?!\S)")
+        merged = f"{left}{right}"
+        syms = [pat.sub(merged, s) for s in syms]
+    lens = np.fromiter((s.count(" ") + 1 for s in syms), dtype=np.int64, count=len(syms))
+    ref = ray.put((pa.array(vocab.tolist(), pa.string()), lens))
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def score(batch: pa.Table, *, m_ref) -> pa.Table:
+        import ray as _ray
+
+        words_, lens_ = _ray.get(m_ref)
+        flat, flat_docs, n_tok = tokenize_flat(
+            batch["text"], np.arange(len(batch), dtype=np.uint64)
+        )
+        rows = flat_docs.astype(np.int64)
+        idx = pc.index_in(flat, value_set=words_).to_numpy(zero_copy_only=False)
+        units = np.bincount(
+            rows, weights=lens_[idx.astype(np.int64)].astype(np.float64), minlength=len(batch)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+                "n_tokens": pa.array(n_tok.astype(np.int64), pa.int64()),
+                "n_bpe_units": pa.array(units, pa.int64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(functools.partial(score, m_ref=ref), batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out

@@ -2658,3 +2658,34 @@ def test_hybrid_linear_fusion_gaps_and_replay():
             min_gap = min(min_gap, float(np.abs(gaps).min()))
     # cross-engine BM25/cosine drift is ~1e-12 relative; require 1000x slack
     assert min_gap > 1e-9
+
+
+def test_bpe_encode_matches_sequential_reference():
+    import re
+    from collections import Counter
+
+    from aarhus_ray.functions.bpe import N_MERGES, encode_with_merges
+    from aarhus_ray.textnorm import tokenize
+
+    out = encode_with_merges(SF)
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+    toks = {int(d): tokenize(t) for d, t in zip(docs["doc_id"], docs["text"])}
+    # sequential reference: learn merges on (word, count), then encode
+    wc = Counter(w for ts in toks.values() for w in ts)
+    sym = {w: " ".join(w) for w in wc}
+    for _ in range(N_MERGES):
+        pc_ = Counter()
+        for w, s in sym.items():
+            parts = s.split()
+            for a, b in zip(parts, parts[1:]):
+                pc_[(a, b)] += wc[w]
+        if not pc_:
+            break
+        (l, r), _n = min(pc_.items(), key=lambda kv: (-kv[1], kv[0]))
+        pat = re.compile(r"(?<!\S)" + re.escape(f"{l} {r}") + r"(?!\S)")
+        sym = {w: pat.sub(f"{l}{r}", s) for w, s in sym.items()}
+    wlen = {w: s.count(" ") + 1 for w, s in sym.items()}
+    for _, row in out.head(40).iterrows():
+        ts = toks[int(row["doc_id"])]
+        assert int(row["n_tokens"]) == len(ts)
+        assert int(row["n_bpe_units"]) == sum(wlen[w] for w in ts)
