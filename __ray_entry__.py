@@ -152,6 +152,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_chunk_overlap": textstats.chunk_overlap,
         "docs_pii_scrub": textstats.pii_scrub,  # PII detect + redact (vectorized RE2)
         "docs_length_histogram": textstats.length_histogram,  # dense token-length buckets
+        # ES boxplot agg, grouped: per-lang exact five-number summary
+        "docs_length_boxplot": textstats.length_boxplot_by_lang,
         # sequence packing plan: global token offsets (distributed prefix
         # sum — the watermark scan with SUM for MAX) + sequence spans
         "docs_pack_sequences": textstats.pack_sequences,
@@ -1153,6 +1155,22 @@ def oracle_sql() -> dict[str, str]:
                         WHEN nll.nll_milli <= th.t2 THEN 'middle'
                         ELSE 'tail' END AS bucket
             FROM nll CROSS JOIN th ORDER BY 1
+        """,
+        # grouped boxplot: type-1 lower quartiles at rank (q(n-1))//4 + 1
+        "docs_length_boxplot": f"""
+            WITH nt AS (
+              SELECT lang, len({toks_nonempty}) AS n FROM documents),
+            r AS (SELECT lang, n,
+                         row_number() OVER (PARTITION BY lang ORDER BY n) AS rn,
+                         count(*) OVER (PARTITION BY lang) AS cnt
+                  FROM nt)
+            SELECT lang, CAST(max(cnt) AS BIGINT) AS n_docs,
+                   CAST(min(n) AS BIGINT) AS min_t,
+                   CAST(max(CASE WHEN rn = (1 * (cnt - 1)) // 4 + 1 THEN n END) AS BIGINT) AS q1,
+                   CAST(max(CASE WHEN rn = (2 * (cnt - 1)) // 4 + 1 THEN n END) AS BIGINT) AS median,
+                   CAST(max(CASE WHEN rn = (3 * (cnt - 1)) // 4 + 1 THEN n END) AS BIGINT) AS q3,
+                   CAST(max(n) AS BIGINT) AS max_t
+            FROM r GROUP BY 1 ORDER BY 1
         """,
         # term drift: cross-multiplied counts — no division, pure BIGINT
         "docs_term_drift": f"""

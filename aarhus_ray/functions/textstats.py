@@ -1176,3 +1176,48 @@ def term_drift(sf_dir: str) -> pd.DataFrame:
     for c in ("drift", "c_even", "c_odd"):
         out[c] = out[c].astype("int64")
     return out[["term", "c_even", "c_odd", "drift"]]
+
+
+BOX_QS = (1, 2, 3)  # quartiles (type-1 lower), plus min/max
+
+
+def length_boxplot_by_lang(sf_dir: str) -> pd.DataFrame:
+    """ES boxplot aggregation, grouped form: per declared lang, the
+    five-number summary (min, q1, median, q3, max) of per-doc token
+    counts — the per-slice length profile a corpus dashboard renders.
+    Quantiles are EXACT type-1 lower order statistics (value at sorted
+    index floor((n−1)·p)) computed from a (lang, n_tokens) COUNT
+    HISTOGRAM — per-batch partials, one small groupby, driver cumsum per
+    lang over distinct values (the events_value_median plan, grouped).
+    All int64 → hash-exact; the SQL oracle replays with per-partition
+    row_number ranks."""
+    from ..textnorm import tokenize_flat
+
+    ds = _docs(sf_dir, ["lang", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        _, _, n_tok = tokenize_flat(batch["text"], np.arange(len(batch), dtype=np.uint64))
+        df = pd.DataFrame({"lang": batch["lang"].to_pandas(), "n": n_tok.astype(np.int64)})
+        g = df.groupby(["lang", "n"], sort=False).size().rename("c")
+        return pa.Table.from_pandas(g.reset_index(), preserve_index=False)
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "n"])
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+    )
+    rows = []
+    for lang, g in hist.groupby("lang", sort=True):
+        g = g.sort_values("n")
+        vals = g["n"].to_numpy(np.int64)
+        cum = g["c"].cumsum().to_numpy(np.int64)
+        n = int(cum[-1])
+        qs = [int(vals[np.searchsorted(cum, (q * (n - 1)) // 4 + 1)]) for q in BOX_QS]
+        rows.append((lang, n, int(vals[0]), qs[0], qs[1], qs[2], int(vals[-1])))
+    out = pd.DataFrame(
+        rows, columns=["lang", "n_docs", "min_t", "q1", "median", "q3", "max_t"]
+    )
+    for c in out.columns[1:]:
+        out[c] = out[c].astype("int64")
+    return out

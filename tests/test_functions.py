@@ -2689,3 +2689,69 @@ def test_bpe_encode_matches_sequential_reference():
         ts = toks[int(row["doc_id"])]
         assert int(row["n_tokens"]) == len(ts)
         assert int(row["n_bpe_units"]) == sum(wlen[w] for w in ts)
+
+
+def test_length_boxplot_matches_numpy_quartiles():
+    from aarhus_ray.functions.textstats import length_boxplot_by_lang
+    from aarhus_ray.textnorm import tokenize
+
+    out = length_boxplot_by_lang(SF).set_index("lang")
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["lang", "text"]).to_pandas()
+    docs["n"] = [len(tokenize(t)) for t in docs["text"]]
+    for lang, g in docs.groupby("lang"):
+        v = np.sort(g["n"].to_numpy())
+        n = len(v)
+        assert out.loc[lang, "n_docs"] == n
+        assert out.loc[lang, "min_t"] == v[0] and out.loc[lang, "max_t"] == v[-1]
+        for col, q in (("q1", 1), ("median", 2), ("q3", 3)):
+            assert out.loc[lang, col] == v[(q * (n - 1)) // 4]
+
+
+def test_geo_point_property_ranges_and_determinism():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from aarhus_ray.functions.geo import geo_point_u
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.integers(min_value=0, max_value=2**40), min_size=1, max_size=50))
+    def prop(ids):
+        a = np.asarray(ids, dtype=np.int64)
+        lat, lon = geo_point_u(a)
+        lat2, lon2 = geo_point_u(a)
+        assert (lat == lat2).all() and (lon == lon2).all()  # pure function
+        assert (lat >= -85_000_000).all() and (lat <= 85_000_000).all()
+        assert (lon >= -180_000_000).all() and (lon < 180_000_000).all()
+
+    prop()
+
+
+def test_misra_gries_summary_bound_property():
+    """The MG decrement must preserve the frequency guarantee: for any
+    stream chunk, true_count(x) − summary_count(x) <= (chunk_len)/(k+1)
+    — the bound the heavy-hitter completeness proof stands on."""
+    from collections import Counter
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    K = 4
+
+    def mg_summary(xs):
+        c = Counter(xs)
+        if len(c) > K:
+            kth = sorted(c.values(), reverse=True)[K]
+            c = Counter({x: n - kth for x, n in c.items() if n - kth > 0})
+        return c
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.integers(min_value=0, max_value=9), min_size=1, max_size=120))
+    def prop(xs):
+        s = mg_summary(xs)
+        true = Counter(xs)
+        assert len(s) <= K
+        for x, n in true.items():
+            assert n - s.get(x, 0) <= len(xs) / (K + 1) + 1e-9
+            assert s.get(x, 0) <= n  # never overcounts
+
+    prop()
