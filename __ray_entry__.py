@@ -83,6 +83,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q8_market_share": relational.q8_market_share,
         # Q12 shape: CASE aggregation over the orders⋈lineitem join
         "q12_priority_class_by_flag": relational.q12_priority_class_by_flag,
+        # Q21 shape: sole-failing-supplier multi-condition semi/anti join
+        "q21_sole_failing_supplier": relational.q21_sole_failing_supplier,
         # Q15: top supplier by quarterly revenue (view + max pattern)
         "q15_top_supplier": relational.q15_top_supplier,
         # Q19: disjunctive OR-of-ANDs over a broadcast part dimension
@@ -692,6 +694,22 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_shipdate >= TIMESTAMP '{relational.Q12_LO}'
               AND l_shipdate < TIMESTAMP '{relational.Q12_HI}'
             GROUP BY 1 ORDER BY 1
+        """,
+        "q21_sole_failing_supplier": f"""
+            WITH ds AS (
+              SELECT l_orderkey AS okey, l_suppkey AS suppkey,
+                     max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS is_r
+              FROM lineitem GROUP BY 1, 2),
+            o AS (SELECT okey, count(*) AS n_supp,
+                         CAST(SUM(is_r) AS BIGINT) AS n_fail,
+                         max(is_r * (suppkey + 1)) AS rk
+                  FROM ds GROUP BY 1),
+            blame AS (SELECT rk - 1 AS s_suppkey, count(*) AS numwait
+                      FROM o WHERE n_supp >= 2 AND n_fail = 1 GROUP BY 1)
+            SELECT CAST(b.s_suppkey AS BIGINT) AS s_suppkey, s.s_name,
+                   CAST(b.numwait AS BIGINT) AS numwait
+            FROM blame b JOIN supplier s ON b.s_suppkey = s.s_suppkey
+            ORDER BY numwait DESC, s_suppkey LIMIT {relational.Q21_LIMIT}
         """,
         "q15_top_supplier": f"""
             WITH rev AS (

@@ -1823,3 +1823,95 @@ def customer_ltv_deciles(sf_dir: str, n_buckets: int = LTV_BUCKETS) -> pd.DataFr
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out
+
+
+Q21_LIMIT = 10
+
+
+def q21_sole_failing_supplier(sf_dir: str, limit: int = Q21_LIMIT) -> pd.DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting — the
+    multi-condition semi/anti join), adapted to the driver schema:
+    orders served by ≥ 2 distinct suppliers where EXACTLY ONE supplier
+    has returned ('R') lines — that sole failing supplier takes the
+    blame; count blames per supplier, top ``limit`` by (count DESC,
+    suppkey). Aggregate-only, no per-group Python: distinct
+    (okey, suppkey, any_R) via one two-key groupby, then a second
+    groupby(okey) folds (n_suppliers, n_failing, argmax-encoded failing
+    suppkey — Max(is_R·(suppkey+1)) names the culprit exactly when
+    n_failing == 1), a stateless filter + per-batch blame counts, and a
+    tiny final fold. The supplier name table broadcasts driver-side."""
+    from ray.data.aggregate import Count, Max, Sum
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_returnflag"])
+
+    def dedup_partial(batch: pa.Table) -> pa.Table:
+        is_r = pc.cast(pc.equal(batch["l_returnflag"], pa.scalar("R")), pa.int64())
+        return (
+            pa.table(
+                {
+                    "okey": pc.cast(batch["l_orderkey"], pa.int64()),
+                    "suppkey": pc.cast(batch["l_suppkey"], pa.int64()),
+                    "is_r": is_r,
+                }
+            )
+            .group_by(["okey", "suppkey"])
+            .aggregate([("is_r", "max")])
+            .rename_columns(["okey", "suppkey", "is_r"])
+        )
+
+    per_supp = (
+        li.map_batches(dedup_partial, batch_format="pyarrow")
+        .groupby(["okey", "suppkey"])
+        .aggregate(Max("is_r", alias_name="is_r"))
+    )
+
+    def order_partial(batch: pa.Table) -> pa.Table:
+        sk = batch["suppkey"].to_numpy(zero_copy_only=False)
+        ir = batch["is_r"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "okey": batch["okey"],
+                "one": pa.array(np.ones(len(sk), np.int64), pa.int64()),
+                "is_r": batch["is_r"],
+                "rk": pa.array(ir * (sk + 1), pa.int64()),
+            }
+        )
+
+    orders = (
+        per_supp.map_batches(order_partial, batch_format="pyarrow")
+        .groupby("okey")
+        .aggregate(
+            Sum("one", alias_name="n_supp"),
+            Sum("is_r", alias_name="n_fail"),
+            Max("rk", alias_name="rk"),
+        )
+    )
+
+    def blame_partial(batch: pa.Table) -> pa.Table:
+        ns = batch["n_supp"].to_numpy(zero_copy_only=False)
+        nf = batch["n_fail"].to_numpy(zero_copy_only=False)
+        rk = batch["rk"].to_numpy(zero_copy_only=False)
+        hit = (ns >= 2) & (nf == 1)
+        supp = rk[hit] - 1
+        us, cnt = np.unique(supp, return_counts=True)
+        return pa.table(
+            {
+                "s_suppkey": pa.array(us, pa.int64()),
+                "numwait": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    agg = (
+        orders.map_batches(blame_partial, batch_format="pyarrow")
+        .groupby("s_suppkey")
+        .aggregate(Sum("numwait", alias_name="numwait"))
+        .to_pandas()
+        .sort_values(["numwait", "s_suppkey"], ascending=[False, True])
+        .head(limit)
+        .reset_index(drop=True)
+    )
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]).to_pandas()
+    out = agg.merge(supp, on="s_suppkey")
+    out["s_suppkey"] = out["s_suppkey"].astype("int64")
+    out["numwait"] = out["numwait"].astype("int64")
+    return out[["s_suppkey", "s_name", "numwait"]]

@@ -2755,3 +2755,31 @@ def test_misra_gries_summary_bound_property():
             assert s.get(x, 0) <= n  # never overcounts
 
     prop()
+
+
+def test_q21_sole_failing_supplier_matches_pandas():
+    from aarhus_ray.functions.relational import q21_sole_failing_supplier
+
+    out = q21_sole_failing_supplier(SF)
+    li = pq.read_table(f"{SF}/lineitem.parquet",
+                       columns=["l_orderkey", "l_suppkey", "l_returnflag"]).to_pandas()
+    ds = (
+        li.assign(is_r=(li["l_returnflag"] == "R").astype(int))
+        .groupby(["l_orderkey", "l_suppkey"], as_index=False)["is_r"].max()
+    )
+    o = ds.groupby("l_orderkey").agg(
+        n_supp=("l_suppkey", "size"), n_fail=("is_r", "sum"),
+        rk=("is_r", lambda s: 0),
+    )
+    # culprit: the unique failing supplier per qualifying order
+    culprit = (
+        ds[ds["is_r"] == 1].groupby("l_orderkey")["l_suppkey"].agg(["count", "max"])
+    )
+    o = o.join(culprit.rename(columns={"count": "nf2", "max": "culprit"}), how="left")
+    hit = o[(o["n_supp"] >= 2) & (o["n_fail"] == 1)]
+    want = (
+        hit.groupby("culprit").size().rename("numwait").reset_index()
+        .sort_values(["numwait", "culprit"], ascending=[False, True]).head(10)
+    )
+    assert out["s_suppkey"].tolist() == want["culprit"].astype(int).tolist()
+    assert out["numwait"].tolist() == want["numwait"].tolist()
