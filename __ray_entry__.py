@@ -273,6 +273,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ordered proximity (span_near in_order=true, slop=2): tokens as a
         # strictly-increasing sequence within len−1+slop tokens
         "fulltext_bm25_span_near": fulltext.bm25_topk_span_near,
+        # span_first: term gated to the first N tokens (lead-paragraph match)
+        "fulltext_bm25_span_first": fulltext.bm25_topk_span_first,
         # ES intervals query: ordered any_of slots ('a|b c') within
         # n_slots-1+max_gaps tokens (SpanOr inside SpanNear)
         "fulltext_bm25_intervals": fulltext.bm25_topk_intervals,
@@ -1993,6 +1995,7 @@ def oracle_sql() -> dict[str, str]:
         "fulltext_export_matches": fulltext.export_matches_oracle_sql(),
         "fulltext_percolate": fulltext.percolate_oracle_sql(),
         "fulltext_hybrid_linear": fulltext.hybrid_linear_oracle_sql(),
+        "fulltext_bm25_span_first": fulltext.bm25_span_first_oracle_sql(),
     }
     # end-to-end curation composition: the oracle is literally the
     # INTERSECT of the three stage oracles — any stage drift breaks it

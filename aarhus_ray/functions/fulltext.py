@@ -6427,3 +6427,113 @@ SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank, doc_
 FROM ranked WHERE rank <= {k}
 ORDER BY query_id, rank
 """
+
+
+SPAN_FIRST_N = 30      # span_first: match end must be within the first N tokens
+SF_CAND_WINDOW = 4000  # candidate window (covers every match at driver scales)
+
+
+def bm25_topk_span_first(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """ES span_first query: the term must occur within the first
+    SPAN_FIRST_N tokens of the document (lead-paragraph matching — the
+    title/abstract-boost trick without field boundaries), survivors
+    ranked by the term's BM25. One single-term query per FT_QUERY (its
+    first term). Candidates come from the index (disjunctive window wide
+    enough to hold every match at test scale); the position gate runs as
+    a distributed text-verify map over the candidates' first N tokens —
+    the phrase/near verify path (a positional index serves this gate
+    from pos.bin at production scale; the gate semantics are what is
+    frozen here). Output (query_id, rank, doc_id)."""
+    index = _ensure_index(sf_dir, fresh=False)
+    terms = [q.split()[0] for q in FT_QUERIES]
+    queries = pa.table(
+        {
+            "query_id": pa.array(range(len(terms)), pa.int64()),
+            "text": pa.array(terms, pa.string()),
+        }
+    )
+    res = query_index(
+        index, queries, k=SF_CAND_WINDOW, resolve_urls=True, mode="or"
+    ).to_pandas()
+    res["doc_id"] = res["url"].map(url_doc_id).astype("int64")
+
+    import ray.data
+
+    cand_ids = pa.array(sorted(res["doc_id"].unique().tolist()), pa.int64())
+    term_arr = terms
+
+    def verify(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        b = batch.filter(pc.is_in(batch["doc_id"], value_set=cand_ids))
+        if len(b) == 0:
+            return pa.table(
+                {"query_id": pa.array([], pa.int64()), "doc_id": pa.array([], pa.int64())}
+            )
+        heads = [set(tokenize(t)[:SPAN_FIRST_N]) for t in b["text"].to_pylist()]
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        qids, dids = [], []
+        for qid, term in enumerate(term_arr):
+            for d, h in zip(ids, heads):
+                if term in h:
+                    qids.append(qid)
+                    dids.append(int(d))
+        return pa.table(
+            {"query_id": pa.array(qids, pa.int64()), "doc_id": pa.array(dids, pa.int64())}
+        )
+
+    hits = (
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        .map_batches(verify, batch_format="pyarrow")
+        .to_pandas()
+    )
+    f = res.merge(hits, on=["query_id", "doc_id"])
+    f = f.sort_values(["query_id", "score", "doc_id"], ascending=[True, False, True])
+    out = f.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    out["rank"] = (out.groupby("query_id").cumcount() + 1).astype("int32")
+    out["query_id"] = out["query_id"].astype("int64")
+    return out[["query_id", "rank", "doc_id"]]
+
+
+def bm25_span_first_oracle_sql(k: int = 10) -> str:
+    """span_first replay: the single-term BM25 stack gated on
+    array_position within the first SPAN_FIRST_N tokens."""
+    values = ",".join(f"({qid}, '{q.split()[0]}')" for qid, q in enumerate(FT_QUERIES))
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                            x -> x <> '')) AS tok,
+         generate_subscripts(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                         x -> x <> ''), 1) AS pos
+  FROM documents
+),
+dl AS (SELECT d.doc_id, CAST(coalesce(t.c, 0) AS DOUBLE) AS dl
+       FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS c FROM toks GROUP BY 1) t USING (doc_id)),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+q(query_id, tok) AS (VALUES {values}),
+gate AS (SELECT DISTINCT q.query_id, t.doc_id
+         FROM q JOIN toks t USING (tok) WHERE t.pos <= {SPAN_FIRST_N}),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+           * tf.tf * (1.2 + 1.0)
+           / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) AS score
+  FROM q
+  JOIN tf USING (tok)
+  JOIN df USING (tok)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+),
+ranked AS (
+  SELECT sc.query_id, sc.doc_id,
+         row_number() OVER (PARTITION BY sc.query_id
+                            ORDER BY sc.score DESC, sc.doc_id) AS rank
+  FROM scored sc JOIN gate g ON sc.query_id = g.query_id AND sc.doc_id = g.doc_id
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank, doc_id
+FROM ranked WHERE rank <= {k}
+ORDER BY query_id, rank
+"""

