@@ -1336,8 +1336,8 @@ def oracle_sql() -> dict[str, str]:
         # with identical operand order (float boundary caveat only)
         "events_geo_bounds": f"""
             WITH g AS (SELECT event_type,
-                (event_id * {geo.GEO_LAT_MULT}) % {geo.GEO_LAT_MOD} - 85000000 AS lat_u,
-                (event_id * {geo.GEO_LON_MULT}) % {geo.GEO_LON_MOD} - 180000000 AS lon_u
+                ((event_id % {geo.GEO_LAT_MOD}) * {geo.GEO_LAT_MULT}) % {geo.GEO_LAT_MOD} - 85000000 AS lat_u,
+                ((event_id % {geo.GEO_LON_MOD}) * {geo.GEO_LON_MULT}) % {geo.GEO_LON_MOD} - 180000000 AS lon_u
               FROM events)
             SELECT event_type,
                    CAST(min(lat_u) AS BIGINT) AS min_lat_u,
@@ -1348,8 +1348,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_geo_grid": f"""
             WITH g AS (SELECT
-                (event_id * {geo.GEO_LAT_MULT}) % {geo.GEO_LAT_MOD} - 85000000 AS lat_u,
-                (event_id * {geo.GEO_LON_MULT}) % {geo.GEO_LON_MOD} - 180000000 AS lon_u
+                ((event_id % {geo.GEO_LAT_MOD}) * {geo.GEO_LAT_MULT}) % {geo.GEO_LAT_MOD} - 85000000 AS lat_u,
+                ((event_id % {geo.GEO_LON_MOD}) * {geo.GEO_LON_MULT}) % {geo.GEO_LON_MOD} - 180000000 AS lon_u
               FROM events),
             t AS (SELECT ((lon_u + 180000000) * {1 << geo.GRID_ZOOM}) // {geo.GEO_LON_MOD} AS tile_x,
                          ((lat_u + 85000000) * {1 << geo.GRID_ZOOM}) // {geo.GEO_LAT_MOD} AS tile_y
@@ -1361,8 +1361,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_geo_distance": f"""
             WITH g AS (SELECT event_type, value,
-                ((event_id * {geo.GEO_LAT_MULT}) % {geo.GEO_LAT_MOD} - 85000000) / 1e6 AS lat,
-                ((event_id * {geo.GEO_LON_MULT}) % {geo.GEO_LON_MOD} - 180000000) / 1e6 AS lon
+                (((event_id % {geo.GEO_LAT_MOD}) * {geo.GEO_LAT_MULT}) % {geo.GEO_LAT_MOD} - 85000000) / 1e6 AS lat,
+                (((event_id % {geo.GEO_LON_MOD}) * {geo.GEO_LON_MULT}) % {geo.GEO_LON_MOD} - 180000000) / 1e6 AS lon
               FROM events),
             d AS (SELECT event_type, value,
                 2 * {geo.EARTH_R_M} * asin(sqrt(
@@ -1377,8 +1377,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_geo_centroid": f"""
             WITH g AS (SELECT event_type,
-                (event_id * {geo.GEO_LAT_MULT}) % {geo.GEO_LAT_MOD} - 85000000 AS lat_u,
-                (event_id * {geo.GEO_LON_MULT}) % {geo.GEO_LON_MOD} - 180000000 AS lon_u
+                ((event_id % {geo.GEO_LAT_MOD}) * {geo.GEO_LAT_MULT}) % {geo.GEO_LAT_MOD} - 85000000 AS lat_u,
+                ((event_id % {geo.GEO_LON_MOD}) * {geo.GEO_LON_MULT}) % {geo.GEO_LON_MOD} - 180000000 AS lon_u
               FROM events)
             SELECT event_type, CAST(count(*) AS BIGINT) AS n,
                    round(CAST(SUM(lat_u) AS BIGINT) / CAST(count(*) AS BIGINT)::DOUBLE / 1e6, 6)

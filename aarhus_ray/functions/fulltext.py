@@ -6455,6 +6455,16 @@ def bm25_topk_span_first(sf_dir: str, k: int = 10) -> pd.DataFrame:
     res = query_index(
         index, queries, k=SF_CAND_WINDOW, resolve_urls=True, mode="or"
     ).to_pandas()
+    # The candidate window must not saturate: a query whose term matches
+    # >= SF_CAND_WINDOW docs would silently drop gated docs the SQL oracle
+    # still scans. Fail loudly instead (widen SF_CAND_WINDOW, or serve the
+    # gate from the positional sidecar, if a corpus ever trips this).
+    sat = res.groupby("query_id").size()
+    sat = sat[sat >= SF_CAND_WINDOW]
+    assert sat.empty, (
+        f"span_first candidate window saturated (>= {SF_CAND_WINDOW} matches) "
+        f"for query_ids {sat.index.tolist()}"
+    )
     res["doc_id"] = res["url"].map(url_doc_id).astype("int64")
 
     import ray.data

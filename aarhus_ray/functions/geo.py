@@ -5,8 +5,8 @@ The driver tables carry no coordinates, so events get a synthetic geo_point
 docvalue derived from event_id with the same multiplicative-mod recipe as
 the fulltext crawl timestamp (fulltext.doc_ts_us): integer MICRODEGREES,
 
-    lat_u = (event_id * GEO_LAT_MULT) % GEO_LAT_MOD - 85_000_000
-    lon_u = (event_id * GEO_LON_MULT) % GEO_LON_MOD - 180_000_000
+    lat_u = ((event_id % GEO_LAT_MOD) * GEO_LAT_MULT) % GEO_LAT_MOD - 85_000_000
+    lon_u = ((event_id % GEO_LON_MOD) * GEO_LON_MULT) % GEO_LON_MOD - 180_000_000
 
 lat ∈ [-85°, +85°] (the web-mercator clamp), lon ∈ [-180°, +180°).
 Everything that CAN stay integer does: the grid op buckets microdegrees
@@ -43,10 +43,16 @@ def _events(sf_dir: str, columns=None) -> ray.data.Dataset:
 
 
 def geo_point_u(event_ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """The frozen synthetic geo_point docvalue, integer microdegrees."""
+    """The frozen synthetic geo_point docvalue, integer microdegrees.
+
+    event_id is reduced mod GEO_*_MOD BEFORE the multiply: (a*b) % m ==
+    ((a%m)*b) % m, and (MOD-1)*MULT < 2^63, so the recipe stays exact in
+    int64 at any event_id — the naive ``id * MULT`` form silently wraps
+    numpy int64 (where BIGINT oracles would error) from id ≈ 3.5e9, well
+    under the 10^12-row posture."""
     ids = event_ids.astype(np.int64)
-    lat_u = (ids * GEO_LAT_MULT) % GEO_LAT_MOD - 85_000_000
-    lon_u = (ids * GEO_LON_MULT) % GEO_LON_MOD - 180_000_000
+    lat_u = ((ids % GEO_LAT_MOD) * GEO_LAT_MULT) % GEO_LAT_MOD - 85_000_000
+    lon_u = ((ids % GEO_LON_MOD) * GEO_LON_MULT) % GEO_LON_MOD - 180_000_000
     return lat_u, lon_u
 
 

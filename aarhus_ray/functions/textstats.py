@@ -1110,9 +1110,13 @@ def nb_lang_classifier(sf_dir: str) -> pd.DataFrame:
             scores[:, li] = s.astype(np.int64) - n_tok.astype(np.int64) * l_denom_[li] + prior_[li]
         best = np.argmin(-scores, axis=1)  # argmax, first-wins == lang ASC
         order = np.argsort(-scores, axis=1, kind="stable")
-        margin = (
-            scores[np.arange(n), order[:, 0]] - scores[np.arange(n), order[:, 1]]
-        )
+        if lt_.shape[0] >= 2:
+            margin = (
+                scores[np.arange(n), order[:, 0]] - scores[np.arange(n), order[:, 1]]
+            )
+        else:
+            # single-lang corpus: no runner-up column exists; margin 0
+            margin = np.zeros(n, dtype=np.int64)
         keep = n_tok > 0  # zero-token docs are dropped (frozen, the NLL rule)
         return pa.table(
             {
@@ -1170,7 +1174,10 @@ def term_drift(sf_dir: str) -> pd.DataFrame:
     c0 = piv.get(0, pd.Series(0, index=piv.index)).to_numpy()
     c1 = piv.get(1, pd.Series(0, index=piv.index)).to_numpy()
     n0, n1 = int(c0.sum()), int(c1.sum())
-    drift = np.abs(c0 * n1 - c1 * n0)
+    # exact object-int cross-product: c*N overflows int64 once half-token
+    # totals pass ~2^63/max(c); the final int64 cast below then raises
+    # (OverflowError) instead of silently wrapping like the numpy form did
+    drift = np.abs(c0.astype(object) * n1 - c1.astype(object) * n0)
     out = pd.DataFrame({"term": piv.index, "drift": drift, "c_even": c0, "c_odd": c1})
     out = out.sort_values(["drift", "term"], ascending=[False, True]).head(10).reset_index(drop=True)
     for c in ("drift", "c_even", "c_odd"):

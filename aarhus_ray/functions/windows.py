@@ -689,7 +689,8 @@ def events_frequent_itemsets(
     baskets are degenerate while daily baskets have real sparsity
     (measured at sf0.01: basket sizes 1..5 ≈ 1388/1486/870/235/27).
 
-    The type alphabet is tiny (≤ 64), so the plan is the BITMASK-HISTOGRAM
+    The type alphabet is tiny (≤ 63 — int64 masks leave the sign bit
+    unusable, asserted below), so the plan is the BITMASK-HISTOGRAM
     collapse — Apriori with no candidate generation and no row shuffle:
       1. distinct (user_id, day, type) via per-batch dedup + one groupby;
       2. type → bit (frozen: bit index = rank in the sorted global type
@@ -723,6 +724,11 @@ def events_frequent_itemsets(
     # frozen alphabet: the sorted distinct event types (tiny — collected once)
     alphabet = sorted(
         pairs.groupby("event_type").count().to_pandas()["event_type"].tolist()
+    )
+    # int64 masks hold 63 usable bits: `1 << 63` overflows np.int64 in
+    # to_bits' fromiter. Fail loudly rather than wrap silently.
+    assert len(alphabet) <= 63, (
+        f"frequent_itemsets bitmask alphabet limited to 63 event types, got {len(alphabet)}"
     )
     bit_of = {t: 1 << i for i, t in enumerate(alphabet)}
 
@@ -846,10 +852,18 @@ def events_weighted_avg(sf_dir: str, decimals: int = WA_DECIMALS) -> pd.DataFram
     ds = _events(sf_dir, ["event_type", "value", "props"])
     digit = re.compile(r"[0-9]+")
 
+    def _weight(p) -> int:
+        # props contract: a digit run must exist (the fixture writes {"k": N});
+        # a NULL or digit-free value is a data bug — diagnose, don't AttributeError.
+        m = digit.search(p) if isinstance(p, str) else None
+        if m is None:
+            raise ValueError(f"events_weighted_avg: props value has no digit run: {p!r}")
+        return int(m.group())
+
     def partial(batch: pa.Table) -> pa.Table:
         cents = np.floor(batch["value"].to_numpy(zero_copy_only=False) * 100.0).astype(np.int64)
         w = np.fromiter(
-            (int(digit.search(p).group()) for p in batch["props"].to_pylist()),
+            (_weight(p) for p in batch["props"].to_pylist()),
             dtype=np.int64, count=len(batch),
         )
         df = pd.DataFrame(

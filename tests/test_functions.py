@@ -2179,6 +2179,18 @@ def test_tpch_q4_q7_q15_q19_match_duckdb():
     assert q7["supp_nation"].dtype == object
 
 
+def test_geo_point_exact_at_huge_event_ids():
+    """The docvalue recipe must stay int64-exact (no silent numpy wrap) at
+    10^12-row-scale event_ids — reduced-mod form vs Python big-int truth."""
+    from aarhus_ray.functions import geo
+
+    ids = np.array([0, 1, 3_500_000_000, 10**12, 2**62 - 1], dtype=np.int64)
+    lat_u, lon_u = geo.geo_point_u(ids)
+    for i, eid in enumerate(int(x) for x in ids):
+        assert lat_u[i] == (eid * geo.GEO_LAT_MULT) % geo.GEO_LAT_MOD - 85_000_000
+        assert lon_u[i] == (eid * geo.GEO_LON_MULT) % geo.GEO_LON_MOD - 180_000_000
+
+
 def test_geo_family_matches_recompute():
     from aarhus_ray.functions import geo
 
