@@ -1737,6 +1737,22 @@ def test_substring_dup_spans_match_python_recompute():
     assert want, "planted near-dups must share 16-token substrings"
 
 
+def test_span_dedup_bloom_path_matches_exact_path(monkeypatch):
+    """Forcing the Bloom hot-key degrade (threshold 0) must leave both
+    span-dedup outputs identical to the exact is_in broadcast path — Bloom
+    false positives are absorbed by the distinct-docs reducers."""
+    from aarhus_ray.functions import dedup
+
+    exact_sub = dedup.substring_dup_spans(SF)
+    exact_par = dedup.paragraph_dup_spans(SF)
+    assert len(exact_sub) and len(exact_par)
+    monkeypatch.setattr(dedup, "SPAN_HOT_BLOOM_THRESHOLD", 0)
+    bloom_sub = dedup.substring_dup_spans(SF)
+    bloom_par = dedup.paragraph_dup_spans(SF)
+    pd.testing.assert_frame_equal(bloom_sub, exact_sub)
+    pd.testing.assert_frame_equal(bloom_par, exact_par)
+
+
 def test_bpe_merges_match_sequential():
     """learn_merges == a from-scratch sequential BPE (Sennrich et al.
     2016: get_stats over the word-frequency table, lexicographic
