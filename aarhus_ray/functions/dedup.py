@@ -96,18 +96,43 @@ def _mix64(x: np.ndarray) -> np.ndarray:
     return x ^ (x >> np.uint64(31))
 
 
-def _token_hashes(tokens: list[str]) -> np.ndarray:
-    """64-bit hash per token, cached per process (blake2b once per DISTINCT
-    token ever seen by this worker — the Zipf head hits the cache)."""
+def _token_hashes(tokens) -> np.ndarray:
+    """64-bit hash per token (blake2b-8, frozen — emitted values unchanged
+    since round 1). Accepts a Python list or a pyarrow string Array.
+    Batched cold path: distinct tokens come from Arrow dictionary_encode
+    (C++) or np.unique over fixed-width numpy strings, blake2b runs once
+    per NEW distinct token (the per-process cache still holds the Zipf
+    head across batches), and per-occurrence expansion is one vectorized
+    take — Python-level work is per DISTINCT token only. Short lists
+    (per-doc shingling) keep the plain dict loop: unique-building
+    overhead beats the loop only on flat batch-sized inputs."""
     cache = _TOKEN_HASH_CACHE
-    out = np.empty(len(tokens), dtype=np.uint64)
-    for i, t in enumerate(tokens):
+    if isinstance(tokens, (pa.Array, pa.ChunkedArray)):
+        if isinstance(tokens, pa.ChunkedArray):
+            tokens = tokens.combine_chunks()
+        enc = tokens.dictionary_encode()
+        uniq = enc.dictionary.to_pylist()
+        idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    elif len(tokens) >= 256:
+        u, idx = np.unique(np.asarray(tokens, dtype="U"), return_inverse=True)
+        uniq = u.tolist()
+    else:
+        out = np.empty(len(tokens), dtype=np.uint64)
+        for i, t in enumerate(tokens):
+            v = cache.get(t)
+            if v is None:
+                v = int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "big")
+                cache[t] = v
+            out[i] = v
+        return out
+    uh = np.empty(len(uniq), dtype=np.uint64)
+    for i, t in enumerate(uniq):
         v = cache.get(t)
         if v is None:
             v = int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "big")
             cache[t] = v
-        out[i] = v
-    return out
+        uh[i] = v
+    return uh[idx]
 
 
 def _shingle_hash_array(th: np.ndarray, n: int = 3) -> np.ndarray:
@@ -1007,7 +1032,7 @@ def substring_dup_spans(sf_dir: str) -> pd.DataFrame:
         n = len(batch)
         flat, flat_rows, _ = tokenize_flat(batch["text"], np.arange(n, dtype=np.uint64))
         rows = flat_rows.astype(np.int64)
-        th = _token_hashes(flat.to_pylist())
+        th = _token_hashes(flat)  # Arrow array: dictionary-encoded cold path
         ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         if len(th) < w:
             return pa.table(

@@ -472,7 +472,7 @@ def _repetition_arrays(batch: pa.Table) -> tuple[np.ndarray, np.ndarray, np.ndar
         zero_copy_only=False
     )
     n_stop = np.bincount(rows[sm], minlength=n).astype(np.int64)
-    th = _token_hashes(flat.to_pylist())
+    th = _token_hashes(flat)  # Arrow array: dictionary-encoded cold path
     n_bigrams = np.zeros(n, np.int64)
     top_bigram = np.zeros(n, np.int64)
     dup_tri = np.zeros(n, np.int64)
