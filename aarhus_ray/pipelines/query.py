@@ -1825,7 +1825,12 @@ def query_index_doc_sharded(
 
     Returns a pandas DataFrame (query_id, rank, doc_id, score): the merge
     input is final-answer-sized (queries × n_ranges × k rows), so a driver
-    merge is right-sized even at cluster scale."""
+    merge is right-sized even at cluster scale.
+
+    All ranges execute CONCURRENTLY in one union pipeline (round 4):
+    warm-cache wall for 4 ranges ≈ one range's pipeline cost (~0.11s on
+    the 500-doc verify fixture), where the old per-range .to_pandas()
+    loop paid the fixed pipeline launch serially per range."""
     import pandas as pd
     from ..partition import DOC_ID_PARTITION_SHIFT
 
@@ -1849,7 +1854,7 @@ def query_index_doc_sharded(
 
     from ..stages.query_stage import make_scorer_task_fn as _mk
 
-    parts = []
+    range_ds = []
     for g in groups:
         lo = int(g[0]) << DOC_ID_PARTITION_SHIFT
         hi = (int(g[-1]) + 1) << DOC_ID_PARTITION_SHIFT
@@ -1857,10 +1862,12 @@ def query_index_doc_sharded(
         # scorer's state is bounded by its doc range, not a full-corpus
         # shared copy
         fn = _mk(out_dir, segs, k, method, None, version, doc_range=(lo, hi), pids=[int(p) for p in g])
-        parts.append(
-            qds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size).to_pandas()
-        )
-    allp = pd.concat(parts, ignore_index=True)
+        range_ds.append(qds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size))
+    # ONE pipeline over the union: every range's scorer tasks run
+    # concurrently (round 4; the old per-range .to_pandas() loop executed
+    # ranges serially, hiding the latency win the sharding exists for)
+    merged_ds = range_ds[0] if len(range_ds) == 1 else range_ds[0].union(*range_ds[1:])
+    allp = merged_ds.to_pandas()
     if allp.empty:
         return allp
     allp = allp.sort_values(
