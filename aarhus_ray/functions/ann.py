@@ -1124,6 +1124,28 @@ def int8_quantize_stats(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def _knn_edges_index(sf_dir: str, k: int = KNN_GRAPH_K) -> str:
+    """Persisted kNN-graph edge list (vec_id, nbr_id) — the graph is an
+    index artifact like the LSH/IVF dirs: built once by a streaming
+    distributed write of _knn_graph_ds, then consumers (PageRank rounds,
+    repeated centrality queries) read the parquet instead of re-running
+    the O(n²) construction per call."""
+    final = _index_dir("knng", sf_dir, f"k{k}")
+    if os.path.exists(os.path.join(final, "_DONE")):
+        return final
+    tmp = f"{final}.tmp-{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    (
+        _knn_graph_ds(sf_dir, k=k)
+        .map_batches(lambda b: b.select(["vec_id", "nbr_id"]), batch_format="pyarrow")
+        .write_parquet(tmp)
+    )
+    with open(os.path.join(tmp, "_DONE"), "w") as f:
+        f.write("ok")
+    _publish(tmp, final)
+    return final
+
+
 PR_ITERS = 5
 PR_DAMP_NUM, PR_DAMP_DEN = 85, 100  # d = 0.85 as a ratio (integer-frozen)
 PR_TOTAL = 10**12                   # total rank mass, integer micro-units
@@ -1163,14 +1185,17 @@ def pagerank_knn(sf_dir: str, k: int = KNN_GRAPH_K, iters: int = PR_ITERS) -> pd
     from ray.data.aggregate import Sum
 
     eds = (
-        _knn_graph_ds(sf_dir, k=k)
-        .map_batches(
-            lambda b: b.select(["vec_id", "nbr_id"]), batch_format="pyarrow"
+        ray.data.read_parquet(
+            _parquet_files([_knn_edges_index(sf_dir, k)]),
+            columns=["vec_id", "nbr_id"],
         )
         .repartition(8)
         .materialize()
     )
     n = eds.count() // k  # out-degree is exactly k for every vertex
+    # hash-join partition count sized to the data (the local fixed cost is
+    # per partition-actor; at web scale this is keys-per-node)
+    n_parts = int(max(2, min(64, n // 1000)))
     init = PR_TOTAL // n
     base = (15 * init) // 100
 
@@ -1217,7 +1242,7 @@ def pagerank_knn(sf_dir: str, k: int = KNN_GRAPH_K, iters: int = PR_ITERS) -> pd
 
     for _ in range(iters):
         contribs = eds.join(
-            ranks, join_type="inner", on=("vec_id",), num_partitions=8
+            ranks, join_type="inner", on=("vec_id",), num_partitions=n_parts
         ).map_batches(contrib, batch_format="pyarrow")
         ranks = (
             contribs.union(ranks.map_batches(zero_seed, batch_format="pyarrow"))

@@ -143,6 +143,12 @@ def run_once() -> dict:
             "docs_bigram_nll",
             "multimodal_phash",
             "knn_pagerank",
+            # round-4 additions (VERDICT r3 Next #9): the heavy families
+            # that previously had no per-round regression signal
+            "fulltext_export_matches",
+            "fulltext_composite_agg",
+            "docs_pack_sequences",
+            "knn_graph",
         ):
             qs[name](sf_dir)
             t0 = time.perf_counter()
