@@ -226,6 +226,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # DSIR (Xie et al. 2023): hashed-unigram importance ranking toward
         # a target domain — integer milli-nat log-ratios, 2 streaming passes
         "docs_dsir_weights": cleaning.dsir_weights,
+        # deterministic md5(doc_id)%100 train/valid/test split manifest
+        "docs_train_split": cleaning.train_split,
+        # seeded epoch-shuffle order (shuffle-as-sort), first-k head
+        "docs_epoch_shuffle_head": cleaning.epoch_shuffle_head,
         "docs_dedup_exact": dedup.exact_dedup_min_id,
         "corpus_clean": cleaning.corpus_clean,      # filter→quality→near-dedup→write
         "docs_minhash_lsh_pairs": dedup.minhash_lsh_pairs,
@@ -1646,6 +1650,37 @@ def oracle_sql() -> dict[str, str]:
                                           ORDER BY n_chars DESC, doc_id) AS rn
                 FROM documents
             ) WHERE rn <= {cleaning.SOURCE_CAP_K} ORDER BY doc_id
+        """,
+        # md5(doc_id)%100 split buckets: train <90, valid <95, test rest —
+        # the same hex-prefix-cast idiom as the watermark arrival clock
+        "docs_train_split": """
+            WITH b AS (
+                SELECT doc_id, n_chars,
+                       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                            AS UBIGINT) % 100 AS bucket
+                FROM documents
+            )
+            SELECT CASE WHEN bucket < 90 THEN 'train'
+                        WHEN bucket < 95 THEN 'valid'
+                        ELSE 'test' END AS split,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+                   CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+                   CAST(MAX(doc_id) AS BIGINT) AS max_doc_id
+            FROM b GROUP BY 1 ORDER BY split
+        """,
+        # epoch-shuffle head: order docs by md5('seed:doc_id'), take first k
+        "docs_epoch_shuffle_head": f"""
+            WITH s AS (
+                SELECT doc_id,
+                       CAST(('0x' || substr(md5({cleaning.EPOCH_SHUFFLE_SEED}
+                            || ':' || CAST(doc_id AS VARCHAR)), 1, 8))
+                            AS BIGINT) AS shuffle_key
+                FROM documents
+            )
+            SELECT CAST(row_number() OVER (ORDER BY shuffle_key, doc_id) AS BIGINT) AS rank,
+                   CAST(doc_id AS BIGINT) AS doc_id, shuffle_key
+            FROM s ORDER BY shuffle_key, doc_id LIMIT {cleaning.EPOCH_SHUFFLE_K}
         """,
         # deterministic stratified sample: doc_id % 10 < 3 for en, < 5 otherwise
         "docs_stratified_sample": """

@@ -420,3 +420,121 @@ def curation_pipeline(sf_dir: str) -> pd.DataFrame:
     keep_h = set(cb.loc[cb["bucket"] == "head", "doc_id"].astype(int))
     ids = sorted(keep_q & keep_d & keep_h)
     return pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64")})
+
+
+# frozen split quotas out of 100 md5 buckets: train <90, valid <95, test rest
+SPLIT_BOUNDS = (("train", 0, 90), ("valid", 90, 95), ("test", 95, 100))
+
+
+def _split_bucket(doc_ids) -> np.ndarray:
+    """md5(doc_id)%100 — the reproducible-md5 idiom (same as the watermark
+    arrival clock / simhash token hash) chosen over blake2b deliberately so
+    the whole split assignment replays exactly in DuckDB SQL
+    (md5 + hex-prefix cast). One md5 per row; the split stage runs once
+    per corpus version, not per epoch, so this is not a hot path."""
+    import hashlib
+
+    return np.fromiter(
+        (int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 100 for i in doc_ids),
+        dtype=np.int64,
+        count=len(doc_ids),
+    )
+
+
+def train_split(sf_dir: str) -> pd.DataFrame:
+    """Deterministic train/valid/test split — the corpus-versioning step a
+    training pipeline runs before packing: each doc lands in a split by
+    md5(doc_id)%100 (content-independent, so re-crawls and re-filters never
+    migrate a doc across splits — the leakage guard), quotas 90/5/5.
+
+    Output is the split MANIFEST (per split: doc count, char volume,
+    doc_id range) — mergeable per-batch partials folded on the driver
+    (3 rows per block; model-sized, never corpus-sized). The per-doc
+    assignment itself needs no shuffle at any scale: it is a pure map,
+    and a real run would write docs partitioned by split exactly like
+    corpus_clean's lang-partitioned sink."""
+    ds = _docs(sf_dir, ["doc_id", "n_chars"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        chars = batch["n_chars"].to_numpy()
+        b = _split_bucket(ids)
+        rows = []
+        for name, lo, hi in SPLIT_BOUNDS:
+            m = (b >= lo) & (b < hi)
+            if not m.any():
+                continue
+            rows.append(
+                {
+                    "split": name,
+                    "n_docs": int(m.sum()),
+                    "sum_chars": int(chars[m].sum()),
+                    "min_doc_id": int(ids[m].min()),
+                    "max_doc_id": int(ids[m].max()),
+                }
+            )
+        return pa.Table.from_pylist(rows)
+
+    parts = ds.map_batches(partials, batch_format="pyarrow").to_pandas()
+    out = (
+        parts.groupby("split", sort=False)
+        .agg(
+            n_docs=("n_docs", "sum"),
+            sum_chars=("sum_chars", "sum"),
+            min_doc_id=("min_doc_id", "min"),
+            max_doc_id=("max_doc_id", "max"),
+        )
+        .reset_index()
+        .sort_values("split")
+        .reset_index(drop=True)
+    )
+    for c in ("n_docs", "sum_chars", "min_doc_id", "max_doc_id"):
+        out[c] = out[c].astype("int64")
+    return out[["split", "n_docs", "sum_chars", "min_doc_id", "max_doc_id"]]
+
+
+EPOCH_SHUFFLE_SEED = 17
+EPOCH_SHUFFLE_K = 20
+
+
+def epoch_shuffle_head(sf_dir: str, seed: int = EPOCH_SHUFFLE_SEED, k: int = EPOCH_SHUFFLE_K) -> pd.DataFrame:
+    """Deterministic EPOCH SHUFFLE order (the trainer's data-order contract:
+    every rerun of epoch ``seed`` must visit docs in the same pseudo-random
+    order, with no driver-held permutation): each doc's position key is
+    md5('seed:doc_id') — shuffle-as-sort, so the order exists without ever
+    materializing a permutation anywhere. Returns the first ``k`` docs of
+    the epoch (what the trainer's first batches read), rank-stamped.
+
+    Distribution: per-block top-k partials (each block ships ≤ k rows) +
+    one k×#blocks driver merge — identical shape to the engine's top-k
+    scoring partials, O(k) driver state at any corpus size. Keys are
+    64-bit-collision-free in practice but ties break on doc_id anyway
+    (frozen total order)."""
+    import hashlib
+
+    ds = _docs(sf_dir, ["doc_id"])
+
+    def key_of(ids) -> np.ndarray:
+        return np.fromiter(
+            (
+                int(hashlib.md5(f"{seed}:{i}".encode()).hexdigest()[:8], 16)
+                for i in ids
+            ),
+            dtype=np.int64,
+            count=len(ids),
+        )
+
+    def per_block_topk(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        keys = key_of(ids)
+        order = np.lexsort((ids, keys))[:k]
+        return pa.Table.from_pydict(
+            {"doc_id": ids[order], "shuffle_key": keys[order]}
+        )
+
+    parts = ds.map_batches(per_block_topk, batch_format="pyarrow").to_pandas()
+    parts = parts.sort_values(["shuffle_key", "doc_id"]).head(k).reset_index(drop=True)
+    parts.insert(0, "rank", np.arange(1, len(parts) + 1, dtype=np.int64))
+    parts["doc_id"] = parts["doc_id"].astype("int64")
+    parts["shuffle_key"] = parts["shuffle_key"].astype("int64")
+    return parts[["rank", "doc_id", "shuffle_key"]]

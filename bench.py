@@ -172,12 +172,27 @@ def run_once() -> dict:
     }
 
 
-def _mp_envelope(n_procs: int, n_docs: int = 2000) -> float:
+def _aff_init(counter) -> None:
+    """Pool initializer: pin each worker to a distinct physical core.
+    Single-socket single-NUMA host (lscpu: 1 node, 32 cores, 1 thread/core),
+    so this is a migration-noise control, not a NUMA placement."""
+    with counter.get_lock():
+        idx = counter.value
+        counter.value += 1
+    os.sched_setaffinity(0, {idx % os.cpu_count()})
+
+
+def _mp_envelope(n_procs: int, n_docs: int = 2000, pinned: bool = False) -> float:
     """Hardware scaling envelope: the SAME extraction kernel under raw
     multiprocessing with ZERO framework overhead. Python string/alloc
     workloads saturate this host's memory subsystem well below 32×
     (measured ~2.8× from 8→32 procs), so engine efficiency should be read
-    against this ceiling, not against perfect linear scaling."""
+    against this ceiling, not against perfect linear scaling.
+
+    pinned=True pins each pool worker to its own core (affinity control,
+    VERDICT r3 Next #2): if the pinned envelope scales no better than the
+    unpinned one, the 8→32 shortfall is memory bandwidth, not scheduler
+    migration, and is irreducible on this host."""
     import multiprocessing as mp
 
     import pyarrow.parquet as pq
@@ -185,7 +200,12 @@ def _mp_envelope(n_procs: int, n_docs: int = 2000) -> float:
     pages_dir = f"/tmp/aarhus_bench_pages_{BENCH_PAGES}x{BENCH_AVG_TOKENS}"
     f = sorted(p for p in os.listdir(pages_dir) if p.endswith(".parquet"))[0]
     htmls = pq.read_table(os.path.join(pages_dir, f), columns=["html"])["html"].to_pylist()[:n_docs]
-    with mp.Pool(n_procs) as pool:
+    if pinned:
+        counter = mp.Value("i", 0)
+        pool = mp.Pool(n_procs, initializer=_aff_init, initargs=(counter,))
+    else:
+        pool = mp.Pool(n_procs)
+    with pool:
         t0 = time.perf_counter()
         pool.map(_mp_extract, [htmls] * n_procs)
         wall = time.perf_counter() - t0
@@ -299,52 +319,132 @@ def run_scaling() -> dict:
     }
 
 
-def run_scale_headroom() -> dict:
-    """Flat-throughput-at-10×-corpus evidence (VERDICT round-2 item 9):
-    build the SAME config over 1M pages (10× the headline corpus) at 32
-    CPUs and report docs/s next to the 100k number from a fresh run in the
-    same weather window. A streaming engine should hold docs/s roughly
-    flat as the corpus grows; a falling curve means some stage materializes
-    or a driver tail grows with input size."""
-    results = {}
-    for pages in (BENCH_PAGES, 10 * BENCH_PAGES):
-        env = dict(
-            os.environ,
-            RAY_GRAFT_CPUS="32",
-            BENCH_PAGES=str(pages),
-            BENCH_QUERIES="1000",  # query side is not under test here
-            BENCH_SKIP_SIDE="1",
+def _stage_cpu_per_doc(out_dir: str, n_docs: int) -> dict:
+    """Fold metrics.parquet into per-stage worker-CPU ms/doc — the
+    scale-invariant headroom evidence (wall times drift ±2–3× on this host;
+    per-doc CPU should be flat at 10× corpus if no stage grows with input)."""
+    import pyarrow.parquet as pq
+
+    path = os.path.join(out_dir, "metrics.parquet")
+    if not os.path.exists(path) or not n_docs:
+        return {}
+    df = pq.read_table(path, columns=["stage", "wall_s"]).to_pandas()
+    fold = df.groupby("stage")["wall_s"].sum()
+    return {stage: round(1000.0 * s / n_docs, 3) for stage, s in fold.items()}
+
+
+def run_scale_headroom(trials: int = 1) -> dict:
+    """Flat-throughput-at-10×-corpus evidence (VERDICT round-2 item 9;
+    round-3 Next #7 asks for ≥4 back-to-back trials in one session): build
+    the SAME config over 1M pages (10× the headline corpus) at 32 CPUs and
+    report docs/s next to the 100k number from a fresh run in the same
+    weather window. A streaming engine should hold docs/s roughly flat as
+    the corpus grows; a falling curve means some stage materializes or a
+    driver tail grows with input size. Each trial also folds the build's
+    metrics.parquet into per-stage CPU ms/doc — the scale-invariant claim."""
+    runs = []
+    for _t in range(trials):
+        results = {}
+        for pages in (BENCH_PAGES, 10 * BENCH_PAGES):
+            env = dict(
+                os.environ,
+                RAY_GRAFT_CPUS="32",
+                BENCH_PAGES=str(pages),
+                BENCH_QUERIES="1000",  # query side is not under test here
+                BENCH_SKIP_SIDE="1",
+            )
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env,
+                capture_output=True,
+                text=True,
+                check=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            ).stdout
+            r = json.loads(out.strip().splitlines()[-1])
+            results[pages] = {
+                "build_docs_per_s": r["build_docs_per_s"],
+                "build_seconds": r["queries"]["index_build"],
+                "n_docs": r["n_docs"],
+                # read before the next build overwrites the shared out_dir
+                "stage_cpu_ms_per_doc": _stage_cpu_per_doc(
+                    "/tmp/aarhus_bench_index_32", r["n_docs"]
+                ),
+            }
+        small, big = results[BENCH_PAGES], results[10 * BENCH_PAGES]
+        runs.append(
+            {
+                "ratio": round(big["build_docs_per_s"] / small["build_docs_per_s"], 3),
+                "result_1x": small,
+                "result_10x": big,
+            }
         )
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env,
-            capture_output=True,
-            text=True,
-            check=True,
-            cwd=os.path.dirname(os.path.abspath(__file__)),
-        ).stdout
-        r = json.loads(out.strip().splitlines()[-1])
-        results[pages] = {
-            "build_docs_per_s": r["build_docs_per_s"],
-            "build_seconds": r["queries"]["index_build"],
-            "n_docs": r["n_docs"],
-        }
-    small, big = results[BENCH_PAGES], results[10 * BENCH_PAGES]
+    geo = 1.0
+    for r in runs:
+        geo *= r["ratio"]
+    geo = geo ** (1.0 / len(runs))
     return {
         "metric": "scale_headroom_10x_corpus",
-        "value": round(big["build_docs_per_s"] / small["build_docs_per_s"], 3),
-        "unit": "throughput_ratio_10x_vs_1x",
+        "value": round(geo, 3),
+        "unit": "geomean_throughput_ratio_10x_vs_1x",
         "pages_1x": BENCH_PAGES,
-        "result_1x": small,
-        "result_10x": big,
+        "trials": runs,
         "num_cpus": 32,
     }
+
+
+def run_envelope_affinity(trials: int = 4) -> dict:
+    """Affinity control for the scaling bar (VERDICT r3 Next #2): measure
+    the raw-multiprocessing envelope at 8 and 32 procs, pinned (one worker
+    per core) vs unpinned, INTERLEAVED so weather hits all arms equally.
+    Host is single-socket single-NUMA (32 cores, 1 thread/core), so pinning
+    tests scheduler-migration cost only. If pinned efficiency ≈ unpinned,
+    the 8→32 shortfall is memory bandwidth — irreducible on this host."""
+    # needs the bench corpus on disk
+    from aarhus_ray import fixtures
+
+    pages_dir = f"/tmp/aarhus_bench_pages_{BENCH_PAGES}x{BENCH_AVG_TOKENS}"
+    fixtures.write_pages_dir(
+        pages_dir, BENCH_PAGES, seed=42, rows_per_file=BENCH_PAGES // 16 + 1,
+        avg_tokens=BENCH_AVG_TOKENS,
+    )
+    obs: dict[str, dict[int, list[float]]] = {
+        "unpinned": {8: [], 32: []},
+        "pinned": {8: [], 32: []},
+    }
+    for _t in range(trials):
+        for mode in ("unpinned", "pinned"):
+            for ncpu in (8, 32):
+                obs[mode][ncpu].append(_mp_envelope(ncpu, pinned=(mode == "pinned")))
+    out: dict = {
+        "metric": "envelope_affinity_control",
+        "unit": "docs_per_s",
+        "trials": trials,
+        "topology": "1 socket, 1 NUMA node, 32 cores, 1 thread/core",
+    }
+    for mode in ("unpinned", "pinned"):
+        effs = [
+            round((obs[mode][32][t] / obs[mode][8][t]) / 4.0, 3)
+            for t in range(trials)
+        ]
+        med = sorted(effs)[len(effs) // 2]
+        out[mode] = {
+            "docs_per_s_8": obs[mode][8],
+            "docs_per_s_32": obs[mode][32],
+            "per_trial_efficiency": effs,
+            "median_efficiency": med,
+        }
+    return out
 
 
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     elif "--scale-headroom" in sys.argv:
-        print(json.dumps(run_scale_headroom()))
+        n = int(os.environ.get("BENCH_HEADROOM_TRIALS", "1"))
+        print(json.dumps(run_scale_headroom(trials=n)))
+    elif "--envelope-affinity" in sys.argv:
+        n = int(os.environ.get("BENCH_AFFINITY_TRIALS", "4"))
+        print(json.dumps(run_envelope_affinity(trials=n)))
     else:
         print(json.dumps(run_once()))
