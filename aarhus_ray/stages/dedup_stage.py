@@ -62,6 +62,9 @@ class DedupAssignWriter:
         self.__name__ = "DedupAssignWriter"  # map_groups wraps plain callables
 
     def __call__(self, group: pa.Table) -> pa.Table:
+        from ..affinity import pin_worker
+
+        pin_worker()  # latched: once per worker process
         timer = mf.StageTimer()
         pid = int(group["pid"][0].as_py())
         urls = np.asarray(group["url"].to_pylist(), dtype=object)

@@ -88,6 +88,9 @@ class PostingsEncoder:
         return (local * np.uint64(self.n_salts) // np.uint64(self.P)).astype(np.uint32)
 
     def __call__(self, batch: pa.Table, token_lists: list | None = None) -> pa.Table:
+        from ..affinity import pin_worker
+
+        pin_worker()  # latched: once per worker process
         doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
         if token_lists is not None:
             counts = np.fromiter((len(t) for t in token_lists), np.int64, count=len(token_lists))
@@ -357,6 +360,9 @@ class AssembleSegment:
         self.skip_segs = frozenset(skip_segs)
 
     def __call__(self, group: pa.Table) -> pa.Table:
+        from ..affinity import pin_worker
+
+        pin_worker()  # latched: once per worker process
         timer = mf.StageTimer()
         sid = int(group["bucket"][0].as_py())  # shard id = seg_id*n_salts+salt
         sdir = seg_dir(self.out_dir, sid)

@@ -413,6 +413,9 @@ class QueryScorer:
         WAND's unfiltered block maxima remain admissible upper bounds and
         pruning stays exact (a filtered block's true max can only be
         lower)."""
+        from ..affinity import pin_worker
+
+        pin_worker()  # opt-in core pinning (AARHUS_PIN_CPUS=1); no-op default
         stats = mf.read_stats(out_dir)
         self.out_dir = out_dir
         self.n_docs = int(stats["n_docs"])
