@@ -242,6 +242,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # benchmark decontamination: frozen probe n-grams vs every doc
         "docs_contamination": textstats.contamination_flags,
         "docs_ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+        # cross-doc n-gram novelty (self-BLEU-style): per doc, distinct
+        # 3-grams and how many also occur in >= 1 other doc
+        "docs_ngram_novelty": dedup.ngram_novelty,
         "docs_simhash_pairs": dedup.simhash_dup_pairs,
         "embedding_near_dup_pairs": dedup.embedding_near_dup_pairs,
         # SemDeDup: cluster-scoped semantic dedup, keep-farthest-from-
@@ -1721,6 +1724,25 @@ def oracle_sql() -> dict[str, str]:
         # LSH plan must reproduce; docs with < 3 tokens have no shingles)
         "docs_minhash_lsh_pairs": _JACCARD_PAIRS_SQL,
         "docs_ngram_jaccard_pairs": _JACCARD_PAIRS_SQL,
+        # cross-doc n-gram novelty: per doc, DISTINCT stride-1 3-grams and
+        # how many occur in >= 1 other doc (engine folds 63-bit shingle
+        # hashes where this compares gram strings — the substring idiom;
+        # docs with < 3 tokens have no grams and emit no row)
+        "docs_ngram_novelty": f"""
+            WITH t AS (SELECT doc_id, {toks_nonempty} AS a FROM documents),
+            g AS (SELECT DISTINCT doc_id,
+                         array_to_string(list_slice(a, i, i + {dedup.NOVELTY_N - 1}), ' ') AS gram
+                  FROM (SELECT doc_id, a,
+                               unnest(generate_series(1, len(a) - {dedup.NOVELTY_N - 1})) AS i
+                        FROM t WHERE len(a) >= {dedup.NOVELTY_N})),
+            c AS (SELECT gram, count(*) AS cd FROM g GROUP BY gram)
+            SELECT CAST(g.doc_id AS BIGINT) AS doc_id,
+                   CAST(count(*) AS BIGINT) AS n_grams,
+                   CAST(count(*) FILTER (WHERE c.cd >= 2) AS BIGINT) AS n_shared
+            FROM g JOIN c USING (gram)
+            GROUP BY g.doc_id
+            ORDER BY doc_id
+        """,
         # near-dup CLUSTERS: recursive-CTE transitive closure over the same
         # exact-Jaccard pair graph; cluster_id = min doc_id reachable (the
         # engine computes it by distributed min-label propagation)

@@ -1203,3 +1203,99 @@ def semdedup_drops(sf_dir: str, tau: float = SEMDEDUP_TAU) -> pd.DataFrame:
     for c in ("vec_id", "label"):
         out[c] = out[c].astype("int64")
     return out
+
+
+NOVELTY_N = 3
+
+
+def ngram_novelty(sf_dir: str, n: int = NOVELTY_N) -> pd.DataFrame:
+    """Cross-document n-gram NOVELTY (the self-BLEU-style memorization /
+    boilerplate signal a pretraining curation pass ranks documents by —
+    Lee et al. 2022's motivation measured per doc): for every document,
+    how many of its DISTINCT stride-1 n-grams also occur in at least one
+    OTHER document. High shared fraction = the doc is assembled from
+    corpus-common phrasing (template/boilerplate); low = novel text.
+
+    Shuffle-native and driver-keyset-free end to end — three integer-row
+    exchanges, each O(distinct (doc, gram) pairs), text never leaves the
+    map stage:
+      1. map: tokenize_flat -> polynomial shingle fold (the frozen 63-bit
+         hash all dedup ops share) -> per-doc DISTINCT (doc_id, h) rows
+         (lexsort + neighbor-difference mask, fully vectorized);
+      2. groupby(h).count() - pairs are per-doc-distinct, so a gram's row
+         count IS its distinct-doc count (no second distinct pass);
+      3. pairs JOIN counts on h (Dataset.join, partitions sized to the
+         pair volume) tags each pair with its gram's doc count; per-doc
+         Sum partials fold (n_grams, n_shared).
+    Docs with < n tokens have no n-grams and emit no row (mirrored by the
+    oracle's len(toks) >= n guard). Engine grams are 63-bit hashes where
+    the SQL compares gram STRINGS — equal modulo ~1e-13 collisions, the
+    accepted substring-dedup idiom. Output (doc_id, n_grams, n_shared),
+    int64, sorted by doc_id; novelty = 1 - n_shared/n_grams is the
+    client-side float (the integer contract keeps the hash exact)."""
+    from ray.data.aggregate import Sum
+
+    from ..textnorm import tokenize_flat
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).repartition(16)
+
+    def pair_rows(batch: pa.Table) -> pa.Table:
+        nb = len(batch)
+        flat, flat_rows, _ = tokenize_flat(batch["text"], np.arange(nb, dtype=np.uint64))
+        rows = flat_rows.astype(np.int64)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        empty = pa.table(
+            {"doc_id": pa.array([], pa.int64()), "h": pa.array([], pa.int64())}
+        )
+        if len(flat) < n:
+            return empty
+        th = _token_hashes(flat)
+        acc = th[: len(th) - n + 1].copy()
+        for j in range(1, n):
+            acc = acc * _SH_A + th[j : len(th) - n + 1 + j]
+        valid = rows[: len(th) - n + 1] == rows[n - 1 :]
+        if not valid.any():
+            return empty
+        r = rows[: len(th) - n + 1][valid]
+        keys = (_mix64(acc[valid]) >> np.uint64(1)).astype(np.int64)
+        order = np.lexsort((keys, r))
+        r, keys = r[order], keys[order]
+        keep = np.ones(len(r), bool)
+        keep[1:] = (r[1:] != r[:-1]) | (keys[1:] != keys[:-1])
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[r[keep]], pa.int64()),
+                "h": pa.array(keys[keep], pa.int64()),
+            }
+        )
+
+    rows_ds = ds.map_batches(pair_rows, batch_format="pyarrow").materialize()
+    n_pairs = rows_ds.count()
+    cols = ("doc_id", "n_grams", "n_shared")
+    if n_pairs == 0:
+        return pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
+    counts = rows_ds.groupby("h").count()
+    n_parts = int(max(2, min(64, n_pairs // 10_000)))
+    tagged = rows_ds.join(counts, join_type="inner", on=("h",), num_partitions=n_parts)
+
+    def fold(batch: pa.Table) -> pa.Table:
+        c = batch["count()"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "one": pa.array(np.ones(len(batch), np.int64), pa.int64()),
+                "sh": pa.array((c >= 2).astype(np.int64), pa.int64()),
+            }
+        )
+
+    out = (
+        tagged.map_batches(fold, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Sum("one", alias_name="n_grams"), Sum("sh", alias_name="n_shared"))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for c in cols:
+        out[c] = out[c].astype("int64")
+    return out

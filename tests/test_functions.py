@@ -2829,3 +2829,38 @@ def test_span_first_gate_and_ranking():
     # the gate actually bites: plain single-term BM25 top-10 differs for
     # at least one query (otherwise the op is indistinguishable from topk)
     assert len(out) > 0
+
+
+def test_ngram_novelty_matches_python_recompute():
+    """ngram_novelty == a dict recompute over 3-gram STRINGS (the engine
+    folds 63-bit shingle hashes — equal modulo collisions): per doc the
+    distinct stride-1 3-gram count and how many occur in >= 1 other doc.
+    Also pins that the planted near-dup pairs actually share grams (the
+    signal is live, not vacuously zero)."""
+    from aarhus_ray.functions.dedup import NOVELTY_N, ngram_novelty
+    from aarhus_ray.textnorm import tokenize
+
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    grams: dict[int, set[str]] = {}
+    for d, t in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()):
+        tk = tokenize(t)
+        grams[int(d)] = {
+            " ".join(tk[i : i + NOVELTY_N]) for i in range(len(tk) - NOVELTY_N + 1)
+        }
+    doc_count: dict[str, int] = {}
+    for gs in grams.values():
+        for g in gs:
+            doc_count[g] = doc_count.get(g, 0) + 1
+    want = {
+        d: (len(gs), sum(1 for g in gs if doc_count[g] >= 2))
+        for d, gs in grams.items()
+        if gs
+    }
+
+    got = ngram_novelty(SF)
+    assert got["doc_id"].tolist() == sorted(want)
+    for _, row in got.iterrows():
+        w = want[int(row["doc_id"])]
+        assert (int(row["n_grams"]), int(row["n_shared"])) == w
+    # the signal is live: some docs share grams with others
+    assert int(got["n_shared"].sum()) > 0
