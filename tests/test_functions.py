@@ -2864,3 +2864,30 @@ def test_ngram_novelty_matches_python_recompute():
         assert (int(row["n_grams"]), int(row["n_shared"])) == w
     # the signal is live: some docs share grams with others
     assert int(got["n_shared"].sum()) > 0
+
+
+def test_ivfpq_search_recall_and_exact_cos():
+    """ivfpq_search (FAISS IVFADC composition): deterministic, recall@10
+    >= 0.8 vs brute on the gaussian (worst-case) corpus at the default
+    nprobe/rerank window, every returned cosine exact and rows in brute's
+    total order; probing ALL cells with a full rerank window degrades to
+    the pq_search shape (candidate set = full corpus) and must contain
+    the true top-1."""
+    from aarhus_ray.functions.ann import ivfpq_search, knn_cosine_bruteforce
+
+    k = 10
+    out = ivfpq_search(SF, k=k)
+    again = ivfpq_search(SF, k=k)
+    assert out.values.tolist() == again.values.tolist()
+
+    brute_full = knn_cosine_bruteforce(SF, k=10**9)
+    true_top = set(brute_full["vec_id"].head(k).tolist())
+    assert len(true_top & set(out["vec_id"].tolist())) >= int(0.8 * k)
+    pos = {v: i for i, v in enumerate(brute_full["vec_id"].tolist())}
+    ranks = [pos[v] for v in out["vec_id"].tolist()]
+    assert ranks == sorted(ranks)
+    cos_of = dict(zip(brute_full["vec_id"], brute_full["cos"]))
+    assert all(cos_of[v] == c for v, c in zip(out["vec_id"], out["cos"]))
+
+    all_cells = ivfpq_search(SF, k=k, nprobe=16)
+    assert brute_full["vec_id"].iloc[0] in set(all_cells["vec_id"].tolist())
