@@ -89,6 +89,30 @@ def _min_ordered_span(lists: list[np.ndarray]) -> int:
     return best
 
 
+def _clean_span_exists(lists: list[np.ndarray], excl: np.ndarray, limit: int) -> bool:
+    """Does an ordered pick p0 < p1 < … < p_{n−1} (one per sorted list)
+    exist with p_{n−1} − p0 ≤ limit and NO ``excl`` position inside the
+    inclusive window [p0, p_{n−1}]? The Lucene SpanNotQuery predicate
+    (pre=post=0). Per start p0 the greedy first-after chain reaches the
+    MINIMAL last position; any other chain from p0 ends later, so its
+    window is a superset — if the greedy window is dirty every window
+    from p0 is, making greedy-per-start exact (property-tested against
+    enumeration). A failed chain fails from every later start too
+    (monotone), so the scan short-circuits."""
+    for p0 in lists[0]:
+        cur = int(p0)
+        for lst in lists[1:]:
+            j = int(np.searchsorted(lst, cur + 1))
+            if j == len(lst):
+                return False
+            cur = int(lst[j])
+        if cur - int(p0) <= limit:
+            lo = int(np.searchsorted(excl, int(p0)))
+            if lo == len(excl) or int(excl[lo]) > cur:
+                return True
+    return False
+
+
 def _lev1_same(mat: np.ndarray, qb: np.ndarray) -> np.ndarray:
     """Rows of ``mat`` (n × m byte matrix) within substitution distance 1
     of ``qb`` (m bytes): at most one mismatched position."""
@@ -422,22 +446,22 @@ class QueryScorer:
         self.avgdl = float(stats["avgdl"])
         self.k = k
         self.method = method
-        if mode not in ("or", "and", "phrase", "near", "span_near", "prefix",
-                        "fuzzy", "boost", "boolean", "msm", "terms_set",
-                        "wildcard", "regexp", "query_string", "phrase_prefix",
-                        "intervals"):
+        if mode not in ("or", "and", "phrase", "near", "span_near", "span_not",
+                        "prefix", "fuzzy", "boost", "boolean", "msm",
+                        "terms_set", "wildcard", "regexp", "query_string",
+                        "phrase_prefix", "intervals"):
             raise ValueError(
                 f"mode must be 'or', 'and', 'phrase', 'near', 'span_near', "
-                f"'prefix', 'fuzzy', 'boost', 'boolean', 'msm', 'terms_set', "
-                f"'wildcard', 'regexp', 'query_string', 'phrase_prefix' or "
-                f"'intervals', not {mode!r}"
+                f"'span_not', 'prefix', 'fuzzy', 'boost', 'boolean', 'msm', "
+                f"'terms_set', 'wildcard', 'regexp', 'query_string', "
+                f"'phrase_prefix' or 'intervals', not {mode!r}"
             )
         if mode == "and" and method not in ("wand", "brute"):
             raise ValueError(f"conjunctive scoring supports wand/brute, not {method!r}")
         if mode in ("prefix", "fuzzy", "boost", "boolean", "msm", "terms_set",
                     "wildcard", "regexp", "query_string") and method not in ("wand", "brute"):
             raise ValueError(f"{mode} scoring supports wand/brute, not {method!r}")
-        if mode in ("phrase", "near", "span_near", "phrase_prefix",
+        if mode in ("phrase", "near", "span_near", "span_not", "phrase_prefix",
                     "intervals") and method != "wand":
             raise ValueError(f"{mode} scoring supports method='wand', not {method!r}")
         self.mode = mode
@@ -961,6 +985,94 @@ class QueryScorer:
                     if any(len(p) == 0 for p in lists):
                         continue
                     keep[i] = _min_ordered_span(lists) <= limit
+                cand = cand[keep]
+        if len(cand) == 0:
+            return np.empty(0, np.uint64), np.empty(0, np.float64)
+        scores = np.zeros(len(cand), dtype=np.float64)
+        for doc_ids, contribs, _, _ in entries:  # sorted-term order
+            scores += contribs[np.searchsorted(doc_ids, cand)]
+        from ..bm25 import topk_select
+
+        return topk_select(cand, scores, self.k)
+
+    def _score_query_span_not(self, text: str) -> tuple[np.ndarray, np.ndarray]:
+        """Lucene ``span_not`` (pre=post=0): query text is
+        ``include_seq ! exclude_terms`` — a doc qualifies iff some ordered
+        occurrence of the include sequence (strictly increasing picks
+        within len(seq)−1+span_slop tokens, the span_near predicate) has
+        NO exclude-term occurrence inside its inclusive position window.
+        Candidates are the conjunctive intersection of the INCLUDE terms;
+        exclusion only vetoes spans — an OOV or absent exclude term vetoes
+        nothing (degenerates to span_near, pinned by test), while
+        ``t ! t`` is provably empty (every window contains its own pick).
+        Survivors rank by the BM25 sum of the DISTINCT INCLUDE terms
+        (Lucene scores SpanNot by the include span), frozen
+        (score DESC, doc_id ASC). Verification reads the positional
+        sidecar when every owning shard (include AND exclude) carries one,
+        else re-tokenizes candidate texts from the docs/ checkpoint — the
+        two-engine shape shared by phrase/near/span_near."""
+        if "!" not in text:
+            raise ValueError("span_not query must be 'include_seq ! exclude_terms'")
+        inc_part, exc_part = text.split("!", 1)
+        seq = tokenize(inc_part)
+        excl_terms = sorted(set(tokenize(exc_part)))
+        if not seq:
+            return np.empty(0, np.uint64), np.empty(0, np.float64)
+        owners = {}
+        for t in set(seq):
+            segs = self._owners(t)
+            if not segs:
+                return np.empty(0, np.uint64), np.empty(0, np.float64)
+            owners[t] = segs
+        # exclude terms gate nothing; absent/OOV ones simply have no
+        # positions to veto with
+        excl_owners = {t: self._owners(t) for t in excl_terms}
+        excl_owners = {t: s for t, s in excl_owners.items() if s}
+        terms = sorted(owners)
+        entries = [self._term_arrays(t, owners[t]) for t in terms]
+        cand = self._conj_candidates(terms, entries)
+        if len(cand):
+            limit = len(seq) - 1 + self.span_slop
+            all_segs = list(owners.values()) + list(excl_owners.values())
+            if all(seg.pos_dict is not None for segs in all_segs for seg in segs):
+                pos_by_term = {
+                    t: self._positions_of_docs(t, owners[t], cand) for t in set(seq)
+                }
+                excl_by_term = {
+                    t: self._positions_of_docs(t, excl_owners[t], cand)
+                    for t in excl_owners
+                }
+                keep = np.zeros(len(cand), dtype=bool)
+                for ci in range(len(cand)):
+                    lists = [pos_by_term[t][ci] for t in seq]
+                    if any(p is None or len(p) == 0 for p in lists):
+                        continue
+                    ex = [
+                        p
+                        for p in (excl_by_term[t][ci] for t in excl_owners)
+                        if p is not None and len(p)
+                    ]
+                    excl = (
+                        np.sort(np.concatenate(ex))
+                        if ex
+                        else np.empty(0, np.int64)
+                    )
+                    keep[ci] = _clean_span_exists(lists, excl, limit)
+                cand = cand[keep]
+            else:
+                texts = self._texts_of(cand)
+                keep = np.zeros(len(cand), dtype=bool)
+                for i, doc_text in enumerate(texts):
+                    arr = np.asarray(tokenize(doc_text), dtype=object)
+                    lists = [np.flatnonzero(arr == t) for t in seq]
+                    if any(len(p) == 0 for p in lists):
+                        continue
+                    excl = np.sort(
+                        np.concatenate(
+                            [np.flatnonzero(arr == t) for t in excl_terms]
+                        )
+                    ) if excl_terms else np.empty(0, np.int64)
+                    keep[i] = _clean_span_exists(lists, excl, limit)
                 cand = cand[keep]
         if len(cand) == 0:
             return np.empty(0, np.uint64), np.empty(0, np.float64)
@@ -1560,6 +1672,8 @@ class QueryScorer:
             return self._score_query_near(text)
         if self.mode == "span_near":
             return self._score_query_span(text)
+        if self.mode == "span_not":
+            return self._score_query_span_not(text)
         if self.mode == "intervals":
             return self._score_query_intervals(text)
         if self.mode == "prefix":

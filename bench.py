@@ -74,11 +74,14 @@ def run_once() -> dict:
         out_dir,
         # P pinned regardless of CPU count: the scaling pair must share the
         # same logical partitioning (and doc_ids are a function of P).
-        # 128 partitions (round 3; was 64): ~780 docs per dedup/encode group
-        # — the round-3 sweep measured the per-group stage cost to be
-        # superlinear in group size (45s vs 157s total UDF at P=128 vs 64),
-        # and smaller groups shorten the straggler tail at 32 CPUs
-        num_partitions=128,
+        # 128 partitions at the 100k headline (round 3; was 64): ~780 docs
+        # per dedup/encode group — the round-3 sweep measured the per-group
+        # stage cost to be superlinear in group size (45s vs 157s total UDF
+        # at P=128 vs 64), and smaller groups shorten the straggler tail at
+        # 32 CPUs. P scales with the corpus (constant group SIZE, the knob
+        # that matters) so --scale-headroom's 10x build keeps ~780-doc
+        # groups instead of paying the superlinear cost at 7.8k
+        num_partitions=max(32, BENCH_PAGES * 128 // 100000),
         # 8 term-ranges × 8 docID salts = 64 reduce shards: both runs of the
         # scaling pair share this logical partitioning (SURVEY.md §4.5);
         # salts=8 halves the heaviest term-shard straggler vs salts=4

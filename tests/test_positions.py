@@ -307,3 +307,91 @@ def test_intervals_mode_fallback_parity_and_degenerates(pos_pair):
         assert (a2["score"].to_numpy() == a0["score"].to_numpy()).all()
         assert len(a[a["query_id"] == 1]) > 0  # alternation query matches
         assert (a["query_id"] == 4).sum() == 0
+
+
+def test_clean_span_exists_vs_bruteforce():
+    """_clean_span_exists (greedy-per-start) == exhaustive enumeration of
+    all strictly-increasing picks with the no-exclude-in-window predicate,
+    on random lists incl. shared-list reuse and random exclude sets."""
+    from itertools import product
+
+    from aarhus_ray.stages.query_stage import _clean_span_exists
+
+    rng = random.Random(23)
+    for _ in range(300):
+        n_lists = rng.randint(1, 4)
+        lists = [
+            np.array(sorted(rng.sample(range(25), rng.randint(1, 5))), dtype=np.int64)
+            for _ in range(n_lists)
+        ]
+        if n_lists >= 2 and rng.random() < 0.3:
+            lists[-1] = lists[0]
+        excl = np.array(
+            sorted(rng.sample(range(25), rng.randint(0, 8))), dtype=np.int64
+        )
+        limit = rng.randint(0, 12)
+        want = False
+        for pick in product(*lists):
+            if not all(pick[i + 1] > pick[i] for i in range(len(pick) - 1)):
+                continue
+            if pick[-1] - pick[0] > limit:
+                continue
+            if not ((excl >= pick[0]) & (excl <= pick[-1])).any():
+                want = True
+                break
+        assert _clean_span_exists(lists, excl, limit) == want
+
+
+def test_span_not_degeneracy_and_self_exclude(pos_pair):
+    """mode='span_not' with an OOV exclude == mode='span_near' for the same
+    include (bit-identical scores); 't ! t' is empty (every window contains
+    its own pick); positional and re-tokenize paths agree; and a live
+    exclude never GROWS the match set."""
+    text_of = _texts(pos_pair["pos"])
+    texts = list(text_of.values())
+    t0 = tokenize(texts[0])
+    inc = f"{t0[0]} {t0[1]}"
+    q_not = pa.table(
+        {
+            "query_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(
+                [
+                    f"{inc} ! zzznotinvocab",
+                    f"{t0[0]} ! {t0[0]}",
+                    f"{inc} ! {t0[2]}",
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    q_near = pa.table(
+        {
+            "query_id": pa.array([0], pa.int64()),
+            "text": pa.array([inc], pa.string()),
+        }
+    )
+    for slop in (0, 2):
+        a = (
+            query_index(pos_pair["pos"], q_not, k=10, mode="span_not",
+                        span_slop=slop, resolve_urls=False)
+            .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+        )
+        b = (
+            query_index(pos_pair["nopos"], q_not, k=10, mode="span_not",
+                        span_slop=slop, resolve_urls=False)
+            .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+        )
+        assert len(a) == len(b)
+        assert (a["doc_id"].to_numpy() == b["doc_id"].to_numpy()).all()
+        assert (a["score"].to_numpy() == b["score"].to_numpy()).all()
+        near = (
+            query_index(pos_pair["pos"], q_near, k=10, mode="span_near",
+                        span_slop=slop, resolve_urls=False)
+            .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+        )
+        oov = a[a["query_id"] == 0].reset_index(drop=True)
+        assert (oov["doc_id"].to_numpy() == near["doc_id"].to_numpy()).all()
+        assert (oov["score"].to_numpy() == near["score"].to_numpy()).all()
+        assert (a["query_id"] == 1).sum() == 0  # self-exclude is empty
+        live = set(a[a["query_id"] == 2]["doc_id"].tolist())
+        assert live <= set(near["doc_id"].tolist()) or len(near) == 10
