@@ -448,6 +448,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fulltext_extended_stats": fulltext.extended_stats_query,
         # filters agg: named predicate buckets + other_bucket, one pass
         "fulltext_filters_agg": fulltext.filters_agg_query,
+        # bucket_script + bucket_selector: integer script metric over
+        # sibling metrics, scale-free share selector (cross-multiply)
+        "fulltext_bucket_script": fulltext.bucket_script_query,
+        # t_test: Welch t of doclen, match vs rest, exact (n,S,SS) partials
+        "fulltext_t_test": fulltext.t_test_query,
         # multi_terms: composite (lang, doclen-bucket) terms agg, top-k
         "fulltext_multi_terms": fulltext.multi_terms_query,
         # terms_enum: dictionary prefix range scan across segment shards
@@ -2090,6 +2095,8 @@ def oracle_sql() -> dict[str, str]:
         "fulltext_mad": fulltext.mad_oracle_sql(),
         "fulltext_extended_stats": fulltext.extended_stats_oracle_sql(),
         "fulltext_filters_agg": fulltext.filters_agg_oracle_sql(),
+        "fulltext_bucket_script": fulltext.bucket_script_oracle_sql(),
+        "fulltext_t_test": fulltext.t_test_oracle_sql(),
         "fulltext_multi_terms": fulltext.multi_terms_oracle_sql(),
         "fulltext_terms_enum": fulltext.terms_enum_oracle_sql(),
         "fulltext_matrix_stats": fulltext.matrix_stats_oracle_sql(),

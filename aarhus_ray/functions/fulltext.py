@@ -4198,6 +4198,126 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+BUCKET_SCRIPT_DENOM = 8  # bucket_selector: keep langs with ≥ 1/8 of matches
+
+
+def bucket_script_query(sf_dir: str) -> pd.DataFrame:
+    """bucket_script + bucket_selector pipeline aggs per FT_QUERY (ES):
+    lang-terms buckets over the match set carrying n_docs and sum_doclen,
+    the script-derived integer avg_dl_x100 = sum_doclen*100 // n_docs,
+    and the selector keeping buckets with ≥ 1/BUCKET_SCRIPT_DENOM of the
+    query's matched docs — a scale-free integer cross-multiply, so the
+    frozen contract holds at any sf (pipelines/query.bucket_script_agg).
+    All columns integer, hash-exact."""
+    from ..pipelines.query import bucket_script_agg
+
+    index = _ensure_index(sf_dir, fresh=False)
+    queries = pa.table(
+        {
+            "query_id": pa.array(range(len(FT_QUERIES)), pa.int64()),
+            "text": pa.array(list(FT_QUERIES), pa.string()),
+        }
+    )
+    out = bucket_script_agg(index, queries, share_denom=BUCKET_SCRIPT_DENOM).to_pandas()
+    return out.sort_values(["query_id", "lang"]).reset_index(drop=True)
+
+
+def bucket_script_oracle_sql() -> str:
+    """Oracle: per-(query, lang) count + doclen sum over the distinct
+    match set, HAVING the cross-multiplied share selector, integer ``//``
+    for the script metric."""
+    values = ",".join(
+        f"({qid}, '{term}')" for qid, q in enumerate(FT_QUERIES) for term in q.split()
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok
+    FROM documents) WHERE tok <> ''
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+q(query_id, tok) AS (VALUES {values}),
+qd AS (SELECT DISTINCT query_id, tok FROM q),
+matched AS (SELECT DISTINCT qd.query_id, toks.doc_id FROM qd JOIN toks USING (tok)),
+tot AS (SELECT query_id, count(*) AS n_tot FROM matched GROUP BY 1),
+b AS (SELECT m.query_id, d.lang, count(*) AS n_docs,
+             CAST(SUM(dl.dl) AS BIGINT) AS sum_doclen
+      FROM matched m JOIN documents d USING (doc_id) JOIN dl ON dl.doc_id = m.doc_id
+      GROUP BY 1, 2)
+SELECT CAST(b.query_id AS BIGINT) AS query_id, b.lang,
+       CAST(b.n_docs AS BIGINT) AS n_docs,
+       b.sum_doclen,
+       CAST((b.sum_doclen * 100) // b.n_docs AS BIGINT) AS avg_dl_x100
+FROM b JOIN tot USING (query_id)
+WHERE b.n_docs * {BUCKET_SCRIPT_DENOM} >= tot.n_tot
+ORDER BY 1, 2
+"""
+
+
+def t_test_query(sf_dir: str) -> pd.DataFrame:
+    """ES t_test aggregation (Welch, heteroscedastic) per FT_QUERY:
+    doclen of matched docs vs the rest of the corpus, moments from exact
+    integer (n, S, SS) sums — additive per doc range, so the cluster
+    plan is one partial-merge — with the float expression tree mirrored
+    verbatim in the oracle and means/t rounded 3dp
+    (pipelines/query.t_test_agg)."""
+    from ..pipelines.query import t_test_agg
+
+    index = _ensure_index(sf_dir, fresh=False)
+    queries = pa.table(
+        {
+            "query_id": pa.array(range(len(FT_QUERIES)), pa.int64()),
+            "text": pa.array(list(FT_QUERIES), pa.string()),
+        }
+    )
+    out = t_test_agg(index, queries).to_pandas()
+    return out.sort_values(["query_id"]).reset_index(drop=True)
+
+
+def t_test_oracle_sql() -> str:
+    """Welch-t oracle: exact integer (n, S, SS) per side (rest = corpus −
+    match), the SAME IEEE expression tree as the engine (every operand
+    exact below 2^53 at oracle scales, so each op is correctly rounded
+    identically on both engines), round 3dp, <2-doc sides dropped."""
+    values = ",".join(
+        f"({qid}, '{term}')" for qid, q in enumerate(FT_QUERIES) for term in q.split()
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok
+    FROM documents) WHERE tok <> ''
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+corpus AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(SUM(dlv) AS BIGINT) AS s,
+         CAST(SUM(dlv * dlv) AS BIGINT) AS ss
+  FROM (SELECT coalesce(dl.dl, 0) AS dlv
+        FROM documents d LEFT JOIN dl USING (doc_id))
+),
+q(query_id, tok) AS (VALUES {values}),
+qd AS (SELECT DISTINCT query_id, tok FROM q),
+matched AS (SELECT DISTINCT qd.query_id, toks.doc_id FROM qd JOIN toks USING (tok)),
+m AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n1,
+             CAST(SUM(dl.dl) AS BIGINT) AS s1,
+             CAST(SUM(dl.dl * dl.dl) AS BIGINT) AS ss1
+      FROM matched JOIN dl USING (doc_id) GROUP BY 1),
+calc AS (SELECT m.query_id, m.n1, c.n - m.n1 AS n2,
+                m.s1, c.s - m.s1 AS s2, m.ss1, c.ss - m.ss1 AS ss2
+         FROM m CROSS JOIN corpus c)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(n1 AS BIGINT) AS n_match, CAST(n2 AS BIGINT) AS n_rest,
+       round(CAST(s1 AS DOUBLE) / n1, 3) AS mean_match,
+       round(CAST(s2 AS DOUBLE) / n2, 3) AS mean_rest,
+       round( (CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2)
+              / sqrt( ((ss1 - CAST(s1 AS DOUBLE) * s1 / n1) / (n1 - 1)) / n1
+                    + ((ss2 - CAST(s2 AS DOUBLE) * s2 / n2) / (n2 - 1)) / n2 ),
+              3) AS t_stat
+FROM calc WHERE n1 >= 2 AND n2 >= 2
+ORDER BY query_id
+"""
+
+
 def export_matches_query(sf_dir: str) -> pd.DataFrame:
     """Scroll/export: the FULL match set per FT_QUERY as (query_id,
     doc_id) rows (pipelines/query.export_matches — a streaming Dataset;

@@ -1240,6 +1240,76 @@ def filters_agg(
     )
 
 
+def bucket_script_agg(
+    out_dir: str,
+    queries,
+    share_denom: int = 8,
+    concurrency: int | None = None,
+    batch_size: int = 64,
+) -> ray.data.Dataset:
+    """``bucket_script`` + ``bucket_selector`` pipeline aggs per query (ES):
+    lang-terms buckets over the match set with n_docs/sum_doclen metrics,
+    the integer-frozen derived avg_dl_x100, and the scale-free selector
+    keeping buckets with ≥ 1/share_denom of the query's matches. Returns
+    (query_id, lang, n_docs, sum_doclen, avg_dl_x100)."""
+    from ..stages.query_stage import BucketScriptAggTaskFn
+
+    segs = list_segments(out_dir)
+    if not segs:
+        raise ValueError(f"no segments under {out_dir}")
+    conc = concurrency or max(1, _cpus())
+    if isinstance(queries, str):
+        import pyarrow.parquet as _pq
+
+        queries = _pq.read_table(queries)
+    if isinstance(queries, pa.Table):
+        n_blocks = max(1, min(conc * 4, queries.num_rows // max(1, batch_size) + 1))
+        per = (queries.num_rows + n_blocks - 1) // n_blocks
+        slices = [queries.slice(i * per, per) for i in range(n_blocks) if i * per < queries.num_rows]
+        qds = ray.data.from_arrow(slices)
+    else:
+        qds = queries
+    return qds.map_batches(
+        BucketScriptAggTaskFn(out_dir, segs, share_denom, index_version(out_dir)),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+
+
+def t_test_agg(
+    out_dir: str,
+    queries,
+    concurrency: int | None = None,
+    batch_size: int = 64,
+) -> ray.data.Dataset:
+    """ES ``t_test`` agg (Welch, heteroscedastic) per query: doclen of
+    matched docs vs the rest of the live corpus, moments from exact
+    integer (n, S, SS) partials, means/t rounded 3dp. Returns
+    (query_id, n_match, n_rest, mean_match, mean_rest, t_stat)."""
+    from ..stages.query_stage import TTestAggTaskFn
+
+    segs = list_segments(out_dir)
+    if not segs:
+        raise ValueError(f"no segments under {out_dir}")
+    conc = concurrency or max(1, _cpus())
+    if isinstance(queries, str):
+        import pyarrow.parquet as _pq
+
+        queries = _pq.read_table(queries)
+    if isinstance(queries, pa.Table):
+        n_blocks = max(1, min(conc * 4, queries.num_rows // max(1, batch_size) + 1))
+        per = (queries.num_rows + n_blocks - 1) // n_blocks
+        slices = [queries.slice(i * per, per) for i in range(n_blocks) if i * per < queries.num_rows]
+        qds = ray.data.from_arrow(slices)
+    else:
+        qds = queries
+    return qds.map_batches(
+        TTestAggTaskFn(out_dir, segs, index_version(out_dir)),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+
+
 def percolate(
     docs,
     queries,

@@ -15,6 +15,7 @@ cheap at cluster scale.
 from __future__ import annotations
 
 import glob
+import math
 import os
 
 import numpy as np
@@ -4792,3 +4793,180 @@ class FiltersAggTaskFn:
             fa = FiltersAgg(out_dir, list(seg_ids))
             _WORKER_MATCH_AGG_CACHE[key] = fa
         return fa(batch)
+
+
+class BucketScriptAgg(FacetCounter):
+    """``bucket_script`` + ``bucket_selector`` pipeline aggregations (ES):
+    per query, a terms agg on the lang facet over the match set carrying
+    two sibling metrics — n_docs and sum_doclen — from which
+    ``bucket_script`` derives ``avg_dl_x100 = sum_doclen*100 // n_docs``
+    (integer-frozen, no float contract needed) and ``bucket_selector``
+    keeps only buckets holding ≥ 1/share_denom of the query's matched
+    docs (``n_docs * share_denom >= n_total`` — a scale-free integer
+    cross-multiply, so the predicate is exact at any corpus size).
+    Counts and sums are additive per doc range, so the cluster plan is
+    the standard partial-merge: per-range (lang, n, sum) triples fold to
+    the global buckets before the script/selector run on the k-sized
+    result (SCALE.md §3); the selector CANNOT push below the merge
+    because n_total is global."""
+
+    def __init__(self, out_dir: str, seg_ids: list[int] | None = None,
+                 share_denom: int = 8):
+        super().__init__(out_dir, seg_ids, "lang")
+        files = sorted(glob.glob(os.path.join(out_dir, "docs", "pid=*.parquet")))
+        tbl = pa.concat_tables(
+            pq.read_table(f, columns=["doc_id", "doclen"]) for f in files
+        )
+        self.doclen = tbl["doclen"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        self.share_denom = int(share_denom)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids: list[int] = []
+        langs: list[str] = []
+        ns: list[int] = []
+        sums: list[int] = []
+        avgs: list[int] = []
+        for qid, text in zip(batch["query_id"].to_pylist(), batch["text"].to_pylist()):
+            docs = self._match_set(text)
+            if len(docs) == 0:
+                continue
+            idx = np.searchsorted(self.doc_ids, docs)
+            codes = self.codes[idx]
+            n = np.bincount(codes, minlength=len(self.values))
+            # float64 bincount weights: doclen sums stay exact below 2^53
+            s = np.bincount(
+                codes, weights=self.doclen[idx].astype(np.float64),
+                minlength=len(self.values),
+            )
+            total = len(docs)
+            for vi in np.argsort(np.asarray(self.values, dtype=object), kind="stable"):
+                nv = int(n[vi])
+                if nv and nv * self.share_denom >= total:
+                    sv = int(s[vi])
+                    qids.append(qid)
+                    langs.append(self.values[vi])
+                    ns.append(nv)
+                    sums.append(sv)
+                    avgs.append(sv * 100 // nv)
+        return pa.table(
+            {
+                "query_id": pa.array(qids, pa.int64()),
+                "lang": pa.array(langs, pa.string()),
+                "n_docs": pa.array(ns, pa.int64()),
+                "sum_doclen": pa.array(sums, pa.int64()),
+                "avg_dl_x100": pa.array(avgs, pa.int64()),
+            }
+        )
+
+
+class BucketScriptAggTaskFn:
+    """Task-fn form of BucketScriptAgg (worker-process cache)."""
+
+    def __init__(self, out_dir: str, seg_ids: list[int], share_denom: int,
+                 version: float):
+        self.args = (out_dir, tuple(seg_ids), share_denom, version)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_dir, seg_ids, share_denom, version = self.args
+        key = (out_dir, version, seg_ids, share_denom, "bucket_script")
+        bs = _WORKER_MATCH_AGG_CACHE.get(key)
+        if bs is None:
+            for kk in [kk for kk in _WORKER_MATCH_AGG_CACHE if kk[0] == out_dir and kk[1] < version]:
+                del _WORKER_MATCH_AGG_CACHE[kk]
+            bs = BucketScriptAgg(out_dir, list(seg_ids), share_denom)
+            _WORKER_MATCH_AGG_CACHE[key] = bs
+        return bs(batch)
+
+
+class TTestAgg(FacetCounter):
+    """ES ``t_test`` aggregation (type=heteroscedastic — Welch's unpaired
+    two-sample t): per query, the t-statistic of the doclen docvalue
+    between MATCHED docs and the REST of the live corpus. Every moment
+    derives from exact integer sums — per-side (n, S=Σdl, SS=Σdl²), with
+    the rest side obtained by subtracting the match side from corpus
+    totals computed once per worker (tombstones excluded, matching
+    QueryScorer visibility) — so the cluster plan is one per-range
+    (n, S, SS) partial-merge; only the final scalar arithmetic is float.
+    The float expression tree is spelled IDENTICALLY in the SQL oracle
+    (each IEEE op correctly rounded on both engines → bitwise-equal t),
+    and means/t round to 3dp per the repo's documented float contract.
+    Queries where either side has < 2 docs emit no row (variance
+    undefined), a guard the oracle repeats."""
+
+    def __init__(self, out_dir: str, seg_ids: list[int] | None = None):
+        super().__init__(out_dir, seg_ids, "lang")
+        files = sorted(glob.glob(os.path.join(out_dir, "docs", "pid=*.parquet")))
+        tbl = pa.concat_tables(
+            pq.read_table(f, columns=["doc_id", "doclen"]) for f in files
+        )
+        dl = tbl["doclen"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        if self.exclude_ids is not None and len(self.exclude_ids):
+            pos = np.searchsorted(self.exclude_ids, self.doc_ids)
+            ok = pos < len(self.exclude_ids)
+            ok[ok] = self.exclude_ids[pos[ok]] == self.doc_ids[ok]
+            live = ~ok
+        else:
+            live = np.ones(len(dl), dtype=bool)
+        self.doclen = dl
+        self.n_corpus = int(live.sum())
+        self.s_corpus = int(dl[live].sum())
+        self.ss_corpus = int((dl[live].astype(np.int64) ** 2).sum())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids: list[int] = []
+        n1s: list[int] = []
+        n2s: list[int] = []
+        m1s: list[float] = []
+        m2s: list[float] = []
+        ts: list[float] = []
+        for qid, text in zip(batch["query_id"].to_pylist(), batch["text"].to_pylist()):
+            docs = self._match_set(text)
+            n1 = len(docs)
+            n2 = self.n_corpus - n1
+            if n1 < 2 or n2 < 2:
+                continue
+            dl = self.doclen[np.searchsorted(self.doc_ids, docs)]
+            s1 = int(dl.sum())
+            ss1 = int((dl.astype(np.int64) ** 2).sum())
+            s2 = self.s_corpus - s1
+            ss2 = self.ss_corpus - ss1
+            # fixed float expression tree — mirrored verbatim in the oracle
+            m1 = s1 / n1
+            m2 = s2 / n2
+            v1 = (ss1 - s1 * s1 / n1) / (n1 - 1)
+            v2 = (ss2 - s2 * s2 / n2) / (n2 - 1)
+            t = (m1 - m2) / math.sqrt(v1 / n1 + v2 / n2)
+            qids.append(qid)
+            n1s.append(n1)
+            n2s.append(n2)
+            m1s.append(round(m1, 3))
+            m2s.append(round(m2, 3))
+            ts.append(round(t, 3))
+        return pa.table(
+            {
+                "query_id": pa.array(qids, pa.int64()),
+                "n_match": pa.array(n1s, pa.int64()),
+                "n_rest": pa.array(n2s, pa.int64()),
+                "mean_match": pa.array(m1s, pa.float64()),
+                "mean_rest": pa.array(m2s, pa.float64()),
+                "t_stat": pa.array(ts, pa.float64()),
+            }
+        )
+
+
+class TTestAggTaskFn:
+    """Task-fn form of TTestAgg (worker-process cache)."""
+
+    def __init__(self, out_dir: str, seg_ids: list[int], version: float):
+        self.args = (out_dir, tuple(seg_ids), version)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_dir, seg_ids, version = self.args
+        key = (out_dir, version, seg_ids, "t_test")
+        tt = _WORKER_MATCH_AGG_CACHE.get(key)
+        if tt is None:
+            for kk in [kk for kk in _WORKER_MATCH_AGG_CACHE if kk[0] == out_dir and kk[1] < version]:
+                del _WORKER_MATCH_AGG_CACHE[kk]
+            tt = TTestAgg(out_dir, list(seg_ids))
+            _WORKER_MATCH_AGG_CACHE[key] = tt
+        return tt(batch)

@@ -1948,3 +1948,62 @@ def test_extended_stats_filters_agg_on_real_index(golden_index):
             FILTERS_AGG_SHORT <= dl < FILTERS_AGG_LONG and lg != "en" for dl, lg in hit
         )
     assert got_f == want_f
+
+
+def test_bucket_script_ttest_on_real_index(golden_index):
+    """bucket_script_agg / t_test_agg == python reference over the match
+    set: integer script metric + scale-free share selector; Welch t from
+    exact (n, S, SS) sums with the frozen 3dp contract."""
+    import math
+
+    from aarhus_ray.functions.fulltext import BUCKET_SCRIPT_DENOM
+    from aarhus_ray.pipelines.query import bucket_script_agg, t_test_agg
+    from aarhus_ray.textnorm import tokenize
+
+    idx = golden_index["index"]
+    q = fixtures.gen_queries(10, seed=17)
+    docs = _docs_table(idx, ["doc_id", "text", "doclen", "lang"])
+    toks_of = [set(tokenize(t)) for t in docs["text"].to_pylist()]
+    dls = docs["doclen"].to_pylist()
+    langs = docs["lang"].to_pylist()
+
+    out = bucket_script_agg(idx, q, share_denom=BUCKET_SCRIPT_DENOM).to_pandas()
+    got = {
+        (r.query_id, r.lang): (r.n_docs, r.sum_doclen, r.avg_dl_x100)
+        for r in out.itertuples()
+    }
+    want = {}
+    for qid, text in zip(q["query_id"].to_pylist(), q["text"].to_pylist()):
+        terms = set(tokenize(text))
+        hit = [(dl, lg) for dt, dl, lg in zip(toks_of, dls, langs) if terms & dt]
+        total = len(hit)
+        per: dict[str, list[int]] = {}
+        for dl, lg in hit:
+            per.setdefault(lg, []).append(dl)
+        for lg, vals in per.items():
+            if len(vals) * BUCKET_SCRIPT_DENOM >= total:
+                n, s = len(vals), sum(vals)
+                want[(qid, lg)] = (n, s, s * 100 // n)
+    assert got == want
+
+    out_t = t_test_agg(idx, q).to_pandas()
+    got_t = {
+        r.query_id: (r.n_match, r.n_rest, r.mean_match, r.mean_rest, r.t_stat)
+        for r in out_t.itertuples()
+    }
+    n_c, s_c, ss_c = len(dls), sum(dls), sum(v * v for v in dls)
+    want_t = {}
+    for qid, text in zip(q["query_id"].to_pylist(), q["text"].to_pylist()):
+        terms = set(tokenize(text))
+        vals = [dl for dt, dl in zip(toks_of, dls) if terms & dt]
+        n1, n2 = len(vals), n_c - len(vals)
+        if n1 < 2 or n2 < 2:
+            continue
+        s1, ss1 = sum(vals), sum(v * v for v in vals)
+        s2, ss2 = s_c - s1, ss_c - ss1
+        m1, m2 = s1 / n1, s2 / n2
+        v1 = (ss1 - s1 * s1 / n1) / (n1 - 1)
+        v2 = (ss2 - s2 * s2 / n2) / (n2 - 1)
+        t = (m1 - m2) / math.sqrt(v1 / n1 + v2 / n2)
+        want_t[qid] = (n1, n2, round(m1, 3), round(m2, 3), round(t, 3))
+    assert got_t == want_t
