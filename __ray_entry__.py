@@ -203,6 +203,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # CCNet-style LM quality signal: per-doc corpus-unigram NLL in
         # integer milli-nats (exact across engines)
         "docs_unigram_nll": textstats.unigram_nll,
+        # per-doc top-5 tf-idf keywords, integer milli-nat idf (tagging/
+        # summarization primitive; ties frozen score DESC term ASC)
+        "docs_tfidf_keywords": textstats.tfidf_keywords,
         # CCNet head/middle/tail terciles of the unigram NLL (Wenzek 2020)
         "docs_ccnet_buckets": textstats.ccnet_buckets,
         # Heaps'-law bigram-vocabulary growth per crawl-time bucket
@@ -1212,6 +1215,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) * (SELECT l FROM tot) - SUM(lt.l) AS BIGINT) AS nll_milli
             FROM toks t JOIN lt USING (tok)
             GROUP BY 1 ORDER BY 1
+        """,
+        # tf-idf keywords: integer milli-nat idf (round(ln N·1000) −
+        # round(ln df·1000), logs of exact ints so libm agrees bitwise),
+        # score = tf·idf_milli, top-5 per doc, ties (score DESC, term ASC)
+        "docs_tfidf_keywords": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({toks_nonempty}) AS tok FROM documents),
+            tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+            df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+            n AS (SELECT CAST(round(ln(count(*)) * 1000) AS BIGINT) AS l
+                  FROM documents),
+            scored AS (
+              SELECT tf.doc_id, tf.tok AS term, tf.tf, df.df,
+                     tf.tf * ((SELECT l FROM n)
+                              - CAST(round(ln(df.df) * 1000) AS BIGINT)) AS score_milli
+              FROM tf JOIN df USING (tok)),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY score_milli DESC, term) AS rank
+              FROM scored)
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(rank AS INTEGER) AS rank,
+                   term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+                   CAST(score_milli AS BIGINT) AS score_milli
+            FROM ranked WHERE rank <= 5
+            ORDER BY doc_id, rank
         """,
         # CCNet head/middle/tail: exact type-1 lower terciles of nll_milli
         # (values at sorted index floor((n-1)/3), floor(2(n-1)/3)), bucket

@@ -1228,3 +1228,123 @@ def length_boxplot_by_lang(sf_dir: str) -> pd.DataFrame:
     for c in out.columns[1:]:
         out[c] = out[c].astype("int64")
     return out
+
+
+KW_K = 5  # tf-idf keywords per doc
+
+
+def tfidf_keywords(sf_dir: str, k: int = KW_K) -> pd.DataFrame:
+    """Per-doc tf-idf keyword extraction: the top-``k`` terms of every
+    document by tf·idf, the classic summarization/tagging primitive.
+    INTEGER-exact across engines via the milli-nat idiom (the
+    unigram_nll contract): ``idf_milli = round(ln(N)·1000) −
+    round(ln(df)·1000)`` (both logs of exact integers, so libm agrees
+    bitwise) and ``score_milli = tf · idf_milli`` — no float compare
+    anywhere; ties break (score DESC, term ASC), frozen.
+
+    Two passes, both shuffle-native: a distinct-(doc,term) fold →
+    vocab-sized ``groupby(tok).Sum`` for df (the term_counts exchange),
+    then a broadcast of (terms, df, l_df) (one ``ray.put``; at 10^12
+    tokens the vocab shards by term hash and the score/top-k becomes a
+    tf⋈df shuffle join + per-doc reducer — same shape, SCALE.md §3) and
+    a per-batch Arrow (row,tok) tf fold with a vectorized within-doc
+    top-k (sort_by + run-boundary rank, no Python per row). N counts ALL
+    corpus docs (zero-token docs emit no keywords but still weigh idf),
+    matching the oracle's ``count(*) FROM documents``."""
+    import functools
+
+    import ray
+
+    from ..textnorm import tokenize_flat
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    n_docs = ds.count()
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        flat, flat_docs, _ = tokenize_flat(
+            batch["text"], np.arange(len(batch), dtype=np.uint64)
+        )
+        pairs = pa.table(
+            {"row": pa.array(flat_docs.astype(np.int64), pa.int64()), "tok": flat}
+        ).group_by(["row", "tok"]).aggregate([])
+        g = pairs.group_by("tok").aggregate([("tok", "count")])
+        return g.rename_columns(["tok", "n"])
+
+    vocab = (
+        ds.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("tok")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values("tok")
+    )
+    l_n = int(np.round(np.log(float(n_docs)) * 1000.0))
+    terms = pa.array(vocab["tok"].tolist(), pa.string())
+    dfs = vocab["n"].to_numpy().astype(np.int64)
+    l_df = np.round(np.log(dfs.astype(np.float64)) * 1000.0).astype(np.int64)
+    ref = ray.put((terms, dfs, l_df))
+
+    def doc_topk(batch: pa.Table, *, vocab_ref, l_n: int, k: int) -> pa.Table:
+        import ray as _ray
+
+        terms_, dfs_, l_ = _ray.get(vocab_ref)
+        flat, flat_docs, _ = tokenize_flat(
+            batch["text"], np.arange(len(batch), dtype=np.uint64)
+        )
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "rank": pa.array([], pa.int32()),
+                "term": pa.array([], pa.string()),
+                "tf": pa.array([], pa.int64()),
+                "df": pa.array([], pa.int64()),
+                "score_milli": pa.array([], pa.int64()),
+            }
+        )
+        if len(flat) == 0:
+            return empty
+        g = pa.table(
+            {"row": pa.array(flat_docs.astype(np.int64), pa.int64()), "tok": flat}
+        ).group_by(["row", "tok"]).aggregate([("tok", "count")])
+        idx = pc.index_in(g["tok"], value_set=terms_).to_numpy(zero_copy_only=False)
+        idx = idx.astype(np.int64)  # every corpus token is in the vocab
+        tf = g["tok_count"].to_numpy(zero_copy_only=False).astype(np.int64)
+        score = tf * (l_n - l_[idx])
+        s = pa.table(
+            {
+                "row": g["row"],
+                "term": g["tok"],
+                "tf": pa.array(tf, pa.int64()),
+                "df": pa.array(dfs_[idx], pa.int64()),
+                "score_milli": pa.array(score, pa.int64()),
+            }
+        ).sort_by(
+            [("row", "ascending"), ("score_milli", "descending"), ("term", "ascending")]
+        )
+        rows_s = s["row"].to_numpy(zero_copy_only=False)
+        new_run = np.r_[True, rows_s[1:] != rows_s[:-1]]
+        starts = np.flatnonzero(new_run)
+        grp = np.cumsum(new_run) - 1
+        rank = np.arange(len(rows_s), dtype=np.int64) - starts[grp]
+        keep = rank < k
+        did = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(did[rows_s[keep]], pa.int64()),
+                "rank": pa.array((rank[keep] + 1).astype(np.int32), pa.int32()),
+                "term": s["term"].filter(pa.array(keep)),
+                "tf": s["tf"].filter(pa.array(keep)),
+                "df": s["df"].filter(pa.array(keep)),
+                "score_milli": s["score_milli"].filter(pa.array(keep)),
+            }
+        )
+
+    out = (
+        ds.map_batches(
+            functools.partial(doc_topk, vocab_ref=ref, l_n=l_n, k=k),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .sort_values(["doc_id", "rank"])
+        .reset_index(drop=True)
+    )
+    return out
