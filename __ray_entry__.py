@@ -206,6 +206,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-doc top-5 tf-idf keywords, integer milli-nat idf (tagging/
         # summarization primitive; ties frozen score DESC term ASC)
         "docs_tfidf_keywords": textstats.tfidf_keywords,
+        # top-50 adjacent-pair collocations by PMI (Church & Hanks),
+        # integer milli-nat contract over the bigram table's own margins
+        "docs_collocations": textstats.collocations,
         # CCNet head/middle/tail terciles of the unigram NLL (Wenzek 2020)
         "docs_ccnet_buckets": textstats.ccnet_buckets,
         # Heaps'-law bigram-vocabulary growth per crawl-time bucket
@@ -1240,6 +1243,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST(score_milli AS BIGINT) AS score_milli
             FROM ranked WHERE rank <= 5
             ORDER BY doc_id, rank
+        """,
+        # collocations: PMI in integer milli-nats over the bigram table's
+        # own margins (c_a = Σ_b c_ab, positions not docs), min_c AFTER
+        # margins, ties (pmi DESC, a, b)
+        "docs_collocations": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({toks_nonempty}) AS tok,
+                     generate_subscripts({toks_nonempty}, 1) AS pos
+              FROM documents),
+            bg AS (SELECT a.tok AS a, b.tok AS b, count(*) AS c
+                   FROM toks a JOIN toks b
+                     ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+                   GROUP BY 1, 2),
+            tot AS (SELECT CAST(round(ln(SUM(c)) * 1000) AS BIGINT) AS l FROM bg),
+            ma AS (SELECT a, CAST(round(ln(SUM(c)) * 1000) AS BIGINT) AS l
+                   FROM bg GROUP BY 1),
+            mb AS (SELECT b, CAST(round(ln(SUM(c)) * 1000) AS BIGINT) AS l
+                   FROM bg GROUP BY 1),
+            scored AS (
+              SELECT bg.a, bg.b, bg.c,
+                     CAST(round(ln(bg.c) * 1000) AS BIGINT) + (SELECT l FROM tot)
+                       - ma.l - mb.l AS pmi_milli
+              FROM bg JOIN ma USING (a) JOIN mb USING (b)
+              WHERE bg.c >= {textstats.COLLOC_MIN_C}),
+            ranked AS (SELECT *, row_number() OVER (
+                         ORDER BY pmi_milli DESC, a, b) AS rank FROM scored)
+            SELECT CAST(rank AS INTEGER) AS rank, a, b,
+                   CAST(c AS BIGINT) AS n_pairs,
+                   CAST(pmi_milli AS BIGINT) AS pmi_milli
+            FROM ranked WHERE rank <= {textstats.COLLOC_K}
+            ORDER BY rank
         """,
         # CCNet head/middle/tail: exact type-1 lower terciles of nll_milli
         # (values at sorted index floor((n-1)/3), floor(2(n-1)/3)), bucket

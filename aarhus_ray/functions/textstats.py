@@ -1348,3 +1348,121 @@ def tfidf_keywords(sf_dir: str, k: int = KW_K) -> pd.DataFrame:
         .reset_index(drop=True)
     )
     return out
+
+
+COLLOC_MIN_C = 5  # collocations: minimum bigram count
+COLLOC_K = 50  # collocations: global top-k
+
+
+def collocations(sf_dir: str, min_c: int = COLLOC_MIN_C, k: int = COLLOC_K) -> pd.DataFrame:
+    """Corpus collocation mining: the global top-``k`` ADJACENT token
+    pairs by pointwise mutual information (Church & Hanks 1990), the
+    classic multi-word-expression detector. PMI over the bigram table's
+    own margins, INTEGER-exact via the milli-nat idiom: ``pmi_milli =
+    round(ln c_ab·1000) + round(ln T·1000) − round(ln c_a·1000) −
+    round(ln c_b·1000)`` — every log is of an exact integer count, so
+    libm agrees bitwise across engines; ties (pmi DESC, a ASC, b ASC).
+    Margins count bigram POSITIONS (c_a = Σ_b c_ab), so the whole
+    contract derives from one table. ``min_c`` prunes hapax pairs AFTER
+    margins (the standard definition).
+
+    Shape: per-batch Arrow (a,b) partial counts off ``tokenize_flat``'s
+    within-doc adjacency (the ORDER CONTRACT) → one bigram-vocab-sized
+    ``groupby.Sum`` → margins re-folded from the materialized bigram
+    Dataset and broadcast (vocab-sized ray.put, the tfidf_keywords
+    argument; at 10^12 tokens margins become two more hash-sharded
+    groupbys and the scorer a join — same shape) → per-block top-k
+    partials and a ≤k·#blocks driver merge (never the full pair table)."""
+    import functools
+
+    import ray
+
+    from ..textnorm import tokenize_flat
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def bigram_partial(batch: pa.Table) -> pa.Table:
+        flat, flat_docs, _ = tokenize_flat(
+            batch["text"], np.arange(len(batch), dtype=np.uint64)
+        )
+        if len(flat) < 2:
+            return pa.table(
+                {"a": pa.array([], pa.string()), "b": pa.array([], pa.string()),
+                 "n": pa.array([], pa.int64())}
+            )
+        same = flat_docs[1:] == flat_docs[:-1]
+        g = pa.table(
+            {
+                "a": flat.slice(0, len(flat) - 1).filter(pa.array(same)),
+                "b": flat.slice(1).filter(pa.array(same)),
+            }
+        ).group_by(["a", "b"]).aggregate([("b", "count")])
+        return g.rename_columns(["a", "b", "n"])
+
+    bg = (
+        ds.map_batches(bigram_partial, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .aggregate(Sum("n", alias_name="c"))
+        .materialize()
+    )
+
+    def margin_partial(col: str):
+        def fold(batch: pa.Table) -> pa.Table:
+            g = batch.group_by(col).aggregate([("c", "sum")])
+            return g.rename_columns([col, "n"])
+
+        return fold
+
+    ma = (
+        bg.map_batches(margin_partial("a"), batch_format="pyarrow")
+        .groupby("a").aggregate(Sum("n", alias_name="n")).to_pandas()
+    )
+    mb = (
+        bg.map_batches(margin_partial("b"), batch_format="pyarrow")
+        .groupby("b").aggregate(Sum("n", alias_name="n")).to_pandas()
+    )
+    total = int(ma["n"].sum())
+    l_tot = int(np.round(np.log(float(total)) * 1000.0))
+
+    def _milli_map(df: pd.DataFrame, key: str):
+        toks = pa.array(df[key].tolist(), pa.string())
+        l = np.round(
+            np.log(df["n"].to_numpy().astype(np.float64)) * 1000.0
+        ).astype(np.int64)
+        return toks, l
+
+    ref = ray.put((_milli_map(ma.sort_values("a"), "a"),
+                   _milli_map(mb.sort_values("b"), "b")))
+
+    def score_topk(batch: pa.Table, *, ref, l_tot: int, min_c: int, k: int) -> pa.Table:
+        import ray as _ray
+
+        (ta, la), (tb, lb) = _ray.get(ref)
+        keep = pc.greater_equal(batch["c"], min_c)
+        t = batch.filter(keep)
+        if t.num_rows == 0:
+            return pa.table(
+                {"a": pa.array([], pa.string()), "b": pa.array([], pa.string()),
+                 "n_pairs": pa.array([], pa.int64()),
+                 "pmi_milli": pa.array([], pa.int64())}
+            )
+        c = t["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ia = pc.index_in(t["a"], value_set=ta).to_numpy(zero_copy_only=False).astype(np.int64)
+        ib = pc.index_in(t["b"], value_set=tb).to_numpy(zero_copy_only=False).astype(np.int64)
+        l_c = np.round(np.log(c.astype(np.float64)) * 1000.0).astype(np.int64)
+        pmi = l_c + l_tot - la[ia] - lb[ib]
+        out = pa.table(
+            {"a": t["a"], "b": t["b"], "n_pairs": pa.array(c, pa.int64()),
+             "pmi_milli": pa.array(pmi, pa.int64())}
+        ).sort_by([("pmi_milli", "descending"), ("a", "ascending"), ("b", "ascending")])
+        return out.slice(0, k)
+
+    parts = bg.map_batches(
+        functools.partial(score_topk, ref=ref, l_tot=l_tot, min_c=min_c, k=k),
+        batch_format="pyarrow",
+    ).to_pandas()
+    parts = parts.sort_values(
+        ["pmi_milli", "a", "b"], ascending=[False, True, True]
+    ).head(k).reset_index(drop=True)
+    parts.insert(0, "rank", np.arange(1, len(parts) + 1, dtype=np.int32))
+    return parts
