@@ -82,11 +82,20 @@ def run_once() -> dict:
         # that matters) so --scale-headroom's 10x build keeps ~780-doc
         # groups instead of paying the superlinear cost at 7.8k
         num_partitions=max(32, BENCH_PAGES * 128 // 100000),
-        # 8 term-ranges × 8 docID salts = 64 reduce shards: both runs of the
-        # scaling pair share this logical partitioning (SURVEY.md §4.5);
-        # salts=8 halves the heaviest term-shard straggler vs salts=4
+        # 8 term-ranges × 8 docID salts = 64 reduce shards at the 100k
+        # headline: both runs of the scaling pair share this logical
+        # partitioning (SURVEY.md §4.5); salts=8 halves the heaviest
+        # term-shard straggler vs salts=4. Like P, salts scale with the
+        # corpus (constant REDUCE-SHARD size): the round-4 fixed-salts
+        # headroom control measured segment-stage wall/doc growing
+        # 0.33→1.81 ms at 10x corpus with 64 fixed shards; query results
+        # are bit-identical across salt counts (salt is doc-range for
+        # heavy terms, whole-list for light — test-pinned), so only the
+        # merge granularity changes. Segments stay 8: the term-range
+        # count is index LAYOUT (dictionaries, query fan-out), not a
+        # throughput knob.
         num_segments=8,
-        n_salts=8,
+        n_salts=max(8, BENCH_PAGES * 8 // 100000),
     )
     build_s = time.perf_counter() - t0
     n_docs = stats["n_docs"]
@@ -444,7 +453,12 @@ if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     elif "--scale-headroom" in sys.argv:
-        n = int(os.environ.get("BENCH_HEADROOM_TRIALS", "1"))
+        # trials: optional integer following the flag, else env, else 1
+        i = sys.argv.index("--scale-headroom")
+        if i + 1 < len(sys.argv) and sys.argv[i + 1].isdigit():
+            n = int(sys.argv[i + 1])
+        else:
+            n = int(os.environ.get("BENCH_HEADROOM_TRIALS", "1"))
         print(json.dumps(run_scale_headroom(trials=n)))
     elif "--envelope-affinity" in sys.argv:
         n = int(os.environ.get("BENCH_AFFINITY_TRIALS", "4"))

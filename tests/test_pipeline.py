@@ -2007,3 +2007,32 @@ def test_bucket_script_ttest_on_real_index(golden_index):
         t = (m1 - m2) / math.sqrt(v1 / n1 + v2 / n2)
         want_t[qid] = (n1, n2, round(m1, 3), round(m2, 3), round(t, 3))
     assert got_t == want_t
+
+
+def test_salt_count_query_invariance(tmp_path):
+    """n_salts is REDUCE-SHARD granularity, not semantics: indexes built
+    with different salt counts answer queries bit-identically (salt is
+    doc-range for heavy terms — concat in salt order IS doc order — and
+    whole-list for light terms). This is what licenses bench.py scaling
+    salts with the corpus (constant shard size) while the goldens pin one
+    fixed config."""
+    from aarhus_ray.pipelines.build import build_index
+    from aarhus_ray.pipelines.query import query_index
+
+    pages = str(tmp_path / "pages")
+    fixtures.write_pages_dir(pages, 300, seed=11, rows_per_file=75)
+    outs = []
+    for ns in (2, 6):
+        out = str(tmp_path / f"idx{ns}")
+        build_index(pages, out, num_partitions=4, num_segments=2, n_salts=ns)
+        outs.append(out)
+    q = fixtures.gen_queries(15, seed=5)
+    frames = [
+        query_index(o, q, k=10, resolve_urls=False)
+        .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+        for o in outs
+    ]
+    a, b = frames
+    assert len(a) == len(b) > 0
+    assert (a["doc_id"].to_numpy() == b["doc_id"].to_numpy()).all()
+    assert (a["score"].to_numpy() == b["score"].to_numpy()).all()
