@@ -126,6 +126,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q12_priority_class_by_flag": relational.q12_priority_class_by_flag,
         # Q21 shape: sole-failing-supplier multi-condition semi/anti join
         "q21_sole_failing_supplier": relational.q21_sole_failing_supplier,
+        # Q9 shape: product-type profit by supplier nation and ship year
+        "q9_product_type_profit": relational.q9_product_type_profit,
+        # Q2 shape: correlated-MIN min-cost supplier per size-5 EU part
+        "q2_min_cost_supplier": relational.q2_min_cost_supplier,
+        # Q11 shape: important parts (global-scalar HAVING cross-multiply)
+        "q11_important_parts": relational.q11_important_parts,
+        # Q16 shape: distinct suppliers per part attr with NOT-IN exclusion
+        "q16_part_supplier_counts": relational.q16_part_supplier_counts,
+        # Q20 shape: promotion suppliers via correlated share-of-total
+        "q20_promotion_suppliers": relational.q20_promotion_suppliers,
         # Q15: top supplier by quarterly revenue (view + max pattern)
         "q15_top_supplier": relational.q15_top_supplier,
         # Q19: disjunctive OR-of-ANDs over a broadcast part dimension
@@ -784,6 +794,96 @@ def oracle_sql() -> dict[str, str]:
                    CAST(b.numwait AS BIGINT) AS numwait
             FROM blame b JOIN supplier s ON b.s_suppkey = s.s_suppkey
             ORDER BY numwait DESC, s_suppkey LIMIT {relational.Q21_LIMIT}
+        """,
+        "q9_product_type_profit": f"""
+            WITH hits AS (
+              SELECT n.n_name, CAST(year(l.l_shipdate) AS BIGINT) AS o_year,
+                     CAST(round(l.l_extendedprice*100) AS BIGINT)
+                       * (100 - CAST(round(l.l_discount*100) AS BIGINT))
+                     - CAST(round(p.p_retailprice*100) AS BIGINT)
+                       * CAST(round(l.l_quantity) AS BIGINT) * 100 AS profit
+              FROM lineitem l
+              JOIN part p ON l.l_partkey = p.p_partkey
+              JOIN supplier s ON l.l_suppkey = s.s_suppkey
+              JOIN nation n ON s.s_nationkey = n.n_nationkey
+              WHERE p.p_name LIKE '%{relational.Q9_NAME_WORD}%')
+            SELECT n_name, o_year, CAST(SUM(profit) AS BIGINT) AS profit_e4
+            FROM hits GROUP BY 1, 2 ORDER BY 1 ASC, 2 DESC
+        """,
+        "q2_min_cost_supplier": f"""
+            WITH eusupp AS (
+              SELECT s.s_suppkey, s.s_name, n.n_name,
+                     CAST(round(s.s_acctbal*100) AS BIGINT) AS s_acctbal_cents
+              FROM supplier s
+              JOIN nation n ON s.s_nationkey = n.n_nationkey
+              JOIN region r ON n.n_regionkey = r.r_regionkey
+              WHERE r.r_name = '{relational.Q2_REGION}'),
+            pairs AS (
+              SELECT l.l_partkey AS p_partkey, l.l_suppkey AS s_suppkey,
+                     CAST(min(CAST(round(l.l_extendedprice*100) AS BIGINT)) AS BIGINT)
+                       AS cost_cents
+              FROM lineitem l
+              JOIN part p ON l.l_partkey = p.p_partkey
+              JOIN eusupp e ON l.l_suppkey = e.s_suppkey
+              WHERE p.p_size = {relational.Q2_SIZE} GROUP BY 1, 2),
+            best AS (
+              SELECT * FROM pairs pr
+              WHERE pr.cost_cents = (SELECT min(cost_cents) FROM pairs p2
+                                     WHERE p2.p_partkey = pr.p_partkey))
+            SELECT e.s_acctbal_cents, e.s_name, e.n_name,
+                   CAST(b.p_partkey AS BIGINT) AS p_partkey, b.cost_cents
+            FROM best b JOIN eusupp e USING (s_suppkey)
+            ORDER BY e.s_acctbal_cents DESC, b.p_partkey, b.s_suppkey
+            LIMIT {relational.Q2_TOPN}
+        """,
+        "q11_important_parts": f"""
+            WITH v AS (
+              SELECT l.l_partkey AS p_partkey,
+                     CAST(SUM(CAST(round(l.l_extendedprice*100) AS BIGINT)) AS BIGINT)
+                       AS value_cents
+              FROM lineitem l
+              JOIN supplier s ON l.l_suppkey = s.s_suppkey
+              JOIN nation n ON s.s_nationkey = n.n_nationkey
+              WHERE n.n_name = '{relational.Q11_NATION}' GROUP BY 1)
+            SELECT CAST(p_partkey AS BIGINT) AS p_partkey, value_cents FROM v
+            WHERE value_cents * {relational.Q11_FRACTION_DENOM}
+                  > (SELECT SUM(value_cents) FROM v)
+            ORDER BY value_cents DESC, p_partkey
+        """,
+        "q16_part_supplier_counts": f"""
+            SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS p_size,
+                   CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+            FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE p.p_brand <> '{relational.Q16_EXCL_BRAND}'
+              AND p.p_type NOT LIKE '{relational.Q16_EXCL_TYPE_PREFIX}%'
+              AND p.p_size IN {relational.Q16_SIZES}
+              AND l.l_suppkey NOT IN
+                  (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+            GROUP BY 1, 2, 3
+            ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        """,
+        "q20_promotion_suppliers": f"""
+            WITH agg AS (
+              SELECT l.l_suppkey AS s_suppkey,
+                     CAST(SUM(CASE WHEN l.l_shipdate >= TIMESTAMP '{relational.Q20_LO}'
+                                    AND l.l_shipdate < TIMESTAMP '{relational.Q20_HI}'
+                              THEN CAST(round(l.l_quantity) AS BIGINT) ELSE 0 END)
+                          AS BIGINT) AS qty_window,
+                     CAST(SUM(CAST(round(l.l_quantity) AS BIGINT)) AS BIGINT)
+                       AS qty_total
+              FROM lineitem l
+              JOIN part p ON l.l_partkey = p.p_partkey
+              JOIN supplier s ON l.l_suppkey = s.s_suppkey
+              JOIN nation n ON s.s_nationkey = n.n_nationkey
+              WHERE p.p_name LIKE '{relational.Q20_NAME_PREFIX}%'
+                AND n.n_name = '{relational.Q20_NATION}'
+              GROUP BY 1)
+            SELECT CAST(a.s_suppkey AS BIGINT) AS s_suppkey, s.s_name,
+                   a.qty_window, a.qty_total
+            FROM agg a JOIN supplier s ON a.s_suppkey = s.s_suppkey
+            WHERE a.qty_window * {relational.Q20_SHARE_MULT} > a.qty_total
+            ORDER BY s_suppkey
         """,
         "q15_top_supplier": f"""
             WITH rev AS (

@@ -1915,3 +1915,399 @@ def q21_sole_failing_supplier(sf_dir: str, limit: int = Q21_LIMIT) -> pd.DataFra
     out["s_suppkey"] = out["s_suppkey"].astype("int64")
     out["numwait"] = out["numwait"].astype("int64")
     return out[["s_suppkey", "s_name", "numwait"]]
+
+
+Q9_NAME_WORD = "red"  # Q9 part filter: p_name contains this word
+
+
+def q9_product_type_profit(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q9 shape (product-type profit by nation and year): for parts
+    whose name contains Q9_NAME_WORD, profit per (supplier nation, ship
+    year). The driver schema has no partsupp, so the cost leg substitutes
+    ``p_retailprice·l_quantity`` for ``ps_supplycost·l_quantity`` (same
+    fold: a part-keyed price lookup times quantity), and the year comes
+    from l_shipdate instead of a second fact join to orders — the
+    (dimension broadcast → vectorized lookups → (nation, year)-keyed
+    partial sums → one small groupby) shape is Q9's. Profit in integer
+    e4 (revenue e4 − retail_cents·qty·100), exact and sign-carrying."""
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name", "p_retailprice"]
+    )
+    name_hit = pc.match_substring(part["p_name"], Q9_NAME_WORD)
+    part = part.filter(name_hit)
+    pk = part["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    retail_c = _cents(part["p_retailprice"]).to_numpy(zero_copy_only=False)
+    order = np.argsort(pk)
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
+    nat = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]).to_pandas()
+    sk = supp["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    snat = supp["s_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    sorder = np.argsort(sk)
+    ref = ray.put((pk[order], retail_c[order], sk[sorder], snat[sorder]))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pks, retail, sks, snats = ray.get(ref)
+        keys = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.minimum(np.searchsorted(pks, keys), max(len(pks) - 1, 0))
+        hit = len(pks) > 0 and np.take(pks, pos) == keys
+        if not np.any(hit):
+            return pa.table({"key": pa.array([], pa.int64()),
+                             "profit_e4": pa.array([], pa.int64())})
+        b = batch.filter(pa.array(hit))
+        pos = pos[hit]
+        qty = np.round(
+            b["l_quantity"].to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        rev = (
+            _cents(b["l_extendedprice"]).to_numpy(zero_copy_only=False)
+            * (100 - _cents(b["l_discount"]).to_numpy(zero_copy_only=False))
+        ).astype(np.int64)
+        profit = rev - np.take(retail, pos) * qty * 100
+        lsk = b["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        spos = np.searchsorted(sks, lsk)
+        ncode = np.take(snats, spos)  # every l_suppkey exists in supplier
+        year = pc.year(b["l_shipdate"]).to_numpy(zero_copy_only=False).astype(np.int64)
+        key = ncode * 10000 + year
+        uk, inv = np.unique(key, return_inverse=True)
+        sums = np.zeros(len(uk), dtype=np.int64)
+        np.add.at(sums, inv, profit)
+        return pa.table({"key": pa.array(uk, pa.int64()),
+                         "profit_e4": pa.array(sums, pa.int64())})
+
+    agg = (
+        _read(sf_dir, "lineitem",
+              ["l_partkey", "l_suppkey", "l_quantity", "l_extendedprice",
+               "l_discount", "l_shipdate"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("key")
+        .aggregate(Sum("profit_e4", alias_name="profit_e4"))
+        .to_pandas()
+    )
+    nname = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+    agg["n_name"] = (agg["key"] // 10000).map(nname)
+    agg["o_year"] = (agg["key"] % 10000).astype("int64")
+    agg["profit_e4"] = agg["profit_e4"].astype("int64")
+    out = agg.sort_values(["n_name", "o_year"], ascending=[True, False])
+    return out[["n_name", "o_year", "profit_e4"]].reset_index(drop=True)
+
+
+Q2_SIZE = 5
+Q2_REGION = "EUROPE"
+Q2_TOPN = 20
+
+
+def q2_min_cost_supplier(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier — the correlated-MIN
+    subquery): for every size-Q2_SIZE part, the Q2_REGION supplier(s)
+    whose supply cost equals that part's regional minimum, ranked by
+    account balance. No partsupp in the driver schema, so supply cost is
+    the supplier's MIN l_extendedprice (cents) for that part — the
+    correlated ``WHERE cost = (SELECT min ...)`` fold is intact. Plan:
+    part/supplier sets broadcast; per-batch (part,supp)-keyed MIN
+    partials; one groupby-MIN exchange; the per-part regional min and
+    the equality filter run on the pair-count-sized result (driver-side
+    here; a k-sized groupby at cluster scale). Output ordered
+    (s_acctbal_cents DESC, p_partkey, s_suppkey), top Q2_TOPN."""
+    part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_size"])
+    pk = part.filter(pc.equal(part["p_size"], Q2_SIZE))["p_partkey"]
+    pk = np.sort(pk.to_numpy(zero_copy_only=False).astype(np.int64))
+    nat = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    reg = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    eu_nat = nat.merge(reg, left_on="n_regionkey", right_on="r_regionkey")
+    eu_nat = eu_nat[eu_nat["r_name"] == Q2_REGION]
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_name", "s_nationkey", "s_acctbal"],
+    ).to_pandas()
+    supp = supp.merge(eu_nat[["n_nationkey", "n_name"]],
+                      left_on="s_nationkey", right_on="n_nationkey")
+    sk = np.sort(supp["s_suppkey"].to_numpy().astype(np.int64))
+    ref = ray.put((pk, sk))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pks, sks = ray.get(ref)
+        kp = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ks = batch["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hit = np.zeros(len(kp), dtype=bool)
+        if len(pks) and len(sks):
+            pp = np.minimum(np.searchsorted(pks, kp), len(pks) - 1)
+            ss = np.minimum(np.searchsorted(sks, ks), len(sks) - 1)
+            hit = (np.take(pks, pp) == kp) & (np.take(sks, ss) == ks)
+        if not hit.any():
+            return pa.table({"p_partkey": pa.array([], pa.int64()),
+                             "s_suppkey": pa.array([], pa.int64()),
+                             "cost_cents": pa.array([], pa.int64())})
+        cost = _cents(batch["l_extendedprice"]).to_numpy(zero_copy_only=False)[hit]
+        key = kp[hit] * 1_000_000 + ks[hit]
+        uk, inv = np.unique(key, return_inverse=True)
+        mins = np.full(len(uk), np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(mins, inv, cost)
+        return pa.table({"p_partkey": pa.array(uk // 1_000_000, pa.int64()),
+                         "s_suppkey": pa.array(uk % 1_000_000, pa.int64()),
+                         "cost_cents": pa.array(mins, pa.int64())})
+
+    pairs = (
+        _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_extendedprice"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["p_partkey", "s_suppkey"])
+        .aggregate(Min("cost_cents", alias_name="cost_cents"))
+        .to_pandas()
+    )
+    if len(pairs) == 0:
+        return pd.DataFrame({"s_acctbal_cents": pd.Series([], dtype="int64"),
+                             "s_name": pd.Series([], dtype="object"),
+                             "n_name": pd.Series([], dtype="object"),
+                             "p_partkey": pd.Series([], dtype="int64"),
+                             "cost_cents": pd.Series([], dtype="int64")})
+    part_min = pairs.groupby("p_partkey")["cost_cents"].transform("min")
+    best = pairs[pairs["cost_cents"] == part_min]
+    supp["s_acctbal_cents"] = np.round(supp["s_acctbal"].to_numpy() * 100.0).astype(np.int64)
+    out = best.merge(supp[["s_suppkey", "s_name", "n_name", "s_acctbal_cents"]],
+                     on="s_suppkey")
+    out = out.sort_values(
+        ["s_acctbal_cents", "p_partkey", "s_suppkey"], ascending=[False, True, True]
+    ).head(Q2_TOPN).reset_index(drop=True)
+    for c in ("s_acctbal_cents", "p_partkey", "cost_cents"):
+        out[c] = out[c].astype("int64")
+    return out[["s_acctbal_cents", "s_name", "n_name", "p_partkey", "cost_cents"]]
+
+
+Q11_NATION = "NATION_3"  # has suppliers at every driver scale
+Q11_FRACTION_DENOM = 500  # keep parts with value*DENOM > total
+
+
+def q11_important_parts(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q11 shape (important stock — GROUP BY with a global-scalar
+    HAVING): per-part value supplied by Q11_NATION's suppliers, keeping
+    parts whose value exceeds 1/Q11_FRACTION_DENOM of the nation's total
+    — the threshold is the integer cross-multiply ``value·DENOM >
+    total`` (scale-free, like Q11's 0.0001/SF). Value substitutes
+    Σ l_extendedprice cents for ps_supplycost·ps_availqty (no partsupp).
+    Per-batch part-keyed partials → one groupby → the HAVING and sort on
+    the part-cardinality-sized fold. Output (p_partkey, value_cents)
+    ordered value DESC, partkey ASC (frozen tie)."""
+    nat = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    nk = int(nat.loc[nat["n_name"] == Q11_NATION, "n_nationkey"].iloc[0])
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
+    sk = supp.filter(pc.equal(supp["s_nationkey"], nk))["s_suppkey"]
+    sk = np.sort(sk.to_numpy(zero_copy_only=False).astype(np.int64))
+    ref = ray.put(sk)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sks = ray.get(ref)
+        ks = batch["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hit = np.zeros(len(ks), dtype=bool)
+        if len(sks):
+            ss = np.minimum(np.searchsorted(sks, ks), len(sks) - 1)
+            hit = np.take(sks, ss) == ks
+        if not hit.any():
+            return pa.table({"p_partkey": pa.array([], pa.int64()),
+                             "value_cents": pa.array([], pa.int64())})
+        val = _cents(batch["l_extendedprice"]).to_numpy(zero_copy_only=False)[hit]
+        kp = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)[hit]
+        uk, inv = np.unique(kp, return_inverse=True)
+        sums = np.zeros(len(uk), dtype=np.int64)
+        np.add.at(sums, inv, val)
+        return pa.table({"p_partkey": pa.array(uk, pa.int64()),
+                         "value_cents": pa.array(sums, pa.int64())})
+
+    agg = (
+        _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_extendedprice"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("p_partkey")
+        .aggregate(Sum("value_cents", alias_name="value_cents"))
+        .to_pandas()
+    )
+    if len(agg) == 0:  # nation without suppliers: empty fold has no schema
+        return pd.DataFrame({"p_partkey": pd.Series([], dtype="int64"),
+                             "value_cents": pd.Series([], dtype="int64")})
+    total = int(agg["value_cents"].sum())
+    keep = agg[agg["value_cents"] * Q11_FRACTION_DENOM > total]
+    out = keep.sort_values(["value_cents", "p_partkey"], ascending=[False, True])
+    out = out.reset_index(drop=True)
+    out["p_partkey"] = out["p_partkey"].astype("int64")
+    out["value_cents"] = out["value_cents"].astype("int64")
+    return out[["p_partkey", "value_cents"]]
+
+
+Q16_EXCL_BRAND = "Brand#1"
+Q16_EXCL_TYPE_PREFIX = "PROMO"
+Q16_SIZES = (1, 4, 7, 10)
+
+
+def q16_part_supplier_counts(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship — COUNT DISTINCT
+    suppliers per part attribute with a NOT-IN supplier exclusion): for
+    parts NOT of Q16_EXCL_BRAND, type not starting Q16_EXCL_TYPE_PREFIX,
+    size in Q16_SIZES, count DISTINCT suppliers per (brand, type, size),
+    excluding suppliers with negative account balance (the complaint
+    surrogate — no s_comment column). The part-supplier relation is the
+    DISTINCT (l_partkey, l_suppkey) projection of lineitem (no partsupp
+    table). Two distinct exchanges: composite-key pair dedup, then
+    (attr-triple, supplier) dedup — both pre-deduped per batch so only
+    distinct keys shuffle. Output ordered (supplier_cnt DESC, brand,
+    type, size)."""
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand", "p_type", "p_size"]
+    )
+    keep = pc.and_(
+        pc.not_equal(part["p_brand"], Q16_EXCL_BRAND),
+        pc.invert(pc.starts_with(part["p_type"], Q16_EXCL_TYPE_PREFIX)),
+    )
+    keep = pc.and_(keep, pc.is_in(part["p_size"], value_set=pa.array(Q16_SIZES, pa.int32())))
+    part = part.filter(keep)
+    pk = part["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    triples = [
+        (b, t, int(z))
+        for b, t, z in zip(part["p_brand"].to_pylist(),
+                           part["p_type"].to_pylist(),
+                           part["p_size"].to_pylist())
+    ]
+    tri_ids = {tr: i for i, tr in enumerate(sorted(set(triples)))}
+    tcode = np.fromiter((tri_ids[tr] for tr in triples), dtype=np.int64, count=len(triples))
+    order = np.argsort(pk)
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_acctbal"])
+    bad = supp.filter(pc.less(supp["s_acctbal"], 0.0))["s_suppkey"]
+    bad = np.sort(bad.to_numpy(zero_copy_only=False).astype(np.int64))
+    ref = ray.put((pk[order], tcode[order], bad))
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        pks, tcodes, bads = ray.get(ref)
+        kp = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ks = batch["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hit = np.zeros(len(kp), dtype=bool)
+        if len(pks):
+            pp = np.minimum(np.searchsorted(pks, kp), len(pks) - 1)
+            hit = np.take(pks, pp) == kp
+        if len(bads):
+            bb = np.minimum(np.searchsorted(bads, ks), len(bads) - 1)
+            hit &= np.take(bads, bb) != ks
+        if not hit.any():
+            return pa.table({"pair": pa.array([], pa.int64())})
+        pp = np.searchsorted(pks, kp[hit])
+        # tcode·1e12 + pk·1e6 + sk: pk,sk < 1e6 and tcode < 9e6 at any
+        # driver scale — no int64 overflow
+        key = np.take(tcodes, pp) * np.int64(10**12) \
+            + kp[hit] * 1_000_000 + ks[hit]
+        return pa.table({"pair": pa.array(np.unique(key), pa.int64())})
+
+    pair_ds = (
+        _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+        .map_batches(pair_partial, batch_format="pyarrow")
+        .groupby("pair")
+        .aggregate(Count(alias_name="_n"))
+    )
+
+    def tri_supp(batch: pa.Table) -> pa.Table:
+        key = batch["pair"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = (key // np.int64(10**12)) * 1_000_000 + key % 1_000_000
+        return pa.table({"ts": pa.array(np.unique(ts), pa.int64())})
+
+    uniq = (
+        pair_ds.map_batches(tri_supp, batch_format="pyarrow")
+        .groupby("ts")
+        .aggregate(Count(alias_name="_n"))
+        .to_pandas()
+    )
+    tri_of = {i: tr for tr, i in tri_ids.items()}
+    if len(uniq) == 0:
+        return pd.DataFrame({"p_brand": pd.Series([], dtype="object"),
+                             "p_type": pd.Series([], dtype="object"),
+                             "p_size": pd.Series([], dtype="int64"),
+                             "supplier_cnt": pd.Series([], dtype="int64")})
+    tri = (uniq["ts"].to_numpy() // 1_000_000).astype(np.int64)
+    cnt: dict[int, int] = {}
+    for t in tri:
+        cnt[t] = cnt.get(t, 0) + 1
+    rows = [(tri_of[t][0], tri_of[t][1], tri_of[t][2], c) for t, c in cnt.items()]
+    out = pd.DataFrame(rows, columns=["p_brand", "p_type", "p_size", "supplier_cnt"])
+    out = out.sort_values(
+        ["supplier_cnt", "p_brand", "p_type", "p_size"],
+        ascending=[False, True, True, True],
+    ).reset_index(drop=True)
+    out["p_size"] = out["p_size"].astype("int64")
+    out["supplier_cnt"] = out["supplier_cnt"].astype("int64")
+    return out
+
+
+Q20_NATION = "NATION_3"
+Q20_NAME_PREFIX = "red "
+Q20_LO, Q20_HI = "1996-01-01", "1997-01-01"
+Q20_SHARE_MULT = 8  # keep suppliers with qty_window * MULT > qty_total
+#                     (window is ~1/7 of the ship-date span, so 8 keeps
+#                      roughly the above-average-share half non-trivially)
+
+
+def q20_promotion_suppliers(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q20 shape (potential part promotion — the correlated
+    half-of-total EXISTS chain): Q20_NATION suppliers whose shipped
+    quantity of Q20_NAME_PREFIX-named parts INSIDE the window exceeds
+    1/Q20_SHARE_MULT of their all-time total for those parts (the spec's
+    ``availqty > 0.5·sum(qty)`` becomes the integer cross-multiply
+    ``qty_window·MULT > qty_total`` — no partsupp availqty to compare
+    against). Per-batch (supplier)-keyed integer partial sums of both
+    legs in one pass → one small groupby → driver filter + name join.
+    Output (s_suppkey, s_name, qty_window, qty_total) by suppkey."""
+    part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"])
+    pk = part.filter(pc.starts_with(part["p_name"], Q20_NAME_PREFIX))["p_partkey"]
+    pk = np.sort(pk.to_numpy(zero_copy_only=False).astype(np.int64))
+    nat = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    nk = int(nat.loc[nat["n_name"] == Q20_NATION, "n_nationkey"].iloc[0])
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name", "s_nationkey"]
+    ).to_pandas()
+    supp = supp[supp["s_nationkey"] == nk]
+    sk = np.sort(supp["s_suppkey"].to_numpy().astype(np.int64))
+    ref = ray.put((pk, sk))
+    lo = pa.scalar(np.datetime64(Q20_LO, "us"), pa.timestamp("us"))
+    hi = pa.scalar(np.datetime64(Q20_HI, "us"), pa.timestamp("us"))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pks, sks = ray.get(ref)
+        kp = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ks = batch["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hit = np.zeros(len(kp), dtype=bool)
+        if len(pks) and len(sks):
+            pp = np.minimum(np.searchsorted(pks, kp), len(pks) - 1)
+            ss = np.minimum(np.searchsorted(sks, ks), len(sks) - 1)
+            hit = (np.take(pks, pp) == kp) & (np.take(sks, ss) == ks)
+        if not hit.any():
+            return pa.table({"s_suppkey": pa.array([], pa.int64()),
+                             "qty_window": pa.array([], pa.int64()),
+                             "qty_total": pa.array([], pa.int64())})
+        b = batch.filter(pa.array(hit))
+        qty = np.round(b["l_quantity"].to_numpy(zero_copy_only=False)).astype(np.int64)
+        ts = b["l_shipdate"]
+        inwin = pc.and_(pc.greater_equal(ts, lo), pc.less(ts, hi)).to_numpy(
+            zero_copy_only=False
+        )
+        sks_b = ks[hit]
+        uk, inv = np.unique(sks_b, return_inverse=True)
+        w = np.zeros(len(uk), dtype=np.int64)
+        t = np.zeros(len(uk), dtype=np.int64)
+        np.add.at(w, inv, np.where(inwin, qty, 0))
+        np.add.at(t, inv, qty)
+        return pa.table({"s_suppkey": pa.array(uk, pa.int64()),
+                         "qty_window": pa.array(w, pa.int64()),
+                         "qty_total": pa.array(t, pa.int64())})
+
+    agg = (
+        _read(sf_dir, "lineitem",
+              ["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("s_suppkey")
+        .aggregate(Sum("qty_window", alias_name="qty_window"),
+                   Sum("qty_total", alias_name="qty_total"))
+        .to_pandas()
+    )
+    if len(agg) == 0:
+        return pd.DataFrame({"s_suppkey": pd.Series([], dtype="int64"),
+                             "s_name": pd.Series([], dtype="object"),
+                             "qty_window": pd.Series([], dtype="int64"),
+                             "qty_total": pd.Series([], dtype="int64")})
+    keep = agg[agg["qty_window"] * Q20_SHARE_MULT > agg["qty_total"]]
+    out = keep.merge(supp[["s_suppkey", "s_name"]], on="s_suppkey")
+    out = out.sort_values("s_suppkey").reset_index(drop=True)
+    for c in ("s_suppkey", "qty_window", "qty_total"):
+        out[c] = out[c].astype("int64")
+    return out[["s_suppkey", "s_name", "qty_window", "qty_total"]]
