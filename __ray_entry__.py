@@ -314,6 +314,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_bpe_encode": bpe.encode_with_merges,
         # --- mergeable sketches (approximate → rows-only) + exact anchor ---
         "events_distinct_props_hll": sketches.distinct_count_hll,
+        # mergeable quantile ε-summary over doclen (sketch trio member;
+        # rows-only — one-sided rank bound pinned by pytest replay)
+        "docs_doclen_quantile_sketch": sketches.doclen_quantile_sketch,
+        # exact type-1 doclen percentiles — the sketch's hash-checked anchor
+        "docs_doclen_quantiles_exact": sketches.doclen_quantiles_exact,
         # Misra-Gries sketch + exact verify: provably-exact top-k keys
         "events_heavy_hitters": sketches.heavy_hitters_mg,
         "events_distinct_props_exact": sketches.distinct_count_exact,
@@ -1318,6 +1323,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) * (SELECT l FROM tot) - SUM(lt.l) AS BIGINT) AS nll_milli
             FROM toks t JOIN lt USING (tok)
             GROUP BY 1 ORDER BY 1
+        """,
+        # exact doclen percentiles: type-1 rank floor((n−1)q/100)+1 (the
+        # ccnet-tercile convention), the quantile sketch's anchor
+        "docs_doclen_quantiles_exact": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({toks_nonempty}) AS tok FROM documents),
+            dlt AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+            alln AS (SELECT coalesce(dlt.dl, 0) AS dl
+                     FROM documents d LEFT JOIN dlt USING (doc_id)),
+            ranked AS (SELECT dl, row_number() OVER (ORDER BY dl) AS rn,
+                              count(*) OVER () AS n FROM alln),
+            q(q_x100) AS (VALUES (25), (50), (75), (90), (99))
+            SELECT CAST(q.q_x100 AS BIGINT) AS q_x100,
+                   CAST(max(CASE WHEN rn = ((n - 1) * q.q_x100) // 100 + 1
+                            THEN dl END) AS BIGINT) AS value
+            FROM ranked CROSS JOIN q GROUP BY 1 ORDER BY 1
         """,
         # tf-idf keywords: integer milli-nat idf (round(ln N·1000) −
         # round(ln df·1000), logs of exact ints so libm agrees bitwise),

@@ -216,3 +216,125 @@ def heavy_hitters_mg(
     out = exact.rename(columns={"key": column})
     out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
     return out[["rank", column, "n_rows"]]
+
+
+QS_B = 64  # quantile summary size per block
+QS_QUANTS = (25, 50, 75, 90, 99)  # percentiles reported (×100)
+
+
+def quantile_summary_block(vals: np.ndarray, b: int = QS_B) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic ε-summary of one block (the classic mergeable
+    quantile coreset, Agarwal et al. 2012 shape without randomness):
+    sort, split into ≤``b`` near-equal runs, keep each run's LAST value
+    weighted by the run length. For any v, the summary's estimated rank
+    (Σ weights of kept values ≤ v) UNDERCOUNTS the true #-≤-v by at most
+    ceil(n/b): counted runs lie wholly ≤ v; only the one straddling run
+    is missed. One-sided by construction — merging summaries just sums
+    the per-block slacks."""
+    vals = np.sort(vals)
+    n = len(vals)
+    if n == 0:
+        return vals.astype(np.int64), np.zeros(0, np.int64)
+    if n <= b:
+        return vals.astype(np.int64), np.ones(n, np.int64)
+    edges = np.ceil(np.arange(1, b + 1) * n / b).astype(np.int64)
+    edges = np.unique(edges)
+    reps = vals[edges - 1].astype(np.int64)
+    w = np.diff(np.r_[0, edges])
+    return reps, w
+
+
+def doclen_quantile_sketch(sf_dir: str, b: int = QS_B) -> pd.DataFrame:
+    """Approximate doclen percentiles from mergeable per-block ε-summaries
+    — the quantile member of the sketch trio (HLL cardinality,
+    Misra-Gries heavy hitters, this). Per batch: tokenize, one
+    ``quantile_summary_block`` (b weighted values + the block's exact
+    slack ceil(n/b)); driver merges the k·#blocks rows and answers each
+    percentile with the smallest value whose estimated rank reaches the
+    type-1 target — the one-sided invariant (true rank ≥ estimated rank
+    ≥ target, overshoot ≤ Σ slacks) is pinned exactly by pytest against
+    a sequential replay. Deterministic, no RNG; at cluster scale the
+    merge runs as a tree of prune-to-b folds with the same summed-slack
+    accounting (each prune adds ≤ W/b). Rows-only for the driver
+    (approximate by construction); ``docs_doclen_quantiles_exact`` is the
+    hash-checked anchor."""
+    import ray.data as rd
+
+    from ..textnorm import tokenize_flat
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def sketch(batch: pa.Table) -> pa.Table:
+        _, _, n_tok = tokenize_flat(
+            batch["text"], np.arange(len(batch), dtype=np.uint64)
+        )
+        reps, w = quantile_summary_block(n_tok.astype(np.int64), b)
+        slack = int(np.ceil(len(n_tok) / b)) if len(n_tok) > b else 0
+        return pa.table(
+            {
+                "rep": pa.array(reps, pa.int64()),
+                "w": pa.array(w, pa.int64()),
+                "slack": pa.array(
+                    np.r_[slack, np.zeros(max(len(reps) - 1, 0), np.int64)]
+                    if len(reps) else np.zeros(0, np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    parts = ds.map_batches(sketch, batch_format="pyarrow").to_pandas()
+    parts = parts.sort_values(["rep", "w"]).reset_index(drop=True)
+    reps = parts["rep"].to_numpy()
+    cumw = parts["w"].to_numpy().cumsum()
+    n = int(parts["w"].sum())
+    eps = int(parts["slack"].sum())
+    rows = []
+    for q in QS_QUANTS:
+        target = (n - 1) * q // 100 + 1  # type-1: 1-based rank of the quantile
+        j = int(np.searchsorted(cumw, target))
+        est = int(reps[min(j, len(reps) - 1)]) if len(reps) else 0
+        rows.append((q, est, n, eps))
+    return pd.DataFrame(
+        rows, columns=["q_x100", "est_value", "n_total", "eps_bound"]
+    ).astype("int64")
+
+
+def doclen_quantiles_exact(sf_dir: str) -> pd.DataFrame:
+    """EXACT doclen percentiles — the sketch's accuracy anchor,
+    hash-checked against the oracle's row_number replay. Type-1 lower
+    quantile: the value at 1-based sorted rank floor((n−1)·q/100)+1 (the
+    ccnet-tercile convention). Fully distributed: doclen has small-int
+    cardinality, so the plan is a value-histogram groupby; only the
+    (value, count) fold — vocabulary-of-lengths-sized — reaches the
+    driver, never the corpus."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..textnorm import tokenize_flat
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def hist(batch: pa.Table) -> pa.Table:
+        _, _, n_tok = tokenize_flat(
+            batch["text"], np.arange(len(batch), dtype=np.uint64)
+        )
+        u, c = np.unique(n_tok.astype(np.int64), return_counts=True)
+        return pa.table({"doclen": pa.array(u, pa.int64()),
+                         "c": pa.array(c, pa.int64())})
+
+    fold = (
+        ds.map_batches(hist, batch_format="pyarrow")
+        .groupby("doclen")
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+        .sort_values("doclen")
+    )
+    vals = fold["doclen"].to_numpy()
+    cum = fold["c"].to_numpy().cumsum()
+    n = int(cum[-1]) if len(cum) else 0
+    rows = []
+    for q in QS_QUANTS:
+        target = (n - 1) * q // 100 + 1
+        j = int(np.searchsorted(cum, target))
+        rows.append((q, int(vals[j])))
+    return pd.DataFrame(rows, columns=["q_x100", "value"]).astype("int64")

@@ -2891,3 +2891,52 @@ def test_ivfpq_search_recall_and_exact_cos():
 
     all_cells = ivfpq_search(SF, k=k, nprobe=16)
     assert brute_full["vec_id"].iloc[0] in set(all_cells["vec_id"].tolist())
+
+
+def test_quantile_summary_one_sided_bound():
+    """quantile_summary_block + the driver merge == the documented
+    one-sided invariant, replayed sequentially: for every probe v,
+    0 <= true_rank(v) - est_rank(v) <= sum of per-block slacks; and the
+    answered quantile value's true rank covers the type-1 target within
+    [target, target + eps]."""
+    import random
+
+    import numpy as np
+
+    from aarhus_ray.functions.sketches import QS_B, quantile_summary_block
+
+    rng = random.Random(41)
+    for trial in range(20):
+        n_blocks = rng.randint(1, 6)
+        blocks = [
+            np.array([rng.randint(0, 200) for _ in range(rng.randint(1, 900))],
+                     dtype=np.int64)
+            for _ in range(n_blocks)
+        ]
+        b = rng.choice((8, 16, QS_B))
+        reps_all, w_all, eps = [], [], 0
+        for blk in blocks:
+            reps, w = quantile_summary_block(blk, b)
+            reps_all.append(reps)
+            w_all.append(w)
+            eps += int(np.ceil(len(blk) / b)) if len(blk) > b else 0
+        order = np.argsort(np.concatenate(reps_all), kind="stable")
+        reps = np.concatenate(reps_all)[order]
+        cumw = np.concatenate(w_all)[order].cumsum()
+        everything = np.sort(np.concatenate(blocks))
+        n = len(everything)
+        assert int(cumw[-1]) == n  # weights conserve mass
+        for v in range(0, 201, 7):
+            true_rank = int(np.searchsorted(everything, v, side="right"))
+            est_rank = int(cumw[np.searchsorted(reps, v, side="right") - 1]) \
+                if np.searchsorted(reps, v, side="right") > 0 else 0
+            assert 0 <= true_rank - est_rank <= eps
+        for q in (25, 50, 75, 90, 99):
+            target = (n - 1) * q // 100 + 1
+            j = int(np.searchsorted(cumw, target))
+            est = int(reps[min(j, len(reps) - 1)])
+            lo = int(np.searchsorted(everything, est, side="left")) + 1
+            hi = int(np.searchsorted(everything, est, side="right"))
+            # est's true rank interval must reach the target, overshoot <= eps
+            assert lo <= target + eps
+            assert hi >= target  # one-sided: never below target
