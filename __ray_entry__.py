@@ -247,6 +247,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # seeded epoch-shuffle order (shuffle-as-sort), first-k head
         "docs_epoch_shuffle_head": cleaning.epoch_shuffle_head,
         "docs_dedup_exact": dedup.exact_dedup_min_id,
+        # cross-snapshot dedup: new dump drops docs already in the
+        # reference (FineWeb per-dump step); hot-key Bloom degrade path
+        "docs_dedup_vs_reference": dedup.dedup_vs_reference,
         "corpus_clean": cleaning.corpus_clean,      # filter→quality→near-dedup→write
         "docs_minhash_lsh_pairs": dedup.minhash_lsh_pairs,
         "docs_dup_clusters": dedup.dup_clusters,    # connected components (label propagation)
@@ -285,6 +288,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # kNN-graph construction: top-k neighbors of EVERY vector (blocked
         # GEMM vs one broadcast corpus; O(n*k) shuffle bytes)
         "knn_graph": ann.knn_graph,
+        # triangle census + transitivity of the undirected kNN graph:
+        # hash self-join wedges, LEFT SEMI closing-edge check, degree fold
+        "knn_triangles": ann.knn_triangles,
         # late-interaction (ColBERT MaxSim): labels as multi-vector docs
         "knn_maxsim": ann.maxsim_scores,
         # int8 scalar quantization envelope + per-vector code audit
@@ -1893,6 +1899,22 @@ def oracle_sql() -> dict[str, str]:
                   UNION ALL SELECT doc_id + {CLONE_OFFSET}, text FROM documents)
             GROUP BY text ORDER BY doc_id
         """,
+        # cross-snapshot dedup: new dump = docs at id+OFFSET, re-crawled
+        # text when id%4==2 else ``text || ' v2'``; dropped = new ids whose
+        # text exists in the reference, with the min matching ref id
+        "docs_dedup_vs_reference": f"""
+            WITH newdump AS (
+              SELECT doc_id + {CLONE_OFFSET} AS doc_id,
+                     CASE WHEN doc_id % 4 = 2 THEN text
+                          ELSE text || ' v2' END AS text
+              FROM documents),
+            ref AS (SELECT text, min(doc_id) AS ref_doc_id
+                    FROM documents GROUP BY 1)
+            SELECT CAST(n.doc_id AS BIGINT) AS doc_id,
+                   CAST(r.ref_doc_id AS BIGINT) AS ref_doc_id
+            FROM newdump n JOIN ref r USING (text)
+            ORDER BY 1
+        """,
         # the full cleaning composition: lang='en' + >=10 tokens, then drop
         # the higher doc_id of each exact-Jaccard>=0.9 near-dup pair among
         # the qualified docs
@@ -2108,6 +2130,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, CAST(rank AS INTEGER) AS rank, nbr_id, round(cos, 3) AS cos
             FROM r WHERE rank <= {ann.KNN_GRAPH_K}
             ORDER BY vec_id, rank
+        """,
+        # triangle census over the same digraph, canonicalized (min,max)
+        # and 3-way self-joined; wedges = Σ d(d−1)/2; integer transitivity
+        "knn_triangles": f"""
+            WITH c AS (
+              SELECT a.vec_id, b.vec_id AS nbr_id,
+                     list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[])) AS cos
+              FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+            ),
+            r AS (SELECT vec_id, nbr_id,
+                         row_number() OVER (PARTITION BY vec_id
+                                            ORDER BY cos DESC, nbr_id) AS rank
+                  FROM c),
+            g AS (SELECT vec_id, nbr_id FROM r WHERE rank <= {ann.KNN_GRAPH_K}),
+            e AS (SELECT DISTINCT least(vec_id, nbr_id) AS u,
+                                  greatest(vec_id, nbr_id) AS v FROM g),
+            deg AS (SELECT x, count(*) AS d FROM
+                      (SELECT u AS x FROM e UNION ALL SELECT v AS x FROM e)
+                    GROUP BY 1),
+            w AS (SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS wedges FROM deg),
+            t AS (SELECT count(*) AS tri
+                  FROM e e1 JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+                  JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v)
+            SELECT (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS n_vertices,
+                   (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+                   (SELECT wedges FROM w) AS n_wedges,
+                   (SELECT CAST(tri AS BIGINT) FROM t) AS n_triangles,
+                   CAST(3 * (SELECT tri FROM t) * 1000 // (SELECT wedges FROM w)
+                        AS BIGINT) AS transitivity_milli
         """,
         # int8 quantization: floor-based codes replay exactly (no banker's
         # rounding divergence); envelope and codes all in one SQL chain

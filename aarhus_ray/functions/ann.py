@@ -1463,3 +1463,92 @@ def embedding_top_pc(sf_dir: str, iters: int = PCA_ITERS) -> pd.DataFrame:
     )
     out["dim"] = out["dim"].astype("int64")
     return out
+
+
+def knn_triangles(sf_dir: str, k: int = KNN_GRAPH_K) -> pd.DataFrame:
+    """Triangle census + global transitivity of the UNDIRECTED kNN graph
+    — the graph-analytics companion to pagerank_knn over the same
+    persisted edge artifact. Undirected edge = the canonical (min,max)
+    of any directed kNN edge; a triangle {a<b<c} is counted exactly once
+    as the wedge centered at its minimum vertex with a closing edge.
+
+    Fully shuffle-native (NO corpus-sized driver state): canonical
+    distinct edges via one int64-key groupby; wedges-for-counting via a
+    hash self-join of the edge Dataset on the low endpoint; closing
+    edges via a LEFT SEMI join of wedge rows against the edge set; the
+    transitivity denominator Σ d(d−1)/2 via a degree groupby folded to
+    per-block scalars. Driver holds five integers. transitivity_milli =
+    3·triangles·1000 // wedges (integer-frozen). Oracle: the knn_graph
+    DOUBLE[] cross-join digraph, canonicalized and 3-way self-joined in
+    SQL. vec_ids must fit below 1e9 for the packed edge key (driver
+    scales; at larger ids swap the pack for a two-column groupby)."""
+    import ray.data
+
+    B = np.int64(10**9)
+    eds = ray.data.read_parquet(
+        _parquet_files([_knn_edges_index(sf_dir, k)]),
+        columns=["vec_id", "nbr_id"],
+    ).repartition(8)
+
+    def canon(batch: pa.Table) -> pa.Table:
+        a = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch["nbr_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        key = np.minimum(a, b) * B + np.maximum(a, b)
+        return pa.table({"key": pa.array(np.unique(key), pa.int64())})
+
+    ekeys = eds.map_batches(canon, batch_format="pyarrow").groupby("key").count()
+
+    def split(batch: pa.Table) -> pa.Table:
+        key = batch["key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"u": pa.array(key // B, pa.int64()),
+                         "v": pa.array(key % B, pa.int64())})
+
+    e = ekeys.map_batches(split, batch_format="pyarrow").materialize()
+    n_edges = e.count()
+    n_parts = int(max(2, min(64, n_edges // 1000)))
+
+    def deg_rows(batch: pa.Table) -> pa.Table:
+        x = np.r_[batch["u"].to_numpy(zero_copy_only=False),
+                  batch["v"].to_numpy(zero_copy_only=False)].astype(np.int64)
+        ux, c = np.unique(x, return_counts=True)
+        return pa.table({"x": pa.array(ux, pa.int64()),
+                         "d": pa.array(c.astype(np.int64), pa.int64())})
+
+    def wedge_partial(batch: pa.Table) -> pa.Table:
+        d = batch["d"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"w": pa.array([int((d * (d - 1) // 2).sum())], pa.int64())})
+
+    from ray.data.aggregate import Sum as _Sum
+
+    wedges = int(
+        e.map_batches(deg_rows, batch_format="pyarrow")
+        .groupby("x").aggregate(_Sum("d", alias_name="d"))
+        .map_batches(wedge_partial, batch_format="pyarrow")
+        .to_pandas()["w"].sum()
+    )
+    wedge_rows = e.join(
+        e, join_type="inner", num_partitions=n_parts, on=("u",),
+        left_suffix="_l", right_suffix="_r",
+    ).map_batches(
+        lambda t: (lambda vl, vr: pa.table(
+            {"u": pa.array(vl[vl < vr], pa.int64()),
+             "v": pa.array(vr[vl < vr], pa.int64())}
+        ))(t["v_l"].to_numpy(zero_copy_only=False).astype(np.int64),
+           t["v_r"].to_numpy(zero_copy_only=False).astype(np.int64)),
+        batch_format="pyarrow",
+    )
+    tri = wedge_rows.join(
+        e, join_type="left_semi", num_partitions=n_parts, on=("u", "v")
+    ).count()
+    n_vertices = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id"]
+    ).count()
+    return pd.DataFrame(
+        {
+            "n_vertices": [n_vertices],
+            "n_edges": [n_edges],
+            "n_wedges": [wedges],
+            "n_triangles": [tri],
+            "transitivity_milli": [3 * tri * 1000 // wedges if wedges else 0],
+        }
+    ).astype("int64")

@@ -1299,3 +1299,69 @@ def ngram_novelty(sf_dir: str, n: int = NOVELTY_N) -> pd.DataFrame:
     for c in cols:
         out[c] = out[c].astype("int64")
     return out
+
+
+def dedup_vs_reference(sf_dir: str) -> pd.DataFrame:
+    """Cross-snapshot exact dedup (the FineWeb/CC pipeline step: each NEW
+    dump drops documents already present in EARLIER dumps, so re-crawled
+    boilerplate never re-enters the corpus). The reference snapshot is
+    the documents table; the new dump is a deterministic derivation —
+    every doc re-appears at doc_id+CLONE_OFFSET, with original text when
+    doc_id % 4 == 2 (a true re-crawl → must drop) and ``text || ' v2'``
+    otherwise (revised content → must survive). Output: the DROPPED new
+    ids with the min matching reference id.
+
+    Plan (only int64 hashes ever shuffle; text never leaves its scan):
+    one pass hashes both snapshots into (text_hash, doc_id) rows tagged
+    by id range; ``_hot_key_rows`` prunes to repeating hashes — exact
+    is_in broadcast below the threshold, 1 MiB Bloom above, false
+    positives harmless because the per-hash reducer re-checks the
+    ref+candidate condition exactly; a groupby(hash) reducer over the
+    TRUE-duplicate subset emits (new_id, min ref_id). At 10^12 docs the
+    hot set is bounded by genuinely re-crawled volume — the thing this
+    op exists to remove."""
+    import pyarrow.compute as pc
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def both_rows(batch: pa.Table) -> pa.Table:
+        ref_h = _text_hash63(batch["text"].to_pylist())
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        recrawl = ids % 4 == 2
+        new_texts = [
+            t if r else t + " v2"
+            for t, r in zip(batch["text"].to_pylist(), recrawl)
+        ]
+        new_h = _text_hash63(new_texts)
+        return pa.table(
+            {
+                "text_hash": pa.array(np.r_[ref_h, new_h], pa.int64()),
+                "doc_id": pa.array(np.r_[ids, ids + CLONE_OFFSET], pa.int64()),
+            }
+        )
+
+    rows = ds.map_batches(both_rows, batch_format="pyarrow")
+    hot = _hot_key_rows(rows, "text_hash", is_string=False)
+    if hot is None:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "ref_doc_id": pd.Series([], dtype="int64")})
+
+    def drop_group(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["doc_id"].to_numpy()
+        refs = ids[ids < CLONE_OFFSET]
+        news = ids[ids >= CLONE_OFFSET]
+        if len(refs) == 0 or len(news) == 0:  # Bloom false positive / one-sided
+            return pd.DataFrame({"doc_id": [], "ref_doc_id": []})
+        rmin = int(refs.min())
+        return pd.DataFrame({"doc_id": sorted(news), "ref_doc_id": rmin})
+
+    out = (
+        hot.groupby("text_hash")
+        .map_groups(drop_group)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["ref_doc_id"] = out["ref_doc_id"].astype("int64")
+    return out
