@@ -307,6 +307,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_kmeans": ann.kmeans,
         # --- multimodal binary-column plumbing (stub kernels, real Ray shape) ---
         "multimodal_decode": multimodal.decode_features,
+        # REAL codec path: P6 PPM encode → actor-pool header-parsing
+        # decode → channel sums; pixel recipe replayed exactly in SQL
+        "multimodal_ppm_decode": multimodal.ppm_decode_stats,
+        # real nearest-neighbor half-resize on the decoded raster
+        "multimodal_ppm_resize": multimodal.ppm_resize_stats,
         "multimodal_resize": multimodal.resize_features,
         "multimodal_frame_sample": multimodal.frame_sample,
         # per-payload 64-bit perceptual hash (aHash recipe on raw bytes)
@@ -559,6 +564,7 @@ def oracle_sql() -> dict[str, str]:
         dedup,
         fulltext,
         geo,
+        multimodal,
         relational,
         sketches,
         textstats,
@@ -2199,6 +2205,42 @@ def oracle_sql() -> dict[str, str]:
         # inequality) — it shares the brute-force oracle by construction
         "knn_ivf": _KNN_BRUTE_SQL,
         "embedding_label_centroids": ann.label_centroids_oracle_sql(),
+        # real-PPM decode: the engine round-trips honest P6 bytes through
+        # encoder + header-parsing decoder; SQL replays the pixel recipe
+        # byte i = (doc_id·A + i·B) mod 256 directly
+        "multimodal_ppm_decode": f"""
+            SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+                   CAST({multimodal.PPM_W} AS BIGINT) AS width,
+                   CAST({multimodal.PPM_H} AS BIGINT) AS height,
+                   CAST(SUM((d.doc_id * {multimodal.PPM_A}
+                             + (3 * t.i + 0) * {multimodal.PPM_B}) % 256) AS BIGINT) AS sum_r,
+                   CAST(SUM((d.doc_id * {multimodal.PPM_A}
+                             + (3 * t.i + 1) * {multimodal.PPM_B}) % 256) AS BIGINT) AS sum_g,
+                   CAST(SUM((d.doc_id * {multimodal.PPM_A}
+                             + (3 * t.i + 2) * {multimodal.PPM_B}) % 256) AS BIGINT) AS sum_b
+            FROM documents d
+            CROSS JOIN range(0, {multimodal.PPM_W * multimodal.PPM_H}) t(i)
+            GROUP BY 1 ORDER BY 1
+        """,
+        # real NN half-resize: source pixel (2y, 2x) → byte 3·(2y·W+2x)+c
+        "multimodal_ppm_resize": f"""
+            SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+                   CAST({multimodal.PPM_W // 2} AS BIGINT) AS out_w,
+                   CAST({multimodal.PPM_H // 2} AS BIGINT) AS out_h,
+                   CAST(SUM((d.doc_id * {multimodal.PPM_A}
+                             + (3 * ((2 * ty.y) * {multimodal.PPM_W} + 2 * tx.x) + 0)
+                               * {multimodal.PPM_B}) % 256) AS BIGINT) AS sum_r,
+                   CAST(SUM((d.doc_id * {multimodal.PPM_A}
+                             + (3 * ((2 * ty.y) * {multimodal.PPM_W} + 2 * tx.x) + 1)
+                               * {multimodal.PPM_B}) % 256) AS BIGINT) AS sum_g,
+                   CAST(SUM((d.doc_id * {multimodal.PPM_A}
+                             + (3 * ((2 * ty.y) * {multimodal.PPM_W} + 2 * tx.x) + 2)
+                               * {multimodal.PPM_B}) % 256) AS BIGINT) AS sum_b
+            FROM documents d
+            CROSS JOIN range(0, {multimodal.PPM_H // 2}) ty(y)
+            CROSS JOIN range(0, {multimodal.PPM_W // 2}) tx(x)
+            GROUP BY 1 ORDER BY 1
+        """,
         "multimodal_decode": """
             SELECT doc_id,
                    CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,

@@ -2940,3 +2940,32 @@ def test_quantile_summary_one_sided_bound():
             # est's true rank interval must reach the target, overshoot <= eps
             assert lo <= target + eps
             assert hi >= target  # one-sided: never below target
+
+
+def test_ppm_codec_roundtrip_and_errors():
+    """ppm_decode is a REAL P6 parser: encoder round-trip is exact,
+    spec-legal '#' comments in the header parse, and malformed payloads
+    raise instead of returning garbage."""
+    import numpy as np
+    import pytest
+
+    from aarhus_ray.functions.multimodal import (
+        PPM_H, PPM_W, ppm_decode, ppm_encode,
+    )
+
+    payload = ppm_encode(12345)
+    w, h, img = ppm_decode(payload)
+    assert (w, h) == (PPM_W, PPM_H) and img.shape == (PPM_H, PPM_W, 3)
+    i = np.arange(PPM_W * PPM_H * 3, dtype=np.int64)
+    want = ((12345 * 2654435761 + i * 40503) % 256).astype(np.uint8)
+    assert (img.reshape(-1) == want).all()
+
+    raster = payload.split(b"255\n", 1)[1]
+    commented = b"P6\n# a comment\n%d %d\n255\n" % (PPM_W, PPM_H) + raster
+    w2, h2, img2 = ppm_decode(commented)
+    assert (img2 == img).all() and (w2, h2) == (w, h)
+
+    with pytest.raises(ValueError):
+        ppm_decode(b"P5\n1 1\n255\n\x00")
+    with pytest.raises(ValueError):
+        ppm_decode(b"P6\n1 1\n65535\n\x00\x00\x00")
