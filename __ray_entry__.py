@@ -89,6 +89,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ann, bpe, cleaning, dedup, fulltext, geo, multimodal, relational, sketches,
         textstats, windows,
     )
+    from aarhus_ray.sources.interchange import (
+        csv_roundtrip_stats as _csv_roundtrip,
+        jsonl_roundtrip_stats as _jsonl_roundtrip,
+    )
 
     q = {
         # --- relational / aggregation / joins / top-n (SURVEY §2.4-2.6) ---
@@ -306,6 +310,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # tests/test_functions.py::test_kmeans_matches_numpy_lloyd
         "embedding_kmeans": ann.kmeans,
         # --- multimodal binary-column plumbing (stub kernels, real Ray shape) ---
+        # interchange sources: JSONL / CSV round-trips of documents; the
+        # per-lang fold hash breaks on any quoting/escape corruption
+        "docs_from_jsonl": _jsonl_roundtrip,
+        "docs_from_csv": _csv_roundtrip,
         "multimodal_decode": multimodal.decode_features,
         # REAL codec path: P6 PPM encode → actor-pool header-parsing
         # decode → channel sums; pixel recipe replayed exactly in SQL
@@ -2205,6 +2213,21 @@ def oracle_sql() -> dict[str, str]:
         # inequality) — it shares the brute-force oracle by construction
         "knn_ivf": _KNN_BRUTE_SQL,
         "embedding_label_centroids": ann.label_centroids_oracle_sql(),
+        # interchange round-trips: oracle reads the ORIGINAL parquet; the
+        # engine goes parquet → JSONL/CSV → reader → fold, so the hashes
+        # certify the interchange layer preserved every character
+        "docs_from_jsonl": """
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+                   CAST(SUM(length(text)) AS BIGINT) AS sum_text_len
+            FROM documents GROUP BY 1 ORDER BY 1
+        """,
+        "docs_from_csv": """
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+                   CAST(SUM(length(text)) AS BIGINT) AS sum_text_len
+            FROM documents GROUP BY 1 ORDER BY 1
+        """,
         # real-PPM decode: the engine round-trips honest P6 bytes through
         # encoder + header-parsing decoder; SQL replays the pixel recipe
         # byte i = (doc_id·A + i·B) mod 256 directly
