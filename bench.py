@@ -161,6 +161,12 @@ def run_once() -> dict:
             "fulltext_composite_agg",
             "docs_pack_sequences",
             "knn_graph",
+            # round-4 session additions: bigram shuffle, double vocab
+            # pass, edge self-joins, hot-key Bloom path
+            "docs_collocations",
+            "docs_tfidf_keywords",
+            "knn_triangles",
+            "docs_dedup_vs_reference",
         ):
             qs[name](sf_dir)
             t0 = time.perf_counter()
