@@ -371,6 +371,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # span_not: include span qualifies only with no exclude occurrence
         # inside its position window (Lucene SpanNotQuery, pre=post=0)
         "fulltext_bm25_span_not": fulltext.bm25_topk_span_not,
+        # span_containing: big span must CONTAIN a little occurrence —
+        # span_not's dual (widest-achievable-window kernel)
+        "fulltext_bm25_span_containing": fulltext.bm25_topk_span_containing,
         # ES intervals query: ordered any_of slots ('a|b c') within
         # n_slots-1+max_gaps tokens (SpanOr inside SpanNear)
         "fulltext_bm25_intervals": fulltext.bm25_topk_intervals,
@@ -2340,6 +2343,7 @@ def oracle_sql() -> dict[str, str]:
         "fulltext_bm25_near_topk": fulltext.bm25_near_oracle_sql(),
         "fulltext_bm25_span_near": fulltext.bm25_span_near_oracle_sql(),
         "fulltext_bm25_span_not": fulltext.bm25_span_not_oracle_sql(),
+        "fulltext_bm25_span_containing": fulltext.bm25_span_containing_oracle_sql(),
         "fulltext_bm25_intervals": fulltext.bm25_intervals_oracle_sql(),
         "fulltext_top_hits": fulltext.top_hits_oracle_sql(),
         "fulltext_explain": fulltext.explain_oracle_sql(),

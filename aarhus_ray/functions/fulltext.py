@@ -196,6 +196,19 @@ FT_SPAN_NOTS = (
     "window ! the",
 )
 
+# Frozen span_containing query set: ``big_seq @ little_terms`` — the dual
+# of span_not (inner occurrence REQUIRED instead of vetoed). Exercises a
+# live little on a common pair, the OOV-little degenerate (must be
+# EMPTY), self-containment (== span_near, pinned by test), a single-token
+# big, and a multi-little alternation.
+FT_SPAN_CONTAININGS = (
+    "query the @ table",
+    "the query @ zzznotinvocab",
+    "vector @ vector",
+    "the @ query",
+    "the query @ scan row",
+)
+
 # Frozen prefix-wildcard query set: trailing ``*`` expands against the term
 # dictionary (range scan); literals mix in unchanged. "s*" fans out to six
 # corpus terms; "zz*" matches nothing (must be empty); the last entry mixes
@@ -1183,6 +1196,100 @@ def bm25_span_not_oracle_sql(k: int = 10) -> str:
             f"    AND {aliases[-1]}.pos - {aliases[0]}.pos <= {limit}\n"
             f"    AND NOT EXISTS (SELECT 1 FROM posi e\n"
             f"      WHERE e.doc_id = {aliases[0]}.doc_id AND e.tok IN ({excl_list})\n"
+            f"        AND e.pos BETWEEN {aliases[0]}.pos AND {aliases[-1]}.pos)\n"
+            f"  GROUP BY 2"
+        )
+    spans = "\n  UNION ALL\n".join(blocks)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok
+    FROM documents) WHERE tok <> ''
+),
+dl AS (SELECT d.doc_id, CAST(coalesce(t.c, 0) AS DOUBLE) AS dl
+       FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS c FROM toks GROUP BY 1) t USING (doc_id)),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+qd(query_id, tok) AS (VALUES {values}),
+arr AS (SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS a
+        FROM documents),
+posi AS (SELECT doc_id, unnest(a) AS tok, generate_subscripts(a, 1) - 1 AS pos FROM arr),
+spans AS (
+{spans}
+),
+scored AS (
+  SELECT qd.query_id, tf.doc_id,
+         sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * (1.2 + 1.0)
+              / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score
+  FROM qd JOIN tf USING (tok) JOIN df USING (tok)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s GROUP BY 1, 2
+),
+ranked AS (
+  SELECT s.query_id, s.doc_id,
+         row_number() OVER (PARTITION BY s.query_id ORDER BY s.score DESC, s.doc_id) AS rank
+  FROM scored s JOIN spans n ON n.query_id = s.query_id AND n.doc_id = s.doc_id
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank, doc_id
+FROM ranked WHERE rank <= {k}
+ORDER BY query_id, rank
+"""
+
+
+def bm25_topk_span_containing(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Lucene ``span_containing`` — the span family's last member
+    (span_near=ordered, span_first=lead-gated, span_not=veto,
+    intervals=SpanOr-in-SpanNear, this=inner-REQUIRED): each
+    FT_SPAN_CONTAININGS query is ``big @ little``, matching docs where
+    SOME ordered big span (within len(seq)−1+SPAN_SLOP tokens) contains
+    an occurrence of any little term. Survivors rank by the BM25 sum of
+    the DISTINCT big terms. OOV little ⇒ empty (containment needs a
+    position — the opposite of span_not's degeneracy); ``t @ t`` ==
+    span_near(t), both pinned by test. Oracle: the span_near n-way
+    ordered self-join plus an EXISTS little-in-window requirement, with
+    the widest-achievable-window argument (query_stage.
+    _containing_span_exists) making EXISTS-a-containing-tuple exact."""
+    return _run_queries(
+        _ensure_index(sf_dir, fresh=False, positions=True),
+        FT_SPAN_CONTAININGS, k, "span_containing", span_slop=SPAN_SLOP,
+    )
+
+
+def bm25_span_containing_oracle_sql(k: int = 10) -> str:
+    """span_containing oracle: BM25 CTEs over each query's DISTINCT BIG
+    terms + per-query ordered self-join spans with an EXISTS
+    little-in-window requirement per tuple."""
+    parsed = []
+    for q in FT_SPAN_CONTAININGS:
+        big, little = q.split("@", 1)
+        parsed.append((big.split(), sorted(set(little.split()))))
+    values = ",".join(
+        f"({qid}, '{term}')"
+        for qid, (seq, _) in enumerate(parsed)
+        for term in sorted(set(seq))
+    )
+    blocks = []
+    for qid, (seq, little) in enumerate(parsed):
+        aliases = [f"p{i}" for i in range(len(seq))]
+        joins = f"posi {aliases[0]}" + "".join(
+            f" JOIN posi {a} USING (doc_id)" for a in aliases[1:]
+        )
+        conds = " AND ".join(f"{a}.tok = '{t}'" for a, t in zip(aliases, seq))
+        order = " AND ".join(
+            f"{aliases[i + 1]}.pos > {aliases[i]}.pos" for i in range(len(seq) - 1)
+        )
+        where = conds + (f" AND {order}" if order else "")
+        limit = len(seq) - 1 + SPAN_SLOP
+        little_list = ",".join(f"'{t}'" for t in little)
+        blocks.append(
+            f"  SELECT {qid} AS query_id, {aliases[0]}.doc_id FROM {joins}\n"
+            f"  WHERE {where}\n"
+            f"    AND {aliases[-1]}.pos - {aliases[0]}.pos <= {limit}\n"
+            f"    AND EXISTS (SELECT 1 FROM posi e\n"
+            f"      WHERE e.doc_id = {aliases[0]}.doc_id AND e.tok IN ({little_list})\n"
             f"        AND e.pos BETWEEN {aliases[0]}.pos AND {aliases[-1]}.pos)\n"
             f"  GROUP BY 2"
         )

@@ -114,6 +114,42 @@ def _clean_span_exists(lists: list[np.ndarray], excl: np.ndarray, limit: int) ->
     return False
 
 
+def _containing_span_exists(lists: list[np.ndarray], inner: np.ndarray, limit: int) -> bool:
+    """Does an ordered pick p0 < … < p_{n−1} (one per sorted list) exist
+    with p_{n−1} − p0 ≤ limit and SOME ``inner`` position inside the
+    inclusive window [p0, p_{n−1}]? Lucene SpanContainingQuery. Per start
+    p0: the greedy chain reaches the MINIMAL last g; any element L of the
+    LAST list with g ≤ L ≤ p0+limit is also achievable (swap only the
+    final pick — the (n−2)th greedy pick is < g ≤ L, order holds), and no
+    valid chain from p0 ends past p0+limit — so the achievable windows
+    from p0 are exactly [p0, L] for those L, and the widest one decides
+    containment (property-tested vs enumeration)."""
+    if len(inner) == 0:
+        return False
+    for p0 in lists[0]:
+        cur = int(p0)
+        for lst in lists[1:]:
+            j = int(np.searchsorted(lst, cur + 1))
+            if j == len(lst):
+                return False
+            cur = int(lst[j])
+        if cur - int(p0) > limit:
+            continue
+        # widest achievable window end from p0: for n == 1 the span IS
+        # the single position; for n >= 2 any last-list element in
+        # [g, p0+limit] works (swap only the final pick)
+        if len(lists) == 1:
+            lmax = cur
+        else:
+            last = lists[-1]
+            hi = int(np.searchsorted(last, int(p0) + limit, side="right")) - 1
+            lmax = max(int(last[hi]), cur) if hi >= 0 else cur
+        lo = int(np.searchsorted(inner, int(p0)))
+        if lo < len(inner) and int(inner[lo]) <= lmax:
+            return True
+    return False
+
+
 def _lev1_same(mat: np.ndarray, qb: np.ndarray) -> np.ndarray:
     """Rows of ``mat`` (n × m byte matrix) within substitution distance 1
     of ``qb`` (m bytes): at most one mismatched position."""
@@ -448,22 +484,22 @@ class QueryScorer:
         self.k = k
         self.method = method
         if mode not in ("or", "and", "phrase", "near", "span_near", "span_not",
-                        "prefix", "fuzzy", "boost", "boolean", "msm",
-                        "terms_set", "wildcard", "regexp", "query_string",
-                        "phrase_prefix", "intervals"):
+                        "span_containing", "prefix", "fuzzy", "boost",
+                        "boolean", "msm", "terms_set", "wildcard", "regexp",
+                        "query_string", "phrase_prefix", "intervals"):
             raise ValueError(
                 f"mode must be 'or', 'and', 'phrase', 'near', 'span_near', "
-                f"'span_not', 'prefix', 'fuzzy', 'boost', 'boolean', 'msm', "
-                f"'terms_set', 'wildcard', 'regexp', 'query_string', "
-                f"'phrase_prefix' or 'intervals', not {mode!r}"
+                f"'span_not', 'span_containing', 'prefix', 'fuzzy', 'boost', "
+                f"'boolean', 'msm', 'terms_set', 'wildcard', 'regexp', "
+                f"'query_string', 'phrase_prefix' or 'intervals', not {mode!r}"
             )
         if mode == "and" and method not in ("wand", "brute"):
             raise ValueError(f"conjunctive scoring supports wand/brute, not {method!r}")
         if mode in ("prefix", "fuzzy", "boost", "boolean", "msm", "terms_set",
                     "wildcard", "regexp", "query_string") and method not in ("wand", "brute"):
             raise ValueError(f"{mode} scoring supports wand/brute, not {method!r}")
-        if mode in ("phrase", "near", "span_near", "span_not", "phrase_prefix",
-                    "intervals") and method != "wand":
+        if mode in ("phrase", "near", "span_near", "span_not", "span_containing",
+                    "phrase_prefix", "intervals") and method != "wand":
             raise ValueError(f"{mode} scoring supports method='wand', not {method!r}")
         self.mode = mode
         self.near_window = int(near_window)
@@ -1084,6 +1120,92 @@ class QueryScorer:
 
         return topk_select(cand, scores, self.k)
 
+    def _score_query_span_containing(self, text: str) -> tuple[np.ndarray, np.ndarray]:
+        """Lucene ``span_containing``: query text is ``big_seq @
+        little_terms`` — a doc qualifies iff some ordered occurrence of
+        the BIG sequence (within len(seq)−1+span_slop tokens, the
+        span_near predicate) CONTAINS an occurrence of any little term in
+        its inclusive position window. The dual of span_not: the inner
+        occurrence is required instead of vetoed, so an OOV/absent little
+        term yields NO matches (containment needs a position — the
+        opposite degeneracy, pinned by test), while ``t @ t`` degenerates
+        to span_near on t (every single-pick window contains its own
+        pick). Survivors rank by the BM25 sum of the DISTINCT BIG terms
+        (Lucene scores the big span). Verification reads pos.bin when
+        every owning shard carries one, else re-tokenizes candidate texts
+        — the span family's two-engine shape."""
+        if "@" not in text:
+            raise ValueError("span_containing query must be 'big_seq @ little_terms'")
+        big_part, little_part = text.split("@", 1)
+        seq = tokenize(big_part)
+        little_terms = sorted(set(tokenize(little_part)))
+        if not seq or not little_terms:
+            return np.empty(0, np.uint64), np.empty(0, np.float64)
+        owners = {}
+        for t in set(seq):
+            segs = self._owners(t)
+            if not segs:
+                return np.empty(0, np.uint64), np.empty(0, np.float64)
+            owners[t] = segs
+        little_owners = {t: self._owners(t) for t in little_terms}
+        little_owners = {t: s for t, s in little_owners.items() if s}
+        if not little_owners:  # no little occurrence anywhere: no containment
+            return np.empty(0, np.uint64), np.empty(0, np.float64)
+        terms = sorted(owners)
+        entries = [self._term_arrays(t, owners[t]) for t in terms]
+        cand = self._conj_candidates(terms, entries)
+        if len(cand):
+            limit = len(seq) - 1 + self.span_slop
+            all_segs = list(owners.values()) + list(little_owners.values())
+            if all(seg.pos_dict is not None for segs in all_segs for seg in segs):
+                pos_by_term = {
+                    t: self._positions_of_docs(t, owners[t], cand) for t in set(seq)
+                }
+                little_by_term = {
+                    t: self._positions_of_docs(t, little_owners[t], cand)
+                    for t in little_owners
+                }
+                keep = np.zeros(len(cand), dtype=bool)
+                for ci in range(len(cand)):
+                    lists = [pos_by_term[t][ci] for t in seq]
+                    if any(p is None or len(p) == 0 for p in lists):
+                        continue
+                    inn = [
+                        p
+                        for p in (little_by_term[t][ci] for t in little_owners)
+                        if p is not None and len(p)
+                    ]
+                    inner = (
+                        np.sort(np.concatenate(inn))
+                        if inn
+                        else np.empty(0, np.int64)
+                    )
+                    keep[ci] = _containing_span_exists(lists, inner, limit)
+                cand = cand[keep]
+            else:
+                texts = self._texts_of(cand)
+                keep = np.zeros(len(cand), dtype=bool)
+                for i, doc_text in enumerate(texts):
+                    arr = np.asarray(tokenize(doc_text), dtype=object)
+                    lists = [np.flatnonzero(arr == t) for t in seq]
+                    if any(len(p) == 0 for p in lists):
+                        continue
+                    inner = np.sort(
+                        np.concatenate(
+                            [np.flatnonzero(arr == t) for t in little_terms]
+                        )
+                    )
+                    keep[i] = _containing_span_exists(lists, inner, limit)
+                cand = cand[keep]
+        if len(cand) == 0:
+            return np.empty(0, np.uint64), np.empty(0, np.float64)
+        scores = np.zeros(len(cand), dtype=np.float64)
+        for doc_ids, contribs, _, _ in entries:  # sorted-term order
+            scores += contribs[np.searchsorted(doc_ids, cand)]
+        from ..bm25 import topk_select
+
+        return topk_select(cand, scores, self.k)
+
     def _score_query_intervals(self, text: str) -> tuple[np.ndarray, np.ndarray]:
         """ES ``intervals`` query, ``all_of(ordered=true, max_gaps)`` over
         ``any_of`` slots (Lucene SpanOr inside SpanNear): the query text is
@@ -1675,6 +1797,8 @@ class QueryScorer:
             return self._score_query_span(text)
         if self.mode == "span_not":
             return self._score_query_span_not(text)
+        if self.mode == "span_containing":
+            return self._score_query_span_containing(text)
         if self.mode == "intervals":
             return self._score_query_intervals(text)
         if self.mode == "prefix":

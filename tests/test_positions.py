@@ -395,3 +395,98 @@ def test_span_not_degeneracy_and_self_exclude(pos_pair):
         assert (a["query_id"] == 1).sum() == 0  # self-exclude is empty
         live = set(a[a["query_id"] == 2]["doc_id"].tolist())
         assert live <= set(near["doc_id"].tolist()) or len(near) == 10
+
+
+def test_containing_span_exists_vs_bruteforce():
+    """_containing_span_exists (greedy start + widest-achievable-window)
+    == exhaustive enumeration of strictly-increasing picks with the
+    some-inner-in-window predicate, incl. single-list spans and
+    shared-list reuse."""
+    from itertools import product
+
+    from aarhus_ray.stages.query_stage import _containing_span_exists
+
+    rng = random.Random(29)
+    for _ in range(300):
+        n_lists = rng.randint(1, 4)
+        lists = [
+            np.array(sorted(rng.sample(range(25), rng.randint(1, 5))), dtype=np.int64)
+            for _ in range(n_lists)
+        ]
+        if n_lists >= 2 and rng.random() < 0.3:
+            lists[-1] = lists[0]
+        inner = np.array(
+            sorted(rng.sample(range(25), rng.randint(0, 8))), dtype=np.int64
+        )
+        limit = rng.randint(0, 12)
+        want = False
+        for pick in product(*lists):
+            if not all(pick[i + 1] > pick[i] for i in range(len(pick) - 1)):
+                continue
+            if pick[-1] - pick[0] > limit:
+                continue
+            if ((inner >= pick[0]) & (inner <= pick[-1])).any():
+                want = True
+                break
+        assert _containing_span_exists(lists, inner, limit) == want
+
+
+def test_span_containing_degeneracies(pos_pair):
+    """mode='span_containing': 't @ t' == span_near(t) bit-identically;
+    OOV little ⇒ EMPTY; positional and re-tokenize paths agree; a live
+    little never grows the match set beyond span_near of the big."""
+    text_of = _texts(pos_pair["pos"])
+    texts = list(text_of.values())
+    t0 = tokenize(texts[0])
+    big = f"{t0[0]} {t0[1]}"
+    q = pa.table(
+        {
+            "query_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(
+                [
+                    f"{t0[0]} @ {t0[0]}",
+                    f"{big} @ zzznotinvocab",
+                    f"{big} @ {t0[2]}",
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    q_near = pa.table(
+        {
+            "query_id": pa.array([0], pa.int64()),
+            "text": pa.array([t0[0]], pa.string()),
+        }
+    )
+    for slop in (0, 2):
+        a = (
+            query_index(pos_pair["pos"], q, k=10, mode="span_containing",
+                        span_slop=slop, resolve_urls=False)
+            .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+        )
+        b = (
+            query_index(pos_pair["nopos"], q, k=10, mode="span_containing",
+                        span_slop=slop, resolve_urls=False)
+            .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+        )
+        assert len(a) == len(b)
+        assert (a["doc_id"].to_numpy() == b["doc_id"].to_numpy()).all()
+        assert (a["score"].to_numpy() == b["score"].to_numpy()).all()
+        near = (
+            query_index(pos_pair["pos"], q_near, k=10, mode="span_near",
+                        span_slop=slop, resolve_urls=False)
+            .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+        )
+        self_q = a[a["query_id"] == 0].reset_index(drop=True)
+        assert (self_q["doc_id"].to_numpy() == near["doc_id"].to_numpy()).all()
+        assert (self_q["score"].to_numpy() == near["score"].to_numpy()).all()
+        assert (a["query_id"] == 1).sum() == 0  # OOV little: empty
+        big_near = (
+            query_index(pos_pair["pos"],
+                        pa.table({"query_id": pa.array([0], pa.int64()),
+                                  "text": pa.array([big], pa.string())}),
+                        k=10, mode="span_near", span_slop=slop, resolve_urls=False)
+            .to_pandas()
+        )
+        live = set(a[a["query_id"] == 2]["doc_id"].tolist())
+        assert live <= set(big_near["doc_id"].tolist()) or len(big_near) == 10
