@@ -152,6 +152,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q22_global_sales_opportunity": relational.q22_global_sales_opportunity,
         # --- stream-shaped ops over events (SURVEY §2.10) ---
         "events_hourly_tumbling": windows.events_hourly_tumbling,
+        # GROUPING SETS cube: (type,day),(type),(day),() in one combiner
+        # pass; '(all)'/-1 sentinels keep key dtypes stable
+        "events_cube_rollup": windows.events_cube_rollup,
         "events_sliding_window": windows.events_sliding_window,
         "events_dedup_keep_latest": windows.events_dedup_keep_latest,
         "events_sessionize": windows.events_sessionize,
@@ -992,6 +995,20 @@ def oracle_sql() -> dict[str, str]:
               AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
                               AND o.o_orderdate >= TIMESTAMP '{relational.Q22_CUTOFF}')
             GROUP BY 1 ORDER BY 1
+        """,
+        # OLAP cube: GROUPING SETS replay with the same rolled-up sentinels
+        "events_cube_rollup": """
+            WITH e AS (SELECT event_type,
+                              epoch_us(ts) // 86400000000 AS day,
+                              CAST(floor(value*100) AS BIGINT) AS cents
+                       FROM events)
+            SELECT coalesce(event_type, '(all)') AS event_type,
+                   CAST(coalesce(day, -1) AS BIGINT) AS day,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(SUM(cents) AS BIGINT) AS sum_value_floor_cents
+            FROM e
+            GROUP BY GROUPING SETS ((event_type, day), (event_type), (day), ())
+            ORDER BY 1, 2
         """,
         "events_hourly_tumbling": """
             SELECT date_trunc('hour', ts) AS window_start, event_type,

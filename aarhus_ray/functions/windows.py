@@ -1030,3 +1030,58 @@ def events_scd2_versions(sf_dir: str) -> pd.DataFrame:
     for c in ("event_id", "user_id", "valid_from_us", "valid_to_us"):
         out[c] = out[c].astype("int64")
     return out
+
+
+def events_cube_rollup(sf_dir: str) -> pd.DataFrame:
+    """GROUPING SETS cube over events — the OLAP rollup every warehouse
+    engine ships: one pass emitting (event_type, day), (event_type),
+    (day) and the grand total, with '(all)' / -1 as the rolled-up
+    sentinels (dtype-stable across engines, no NULL-key hashing). Counts
+    and floor-cents sums per the repo's integer-money idiom.
+
+    Shape: the cube is PRE-AGGREGATED inside map_batches — each batch
+    folds its rows into all four grouping sets locally (Arrow group_by ×
+    4, concat), so the one exchange carries at most 4× the distinct-key
+    count, never 4× the rows; the final groupby merges partials. At
+    10^12 events the exchange stays (types × days)-sized — the classic
+    combiner argument, identical to events_hourly_tumbling's."""
+    ds = _events(sf_dir, ["ts", "event_type", "value"])
+    day_us = 86_400_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        etype = batch["event_type"]
+        day = pc.cast(
+            pc.divide(pc.cast(batch["ts"], pa.int64()), pa.scalar(day_us, pa.int64())),
+            pa.int64(),
+        )
+        cents = pc.cast(pc.floor(pc.multiply(batch["value"], pa.scalar(100.0))), pa.int64())
+        n = len(batch)
+        all_t = pa.array(["(all)"] * n, pa.string())
+        all_d = pa.array(np.full(n, -1, np.int64), pa.int64())
+        parts = []
+        for t_col, d_col in ((etype, day), (etype, all_d), (all_t, day), (all_t, all_d)):
+            g = (
+                pa.table({"event_type": t_col, "day": d_col, "cents": cents})
+                .group_by(["event_type", "day"])
+                .aggregate([("cents", "count"), ("cents", "sum")])
+            )
+            parts.append(
+                g.select(["event_type", "day", "cents_count", "cents_sum"])
+                .rename_columns(["event_type", "day", "n_events", "sum_value_floor_cents"])
+            )
+        return pa.concat_tables(parts)
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "day"])
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("sum_value_floor_cents", alias_name="sum_value_floor_cents"),
+        )
+        .to_pandas()
+        .sort_values(["event_type", "day"])
+        .reset_index(drop=True)
+    )
+    for c in ("day", "n_events", "sum_value_floor_cents"):
+        out[c] = out[c].astype("int64")
+    return out
