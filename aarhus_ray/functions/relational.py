@@ -2203,23 +2203,34 @@ def q16_part_supplier_counts(sf_dir: str) -> pd.DataFrame:
         ts = (key // np.int64(10**12)) * 1_000_000 + key % 1_000_000
         return pa.table({"ts": pa.array(np.unique(ts), pa.int64())})
 
-    uniq = (
+    def tri_partial(batch: pa.Table) -> pa.Table:
+        # fold distinct (triple, supplier) keys to per-triple partial
+        # counts IN the exchange — the driver only ever sees ≤ #triples
+        # rows, not #triples × #suppliers
+        t = (batch["ts"].to_numpy(zero_copy_only=False) // 1_000_000).astype(np.int64)
+        ut, c = np.unique(t, return_counts=True)
+        return pa.table({"tcode": pa.array(ut, pa.int64()),
+                         "supplier_cnt": pa.array(c.astype(np.int64), pa.int64())})
+
+    agg16 = (
         pair_ds.map_batches(tri_supp, batch_format="pyarrow")
         .groupby("ts")
         .aggregate(Count(alias_name="_n"))
+        .map_batches(tri_partial, batch_format="pyarrow")
+        .groupby("tcode")
+        .aggregate(Sum("supplier_cnt", alias_name="supplier_cnt"))
         .to_pandas()
     )
     tri_of = {i: tr for tr, i in tri_ids.items()}
-    if len(uniq) == 0:
+    if len(agg16) == 0:
         return pd.DataFrame({"p_brand": pd.Series([], dtype="object"),
                              "p_type": pd.Series([], dtype="object"),
                              "p_size": pd.Series([], dtype="int64"),
                              "supplier_cnt": pd.Series([], dtype="int64")})
-    tri = (uniq["ts"].to_numpy() // 1_000_000).astype(np.int64)
-    cnt: dict[int, int] = {}
-    for t in tri:
-        cnt[t] = cnt.get(t, 0) + 1
-    rows = [(tri_of[t][0], tri_of[t][1], tri_of[t][2], c) for t, c in cnt.items()]
+    rows = [
+        (tri_of[int(t)][0], tri_of[int(t)][1], tri_of[int(t)][2], int(c))
+        for t, c in zip(agg16["tcode"], agg16["supplier_cnt"])
+    ]
     out = pd.DataFrame(rows, columns=["p_brand", "p_type", "p_size", "supplier_cnt"])
     out = out.sort_values(
         ["supplier_cnt", "p_brand", "p_type", "p_size"],
