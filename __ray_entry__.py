@@ -155,6 +155,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # GROUPING SETS cube: (type,day),(type),(day),() in one combiner
         # pass; '(all)'/-1 sentinels keep key dtypes stable
         "events_cube_rollup": windows.events_cube_rollup,
+        # dense per-type hourly series, gaps linearly interpolated with
+        # the symmetric integer weighted average (filled flag carried)
+        "events_gap_fill": windows.events_gap_fill,
         "events_sliding_window": windows.events_sliding_window,
         "events_dedup_keep_latest": windows.events_dedup_keep_latest,
         "events_sessionize": windows.events_sessionize,
@@ -1009,6 +1012,40 @@ def oracle_sql() -> dict[str, str]:
             FROM e
             GROUP BY GROUPING SETS ((event_type, day), (event_type), (day), ())
             ORDER BY 1, 2
+        """,
+        # gap-fill: dense series via range(), prev/next observed bucket via
+        # IGNORE NULLS window frames, symmetric integer interpolation
+        "events_gap_fill": """
+            WITH cnt AS (
+              SELECT event_type, epoch_us(ts) // 3600000000 AS hour_bucket,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2),
+            bounds AS (SELECT event_type, min(hour_bucket) AS b0,
+                              max(hour_bucket) AS b1 FROM cnt GROUP BY 1),
+            dense AS (SELECT event_type,
+                             unnest(generate_series(b0, b1)) AS hour_bucket
+                      FROM bounds),
+            j AS (SELECT d.event_type, d.hour_bucket, c.n
+                  FROM dense d LEFT JOIN cnt c
+                    ON c.event_type = d.event_type AND c.hour_bucket = d.hour_bucket),
+            w AS (SELECT event_type, hour_bucket, n,
+                         last_value(n IGNORE NULLS) OVER pw AS pv,
+                         last_value(CASE WHEN n IS NOT NULL THEN hour_bucket END
+                                    IGNORE NULLS) OVER pw AS pb,
+                         first_value(n IGNORE NULLS) OVER nw AS nv,
+                         first_value(CASE WHEN n IS NOT NULL THEN hour_bucket END
+                                     IGNORE NULLS) OVER nw AS nb
+                  FROM j
+                  WINDOW pw AS (PARTITION BY event_type ORDER BY hour_bucket
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                         nw AS (PARTITION BY event_type ORDER BY hour_bucket
+                                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+            SELECT event_type, CAST(hour_bucket AS BIGINT) AS hour_bucket,
+                   CAST(CASE WHEN n IS NOT NULL THEN n
+                        ELSE (pv * (nb - hour_bucket) + nv * (hour_bucket - pb))
+                             // greatest(nb - pb, 1) END AS BIGINT) AS n_events,
+                   CAST(CASE WHEN n IS NOT NULL THEN 0 ELSE 1 END AS BIGINT) AS filled
+            FROM w ORDER BY 1, 2
         """,
         "events_hourly_tumbling": """
             SELECT date_trunc('hour', ts) AS window_start, event_type,

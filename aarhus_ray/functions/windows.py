@@ -1085,3 +1085,62 @@ def events_cube_rollup(sf_dir: str) -> pd.DataFrame:
     for c in ("day", "n_events", "sum_value_floor_cents"):
         out[c] = out[c].astype("int64")
     return out
+
+
+def events_gap_fill(sf_dir: str) -> pd.DataFrame:
+    """Timeseries gap-fill with linear interpolation — the missing-bucket
+    repair step every monitoring pipeline runs before charting or
+    anomaly scoring: per event_type, the DENSE hourly series between
+    that type's first and last active hour, with empty buckets filled by
+    ``(pv·(nb−b) + nv·(b−pb)) // (nb−pb)`` — the symmetric integer
+    weighted average between the previous (pb,pv) and next (nb,nv)
+    OBSERVED buckets (all operands non-negative integers, so Python and
+    DuckDB `//` agree exactly). Output (event_type, hour_bucket,
+    n_events, filled).
+
+    Shape: the distributed work is the same combiner fold as
+    events_hourly_tumbling (per-batch Arrow group_by partials → one
+    (type,hour) exchange); the interpolation then runs on the
+    WINDOW-SHAPED fold (types × active-hours rows) — never on events."""
+    ds = _events(sf_dir, ["ts", "event_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hour = pc.cast(
+            pc.divide(pc.cast(batch["ts"], pa.int64()),
+                      pa.scalar(3_600_000_000, pa.int64())),
+            pa.int64(),
+        )
+        g = (
+            pa.table({"event_type": batch["event_type"], "hour_bucket": hour})
+            .group_by(["event_type", "hour_bucket"])
+            .aggregate([("hour_bucket", "count")])
+        )
+        return g.rename_columns(["event_type", "hour_bucket", "n_events"])
+
+    fold = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "hour_bucket"])
+        .aggregate(Sum("n_events", alias_name="n_events"))
+        .to_pandas()
+        .sort_values(["event_type", "hour_bucket"])
+    )
+    rows = []
+    for etype, g in fold.groupby("event_type", sort=True):
+        hrs = g["hour_bucket"].to_numpy().astype(np.int64)
+        vals = g["n_events"].to_numpy().astype(np.int64)
+        dense = np.arange(hrs[0], hrs[-1] + 1, dtype=np.int64)
+        # index of previous/next observed bucket for every dense slot
+        nxt_i = np.searchsorted(hrs, dense, side="left")
+        prv_i = np.searchsorted(hrs, dense, side="right") - 1
+        observed = (nxt_i < len(hrs)) & (hrs[np.minimum(nxt_i, len(hrs) - 1)] == dense)
+        pb, pv = hrs[prv_i], vals[prv_i]
+        nb, nv = hrs[np.minimum(nxt_i, len(hrs) - 1)], vals[np.minimum(nxt_i, len(hrs) - 1)]
+        span = np.maximum(nb - pb, 1)
+        interp = (pv * (nb - dense) + nv * (dense - pb)) // span
+        n = np.where(observed, vals[np.minimum(nxt_i, len(hrs) - 1)], interp)
+        for b, v, ob in zip(dense, n, observed):
+            rows.append((etype, int(b), int(v), 0 if ob else 1))
+    out = pd.DataFrame(rows, columns=["event_type", "hour_bucket", "n_events", "filled"])
+    for c in ("hour_bucket", "n_events", "filled"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["event_type", "hour_bucket"]).reset_index(drop=True)
