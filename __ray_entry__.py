@@ -229,6 +229,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # top-50 adjacent-pair collocations by PMI (Church & Hanks),
         # integer milli-nat contract over the bigram table's own margins
         "docs_collocations": textstats.collocations,
+        # per-doc character self-entropy (binary/boilerplate detector),
+        # exact integer milli-nat numerator over own byte counts
+        "docs_char_entropy": textstats.char_entropy,
         # CCNet head/middle/tail terciles of the unigram NLL (Wenzek 2020)
         "docs_ccnet_buckets": textstats.ccnet_buckets,
         # Heaps'-law bigram-vocabulary growth per crawl-time bucket
@@ -380,6 +383,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # span_containing: big span must CONTAIN a little occurrence —
         # span_not's dual (widest-achievable-window kernel)
         "fulltext_bm25_span_containing": fulltext.bm25_topk_span_containing,
+        # stats_bucket sibling pipeline agg over the date_histogram
+        "fulltext_stats_bucket": fulltext.stats_bucket_query,
         # ES intervals query: ordered any_of slots ('a|b c') within
         # n_slots-1+max_gaps tokens (SpanOr inside SpanNear)
         "fulltext_bm25_intervals": fulltext.bm25_topk_intervals,
@@ -1442,6 +1447,19 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE rank <= 5
             ORDER BY doc_id, rank
         """,
+        # char self-entropy: own-byte-count milli-nat numerator
+        "docs_char_entropy": """
+            WITH ch AS (
+              SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents),
+            cnt AS (SELECT doc_id, c, count(*) AS k FROM ch GROUP BY 1, 2),
+            n AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n FROM documents)
+            SELECT CAST(n.doc_id AS BIGINT) AS doc_id, n.n AS n_chars,
+                   CAST(n.n * CAST(round(ln(n.n) * 1000) AS BIGINT)
+                        - coalesce(SUM(cnt.k * CAST(round(ln(cnt.k) * 1000) AS BIGINT)), 0)
+                        AS BIGINT) AS ent_milli_numer
+            FROM n LEFT JOIN cnt ON cnt.doc_id = n.doc_id
+            GROUP BY 1, 2 ORDER BY 1
+        """,
         # collocations: PMI in integer milli-nats over the bigram table's
         # own margins (c_a = Σ_b c_ab, positions not docs), min_c AFTER
         # margins, ties (pmi DESC, a, b)
@@ -2398,6 +2416,7 @@ def oracle_sql() -> dict[str, str]:
         "fulltext_bm25_span_near": fulltext.bm25_span_near_oracle_sql(),
         "fulltext_bm25_span_not": fulltext.bm25_span_not_oracle_sql(),
         "fulltext_bm25_span_containing": fulltext.bm25_span_containing_oracle_sql(),
+        "fulltext_stats_bucket": fulltext.stats_bucket_oracle_sql(),
         "fulltext_bm25_intervals": fulltext.bm25_intervals_oracle_sql(),
         "fulltext_top_hits": fulltext.top_hits_oracle_sql(),
         "fulltext_explain": fulltext.explain_oracle_sql(),

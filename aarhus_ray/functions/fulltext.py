@@ -3393,6 +3393,45 @@ ORDER BY 1, 2
 """
 
 
+def stats_bucket_query(sf_dir: str) -> pd.DataFrame:
+    """ES ``stats_bucket`` sibling pipeline aggregation: the stats of a
+    date_histogram's per-bucket doc counts — per FT_QUERY, (n_buckets,
+    min/max/sum of n_docs, avg_x100 = sum·100 // n_buckets). The
+    distributed work IS the date_histogram fold (the engine's stateless
+    per-query task); the sibling agg then runs on the window-shaped
+    (query × bucket) result — ES evaluates pipeline aggs at reduce time
+    the same way. All integers, hash-exact."""
+    hist = date_histogram_query(sf_dir)
+    rows = []
+    for qid, g in hist.groupby("query_id", sort=True):
+        n = g["n_docs"].to_numpy().astype(np.int64)
+        rows.append((int(qid), len(n), int(n.min()), int(n.max()),
+                     int(n.sum()), int(n.sum()) * 100 // len(n)))
+    out = pd.DataFrame(
+        rows,
+        columns=["query_id", "n_buckets", "min_docs", "max_docs",
+                 "sum_docs", "avg_docs_x100"],
+    )
+    return out.astype("int64")
+
+
+def stats_bucket_oracle_sql() -> str:
+    """stats_bucket oracle: the date_histogram CTE re-folded per query."""
+    inner = date_histogram_oracle_sql().strip().rstrip().removesuffix("ORDER BY 1, 2").strip()
+    return f"""
+WITH hist AS (
+{inner}
+)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(min(n_docs) AS BIGINT) AS min_docs,
+       CAST(max(n_docs) AS BIGINT) AS max_docs,
+       CAST(SUM(n_docs) AS BIGINT) AS sum_docs,
+       CAST((SUM(n_docs) * 100) // count(*) AS BIGINT) AS avg_docs_x100
+FROM hist GROUP BY 1 ORDER BY 1
+"""
+
+
 RT_MAX_DF = 100  # rare_terms: global-df rarity threshold (catches 'dup',
 #                  the planted near-dup marker term; every other corpus
 #                  term sits in ~380-460 docs)

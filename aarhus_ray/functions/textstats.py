@@ -1466,3 +1466,49 @@ def collocations(sf_dir: str, min_c: int = COLLOC_MIN_C, k: int = COLLOC_K) -> p
     ).head(k).reset_index(drop=True)
     parts.insert(0, "rank", np.arange(1, len(parts) + 1, dtype=np.int32))
     return parts
+
+
+def char_entropy(sf_dir: str) -> pd.DataFrame:
+    """Per-doc character-level Shannon self-entropy — the cheap binary/
+    boilerplate-junk detector (gibberish and base64 blobs sit near
+    log|alphabet|, repeated padding near 0) that curation stacks run
+    before tokenizing. INTEGER-exact via the milli-nat idiom:
+    ``ent_milli_numer = n·round(ln n·1000) − Σ c_i·round(ln c_i·1000)``
+    over the doc's own byte counts (every log is of an exact integer, so
+    libm agrees bitwise across engines; H in milli-nats = numer / n,
+    kept as the exact integer numerator plus n). Embarrassingly
+    parallel: one pass, per-doc byte bincounts (texts are ASCII —
+    bytes == chars, the module contract), nothing shuffles."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def per_doc(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ns = np.empty(len(ids), np.int64)
+        numer = np.empty(len(ids), np.int64)
+        for i, t in enumerate(batch["text"].to_pylist()):
+            b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
+            n = len(b)
+            ns[i] = n
+            if n == 0:
+                numer[i] = 0
+                continue
+            c = np.bincount(b, minlength=256)
+            c = c[c > 0].astype(np.int64)
+            l_c = np.round(np.log(c.astype(np.float64)) * 1000.0).astype(np.int64)
+            l_n = np.int64(np.round(np.log(float(n)) * 1000.0))
+            numer[i] = n * l_n - int((c * l_c).sum())
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_chars": pa.array(ns, pa.int64()),
+                "ent_milli_numer": pa.array(numer, pa.int64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(per_doc, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    return out.astype("int64")
