@@ -72,15 +72,19 @@ _DRIVER_WINDOW = [
     # cleaning / curation
     "docs_gopher_filter", "docs_source_cap", "docs_curation_pipeline",
     "corpus_clean", "docs_dsir_weights",
-    # dedup family (SURVEY §2.7 + extensions)
+    # dedup family (SURVEY §2.7 + extensions; paragraph_dups shares the
+    # span-dedup machinery substring_dups attests, so its slot goes to
+    # the round-4 interchange-source family)
     "docs_dedup_exact", "docs_minhash_lsh_pairs", "docs_simhash_pairs",
-    "docs_substring_dups", "docs_paragraph_dups", "docs_dup_clusters",
+    "docs_substring_dups", "docs_dup_clusters",
     "embedding_near_dup_pairs", "embedding_semdedup_drops",
     # ANN / embeddings
     "knn_cosine_bruteforce", "knn_cosine_lsh", "knn_ivf", "knn_pq",
     "knn_graph", "knn_pagerank",
-    # multimodal plumbing
-    "multimodal_phash", "multimodal_decode",
+    # multimodal: the REAL codec path (round 4) over the plumbing fake
+    "multimodal_phash", "multimodal_ppm_decode",
+    # interchange sources (round 4): JSONL round-trip certification
+    "docs_from_jsonl",
 ]
 
 
