@@ -236,6 +236,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-doc character self-entropy (binary/boilerplate detector),
         # exact integer milli-nat numerator over own byte counts
         "docs_char_entropy": textstats.char_entropy,
+        # Zipf slope of the term-frequency distribution (integer
+        # regression sums; slope = beta_num/beta_den)
+        "docs_zipf_slope": textstats.zipf_slope,
         # CCNet head/middle/tail terciles of the unigram NLL (Wenzek 2020)
         "docs_ccnet_buckets": textstats.ccnet_buckets,
         # Heaps'-law bigram-vocabulary growth per crawl-time bucket
@@ -1463,6 +1466,26 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS ent_milli_numer
             FROM n LEFT JOIN cnt ON cnt.doc_id = n.doc_id
             GROUP BY 1, 2 ORDER BY 1
+        """,
+        # Zipf slope: milli-nat log-log regression, exact integer sums
+        "docs_zipf_slope": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({toks_nonempty}) AS tok FROM documents),
+            cnt AS (SELECT tok, count(*) AS c FROM toks GROUP BY 1),
+            r AS (SELECT c, row_number() OVER (ORDER BY c DESC, tok) AS rnk
+                  FROM cnt),
+            m AS (SELECT CAST(round(ln(rnk) * 1000) AS BIGINT) AS x,
+                         CAST(round(ln(c) * 1000) AS BIGINT) AS y FROM r),
+            s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                         CAST(SUM(x) AS BIGINT) AS sx,
+                         CAST(SUM(y) AS BIGINT) AS sy,
+                         CAST(SUM(x * y) AS BIGINT) AS sxy,
+                         CAST(SUM(x * x) AS BIGINT) AS sxx FROM m)
+            SELECT n AS n_terms, sx AS sum_x, sy AS sum_y,
+                   sxy AS sum_xy, sxx AS sum_xx,
+                   CAST(n * sxy - sx * sy AS BIGINT) AS beta_num,
+                   CAST(n * sxx - sx * sx AS BIGINT) AS beta_den
+            FROM s
         """,
         # collocations: PMI in integer milli-nats over the bigram table's
         # own margins (c_a = Σ_b c_ab, positions not docs), min_c AFTER

@@ -1512,3 +1512,56 @@ def char_entropy(sf_dir: str) -> pd.DataFrame:
         .reset_index(drop=True)
     )
     return out.astype("int64")
+
+
+def zipf_slope(sf_dir: str) -> pd.DataFrame:
+    """Zipf-law slope of the corpus term-frequency distribution — the
+    corpus-health diagnostic paired with vocab_growth's Heaps fit
+    (natural text sits near −1; boilerplate-heavy or templated corpora
+    flatten it). Least-squares slope of l(freq) on l(rank) in milli-nats
+    (ranks frozen by (freq DESC, term ASC)), emitted as the EXACT
+    integer regression sums plus numerator/denominator (slope =
+    beta_num / beta_den) — division is left to the reader because
+    Python floors and DuckDB truncates negative quotients; everything
+    emitted is an exact integer, hash-stable.
+
+    Shape: the distributed work is the vocab-sized term-count fold (the
+    term_counts exchange); ranking and the integer sums run on that fold
+    (driver-side here, a vocab sort + per-block partials at 10^12
+    tokens). int64 is ample: x,y ≤ ~15k milli-nats, so even a 10^9-term
+    vocab keeps n·Σxy below 2^63."""
+    from ..textnorm import tokenize_flat
+
+    ds = _docs(sf_dir, ["text"])
+
+    def term_partial(batch: pa.Table) -> pa.Table:
+        flat, _, _ = tokenize_flat(batch["text"], np.arange(len(batch), dtype=np.uint64))
+        g = pa.table({"tok": flat}).group_by("tok").aggregate([("tok", "count")])
+        return g.rename_columns(["tok", "n"])
+
+    vocab = (
+        ds.map_batches(term_partial, batch_format="pyarrow")
+        .groupby("tok")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values(["n", "tok"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+    c = vocab["n"].to_numpy().astype(np.int64)
+    rnk = np.arange(1, len(c) + 1, dtype=np.int64)
+    x = np.round(np.log(rnk.astype(np.float64)) * 1000.0).astype(np.int64)
+    y = np.round(np.log(c.astype(np.float64)) * 1000.0).astype(np.int64)
+    n = len(c)
+    sx, sy = int(x.sum()), int(y.sum())
+    sxy, sxx = int((x * y).sum()), int((x * x).sum())
+    return pd.DataFrame(
+        {
+            "n_terms": [n],
+            "sum_x": [sx],
+            "sum_y": [sy],
+            "sum_xy": [sxy],
+            "sum_xx": [sxx],
+            "beta_num": [n * sxy - sx * sy],
+            "beta_den": [n * sxx - sx * sx],
+        }
+    ).astype("int64")
