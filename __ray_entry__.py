@@ -162,6 +162,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dense per-type hourly series, gaps linearly interpolated with
         # the symmetric integer weighted average (filled flag carried)
         "events_gap_fill": windows.events_gap_fill,
+        # first-order Markov transition matrix over user timelines,
+        # conditional probabilities in integer per-mille
+        "events_markov_transitions": windows.events_markov_transitions,
         "events_sliding_window": windows.events_sliding_window,
         "events_dedup_keep_latest": windows.events_dedup_keep_latest,
         "events_sessionize": windows.events_sessionize,
@@ -1023,6 +1026,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(cents) AS BIGINT) AS sum_value_floor_cents
             FROM e
             GROUP BY GROUPING SETS ((event_type, day), (event_type), (day), ())
+            ORDER BY 1, 2
+        """,
+        # Markov transitions: LEAD over each user's frozen timeline order
+        "events_markov_transitions": """
+            WITH seq AS (
+              SELECT user_id, event_type AS cur_type,
+                     lead(event_type) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id) AS next_type
+              FROM events),
+            cnt AS (SELECT cur_type, next_type, CAST(count(*) AS BIGINT) AS n_pairs
+                    FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2),
+            tot AS (SELECT cur_type, SUM(n_pairs) AS t FROM cnt GROUP BY 1)
+            SELECT c.cur_type, c.next_type, c.n_pairs,
+                   CAST((c.n_pairs * 1000) // t.t AS BIGINT) AS p_mille
+            FROM cnt c JOIN tot t USING (cur_type)
             ORDER BY 1, 2
         """,
         # gap-fill: dense series via range(), prev/next observed bucket via

@@ -1144,3 +1144,42 @@ def events_gap_fill(sf_dir: str) -> pd.DataFrame:
     for c in ("hour_bucket", "n_events", "filled"):
         out[c] = out[c].astype("int64")
     return out.sort_values(["event_type", "hour_bucket"]).reset_index(drop=True)
+
+
+def events_markov_transitions(sf_dir: str) -> pd.DataFrame:
+    """First-order Markov transition matrix over user event streams —
+    the behavioral model behind next-action prediction and funnel
+    optimization: counts of adjacent (current → next) event-type pairs
+    within each user's timeline (order frozen ts ASC, event_id ASC),
+    with row-conditional probabilities as integer per-mille
+    (``p_mille = n·1000 // row_total``, exact in both engines).
+
+    Shape: one user-keyed exchange (the sessionize/funnel partitioning —
+    a user's events co-locate, pairs count inside the group with one
+    vectorized shift), then the (types × types)-sized fold carries the
+    conditional normalization. Output (cur_type, next_type, n_pairs,
+    p_mille) ordered (cur, next)."""
+    ds = _events(sf_dir, ["ts", "user_id", "event_id", "event_type"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        et = g["event_type"].to_numpy()
+        if len(et) < 2:
+            return pd.DataFrame({"cur_type": [], "next_type": [], "n_pairs": []})
+        pairs = pd.DataFrame({"cur_type": et[:-1], "next_type": et[1:]})
+        out = pairs.groupby(["cur_type", "next_type"], sort=False).size().reset_index(name="n_pairs")
+        return out
+
+    fold = (
+        ds.groupby("user_id")
+        .map_groups(per_user, batch_format="pandas")
+        .groupby(["cur_type", "next_type"])
+        .aggregate(Sum("n_pairs", alias_name="n_pairs"))
+        .to_pandas()
+        .sort_values(["cur_type", "next_type"])
+        .reset_index(drop=True)
+    )
+    row_tot = fold.groupby("cur_type")["n_pairs"].transform("sum").to_numpy()
+    fold["n_pairs"] = fold["n_pairs"].astype("int64")
+    fold["p_mille"] = (fold["n_pairs"].to_numpy() * 1000 // row_tot).astype("int64")
+    return fold
