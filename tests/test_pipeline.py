@@ -277,9 +277,11 @@ def test_doc_sharded_query_matches_full_scorer(golden_index):
 
 def test_plan_distributed_equals_serial(golden_index):
     """The distributed plan sample (round 3) must produce the IDENTICAL
-    plan to the frozen round-1 semantics: boundaries = occurrence-sorted
-    flat-array quantiles, heavy = df/n_sample >= frac, over the first
-    sample_docs rows in file order."""
+    plan to the serial reference semantics: boundaries = DF-sorted
+    flat-array quantiles (round 4 — df mass predicts postings bytes and
+    merge rows; occurrence mass measured a 42× per-range byte spread),
+    heavy = df/n_sample >= frac, over the first sample_docs rows in file
+    order."""
     import glob as _glob
 
     from aarhus_ray.extract import extract_text
@@ -294,13 +296,13 @@ def test_plan_distributed_equals_serial(golden_index):
             break
         col = pq.read_table(p, columns=["html"])["html"]
         texts.extend(extract_text(h) for h in col.to_pylist()[: sample_docs - len(texts)])
-    # naive reference: per-doc tokens -> flat sorted occurrences + dfs
+    # naive reference: per-doc DISTINCT tokens -> flat df-sorted array
     flat = []
     df: dict[str, int] = {}
     for t in texts:
         toks = tokenize(t)
-        flat.extend(toks)
         for w in set(toks):
+            flat.append(w)
             df[w] = df.get(w, 0) + 1
     occ = sorted(flat)
     want_bounds = []
