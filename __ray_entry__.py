@@ -201,6 +201,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_frequent_itemsets": windows.events_frequent_itemsets,
         # EQL sequence-by-user with maxspan, frozen all-matches semantics
         "events_eql_sequence": windows.events_eql_sequence,
+        # SQL:2016 MATCH_RECOGNIZE (view+ purchase, contiguous, skip past
+        # last row): greedy maximal runs via the last-non-view window scan
+        "events_match_recognize": windows.events_match_recognize,
+        # ageing counters: value-cents halved per day of age, exact shifts
+        "events_decayed_counts": windows.events_decayed_counts,
         # SQL window-function parity: per-user running value total
         "events_running_total": windows.events_running_total,
         # count-spike anomaly detection: hourly z-scores per type over the
@@ -431,6 +436,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fulltext_percentile_ranks": fulltext.percentile_ranks_query,
         # typo tolerance: terms expand to edit-distance-1 dictionary hits
         "fulltext_bm25_fuzzy_topk": fulltext.bm25_topk_fuzzy,
+        # maxEdits=2: transposition/double-sub typos out of d≤1's reach
+        "fulltext_bm25_fuzzy2_topk": fulltext.bm25_topk_fuzzy2,
         # facet panel: per-query match-set counts grouped by lang
         "fulltext_facet_counts": fulltext.facet_counts_query,
         # term^W boost weights scale BM25 contributions (WAND stays exact)
@@ -1811,6 +1818,12 @@ def oracle_sql() -> dict[str, str]:
                      AS running_c
             FROM events ORDER BY event_id
         """,
+        # MATCH_RECOGNIZE: greedy maximal view-runs == the last-non-view
+        # gaps-and-islands window pass (purchase ends every match, so
+        # non-overlapping greedy matches ARE the maximal runs)
+        "events_match_recognize": windows.MATCH_RECOGNIZE_SQL,
+        # ageing counters: integer shift decay replayed with // POW(2, d)
+        "events_decayed_counts": windows.DECAYED_COUNTS_SQL,
         # EQL sequence: all-matches == the literal ordered triple self-join
         "events_eql_sequence": f"""
             WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events)
@@ -2476,6 +2489,7 @@ def oracle_sql() -> dict[str, str]:
         "fulltext_analyze": fulltext.analyze_oracle_sql(),
         "fulltext_percentile_ranks": fulltext.percentile_ranks_oracle_sql(),
         "fulltext_bm25_fuzzy_topk": fulltext.bm25_fuzzy_oracle_sql(),
+        "fulltext_bm25_fuzzy2_topk": fulltext.bm25_fuzzy2_oracle_sql(),
         "fulltext_facet_counts": fulltext.facet_counts_oracle_sql(),
         "fulltext_bm25_boost_topk": fulltext.bm25_boost_oracle_sql(),
         "fulltext_bm25_boolean_topk": fulltext.bm25_boolean_oracle_sql(),

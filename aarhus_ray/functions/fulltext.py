@@ -232,6 +232,20 @@ FT_FUZZIES = (
     "window",
 )
 
+# Frozen maxEdits=2 fuzzy query set: typos UNREACHABLE at d≤1 —
+# transpositions ("tabel"→table, "valeu"→value: plain Levenshtein counts
+# a swap as 2), double substitutions ("quyre"→query, "hsah"→hash), a
+# 2-short token with multi-term fan-out ("ky"→{key, a}), one clean term
+# and the hopeless token (vocab is ≥3 edits away → contributes nothing).
+FT_FUZZIES2 = (
+    "tabel merge",
+    "quyre",
+    "hsah",
+    "ky valeu",
+    "zzznotinvocab",
+    "window",
+)
+
 # Frozen boost query set: per-term weights (term^W), incl. fractional
 # weights, a repeated term (weights SUM: table^2 table ≡ table^3), an
 # unweighted control and an OOV boost (contributes nothing).
@@ -1960,6 +1974,65 @@ q(query_id, pat) AS (VALUES {values}),
 qd AS (
   SELECT DISTINCT q.query_id, v.tok
   FROM q JOIN vocab v ON levenshtein(v.tok, q.pat) <= 1
+),
+scored AS (
+  SELECT qd.query_id, tf.doc_id,
+         sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * (1.2 + 1.0)
+              / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score
+  FROM qd
+  JOIN tf USING (tok)
+  JOIN df USING (tok)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+  FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank, doc_id
+FROM ranked WHERE rank <= {k}
+ORDER BY query_id, rank
+"""
+
+
+def bm25_topk_fuzzy2(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Typo-tolerant retrieval at maxEdits=2 (Lucene FuzzyQuery's upper
+    bound — ES ``fuzziness: 2``): every query token expands to the
+    dictionary terms within Levenshtein distance ≤ 2 (vectorized full-DP
+    kernel over the five |t|±2 byte-length buckets,
+    query_stage.Segment.fuzzy2_candidates), then ordinary disjunctive
+    BM25 over the union — plain Levenshtein (a transposition costs 2, so
+    FT_FUZZIES2's swap typos are reachable here and NOT at d≤1), which
+    DuckDB's levenshtein() replays exactly. Expansion cost is bounded by
+    the dictionary, never the corpus."""
+    return _run_queries(_ensure_index(sf_dir, fresh=False), FT_FUZZIES2, k, "fuzzy2")
+
+
+def bm25_fuzzy2_oracle_sql(k: int = 10) -> str:
+    """Fuzzy2 oracle: the standard BM25 CTE stack with the query→term map
+    joining the vocabulary on levenshtein(tok, pat) <= 2."""
+    values = ",".join(
+        f"({qid}, '{tok}')" for qid, q in enumerate(FT_FUZZIES2) for tok in q.split()
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok
+    FROM documents) WHERE tok <> ''
+),
+dl AS (SELECT d.doc_id, CAST(coalesce(t.c, 0) AS DOUBLE) AS dl
+       FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS c FROM toks GROUP BY 1) t USING (doc_id)),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+vocab AS (SELECT DISTINCT tok FROM tf),
+q(query_id, pat) AS (VALUES {values}),
+qd AS (
+  SELECT DISTINCT q.query_id, v.tok
+  FROM q JOIN vocab v ON levenshtein(v.tok, q.pat) <= 2
 ),
 scored AS (
   SELECT qd.query_id, tf.doc_id,

@@ -1183,3 +1183,156 @@ def events_markov_transitions(sf_dir: str) -> pd.DataFrame:
     fold["n_pairs"] = fold["n_pairs"].astype("int64")
     fold["p_mille"] = (fold["n_pairs"].to_numpy() * 1000 // row_tot).astype("int64")
     return fold
+
+
+def events_match_recognize(sf_dir: str) -> pd.DataFrame:
+    """SQL MATCH_RECOGNIZE-style CEP over each user's event stream: the
+    pattern ``view+ purchase`` matched against CONTIGUOUS rows (ONE ROW
+    PER MATCH, AFTER MATCH SKIP PAST LAST ROW, greedy ``+`` — the SQL:2016
+    row-pattern defaults). A match is a maximal run of consecutive 'view'
+    events immediately followed by a 'purchase', in the frozen per-user
+    order (ts ASC, event_id ASC). Because 'purchase' ends every match and
+    breaks any view-run, greedy non-overlapping matches are EXACTLY the
+    maximal runs — so the set of matches is order-canonical and
+    SQL-replayable with one window pass (the last-non-view gaps-and-
+    islands trick), no recursion.
+
+    Shape: the sessionize/funnel user-keyed exchange, then a vectorized
+    in-group scan (cummax of non-view positions → run lengths at each
+    purchase). Emits one row per match: (user_id, start_event_id,
+    end_event_id, n_views), ordered (user_id, end_event_id). Only match
+    rows leave the group — output is bounded by the purchase count."""
+    ds = _events(sf_dir, ["ts", "user_id", "event_id", "event_type"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        et = g["event_type"].to_numpy()
+        eid = g["event_id"].to_numpy()
+        n = len(et)
+        is_view = et == "view"
+        # position of the last non-view row strictly before each row
+        pos = np.where(~is_view, np.arange(n), -1)
+        prev_nonview = np.full(n, -1, dtype=np.int64)
+        if n > 1:
+            prev_nonview[1:] = np.maximum.accumulate(pos)[:-1]
+        n_views = np.arange(n) - 1 - prev_nonview  # contiguous views before row i
+        sel = (et == "purchase") & (n_views >= 1)
+        idx = np.flatnonzero(sel)
+        start = idx - n_views[idx]
+        return pd.DataFrame(
+            {
+                "user_id": g["user_id"].to_numpy()[idx],
+                "start_event_id": eid[start],
+                "end_event_id": eid[idx],
+                "n_views": n_views[idx],
+            }
+        )
+
+    out = (
+        ds.groupby("user_id")
+        .map_groups(per_user, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["user_id", "end_event_id"])
+        .reset_index(drop=True)
+    )
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+MATCH_RECOGNIZE_SQL = """
+WITH s AS (
+  SELECT user_id, event_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+m AS (
+  SELECT user_id, event_id, event_type, rn,
+         MAX(CASE WHEN event_type <> 'view' THEN rn END) OVER (
+           PARTITION BY user_id ORDER BY rn
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_nonview
+  FROM s
+),
+runs AS (
+  SELECT user_id, event_id AS end_event_id, rn,
+         rn - 1 - coalesce(prev_nonview, 0) AS n_views
+  FROM m
+  WHERE event_type = 'purchase' AND rn - 1 - coalesce(prev_nonview, 0) >= 1
+)
+SELECT r.user_id,
+       s2.event_id AS start_event_id,
+       r.end_event_id,
+       CAST(r.n_views AS BIGINT) AS n_views
+FROM runs r
+JOIN s s2 ON s2.user_id = r.user_id AND s2.rn = r.rn - r.n_views
+ORDER BY r.user_id, r.end_event_id
+"""
+
+
+def events_decayed_counts(sf_dir: str) -> pd.DataFrame:
+    """Streaming decayed counters (the ageing-counter fold behind trending
+    topics / decayed heavy hitters): per event_type, the sum of event
+    value-cents HALVED per whole day of age at the corpus watermark —
+    ``decayed_c = floor(value·100) >> Δdays`` with Δdays = whole days
+    between the event's date and the max event date. Integer shifts make
+    the exponential decay EXACT in both engines (no float pow drift);
+    the decay anchor (max date) is one tiny aggregate, shipped as a
+    plain driver scalar into the per-batch map — at 100 TB the anchor is
+    a watermark the stream already carries. Output (event_type,
+    n_events, decayed_cents) ordered by type."""
+    ds = _events(sf_dir, ["ts", "event_type", "value"])
+    # anchor: max event DATE (one scalar; Arrow max over a projected read)
+    anchor = pc.cast(
+        pc.floor_temporal(
+            pa.scalar(ds.max("ts"), pa.timestamp("us")), unit="day"
+        ),
+        pa.timestamp("us"),
+    )
+    anchor_us = anchor.cast(pa.int64()).as_py()
+    us_per_day = 86_400_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        day_us = pc.cast(
+            pc.cast(pc.floor_temporal(batch["ts"], unit="day"), pa.timestamp("us")),
+            pa.int64(),
+        )
+        age_days = pc.divide(pc.subtract(pa.scalar(anchor_us, pa.int64()), day_us),
+                             pa.scalar(us_per_day, pa.int64()))
+        cents = pc.cast(pc.floor(pc.multiply(batch["value"], pa.scalar(100.0))), pa.int64())
+        shift = np.minimum(age_days.to_numpy(zero_copy_only=False), 62)
+        decayed = cents.to_numpy(zero_copy_only=False) >> shift
+        g = (
+            pa.table({"event_type": batch["event_type"], "decayed": decayed})
+            .group_by("event_type")
+            .aggregate([("decayed", "count"), ("decayed", "sum")])
+        )
+        return g.rename_columns(["event_type", "n_events", "decayed_cents"])
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("decayed_cents", alias_name="decayed_cents"),
+        )
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    out["n_events"] = out["n_events"].astype("int64")
+    out["decayed_cents"] = out["decayed_cents"].astype("int64")
+    return out
+
+
+DECAYED_COUNTS_SQL = """
+WITH mx AS (SELECT max(CAST(ts AS DATE)) AS md FROM events)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(SUM(
+         CAST(floor(value * 100) AS BIGINT)
+         // CAST(POW(2, LEAST(date_diff('day', CAST(ts AS DATE), mx.md), 62)) AS BIGINT)
+       ) AS BIGINT) AS decayed_cents
+FROM events, mx
+GROUP BY event_type
+ORDER BY event_type
+"""

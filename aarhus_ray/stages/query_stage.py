@@ -250,6 +250,47 @@ def _lev_dp(a: str, b: str) -> int:
     return prev[-1]
 
 
+def _lev_dist_cap(a: str, b: str, cap: int) -> int:
+    """Capped Levenshtein (scalar DP): returns the exact distance when it
+    is ≤ ``cap``, else any value > ``cap``. Fallback for non-ASCII terms
+    in the d≤2 fuzzy expansion (``_lev_dp`` hard-codes the d≤1 length
+    shortcut)."""
+    if abs(len(a) - len(b)) > cap:
+        return cap + 1
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def _lev_le2(mat: np.ndarray, qb: np.ndarray) -> np.ndarray:
+    """Rows of ``mat`` (n × L byte matrix) within Levenshtein distance ≤ 2
+    of ``qb`` (m bytes) — the maxEdits=2 expansion kernel. Full DP with
+    the row dimension vectorized over the n terms; the sequential
+    insertion chain D[i][j] = min(D[i][j−1]+1, …) closes in one
+    vectorized pass via the lazy-evaluation identity
+    ``D[i][j] = min_{k≤j}(base[k] + (j−k))`` (min-accumulate of
+    ``base − j`` plus ``j``). m · 3 vector ops over (n, L+1) int16 —
+    bounded by the dictionary bucket, never the corpus."""
+    n, L = mat.shape
+    m = len(qb)
+    j = np.arange(L + 1, dtype=np.int16)
+    prev = np.broadcast_to(j, (n, L + 1)).astype(np.int16)
+    for i in range(1, m + 1):
+        base = np.empty((n, L + 1), dtype=np.int16)
+        base[:, 0] = i
+        np.minimum(
+            prev[:, :-1] + (mat != qb[i - 1]),
+            prev[:, 1:] + np.int16(1),
+            out=base[:, 1:],
+        )
+        prev = np.minimum.accumulate(base - j, axis=1) + j
+    return prev[:, L] <= 2
+
+
 class DoclenTable:
     """Sorted (doc_id → doclen) arrays loaded from docs/ parquet.
 
@@ -369,6 +410,33 @@ class Segment:
             out.extend(t for t in self.terms_sorted if _lev_dp(tok, t) <= 1)
         return out
 
+    def fuzzy2_candidates(self, tok: str) -> list[str]:
+        """Dictionary terms within Levenshtein distance ≤ 2 of ``tok`` —
+        the Lucene FuzzyQuery(maxEdits=2) expansion. Shares
+        ``fuzzy1_candidates``'s lazily-built per-byte-length buckets; the
+        d≤2 length pigeonhole touches the five buckets |t|−2 … |t|+2,
+        each checked with the vectorized full-DP kernel (``_lev_le2``).
+        Cost is bounded by the DICTIONARY slice in those buckets, not the
+        corpus; the web-scale upgrade is the same build-time SymSpell
+        deletion-neighborhood index as d≤1 (with 2-deletion variants)."""
+        if self._fuzzy_buckets is None:
+            self.fuzzy1_candidates(tok)  # builds the shared buckets
+        out: list[str] = []
+        if tok.isascii():
+            qb = np.frombuffer(tok.encode("ascii"), dtype=np.uint8)
+            m = len(qb)
+            for L in range(max(1, m - 2), m + 3):
+                got = self._fuzzy_buckets.get(L)
+                if got is None:
+                    continue
+                mat, ts = got
+                for i in np.flatnonzero(_lev_le2(mat, qb)):
+                    out.append(ts[int(i)])
+            out.extend(t for t in self._fuzzy_fallback if _lev_dist_cap(tok, t, 2) <= 2)
+        else:
+            out.extend(t for t in self.terms_sorted if _lev_dist_cap(tok, t, 2) <= 2)
+        return out
+
     def term_entry(self, term: str):
         return self.dict.get(term)
 
@@ -484,18 +552,18 @@ class QueryScorer:
         self.k = k
         self.method = method
         if mode not in ("or", "and", "phrase", "near", "span_near", "span_not",
-                        "span_containing", "prefix", "fuzzy", "boost",
+                        "span_containing", "prefix", "fuzzy", "fuzzy2", "boost",
                         "boolean", "msm", "terms_set", "wildcard", "regexp",
                         "query_string", "phrase_prefix", "intervals"):
             raise ValueError(
                 f"mode must be 'or', 'and', 'phrase', 'near', 'span_near', "
-                f"'span_not', 'span_containing', 'prefix', 'fuzzy', 'boost', "
-                f"'boolean', 'msm', 'terms_set', 'wildcard', 'regexp', "
+                f"'span_not', 'span_containing', 'prefix', 'fuzzy', 'fuzzy2', "
+                f"'boost', 'boolean', 'msm', 'terms_set', 'wildcard', 'regexp', "
                 f"'query_string', 'phrase_prefix' or 'intervals', not {mode!r}"
             )
         if mode == "and" and method not in ("wand", "brute"):
             raise ValueError(f"conjunctive scoring supports wand/brute, not {method!r}")
-        if mode in ("prefix", "fuzzy", "boost", "boolean", "msm", "terms_set",
+        if mode in ("prefix", "fuzzy", "fuzzy2", "boost", "boolean", "msm", "terms_set",
                     "wildcard", "regexp", "query_string") and method not in ("wand", "brute"):
             raise ValueError(f"{mode} scoring supports wand/brute, not {method!r}")
         if mode in ("phrase", "near", "span_near", "span_not", "span_containing",
@@ -1556,30 +1624,34 @@ class QueryScorer:
             terms |= self._expand_regexp(raw.lower())
         return self._score_terms(terms)
 
-    def _expand_fuzzy(self, tok: str) -> set[str]:
-        """Union of each segment's d≤1 dictionary candidates, cached per
-        scorer (typo-class queries repeat the same tokens heavily)."""
+    def _expand_fuzzy(self, tok: str, max_edits: int = 1) -> set[str]:
+        """Union of each segment's d≤``max_edits`` dictionary candidates,
+        cached per scorer and per distance (typo-class queries repeat the
+        same tokens heavily)."""
         if not hasattr(self, "_fuzzy_exp_cache"):
-            self._fuzzy_exp_cache: dict[str, set[str]] = {}
-        got = self._fuzzy_exp_cache.get(tok)
+            self._fuzzy_exp_cache: dict[tuple[str, int], set[str]] = {}
+        got = self._fuzzy_exp_cache.get((tok, max_edits))
         if got is None:
             got = set()
             for seg in self.segments:
-                got.update(seg.fuzzy1_candidates(tok))
-            self._fuzzy_exp_cache[tok] = got
+                if max_edits >= 2:
+                    got.update(seg.fuzzy2_candidates(tok))
+                else:
+                    got.update(seg.fuzzy1_candidates(tok))
+            self._fuzzy_exp_cache[(tok, max_edits)] = got
         return got
 
-    def _score_query_fuzzy(self, text: str) -> tuple[np.ndarray, np.ndarray]:
+    def _score_query_fuzzy(self, text: str, max_edits: int = 1) -> tuple[np.ndarray, np.ndarray]:
         """Typo-tolerant retrieval: EVERY query token expands to the
-        dictionary terms within Levenshtein distance ≤ 1 (including exact
-        hits); the union scores as disjunctive BM25, each matched term with
-        its own global df/idf — the scoring_boolean rewrite of Lucene's
-        FuzzyQuery(maxEdits=1), minus transposition credit (plain
+        dictionary terms within Levenshtein distance ≤ ``max_edits``
+        (including exact hits); the union scores as disjunctive BM25, each
+        matched term with its own global df/idf — the scoring_boolean
+        rewrite of Lucene's FuzzyQuery, minus transposition credit (plain
         Levenshtein, replayable by DuckDB's levenshtein()). A token with no
         near-dictionary neighbour contributes nothing."""
         terms: set[str] = set()
         for tok in set(tokenize(text)):
-            terms |= self._expand_fuzzy(tok)
+            terms |= self._expand_fuzzy(tok, max_edits)
         return self._score_terms(terms)
 
     def _score_query_boost(self, text: str) -> tuple[np.ndarray, np.ndarray]:
@@ -1805,6 +1877,8 @@ class QueryScorer:
             return self._score_query_prefix(text)
         if self.mode == "fuzzy":
             return self._score_query_fuzzy(text)
+        if self.mode == "fuzzy2":
+            return self._score_query_fuzzy(text, max_edits=2)
         if self.mode == "boost":
             return self._score_query_boost(text)
         if self.mode == "boolean":

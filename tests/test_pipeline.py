@@ -647,6 +647,98 @@ def test_fuzzy_mode_on_real_index(golden_index):
         assert got_exp == want_exp, probe
 
 
+def test_lev_le2_kernel_matches_scalar_dp():
+    """The vectorized d≤2 DP kernel (min-accumulate insertion closure)
+    agrees with the scalar capped DP over an exhaustive small-alphabet
+    sweep plus seeded random pairs — every (≤2 / >2) boundary case."""
+    import itertools
+    import random
+
+    from aarhus_ray.stages.query_stage import _lev_dist_cap, _lev_le2
+
+    def check(tok: str, terms: list[str]) -> None:
+        L = len(terms[0])
+        mat = np.frombuffer("".join(terms).encode(), dtype=np.uint8).reshape(len(terms), L)
+        got = _lev_le2(mat, np.frombuffer(tok.encode(), dtype=np.uint8))
+        want = np.array([_lev_dist_cap(tok, t, 2) <= 2 for t in terms])
+        assert (got == want).all(), (tok, [t for t, g, w in zip(terms, got, want) if g != w])
+
+    # exhaustive: all ab-alphabet strings of length 3 vs all of lengths 1..5
+    for m in range(1, 6):
+        toks = ["".join(p) for p in itertools.product("ab", repeat=3)]
+        terms = ["".join(p) for p in itertools.product("ab", repeat=m)]
+        for tok in toks:
+            check(tok, terms)
+    # seeded random over a wider alphabet and longer strings
+    rng = random.Random(42)
+    for _ in range(200):
+        m = rng.randint(1, 10)
+        L = rng.randint(1, 12)
+        tok = "".join(rng.choice("abcde") for _ in range(m))
+        terms = ["".join(rng.choice("abcde") for _ in range(L)) for _ in range(20)]
+        check(tok, terms)
+
+
+def test_fuzzy2_mode_on_real_index(golden_index):
+    """mode='fuzzy2': expansion == an independent capped-DP Levenshtein<=2
+    vocabulary scan, a SUPERSET of the d<=1 expansion, scored
+    bit-identically to the spelled-out or-mode query; wand == brute; a
+    transposition typo (unreachable at d<=1) retrieves; a hopeless token
+    contributes nothing."""
+    from aarhus_ray.stages.query_stage import _lev_dist_cap
+    from aarhus_ray.textnorm import tokenize
+
+    docs = _docs_table(golden_index["index"], ["doc_id", "text"])
+    vocab = sorted({t for txt in docs["text"].to_pylist() for t in tokenize(txt)})
+    base = next(t for t in vocab if len(t) >= 4)
+    typo2 = base[:-2] + base[-1] + base[-2]  # transposition: plain-lev d=2
+    assert _lev_dist_cap(typo2, base, 2) == 2 or typo2 == base
+
+    q = pa.table({
+        "query_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array([typo2, "qqqqzzzzqqqq"], pa.string()),
+    })
+    got = (
+        query_index(golden_index["index"], q, k=10, mode="fuzzy2", resolve_urls=False)
+        .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    got_brute = (
+        query_index(
+            golden_index["index"], q, k=10, mode="fuzzy2", method="brute", resolve_urls=False
+        ).to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    assert (got["doc_id"].to_numpy() == got_brute["doc_id"].to_numpy()).all()
+    assert (got["score"].to_numpy() == got_brute["score"].to_numpy()).all()
+
+    expanded = sorted(t for t in vocab if _lev_dist_cap(typo2, t, 2) <= 2)
+    assert base in expanded
+    q_or = pa.table({
+        "query_id": pa.array([0], pa.int64()),
+        "text": pa.array([" ".join(expanded)], pa.string()),
+    })
+    want = (
+        query_index(golden_index["index"], q_or, k=10, resolve_urls=False)
+        .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    g0 = got[got["query_id"] == 0].reset_index(drop=True)
+    assert (g0["doc_id"].to_numpy() == want["doc_id"].to_numpy()).all()
+    assert (g0["score"].to_numpy() == want["score"].to_numpy()).all()
+    assert (got["query_id"] == 1).sum() == 0  # no d<=2 neighbour
+
+    # segment-level: fuzzy2 candidates == capped-DP scan, superset of fuzzy1
+    from aarhus_ray.pipelines.query import list_segments
+    from aarhus_ray.stages.query_stage import Segment
+
+    idx = golden_index["index"]
+    segs = [Segment(idx, sid) for sid in list_segments(idx)]
+    for probe in [typo2, base, vocab[0], "a", vocab[len(vocab) // 2][:-1] + "xy"]:
+        got_exp = sorted({t for s in segs for t in s.fuzzy2_candidates(probe)})
+        want_exp = sorted(t for t in vocab if _lev_dist_cap(probe, t, 2) <= 2)
+        assert got_exp == want_exp, probe
+        got1 = {t for s in segs for t in s.fuzzy1_candidates(probe)}
+        assert got1 <= set(got_exp), probe
+
+
 def test_facet_counts_on_real_index(golden_index):
     """facet_counts == python reference over the docs table: distinct docs
     containing >=1 query term, counted by lang, facet values ascending."""
