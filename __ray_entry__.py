@@ -95,6 +95,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
     from aarhus_ray.sources.interchange import (
         csv_roundtrip_stats as _csv_roundtrip,
+        feather_roundtrip_stats as _feather_roundtrip,
         jsonl_roundtrip_stats as _jsonl_roundtrip,
     )
 
@@ -206,6 +207,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_match_recognize": windows.events_match_recognize,
         # ageing counters: value-cents halved per day of age, exact shifts
         "events_decayed_counts": windows.events_decayed_counts,
+        # windowed top-k: trending event types per hour (rank()<=k shape)
+        "events_top_types_per_hour": windows.events_top_types_per_hour,
         # SQL window-function parity: per-user running value total
         "events_running_total": windows.events_running_total,
         # count-spike anomaly detection: hourly z-scores per type over the
@@ -338,6 +341,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-lang fold hash breaks on any quoting/escape corruption
         "docs_from_jsonl": _jsonl_roundtrip,
         "docs_from_csv": _csv_roundtrip,
+        # Arrow IPC/Feather v2: distributed per-partition IPC write →
+        # read_binary_files + in-task decode (the custom-format template)
+        "docs_from_feather": _feather_roundtrip,
         "multimodal_decode": multimodal.decode_features,
         # REAL codec path: P6 PPM encode → actor-pool header-parsing
         # decode → channel sums; pixel recipe replayed exactly in SQL
@@ -365,6 +371,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Misra-Gries sketch + exact verify: provably-exact top-k keys
         "events_heavy_hitters": sketches.heavy_hitters_mg,
         "events_distinct_props_exact": sketches.distinct_count_exact,
+        # Count-Min sketch + exact anchor: est_n is sketch-valued (rows-only;
+        # anchor exactness + batching-invariant replay pinned by pytest)
+        "events_count_min": sketches.count_min_user_counts,
         # --- the flagship: full index build + BM25/WAND over documents ---
         "fulltext_bm25_topk": fulltext.bm25_topk,
         "fulltext_bm25_conj_topk": fulltext.bm25_topk_conj,
@@ -1824,6 +1833,8 @@ def oracle_sql() -> dict[str, str]:
         "events_match_recognize": windows.MATCH_RECOGNIZE_SQL,
         # ageing counters: integer shift decay replayed with // POW(2, d)
         "events_decayed_counts": windows.DECAYED_COUNTS_SQL,
+        # windowed top-k: row_number() over each hour's type counts
+        "events_top_types_per_hour": windows.TOP_TYPES_PER_HOUR_SQL,
         # EQL sequence: all-matches == the literal ordered triple self-join
         "events_eql_sequence": f"""
             WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events)
@@ -2356,6 +2367,12 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY 1 ORDER BY 1
         """,
         "docs_from_csv": """
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+                   CAST(SUM(length(text)) AS BIGINT) AS sum_text_len
+            FROM documents GROUP BY 1 ORDER BY 1
+        """,
+        "docs_from_feather": """
             SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
                    CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
                    CAST(SUM(length(text)) AS BIGINT) AS sum_text_len

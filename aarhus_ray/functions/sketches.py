@@ -338,3 +338,90 @@ def doclen_quantiles_exact(sf_dir: str) -> pd.DataFrame:
         j = int(np.searchsorted(cum, target))
         rows.append((q, int(vals[j])))
     return pd.DataFrame(rows, columns=["q_x100", "value"]).astype("int64")
+
+
+CMS_D = 4      # hash rows (error probability decays as 2^-d under min)
+CMS_W = 1024   # counters per row (overestimate bound εN with ε = e/w)
+CMS_TOP = 10   # anchor keys reported
+
+
+def _cms_hash(keys: np.ndarray, row: int, w: int = CMS_W) -> np.ndarray:
+    """Row-``row`` CMS bucket per uint64 key: splitmix64 over key ⊕ a
+    frozen odd per-row salt, reduced mod w. Pure uint64 numpy — the same
+    function everywhere, so partial sketches from any partitioning merge
+    to the identical table (integer adds commute)."""
+    from .dedup import _mix64
+
+    salt = np.uint64(0x9E3779B97F4A7C15) * np.uint64(2 * row + 1)
+    return (_mix64(keys ^ salt) % np.uint64(w)).astype(np.int64)
+
+
+def count_min_user_counts(
+    sf_dir: str, d: int = CMS_D, w: int = CMS_W, top: int = CMS_TOP,
+) -> pd.DataFrame:
+    """Count-Min sketch over the events ``user_id`` stream (Cormode &
+    Muthukrishnan 2005) with an exact anchor: per-batch (d × w) integer
+    partial sketches merge by plain addition (one ≤ d·w-row exchange —
+    raw ids never shuffle), then the estimate for each of the exact
+    top-``top`` users is min over rows of the summed counters. The CMS is
+    a pure function of the multiset and the frozen hash salts — identical
+    under any batching/partitioning (tested against a sequential numpy
+    replay), and est ≥ exact always (one-sided error), est ≤ exact + εN
+    with ε = e/w w.h.p. The exact side (anchor keys + true counts) is the
+    same two-phase pre-aggregated groupby heavy_hitters_mg verifies.
+    Iterative-free but the estimate is sketch-valued → rows-only at the
+    driver; exactness of the anchor columns and the replay identity are
+    pinned by tests. Output (user_id, exact_n, est_n), exact_n DESC,
+    user_id ASC."""
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+
+    def cms_partial(batch: pa.Table) -> pa.Table:
+        ids = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        # exact per-batch counts first: one hash per DISTINCT key, adds
+        # vectorized into the (d, w) table
+        uk, cnt = np.unique(ids, return_counts=True)
+        sk = np.zeros((d, w), dtype=np.int64)
+        for r in range(d):
+            np.add.at(sk[r], _cms_hash(uk, r, w), cnt)
+        rows = np.repeat(np.arange(d, dtype=np.int64), w)
+        cols = np.tile(np.arange(w, dtype=np.int64), d)
+        return pa.table(
+            {"r": pa.array(rows), "c": pa.array(cols), "n": pa.array(sk.ravel())}
+        )
+
+    merged = (
+        ds.map_batches(cms_partial, batch_format="pyarrow")
+        .groupby(["r", "c"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    sk = np.zeros((d, w), dtype=np.int64)
+    sk[merged["r"].to_numpy(), merged["c"].to_numpy()] = merged["n"].to_numpy()
+
+    # exact anchor: pre-aggregated per-batch counts → one grouped sum
+    def exact_partial(batch: pa.Table) -> pa.Table:
+        uk, cnt = np.unique(
+            batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+            return_counts=True,
+        )
+        return pa.table({"user_id": pa.array(uk), "n": pa.array(cnt.astype(np.int64))})
+
+    exact = (
+        ds.map_batches(exact_partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum("n", alias_name="exact_n"))
+        .to_pandas()
+        .sort_values(["exact_n", "user_id"], ascending=[False, True])
+        .head(top)
+        .reset_index(drop=True)
+    )
+    keys = exact["user_id"].to_numpy().astype(np.uint64)
+    est = np.min(
+        np.stack([sk[r, _cms_hash(keys, r, w)] for r in range(d)]), axis=0
+    )
+    exact["est_n"] = est.astype(np.int64)
+    exact["user_id"] = exact["user_id"].astype("int64")
+    exact["exact_n"] = exact["exact_n"].astype("int64")
+    return exact[["user_id", "exact_n", "est_n"]]

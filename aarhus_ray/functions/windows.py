@@ -1336,3 +1336,66 @@ FROM events, mx
 GROUP BY event_type
 ORDER BY event_type
 """
+
+
+TOP_TYPES_PER_HOUR_K = 3  # ranks kept per window (the "trending now" panel width)
+
+
+def events_top_types_per_hour(sf_dir: str, k: int = TOP_TYPES_PER_HOUR_K) -> pd.DataFrame:
+    """Windowed top-k (the "trending event types per hour" panel — the
+    rank() <= k OVER (PARTITION BY window) shape): tumbling 1h windows,
+    count per (window, type), keep each window's top ``k`` types under
+    the frozen total order (n DESC, event_type ASC). The distributed work
+    is the same pre-aggregated (hour × type) partial-count exchange as
+    events_hourly_tumbling; the final ranking runs on the AGGREGATED
+    table, which is bounded by |windows| × |types| — window-shaped, never
+    corpus-shaped (at 100 TB: hours/year × type alphabet, thousands of
+    rows). Output (window_start, rank, event_type, n_events)."""
+    ds = _events(sf_dir, ["ts", "event_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        win = pc.floor_temporal(batch["ts"], unit="hour")
+        g = (
+            pa.table({"window_start": win, "event_type": batch["event_type"]})
+            .group_by(["window_start", "event_type"])
+            .aggregate([("event_type", "count")])
+        )
+        return g.rename_columns(["window_start", "event_type", "n"])
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["window_start", "event_type"])
+        .aggregate(Sum("n", alias_name="n_events"))
+        .to_pandas()
+    )
+    agg = agg.sort_values(
+        ["window_start", "n_events", "event_type"], ascending=[True, False, True]
+    )
+    agg["rank"] = agg.groupby("window_start").cumcount() + 1
+    out = (
+        agg[agg["rank"] <= k]
+        .reset_index(drop=True)[["window_start", "rank", "event_type", "n_events"]]
+    )
+    out["window_start"] = out["window_start"].astype("datetime64[us]")
+    out["rank"] = out["rank"].astype("int64")
+    out["n_events"] = out["n_events"].astype("int64")
+    return out
+
+
+TOP_TYPES_PER_HOUR_SQL = """
+WITH c AS (
+  SELECT date_trunc('hour', ts) AS window_start, event_type,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+),
+r AS (
+  SELECT window_start, event_type, n_events,
+         CAST(row_number() OVER (
+           PARTITION BY window_start ORDER BY n_events DESC, event_type
+         ) AS BIGINT) AS rank
+  FROM c
+)
+SELECT window_start, rank, event_type, n_events
+FROM r WHERE rank <= 3
+ORDER BY window_start, rank
+"""

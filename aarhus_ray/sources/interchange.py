@@ -33,6 +33,27 @@ def _interchange_dir(sf_dir: str, kind: str) -> str:
         ds.write_json(tmp)
     elif kind == "csv":
         ds.write_csv(tmp)
+    elif kind == "feather":
+        # Arrow IPC / Feather v2 — no ray.data writer exists, so each
+        # batch writes its own .arrow file (distributed, one IPC file per
+        # task; uuid names are fine, readers list the dir). repartition
+        # first: documents.parquet is one row group (CLAUDE.md gotcha), so
+        # an unpartitioned write would make exactly one file and certify
+        # nothing about multi-file reads.
+        import uuid
+
+        os.makedirs(tmp, exist_ok=True)
+
+        def write_ipc(batch: pa.Table) -> pa.Table:
+            import pyarrow.feather as feather
+
+            path = os.path.join(tmp, f"part-{uuid.uuid4().hex}.arrow")
+            feather.write_feather(batch, path, compression="uncompressed")
+            return pa.table({"path": pa.array([path], pa.string())})
+
+        ds.repartition(8).map_batches(
+            write_ipc, batch_format="pyarrow", batch_size=None
+        ).materialize()
     else:
         raise ValueError(kind)
     open(os.path.join(tmp, "_DONE"), "w").write("ok")
@@ -96,3 +117,33 @@ def csv_roundtrip_stats(sf_dir: str) -> pd.DataFrame:
         os.path.join(d, f) for f in os.listdir(d) if f.endswith(".csv")
     )
     return _lang_fold(ray.data.read_csv(files))
+
+
+def feather_roundtrip_stats(sf_dir: str) -> pd.DataFrame:
+    """documents → Arrow IPC/Feather v2 files (one per partition, written
+    inside map_batches — Ray Data has no feather writer) →
+    ray.data.read_binary_files + a flat-map that opens each file with
+    pyarrow.feather and emits its rows → per-lang fold. The IPC layer is
+    zero-copy columnar, so the hash check certifies the full
+    write→mmap→read path; binary-file + in-task decode is also the
+    template for any custom single-file format at scale (each file is
+    one task, pruning by file list)."""
+    d = _interchange_dir(sf_dir, "feather")
+    files = sorted(
+        os.path.join(d, f) for f in os.listdir(d) if f.endswith(".arrow")
+    )
+
+    def decode(batch: pa.Table) -> pa.Table:
+        import io
+
+        import pyarrow.feather as feather
+
+        parts = [
+            feather.read_table(io.BytesIO(buf.as_py()))
+            for buf in batch["bytes"]
+        ]
+        return pa.concat_tables(parts)
+
+    return _lang_fold(
+        ray.data.read_binary_files(files).map_batches(decode, batch_format="pyarrow")
+    )

@@ -2969,3 +2969,47 @@ def test_ppm_codec_roundtrip_and_errors():
         ppm_decode(b"P5\n1 1\n255\n\x00")
     with pytest.raises(ValueError):
         ppm_decode(b"P6\n1 1\n65535\n\x00\x00\x00")
+
+
+def test_count_min_matches_sequential_replay():
+    """events_count_min: (1) the distributed CMS equals a sequential
+    single-pass numpy replay (the sketch is a pure function of the
+    multiset + frozen salts, independent of batching), (2) est >= exact
+    for every anchor key (CMS one-sided error), (3) est <= exact + e/w * N
+    (the classic width bound; deterministic here, not just w.h.p., because
+    the sketch is frozen)."""
+    import pyarrow.parquet as pq
+
+    from aarhus_ray.functions.sketches import (
+        CMS_D,
+        CMS_W,
+        _cms_hash,
+        count_min_user_counts,
+    )
+
+    got = count_min_user_counts(SF)
+
+    ids = (
+        pq.read_table(f"{SF}/events.parquet", columns=["user_id"])["user_id"]
+        .to_numpy(zero_copy_only=False)
+        .astype(np.uint64)
+    )
+    sk = np.zeros((CMS_D, CMS_W), dtype=np.int64)
+    uk, cnt = np.unique(ids, return_counts=True)
+    for r in range(CMS_D):
+        np.add.at(sk[r], _cms_hash(uk, r, CMS_W), cnt)
+
+    keys = got["user_id"].to_numpy().astype(np.uint64)
+    want_est = np.min(
+        np.stack([sk[r, _cms_hash(keys, r, CMS_W)] for r in range(CMS_D)]), axis=0
+    )
+    assert (got["est_n"].to_numpy() == want_est).all()
+    exact = got["exact_n"].to_numpy()
+    assert (got["est_n"].to_numpy() >= exact).all()
+    n_total = len(ids)
+    assert (got["est_n"].to_numpy() - exact <= np.e / CMS_W * n_total + 1).all()
+    # anchor really is the exact top-10 (count DESC, id ASC)
+    s, c = np.unique(ids.astype(np.int64), return_counts=True)
+    order = np.lexsort((s, -c))[:10]
+    assert (got["user_id"].to_numpy() == s[order]).all()
+    assert (exact == c[order]).all()
