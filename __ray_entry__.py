@@ -350,6 +350,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_ppm_decode": multimodal.ppm_decode_stats,
         # real nearest-neighbor half-resize on the decoded raster
         "multimodal_ppm_resize": multimodal.ppm_resize_stats,
+        # REAL audio codec path: RIFF/WAVE PCM encode → actor-pool
+        # chunk-walking decode → integer signal features / frame energy
+        "multimodal_wav_decode": multimodal.wav_decode_stats,
+        "multimodal_wav_frames": multimodal.wav_frame_energy,
         "multimodal_resize": multimodal.resize_features,
         "multimodal_frame_sample": multimodal.frame_sample,
         # per-payload 64-bit perceptual hash (aHash recipe on raw bytes)
@@ -2413,6 +2417,41 @@ def oracle_sql() -> dict[str, str]:
             CROSS JOIN range(0, {multimodal.PPM_H // 2}) ty(y)
             CROSS JOIN range(0, {multimodal.PPM_W // 2}) tx(x)
             GROUP BY 1 ORDER BY 1
+        """,
+        # WAV sample recipe replay: s(i) = ((d%2^16)·A + i·B) % 2^16 − 2^15;
+        # zero crossings via LAG sign-bit compare (branch-free, exact)
+        "multimodal_wav_decode": f"""
+            WITH s AS (
+              SELECT d.doc_id, t.i,
+                     ((d.doc_id % 65536) * {multimodal.WAV_A}
+                      + t.i * {multimodal.WAV_B}) % 65536 - 32768 AS v
+              FROM documents d CROSS JOIN range(0, {multimodal.WAV_N}) t(i)
+            ), p AS (
+              SELECT doc_id, i, v,
+                     LAG(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+              FROM s
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST({multimodal.WAV_SR} AS BIGINT) AS sample_rate,
+                   CAST(COUNT(*) AS BIGINT) AS n_samples,
+                   CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs,
+                   CAST(MAX(ABS(v)) AS BIGINT) AS peak,
+                   CAST(SUM(CASE WHEN pv IS NOT NULL
+                                  AND ((v < 0) <> (pv < 0))
+                             THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+            FROM p GROUP BY 1 ORDER BY 1
+        """,
+        "multimodal_wav_frames": f"""
+            SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+                   CAST(t.i // {multimodal.WAV_FRAME} AS BIGINT) AS frame,
+                   CAST(SUM(ABS(((d.doc_id % 65536) * {multimodal.WAV_A}
+                        + t.i * {multimodal.WAV_B}) % 65536 - 32768)) AS BIGINT)
+                       AS sum_abs,
+                   CAST(MAX(ABS(((d.doc_id % 65536) * {multimodal.WAV_A}
+                        + t.i * {multimodal.WAV_B}) % 65536 - 32768)) AS BIGINT)
+                       AS peak
+            FROM documents d CROSS JOIN range(0, {multimodal.WAV_N}) t(i)
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "multimodal_decode": """
             SELECT doc_id,

@@ -2971,6 +2971,61 @@ def test_ppm_codec_roundtrip_and_errors():
         ppm_decode(b"P6\n1 1\n65535\n\x00\x00\x00")
 
 
+def test_wav_codec_roundtrip_and_errors():
+    """wav_decode is a REAL chunk-walking RIFF parser: the encoder
+    round-trip is exact THROUGH a skippable odd-size LIST chunk, chunk
+    order doesn't matter, and malformed/non-PCM payloads raise instead
+    of returning garbage."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from aarhus_ray.functions.multimodal import (
+        WAV_N, WAV_SR, wav_decode, wav_encode, wav_samples,
+    )
+
+    payload = wav_encode(12345)
+    sr, s = wav_decode(payload)
+    assert sr == WAV_SR and len(s) == WAV_N
+    assert (s == wav_samples(12345)).all()
+    # the encoder plants a LIST chunk with an ODD size between fmt and
+    # data — a parser that forgets the RIFF pad byte would misalign and
+    # fail; reaching here with exact samples proves the walk.
+    assert b"LIST" in payload
+
+    # chunk order: data before fmt must still parse (the walk collects
+    # both, then validates)
+    fmt = struct.pack("<HHIIHH", 1, 1, WAV_SR, WAV_SR * 2, 2, 16)
+    data = wav_samples(7).astype("<i2").tobytes()
+    reordered = (
+        b"RIFF" + struct.pack("<I", 4 + 16 + len(data) + 24) + b"WAVE"
+        + b"data" + struct.pack("<I", len(data)) + data
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    )
+    sr2, s2 = wav_decode(reordered)
+    assert sr2 == WAV_SR and (s2 == wav_samples(7)).all()
+
+    with pytest.raises(ValueError):
+        wav_decode(b"RIFX" + payload[4:])  # bad magic
+    with pytest.raises(ValueError):
+        wav_decode(payload[:-10])  # truncated data chunk
+    stereo_fmt = struct.pack("<HHIIHH", 1, 2, WAV_SR, WAV_SR * 4, 4, 16)
+    with pytest.raises(ValueError):
+        wav_decode(
+            b"RIFF" + struct.pack("<I", 4 + 24 + 8) + b"WAVE"
+            + b"fmt " + struct.pack("<I", 16) + stereo_fmt
+            + b"data" + struct.pack("<I", 0)
+        )
+    float_fmt = struct.pack("<HHIIHH", 3, 1, WAV_SR, WAV_SR * 4, 4, 32)
+    with pytest.raises(ValueError):
+        wav_decode(
+            b"RIFF" + struct.pack("<I", 4 + 24 + 8) + b"WAVE"
+            + b"fmt " + struct.pack("<I", 16) + float_fmt
+            + b"data" + struct.pack("<I", 0)
+        )
+
+
 def test_count_min_matches_sequential_replay():
     """events_count_min: (1) the distributed CMS equals a sequential
     single-pass numpy replay (the sketch is a pure function of the
