@@ -354,6 +354,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # chunk-walking decode → integer signal features / frame energy
         "multimodal_wav_decode": multimodal.wav_decode_stats,
         "multimodal_wav_frames": multimodal.wav_frame_energy,
+        # REAL video container path: YUV4MPEG2 4:2:0 encode → actor-pool
+        # tokenizing decode → per-plane sums / strided frame sampling
+        "multimodal_y4m_decode": multimodal.y4m_decode_stats,
+        "multimodal_y4m_frames": multimodal.y4m_frame_luma,
         "multimodal_resize": multimodal.resize_features,
         "multimodal_frame_sample": multimodal.frame_sample,
         # per-payload 64-bit perceptual hash (aHash recipe on raw bytes)
@@ -2389,11 +2393,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
                    CAST({multimodal.PPM_W} AS BIGINT) AS width,
                    CAST({multimodal.PPM_H} AS BIGINT) AS height,
-                   CAST(SUM((d.doc_id * {multimodal.PPM_A}
+                   CAST(SUM(((d.doc_id % 256) * {multimodal.PPM_A}
                              + (3 * t.i + 0) * {multimodal.PPM_B}) % 256) AS BIGINT) AS sum_r,
-                   CAST(SUM((d.doc_id * {multimodal.PPM_A}
+                   CAST(SUM(((d.doc_id % 256) * {multimodal.PPM_A}
                              + (3 * t.i + 1) * {multimodal.PPM_B}) % 256) AS BIGINT) AS sum_g,
-                   CAST(SUM((d.doc_id * {multimodal.PPM_A}
+                   CAST(SUM(((d.doc_id % 256) * {multimodal.PPM_A}
                              + (3 * t.i + 2) * {multimodal.PPM_B}) % 256) AS BIGINT) AS sum_b
             FROM documents d
             CROSS JOIN range(0, {multimodal.PPM_W * multimodal.PPM_H}) t(i)
@@ -2404,13 +2408,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
                    CAST({multimodal.PPM_W // 2} AS BIGINT) AS out_w,
                    CAST({multimodal.PPM_H // 2} AS BIGINT) AS out_h,
-                   CAST(SUM((d.doc_id * {multimodal.PPM_A}
+                   CAST(SUM(((d.doc_id % 256) * {multimodal.PPM_A}
                              + (3 * ((2 * ty.y) * {multimodal.PPM_W} + 2 * tx.x) + 0)
                                * {multimodal.PPM_B}) % 256) AS BIGINT) AS sum_r,
-                   CAST(SUM((d.doc_id * {multimodal.PPM_A}
+                   CAST(SUM(((d.doc_id % 256) * {multimodal.PPM_A}
                              + (3 * ((2 * ty.y) * {multimodal.PPM_W} + 2 * tx.x) + 1)
                                * {multimodal.PPM_B}) % 256) AS BIGINT) AS sum_g,
-                   CAST(SUM((d.doc_id * {multimodal.PPM_A}
+                   CAST(SUM(((d.doc_id % 256) * {multimodal.PPM_A}
                              + (3 * ((2 * ty.y) * {multimodal.PPM_W} + 2 * tx.x) + 2)
                                * {multimodal.PPM_B}) % 256) AS BIGINT) AS sum_b
             FROM documents d
@@ -2451,6 +2455,52 @@ def oracle_sql() -> dict[str, str]:
                         + t.i * {multimodal.WAV_B}) % 65536 - 32768)) AS BIGINT)
                        AS peak
             FROM documents d CROSS JOIN range(0, {multimodal.WAV_N}) t(i)
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        # Y4M byte recipe replay over the concatenated Y|U|V planes:
+        # byte j of frame f = ((d mod 256)·A + f·C + j·B) mod 256; the
+        # plane split is the true 4:2:0 layout (Y first 128, U next 32,
+        # V last 32 bytes)
+        "multimodal_y4m_decode": f"""
+            WITH b AS (
+              SELECT d.doc_id, t.j,
+                     ((d.doc_id % 256) * {multimodal.Y4M_A}
+                      + f.f * {multimodal.Y4M_C}
+                      + t.j * {multimodal.Y4M_B}) % 256 AS v
+              FROM documents d
+              CROSS JOIN range(0, {multimodal.Y4M_FRAMES}) f(f)
+              CROSS JOIN range(0, {multimodal.Y4M_FBYTES}) t(j)
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST({multimodal.Y4M_W} AS BIGINT) AS width,
+                   CAST({multimodal.Y4M_H} AS BIGINT) AS height,
+                   CAST({multimodal.Y4M_FPS[0]} AS BIGINT) AS fps_num,
+                   CAST({multimodal.Y4M_FPS[1]} AS BIGINT) AS fps_den,
+                   CAST({multimodal.Y4M_FRAMES} AS BIGINT) AS n_frames,
+                   CAST(SUM(CASE WHEN j < {multimodal.Y4M_YBYTES}
+                            THEN v ELSE 0 END) AS BIGINT) AS sum_y,
+                   CAST(SUM(CASE WHEN j >= {multimodal.Y4M_YBYTES}
+                             AND j < {multimodal.Y4M_YBYTES + multimodal.Y4M_CBYTES}
+                            THEN v ELSE 0 END) AS BIGINT) AS sum_u,
+                   CAST(SUM(CASE WHEN j >= {multimodal.Y4M_YBYTES + multimodal.Y4M_CBYTES}
+                            THEN v ELSE 0 END) AS BIGINT) AS sum_v
+            FROM b GROUP BY 1 ORDER BY 1
+        """,
+        # strided frame sampling (every {multimodal.Y4M_STRIDE}nd frame),
+        # luma plane only
+        "multimodal_y4m_frames": f"""
+            SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+                   CAST(f.f AS BIGINT) AS frame,
+                   CAST(SUM(((d.doc_id % 256) * {multimodal.Y4M_A}
+                        + f.f * {multimodal.Y4M_C}
+                        + t.j * {multimodal.Y4M_B}) % 256) AS BIGINT) AS sum_y,
+                   CAST(MAX(((d.doc_id % 256) * {multimodal.Y4M_A}
+                        + f.f * {multimodal.Y4M_C}
+                        + t.j * {multimodal.Y4M_B}) % 256) AS BIGINT) AS peak_y
+            FROM documents d
+            CROSS JOIN range(0, {multimodal.Y4M_FRAMES}) f(f)
+            CROSS JOIN range(0, {multimodal.Y4M_YBYTES}) t(j)
+            WHERE f.f % {multimodal.Y4M_STRIDE} = 0
             GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "multimodal_decode": """

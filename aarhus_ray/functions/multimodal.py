@@ -343,7 +343,11 @@ def ppm_encode(doc_id: int) -> bytes:
     byte i is (doc_id·PPM_A + i·PPM_B) mod 256."""
     n = PPM_W * PPM_H * 3
     i = np.arange(n, dtype=np.int64)
-    vals = ((doc_id * PPM_A + i * PPM_B) % 256).astype(np.uint8)
+    # doc_id reduced mod 256 BEFORE the multiply (congruent, so emitted
+    # bytes are unchanged) — keeps the recipe int64/BIGINT-exact at any
+    # corpus scale instead of wrapping at doc_id ≳ 3.5e9 (the geo_point
+    # overflow rule; cf. WAV's d mod 2^16)
+    vals = (((doc_id % 256) * PPM_A + i * PPM_B) % 256).astype(np.uint8)
     return b"P6\n%d %d\n255\n" % (PPM_W, PPM_H) + vals.tobytes()
 
 
@@ -647,6 +651,215 @@ def wav_frame_energy(sf_dir: str) -> pd.DataFrame:
     out = (
         make_wav_table(sf_dir)
         .map_batches(FrameEnergy, batch_format="pyarrow", batch_size=64,
+                     concurrency=(1, 4))
+        .to_pandas()
+        .sort_values(["doc_id", "frame"])
+        .reset_index(drop=True)
+    )
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+# ---- REAL video container: YUV4MPEG2 / Y4M, 4:2:0 planar (round 4) ---------
+# The video leg of the op-164/170 pattern: Y4M is a fully-specified
+# uncompressed container (mjpegtools/ffmpeg interchange format) needing no
+# codec — a tokenized ASCII stream header (`YUV4MPEG2 W.. H.. F..:.. Ip
+# A1:1 C420jpeg\n`), then per frame a `FRAME` line (with optional
+# x-parameters a parser must skip) followed by the raw planar Y/U/V raster.
+# The engine synthesizes honest Y4M bytes around a SQL-replayable recipe —
+# byte j of frame f of doc d = ((d mod 256)·Y4M_A + f·Y4M_C + j·Y4M_B)
+# mod 256 over the concatenated Y|U|V planes — parses them back with a
+# genuine tokenizing parser (validates magic/colorspace, skips unknown
+# header and frame parameters, raises on truncation), and emits integer
+# per-plane and per-sampled-frame features. H.264/VP9 remain the
+# documented real-deploy swap in the same actor shape. doc_id is reduced
+# mod 256 BEFORE the multiply (the geo_point overflow rule), so the
+# recipe stays exact in int64/BIGINT at any corpus scale.
+
+Y4M_W, Y4M_H = 16, 8
+Y4M_FRAMES = 6
+Y4M_FPS = (25, 1)
+Y4M_A, Y4M_B, Y4M_C = 2654435761, 40503, 2246822519  # frozen odd constants
+Y4M_YBYTES = Y4M_W * Y4M_H                 # 128
+Y4M_CBYTES = (Y4M_W // 2) * (Y4M_H // 2)   # 32 per chroma plane (4:2:0)
+Y4M_FBYTES = Y4M_YBYTES + 2 * Y4M_CBYTES   # 192 bytes per frame
+Y4M_STRIDE = 2  # frame-sampling stride for the frames op
+
+
+def y4m_frame_bytes(doc_id: int, frame: int) -> np.ndarray:
+    """The frozen synthetic Y|U|V raster for one frame, uint8."""
+    j = np.arange(Y4M_FBYTES, dtype=np.int64)
+    vals = ((doc_id % 256) * Y4M_A + frame * Y4M_C + j * Y4M_B) % 256
+    return vals.astype(np.uint8)
+
+
+def y4m_encode(doc_id: int) -> bytes:
+    """REAL YUV4MPEG2 container: tokenized stream header (including the
+    interlace/aspect tokens a parser must tolerate), then per frame a
+    FRAME line — even frames carry an x-parameter the decoder must skip —
+    followed by the raw 4:2:0 planar raster."""
+    head = b"YUV4MPEG2 W%d H%d F%d:%d Ip A1:1 C420jpeg\n" % (
+        Y4M_W, Y4M_H, Y4M_FPS[0], Y4M_FPS[1],
+    )
+    parts = [head]
+    for f in range(Y4M_FRAMES):
+        parts.append(b"FRAME Xaarhus\n" if f % 2 == 0 else b"FRAME\n")
+        parts.append(y4m_frame_bytes(doc_id, f).tobytes())
+    return b"".join(parts)
+
+
+def y4m_decode(payload: bytes) -> tuple[int, int, int, int, list[np.ndarray]]:
+    """REAL tokenizing Y4M parser: validates the YUV4MPEG2 magic, reads
+    the W/H/F header tokens (skipping I/A/X and other unknown tokens per
+    spec), requires a 4:2:0 colorspace, then walks FRAME lines — skipping
+    frame-level x-parameters — and slices exact plane-sized rasters.
+    Raises on bad magic, unsupported colorspace, malformed FRAME lines,
+    or truncated rasters. Returns (w, h, fps_num, fps_den, frames) with
+    each frame the concatenated Y|U|V bytes as uint8."""
+    nl = payload.index(b"\n")
+    tokens = payload[:nl].split(b" ")
+    if tokens[0] != b"YUV4MPEG2":
+        raise ValueError("not a YUV4MPEG2 payload")
+    w = h = None
+    fps_num, fps_den = 30, 1
+    cspace = b"420jpeg"  # the spec default when C is absent
+    for tok in tokens[1:]:
+        if not tok:
+            continue
+        key, val = tok[:1], tok[1:]
+        if key == b"W":
+            w = int(val)
+        elif key == b"H":
+            h = int(val)
+        elif key == b"F":
+            num, den = val.split(b":")
+            fps_num, fps_den = int(num), int(den)
+        elif key == b"C":
+            cspace = val
+        # I (interlace), A (aspect), X (extensions): tolerated, ignored
+    if w is None or h is None:
+        raise ValueError("missing W or H header token")
+    if not cspace.startswith(b"420"):
+        raise ValueError(f"unsupported colorspace C{cspace.decode()}")
+    fbytes = w * h + 2 * ((w // 2) * (h // 2))
+    frames: list[np.ndarray] = []
+    pos = nl + 1
+    while pos < len(payload):
+        fnl = payload.index(b"\n", pos)
+        line = payload[pos:fnl]
+        if line != b"FRAME" and not line.startswith(b"FRAME "):
+            raise ValueError(f"malformed FRAME line {line[:20]!r}")
+        raster = payload[fnl + 1 : fnl + 1 + fbytes]
+        if len(raster) < fbytes:
+            raise ValueError("truncated frame raster")
+        frames.append(np.frombuffer(raster, dtype=np.uint8))
+        pos = fnl + 1 + fbytes
+    return w, h, fps_num, fps_den, frames
+
+
+def make_y4m_table(sf_dir: str) -> ray.data.Dataset:
+    """(doc_id, payload: binary) with REAL Y4M bytes per doc."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def to_y4m(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "payload": pa.array([y4m_encode(int(d)) for d in ids], pa.binary()),
+            }
+        )
+
+    return ds.map_batches(to_y4m, batch_format="pyarrow")
+
+
+class Y4mDecodeUDF:
+    """Actor-pool REAL-decode stage: Y4M bytes → per-plane integer sums
+    over all frames (the whole-clip feature shape)."""
+
+    def __init__(self):
+        self.decode = y4m_decode
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ws, hs, fns, fds, nfs, sy, su, sv = [], [], [], [], [], [], [], []
+        for p in batch["payload"].to_pylist():
+            w, h, fn, fd, frames = self.decode(p)
+            ws.append(w)
+            hs.append(h)
+            fns.append(fn)
+            fds.append(fd)
+            nfs.append(len(frames))
+            m = np.stack(frames).astype(np.int64)
+            yb, cb = w * h, (w // 2) * (h // 2)
+            sy.append(int(m[:, :yb].sum()))
+            su.append(int(m[:, yb : yb + cb].sum()))
+            sv.append(int(m[:, yb + cb :].sum()))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "width": pa.array(ws, pa.int64()),
+                "height": pa.array(hs, pa.int64()),
+                "fps_num": pa.array(fns, pa.int64()),
+                "fps_den": pa.array(fds, pa.int64()),
+                "n_frames": pa.array(nfs, pa.int64()),
+                "sum_y": pa.array(sy, pa.int64()),
+                "sum_u": pa.array(su, pa.int64()),
+                "sum_v": pa.array(sv, pa.int64()),
+            }
+        )
+
+
+def y4m_decode_stats(sf_dir: str) -> pd.DataFrame:
+    """Real-video-container pipeline: synthesize Y4M bytes → actor-pool
+    tokenizing decode → per-doc per-plane integer sums across all frames,
+    verified byte-exactly by the SQL recipe replay (corrupt the encoder,
+    the parser, the plane slicing, or the sums and the hash breaks)."""
+    out = (
+        make_y4m_table(sf_dir)
+        .map_batches(Y4mDecodeUDF, batch_format="pyarrow", batch_size=64,
+                     concurrency=(1, 4))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def y4m_frame_luma(sf_dir: str, stride: int = Y4M_STRIDE) -> pd.DataFrame:
+    """Frame sampling on the decoded clip (the keyframe-extraction shape):
+    every ``stride``-th frame → per (doc, frame) luma sum and peak. The
+    sampling is true index arithmetic on the PARSED frame list, and the
+    luma slice is the real Y-plane prefix of the 4:2:0 raster."""
+
+    class FrameLuma:
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            out_id, out_fr, out_sum, out_peak = [], [], [], []
+            for d, p in zip(ids, batch["payload"].to_pylist()):
+                w, h, _, _, frames = y4m_decode(p)
+                yb = w * h
+                for f in range(0, len(frames), stride):
+                    yplane = frames[f][:yb].astype(np.int64)
+                    out_id.append(int(d))
+                    out_fr.append(f)
+                    out_sum.append(int(yplane.sum()))
+                    out_peak.append(int(yplane.max()))
+            return pa.table(
+                {
+                    "doc_id": pa.array(out_id, pa.int64()),
+                    "frame": pa.array(out_fr, pa.int64()),
+                    "sum_y": pa.array(out_sum, pa.int64()),
+                    "peak_y": pa.array(out_peak, pa.int64()),
+                }
+            )
+
+    out = (
+        make_y4m_table(sf_dir)
+        .map_batches(FrameLuma, batch_format="pyarrow", batch_size=64,
                      concurrency=(1, 4))
         .to_pandas()
         .sort_values(["doc_id", "frame"])

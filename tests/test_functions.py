@@ -3068,3 +3068,59 @@ def test_count_min_matches_sequential_replay():
     order = np.lexsort((s, -c))[:10]
     assert (got["user_id"].to_numpy() == s[order]).all()
     assert (exact == c[order]).all()
+
+
+def test_y4m_codec_roundtrip_and_errors():
+    """y4m_decode is a REAL tokenizing YUV4MPEG2 parser: the encoder
+    round-trip is exact THROUGH frame-level x-parameters and unknown
+    header tokens, the C-token default applies when absent, and bad
+    magic / non-4:2:0 colorspaces / malformed FRAME lines / truncated
+    rasters raise instead of returning garbage."""
+    import numpy as np
+    import pytest
+
+    from aarhus_ray.functions.multimodal import (
+        Y4M_FBYTES, Y4M_FPS, Y4M_FRAMES, Y4M_H, Y4M_W,
+        y4m_decode, y4m_encode, y4m_frame_bytes,
+    )
+
+    payload = y4m_encode(12345)
+    w, h, fn, fd, frames = y4m_decode(payload)
+    assert (w, h) == (Y4M_W, Y4M_H) and (fn, fd) == Y4M_FPS
+    assert len(frames) == Y4M_FRAMES
+    for f, raster in enumerate(frames):
+        assert raster.shape == (Y4M_FBYTES,)
+        assert (raster == y4m_frame_bytes(12345, f)).all()
+    # the encoder plants `FRAME Xaarhus` parameters on even frames — a
+    # parser that required bare FRAME lines would reject them; reaching
+    # here with exact rasters proves the tokenized walk.
+    assert b"FRAME Xaarhus\n" in payload and b"FRAME\n" in payload
+
+    # spec default: a header with no C token means C420jpeg
+    body = payload[payload.index(b"\n") + 1 :]
+    bare = b"YUV4MPEG2 W%d H%d F%d:%d\n" % (Y4M_W, Y4M_H, *Y4M_FPS) + body
+    w2, h2, _, _, frames2 = y4m_decode(bare)
+    assert (w2, h2) == (w, h) and len(frames2) == Y4M_FRAMES
+    assert all((a == b).all() for a, b in zip(frames, frames2))
+    # unknown header tokens (Ip, A1:1, Xmeta) are skipped, not fatal
+    extended = (
+        b"YUV4MPEG2 W%d H%d F%d:%d It A64:45 Xmeta C420mpeg2\n"
+        % (Y4M_W, Y4M_H, *Y4M_FPS)
+    ) + body
+    w3, _, _, _, _ = y4m_decode(extended)
+    assert w3 == Y4M_W
+
+    with pytest.raises(ValueError):
+        y4m_decode(b"YUV4MPEG1 W2 H2\n" + body)  # bad magic
+    with pytest.raises(ValueError):  # 4:4:4 is real but unsupported here
+        y4m_decode(b"YUV4MPEG2 W2 H2 C444\n" + b"FRAME\n" + b"\x00" * 12)
+    with pytest.raises(ValueError):  # missing W/H
+        y4m_decode(b"YUV4MPEG2 F25:1\nFRAME\n")
+    with pytest.raises(ValueError):  # malformed FRAME line
+        y4m_decode(b"YUV4MPEG2 W2 H2\nFRAMX\n" + b"\x00" * 6)
+    with pytest.raises(ValueError):  # truncated raster
+        y4m_decode(payload[:-5])
+    # numeric stability at huge doc_ids: mod-256 reduction BEFORE the
+    # multiply keeps byte recipes exact where d*A would wrap int64
+    big = 10**12 + 123
+    assert (y4m_frame_bytes(big, 3) == y4m_frame_bytes(big % 256, 3)).all()
