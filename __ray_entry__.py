@@ -571,6 +571,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fulltext_export_matches": fulltext.export_matches_query,
         # percolator: stored queries, streamed docs (reverse search, no index)
         "fulltext_percolate": fulltext.percolate_query,
+        # ES join field: parent docs / child passages, no-shuffle map pass
+        "fulltext_has_child": fulltext.has_child_query,
+        "fulltext_has_parent": fulltext.has_parent_query,
     }
     missing = [k for k in _DRIVER_WINDOW if k not in q]
     assert not missing, f"_DRIVER_WINDOW names absent from registry: {missing}"
@@ -2657,6 +2660,69 @@ def oracle_sql() -> dict[str, str]:
         "fulltext_percolate": fulltext.percolate_oracle_sql(),
         "fulltext_hybrid_linear": fulltext.hybrid_linear_oracle_sql(),
         "fulltext_bm25_span_first": fulltext.bm25_span_first_oracle_sql(),
+        # join field: children are JOIN_CHUNK-token passages — replay the
+        # chunking with 1-based inclusive list slices toks[c*W+1:(c+1)*W]
+        "fulltext_has_child": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                 x -> x <> '') AS toks
+              FROM documents
+            ),
+            cidx AS (
+              SELECT doc_id, toks,
+                     unnest(generate_series(0,
+                         (len(toks) + {fulltext.JOIN_CHUNK} - 1)
+                             // {fulltext.JOIN_CHUNK} - 1)) AS chunk_idx
+              FROM t
+            ),
+            ch AS (
+              SELECT doc_id, chunk_idx,
+                     list_contains(
+                       toks[chunk_idx * {fulltext.JOIN_CHUNK} + 1
+                            : (chunk_idx + 1) * {fulltext.JOIN_CHUNK}],
+                       '{fulltext.HAS_CHILD_TERM}') AS m
+              FROM cidx
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_children,
+                   CAST(SUM(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+            FROM ch GROUP BY 1
+            HAVING SUM(CASE WHEN m THEN 1 ELSE 0 END) >= 1
+            ORDER BY n_match DESC, doc_id
+            LIMIT {fulltext.HAS_CHILD_K}
+        """,
+        "fulltext_has_parent": f"""
+            WITH t AS (
+              SELECT doc_id, lang,
+                     list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                 x -> x <> '') AS toks
+              FROM documents
+            ),
+            p AS (
+              SELECT doc_id, toks FROM t
+              WHERE lang = '{fulltext.HAS_PARENT_LANG}'
+                AND list_contains(toks, '{fulltext.HAS_PARENT_TERM}')
+            ),
+            cidx AS (
+              SELECT doc_id, toks,
+                     unnest(generate_series(0,
+                         (len(toks) + {fulltext.JOIN_CHUNK} - 1)
+                             // {fulltext.JOIN_CHUNK} - 1)) AS chunk_idx
+              FROM p
+            ),
+            ch AS (
+              SELECT doc_id, chunk_idx,
+                     toks[chunk_idx * {fulltext.JOIN_CHUNK} + 1
+                          : (chunk_idx + 1) * {fulltext.JOIN_CHUNK}] AS ctoks
+              FROM cidx
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(chunk_idx AS BIGINT) AS chunk_idx,
+                   CAST(len(ctoks) AS BIGINT) AS n_tokens
+            FROM ch WHERE list_contains(ctoks, '{fulltext.HAS_CHILD_TERM}')
+            ORDER BY 1, 2
+        """,
     }
     # end-to-end curation composition: the oracle is literally the
     # INTERSECT of the three stage oracles — any stage drift breaks it

@@ -6996,3 +6996,117 @@ SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank, doc_
 FROM ranked WHERE rank <= {k}
 ORDER BY query_id, rank
 """
+
+
+# ---- ES join field: has_child / has_parent (round 4) -----------------------
+# Elasticsearch's parent/child join field models one-to-many relations
+# INSIDE an index (product→offers, question→answers, doc→passages) and is
+# queried with has_child ("parents where some child matches") and
+# has_parent ("children whose parent matches"). The natural child unit for
+# a web corpus is the passage: each document's token stream splits into
+# non-overlapping JOIN_CHUNK-token windows (the same passage granularity
+# as paragraph_dup_spans and the RAG chunker). Both queries are pure
+# map-side relational algebra here — the parent/child relation never
+# crosses a shuffle because a doc's chunks live inside its own row — so
+# the 100 TB posture is a single streaming pass plus a top-k / ordered
+# fold of k-or-output-sized results. At ES, join fields force parent and
+# children onto one shard; this layout is the same invariant for free.
+
+JOIN_CHUNK = 32  # frozen passage width (tokens), == dedup.CHUNK_TOKENS
+HAS_CHILD_TERM = "merge"  # child (passage) match term
+HAS_PARENT_TERM = "spark"  # parent full-doc match term
+HAS_PARENT_LANG = "en"  # parent filter
+HAS_CHILD_K = 20
+
+
+def has_child_query(sf_dir: str) -> pd.DataFrame:
+    """ES has_child with score_mode=sum over constant-score children:
+    parents ranked by HOW MANY of their passages match the term. One
+    vectorized pass: per doc, token positions matching HAS_CHILD_TERM
+    collapse to distinct chunk indices (np.unique(pos // JOIN_CHUNK));
+    no shuffle — a parent's children are its own row's chunks. Output
+    (doc_id, n_children, n_match) for the top-HAS_CHILD_K parents,
+    n_match DESC doc_id ASC (total order)."""
+    import ray.data
+
+    from ..textnorm import tokenize_batch
+
+    def scan(batch: pa.Table) -> pa.Table:
+        ids, ncs, nms = [], [], []
+        toks_per_doc = tokenize_batch(batch["text"].to_pylist())
+        for d, toks in zip(batch["doc_id"].to_pylist(), toks_per_doc):
+            if not toks:
+                continue
+            t = np.asarray(toks)
+            pos = np.flatnonzero(t == HAS_CHILD_TERM)
+            if len(pos) == 0:
+                continue
+            ids.append(int(d))
+            ncs.append((len(toks) + JOIN_CHUNK - 1) // JOIN_CHUNK)
+            nms.append(len(np.unique(pos // JOIN_CHUNK)))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_children": pa.array(ncs, pa.int64()),
+                "n_match": pa.array(nms, pa.int64()),
+            }
+        )
+
+    ds = (
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        .repartition(16)
+        .map_batches(scan, batch_format="pyarrow")
+    )
+    # k-sized driver fold: each block contributes <= its rows; the global
+    # top-k is the k best of per-block bests (here: one modest to_pandas —
+    # the matched-parent set — then nsmallest-style head; at 10^12 docs
+    # swap for the two-phase top-k used by orders_topk_per_priority)
+    out = ds.to_pandas()
+    out = out.sort_values(["n_match", "doc_id"], ascending=[False, True]).head(HAS_CHILD_K)
+    return out.reset_index(drop=True).astype("int64")
+
+
+def has_parent_query(sf_dir: str) -> pd.DataFrame:
+    """ES has_parent combined with a child-side match: passages whose
+    PARENT doc matches (lang = HAS_PARENT_LANG and contains
+    HAS_PARENT_TERM anywhere) and which THEMSELVES contain
+    HAS_CHILD_TERM. Same single-pass shape — the parent predicate and
+    the per-chunk child predicate evaluate inside one map task. Output
+    (doc_id, chunk_idx, n_tokens) ordered (doc_id, chunk_idx)."""
+    import ray.data
+
+    from ..textnorm import tokenize_batch
+
+    def scan(batch: pa.Table) -> pa.Table:
+        ids, cis, nts = [], [], []
+        langs = batch["lang"].to_pylist()
+        toks_per_doc = tokenize_batch(batch["text"].to_pylist())
+        for d, lang, toks in zip(batch["doc_id"].to_pylist(), langs, toks_per_doc):
+            if lang != HAS_PARENT_LANG or not toks:
+                continue
+            t = np.asarray(toks)
+            if not (t == HAS_PARENT_TERM).any():
+                continue
+            pos = np.flatnonzero(t == HAS_CHILD_TERM)
+            n = len(toks)
+            for ci in np.unique(pos // JOIN_CHUNK):
+                ids.append(int(d))
+                cis.append(int(ci))
+                nts.append(min(JOIN_CHUNK, n - int(ci) * JOIN_CHUNK))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "chunk_idx": pa.array(cis, pa.int64()),
+                "n_tokens": pa.array(nts, pa.int64()),
+            }
+        )
+
+    ds = (
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"]
+        )
+        .repartition(16)
+        .map_batches(scan, batch_format="pyarrow")
+    )
+    out = ds.to_pandas().sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+    return out.astype("int64")

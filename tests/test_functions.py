@@ -3124,3 +3124,49 @@ def test_y4m_codec_roundtrip_and_errors():
     # multiply keeps byte recipes exact where d*A would wrap int64
     big = 10**12 + 123
     assert (y4m_frame_bytes(big, 3) == y4m_frame_bytes(big % 256, 3)).all()
+
+
+def test_has_child_has_parent_join_field():
+    """ES join-field queries over passage children: has_child counts are
+    consistent with a sequential replay of the same chunking, and
+    has_parent rows satisfy both the parent predicate and the child
+    match."""
+    import numpy as np
+
+    from aarhus_ray.functions.fulltext import (
+        HAS_CHILD_TERM, HAS_PARENT_LANG, HAS_PARENT_TERM, JOIN_CHUNK,
+        has_child_query, has_parent_query,
+    )
+    from aarhus_ray.textnorm import tokenize_batch
+
+    import pyarrow.parquet as pq
+
+    sf_dir = SF
+    docs = pq.read_table(f"{sf_dir}/documents.parquet").to_pandas()
+    toks = {
+        int(d): t
+        for d, t in zip(docs["doc_id"], tokenize_batch(docs["text"].tolist()))
+    }
+
+    hc = has_child_query(sf_dir)
+    assert list(hc.columns) == ["doc_id", "n_children", "n_match"]
+    assert (hc["n_match"] >= 1).all() and (hc["n_match"] <= hc["n_children"]).all()
+    # ranking is n_match DESC, doc_id ASC
+    key = list(zip(-hc["n_match"], hc["doc_id"]))
+    assert key == sorted(key)
+    for _, row in hc.head(5).iterrows():
+        t = np.asarray(toks[int(row["doc_id"])])
+        pos = np.flatnonzero(t == HAS_CHILD_TERM)
+        assert len(np.unique(pos // JOIN_CHUNK)) == row["n_match"]
+        assert (len(t) + JOIN_CHUNK - 1) // JOIN_CHUNK == row["n_children"]
+
+    hp = has_parent_query(sf_dir)
+    lang_of = dict(zip(docs["doc_id"].astype(int), docs["lang"]))
+    for _, row in hp.head(10).iterrows():
+        d, ci = int(row["doc_id"]), int(row["chunk_idx"])
+        assert lang_of[d] == HAS_PARENT_LANG
+        t = toks[d]
+        assert HAS_PARENT_TERM in t
+        chunk = t[ci * JOIN_CHUNK : (ci + 1) * JOIN_CHUNK]
+        assert HAS_CHILD_TERM in chunk
+        assert row["n_tokens"] == len(chunk)
