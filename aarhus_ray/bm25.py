@@ -39,8 +39,10 @@ def topk_select(doc_ids: np.ndarray, scores: np.ndarray, k: int) -> tuple[np.nda
         return doc_ids[:0], scores[:0]
     if n > k:
         # Exact under ties: every doc scoring >= the kth-highest score is a
-        # candidate; the lexsort below applies the frozen tie-break.
-        kth = scores[np.argpartition(-scores, k - 1)[k - 1]]
+        # candidate; the lexsort below applies the frozen tie-break. The
+        # (n-k)th-SMALLEST element IS the kth-highest value — partitioning
+        # ascending avoids materializing a negated copy of the array.
+        kth = np.partition(scores, n - k)[n - k]  # values-only: no index array
         cand = np.flatnonzero(scores >= kth)
     else:
         cand = np.arange(n)

@@ -317,7 +317,26 @@ def dense_accum_topk(
 
     for pos, contribs in pos_entries:  # sorted-term order → float determinism
         scratch[pos] += contribs
-    touched = np.flatnonzero(scratch)  # contribs > 0, so touched ⟺ nonzero
-    scores = scratch[touched].copy()
+    n = len(scratch)
+    if n > k:
+        # Select the top-k directly from the dense accumulator: zeros
+        # (untouched docs) cannot displace positive scores, so as long as
+        # the kth-highest value is > 0 the candidate set equals the one
+        # the gather-touched path would produce — same floats, same
+        # frozen (score DESC, doc_id ASC) lexsort tie-break. This skips
+        # the flatnonzero + fancy-gather + fancy-zero passes; the reset
+        # becomes one sequential fill.
+        kth = np.partition(scratch, n - k)[n - k]
+        if kth > 0.0:
+            cand = np.flatnonzero(scratch >= kth)
+            scores = scratch[cand]
+            order = np.lexsort((global_doc_ids[cand], -scores))
+            sel = order[:k]
+            out = (global_doc_ids[cand[sel]], scores[sel])
+            scratch.fill(0.0)
+            return out
+    # sparse tail (< k docs touched): fall back to the exact-touched path
+    touched = np.flatnonzero(scratch)
+    scores = scratch[touched]  # fancy indexing copies; scratch can be zeroed
     scratch[touched] = 0.0
     return topk_select(global_doc_ids[touched], scores, k)
