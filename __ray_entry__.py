@@ -316,6 +316,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # construction → rows-only, recall/exactness pinned by
         # tests/test_functions.py::test_ivfpq_search_recall_and_exact_cos
         "knn_ivfpq": ann.ivfpq_search,
+        # 1-bit binary quantization (ES BBQ shape): sign codes, Hamming
+        # shortlist, exact rerank — deterministic end to end, so unlike
+        # PQ/IVFPQ the full algorithm replays in SQL and is hash-checked
+        "knn_bbq": ann.knn_bbq,
         # kNN-graph construction: top-k neighbors of EVERY vector (blocked
         # GEMM vs one broadcast corpus; O(n*k) shuffle bytes)
         "knn_graph": ann.knn_graph,
@@ -2367,6 +2371,9 @@ def oracle_sql() -> dict[str, str]:
         # IVF is EXACT branch-and-bound (cell bounds via spherical triangle
         # inequality) — it shares the brute-force oracle by construction
         "knn_ivf": _KNN_BRUTE_SQL,
+        # BBQ: quantization + Hamming shortlist + exact rerank replayed
+        # verbatim (sign comparisons are float-width-proof)
+        "knn_bbq": ann.bbq_oracle_sql(k=10, vec_id=0, dim=64, shortlist=ann.BBQ_SHORTLIST),
         "embedding_label_centroids": ann.label_centroids_oracle_sql(),
         # interchange round-trips: oracle reads the ORIGINAL parquet; the
         # engine goes parquet → JSONL/CSV → reader → fold, so the hashes

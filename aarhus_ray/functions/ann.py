@@ -1552,3 +1552,98 @@ def knn_triangles(sf_dir: str, k: int = KNN_GRAPH_K) -> pd.DataFrame:
             "transitivity_milli": [3 * tri * 1000 // wedges if wedges else 0],
         }
     ).astype("int64")
+
+
+# ---------------------------------------------------------------------------
+# Binary quantization (BBQ-style): 1-bit sign codes, Hamming shortlist,
+# exact rerank
+# ---------------------------------------------------------------------------
+
+BBQ_SHORTLIST = 50
+
+
+def _bbq_task(batch: pa.Table, q_ref, shortlist: int) -> pa.Table:
+    """Per-batch BBQ partial: sign-bit Hamming distance to the broadcast
+    query code + exact cosine, top-``shortlist`` rows by (ham ASC,
+    vec_id ASC). Both metrics come out of the one pass over the batch, so
+    the rerank never refetches vectors."""
+    qn, qbits = ray.get(q_ref)
+    ids, m = _to_matrix(batch)
+    bits = m > 0.0
+    ham = np.count_nonzero(bits != qbits[None, :], axis=1).astype(np.int64)
+    cos = _normalize(m) @ qn
+    order = np.lexsort((ids, ham))[:shortlist]
+    return pa.table(
+        {
+            "vec_id": pa.array(ids[order], pa.int64()),
+            "ham": pa.array(ham[order], pa.int64()),
+            "cos": pa.array(cos[order], pa.float64()),
+        }
+    )
+
+
+def knn_bbq(sf_dir: str, k: int = 10, vec_id: int = 0,
+            shortlist: int = BBQ_SHORTLIST) -> pd.DataFrame:
+    """Binary-quantized kNN (the Elasticsearch 8.16 "BBQ" / classic
+    1-bit-per-dim shape): every dimension quantizes to its SIGN bit
+    (64 dims -> a 64-bit code, a 32x memory cut vs float32 — the reason
+    this family exists at 10^12 vectors), candidates rank by HAMMING
+    distance between codes (one XOR+popcount per comparison — no float
+    math touches the wide scan), the top-``shortlist`` by the frozen
+    (ham ASC, vec_id ASC) order are exact-reranked with true cosines,
+    and the page is the shortlist's top-k by (cos DESC, vec_id ASC).
+
+    Distribution shape: the code scan is per-batch partials against one
+    broadcast (query vector, query code) pair — same streaming plan as
+    knn_cosine_bruteforce, but at scale the corpus side is the packed
+    1-bit code table (vocabulary of codes ships where vectors cannot);
+    the shortlist merge is O(shortlist) rows on the driver and only the
+    shortlist's vectors are ever touched by float math. Deterministic
+    end to end (sign(x) > 0 is exact in float32 and float64 alike), so
+    the DuckDB oracle replays the full algorithm — quantization,
+    Hamming shortlist, exact rerank — and this is hash-checked, unlike
+    the recall-bounded PQ/IVFPQ entries. Output (vec_id, ham, cos 3dp),
+    order (cos DESC, vec_id ASC) within the reranked page."""
+    q = query_vector(sf_dir, vec_id)
+    qn = q / np.linalg.norm(q)
+    qbits = q > 0.0
+    q_ref = ray.put((qn, qbits))
+
+    import functools
+
+    parts = (
+        _emb(sf_dir)
+        .map_batches(
+            functools.partial(_bbq_task, q_ref=q_ref, shortlist=shortlist),
+            batch_format="pyarrow",
+            batch_size=4096,
+        )
+        .to_pandas()
+    )
+    short = parts.sort_values(["ham", "vec_id"]).head(shortlist)
+    page = short.sort_values(["cos", "vec_id"], ascending=[False, True]).head(k)
+    page["cos"] = page["cos"].round(3)
+    return page[["vec_id", "ham", "cos"]].reset_index(drop=True)
+
+
+def bbq_oracle_sql(k: int = 10, vec_id: int = 0, dim: int = 64,
+                   shortlist: int = BBQ_SHORTLIST) -> str:
+    """DuckDB replay of knn_bbq's exact semantics: per-dim sign mismatch
+    sum (the Hamming distance between sign codes — float-width-proof:
+    ``x > 0`` agrees in float32 and float64), shortlist by (ham ASC,
+    vec_id ASC), exact-cosine rerank of the shortlist only."""
+    ham = " + ".join(
+        f"(CASE WHEN (e.embedding[{d + 1}] > 0) <> (q.embedding[{d + 1}] > 0) THEN 1 ELSE 0 END)"
+        for d in range(dim)
+    )
+    return f"""
+        WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = {vec_id}),
+        h AS (SELECT e.vec_id, e.embedding, CAST(({ham}) AS BIGINT) AS ham
+              FROM embeddings e, q),
+        short AS (SELECT * FROM h ORDER BY ham, vec_id LIMIT {shortlist})
+        SELECT s.vec_id, s.ham,
+               round(CAST(list_cosine_similarity(s.embedding, q.embedding) AS DOUBLE), 3) AS cos
+        FROM short s, q
+        ORDER BY list_cosine_similarity(s.embedding, q.embedding) DESC, s.vec_id
+        LIMIT {k}
+    """

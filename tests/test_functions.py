@@ -128,6 +128,32 @@ def test_knn_graph_matches_full_matrix():
     assert (out["vec_id"] != out["nbr_id"]).all()
 
 
+def test_bbq_matches_numpy_replay():
+    from aarhus_ray.functions.ann import BBQ_SHORTLIST, knn_bbq
+
+    k = 10
+    out = knn_bbq(SF, k=k)
+    # sequential replay of the frozen algorithm: sign codes -> Hamming
+    # shortlist by (ham ASC, vec_id ASC) -> exact-cosine rerank
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+    E = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    q = E[ids == 0][0]
+    bits = E > 0.0
+    ham = np.count_nonzero(bits != (q > 0.0)[None, :], axis=1).astype(np.int64)
+    En = E / np.linalg.norm(E, axis=1, keepdims=True)
+    cos = En @ (q / np.linalg.norm(q))
+    short = np.lexsort((ids, ham))[:BBQ_SHORTLIST]
+    page = short[np.lexsort((ids[short], -cos[short]))][:k]
+    want = [
+        [int(ids[i]), int(ham[i]), round(float(cos[i]), 3)] for i in page
+    ]
+    assert out.values.tolist() == want
+    # the query's own code is at Hamming 0 and exact rerank puts it first
+    assert out.iloc[0]["vec_id"] == 0 and out.iloc[0]["ham"] == 0
+    assert out.iloc[0]["cos"] == 1.0
+
+
 def test_lsh_probe_matches_direct_replay():
     from aarhus_ray.functions.ann import knn_cosine_lsh, sign_signature
 
