@@ -513,6 +513,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fulltext_synonym_topk": fulltext.synonym_topk_query,
         # function_score: bm25 x linear time-decay on the warc_ts docvalue
         "fulltext_function_score": fulltext.function_score_query,
+        # function_score field_value_factor (ln1p on doclen): the static
+        # document-signal boost; ln of an exact integer replays bitwise
+        "fulltext_field_value_factor": fulltext.field_value_factor_query,
         # ES-style aggregations over the match set (docvalue sidecar)
         "fulltext_date_histogram": fulltext.date_histogram_query,
         # histogram (min_doc_count=0) + cumulative_sum/derivative pipeline
@@ -2634,6 +2637,7 @@ def oracle_sql() -> dict[str, str]:
         "fulltext_bm25_boosting": fulltext.bm25_boosting_oracle_sql(),
         "fulltext_synonym_topk": fulltext.synonym_oracle_sql(),
         "fulltext_function_score": fulltext.function_score_oracle_sql(),
+        "fulltext_field_value_factor": fulltext.field_value_factor_oracle_sql(),
         "fulltext_date_histogram": fulltext.date_histogram_oracle_sql(),
         "fulltext_histogram_pipeline": fulltext.histogram_pipeline_oracle_sql(),
         "fulltext_range_agg": fulltext.range_agg_oracle_sql(),

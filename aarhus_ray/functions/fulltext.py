@@ -3371,6 +3371,88 @@ def function_score_query(sf_dir: str, k: int = 10) -> pd.DataFrame:
     return out.reset_index(drop=True)
 
 
+def field_value_factor_query(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Field-value-factor retrieval per FT_QUERY (ES function_score,
+    ``field_value_factor`` with the ln1p modifier on doclen): rank by
+    bm25 × ln(1 + doclen) (pipelines/query.field_value_factor_topk).
+    ln of an exact integer agrees bitwise between numpy and DuckDB, so
+    ranks replay exactly; output integer-only. Unlike the time decay
+    (whose injective ts permutation breaks all ties), ln1p(doclen)
+    PRESERVES bm25 ties — docs with identical (tf, dl) stay exactly
+    tied — so the page is re-ranked in source doc_id space over the
+    full match set (the _full_ranking pattern) to keep the external
+    (fscore DESC, doc_id ASC) tie order exact."""
+    from ..pipelines.query import field_value_factor_topk
+    from ..stages.query_stage import UrlResolver
+
+    index = _ensure_index(sf_dir, fresh=False)
+    queries = pa.table(
+        {
+            "query_id": pa.array(range(len(FT_QUERIES)), pa.int64()),
+            "text": pa.array(list(FT_QUERIES), pa.string()),
+        }
+    )
+    k_all = 1 << 30  # whole match set: ties re-rank in source-id space
+    ds = field_value_factor_topk(index, queries, field="doclen", k=k_all).map_batches(
+        UrlResolver, fn_constructor_args=(index,), batch_format="pyarrow",
+        concurrency=(1, 2),
+    )
+    res = ds.to_pandas()
+    res["doc_id"] = res["url"].map(url_doc_id).astype("int64")
+    res = res.sort_values(["query_id", "score", "doc_id"], ascending=[True, False, True])
+    res["rank"] = res.groupby("query_id").cumcount().astype("int32") + 1
+    out = res[res["rank"] <= k][["query_id", "rank", "doc_id"]]
+    return out.reset_index(drop=True)
+
+
+def field_value_factor_oracle_sql(k: int = 10) -> str:
+    """Field-value-factor oracle: the unchanged BM25 CTEs, final score
+    multiplied by ln(1 + dl) — dl is the same exact integer token count
+    on both sides, ln is correctly rounded identically, the multiply is
+    one IEEE op."""
+    values = ",".join(
+        f"({qid}, '{term}')" for qid, q in enumerate(FT_QUERIES) for term in q.split()
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok
+    FROM documents) WHERE tok <> ''
+),
+dl AS (SELECT d.doc_id, CAST(coalesce(t.c, 0) AS DOUBLE) AS dl
+       FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS c FROM toks GROUP BY 1) t USING (doc_id)),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+q(query_id, tok) AS (VALUES {values}),
+qd AS (SELECT DISTINCT query_id, tok FROM q),
+scored AS (
+  SELECT qd.query_id, tf.doc_id,
+         sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * (1.2 + 1.0)
+              / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score
+  FROM qd
+  JOIN tf USING (tok)
+  JOIN df USING (tok)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+boosted AS (
+  SELECT sc.query_id, sc.doc_id, sc.score * ln(1.0 + dl.dl) AS fscore
+  FROM scored sc JOIN dl ON sc.doc_id = dl.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY fscore DESC, doc_id) AS rank
+  FROM boosted
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank, doc_id
+FROM ranked WHERE rank <= {k}
+ORDER BY query_id, rank
+"""
+
+
 def function_score_oracle_sql(k: int = 10) -> str:
     """Function-score oracle: the unchanged BM25 CTEs, final score
     multiplied by the linear decay replayed from the integer ts

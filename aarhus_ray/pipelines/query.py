@@ -579,6 +579,42 @@ def function_score_topk(
     )
 
 
+def field_value_factor_topk(
+    out_dir: str,
+    queries,
+    field: str = "doclen",
+    k: int = 10,
+    concurrency: int | None = None,
+    batch_size: int = 64,
+) -> ray.data.Dataset:
+    """FIELD_VALUE_FACTOR retrieval (ES function_score field_value_factor,
+    ln1p modifier): top-k by bm25 × ln(1 + docvalue). Returns
+    (query_id, rank, doc_id, score); same stateless-task shape as
+    function_score_topk, BM25 statistics stay global."""
+    from ..stages.query_stage import FieldValueFactorTaskFn
+
+    segs = list_segments(out_dir)
+    if not segs:
+        raise ValueError(f"no segments under {out_dir}")
+    conc = concurrency or max(1, _cpus())
+    if isinstance(queries, str):
+        import pyarrow.parquet as _pq
+
+        queries = _pq.read_table(queries)
+    if isinstance(queries, pa.Table):
+        n_blocks = max(1, min(conc * 4, queries.num_rows // max(1, batch_size) + 1))
+        per = (queries.num_rows + n_blocks - 1) // n_blocks
+        slices = [queries.slice(i * per, per) for i in range(n_blocks) if i * per < queries.num_rows]
+        qds = ray.data.from_arrow(slices)
+    else:
+        qds = queries
+    return qds.map_batches(
+        FieldValueFactorTaskFn(out_dir, segs, field, k, index_version(out_dir)),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+
+
 def boosting_topk(
     out_dir: str,
     queries,

@@ -2184,6 +2184,12 @@ class FunctionScoreTopK:
         self.doc_ids = tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
         self.vals = tbl[field].cast(pa.int64()).to_numpy(zero_copy_only=False)
 
+    def _factor(self, vals: np.ndarray) -> np.ndarray:
+        """Per-doc multiplier from the gathered docvalues. Base class:
+        clamped linear decay (an int64 diff, one divide, one subtract —
+        every op correctly rounded identically in numpy and SQL)."""
+        return np.maximum(1.0 - np.abs(self.origin_us - vals) / float(self.scale_us), 0.0)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         from ..bm25 import topk_select
 
@@ -2207,8 +2213,7 @@ class FunctionScoreTopK:
                 pos = np.searchsorted(all_ids, doc_ids)
                 scores[pos] += contribs
             ts = self.vals[np.searchsorted(self.doc_ids, all_ids)]
-            factor = 1.0 - np.abs(self.origin_us - ts) / float(self.scale_us)
-            scores *= np.maximum(factor, 0.0)
+            scores *= self._factor(ts)
             d, s = topk_select(all_ids, scores, self.k)
             qids_out.extend([qid] * len(d))
             ranks_out.extend(range(1, len(d) + 1))
@@ -2224,6 +2229,30 @@ class FunctionScoreTopK:
                 "score": pa.array(scrs, pa.float64()),
             }
         )
+
+
+class FieldValueFactorTopK(FunctionScoreTopK):
+    """FIELD_VALUE_FACTOR retrieval (Elasticsearch's function_score with
+    ``field_value_factor`` and the ``ln1p`` modifier): final = bm25 ×
+    ln(1 + docvalue) — "relevance, boosted by an intrinsic document
+    signal" (here doclen: longer docs carry more link equity in the
+    classic static-boost setups; any int64 docvalue slots in). ln1p is
+    the one ES modifier that is hash-replayable: the argument 1+v is an
+    exact integer, libm's correctly-rounded ln agrees bitwise between
+    numpy and DuckDB on identical doubles, and the final multiply is one
+    correctly-rounded IEEE op — the same replayability argument as the
+    linear decay. The factor is NOT bounded by 1, so unlike the decay it
+    cannot reuse undecayed WAND bounds; the brute union path (shared with
+    the base class) is the correct engine here, and at cluster scale the
+    per-term block maxima would scale by ln(1 + max_dl) to stay
+    admissible. Total order: (final score DESC, doc_id ASC)."""
+
+    def __init__(self, out_dir: str, seg_ids: list[int] | None = None,
+                 field: str = "doclen", k: int = 10):
+        super().__init__(out_dir, seg_ids, field=field, origin_us=0, scale_us=1, k=k)
+
+    def _factor(self, vals: np.ndarray) -> np.ndarray:
+        return np.log1p(vals.astype(np.float64))
 
 
 class BoostingTopK:
@@ -4131,6 +4160,25 @@ class FunctionScoreTaskFn:
             fs = FunctionScoreTopK(out_dir, list(seg_ids), field, origin_us, scale_us, k)
             _WORKER_FSCORE_CACHE[key] = fs
         return fs(batch)
+
+
+class FieldValueFactorTaskFn:
+    """Task-fn form of FieldValueFactorTopK (worker-process cache)."""
+
+    def __init__(self, out_dir: str, seg_ids: list[int], field: str,
+                 k: int, version: float):
+        self.args = (out_dir, tuple(seg_ids), field, k, version)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_dir, seg_ids, field, k, version = self.args
+        key = (out_dir, version, seg_ids, field, "fvf", k)
+        fv = _WORKER_FSCORE_CACHE.get(key)
+        if fv is None:
+            for kk in [kk for kk in _WORKER_FSCORE_CACHE if kk[0] == out_dir and kk[1] < version]:
+                del _WORKER_FSCORE_CACHE[kk]
+            fv = FieldValueFactorTopK(out_dir, list(seg_ids), field, k)
+            _WORKER_FSCORE_CACHE[key] = fv
+        return fv(batch)
 
 
 class SynonymTopKTaskFn:

@@ -1169,6 +1169,51 @@ def test_function_score_on_real_index(golden_index):
         assert (row.query_id, row.rank, row.doc_id) == (qid, r, did)
         assert row.score == fsc  # bit-identical float path
 
+def test_field_value_factor_on_real_index(golden_index):
+    """field_value_factor (ln1p on doclen) == python reference: full
+    disjunctive brute scoring x log1p(dl), frozen (fscore DESC, doc_id
+    ASC) order, bit-identical float path."""
+    import numpy as np
+    from aarhus_ray.pipelines.query import field_value_factor_topk
+    from aarhus_ray.textnorm import tokenize
+    from aarhus_ray.bm25 import brute_force_topk
+    from aarhus_ray.stages.query_stage import QueryScorer
+
+    idx = golden_index["index"]
+    q = fixtures.gen_queries(12, seed=23)
+    docs = _docs_table(idx, ["doc_id", "doclen"])
+    dls = dict(zip(docs["doc_id"].to_pylist(), docs["doclen"].to_pylist()))
+
+    got = (
+        field_value_factor_topk(idx, q, field="doclen", k=10)
+        .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+
+    scorer = QueryScorer(idx, k=10, method="brute")
+    want_rows = []
+    for qid, text in zip(q["query_id"].to_pylist(), q["text"].to_pylist()):
+        toks = sorted(set(tokenize(text)))
+        owners = {t: scorer._owners(t) for t in toks}
+        owners = {t: s for t, s in owners.items() if s}
+        if not owners:
+            continue
+        terms = sorted(owners)
+        postings = {t: scorer._gather_postings(t, owners[t]) for t in terms}
+        dfs = {t: scorer._global_df(t, owners[t]) for t in terms}
+        d, s = brute_force_topk(terms, postings, dfs, scorer.doclens.lookup,
+                                scorer.n_docs, scorer.avgdl, k=1 << 30)
+        dl = np.array([dls[int(x)] for x in d], dtype=np.int64)
+        fs = s * np.log1p(dl.astype(np.float64))
+        order = np.lexsort((d, -fs))[:10]
+        for r, i in enumerate(order, 1):
+            want_rows.append((qid, r, int(d[i]), fs[i]))
+
+    assert len(got) == len(want_rows)
+    for row, (qid, r, did, fsc) in zip(got.itertuples(), want_rows):
+        assert (row.query_id, row.rank, row.doc_id) == (qid, r, did)
+        assert row.score == fsc  # bit-identical float path
+
+
 def test_synonym_mode_on_real_index(golden_index):
     """SynonymTopK: with an EMPTY synonym map every group is a singleton
     (merged tf = own tf, max df = own df), so results are bit-identical
