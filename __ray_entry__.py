@@ -323,6 +323,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # kNN-graph construction: top-k neighbors of EVERY vector (blocked
         # GEMM vs one broadcast corpus; O(n*k) shuffle bytes)
         "knn_graph": ann.knn_graph,
+        # graph-traversal ANN serving (HNSW layer-0 shape): greedy
+        # best-first walk over the persisted kNN edge artifact — point
+        # fetches instead of a scan; approximate by construction →
+        # rows-only, walk replay + recall floor pinned by
+        # tests/test_functions.py::test_knn_graph_search_matches_walk_replay
+        "knn_graph_search": ann.knn_graph_search,
         # triangle census + transitivity of the undirected kNN graph:
         # hash self-join wedges, LEFT SEMI closing-edge check, degree fold
         "knn_triangles": ann.knn_triangles,

@@ -1647,3 +1647,89 @@ def bbq_oracle_sql(k: int = 10, vec_id: int = 0, dim: int = 64,
         ORDER BY list_cosine_similarity(s.embedding, q.embedding) DESC, s.vec_id
         LIMIT {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# Graph-based ANN serving (HNSW/NSW layer-0 shape): greedy best-first
+# search over the persisted kNN edge artifact
+# ---------------------------------------------------------------------------
+
+GS_DEGREE = 8   # out-degree of the search graph (denser than KNN_GRAPH_K=3)
+GS_EF = 32      # candidate-list width (HNSW's ef_search)
+GS_BEAM = 4     # nodes expanded per round (round-synchronous batch expansion)
+GS_MAX_ROUNDS = 512  # hard backstop; the threshold rule is the real stop
+
+
+def knn_graph_search(sf_dir: str, k: int = 10, vec_id: int = 0,
+                     ef: int = GS_EF, beam: int = GS_BEAM) -> pd.DataFrame:
+    """Graph-traversal ANN (the HNSW/NSW SERVING shape — Lucene 9 / ES 8
+    answer every knn query this way): greedy best-first walk over the
+    persisted kNN edge artifact instead of any corpus scan. The frozen
+    walk rule (replayed verbatim by the sequential test):
+
+      entry      = vec_id 0 (the frozen entry point; HNSW's top layer
+                   picks one the same way — it only needs to be fixed)
+      visited    = {entry: cos(entry)}
+      each round: the top-``beam`` UNEXPANDED visited nodes by
+                  (cos DESC, vec_id ASC); STOP when every one of them
+                  scores below the ef-threshold (the ef-th best visited
+                  cos; -inf while |visited| < ef) — the HNSW
+                  candidate-list termination — else expand: fetch their
+                  out-neighbors from the edge artifact, score the unseen
+                  ones against the query, add to visited.
+      page       = top-k of visited by (cos DESC, vec_id ASC), cos 3dp.
+
+    Distribution shape: the graph walk is inherently sequential (that is
+    THE trade graph indexes make: O(ef·degree) point fetches of vectors
+    +adjacency instead of a scan), so each round's neighbor fetch is a
+    predicate-pushdown point read of the edge and embedding tables —
+    the GET/_mget idiom. At cluster scale both artifacts shard by
+    vec_id range and a round is one targeted RPC per owning shard
+    (≤ beam·degree ids); the coordinator state is O(ef), never
+    corpus-shaped. Deterministic end to end (frozen entry, frozen tie
+    order, float64 cosines), but the result quality depends on graph
+    degree — approximate by construction, so rows-only at the driver
+    with the walk replay + recall floor pinned by
+    tests/test_functions.py::test_knn_graph_search_matches_walk_replay."""
+    edges_dir = _knn_edges_index(sf_dir, k=GS_DEGREE)
+    emb_path = f"{sf_dir}/embeddings.parquet"
+    q = query_vector(sf_dir, vec_id)
+    qn = q / np.linalg.norm(q)
+
+    def fetch_vecs(ids: list[int]) -> dict[int, float]:
+        t = pq.read_table(emb_path, columns=["vec_id", "embedding"],
+                          filters=[("vec_id", "in", ids)])
+        vids, m = _to_matrix(t)
+        cos = _normalize(m) @ qn
+        return {int(v): float(c) for v, c in zip(vids, cos)}
+
+    def fetch_nbrs(ids: list[int]) -> list[int]:
+        t = pq.read_table(edges_dir, columns=["vec_id", "nbr_id"],
+                          filters=[("vec_id", "in", ids)])
+        return sorted(set(t["nbr_id"].to_pylist()))
+
+    entry = 0
+    visited: dict[int, float] = fetch_vecs([entry])
+    expanded: set[int] = set()
+    for _ in range(GS_MAX_ROUNDS):
+        unexp = sorted(
+            (v for v in visited if v not in expanded),
+            key=lambda v: (-visited[v], v),
+        )[:beam]
+        if not unexp:
+            break
+        top = sorted(visited.items(), key=lambda kv: (-kv[1], kv[0]))
+        thresh = top[ef - 1][1] if len(top) >= ef else -np.inf
+        if all(visited[v] < thresh for v in unexp):
+            break
+        expanded.update(unexp)
+        new_ids = [n for n in fetch_nbrs(unexp) if n not in visited]
+        if new_ids:
+            visited.update(fetch_vecs(new_ids))
+    page = sorted(visited.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    return pd.DataFrame(
+        {
+            "vec_id": pd.Series([v for v, _ in page], dtype="int64"),
+            "cos": pd.Series([round(c, 3) for _, c in page], dtype="float64"),
+        }
+    )

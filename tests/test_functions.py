@@ -154,6 +154,53 @@ def test_bbq_matches_numpy_replay():
     assert out.iloc[0]["cos"] == 1.0
 
 
+def test_knn_graph_search_matches_walk_replay():
+    from aarhus_ray.functions.ann import (
+        GS_BEAM, GS_DEGREE, GS_EF, knn_cosine_bruteforce, knn_graph_search,
+    )
+
+    k = 10
+    out = knn_graph_search(SF, k=k)
+    # sequential replay of the frozen walk over the frozen graph
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+    o = np.argsort(ids)
+    ids = ids[o]
+    E = np.array(t["embedding"].to_pylist(), dtype=np.float64)[o]
+    En = E / np.linalg.norm(E, axis=1, keepdims=True)
+    cos = En @ En.T
+    np.fill_diagonal(cos, -np.inf)
+    nbrs = {
+        int(ids[i]): [int(ids[j]) for j in np.lexsort((ids, -cos[i]))[:GS_DEGREE]]
+        for i in range(len(ids))
+    }
+    pos = {int(v): i for i, v in enumerate(ids)}
+    sims = En @ (E[pos[0]] / np.linalg.norm(E[pos[0]]))
+    visited = {0: float(sims[pos[0]])}
+    expanded: set[int] = set()
+    while True:
+        unexp = sorted((v for v in visited if v not in expanded),
+                       key=lambda v: (-visited[v], v))[:GS_BEAM]
+        if not unexp:
+            break
+        top = sorted(visited.items(), key=lambda kv: (-kv[1], kv[0]))
+        thresh = top[GS_EF - 1][1] if len(top) >= GS_EF else -np.inf
+        if all(visited[v] < thresh for v in unexp):
+            break
+        expanded.update(unexp)
+        for v in unexp:
+            for n in nbrs[v]:
+                if n not in visited:
+                    visited[n] = float(sims[pos[n]])
+    page = sorted(visited.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    want = [[v, round(c, 3)] for v, c in page]
+    assert out.values.tolist() == want
+    # the walk never scans the corpus yet still recalls most of true top-k
+    true_top = set(knn_cosine_bruteforce(SF, k=k)["vec_id"].tolist())
+    assert len(true_top & set(out["vec_id"].tolist())) >= int(0.8 * k)
+    assert len(visited) < len(ids)  # strictly sub-corpus touch
+
+
 def test_lsh_probe_matches_direct_replay():
     from aarhus_ray.functions.ann import knn_cosine_lsh, sign_signature
 
