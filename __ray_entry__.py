@@ -522,6 +522,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # function_score field_value_factor (ln1p on doclen): the static
         # document-signal boost; ln of an exact integer replays bitwise
         "fulltext_field_value_factor": fulltext.field_value_factor_query,
+        # rank_feature (saturation on doclen): the ADDITIVE static-signal
+        # boost — bm25 + W*f/(f+pivot), exact-integer divide chain
+        "fulltext_rank_feature": fulltext.rank_feature_query,
+        # distance_feature on warc_ts: additive proximity-to-origin boost
+        "fulltext_distance_feature": fulltext.distance_feature_query,
+        # pinned query: frozen promoted ids rank 1..3, organic follows
+        "fulltext_pinned": fulltext.pinned_query,
         # ES-style aggregations over the match set (docvalue sidecar)
         "fulltext_date_histogram": fulltext.date_histogram_query,
         # histogram (min_doc_count=0) + cumulative_sum/derivative pipeline
@@ -2644,6 +2651,9 @@ def oracle_sql() -> dict[str, str]:
         "fulltext_synonym_topk": fulltext.synonym_oracle_sql(),
         "fulltext_function_score": fulltext.function_score_oracle_sql(),
         "fulltext_field_value_factor": fulltext.field_value_factor_oracle_sql(),
+        "fulltext_rank_feature": fulltext.rank_feature_oracle_sql(),
+        "fulltext_distance_feature": fulltext.distance_feature_oracle_sql(),
+        "fulltext_pinned": fulltext.pinned_oracle_sql(),
         "fulltext_date_histogram": fulltext.date_histogram_oracle_sql(),
         "fulltext_histogram_pipeline": fulltext.histogram_pipeline_oracle_sql(),
         "fulltext_range_agg": fulltext.range_agg_oracle_sql(),

@@ -3453,6 +3453,284 @@ ORDER BY query_id, rank
 """
 
 
+# rank_feature saturation pivot (doclen feature) and the shared additive
+# feature-query weight: a power of two so the boost multiply is IEEE-exact.
+RF_PIVOT = 100
+FEATURE_WEIGHT = 2.0
+# distance_feature origin sits INSIDE the synthetic ts range (mid-span), so
+# docs on both sides of it exist and symmetric-distance collisions are a
+# real exercised case (handled by the _full_ranking source-id re-rank).
+DF_ORIGIN_US = BASE_TS_US + TS_MOD // 2
+DF_PIVOT_US = 60_000_000
+
+
+def rank_feature_query(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Rank-feature retrieval per FT_QUERY (ES ``rank_feature`` with the
+    default saturation function, bool-should next to the match query):
+    rank by bm25 + W × dl/(dl + pivot) over the match set
+    (pipelines/query.rank_feature_topk). dl and pivot are exact
+    integers, so the saturation divide and the weighted add replay
+    bitwise in SQL. Saturation preserves bm25 ties (equal (tf, dl) docs
+    stay tied), so the page is re-ranked in source doc_id space over the
+    full match set (the _full_ranking pattern) to keep the external
+    (fscore DESC, doc_id ASC) tie order exact."""
+    from ..pipelines.query import rank_feature_topk
+    from ..stages.query_stage import UrlResolver
+
+    index = _ensure_index(sf_dir, fresh=False)
+    queries = pa.table(
+        {
+            "query_id": pa.array(range(len(FT_QUERIES)), pa.int64()),
+            "text": pa.array(list(FT_QUERIES), pa.string()),
+        }
+    )
+    k_all = 1 << 30  # whole match set: ties re-rank in source-id space
+    ds = rank_feature_topk(
+        index, queries, field="doclen", pivot=RF_PIVOT, weight=FEATURE_WEIGHT,
+        k=k_all,
+    ).map_batches(
+        UrlResolver, fn_constructor_args=(index,), batch_format="pyarrow",
+        concurrency=(1, 2),
+    )
+    res = ds.to_pandas()
+    res["doc_id"] = res["url"].map(url_doc_id).astype("int64")
+    res = res.sort_values(["query_id", "score", "doc_id"], ascending=[True, False, True])
+    res["rank"] = res.groupby("query_id").cumcount().astype("int32") + 1
+    out = res[res["rank"] <= k][["query_id", "rank", "doc_id"]]
+    return out.reset_index(drop=True)
+
+
+def rank_feature_oracle_sql(k: int = 10) -> str:
+    """Rank-feature oracle: the unchanged BM25 CTEs, final score plus the
+    saturation boost — dl and pivot are the same exact integers on both
+    sides, the divide, the power-of-two weight multiply, and the add are
+    each one correctly-rounded IEEE op."""
+    values = ",".join(
+        f"({qid}, '{term}')" for qid, q in enumerate(FT_QUERIES) for term in q.split()
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok
+    FROM documents) WHERE tok <> ''
+),
+dl AS (SELECT d.doc_id, CAST(coalesce(t.c, 0) AS DOUBLE) AS dl
+       FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS c FROM toks GROUP BY 1) t USING (doc_id)),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+q(query_id, tok) AS (VALUES {values}),
+qd AS (SELECT DISTINCT query_id, tok FROM q),
+scored AS (
+  SELECT qd.query_id, tf.doc_id,
+         sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * (1.2 + 1.0)
+              / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score
+  FROM qd
+  JOIN tf USING (tok)
+  JOIN df USING (tok)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+boosted AS (
+  SELECT sc.query_id, sc.doc_id,
+         sc.score + {FEATURE_WEIGHT} * (dl.dl / (dl.dl + {RF_PIVOT}.0)) AS fscore
+  FROM scored sc JOIN dl ON sc.doc_id = dl.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY fscore DESC, doc_id) AS rank
+  FROM boosted
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank, doc_id
+FROM ranked WHERE rank <= {k}
+ORDER BY query_id, rank
+"""
+
+
+def distance_feature_query(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Distance-feature retrieval per FT_QUERY (ES ``distance_feature``
+    on the warc_ts date docvalue, bool-should next to the match query):
+    rank by bm25 + W × pivot/(pivot + |origin − ts|) over the match set
+    (pipelines/query.distance_feature_topk). The int64 distance, the
+    divide of exact integers, the power-of-two weight, and the add each
+    round identically in numpy and DuckDB. The origin sits mid-span, so
+    docs equidistant on opposite sides collide — ties re-rank in source
+    doc_id space over the full match set (the _full_ranking pattern)."""
+    from ..pipelines.query import distance_feature_topk
+    from ..stages.query_stage import UrlResolver
+
+    index = _ensure_index(sf_dir, fresh=False)
+    queries = pa.table(
+        {
+            "query_id": pa.array(range(len(FT_QUERIES)), pa.int64()),
+            "text": pa.array(list(FT_QUERIES), pa.string()),
+        }
+    )
+    k_all = 1 << 30  # whole match set: ties re-rank in source-id space
+    ds = distance_feature_topk(
+        index, queries, field="warc_ts", origin_us=DF_ORIGIN_US,
+        pivot_us=DF_PIVOT_US, weight=FEATURE_WEIGHT, k=k_all,
+    ).map_batches(
+        UrlResolver, fn_constructor_args=(index,), batch_format="pyarrow",
+        concurrency=(1, 2),
+    )
+    res = ds.to_pandas()
+    res["doc_id"] = res["url"].map(url_doc_id).astype("int64")
+    res = res.sort_values(["query_id", "score", "doc_id"], ascending=[True, False, True])
+    res["rank"] = res.groupby("query_id").cumcount().astype("int32") + 1
+    out = res[res["rank"] <= k][["query_id", "rank", "doc_id"]]
+    return out.reset_index(drop=True)
+
+
+def distance_feature_oracle_sql(k: int = 10) -> str:
+    """Distance-feature oracle: the unchanged BM25 CTEs, final score plus
+    the proximity boost replayed from the integer ts permutation — the
+    same short IEEE-754 op chain the engine runs."""
+    values = ",".join(
+        f"({qid}, '{term}')" for qid, q in enumerate(FT_QUERIES) for term in q.split()
+    )
+    ts = f"({BASE_TS_US} + (doc_id * {TS_MULT}) % {TS_MOD})"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok
+    FROM documents) WHERE tok <> ''
+),
+dl AS (SELECT d.doc_id, CAST(coalesce(t.c, 0) AS DOUBLE) AS dl
+       FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS c FROM toks GROUP BY 1) t USING (doc_id)),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+q(query_id, tok) AS (VALUES {values}),
+qd AS (SELECT DISTINCT query_id, tok FROM q),
+scored AS (
+  SELECT qd.query_id, tf.doc_id,
+         sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * (1.2 + 1.0)
+              / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score
+  FROM qd
+  JOIN tf USING (tok)
+  JOIN df USING (tok)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+boosted AS (
+  SELECT query_id, doc_id,
+         score + {FEATURE_WEIGHT} * ({DF_PIVOT_US}.0
+             / ({DF_PIVOT_US}.0 + abs({DF_ORIGIN_US} - {ts}))) AS fscore
+  FROM scored
+),
+ranked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY fscore DESC, doc_id) AS rank
+  FROM boosted
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank, doc_id
+FROM ranked WHERE rank <= {k}
+ORDER BY query_id, rank
+"""
+
+
+# Pinned (promoted) ids per query: 3 frozen source doc_ids, valid at every
+# driver scale (all < 50 < the 500-doc sf0.001 corpus). (7q+3, +23, +43)
+# mod 50 are pairwise distinct (differences 20/20/40 mod 50 are nonzero).
+def _pinned_ids(qid: int) -> list[int]:
+    return [(7 * qid + 3) % 50, (7 * qid + 23) % 50, (7 * qid + 43) % 50]
+
+
+def pinned_query(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Pinned retrieval per FT_QUERY (ES ``pinned`` query): the frozen
+    promoted doc_ids rank first IN LIST ORDER (ranks 1..3, returned even
+    when they match no query term — ES gives pinned docs a constant
+    score above every organic hit), then the organic BM25 ranking minus
+    the pinned ids continues from rank 4. Organic ordering re-ranks the
+    full match set in source doc_id space (the _full_ranking pattern),
+    so the external (score DESC, doc_id ASC) tie order is exact.
+    Output integer-only (query_id, rank, doc_id)."""
+    index = _ensure_index(sf_dir, fresh=False)
+    k_all = 1 << 30
+    organic = _full_ranking(index, k_all)
+    organic = organic.sort_values(
+        ["query_id", "score", "doc_id"], ascending=[True, False, True]
+    )
+    rows: list[tuple[int, int, int]] = []
+    for qid in range(len(FT_QUERIES)):
+        pinned = _pinned_ids(qid)
+        for r, did in enumerate(pinned, 1):
+            rows.append((qid, r, did))
+        org = organic[organic["query_id"] == qid]
+        org = org[~org["doc_id"].isin(pinned)]
+        for r, did in enumerate(org["doc_id"].tolist()[: k - len(pinned)],
+                                len(pinned) + 1):
+            rows.append((qid, r, int(did)))
+    out = pd.DataFrame(rows, columns=["query_id", "rank", "doc_id"])
+    out["query_id"] = out["query_id"].astype("int64")
+    out["rank"] = out["rank"].astype("int32")
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out
+
+
+def pinned_oracle_sql(k: int = 10) -> str:
+    """Pinned oracle: the promoted VALUES rows take ranks 1..3 verbatim;
+    the unchanged BM25 ranking, anti-joined against the pinned set,
+    continues from rank 4."""
+    values = ",".join(
+        f"({qid}, '{term}')" for qid, q in enumerate(FT_QUERIES) for term in q.split()
+    )
+    pinned_vals = ",".join(
+        f"({qid}, {pos}, {did})"
+        for qid in range(len(FT_QUERIES))
+        for pos, did in enumerate(_pinned_ids(qid), 1)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok
+    FROM documents) WHERE tok <> ''
+),
+dl AS (SELECT d.doc_id, CAST(coalesce(t.c, 0) AS DOUBLE) AS dl
+       FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS c FROM toks GROUP BY 1) t USING (doc_id)),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+q(query_id, tok) AS (VALUES {values}),
+qd AS (SELECT DISTINCT query_id, tok FROM q),
+scored AS (
+  SELECT qd.query_id, tf.doc_id,
+         sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * (1.2 + 1.0)
+              / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score
+  FROM qd
+  JOIN tf USING (tok)
+  JOIN df USING (tok)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+pinned(query_id, pos, doc_id) AS (VALUES {pinned_vals}),
+organic AS (
+  SELECT sc.query_id, sc.doc_id,
+         row_number() OVER (PARTITION BY sc.query_id
+                            ORDER BY sc.score DESC, sc.doc_id) AS rn
+  FROM scored sc
+  WHERE NOT EXISTS (SELECT 1 FROM pinned p
+                    WHERE p.query_id = sc.query_id AND p.doc_id = sc.doc_id)
+),
+final AS (
+  SELECT query_id, pos AS rank, doc_id FROM pinned
+  UNION ALL
+  SELECT query_id, 3 + rn AS rank, doc_id FROM organic
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank,
+       CAST(doc_id AS BIGINT) AS doc_id
+FROM final WHERE rank <= {k}
+ORDER BY query_id, rank
+"""
+
+
 def function_score_oracle_sql(k: int = 10) -> str:
     """Function-score oracle: the unchanged BM25 CTEs, final score
     multiplied by the linear decay replayed from the integer ts

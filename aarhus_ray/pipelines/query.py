@@ -615,6 +615,85 @@ def field_value_factor_topk(
     )
 
 
+def rank_feature_topk(
+    out_dir: str,
+    queries,
+    field: str = "doclen",
+    pivot: int = 100,
+    weight: float = 2.0,
+    k: int = 10,
+    concurrency: int | None = None,
+    batch_size: int = 64,
+) -> ray.data.Dataset:
+    """RANK_FEATURE retrieval (ES rank_feature, saturation function, in a
+    bool-should next to the match query): top-k by bm25 + weight ×
+    f/(f + pivot) over the match set. Returns (query_id, rank, doc_id,
+    score); same stateless-task shape as function_score_topk."""
+    from ..stages.query_stage import RankFeatureTaskFn
+
+    segs = list_segments(out_dir)
+    if not segs:
+        raise ValueError(f"no segments under {out_dir}")
+    conc = concurrency or max(1, _cpus())
+    if isinstance(queries, str):
+        import pyarrow.parquet as _pq
+
+        queries = _pq.read_table(queries)
+    if isinstance(queries, pa.Table):
+        n_blocks = max(1, min(conc * 4, queries.num_rows // max(1, batch_size) + 1))
+        per = (queries.num_rows + n_blocks - 1) // n_blocks
+        slices = [queries.slice(i * per, per) for i in range(n_blocks) if i * per < queries.num_rows]
+        qds = ray.data.from_arrow(slices)
+    else:
+        qds = queries
+    return qds.map_batches(
+        RankFeatureTaskFn(out_dir, segs, field, pivot, weight, k,
+                          index_version(out_dir)),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+
+
+def distance_feature_topk(
+    out_dir: str,
+    queries,
+    field: str = "warc_ts",
+    origin_us: int = 0,
+    pivot_us: int = 1,
+    weight: float = 2.0,
+    k: int = 10,
+    concurrency: int | None = None,
+    batch_size: int = 64,
+) -> ray.data.Dataset:
+    """DISTANCE_FEATURE retrieval (ES distance_feature on a date field):
+    top-k by bm25 + weight × pivot/(pivot + |origin − ts|) over the
+    match set. Returns (query_id, rank, doc_id, score); same
+    stateless-task shape as function_score_topk."""
+    from ..stages.query_stage import DistanceFeatureTaskFn
+
+    segs = list_segments(out_dir)
+    if not segs:
+        raise ValueError(f"no segments under {out_dir}")
+    conc = concurrency or max(1, _cpus())
+    if isinstance(queries, str):
+        import pyarrow.parquet as _pq
+
+        queries = _pq.read_table(queries)
+    if isinstance(queries, pa.Table):
+        n_blocks = max(1, min(conc * 4, queries.num_rows // max(1, batch_size) + 1))
+        per = (queries.num_rows + n_blocks - 1) // n_blocks
+        slices = [queries.slice(i * per, per) for i in range(n_blocks) if i * per < queries.num_rows]
+        qds = ray.data.from_arrow(slices)
+    else:
+        qds = queries
+    return qds.map_batches(
+        DistanceFeatureTaskFn(out_dir, segs, field, origin_us, pivot_us,
+                              weight, k, index_version(out_dir)),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+
+
 def boosting_topk(
     out_dir: str,
     queries,

@@ -2190,6 +2190,13 @@ class FunctionScoreTopK:
         every op correctly rounded identically in numpy and SQL)."""
         return np.maximum(1.0 - np.abs(self.origin_us - vals) / float(self.scale_us), 0.0)
 
+    def _apply(self, scores: np.ndarray, vals: np.ndarray) -> np.ndarray:
+        """Combine the BM25 sums with the docvalue signal. Base class
+        (and every multiplicative function_score): scores × factor.
+        Additive feature queries (rank_feature / distance_feature)
+        override this to ADD their boost instead."""
+        return scores * self._factor(vals)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         from ..bm25 import topk_select
 
@@ -2213,7 +2220,7 @@ class FunctionScoreTopK:
                 pos = np.searchsorted(all_ids, doc_ids)
                 scores[pos] += contribs
             ts = self.vals[np.searchsorted(self.doc_ids, all_ids)]
-            scores *= self._factor(ts)
+            scores = self._apply(scores, ts)
             d, s = topk_select(all_ids, scores, self.k)
             qids_out.extend([qid] * len(d))
             ranks_out.extend(range(1, len(d) + 1))
@@ -2253,6 +2260,65 @@ class FieldValueFactorTopK(FunctionScoreTopK):
 
     def _factor(self, vals: np.ndarray) -> np.ndarray:
         return np.log1p(vals.astype(np.float64))
+
+
+class RankFeatureTopK(FunctionScoreTopK):
+    """RANK_FEATURE retrieval (Elasticsearch's ``rank_feature`` query with
+    the default ``saturation`` function, as a bool-should clause next to
+    the match query): final = bm25 + weight × f/(f + pivot), over the
+    MATCH SET of the text query (ES scores only docs satisfying the
+    must/match clause; the feature clause then boosts each of them —
+    exactly the union this stage already gathers). The saturation form
+    is Lucene's core static-signal shape (pagerank / url_length /
+    popularity features); here any int64 docvalue slots in (default:
+    doclen). Replayability: f and pivot are exact integers, f + pivot is
+    an exact double below 2^53, the divide is one correctly-rounded IEEE
+    op, weight is a power of two, and the final add is one IEEE op — the
+    same bitwise argument as the linear decay. Saturation is monotone in
+    f, so docs with equal (tf profile, dl) stay exactly tied — callers
+    wanting the external source-id tie order use the _full_ranking
+    re-rank (the field_value_factor pattern). The boost is bounded by
+    ``weight``, so at cluster scale WAND bounds stay admissible after a
+    +weight shift per block maximum. Total order (score DESC, doc_id
+    ASC)."""
+
+    def __init__(self, out_dir: str, seg_ids: list[int] | None = None,
+                 field: str = "doclen", pivot: int = 100,
+                 weight: float = 2.0, k: int = 10):
+        super().__init__(out_dir, seg_ids, field=field, origin_us=0, scale_us=1, k=k)
+        self.pivot = int(pivot)
+        self.weight = float(weight)
+
+    def _apply(self, scores: np.ndarray, vals: np.ndarray) -> np.ndarray:
+        f = vals.astype(np.float64)
+        return scores + self.weight * (f / (f + float(self.pivot)))
+
+
+class DistanceFeatureTopK(FunctionScoreTopK):
+    """DISTANCE_FEATURE retrieval (Elasticsearch's ``distance_feature``
+    query on a date field, as a bool-should clause): final = bm25 +
+    weight × pivot/(pivot + |origin − ts|) — "relevance, boosted by
+    recency-to-origin", the additive counterpart of the multiplicative
+    linear decay. The int64 |origin − ts| is exact, pivot + dist is an
+    exact double below 2^53 (crawl timestamps are ~1.7e15 µs), the
+    divide is one correctly-rounded IEEE op, weight is a power of two,
+    and the add is one IEEE op — ranks replay bit-faithfully in SQL.
+    Docs equidistant from origin on opposite sides collide, so ties are
+    NOT fully broken: callers use the _full_ranking source-id re-rank.
+    Boost ≤ weight keeps shifted WAND bounds admissible at cluster
+    scale. Total order (score DESC, doc_id ASC)."""
+
+    def __init__(self, out_dir: str, seg_ids: list[int] | None = None,
+                 field: str = "warc_ts", origin_us: int = 0,
+                 pivot_us: int = 1, weight: float = 2.0, k: int = 10):
+        super().__init__(out_dir, seg_ids, field=field, origin_us=origin_us,
+                         scale_us=1, k=k)
+        self.pivot_us = int(pivot_us)
+        self.weight = float(weight)
+
+    def _apply(self, scores: np.ndarray, vals: np.ndarray) -> np.ndarray:
+        dist = np.abs(np.int64(self.origin_us) - vals).astype(np.float64)
+        return scores + self.weight * (float(self.pivot_us) / (float(self.pivot_us) + dist))
 
 
 class BoostingTopK:
@@ -4179,6 +4245,48 @@ class FieldValueFactorTaskFn:
             fv = FieldValueFactorTopK(out_dir, list(seg_ids), field, k)
             _WORKER_FSCORE_CACHE[key] = fv
         return fv(batch)
+
+
+class RankFeatureTaskFn:
+    """Task-fn form of RankFeatureTopK (worker-process cache)."""
+
+    def __init__(self, out_dir: str, seg_ids: list[int], field: str,
+                 pivot: int, weight: float, k: int, version: float):
+        self.args = (out_dir, tuple(seg_ids), field, pivot, weight, k, version)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_dir, seg_ids, field, pivot, weight, k, version = self.args
+        key = (out_dir, version, seg_ids, field, "rankfeat", pivot, weight, k)
+        rf = _WORKER_FSCORE_CACHE.get(key)
+        if rf is None:
+            for kk in [kk for kk in _WORKER_FSCORE_CACHE if kk[0] == out_dir and kk[1] < version]:
+                del _WORKER_FSCORE_CACHE[kk]
+            rf = RankFeatureTopK(out_dir, list(seg_ids), field, pivot, weight, k)
+            _WORKER_FSCORE_CACHE[key] = rf
+        return rf(batch)
+
+
+class DistanceFeatureTaskFn:
+    """Task-fn form of DistanceFeatureTopK (worker-process cache)."""
+
+    def __init__(self, out_dir: str, seg_ids: list[int], field: str,
+                 origin_us: int, pivot_us: int, weight: float, k: int,
+                 version: float):
+        self.args = (out_dir, tuple(seg_ids), field, origin_us, pivot_us,
+                     weight, k, version)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_dir, seg_ids, field, origin_us, pivot_us, weight, k, version = self.args
+        key = (out_dir, version, seg_ids, field, "distfeat", origin_us,
+               pivot_us, weight, k)
+        df_ = _WORKER_FSCORE_CACHE.get(key)
+        if df_ is None:
+            for kk in [kk for kk in _WORKER_FSCORE_CACHE if kk[0] == out_dir and kk[1] < version]:
+                del _WORKER_FSCORE_CACHE[kk]
+            df_ = DistanceFeatureTopK(out_dir, list(seg_ids), field,
+                                      origin_us, pivot_us, weight, k)
+            _WORKER_FSCORE_CACHE[key] = df_
+        return df_(batch)
 
 
 class SynonymTopKTaskFn:

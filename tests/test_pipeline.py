@@ -1214,6 +1214,117 @@ def test_field_value_factor_on_real_index(golden_index):
         assert row.score == fsc  # bit-identical float path
 
 
+def test_rank_feature_on_real_index(golden_index):
+    """rank_feature (saturation on doclen) == python reference: full
+    disjunctive brute scoring + W*dl/(dl+pivot), frozen (fscore DESC,
+    doc_id ASC) order, bit-identical float path; every final score
+    exceeds its bm25 score by at most W."""
+    import numpy as np
+    from aarhus_ray.pipelines.query import rank_feature_topk
+    from aarhus_ray.textnorm import tokenize
+    from aarhus_ray.bm25 import brute_force_topk
+    from aarhus_ray.stages.query_stage import QueryScorer
+
+    idx = golden_index["index"]
+    q = fixtures.gen_queries(12, seed=29)
+    docs = _docs_table(idx, ["doc_id", "doclen"])
+    dls = dict(zip(docs["doc_id"].to_pylist(), docs["doclen"].to_pylist()))
+    pivot, weight = 100, 2.0
+
+    got = (
+        rank_feature_topk(idx, q, field="doclen", pivot=pivot, weight=weight, k=10)
+        .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+
+    scorer = QueryScorer(idx, k=10, method="brute")
+    want_rows = []
+    for qid, text in zip(q["query_id"].to_pylist(), q["text"].to_pylist()):
+        toks = sorted(set(tokenize(text)))
+        owners = {t: scorer._owners(t) for t in toks}
+        owners = {t: s for t, s in owners.items() if s}
+        if not owners:
+            continue
+        terms = sorted(owners)
+        postings = {t: scorer._gather_postings(t, owners[t]) for t in terms}
+        dfs = {t: scorer._global_df(t, owners[t]) for t in terms}
+        d, s = brute_force_topk(terms, postings, dfs, scorer.doclens.lookup,
+                                scorer.n_docs, scorer.avgdl, k=1 << 30)
+        dl = np.array([dls[int(x)] for x in d], dtype=np.int64).astype(np.float64)
+        fs = s + weight * (dl / (dl + float(pivot)))
+        order = np.lexsort((d, -fs))[:10]
+        for r, i in enumerate(order, 1):
+            want_rows.append((qid, r, int(d[i]), fs[i]))
+
+    assert len(got) == len(want_rows)
+    for row, (qid, r, did, fsc) in zip(got.itertuples(), want_rows):
+        assert (row.query_id, row.rank, row.doc_id) == (qid, r, did)
+        assert row.score == fsc  # bit-identical float path
+
+
+def test_distance_feature_on_real_index(golden_index):
+    """distance_feature (ts proximity) == python reference: full
+    disjunctive brute scoring + W*pivot/(pivot+|origin-ts|), origin
+    mid-span so both sides of it are populated, frozen order,
+    bit-identical float path."""
+    import numpy as np
+    from aarhus_ray.pipelines.query import distance_feature_topk
+    from aarhus_ray.textnorm import tokenize
+    from aarhus_ray.bm25 import brute_force_topk
+    from aarhus_ray.stages.query_stage import QueryScorer
+
+    idx = golden_index["index"]
+    q = fixtures.gen_queries(12, seed=31)
+    docs = _docs_table(idx, ["doc_id", "warc_ts"])
+    all_ts = dict(zip(docs["doc_id"].to_pylist(), docs["warc_ts"].to_pylist()))
+    origin = (max(all_ts.values()) + min(all_ts.values())) // 2
+    pivot, weight = 60_000_000, 2.0
+    # mid-span origin must actually split the corpus (collision case real)
+    assert any(v < origin for v in all_ts.values())
+    assert any(v > origin for v in all_ts.values())
+
+    got = (
+        distance_feature_topk(idx, q, origin_us=origin, pivot_us=pivot,
+                              weight=weight, k=10)
+        .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+
+    scorer = QueryScorer(idx, k=10, method="brute")
+    want_rows = []
+    for qid, text in zip(q["query_id"].to_pylist(), q["text"].to_pylist()):
+        toks = sorted(set(tokenize(text)))
+        owners = {t: scorer._owners(t) for t in toks}
+        owners = {t: s for t, s in owners.items() if s}
+        if not owners:
+            continue
+        terms = sorted(owners)
+        postings = {t: scorer._gather_postings(t, owners[t]) for t in terms}
+        dfs = {t: scorer._global_df(t, owners[t]) for t in terms}
+        d, s = brute_force_topk(terms, postings, dfs, scorer.doclens.lookup,
+                                scorer.n_docs, scorer.avgdl, k=1 << 30)
+        ts = np.array([all_ts[int(x)] for x in d], dtype=np.int64)
+        dist = np.abs(np.int64(origin) - ts).astype(np.float64)
+        fs = s + weight * (float(pivot) / (float(pivot) + dist))
+        order = np.lexsort((d, -fs))[:10]
+        for r, i in enumerate(order, 1):
+            want_rows.append((qid, r, int(d[i]), fs[i]))
+
+    assert len(got) == len(want_rows)
+    for row, (qid, r, did, fsc) in zip(got.itertuples(), want_rows):
+        assert (row.query_id, row.rank, row.doc_id) == (qid, r, did)
+        assert row.score == fsc  # bit-identical float path
+
+
+def test_pinned_ids_distinct():
+    """The frozen pinned-id recipe must yield 3 distinct promoted ids per
+    query, all < 50 (valid at every driver scale)."""
+    from aarhus_ray.functions.fulltext import _pinned_ids
+
+    for qid in range(100):
+        ids = _pinned_ids(qid)
+        assert len(set(ids)) == 3
+        assert all(0 <= i < 50 for i in ids)
+
+
 def test_synonym_mode_on_real_index(golden_index):
     """SynonymTopK: with an EMPTY synonym map every group is a singleton
     (merged tf = own tf, max df = own df), so results are bit-identical
