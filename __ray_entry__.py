@@ -527,8 +527,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fulltext_rank_feature": fulltext.rank_feature_query,
         # distance_feature on warc_ts: additive proximity-to-origin boost
         "fulltext_distance_feature": fulltext.distance_feature_query,
-        # pinned query: frozen promoted ids rank 1..3, organic follows
-        "fulltext_pinned": fulltext.pinned_query,
         # ES-style aggregations over the match set (docvalue sidecar)
         "fulltext_date_histogram": fulltext.date_histogram_query,
         # histogram (min_doc_count=0) + cumulative_sum/derivative pipeline
@@ -2653,7 +2651,6 @@ def oracle_sql() -> dict[str, str]:
         "fulltext_field_value_factor": fulltext.field_value_factor_oracle_sql(),
         "fulltext_rank_feature": fulltext.rank_feature_oracle_sql(),
         "fulltext_distance_feature": fulltext.distance_feature_oracle_sql(),
-        "fulltext_pinned": fulltext.pinned_oracle_sql(),
         "fulltext_date_histogram": fulltext.date_histogram_oracle_sql(),
         "fulltext_histogram_pipeline": fulltext.histogram_pipeline_oracle_sql(),
         "fulltext_range_agg": fulltext.range_agg_oracle_sql(),

@@ -3634,103 +3634,6 @@ ORDER BY query_id, rank
 """
 
 
-# Pinned (promoted) ids per query: 3 frozen source doc_ids, valid at every
-# driver scale (all < 50 < the 500-doc sf0.001 corpus). (7q+3, +23, +43)
-# mod 50 are pairwise distinct (differences 20/20/40 mod 50 are nonzero).
-def _pinned_ids(qid: int) -> list[int]:
-    return [(7 * qid + 3) % 50, (7 * qid + 23) % 50, (7 * qid + 43) % 50]
-
-
-def pinned_query(sf_dir: str, k: int = 10) -> pd.DataFrame:
-    """Pinned retrieval per FT_QUERY (ES ``pinned`` query): the frozen
-    promoted doc_ids rank first IN LIST ORDER (ranks 1..3, returned even
-    when they match no query term — ES gives pinned docs a constant
-    score above every organic hit), then the organic BM25 ranking minus
-    the pinned ids continues from rank 4. Organic ordering re-ranks the
-    full match set in source doc_id space (the _full_ranking pattern),
-    so the external (score DESC, doc_id ASC) tie order is exact.
-    Output integer-only (query_id, rank, doc_id)."""
-    index = _ensure_index(sf_dir, fresh=False)
-    k_all = 1 << 30
-    organic = _full_ranking(index, k_all)
-    organic = organic.sort_values(
-        ["query_id", "score", "doc_id"], ascending=[True, False, True]
-    )
-    rows: list[tuple[int, int, int]] = []
-    for qid in range(len(FT_QUERIES)):
-        pinned = _pinned_ids(qid)
-        for r, did in enumerate(pinned, 1):
-            rows.append((qid, r, did))
-        org = organic[organic["query_id"] == qid]
-        org = org[~org["doc_id"].isin(pinned)]
-        for r, did in enumerate(org["doc_id"].tolist()[: k - len(pinned)],
-                                len(pinned) + 1):
-            rows.append((qid, r, int(did)))
-    out = pd.DataFrame(rows, columns=["query_id", "rank", "doc_id"])
-    out["query_id"] = out["query_id"].astype("int64")
-    out["rank"] = out["rank"].astype("int32")
-    out["doc_id"] = out["doc_id"].astype("int64")
-    return out
-
-
-def pinned_oracle_sql(k: int = 10) -> str:
-    """Pinned oracle: the promoted VALUES rows take ranks 1..3 verbatim;
-    the unchanged BM25 ranking, anti-joined against the pinned set,
-    continues from rank 4."""
-    values = ",".join(
-        f"({qid}, '{term}')" for qid, q in enumerate(FT_QUERIES) for term in q.split()
-    )
-    pinned_vals = ",".join(
-        f"({qid}, {pos}, {did})"
-        for qid in range(len(FT_QUERIES))
-        for pos, did in enumerate(_pinned_ids(qid), 1)
-    )
-    return f"""
-WITH toks AS (
-  SELECT doc_id, tok FROM (
-    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok
-    FROM documents) WHERE tok <> ''
-),
-dl AS (SELECT d.doc_id, CAST(coalesce(t.c, 0) AS DOUBLE) AS dl
-       FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS c FROM toks GROUP BY 1) t USING (doc_id)),
-stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
-tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf FROM toks GROUP BY 1, 2),
-df AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
-q(query_id, tok) AS (VALUES {values}),
-qd AS (SELECT DISTINCT query_id, tok FROM q),
-scored AS (
-  SELECT qd.query_id, tf.doc_id,
-         sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
-              * tf.tf * (1.2 + 1.0)
-              / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score
-  FROM qd
-  JOIN tf USING (tok)
-  JOIN df USING (tok)
-  JOIN dl ON tf.doc_id = dl.doc_id
-  CROSS JOIN stats s
-  GROUP BY 1, 2
-),
-pinned(query_id, pos, doc_id) AS (VALUES {pinned_vals}),
-organic AS (
-  SELECT sc.query_id, sc.doc_id,
-         row_number() OVER (PARTITION BY sc.query_id
-                            ORDER BY sc.score DESC, sc.doc_id) AS rn
-  FROM scored sc
-  WHERE NOT EXISTS (SELECT 1 FROM pinned p
-                    WHERE p.query_id = sc.query_id AND p.doc_id = sc.doc_id)
-),
-final AS (
-  SELECT query_id, pos AS rank, doc_id FROM pinned
-  UNION ALL
-  SELECT query_id, 3 + rn AS rank, doc_id FROM organic
-)
-SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank,
-       CAST(doc_id AS BIGINT) AS doc_id
-FROM final WHERE rank <= {k}
-ORDER BY query_id, rank
-"""
-
-
 def function_score_oracle_sql(k: int = 10) -> str:
     """Function-score oracle: the unchanged BM25 CTEs, final score
     multiplied by the linear decay replayed from the integer ts

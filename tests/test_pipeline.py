@@ -1314,17 +1314,6 @@ def test_distance_feature_on_real_index(golden_index):
         assert row.score == fsc  # bit-identical float path
 
 
-def test_pinned_ids_distinct():
-    """The frozen pinned-id recipe must yield 3 distinct promoted ids per
-    query, all < 50 (valid at every driver scale)."""
-    from aarhus_ray.functions.fulltext import _pinned_ids
-
-    for qid in range(100):
-        ids = _pinned_ids(qid)
-        assert len(set(ids)) == 3
-        assert all(0 <= i < 50 for i in ids)
-
-
 def test_synonym_mode_on_real_index(golden_index):
     """SynonymTopK: with an EMPTY synonym map every group is a singleton
     (merged tf = own tf, max df = own df), so results are bit-identical
