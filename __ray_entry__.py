@@ -581,6 +581,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fulltext_bm25_multifield": fulltext.bm25_topk_multifield,
         # cross_fields: per-TERM best field (the third multi_match mode)
         "fulltext_cross_fields": fulltext.bm25_topk_cross_fields,
+        # combined_fields (BM25F): merged-field statistics scored once —
+        # tf' = tf_body + 2*tf_title, dl' = dl_body + 2*dl_title
+        "fulltext_combined_fields": fulltext.combined_fields_query,
         # pinned query: promoted ids rank first in given order
         "fulltext_pinned": fulltext.bm25_topk_pinned,
         # random_score: seeded deterministic shuffle of the match set
@@ -2678,6 +2681,7 @@ def oracle_sql() -> dict[str, str]:
         "fulltext_phrase_suggest": fulltext.phrase_suggest_oracle_sql(),
         "fulltext_bm25_multifield": fulltext.bm25_multifield_oracle_sql(),
         "fulltext_cross_fields": fulltext.bm25_cross_fields_oracle_sql(),
+        "fulltext_combined_fields": fulltext.combined_fields_oracle_sql(),
         "fulltext_pinned": fulltext.bm25_pinned_oracle_sql(),
         "fulltext_random_score": fulltext.random_score_oracle_sql(),
         "fulltext_export_matches": fulltext.export_matches_oracle_sql(),

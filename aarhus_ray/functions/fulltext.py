@@ -5666,6 +5666,99 @@ ORDER BY query_id, rank
 """
 
 
+CF_W_TITLE = 2  # combined_fields integer title weight (tf'/dl' stay exact ints)
+
+
+def combined_fields_query(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Combined-fields retrieval per FT_QUERY (ES ``combined_fields`` /
+    Lucene BM25F over title^2 + body): the THIRD multi_match-family
+    semantics — fields merge into one synthetic field BEFORE scoring
+    (tf' = tf_body + 2·tf_title, dl' = dl_body + 2·dl_title, combined
+    avgdl'; df' = df_body since title ⊆ body), then ONE standard BM25
+    ranks — distinct from the weighted score sum (multifield) and the
+    per-term best field (cross_fields). Both REAL field indexes serve
+    the gathers (pipelines/query.combined_fields_topk); integer tf'/dl'
+    make the float chain SQL-replayable bitwise. Clone docs tie exactly,
+    so the page re-ranks in source doc_id space over the full match set
+    (the _full_ranking pattern)."""
+    from ..pipelines.query import combined_fields_topk
+    from ..stages.query_stage import UrlResolver
+
+    body = _ensure_index(sf_dir, fresh=False)
+    title = _ensure_title_index(sf_dir)
+    queries = pa.table(
+        {
+            "query_id": pa.array(range(len(FT_QUERIES)), pa.int64()),
+            "text": pa.array(list(FT_QUERIES), pa.string()),
+        }
+    )
+    k_all = 1 << 30  # whole match set: ties re-rank in source-id space
+    ds = combined_fields_topk(
+        body, title, queries, w_title=CF_W_TITLE, k=k_all
+    ).map_batches(
+        UrlResolver, fn_constructor_args=(body,), batch_format="pyarrow",
+        concurrency=(1, 2),
+    )
+    res = ds.to_pandas()
+    res["doc_id"] = res["url"].map(url_doc_id).astype("int64")
+    res = res.sort_values(["query_id", "score", "doc_id"], ascending=[True, False, True])
+    res["rank"] = res.groupby("query_id").cumcount().astype("int32") + 1
+    out = res[res["rank"] <= k][["query_id", "rank", "doc_id"]]
+    return out.reset_index(drop=True)
+
+
+def combined_fields_oracle_sql(k: int = 10) -> str:
+    """Combined-fields oracle: ONE BM25 stack over merged-field
+    statistics — tf' = tf_body + 2·tf_title and dl' = dl_body + 2·dl_title
+    are exact integers on both engines, avgdl' is one exact-int divide,
+    df' = body df (title ⊆ body), and the scoring expression is the
+    verbatim standard chain over those inputs."""
+    values = ",".join(
+        f"({qid}, '{term}')" for qid, q in enumerate(FT_QUERIES) for term in q.split()
+    )
+    return f"""
+WITH bod AS (SELECT doc_id,
+                    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS a
+             FROM documents),
+toksB AS (SELECT doc_id, unnest(a) AS tok FROM bod),
+toksT AS (SELECT doc_id, unnest(list_slice(a, 1, {TITLE_LEN})) AS tok FROM bod),
+dlc AS (SELECT doc_id,
+               CAST(len(a) + {CF_W_TITLE} * least(len(a), {TITLE_LEN}) AS DOUBLE) AS dl
+        FROM bod),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                 CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+          FROM dlc),
+tfB AS (SELECT doc_id, tok, count(*) AS tf FROM toksB GROUP BY 1, 2),
+tfT AS (SELECT doc_id, tok, count(*) AS tf FROM toksT GROUP BY 1, 2),
+tfc AS (SELECT b.doc_id, b.tok,
+               CAST(b.tf + {CF_W_TITLE} * coalesce(t.tf, 0) AS DOUBLE) AS tf
+        FROM tfB b LEFT JOIN tfT t ON b.doc_id = t.doc_id AND b.tok = t.tok),
+dfB AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tfB GROUP BY 1),
+q(query_id, tok) AS (VALUES {values}),
+qd AS (SELECT DISTINCT query_id, tok FROM q),
+scored AS (
+  SELECT qd.query_id, tfc.doc_id,
+         sum( ln(1 + (s.n - dfB.df + 0.5) / (dfB.df + 0.5))
+              * tfc.tf * (1.2 + 1.0)
+              / (tfc.tf + 1.2 * (1.0 - 0.75 + 0.75 * dlc.dl / s.avgdl)) ) AS score
+  FROM qd
+  JOIN tfc USING (tok)
+  JOIN dfB USING (tok)
+  JOIN dlc ON tfc.doc_id = dlc.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+  FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank, doc_id
+FROM ranked WHERE rank <= {k}
+ORDER BY query_id, rank
+"""
+
+
 # Pinned results: per FT_QUERY, the promoted source doc ids, in display
 # order. Ids exist at every driver scale (sf0.001 has 50 docs). Query 2
 # pins a doc that does NOT match "vector" — the ES pinned contract shows

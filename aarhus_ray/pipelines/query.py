@@ -694,6 +694,45 @@ def distance_feature_topk(
     )
 
 
+def combined_fields_topk(
+    body_dir: str,
+    title_dir: str,
+    queries,
+    w_title: int = 2,
+    k: int = 10,
+    concurrency: int | None = None,
+    batch_size: int = 64,
+) -> ray.data.Dataset:
+    """COMBINED_FIELDS retrieval (ES combined_fields / Lucene BM25F with
+    integer field weights): top-k by BM25 over merged-field statistics
+    (tf' = tf_body + W·tf_title, dl' = dl_body + W·dl_title, combined
+    df/avgdl). Returns (query_id, rank, doc_id, score) in body-internal
+    doc space; same stateless-task shape as function_score_topk."""
+    from ..stages.query_stage import CombinedFieldsTaskFn
+
+    segs = list_segments(body_dir)
+    if not segs:
+        raise ValueError(f"no segments under {body_dir}")
+    conc = concurrency or max(1, _cpus())
+    if isinstance(queries, str):
+        import pyarrow.parquet as _pq
+
+        queries = _pq.read_table(queries)
+    if isinstance(queries, pa.Table):
+        n_blocks = max(1, min(conc * 4, queries.num_rows // max(1, batch_size) + 1))
+        per = (queries.num_rows + n_blocks - 1) // n_blocks
+        slices = [queries.slice(i * per, per) for i in range(n_blocks) if i * per < queries.num_rows]
+        qds = ray.data.from_arrow(slices)
+    else:
+        qds = queries
+    version = max(index_version(body_dir), index_version(title_dir))
+    return qds.map_batches(
+        CombinedFieldsTaskFn(body_dir, title_dir, w_title, k, version),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+
+
 def boosting_topk(
     out_dir: str,
     queries,

@@ -2321,6 +2321,131 @@ class DistanceFeatureTopK(FunctionScoreTopK):
         return scores + self.weight * (float(self.pivot_us) / (float(self.pivot_us) + dist))
 
 
+class CombinedFieldsTopK:
+    """COMBINED_FIELDS retrieval (Elasticsearch's ``combined_fields``
+    query / Lucene's CombinedFieldQuery, i.e. BM25F with integer field
+    weights): the third multi_match-family semantics, distinct from both
+    the weighted per-field score sum (bm25_topk_multifield) and the
+    per-term best field (cross_fields). Fields merge into ONE synthetic
+    field BEFORE scoring:
+
+        tf'(t,d) = tf_body + W·tf_title      (term freq, weight-repeated)
+        dl'(d)   = dl_body + W·dl_title      (combined length)
+        avgdl'   = Σ dl' / N                 (one exact-int divide)
+        df'(t)   = combined df — here df_body, because the title field is
+                   the doc's first TITLE_LEN body tokens (title ⊆ body,
+                   asserted per gathered posting)
+        score    = Σ_t idf'(t) · tf'·(k1+1)/(tf' + k1·(1−b+b·dl'/avgdl'))
+
+    With an integer W, tf' and dl' stay exact integers, so the whole
+    float chain is the standard BM25 expression over exact-int inputs —
+    the same bitwise SQL-replay argument as the base scorer. Execution:
+    both REAL field indexes load per worker (term-sharded gathers with
+    global df, exactly the scorer's path); title postings join to body
+    doc space through the url-aligned sidecar map built once in
+    __init__. At cluster scale each doc-range shard holds its slice of
+    both fields' postings and the url alignment is partition-local (the
+    multifield plan, SCALE.md §3). Total order (score DESC, doc_id ASC)
+    in body-internal space; callers re-rank in source-id space for the
+    external tie order (the _full_ranking pattern — combined scores tie
+    exactly for content clones)."""
+
+    def __init__(self, body_dir: str, title_dir: str,
+                 w_title: int = 2, k: int = 10):
+        import pyarrow.compute as pc
+
+        self.k = k
+        self.w_title = int(w_title)
+        self.sb = QueryScorer(body_dir, k=k, method="brute")
+        self.st = QueryScorer(title_dir, k=k, method="brute")
+
+        def _sidecar(d: str) -> pa.Table:
+            files = sorted(glob.glob(os.path.join(d, "docs", "pid=*.parquet")))
+            return pa.concat_tables(
+                pq.read_table(f, columns=["doc_id", "url", "doclen"]) for f in files
+            )
+
+        b, t = _sidecar(body_dir), _sidecar(title_dir)
+        bo = pc.sort_indices(b["url"])
+        to = pc.sort_indices(t["url"])
+        b_urls = b["url"].take(bo).to_pylist()
+        t_urls = t["url"].take(to).to_pylist()
+        if b_urls != t_urls:
+            raise ValueError("combined_fields: field indexes cover different urls")
+        b_ids = b["doc_id"].take(bo).to_numpy(zero_copy_only=False).astype(np.uint64)
+        t_ids = t["doc_id"].take(to).to_numpy(zero_copy_only=False).astype(np.uint64)
+        b_dl = b["doclen"].take(bo).to_numpy(zero_copy_only=False).astype(np.int64)
+        t_dl = t["doclen"].take(to).to_numpy(zero_copy_only=False).astype(np.int64)
+        # title-internal-id -> body-internal-id map (sorted by title id)
+        o = np.argsort(t_ids)
+        self.t_key = t_ids[o]
+        self.t_val_b = b_ids[o]
+        # combined doclen table keyed by body id (sorted)
+        o = np.argsort(b_ids)
+        self.dl_key = b_ids[o]
+        dlc = b_dl + self.w_title * t_dl
+        self.dl_val = dlc[o]
+        self.n_docs = self.sb.n_docs
+        self.avgdl_c = float(int(dlc.sum())) / float(self.n_docs)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..bm25 import idf, score_tf, topk_select
+
+        qids_out: list[int] = []
+        ranks_out: list[int] = []
+        docs_out: list[np.ndarray] = []
+        scores_out: list[np.ndarray] = []
+        for qid, text in zip(batch["query_id"].to_pylist(), batch["text"].to_pylist()):
+            entries = []
+            for t in sorted(set(tokenize(text))):
+                segs_b = self.sb._owners(t)
+                if not segs_b:
+                    continue  # title ⊆ body: no body postings ⇒ no match
+                ids_b, tf_b = self.sb._gather_postings(t, segs_b)
+                tfc = tf_b.astype(np.int64)
+                segs_t = self.st._owners(t)
+                if segs_t:
+                    ids_t, tf_t = self.st._gather_postings(t, segs_t)
+                    mapped = self.t_val_b[np.searchsorted(self.t_key, ids_t)]
+                    o = np.argsort(mapped)
+                    mapped = mapped[o]
+                    pos = np.searchsorted(ids_b, mapped)
+                    if not (pos < len(ids_b)).all() or not (ids_b[pos] == mapped).all():
+                        raise AssertionError(
+                            f"combined_fields: title postings for {t!r} not a "
+                            "subset of body postings"
+                        )
+                    tfc[pos] += self.w_title * tf_t[o].astype(np.int64)
+                entries.append(
+                    (ids_b, tfc, idf(self.sb._global_df(t, segs_b), self.n_docs))
+                )
+            if not entries:
+                continue
+            all_ids = np.unique(np.concatenate([e[0] for e in entries]))
+            dls = self.dl_val[np.searchsorted(self.dl_key, all_ids)].astype(np.float64)
+            scores = np.zeros(len(all_ids), dtype=np.float64)
+            for ids_b, tfc, idf_val in entries:  # sorted-term order
+                pos = np.searchsorted(all_ids, ids_b)
+                scores[pos] += score_tf(
+                    tfc.astype(np.float64), dls[pos], self.avgdl_c, idf_val
+                )
+            d, s = topk_select(all_ids, scores, self.k)
+            qids_out.extend([qid] * len(d))
+            ranks_out.extend(range(1, len(d) + 1))
+            docs_out.append(d)
+            scores_out.append(s)
+        docs = np.concatenate(docs_out) if docs_out else np.empty(0, np.uint64)
+        scrs = np.concatenate(scores_out) if scores_out else np.empty(0, np.float64)
+        return pa.table(
+            {
+                "query_id": pa.array(qids_out, pa.int64()),
+                "rank": pa.array(np.asarray(ranks_out, dtype=np.int32), pa.int32()),
+                "doc_id": pa.array(docs, pa.uint64()),
+                "score": pa.array(scrs, pa.float64()),
+            }
+        )
+
+
 class BoostingTopK:
     """BOOSTING retrieval (Elasticsearch's ``boosting`` query): the
     positive disjunctive BM25 score, multiplied by ``negative_boost``
@@ -4287,6 +4412,26 @@ class DistanceFeatureTaskFn:
                                       origin_us, pivot_us, weight, k)
             _WORKER_FSCORE_CACHE[key] = df_
         return df_(batch)
+
+
+class CombinedFieldsTaskFn:
+    """Task-fn form of CombinedFieldsTopK (worker-process cache, keyed by
+    both field indexes' versions)."""
+
+    def __init__(self, body_dir: str, title_dir: str, w_title: int,
+                 k: int, version: float):
+        self.args = (body_dir, title_dir, w_title, k, version)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        body_dir, title_dir, w_title, k, version = self.args
+        key = (body_dir, version, title_dir, "combf", w_title, k)
+        cf = _WORKER_FSCORE_CACHE.get(key)
+        if cf is None:
+            for kk in [kk for kk in _WORKER_FSCORE_CACHE if kk[0] == body_dir and kk[1] < version]:
+                del _WORKER_FSCORE_CACHE[kk]
+            cf = CombinedFieldsTopK(body_dir, title_dir, w_title, k)
+            _WORKER_FSCORE_CACHE[key] = cf
+        return cf(batch)
 
 
 class SynonymTopKTaskFn:

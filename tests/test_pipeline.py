@@ -1314,6 +1314,115 @@ def test_distance_feature_on_real_index(golden_index):
         assert row.score == fsc  # bit-identical float path
 
 
+def test_combined_fields_on_real_index(golden_index, tmp_path):
+    """combined_fields (BM25F title^2+body) == python reference computed
+    straight from the extracted texts: tf' = tf_body + 2*tf_title,
+    dl' = dl_body + 2*dl_title, avgdl' one exact-int divide, df' = body
+    df, standard BM25 chain over those inputs — frozen (score DESC,
+    doc_id ASC) order, bit-identical float path. The title index is a
+    REAL second index built from first-8-token pages of the same
+    corpus."""
+    import math
+
+    import numpy as np
+    from aarhus_ray.pipelines.query import combined_fields_topk
+    from aarhus_ray.stages.query_stage import UrlResolver
+    from aarhus_ray.textnorm import tokenize
+    from aarhus_ray import K1, B
+
+    body = golden_index["index"]
+    TITLE_LEN, W = 8, 2
+
+    # surviving urls from the docs sidecar (post-dedup truth); texts from
+    # the committed goldens (byte-identical to the pipeline's extraction)
+    side = _docs_table(body, ["url", "warc_ts"])
+    golden = pq.read_table(os.path.join(GOLDEN_DIR, "extracted.parquet"))
+    text_of = dict(zip(golden["url"].to_pylist(), golden["text"].to_pylist()))
+    ts_of = dict(zip(side["url"].to_pylist(), side["warc_ts"].to_pylist()))
+    urls = sorted(ts_of)
+    assert all(u in text_of for u in urls)
+
+    # title index: first TITLE_LEN tokens of each surviving doc's text
+    tdir = str(tmp_path / "pages_title")
+    os.makedirs(tdir, exist_ok=True)
+    titles = [" ".join(tokenize(text_of[u])[:TITLE_LEN]) for u in urls]
+    pq.write_table(
+        pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "warc_ts": pa.array(
+                    [int(ts_of[u]) for u in urls], pa.timestamp("us")
+                ),
+                "html": pa.array(
+                    [f"<html><body><p>{t}</p></body></html>".encode() for t in titles],
+                    pa.binary(),
+                ),
+                "text": pa.array(titles, pa.string()),
+                "lang": pa.array(["en"] * len(urls), pa.string()),
+            }
+        ),
+        os.path.join(tdir, "part-0000.parquet"),
+    )
+    title = str(tmp_path / "index_title")
+    build_index(tdir, title, num_partitions=4, num_segments=2, n_salts=2)
+
+    q = fixtures.gen_queries(12, seed=37)
+    got = (
+        combined_fields_topk(body, title, q, w_title=W, k=10)
+        .map_batches(UrlResolver, fn_constructor_args=(body,),
+                     batch_format="pyarrow", concurrency=(1, 2))
+        .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+
+    # pure-python BM25F reference from the texts
+    body_toks = {u: tokenize(text_of[u]) for u in urls}
+    tf_b = {u: {} for u in urls}
+    tf_t = {u: {} for u in urls}
+    for u in urls:
+        for tok in body_toks[u]:
+            tf_b[u][tok] = tf_b[u].get(tok, 0) + 1
+        for tok in body_toks[u][:TITLE_LEN]:
+            tf_t[u][tok] = tf_t[u].get(tok, 0) + 1
+    n = len(urls)
+    dlc = {u: len(body_toks[u]) + W * min(len(body_toks[u]), TITLE_LEN) for u in urls}
+    avgdl = float(sum(dlc.values())) / float(n)
+    df = {}
+    for u in urls:
+        for tok in tf_b[u]:
+            df[tok] = df.get(tok, 0) + 1
+
+    want = {}
+    for qid, text in zip(q["query_id"].to_pylist(), q["text"].to_pylist()):
+        terms = sorted(set(tokenize(text)))
+        scores = {}
+        for t in terms:
+            if t not in df:
+                continue
+            idf_v = math.log1p((n - df[t] + 0.5) / (df[t] + 0.5))
+            for u in urls:
+                tfb = tf_b[u].get(t, 0)
+                if tfb == 0:
+                    continue
+                tfc = float(tfb + W * tf_t[u].get(t, 0))
+                dl = float(dlc[u])
+                s = idf_v * tfc * (K1 + 1.0) / (tfc + K1 * (1.0 - B + B * dl / avgdl))
+                scores[u] = scores.get(u, 0.0) + s
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+        want[qid] = ranked
+
+    for qid, grp in got.groupby("query_id"):
+        # engine tie order is internal-doc-id; reference ties are by url.
+        # internal ids are assigned in url-sorted order per partition, so
+        # compare (url set per score level) — exact scores make this strict.
+        ref = want[qid]
+        assert len(grp) == len(ref)
+        for (row, (u, sc)) in zip(grp.itertuples(), ref):
+            assert row.score == sc or abs(row.score - sc) < 1e-12
+        got_pairs = sorted((round(r.score, 9), r.url) for r in grp.itertuples())
+        ref_pairs = sorted((round(sc, 9), u) for u, sc in ref)
+        assert got_pairs == ref_pairs
+
+
 def test_synonym_mode_on_real_index(golden_index):
     """SynonymTopK: with an EMPTY synonym map every group is a singleton
     (merged tf = own tf, max df = own df), so results are bit-identical
