@@ -83,8 +83,9 @@ _DRIVER_WINDOW = [
     "knn_graph", "knn_pagerank",
     # multimodal: the REAL codec path (round 4) over the plumbing fake
     "multimodal_phash", "multimodal_ppm_decode",
-    # interchange sources (round 4): JSONL round-trip certification
-    "docs_from_jsonl",
+    # interchange sources (round 4): WARC — Common Crawl's native format,
+    # per-record gzip members — certifies the whole CC-ingest path
+    "docs_from_warc",
 ]
 
 
@@ -97,6 +98,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         csv_roundtrip_stats as _csv_roundtrip,
         feather_roundtrip_stats as _feather_roundtrip,
         jsonl_roundtrip_stats as _jsonl_roundtrip,
+        orc_roundtrip_stats as _orc_roundtrip,
+        warc_roundtrip_stats as _warc_roundtrip,
     )
 
     q = {
@@ -351,6 +354,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-lang fold hash breaks on any quoting/escape corruption
         "docs_from_jsonl": _jsonl_roundtrip,
         "docs_from_csv": _csv_roundtrip,
+        # WARC/1.0 with per-record gzip members — Common Crawl's own
+        # physical layout; Content-Length-framed record parse per task
+        "docs_from_warc": _warc_roundtrip,
+        "docs_from_orc": _orc_roundtrip,
         # Arrow IPC/Feather v2: distributed per-partition IPC write →
         # read_binary_files + in-task decode (the custom-format template)
         "docs_from_feather": _feather_roundtrip,
@@ -2408,6 +2415,22 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY 1 ORDER BY 1
         """,
         "docs_from_feather": """
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+                   CAST(SUM(length(text)) AS BIGINT) AS sum_text_len
+            FROM documents GROUP BY 1 ORDER BY 1
+        """,
+        # WARC round-trip: engine goes parquet → .warc.gz (per-record gzip
+        # members, Content-Length framing) → parse → fold; the oracle
+        # reads the original, so any framing/compression corruption
+        # (CRLF payloads, unicode, member boundaries) breaks the hash
+        "docs_from_warc": """
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+                   CAST(SUM(length(text)) AS BIGINT) AS sum_text_len
+            FROM documents GROUP BY 1 ORDER BY 1
+        """,
+        "docs_from_orc": """
             SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
                    CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
                    CAST(SUM(length(text)) AS BIGINT) AS sum_text_len

@@ -54,11 +54,140 @@ def _interchange_dir(sf_dir: str, kind: str) -> str:
         ds.repartition(8).map_batches(
             write_ipc, batch_format="pyarrow", batch_size=None
         ).materialize()
+    elif kind == "warc":
+        # WARC/1.0 (ISO 28500) with per-record gzip members — the exact
+        # physical layout of Common Crawl's .warc.gz files (each record
+        # is an independent gzip member, so a remote reader can seek to a
+        # record offset and decompress just that member). One .warc.gz
+        # per partition, written inside map_batches.
+        import uuid
+
+        os.makedirs(tmp, exist_ok=True)
+
+        def write_warc(batch: pa.Table) -> pa.Table:
+            path = os.path.join(tmp, f"part-{uuid.uuid4().hex}.warc.gz")
+            with open(path, "wb") as f:
+                for doc_id, text, lang, n_chars in zip(
+                    batch["doc_id"].to_pylist(),
+                    batch["text"].to_pylist(),
+                    batch["lang"].to_pylist(),
+                    batch["n_chars"].to_pylist(),
+                ):
+                    f.write(_warc_record_gz(doc_id, text, lang, n_chars))
+            return pa.table({"path": pa.array([path], pa.string())})
+
+        ds.repartition(8).map_batches(
+            write_warc, batch_format="pyarrow", batch_size=None
+        ).materialize()
+    elif kind == "orc":
+        # Apache ORC via pyarrow.orc — the other big-data columnar
+        # format; one .orc file per partition, same distributed-write
+        # template as feather.
+        import uuid
+
+        os.makedirs(tmp, exist_ok=True)
+
+        def write_orc(batch: pa.Table) -> pa.Table:
+            import pyarrow.orc as orc
+
+            path = os.path.join(tmp, f"part-{uuid.uuid4().hex}.orc")
+            orc.write_table(batch, path)
+            return pa.table({"path": pa.array([path], pa.string())})
+
+        ds.repartition(8).map_batches(
+            write_orc, batch_format="pyarrow", batch_size=None
+        ).materialize()
     else:
         raise ValueError(kind)
     open(os.path.join(tmp, "_DONE"), "w").write("ok")
     os.rename(tmp, final) if not os.path.exists(final) else shutil.rmtree(tmp)
     return final
+
+
+def _warc_record_gz(doc_id: int, text: str, lang: str, n_chars: int) -> bytes:
+    """One WARC/1.0 response record, gzip-compressed as its own member
+    (mtime=0 so identical inputs give identical bytes). Content-Length
+    frames the payload exactly — payloads are free to contain CRLFs or
+    even the literal string 'WARC/1.0'; a correct reader never splits on
+    markers. doc_id/lang/n_chars ride in custom WARC-Aarhus-* headers
+    (ISO 28500 §5 permits extension fields), the text is the payload."""
+    import gzip
+
+    payload = text.encode("utf-8")
+    headers = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        + f"WARC-Record-ID: <urn:aarhus:doc:{doc_id}>\r\n".encode()
+        + b"WARC-Date: 2025-01-01T00:00:00Z\r\n"
+        + f"WARC-Target-URI: https://synth.example/{doc_id}\r\n".encode()
+        + f"WARC-Aarhus-Doc-ID: {doc_id}\r\n".encode()
+        + f"WARC-Aarhus-Lang: {lang}\r\n".encode()
+        + f"WARC-Aarhus-NChars: {n_chars}\r\n".encode()
+        + b"Content-Type: text/plain; charset=utf-8\r\n"
+        + f"Content-Length: {len(payload)}\r\n".encode()
+        + b"\r\n"
+    )
+    return gzip.compress(headers + payload + b"\r\n\r\n", mtime=0)
+
+
+def _parse_warc_members(data: bytes) -> pa.Table:
+    """Walk a WARC byte string record by record. Compressed input
+    (gzip magic 1f 8b) is walked member by member (zlib wbits=31,
+    chaining on unused_data — gzip.decompress would also concatenate
+    members but loses the member boundaries this walk certifies);
+    uncompressed input (what Ray's read_binary_files delivers for a
+    .gz path — it gunzips by extension before the task sees bytes) is
+    walked by Content-Length framing alone. Either way a record's
+    header block ends at the first blank line and its payload is
+    exactly Content-Length bytes — never a regex split, so payloads
+    may contain CRLFs or the literal string 'WARC/1.0'."""
+    import zlib
+
+    gzipped = data[:2] == b"\x1f\x8b"
+    doc_ids, texts, langs, n_chars_l = [], [], [], []
+
+    def _one_record(buf: bytes, start: int) -> int:
+        """Parse the record at buf[start:]; return the offset just past
+        it. Absolute offsets throughout — no per-record buffer copy."""
+        head_end = buf.index(b"\r\n\r\n", start)
+        lines = buf[start:head_end].split(b"\r\n")
+        if lines[0] != b"WARC/1.0":
+            raise ValueError(f"bad WARC version line: {lines[0]!r}")
+        headers = {}
+        for line in lines[1:]:
+            k, _, v = line.partition(b": ")
+            headers[k.decode("ascii")] = v.decode("utf-8")
+        clen = int(headers["Content-Length"])
+        body = head_end + 4
+        if buf[body + clen : body + clen + 4] != b"\r\n\r\n":
+            raise ValueError("record not terminated by CRLF CRLF")
+        doc_ids.append(int(headers["WARC-Aarhus-Doc-ID"]))
+        texts.append(buf[body : body + clen].decode("utf-8"))
+        langs.append(headers["WARC-Aarhus-Lang"])
+        n_chars_l.append(int(headers["WARC-Aarhus-NChars"]))
+        return body + clen + 4
+
+    if gzipped:
+        pos = 0
+        while pos < len(data):
+            d = zlib.decompressobj(wbits=31)
+            rec = d.decompress(data[pos:])
+            pos = len(data) - len(d.unused_data)
+            end = _one_record(rec, 0)
+            if rec[end:]:
+                raise ValueError("trailing bytes after record inside gzip member")
+    else:
+        pos = 0
+        while pos < len(data):
+            pos = _one_record(data, pos)
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+            "n_chars": pa.array(n_chars_l, pa.int64()),
+        }
+    )
 
 
 def _lang_fold(ds: ray.data.Dataset) -> pd.DataFrame:
@@ -143,6 +272,57 @@ def feather_roundtrip_stats(sf_dir: str) -> pd.DataFrame:
             for buf in batch["bytes"]
         ]
         return pa.concat_tables(parts)
+
+    return _lang_fold(
+        ray.data.read_binary_files(files).map_batches(decode, batch_format="pyarrow")
+    )
+
+
+def warc_roundtrip_stats(sf_dir: str) -> pd.DataFrame:
+    """documents → WARC/1.0 .warc.gz files (per-record gzip members —
+    Common Crawl's physical layout) → ray.data.read_binary_files + an
+    in-task Content-Length-framed record parser → per-lang fold. The
+    hash check certifies the whole encode→compress→decompress→parse
+    path: CRLF-bearing payloads, unicode, and member boundaries all
+    break it if mishandled. This is the template for real CC ingest at
+    scale: one WARC file per task, record framing never regex-split."""
+    d = _interchange_dir(sf_dir, "warc")
+    files = sorted(
+        os.path.join(d, f) for f in os.listdir(d) if f.endswith(".warc.gz")
+    )
+
+    def decode(batch: pa.Table) -> pa.Table:
+        return pa.concat_tables(
+            [_parse_warc_members(buf.as_py()) for buf in batch["bytes"]]
+        )
+
+    # compression=None (pyarrow: "no compression", vs the default
+    # "detect"): read_binary_files would otherwise gunzip by extension,
+    # and the member-boundary walk is exactly what the parser certifies.
+    return _lang_fold(
+        ray.data.read_binary_files(
+            files, arrow_open_stream_args={"compression": None}
+        ).map_batches(decode, batch_format="pyarrow")
+    )
+
+
+def orc_roundtrip_stats(sf_dir: str) -> pd.DataFrame:
+    """documents → Apache ORC files (pyarrow.orc, one per partition) →
+    ray.data.read_binary_files + in-task ORC decode → per-lang fold.
+    Completes the columnar-interchange pair (Feather/IPC + ORC)."""
+    d = _interchange_dir(sf_dir, "orc")
+    files = sorted(
+        os.path.join(d, f) for f in os.listdir(d) if f.endswith(".orc")
+    )
+
+    def decode(batch: pa.Table) -> pa.Table:
+        import io
+
+        import pyarrow.orc as orc
+
+        return pa.concat_tables(
+            [orc.ORCFile(io.BytesIO(buf.as_py())).read() for buf in batch["bytes"]]
+        )
 
     return _lang_fold(
         ray.data.read_binary_files(files).map_batches(decode, batch_format="pyarrow")

@@ -3243,3 +3243,48 @@ def test_has_child_has_parent_join_field():
         chunk = t[ci * JOIN_CHUNK : (ci + 1) * JOIN_CHUNK]
         assert HAS_CHILD_TERM in chunk
         assert row["n_tokens"] == len(chunk)
+
+
+def test_warc_codec_member_walk_and_adversarial_payloads():
+    """The WARC encoder/parser pair must survive payloads containing
+    CRLFs, the literal record marker, and non-ASCII — Content-Length
+    framing, never marker splitting — and the gzip path must walk
+    per-record members (Common Crawl's physical layout)."""
+    from aarhus_ray.sources.interchange import (
+        _parse_warc_members,
+        _warc_record_gz,
+    )
+
+    rows = [
+        (7, "plain text", "en", 10),
+        (8, "embedded\r\n\r\nblank line and WARC/1.0 marker", "de", 42),
+        (9, "unicode: café — 中文 \U0001f600", "fr", 17),
+        (10, "", "en", 0),  # empty payload
+    ]
+    blob = b"".join(_warc_record_gz(*r) for r in rows)
+    # gzip path: multi-member walk
+    t = _parse_warc_members(blob)
+    assert t["doc_id"].to_pylist() == [7, 8, 9, 10]
+    assert t["text"].to_pylist() == [r[1] for r in rows]
+    assert t["lang"].to_pylist() == ["en", "de", "fr", "en"]
+    assert t["n_chars"].to_pylist() == [10, 42, 17, 0]
+    # each record is its OWN gzip member: decompressing the first member
+    # of the 4-record blob yields exactly one record
+    import zlib
+
+    d = zlib.decompressobj(wbits=31)
+    first = d.decompress(blob)
+    assert first.count(b"WARC/1.0\r\n") == 1 and d.unused_data
+    # plain path (what Ray delivers after gunzip-by-extension): identical
+    import gzip as _gz
+
+    plain = _gz.decompress(blob)  # concatenates all members
+    t2 = _parse_warc_members(plain)
+    assert t2.equals(t)
+    # determinism: same rows -> same bytes (mtime=0)
+    assert blob == b"".join(_warc_record_gz(*r) for r in rows)
+    # corruption fails loudly, not silently
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        _parse_warc_members(plain[:-2])  # truncated terminator
