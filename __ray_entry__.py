@@ -308,6 +308,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine_filtered": ann.knn_cosine_filtered,  # ES knn-with-filter (pre-filter)
         "knn_radius": ann.knn_radius,  # range search: all vectors past a cosine cutoff
         "knn_cosine_lsh": ann.knn_cosine_lsh,   # sign-LSH probe, SQL-expressible semantics
+        # Matryoshka two-stage: prefix-dim admission + full-dim rerank,
+        # both stages stated in the oracle (hash-exact, no recall caveat)
+        "knn_mrl": ann.knn_mrl,
         "knn_ivf": ann.ivf_search,              # exact branch-and-bound == brute force
         # product-quantization ADC scan + exact rerank (Jégou 2011) — the
         # memory-bound 10^12-vector path; approximate by construction →
@@ -495,6 +498,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # delete-compact lifecycle: tombstone 1/5 of docs, compact (purge +
         # stats recompute), query — must equal a fresh build over survivors
         "fulltext_bm25_deleted": fulltext.bm25_topk_deleted,
+        # _forcemerge/_shrink: compact to one segment, ranking unchanged
+        "fulltext_force_merge": fulltext.bm25_topk_force_merged,
         # delete_by_query: streamed tombstones, pre-compaction visibility
         "fulltext_delete_by_query": fulltext.bm25_topk_delete_by_query,
         # update_by_query: delete + re-add delta, stale stats until merge
@@ -2392,6 +2397,7 @@ def oracle_sql() -> dict[str, str]:
         # sign-LSH probe semantics are deterministic and SQL-expressible —
         # the oracle pins bucketing + probing + scoring exactly
         "knn_cosine_lsh": ann.lsh_oracle_sql(k=10, vec_id=0, n_bits=8, max_flip=2),
+        "knn_mrl": ann.mrl_oracle_sql(k=10, vec_id=0),
         # IVF is EXACT branch-and-bound (cell bounds via spherical triangle
         # inequality) — it shares the brute-force oracle by construction
         "knn_ivf": _KNN_BRUTE_SQL,
@@ -2657,6 +2663,9 @@ def oracle_sql() -> dict[str, str]:
         "fulltext_top_metrics": fulltext.top_metrics_oracle_sql(),
         "fulltext_phrase_prefix": fulltext.bm25_phrase_prefix_oracle_sql(),
         "fulltext_bm25_deleted": fulltext.bm25_deleted_oracle_sql(),
+        # force-merge must be invisible to scoring: same full-corpus
+        # oracle as fulltext_bm25_topk, answered off the merged layout
+        "fulltext_force_merge": fulltext.bm25_oracle_sql(),
         "fulltext_delete_by_query": fulltext.bm25_delete_by_query_oracle_sql(),
         "fulltext_update_by_query": fulltext.bm25_update_by_query_oracle_sql(),
         "fulltext_index_stats": fulltext.index_stats_oracle_sql(),

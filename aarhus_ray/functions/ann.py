@@ -208,6 +208,83 @@ def knn_radius(sf_dir: str, threshold: float = 0.2, vec_id: int = 0) -> pd.DataF
     return parts.reset_index(drop=True)
 
 
+MRL_PREFIX = 8       # Matryoshka prefix dims used for the cheap first pass
+MRL_THRESH = 0.3     # 3dp-rounded prefix-cosine admission threshold
+
+
+def _mrl_task(batch: pa.Table, q_ref, k: int) -> pa.Table:
+    """Per-batch Matryoshka two-stage: prefix-dim cosine prunes (rounded
+    3dp >= MRL_THRESH — the frozen-boundary contract knn_radius uses),
+    full-dim exact cosine reranks ONLY survivors, emit the batch top-k.
+    One matmul over (batch × MRL_PREFIX) then a small (survivors × dim)
+    one — the memory-bandwidth shape MRL serving buys at 10^12 vectors
+    (the full vector is only touched for ~10% of rows; with dim-sliced
+    columnar storage the full read is skipped too)."""
+    q = ray.get(q_ref)          # full query vector, already L2-normalized
+    ids, m = _to_matrix(batch)
+    if not len(ids):
+        return pa.table({"vec_id": pa.array([], pa.int64()), "cos": pa.array([], pa.float64())})
+    qp = q[:MRL_PREFIX] / np.linalg.norm(q[:MRL_PREFIX])
+    mp = m[:, :MRL_PREFIX]
+    pn = np.linalg.norm(mp, axis=1)
+    pn[pn == 0] = 1.0
+    pcos = np.round((mp / pn[:, None]) @ qp, 3)
+    keep = pcos >= MRL_THRESH
+    ids, m = ids[keep], m[keep]
+    sims = _normalize(m) @ q
+    order = np.lexsort((ids, -sims))[:k]
+    return pa.table(
+        {"vec_id": pa.array(ids[order], pa.int64()), "cos": pa.array(sims[order], pa.float64())}
+    )
+
+
+def knn_mrl(sf_dir: str, k: int = 10, vec_id: int = 0) -> pd.DataFrame:
+    """Matryoshka (MRL, Kusupati 2022) two-stage kNN: a cheap scan over
+    the FIRST MRL_PREFIX dims admits candidates (prefix cosine, 3dp-
+    rounded, >= MRL_THRESH), and only admitted vectors get the exact
+    full-dim cosine; top-k of the admitted set returns. ES 8.15's knn
+    serves exactly this shape for MRL-trained embeddings (quantized/
+    truncated first pass + full rerank). Both stages are stated in the
+    DuckDB oracle (list-slice cosine), so the op is hash-checked end to
+    end — no recall hand-waving. Output (vec_id, cos 3dp), order (cos
+    DESC, vec_id ASC)."""
+    q = query_vector(sf_dir, vec_id)
+    qn = q / np.linalg.norm(q)
+    q_ref = ray.put(qn)
+
+    import functools
+
+    parts = (
+        _emb(sf_dir)
+        .map_batches(
+            functools.partial(_mrl_task, q_ref=q_ref, k=k),
+            batch_format="pyarrow",
+            batch_size=4096,
+        )
+        .to_pandas()
+    )
+    parts = parts.sort_values(["cos", "vec_id"], ascending=[False, True]).head(k)
+    parts["cos"] = parts["cos"].round(3)
+    return parts.reset_index(drop=True)
+
+
+def mrl_oracle_sql(k: int = 10, vec_id: int = 0) -> str:
+    """DuckDB replay of knn_mrl's stated two-stage semantics (1-indexed
+    list slice; admission compares the 3dp-rounded prefix cosine on both
+    sides, the same frozen-boundary contract as knn_radius)."""
+    return f"""
+        WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = {vec_id})
+        SELECT e.vec_id,
+               round(CAST(list_cosine_similarity(e.embedding, q.embedding) AS DOUBLE), 3) AS cos
+        FROM embeddings e CROSS JOIN q
+        WHERE round(CAST(list_cosine_similarity(
+                  e.embedding[1:{MRL_PREFIX}], q.embedding[1:{MRL_PREFIX}]) AS DOUBLE), 3)
+              >= {MRL_THRESH}
+        ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC, e.vec_id
+        LIMIT {k}
+    """
+
+
 def _multi_topk_task(batch: pa.Table, q_ref, w: int) -> pa.Table:
     """Per-batch exact top-w cosine partials for EVERY row of a broadcast
     (nq × dim) query matrix — one corpus scan serves all queries (sims is

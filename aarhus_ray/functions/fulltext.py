@@ -340,6 +340,28 @@ def bm25_deleted_oracle_sql(k: int = 10) -> str:
     return bm25_oracle_sql(k, where=f"doc_id % {DELETE_MOD} <> 0")
 
 
+def bm25_topk_force_merged(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """ES _forcemerge / _shrink lifecycle, driver-visible: copy the
+    cached 2-segment index, compact_index(num_segments=1) — postings
+    re-assembled under a single coarsened term range, the persisted plan
+    rewritten so future delta generations align — then answer FT_QUERIES
+    off the merged layout. Scores and ranks must be bit-identical to the
+    unmerged index (only the shard layout changed), so the oracle is the
+    SAME full-corpus BM25 replay fulltext_bm25_topk uses; pytest
+    (tests/test_maintain.py::test_force_merge_shrinks_segments_bitwise)
+    additionally pins segment count and byte-level dict coarsening."""
+    from ..pipelines.maintain import compact_index
+
+    base = _ensure_index(sf_dir, fresh=False)
+    work = _work_dir(sf_dir) + "_fm"
+    shutil.rmtree(work, ignore_errors=True)
+    index = os.path.join(work, "index")
+    os.makedirs(work)
+    shutil.copytree(base, index)
+    compact_index(index, num_segments=1)
+    return _run_queries(index, FT_QUERIES, k, "or")
+
+
 # delete_by_query filter: conjunctive — docs containing BOTH terms die
 DBQ_TEXT = "vector stream"
 

@@ -3288,3 +3288,42 @@ def test_warc_codec_member_walk_and_adversarial_payloads():
 
     with _pytest.raises(ValueError):
         _parse_warc_members(plain[:-2])  # truncated terminator
+
+
+def test_knn_mrl_two_stage_prunes_and_recalls():
+    """knn_mrl's prefix admission must genuinely prune (not a no-op
+    threshold) while the admitted set still contains most of the true
+    top-k — and the full pipeline must equal a sequential numpy replay
+    of its stated two-stage semantics."""
+    import pyarrow.parquet as pq
+
+    from aarhus_ray.functions.ann import (
+        MRL_PREFIX,
+        MRL_THRESH,
+        knn_cosine_bruteforce,
+        knn_mrl,
+    )
+
+    sf = SF
+    mrl = knn_mrl(sf)
+    brute = knn_cosine_bruteforce(sf)
+    # sequential replay of the stated semantics
+    t = pq.read_table(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy()
+    m = np.stack(t["embedding"].to_pylist()).astype(np.float64)
+    q = m[ids == 0][0]
+    qn = q / np.linalg.norm(q)
+    qp = q[:MRL_PREFIX] / np.linalg.norm(q[:MRL_PREFIX])
+    mp = m[:, :MRL_PREFIX]
+    pn = np.linalg.norm(mp, axis=1); pn[pn == 0] = 1
+    pcos = np.round((mp / pn[:, None]) @ qp, 3)
+    keep = pcos >= MRL_THRESH
+    assert 0 < keep.sum() < 0.5 * len(ids)  # prunes at least half
+    full = (m[keep] / np.linalg.norm(m[keep], axis=1)[:, None]) @ qn
+    kids = ids[keep]
+    order = np.lexsort((kids, -full))[:10]
+    assert list(mrl["vec_id"]) == list(kids[order])
+    assert np.allclose(mrl["cos"], np.round(full[order], 3))
+    # recall sanity vs exact brute top-10
+    overlap = len(set(mrl["vec_id"]) & set(brute["vec_id"]))
+    assert overlap >= 5, f"MRL recall collapsed: {overlap}/10"
