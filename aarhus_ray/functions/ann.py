@@ -1372,9 +1372,21 @@ def _knn_edges_index(sf_dir: str, k: int = KNN_GRAPH_K) -> str:
 PR_ITERS = 5
 PR_DAMP_NUM, PR_DAMP_DEN = 85, 100  # d = 0.85 as a ratio (integer-frozen)
 PR_TOTAL = 10**12                   # total rank mass, integer micro-units
+# Below this vertex count the edge list (n·k int64 pairs) fits trivially
+# in driver memory and the 5-round shuffle pipeline is pure fixed cost
+# (~1-1.5s per round at any size) — run the IDENTICAL integer recurrence
+# driver-local instead. Same size-gate pattern as ngram_jaccard_pairs /
+# the semi-join Bloom degrade: both paths are pinned bit-equal by
+# tests/test_functions.py::test_pagerank_matches_numpy_replay.
+PR_LOCAL_GATE = 1_000_000
 
 
-def pagerank_knn(sf_dir: str, k: int = KNN_GRAPH_K, iters: int = PR_ITERS) -> pd.DataFrame:
+def pagerank_knn(
+    sf_dir: str,
+    k: int = KNN_GRAPH_K,
+    iters: int = PR_ITERS,
+    force_sharded: bool = False,
+) -> pd.DataFrame:
     """PageRank over the kNN graph (the graph-centrality pass dedup /
     curation pipelines run on similarity graphs: high-rank nodes are
     cluster cores, low-rank nodes are outliers). Edges are knn_graph's
@@ -1401,17 +1413,41 @@ def pagerank_knn(sf_dir: str, k: int = KNN_GRAPH_K, iters: int = PR_ITERS) -> pd
     The driver holds only scalars (n from count()//k since out-degree is
     exactly k, and the damping base); edges come from _knn_graph_ds as a
     Dataset, so nothing O(N) ever reaches the driver until the final
-    harness-contract to_pandas of the RESULT. Iterative → no SQL oracle
+    harness-contract to_pandas of the RESULT. Below PR_LOCAL_GATE
+    vertices the identical recurrence runs driver-local instead (the
+    5-round shuffle is pure fixed cost on a graph that small); both
+    paths are pinned bit-equal. Iterative → no SQL oracle
     (rows-only at the driver); pinned exactly by tests/test_functions.py
     ::test_pagerank_matches_numpy_replay. Output (vec_id, pr) int64,
     id-ordered."""
     from ray.data.aggregate import Sum
 
+    edge_files = _parquet_files([_knn_edges_index(sf_dir, k)])
+    n_edges = sum(pq.ParquetFile(f).metadata.num_rows for f in edge_files)
+    n_gate = n_edges // k
+    if n_gate <= PR_LOCAL_GATE and not force_sharded:
+        # small-graph path: the whole edge list is n·k int64 pairs (8 MB
+        # at 1M vertices, k=3 would be 48 MB); pull once, run the same
+        # integer recurrence locally — zero per-round pipeline cost
+        et = pq.read_table(edge_files, columns=["vec_id", "nbr_id"])
+        src = et["vec_id"].to_numpy().astype(np.int64)
+        dst = et["nbr_id"].to_numpy().astype(np.int64)
+        verts = np.unique(np.concatenate([src, dst]))
+        idx = {int(v): i for i, v in enumerate(verts)}
+        src_i = np.fromiter((idx[int(v)] for v in src), np.int64, len(src))
+        dst_i = np.fromiter((idx[int(v)] for v in dst), np.int64, len(dst))
+        n_local = len(verts)
+        init_l = PR_TOTAL // n_local
+        base_l = (15 * init_l) // 100
+        r = np.full(n_local, init_l, np.int64)
+        for _ in range(iters):
+            s = np.zeros(n_local, np.int64)
+            np.add.at(s, dst_i, r[src_i] // k)
+            r = base_l + (PR_DAMP_NUM * s) // PR_DAMP_DEN
+        return pd.DataFrame({"vec_id": verts.astype("int64"), "pr": r.astype("int64")})
+
     eds = (
-        ray.data.read_parquet(
-            _parquet_files([_knn_edges_index(sf_dir, k)]),
-            columns=["vec_id", "nbr_id"],
-        )
+        ray.data.read_parquet(edge_files, columns=["vec_id", "nbr_id"])
         .repartition(8)
         .materialize()
     )

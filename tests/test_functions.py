@@ -2505,6 +2505,11 @@ def test_pagerank_matches_numpy_replay():
     assert out["pr"].tolist() == R.tolist()
     # mass conservation within the documented floor-division drift
     assert abs(int(out["pr"].sum()) - PR_TOTAL) < 3 * n * PR_ITERS
+    # the size-gated local path (what ran above at fixture scale) and the
+    # sharded Dataset path must be bit-identical — same integer recurrence
+    sharded = pagerank_knn(SF, force_sharded=True)
+    assert sharded["vec_id"].tolist() == out["vec_id"].tolist()
+    assert sharded["pr"].tolist() == out["pr"].tolist()
 
 
 def test_weighted_avg_and_geo_centroid_match_recompute():
