@@ -276,6 +276,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # DSIR (Xie et al. 2023): hashed-unigram importance ranking toward
         # a target domain — integer milli-nat log-ratios, 2 streaming passes
         "docs_dsir_weights": cleaning.dsir_weights,
+        # distributed full-batch logistic regression on hashed unigrams
+        # (the CCNet/GPT-3 fasttext-filter training step); iterative ≠
+        # SQL → rows-only, pinned by a sequential numpy replay test
+        "docs_target_classifier": cleaning.target_classifier_logreg,
         # deterministic md5(doc_id)%100 train/valid/test split manifest
         "docs_train_split": cleaning.train_split,
         # seeded epoch-shuffle order (shuffle-as-sort), first-k head

@@ -397,6 +397,160 @@ def dsir_weights(sf_dir: str) -> pd.DataFrame:
     return out[["rank", "doc_id", "weight_milli"]]
 
 
+LR_B = 1024       # hashed feature buckets (shared shape with DSIR)
+LR_ITERS = 8      # full-batch GD rounds
+LR_RATE = 2.0     # learning rate (full-batch, normalized features)
+
+
+def _lr_features(batch: pa.Table):
+    """Hashed-unigram mean-bag featurization of a batch: returns
+    (bkt_per_token int64[], flat_docs int64[], inv_len float64[] per doc,
+    y float64[] per doc, doc_ids int64[]). Empty docs get inv_len 0 (all-
+    zero feature row; only the bias moves them)."""
+    import hashlib
+
+    import pyarrow.compute as pc
+
+    tgt = set(DSIR_TARGET_SOURCES)
+    flat, flat_docs, counts = tokenize_flat(
+        batch["text"], np.arange(len(batch), dtype=np.uint64)
+    )
+    uniq = pc.unique(flat)
+    bkt_u = np.array(
+        [
+            int(hashlib.md5(t.encode("utf-8")).hexdigest()[:8], 16) % LR_B
+            for t in uniq.to_pylist()
+        ],
+        dtype=np.int64,
+    )
+    inv = pc.index_in(flat, value_set=uniq).to_numpy(zero_copy_only=False)
+    bkt = bkt_u[inv.astype(np.int64)]
+    inv_len = np.zeros(len(batch), np.float64)
+    nz = counts > 0
+    inv_len[nz] = 1.0 / counts[nz]
+    y = np.array([1.0 if s in tgt else 0.0 for s in batch["source"].to_pylist()])
+    doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    return bkt, flat_docs.astype(np.int64), inv_len, y, doc_ids
+
+
+def target_classifier_logreg(sf_dir: str) -> pd.DataFrame:
+    """Distributed training of a fastText-shaped quality classifier —
+    the 'train a linear model to recognize target-domain text' step of
+    the CCNet / GPT-3 / LLaMA data pipelines (their fasttext/logistic
+    filters), as full-batch gradient descent over hashed-unigram
+    mean-bag features (LR_B buckets + bias), label = source ∈
+    DSIR_TARGET_SOURCES (the same target framing dsir_weights ranks by).
+
+    Each of LR_ITERS rounds is ONE streaming map_batches pass: a batch
+    emits its partial gradient (np.bincount scatter over token buckets —
+    B+3 rows regardless of batch size), the driver folds and takes a GD
+    step, and the new weight vector broadcasts via ray.put. Driver state
+    is model-sized (B+1 floats), never data-sized — the kmeans /
+    label_centroids fold shape, here with a nonlinear loss so each round
+    genuinely needs the previous round's model (iterative ≠ SQL →
+    rows-only at the driver; pinned by tests/test_functions.py::
+    test_logreg_matches_sequential_replay at float64 tolerance).
+
+    Output: one row per source — (source, n_docs, n_pred_target,
+    n_correct) confusion counts of the trained model, plus the per-iter
+    losses as (source='_loss_iterK', n_docs=iter, n_pred_target=0,
+    n_correct=round(1e6·loss)) audit rows. At 10^12 docs each round is
+    a single corpus scan (the floor for any full-batch method); the
+    documented swap for fewer passes is local-SGD/parameter averaging,
+    which trades determinism — this engine freezes the deterministic
+    form."""
+    import functools
+
+    import ray
+
+    ds = _docs(sf_dir, ["doc_id", "text", "source"]).materialize()
+
+    def grad_task(batch: pa.Table, w_ref) -> pa.Table:
+        w = ray.get(w_ref)
+        bkt, fdocs, inv_len, y, _ = _lr_features(batch)
+        contrib = w[bkt] * inv_len[fdocs]
+        z = np.bincount(fdocs, weights=contrib, minlength=len(y)) + w[LR_B]
+        p = 1.0 / (1.0 + np.exp(-z))
+        err = p - y
+        gw = np.bincount(bkt, weights=(err * inv_len)[fdocs], minlength=LR_B)
+        eps = 1e-12
+        loss = -np.sum(y * np.log(p + eps) + (1 - y) * np.log(1 - p + eps))
+        return pa.table(
+            {
+                "i": pa.array(
+                    np.concatenate([np.arange(LR_B), [LR_B, LR_B + 1, LR_B + 2]]),
+                    pa.int64(),
+                ),
+                "g": pa.array(
+                    np.concatenate([gw, [err.sum(), loss, float(len(y))]]),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    w = np.zeros(LR_B + 1, np.float64)
+    losses = []
+    for _ in range(LR_ITERS):
+        w_ref = ray.put(w)
+        parts = (
+            ds.map_batches(
+                functools.partial(grad_task, w_ref=w_ref), batch_format="pyarrow"
+            )
+            .to_pandas()
+            .groupby("i")["g"]
+            .sum()
+        )
+        g = parts.reindex(range(LR_B + 3), fill_value=0.0).to_numpy()
+        n = g[LR_B + 2]
+        losses.append(g[LR_B + 1] / n)
+        w = w - LR_RATE * (g[: LR_B + 1] / n)
+
+    w_ref = ray.put(w)
+
+    def eval_task(batch: pa.Table, w_ref) -> pa.Table:
+        w = ray.get(w_ref)
+        bkt, fdocs, inv_len, y, _ = _lr_features(batch)
+        contrib = w[bkt] * inv_len[fdocs]
+        z = np.bincount(fdocs, weights=contrib, minlength=len(y)) + w[LR_B]
+        pred = (z > 0).astype(np.int64)
+        return pa.table(
+            {
+                "source": batch["source"],
+                "n_docs": pa.array(np.ones(len(y), np.int64), pa.int64()),
+                "n_pred_target": pa.array(pred, pa.int64()),
+                "n_correct": pa.array(
+                    (pred == y.astype(np.int64)).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        ds.map_batches(functools.partial(eval_task, w_ref=w_ref), batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_pred_target", alias_name="n_pred_target"),
+            Sum("n_correct", alias_name="n_correct"),
+        )
+        .to_pandas()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    for c in ("n_docs", "n_pred_target", "n_correct"):
+        out[c] = out[c].astype("int64")
+    audit = pd.DataFrame(
+        {
+            "source": [f"_loss_iter{i}" for i in range(LR_ITERS)],
+            "n_docs": np.arange(LR_ITERS, dtype=np.int64),
+            "n_pred_target": np.zeros(LR_ITERS, dtype=np.int64),
+            "n_correct": np.round(np.array(losses) * 1e6).astype(np.int64),
+        }
+    )
+    return pd.concat([audit, out], ignore_index=True)
+
+
 def curation_pipeline(sf_dir: str) -> pd.DataFrame:
     """END-TO-END CURATION COMPOSITION — the pipeline a pretraining-data
     user actually runs, as one query: keep exactly the docs that

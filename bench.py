@@ -167,6 +167,10 @@ def run_once() -> dict:
             "docs_tfidf_keywords",
             "knn_triangles",
             "docs_dedup_vs_reference",
+            # session-12 additions: CC-native WARC ingest throughput and
+            # the Matryoshka two-stage scan
+            "docs_from_warc",
+            "knn_mrl",
         ):
             qs[name](sf_dir)
             t0 = time.perf_counter()
