@@ -454,7 +454,13 @@ def target_classifier_logreg(sf_dir: str) -> pd.DataFrame:
     Output: one row per source — (source, n_docs, n_pred_target,
     n_correct) confusion counts of the trained model, plus the per-iter
     losses as (source='_loss_iterK', n_docs=iter, n_pred_target=0,
-    n_correct=round(1e6·loss)) audit rows. At 10^12 docs each round is
+    n_correct=round(1e6·loss)) audit rows. Honesty note: the synthetic
+    corpus's source labels carry no text signal (verified: lang labels
+    are equally unlearnable at n=500), so the trained model converges to
+    the class-prior optimum — loss drops 0.693 → ~0.423 ≈ the prior
+    entropy H(0.15), majority-class predictions. The capability pinned
+    here is the distributed trainer (gradient fold correctness, loss
+    monotonicity, model broadcast), not a benchmark accuracy. At 10^12 docs each round is
     a single corpus scan (the floor for any full-batch method); the
     documented swap for fewer passes is local-SGD/parameter averaging,
     which trades determinism — this engine freezes the deterministic

@@ -3332,3 +3332,70 @@ def test_knn_mrl_two_stage_prunes_and_recalls():
     # recall sanity vs exact brute top-10
     overlap = len(set(mrl["vec_id"]) & set(brute["vec_id"]))
     assert overlap >= 5, f"MRL recall collapsed: {overlap}/10"
+
+
+def test_logreg_matches_sequential_replay():
+    """target_classifier_logreg's distributed per-round gradient folds
+    must equal a sequential numpy full-batch GD replay (float64
+    tolerance — the only cross-batch float reduction is the gradient
+    sum), and the loss must decrease monotonically toward the class
+    prior's entropy."""
+    import hashlib
+    import re
+
+    from aarhus_ray.functions.cleaning import (
+        DSIR_TARGET_SOURCES,
+        LR_B,
+        LR_ITERS,
+        LR_RATE,
+        target_classifier_logreg,
+    )
+
+    out = target_classifier_logreg(SF)
+    losses = (
+        out[out["source"].str.startswith("_loss_iter")]
+        .sort_values("n_docs")["n_correct"]
+        .to_numpy()
+        / 1e6
+    )
+    assert len(losses) == LR_ITERS
+    assert (np.diff(losses) < 0).all(), "loss must strictly decrease"
+
+    # sequential replay with the same featurization (md5-hashed unigram
+    # mean bag; regex == the frozen ASCII tokenizer on this corpus)
+    t = pq.read_table(
+        f"{SF}/documents.parquet", columns=["doc_id", "text", "lang", "source"]
+    )
+    tgt = set(DSIR_TARGET_SOURCES)
+    X, y = [], []
+    for tx, src in zip(t["text"].to_pylist(), t["source"].to_pylist()):
+        toks = re.findall(r"[a-z0-9]+", tx.lower())
+        v = np.zeros(LR_B)
+        for tok in toks:
+            v[int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % LR_B] += 1
+        if toks:
+            v /= len(toks)
+        X.append(v)
+        y.append(1.0 if src in tgt else 0.0)
+    X, y = np.array(X), np.array(y)
+    w, b = np.zeros(LR_B), 0.0
+    ref_losses = []
+    for _ in range(LR_ITERS):
+        z = X @ w + b
+        p = 1 / (1 + np.exp(-z))
+        eps = 1e-12
+        ref_losses.append(-np.mean(y * np.log(p + eps) + (1 - y) * np.log(1 - p + eps)))
+        err = p - y
+        w -= LR_RATE * (X.T @ err / len(y))
+        b -= LR_RATE * err.mean()
+    assert np.allclose(losses, ref_losses, atol=1e-5)
+    # confusion counts: replay the final model
+    z = X @ w + b
+    pred = (z > 0).astype(int)
+    srcs = t["source"].to_pylist()
+    conf = out[~out["source"].str.startswith("_loss_iter")].set_index("source")
+    for s in sorted(set(srcs)):
+        m = np.array([x == s for x in srcs])
+        assert conf.loc[s, "n_docs"] == m.sum()
+        assert conf.loc[s, "n_pred_target"] == pred[m].sum()
+        assert conf.loc[s, "n_correct"] == (pred[m] == y[m].astype(int)).sum()
