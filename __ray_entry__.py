@@ -504,6 +504,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fulltext_bm25_deleted": fulltext.bm25_topk_deleted,
         # _forcemerge/_shrink: compact to one segment, ranking unchanged
         "fulltext_force_merge": fulltext.bm25_topk_force_merged,
+        # snapshot -> mutate source -> restore: PIT isolation certified
+        "fulltext_snapshot_pit": fulltext.bm25_topk_snapshot_pit,
         # delete_by_query: streamed tombstones, pre-compaction visibility
         "fulltext_delete_by_query": fulltext.bm25_topk_delete_by_query,
         # update_by_query: delete + re-add delta, stale stats until merge
@@ -2670,6 +2672,8 @@ def oracle_sql() -> dict[str, str]:
         # force-merge must be invisible to scoring: same full-corpus
         # oracle as fulltext_bm25_topk, answered off the merged layout
         "fulltext_force_merge": fulltext.bm25_oracle_sql(),
+        # the restore answers for the PRE-mutation corpus: full oracle
+        "fulltext_snapshot_pit": fulltext.bm25_oracle_sql(),
         "fulltext_delete_by_query": fulltext.bm25_delete_by_query_oracle_sql(),
         "fulltext_update_by_query": fulltext.bm25_update_by_query_oracle_sql(),
         "fulltext_index_stats": fulltext.index_stats_oracle_sql(),

@@ -340,6 +340,34 @@ def bm25_deleted_oracle_sql(k: int = 10) -> str:
     return bm25_oracle_sql(k, where=f"doc_id % {DELETE_MOD} <> 0")
 
 
+def bm25_topk_snapshot_pit(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Snapshot isolation, driver-visible (ES point-in-time + _snapshot
+    composed): copy the cached index, SNAPSHOT it (checksummed catalog),
+    then MUTATE the source (delete_by_query tombstones every doc
+    containing DBQ terms — the pre-compaction visibility path), RESTORE
+    the snapshot into a fresh dir and answer FT_QUERIES from the
+    restore. The restore must reflect the PRE-mutation corpus exactly —
+    same full-corpus oracle as fulltext_bm25_topk — which certifies (a)
+    snapshot consistency without pausing writers (write-once files), (b)
+    restore checksum integrity, (c) tombstones in the source never leak
+    through repository files. Byte-level restore identity is pinned
+    separately in tests/test_maintain.py."""
+    from ..pipelines.maintain import delete_by_query, restore_index, snapshot_index
+
+    base = _ensure_index(sf_dir, fresh=False)
+    work = _work_dir(sf_dir) + "_pit"
+    shutil.rmtree(work, ignore_errors=True)
+    src = os.path.join(work, "index")
+    os.makedirs(work)
+    shutil.copytree(base, src)
+    snap = os.path.join(work, "snap")
+    snapshot_index(src, snap)
+    delete_by_query(src, DBQ_TEXT, mode="and")  # mutate AFTER the snapshot
+    restored = os.path.join(work, "restored")
+    restore_index(snap, restored)
+    return _run_queries(restored, FT_QUERIES, k, "or")
+
+
 def bm25_topk_force_merged(sf_dir: str, k: int = 10) -> pd.DataFrame:
     """ES _forcemerge / _shrink lifecycle, driver-visible: copy the
     cached 2-segment index, compact_index(num_segments=1) — postings
