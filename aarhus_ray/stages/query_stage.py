@@ -846,18 +846,24 @@ class QueryScorer:
                 self.avgdl, self.k, min_match=m,
             )
         entries = [self._term_arrays(t, owners[t]) for t in terms]
-        cand, counts = np.unique(
-            np.concatenate([e[0] for e in entries]), return_counts=True
+        # fused: one unique(return_inverse) + one bincount replaces the
+        # per-term full-list searchsorted scoring round (the conj-fusion
+        # sibling). bincount's C loop adds weights in FLAT input order =
+        # concatenation in sorted-term order, so each doc's float
+        # accumulation order — the brute bit-identity invariant — is the
+        # per-term loop's exactly (property-tested m=1 ≡ or, m=n ≡ and).
+        cand, inv, counts = np.unique(
+            np.concatenate([e[0] for e in entries]),
+            return_inverse=True,
+            return_counts=True,
         )
-        cand = cand[counts >= m]
+        scores_all = np.bincount(
+            inv, weights=np.concatenate([e[1] for e in entries]), minlength=len(cand)
+        )
+        keep = counts >= m
+        cand, scores = cand[keep], scores_all[keep]
         if len(cand) == 0:
             return np.empty(0, np.uint64), np.empty(0, np.float64)
-        scores = np.zeros(len(cand), dtype=np.float64)
-        for doc_ids, contribs, _, _ in entries:  # sorted-term order
-            pos = np.searchsorted(doc_ids, cand)
-            ok = pos < len(doc_ids)
-            ok[ok] = doc_ids[pos[ok]] == cand[ok]
-            scores[ok] += contribs[pos[ok]]
         from ..bm25 import topk_select
 
         return topk_select(cand, scores, self.k)
@@ -885,19 +891,21 @@ class QueryScorer:
         if not terms:
             return np.empty(0, np.uint64), np.empty(0, np.float64)
         entries = [self._term_arrays(t, owners[t]) for t in terms]
-        cand, counts = np.unique(
-            np.concatenate([e[0] for e in entries]), return_counts=True
+        # same fused unique+bincount shape as msm (see there for the
+        # accumulation-order argument); only the gate differs (per-doc)
+        cand, inv, counts = np.unique(
+            np.concatenate([e[0] for e in entries]),
+            return_inverse=True,
+            return_counts=True,
+        )
+        scores_all = np.bincount(
+            inv, weights=np.concatenate([e[1] for e in entries]), minlength=len(cand)
         )
         required = 1 + self.doclens.lookup(cand) % self.terms_set_mod
-        cand = cand[counts >= required]
+        keep = counts >= required
+        cand, scores = cand[keep], scores_all[keep]
         if len(cand) == 0:
             return np.empty(0, np.uint64), np.empty(0, np.float64)
-        scores = np.zeros(len(cand), dtype=np.float64)
-        for doc_ids, contribs, _, _ in entries:  # sorted-term order
-            pos = np.searchsorted(doc_ids, cand)
-            ok = pos < len(doc_ids)
-            ok[ok] = doc_ids[pos[ok]] == cand[ok]
-            scores[ok] += contribs[pos[ok]]
         from ..bm25 import topk_select
 
         return topk_select(cand, scores, self.k)
