@@ -78,9 +78,12 @@ _DRIVER_WINDOW = [
     "docs_dedup_exact", "docs_minhash_lsh_pairs", "docs_simhash_pairs",
     "docs_substring_dups", "docs_dup_clusters",
     "embedding_near_dup_pairs", "embedding_semdedup_drops",
-    # ANN / embeddings
-    "knn_cosine_bruteforce", "knn_cosine_lsh", "knn_ivf", "knn_pq",
-    "knn_graph", "knn_pagerank",
+    # ANN / embeddings — every slot here must carry an exact DuckDB oracle
+    # (the driver's 50-row sample is the attestation budget; knn_pq /
+    # knn_pagerank are rows-only by construction and live in the registry
+    # body instead, pinned by their pytest replays)
+    "knn_cosine_bruteforce", "knn_cosine_lsh", "knn_ivf", "knn_mrl",
+    "knn_graph", "knn_bbq",
     # multimodal: the REAL codec path (round 4) over the plumbing fake
     "multimodal_phash", "multimodal_ppm_decode",
     # interchange sources (round 4): WARC — Common Crawl's native format,

@@ -1620,16 +1620,18 @@ def analyze_query(sf_dir: str) -> pd.DataFrame:
     (doc_id, position, token). The oracle replays the chain with the
     regexp split + a range-join for ordinality — auditing the tokenizer
     itself, token order included (every other oracle only sees bags)."""
+    import pyarrow.dataset as pads
     import ray.data
 
+    # predicate pushdown at the read (row-group pruning + fragment-level
+    # filter) — at 100x scale the previous per-row lambda filter was a
+    # full-corpus Python loop to select a handful of docs
     ds = ray.data.read_parquet(
-        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+        filter=pads.field("doc_id") < AN_NDOCS,
     )
-    out = (
-        ds.filter(lambda r: r["doc_id"] < AN_NDOCS)
-        .map_batches(_analyze_batch, batch_format="pyarrow")
-        .to_pandas()
-    )
+    out = ds.map_batches(_analyze_batch, batch_format="pyarrow").to_pandas()
     return out.sort_values(["doc_id", "pos"]).reset_index(drop=True)
 
 

@@ -12,7 +12,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
-from ray.data.aggregate import Count, Sum
+from ray.data.aggregate import Count, Max, Sum
 
 
 def _events(sf_dir: str, columns=None) -> ray.data.Dataset:
@@ -56,19 +56,44 @@ def events_hourly_tumbling(sf_dir: str) -> pd.DataFrame:
 
 def events_dedup_keep_latest(sf_dir: str) -> pd.DataFrame:
     """Exact dedup keep-latest: one row per (user_id, event_type), winner =
-    max ts, tie → max event_id (frozen). Partial keep-latest per batch, then
-    a final small groupby — the scalable two-level reduction."""
+    max ts, tie → max event_id (frozen). (ts, event_id) is packed into one
+    fixed-width big-endian 16-byte key whose lexicographic order equals
+    (ts ASC, event_id ASC), so the whole reduction is a per-batch partial
+    max + ONE native Max aggregate — no per-group Python in the final stage
+    (the old groupby().map_groups paid pandas overhead on ~|user×type|
+    mostly-singleton groups, the documented pathology)."""
     ds = _events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
 
     def keep_latest(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["user_id", "event_type", "ts", "event_id"])
-        return df.groupby(["user_id", "event_type"], sort=False).tail(1)
+        ts_us = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        eid = df["event_id"].to_numpy(np.int64)
+        packed = np.frombuffer(
+            np.stack([ts_us, eid], axis=1).astype(">u8").tobytes(), dtype="S16"
+        )
+        part = pd.DataFrame(
+            {"user_id": df["user_id"], "event_type": df["event_type"], "packed": packed}
+        )
+        # per-batch partial keep-latest bounds shuffle bytes to <=1 row per
+        # key per batch
+        return part.groupby(["user_id", "event_type"], sort=False, as_index=False)[
+            "packed"
+        ].max()
 
-    partials = ds.map_batches(keep_latest, batch_format="pandas")
-    final = partials.groupby(["user_id", "event_type"]).map_groups(
-        lambda g: g.sort_values(["ts", "event_id"]).tail(1), batch_format="pandas"
+    agg = (
+        ds.map_batches(keep_latest, batch_format="pandas")
+        .groupby(["user_id", "event_type"])
+        .aggregate(Max("packed", alias_name="packed"))
+        .to_pandas()
     )
-    out = final.to_pandas()[["user_id", "event_type", "event_id"]]
+    if len(agg):
+        # bytes objects round-tripped through object dtype lose trailing
+        # NULs (numpy S-dtype semantics; ordering is unaffected because the
+        # stripped value is a prefix) — np.array(..., "S16") re-pads them
+        raw = np.array(agg["packed"].to_numpy(), dtype="S16").view(">u8").reshape(-1, 2)
+        agg["event_id"] = raw[:, 1].astype(np.int64)
+    else:
+        agg["event_id"] = np.empty(0, np.int64)
+    out = agg[["user_id", "event_type", "event_id"]]
     return out.sort_values(["user_id", "event_type"]).reset_index(drop=True)
 
 
