@@ -349,14 +349,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_maxsim": ann.maxsim_scores,
         # int8 scalar quantization envelope + per-vector code audit
         "embedding_int8_quantize": ann.int8_quantize_stats,
-        # integer-frozen PageRank over the kNN graph (iterative → rows-only)
+        # integer-frozen PageRank over the kNN graph — hash-checked since
+        # round 5 (ann.pagerank_oracle_sql unrolls the fixed-count integer
+        # recurrence as chained CTEs; no floats anywhere)
         "knn_pagerank": ann.pagerank_knn,
         # top principal component via distributed moments + driver power
-        # iteration (iterative → rows-only)
+        # iteration — hash-checked since round 5 (ann.top_pc_oracle_sql:
+        # exact moment fold + unrolled power rounds, 4dp-frozen output)
         "embedding_top_pc": ann.embedding_top_pc,
         "embedding_label_centroids": ann.label_centroids,  # distributed k-means/IVF primitive
-        # full iterative Lloyd's k-means (frozen init/tie/empty rules);
-        # iterative ≠ SQL → rows-only at the driver, pinned by
+        # full iterative Lloyd's k-means (frozen init/tie/empty rules) —
+        # hash-checked since round 5 (ann.kmeans_oracle_sql unrolls the
+        # 3 assign+update rounds; 4dp-frozen centroids), also pinned by
         # tests/test_functions.py::test_kmeans_matches_numpy_lloyd
         "embedding_kmeans": ann.kmeans,
         # --- multimodal binary-column plumbing (stub kernels, real Ray shape) ---
@@ -390,11 +394,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-payload 64-bit perceptual hash (aHash recipe on raw bytes)
         "multimodal_phash": multimodal.phash_table,
         # BPE merge learning (Sennrich 2016): iterative pair-count reduce +
-        # broadcast rewrite — inherently iterative, not SQL-expressible, so
-        # rows-only at the driver; pinned instead by
-        # tests/test_functions.py::test_bpe_merges_match_sequential
+        # broadcast rewrite; hash-checked since round 5 (the fixed merge
+        # count unrolls as chained CTEs — bpe.merges_oracle_sql) and pinned
+        # by tests/test_functions.py::test_bpe_merges_match_sequential
         "docs_bpe_merges": bpe.learn_merges,
         # the inference half: apply the learned merges, per-doc fertility
+        # (hash-checked since round 5 via bpe.encode_oracle_sql)
         "docs_bpe_encode": bpe.encode_with_merges,
         # --- mergeable sketches (approximate → rows-only) + exact anchor ---
         "events_distinct_props_hll": sketches.distinct_count_hll,
@@ -406,8 +411,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Misra-Gries sketch + exact verify: provably-exact top-k keys
         "events_heavy_hitters": sketches.heavy_hitters_mg,
         "events_distinct_props_exact": sketches.distinct_count_exact,
-        # Count-Min sketch + exact anchor: est_n is sketch-valued (rows-only;
-        # anchor exactness + batching-invariant replay pinned by pytest)
+        # Count-Min sketch + exact anchor: est_n is a pure integer function
+        # of the multiset + frozen splitmix64 salts, so the WHOLE row is
+        # hash-checked since round 5 (sketches.count_min_oracle_sql emulates
+        # the wrapping-uint64 hash in SQL); replay also pinned by pytest
         "events_count_min": sketches.count_min_user_counts,
         # --- the flagship: full index build + BM25/WAND over documents ---
         "fulltext_bm25_topk": fulltext.bm25_topk,
@@ -661,6 +668,7 @@ _KNN_FILTERED_SQL = """
 def oracle_sql() -> dict[str, str]:
     from aarhus_ray.functions import (
         ann,
+        bpe,
         cleaning,
         dedup,
         fulltext,
@@ -2806,4 +2814,16 @@ def oracle_sql() -> dict[str, str]:
           SELECT doc_id FROM ({sqls["docs_ccnet_buckets"]}) WHERE bucket = 'head'
         ) ORDER BY doc_id
     """
+    # round 5: generated (unrolled / hash-emulated) oracles for ops that
+    # were rows-only despite being pure deterministic functions of the
+    # tables — sketch-valued est_n (splitmix64 emulated in SQL), the
+    # integer-frozen PageRank recurrence, BPE merge learning + encode
+    # (regexp_replace 'g' replays Sennrich's left-to-right merge), Lloyd's
+    # k-means, and the PCA power iteration (both unrolled per round)
+    sqls["events_count_min"] = sketches.count_min_oracle_sql()
+    sqls["knn_pagerank"] = ann.pagerank_oracle_sql()
+    sqls["embedding_kmeans"] = ann.kmeans_oracle_sql()
+    sqls["embedding_top_pc"] = ann.top_pc_oracle_sql()
+    sqls["docs_bpe_merges"] = bpe.merges_oracle_sql()
+    sqls["docs_bpe_encode"] = bpe.encode_oracle_sql()
     return sqls

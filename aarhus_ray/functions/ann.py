@@ -735,7 +735,8 @@ def kmeans(sf_dir: str, k: int = KMEANS_K, iters: int = KMEANS_ITERS,
     round's assignment, centroids rounded (float partial-sum order
     differs between engine fold and any replay; at 4dp over these
     float32 inputs all orders agree, the label_centroids contract).
-    No SQL oracle (iterative); pinned by
+    Hash-checked at the driver against ``kmeans_oracle_sql`` (round 5:
+    the fixed iteration count unrolls as CTE pairs) and pinned by
     tests/test_functions.py::test_kmeans_matches_numpy_lloyd."""
     emb_path = f"{sf_dir}/embeddings.parquet"
     init = pq.read_table(emb_path, columns=["vec_id", "embedding"])
@@ -1416,8 +1417,9 @@ def pagerank_knn(
     harness-contract to_pandas of the RESULT. Below PR_LOCAL_GATE
     vertices the identical recurrence runs driver-local instead (the
     5-round shuffle is pure fixed cost on a graph that small); both
-    paths are pinned bit-equal. Iterative → no SQL oracle
-    (rows-only at the driver); pinned exactly by tests/test_functions.py
+    paths are pinned bit-equal. Hash-checked at the driver against
+    ``pagerank_oracle_sql`` (round 5: the integer-frozen recurrence
+    unrolls as chained CTEs) and pinned exactly by tests/test_functions.py
     ::test_pagerank_matches_numpy_replay. Output (vec_id, pr) int64,
     id-ordered."""
     from ray.data.aggregate import Sum
@@ -1518,8 +1520,153 @@ def pagerank_knn(
     return out
 
 
+# shared oracle fragment: the kNN digraph (identical to the knn_graph
+# oracle's edge derivation — that query is hash-green, certifying the SQL
+# edge set equals the persisted engine artifact)
+_KNN_EDGE_CTE = """
+c AS (
+  SELECT a.vec_id, b.vec_id AS nbr_id,
+         list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                CAST(b.embedding AS DOUBLE[])) AS cos
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+),
+r AS (SELECT vec_id, nbr_id,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY cos DESC, nbr_id) AS rank
+      FROM c),
+e AS (SELECT vec_id AS src, nbr_id AS dst FROM r WHERE rank <= {k})
+"""
+
+
+def pagerank_oracle_sql(k: int = KNN_GRAPH_K, iters: int = PR_ITERS) -> str:
+    """Exact DuckDB replay of ``pagerank_knn``: the recurrence is
+    integer-frozen (floor divisions over nonnegative int64 — SQL ``//``
+    agrees with numpy exactly), and ``iters`` is a fixed constant, so the
+    power iteration UNROLLS as chained CTEs — no recursion, no floats."""
+    edges = _KNN_EDGE_CTE.format(k=k)
+    rounds = []
+    for t in range(1, iters + 1):
+        prev = f"pr{t - 1}"
+        rounds.append(f"""pr{t} AS (
+  SELECT v.vec_id,
+         (SELECT base FROM k0)
+         + CAST(({PR_DAMP_NUM} * COALESCE(SUM(p.r // {k}), 0)) // {PR_DAMP_DEN} AS BIGINT) AS r
+  FROM v
+  LEFT JOIN e ON e.dst = v.vec_id
+  LEFT JOIN {prev} p ON p.vec_id = e.src
+  GROUP BY v.vec_id
+)""")
+    chain = ",\n".join(rounds)
+    return f"""
+WITH {edges},
+v AS (SELECT vec_id FROM embeddings),
+k0 AS (SELECT CAST({PR_TOTAL} // COUNT(*) AS BIGINT) AS init,
+              CAST((15 * ({PR_TOTAL} // COUNT(*))) // 100 AS BIGINT) AS base
+       FROM v),
+pr0 AS (SELECT vec_id, (SELECT init FROM k0) AS r FROM v),
+{chain}
+SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(r AS BIGINT) AS pr
+FROM pr{iters} ORDER BY vec_id
+"""
+
+
+_DIMS_CTE = "dims AS MATERIALIZED (SELECT i FROM (SELECT unnest(range(1, 257)) AS i) WHERE i <= (SELECT len(any_value(CAST(embedding AS DOUBLE[]))) FROM embeddings))"
+
+
+def kmeans_oracle_sql(k: int = KMEANS_K, iters: int = KMEANS_ITERS,
+                      decimals: int = 4) -> str:
+    """DuckDB replay of the frozen Lloyd's recipe in ``kmeans`` — the
+    iteration count is a constant so assign+update rounds unroll as CTE
+    pairs. The assignment score mirrors the engine's exact form
+    (−2·x·c + c·c, ties to the lowest cluster id); float partial-sum
+    order differs between the two engines but the output rounds to
+    ``decimals`` where all orders agree (the documented contract the
+    numpy-replay pytest already certifies)."""
+    rounds = []
+    for t in range(1, iters + 1):
+        rounds.append(f"""a{t} AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT e.vec_id, e.v, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY -2 * list_inner_product(e.v, c.v)
+                      + list_inner_product(c.v, c.v), c.cid) AS rn
+    FROM e CROSS JOIN c{t - 1} c
+  ) WHERE rn = 1
+),
+c{t} AS (
+  SELECT c.cid, CASE WHEN g.mv IS NULL THEN c.v ELSE g.mv END AS v
+  FROM c{t - 1} c LEFT JOIN (
+    SELECT cid, list(s / cnt ORDER BY dim) AS mv FROM (
+      SELECT a.cid, d.i AS dim, SUM(a.v[d.i]) AS s, COUNT(*) AS cnt
+      FROM a{t} a, dims d GROUP BY 1, 2
+    ) GROUP BY cid
+  ) g ON g.cid = c.cid
+)""")
+    chain = ",\n".join(rounds)
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+{_DIMS_CTE},
+c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v
+       FROM (SELECT * FROM e ORDER BY vec_id LIMIT {k})),
+{chain}
+SELECT CAST(c.cid AS BIGINT) AS cluster_id,
+       CAST(COALESCE(nv.cnt, 0) AS BIGINT) AS n_vecs,
+       CAST(d.i - 1 AS BIGINT) AS dim,
+       round(c.v[d.i], {decimals}) AS c
+FROM c{iters} c
+LEFT JOIN (SELECT cid, COUNT(*) AS cnt FROM a{iters} GROUP BY 1) nv
+       ON nv.cid = c.cid, dims d
+ORDER BY cluster_id, dim
+"""
+
+
 PCA_ITERS = 20
 PCA_DECIMALS = 4
+
+
+def top_pc_oracle_sql(iters: int = PCA_ITERS) -> str:
+    """DuckDB replay of ``embedding_top_pc``: exact moment fold (Σx,
+    Σxxᵀ over DOUBLE), then the fixed-count power iteration unrolled as
+    (matvec, normalize) CTE pairs. Loadings/eigenvalue round to
+    PCA_DECIMALS — power iteration contracts perturbations toward the
+    dominant eigenvector, so the cross-engine float-sum-order noise is
+    far below the rounding."""
+    rounds = []
+    for t in range(1, iters + 1):
+        # MATERIALIZED: each round is referenced by the next round AND by
+        # its own norm subquery — inlining would re-expand the whole chain
+        # (and re-open the parquet view) exponentially
+        rounds.append(f"""w{t} AS MATERIALIZED (
+  SELECT cm.i, SUM(cm.c * v{t - 1}.val) AS val
+  FROM cm JOIN v{t - 1} ON v{t - 1}.i = cm.j GROUP BY 1
+),
+v{t} AS MATERIALIZED (SELECT i, val / (SELECT sqrt(SUM(val * val)) FROM w{t}) AS val FROM w{t})""")
+    chain = ",\n".join(rounds)
+    last = f"v{iters}"
+    return f"""
+WITH e AS MATERIALIZED (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+{_DIMS_CTE},
+n AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM e),
+mu AS MATERIALIZED (SELECT d.i, SUM(e.v[d.i]) / (SELECT n FROM n) AS m
+       FROM e, dims d GROUP BY 1),
+cm AS MATERIALIZED (
+  SELECT s.i, s.j, s.sxx / (SELECT n FROM n) - m1.m * m2.m AS c
+  FROM (SELECT d1.i AS i, d2.i AS j, SUM(e.v[d1.i] * e.v[d2.i]) AS sxx
+        FROM e, dims d1, dims d2 GROUP BY 1, 2) s
+  JOIN mu m1 ON m1.i = s.i JOIN mu m2 ON m2.i = s.j
+),
+v0 AS (SELECT i, 1.0 / sqrt((SELECT COUNT(*) FROM dims)) AS val FROM dims),
+{chain},
+eig AS (SELECT SUM(a.val * cm.c * b.val) AS e
+        FROM cm JOIN {last} a ON a.i = cm.i JOIN {last} b ON b.i = cm.j),
+sgn AS (SELECT CASE WHEN (SELECT val FROM {last}
+                          ORDER BY abs(val) DESC, i LIMIT 1) < 0
+                    THEN -1.0 ELSE 1.0 END AS s)
+SELECT CAST(i - 1 AS BIGINT) AS dim,
+       round((SELECT s FROM sgn) * val, {PCA_DECIMALS}) AS loading,
+       round((SELECT e FROM eig), {PCA_DECIMALS}) AS eigenvalue
+FROM {last} ORDER BY dim
+"""
 
 
 def embedding_top_pc(sf_dir: str, iters: int = PCA_ITERS) -> pd.DataFrame:
@@ -1534,9 +1681,10 @@ def embedding_top_pc(sf_dir: str, iters: int = PCA_ITERS) -> pd.DataFrame:
     driver math is a pure function of the folded moments; float64
     moment sums are reduction-order exact to ~1 ulp, and loadings round
     to PCA_DECIMALS. Sign frozen: the loading with the largest absolute
-    value is made positive. Output (dim, loading, eigenvalue) — rows-only
-    at the driver (iterative); pinned by a numpy whole-corpus replay
-    test at matching tolerance."""
+    value is made positive. Output (dim, loading, eigenvalue) —
+    hash-checked at the driver against ``top_pc_oracle_sql`` (round 5)
+    and pinned by a numpy whole-corpus replay test at matching
+    tolerance."""
     emb_path = f"{sf_dir}/embeddings.parquet"
     ds = ray.data.read_parquet(emb_path, columns=["embedding"])
 

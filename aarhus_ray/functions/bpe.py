@@ -20,10 +20,11 @@ Rounds are inherently sequential (merge i+1's counts depend on merge i's
 rewrite) — the iteration is the algorithm, not a driver-side shortcut.
 State between rounds lives in the object store (materialized word table).
 
-No SQL oracle: iterative rewriting is not expressible as a DuckDB query
-over the base tables (the driver records a rows-only check); correctness
-is pinned by tests/test_functions.py::test_bpe_merges_match_sequential,
-a from-scratch sequential reference implementation.
+Correctness is pinned two ways: tests/test_functions.py::
+test_bpe_merges_match_sequential (a from-scratch sequential reference
+implementation), and — round 5 — an exact DuckDB oracle that UNROLLS the
+fixed merge count as chained CTEs (``merges_oracle_sql`` /
+``encode_oracle_sql``), so the driver hash-checks both ops.
 """
 
 from __future__ import annotations
@@ -37,6 +38,89 @@ from ray.data.aggregate import Sum
 from ..textnorm import tokenize_batch
 
 N_MERGES = 8  # frozen: merges learned by the driver query
+
+_TOKS_SQL = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+_MAX_WORD_SYMS = 128  # bound on symbols per word for the pair-unnest join
+
+
+def _merge_chain_sql(n_merges: int) -> str:
+    """The shared CTE chain for both BPE oracles: word-frequency table,
+    then ``n_merges`` UNROLLED (pair-count → argmax → rewrite) rounds.
+    Symbol sequences are carried as '(a) (bc) (d)' strings so the rewrite
+    is one RE2 ``regexp_replace(..., 'g')`` — global replace scans
+    left-to-right non-overlapping, exactly Python ``pat.sub`` with
+    Sennrich's lookaround pattern, and the paren wrapping enforces the
+    same symbol-boundary anchoring RE2's missing lookarounds would have
+    provided (symbols are [a-z0-9]+, so no regex escaping is needed).
+    Assumes the corpus supports all ``n_merges`` merges (true for any
+    real text; the engine's early-break path has no SQL analogue)."""
+    rounds = []
+    for t in range(1, n_merges + 1):
+        rounds.append(f"""p{t} AS MATERIALIZED (
+  SELECT l[j] AS "left", l[j + 1] AS "right", CAST(SUM(n) AS BIGINT) AS n
+  FROM (SELECT str_split(sym[2:-2], ') (') AS l, n FROM w{t - 1}),
+       (SELECT unnest(range(1, {_MAX_WORD_SYMS})) AS j)
+  WHERE j < len(l)
+  GROUP BY 1, 2
+),
+win{t} AS MATERIALIZED (SELECT "left", "right", n FROM p{t} ORDER BY n DESC, "left", "right" LIMIT 1),
+w{t} AS MATERIALIZED (
+  SELECT word, n,
+         regexp_replace(sym,
+           '\\(' || (SELECT "left" FROM win{t}) || '\\) \\(' || (SELECT "right" FROM win{t}) || '\\)',
+           '(' || (SELECT "left" FROM win{t}) || (SELECT "right" FROM win{t}) || ')',
+           'g') AS sym
+  FROM w{t - 1}
+)""")
+    chain = ",\n".join(rounds)
+    return f"""w0 AS MATERIALIZED (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS n,
+         trim(regexp_replace(word, '(.)', '(\\1) ', 'g')) AS sym
+  FROM (SELECT unnest({_TOKS_SQL}) AS word FROM documents)
+  GROUP BY word
+),
+{chain}"""
+
+
+def merges_oracle_sql(n_merges: int = N_MERGES) -> str:
+    """Exact DuckDB replay of ``learn_merges`` (see ``_merge_chain_sql``):
+    the learned merge table is a pure function of the corpus under the
+    frozen (count DESC, left, right) tie-break, which SQL reproduces
+    bitwise — counts are integers and symbols are ASCII (codepoint ==
+    byte order in both engines)."""
+    sel = "\n  UNION ALL ".join(
+        f'SELECT CAST({t - 1} AS BIGINT) AS merge_idx, "left", "right", n AS pair_count FROM win{t}'
+        for t in range(1, n_merges + 1)
+    )
+    return f"""
+WITH {_merge_chain_sql(n_merges)}
+SELECT * FROM (
+  {sel}
+) ORDER BY merge_idx
+"""
+
+
+def encode_oracle_sql(n_merges: int = N_MERGES) -> str:
+    """Exact DuckDB replay of ``encode_with_merges``: the final round's
+    vocabulary symbolization (w{n}) IS the post-merge encoding of every
+    word, so per-word unit counts are ``len(split(sym))`` and per-doc
+    fertility is one join + grouped sum (token-less docs zero-filled)."""
+    return f"""
+WITH {_merge_chain_sql(n_merges)},
+lens AS (
+  SELECT word, CAST(len(str_split(sym[2:-2], ') (')) AS BIGINT) AS units
+  FROM w{n_merges}
+),
+dt AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, {_TOKS_SQL} AS toks FROM documents),
+ex AS (SELECT doc_id, unnest(toks) AS word FROM dt),
+agg AS (SELECT e.doc_id, COUNT(*) AS n_tokens, SUM(l.units) AS units
+        FROM ex e JOIN lens l ON l.word = e.word GROUP BY 1)
+SELECT dt.doc_id,
+       CAST(COALESCE(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(a.units, 0) AS BIGINT) AS n_bpe_units
+FROM dt LEFT JOIN agg a ON a.doc_id = dt.doc_id
+ORDER BY dt.doc_id
+"""
 
 
 def _word_counts(sf_dir: str) -> ray.data.Dataset:
@@ -163,8 +247,9 @@ def encode_with_merges(sf_dir: str, n_merges: int = N_MERGES) -> pd.DataFrame:
     merge list and the word→length map are VOCABULARY-sized (built once,
     broadcast via ray.put); the corpus-side work is one stateless
     map_batches that looks tokens up with index_in + bincount — the
-    unigram-NLL scoring shape. Iterative training upstream → rows-only
-    at the driver; pinned by a from-scratch sequential re-encode test.
+    unigram-NLL scoring shape. Hash-checked at the driver against
+    ``encode_oracle_sql`` (round 5) and pinned by a from-scratch
+    sequential re-encode test.
     Output (doc_id, n_tokens, n_bpe_units), all int64."""
     import functools
     import re

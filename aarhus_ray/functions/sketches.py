@@ -356,6 +356,58 @@ def _cms_hash(keys: np.ndarray, row: int, w: int = CMS_W) -> np.ndarray:
     return (_mix64(keys ^ salt) % np.uint64(w)).astype(np.int64)
 
 
+_U64_MOD = 1 << 64
+
+
+def _sql_mul64(a_expr: str, const: int) -> str:
+    """Wrapping uint64 multiply by a constant, in DuckDB: split the
+    constant into 32-bit halves so every HUGEINT intermediate stays below
+    2^96 (a full 64×64 product would overflow HUGEINT's 2^127)."""
+    lo, hi = const & 0xFFFFFFFF, const >> 32
+    return (
+        f"CAST(((CAST({a_expr} AS HUGEINT) * {lo}) + "
+        f"(((CAST({a_expr} AS HUGEINT) * {hi}) % 4294967296) * 4294967296))"
+        f" % {_U64_MOD} AS UBIGINT)"
+    )
+
+
+def _sql_mix64(x_expr: str) -> str:
+    """splitmix64 finalizer as a DuckDB expression — validated term-by-term
+    against the numpy ``_mix64`` (same constants, shifts, wrap)."""
+    s1 = _sql_mul64(f"xor({x_expr}, ({x_expr}) >> 30)", 0xBF58476D1CE4E5B9)
+    s2 = _sql_mul64(f"xor({s1}, ({s1}) >> 27)", 0x94D049BB133111EB)
+    return f"xor({s2}, ({s2}) >> 31)"
+
+
+def count_min_oracle_sql(d: int = CMS_D, w: int = CMS_W, top: int = CMS_TOP) -> str:
+    """Exact DuckDB replay of ``count_min_user_counts`` — the sketch is a
+    pure integer function of the multiset and the frozen splitmix64 salts,
+    so est_n is SQL-expressible once the wrapping-uint64 hash is emulated
+    (``_sql_mix64``): bucket each distinct key per row-salt, sum true
+    counts into the (r, c) counter table, estimate = min over rows."""
+    rows = []
+    for r in range(d):
+        salt = int(np.uint64(0x9E3779B97F4A7C15) * np.uint64(2 * r + 1))
+        bucket = f"CAST(({_sql_mix64(f'xor(CAST(user_id AS UBIGINT), CAST({salt} AS UBIGINT))')}) % {w} AS BIGINT)"
+        rows.append(f"SELECT user_id, n, {r} AS r, {bucket} AS c FROM cnts")
+    h = "\n  UNION ALL ".join(rows)
+    return f"""
+WITH cnts AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1),
+h AS (
+  {h}
+),
+sk AS (SELECT r, c, CAST(SUM(n) AS BIGINT) AS cn FROM h GROUP BY 1, 2),
+est AS (SELECT h.user_id, MIN(sk.cn) AS est_n
+        FROM h JOIN sk ON sk.r = h.r AND sk.c = h.c GROUP BY 1),
+top AS (SELECT user_id, CAST(n AS BIGINT) AS exact_n FROM cnts
+        ORDER BY n DESC, user_id LIMIT {top})
+SELECT CAST(t.user_id AS BIGINT) AS user_id, t.exact_n,
+       CAST(e.est_n AS BIGINT) AS est_n
+FROM top t JOIN est e ON e.user_id = t.user_id
+ORDER BY exact_n DESC, user_id
+"""
+
+
 def count_min_user_counts(
     sf_dir: str, d: int = CMS_D, w: int = CMS_W, top: int = CMS_TOP,
 ) -> pd.DataFrame:
@@ -369,10 +421,11 @@ def count_min_user_counts(
     replay), and est ≥ exact always (one-sided error), est ≤ exact + εN
     with ε = e/w w.h.p. The exact side (anchor keys + true counts) is the
     same two-phase pre-aggregated groupby heavy_hitters_mg verifies.
-    Iterative-free but the estimate is sketch-valued → rows-only at the
-    driver; exactness of the anchor columns and the replay identity are
-    pinned by tests. Output (user_id, exact_n, est_n), exact_n DESC,
-    user_id ASC."""
+    The sketch is a pure integer function of the multiset and the
+    frozen salts, so since round 5 the whole row — est_n included — is
+    hash-checked against ``count_min_oracle_sql`` (splitmix64 emulated
+    in SQL); the replay identity is also pinned by tests. Output
+    (user_id, exact_n, est_n), exact_n DESC, user_id ASC."""
     from ray.data.aggregate import Sum
 
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])

@@ -43,12 +43,52 @@ def test_window_spans_every_operator_family():
 
 
 def test_window_oracle_coverage():
-    """Everything in the window has an exact oracle except the documented
-    rows-only-by-design iterative/approximate ops."""
-    rows_only_by_design = {"knn_pq", "knn_pagerank"}
+    """Round 5: EVERY window entry carries an exact oracle (the two
+    rows-only knn ops were swapped out for hash-checked reps)."""
     o = entry.oracle_sql()
-    missing = [
-        k for k in entry._DRIVER_WINDOW
-        if k not in o and k not in rows_only_by_design
-    ]
+    missing = [k for k in entry._DRIVER_WINDOW if k not in o]
     assert not missing, missing
+
+
+def test_rows_only_set_is_exactly_the_undoable_six():
+    """The registry ops without an oracle are exactly the six that are
+    approximate, batch-boundary-dependent, or float-iterative by
+    construction (SURVEY §8 op 190) — any regression that silently drops
+    an oracle, or a new op landing without one, fails here."""
+    q = entry.queries()
+    o = entry.oracle_sql()
+    assert set(o) <= set(q), sorted(set(o) - set(q))
+    assert set(q) - set(o) == {
+        "events_distinct_props_hll",
+        "docs_doclen_quantile_sketch",
+        "docs_target_classifier",
+        "knn_pq",
+        "knn_ivfpq",
+        "knn_graph_search",
+    }
+
+
+def test_sql_mix64_matches_numpy():
+    """The count_min oracle's splitmix64 emulation (wrapping uint64
+    multiply via 32-bit-split HUGEINT arithmetic) must agree with the
+    engine's numpy ``_mix64`` bit-for-bit, per row salt."""
+    import duckdb
+    import numpy as np
+
+    from aarhus_ray.functions.dedup import _mix64
+    from aarhus_ray.functions.sketches import CMS_W, _sql_mix64
+
+    con = duckdb.connect()
+    keys = np.array(
+        [0, 1, 7, 12345, 2**32, 2**63 - 1, 0xDEADBEEFCAFEBABE, 2**64 - 1],
+        dtype=np.uint64,
+    )
+    for r in range(4):
+        salt = int(np.uint64(0x9E3779B97F4A7C15) * np.uint64(2 * r + 1))
+        expect = (_mix64(keys ^ np.uint64(salt)) % np.uint64(CMS_W)).tolist()
+        exprs = ", ".join(
+            f"({_sql_mix64(f'xor(CAST({int(k)} AS UBIGINT), CAST({salt} AS UBIGINT))')}) % {CMS_W}"
+            for k in keys
+        )
+        got = [int(v) for v in con.execute(f"SELECT {exprs}").fetchone()]
+        assert got == expect, (r, got, expect)
