@@ -236,6 +236,7 @@ def build_index(
     concurrency: int | None = None,
     pid_offset: int = 0,
     positions: bool = False,
+    exchange: str | None = None,
 ) -> dict:
     """Build the inverted index; returns the stats dict.
 
@@ -250,8 +251,26 @@ def build_index(
     docID blobs. Costs ~1 byte/token of extra shuffle + storage (the
     standard positional-index overhead); enables index-native phrase
     matching (no checkpoint re-tokenization at query time). Default off —
-    the default index layout stays byte-identical to the goldens."""
+    the default index layout stays byte-identical to the goldens.
+
+    ``exchange`` picks the fused path's partial→segment exchange:
+    ``"disk"`` (default) writes per-pid map-output IPC files (one record
+    batch per bucket, bucket index in the footer) and assembles each
+    bucket from random-access reads — no object-store sort-shuffle, and
+    the partials directory doubles as a resumable shuffle checkpoint
+    (measured at the 100k-page bench config: 10.9-11.4s sort vs
+    8.4-8.7s disk, interleaved pairs); ``"sort"`` keeps the
+    groupby("bucket") sort-shuffle (the path a multi-node object store
+    with locality-aware reduce placement would prefer when map outputs
+    can't land on shared storage). Segments are byte-identical either
+    way (verified at fixture and bench scale). Env AARHUS_BUILD_EXCHANGE
+    overrides the default; deliberately NOT in cfg.json — it changes
+    nothing the resume drift guard protects."""
     cpus = concurrency or _cpus()
+    if exchange is None:
+        exchange = os.environ.get("AARHUS_BUILD_EXCHANGE", "disk")
+    if exchange not in ("sort", "disk"):
+        raise ValueError(f"exchange must be 'sort' or 'disk', got {exchange!r}")
     cfg = {
         "P": num_partitions,
         "S": num_segments,
@@ -348,13 +367,38 @@ def build_index(
         encoder = PostingsEncoder(
             boundaries, heavy, num_partitions, n_salts, pid_offset, positions=positions
         )
-        partials = _pages_pipeline().groupby("pid").map_groups(
-            DedupAssignWriter(out_dir, encoder=encoder), batch_format="pyarrow"
-        )
-        seg_manifest = partials.groupby("bucket").map_groups(
-            AssembleSegment(out_dir), batch_format="pyarrow"
-        )
-        rows = seg_manifest.take_all()
+        if exchange == "disk":
+            # disk exchange: phase 1 writes per-pid map-output files (one
+            # IPC batch per bucket), phase 2 assembles each bucket from
+            # random-access reads — no sort-shuffle, no object-store
+            # all-to-all (SURVEY §8 round-5 deltas; VERDICT r4 Next #4)
+            import functools
+
+            from ..stages.postings_stage import assemble_from_disk_batch
+
+            _pages_pipeline().groupby("pid").map_groups(
+                DedupAssignWriter(out_dir, encoder=encoder, partials_to_disk=True),
+                batch_format="pyarrow",
+            ).count()
+            n_buckets = (len(boundaries) + 1) * max(1, n_salts)
+            # plain tasks, one bucket-id block each: re-opening the mmapped
+            # footers per task is ~ms; an actor pool would cost ~2s spawn
+            # (CLAUDE.md short-pipeline gotcha)
+            seg_manifest = ray.data.range(
+                n_buckets, override_num_blocks=n_buckets
+            ).map_batches(
+                functools.partial(assemble_from_disk_batch, out_dir=out_dir),
+                batch_format="pyarrow",
+            )
+            rows = seg_manifest.take_all()
+        else:
+            partials = _pages_pipeline().groupby("pid").map_groups(
+                DedupAssignWriter(out_dir, encoder=encoder), batch_format="pyarrow"
+            )
+            seg_manifest = partials.groupby("bucket").map_groups(
+                AssembleSegment(out_dir), batch_format="pyarrow"
+            )
+            rows = seg_manifest.take_all()
         with open(os.path.join(out_dir, PHASE_A_MARKER), "w") as f:
             f.write("done\n")
         _phase_log(f"fused build DAG {_time.perf_counter() - _t0:.1f}s")
@@ -409,6 +453,11 @@ def build_index(
 
     if not glob.glob(os.path.join(out_dir, "docs", "pid=*.parquet")):
         raise ValueError(f"no documents survived the build from {input_path}")
+
+    # shuffle checkpoint no longer needed once every segment is assembled;
+    # cleaned here (common to both paths) so a crash-then-resume through
+    # the two-phase path can't strand a stale partials/ dir
+    shutil.rmtree(os.path.join(out_dir, "partials"), ignore_errors=True)
 
     # ---- global stats: fold the dedup manifest rows (partial aggregation
     # at the source — no extra Ray job). manifest.jsonl is append-only, so

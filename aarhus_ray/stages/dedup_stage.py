@@ -56,10 +56,42 @@ class DedupAssignWriter:
     manifest row as before.
     """
 
-    def __init__(self, out_dir: str, encoder=None):
+    def __init__(self, out_dir: str, encoder=None, partials_to_disk: bool = False):
         self.out_dir = out_dir
         self.encoder = encoder  # PostingsEncoder for the fused path
+        # disk-exchange mode (round 5): instead of returning partial rows
+        # into a groupby("bucket") sort-shuffle, write ONE Arrow IPC file
+        # per pid with one record batch per bucket (the classic external-
+        # shuffle map-output file + index: bucket ids ride in the schema
+        # metadata, readers random-access just their batch). The reduce
+        # side is AssembleFromDisk. Output is byte-identical either way —
+        # AssembleSegment sorts by (term, min_doc_id) internally.
+        self.partials_to_disk = partials_to_disk
         self.__name__ = "DedupAssignWriter"  # map_groups wraps plain callables
+
+    def _write_partials(self, pid: int, partials: pa.Table) -> None:
+        import json as _json
+
+        import pyarrow.compute as pc
+        import pyarrow.ipc as ipc
+
+        pdir = os.path.join(self.out_dir, "partials")
+        os.makedirs(pdir, exist_ok=True)
+        path = os.path.join(pdir, f"pid={pid:04d}.arrow")
+        bcol = partials["bucket"].combine_chunks() if len(partials) else None
+        buckets = (
+            sorted(set(bcol.to_pylist())) if bcol is not None and len(partials) else []
+        )
+        schema = partials.schema.with_metadata(
+            {b"buckets": _json.dumps(buckets).encode()}
+        )
+        tmp = path + ".tmp"
+        with ipc.RecordBatchFileWriter(tmp, schema) as w:
+            for b in buckets:
+                w.write_table(
+                    partials.filter(pc.equal(partials["bucket"], b)).combine_chunks()
+                )
+        os.replace(tmp, path)
 
     def __call__(self, group: pa.Table) -> pa.Table:
         from ..affinity import pin_worker
@@ -125,7 +157,11 @@ class DedupAssignWriter:
         mf.append_manifest(self.out_dir, row)
         if self.encoder is not None:
             # flat pairs already computed for doclens — no second tokenize pass
-            return self.encoder.encode_flat(flat_terms, flat_docs)
+            partials = self.encoder.encode_flat(flat_terms, flat_docs)
+            if not self.partials_to_disk:
+                return partials
+            self._write_partials(pid, partials)
+            return pa.table({"pid": pa.array([pid], pa.uint32())})
         return pa.table(
             {
                 "stage": ["docs"],

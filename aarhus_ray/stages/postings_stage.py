@@ -499,3 +499,63 @@ class AssembleSegment:
                 "status": [status],
             }
         )
+
+
+class AssembleFromDisk:
+    """Disk-exchange reduce side (round 5, VERDICT r4 Next #4): replaces
+    the ``groupby("bucket").map_groups(AssembleSegment)`` sort-shuffle in
+    the fused build with the classic external-shuffle layout — each
+    DedupAssignWriter task wrote one Arrow IPC file per pid with one
+    record batch per bucket (bucket index in the footer metadata), and
+    this stage, mapped over a bucket-id Dataset, random-accesses exactly
+    its batch from every file (zero-copy mmap reads, no object-store
+    exchange, no boundary sampling). Segments are byte-identical to the
+    sort path: AssembleSegment orders by (term, min_doc_id) internally
+    and partials of one (term, bucket) own disjoint docID ranges. At
+    cluster scale the partials directory lives on shared storage and
+    doubles as a resumable shuffle checkpoint."""
+
+    def __init__(self, out_dir: str, skip_segs: tuple[int, ...] = ()):
+        self.out_dir = out_dir
+        self.inner = AssembleSegment(out_dir, skip_segs)
+        self._readers = None  # (reader, {bucket: batch_idx}) per pid file
+
+    def _open(self):
+        import glob as _glob
+        import json as _json
+
+        import pyarrow.ipc as ipc
+
+        readers = []
+        for path in sorted(_glob.glob(os.path.join(self.out_dir, "partials", "pid=*.arrow"))):
+            r = ipc.RecordBatchFileReader(pa.memory_map(path))
+            meta = r.schema.metadata or {}
+            buckets = _json.loads(meta.get(b"buckets", b"[]"))
+            readers.append((r, {int(b): i for i, b in enumerate(buckets)}))
+        self._readers = readers
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self._readers is None:
+            self._open()
+        outs = []
+        for sid in batch["id"].to_pylist():
+            # strip per-file footer metadata (the bucket index differs per
+            # pid) so the batches share one schema
+            parts = [
+                r.get_batch(idx[sid]).replace_schema_metadata(None)
+                for r, idx in self._readers
+                if sid in idx
+            ]
+            if parts:
+                outs.append(self.inner(pa.Table.from_batches(parts)))
+        if not outs:
+            return AssembleSegment._manifest_table(0, 0, 0, 0, 0.0, "empty").slice(0, 0)
+        return pa.concat_tables(outs)
+
+
+def assemble_from_disk_batch(batch: pa.Table, *, out_dir: str) -> pa.Table:
+    """Task-shaped wrapper around AssembleFromDisk (use with
+    ``functools.partial``): opens the map-output footers fresh per task —
+    milliseconds of mmap work, and immune to stale-reader reuse when the
+    same out_dir is rebuilt inside a reused worker process."""
+    return AssembleFromDisk(out_dir)(batch)

@@ -2384,3 +2384,35 @@ def test_salt_count_query_invariance(tmp_path):
     assert len(a) == len(b) > 0
     assert (a["doc_id"].to_numpy() == b["doc_id"].to_numpy()).all()
     assert (a["score"].to_numpy() == b["score"].to_numpy()).all()
+
+
+def test_exchange_disk_equals_sort_byte_identical(tmp_path):
+    """The round-5 disk exchange (per-pid map-output IPC files + per-bucket
+    random-access assembly) must produce byte-identical segments to the
+    groupby("bucket") sort-shuffle — AssembleSegment orders by
+    (term, min_doc_id) internally and partials of one (term, bucket) own
+    disjoint docID ranges, so the exchange is pure plumbing."""
+    import hashlib
+    import os
+
+    pages = str(tmp_path / "pages")
+    fixtures.write_pages_dir(pages, 300, seed=21, rows_per_file=100)
+
+    def seg_hashes(out):
+        h = {}
+        seg_root = os.path.join(out, "segments")
+        for root, _, files in os.walk(seg_root):
+            for f in sorted(files):
+                p = os.path.join(root, f)
+                with open(p, "rb") as fh:
+                    h[os.path.relpath(p, seg_root)] = hashlib.md5(fh.read()).hexdigest()
+        return h
+
+    s1 = build_index(pages, str(tmp_path / "idx_sort"), num_partitions=4,
+                     num_segments=2, n_salts=2, exchange="sort")
+    s2 = build_index(pages, str(tmp_path / "idx_disk"), num_partitions=4,
+                     num_segments=2, n_salts=2, exchange="disk")
+    assert s1["n_docs"] == s2["n_docs"]
+    assert seg_hashes(str(tmp_path / "idx_sort")) == seg_hashes(str(tmp_path / "idx_disk"))
+    # the shuffle checkpoint is cleaned up after assembly
+    assert not os.path.isdir(os.path.join(str(tmp_path / "idx_disk"), "partials"))
