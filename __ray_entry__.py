@@ -57,7 +57,10 @@ _DRIVER_WINDOW = [
     "fulltext_bm25_phrase_topk", "fulltext_bm25_boolean_topk",
     "fulltext_bm25_fuzzy_topk", "fulltext_hybrid_rrf", "fulltext_explain",
     "fulltext_date_histogram", "fulltext_composite_agg",
-    "fulltext_bm25_incremental", "fulltext_export_matches",
+    # lifecycle composite (round 5): add->delete->compact in one op —
+    # supersets the incremental slot it replaced (incremental stays in
+    # the registry body, same oracle family)
+    "fulltext_lifecycle", "fulltext_export_matches",
     # TPC-H relational core (SURVEY §2.4-2.6)
     "q1_pricing_summary", "q3_shipping_priority", "customers_without_orders",
     # events / windows core (SURVEY §2.10)
@@ -512,6 +515,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # delete-compact lifecycle: tombstone 1/5 of docs, compact (purge +
         # stats recompute), query — must equal a fresh build over survivors
         "fulltext_bm25_deleted": fulltext.bm25_topk_deleted,
+        # full lifecycle composite: base build + delta generation +
+        # url-resolved deletes across generations + compaction — one
+        # survivors-only hash pins maintain.py end to end (round 5)
+        "fulltext_lifecycle": fulltext.bm25_topk_lifecycle,
         # _forcemerge/_shrink: compact to one segment, ranking unchanged
         "fulltext_force_merge": fulltext.bm25_topk_force_merged,
         # snapshot -> mutate source -> restore: PIT isolation certified
@@ -2680,6 +2687,7 @@ def oracle_sql() -> dict[str, str]:
         "fulltext_top_metrics": fulltext.top_metrics_oracle_sql(),
         "fulltext_phrase_prefix": fulltext.bm25_phrase_prefix_oracle_sql(),
         "fulltext_bm25_deleted": fulltext.bm25_deleted_oracle_sql(),
+        "fulltext_lifecycle": fulltext.bm25_deleted_oracle_sql(),
         # force-merge must be invisible to scoring: same full-corpus
         # oracle as fulltext_bm25_topk, answered off the merged layout
         "fulltext_force_merge": fulltext.bm25_oracle_sql(),

@@ -340,6 +340,42 @@ def bm25_deleted_oracle_sql(k: int = 10) -> str:
     return bm25_oracle_sql(k, where=f"doc_id % {DELETE_MOD} <> 0")
 
 
+def bm25_topk_lifecycle(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """The FULL index lifecycle as one driver-visible composite (VERDICT
+    r4 Next #8): build the base over the first half of documents, graft
+    the second half in as a delta GENERATION (pipelines/maintain.
+    add_documents — disjoint doc space, shared plan, folded stats),
+    delete every doc whose source doc_id % DELETE_MOD == 0 (url-resolved
+    tombstones across BOTH generations), compact (purge + stats/df
+    recompute + generation merge), then answer FT_QUERIES. The oracle is
+    the same survivors-only BM25 replay as fulltext_bm25_deleted: after
+    add→delete→compact the index must be indistinguishable from a fresh
+    build over exactly the surviving corpus — one hash pins the whole
+    maintain.py lifecycle end to end (the pieces are pinned separately
+    by bm25_topk_incremental / _deleted / tests/test_maintain.py)."""
+    from ..pipelines.maintain import add_documents, compact_index, delete_documents
+
+    work = _work_dir(sf_dir) + "_life"
+    shutil.rmtree(work, ignore_errors=True)
+    pages_all = os.path.join(work, "pages_all", "part-0000.parquet")
+    docs_as_pages(sf_dir, pages_all)
+    full = pq.read_table(pages_all)
+    half = full.num_rows // 2
+    dir_a = os.path.join(work, "pages_a")
+    dir_b = os.path.join(work, "pages_b")
+    os.makedirs(dir_a), os.makedirs(dir_b)
+    pq.write_table(full.slice(0, half), os.path.join(dir_a, "part-0000.parquet"))
+    pq.write_table(full.slice(half), os.path.join(dir_b, "part-0000.parquet"))
+    index = os.path.join(work, "index")
+    build_index(dir_a, index, num_partitions=8, num_segments=2, n_salts=2)
+    add_documents(index, dir_b, num_partitions=4)
+    src = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    dead = [doc_url(i) for i in src["doc_id"].to_pylist() if i % DELETE_MOD == 0]
+    delete_documents(index, urls=dead)
+    compact_index(index)
+    return _run_queries(index, FT_QUERIES, k, "or")
+
+
 def bm25_topk_snapshot_pit(sf_dir: str, k: int = 10) -> pd.DataFrame:
     """Snapshot isolation, driver-visible (ES point-in-time + _snapshot
     composed): copy the cached index, SNAPSHOT it (checksummed catalog),

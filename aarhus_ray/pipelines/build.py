@@ -380,6 +380,8 @@ def build_index(
                 DedupAssignWriter(out_dir, encoder=encoder, partials_to_disk=True),
                 batch_format="pyarrow",
             ).count()
+            _phase_log(f"disk phase 1 (extract+encode+map-out) {_time.perf_counter() - _t0:.1f}s")
+            _t1 = _time.perf_counter()
             n_buckets = (len(boundaries) + 1) * max(1, n_salts)
             # plain tasks, one bucket-id block each: re-opening the mmapped
             # footers per task is ~ms; an actor pool would cost ~2s spawn
@@ -391,6 +393,7 @@ def build_index(
                 batch_format="pyarrow",
             )
             rows = seg_manifest.take_all()
+            _phase_log(f"disk phase 2 (assemble) {_time.perf_counter() - _t1:.1f}s")
         else:
             partials = _pages_pipeline().groupby("pid").map_groups(
                 DedupAssignWriter(out_dir, encoder=encoder), batch_format="pyarrow"

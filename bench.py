@@ -171,6 +171,12 @@ def run_once() -> dict:
             # the Matryoshka two-stage scan
             "docs_from_warc",
             "knn_mrl",
+            # round-5 additions: phrase path head-to-head (checkpoint
+            # re-tokenize vs positional sidecar — VERDICT r4 Next #7),
+            # and the add->delete->compact lifecycle composite (#8)
+            "fulltext_bm25_phrase_topk",
+            "fulltext_bm25_phrase_positional",
+            "fulltext_lifecycle",
         ):
             qs[name](sf_dir)
             t0 = time.perf_counter()
