@@ -2416,3 +2416,25 @@ def test_exchange_disk_equals_sort_byte_identical(tmp_path):
     assert seg_hashes(str(tmp_path / "idx_sort")) == seg_hashes(str(tmp_path / "idx_disk"))
     # the shuffle checkpoint is cleaned up after assembly
     assert not os.path.isdir(os.path.join(str(tmp_path / "idx_disk"), "partials"))
+
+
+def test_exchange_disk_handles_empty_buckets(tmp_path):
+    """A tiny corpus with many salts leaves some (seg, salt) buckets with
+    zero partials; the disk-exchange assemble must skip them (no segment
+    dir, no manifest row) and queries must still answer — same contract
+    as the sort path, where an empty group simply never forms."""
+    import os
+
+    pages = str(tmp_path / "pages")
+    fixtures.write_pages_dir(pages, 40, seed=5, rows_per_file=40)
+    out = str(tmp_path / "idx")
+    stats = build_index(pages, out, num_partitions=2, num_segments=2,
+                        n_salts=8, exchange="disk")
+    assert stats["n_docs"] > 0
+    n_buckets = 2 * 8
+    present = len(os.listdir(os.path.join(out, "segments")))
+    assert 0 < present <= n_buckets
+    from aarhus_ray.pipelines.query import query_index
+
+    q = fixtures.gen_queries(5, seed=1)
+    assert query_index(out, q, k=3, resolve_urls=False).count() > 0
