@@ -82,9 +82,10 @@ _DRIVER_WINDOW = [
     "docs_substring_dups", "docs_dup_clusters",
     "embedding_near_dup_pairs", "embedding_semdedup_drops",
     # ANN / embeddings — every slot here must carry an exact DuckDB oracle
-    # (the driver's 50-row sample is the attestation budget; knn_pq /
-    # knn_pagerank are rows-only by construction and live in the registry
-    # body instead, pinned by their pytest replays)
+    # (the driver's 50-row sample is the attestation budget; knn_pq is
+    # rows-only by construction and lives in the registry body — as does
+    # knn_pagerank, which since round 5 is hash-checked there via
+    # pagerank_oracle_sql)
     "knn_cosine_bruteforce", "knn_cosine_lsh", "knn_ivf", "knn_mrl",
     "knn_graph", "knn_bbq",
     # multimodal: the REAL codec path (round 4) over the plumbing fake

@@ -1570,7 +1570,13 @@ FROM pr{iters} ORDER BY vec_id
 """
 
 
-_DIMS_CTE = "dims AS MATERIALIZED (SELECT i FROM (SELECT unnest(range(1, 257)) AS i) WHERE i <= (SELECT len(any_value(CAST(embedding AS DOUBLE[]))) FROM embeddings))"
+# 1-based dimension indices, driven by the table's own vector length (no
+# hardcoded dim cap — a silent truncation here would make the oracle wrong,
+# not fail)
+_DIMS_CTE = (
+    "dims AS MATERIALIZED (SELECT unnest(range(1, "
+    "(SELECT len(any_value(CAST(embedding AS DOUBLE[]))) + 1 FROM embeddings))) AS i)"
+)
 
 
 def kmeans_oracle_sql(k: int = KMEANS_K, iters: int = KMEANS_ITERS,

@@ -40,7 +40,6 @@ from ..textnorm import tokenize_batch
 N_MERGES = 8  # frozen: merges learned by the driver query
 
 _TOKS_SQL = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
-_MAX_WORD_SYMS = 128  # bound on symbols per word for the pair-unnest join
 
 
 def _merge_chain_sql(n_merges: int) -> str:
@@ -57,10 +56,10 @@ def _merge_chain_sql(n_merges: int) -> str:
     rounds = []
     for t in range(1, n_merges + 1):
         rounds.append(f"""p{t} AS MATERIALIZED (
-  SELECT l[j] AS "left", l[j + 1] AS "right", CAST(SUM(n) AS BIGINT) AS n
-  FROM (SELECT str_split(sym[2:-2], ') (') AS l, n FROM w{t - 1}),
-       (SELECT unnest(range(1, {_MAX_WORD_SYMS})) AS j)
-  WHERE j < len(l)
+  SELECT pr[1] AS "left", pr[2] AS "right", CAST(SUM(n) AS BIGINT) AS n
+  FROM (SELECT unnest(list_zip(l, l[2:])) AS pr, n
+        FROM (SELECT str_split(sym[2:-2], ') (') AS l, n FROM w{t - 1}))
+  WHERE pr[2] IS NOT NULL
   GROUP BY 1, 2
 ),
 win{t} AS MATERIALIZED (SELECT "left", "right", n FROM p{t} ORDER BY n DESC, "left", "right" LIMIT 1),

@@ -65,8 +65,15 @@ def events_dedup_keep_latest(sf_dir: str) -> pd.DataFrame:
     ds = _events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
 
     def keep_latest(df: pd.DataFrame) -> pd.DataFrame:
-        ts_us = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
-        eid = df["event_id"].to_numpy(np.int64)
+        # sign-bit flip = the order-preserving int64→uint64 map, so
+        # pre-epoch timestamps / negative ids still sort correctly in the
+        # byte packing (a plain cast would wrap them to maximal)
+        bias = np.uint64(1 << 63)
+        ts_us = (
+            df["ts"].astype("datetime64[us]").astype("int64").to_numpy().astype(np.uint64)
+            ^ bias
+        )
+        eid = df["event_id"].to_numpy(np.int64).astype(np.uint64) ^ bias
         packed = np.frombuffer(
             np.stack([ts_us, eid], axis=1).astype(">u8").tobytes(), dtype="S16"
         )
@@ -90,7 +97,9 @@ def events_dedup_keep_latest(sf_dir: str) -> pd.DataFrame:
         # NULs (numpy S-dtype semantics; ordering is unaffected because the
         # stripped value is a prefix) — np.array(..., "S16") re-pads them
         raw = np.array(agg["packed"].to_numpy(), dtype="S16").view(">u8").reshape(-1, 2)
-        agg["event_id"] = raw[:, 1].astype(np.int64)
+        agg["event_id"] = (
+            raw[:, 1].astype(np.uint64) ^ np.uint64(1 << 63)
+        ).astype(np.int64)
     else:
         agg["event_id"] = np.empty(0, np.int64)
     out = agg[["user_id", "event_type", "event_id"]]

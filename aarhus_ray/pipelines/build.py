@@ -51,6 +51,11 @@ PHASE_A_MARKER = "_DOCS_DONE"
 INDEX_MARKER = "_INDEX_DONE"
 
 
+def _after_disk_phase1() -> None:
+    """No-op seam between the disk-exchange map-out barrier and assembly;
+    tests monkeypatch it to inject a crash and exercise resume."""
+
+
 def _phase_log(msg: str) -> None:
     """Phase timing to stderr when AARHUS_BUILD_TIMING=1 (debug/bench aid)."""
     if os.environ.get("AARHUS_BUILD_TIMING"):
@@ -381,6 +386,7 @@ def build_index(
                 batch_format="pyarrow",
             ).count()
             _phase_log(f"disk phase 1 (extract+encode+map-out) {_time.perf_counter() - _t0:.1f}s")
+            _after_disk_phase1()  # test seam (monkeypatched fault injection)
             _t1 = _time.perf_counter()
             n_buckets = (len(boundaries) + 1) * max(1, n_salts)
             # plain tasks, one bucket-id block each: re-opening the mmapped

@@ -515,28 +515,23 @@ class AssembleFromDisk:
     cluster scale the partials directory lives on shared storage and
     doubles as a resumable shuffle checkpoint."""
 
-    def __init__(self, out_dir: str, skip_segs: tuple[int, ...] = ()):
-        self.out_dir = out_dir
-        self.inner = AssembleSegment(out_dir, skip_segs)
-        self._readers = None  # (reader, {bucket: batch_idx}) per pid file
-
-    def _open(self):
+    def __init__(self, out_dir: str):
         import glob as _glob
         import json as _json
 
         import pyarrow.ipc as ipc
 
-        readers = []
-        for path in sorted(_glob.glob(os.path.join(self.out_dir, "partials", "pid=*.arrow"))):
+        self.out_dir = out_dir
+        self.inner = AssembleSegment(out_dir)
+        # (reader, {bucket: batch_idx}) per pid map-output file
+        self._readers = []
+        for path in sorted(_glob.glob(os.path.join(out_dir, "partials", "pid=*.arrow"))):
             r = ipc.RecordBatchFileReader(pa.memory_map(path))
             meta = r.schema.metadata or {}
             buckets = _json.loads(meta.get(b"buckets", b"[]"))
-            readers.append((r, {int(b): i for i, b in enumerate(buckets)}))
-        self._readers = readers
+            self._readers.append((r, {int(b): i for i, b in enumerate(buckets)}))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self._readers is None:
-            self._open()
         outs = []
         for sid in batch["id"].to_pylist():
             # strip per-file footer metadata (the bucket index differs per

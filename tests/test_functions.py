@@ -3399,3 +3399,47 @@ def test_logreg_matches_sequential_replay():
         assert conf.loc[s, "n_docs"] == m.sum()
         assert conf.loc[s, "n_pred_target"] == pred[m].sum()
         assert conf.loc[s, "n_correct"] == (pred[m] == y[m].astype(int)).sum()
+
+
+def test_events_dedup_keep_latest_handles_negative_ts_and_ids(tmp_path):
+    """The byte-packed Max reduction must order pre-epoch timestamps and
+    negative event ids correctly (sign-bit-flip uint64 mapping); a plain
+    uint64 cast would wrap negatives to maximal and crown the OLDEST row."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from aarhus_ray.functions.windows import events_dedup_keep_latest
+
+    df = pd.DataFrame(
+        {
+            "event_id": [-5, 7, 3, -9, 2, 11],
+            "ts": pd.to_datetime(
+                [
+                    "1969-06-01",  # pre-epoch: negative int64 us
+                    "1969-07-01",
+                    "2024-01-01",
+                    "2024-01-01",
+                    "1969-06-01",
+                    "2024-02-02",
+                ]
+            ).astype("datetime64[us]"),
+            "user_id": [1, 1, 2, 2, 1, 3],
+            "event_type": ["a", "a", "b", "b", "a", "c"],
+            "value": [0.0] * 6,
+            "props": [""] * 6,
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / "events.parquet"))
+    out = events_dedup_keep_latest(str(tmp_path))
+    # replay: winner = max (ts, event_id) per (user_id, event_type)
+    ref = (
+        df.sort_values(["user_id", "event_type", "ts", "event_id"])
+        .groupby(["user_id", "event_type"], sort=True)
+        .tail(1)[["user_id", "event_type", "event_id"]]
+        .sort_values(["user_id", "event_type"])
+        .reset_index(drop=True)
+    )
+    assert out["event_id"].tolist() == ref["event_id"].tolist() == [7, 3, 11]

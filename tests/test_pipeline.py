@@ -2438,3 +2438,50 @@ def test_exchange_disk_handles_empty_buckets(tmp_path):
 
     q = fixtures.gen_queries(5, seed=1)
     assert query_index(out, q, k=3, resolve_urls=False).count() > 0
+
+
+def test_exchange_disk_crash_after_phase1_resumes_identical(tmp_path, monkeypatch):
+    """Kill the disk-exchange build between the map-out barrier and
+    assembly (docs/ + partials/ written, no segments): resume must finish
+    through the two-phase checkpoint path, produce byte-identical
+    segments to an uninterrupted build, and clean the stale partials/."""
+    import hashlib
+    import os
+
+    import pytest as _pytest
+
+    pages = str(tmp_path / "pages")
+    fixtures.write_pages_dir(pages, 300, seed=21, rows_per_file=100)
+
+    def seg_hashes(out):
+        h = {}
+        seg_root = os.path.join(out, "segments")
+        for root, _, files in os.walk(seg_root):
+            for f in sorted(files):
+                p = os.path.join(root, f)
+                with open(p, "rb") as fh:
+                    h[os.path.relpath(p, seg_root)] = hashlib.md5(fh.read()).hexdigest()
+        return h
+
+    ref = str(tmp_path / "idx_ref")
+    build_index(pages, ref, num_partitions=4, num_segments=2, n_salts=2)
+
+    crash = str(tmp_path / "idx_crash")
+    from aarhus_ray.pipelines import build as build_mod
+
+    def boom():
+        raise RuntimeError("injected crash after disk-exchange phase 1")
+
+    monkeypatch.setattr(build_mod, "_after_disk_phase1", boom)
+    with _pytest.raises(RuntimeError, match="injected crash"):
+        build_index(pages, crash, num_partitions=4, num_segments=2,
+                    n_salts=2, exchange="disk")
+    monkeypatch.setattr(build_mod, "_after_disk_phase1", lambda: None)
+    assert os.path.isdir(os.path.join(crash, "partials"))  # stale checkpoint
+    assert not os.path.isdir(os.path.join(crash, "segments", "seg=0000"))
+
+    stats = build_index(pages, crash, num_partitions=4, num_segments=2,
+                        n_salts=2, resume=True)
+    assert stats["n_docs"] > 0
+    assert seg_hashes(crash) == seg_hashes(ref)
+    assert not os.path.isdir(os.path.join(crash, "partials"))
