@@ -453,6 +453,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # span_containing: big span must CONTAIN a little occurrence —
         # span_not's dual (widest-achievable-window kernel)
         "fulltext_bm25_span_containing": fulltext.bm25_topk_span_containing,
+        # span_or: union of COMPLETE span clauses (intervals is per-slot
+        # SpanOr inside one SpanNear — this is the other composition)
+        "fulltext_bm25_span_or": fulltext.bm25_topk_span_or,
+        # span_within: span_containing's dual — the INNER span is kept
+        # and scored (little terms), enclosure via _within_span_exists
+        "fulltext_bm25_span_within": fulltext.bm25_topk_span_within,
         # stats_bucket sibling pipeline agg over the date_histogram
         "fulltext_stats_bucket": fulltext.stats_bucket_query,
         # ES intervals query: ordered any_of slots ('a|b c') within
@@ -2661,6 +2667,8 @@ def oracle_sql() -> dict[str, str]:
         "fulltext_bm25_span_near": fulltext.bm25_span_near_oracle_sql(),
         "fulltext_bm25_span_not": fulltext.bm25_span_not_oracle_sql(),
         "fulltext_bm25_span_containing": fulltext.bm25_span_containing_oracle_sql(),
+        "fulltext_bm25_span_or": fulltext.bm25_span_or_oracle_sql(),
+        "fulltext_bm25_span_within": fulltext.bm25_span_within_oracle_sql(),
         "fulltext_stats_bucket": fulltext.stats_bucket_oracle_sql(),
         "fulltext_bm25_intervals": fulltext.bm25_intervals_oracle_sql(),
         "fulltext_top_hits": fulltext.top_hits_oracle_sql(),

@@ -209,6 +209,35 @@ FT_SPAN_CONTAININGS = (
     "the query @ scan row",
 )
 
+# Frozen span_or query set: ``seq1 | seq2 | …`` — union of COMPLETE span
+# clauses (the other Lucene SpanOr composition; intervals is SpanOr per
+# slot INSIDE one SpanNear). Exercises the both-orders union (a superset
+# of each span_near result), a multi-token∪single-token union, a dead
+# alternative dropping silently, the idempotent self-union (== span_near,
+# pinned by test), and the all-dead empty.
+FT_SPAN_ORS = (
+    "query the | the query",
+    "customer slow batch | vector",
+    "zzznotinvocab table | key value",
+    "vector | vector",
+    "zzznotinvocab | zzzalsodead",
+)
+
+# Frozen span_within query set: ``little_seq < big_seq`` — the dual of
+# span_containing (the kept span is the INNER one; scoring follows it).
+# Exercises a little that is itself a big member (every big window
+# encloses its own pick), a DISJOINT little that must land inside a big
+# window (genuinely selective), the self-within degenerate
+# (== span_near, pinned by test), and both OOV empties (little AND big
+# need positions — unlike span_not, where a dead exclude vetoes nothing).
+FT_SPAN_WITHINS = (
+    "query < the query",
+    "key < the query",
+    "vector < vector",
+    "query < zzznotinvocab table",
+    "zzznotinvocab < the query",
+)
+
 # Frozen prefix-wildcard query set: trailing ``*`` expands against the term
 # dictionary (range scan); literals mix in unchanged. "s*" fans out to six
 # corpus terms; "zz*" matches nothing (must be empty); the last entry mixes
@@ -1391,6 +1420,206 @@ def bm25_span_containing_oracle_sql(k: int = 10) -> str:
             f"    AND EXISTS (SELECT 1 FROM posi e\n"
             f"      WHERE e.doc_id = {aliases[0]}.doc_id AND e.tok IN ({little_list})\n"
             f"        AND e.pos BETWEEN {aliases[0]}.pos AND {aliases[-1]}.pos)\n"
+            f"  GROUP BY 2"
+        )
+    spans = "\n  UNION ALL\n".join(blocks)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok
+    FROM documents) WHERE tok <> ''
+),
+dl AS (SELECT d.doc_id, CAST(coalesce(t.c, 0) AS DOUBLE) AS dl
+       FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS c FROM toks GROUP BY 1) t USING (doc_id)),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+qd(query_id, tok) AS (VALUES {values}),
+arr AS (SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS a
+        FROM documents),
+posi AS (SELECT doc_id, unnest(a) AS tok, generate_subscripts(a, 1) - 1 AS pos FROM arr),
+spans AS (
+{spans}
+),
+scored AS (
+  SELECT qd.query_id, tf.doc_id,
+         sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * (1.2 + 1.0)
+              / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score
+  FROM qd JOIN tf USING (tok) JOIN df USING (tok)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s GROUP BY 1, 2
+),
+ranked AS (
+  SELECT s.query_id, s.doc_id,
+         row_number() OVER (PARTITION BY s.query_id ORDER BY s.score DESC, s.doc_id) AS rank
+  FROM scored s JOIN spans n ON n.query_id = s.query_id AND n.doc_id = s.doc_id
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank, doc_id
+FROM ranked WHERE rank <= {k}
+ORDER BY query_id, rank
+"""
+
+
+def bm25_topk_span_or(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Lucene ``span_or`` over whole sequences — the union composition
+    completing the span family (span_near=ordered, span_first=lead-gated,
+    span_not=veto, span_containing=inner-required, span_within=inner-kept,
+    intervals=per-slot SpanOr INSIDE one SpanNear): each FT_SPAN_ORS
+    query is ``seq1 | seq2 | …``, matching docs where ANY alternative
+    ordered sequence occurs within len(alt)−1+SPAN_SLOP tokens. A dead
+    (OOV) alternative drops silently; ``t | t`` == span_near(t), pinned
+    by test. Survivors rank by the BM25 sum of the DISTINCT terms across
+    ALL alternatives (absent terms contribute 0). Oracle: one span_near
+    ordered self-join block per (query, alternative), UNION ALL'd into
+    the match set (query_stage._score_query_span_or)."""
+    return _run_queries(
+        _ensure_index(sf_dir, fresh=False, positions=True),
+        FT_SPAN_ORS, k, "span_or", span_slop=SPAN_SLOP,
+    )
+
+
+def bm25_span_or_oracle_sql(k: int = 10) -> str:
+    """span_or oracle: BM25 CTEs over the union of each query's DISTINCT
+    terms across alternatives + per-(query, alternative) ordered
+    self-join span blocks UNION ALL'd — a doc matches iff any
+    alternative's block emits it."""
+    parsed = [
+        [alt.split() for alt in q.split("|") if alt.split()] for q in FT_SPAN_ORS
+    ]
+    values = ",".join(
+        f"({qid}, '{term}')"
+        for qid, alts in enumerate(parsed)
+        for term in sorted({t for a in alts for t in a})
+    )
+    blocks = []
+    for qid, alts in enumerate(parsed):
+        for seq in alts:
+            aliases = [f"p{i}" for i in range(len(seq))]
+            joins = f"posi {aliases[0]}" + "".join(
+                f" JOIN posi {a} USING (doc_id)" for a in aliases[1:]
+            )
+            conds = " AND ".join(f"{a}.tok = '{t}'" for a, t in zip(aliases, seq))
+            order = " AND ".join(
+                f"{aliases[i + 1]}.pos > {aliases[i]}.pos" for i in range(len(seq) - 1)
+            )
+            where = conds + (f" AND {order}" if order else "")
+            limit = len(seq) - 1 + SPAN_SLOP
+            blocks.append(
+                f"  SELECT {qid} AS query_id, {aliases[0]}.doc_id FROM {joins}\n"
+                f"  WHERE {where}\n"
+                f"    AND {aliases[-1]}.pos - {aliases[0]}.pos <= {limit}\n"
+                f"  GROUP BY 2"
+            )
+    spans = "\n  UNION ALL\n".join(blocks)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok
+    FROM documents) WHERE tok <> ''
+),
+dl AS (SELECT d.doc_id, CAST(coalesce(t.c, 0) AS DOUBLE) AS dl
+       FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS c FROM toks GROUP BY 1) t USING (doc_id)),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+qd(query_id, tok) AS (VALUES {values}),
+arr AS (SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS a
+        FROM documents),
+posi AS (SELECT doc_id, unnest(a) AS tok, generate_subscripts(a, 1) - 1 AS pos FROM arr),
+spans AS (
+  SELECT DISTINCT query_id, doc_id FROM (
+{spans}
+  )
+),
+scored AS (
+  SELECT qd.query_id, tf.doc_id,
+         sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * (1.2 + 1.0)
+              / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score
+  FROM qd JOIN tf USING (tok) JOIN df USING (tok)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s GROUP BY 1, 2
+),
+ranked AS (
+  SELECT s.query_id, s.doc_id,
+         row_number() OVER (PARTITION BY s.query_id ORDER BY s.score DESC, s.doc_id) AS rank
+  FROM scored s JOIN spans n ON n.query_id = s.query_id AND n.doc_id = s.doc_id
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank, doc_id
+FROM ranked WHERE rank <= {k}
+ORDER BY query_id, rank
+"""
+
+
+def bm25_topk_span_within(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Lucene ``span_within`` — the dual of span_containing, completing
+    the enclosure pair: each FT_SPAN_WITHINS query is
+    ``little_seq < big_seq``, matching docs where some ordered LITTLE
+    span (within len(little)−1+SPAN_SLOP tokens) lies fully inside the
+    inclusive window of some ordered BIG span (within
+    len(big)−1+SPAN_SLOP tokens). The kept span is the INNER one, so
+    survivors rank by the BM25 sum of the DISTINCT LITTLE terms (Lucene
+    scores SpanWithin by the little clause). OOV little OR big ⇒ empty;
+    ``t < t`` == span_near(t), pinned by test. Oracle: a little ordered
+    self-join nested with an EXISTS big self-join enclosing it
+    (query_stage._within_span_exists — exact by the
+    widest-achievable-window + greedy-inside-window arguments)."""
+    return _run_queries(
+        _ensure_index(sf_dir, fresh=False, positions=True),
+        FT_SPAN_WITHINS, k, "span_within", span_slop=SPAN_SLOP,
+    )
+
+
+def bm25_span_within_oracle_sql(k: int = 10) -> str:
+    """span_within oracle: BM25 CTEs over each query's DISTINCT LITTLE
+    terms + per-query little ordered self-joins with an EXISTS
+    big-self-join-enclosure requirement per tuple (SQL enumerates ALL
+    (big pick, little pick) combinations — the engine's widest-window
+    argument makes its greedy check exactly equivalent)."""
+    parsed = []
+    for q in FT_SPAN_WITHINS:
+        little, big = q.split("<", 1)
+        parsed.append((little.split(), big.split()))
+    values = ",".join(
+        f"({qid}, '{term}')"
+        for qid, (little, _) in enumerate(parsed)
+        for term in sorted(set(little))
+    )
+    blocks = []
+    for qid, (little, big) in enumerate(parsed):
+        l_aliases = [f"q{i}" for i in range(len(little))]
+        joins = f"posi {l_aliases[0]}" + "".join(
+            f" JOIN posi {a} USING (doc_id)" for a in l_aliases[1:]
+        )
+        conds = " AND ".join(f"{a}.tok = '{t}'" for a, t in zip(l_aliases, little))
+        order = " AND ".join(
+            f"{l_aliases[i + 1]}.pos > {l_aliases[i]}.pos"
+            for i in range(len(little) - 1)
+        )
+        where = conds + (f" AND {order}" if order else "")
+        l_limit = len(little) - 1 + SPAN_SLOP
+        b_aliases = [f"b{i}" for i in range(len(big))]
+        b_from = ", ".join(f"posi {a}" for a in b_aliases)
+        b_conds = [f"{a}.doc_id = {l_aliases[0]}.doc_id" for a in b_aliases]
+        b_conds += [f"{a}.tok = '{t}'" for a, t in zip(b_aliases, big)]
+        b_conds += [
+            f"{b_aliases[i + 1]}.pos > {b_aliases[i]}.pos"
+            for i in range(len(big) - 1)
+        ]
+        b_limit = len(big) - 1 + SPAN_SLOP
+        b_conds.append(f"{b_aliases[-1]}.pos - {b_aliases[0]}.pos <= {b_limit}")
+        # enclosure: little fully inside the big inclusive window
+        b_conds.append(f"{b_aliases[0]}.pos <= {l_aliases[0]}.pos")
+        b_conds.append(f"{l_aliases[-1]}.pos <= {b_aliases[-1]}.pos")
+        blocks.append(
+            f"  SELECT {qid} AS query_id, {l_aliases[0]}.doc_id FROM {joins}\n"
+            f"  WHERE {where}\n"
+            f"    AND {l_aliases[-1]}.pos - {l_aliases[0]}.pos <= {l_limit}\n"
+            f"    AND EXISTS (SELECT 1 FROM {b_from}\n"
+            f"      WHERE {' AND '.join(b_conds)})\n"
             f"  GROUP BY 2"
         )
     spans = "\n  UNION ALL\n".join(blocks)

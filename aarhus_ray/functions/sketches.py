@@ -352,7 +352,9 @@ def _cms_hash(keys: np.ndarray, row: int, w: int = CMS_W) -> np.ndarray:
     to the identical table (integer adds commute)."""
     from .dedup import _mix64
 
-    salt = np.uint64(0x9E3779B97F4A7C15) * np.uint64(2 * row + 1)
+    # wrapping uint64 multiply, done in Python ints to avoid the numpy
+    # overflow RuntimeWarning (bit-identical: numpy wraps mod 2^64 too)
+    salt = np.uint64((0x9E3779B97F4A7C15 * (2 * row + 1)) & (_U64_MOD - 1))
     return (_mix64(keys ^ salt) % np.uint64(w)).astype(np.int64)
 
 
@@ -387,7 +389,7 @@ def count_min_oracle_sql(d: int = CMS_D, w: int = CMS_W, top: int = CMS_TOP) -> 
     counts into the (r, c) counter table, estimate = min over rows."""
     rows = []
     for r in range(d):
-        salt = int(np.uint64(0x9E3779B97F4A7C15) * np.uint64(2 * r + 1))
+        salt = (0x9E3779B97F4A7C15 * (2 * r + 1)) & (_U64_MOD - 1)
         bucket = f"CAST(({_sql_mix64(f'xor(CAST(user_id AS UBIGINT), CAST({salt} AS UBIGINT))')}) % {w} AS BIGINT)"
         rows.append(f"SELECT user_id, n, {r} AS r, {bucket} AS c FROM cnts")
     h = "\n  UNION ALL ".join(rows)

@@ -150,6 +150,55 @@ def _containing_span_exists(lists: list[np.ndarray], inner: np.ndarray, limit: i
     return False
 
 
+def _within_span_exists(
+    big_lists: list[np.ndarray],
+    little_lists: list[np.ndarray],
+    big_limit: int,
+    little_limit: int,
+) -> bool:
+    """Does an ordered LITTLE pick (one per sorted little list, strictly
+    increasing, last − first ≤ little_limit) exist FULLY INSIDE the
+    inclusive window [b0, b_{n−1}] of some valid ordered BIG pick
+    (last − first ≤ big_limit)? The Lucene SpanWithinQuery predicate —
+    the dual of ``_containing_span_exists`` (the kept span is the inner
+    one). Exactness: per big start p0 the achievable windows are exactly
+    [p0, L] for last-list L in [greedy end, p0+big_limit] (the
+    widest-achievable-window argument from _containing_span_exists), so
+    only the WIDEST needs checking; inside a fixed window the greedy
+    first-after little chain from each start q0 is minimal-end, so it
+    fits the window/limit iff any chain from q0 does (property-tested
+    against enumeration). A failed big chain fails from every later
+    start (monotone) — the scan short-circuits."""
+    for p0 in big_lists[0]:
+        cur = int(p0)
+        for lst in big_lists[1:]:
+            j = int(np.searchsorted(lst, cur + 1))
+            if j == len(lst):
+                return False
+            cur = int(lst[j])
+        if cur - int(p0) > big_limit:
+            continue
+        if len(big_lists) == 1:
+            lmax = cur
+        else:
+            last = big_lists[-1]
+            hi = int(np.searchsorted(last, int(p0) + big_limit, side="right")) - 1
+            lmax = max(int(last[hi]), cur) if hi >= 0 else cur
+        starts = little_lists[0]
+        for q0 in starts[(starts >= int(p0)) & (starts <= lmax)]:
+            cur2 = int(q0)
+            ok = True
+            for lst in little_lists[1:]:
+                j = int(np.searchsorted(lst, cur2 + 1))
+                if j == len(lst) or int(lst[j]) > lmax:
+                    ok = False
+                    break
+                cur2 = int(lst[j])
+            if ok and cur2 - int(q0) <= little_limit:
+                return True
+    return False
+
+
 def _lev1_same(mat: np.ndarray, qb: np.ndarray) -> np.ndarray:
     """Rows of ``mat`` (n × m byte matrix) within substitution distance 1
     of ``qb`` (m bytes): at most one mismatched position."""
@@ -552,12 +601,14 @@ class QueryScorer:
         self.k = k
         self.method = method
         if mode not in ("or", "and", "phrase", "near", "span_near", "span_not",
-                        "span_containing", "prefix", "fuzzy", "fuzzy2", "boost",
+                        "span_containing", "span_or", "span_within", "prefix",
+                        "fuzzy", "fuzzy2", "boost",
                         "boolean", "msm", "terms_set", "wildcard", "regexp",
                         "query_string", "phrase_prefix", "intervals"):
             raise ValueError(
                 f"mode must be 'or', 'and', 'phrase', 'near', 'span_near', "
-                f"'span_not', 'span_containing', 'prefix', 'fuzzy', 'fuzzy2', "
+                f"'span_not', 'span_containing', 'span_or', 'span_within', "
+                f"'prefix', 'fuzzy', 'fuzzy2', "
                 f"'boost', 'boolean', 'msm', 'terms_set', 'wildcard', 'regexp', "
                 f"'query_string', 'phrase_prefix' or 'intervals', not {mode!r}"
             )
@@ -567,6 +618,7 @@ class QueryScorer:
                     "wildcard", "regexp", "query_string") and method not in ("wand", "brute"):
             raise ValueError(f"{mode} scoring supports wand/brute, not {method!r}")
         if mode in ("phrase", "near", "span_near", "span_not", "span_containing",
+                    "span_or", "span_within",
                     "phrase_prefix", "intervals") and method != "wand":
             raise ValueError(f"{mode} scoring supports method='wand', not {method!r}")
         self.mode = mode
@@ -1303,6 +1355,155 @@ class QueryScorer:
 
         return topk_select(cand, scores, self.k)
 
+    def _score_query_span_or(self, text: str) -> tuple[np.ndarray, np.ndarray]:
+        """Lucene ``span_or`` over whole sequences: query text is
+        ``seq1 | seq2 | …`` — a doc qualifies iff ANY alternative ordered
+        sequence occurs within len(alt)−1+span_slop consecutive tokens
+        (the span_near predicate, each alternative with its OWN window).
+        Unlike intervals (SpanOr per SLOT inside one SpanNear), the
+        union here is over COMPLETE span clauses — the other Lucene
+        composition. An alternative with an OOV term can never match and
+        drops out silently; all alternatives dead ⇒ empty. ``t | t`` ≡
+        span_near(t) (pinned by test). Survivors rank by the BM25 sum of
+        the DISTINCT terms across ALL alternatives (absent terms
+        contribute 0 — the intervals-family scoring rule), frozen
+        (score DESC, doc_id ASC). Verification per alternative reads the
+        positional sidecar when every owning shard carries one, else
+        re-tokenizes candidate texts — the span family's two-engine
+        shape."""
+        alts = [seq for part in text.split("|") if (seq := tokenize(part))]
+        if not alts:
+            return np.empty(0, np.uint64), np.empty(0, np.float64)
+        matched: np.ndarray | None = None
+        # scoring vocabulary: every in-vocab term of EVERY alternative —
+        # a dead alternative (one OOV member) contributes no MATCHES, but
+        # its live terms still score (doc-level BM25 over the union
+        # vocabulary; the SQL oracle's qd has the same rows)
+        vocab_owners: dict[str, list] = {}
+        for seq in alts:
+            for t in set(seq):
+                if t not in vocab_owners:
+                    segs = self._owners(t)
+                    if segs:
+                        vocab_owners[t] = segs
+        for seq in alts:
+            owners = {}
+            live = True
+            for t in set(seq):
+                segs = vocab_owners.get(t)
+                if not segs:
+                    live = False
+                    break
+                owners[t] = segs
+            if not live:
+                continue  # dead alternative: contributes no matches
+            terms = sorted(owners)
+            entries = [self._term_arrays(t, owners[t]) for t in terms]
+            cand = self._conj_candidates(terms, entries)
+            if len(cand) and len(seq) > 1:
+                if all(seg.pos_dict is not None for t in owners for seg in owners[t]):
+                    cand = cand[
+                        self._verify_span_positions(seq, owners, cand, self.span_slop)
+                    ]
+                else:
+                    texts = self._texts_of(cand)
+                    limit = len(seq) - 1 + self.span_slop
+                    keep = np.zeros(len(cand), dtype=bool)
+                    for i, doc_text in enumerate(texts):
+                        arr = np.asarray(tokenize(doc_text), dtype=object)
+                        lists = [np.flatnonzero(arr == t) for t in seq]
+                        if any(len(p) == 0 for p in lists):
+                            continue
+                        keep[i] = _min_ordered_span(lists) <= limit
+                    cand = cand[keep]
+            if len(cand):
+                matched = cand if matched is None else np.union1d(matched, cand)
+        if matched is None or len(matched) == 0:
+            return np.empty(0, np.uint64), np.empty(0, np.float64)
+        scores = np.zeros(len(matched), dtype=np.float64)
+        for t in sorted(vocab_owners):  # sorted-term accumulation (frozen)
+            doc_ids, contribs, _, _ = self._term_arrays(t, vocab_owners[t])
+            idx = np.searchsorted(doc_ids, matched)
+            ok = idx < len(doc_ids)
+            ok[ok] = doc_ids[idx[ok]] == matched[ok]
+            scores[ok] += contribs[idx[ok]]
+        from ..bm25 import topk_select
+
+        return topk_select(matched, scores, self.k)
+
+    def _score_query_span_within(self, text: str) -> tuple[np.ndarray, np.ndarray]:
+        """Lucene ``span_within``: query text is ``little_seq < big_seq``
+        — a doc qualifies iff some ordered occurrence of the LITTLE
+        sequence (within len(little)−1+span_slop tokens) lies FULLY
+        INSIDE the inclusive position window of some ordered BIG-sequence
+        occurrence (within len(big)−1+span_slop tokens). The dual of
+        span_containing: the kept span is the INNER one, so survivors
+        rank by the BM25 sum of the DISTINCT LITTLE terms (Lucene scores
+        SpanWithin by the little clause). An OOV little OR big term ⇒
+        empty (both spans need positions); ``t < t`` ≡ span_near(t)
+        (every single-position little sits inside its own big window —
+        pinned by test). Candidates are the conjunctive intersection of
+        little ∪ big terms; enclosure is verified from the positional
+        sidecar when every owning shard carries one, else by
+        re-tokenizing candidate texts (_within_span_exists — exact by
+        the widest-achievable-window + greedy-inside-window arguments)."""
+        if "<" not in text:
+            raise ValueError("span_within query must be 'little_seq < big_seq'")
+        little_part, big_part = text.split("<", 1)
+        little = tokenize(little_part)
+        big = tokenize(big_part)
+        if not little or not big:
+            return np.empty(0, np.uint64), np.empty(0, np.float64)
+        owners = {}
+        for t in set(little) | set(big):
+            segs = self._owners(t)
+            if not segs:
+                return np.empty(0, np.uint64), np.empty(0, np.float64)
+            owners[t] = segs
+        terms = sorted(owners)
+        entries = {t: self._term_arrays(t, owners[t]) for t in terms}
+        cand = self._conj_candidates(terms, [entries[t] for t in terms])
+        if len(cand):
+            big_limit = len(big) - 1 + self.span_slop
+            little_limit = len(little) - 1 + self.span_slop
+            keep = np.zeros(len(cand), dtype=bool)
+            if all(seg.pos_dict is not None for t in owners for seg in owners[t]):
+                pos_by_term = {
+                    t: self._positions_of_docs(t, owners[t], cand)
+                    for t in set(little) | set(big)
+                }
+                for ci in range(len(cand)):
+                    big_lists = [pos_by_term[t][ci] for t in big]
+                    little_lists = [pos_by_term[t][ci] for t in little]
+                    if any(
+                        p is None or len(p) == 0 for p in big_lists + little_lists
+                    ):
+                        continue
+                    keep[ci] = _within_span_exists(
+                        big_lists, little_lists, big_limit, little_limit
+                    )
+            else:
+                texts = self._texts_of(cand)
+                for ci, doc_text in enumerate(texts):
+                    arr = np.asarray(tokenize(doc_text), dtype=object)
+                    big_lists = [np.flatnonzero(arr == t) for t in big]
+                    little_lists = [np.flatnonzero(arr == t) for t in little]
+                    if any(len(p) == 0 for p in big_lists + little_lists):
+                        continue
+                    keep[ci] = _within_span_exists(
+                        big_lists, little_lists, big_limit, little_limit
+                    )
+            cand = cand[keep]
+        if len(cand) == 0:
+            return np.empty(0, np.uint64), np.empty(0, np.float64)
+        scores = np.zeros(len(cand), dtype=np.float64)
+        for t in sorted(set(little)):  # little terms only (frozen scoring)
+            doc_ids, contribs, _, _ = entries[t]
+            scores += contribs[np.searchsorted(doc_ids, cand)]
+        from ..bm25 import topk_select
+
+        return topk_select(cand, scores, self.k)
+
     def _score_query_intervals(self, text: str) -> tuple[np.ndarray, np.ndarray]:
         """ES ``intervals`` query, ``all_of(ordered=true, max_gaps)`` over
         ``any_of`` slots (Lucene SpanOr inside SpanNear): the query text is
@@ -1900,6 +2101,10 @@ class QueryScorer:
             return self._score_query_span_not(text)
         if self.mode == "span_containing":
             return self._score_query_span_containing(text)
+        if self.mode == "span_or":
+            return self._score_query_span_or(text)
+        if self.mode == "span_within":
+            return self._score_query_span_within(text)
         if self.mode == "intervals":
             return self._score_query_intervals(text)
         if self.mode == "prefix":

@@ -7,6 +7,7 @@ import glob
 import random
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
@@ -490,3 +491,175 @@ def test_span_containing_degeneracies(pos_pair):
         )
         live = set(a[a["query_id"] == 2]["doc_id"].tolist())
         assert live <= set(big_near["doc_id"].tolist()) or len(big_near) == 10
+
+
+def test_within_span_exists_vs_bruteforce():
+    """_within_span_exists (widest-big-window + greedy-little-inside)
+    == exhaustive enumeration over (big pick, little pick) pairs with
+    the enclosure predicate, incl. single-list spans and shared lists."""
+    from itertools import product
+
+    from aarhus_ray.stages.query_stage import _within_span_exists
+
+    rng = random.Random(31)
+    for _ in range(300):
+        nb = rng.randint(1, 3)
+        nl = rng.randint(1, 3)
+        big = [
+            np.array(sorted(rng.sample(range(20), rng.randint(1, 5))), dtype=np.int64)
+            for _ in range(nb)
+        ]
+        little = [
+            np.array(sorted(rng.sample(range(20), rng.randint(1, 5))), dtype=np.int64)
+            for _ in range(nl)
+        ]
+        if rng.random() < 0.3:
+            little[0] = big[0]
+        bl = rng.randint(0, 10)
+        ll = rng.randint(0, 10)
+        want = False
+        for bp in product(*big):
+            if not all(bp[i + 1] > bp[i] for i in range(len(bp) - 1)):
+                continue
+            if bp[-1] - bp[0] > bl:
+                continue
+            for lp in product(*little):
+                if not all(lp[i + 1] > lp[i] for i in range(len(lp) - 1)):
+                    continue
+                if lp[-1] - lp[0] > ll:
+                    continue
+                if lp[0] >= bp[0] and lp[-1] <= bp[-1]:
+                    want = True
+                    break
+            if want:
+                break
+        assert _within_span_exists(big, little, bl, ll) == want
+
+
+def test_span_within_degeneracies(pos_pair):
+    """mode='span_within': 't < t' == span_near(t) bit-identically; OOV
+    little OR big ⇒ EMPTY; positional and re-tokenize paths agree; a
+    disjoint little's match set ⊆ span_near of the big."""
+    text_of = _texts(pos_pair["pos"])
+    texts = list(text_of.values())
+    t0 = tokenize(texts[0])
+    big = f"{t0[0]} {t0[1]}"
+    q = pa.table(
+        {
+            "query_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    f"{t0[0]} < {t0[0]}",
+                    f"zzznotinvocab < {big}",
+                    f"{t0[0]} < zzznotinvocab {t0[1]}",
+                    f"{t0[2]} < {big}",
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    q_near = pa.table(
+        {
+            "query_id": pa.array([0], pa.int64()),
+            "text": pa.array([t0[0]], pa.string()),
+        }
+    )
+    for slop in (0, 2):
+        a = (
+            query_index(pos_pair["pos"], q, k=1000, mode="span_within",
+                        span_slop=slop, resolve_urls=False)
+            .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+        )
+        b = (
+            query_index(pos_pair["nopos"], q, k=1000, mode="span_within",
+                        span_slop=slop, resolve_urls=False)
+            .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+        )
+        assert len(a) == len(b)
+        assert (a["doc_id"].to_numpy() == b["doc_id"].to_numpy()).all()
+        assert (a["score"].to_numpy() == b["score"].to_numpy()).all()
+        near = (
+            query_index(pos_pair["pos"], q_near, k=1000, mode="span_near",
+                        span_slop=slop, resolve_urls=False)
+            .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+        )
+        self_q = a[a["query_id"] == 0].reset_index(drop=True)
+        assert (self_q["doc_id"].to_numpy() == near["doc_id"].to_numpy()).all()
+        assert (self_q["score"].to_numpy() == near["score"].to_numpy()).all()
+        assert (a["query_id"] == 1).sum() == 0  # OOV little: empty
+        assert (a["query_id"] == 2).sum() == 0  # OOV big: empty
+        big_near = (
+            query_index(pos_pair["pos"],
+                        pa.table({"query_id": pa.array([0], pa.int64()),
+                                  "text": pa.array([big], pa.string())}),
+                        k=1000, mode="span_near", span_slop=slop,
+                        resolve_urls=False)
+            .to_pandas()
+        )
+        live = set(a[a["query_id"] == 3]["doc_id"].tolist())
+        assert live <= set(big_near["doc_id"].tolist())
+
+
+def test_span_or_degeneracies(pos_pair):
+    """mode='span_or': 't | t' == span_near(t) bit-identically; a fully
+    OOV alternative drops silently ('zzz | seq' == span_near(seq));
+    the both-orders union's match set is exactly span_near(s1) ∪
+    span_near(s2); all alternatives dead ⇒ empty."""
+    text_of = _texts(pos_pair["pos"])
+    texts = list(text_of.values())
+    t0 = tokenize(texts[0])
+    s1 = f"{t0[0]} {t0[1]}"
+    s2 = f"{t0[1]} {t0[0]}"
+    q = pa.table(
+        {
+            "query_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    f"{t0[0]} | {t0[0]}",
+                    f"zzznotinvocab | {s1}",
+                    f"{s1} | {s2}",
+                    "zzznotinvocab | zzzalsodead",
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    for slop in (0, 2):
+        a = (
+            query_index(pos_pair["pos"], q, k=1000, mode="span_or",
+                        span_slop=slop, resolve_urls=False)
+            .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+        )
+        b = (
+            query_index(pos_pair["nopos"], q, k=1000, mode="span_or",
+                        span_slop=slop, resolve_urls=False)
+            .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+        )
+        assert len(a) == len(b)
+        assert (a["doc_id"].to_numpy() == b["doc_id"].to_numpy()).all()
+        assert (a["score"].to_numpy() == b["score"].to_numpy()).all()
+
+        def near_of(text):
+            df = query_index(
+                pos_pair["pos"],
+                pa.table({"query_id": pa.array([0], pa.int64()),
+                          "text": pa.array([text], pa.string())}),
+                k=1000, mode="span_near", span_slop=slop, resolve_urls=False,
+            ).to_pandas()
+            if len(df) == 0:  # empty result sets can arrive column-less
+                return pd.DataFrame({"doc_id": [], "score": []})
+            return df.sort_values("rank").reset_index(drop=True)
+
+        near_t = near_of(t0[0])
+        self_q = a[a["query_id"] == 0].reset_index(drop=True)
+        assert (self_q["doc_id"].to_numpy() == near_t["doc_id"].to_numpy()).all()
+        assert (self_q["score"].to_numpy() == near_t["score"].to_numpy()).all()
+        near_s1 = near_of(s1)
+        dead_live = a[a["query_id"] == 1].reset_index(drop=True)
+        assert (dead_live["doc_id"].to_numpy() == near_s1["doc_id"].to_numpy()).all()
+        assert (dead_live["score"].to_numpy() == near_s1["score"].to_numpy()).all()
+        union_docs = set(a[a["query_id"] == 2]["doc_id"].tolist())
+        assert union_docs == (
+            set(near_s1["doc_id"].tolist()) | set(near_of(s2)["doc_id"].tolist())
+        )
+        assert (a["query_id"] == 3).sum() == 0
