@@ -459,6 +459,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # span_within: span_containing's dual — the INNER span is kept
         # and scored (little terms), enclosure via _within_span_exists
         "fulltext_bm25_span_within": fulltext.bm25_topk_span_within,
+        # span_multi: SpanMultiTermQueryWrapper — prefix slots rewrite
+        # against the term dictionary inside an ordered span
+        "fulltext_bm25_span_multi": fulltext.bm25_topk_span_multi,
         # stats_bucket sibling pipeline agg over the date_histogram
         "fulltext_stats_bucket": fulltext.stats_bucket_query,
         # ES intervals query: ordered any_of slots ('a|b c') within
@@ -2669,6 +2672,7 @@ def oracle_sql() -> dict[str, str]:
         "fulltext_bm25_span_containing": fulltext.bm25_span_containing_oracle_sql(),
         "fulltext_bm25_span_or": fulltext.bm25_span_or_oracle_sql(),
         "fulltext_bm25_span_within": fulltext.bm25_span_within_oracle_sql(),
+        "fulltext_bm25_span_multi": fulltext.bm25_span_multi_oracle_sql(),
         "fulltext_stats_bucket": fulltext.stats_bucket_oracle_sql(),
         "fulltext_bm25_intervals": fulltext.bm25_intervals_oracle_sql(),
         "fulltext_top_hits": fulltext.top_hits_oracle_sql(),

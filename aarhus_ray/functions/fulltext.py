@@ -238,6 +238,20 @@ FT_SPAN_WITHINS = (
     "zzznotinvocab < the query",
 )
 
+# Frozen span_multi query set: ordered slots where a trailing-``*`` slot
+# rewrites against the term dictionary (Lucene SpanMultiTermQueryWrapper
+# inside span_near). Exercises prefix-before-literal and the reversed
+# order (distinct results — ordered semantics), the FT_PREFIXES pair made
+# positional, a dead prefix slot (unfillable ⇒ empty), and a three-slot
+# two-prefix composite.
+FT_SPAN_MULTIS = (
+    "qu* the",
+    "the qu*",
+    "b* line",
+    "zz* table",
+    "customer sl* b*",
+)
+
 # Frozen prefix-wildcard query set: trailing ``*`` expands against the term
 # dictionary (range scan); literals mix in unchanged. "s*" fans out to six
 # corpus terms; "zz*" matches nothing (must be empty); the last entry mixes
@@ -1635,6 +1649,106 @@ stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
 tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf FROM toks GROUP BY 1, 2),
 df AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
 qd(query_id, tok) AS (VALUES {values}),
+arr AS (SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS a
+        FROM documents),
+posi AS (SELECT doc_id, unnest(a) AS tok, generate_subscripts(a, 1) - 1 AS pos FROM arr),
+spans AS (
+{spans}
+),
+scored AS (
+  SELECT qd.query_id, tf.doc_id,
+         sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * (1.2 + 1.0)
+              / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score
+  FROM qd JOIN tf USING (tok) JOIN df USING (tok)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s GROUP BY 1, 2
+),
+ranked AS (
+  SELECT s.query_id, s.doc_id,
+         row_number() OVER (PARTITION BY s.query_id ORDER BY s.score DESC, s.doc_id) AS rank
+  FROM scored s JOIN spans n ON n.query_id = s.query_id AND n.doc_id = s.doc_id
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank, doc_id
+FROM ranked WHERE rank <= {k}
+ORDER BY query_id, rank
+"""
+
+
+def bm25_topk_span_multi(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Lucene ``SpanMultiTermQueryWrapper`` inside ``span_near`` — the
+    span-family member that composes with the DICTIONARY: each
+    FT_SPAN_MULTIS query is a sequence of ordered slots, a trailing-``*``
+    slot rewriting to the SpanOr of every dictionary term with that
+    prefix (the spanRewriteMethod) and a bare slot staying literal; a doc
+    qualifies iff one occurrence per slot can be picked with strictly
+    increasing positions within n_slots−1+SPAN_SLOP consecutive tokens.
+    An unfillable slot (dead prefix / OOV literal) empties the result.
+    Survivors rank by the BM25 sum of the DISTINCT expanded alternatives
+    the doc contains, each with its own global df/idf (the
+    scoring_boolean rewrite prefix mode also uses). Engine: prefix
+    slots expand via the sorted-dict range scan, then the intervals
+    kernel (query_stage._score_slot_sequence) verifies; oracle: the
+    intervals self-join with LIKE slot conditions and a LIKE-expanded
+    scoring vocabulary."""
+    return _run_queries(
+        _ensure_index(sf_dir, fresh=False, positions=True),
+        FT_SPAN_MULTIS, k, "span_multi", span_slop=SPAN_SLOP,
+    )
+
+
+def bm25_span_multi_oracle_sql(k: int = 10) -> str:
+    """span_multi oracle: the intervals ordered self-join with per-slot
+    ``tok LIKE 'stem%'`` / ``tok = 'lit'`` conditions, and a scoring
+    vocabulary expanded with the same LIKE patterns against the
+    distinct-token vocab (UNION dedupes terms shared across slots)."""
+
+    def slot_cond(col: str, raw: str) -> str:
+        if raw.endswith("*"):
+            return f"{col} LIKE '{raw[:-1]}%'"
+        return f"{col} = '{raw}'"
+
+    qd_rows = []
+    blocks = []
+    for qid, q in enumerate(FT_SPAN_MULTIS):
+        slots = q.split()
+        for raw in slots:
+            qd_rows.append(
+                f"  SELECT {qid} AS query_id, tok FROM vocab WHERE {slot_cond('tok', raw)}"
+            )
+        aliases = [f"p{i}" for i in range(len(slots))]
+        joins = f"posi {aliases[0]}" + "".join(
+            f" JOIN posi {a} USING (doc_id)" for a in aliases[1:]
+        )
+        conds = " AND ".join(slot_cond(f"{a}.tok", raw) for a, raw in zip(aliases, slots))
+        order = " AND ".join(
+            f"{aliases[i + 1]}.pos > {aliases[i]}.pos" for i in range(len(slots) - 1)
+        )
+        where = conds + (f" AND {order}" if order else "")
+        limit = len(slots) - 1 + SPAN_SLOP
+        blocks.append(
+            f"  SELECT {qid} AS query_id, {aliases[0]}.doc_id FROM {joins}\n"
+            f"  WHERE {where} GROUP BY 2\n"
+            f"  HAVING MIN({aliases[-1]}.pos - {aliases[0]}.pos) <= {limit}"
+        )
+    qd = "\n  UNION\n".join(qd_rows)
+    spans = "\n  UNION ALL\n".join(blocks)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok
+    FROM documents) WHERE tok <> ''
+),
+dl AS (SELECT d.doc_id, CAST(coalesce(t.c, 0) AS DOUBLE) AS dl
+       FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS c FROM toks GROUP BY 1) t USING (doc_id)),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+vocab AS (SELECT DISTINCT tok FROM toks),
+qd AS (
+{qd}
+),
 arr AS (SELECT doc_id,
                list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS a
         FROM documents),

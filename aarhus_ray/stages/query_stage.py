@@ -601,14 +601,15 @@ class QueryScorer:
         self.k = k
         self.method = method
         if mode not in ("or", "and", "phrase", "near", "span_near", "span_not",
-                        "span_containing", "span_or", "span_within", "prefix",
+                        "span_containing", "span_or", "span_within",
+                        "span_multi", "prefix",
                         "fuzzy", "fuzzy2", "boost",
                         "boolean", "msm", "terms_set", "wildcard", "regexp",
                         "query_string", "phrase_prefix", "intervals"):
             raise ValueError(
                 f"mode must be 'or', 'and', 'phrase', 'near', 'span_near', "
                 f"'span_not', 'span_containing', 'span_or', 'span_within', "
-                f"'prefix', 'fuzzy', 'fuzzy2', "
+                f"'span_multi', 'prefix', 'fuzzy', 'fuzzy2', "
                 f"'boost', 'boolean', 'msm', 'terms_set', 'wildcard', 'regexp', "
                 f"'query_string', 'phrase_prefix' or 'intervals', not {mode!r}"
             )
@@ -618,7 +619,7 @@ class QueryScorer:
                     "wildcard", "regexp", "query_string") and method not in ("wand", "brute"):
             raise ValueError(f"{mode} scoring supports wand/brute, not {method!r}")
         if mode in ("phrase", "near", "span_near", "span_not", "span_containing",
-                    "span_or", "span_within",
+                    "span_or", "span_within", "span_multi",
                     "phrase_prefix", "intervals") and method != "wand":
             raise ValueError(f"{mode} scoring supports method='wand', not {method!r}")
         self.mode = mode
@@ -1533,6 +1534,15 @@ class QueryScorer:
                     )
                 alts.update(toks)
             slots.append(sorted(alts))
+        return self._score_slot_sequence(slots, self.max_gaps)
+
+    def _score_slot_sequence(
+        self, slots: list[list[str]], gaps: int
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Shared ordered-slot kernel (intervals + span_multi): one
+        occurrence from ANY alternative per slot, strictly increasing
+        positions, within n_slots−1+gaps consecutive tokens; BM25 sum of
+        the DISTINCT alternatives the doc contains."""
         if not slots or any(not s for s in slots):
             return np.empty(0, np.uint64), np.empty(0, np.float64)
         owners, entries = {}, {}
@@ -1561,7 +1571,7 @@ class QueryScorer:
             ok[ok] = d_ids[pos[ok]] == cand[ok]
             cand = cand[ok]
         if len(cand) and len(slots) > 1:
-            limit = len(slots) - 1 + self.max_gaps
+            limit = len(slots) - 1 + gaps
             keep = np.zeros(len(cand), dtype=bool)
             if all(seg.pos_dict is not None for t in owners for seg in owners[t]):
                 pos_by_term = {
@@ -1604,6 +1614,42 @@ class QueryScorer:
         from ..bm25 import topk_select
 
         return topk_select(cand, scores, self.k)
+
+    def _score_query_span_multi(self, text: str) -> tuple[np.ndarray, np.ndarray]:
+        """Lucene ``SpanMultiTermQueryWrapper`` inside ``span_near``
+        (in_order=true): whitespace-separated ordered slots where a
+        trailing-``*`` slot first REWRITES against the term dictionary
+        (SpanOr over the prefix's matching terms — the spanRewriteMethod)
+        and a bare slot is a literal term. A doc qualifies iff one
+        occurrence per slot can be picked with strictly increasing
+        positions within n_slots−1+span_slop consecutive tokens. A
+        prefix slot with NO dictionary match — or an OOV literal slot —
+        cannot be filled and empties the result (the intervals
+        fully-OOV-slot rule); a prefix expanding to exactly one term
+        degenerates to span_near on it (pinned by test). Survivors rank
+        by the BM25 sum of the DISTINCT expanded alternatives the doc
+        contains (each with its own global df/idf — the
+        scoring_boolean-style rewrite the prefix mode also uses), frozen
+        (score DESC, doc_id ASC). Shares _score_slot_sequence with
+        intervals; the oracle replays the expansion with LIKE conditions
+        directly in the positional self-join."""
+        slots: list[list[str]] = []
+        for raw in text.split():
+            if raw.endswith("*"):
+                stem = tokenize(raw[:-1])
+                if len(stem) != 1:
+                    raise ValueError(
+                        f"span_multi prefix slots must be single stems, got {raw!r}"
+                    )
+                slots.append(sorted(self._expand_prefix(stem[0])))
+            else:
+                toks = tokenize(raw)
+                if len(toks) > 1:
+                    raise ValueError(
+                        f"span_multi literal slots must be single terms, got {raw!r}"
+                    )
+                slots.append(toks)
+        return self._score_slot_sequence(slots, self.span_slop)
 
     def _score_query_near(self, text: str) -> tuple[np.ndarray, np.ndarray]:
         """Proximity (NEAR) retrieval: a doc qualifies iff ALL the query's
@@ -2105,6 +2151,8 @@ class QueryScorer:
             return self._score_query_span_or(text)
         if self.mode == "span_within":
             return self._score_query_span_within(text)
+        if self.mode == "span_multi":
+            return self._score_query_span_multi(text)
         if self.mode == "intervals":
             return self._score_query_intervals(text)
         if self.mode == "prefix":

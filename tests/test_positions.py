@@ -663,3 +663,66 @@ def test_span_or_degeneracies(pos_pair):
             set(near_s1["doc_id"].tolist()) | set(near_of(s2)["doc_id"].tolist())
         )
         assert (a["query_id"] == 3).sum() == 0
+
+
+def test_span_multi_degeneracies(pos_pair):
+    """mode='span_multi': a prefix expanding to exactly ONE dictionary
+    term == span_near with the literal sequence bit-identically; a dead
+    prefix slot ⇒ EMPTY; positional and re-tokenize paths agree."""
+    from aarhus_ray.pipelines.query import list_segments as _ls
+    from aarhus_ray.stages.query_stage import Segment
+
+    terms: set[str] = set()
+    for sid in _ls(pos_pair["pos"]):
+        terms.update(Segment(pos_pair["pos"], sid).terms_sorted)
+    ordered = sorted(terms)
+    text_of = _texts(pos_pair["pos"])
+    t0 = tokenize(list(text_of.values())[0])
+    lit = t0[0]
+    # a term that is no other term's prefix -> unique expansion
+    uniq = next(
+        t for i, t in enumerate(ordered)
+        if t != lit and (i + 1 == len(ordered) or not ordered[i + 1].startswith(t))
+    )
+    q = pa.table(
+        {
+            "query_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array([f"{uniq}* {lit}", f"zzqq* {lit}"], pa.string()),
+        }
+    )
+    q_near = pa.table(
+        {
+            "query_id": pa.array([0], pa.int64()),
+            "text": pa.array([f"{uniq} {lit}"], pa.string()),
+        }
+    )
+    def _norm(df):
+        if len(df) == 0:  # empty result sets can arrive column-less
+            return pd.DataFrame(
+                {"query_id": pd.Series([], dtype="int64"), "doc_id": [], "score": []}
+            )
+        return df.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+    for slop in (0, 2):
+        a = _norm(
+            query_index(pos_pair["pos"], q, k=1000, mode="span_multi",
+                        span_slop=slop, resolve_urls=False).to_pandas()
+        )
+        b = _norm(
+            query_index(pos_pair["nopos"], q, k=1000, mode="span_multi",
+                        span_slop=slop, resolve_urls=False).to_pandas()
+        )
+        assert len(a) == len(b)
+        if len(a):
+            assert (a["doc_id"].to_numpy() == b["doc_id"].to_numpy()).all()
+            assert (a["score"].to_numpy() == b["score"].to_numpy()).all()
+        near = _norm(
+            query_index(pos_pair["pos"], q_near, k=1000, mode="span_near",
+                        span_slop=slop, resolve_urls=False).to_pandas()
+        )
+        self_q = a[a["query_id"] == 0].reset_index(drop=True)
+        assert len(self_q) == len(near)
+        if len(near):
+            assert (self_q["doc_id"].to_numpy() == near["doc_id"].to_numpy()).all()
+            assert (self_q["score"].to_numpy() == near["score"].to_numpy()).all()
+        assert (a["query_id"] == 1).sum() == 0  # dead prefix slot: empty
