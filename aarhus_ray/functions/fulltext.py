@@ -239,17 +239,21 @@ FT_SPAN_WITHINS = (
 )
 
 # Frozen span_multi query set: ordered slots where a trailing-``*`` slot
-# rewrites against the term dictionary (Lucene SpanMultiTermQueryWrapper
+# rewrites against the term dictionary as a PrefixQuery and a trailing
+# ``~`` slot as a FuzzyQuery d≤1 (Lucene SpanMultiTermQueryWrapper
 # inside span_near). Exercises prefix-before-literal and the reversed
 # order (distinct results — ordered semantics), the FT_PREFIXES pair made
-# positional, a dead prefix slot (unfillable ⇒ empty), and a three-slot
-# two-prefix composite.
+# positional, a dead prefix slot (unfillable ⇒ empty), a three-slot
+# two-prefix composite, and the FT_FUZZIES misspellings made positional
+# (tabl→table before merge; quey→query after the).
 FT_SPAN_MULTIS = (
     "qu* the",
     "the qu*",
     "b* line",
     "zz* table",
     "customer sl* b*",
+    "tabl~ merge",
+    "the quey~",
 )
 
 # Frozen prefix-wildcard query set: trailing ``*`` expands against the term
@@ -1707,6 +1711,8 @@ def bm25_span_multi_oracle_sql(k: int = 10) -> str:
     def slot_cond(col: str, raw: str) -> str:
         if raw.endswith("*"):
             return f"{col} LIKE '{raw[:-1]}%'"
+        if raw.endswith("~"):
+            return f"levenshtein({col}, '{raw[:-1]}') <= 1"
         return f"{col} = '{raw}'"
 
     qd_rows = []

@@ -1618,21 +1618,25 @@ class QueryScorer:
     def _score_query_span_multi(self, text: str) -> tuple[np.ndarray, np.ndarray]:
         """Lucene ``SpanMultiTermQueryWrapper`` inside ``span_near``
         (in_order=true): whitespace-separated ordered slots where a
-        trailing-``*`` slot first REWRITES against the term dictionary
-        (SpanOr over the prefix's matching terms — the spanRewriteMethod)
-        and a bare slot is a literal term. A doc qualifies iff one
-        occurrence per slot can be picked with strictly increasing
-        positions within n_slots−1+span_slop consecutive tokens. A
-        prefix slot with NO dictionary match — or an OOV literal slot —
-        cannot be filled and empties the result (the intervals
-        fully-OOV-slot rule); a prefix expanding to exactly one term
-        degenerates to span_near on it (pinned by test). Survivors rank
-        by the BM25 sum of the DISTINCT expanded alternatives the doc
-        contains (each with its own global df/idf — the
-        scoring_boolean-style rewrite the prefix mode also uses), frozen
-        (score DESC, doc_id ASC). Shares _score_slot_sequence with
-        intervals; the oracle replays the expansion with LIKE conditions
-        directly in the positional self-join."""
+        trailing-``*`` slot REWRITES against the term dictionary as a
+        PrefixQuery (SpanOr over the prefix's matching terms — the
+        spanRewriteMethod), a trailing-``~`` slot rewrites as a
+        FuzzyQuery (every dictionary term within Levenshtein distance 1,
+        exact hits included — plain Levenshtein, replayable by DuckDB's
+        levenshtein()), and a bare slot is a literal term. A doc
+        qualifies iff one occurrence per slot can be picked with
+        strictly increasing positions within n_slots−1+span_slop
+        consecutive tokens. A slot with NO dictionary match (dead
+        prefix, hopeless fuzzy stem, OOV literal) cannot be filled and
+        empties the result (the intervals fully-OOV-slot rule); a slot
+        expanding to exactly one term degenerates to span_near on it
+        (pinned by test). Survivors rank by the BM25 sum of the DISTINCT
+        expanded alternatives the doc contains (each with its own global
+        df/idf — the scoring_boolean-style rewrite the prefix and fuzzy
+        modes also use), frozen (score DESC, doc_id ASC). Shares
+        _score_slot_sequence with intervals; the oracle replays the
+        expansions with LIKE / levenshtein() conditions directly in the
+        positional self-join."""
         slots: list[list[str]] = []
         for raw in text.split():
             if raw.endswith("*"):
@@ -1642,6 +1646,13 @@ class QueryScorer:
                         f"span_multi prefix slots must be single stems, got {raw!r}"
                     )
                 slots.append(sorted(self._expand_prefix(stem[0])))
+            elif raw.endswith("~"):
+                stem = tokenize(raw[:-1])
+                if len(stem) != 1:
+                    raise ValueError(
+                        f"span_multi fuzzy slots must be single stems, got {raw!r}"
+                    )
+                slots.append(sorted(self._expand_fuzzy(stem[0], 1)))
             else:
                 toks = tokenize(raw)
                 if len(toks) > 1:

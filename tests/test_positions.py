@@ -686,8 +686,11 @@ def test_span_multi_degeneracies(pos_pair):
     )
     q = pa.table(
         {
-            "query_id": pa.array([0, 1], pa.int64()),
-            "text": pa.array([f"{uniq}* {lit}", f"zzqq* {lit}"], pa.string()),
+            "query_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(
+                [f"{uniq}* {lit}", f"zzqq* {lit}", f"zzzzqx~ {lit}"],
+                pa.string(),
+            ),
         }
     )
     q_near = pa.table(
@@ -726,3 +729,4 @@ def test_span_multi_degeneracies(pos_pair):
             assert (self_q["doc_id"].to_numpy() == near["doc_id"].to_numpy()).all()
             assert (self_q["score"].to_numpy() == near["score"].to_numpy()).all()
         assert (a["query_id"] == 1).sum() == 0  # dead prefix slot: empty
+        assert (a["query_id"] == 2).sum() == 0  # hopeless fuzzy slot: empty
