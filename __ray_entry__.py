@@ -55,7 +55,12 @@ _DRIVER_WINDOW = [
     # fulltext flagship family (SURVEY §2.3-2.6, §2.9)
     "fulltext_bm25_topk", "fulltext_bm25_conj_topk",
     "fulltext_bm25_phrase_topk", "fulltext_bm25_boolean_topk",
-    "fulltext_bm25_fuzzy_topk", "fulltext_hybrid_rrf", "fulltext_explain",
+    # span_multi (round 5) supersets the fuzzy slot it replaced: its ~
+    # slots run the same Levenshtein-1 dictionary rewrite _expand_fuzzy
+    # path, PLUS prefix rewrite PLUS ordered positional verification —
+    # one slot now attests the whole span family's kernel (fuzzy_topk
+    # stays in the registry body, same oracle family)
+    "fulltext_bm25_span_multi", "fulltext_hybrid_rrf", "fulltext_explain",
     "fulltext_date_histogram", "fulltext_composite_agg",
     # lifecycle composite (round 5): add->delete->compact in one op —
     # supersets the incremental slot it replaced (incremental stays in
