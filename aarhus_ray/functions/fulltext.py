@@ -254,6 +254,8 @@ FT_SPAN_MULTIS = (
     "customer sl* b*",
     "tabl~ merge",
     "the quey~",
+    "t*ble the",
+    "s*ow *ine",
 )
 
 # Frozen prefix-wildcard query set: trailing ``*`` expands against the term
@@ -1709,8 +1711,8 @@ def bm25_span_multi_oracle_sql(k: int = 10) -> str:
     distinct-token vocab (UNION dedupes terms shared across slots)."""
 
     def slot_cond(col: str, raw: str) -> str:
-        if raw.endswith("*"):
-            return f"{col} LIKE '{raw[:-1]}%'"
+        if "*" in raw:  # prefix AND general wildcard: * ↔ SQL %
+            return f"{col} LIKE '{raw.replace('*', '%')}'"
         if raw.endswith("~"):
             return f"levenshtein({col}, '{raw[:-1]}') <= 1"
         return f"{col} = '{raw}'"

@@ -1637,15 +1637,28 @@ class QueryScorer:
         _score_slot_sequence with intervals; the oracle replays the
         expansions with LIKE / levenshtein() conditions directly in the
         positional self-join."""
+        import re as _re
+
         slots: list[list[str]] = []
         for raw in text.split():
-            if raw.endswith("*"):
-                stem = tokenize(raw[:-1])
-                if len(stem) != 1:
-                    raise ValueError(
-                        f"span_multi prefix slots must be single stems, got {raw!r}"
-                    )
-                slots.append(sorted(self._expand_prefix(stem[0])))
+            if "*" in raw:
+                if raw.endswith("*") and raw.count("*") == 1:
+                    # trailing-only star: PrefixQuery rewrite (bisected
+                    # range scan — same result as the general glob)
+                    stem = tokenize(raw[:-1])
+                    if len(stem) != 1:
+                        raise ValueError(
+                            f"span_multi prefix slots must be single stems, got {raw!r}"
+                        )
+                    slots.append(sorted(self._expand_prefix(stem[0])))
+                else:
+                    # general WildcardQuery rewrite (* anywhere)
+                    if not _re.fullmatch(r"[a-z0-9*]+", raw) or not raw.strip("*"):
+                        raise ValueError(
+                            f"span_multi wildcard slots must be [a-z0-9*]+ with "
+                            f"at least one literal char, got {raw!r}"
+                        )
+                    slots.append(sorted(self._expand_wildcard(raw)))
             elif raw.endswith("~"):
                 stem = tokenize(raw[:-1])
                 if len(stem) != 1:

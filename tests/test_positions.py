@@ -730,3 +730,57 @@ def test_span_multi_degeneracies(pos_pair):
             assert (self_q["score"].to_numpy() == near["score"].to_numpy()).all()
         assert (a["query_id"] == 1).sum() == 0  # dead prefix slot: empty
         assert (a["query_id"] == 2).sum() == 0  # hopeless fuzzy slot: empty
+
+
+def test_span_multi_wildcard_equals_enumerated_intervals(pos_pair):
+    """A span_multi wildcard slot must be bit-identical to an intervals
+    query whose slot enumerates the same dictionary expansion explicitly
+    (both run _score_slot_sequence; only the rewrite differs) — checked
+    on an infix-star and a leading-star pattern, positional and
+    re-tokenize paths."""
+    import re as _re
+
+    from aarhus_ray.pipelines.query import list_segments as _ls
+    from aarhus_ray.stages.query_stage import Segment
+
+    terms: set[str] = set()
+    for sid in _ls(pos_pair["pos"]):
+        terms.update(Segment(pos_pair["pos"], sid).terms_sorted)
+    text_of = _texts(pos_pair["pos"])
+    t0 = tokenize(list(text_of.values())[0])
+    lit = t0[0]
+    # build an infix pattern from a real token with >=3 chars
+    tok = next(t for t in t0 if len(t) >= 3 and t != lit)
+    pat = f"{tok[0]}*{tok[-1]}"        # infix star
+    lead = f"*{tok[-2:]}"              # leading star
+    for pattern in (pat, lead):
+        rx = _re.compile("^" + ".*".join(_re.escape(p) for p in pattern.split("*")) + "$")
+        expansion = sorted(t for t in terms if rx.match(t))
+        assert expansion, pattern  # the generator token guarantees >=1
+        q_multi = pa.table(
+            {
+                "query_id": pa.array([0], pa.int64()),
+                "text": pa.array([f"{pattern} {lit}"], pa.string()),
+            }
+        )
+        q_intervals = pa.table(
+            {
+                "query_id": pa.array([0], pa.int64()),
+                "text": pa.array(["|".join(expansion) + f" {lit}"], pa.string()),
+            }
+        )
+        for idx in (pos_pair["pos"], pos_pair["nopos"]):
+            a = (
+                query_index(idx, q_multi, k=1000, mode="span_multi",
+                            span_slop=2, resolve_urls=False).to_pandas()
+            )
+            b = (
+                query_index(idx, q_intervals, k=1000, mode="intervals",
+                            max_gaps=2, resolve_urls=False).to_pandas()
+            )
+            assert len(a) == len(b)
+            if len(a):
+                a = a.sort_values("rank").reset_index(drop=True)
+                b = b.sort_values("rank").reset_index(drop=True)
+                assert (a["doc_id"].to_numpy() == b["doc_id"].to_numpy()).all()
+                assert (a["score"].to_numpy() == b["score"].to_numpy()).all()
