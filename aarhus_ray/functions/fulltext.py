@@ -256,6 +256,8 @@ FT_SPAN_MULTIS = (
     "the quey~",
     "t*ble the",
     "s*ow *ine",
+    "/s(low|mall)/ table",
+    "the /gr[ou]+p/",
 )
 
 # Frozen prefix-wildcard query set: trailing ``*`` expands against the term
@@ -1711,6 +1713,8 @@ def bm25_span_multi_oracle_sql(k: int = 10) -> str:
     distinct-token vocab (UNION dedupes terms shared across slots)."""
 
     def slot_cond(col: str, raw: str) -> str:
+        if raw.startswith("/") and raw.endswith("/") and len(raw) > 2:
+            return f"regexp_full_match({col}, '{raw[1:-1]}')"
         if "*" in raw:  # prefix AND general wildcard: * ↔ SQL %
             return f"{col} LIKE '{raw.replace('*', '%')}'"
         if raw.endswith("~"):

@@ -1641,7 +1641,12 @@ class QueryScorer:
 
         slots: list[list[str]] = []
         for raw in text.split():
-            if "*" in raw:
+            if raw.startswith("/") and raw.endswith("/") and len(raw) > 2:
+                # RegexpQuery rewrite: /pattern/ full-matches the term
+                # (RE2 ∩ Python-re common core; checked before the *
+                # branch — a regex may contain stars)
+                slots.append(sorted(self._expand_regexp(raw[1:-1])))
+            elif "*" in raw:
                 if raw.endswith("*") and raw.count("*") == 1:
                     # trailing-only star: PrefixQuery rewrite (bisected
                     # range scan — same result as the general glob)
