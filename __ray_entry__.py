@@ -52,8 +52,12 @@ def entry() -> Any:
 # All 195 registry entries stay green under tools/check_oracle.py; this
 # list only chooses which 50 the driver re-attests independently.
 _DRIVER_WINDOW = [
-    # fulltext flagship family (SURVEY §2.3-2.6, §2.9)
-    "fulltext_bm25_topk", "fulltext_bm25_conj_topk",
+    # fulltext flagship family (SURVEY §2.3-2.6, §2.9). The topk slot
+    # runs the DOC-RANGE-SHARDED cluster-shape scorer (round 5): it
+    # shares bm25_topk's oracle and must produce the identical hash —
+    # a strictly harder attestation of the same flagship ranking
+    # (bm25_topk itself stays the entry() flagship + registry body).
+    "fulltext_bm25_doc_sharded", "fulltext_bm25_conj_topk",
     "fulltext_bm25_phrase_topk", "fulltext_bm25_boolean_topk",
     # span_multi (round 5) supersets the fuzzy slot it replaced: its ~
     # slots run the same Levenshtein-1 dictionary rewrite _expand_fuzzy
@@ -427,6 +431,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_count_min": sketches.count_min_user_counts,
         # --- the flagship: full index build + BM25/WAND over documents ---
         "fulltext_bm25_topk": fulltext.bm25_topk,
+        # the CLUSTER-shape serving path (doc-range-sharded scorer state,
+        # SCALE.md): exact by construction, so it shares bm25_topk's
+        # oracle — the hash equality attests sandbox == cluster ranking
+        "fulltext_bm25_doc_sharded": fulltext.bm25_topk_doc_sharded,
         "fulltext_bm25_conj_topk": fulltext.bm25_topk_conj,
         # minimum_should_match (>=2 distinct matched terms; m generalizes or/and)
         "fulltext_bm25_msm_topk": fulltext.bm25_topk_msm,
@@ -2663,6 +2671,7 @@ def oracle_sql() -> dict[str, str]:
             FROM events WHERE props IS NOT NULL
         """,
         "fulltext_bm25_topk": fulltext.bm25_oracle_sql(),
+        "fulltext_bm25_doc_sharded": fulltext.bm25_oracle_sql(),
         "fulltext_bm25_conj_topk": fulltext.bm25_conj_oracle_sql(),
         "fulltext_bm25_msm_topk": fulltext.bm25_msm_oracle_sql(),
         "fulltext_bm25_terms_set": fulltext.bm25_terms_set_oracle_sql(),

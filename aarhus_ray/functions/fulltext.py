@@ -6014,6 +6014,40 @@ def _full_ranking(index: str, k_all: int) -> pd.DataFrame:
     return res[["query_id", "doc_id", "score"]]
 
 
+def bm25_topk_doc_sharded(sf_dir: str, k: int = 10, n_ranges: int = 4) -> pd.DataFrame:
+    """The CLUSTER-shape serving path as a first-class queryable op
+    (SCALE.md §serving; pipelines/query.query_index_doc_sharded): scorer
+    state is DOC-RANGE-SHARDED — at 10^12 docs the doclen sidecar cannot
+    live in every scorer, so each range scorer loads ONLY its
+    partitions' doclens and scores every query over doc_ids in [lo, hi)
+    with GLOBAL df/idf; the per-range k-sized partial top-ks merge under
+    the frozen (score DESC, doc_id ASC) order. EXACT by construction
+    (every doc is scored wholly inside exactly one range — unlike
+    per-term-segment top-k, SURVEY §8.3), so the oracle is the STANDARD
+    full-corpus BM25 stack: the hash equality is precisely the
+    attestation that the sandbox path and the cluster path compute the
+    same ranking. URL resolution reuses the partition-pruned UrlResolver
+    on the k-sized result (driver-side — right-sized even at scale)."""
+    from ..pipelines.query import query_index_doc_sharded
+    from ..stages.query_stage import UrlResolver
+
+    index = _ensure_index(sf_dir, fresh=False)
+    queries = pa.table(
+        {
+            "query_id": pa.array(range(len(FT_QUERIES)), pa.int64()),
+            "text": pa.array(list(FT_QUERIES), pa.string()),
+        }
+    )
+    res = query_index_doc_sharded(index, queries, n_ranges=n_ranges, k=k)
+    resolved = UrlResolver(index)(
+        pa.Table.from_pandas(res, preserve_index=False)
+    ).to_pandas()
+    resolved["doc_id"] = resolved["url"].map(url_doc_id).astype("int64")
+    out = resolved[["query_id", "rank", "doc_id"]].sort_values(["query_id", "rank"])
+    out["rank"] = out["rank"].astype("int32")
+    return out.reset_index(drop=True)
+
+
 def bm25_topk_multifield(sf_dir: str, k: int = 10) -> pd.DataFrame:
     """Multi-field retrieval (Lucene ``multi_match`` over ``title^2,
     body``): two REAL indexes — body (the shared one) and title (first
