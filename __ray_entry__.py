@@ -435,6 +435,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # SCALE.md): exact by construction, so it shares bm25_topk's
         # oracle — the hash equality attests sandbox == cluster ranking
         "fulltext_bm25_doc_sharded": fulltext.bm25_topk_doc_sharded,
+        # the alternate (sort-shuffle) build exchange, fresh-built under
+        # its own workdir key — same-oracle-harder-path: the hash
+        # attests both exchange strategies assemble the identical index
+        "fulltext_bm25_sort_exchange": fulltext.bm25_topk_sort_exchange,
         "fulltext_bm25_conj_topk": fulltext.bm25_topk_conj,
         # minimum_should_match (>=2 distinct matched terms; m generalizes or/and)
         "fulltext_bm25_msm_topk": fulltext.bm25_topk_msm,
@@ -2672,6 +2676,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "fulltext_bm25_topk": fulltext.bm25_oracle_sql(),
         "fulltext_bm25_doc_sharded": fulltext.bm25_oracle_sql(),
+        "fulltext_bm25_sort_exchange": fulltext.bm25_oracle_sql(),
         "fulltext_bm25_conj_topk": fulltext.bm25_conj_oracle_sql(),
         "fulltext_bm25_msm_topk": fulltext.bm25_msm_oracle_sql(),
         "fulltext_bm25_terms_set": fulltext.bm25_terms_set_oracle_sql(),

@@ -6048,6 +6048,32 @@ def bm25_topk_doc_sharded(sf_dir: str, k: int = 10, n_ranges: int = 4) -> pd.Dat
     return out.reset_index(drop=True)
 
 
+def bm25_topk_sort_exchange(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """The ALTERNATE build exchange as a first-class queryable op: a
+    FRESH index built with ``exchange="sort"`` — the in-Dataset
+    sort-shuffle partial→segment merge kept for clusters where map
+    outputs cannot reach shared storage (the default since round 5 is
+    the external disk exchange; byte-identity between the two is pinned
+    by test at fixture scale). Shares bm25_topk's oracle: the hash
+    equality driver-attests that BOTH exchange strategies assemble the
+    identical index and ranking — the same same-oracle-harder-path
+    pattern as fulltext_bm25_doc_sharded. Built under its own workdir
+    key so the shared cached index is never perturbed."""
+    from ..pipelines.build import build_index as _build
+
+    work = _work_dir(sf_dir)
+    pages = os.path.join(work, "pages", "part-0000.parquet")
+    if not os.path.exists(pages):
+        docs_as_pages(sf_dir, pages)
+    index = os.path.join(work, "index_sortx")
+    if not os.path.exists(os.path.join(index, "_INDEX_DONE")):
+        _build(
+            os.path.dirname(pages), index,
+            num_partitions=8, num_segments=2, n_salts=2, exchange="sort",
+        )
+    return _run_queries(index, FT_QUERIES, k, "or")
+
+
 def bm25_topk_multifield(sf_dir: str, k: int = 10) -> pd.DataFrame:
     """Multi-field retrieval (Lucene ``multi_match`` over ``title^2,
     body``): two REAL indexes — body (the shared one) and title (first
