@@ -439,6 +439,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # its own workdir key — same-oracle-harder-path: the hash
         # attests both exchange strategies assemble the identical index
         "fulltext_bm25_sort_exchange": fulltext.bm25_topk_sort_exchange,
+        # the cursor DAAT scorer (segments-direct, the streaming-from-
+        # disk memory shape) — third same-oracle-harder-path member
+        "fulltext_bm25_daat": fulltext.bm25_topk_daat,
         "fulltext_bm25_conj_topk": fulltext.bm25_topk_conj,
         # minimum_should_match (>=2 distinct matched terms; m generalizes or/and)
         "fulltext_bm25_msm_topk": fulltext.bm25_topk_msm,
@@ -2677,6 +2680,7 @@ def oracle_sql() -> dict[str, str]:
         "fulltext_bm25_topk": fulltext.bm25_oracle_sql(),
         "fulltext_bm25_doc_sharded": fulltext.bm25_oracle_sql(),
         "fulltext_bm25_sort_exchange": fulltext.bm25_oracle_sql(),
+        "fulltext_bm25_daat": fulltext.bm25_oracle_sql(),
         "fulltext_bm25_conj_topk": fulltext.bm25_conj_oracle_sql(),
         "fulltext_bm25_msm_topk": fulltext.bm25_msm_oracle_sql(),
         "fulltext_bm25_terms_set": fulltext.bm25_terms_set_oracle_sql(),

@@ -6074,6 +6074,22 @@ def bm25_topk_sort_exchange(sf_dir: str, k: int = 10) -> pd.DataFrame:
     return _run_queries(index, FT_QUERIES, k, "or")
 
 
+def bm25_topk_daat(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """The cursor Block-Max WAND document-at-a-time path
+    (``method="wand_daat"`` — walks segment posting cursors directly,
+    no worker-cached contribution arrays; the memory shape a
+    streaming-from-disk cluster scorer uses) driver-attested against
+    bm25_topk's oracle. wand / wand_daat / brute are property-tested
+    bit-identical (CLAUDE.md invariant); this replays that identity per
+    driver run through the shared DuckDB hash — the third member of the
+    same-oracle-harder-path family (doc-sharded state, sort exchange,
+    cursor DAAT)."""
+    return _run_queries(
+        _ensure_index(sf_dir, fresh=False), FT_QUERIES, k, "or",
+        method="wand_daat",
+    )
+
+
 def bm25_topk_multifield(sf_dir: str, k: int = 10) -> pd.DataFrame:
     """Multi-field retrieval (Lucene ``multi_match`` over ``title^2,
     body``): two REAL indexes — body (the shared one) and title (first
