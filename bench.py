@@ -177,6 +177,9 @@ def run_once() -> dict:
             "fulltext_bm25_phrase_topk",
             "fulltext_bm25_phrase_positional",
             "fulltext_lifecycle",
+            # session-14 addition: the doc-range-sharded cluster-shape
+            # serving path next to the monolithic scorer it must match
+            "fulltext_bm25_doc_sharded",
         ):
             qs[name](sf_dir)
             t0 = time.perf_counter()
