@@ -49,7 +49,7 @@ def entry() -> Any:
 # relational, events windows, sketches, text analysis, BPE, cleaning,
 # dedup, ANN, multimodal) so CORRECTNESS_r{N}.json attests every family —
 # not just the relational block the source-ordered dict used to lead with.
-# All 195 registry entries stay green under tools/check_oracle.py; this
+# Every registry entry stays green under tools/check_oracle.py; this
 # list only chooses which 50 the driver re-attests independently.
 _DRIVER_WINDOW = [
     # fulltext flagship family (SURVEY §2.3-2.6, §2.9). The topk slot

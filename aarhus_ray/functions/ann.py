@@ -1587,7 +1587,16 @@ def kmeans_oracle_sql(k: int = KMEANS_K, iters: int = KMEANS_ITERS,
     (−2·x·c + c·c, ties to the lowest cluster id); float partial-sum
     order differs between the two engines but the output rounds to
     ``decimals`` where all orders agree (the documented contract the
-    numpy-replay pytest already certifies)."""
+    numpy-replay pytest already certifies).
+
+    RESIDUAL RISK (documented, accepted): the rounding protects the
+    centroid OUTPUT values, not the unrounded argmin that assigns
+    vectors — a vector NEARLY equidistant to two centroids could flip
+    labels between BLAS-blocked and SQL-sequential summation and fail
+    the hash on some other corpus. On the driver's fixed sf corpora the
+    minimum assignment margin is far above float64 noise (gate green
+    every round); a margin-asserting variant would need integer-grid
+    embeddings, which the synthetic tables do not provide."""
     rounds = []
     for t in range(1, iters + 1):
         rounds.append(f"""a{t} AS (

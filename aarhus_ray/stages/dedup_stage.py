@@ -72,7 +72,6 @@ class DedupAssignWriter:
     def _write_partials(self, pid: int, partials: pa.Table) -> None:
         import json as _json
 
-        import pyarrow.compute as pc
         import pyarrow.ipc as ipc
 
         pdir = os.path.join(self.out_dir, "partials")
@@ -87,10 +86,20 @@ class DedupAssignWriter:
         )
         tmp = path + ".tmp"
         with ipc.RecordBatchFileWriter(tmp, schema) as w:
-            for b in buckets:
-                w.write_table(
-                    partials.filter(pc.equal(partials["bucket"], b)).combine_chunks()
-                )
+            if buckets:
+                # one stable gather + zero-copy slices instead of a full
+                # table filter per bucket (O(rows) vs O(buckets × rows));
+                # stable argsort preserves within-bucket row order, so
+                # each written batch is row-identical to the old
+                # per-bucket filter
+                b_np = bcol.to_numpy(zero_copy_only=False)
+                order = np.argsort(b_np, kind="stable")
+                by_bucket = partials.take(pa.array(order))
+                sb = b_np[order]
+                for b in buckets:
+                    lo = int(np.searchsorted(sb, b, "left"))
+                    hi = int(np.searchsorted(sb, b, "right"))
+                    w.write_table(by_bucket.slice(lo, hi - lo).combine_chunks())
         os.replace(tmp, path)
 
     def __call__(self, group: pa.Table) -> pa.Table:

@@ -84,7 +84,9 @@ def test_sql_mix64_matches_numpy():
         dtype=np.uint64,
     )
     for r in range(4):
-        salt = int(np.uint64(0x9E3779B97F4A7C15) * np.uint64(2 * r + 1))
+        # wrapped in Python ints (the production _cms_hash idiom) to avoid
+        # the numpy scalar-multiply overflow RuntimeWarning
+        salt = (0x9E3779B97F4A7C15 * (2 * r + 1)) & ((1 << 64) - 1)
         expect = (_mix64(keys ^ np.uint64(salt)) % np.uint64(CMS_W)).tolist()
         exprs = ", ".join(
             f"({_sql_mix64(f'xor(CAST({int(k)} AS UBIGINT), CAST({salt} AS UBIGINT))')}) % {CMS_W}"
