@@ -81,19 +81,30 @@ def _work_dir(sf_dir: str) -> str:
     return f"/tmp/aarhus_fulltext_{key}"
 
 
-def _ensure_index(sf_dir: str, fresh: bool = False, positions: bool = False) -> str:
+def _ensure_index(
+    sf_dir: str,
+    fresh: bool = False,
+    positions: bool = False,
+    exchange: str | None = None,
+) -> str:
     """Build (or reuse) the docs-as-pages index under the sf_dir-keyed
     workdir; returns the index path. ``fresh=True`` rebuilds from scratch.
     ``positions=True`` builds (and caches separately) a positional index
     (per-segment pos.bin sidecar) so phrase queries verify adjacency from
-    decoded positions instead of re-tokenizing checkpoint text."""
+    decoded positions instead of re-tokenizing checkpoint text.
+    ``exchange`` overrides the build's partial→segment exchange strategy
+    (cached separately) — the ONE build-config definition shared by every
+    fulltext op, so the same-oracle-harder-path attestations
+    (bm25_topk_sort_exchange) compare identically-configured builds by
+    construction."""
     work = _work_dir(sf_dir)
     if fresh:
         shutil.rmtree(work, ignore_errors=True)
     pages = os.path.join(work, "pages", "part-0000.parquet")
     if not os.path.exists(pages):
         docs_as_pages(sf_dir, pages)
-    index = os.path.join(work, "index_pos" if positions else "index")
+    suffix = ("_pos" if positions else "") + (f"_x{exchange}" if exchange else "")
+    index = os.path.join(work, "index" + suffix)
     if not os.path.exists(os.path.join(index, "_INDEX_DONE")):
         build_index(
             os.path.dirname(pages),
@@ -102,22 +113,45 @@ def _ensure_index(sf_dir: str, fresh: bool = False, positions: bool = False) -> 
             num_segments=2,
             n_salts=2,
             positions=positions,
+            exchange=exchange,
         )
     return index
 
 
-def _run_queries(index: str, query_texts, k: int, mode: str, **kw) -> pd.DataFrame:
-    queries = pa.table(
+def _query_table(query_texts) -> pa.Table:
+    return pa.table(
         {
             "query_id": pa.array(range(len(query_texts)), pa.int64()),
             "text": pa.array(list(query_texts), pa.string()),
         }
     )
-    res = query_index(index, queries, k=k, resolve_urls=True, mode=mode, **kw).to_pandas()
+
+
+def _rank_frame(res: pd.DataFrame) -> pd.DataFrame:
+    """Shared output contract for url-resolved rankings: map each url back
+    to its SOURCE doc_id and emit (query_id, rank:int32, doc_id) in
+    (query_id, rank) order — the one place the driver-facing dtype/sort
+    normalization lives (every ranking op and oracle shares it)."""
+    if len(res) == 0:  # empty result sets can arrive column-less
+        return pd.DataFrame(
+            {
+                "query_id": pd.Series([], dtype="int64"),
+                "rank": pd.Series([], dtype="int32"),
+                "doc_id": pd.Series([], dtype="int64"),
+            }
+        )
+    res = res.copy()
     res["doc_id"] = res["url"].map(url_doc_id).astype("int64")
     out = res[["query_id", "rank", "doc_id"]].sort_values(["query_id", "rank"])
     out["rank"] = out["rank"].astype("int32")
     return out.reset_index(drop=True)
+
+
+def _run_queries(index: str, query_texts, k: int, mode: str, **kw) -> pd.DataFrame:
+    res = query_index(
+        index, _query_table(query_texts), k=k, resolve_urls=True, mode=mode, **kw
+    ).to_pandas()
+    return _rank_frame(res)
 
 
 def bm25_topk(sf_dir: str, k: int = 10, fresh: bool = True) -> pd.DataFrame:
@@ -6032,20 +6066,15 @@ def bm25_topk_doc_sharded(sf_dir: str, k: int = 10, n_ranges: int = 4) -> pd.Dat
     from ..stages.query_stage import UrlResolver
 
     index = _ensure_index(sf_dir, fresh=False)
-    queries = pa.table(
-        {
-            "query_id": pa.array(range(len(FT_QUERIES)), pa.int64()),
-            "text": pa.array(list(FT_QUERIES), pa.string()),
-        }
+    res = query_index_doc_sharded(
+        index, _query_table(FT_QUERIES), n_ranges=n_ranges, k=k
     )
-    res = query_index_doc_sharded(index, queries, n_ranges=n_ranges, k=k)
+    if len(res) == 0:  # sharded early-return omits rank; normalize here
+        return _rank_frame(res)
     resolved = UrlResolver(index)(
         pa.Table.from_pandas(res, preserve_index=False)
     ).to_pandas()
-    resolved["doc_id"] = resolved["url"].map(url_doc_id).astype("int64")
-    out = resolved[["query_id", "rank", "doc_id"]].sort_values(["query_id", "rank"])
-    out["rank"] = out["rank"].astype("int32")
-    return out.reset_index(drop=True)
+    return _rank_frame(resolved)
 
 
 def bm25_topk_sort_exchange(sf_dir: str, k: int = 10) -> pd.DataFrame:
@@ -6057,21 +6086,13 @@ def bm25_topk_sort_exchange(sf_dir: str, k: int = 10) -> pd.DataFrame:
     by test at fixture scale). Shares bm25_topk's oracle: the hash
     equality driver-attests that BOTH exchange strategies assemble the
     identical index and ranking — the same same-oracle-harder-path
-    pattern as fulltext_bm25_doc_sharded. Built under its own workdir
-    key so the shared cached index is never perturbed."""
-    from ..pipelines.build import build_index as _build
-
-    work = _work_dir(sf_dir)
-    pages = os.path.join(work, "pages", "part-0000.parquet")
-    if not os.path.exists(pages):
-        docs_as_pages(sf_dir, pages)
-    index = os.path.join(work, "index_sortx")
-    if not os.path.exists(os.path.join(index, "_INDEX_DONE")):
-        _build(
-            os.path.dirname(pages), index,
-            num_partitions=8, num_segments=2, n_salts=2, exchange="sort",
-        )
-    return _run_queries(index, FT_QUERIES, k, "or")
+    pattern as fulltext_bm25_doc_sharded. Build config comes from
+    _ensure_index itself (exchange= is the ONLY divergence, cached
+    under its own suffix), so the two compared builds cannot drift
+    apart as the shared config evolves."""
+    return _run_queries(
+        _ensure_index(sf_dir, fresh=False, exchange="sort"), FT_QUERIES, k, "or"
+    )
 
 
 def bm25_topk_daat(sf_dir: str, k: int = 10) -> pd.DataFrame:

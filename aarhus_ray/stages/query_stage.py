@@ -1641,6 +1641,9 @@ class QueryScorer:
 
         slots: list[list[str]] = []
         for raw in text.split():
+            raw = raw.lower()  # dictionary terms are lowercase; the
+            # prefix/fuzzy/wildcard/regexp modes all lowercase their
+            # patterns — keep the slot rewrites consistent with them
             if raw.startswith("/") and raw.endswith("/") and len(raw) > 2:
                 # RegexpQuery rewrite: /pattern/ full-matches the term
                 # (RE2 ∩ Python-re common core; checked before the *
