@@ -2373,15 +2373,10 @@ def oracle_sql() -> dict[str, str]:
         # numpy — measured) so the per-vector ranking replays exactly;
         # exact-clone ties resolve by the frozen nbr_id ASC on both sides
         "knn_graph": f"""
-            WITH c AS (
-              SELECT a.vec_id, b.vec_id AS nbr_id,
-                     list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                            CAST(b.embedding AS DOUBLE[])) AS cos
-              FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
-            ),
+            WITH {ann.KNN_COS_CTE},
             r AS (SELECT vec_id, nbr_id, cos,
                          row_number() OVER (PARTITION BY vec_id
-                                            ORDER BY cos DESC, nbr_id) AS rank
+                                            {ann.KNN_RANK_ORDER}) AS rank
                   FROM c)
             SELECT vec_id, CAST(rank AS INTEGER) AS rank, nbr_id, round(cos, 3) AS cos
             FROM r WHERE rank <= {ann.KNN_GRAPH_K}
@@ -2390,15 +2385,10 @@ def oracle_sql() -> dict[str, str]:
         # triangle census over the same digraph, canonicalized (min,max)
         # and 3-way self-joined; wedges = Σ d(d−1)/2; integer transitivity
         "knn_triangles": f"""
-            WITH c AS (
-              SELECT a.vec_id, b.vec_id AS nbr_id,
-                     list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                            CAST(b.embedding AS DOUBLE[])) AS cos
-              FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
-            ),
+            WITH {ann.KNN_COS_CTE},
             r AS (SELECT vec_id, nbr_id,
                          row_number() OVER (PARTITION BY vec_id
-                                            ORDER BY cos DESC, nbr_id) AS rank
+                                            {ann.KNN_RANK_ORDER}) AS rank
                   FROM c),
             g AS (SELECT vec_id, nbr_id FROM r WHERE rank <= {ann.KNN_GRAPH_K}),
             e AS (SELECT DISTINCT least(vec_id, nbr_id) AS u,

@@ -1523,19 +1523,28 @@ def pagerank_knn(
 # shared oracle fragment: the kNN digraph (identical to the knn_graph
 # oracle's edge derivation — that query is hash-green, certifying the SQL
 # edge set equals the persisted engine artifact)
-_KNN_EDGE_CTE = """
-c AS (
+# The frozen kNN-digraph derivation, single-sourced (SQL side): the
+# DOUBLE[]-cast cosine cross-join and the (cos DESC, nbr_id) tie-break are
+# shared verbatim by knn_graph / knn_triangles (__ray_entry__) and the
+# pagerank edge CTE below — one definition, three oracles, so a tie-break
+# or cast change cannot silently desynchronize the attested graphs.
+KNN_COS_CTE = """c AS (
   SELECT a.vec_id, b.vec_id AS nbr_id,
          list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                 CAST(b.embedding AS DOUBLE[])) AS cos
   FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
-),
+)"""
+KNN_RANK_ORDER = "ORDER BY cos DESC, nbr_id"
+
+_KNN_EDGE_CTE = (
+    "\n" + KNN_COS_CTE + """,
 r AS (SELECT vec_id, nbr_id,
              row_number() OVER (PARTITION BY vec_id
-                                ORDER BY cos DESC, nbr_id) AS rank
+                                """ + KNN_RANK_ORDER + """) AS rank
       FROM c),
 e AS (SELECT vec_id AS src, nbr_id AS dst FROM r WHERE rank <= {k})
 """
+)
 
 
 def pagerank_oracle_sql(k: int = KNN_GRAPH_K, iters: int = PR_ITERS) -> str:
@@ -1596,7 +1605,12 @@ def kmeans_oracle_sql(k: int = KMEANS_K, iters: int = KMEANS_ITERS,
     the hash on some other corpus. On the driver's fixed sf corpora the
     minimum assignment margin is far above float64 noise (gate green
     every round); a margin-asserting variant would need integer-grid
-    embeddings, which the synthetic tables do not provide."""
+    embeddings, which the synthetic tables do not provide. A second,
+    smaller residual: DuckDB round() is half-away-from-zero while
+    np.round is half-to-even, so a value landing EXACTLY on a 4dp
+    midpoint (requires dyadic-rational inputs — not producible by these
+    random-float corpora) would also diverge; same acceptance
+    rationale, and it applies to top_pc_oracle_sql too."""
     rounds = []
     for t in range(1, iters + 1):
         rounds.append(f"""a{t} AS (

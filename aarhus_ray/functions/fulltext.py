@@ -1258,6 +1258,55 @@ ORDER BY query_id, rank
 """
 
 
+def _bm25_spans_oracle_sql(qd_block: str, spans: str, k: int) -> str:
+    """The span family's shared oracle TEMPLATE — the frozen BM25 CTE
+    stack (toks/dl/stats/tf/df + positional arr/posi + scored/ranked,
+    byte-identical in every span oracle) with only the two per-mode
+    parts injected: ``qd_block`` (the scoring-vocabulary CTE — VALUES
+    for literal query sets, computed for dictionary rewrites) and
+    ``spans`` (the per-query match-set blocks). Single-sourced so a
+    change to the frozen scoring form cannot desynchronize one span
+    oracle from the other five."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok
+    FROM documents) WHERE tok <> ''
+),
+dl AS (SELECT d.doc_id, CAST(coalesce(t.c, 0) AS DOUBLE) AS dl
+       FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS c FROM toks GROUP BY 1) t USING (doc_id)),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+{qd_block},
+arr AS (SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS a
+        FROM documents),
+posi AS (SELECT doc_id, unnest(a) AS tok, generate_subscripts(a, 1) - 1 AS pos FROM arr),
+spans AS (
+{spans}
+),
+scored AS (
+  SELECT qd.query_id, tf.doc_id,
+         sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * (1.2 + 1.0)
+              / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score
+  FROM qd JOIN tf USING (tok) JOIN df USING (tok)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s GROUP BY 1, 2
+),
+ranked AS (
+  SELECT s.query_id, s.doc_id,
+         row_number() OVER (PARTITION BY s.query_id ORDER BY s.score DESC, s.doc_id) AS rank
+  FROM scored s JOIN spans n ON n.query_id = s.query_id AND n.doc_id = s.doc_id
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank, doc_id
+FROM ranked WHERE rank <= {k}
+ORDER BY query_id, rank
+"""
+
+
+
 def bm25_span_near_oracle_sql(k: int = 10) -> str:
     """span_near oracle: BM25 CTEs over each query's DISTINCT terms + a
     per-query ORDERED proximity constraint — an n-way self-join of
@@ -1289,43 +1338,9 @@ def bm25_span_near_oracle_sql(k: int = 10) -> str:
             f"  HAVING MIN({aliases[-1]}.pos - {aliases[0]}.pos) <= {limit}"
         )
     spans = "\n  UNION ALL\n".join(blocks)
-    return f"""
-WITH toks AS (
-  SELECT doc_id, tok FROM (
-    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok
-    FROM documents) WHERE tok <> ''
-),
-dl AS (SELECT d.doc_id, CAST(coalesce(t.c, 0) AS DOUBLE) AS dl
-       FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS c FROM toks GROUP BY 1) t USING (doc_id)),
-stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
-tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf FROM toks GROUP BY 1, 2),
-df AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
-qd(query_id, tok) AS (VALUES {values}),
-arr AS (SELECT doc_id,
-               list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS a
-        FROM documents),
-posi AS (SELECT doc_id, unnest(a) AS tok, generate_subscripts(a, 1) - 1 AS pos FROM arr),
-spans AS (
-{spans}
-),
-scored AS (
-  SELECT qd.query_id, tf.doc_id,
-         sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
-              * tf.tf * (1.2 + 1.0)
-              / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score
-  FROM qd JOIN tf USING (tok) JOIN df USING (tok)
-  JOIN dl ON tf.doc_id = dl.doc_id
-  CROSS JOIN stats s GROUP BY 1, 2
-),
-ranked AS (
-  SELECT s.query_id, s.doc_id,
-         row_number() OVER (PARTITION BY s.query_id ORDER BY s.score DESC, s.doc_id) AS rank
-  FROM scored s JOIN spans n ON n.query_id = s.query_id AND n.doc_id = s.doc_id
-)
-SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank, doc_id
-FROM ranked WHERE rank <= {k}
-ORDER BY query_id, rank
-"""
+    return _bm25_spans_oracle_sql(
+        f"qd(query_id, tok) AS (VALUES {values})", spans, k
+    )
 
 
 def bm25_topk_span_not(sf_dir: str, k: int = 10) -> pd.DataFrame:
@@ -1385,43 +1400,9 @@ def bm25_span_not_oracle_sql(k: int = 10) -> str:
             f"  GROUP BY 2"
         )
     spans = "\n  UNION ALL\n".join(blocks)
-    return f"""
-WITH toks AS (
-  SELECT doc_id, tok FROM (
-    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok
-    FROM documents) WHERE tok <> ''
-),
-dl AS (SELECT d.doc_id, CAST(coalesce(t.c, 0) AS DOUBLE) AS dl
-       FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS c FROM toks GROUP BY 1) t USING (doc_id)),
-stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
-tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf FROM toks GROUP BY 1, 2),
-df AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
-qd(query_id, tok) AS (VALUES {values}),
-arr AS (SELECT doc_id,
-               list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS a
-        FROM documents),
-posi AS (SELECT doc_id, unnest(a) AS tok, generate_subscripts(a, 1) - 1 AS pos FROM arr),
-spans AS (
-{spans}
-),
-scored AS (
-  SELECT qd.query_id, tf.doc_id,
-         sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
-              * tf.tf * (1.2 + 1.0)
-              / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score
-  FROM qd JOIN tf USING (tok) JOIN df USING (tok)
-  JOIN dl ON tf.doc_id = dl.doc_id
-  CROSS JOIN stats s GROUP BY 1, 2
-),
-ranked AS (
-  SELECT s.query_id, s.doc_id,
-         row_number() OVER (PARTITION BY s.query_id ORDER BY s.score DESC, s.doc_id) AS rank
-  FROM scored s JOIN spans n ON n.query_id = s.query_id AND n.doc_id = s.doc_id
-)
-SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank, doc_id
-FROM ranked WHERE rank <= {k}
-ORDER BY query_id, rank
-"""
+    return _bm25_spans_oracle_sql(
+        f"qd(query_id, tok) AS (VALUES {values})", spans, k
+    )
 
 
 def bm25_topk_span_containing(sf_dir: str, k: int = 10) -> pd.DataFrame:
@@ -1479,43 +1460,9 @@ def bm25_span_containing_oracle_sql(k: int = 10) -> str:
             f"  GROUP BY 2"
         )
     spans = "\n  UNION ALL\n".join(blocks)
-    return f"""
-WITH toks AS (
-  SELECT doc_id, tok FROM (
-    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok
-    FROM documents) WHERE tok <> ''
-),
-dl AS (SELECT d.doc_id, CAST(coalesce(t.c, 0) AS DOUBLE) AS dl
-       FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS c FROM toks GROUP BY 1) t USING (doc_id)),
-stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
-tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf FROM toks GROUP BY 1, 2),
-df AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
-qd(query_id, tok) AS (VALUES {values}),
-arr AS (SELECT doc_id,
-               list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS a
-        FROM documents),
-posi AS (SELECT doc_id, unnest(a) AS tok, generate_subscripts(a, 1) - 1 AS pos FROM arr),
-spans AS (
-{spans}
-),
-scored AS (
-  SELECT qd.query_id, tf.doc_id,
-         sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
-              * tf.tf * (1.2 + 1.0)
-              / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score
-  FROM qd JOIN tf USING (tok) JOIN df USING (tok)
-  JOIN dl ON tf.doc_id = dl.doc_id
-  CROSS JOIN stats s GROUP BY 1, 2
-),
-ranked AS (
-  SELECT s.query_id, s.doc_id,
-         row_number() OVER (PARTITION BY s.query_id ORDER BY s.score DESC, s.doc_id) AS rank
-  FROM scored s JOIN spans n ON n.query_id = s.query_id AND n.doc_id = s.doc_id
-)
-SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank, doc_id
-FROM ranked WHERE rank <= {k}
-ORDER BY query_id, rank
-"""
+    return _bm25_spans_oracle_sql(
+        f"qd(query_id, tok) AS (VALUES {values})", spans, k
+    )
 
 
 def bm25_topk_span_or(sf_dir: str, k: int = 10) -> pd.DataFrame:
@@ -1569,45 +1516,12 @@ def bm25_span_or_oracle_sql(k: int = 10) -> str:
                 f"  GROUP BY 2"
             )
     spans = "\n  UNION ALL\n".join(blocks)
-    return f"""
-WITH toks AS (
-  SELECT doc_id, tok FROM (
-    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok
-    FROM documents) WHERE tok <> ''
-),
-dl AS (SELECT d.doc_id, CAST(coalesce(t.c, 0) AS DOUBLE) AS dl
-       FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS c FROM toks GROUP BY 1) t USING (doc_id)),
-stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
-tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf FROM toks GROUP BY 1, 2),
-df AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
-qd(query_id, tok) AS (VALUES {values}),
-arr AS (SELECT doc_id,
-               list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS a
-        FROM documents),
-posi AS (SELECT doc_id, unnest(a) AS tok, generate_subscripts(a, 1) - 1 AS pos FROM arr),
-spans AS (
-  SELECT DISTINCT query_id, doc_id FROM (
-{spans}
-  )
-),
-scored AS (
-  SELECT qd.query_id, tf.doc_id,
-         sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
-              * tf.tf * (1.2 + 1.0)
-              / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score
-  FROM qd JOIN tf USING (tok) JOIN df USING (tok)
-  JOIN dl ON tf.doc_id = dl.doc_id
-  CROSS JOIN stats s GROUP BY 1, 2
-),
-ranked AS (
-  SELECT s.query_id, s.doc_id,
-         row_number() OVER (PARTITION BY s.query_id ORDER BY s.score DESC, s.doc_id) AS rank
-  FROM scored s JOIN spans n ON n.query_id = s.query_id AND n.doc_id = s.doc_id
-)
-SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank, doc_id
-FROM ranked WHERE rank <= {k}
-ORDER BY query_id, rank
-"""
+    return _bm25_spans_oracle_sql(
+        f"qd(query_id, tok) AS (VALUES {values})",
+        # a doc matches iff ANY alternative's block emits it
+        "  SELECT DISTINCT query_id, doc_id FROM (\n" + spans + "\n  )",
+        k,
+    )
 
 
 def bm25_topk_span_within(sf_dir: str, k: int = 10) -> pd.DataFrame:
@@ -1679,43 +1593,9 @@ def bm25_span_within_oracle_sql(k: int = 10) -> str:
             f"  GROUP BY 2"
         )
     spans = "\n  UNION ALL\n".join(blocks)
-    return f"""
-WITH toks AS (
-  SELECT doc_id, tok FROM (
-    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok
-    FROM documents) WHERE tok <> ''
-),
-dl AS (SELECT d.doc_id, CAST(coalesce(t.c, 0) AS DOUBLE) AS dl
-       FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS c FROM toks GROUP BY 1) t USING (doc_id)),
-stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
-tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf FROM toks GROUP BY 1, 2),
-df AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
-qd(query_id, tok) AS (VALUES {values}),
-arr AS (SELECT doc_id,
-               list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS a
-        FROM documents),
-posi AS (SELECT doc_id, unnest(a) AS tok, generate_subscripts(a, 1) - 1 AS pos FROM arr),
-spans AS (
-{spans}
-),
-scored AS (
-  SELECT qd.query_id, tf.doc_id,
-         sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
-              * tf.tf * (1.2 + 1.0)
-              / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score
-  FROM qd JOIN tf USING (tok) JOIN df USING (tok)
-  JOIN dl ON tf.doc_id = dl.doc_id
-  CROSS JOIN stats s GROUP BY 1, 2
-),
-ranked AS (
-  SELECT s.query_id, s.doc_id,
-         row_number() OVER (PARTITION BY s.query_id ORDER BY s.score DESC, s.doc_id) AS rank
-  FROM scored s JOIN spans n ON n.query_id = s.query_id AND n.doc_id = s.doc_id
-)
-SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank, doc_id
-FROM ranked WHERE rank <= {k}
-ORDER BY query_id, rank
-"""
+    return _bm25_spans_oracle_sql(
+        f"qd(query_id, tok) AS (VALUES {values})", spans, k
+    )
 
 
 def bm25_topk_span_multi(sf_dir: str, k: int = 10) -> pd.DataFrame:
@@ -1780,46 +1660,10 @@ def bm25_span_multi_oracle_sql(k: int = 10) -> str:
         )
     qd = "\n  UNION\n".join(qd_rows)
     spans = "\n  UNION ALL\n".join(blocks)
-    return f"""
-WITH toks AS (
-  SELECT doc_id, tok FROM (
-    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok
-    FROM documents) WHERE tok <> ''
-),
-dl AS (SELECT d.doc_id, CAST(coalesce(t.c, 0) AS DOUBLE) AS dl
-       FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS c FROM toks GROUP BY 1) t USING (doc_id)),
-stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
-tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf FROM toks GROUP BY 1, 2),
-df AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
-vocab AS (SELECT DISTINCT tok FROM toks),
-qd AS (
-{qd}
-),
-arr AS (SELECT doc_id,
-               list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS a
-        FROM documents),
-posi AS (SELECT doc_id, unnest(a) AS tok, generate_subscripts(a, 1) - 1 AS pos FROM arr),
-spans AS (
-{spans}
-),
-scored AS (
-  SELECT qd.query_id, tf.doc_id,
-         sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
-              * tf.tf * (1.2 + 1.0)
-              / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score
-  FROM qd JOIN tf USING (tok) JOIN df USING (tok)
-  JOIN dl ON tf.doc_id = dl.doc_id
-  CROSS JOIN stats s GROUP BY 1, 2
-),
-ranked AS (
-  SELECT s.query_id, s.doc_id,
-         row_number() OVER (PARTITION BY s.query_id ORDER BY s.score DESC, s.doc_id) AS rank
-  FROM scored s JOIN spans n ON n.query_id = s.query_id AND n.doc_id = s.doc_id
-)
-SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank, doc_id
-FROM ranked WHERE rank <= {k}
-ORDER BY query_id, rank
-"""
+    return _bm25_spans_oracle_sql(
+        "vocab AS (SELECT DISTINCT tok FROM toks),\nqd AS (\n" + qd + "\n)",
+        spans, k,
+    )
 
 
 def bm25_topk_prefix(sf_dir: str, k: int = 10) -> pd.DataFrame:

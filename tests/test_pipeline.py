@@ -2386,6 +2386,22 @@ def test_salt_count_query_invariance(tmp_path):
     assert (a["score"].to_numpy() == b["score"].to_numpy()).all()
 
 
+def _seg_hashes(out):
+    """md5 per file under segments/ — the byte-identity definition shared
+    by the exchange tests."""
+    import hashlib
+    import os
+
+    h = {}
+    seg_root = os.path.join(out, "segments")
+    for root, _, files in os.walk(seg_root):
+        for f in sorted(files):
+            p = os.path.join(root, f)
+            with open(p, "rb") as fh:
+                h[os.path.relpath(p, seg_root)] = hashlib.md5(fh.read()).hexdigest()
+    return h
+
+
 def test_exchange_disk_equals_sort_byte_identical(tmp_path):
     """The round-5 disk exchange (per-pid map-output IPC files + per-bucket
     random-access assembly) must produce byte-identical segments to the
@@ -2398,22 +2414,12 @@ def test_exchange_disk_equals_sort_byte_identical(tmp_path):
     pages = str(tmp_path / "pages")
     fixtures.write_pages_dir(pages, 300, seed=21, rows_per_file=100)
 
-    def seg_hashes(out):
-        h = {}
-        seg_root = os.path.join(out, "segments")
-        for root, _, files in os.walk(seg_root):
-            for f in sorted(files):
-                p = os.path.join(root, f)
-                with open(p, "rb") as fh:
-                    h[os.path.relpath(p, seg_root)] = hashlib.md5(fh.read()).hexdigest()
-        return h
-
     s1 = build_index(pages, str(tmp_path / "idx_sort"), num_partitions=4,
                      num_segments=2, n_salts=2, exchange="sort")
     s2 = build_index(pages, str(tmp_path / "idx_disk"), num_partitions=4,
                      num_segments=2, n_salts=2, exchange="disk")
     assert s1["n_docs"] == s2["n_docs"]
-    assert seg_hashes(str(tmp_path / "idx_sort")) == seg_hashes(str(tmp_path / "idx_disk"))
+    assert _seg_hashes(str(tmp_path / "idx_sort")) == _seg_hashes(str(tmp_path / "idx_disk"))
     # the shuffle checkpoint is cleaned up after assembly
     assert not os.path.isdir(os.path.join(str(tmp_path / "idx_disk"), "partials"))
 
@@ -2453,16 +2459,6 @@ def test_exchange_disk_crash_after_phase1_resumes_identical(tmp_path, monkeypatc
     pages = str(tmp_path / "pages")
     fixtures.write_pages_dir(pages, 300, seed=21, rows_per_file=100)
 
-    def seg_hashes(out):
-        h = {}
-        seg_root = os.path.join(out, "segments")
-        for root, _, files in os.walk(seg_root):
-            for f in sorted(files):
-                p = os.path.join(root, f)
-                with open(p, "rb") as fh:
-                    h[os.path.relpath(p, seg_root)] = hashlib.md5(fh.read()).hexdigest()
-        return h
-
     ref = str(tmp_path / "idx_ref")
     build_index(pages, ref, num_partitions=4, num_segments=2, n_salts=2)
 
@@ -2483,5 +2479,5 @@ def test_exchange_disk_crash_after_phase1_resumes_identical(tmp_path, monkeypatc
     stats = build_index(pages, crash, num_partitions=4, num_segments=2,
                         n_salts=2, resume=True)
     assert stats["n_docs"] > 0
-    assert seg_hashes(crash) == seg_hashes(ref)
+    assert _seg_hashes(crash) == _seg_hashes(ref)
     assert not os.path.isdir(os.path.join(crash, "partials"))
