@@ -414,7 +414,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the inference half: apply the learned merges, per-doc fertility
         # (hash-checked since round 5 via bpe.encode_oracle_sql)
         "docs_bpe_encode": bpe.encode_with_merges,
-        # --- mergeable sketches (approximate → rows-only) + exact anchor ---
+        # --- mergeable sketches + exact anchors. HLL is hash-checked since
+        # round 5: its hash IS DuckDB md5_number_lower, trailing-zero rank +
+        # integer-scaled register fold replay exactly in SQL ---
         "events_distinct_props_hll": sketches.distinct_count_hll,
         # mergeable quantile ε-summary over doclen (sketch trio member;
         # rows-only — one-sided rank bound pinned by pytest replay)
@@ -2660,8 +2662,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(base.n AS BIGINT) AS n_bytes
             FROM base LEFT JOIN h USING (doc_id) ORDER BY 1
         """,
-        # exact-distinct anchor for the HLL sketch (the sketch itself stays
-        # rows-only; a pytest pins |hll - exact|/exact < 5% at sf0.01)
+        # the HLL sketch itself is hash-checked: the engine hash IS DuckDB's
+        # md5_number_lower, rank/fold/estimate replayed exactly in SQL
+        # (sketches.hll_oracle_sql docstring has the construction)
+        "events_distinct_props_hll": sketches.hll_oracle_sql(),
+        # exact-distinct anchor for the HLL sketch (accuracy pytest pins
+        # |hll - exact|/exact < 5% at sf0.01)
         "events_distinct_props_exact": """
             SELECT 'events' AS table_name, 'props' AS column_name,
                    CAST(COUNT(DISTINCT props) AS BIGINT) AS n_distinct

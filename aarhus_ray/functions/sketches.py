@@ -3,12 +3,21 @@
 HyperLogLog distinct-count over any string column: one sketch per batch
 inside map_batches (vectorized register update), merged on the driver —
 the canonical pre-aggregated plan (ray_guide: "sketches are designed to be
-mergeable"). Deterministic (blake2b hashing, no RNG).
+mergeable"). Deterministic (md5 hashing, no RNG) — and SQL-replayable:
+the 64-bit hash is exactly DuckDB's ``md5_number_lower`` (bytes 8..16 of
+the md5 digest, little-endian), the rank is the TRAILING-zero count of the
+hash suffix (the Flajolet–Martin bit-pattern variant — same geometric
+distribution as leading zeros, but exactly expressible as an unrolled
+``w % 2^k`` CASE in SQL, where leading-zeros would need a float log2),
+and the register fold is an integer-scaled HUGEINT sum with the float
+numerator embedded as ONE shared literal, so the engine estimate and the
+DuckDB oracle (``hll_oracle_sql``) agree bit-for-bit.
 """
 
 from __future__ import annotations
 
 import hashlib
+import math
 
 import numpy as np
 import pandas as pd
@@ -17,10 +26,16 @@ import ray.data
 
 HLL_P = 12  # 2^12 registers → ~1.6% standard error
 _M = 1 << HLL_P
+_R0 = 64 - HLL_P + 1  # rank ceiling: suffix w == 0 ⇒ rank 64-P+1 (= 53)
 
 
 def _alpha(m: int) -> float:
     return 0.7213 / (1.0 + 1.079 / m)
+
+
+# alpha·m²·2^R0 folded into ONE float64 literal shared verbatim with the SQL
+# oracle, so both sides perform the identical single division by float(S).
+_NUMER = _alpha(_M) * float(_M) * float(_M) * float(1 << _R0)
 
 
 def hll_update(registers: np.ndarray, values: list[str]) -> None:
@@ -29,32 +44,38 @@ def hll_update(registers: np.ndarray, values: list[str]) -> None:
         return
     h = np.fromiter(
         (
-            int.from_bytes(hashlib.blake2b(v.encode("utf-8"), digest_size=8).digest(), "big")
+            # == DuckDB md5_number_lower(v): digest bytes 8..16, little-endian
+            int.from_bytes(hashlib.md5(v.encode("utf-8")).digest()[8:16], "little")
             for v in values
         ),
         dtype=np.uint64,
         count=len(values),
     )
-    idx = (h >> np.uint64(64 - HLL_P)).astype(np.int64)
-    rest = (h << np.uint64(HLL_P)) | np.uint64((1 << HLL_P) - 1)
-    # rank = leading zeros of the remaining 64-P bits, + 1
-    lz = np.zeros(len(h), dtype=np.uint8)
-    cur = rest.copy()
+    idx = (h & np.uint64(_M - 1)).astype(np.int64)
+    w = h >> np.uint64(HLL_P)
+    # rank = trailing zeros of the 64-P suffix bits + 1 (w == 0 ⇒ _R0)
+    tz = np.zeros(len(h), dtype=np.uint8)
+    cur = w.copy()
+    nz = w != np.uint64(0)
     for shift in (32, 16, 8, 4, 2, 1):
-        mask = cur < np.uint64(1 << (64 - shift))
-        lz[mask] += shift
-        cur[mask] = cur[mask] << np.uint64(shift)
-    rank = np.minimum(lz + 1, 64 - HLL_P + 1).astype(np.uint8)
+        mask = nz & ((cur & np.uint64((1 << shift) - 1)) == 0)
+        tz[mask] += np.uint8(shift)
+        cur[mask] >>= np.uint64(shift)
+    rank = np.where(nz, tz + 1, np.uint8(_R0)).astype(np.uint8)
     np.maximum.at(registers, idx, rank)
 
 
 def hll_estimate(registers: np.ndarray) -> float:
+    # S = Σ 2^(R0 - M_j) over all m registers — exact (Python int; the float
+    # sum Σ 2^-M_j would round differently per summation order).
+    counts = np.bincount(registers, minlength=_R0 + 1)
+    s = sum(int(c) << (_R0 - r) for r, c in enumerate(counts) if c)
+    est = _NUMER / float(s)
     m = float(_M)
-    est = _alpha(_M) * m * m / np.sum(np.exp2(-registers.astype(np.float64)))
     if est <= 2.5 * m:
-        zeros = int(np.count_nonzero(registers == 0))
+        zeros = int(counts[0])
         if zeros:
-            est = m * np.log(m / zeros)  # linear counting for small n
+            est = m * math.log(m / zeros)  # linear counting for small n
     return float(est)
 
 
@@ -67,8 +88,9 @@ def hll_merge(sketches: list[np.ndarray]) -> np.ndarray:
 
 def distinct_count_hll(sf_dir: str, table: str = "events", column: str = "props") -> pd.DataFrame:
     """Approximate distinct count of a column: per-batch HLL sketches →
-    driver merge. Returns (estimate, exact is NOT computed here — the
-    driver's rows-only check just pins determinism and shape)."""
+    driver merge. Hash-checked against ``hll_oracle_sql`` (the sketch is a
+    pure function of the value SET — batch boundaries only shard the
+    register max, which is order-free — so DuckDB can replay it exactly)."""
     ds = ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=[column])
 
     def sketch(batch: pa.Table) -> pa.Table:
@@ -81,6 +103,45 @@ def distinct_count_hll(sf_dir: str, table: str = "events", column: str = "props"
     return pd.DataFrame(
         {"table_name": [table], "column_name": [column], "approx_distinct": [round(hll_estimate(merged))]}
     )
+
+
+def hll_oracle_sql(table: str = "events", column: str = "props") -> str:
+    """Exact DuckDB replay of ``distinct_count_hll``. The engine's hash IS
+    ``md5_number_lower``; rank = trailing zeros of ``h >> P`` + 1 via an
+    unrolled ``w % 2^k = 2^(k-1)`` CASE (every branch is exact integer
+    arithmetic); the register fold is a HUGEINT sum of ``2^(R0 - max_rank)``
+    (zero registers contribute ``2^R0`` each), and the estimate divides the
+    SAME embedded float64 numerator literal by ``CAST(S AS DOUBLE)`` — the
+    one float op both sides share. Linear-counting branch mirrors
+    ``hll_estimate`` expression-for-expression."""
+    rank_case = " ".join(
+        [f"WHEN w = 0 THEN {_R0}"]
+        + [f"WHEN w % {1 << k} = {1 << (k - 1)} THEN {k}" for k in range(1, 64 - HLL_P + 1)]
+    )
+    numer = repr(_NUMER)
+    return f"""
+        WITH vals AS (SELECT DISTINCT {column} AS v FROM {table}
+                      WHERE {column} IS NOT NULL),
+        hashed AS (SELECT md5_number_lower(v) AS h FROM vals),
+        slotted AS (SELECT CAST(h % {_M} AS BIGINT) AS idx, h // {_M} AS w
+                    FROM hashed),
+        ranked AS (SELECT idx, CASE {rank_case} ELSE {_R0} END AS rank
+                   FROM slotted),
+        regs AS (SELECT idx, MAX(rank) AS mr FROM ranked GROUP BY idx),
+        folded AS (
+            SELECT SUM(CAST(1::BIGINT << CAST({_R0} - mr AS INTEGER) AS HUGEINT))
+                       + CAST({_M} - COUNT(*) AS HUGEINT)
+                         * CAST(1::BIGINT << {_R0} AS HUGEINT) AS s,
+                   {_M} - COUNT(*) AS zeros
+            FROM regs),
+        est AS (SELECT {numer} / CAST(s AS DOUBLE) AS raw, zeros FROM folded)
+        SELECT '{table}' AS table_name, '{column}' AS column_name,
+               CAST(round(CASE WHEN raw <= 2.5 * {float(_M)!r} AND zeros > 0
+                               THEN {float(_M)!r} * ln({float(_M)!r}
+                                                       / CAST(zeros AS DOUBLE))
+                               ELSE raw END) AS BIGINT) AS approx_distinct
+        FROM est
+    """
 
 
 def distinct_count_exact(sf_dir: str, table: str = "events", column: str = "props") -> pd.DataFrame:

@@ -435,6 +435,13 @@ def test_hll_over_events_table():
     # standard error; 5% is > 3 sigma)
     approx = int(out["approx_distinct"].iloc[0])
     assert abs(approx - eng_exact) / max(1, eng_exact) < 0.05
+    # the sketch value itself replays EXACTLY in SQL (md5_number_lower hash,
+    # unrolled trailing-zero rank, HUGEINT register fold — hll_oracle_sql)
+    from aarhus_ray.functions.sketches import hll_oracle_sql
+
+    con.execute(f"CREATE OR REPLACE VIEW events AS SELECT * FROM '{SF}/events.parquet'")
+    oracle = con.execute(hll_oracle_sql()).fetchdf()
+    assert int(oracle["approx_distinct"].iloc[0]) == approx
 
 
 def test_parallel_fixture_generation_deterministic(tmp_path):
