@@ -50,16 +50,16 @@ def test_window_oracle_coverage():
     assert not missing, missing
 
 
-def test_rows_only_set_is_exactly_the_undoable_six():
-    """The registry ops without an oracle are exactly the six that are
-    approximate, batch-boundary-dependent, or float-iterative by
-    construction (SURVEY §8 op 190) — any regression that silently drops
-    an oracle, or a new op landing without one, fails here."""
+def test_rows_only_set_is_exactly_the_undoable_five():
+    """The registry ops without an oracle are exactly the five that are
+    batch-boundary-dependent or float-iterative by construction (SURVEY
+    §8 ops 190/202 — HLL left this set in round 5 when its hash became
+    DuckDB's md5_number_lower) — any regression that silently drops an
+    oracle, or a new op landing without one, fails here."""
     q = entry.queries()
     o = entry.oracle_sql()
     assert set(o) <= set(q), sorted(set(o) - set(q))
     assert set(q) - set(o) == {
-        "events_distinct_props_hll",
         "docs_doclen_quantile_sketch",
         "docs_target_classifier",
         "knn_pq",
