@@ -635,6 +635,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # matrix_stats: joint integer moments of (doclen, ts) per match set
         "fulltext_matrix_stats": fulltext.matrix_stats_query,
         "fulltext_matchset_percentiles": fulltext.matchset_percentiles_query,
+        # boxplot: five-number summary + Tukey-fence outlier counts
+        "fulltext_boxplot": fulltext.matchset_boxplot_query,
         "fulltext_facet_cardinality": fulltext.facet_cardinality_query,
         # term statistics audit (df + ttf from decoded postings)
         "fulltext_term_stats": fulltext.term_stats_query,
@@ -2766,6 +2768,7 @@ def oracle_sql() -> dict[str, str]:
         "fulltext_terms_enum": fulltext.terms_enum_oracle_sql(),
         "fulltext_matrix_stats": fulltext.matrix_stats_oracle_sql(),
         "fulltext_matchset_percentiles": fulltext.matchset_percentiles_oracle_sql(),
+        "fulltext_boxplot": fulltext.matchset_boxplot_oracle_sql(),
         "fulltext_facet_cardinality": fulltext.facet_cardinality_oracle_sql(),
         "fulltext_term_stats": fulltext.term_stats_oracle_sql(),
         "fulltext_bm25_page2": fulltext.bm25_page2_oracle_sql(),

@@ -6702,6 +6702,76 @@ ORDER BY 1, 2
 """
 
 
+def matchset_boxplot_query(sf_dir: str) -> pd.DataFrame:
+    """Boxplot aggregation per FT_QUERY (ES ``boxplot`` agg, exact integer
+    form over the doclen docvalue): five-number summary — min, Q1/Q2/Q3 as
+    type-1 order statistics at floor(q·(n−1)), max — plus Tukey 1.5·IQR
+    fence outlier counts with the comparison doubled into int64
+    (stages/query_stage.MatchsetBoxplot has the merge-across-doc-ranges
+    posture). Output all-integer, hash-exact."""
+    from ..pipelines.query import matchset_boxplot
+
+    index = _ensure_index(sf_dir, fresh=False)
+    queries = pa.table(
+        {
+            "query_id": pa.array(range(len(FT_QUERIES)), pa.int64()),
+            "text": pa.array(list(FT_QUERIES), pa.string()),
+        }
+    )
+    out = matchset_boxplot(index, queries, field="doclen").to_pandas()
+    return out.sort_values(["query_id"]).reset_index(drop=True)
+
+
+def matchset_boxplot_oracle_sql() -> str:
+    """Boxplot oracle: dl = per-doc token count (the engine's doclen),
+    quartiles via row_number() = floor(q·(n−1)) + 1, fences replayed with
+    the identical doubled-integer comparisons."""
+    values = ",".join(
+        f"({qid}, '{term}')" for qid, q in enumerate(FT_QUERIES) for term in q.split()
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok
+    FROM documents) WHERE tok <> ''
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+q(query_id, tok) AS (VALUES {values}),
+qd AS (SELECT DISTINCT query_id, tok FROM q),
+matched AS (SELECT DISTINCT qd.query_id, toks.doc_id FROM qd JOIN toks USING (tok)),
+mv AS (SELECT m.query_id, dl.dl AS v FROM matched m JOIN dl USING (doc_id)),
+ranked AS (
+  SELECT query_id, v,
+         row_number() OVER (PARTITION BY query_id ORDER BY v) AS rn,
+         count(*) OVER (PARTITION BY query_id) AS n
+  FROM mv
+),
+quart AS (
+  SELECT query_id,
+         any_value(n) AS n_docs,
+         min(v) AS vmin,
+         max(v) AS vmax,
+         max(CASE WHEN rn = CAST(floor(0.25 * (n - 1)) AS BIGINT) + 1 THEN v END) AS q1,
+         max(CASE WHEN rn = CAST(floor(0.5 * (n - 1)) AS BIGINT) + 1 THEN v END) AS q2,
+         max(CASE WHEN rn = CAST(floor(0.75 * (n - 1)) AS BIGINT) + 1 THEN v END) AS q3
+  FROM ranked GROUP BY 1
+)
+SELECT CAST(q.query_id AS BIGINT) AS query_id,
+       CAST(q.n_docs AS BIGINT) AS n_docs,
+       CAST(q.vmin AS BIGINT) AS vmin,
+       CAST(q.q1 AS BIGINT) AS q1,
+       CAST(q.q2 AS BIGINT) AS q2,
+       CAST(q.q3 AS BIGINT) AS q3,
+       CAST(q.vmax AS BIGINT) AS vmax,
+       CAST((SELECT count(*) FROM mv WHERE mv.query_id = q.query_id
+             AND 2 * mv.v < 2 * q.q1 - 3 * (q.q3 - q.q1)) AS BIGINT) AS n_low_out,
+       CAST((SELECT count(*) FROM mv WHERE mv.query_id = q.query_id
+             AND 2 * mv.v > 2 * q.q3 + 3 * (q.q3 - q.q1)) AS BIGINT) AS n_high_out
+FROM quart q
+ORDER BY 1
+"""
+
+
 RESCORE_WINDOW = 30
 RESCORE_W = 2.0
 

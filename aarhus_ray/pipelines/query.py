@@ -1627,6 +1627,40 @@ def matchset_percentiles(
     )
 
 
+def matchset_boxplot(
+    out_dir: str,
+    queries,
+    field: str = "doclen",
+    concurrency: int | None = None,
+    batch_size: int = 64,
+) -> ray.data.Dataset:
+    """BOXPLOT aggregation per query (ES boxplot agg, exact integer form).
+    Returns (query_id, n_docs, vmin, q1, q2, q3, vmax, n_low_out,
+    n_high_out) — five-number summary + Tukey-fence outlier counts."""
+    from ..stages.query_stage import MatchsetBoxplotTaskFn
+
+    segs = list_segments(out_dir)
+    if not segs:
+        raise ValueError(f"no segments under {out_dir}")
+    conc = concurrency or max(1, _cpus())
+    if isinstance(queries, str):
+        import pyarrow.parquet as _pq
+
+        queries = _pq.read_table(queries)
+    if isinstance(queries, pa.Table):
+        n_blocks = max(1, min(conc * 4, queries.num_rows // max(1, batch_size) + 1))
+        per = (queries.num_rows + n_blocks - 1) // n_blocks
+        slices = [queries.slice(i * per, per) for i in range(n_blocks) if i * per < queries.num_rows]
+        qds = ray.data.from_arrow(slices)
+    else:
+        qds = queries
+    return qds.map_batches(
+        MatchsetBoxplotTaskFn(out_dir, segs, field, index_version(out_dir)),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+
+
 def export_matches(
     out_dir: str,
     queries,

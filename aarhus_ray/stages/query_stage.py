@@ -4218,6 +4218,49 @@ class MatchsetPercentiles(DocvalueTopK):
         )
 
 
+class MatchsetBoxplot(DocvalueTopK):
+    """BOXPLOT aggregation over the match set (ES ``boxplot`` agg, exact
+    integer form): per query, the five-number summary of the docvalue —
+    min, Q1/Q2/Q3 as lower (type-1) order statistics at floor(q·(n−1)),
+    max — plus Tukey-fence outlier counts. ES computes the quartiles via
+    t-digest and the fences client-side; here both are exact and integer:
+    a value v is a low outlier iff 2·v < 2·Q1 − 3·IQR and a high outlier
+    iff 2·v > 2·Q3 + 3·IQR (the 1.5·IQR fences doubled so the comparison
+    stays in int64 — doclen ≤ 2^40 can't overflow). Same docvalue sidecar
+    and per-doc-range sharding posture as MatchsetPercentiles: order
+    statistics and threshold counts both merge across disjoint doc ranges
+    (counts are additive; the quartiles need the distributed histogram
+    median path of functions/windows.py at 10^12 docs)."""
+
+    def __init__(self, out_dir: str, seg_ids: list[int] | None = None,
+                 field: str = "doclen"):
+        super().__init__(out_dir, seg_ids, field, k=1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out: dict[str, list[int]] = {c: [] for c in (
+            "query_id", "n_docs", "vmin", "q1", "q2", "q3", "vmax",
+            "n_low_out", "n_high_out")}
+        for qid, text in zip(batch["query_id"].to_pylist(), batch["text"].to_pylist()):
+            docs = self._match_set(text)
+            n = len(docs)
+            if n == 0:
+                continue
+            vals = np.sort(self.vals[np.searchsorted(self.doc_ids, docs)])
+            q1, q2, q3 = (int(vals[int(np.floor(q * (n - 1)))]) for q in (0.25, 0.5, 0.75))
+            iqr = q3 - q1
+            v2 = vals.astype(np.int64) * 2
+            out["query_id"].append(qid)
+            out["n_docs"].append(n)
+            out["vmin"].append(int(vals[0]))
+            out["q1"].append(q1)
+            out["q2"].append(q2)
+            out["q3"].append(q3)
+            out["vmax"].append(int(vals[-1]))
+            out["n_low_out"].append(int(np.count_nonzero(v2 < 2 * q1 - 3 * iqr)))
+            out["n_high_out"].append(int(np.count_nonzero(v2 > 2 * q3 + 3 * iqr)))
+        return pa.table({c: pa.array(v, pa.int64()) for c, v in out.items()})
+
+
 class PercentileRanks(DocvalueTopK):
     """PERCENTILE-RANKS aggregation over the match set (ES
     `percentile_ranks` — the inverse of percentiles): for each query and
@@ -5098,6 +5141,24 @@ class MatchsetPercentilesTaskFn:
             mp = MatchsetPercentiles(out_dir, list(seg_ids), field, quantiles)
             _WORKER_MATCH_AGG_CACHE[key] = mp
         return mp(batch)
+
+
+class MatchsetBoxplotTaskFn:
+    """Task-fn form of MatchsetBoxplot (worker-process cache)."""
+
+    def __init__(self, out_dir: str, seg_ids: list[int], field: str, version: float):
+        self.args = (out_dir, tuple(seg_ids), field, version)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_dir, seg_ids, field, version = self.args
+        key = (out_dir, version, seg_ids, field, "boxplot")
+        bp = _WORKER_MATCH_AGG_CACHE.get(key)
+        if bp is None:
+            for kk in [kk for kk in _WORKER_MATCH_AGG_CACHE if kk[0] == out_dir and kk[1] < version]:
+                del _WORKER_MATCH_AGG_CACHE[kk]
+            bp = MatchsetBoxplot(out_dir, list(seg_ids), field)
+            _WORKER_MATCH_AGG_CACHE[key] = bp
+        return bp(batch)
 
 
 class SearchAfterTaskFn:

@@ -1732,6 +1732,32 @@ def test_term_stats_cardinality_percentiles(golden_index):
     assert list(pct["value"]) == want_vals
     assert list(pct["pct"]) == [25, 50, 75]
 
+def test_matchset_boxplot_on_real_index(golden_index):
+    """MatchsetBoxplot == python recompute over the docs sidecar: type-1
+    quartiles of doclen at floor(q·(n−1)) plus Tukey 1.5·IQR outlier
+    counts via the doubled-integer comparison."""
+    import numpy as np
+    from aarhus_ray.pipelines.query import matchset_boxplot
+    from aarhus_ray.textnorm import tokenize
+
+    idx = golden_index["index"]
+    docs = _docs_table(idx, ["doc_id", "text"])
+    toks_of = [tokenize(t) for t in docs["text"].to_pylist()]
+    q = pa.table({"query_id": pa.array([0, 1], pa.int64()),
+                  "text": pa.array(["the", "zzznotinvocab"], pa.string())})
+    got = matchset_boxplot(idx, q).to_pandas()
+    assert list(got["query_id"]) == [0]  # OOV query emits no row
+    dls = np.sort(np.array([len(tk) for tk in toks_of if "the" in tk], dtype=np.int64))
+    n = len(dls)
+    q1, q2, q3 = (int(dls[int(np.floor(f * (n - 1)))]) for f in (0.25, 0.5, 0.75))
+    iqr = q3 - q1
+    row = got.iloc[0]
+    assert (row["n_docs"], row["vmin"], row["vmax"]) == (n, int(dls[0]), int(dls[-1]))
+    assert (row["q1"], row["q2"], row["q3"]) == (q1, q2, q3)
+    assert row["n_low_out"] == int(np.count_nonzero(2 * dls < 2 * q1 - 3 * iqr))
+    assert row["n_high_out"] == int(np.count_nonzero(2 * dls > 2 * q3 + 3 * iqr))
+
+
 def test_percolator_streaming_reverse_search(golden_index):
     """Percolator == python reference: conjunctive containment of stored
     queries against a streamed docs Dataset (no index consulted); OOV
