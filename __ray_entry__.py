@@ -312,6 +312,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_dedup_survivors": dedup.dedup_survivors_cc,  # one winner per component
         # chunk-level exact dedup (C4/RefinedWeb boilerplate pass)
         "docs_paragraph_dups": dedup.paragraph_dup_spans,
+        # content-defined chunking (LBFS/FastCDC family): shift-resistant
+        # sub-document dedup — boundaries from a local rolling polynomial
+        "docs_cdc_dup_chunks": dedup.cdc_dup_chunks,
         # exact substring-match dedup (Lee et al. 2021): stride-1 windows
         "docs_substring_dups": dedup.substring_dup_spans,
         # benchmark decontamination: frozen probe n-grams vs every doc
@@ -2254,6 +2257,9 @@ def oracle_sql() -> dict[str, str]:
             WHERE doc_id NOT IN (SELECT src FROM losers)
             ORDER BY doc_id
         """,
+        # content-defined chunking: the boundary polynomial unrolls as
+        # CDC_W exact-int64 terms per position (dedup.cdc_oracle_sql)
+        "docs_cdc_dup_chunks": dedup.cdc_oracle_sql(),
         # chunk-level dedup: md5 of space-joined 32-token windows, flagged
         # when a hash occurs in >= 2 DISTINCT docs (list_slice clamps the
         # trailing partial exactly like the engine's python slice)

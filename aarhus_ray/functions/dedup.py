@@ -880,6 +880,153 @@ def paragraph_dup_spans(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
 
 
+# --- content-defined chunking (LBFS/FastCDC family): shift-resistant
+# sub-document dedup. Fixed windows (paragraph_dup_spans) miss a shared
+# passage the moment one inserted character shifts every later window;
+# CDC boundaries depend only on LOCAL content, so shared text re-aligns.
+# The boundary rule is the ORIGINAL stateless Manber form (no min/max
+# chunk clamps): position p ends a chunk iff the polynomial hash of the
+# CDC_W chars ending at p is ≡ 0 mod CDC_D. Statelessness is what makes
+# the rule exactly SQL-replayable (min/max clamps would make boundary
+# eligibility depend on the previous boundary — a sequential recurrence).
+CDC_W = 8  # rolling window, chars
+CDC_P = 131  # polynomial base: 127·(Σ_j 131^j, j<8) < 2^63 → hash EXACT in int64
+CDC_D = 199  # boundary divisor → ~199-char expected chunks
+_CDC_WEIGHTS = (CDC_P ** np.arange(CDC_W - 1, -1, -1, dtype=np.int64)).astype(np.int64)
+
+
+def _cdc_chunk_rows(batch: pa.Table) -> pa.Table:
+    """(doc_id, start, chunk_len, h) rows: CDC chunks, start 1-based (the
+    SQL substr convention), h = md5 hex of the chunk substring. Codepoints
+    (utf-32 decode, mod 128 to bound the int64 polynomial) match DuckDB's
+    ascii(substr(...)) % 128 exactly — the whole boundary predicate is a
+    per-position pure function, vectorized as one sliding-window matmul."""
+    ids_out: list[int] = []
+    start_out: list[int] = []
+    len_out: list[int] = []
+    h_out: list[str] = []
+    for d, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+        n = len(text)
+        if n == 0:
+            continue
+        if n >= CDC_W:
+            cps = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+            cps %= 128
+            win = np.lib.stride_tricks.sliding_window_view(cps, CDC_W)
+            h = win @ _CDC_WEIGHTS
+            ends = (np.nonzero(h % CDC_D == 0)[0] + CDC_W).tolist()
+        else:
+            ends = []
+        if not ends or ends[-1] != n:
+            ends.append(n)
+        prev = 0
+        for e in ends:
+            chunk = text[prev:e]
+            ids_out.append(int(d))
+            start_out.append(prev + 1)
+            len_out.append(e - prev)
+            h_out.append(hashlib.md5(chunk.encode()).hexdigest())
+            prev = e
+    return pa.table(
+        {
+            "doc_id": pa.array(ids_out, pa.int64()),
+            "start": pa.array(start_out, pa.int64()),
+            "chunk_len": pa.array(len_out, pa.int64()),
+            "h": pa.array(h_out, pa.string()),
+        }
+    )
+
+
+def _cdc_dup_group(g: pd.DataFrame) -> pd.DataFrame:
+    """Per chunk-hash reducer: one summary row iff the chunk occurs in
+    ≥ 2 DISTINCT docs (the same cross-doc rule as _dup_chunk_group)."""
+    nd = int(g["doc_id"].nunique())
+    if nd < 2:
+        return pd.DataFrame(
+            {c: [] for c in ("h", "n_docs", "n_occ", "chunk_len", "min_doc_id")}
+        )
+    return pd.DataFrame(
+        {
+            "h": [g["h"].iloc[0]],
+            "n_docs": [nd],
+            "n_occ": [len(g)],
+            "chunk_len": [int(g["chunk_len"].iloc[0])],
+            "min_doc_id": [int(g["doc_id"].min())],
+        }
+    )
+
+
+def cdc_dup_chunks(sf_dir: str) -> pd.DataFrame:
+    """Content-defined-chunking dedup over documents: every doc splits at
+    content-defined boundaries (module comment above — LBFS-style rolling
+    polynomial, no clamps) and a chunk is flagged when its exact hash
+    occurs in ≥ 2 distinct docs. Same shuffle-native plan as
+    paragraph_dup_spans — chunk-hash rows → hot-key filter (is_in /
+    Bloom degrade) → per-hash distinct-docs reducers; only hashes move,
+    text never leaves its map task — but shift-RESISTANT: an edit moves
+    at most the two chunks it touches, so boilerplate shared at different
+    offsets still collides. Output one row per duplicated chunk hash:
+    (h, n_docs, n_occ, chunk_len, min_doc_id), sorted by h."""
+    empty = pd.DataFrame(
+        {
+            "h": pd.Series([], dtype="object"),
+            "n_docs": pd.Series([], dtype="int64"),
+            "n_occ": pd.Series([], dtype="int64"),
+            "chunk_len": pd.Series([], dtype="int64"),
+            "min_doc_id": pd.Series([], dtype="int64"),
+        }
+    )
+    ds = _docs(sf_dir, ["doc_id", "text"]).repartition(16)
+    rows = ds.map_batches(_cdc_chunk_rows, batch_format="pyarrow").materialize()
+    filtered = _hot_key_rows(rows, "h", is_string=True)
+    if filtered is None:
+        return empty
+    out = filtered.groupby("h").map_groups(_cdc_dup_group, batch_format="pandas").to_pandas()
+    if len(out) == 0:
+        return empty
+    for c in ("n_docs", "n_occ", "chunk_len", "min_doc_id"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("h").reset_index(drop=True)
+
+
+def cdc_oracle_sql() -> str:
+    """Exact DuckDB replay of ``cdc_dup_chunks``: the boundary predicate
+    unrolls as CDC_W ascii()·P^o terms per position (all int64-exact by
+    the CDC_P bound), chunk spans reconstruct via lag() over the distinct
+    boundary set (doc end unioned in), md5(substr(...)) reproduces the
+    chunk hash over identical 1-based spans."""
+    hash_terms = " + ".join(
+        f"CAST(ascii(substr(text, p - {o}, 1)) % 128 AS BIGINT) * {CDC_P ** o}"
+        for o in range(CDC_W)
+    )
+    return f"""
+WITH docs0 AS (SELECT doc_id, text, length(text) AS n FROM documents
+               WHERE length(text) > 0),
+pos AS (SELECT doc_id, text, n, unnest(generate_series({CDC_W}, n)) AS p
+        FROM docs0),
+bnd AS (SELECT doc_id, p AS e FROM pos WHERE ({hash_terms}) % {CDC_D} = 0),
+ends AS (SELECT DISTINCT doc_id, e
+         FROM (SELECT doc_id, e FROM bnd
+               UNION ALL SELECT doc_id, n AS e FROM docs0)),
+ch AS (SELECT doc_id,
+              COALESCE(lag(e) OVER (PARTITION BY doc_id ORDER BY e), 0) + 1 AS s,
+              e
+       FROM ends),
+chunk_rows AS (SELECT ch.doc_id, md5(substr(d.text, CAST(ch.s AS BIGINT),
+                                            CAST(ch.e - ch.s + 1 AS BIGINT))) AS h,
+                      ch.e - ch.s + 1 AS chunk_len
+               FROM ch JOIN docs0 d USING (doc_id))
+SELECT h,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_occ,
+       CAST(any_value(chunk_len) AS BIGINT) AS chunk_len,
+       CAST(min(doc_id) AS BIGINT) AS min_doc_id
+FROM chunk_rows
+GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+ORDER BY h
+"""
+
+
 def _cc_min_labels(pairs: pd.DataFrame, max_rounds: int = 32) -> pd.DataFrame:
     """Connected components over an undirected (doc_a, doc_b) edge list by
     Pregel-style MIN-LABEL PROPAGATION, expressed entirely in Ray Data

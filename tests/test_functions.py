@@ -1785,6 +1785,40 @@ def test_repetition_signals_match_python_recompute():
     assert saw_repeat, "corpus should contain at least one repeated bigram"
 
 
+def test_cdc_chunking_shift_resistant_and_tiling():
+    """The CDC kernel's two load-bearing properties. (1) Tiling: chunks
+    cover each doc exactly, starts are 1-based contiguous. (2) Shift
+    resistance — the property fixed windows lack: after a one-char prefix
+    insertion every boundary past the first window re-aligns (the
+    predicate is content-local), so ALL chunks except the first carry
+    identical hashes at +1 offsets."""
+    import numpy as np
+    import pyarrow as pa
+
+    from aarhus_ray.functions.dedup import _cdc_chunk_rows
+
+    rng = np.random.default_rng(7)
+    base = " ".join("".join(rng.choice(list("abcdefghijklmnop"), 5)) for _ in range(400))
+    shifted = "X" + base
+    t = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "text": pa.array([base, shifted])})
+    rows = _cdc_chunk_rows(t).to_pandas()
+    g1 = rows[rows.doc_id == 1].sort_values("start").reset_index(drop=True)
+    g2 = rows[rows.doc_id == 2].sort_values("start").reset_index(drop=True)
+    for g, text in ((g1, base), (g2, shifted)):
+        assert g["start"].iloc[0] == 1
+        assert (g["start"] + g["chunk_len"]).iloc[:-1].tolist() == g["start"].iloc[1:].tolist()
+        assert int(g["chunk_len"].sum()) == len(text)
+    # every chunk but the first re-aligns: identical hash, start shifted +1
+    assert g1["h"].iloc[1:].tolist() == g2["h"].iloc[1:].tolist()
+    assert (g1["start"].iloc[1:] + 1).tolist() == g2["start"].iloc[1:].tolist()
+    # short-doc edge: below the window size the whole doc is one chunk
+    short = _cdc_chunk_rows(
+        pa.table({"doc_id": pa.array([9], pa.int64()), "text": pa.array(["abc"])})
+    ).to_pandas()
+    assert len(short) == 1 and int(short["chunk_len"].iloc[0]) == 3
+
+
 def test_substring_dup_spans_match_python_recompute():
     """substring_dup_spans == a dict-based recompute over window STRINGS
     (stride-1 16-token windows, cross-doc rule, maximal-span merge)."""
