@@ -246,6 +246,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_fingerprints": textstats.fingerprints,
         "docs_winnow_fingerprints": textstats.winnow_fingerprints,  # MOSS rolling-window
         "docs_lang_counts": textstats.lang_counts,
+        # ES categorize_text: first-K distinct digit-free token signature
+        "docs_categorize_text": textstats.categorize_text,
         "docs_stratified_sample": textstats.stratified_sample,  # reproducible mixture sampling
         # RAG sliding-window chunking: overlapping char windows, md5-pinned
         "docs_chunk_overlap": textstats.chunk_overlap,
@@ -1471,6 +1473,31 @@ def oracle_sql() -> dict[str, str]:
         """,
         "docs_lang_counts": """
             SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1 ORDER BY 1
+        """,
+        # categorize_text: first CT_K distinct digit-free tokens in document
+        # order (min(pos) per token → row_number → ordered string_agg);
+        # docs with none land in the '' category via the LEFT JOIN
+        "docs_categorize_text": f"""
+            WITH posi AS (
+              SELECT doc_id, unnest(a) AS tok, generate_subscripts(a, 1) AS pos
+              FROM (SELECT doc_id, {toks_nonempty} AS a FROM documents)
+            ),
+            alpha AS (SELECT doc_id, tok, min(pos) AS fp FROM posi
+                      WHERE NOT regexp_matches(tok, '[0-9]') GROUP BY 1, 2),
+            ranked AS (SELECT doc_id, tok,
+                              row_number() OVER (PARTITION BY doc_id ORDER BY fp) AS rk
+                       FROM alpha),
+            keyed AS (
+              SELECT d.doc_id, COALESCE(s.category, '') AS category
+              FROM documents d LEFT JOIN (
+                SELECT doc_id, string_agg(tok, ' ' ORDER BY rk) AS category
+                FROM ranked WHERE rk <= {textstats.CT_K} GROUP BY 1
+              ) s USING (doc_id)
+            )
+            SELECT category,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(min(doc_id) AS BIGINT) AS min_doc_id
+            FROM keyed GROUP BY 1 ORDER BY 1
         """,
         # RAG chunking: generate_series starts < n_chars; character-based
         # substring == Python str slicing; md5 over the chunk's UTF-8 bytes

@@ -167,6 +167,62 @@ def lang_counts(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("lang").reset_index(drop=True)
 
 
+CT_K = 4  # categorize_text signature length (first K distinct non-numeric tokens)
+
+
+def categorize_text(sf_dir: str) -> pd.DataFrame:
+    """ES ``categorize_text`` aggregation in a frozen deterministic
+    contract: a doc's CATEGORY is its first CT_K distinct tokens that
+    contain no digit, joined by one space (ES's categorizer likewise
+    drops numeric tokens — the variable parts of log-like messages — and
+    keys on the leading stable tokens; its token-weight clustering is
+    replaced by this exact rule so the oracle can replay it). Docs with
+    no such token form the '' category. Pre-aggregated plan: per-batch
+    (category, n_docs, min_doc_id) partials → small groupby(category)
+    shuffle — raw per-doc rows never shuffle, so category cardinality
+    (≪ corpus size on boilerplate-heavy web text) bounds the exchange.
+    Output (category, n_docs, min_doc_id) sorted by category."""
+    from ray.data.aggregate import Min
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks_per_doc = tokenize_batch(batch["text"].to_pylist())
+        cats: list[str] = []
+        for toks in toks_per_doc:
+            sig: list[str] = []
+            seen: set[str] = set()
+            for tok in toks:
+                if tok in seen or any(c.isdigit() for c in tok):
+                    continue
+                seen.add(tok)
+                sig.append(tok)
+                if len(sig) == CT_K:
+                    break
+            cats.append(" ".join(sig))
+        df = pd.DataFrame(
+            {"category": cats, "doc_id": batch["doc_id"].to_numpy(zero_copy_only=False)}
+        )
+        g = df.groupby("category", sort=False)["doc_id"].agg(["size", "min"]).reset_index()
+        return pa.table(
+            {
+                "category": pa.array(g["category"], pa.string()),
+                "n_docs": pa.array(g["size"].to_numpy(), pa.int64()),
+                "min_doc_id": pa.array(g["min"].to_numpy(), pa.int64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("category")
+        .aggregate(Sum("n_docs", alias_name="n_docs"), Min("min_doc_id", alias_name="min_doc_id"))
+        .to_pandas()
+    )
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["min_doc_id"] = out["min_doc_id"].astype("int64")
+    return out.sort_values("category").reset_index(drop=True)
+
+
 _BPE_RE = None
 
 
