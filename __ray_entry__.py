@@ -248,6 +248,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_lang_counts": textstats.lang_counts,
         # ES categorize_text: first-K distinct digit-free token signature
         "docs_categorize_text": textstats.categorize_text,
+        # ES terms agg with its shard-truncation error bound made exact
+        "docs_terms_agg_error_bounds": textstats.terms_agg_error_bounds,
         "docs_stratified_sample": textstats.stratified_sample,  # reproducible mixture sampling
         # RAG sliding-window chunking: overlapping char windows, md5-pinned
         "docs_chunk_overlap": textstats.chunk_overlap,
@@ -1473,6 +1475,34 @@ def oracle_sql() -> dict[str, str]:
         """,
         "docs_lang_counts": """
             SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1 ORDER BY 1
+        """,
+        # terms agg WITH the ES distributed-approximation contract: shards
+        # = doc_id % S (deterministic), per-shard top-shard_size
+        # truncation, received-sum doc_count + error bound = sum of
+        # truncated non-reporting shards' last-included counts
+        "docs_terms_agg_error_bounds": f"""
+            WITH sc AS (SELECT doc_id % {textstats.TA_SHARDS} AS shard, lang,
+                               count(*) AS n
+                        FROM documents GROUP BY 1, 2),
+            rk AS (SELECT shard, lang, n,
+                          row_number() OVER (PARTITION BY shard
+                                             ORDER BY n DESC, lang ASC) AS r
+                   FROM sc),
+            rep AS (SELECT shard, lang, n FROM rk WHERE r <= {textstats.TA_SHARD_SIZE}),
+            cut AS (SELECT shard,
+                           CASE WHEN max(r) > {textstats.TA_SHARD_SIZE}
+                                THEN min(CASE WHEN r <= {textstats.TA_SHARD_SIZE} THEN n END)
+                                ELSE 0 END AS cutn
+                    FROM rk GROUP BY shard)
+            SELECT c.lang,
+                   CAST((SELECT SUM(n) FROM rep WHERE rep.lang = c.lang) AS BIGINT)
+                       AS doc_count,
+                   CAST((SELECT COALESCE(SUM(cutn), 0) FROM cut
+                         WHERE cut.shard NOT IN (SELECT shard FROM rep
+                                                 WHERE rep.lang = c.lang)) AS BIGINT)
+                       AS doc_count_error_upper_bound
+            FROM (SELECT DISTINCT lang FROM rep) c
+            ORDER BY doc_count DESC, lang
         """,
         # categorize_text: first CT_K distinct digit-free tokens in document
         # order (min(pos) per token → row_number → ordered string_agg);

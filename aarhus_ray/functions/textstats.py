@@ -167,6 +167,72 @@ def lang_counts(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("lang").reset_index(drop=True)
 
 
+TA_SHARDS = 8  # terms-agg error-bound demo: shard count (doc routing = doc_id % S)
+TA_SHARD_SIZE = 3  # per-shard truncation (ES shard_size)
+
+
+def terms_agg_error_bounds(sf_dir: str) -> pd.DataFrame:
+    """ES ``terms`` aggregation WITH its distributed approximation
+    contract made exact: each of TA_SHARDS shards (routing = doc_id %
+    TA_SHARDS — deterministic, so the whole computation is a pure
+    function of the table) returns only its top-TA_SHARD_SIZE langs by
+    (count DESC, lang ASC); the coordinator sums the counts it received
+    per candidate and reports ``doc_count_error_upper_bound`` = Σ over
+    non-reporting shards of that shard's LAST-included count — exactly
+    ES's bound (a missing term can hide at most just-below-the-cut in
+    each shard that didn't report it). Distributed part: per-batch
+    (shard, lang) partials → groupby sum (≤ S×|langs| rows ever
+    shuffle); the truncation+merge runs on that aggregate-sized result.
+    Output (lang, doc_count, doc_count_error_upper_bound) for the merged
+    candidates, sorted by (doc_count DESC, lang ASC) — doc_count is the
+    RECEIVED sum, deliberately below the true count when a shard
+    truncated the lang away, exactly as ES returns it."""
+    ds = _docs(sf_dir, ["doc_id", "lang"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "shard": batch["doc_id"].to_numpy(zero_copy_only=False) % TA_SHARDS,
+                "lang": batch["lang"].to_pylist(),
+            }
+        )
+        g = df.groupby(["shard", "lang"], sort=False).size().reset_index(name="n")
+        return pa.table(
+            {
+                "shard": pa.array(g["shard"].to_numpy(), pa.int64()),
+                "lang": pa.array(g["lang"], pa.string()),
+                "n": pa.array(g["n"].to_numpy(), pa.int64()),
+            }
+        )
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["shard", "lang"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    # coordinator-side truncation + merge on the S×|langs|-sized aggregate
+    counts = counts.sort_values(["shard", "n", "lang"], ascending=[True, False, True])
+    per_shard = counts.groupby("shard", sort=True)
+    reported = per_shard.head(TA_SHARD_SIZE)
+    # a shard that returned ALL its terms (≤ shard_size distinct) hides
+    # nothing — its error contribution is 0, exactly ES's rule; only a
+    # TRUNCATED shard can hide a term just below its last-included count
+    cut = {
+        int(s): (int(g["n"].head(TA_SHARD_SIZE).iloc[-1]) if len(g) > TA_SHARD_SIZE else 0)
+        for s, g in per_shard
+    }
+    rows = []
+    for lang, g in reported.groupby("lang", sort=True):
+        got = set(g["shard"].astype(int))
+        err = sum(c for s, c in cut.items() if s not in got)
+        rows.append((lang, int(g["n"].sum()), int(err)))
+    out = pd.DataFrame(rows, columns=["lang", "doc_count", "doc_count_error_upper_bound"])
+    return (
+        out.sort_values(["doc_count", "lang"], ascending=[False, True]).reset_index(drop=True)
+    )
+
+
 CT_K = 4  # categorize_text signature length (first K distinct non-numeric tokens)
 
 

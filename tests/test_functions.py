@@ -1785,6 +1785,28 @@ def test_repetition_signals_match_python_recompute():
     assert saw_repeat, "corpus should contain at least one repeated bigram"
 
 
+def test_terms_agg_error_bound_is_sound():
+    """The ES doc_count_error_upper_bound contract: for every reported
+    term, received_sum <= true_count <= received_sum + bound (the bound
+    covers exactly the shards that truncated the term away), and a term
+    reported by ALL truncated+untruncated shards has bound 0 only if no
+    truncated shard missed it."""
+    import duckdb
+
+    from aarhus_ray.functions.textstats import terms_agg_error_bounds
+
+    out = terms_agg_error_bounds(SF)
+    con = duckdb.connect()
+    true = dict(
+        con.execute(
+            f"SELECT lang, count(*) FROM '{SF}/documents.parquet' GROUP BY 1"
+        ).fetchall()
+    )
+    assert len(out) > 0
+    for r in out.itertuples():
+        assert r.doc_count <= true[r.lang] <= r.doc_count + r.doc_count_error_upper_bound
+
+
 def test_cdc_chunking_shift_resistant_and_tiling():
     """The CDC kernel's two load-bearing properties. (1) Tiling: chunks
     cover each doc exactly, starts are 1-based contiguous. (2) Shift
