@@ -79,9 +79,14 @@ _DRIVER_WINDOW = [
     # (md5_number_lower hash + SQL register fold); its exact-distinct
     # anchor stays hash-green in the registry body + accuracy pytest
     "events_heavy_hitters", "events_distinct_props_hll",
-    # text analysis
+    # text analysis. ccnet_buckets computes the unigram-NLL kernel
+    # internally (vocab fold → per-doc milli-nat NLL → terciles), so the
+    # former unigram_nll slot goes to the round-5 content-defined-
+    # chunking dedup (a NEW mechanism — rolling-polynomial boundaries —
+    # not covered by the fixed-window span ops; unigram_nll stays
+    # hash-green in the registry body)
     "docs_term_counts_top50", "docs_lang_id", "docs_pii_scrub",
-    "docs_pack_sequences", "docs_contamination", "docs_unigram_nll",
+    "docs_pack_sequences", "docs_contamination", "docs_cdc_dup_chunks",
     "docs_ccnet_buckets", "docs_nb_classifier", "docs_token_counts_bpe",
     # cleaning / curation
     "docs_gopher_filter", "docs_source_cap", "docs_curation_pipeline",
