@@ -455,6 +455,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # its own workdir key — same-oracle-harder-path: the hash
         # attests both exchange strategies assemble the identical index
         "fulltext_bm25_sort_exchange": fulltext.bm25_topk_sort_exchange,
+        # standing-actor serving pool: same scorer fn, pool dispatch
+        "fulltext_bm25_serving": fulltext.bm25_topk_serving,
         # the cursor DAAT scorer (segments-direct, the streaming-from-
         # disk memory shape) — third same-oracle-harder-path member
         "fulltext_bm25_daat": fulltext.bm25_topk_daat,
@@ -2748,6 +2750,7 @@ def oracle_sql() -> dict[str, str]:
         "fulltext_bm25_topk": fulltext.bm25_oracle_sql(),
         "fulltext_bm25_doc_sharded": fulltext.bm25_oracle_sql(),
         "fulltext_bm25_sort_exchange": fulltext.bm25_oracle_sql(),
+        "fulltext_bm25_serving": fulltext.bm25_oracle_sql(),
         "fulltext_bm25_daat": fulltext.bm25_oracle_sql(),
         "fulltext_bm25_conj_topk": fulltext.bm25_conj_oracle_sql(),
         "fulltext_bm25_msm_topk": fulltext.bm25_msm_oracle_sql(),

@@ -5921,6 +5921,34 @@ def bm25_topk_doc_sharded(sf_dir: str, k: int = 10, n_ranges: int = 4) -> pd.Dat
     return _rank_frame(resolved)
 
 
+def bm25_topk_serving(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """The STANDING-POOL serving path as a first-class queryable op
+    (pipelines/query.start_serving/serve_queries — persistent scorer
+    actors, state hot across calls, one round-trip per query batch
+    instead of a Dataset pipeline launch; the architecture a search
+    engine actually serves from). Shares bm25_topk's oracle: the scorer
+    fn is the SAME importable object the pipeline path runs, so the hash
+    equality driver-attests that pool dispatch changes nothing about the
+    ranking (bit-identity also pinned by
+    tests/test_pipeline.py::test_serving_pool_matches_pipeline). The
+    pool is torn down after the answer so driver runs never leak actors."""
+    from ..pipelines.query import serve_queries, stop_serving
+    from ..stages.query_stage import UrlResolver
+
+    index = _ensure_index(sf_dir, fresh=False)
+    try:
+        res = serve_queries(index, _query_table(FT_QUERIES), k=k,
+                            n_actors=4, batch_size=8)
+    finally:
+        stop_serving(index)
+    if len(res) == 0:
+        return _rank_frame(res)
+    resolved = UrlResolver(index)(
+        pa.Table.from_pandas(res, preserve_index=False)
+    ).to_pandas()
+    return _rank_frame(resolved)
+
+
 def bm25_topk_sort_exchange(sf_dir: str, k: int = 10) -> pd.DataFrame:
     """The ALTERNATE build exchange as a first-class queryable op: a
     FRESH index built with ``exchange="sort"`` — the in-Dataset

@@ -2060,6 +2060,93 @@ def mget(out_dir: str, urls) -> pa.Table:
     )
 
 
+@ray.remote
+class _ServeScorer:
+    """Standing scorer actor for the serving pool: holds the importable
+    scorer fn; the QueryScorer builds once in THIS process (the fn's
+    worker-process cache) and stays warm across calls."""
+
+    def __init__(self, fn):
+        self.fn = fn
+
+    def score(self, tbl: pa.Table) -> pa.Table:
+        return self.fn(tbl)
+
+
+_SERVE_POOLS: dict = {}
+
+
+def start_serving(out_dir: str, k: int = 10, method: str = "wand",
+                  n_actors: int | None = None) -> list:
+    """Spin (or reuse) a STANDING scorer-actor pool for ``out_dir`` — the
+    architecture a search engine actually serves from: shards stay open,
+    state stays hot, a query answers in one actor round-trip instead of a
+    fresh Dataset pipeline launch (~1s fixed, the measured cap on per-call
+    QPS — BENCH/BASELINE.md). Idempotent per (out_dir, version, k, method,
+    n); a rebuilt index (new version) evicts the stale pool. The pool is
+    primed so the first served batch pays no scorer construction. At
+    cluster scale each node runs its pool over its doc ranges
+    (query_index_doc_sharded's state bound) — here one node, full state."""
+    segs = list_segments(out_dir)
+    if not segs:
+        raise ValueError(f"no segments under {out_dir}")
+    version = index_version(out_dir)
+    n = n_actors or max(1, _cpus())
+    key = (out_dir, version, k, method, n)
+    pool = _SERVE_POOLS.get(key)
+    if pool is not None:
+        return pool
+    for stale in [k_ for k_ in _SERVE_POOLS if k_[0] == out_dir and k_[1] < version]:
+        for a in _SERVE_POOLS.pop(stale):
+            ray.kill(a)
+    from ..stages.query_stage import make_scorer_task_fn
+
+    fn = make_scorer_task_fn(out_dir, segs, k, method,
+                             _shared_scorer_state(out_dir, segs), version)
+    actors = [_ServeScorer.remote(fn) for _ in range(n)]
+    tiny = pa.table({"query_id": pa.array([0], pa.int64()),
+                     "text": pa.array(["the"], pa.string())})
+    ray.get([a.score.remote(tiny) for a in actors])
+    _SERVE_POOLS[key] = actors
+    return actors
+
+
+def stop_serving(out_dir: str | None = None) -> None:
+    """Kill serving pools (all, or those of one index)."""
+    for key in [k_ for k_ in _SERVE_POOLS if out_dir is None or k_[0] == out_dir]:
+        for a in _SERVE_POOLS.pop(key):
+            ray.kill(a)
+
+
+def serve_queries(out_dir: str, queries, k: int = 10, method: str = "wand",
+                  n_actors: int | None = None, batch_size: int = 256):
+    """Answer a query table from the standing pool (start_serving):
+    round-robin slices → concurrent actor round-trips → one concat.
+    Bit-identical to ``query_index(..., resolve_urls=False)`` (same
+    scorer fn, same frozen order; pinned by test) — only the dispatch
+    differs. Returns a pandas DataFrame (query_id, rank, doc_id, score)
+    sorted by (query_id, rank)."""
+    import pandas as pd
+
+    actors = start_serving(out_dir, k, method, n_actors)
+    if isinstance(queries, str):
+        import pyarrow.parquet as _pq
+
+        queries = _pq.read_table(queries)
+    n = queries.num_rows
+    if n == 0:
+        return pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
+                             "rank": pd.Series([], dtype="int32"),
+                             "doc_id": pd.Series([], dtype="int64"),
+                             "score": pd.Series([], dtype="float64")})
+    futs = [
+        actors[i % len(actors)].score.remote(queries.slice(off, batch_size))
+        for i, off in enumerate(range(0, n, batch_size))
+    ]
+    out = pa.concat_tables(ray.get(futs)).to_pandas()
+    return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
 def query_index_doc_sharded(
     out_dir: str,
     queries,

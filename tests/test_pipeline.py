@@ -1732,6 +1732,33 @@ def test_term_stats_cardinality_percentiles(golden_index):
     assert list(pct["value"]) == want_vals
     assert list(pct["pct"]) == [25, 50, 75]
 
+def test_serving_pool_matches_pipeline(golden_index):
+    """serve_queries (standing actor pool) == query_index (Dataset
+    pipeline) bit-identically — same scorer fn, same frozen order; only
+    the dispatch differs. Also: pool reuse is idempotent and stop_serving
+    tears it down."""
+    from aarhus_ray import fixtures
+    from aarhus_ray.pipelines.query import (
+        _SERVE_POOLS, query_index, serve_queries, start_serving, stop_serving,
+    )
+
+    idx = golden_index["index"]
+    q = fixtures.gen_queries(40, seed=3)
+    ref = (
+        query_index(idx, q, k=5, resolve_urls=False)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    got = serve_queries(idx, q, k=5, n_actors=2, batch_size=8)
+    assert got[["query_id", "rank", "doc_id", "score"]].equals(
+        ref[["query_id", "rank", "doc_id", "score"]]
+    )
+    assert start_serving(idx, k=5, n_actors=2) is start_serving(idx, k=5, n_actors=2)
+    stop_serving(idx)
+    assert not [k_ for k_ in _SERVE_POOLS if k_[0] == idx]
+
+
 def test_matchset_boxplot_on_real_index(golden_index):
     """MatchsetBoxplot == python recompute over the docs sidecar: type-1
     quartiles of doclen at floor(q·(n−1)) plus Tukey 1.5·IQR outlier
