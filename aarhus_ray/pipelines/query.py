@@ -2077,58 +2077,88 @@ _SERVE_POOLS: dict = {}
 
 
 def start_serving(out_dir: str, k: int = 10, method: str = "wand",
-                  n_actors: int | None = None) -> list:
+                  n_actors: int | None = None,
+                  n_ranges: int | None = None) -> list:
     """Spin (or reuse) a STANDING scorer-actor pool for ``out_dir`` — the
     architecture a search engine actually serves from: shards stay open,
     state stays hot, a query answers in one actor round-trip instead of a
     fresh Dataset pipeline launch (~1s fixed, the measured cap on per-call
     QPS — BENCH/BASELINE.md). Idempotent per (out_dir, version, k, method,
-    n); a rebuilt index (new version) evicts the stale pool. The pool is
-    primed so the first served batch pays no scorer construction. At
-    cluster scale each node runs its pool over its doc ranges
-    (query_index_doc_sharded's state bound) — here one node, full state."""
+    n, n_ranges); a rebuilt index (new version) evicts the stale pool.
+    The pool is primed so the first served batch pays no scorer
+    construction.
+
+    ``n_ranges``: the CLUSTER-shape pool — the doc space splits into
+    contiguous pid ranges (the query_index_doc_sharded bound: each range
+    actor loads ONLY its partitions' doclens, memory ∝ range size) and
+    every range gets its own actor sub-pool; serve_queries fans each
+    query batch to one actor per range and merges the k-sized partials
+    under the frozen order. None = one full-state range (single-node
+    shape). Returns a list of range sub-pools (flat case: one)."""
+    from ..partition import DOC_ID_PARTITION_SHIFT
+    from ..stages.query_stage import make_scorer_task_fn
+
     segs = list_segments(out_dir)
     if not segs:
         raise ValueError(f"no segments under {out_dir}")
     version = index_version(out_dir)
     n = n_actors or max(1, _cpus())
-    key = (out_dir, version, k, method, n)
+    key = (out_dir, version, k, method, n, n_ranges)
     pool = _SERVE_POOLS.get(key)
     if pool is not None:
         return pool
     for stale in [k_ for k_ in _SERVE_POOLS if k_[0] == out_dir and k_[1] < version]:
-        for a in _SERVE_POOLS.pop(stale):
-            ray.kill(a)
-    from ..stages.query_stage import make_scorer_task_fn
-
-    fn = make_scorer_task_fn(out_dir, segs, k, method,
-                             _shared_scorer_state(out_dir, segs), version)
-    actors = [_ServeScorer.remote(fn) for _ in range(n)]
+        for sub in _SERVE_POOLS.pop(stale):
+            for a in sub:
+                ray.kill(a)
+    if n_ranges is None:
+        fns = [make_scorer_task_fn(out_dir, segs, k, method,
+                                   _shared_scorer_state(out_dir, segs), version)]
+    else:
+        pids = doc_pids(out_dir)
+        groups = [list(g) for g in np.array_split(np.array(pids),
+                                                  min(n_ranges, len(pids))) if len(g)]
+        fns = []
+        for g in groups:
+            lo = int(g[0]) << DOC_ID_PARTITION_SHIFT
+            hi = (int(g[-1]) + 1) << DOC_ID_PARTITION_SHIFT
+            # shared_ref None: the range bound on state IS the point
+            fns.append(make_scorer_task_fn(out_dir, segs, k, method, None,
+                                           version, doc_range=(lo, hi),
+                                           pids=[int(p) for p in g]))
+    per = max(1, n // len(fns))
+    pool = [[_ServeScorer.remote(fn) for _ in range(per)] for fn in fns]
     tiny = pa.table({"query_id": pa.array([0], pa.int64()),
                      "text": pa.array(["the"], pa.string())})
-    ray.get([a.score.remote(tiny) for a in actors])
-    _SERVE_POOLS[key] = actors
-    return actors
+    ray.get([a.score.remote(tiny) for sub in pool for a in sub])
+    _SERVE_POOLS[key] = pool
+    return pool
 
 
 def stop_serving(out_dir: str | None = None) -> None:
     """Kill serving pools (all, or those of one index)."""
     for key in [k_ for k_ in _SERVE_POOLS if out_dir is None or k_[0] == out_dir]:
-        for a in _SERVE_POOLS.pop(key):
-            ray.kill(a)
+        for sub in _SERVE_POOLS.pop(key):
+            for a in sub:
+                ray.kill(a)
 
 
 def serve_queries(out_dir: str, queries, k: int = 10, method: str = "wand",
-                  n_actors: int | None = None, batch_size: int = 256):
+                  n_actors: int | None = None, batch_size: int = 256,
+                  n_ranges: int | None = None):
     """Answer a query table from the standing pool (start_serving):
     round-robin slices → concurrent actor round-trips → one concat.
     Bit-identical to ``query_index(..., resolve_urls=False)`` (same
     scorer fn, same frozen order; pinned by test) — only the dispatch
-    differs. Returns a pandas DataFrame (query_id, rank, doc_id, score)
-    sorted by (query_id, rank)."""
+    differs. With ``n_ranges`` every slice fans to one actor per doc
+    range and the k-sized per-range partials merge under (score DESC,
+    doc_id ASC) — exact, the query_index_doc_sharded argument: each doc
+    is scored wholly inside one range with global df/idf. Returns a
+    pandas DataFrame (query_id, rank, doc_id, score) sorted by
+    (query_id, rank)."""
     import pandas as pd
 
-    actors = start_serving(out_dir, k, method, n_actors)
+    pool = start_serving(out_dir, k, method, n_actors, n_ranges)
     if isinstance(queries, str):
         import pyarrow.parquet as _pq
 
@@ -2140,10 +2170,20 @@ def serve_queries(out_dir: str, queries, k: int = 10, method: str = "wand",
                              "doc_id": pd.Series([], dtype="int64"),
                              "score": pd.Series([], dtype="float64")})
     futs = [
-        actors[i % len(actors)].score.remote(queries.slice(off, batch_size))
+        sub[i % len(sub)].score.remote(queries.slice(off, batch_size))
         for i, off in enumerate(range(0, n, batch_size))
+        for sub in pool
     ]
     out = pa.concat_tables(ray.get(futs)).to_pandas()
+    if len(pool) > 1:
+        # per-range partials: re-take the global top-k under the frozen
+        # order (merge input is queries × ranges × k — right-sized)
+        out = out.sort_values(["query_id", "score", "doc_id"],
+                              ascending=[True, False, True], kind="mergesort")
+        out = out.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+        out["rank"] = (out.groupby("query_id", sort=False).cumcount() + 1).astype(
+            out["rank"].dtype
+        )
     return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
 
 

@@ -1754,6 +1754,12 @@ def test_serving_pool_matches_pipeline(golden_index):
     assert got[["query_id", "rank", "doc_id", "score"]].equals(
         ref[["query_id", "rank", "doc_id", "score"]]
     )
+    # the CLUSTER-shape pool: one actor sub-pool per doc range, k-sized
+    # partials merged under the frozen order — still bit-identical
+    sharded = serve_queries(idx, q, k=5, n_actors=2, batch_size=8, n_ranges=2)
+    assert sharded[["query_id", "rank", "doc_id", "score"]].equals(
+        ref[["query_id", "rank", "doc_id", "score"]]
+    )
     assert start_serving(idx, k=5, n_actors=2) is start_serving(idx, k=5, n_actors=2)
     stop_serving(idx)
     assert not [k_ for k_ in _SERVE_POOLS if k_[0] == idx]
