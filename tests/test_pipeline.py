@@ -1761,6 +1761,19 @@ def test_serving_pool_matches_pipeline(golden_index):
         ref[["query_id", "rank", "doc_id", "score"]]
     )
     assert start_serving(idx, k=5, n_actors=2) is start_serving(idx, k=5, n_actors=2)
+    # version-bump eviction: a rebuilt index (stats.json rewritten) must
+    # never be served by a stale pool — bumping the mtime token makes
+    # start_serving kill and respawn, and the new pool serves identically
+    import os
+
+    old_keys = [k_ for k_ in _SERVE_POOLS if k_[0] == idx]
+    os.utime(os.path.join(idx, "stats.json"))
+    fresh = serve_queries(idx, q, k=5, n_actors=2, batch_size=8)
+    assert fresh[["query_id", "rank", "doc_id", "score"]].equals(
+        ref[["query_id", "rank", "doc_id", "score"]]
+    )
+    for k_ in old_keys:
+        assert k_ not in _SERVE_POOLS  # stale-version pools evicted
     stop_serving(idx)
     assert not [k_ for k_ in _SERVE_POOLS if k_[0] == idx]
 
