@@ -2078,13 +2078,15 @@ _SERVE_POOLS: dict = {}
 
 def start_serving(out_dir: str, k: int = 10, method: str = "wand",
                   n_actors: int | None = None,
-                  n_ranges: int | None = None) -> list:
+                  n_ranges: int | None = None, mode: str = "or") -> list:
     """Spin (or reuse) a STANDING scorer-actor pool for ``out_dir`` — the
     architecture a search engine actually serves from: shards stay open,
     state stays hot, a query answers in one actor round-trip instead of a
     fresh Dataset pipeline launch (~1s fixed, the measured cap on per-call
     QPS — BENCH/BASELINE.md). Idempotent per (out_dir, version, k, method,
-    n, n_ranges); a rebuilt index (new version) evicts the stale pool.
+    n, n_ranges, mode) — every query_index retrieval ``mode`` (and/phrase/
+    near/msm/spans/…) serves from its own pool, the per-doc semantics are
+    unchanged; a rebuilt index (new version) evicts the stale pool.
     The pool is primed so the first served batch pays no scorer
     construction.
 
@@ -2103,7 +2105,7 @@ def start_serving(out_dir: str, k: int = 10, method: str = "wand",
         raise ValueError(f"no segments under {out_dir}")
     version = index_version(out_dir)
     n = n_actors or max(1, _cpus())
-    key = (out_dir, version, k, method, n, n_ranges)
+    key = (out_dir, version, k, method, n, n_ranges, mode)
     pool = _SERVE_POOLS.get(key)
     if pool is not None:
         return pool
@@ -2113,7 +2115,8 @@ def start_serving(out_dir: str, k: int = 10, method: str = "wand",
                 ray.kill(a)
     if n_ranges is None:
         fns = [make_scorer_task_fn(out_dir, segs, k, method,
-                                   _shared_scorer_state(out_dir, segs), version)]
+                                   _shared_scorer_state(out_dir, segs), version,
+                                   mode=mode)]
     else:
         pids = doc_pids(out_dir)
         groups = [list(g) for g in np.array_split(np.array(pids),
@@ -2125,7 +2128,7 @@ def start_serving(out_dir: str, k: int = 10, method: str = "wand",
             # shared_ref None: the range bound on state IS the point
             fns.append(make_scorer_task_fn(out_dir, segs, k, method, None,
                                            version, doc_range=(lo, hi),
-                                           pids=[int(p) for p in g]))
+                                           pids=[int(p) for p in g], mode=mode))
     per = max(1, n // len(fns))
     pool = [[_ServeScorer.remote(fn) for _ in range(per)] for fn in fns]
     tiny = pa.table({"query_id": pa.array([0], pa.int64()),
@@ -2145,7 +2148,7 @@ def stop_serving(out_dir: str | None = None) -> None:
 
 def serve_queries(out_dir: str, queries, k: int = 10, method: str = "wand",
                   n_actors: int | None = None, batch_size: int = 256,
-                  n_ranges: int | None = None):
+                  n_ranges: int | None = None, mode: str = "or"):
     """Answer a query table from the standing pool (start_serving):
     round-robin slices → concurrent actor round-trips → one concat.
     Bit-identical to ``query_index(..., resolve_urls=False)`` (same
@@ -2158,7 +2161,7 @@ def serve_queries(out_dir: str, queries, k: int = 10, method: str = "wand",
     (query_id, rank)."""
     import pandas as pd
 
-    pool = start_serving(out_dir, k, method, n_actors, n_ranges)
+    pool = start_serving(out_dir, k, method, n_actors, n_ranges, mode)
     if isinstance(queries, str):
         import pyarrow.parquet as _pq
 

@@ -1760,6 +1760,17 @@ def test_serving_pool_matches_pipeline(golden_index):
     assert sharded[["query_id", "rank", "doc_id", "score"]].equals(
         ref[["query_id", "rank", "doc_id", "score"]]
     )
+    # retrieval modes thread through: the conjunctive pool == pipeline AND
+    ref_and = (
+        query_index(idx, q, k=5, resolve_urls=False, mode="and")
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    got_and = serve_queries(idx, q, k=5, n_actors=2, batch_size=8, mode="and")
+    assert got_and[["query_id", "rank", "doc_id", "score"]].equals(
+        ref_and[["query_id", "rank", "doc_id", "score"]]
+    )
     assert start_serving(idx, k=5, n_actors=2) is start_serving(idx, k=5, n_actors=2)
     # version-bump eviction: a rebuilt index (stats.json rewritten) must
     # never be served by a stale pool — bumping the mtime token makes
