@@ -118,6 +118,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         textstats, windows,
     )
     from aarhus_ray.sources.interchange import (
+        avro_roundtrip_stats as _avro_roundtrip,
         csv_roundtrip_stats as _csv_roundtrip,
         feather_roundtrip_stats as _feather_roundtrip,
         jsonl_roundtrip_stats as _jsonl_roundtrip,
@@ -399,6 +400,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # physical layout; Content-Length-framed record parse per task
         "docs_from_warc": _warc_roundtrip,
         "docs_from_orc": _orc_roundtrip,
+        # Avro OCF written/read from scratch to the public spec (zigzag
+        # varints, raw-deflate blocks, sync markers, schema-driven read)
+        "docs_from_avro": _avro_roundtrip,
         # Arrow IPC/Feather v2: distributed per-partition IPC write →
         # read_binary_files + in-task decode (the custom-format template)
         "docs_from_feather": _feather_roundtrip,
@@ -2557,6 +2561,14 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY 1 ORDER BY 1
         """,
         "docs_from_orc": """
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+                   CAST(SUM(length(text)) AS BIGINT) AS sum_text_len
+            FROM documents GROUP BY 1 ORDER BY 1
+        """,
+        # Avro round-trip: engine goes parquet → OCF (zigzag varints,
+        # raw-deflate blocks, sync framing) → schema-driven parse → fold
+        "docs_from_avro": """
             SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
                    CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
                    CAST(SUM(length(text)) AS BIGINT) AS sum_text_len

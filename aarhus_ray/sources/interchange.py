@@ -79,6 +79,25 @@ def _interchange_dir(sf_dir: str, kind: str) -> str:
         ds.repartition(8).map_batches(
             write_warc, batch_format="pyarrow", batch_size=None
         ).materialize()
+    elif kind == "avro":
+        # Apache Avro Object Container File (the Hadoop-ecosystem row
+        # format), written FROM SCRATCH to the public spec — magic
+        # 'Obj\\x01', header metadata map (avro.schema JSON +
+        # avro.codec deflate), 16-byte sync markers framing raw-deflate
+        # blocks of zigzag-varint records. One .avro per partition.
+        import uuid
+
+        os.makedirs(tmp, exist_ok=True)
+
+        def write_avro(batch: pa.Table) -> pa.Table:
+            path = os.path.join(tmp, f"part-{uuid.uuid4().hex}.avro")
+            with open(path, "wb") as f:
+                f.write(_avro_file_bytes(batch))
+            return pa.table({"path": pa.array([path], pa.string())})
+
+        ds.repartition(8).map_batches(
+            write_avro, batch_format="pyarrow", batch_size=None
+        ).materialize()
     elif kind == "orc":
         # Apache ORC via pyarrow.orc — the other big-data columnar
         # format; one .orc file per partition, same distributed-write
@@ -186,6 +205,150 @@ def _parse_warc_members(data: bytes) -> pa.Table:
             "text": pa.array(texts, pa.string()),
             "lang": pa.array(langs, pa.string()),
             "n_chars": pa.array(n_chars_l, pa.int64()),
+        }
+    )
+
+
+# --- Apache Avro Object Container File, from scratch (public spec) ------
+# Writer and reader implement the OCF layout directly: no Avro library
+# exists in this environment, and a hand-rolled codec keeps the whole
+# encode→deflate→inflate→decode path certifiable by the same per-lang
+# fold hash as WARC/PPM. The reader is SCHEMA-DRIVEN: it decodes by the
+# field list embedded in the file header, not by assuming the writer.
+
+_AVRO_MAGIC = b"Obj\x01"
+_AVRO_SCHEMA = (
+    '{"type":"record","name":"doc","fields":['
+    '{"name":"doc_id","type":"long"},{"name":"text","type":"string"},'
+    '{"name":"lang","type":"string"},{"name":"n_chars","type":"long"}]}'
+)
+
+
+def _avro_long(n: int) -> bytes:
+    """Avro long: zigzag then base-128 varint, low groups first."""
+    z = (n << 1) ^ (n >> 63)
+    out = bytearray()
+    while True:
+        b = z & 0x7F
+        z >>= 7
+        if z:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _avro_str(s: str) -> bytes:
+    b = s.encode("utf-8")
+    return _avro_long(len(b)) + b
+
+
+def _avro_file_bytes(batch: pa.Table) -> bytes:
+    """One complete OCF: header (metadata map: schema + deflate codec),
+    then one raw-deflate block holding the batch's records. The sync
+    marker derives from the block content (md5 of the record bytes), so
+    identical inputs produce identical files."""
+    import zlib
+
+    recs = bytearray()
+    for doc_id, text, lang, n_chars in zip(
+        batch["doc_id"].to_pylist(), batch["text"].to_pylist(),
+        batch["lang"].to_pylist(), batch["n_chars"].to_pylist(),
+    ):
+        recs += _avro_long(int(doc_id))
+        recs += _avro_str(text)
+        recs += _avro_str(lang)
+        recs += _avro_long(int(n_chars))
+    sync = hashlib.md5(bytes(recs)).digest()
+    co = zlib.compressobj(9, zlib.DEFLATED, -15)  # raw deflate per spec
+    payload = co.compress(bytes(recs)) + co.flush()
+    out = bytearray(_AVRO_MAGIC)
+    out += _avro_long(2)  # metadata map: one block of two entries
+    out += _avro_str("avro.schema") + _avro_long(len(_AVRO_SCHEMA)) + _AVRO_SCHEMA.encode()
+    out += _avro_str("avro.codec") + _avro_long(7) + b"deflate"
+    out += _avro_long(0)  # map terminator
+    out += sync
+    out += _avro_long(batch.num_rows) + _avro_long(len(payload)) + payload + sync
+    return bytes(out)
+
+
+def _avro_read_long(buf: bytes, pos: int) -> tuple[int, int]:
+    z = 0
+    shift = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        z |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+    return (z >> 1) ^ -(z & 1), pos
+
+
+def _parse_avro(data: bytes) -> pa.Table:
+    """Schema-driven OCF reader: validate magic, decode the metadata map
+    (negative map-block counts per spec carry a byte size), json-parse
+    avro.schema for the field order/types, then walk blocks — inflate if
+    codec=deflate, verify every sync marker, decode count records by the
+    embedded field list. Only long/string fields are needed here; any
+    other type is an explicit error, not a silent skip."""
+    import json as _json
+    import zlib
+
+    if data[:4] != _AVRO_MAGIC:
+        raise ValueError(f"bad Avro magic: {data[:4]!r}")
+    pos = 4
+    meta: dict[str, bytes] = {}
+    while True:
+        count, pos = _avro_read_long(data, pos)
+        if count == 0:
+            break
+        if count < 0:  # spec: negative count prefixes the block byte size
+            count = -count
+            _, pos = _avro_read_long(data, pos)
+        for _ in range(count):
+            klen, pos = _avro_read_long(data, pos)
+            key = data[pos : pos + klen].decode("utf-8")
+            pos += klen
+            vlen, pos = _avro_read_long(data, pos)
+            meta[key] = data[pos : pos + vlen]
+            pos += vlen
+    sync = data[pos : pos + 16]
+    pos += 16
+    schema = _json.loads(meta["avro.schema"])
+    fields = [(f["name"], f["type"]) for f in schema["fields"]]
+    codec = meta.get("avro.codec", b"null").decode("ascii")
+    if codec not in ("null", "deflate"):
+        raise ValueError(f"unsupported avro.codec {codec!r}")
+    cols: dict[str, list] = {name: [] for name, _ in fields}
+    while pos < len(data):
+        count, pos = _avro_read_long(data, pos)
+        size, pos = _avro_read_long(data, pos)
+        block = data[pos : pos + size]
+        pos += size
+        if data[pos : pos + 16] != sync:
+            raise ValueError("block sync marker mismatch")
+        pos += 16
+        if codec == "deflate":
+            block = zlib.decompress(block, -15)
+        bp = 0
+        for _ in range(count):
+            for name, typ in fields:
+                if typ == "long":
+                    v, bp = _avro_read_long(block, bp)
+                    cols[name].append(v)
+                elif typ == "string":
+                    ln, bp = _avro_read_long(block, bp)
+                    cols[name].append(block[bp : bp + ln].decode("utf-8"))
+                    bp += ln
+                else:
+                    raise ValueError(f"unsupported field type {typ!r}")
+        if bp != len(block):
+            raise ValueError("trailing bytes after records inside block")
+    return pa.table(
+        {
+            name: pa.array(cols[name], pa.int64() if typ == "long" else pa.string())
+            for name, typ in fields
         }
     )
 
@@ -303,6 +466,27 @@ def warc_roundtrip_stats(sf_dir: str) -> pd.DataFrame:
         ray.data.read_binary_files(
             files, arrow_open_stream_args={"compression": None}
         ).map_batches(decode, batch_format="pyarrow")
+    )
+
+
+def avro_roundtrip_stats(sf_dir: str) -> pd.DataFrame:
+    """documents → Avro OCF files (from-scratch writer: zigzag-varint
+    records in raw-deflate blocks, sync-marker framing, schema embedded
+    in the header) → ray.data.read_binary_files + the schema-driven
+    in-task parser → per-lang fold. The hash check certifies the whole
+    encode→deflate→inflate→decode path against the parquet original —
+    the Hadoop-ecosystem row format joins the source surface with the
+    same one-file-per-task scale template as WARC."""
+    d = _interchange_dir(sf_dir, "avro")
+    files = sorted(
+        os.path.join(d, f) for f in os.listdir(d) if f.endswith(".avro")
+    )
+
+    def decode(batch: pa.Table) -> pa.Table:
+        return pa.concat_tables([_parse_avro(buf.as_py()) for buf in batch["bytes"]])
+
+    return _lang_fold(
+        ray.data.read_binary_files(files).map_batches(decode, batch_format="pyarrow")
     )
 
 
